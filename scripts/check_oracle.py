@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB correctness gate.
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <outDir>/<name> parquet (Spark result), runs the matching
+oracle SQL from <outDir>/oracle_sql.json in DuckDB with the sf tables
+registered as views, and compares: column names (sorted), row counts,
+and cell values (rows sorted, exact equality after normalization).
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    out = Path(out_dir)
+    oracles = json.loads((out / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_fail = 0
+    for name in sorted(oracles):
+        res_dir = out / name
+        if not res_dir.exists():
+            print(f"FAIL {name}: no Spark result written")
+            n_fail += 1
+            continue
+        spark_rel = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
+        spark_cols = sorted(spark_rel.columns)
+        spark_rows = sorted(
+            tuple(norm(v) for v in row)
+            for row in con.sql(
+                f"SELECT {', '.join(spark_cols)} FROM '{res_dir}/*.parquet'"
+            ).fetchall()
+        )
+        try:
+            oracle_rel = con.sql(oracles[name])
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        oracle_cols = sorted(oracle_rel.columns)
+        if spark_cols != oracle_cols:
+            print(f"FAIL {name}: columns {spark_cols} != {oracle_cols}")
+            n_fail += 1
+            continue
+        oracle_rows = sorted(
+            tuple(norm(v) for v in row)
+            for row in con.sql(
+                f"SELECT {', '.join(oracle_cols)} FROM ({oracles[name]})"
+            ).fetchall()
+        )
+        if len(spark_rows) != len(oracle_rows):
+            print(f"FAIL {name}: rowcount {len(spark_rows)} != {len(oracle_rows)}")
+            n_fail += 1
+            continue
+        bad = [
+            (a, b) for a, b in zip(spark_rows, oracle_rows) if a != b
+        ]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(spark_rows)} row mismatches; first: ")
+            print(f"  spark : {bad[0][0]}")
+            print(f"  oracle: {bad[0][1]}")
+            n_fail += 1
+        else:
+            print(f"OK   {name} ({len(spark_rows)} rows)")
+    return n_fail
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)

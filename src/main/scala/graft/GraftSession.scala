@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory: every entry point (Verify, Bench, tests)
+  * builds through here so engine-level settings stay consistent.
+  */
+object GraftSession {
+  /** Configs the engine requires regardless of entry point. */
+  def withGraftConfigs(b: SparkSession.Builder): SparkSession.Builder = b
+    // testdata events.ts is TIMESTAMP(NANOS); Spark reads it as a long
+    // (normalized back to micros in graft.sources.Tables.events).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+
+  def local(cpus: String): SparkSession = {
+    val s = withGraftConfigs(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1Pricing(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing"       -> (Relational.q1Pricing _),
+    "q3_shipping"      -> (Relational.q3Shipping _),
+    "q5_region"        -> (Relational.q5Region _),
+    "q_window_running" -> (Relational.qWindowRunning _),
+    "q_topn_group"     -> (Relational.qTopNGroup _),
+    "q_rollup"         -> (Relational.qRollup _),
+    "q_distinct"       -> (Relational.qDistinct _),
+    "q_pivot"          -> (Relational.qPivot _),
+    "q_asof"           -> (Relational.qAsOf _),
+    "q_sessionize"     -> (Relational.qSessionize _),
+    "q_tumbling"       -> (Relational.qTumbling _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check. */
+  def oracleSql: Map[String, String] = Relational.oracles
 }

@@ -1,0 +1,287 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{dec2, dec4}
+import graft.sources.Tables._
+
+/** Relational / OLAP query surface (SURVEY.md §2 B1–B11).
+  *
+  * Scale posture: fact tables (lineitem, orders, events) are only ever
+  * scanned, filtered, joined on their keys or window-partitioned; dims
+  * (region/nation/customer/supplier) are broadcast explicitly. No
+  * crossJoin, no collect. Output ordering is for the correctness dump;
+  * Catalyst's EliminateSorts drops it under count-only benchmarks.
+  */
+object Relational {
+
+  /** B1: pricing summary — scan + filter + hash aggregate (TPC-H Q1 shape). */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("2000-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dec2(sum(col("l_quantity"))).as("sum_qty"),
+        dec2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        dec2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        dec4(avg(col("l_quantity"))).as("avg_qty"),
+        dec4(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** B2: shipping priority — selective join chain + agg + deterministic top-N. */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val cust = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = orders(s, dir).filter(col("o_orderdate") < lit("1998-06-15"))
+    val li   = lineitem(s, dir).filter(col("l_shipdate") > lit("1998-06-15"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dec2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** B3: regional supplier volume — 5-way join with broadcast dims (TPC-H Q5 shape). */
+  def q5Region(s: SparkSession, dir: String): DataFrame = {
+    val dims = broadcast(
+      supplier(s, dir)
+        .join(nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(region(s, dir).filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("n_name"))
+    )
+    lineitem(s, dir)
+      .join(dims, col("l_suppkey") === col("s_suppkey"))
+      .join(orders(s, dir).filter(col("o_orderdate") >= lit("1997-01-01") &&
+                                  col("o_orderdate") < lit("1999-01-01")),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"))
+      .agg(dec2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** B4: running total per customer — single shuffle on the window key. */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        dec2(sum(col("o_totalprice")).over(w)).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** B5: top-3 orders per customer by price (row_number, deterministic ties). */
+  def qTopNGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+              dec2(col("o_totalprice")).as("totalprice"),
+              row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** B6: rollup aggregation over returnflag × linestatus. */
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dec2(sum(col("l_quantity"))).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  /** B7: distinct counting per group. */
+  def qDistinct(s: SparkSession, dir: String): DataFrame = {
+    customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+           count(lit(1)).as("n_customers"),
+           dec2(sum(col("c_acctbal"))).as("sum_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** B8: pivot event_type into per-user count columns (map-side expressible). */
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val aggs =
+      types.map(t => sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")) :+
+        dec2(sum(col("value"))).as("sum_value")
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** B9: as-of join — latest order per user at event time.
+    *
+    * Spark-first formulation of an operator Spark lacks natively: union
+    * both sides tagged, one shuffle on the shared key, then
+    * `last(..., ignoreNulls)` over an ordered window carries the most
+    * recent order payload forward to each event row. Orders are deduped
+    * to one per (custkey, orderdate) first so the as-of pick is
+    * deterministic (mirrors DuckDB ASOF JOIN semantics, ts >= orderdate).
+    */
+  def qAsOf(s: SparkSession, dir: String): DataFrame = {
+    val dedupW = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val ord = orders(s, dir)
+      .withColumn("rn", row_number().over(dedupW))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
+              lit(0).as("tag"), col("o_orderkey"), col("o_totalprice"),
+              lit(null).cast("long").as("event_id"))
+    val ev = events(s, dir)
+      .select(col("user_id"), col("ts").as("t"), lit(1).as("tag"),
+              lit(null).cast("long").as("o_orderkey"),
+              lit(null).cast("double").as("o_totalprice"),
+              col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("mk", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("mp", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"),
+              col("mk").as("o_orderkey"), dec2(col("mp")).as("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  /** B10: sessionization (gaps-and-islands, 30 min inactivity gap). */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byTime  = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTime))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(running))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"),
+           (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"),
+           dec2(sum(col("value"))).as("sum_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** B11: tumbling 1-hour window aggregate over the event stream (batch twin of F1). */
+  def qTumbling(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dec2(sum(col("value"))).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Oracle SQL (DuckDB dialect) for each query above. */
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(ROUND(SUM(l_quantity),2) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(ROUND(SUM(l_extendedprice),2) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2)) AS sum_disc_price,
+        |  CAST(ROUND(AVG(l_quantity),4) AS DECIMAL(18,4)) AS avg_qty,
+        |  CAST(ROUND(AVG(l_discount),4) AS DECIMAL(18,4)) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-15'
+        |  AND l_shipdate  > TIMESTAMP '1998-06-15'
+        |GROUP BY 1,2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region" ->
+      """SELECT n_name,
+        |  CAST(ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2)) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1999-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ROUND(SUM(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS DECIMAL(18,2)) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_topn_group" ->
+      """SELECT o_custkey, o_orderkey, totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(ROUND(o_totalprice,2) AS DECIMAL(18,2)) AS totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
+        |  COALESCE(l_linestatus,'ALL') AS linestatus,
+        |  COUNT(*) AS n, CAST(ROUND(SUM(l_quantity),2) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1,2""".stripMargin,
+    "q_distinct" ->
+      """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+        |  COUNT(*) AS n_customers,
+        |  CAST(ROUND(SUM(c_acctbal),2) AS DECIMAL(18,2)) AS sum_acctbal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n_click,
+        |  SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error,
+        |  SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS n_signup,
+        |  SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS n_view,
+        |  CAST(ROUND(SUM(value),2) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_asof" ->
+      """WITH o AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |        ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, o.o_orderkey,
+        |  CAST(ROUND(o.o_totalprice,2) AS DECIMAL(18,2)) AS o_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start,
+        |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+        |  CAST(ROUND(SUM(value),2) AS DECIMAL(18,2)) AS sum_value
+        |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  COUNT(*) AS n, CAST(ROUND(SUM(value),2) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+  )
+}
