@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Estimation, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
@@ -22,10 +22,21 @@ object SparkEntry {
     "q_pivot"          -> (Relational.qPivot _),
     "q_asof"           -> (Relational.qAsOf _),
     "q_sessionize"     -> (Relational.qSessionize _),
-    "q_tumbling"       -> (Relational.qTumbling _)
+    "q_tumbling"       -> (Relational.qTumbling _),
+    "q_knn_reg"        -> (Estimation.qKnnReg _),
+    "q_knn_reg_multi"  -> (Estimation.qKnnRegMulti _),
+    "q_knn_cls"        -> (Estimation.qKnnCls _),
+    "q_knn_proba"      -> (Estimation.qKnnProba _),
+    "q_kneighbors"     -> (Estimation.qKneighbors _),
+    "q_std_scaler"     -> (Estimation.qStdScaler _),
+    "q_minmax_scaler"  -> (Estimation.qMinMaxScaler _),
+    "q_inverse_std"    -> (Estimation.qInverseStd _),
+    "q_linreg"         -> (Estimation.qLinReg _),
+    "q_linreg_multi"   -> (Estimation.qLinRegMulti _),
+    "q_knn_nodata"     -> (Estimation.qKnnNoData _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
-  def oracleSql: Map[String, String] = Relational.oracles
+  def oracleSql: Map[String, String] = Relational.oracles ++ Estimation.oracles
 }

@@ -1,0 +1,315 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{FeatureFrame, NoData, PredictOptions}
+import graft.estimators._
+import graft.functions.{dec2, dec4}
+import graft.sources.Tables._
+
+/** Feature-array estimator query surface (SURVEY.md §2 A1–A11).
+  *
+  * The reference's canonical shape (fit on small tabular data, predict
+  * over a huge feature array — `estimator.py:36`) mapped onto the star
+  * schema: the "plots" are a deterministic small slice of lineitem
+  * (`l_orderkey % 499 = 0`, ~1/500 of orders), the "raster" is the full
+  * lineitem fact table. Every fitted model broadcasts its state; the
+  * fact side streams through codegen'd Columns or the kNN mapPartitions
+  * kernel — no shuffle on the big side in any query here.
+  */
+object Estimation {
+
+  /** Row id for the prediction side: (l_orderkey, l_linenumber) is NOT
+    * unique in the generated data, but the full row is — so the id is an
+    * md5 over integer-encoded row fields (doubles encoded as exact cents
+    * to avoid cross-engine float formatting). md5 is bit-identical in
+    * Spark and DuckDB, unlike the engines' builtin hash functions.
+    */
+  private def withId(df: DataFrame): DataFrame =
+    df.withColumn("li_id", md5(concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      col("l_quantity").cast("long"),
+      round(col("l_extendedprice") * 100, 0).cast("long"),
+      round(col("l_discount") * 100, 0).cast("long"),
+      round(col("l_tax") * 100, 0).cast("long"))))
+
+  private val uidSql =
+    "md5(CONCAT_WS('|', l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+      "CAST(l_quantity AS BIGINT), CAST(ROUND(l_extendedprice*100,0) AS BIGINT), " +
+      "CAST(ROUND(l_discount*100,0) AS BIGINT), CAST(ROUND(l_tax*100,0) AS BIGINT)))"
+
+  private def li(s: SparkSession, dir: String): DataFrame = withId(lineitem(s, dir))
+
+  private def trainLi(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).filter(col("l_orderkey") % 499 === 0)
+
+  /** Canonical training order: a unique full-row key. Training ids are
+    * 0-based ranks in this order (sklearn training-index semantics).
+    */
+  private val trainOrder = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private val trainSql =
+    "SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+      "l_quantity, l_extendedprice, l_discount, l_tax) - 1 AS tid, l_quantity, l_discount, " +
+      "l_tax, l_extendedprice, l_suppkey, l_returnflag FROM lineitem WHERE l_orderkey % 499 = 0"
+
+  /** A1: KNeighborsRegressor.predict — 1 feature, 1 target, k=5. */
+  def qKnnReg(s: SparkSession, dir: String): DataFrame = {
+    val model = KNeighborsRegressor(k = 5, orderBy = trainOrder)
+      .fit(trainLi(s, dir), Seq("l_extendedprice"), Seq("l_quantity"))
+    model.predict(FeatureFrame(li(s, dir), Seq("li_id"), Seq("l_extendedprice")))
+      .select(col("li_id"), dec4(col("l_quantity")).as("prediction"))
+      .orderBy(col("li_id"))
+  }
+
+  /** A2: multi-feature (d=3), multi-target (t=2) kNN regression. */
+  def qKnnRegMulti(s: SparkSession, dir: String): DataFrame = {
+    val model = KNeighborsRegressor(k = 5, orderBy = trainOrder)
+      .fit(trainLi(s, dir), Seq("l_quantity", "l_discount", "l_tax"),
+           Seq("l_extendedprice", "l_suppkey"))
+    model.predict(FeatureFrame(li(s, dir), Seq("li_id"),
+        Seq("l_quantity", "l_discount", "l_tax")))
+      .select(col("li_id"),
+              dec4(col("l_extendedprice")).as("pred_price"),
+              dec4(col("l_suppkey")).as("pred_supp"))
+      .orderBy(col("li_id"))
+  }
+
+  /** A3: KNeighborsClassifier.predict — majority vote, sklearn tie rule. */
+  def qKnnCls(s: SparkSession, dir: String): DataFrame = {
+    val model = KNeighborsClassifier(k = 5, orderBy = trainOrder)
+      .fit(trainLi(s, dir), Seq("l_extendedprice", "l_quantity"), Seq("l_returnflag"))
+    model.predict(FeatureFrame(li(s, dir), Seq("li_id"),
+        Seq("l_extendedprice", "l_quantity")))
+      .orderBy(col("li_id"))
+  }
+
+  /** A4: predict_proba — neighbor class frequencies, one column per class. */
+  def qKnnProba(s: SparkSession, dir: String): DataFrame = {
+    val model = KNeighborsClassifier(k = 5, orderBy = trainOrder)
+      .fit(trainLi(s, dir), Seq("l_extendedprice", "l_quantity"), Seq("l_returnflag"))
+    val raw = model.predictProba(FeatureFrame(li(s, dir), Seq("li_id"),
+        Seq("l_extendedprice", "l_quantity")))
+    raw.select(col("li_id") +: model.classes.map(c => dec4(col(s"p_$c")).as(s"p_$c")): _*)
+      .orderBy(col("li_id"))
+  }
+
+  /** A5: kneighbors — k=3 neighbor ids + Euclidean distances as columns. */
+  def qKneighbors(s: SparkSession, dir: String): DataFrame = {
+    val model = KNeighborsRegressor(k = 3, orderBy = trainOrder)
+      .fit(trainLi(s, dir), Seq("l_extendedprice"), Seq("l_quantity"))
+    model.kneighbors(FeatureFrame(li(s, dir), Seq("li_id"), Seq("l_extendedprice")))
+      .select(col("li_id"),
+              col("neighbor0"), col("neighbor1"), col("neighbor2"),
+              dec4(col("distance0")).as("distance0"),
+              dec4(col("distance1")).as("distance1"),
+              dec4(col("distance2")).as("distance2"))
+      .orderBy(col("li_id"))
+  }
+
+  private val scaleFeatures = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  /** A6: StandardScaler.transform — distributed agg fit, codegen affine. */
+  def qStdScaler(s: SparkSession, dir: String): DataFrame = {
+    val model = StandardScaler().fit(trainLi(s, dir), scaleFeatures)
+    model.transform(FeatureFrame(li(s, dir), Seq("li_id"), scaleFeatures))
+      .select(col("li_id") +:
+        scaleFeatures.map(c => dec4(col(s"scaled_$c")).as(s"scaled_$c")): _*)
+      .orderBy(col("li_id"))
+  }
+
+  /** A7: MinMaxScaler.transform. */
+  def qMinMaxScaler(s: SparkSession, dir: String): DataFrame = {
+    val model = MinMaxScaler().fit(trainLi(s, dir), scaleFeatures)
+    model.transform(FeatureFrame(li(s, dir), Seq("li_id"), scaleFeatures))
+      .select(col("li_id") +:
+        scaleFeatures.map(c => dec4(col(s"scaled_$c")).as(s"scaled_$c")): _*)
+      .orderBy(col("li_id"))
+  }
+
+  /** A8: inverse_transform roundtrip (scale → unscale ≈ identity). */
+  def qInverseStd(s: SparkSession, dir: String): DataFrame = {
+    val model = StandardScaler().fit(trainLi(s, dir), scaleFeatures)
+    val scaled = model.transform(FeatureFrame(li(s, dir), Seq("li_id"), scaleFeatures))
+    model.inverseTransform(scaled, Seq("li_id"))
+      .select(col("li_id") +: scaleFeatures.map(c => dec2(col(c)).as(c)): _*)
+      .orderBy(col("li_id"))
+  }
+
+  /** A9: LinearRegression.predict — d=1 OLS via distributed normal equations. */
+  def qLinReg(s: SparkSession, dir: String): DataFrame = {
+    val model = LinearRegression()
+      .fit(trainLi(s, dir), Seq("l_quantity"), Seq("l_extendedprice"))
+    model.predict(FeatureFrame(li(s, dir), Seq("li_id"), Seq("l_quantity")))
+      .select(col("li_id"), dec2(col("l_extendedprice")).as("prediction"))
+      .orderBy(col("li_id"))
+  }
+
+  /** A10: d=2 OLS (closed-form oracle via covariances). */
+  def qLinRegMulti(s: SparkSession, dir: String): DataFrame = {
+    val model = LinearRegression()
+      .fit(trainLi(s, dir), Seq("l_quantity", "l_discount"), Seq("l_extendedprice"))
+    model.predict(FeatureFrame(li(s, dir), Seq("li_id"), Seq("l_quantity", "l_discount")))
+      .select(col("li_id"), dec2(col("l_extendedprice")).as("prediction"))
+      .orderBy(col("li_id"))
+  }
+
+  /** A11: NoData semantics — NULL + per-feature sentinel masking, skip +
+    * fill (`features.py:46`, `ufunc/_base.py:51`). x1 is NULLed on
+    * `l_partkey % 37 = 0` rows; x2 carries sentinel -1 on
+    * `l_suppkey % 13 = 0` rows; masked rows fill with -999.
+    */
+  def qKnnNoData(s: SparkSession, dir: String): DataFrame = {
+    val model = KNeighborsRegressor(k = 5, orderBy = trainOrder)
+      .fit(trainLi(s, dir), Seq("l_extendedprice", "l_quantity"), Seq("l_suppkey"))
+    val input = li(s, dir)
+      .withColumn("l_extendedprice",
+        when(col("l_partkey") % 37 === 0, lit(null)).otherwise(col("l_extendedprice")))
+      .withColumn("l_quantity",
+        when(col("l_suppkey") % 13 === 0, lit(-1.0)).otherwise(col("l_quantity")))
+    val frame = FeatureFrame(input, Seq("li_id"), Seq("l_extendedprice", "l_quantity"),
+      NoData.perFeature(Map("l_quantity" -> -1.0)))
+    model.predict(frame, PredictOptions(noDataOutput = -999.0))
+      .select(col("li_id"), dec4(col("l_suppkey")).as("prediction"))
+      .orderBy(col("li_id"))
+  }
+
+  /** Oracle SQL (DuckDB dialect). The kNN oracles use the crossJoin +
+    * ROW_NUMBER formulation the Spark engine deliberately AVOIDS — fine
+    * at sf0.01 oracle scale, ruled out at 100 TB (see class doc).
+    */
+  val oracles: Map[String, String] = {
+    val train = s"train AS ($trainSql)"
+    val q     = s"q AS (SELECT $uidSql AS li_id, l_quantity, " +
+      "l_discount, l_tax, l_extendedprice, l_partkey, l_suppkey FROM lineitem)"
+    Map(
+      "q_knn_reg" ->
+        s"""WITH $train, $q,
+          |d AS (SELECT li_id, train.l_quantity AS ty,
+          |  ROW_NUMBER() OVER (PARTITION BY li_id ORDER BY
+          |    (q.l_extendedprice-train.l_extendedprice)*(q.l_extendedprice-train.l_extendedprice), tid) AS rn
+          |  FROM q CROSS JOIN train)
+          |SELECT li_id, CAST(ROUND(AVG(ty),4) AS DECIMAL(18,4)) AS prediction
+          |FROM d WHERE rn <= 5 GROUP BY li_id ORDER BY li_id""".stripMargin,
+      "q_knn_reg_multi" ->
+        s"""WITH $train, $q,
+          |d AS (SELECT li_id, train.l_extendedprice AS ty1, train.l_suppkey AS ty2,
+          |  ROW_NUMBER() OVER (PARTITION BY li_id ORDER BY
+          |    (q.l_quantity-train.l_quantity)*(q.l_quantity-train.l_quantity)
+          |    +(q.l_discount-train.l_discount)*(q.l_discount-train.l_discount)
+          |    +(q.l_tax-train.l_tax)*(q.l_tax-train.l_tax), tid) AS rn
+          |  FROM q CROSS JOIN train)
+          |SELECT li_id, CAST(ROUND(AVG(ty1),4) AS DECIMAL(18,4)) AS pred_price,
+          |  CAST(ROUND(AVG(ty2),4) AS DECIMAL(18,4)) AS pred_supp
+          |FROM d WHERE rn <= 5 GROUP BY li_id ORDER BY li_id""".stripMargin,
+      "q_knn_cls" ->
+        s"""WITH $train, $q,
+          |d AS (SELECT li_id, train.l_returnflag AS tcls,
+          |  ROW_NUMBER() OVER (PARTITION BY li_id ORDER BY
+          |    (q.l_extendedprice-train.l_extendedprice)*(q.l_extendedprice-train.l_extendedprice)
+          |    +(q.l_quantity-train.l_quantity)*(q.l_quantity-train.l_quantity), tid) AS rn
+          |  FROM q CROSS JOIN train),
+          |k AS (SELECT li_id, tcls, COUNT(*) AS cnt FROM d WHERE rn <= 5 GROUP BY 1,2),
+          |r AS (SELECT li_id, tcls,
+          |  ROW_NUMBER() OVER (PARTITION BY li_id ORDER BY cnt DESC, tcls) AS rr FROM k)
+          |SELECT li_id, tcls AS prediction FROM r WHERE rr = 1 ORDER BY li_id""".stripMargin,
+      "q_knn_proba" ->
+        s"""WITH $train, $q,
+          |d AS (SELECT li_id, train.l_returnflag AS tcls,
+          |  ROW_NUMBER() OVER (PARTITION BY li_id ORDER BY
+          |    (q.l_extendedprice-train.l_extendedprice)*(q.l_extendedprice-train.l_extendedprice)
+          |    +(q.l_quantity-train.l_quantity)*(q.l_quantity-train.l_quantity), tid) AS rn
+          |  FROM q CROSS JOIN train)
+          |SELECT li_id,
+          |  CAST(ROUND(SUM(CASE WHEN tcls='A' THEN 1 ELSE 0 END)/5.0,4) AS DECIMAL(18,4)) AS p_A,
+          |  CAST(ROUND(SUM(CASE WHEN tcls='N' THEN 1 ELSE 0 END)/5.0,4) AS DECIMAL(18,4)) AS p_N,
+          |  CAST(ROUND(SUM(CASE WHEN tcls='R' THEN 1 ELSE 0 END)/5.0,4) AS DECIMAL(18,4)) AS p_R
+          |FROM d WHERE rn <= 5 GROUP BY li_id ORDER BY li_id""".stripMargin,
+      "q_kneighbors" ->
+        s"""WITH $train, $q,
+          |d AS (SELECT li_id, tid,
+          |  (q.l_extendedprice-train.l_extendedprice)*(q.l_extendedprice-train.l_extendedprice) AS d2,
+          |  ROW_NUMBER() OVER (PARTITION BY li_id ORDER BY
+          |    (q.l_extendedprice-train.l_extendedprice)*(q.l_extendedprice-train.l_extendedprice), tid) AS rn
+          |  FROM q CROSS JOIN train)
+          |SELECT li_id,
+          |  MAX(CASE WHEN rn=1 THEN tid END) AS neighbor0,
+          |  MAX(CASE WHEN rn=2 THEN tid END) AS neighbor1,
+          |  MAX(CASE WHEN rn=3 THEN tid END) AS neighbor2,
+          |  CAST(ROUND(MAX(CASE WHEN rn=1 THEN SQRT(d2) END),4) AS DECIMAL(18,4)) AS distance0,
+          |  CAST(ROUND(MAX(CASE WHEN rn=2 THEN SQRT(d2) END),4) AS DECIMAL(18,4)) AS distance1,
+          |  CAST(ROUND(MAX(CASE WHEN rn=3 THEN SQRT(d2) END),4) AS DECIMAL(18,4)) AS distance2
+          |FROM d WHERE rn <= 3 GROUP BY li_id ORDER BY li_id""".stripMargin,
+      "q_std_scaler" ->
+        s"""WITH $train,
+          |st AS (SELECT AVG(l_quantity) AS m1, STDDEV_POP(l_quantity) AS s1,
+          |  AVG(l_extendedprice) AS m2, STDDEV_POP(l_extendedprice) AS s2,
+          |  AVG(l_discount) AS m3, STDDEV_POP(l_discount) AS s3 FROM train)
+          |SELECT $uidSql AS li_id,
+          |  CAST(ROUND((l_quantity-m1)/s1,4) AS DECIMAL(18,4)) AS scaled_l_quantity,
+          |  CAST(ROUND((l_extendedprice-m2)/s2,4) AS DECIMAL(18,4)) AS scaled_l_extendedprice,
+          |  CAST(ROUND((l_discount-m3)/s3,4) AS DECIMAL(18,4)) AS scaled_l_discount
+          |FROM lineitem CROSS JOIN st ORDER BY li_id""".stripMargin,
+      "q_minmax_scaler" ->
+        s"""WITH $train,
+          |st AS (SELECT MIN(l_quantity) AS lo1, MAX(l_quantity) AS hi1,
+          |  MIN(l_extendedprice) AS lo2, MAX(l_extendedprice) AS hi2,
+          |  MIN(l_discount) AS lo3, MAX(l_discount) AS hi3 FROM train)
+          |SELECT $uidSql AS li_id,
+          |  CAST(ROUND((l_quantity-lo1)/(hi1-lo1),4) AS DECIMAL(18,4)) AS scaled_l_quantity,
+          |  CAST(ROUND((l_extendedprice-lo2)/(hi2-lo2),4) AS DECIMAL(18,4)) AS scaled_l_extendedprice,
+          |  CAST(ROUND((l_discount-lo3)/(hi3-lo3),4) AS DECIMAL(18,4)) AS scaled_l_discount
+          |FROM lineitem CROSS JOIN st ORDER BY li_id""".stripMargin,
+      "q_inverse_std" ->
+        s"""WITH $train,
+          |st AS (SELECT AVG(l_quantity) AS m1, STDDEV_POP(l_quantity) AS s1,
+          |  AVG(l_extendedprice) AS m2, STDDEV_POP(l_extendedprice) AS s2,
+          |  AVG(l_discount) AS m3, STDDEV_POP(l_discount) AS s3 FROM train)
+          |SELECT $uidSql AS li_id,
+          |  CAST(ROUND(((l_quantity-m1)/s1)*s1+m1,2) AS DECIMAL(18,2)) AS l_quantity,
+          |  CAST(ROUND(((l_extendedprice-m2)/s2)*s2+m2,2) AS DECIMAL(18,2)) AS l_extendedprice,
+          |  CAST(ROUND(((l_discount-m3)/s3)*s3+m3,2) AS DECIMAL(18,2)) AS l_discount
+          |FROM lineitem CROSS JOIN st ORDER BY li_id""".stripMargin,
+      "q_linreg" ->
+        s"""WITH $train,
+          |co AS (SELECT REGR_SLOPE(l_extendedprice, l_quantity) AS b1,
+          |  REGR_INTERCEPT(l_extendedprice, l_quantity) AS b0 FROM train)
+          |SELECT $uidSql AS li_id,
+          |  CAST(ROUND(b0 + b1*l_quantity,2) AS DECIMAL(18,2)) AS prediction
+          |FROM lineitem CROSS JOIN co ORDER BY li_id""".stripMargin,
+      "q_linreg_multi" ->
+        s"""WITH $train,
+          |mo AS (SELECT VAR_POP(l_quantity) AS v1, VAR_POP(l_discount) AS v2,
+          |  COVAR_POP(l_quantity, l_discount) AS c12,
+          |  COVAR_POP(l_quantity, l_extendedprice) AS c1y,
+          |  COVAR_POP(l_discount, l_extendedprice) AS c2y,
+          |  AVG(l_quantity) AS m1, AVG(l_discount) AS m2, AVG(l_extendedprice) AS my
+          |  FROM train),
+          |co AS (SELECT
+          |  (v2*c1y - c12*c2y)/(v1*v2 - c12*c12) AS b1,
+          |  (v1*c2y - c12*c1y)/(v1*v2 - c12*c12) AS b2,
+          |  my - (v2*c1y - c12*c2y)/(v1*v2 - c12*c12)*m1
+          |     - (v1*c2y - c12*c1y)/(v1*v2 - c12*c12)*m2 AS b0 FROM mo)
+          |SELECT $uidSql AS li_id,
+          |  CAST(ROUND(b0 + b1*l_quantity + b2*l_discount,2) AS DECIMAL(18,2)) AS prediction
+          |FROM lineitem CROSS JOIN co ORDER BY li_id""".stripMargin,
+      "q_knn_nodata" ->
+        s"""WITH $train,
+          |qq AS (SELECT $uidSql AS li_id,
+          |  CASE WHEN l_partkey % 37 = 0 THEN NULL ELSE l_extendedprice END AS x1,
+          |  CASE WHEN l_suppkey % 13 = 0 THEN -1.0 ELSE l_quantity END AS x2
+          |  FROM lineitem),
+          |valid AS (SELECT * FROM qq WHERE x1 IS NOT NULL AND x2 <> -1),
+          |d AS (SELECT li_id, train.l_suppkey AS ty,
+          |  ROW_NUMBER() OVER (PARTITION BY li_id ORDER BY
+          |    (valid.x1-train.l_extendedprice)*(valid.x1-train.l_extendedprice)
+          |    +(valid.x2-train.l_quantity)*(valid.x2-train.l_quantity), tid) AS rn
+          |  FROM valid CROSS JOIN train),
+          |p AS (SELECT li_id, AVG(ty) AS pred FROM d WHERE rn <= 5 GROUP BY li_id)
+          |SELECT qq.li_id, CAST(ROUND(COALESCE(p.pred, -999),4) AS DECIMAL(18,4)) AS prediction
+          |FROM qq LEFT JOIN p USING (li_id) ORDER BY li_id""".stripMargin
+    )
+  }
+}
