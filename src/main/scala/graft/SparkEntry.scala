@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Estimation, Relational}
+import graft.operators.{Estimation, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
@@ -33,10 +33,21 @@ object SparkEntry {
     "q_inverse_std"    -> (Estimation.qInverseStd _),
     "q_linreg"         -> (Estimation.qLinReg _),
     "q_linreg_multi"   -> (Estimation.qLinRegMulti _),
-    "q_knn_nodata"     -> (Estimation.qKnnNoData _)
+    "q_knn_nodata"     -> (Estimation.qKnnNoData _),
+    "q_exact_dedup"    -> (TextOps.qExactDedup _),
+    "q_token_count"    -> (TextOps.qTokenCount _),
+    "q_quality"        -> (TextOps.qQuality _),
+    "q_langid"         -> (TextOps.qLangId _),
+    "q_minhash"        -> (TextOps.qMinHash _),
+    "q_lsh_pairs"      -> (TextOps.qLshPairs _),
+    "q_ngram_jaccard"  -> (TextOps.qNgramJaccard _),
+    "q_cosine_topk"    -> (Similarity.qCosineTopK _),
+    "q_embed_neardup"  -> (Similarity.qEmbedNearDup _),
+    "q_centroid_cls"   -> (Similarity.qCentroidCls _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
-  def oracleSql: Map[String, String] = Relational.oracles ++ Estimation.oracles
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ Estimation.oracles ++ TextOps.oracles ++ Similarity.oracles
 }

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.FeatureFrame
+import graft.estimators.KNeighborsClassifier
+import graft.functions.{dec4, VectorFunctions => V}
+import graft.sources.Tables._
+
+/** Similarity search over the embeddings table (SURVEY.md §2 D1/D2/D4).
+  *
+  * Scale posture:
+  * - D1 cosine top-k: the query set is SMALL (it's the "probe" side), so
+  *   it is broadcast; each corpus partition keeps a bounded per-query
+  *   heap and emits only partitions×queries×k candidate rows — the final
+  *   global top-k reduction shuffles a few thousand rows, never the
+  *   corpus. Corpus side is embarrassingly parallel.
+  * - D2 exact near-dup runs all-pairs via broadcast nested-loop (exact
+  *   by construction); it is the small-corpus exact baseline — the
+  *   LSH-bucketed ANN (D3, SURVEY) is the 100 TB path.
+  * - D4 nearest-centroid: centroids are a 10×64 aggregate (one shuffle
+  *   of 640 scalars), then classification reuses the broadcast kNN
+  *   kernel with k=1 — no shuffle on the corpus side.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).select(
+      col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+
+  /** Broadcast state for the top-k kernel: query ids (sorted), vectors,
+    * and precomputed norms.
+    */
+  private final class QueryState(
+      val qids: Array[Long],
+      val qv: Array[Array[Double]],
+      val qnorm: Array[Double]
+  ) extends Serializable
+
+  /** D1: brute-force cosine top-k of every corpus vector against each
+    * broadcast query vector. Two-phase: per-partition bounded heaps →
+    * tiny global reduction.
+    */
+  def qCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val e = emb(s, dir)
+    val qRows = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("v")).collect()
+      .sortBy(_.getLong(0))
+    val st = new QueryState(
+      qids = qRows.map(_.getLong(0)),
+      qv = qRows.map(_.getSeq[Double](1).toArray),
+      qnorm = qRows.map { r =>
+        val a = r.getSeq[Double](1).toArray
+        var s2 = 0.0; var i = 0
+        while (i < a.length) { s2 += a(i) * a(i); i += 1 }
+        math.sqrt(s2)
+      })
+    val bc = s.sparkContext.broadcast(st)
+
+    val localSchema = StructType(Seq(
+      StructField("q_id", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("sim", DoubleType, nullable = false)))
+
+    val locals = e.select(col("vec_id"), col("v"))
+      .mapPartitions { it =>
+        val q = bc.value
+        val nq = q.qids.length
+        val simH = Array.fill(nq)(new Array[Double](k))
+        val vidH = Array.fill(nq)(new Array[Long](k))
+        val cnt  = new Array[Int](nq)
+        it.foreach { row =>
+          val v = row.getSeq[Double](1).toArray
+          val vid = row.getLong(0)
+          var n2 = 0.0; var i = 0
+          while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+          val nrm = math.sqrt(n2)
+          var qi = 0
+          while (qi < nq) {
+            val qvv = q.qv(qi)
+            var d = 0.0; var j = 0
+            while (j < v.length) { d += qvv(j) * v(j); j += 1 }
+            val sim = d / (q.qnorm(qi) * nrm)
+            val c = cnt(qi)
+            val better = c < k || sim > simH(qi)(c - 1) ||
+              (sim == simH(qi)(c - 1) && vid < vidH(qi)(c - 1))
+            if (better) {
+              val fill = math.min(c, k - 1)
+              var p = fill
+              while (p > 0 && (simH(qi)(p - 1) < sim ||
+                     (simH(qi)(p - 1) == sim && vidH(qi)(p - 1) > vid))) {
+                simH(qi)(p) = simH(qi)(p - 1); vidH(qi)(p) = vidH(qi)(p - 1); p -= 1
+              }
+              simH(qi)(p) = sim; vidH(qi)(p) = vid
+              if (c < k) cnt(qi) = c + 1
+            }
+            qi += 1
+          }
+        }
+        (0 until nq).iterator.flatMap { qi =>
+          (0 until cnt(qi)).map(p => Row(q.qids(qi), vidH(qi)(p), simH(qi)(p)))
+        }
+      }(Encoders.row(localSchema))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    locals
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+              dec4(col("sim")).as("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** D2: exact embedding near-dup pairs (cosine ≥ 0.4) via broadcast
+    * nested-loop over vec_id-ordered pairs; cosine is a codegen'd
+    * zip_with/aggregate expression.
+    */
+  def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("v"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    a.crossJoin(broadcast(b))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("sim", V.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= 0.4)
+      .select(col("a_id"), col("b_id"), dec4(col("sim")).as("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** D4: nearest-centroid classification — per-label mean vectors via a
+    * posexplode aggregate, then k=1 kNN against the 10 broadcast
+    * centroids (Euclidean; ties to the lowest label).
+    */
+  def qCentroidCls(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val e = emb(s, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col")).as("c"))
+    val wide = cent
+      .groupBy(col("label"))
+      .pivot("pos", (0 until dim).map(i => i: Any))
+      .agg(first(col("c")))
+      .toDF("label" +: (0 until dim).map(i => s"f$i"): _*)
+
+    val model = KNeighborsClassifier(k = 1, orderBy = Seq("label"))
+      .fit(wide, (0 until dim).map(i => s"f$i"), Seq("label"))
+
+    val input = e.select(
+      col("vec_id") +: (0 until dim).map(i => element_at(col("v"), i + 1).as(s"f$i")): _*)
+    model.predict(FeatureFrame(input, Seq("vec_id"), (0 until dim).map(i => s"f$i")))
+      .select(col("vec_id"), col("prediction").cast("int").as("prediction"))
+      .orderBy(col("vec_id"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |sims AS (SELECT q_id, e.vec_id,
+        |    list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT q_id, vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM sims)
+        |SELECT q_id, vec_id, rank, CAST(ROUND(sim,4) AS DECIMAL(18,4)) AS sim
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])),4) AS DECIMAL(18,4)) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |  CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY 1,2""".stripMargin,
+    "q_centroid_cls" ->
+      """WITH ct AS (SELECT label, i, AVG(embedding[i]) AS c
+        |  FROM embeddings, (SELECT unnest(range(1,65)) AS i) GROUP BY 1,2),
+        |d AS (SELECT e.vec_id, ct.label AS clabel,
+        |    SUM((embedding[i]-c)*(embedding[i]-c)) AS d2
+        |  FROM embeddings e CROSS JOIN ct GROUP BY 1,2),
+        |r AS (SELECT vec_id, clabel,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn FROM d)
+        |SELECT vec_id, clabel AS prediction FROM r WHERE rn=1 ORDER BY vec_id""".stripMargin
+  )
+}

@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{dec4, TextFunctions => T}
+import graft.sources.Tables._
+
+/** Text analysis + deduplication over the documents table
+  * (SURVEY.md §2 C1–C7) — the training-data-pipeline operators a
+  * 100 TB corpus needs: exact dedup, token/quality metrics, language ID,
+  * MinHash + LSH near-dup detection, shingle-Jaccard similarity join.
+  *
+  * Scale posture:
+  * - Per-document metrics (C2–C5) are pure codegen'd Column expressions:
+  *   zero shuffle, embarrassingly parallel.
+  * - Exact dedup (C1) is ONE hash shuffle on the md5 key.
+  * - MinHash-LSH (C6) explodes each doc to 4 band keys → the candidate
+  *   join shuffles O(docs × bands) rows, never O(docs²); Jaccard is
+  *   verified only on candidates.
+  * - The shingle inverted index (C7) is blocked on rare shingles
+  *   (document frequency ≤ 5), capping the self-join fanout at
+  *   C(5,2) pairs per shingle.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "to", "in")
+  private val stopSql   = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** C1: exact dedup — group by content hash, keep the lowest doc_id. */
+  def qExactDedup(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("keeper_id"))
+
+  /** C2: token counting — whitespace + BPE-ish regex tokenization. */
+  def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      size(T.words(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast("long").as("n_re_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** C3: quality scoring — length, mean word length, stopword ratio,
+    * duplicate-word ratio. All exact integer arithmetic until the final
+    * division, so dec4 is noise-free cross-engine.
+    */
+  def qQuality(s: SparkSession, dir: String): DataFrame = {
+    val ws = T.words(col("text"))
+    val n  = size(ws)
+    documents(s, dir).select(
+      col("doc_id"),
+      n.cast("long").as("n_words"),
+      dec4(T.sumWordLen(ws).cast("double") / n).as("avg_word_len"),
+      dec4(T.markerCount(ws, stopwords).cast("double") / n).as("stop_ratio"),
+      dec4(lit(1.0) - size(array_distinct(ws)).cast("double") / n).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID marker lexicons (stopword heuristic). */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "es" -> Seq("el", "los", "las", "es", "y"),
+    "fr" -> Seq("le", "les", "des", "est", "et"),
+    "zh" -> Seq("的", "是", "了")
+  )
+
+  /** C4: language ID — argmax of marker-word counts, ties to the
+    * lexicographically lowest language code (the CASE chain in ascending
+    * code order implements exactly that).
+    */
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val ws = T.words(col("text"))
+    val scores = langMarkers.map { case (code, m) => code -> T.markerCount(ws, m) }
+    // CASE chain in ascending code order = argmax with ties to the lowest
+    // code: the first code whose score >= every later score is the
+    // overall max (all earlier codes already failed to be maximal).
+    val pred = scores.zipWithIndex.foldRight(lit(scores.last._1): Column) {
+      case (((code, sc), i), elseExpr) =>
+        val rest = scores.drop(i + 1).map(_._2)
+        if (rest.isEmpty) elseExpr
+        else when(rest.map(o => sc >= o).reduce(_ && _), code).otherwise(elseExpr)
+    }
+    documents(s, dir)
+      .select(col("doc_id"), pred.as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"), T.shingles3(T.words(col("text"))).as("sh"))
+
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir).select(
+      col("doc_id") +: (0 until 8).map(j => T.minhashSig(col("sh"), j).as(s"sig$j")): _*)
+
+  /** C5: MinHash signatures — 8 md5 permutations over word 3-shingles,
+    * computed entirely inside a Column expression (no explode/shuffle).
+    */
+  def qMinHash(s: SparkSession, dir: String): DataFrame =
+    signatures(s, dir).orderBy(col("doc_id"))
+
+  /** Candidate pairs → exact Jaccard over distinct shingle sets → τ filter. */
+  private def jaccardVerify(s: SparkSession, dir: String, cand: DataFrame, tau: Double): DataFrame = {
+    val sets = shingled(s, dir).select(col("doc_id"), array_distinct(col("sh")).as("ss"))
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("ss").as("sa")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("ss").as("sb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("a_id"), col("b_id"), dec4(col("jaccard")).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** C6: MinHash-LSH banding (4 bands × 2 rows) → candidate pairs →
+    * Jaccard ≥ 0.5 verification. Deterministic: the md5 permutations fix
+    * which near-dup pairs collide, and the oracle replicates the same
+    * pipeline, including any LSH misses.
+    */
+  def qLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir)
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+             concat_ws("#", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey")))
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    jaccardVerify(s, dir, cand, tau = 0.5)
+  }
+
+  /** C7: n-gram Jaccard similarity join — inverted index over shingles,
+    * blocked on rare shingles (df ≤ 5) to cap join fanout, then exact
+    * Jaccard ≥ 0.5.
+    */
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val dd = shingled(s, dir)
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("sh1"))
+    val rare = dd.groupBy(col("sh1")).agg(count(lit(1)).as("df")).filter(col("df") <= 5)
+    val ddRare = dd.join(rare.select("sh1"), "sh1")
+    val cand = ddRare.as("x")
+      .join(ddRare.as("y"),
+        col("x.sh1") === col("y.sh1") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    jaccardVerify(s, dir, cand, tau = 0.5)
+  }
+
+  /** Shared oracle SQL fragments (DuckDB dialect). */
+  private val baseSql =
+    """base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+      |  i -> array_to_string(w[i:i+2],' ')) AS shingles FROM base),
+      |dd AS (SELECT DISTINCT doc_id, s FROM
+      |  (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM dd GROUP BY 1),
+      |ip AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS i
+      |  FROM dd x JOIN dd y ON x.s=y.s AND x.doc_id<y.doc_id GROUP BY 1,2)""".stripMargin
+
+  private val sigSql =
+    (0 until 8).map(j =>
+      s"list_aggregate(list_transform(shingles, s -> md5('$j|' || s)),'min') AS sig$j")
+      .mkString("sig AS (SELECT doc_id, ", ", ", " FROM sh)")
+
+  private val jacSelSql =
+    """SELECT c.a_id, c.b_id,
+      |  CAST(ROUND(i/(sa.n+sb.n-i),4) AS DECIMAL(18,4)) AS jaccard
+      |FROM cand c JOIN ip ON ip.a_id=c.a_id AND ip.b_id=c.b_id
+      |JOIN sz sa ON sa.doc_id=c.a_id JOIN sz sb ON sb.doc_id=c.b_id
+      |WHERE i/(sa.n+sb.n-i) >= 0.5 ORDER BY 1,2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_exact_dedup" ->
+      """SELECT md5(text) AS h, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 2""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, LENGTH(text) AS n_chars_calc,
+        |  LEN(string_split(text,' ')) AS n_ws_tokens,
+        |  LEN(regexp_extract_all(text,'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents)
+        |SELECT doc_id, LEN(w) AS n_words,
+        |  CAST(ROUND(CAST(list_sum(list_transform(w, x -> LEN(x))) AS DOUBLE)/LEN(w),4) AS DECIMAL(18,4)) AS avg_word_len,
+        |  CAST(ROUND(CAST(LEN(list_filter(w, x -> x IN ($stopSql))) AS DOUBLE)/LEN(w),4) AS DECIMAL(18,4)) AS stop_ratio,
+        |  CAST(ROUND(1.0 - CAST(LEN(list_distinct(w)) AS DOUBLE)/LEN(w),4) AS DECIMAL(18,4)) AS dup_ratio
+        |FROM base ORDER BY doc_id""".stripMargin,
+    "q_langid" -> {
+      val scoreExprs = langMarkers.map { case (code, m) =>
+        s"LEN(list_filter(w, x -> x IN (${m.map(w => s"'$w'").mkString(", ")}))) AS s_$code"
+      }.mkString(", ")
+      val codes = langMarkers.map(_._1)
+      val caseChain = codes.init.zipWithIndex.map { case (code, i) =>
+        val rest = codes.drop(i + 1)
+        s"WHEN ${rest.map(r => s"s_$code >= s_$r").mkString(" AND ")} THEN '$code'"
+      }.mkString(" ")
+      s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sc AS (SELECT doc_id, $scoreExprs FROM base)
+        |SELECT doc_id, CASE $caseChain ELSE '${codes.last}' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin
+    },
+    "q_minhash" ->
+      s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+        |  i -> array_to_string(w[i:i+2],' ')) AS shingles FROM base),
+        |$sigSql
+        |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+    "q_lsh_pairs" ->
+      s"""WITH $baseSql,
+        |$sigSql,
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, sig0 || '#' || sig1 AS bkey FROM sig UNION ALL
+        |  SELECT doc_id, 1, sig2 || '#' || sig3 FROM sig UNION ALL
+        |  SELECT doc_id, 2, sig4 || '#' || sig5 FROM sig UNION ALL
+        |  SELECT doc_id, 3, sig6 || '#' || sig7 FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM bands x JOIN bands y
+        |  ON x.band=y.band AND x.bkey=y.bkey AND x.doc_id<y.doc_id)
+        |$jacSelSql""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH $baseSql,
+        |dfq AS (SELECT s, COUNT(*) AS c FROM dd GROUP BY 1),
+        |rare AS (SELECT s FROM dfq WHERE c <= 5),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM dd x JOIN dd y ON x.s=y.s AND x.doc_id<y.doc_id
+        |  JOIN rare r ON r.s=x.s)
+        |$jacSelSql""".stripMargin
+  )
+}
