@@ -114,23 +114,26 @@ private[estimators] object KnnKernel {
     masked
   }
 
-  /** Project the frame to (idCols ++ features-as-double) and run `f` per
-    * partition, producing `outFields` appended to the id columns.
+  /** Project the frame to (idCols ++ features-as-double) and run the
+    * row function built by `mkPart` per partition (so implementations
+    * can allocate scratch buffers once per partition, not per row),
+    * producing `outFields` appended to the id columns.
     */
   def run(
       frame: FeatureFrame,
       fitNames: Seq[String],
       outFields: Seq[StructField]
-  )(mkRow: (Row, Int, Array[Double], Boolean) => Row): DataFrame = {
+  )(mkPart: () => (Row, Int, Array[Double], Boolean) => Row): DataFrame = {
     val ff = frame.validated(fitNames)
     val nId = ff.idCols.length
-    val in = ff.df.select(
-      (ff.idCols.map(col) ++ ff.featureCols.map(c => col(c).cast("double"))): _*)
+    val in = graft.sources.Tables.fanOut(ff.df.select(
+      (ff.idCols.map(col) ++ ff.featureCols.map(c => col(c).cast("double"))): _*))
     val sentinels = ff.sentinels
     val outSchema = StructType(
       ff.idCols.map(in.schema(_)) ++ outFields)
     val d = ff.featureCols.length
     in.mapPartitions { it =>
+      val mkRow = mkPart()
       val q = new Array[Double](d)
       it.map { row =>
         val masked = readFeatures(row, nId, q, sentinels)
@@ -139,7 +142,14 @@ private[estimators] object KnnKernel {
     }(Encoders.row(outSchema))
   }
 
-  def idValues(row: Row, nId: Int): Seq[Any] = (0 until nId).map(row.get)
+  /** Copy id values + payload into one output array (one alloc per row). */
+  def outRow(row: Row, nId: Int, payload: Array[Any]): Row = {
+    val a = new Array[Any](nId + payload.length)
+    var i = 0
+    while (i < nId) { a(i) = row.get(i); i += 1 }
+    System.arraycopy(payload, 0, a, nId, payload.length)
+    Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(a))
+  }
 }
 
 /** KNeighborsRegressor: multi-target mean-of-neighbors prediction.
@@ -179,21 +189,25 @@ final class KnnRegressorModel private[estimators] (
     val t = targetNames.length
     val outFields = targetNames.map(StructField(_, DoubleType, nullable = false))
     val kk = k
-    KnnKernel.run(frame, featureNames, outFields) { (row, nId, q, masked) =>
-      val ids = KnnKernel.idValues(row, nId)
-      if (masked) Row.fromSeq(ids ++ Seq.fill(t)(opts.noDataOutput))
-      else {
-        val s = bc.value
-        val idx = new Array[Int](math.min(kk, s.m))
-        val d2 = new Array[Double](idx.length)
-        val n = KnnKernel.topK(q, s, kk, idx, d2)
-        val preds = (0 until t).map { ti =>
-          var sum = 0.0; var i = 0
-          while (i < n) { sum += s.y(idx(i) * t + ti); i += 1 }
-          sum / n
+    KnnKernel.run(frame, featureNames, outFields) { () =>
+      val s = bc.value
+      val idx = new Array[Int](math.min(kk, s.m))
+      val d2 = new Array[Double](idx.length)
+      val fillPayload: Array[Any] = Array.fill(t)(opts.noDataOutput)
+      (row, nId, q, masked) =>
+        if (masked) KnnKernel.outRow(row, nId, fillPayload)
+        else {
+          val n = KnnKernel.topK(q, s, kk, idx, d2)
+          val preds = new Array[Any](t)
+          var ti = 0
+          while (ti < t) {
+            var sum = 0.0; var i = 0
+            while (i < n) { sum += s.y(idx(i) * t + ti); i += 1 }
+            preds(ti) = sum / n
+            ti += 1
+          }
+          KnnKernel.outRow(row, nId, preds)
         }
-        Row.fromSeq(ids ++ preds)
-      }
     }
   }
 
@@ -212,23 +226,27 @@ final class KnnRegressorModel private[estimators] (
         FeatureFrame.sequentialNames(kk, "distance")
           .map(StructField(_, DoubleType, nullable = false))
       else Seq.empty
-    KnnKernel.run(frame, featureNames, idFields ++ dFields) { (row, nId, q, masked) =>
-      val ids = KnnKernel.idValues(row, nId)
-      if (masked) {
-        val nn = Seq.fill(kk)(-1L)
-        val dd = if (returnDistance) Seq.fill(kk)(opts.noDataOutput) else Seq.empty
-        Row.fromSeq(ids ++ nn ++ dd)
-      } else {
-        val s = bc.value
-        val idx = new Array[Int](math.min(kk, s.m))
-        val d2 = new Array[Double](idx.length)
-        val n = KnnKernel.topK(q, s, kk, idx, d2)
-        val nn = (0 until kk).map(i => if (i < n) s.ids(idx(i)) else -1L)
-        val dd =
-          if (returnDistance) (0 until kk).map(i => if (i < n) math.sqrt(d2(i)) else opts.noDataOutput)
-          else Seq.empty
-        Row.fromSeq(ids ++ nn ++ dd)
-      }
+    val width = if (returnDistance) 2 * kk else kk
+    KnnKernel.run(frame, featureNames, idFields ++ dFields) { () =>
+      val s = bc.value
+      val idx = new Array[Int](math.min(kk, s.m))
+      val d2 = new Array[Double](idx.length)
+      val fillPayload: Array[Any] = Array.tabulate(width)(i =>
+        if (i < kk) -1L else opts.noDataOutput)
+      (row, nId, q, masked) =>
+        if (masked) KnnKernel.outRow(row, nId, fillPayload)
+        else {
+          val n = KnnKernel.topK(q, s, kk, idx, d2)
+          val payload = new Array[Any](width)
+          var i = 0
+          while (i < kk) {
+            payload(i) = if (i < n) s.ids(idx(i)) else -1L
+            if (returnDistance)
+              payload(kk + i) = if (i < n) math.sqrt(d2(i)) else opts.noDataOutput
+            i += 1
+          }
+          KnnKernel.outRow(row, nId, payload)
+        }
     }
   }
 }
@@ -279,23 +297,25 @@ final class KnnClassifierModel private[estimators] (
     val cls = classes.toArray
     val kk = k
     KnnKernel.run(frame, featureNames,
-      Seq(StructField("prediction", StringType, nullable = true))) { (row, nId, q, masked) =>
-      val ids = KnnKernel.idValues(row, nId)
-      if (masked) Row.fromSeq(ids :+ noDataLabel)
-      else {
-        val s = bc.value
-        val idx = new Array[Int](math.min(kk, s.m))
-        val d2 = new Array[Double](idx.length)
-        val n = KnnKernel.topK(q, s, kk, idx, d2)
-        val counts = new Array[Int](cls.length)
-        var i = 0
-        while (i < n) { counts(s.yCls(idx(i))) += 1; i += 1 }
-        // highest count wins; ties go to the lowest class value (classes
-        // are sorted ascending, so first max index wins)
-        var best = 0; var c = 1
-        while (c < counts.length) { if (counts(c) > counts(best)) best = c; c += 1 }
-        Row.fromSeq(ids :+ cls(best))
-      }
+      Seq(StructField("prediction", StringType, nullable = true))) { () =>
+      val s = bc.value
+      val idx = new Array[Int](math.min(kk, s.m))
+      val d2 = new Array[Double](idx.length)
+      val counts = new Array[Int](cls.length)
+      val fillPayload: Array[Any] = Array[Any](noDataLabel)
+      (row, nId, q, masked) =>
+        if (masked) KnnKernel.outRow(row, nId, fillPayload)
+        else {
+          val n = KnnKernel.topK(q, s, kk, idx, d2)
+          java.util.Arrays.fill(counts, 0)
+          var i = 0
+          while (i < n) { counts(s.yCls(idx(i))) += 1; i += 1 }
+          // highest count wins; ties go to the lowest class value (classes
+          // are sorted ascending, so first max index wins)
+          var best = 0; var c = 1
+          while (c < counts.length) { if (counts(c) > counts(best)) best = c; c += 1 }
+          KnnKernel.outRow(row, nId, Array[Any](cls(best)))
+        }
     }
   }
 
@@ -307,19 +327,24 @@ final class KnnClassifierModel private[estimators] (
     val cls = classes.toArray
     val kk = k
     val outFields = cls.map(c => StructField(s"p_$c", DoubleType, nullable = false)).toSeq
-    KnnKernel.run(frame, featureNames, outFields) { (row, nId, q, masked) =>
-      val ids = KnnKernel.idValues(row, nId)
-      if (masked) Row.fromSeq(ids ++ Seq.fill(cls.length)(opts.noDataOutput))
-      else {
-        val s = bc.value
-        val idx = new Array[Int](math.min(kk, s.m))
-        val d2 = new Array[Double](idx.length)
-        val n = KnnKernel.topK(q, s, kk, idx, d2)
-        val counts = new Array[Int](cls.length)
-        var i = 0
-        while (i < n) { counts(s.yCls(idx(i))) += 1; i += 1 }
-        Row.fromSeq(ids ++ counts.map(_.toDouble / n))
-      }
+    KnnKernel.run(frame, featureNames, outFields) { () =>
+      val s = bc.value
+      val idx = new Array[Int](math.min(kk, s.m))
+      val d2 = new Array[Double](idx.length)
+      val counts = new Array[Int](cls.length)
+      val fillPayload: Array[Any] = Array.fill(cls.length)(opts.noDataOutput)
+      (row, nId, q, masked) =>
+        if (masked) KnnKernel.outRow(row, nId, fillPayload)
+        else {
+          val n = KnnKernel.topK(q, s, kk, idx, d2)
+          java.util.Arrays.fill(counts, 0)
+          var i = 0
+          while (i < n) { counts(s.yCls(idx(i))) += 1; i += 1 }
+          val payload = new Array[Any](cls.length)
+          var c = 0
+          while (c < cls.length) { payload(c) = counts(c).toDouble / n; c += 1 }
+          KnnKernel.outRow(row, nId, payload)
+        }
     }
   }
 }

@@ -66,7 +66,7 @@ object Similarity {
       StructField("vec_id", LongType, nullable = false),
       StructField("sim", DoubleType, nullable = false)))
 
-    val locals = e.select(col("vec_id"), col("v"))
+    val locals = fanOut(e.select(col("vec_id"), col("v")))
       .mapPartitions { it =>
         val q = bc.value
         val nq = q.qids.length
@@ -115,18 +115,67 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** D2: exact embedding near-dup pairs (cosine ≥ 0.4) via broadcast
-    * nested-loop over vec_id-ordered pairs; cosine is a codegen'd
-    * zip_with/aggregate expression.
+  /** D2: exact embedding near-dup pairs (cosine ≥ 0.4). The corpus is
+    * broadcast as a primitive matrix (it is the exact small-corpus
+    * baseline — the LSH-bucketed ANN is the 100 TB path); each partition
+    * scans its rows against all higher-vec_id vectors, so every pair is
+    * computed exactly once and only matches are emitted. O(n²/p) flops,
+    * no shuffle. Dot/norm accumulate in index order — bit-identical to
+    * the zip_with/aggregate Column formulation.
     */
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val tau = 0.4
     val e = emb(s, dir).select(col("vec_id"), col("v"))
-    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
-    a.crossJoin(broadcast(b))
-      .where(col("a_id") < col("b_id"))
-      .withColumn("sim", V.cosine(col("va"), col("vb")))
-      .filter(col("sim") >= 0.4)
+    val rows = e.collect().sortBy(_.getLong(0))
+    require(rows.length <= (1 << 20),
+      "exact near-dup is the small-corpus baseline; use the LSH ANN path beyond 1M vectors")
+    val dim = if (rows.isEmpty) 0 else rows(0).getSeq[Double](1).length
+    val ids = rows.map(_.getLong(0))
+    val mat = new Array[Double](rows.length * dim)
+    val nrm = new Array[Double](rows.length)
+    var r = 0
+    while (r < rows.length) {
+      val v = rows(r).getSeq[Double](1)
+      var j = 0; var n2 = 0.0
+      while (j < dim) { val x = v(j); mat(r * dim + j) = x; n2 += x * x; j += 1 }
+      nrm(r) = math.sqrt(n2)
+      r += 1
+    }
+    val bc = s.sparkContext.broadcast((ids, mat, nrm))
+
+    val outSchema = StructType(Seq(
+      StructField("a_id", LongType, nullable = false),
+      StructField("b_id", LongType, nullable = false),
+      StructField("sim", DoubleType, nullable = false)))
+    val pairs = fanOut(e).mapPartitions { it =>
+      val (bIds, bMat, bNrm) = bc.value
+      val m = bIds.length
+      it.flatMap { row =>
+        val aId = row.getLong(0)
+        val v = row.getSeq[Double](1).toArray
+        var n2 = 0.0; var j = 0
+        while (j < v.length) { n2 += v(j) * v(j); j += 1 }
+        val na = math.sqrt(n2)
+        // first index with bIds(i) > aId (ids are sorted)
+        var lo = 0; var hi = m
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (bIds(mid) <= aId) lo = mid + 1 else hi = mid
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var i = lo
+        while (i < m) {
+          val base = i * v.length
+          var d = 0.0; var jj = 0
+          while (jj < v.length) { d += v(jj) * bMat(base + jj); jj += 1 }
+          val sim = d / (na * bNrm(i))
+          if (sim >= tau) out += Row(aId, bIds(i), sim)
+          i += 1
+        }
+        out
+      }
+    }(Encoders.row(outSchema))
+    pairs
       .select(col("a_id"), col("b_id"), dec4(col("sim")).as("cosine"))
       .orderBy(col("a_id"), col("b_id"))
   }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.functions.{dec4, TextFunctions => T}
 import graft.sources.Tables._
@@ -90,12 +91,62 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** fanOut first: shingle construction is an interpreted higher-order
+    * function, so it must run on all cores, not the scan's single task.
+    */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir).select(col("doc_id"), T.shingles3(T.words(col("text"))).as("sh"))
+    fanOut(documents(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), T.shingles3(T.words(col("text"))).as("sh"))
 
-  private def signatures(s: SparkSession, dir: String): DataFrame =
-    shingled(s, dir).select(
-      col("doc_id") +: (0 until 8).map(j => T.minhashSig(col("sh"), j).as(s"sig$j")): _*)
+  /** MinHash signatures via a compiled mapPartitions kernel: Catalyst's
+    * higher-order functions (transform/array_min) are interpreted, not
+    * codegen'd, which makes 8 md5 permutations × shingles the dominant
+    * cost at scale — the kernel computes the same md5-hex minima ~10×
+    * faster. Output is bit-identical to the Column formulation
+    * (TextFunctions.minhashSig) and the DuckDB oracle.
+    */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val nPerms = 8
+    val outSchema = StructType(
+      StructField("doc_id", LongType, nullable = false) +:
+        (0 until nPerms).map(j => StructField(s"sig$j", StringType, nullable = true)))
+    fanOut(documents(s, dir).select(col("doc_id"), col("text")))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
+        def md5hex(s0: String): String = {
+          md.reset()
+          val d = md.digest(s0.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val out = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            out(2 * i) = hex((d(i) >> 4) & 0xf); out(2 * i + 1) = hex(d(i) & 0xf)
+            i += 1
+          }
+          new String(out)
+        }
+        val prefixes = Array.tabulate(nPerms)(j => s"$j|")
+        it.map { row =>
+          val words = row.getString(1).split(" ", -1)
+          val mins = new Array[String](nPerms)
+          var i = 0
+          while (i + 2 < words.length) {
+            val shingle = words(i) + " " + words(i + 1) + " " + words(i + 2)
+            var j = 0
+            while (j < nPerms) {
+              val h = md5hex(prefixes(j) + shingle)
+              if (mins(j) == null || h < mins(j)) mins(j) = h
+              j += 1
+            }
+            i += 1
+          }
+          val out = new Array[Any](1 + nPerms)
+          out(0) = row.getLong(0)
+          System.arraycopy(mins, 0, out, 1, nPerms)
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+        }
+      }(Encoders.row(outSchema))
+  }
 
   /** C5: MinHash signatures — 8 md5 permutations over word 3-shingles,
     * computed entirely inside a Column expression (no explode/shuffle).
@@ -130,11 +181,17 @@ object TextOps {
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    // One aggregation into per-bucket doc lists instead of a self-join:
+    // the md5 signature pipeline is evaluated ONCE, and pair generation
+    // is a per-bucket explode (bucket sizes are bounded by collision
+    // structure, not corpus size).
+    val cand = bands
+      .groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
       .distinct()
     jaccardVerify(s, dir, cand, tau = 0.5)
   }
@@ -144,14 +201,16 @@ object TextOps {
     * Jaccard ≥ 0.5.
     */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val dd = shingled(s, dir)
+    // Inverted index in ONE pass: per-shingle doc lists; rare-shingle
+    // blocking (2 ≤ df ≤ 5) caps pair fanout at C(5,2) per shingle.
+    val cand = shingled(s, dir)
       .select(col("doc_id"), explode(array_distinct(col("sh"))).as("sh1"))
-    val rare = dd.groupBy(col("sh1")).agg(count(lit(1)).as("df")).filter(col("df") <= 5)
-    val ddRare = dd.join(rare.select("sh1"), "sh1")
-    val cand = ddRare.as("x")
-      .join(ddRare.as("y"),
-        col("x.sh1") === col("y.sh1") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .groupBy(col("sh1"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, 5))
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
       .distinct()
     jaccardVerify(s, dir, cand, tau = 0.5)
   }

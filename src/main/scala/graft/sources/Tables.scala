@@ -35,4 +35,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Ensure enough partitions for a per-partition kernel to use the
+    * cluster. The local testdata ships one row group per file, which
+    * Spark cannot split — a scan arrives as ONE task no matter how many
+    * cores exist. A real 100 TB table has thousands of row groups, so
+    * this is a no-op there (`getNumPartitions >= target`); locally it
+    * trades one narrow shuffle of the projected columns for full
+    * parallelism in the kernel stage.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }
