@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Estimation, Relational, Similarity, TextOps}
+import graft.operators.{Estimation, Multimodal, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
@@ -43,11 +43,21 @@ object SparkEntry {
     "q_ngram_jaccard"  -> (TextOps.qNgramJaccard _),
     "q_cosine_topk"    -> (Similarity.qCosineTopK _),
     "q_embed_neardup"  -> (Similarity.qEmbedNearDup _),
-    "q_centroid_cls"   -> (Similarity.qCentroidCls _)
+    "q_centroid_cls"   -> (Similarity.qCentroidCls _),
+    "q_simhash"        -> (TextOps.qSimHash _),
+    "q_fingerprint"    -> (TextOps.qFingerprint _),
+    "q_ann_lsh"        -> (Similarity.qAnnLsh _),
+    "q_binary_meta"    -> (Multimodal.qBinaryMeta _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
+  /** q_simhash / q_fingerprint / q_ann_lsh are intentionally absent:
+    * bit-level kernels and the hyperplane draw aren't SQL-expressible,
+    * so the driver records a rows-only check; their semantics are
+    * covered by ScalaTest specs instead (SURVEY.md §2 C8/C9/D3).
+    */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Estimation.oracles ++ TextOps.oracles ++ Similarity.oracles
+    Relational.oracles ++ Estimation.oracles ++ TextOps.oracles ++
+      Similarity.oracles ++ Multimodal.oracles
 }

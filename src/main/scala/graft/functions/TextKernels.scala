@@ -1,0 +1,54 @@
+package graft.functions
+
+/** Driver/executor-side text kernels shared by operators and specs. */
+object TextKernels {
+
+  private val B = 1000003L
+  private val M = 2147483647L // 2^31-1; products of two residues fit in a Long
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD'03): rolling
+    * polynomial hashes of char k-grams; per sliding window of `w`
+    * hashes keep the minimum, rightmost on ties; deduplicate selected
+    * positions. Guarantee: every substring match of length ≥ k+w-1
+    * between two documents shares at least one fingerprint.
+    */
+  def winnow(text: String, k: Int, w: Int): Array[Long] = {
+    val n = text.length
+    if (n < k) return Array.empty
+    val nGrams = n - k + 1
+    var bk = 1L
+    for (_ <- 1 until k) bk = bk * B % M
+    val hashes = new Array[Long](nGrams)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * B + text.charAt(i)) % M; i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = (h + M - text.charAt(i - 1) * bk % M) % M
+      h = (h * B + text.charAt(i + k - 1)) % M
+      hashes(i) = h
+      i += 1
+    }
+    if (nGrams <= w) {
+      var best = 0
+      var j = 1
+      while (j < nGrams) { if (hashes(j) <= hashes(best)) best = j; j += 1 }
+      return Array(hashes(best))
+    }
+    val selected = scala.collection.mutable.LinkedHashSet.empty[Int]
+    var start = 0
+    while (start + w <= nGrams) {
+      var best = start
+      var j = start + 1
+      while (j < start + w) {
+        if (hashes(j) <= hashes(best)) best = j // rightmost minimum
+        j += 1
+      }
+      selected += best
+      start += 1
+    }
+    selected.toArray.map(hashes)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables._
+
+/** Multimodal (binary payload) columns (SURVEY.md §2 E1/E2).
+  *
+  * The engine treats images/audio/video as opaque `binary` columns with
+  * typed metadata, exactly like a production lakehouse: payloads are
+  * never parsed by the relational layer; decode/feature-extraction runs
+  * in per-partition kernels whose Spark-side plumbing (schema, batching,
+  * partitioning) is real while the codec itself is pluggable.
+  *
+  * Scale posture: metadata extraction (size/hash/magic) is codegen'd
+  * Column work — no kernel, no shuffle. Decoding streams partitions
+  * through a kernel; payload bytes never cross a shuffle boundary.
+  */
+object Multimodal {
+
+  /** E1: binary metadata extraction over payloads synthesized from the
+    * documents table (the container has no media files — the payload
+    * column IS the contract). Fully SQL-oracle'd: byte length, sha256,
+    * and a 4-byte magic sniff.
+    */
+  def qBinaryMeta(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        sha2(col("payload"), 256).as("sha"),
+        lower(hex(substring(col("payload"), 1, 4))).as("magic"))
+      .orderBy(col("doc_id"))
+
+  val oracles: Map[String, String] = Map(
+    "q_binary_meta" ->
+      """SELECT doc_id, OCTET_LENGTH(text::BLOB) AS n_bytes,
+        |  sha256(text) AS sha,
+        |  lower(substring(hex(text::BLOB), 1, 8)) AS magic
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+
+  /** E2 media record: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false)))
+
+  /** Synthesize a media table with a fake header (magic "GRFT", then
+    * width/height/channels as big-endian ints) so decode plumbing has a
+    * real binary format to parse.
+    */
+  def synthesizeMedia(s: SparkSession, dir: String): DataFrame = {
+    val docs = fanOut(documents(s, dir).select(col("doc_id"), col("text")))
+    docs.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val body = row.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val w = 16 + (id % 16).toInt; val h = 16 + (id % 8).toInt; val c = 3
+        val bb = java.nio.ByteBuffer.allocate(16 + body.length)
+        bb.put("GRFT".getBytes); bb.putInt(w); bb.putInt(h); bb.putInt(c); bb.put(body)
+        Row(id, "image", bb.array(), w, h, c)
+      }
+    }(Encoders.row(mediaSchema))
+  }
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** E2: decode + feature-extract plumbing. The header parse and the
+    * batch/schema/partitioning contract are real; the pixel decode is a
+    * STUB — a deterministic fake (hash-derived features standing in for
+    * a real codec, which this container does not ship). A production
+    * deployment swaps `fakeDecode` for an actual image library; nothing
+    * else changes.
+    */
+  def decodeFeatures(media: DataFrame, featureDim: Int = 8): DataFrame = {
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val payload = row.getAs[Array[Byte]](1)
+          val bb = java.nio.ByteBuffer.wrap(payload)
+          val magic = new Array[Byte](4); bb.get(magic)
+          require(new String(magic) == "GRFT", s"bad magic for media $id")
+          val w = bb.getInt; val h = bb.getInt; bb.getInt // channels
+          val features = fakeDecode(payload, featureDim)
+          Row(id, w, h, features)
+        }
+      }(Encoders.row(decodedSchema))
+  }
+
+  /** STUB decoder: deterministic hash-derived "features" in [0,1).
+    * Placeholder for a real codec (???) — see decodeFeatures doc.
+    */
+  private def fakeDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L
+    payload.foreach(b => h = h * 31 + b)
+    var i = 0
+    while (i < dim) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      out(i) = ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat
+      i += 1
+    }
+    out
+  }
+}

@@ -207,6 +207,129 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** D3: random-hyperplane LSH-bucketed approximate nearest neighbors —
+    * the 100 TB path for similarity search. 16 deterministic Gaussian
+    * hyperplanes (seeded) give each vector a 16-bit sign signature,
+    * split into 2 bands of 8 bits; a corpus vector is a candidate for a
+    * query iff they share a band. Exact cosine is computed ONLY for
+    * candidates, inside the same single-pass bounded-heap kernel as D1 —
+    * no shuffle of the corpus, no candidate materialization. Recall vs
+    * brute force is asserted in SimilaritySpec; rows-only oracle (the
+    * hyperplane draw isn't SQL-expressible).
+    */
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val nBands = 8
+    val bandBits = 4 // 8 bands × 4 bits: banding theory S-curve tuned so
+    //                  mid-cosine neighbors still collide on some band
+    val nPlanes = nBands * bandBits
+    val e = emb(s, dir)
+    val dim = 64
+    val rnd = new scala.util.Random(42)
+    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+
+    def sigOf(v: Array[Double]): Int = {
+      var sig = 0; var p = 0
+      while (p < nPlanes) {
+        var d = 0.0; var j = 0
+        while (j < dim) { d += planes(p)(j) * v(j); j += 1 }
+        if (d > 0) sig |= (1 << p)
+        p += 1
+      }
+      sig
+    }
+    def bandKeys(sig: Int): Seq[Int] =
+      (0 until nBands).map(b => (b << 16) | ((sig >>> (b * bandBits)) & ((1 << bandBits) - 1)))
+
+    val qRows = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+    val qids = qRows.map(_.getLong(0))
+    val qv = qRows.map(_.getSeq[Double](1).toArray)
+    val qnorm = qv.map(a => math.sqrt(a.map(x => x * x).sum))
+    // band-key -> query indexes sharing that band
+    val buckets = new java.util.HashMap[Int, Array[Int]]()
+    qv.zipWithIndex.foreach { case (v, qi) =>
+      bandKeys(sigOf(v)).foreach { key =>
+        val prev = buckets.getOrDefault(key, Array.empty)
+        if (!prev.contains(qi)) buckets.put(key, prev :+ qi)
+      }
+    }
+    val bc = s.sparkContext.broadcast((qids, qv, qnorm, buckets, planes))
+
+    val localSchema = StructType(Seq(
+      StructField("q_id", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("sim", DoubleType, nullable = false)))
+    val locals = fanOut(e.select(col("vec_id"), col("v")))
+      .mapPartitions { it =>
+        val (bQids, bQv, bQnorm, bBuckets, bPlanes) = bc.value
+        val nq = bQids.length
+        val simH = Array.fill(nq)(new Array[Double](k))
+        val vidH = Array.fill(nq)(new Array[Long](k))
+        val cnt  = new Array[Int](nq)
+        val cand = new Array[Boolean](nq)
+        it.foreach { row =>
+          val v = row.getSeq[Double](1).toArray
+          val vid = row.getLong(0)
+          // signature of the corpus vector
+          var sig = 0; var p = 0
+          while (p < bPlanes.length) {
+            var d = 0.0; var j = 0
+            while (j < v.length) { d += bPlanes(p)(j) * v(j); j += 1 }
+            if (d > 0) sig |= (1 << p)
+            p += 1
+          }
+          java.util.Arrays.fill(cand, false)
+          var any = false
+          var b = 0
+          while (b < 8) {
+            val key = (b << 16) | ((sig >>> (b * 4)) & 0xf)
+            val qs = bBuckets.get(key)
+            if (qs != null) { qs.foreach(cand(_) = true); any = true }
+            b += 1
+          }
+          if (any) {
+            var n2 = 0.0; var j = 0
+            while (j < v.length) { n2 += v(j) * v(j); j += 1 }
+            val nrm = math.sqrt(n2)
+            var qi = 0
+            while (qi < nq) {
+              if (cand(qi)) {
+                val qvv = bQv(qi)
+                var d = 0.0; var jj = 0
+                while (jj < v.length) { d += qvv(jj) * v(jj); jj += 1 }
+                val sim = d / (bQnorm(qi) * nrm)
+                val c = cnt(qi)
+                val better = c < k || sim > simH(qi)(c - 1) ||
+                  (sim == simH(qi)(c - 1) && vid < vidH(qi)(c - 1))
+                if (better) {
+                  var pp = math.min(c, k - 1)
+                  while (pp > 0 && (simH(qi)(pp - 1) < sim ||
+                         (simH(qi)(pp - 1) == sim && vidH(qi)(pp - 1) > vid))) {
+                    simH(qi)(pp) = simH(qi)(pp - 1); vidH(qi)(pp) = vidH(qi)(pp - 1); pp -= 1
+                  }
+                  simH(qi)(pp) = sim; vidH(qi)(pp) = vid
+                  if (c < k) cnt(qi) = c + 1
+                }
+              }
+              qi += 1
+            }
+          }
+        }
+        (0 until nq).iterator.flatMap { qi =>
+          (0 until cnt(qi)).map(p2 => Row(bQids(qi), vidH(qi)(p2), simH(qi)(p2)))
+        }
+      }(Encoders.row(localSchema))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    locals
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+              dec4(col("sim")).as("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -2,9 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
-import graft.functions.{dec4, TextFunctions => T}
+import graft.functions.{dec4, TextKernels, TextFunctions => T}
 import graft.sources.Tables._
 
 /** Text analysis + deduplication over the documents table
@@ -213,6 +213,70 @@ object TextOps {
       .filter(col("a_id") < col("b_id"))
       .distinct()
     jaccardVerify(s, dir, cand, tau = 0.5)
+  }
+
+  /** C8: 64-bit SimHash fingerprints. Per distinct word: 64-bit hash =
+    * first 8 bytes of md5(word) (big-endian); each bit contributes
+    * +tf / -tf to its lane; fingerprint bit = 1 iff the lane sum is
+    * positive. Near-identical documents land within a few bits of
+    * Hamming distance (verified in SimHashSpec; near-dup join via
+    * 16-bit-band blocking is exercised there too). Compiled kernel —
+    * rows-only oracle (bit kernels aren't portably SQL-expressible).
+    */
+  def qSimHash(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("simhash", LongType, nullable = false),
+      StructField("popcount", IntegerType, nullable = false)))
+    fanOut(documents(s, dir).select(col("doc_id"), col("text")))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { row =>
+          val words = row.getString(1).split(" ", -1)
+          val tf = new java.util.HashMap[String, Int]()
+          words.foreach(w => tf.merge(w, 1, Integer.sum _))
+          val lanes = new Array[Long](64)
+          tf.forEach { (w, c) =>
+            md.reset()
+            val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var h = 0L
+            var i = 0
+            while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+            var j = 0
+            while (j < 64) {
+              if (((h >>> j) & 1L) == 1L) lanes(j) += c else lanes(j) -= c
+              j += 1
+            }
+          }
+          var fp = 0L
+          var j = 0
+          while (j < 64) { if (lanes(j) > 0) fp |= (1L << j); j += 1 }
+          Row(row.getLong(0), fp, java.lang.Long.bitCount(fp))
+        }
+      }(Encoders.row(outSchema))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C9: winnowing document fingerprints (Schleimer et al., MOSS):
+    * rolling hashes of character k-grams (k=8), window w=4, keep each
+    * window's minimum (rightmost wins ties), dedup positions. Emits
+    * stable per-doc aggregates; set semantics verified in SimHashSpec.
+    */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_fp", IntegerType, nullable = false),
+      StructField("min_fp", LongType, nullable = true),
+      StructField("max_fp", LongType, nullable = true)))
+    fanOut(documents(s, dir).select(col("doc_id"), col("text")))
+      .mapPartitions { it =>
+        it.map { row =>
+          val fps = TextKernels.winnow(row.getString(1), k = 8, w = 4)
+          if (fps.isEmpty) Row(row.getLong(0), 0, null, null)
+          else Row(row.getLong(0), fps.length, fps.min, fps.max)
+        }
+      }(Encoders.row(outSchema))
+      .orderBy(col("doc_id"))
   }
 
   /** Shared oracle SQL fragments (DuckDB dialect). */

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, Similarity}
+
+/** D1/D3 recall + E2 multimodal plumbing. */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("ANN-LSH reaches useful recall vs brute force and stays approximate-cheap") {
+    val exact = Similarity.qCosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = Similarity.qAnnLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ann.keySet == exact.keySet)
+    val recalls = exact.map { case (q, ex) =>
+      val an = ann.getOrElse(q, Set.empty)
+      an.intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    // isotropic random data is LSH's worst case (top-k barely separated
+    // from the bulk); 8 bands × 4 bits must still recover a solid
+    // fraction, and every query must keep its own vector (sim=1).
+    assert(mean > 0.35, s"mean recall $mean")
+    ann.foreach { case (q, s) => assert(s.contains(q)) }
+  }
+
+  test("media synthesis + stub decode preserve schema, rows, and determinism") {
+    val media = Multimodal.synthesizeMedia(spark, sfDir)
+    assert(media.schema == Multimodal.mediaSchema)
+    val n = media.count()
+    assert(n > 0)
+    val dec = Multimodal.decodeFeatures(media, featureDim = 8)
+    assert(dec.schema == Multimodal.decodedSchema)
+    val rows = dec.collect()
+    assert(rows.length == n)
+    assert(rows.forall(_.getSeq[Float](3).length == 8))
+    // header metadata round-trips through the binary payload
+    val metaIn = media.collect().map(r => r.getLong(0) -> (r.getInt(3), r.getInt(4))).toMap
+    rows.foreach(r => assert(metaIn(r.getLong(0)) == ((r.getInt(1), r.getInt(2)))))
+    // deterministic stub decode
+    val again = Multimodal.decodeFeatures(media, featureDim = 8).collect()
+    assert(rows.map(_.getSeq[Float](3)).toSeq == again.map(_.getSeq[Float](3)).toSeq)
+  }
+}
