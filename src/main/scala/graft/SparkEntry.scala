@@ -47,7 +47,9 @@ object SparkEntry {
     "q_simhash"        -> (TextOps.qSimHash _),
     "q_fingerprint"    -> (TextOps.qFingerprint _),
     "q_ann_lsh"        -> (Similarity.qAnnLsh _),
-    "q_binary_meta"    -> (Multimodal.qBinaryMeta _)
+    "q_binary_meta"    -> (Multimodal.qBinaryMeta _),
+    "q_rf_reg"         -> (Estimation.qRfReg _),
+    "q_pca"            -> (Estimation.qPca _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -176,6 +176,30 @@ object Estimation {
       .orderBy(col("li_id"))
   }
 
+  /** A12: arbitrary-estimator delegation — MLlib RandomForest wrapped in
+    * the FeatureEstimator contract. Rows-only oracle (the forest is
+    * engine-specific); behavior is covered by EstimatorExtrasSpec.
+    */
+  def qRfReg(s: SparkSession, dir: String): DataFrame = {
+    val model = RandomForestRegression(numTrees = 20, maxDepth = 6, seed = 42)
+      .fit(trainLi(s, dir), Seq("l_quantity", "l_discount", "l_tax"), Seq("l_extendedprice"))
+    model.predict(FeatureFrame(li(s, dir), Seq("li_id"),
+        Seq("l_quantity", "l_discount", "l_tax")))
+      .select(col("li_id"), dec4(col("l_extendedprice")).as("prediction"))
+      .orderBy(col("li_id"))
+  }
+
+  /** A13: PCA transform — distributed gram/mean aggregation + driver
+    * eigensolve, codegen'd projection. Rows-only oracle (sign/rotation
+    * conventions differ across engines); covered by EstimatorExtrasSpec.
+    */
+  def qPca(s: SparkSession, dir: String): DataFrame = {
+    val model = PCA(k = 2).fit(trainLi(s, dir), scaleFeatures)
+    model.transform(FeatureFrame(li(s, dir), Seq("li_id"), scaleFeatures))
+      .select(col("li_id"), dec4(col("pc1")).as("pc1"), dec4(col("pc2")).as("pc2"))
+      .orderBy(col("li_id"))
+  }
+
   /** Oracle SQL (DuckDB dialect). The kNN oracles use the crossJoin +
     * ROW_NUMBER formulation the Spark engine deliberately AVOIDS — fine
     * at sf0.01 oracle scale, ruled out at 100 TB (see class doc).

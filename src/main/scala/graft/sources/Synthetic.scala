@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic feature-array generator — the reference's
+  * `datasets/synthetic.py` (fractal value-noise features + percentile
+  * masking) re-expressed as a distributed `spark.range` + codegen'd
+  * hash-noise columns: no data is ever materialized on the driver, so
+  * the generator scales to arbitrarily many samples.
+  *
+  * Noise model: per feature, `octaves` layers of linearly-interpolated
+  * lattice noise; layer o anchors every 2^o samples with amplitude
+  * 2^-o (value noise, the hash-based analogue of the reference's
+  * fractal noise). Values land in [0, 1). Percentile masking NaNs all
+  * features where a dedicated mask-noise band falls below the given
+  * percentile — producing the contiguous NoData regions rasters have.
+  */
+object Synthetic {
+
+  private def unit(seed: Long, feat: String, o: Int, idx: Column): Column =
+    (abs(xxhash64(lit(seed), lit(feat), lit(o), idx)) % lit(1L << 52)).cast("double") /
+      lit((1L << 52).toDouble)
+
+  private def octaveNoise(seed: Long, feat: String, octaves: Int): Column = {
+    // fractal convention: largest amplitude at the longest wavelength
+    // (anchor spacing 4^(octaves-1-o) for amplitude 2^-o), so the field
+    // is smooth with fine detail layered on top
+    val layers = (0 until octaves).map { o =>
+      val step = 1L << (2 * (octaves - 1 - o))
+      val base = floor(col("sample_id") / step).cast("long")
+      val frac = (col("sample_id") % step).cast("double") / lit(step.toDouble)
+      val n0 = unit(seed, feat, o, base)
+      val n1 = unit(seed, feat, o, base + 1)
+      (n0 * (lit(1.0) - frac) + n1 * frac) * lit(math.pow(0.5, o))
+    }
+    val ampSum = (0 until octaves).map(math.pow(0.5, _)).sum
+    layers.reduce(_ + _) / lit(ampSum)
+  }
+
+  /** Generate `nRows` samples of the named features. `maskPercentile`
+    * in (0,1) NaNs that fraction of rows (by the mask band's empirical
+    * percentile); 0 disables masking.
+    */
+  def featureArray(
+      spark: SparkSession,
+      nRows: Long,
+      features: Seq[String],
+      octaves: Int = 4,
+      maskPercentile: Double = 0.0,
+      seed: Long = 42
+  ): DataFrame = {
+    val base = spark.range(nRows).toDF("sample_id")
+    val withFeatures = base.select(
+      col("sample_id") +: features.map(f => octaveNoise(seed, f, octaves).as(f)): _*)
+    if (maskPercentile <= 0) withFeatures
+    else {
+      val maskBand = octaveNoise(seed, "__mask__", octaves)
+      val withMask = withFeatures.withColumn("__m", maskBand)
+      // exact percentile over the mask band (deterministic across runs)
+      val threshold = withMask.agg(
+        expr(s"percentile(__m, $maskPercentile)")).collect()(0).getDouble(0)
+      withMask.select(
+        col("sample_id") +: features.map(f =>
+          when(col("__m") < threshold, lit(Double.NaN)).otherwise(col(f)).as(f)): _*)
+    }
+  }
+}

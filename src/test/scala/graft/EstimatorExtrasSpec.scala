@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core.{FeatureFrame, NoData, PredictOptions}
+import graft.estimators.{PCA, RandomForestRegression}
+import graft.sources.Synthetic
+
+/** A12/A13/A16: RF delegation, PCA conventions, synthetic generator. */
+class EstimatorExtrasSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("random forest learns a nonlinear signal and honors NoData fill") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 500).map { i =>
+      val x1 = rnd.nextDouble() * 10; val x2 = rnd.nextDouble() * 10
+      (i.toLong, x1, x2, x1 * x2 + (if (x1 > 5) 50.0 else 0.0))
+    }
+    val df = rows.toDF("id", "x1", "x2", "y")
+    val m = RandomForestRegression(numTrees = 30, maxDepth = 8).fit(df, Seq("x1", "x2"), Seq("y"))
+    val pred = m.predict(FeatureFrame(df, Seq("id"), Seq("x1", "x2")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val resid = rows.map { case (id, _, _, y) => math.pow(pred(id) - y, 2) }.sum / rows.size
+    val yVar = { val ys = rows.map(_._4); val mu = ys.sum / ys.size
+      ys.map(y => (y - mu) * (y - mu)).sum / ys.size }
+    assert(resid < 0.2 * yVar, s"RF underfits: mse=$resid var=$yVar")
+
+    val masked = Seq((99L, Double.NaN, 1.0)).toDF("id", "x1", "x2")
+    val out = m.predict(FeatureFrame(masked, Seq("id"), Seq("x1", "x2")),
+      PredictOptions(noDataOutput = -1.0)).collect()
+    assert(out.head.getDouble(1) == -1.0)
+  }
+
+  test("PCA recovers the dominant axis with deterministic sign") {
+    // points spread along (1, 2, 0) with small noise
+    val rnd = new scala.util.Random(9)
+    val rows = (0 until 400).map { i =>
+      val t = rnd.nextGaussian() * 10
+      (i.toLong, t + rnd.nextGaussian() * .1,
+        2 * t + rnd.nextGaussian() * .1, rnd.nextGaussian() * .1)
+    }
+    val df = rows.toDF("id", "a", "b", "c")
+    val m = PCA(k = 2).fit(df, Seq("a", "b", "c"))
+    val v = m.components.head
+    // dominant direction ∝ (1,2,0) normalized, largest loading positive
+    assert(math.abs(v(1) / v(0) - 2.0) < 0.05)
+    assert(v(m.components.head.indices.maxBy(i => math.abs(v(i)))) > 0)
+    assert(m.explainedVariance.head > 10 * m.explainedVariance(1))
+    // projection of the mean point is ~0
+    val out = m.transform(FeatureFrame(df, Seq("id"), Seq("a", "b", "c")))
+    val stats = out.agg(avg("pc1"), stddev_pop("pc1")).collect()(0)
+    assert(math.abs(stats.getDouble(0)) < 1e-8)
+    assert(stats.getDouble(1) > 1.0)
+  }
+
+  test("synthetic generator is deterministic, bounded, smooth, and maskable") {
+    val a = Synthetic.featureArray(spark, 2000, Seq("f1", "f2"), seed = 7)
+    val b = Synthetic.featureArray(spark, 2000, Seq("f1", "f2"), seed = 7)
+    assert(a.orderBy("sample_id").collect().toSeq == b.orderBy("sample_id").collect().toSeq)
+    val vals = a.select("f1").collect().map(_.getDouble(0))
+    assert(vals.forall(v => v >= 0.0 && v < 1.0))
+    // value-noise is smoother than white noise: adjacent deltas are small
+    val sortedRows = a.orderBy("sample_id").collect().map(_.getDouble(1))
+    val adjacent = sortedRows.sliding(2).map(p => math.abs(p(1) - p(0))).toArray
+    val shuffled = new scala.util.Random(1).shuffle(sortedRows.toSeq).toArray
+    val shuffledAdj = shuffled.sliding(2).map(p => math.abs(p(1) - p(0))).toArray
+    assert(adjacent.sum / adjacent.length < 0.5 * shuffledAdj.sum / shuffledAdj.length)
+    // different seeds decorrelate
+    val c = Synthetic.featureArray(spark, 2000, Seq("f1"), seed = 8)
+      .orderBy("sample_id").collect().map(_.getDouble(1))
+    assert(sortedRows.zip(c).count { case (x, y) => math.abs(x - y) < 1e-9 } < 5)
+
+    val masked = Synthetic.featureArray(spark, 2000, Seq("f1", "f2"),
+      maskPercentile = 0.2, seed = 7)
+    val rowsM = masked.collect()
+    val nMasked = rowsM.count(_.getDouble(1).isNaN)
+    assert(math.abs(nMasked / 2000.0 - 0.2) < 0.03, s"mask fraction ${nMasked / 2000.0}")
+    // mask is the any-feature row mask: f1 NaN iff f2 NaN
+    assert(rowsM.forall(r => r.getDouble(1).isNaN == r.getDouble(2).isNaN))
+  }
+}
