@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+
+/** F1/F2: streaming results must equal their batch twins (B11/B10) on
+  * the same events.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def eventRows: Seq[Ev] = {
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(e => (e.ts, e.event_id)) // global event-time order
+      .toSeq
+  }
+
+  private case class TEv(ts: Long, event_type: String, value: Double)
+
+  test("streaming tumbling agg equals the batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TEv]
+    val streamed = EventStreams.tumblingAgg(
+      input.toDF().withColumn("ts", timestamp_micros(col("ts"))))
+    val q = streamed.writeStream.format("memory").queryName("t_out")
+      .outputMode("complete").start()
+    try {
+      val evs = Tables.events(spark, sfDir)
+        .select(unix_micros(col("ts")), col("event_type"), col("value"))
+        .collect()
+        .map(r => TEv(r.getLong(0), r.getString(1), r.getDouble(2)))
+        .sortBy(_.ts).toSeq
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+      val got = spark.table("t_out")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), math.round(r.getDouble(3) * 100)))
+        .toMap
+      val expected = EventStreams.tumblingAgg(Tables.events(spark, sfDir))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), math.round(r.getDouble(3) * 100)))
+        .toMap
+      assert(got == expected)
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization equals batch gaps-and-islands across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionize(input.toDS()).writeStream
+      .format("memory").queryName("s_out").outputMode("update").start()
+    try {
+      val evs = eventRows
+      val third = evs.length / 3
+      input.addData(evs.take(third)); q.processAllAvailable()
+      input.addData(evs.slice(third, 2 * third)); q.processAllAvailable()
+      input.addData(evs.drop(2 * third)); q.processAllAvailable()
+      // last update per (user, seq) is the session's final state
+      val got = spark.table("s_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), math.round(r.getDouble(5) * 100)))
+        .groupBy(_._1).view.mapValues(_.last._2).toMap
+      val expected = graft.operators.Relational.qSessionize(spark, sfDir).collect()
+        .map { r =>
+          (r.getLong(0), r.getLong(1)) ->
+            (r.getLong(2), unix_micros_of(r.getTimestamp(3)), r.getLong(4),
+             r.getDecimal(5).movePointRight(2).longValueExact())
+        }.toMap
+      assert(got.size == expected.size)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  private def unix_micros_of(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000
+}
