@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions.CosineSimilarity
+
+/** Engine extensions installed via `spark.sql.extensions` (set by
+  * [[GraftSession]]): registers the native codegen'd functions so SQL
+  * users get them as first-class builtins (`SELECT graft_cosine(a, b)`),
+  * not UDFs.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(
+        classOf[CosineSimilarity].getName, null, "graft_cosine",
+        "graft_cosine(a, b) - cosine similarity of two double arrays", ""),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+  }
+}
