@@ -1,48 +1,76 @@
 package graft.estimators
 
+import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.ml.regression.{RandomForestRegressionModel, RandomForestRegressor => MlRf}
+import org.apache.spark.ml.regression.{GBTRegressor, RandomForestRegressor => MlRf}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.{FeatureFrame, PredictOptions}
 
 /** Arbitrary-estimator delegation (the reference wraps ANY sklearn
-  * estimator, `estimator.py:36`): tree ensembles delegate to Spark
-  * MLlib, wrapped in the same FeatureEstimator contract so NoData
+  * estimator, `estimator.py:36`): any Spark ML predictor wraps into the
+  * FeatureEstimator contract through [[MLlibDelegate]], so NoData
   * masking, name validation, and output naming behave identically to
-  * the native estimators.
+  * the native estimators. RandomForest and GBT ship as ready-made
+  * wrappers; add others by delegating their `fit`.
   *
-  * Scale posture: MLlib RandomForest trains distributed (the train side
-  * here is small anyway); transform is a per-row model application with
-  * the fitted forest broadcast by MLlib — no shuffle on the predict
-  * side.
+  * Scale posture: MLlib training is distributed (the train side here is
+  * small anyway); transform applies the broadcast fitted model per row —
+  * no shuffle on the predict side.
   */
+object MLlibDelegate {
+
+  /** Assemble features, fit the given builder, wrap the fitted model. */
+  def fitRegressor(
+      train: DataFrame,
+      featureCols: Seq[String],
+      targetCol: String
+  )(build: (String, String, String) => DataFrame => Transformer): MLlibWrapModel = {
+    val asm = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("__features")
+    val assembled = asm.transform(train.withColumn("__label", col(targetCol).cast("double")))
+    val model = build("__features", "__label", "__pred")(assembled)
+    MLlibWrapModel(featureCols, targetCol, model)
+  }
+}
+
 final case class RandomForestRegression(
     numTrees: Int = 20,
     maxDepth: Int = 6,
     seed: Long = 42
-) extends FeatureEstimator[RandomForestWrapModel] {
+) extends FeatureEstimator[MLlibWrapModel] {
 
-  def fit(train: DataFrame, featureCols: Seq[String], targetCols: Seq[String]): RandomForestWrapModel = {
+  def fit(train: DataFrame, featureCols: Seq[String], targetCols: Seq[String]): MLlibWrapModel = {
     require(targetCols.length == 1, "MLlib RandomForestRegressor is single-target")
-    val asm = new VectorAssembler()
-      .setInputCols(featureCols.toArray).setOutputCol("__features")
-    val assembled = asm.transform(
-      train.withColumn("__label", col(targetCols.head).cast("double")))
-    val model = new MlRf()
-      .setFeaturesCol("__features").setLabelCol("__label")
-      .setPredictionCol("__pred")
-      .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
-      .fit(assembled)
-    RandomForestWrapModel(featureCols, targetCols.head, model)
+    MLlibDelegate.fitRegressor(train, featureCols, targetCols.head) { (f, l, p) => df =>
+      new MlRf().setFeaturesCol(f).setLabelCol(l).setPredictionCol(p)
+        .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
+        .fit(df)
+    }
   }
 }
 
-final case class RandomForestWrapModel(
+final case class GBTRegression(
+    maxIter: Int = 20,
+    maxDepth: Int = 4,
+    seed: Long = 42
+) extends FeatureEstimator[MLlibWrapModel] {
+
+  def fit(train: DataFrame, featureCols: Seq[String], targetCols: Seq[String]): MLlibWrapModel = {
+    require(targetCols.length == 1, "MLlib GBTRegressor is single-target")
+    MLlibDelegate.fitRegressor(train, featureCols, targetCols.head) { (f, l, p) => df =>
+      new GBTRegressor().setFeaturesCol(f).setLabelCol(l).setPredictionCol(p)
+        .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
+        .fit(df)
+    }
+  }
+}
+
+final case class MLlibWrapModel(
     featureNames: Seq[String],
     targetName: String,
-    model: RandomForestRegressionModel
+    model: Transformer
 ) extends FittedModel {
 
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.core.{FeatureFrame, NoData, PredictOptions}
-import graft.estimators.{PCA, RandomForestRegression}
+import graft.estimators.{GBTRegression, PCA, RandomForestRegression}
 import graft.sources.Synthetic
 
 /** A12/A13/A16: RF delegation, PCA conventions, synthetic generator. */
@@ -31,6 +31,13 @@ class EstimatorExtrasSpec extends AnyFunSuite {
     val out = m.predict(FeatureFrame(masked, Seq("id"), Seq("x1", "x2")),
       PredictOptions(noDataOutput = -1.0)).collect()
     assert(out.head.getDouble(1) == -1.0)
+
+    // any MLlib regressor wraps through the same delegate
+    val g = GBTRegression(maxIter = 10).fit(df, Seq("x1", "x2"), Seq("y"))
+    val gPred = g.predict(FeatureFrame(df, Seq("id"), Seq("x1", "x2")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gMse = rows.map { case (id, _, _, y) => math.pow(gPred(id) - y, 2) }.sum / rows.size
+    assert(gMse < 0.2 * yVar, s"GBT underfits: mse=$gMse")
   }
 
   test("PCA recovers the dominant axis with deterministic sign") {
