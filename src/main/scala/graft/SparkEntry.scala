@@ -41,6 +41,7 @@ object SparkEntry {
     "q_minhash"        -> (TextOps.qMinHash _),
     "q_lsh_pairs"      -> (TextOps.qLshPairs _),
     "q_ngram_jaccard"  -> (TextOps.qNgramJaccard _),
+    "q_curate"         -> (TextOps.qCurate _),
     "q_cosine_topk"    -> (Similarity.qCosineTopK _),
     "q_embed_neardup"  -> (Similarity.qEmbedNearDup _),
     "q_centroid_cls"   -> (Similarity.qCentroidCls _),

@@ -70,26 +70,26 @@ object TextOps {
     "zh" -> Seq("的", "是", "了")
   )
 
-  /** C4: language ID — argmax of marker-word counts, ties to the
-    * lexicographically lowest language code (the CASE chain in ascending
-    * code order implements exactly that).
+  /** argmax of marker-word counts with ties to the lowest language
+    * code: a CASE chain in ascending code order — the first code whose
+    * score >= every later score is the overall max (all earlier codes
+    * already failed to be maximal).
     */
-  def qLangId(s: SparkSession, dir: String): DataFrame = {
-    val ws = T.words(col("text"))
+  private def langPred(ws: Column): Column = {
     val scores = langMarkers.map { case (code, m) => code -> T.markerCount(ws, m) }
-    // CASE chain in ascending code order = argmax with ties to the lowest
-    // code: the first code whose score >= every later score is the
-    // overall max (all earlier codes already failed to be maximal).
-    val pred = scores.zipWithIndex.foldRight(lit(scores.last._1): Column) {
+    scores.zipWithIndex.foldRight(lit(scores.last._1): Column) {
       case (((code, sc), i), elseExpr) =>
         val rest = scores.drop(i + 1).map(_._2)
         if (rest.isEmpty) elseExpr
         else when(rest.map(o => sc >= o).reduce(_ && _), code).otherwise(elseExpr)
     }
-    documents(s, dir)
-      .select(col("doc_id"), pred.as("pred_lang"))
-      .orderBy(col("doc_id"))
   }
+
+  /** C4: language ID — marker-count argmax, tie → lowest code. */
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), langPred(T.words(col("text"))).as("pred_lang"))
+      .orderBy(col("doc_id"))
 
   /** fanOut first: shingle construction is an interpreted higher-order
     * function, so it must run on all cores, not the scan's single task.
@@ -279,6 +279,29 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** C10: end-to-end corpus curation — the composite filter every LLM
+    * data pipeline runs: keep a document iff it is (a) its content
+    * hash's canonical keeper (exact dedup), (b) above quality floors,
+    * and (c) in an allowed language per the marker heuristic. One
+    * hash-shuffle (dedup); everything else codegen'd per-row.
+    */
+  def qCurate(s: SparkSession, dir: String): DataFrame = {
+    val ws = T.words(col("text"))
+    val n  = size(ws)
+    val scored = documents(s, dir).select(
+      col("doc_id"), md5(col("text")).as("h"),
+      n.cast("long").as("n_words"),
+      (size(array_distinct(ws)).cast("double") / n).as("distinct_ratio"),
+      langPred(ws).as("pred_lang"))
+    val keepers = scored.groupBy(col("h")).agg(min(col("doc_id")).as("keeper_id"))
+    scored
+      .join(keepers, scored("doc_id") === keepers("keeper_id"))
+      .filter(col("n_words") >= 20 && col("distinct_ratio") >= 0.3 &&
+        col("pred_lang").isin("en", "de"))
+      .select(col("doc_id"), col("n_words"), col("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared oracle SQL fragments (DuckDB dialect). */
   private val baseSql =
     """base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
@@ -331,6 +354,26 @@ object TextOps {
         |sc AS (SELECT doc_id, $scoreExprs FROM base)
         |SELECT doc_id, CASE $caseChain ELSE '${codes.last}' END AS pred_lang
         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+    "q_curate" -> {
+      val scoreExprs = langMarkers.map { case (code, m) =>
+        s"LEN(list_filter(w, x -> x IN (${m.map(w => s"'$w'").mkString(", ")}))) AS s_$code"
+      }.mkString(", ")
+      val codes = langMarkers.map(_._1)
+      val caseChain = codes.init.zipWithIndex.map { case (code, i) =>
+        val rest = codes.drop(i + 1)
+        s"WHEN ${rest.map(r => s"s_$code >= s_$r").mkString(" AND ")} THEN '$code'"
+      }.mkString(" ")
+      s"""WITH base AS (SELECT doc_id, text, string_split(text,' ') AS w FROM documents),
+        |sc AS (SELECT doc_id, md5(text) AS h, LEN(w) AS n_words,
+        |  CAST(LEN(list_distinct(w)) AS DOUBLE)/LEN(w) AS distinct_ratio,
+        |  CASE $caseChain ELSE '${codes.last}' END AS pred_lang
+        |  FROM (SELECT doc_id, text, w, $scoreExprs FROM base)),
+        |keep AS (SELECT h, MIN(doc_id) AS keeper_id FROM sc GROUP BY 1)
+        |SELECT doc_id, n_words, pred_lang
+        |FROM sc JOIN keep ON sc.doc_id = keep.keeper_id
+        |WHERE n_words >= 20 AND distinct_ratio >= 0.3 AND pred_lang IN ('en','de')
+        |ORDER BY doc_id""".stripMargin
     },
     "q_minhash" ->
       s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
