@@ -15,7 +15,7 @@ object Bench {
     // the multi-join plans costs multiples of the actual execution; the
     // timed second run is the steady-state cost. Nothing is cached
     // between runs — every run re-scans, re-fits, re-shuffles.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         fn(spark, sfDir).count()
         val t0 = System.nanoTime()
@@ -25,7 +25,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

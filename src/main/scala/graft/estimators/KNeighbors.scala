@@ -158,8 +158,13 @@ private[estimators] object KnnKernel {
   * key over the training table); row ids are 0-based positions in that
   * order — sklearn's training-index semantics, and the deterministic
   * distance tie-break. Defaults to the feature+target columns.
+  *
+  * `weighted = true` is sklearn's `weights="distance"`: targets average
+  * with weight 1/distance; an exact-match neighbor (distance 0) takes
+  * the whole prediction (sklearn's zero-distance rule).
   */
-final case class KNeighborsRegressor(k: Int = 5, orderBy: Seq[String] = Nil)
+final case class KNeighborsRegressor(
+    k: Int = 5, orderBy: Seq[String] = Nil, weighted: Boolean = false)
     extends FeatureEstimator[KnnRegressorModel] {
 
   def fit(train: DataFrame, featureCols: Seq[String], targetCols: Seq[String]): KnnRegressorModel = {
@@ -173,7 +178,7 @@ final case class KNeighborsRegressor(k: Int = 5, orderBy: Seq[String] = Nil)
       yCls = Array.empty,
       m = sorted.length,
       d = d)
-    new KnnRegressorModel(featureCols, targetCols, st, k)
+    new KnnRegressorModel(featureCols, targetCols, st, k, weighted)
   }
 }
 
@@ -181,7 +186,8 @@ final class KnnRegressorModel private[estimators] (
     val featureNames: Seq[String],
     val targetNames: Seq[String],
     st: KnnState,
-    k: Int
+    k: Int,
+    weighted: Boolean = false
 ) extends FittedModel {
 
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
@@ -189,6 +195,7 @@ final class KnnRegressorModel private[estimators] (
     val t = targetNames.length
     val outFields = targetNames.map(StructField(_, DoubleType, nullable = false))
     val kk = k
+    val isWeighted = weighted // local copy: the closure must not capture `this`
     KnnKernel.run(frame, featureNames, outFields) { () =>
       val s = bc.value
       val idx = new Array[Int](math.min(kk, s.m))
@@ -199,11 +206,27 @@ final class KnnRegressorModel private[estimators] (
         else {
           val n = KnnKernel.topK(q, s, kk, idx, d2)
           val preds = new Array[Any](t)
+          // sklearn weights="distance": weight 1/dist; a zero-distance
+          // neighbor dominates (it is first in (dist, id) order)
+          val exact = isWeighted && n > 0 && d2(0) == 0.0
           var ti = 0
           while (ti < t) {
-            var sum = 0.0; var i = 0
-            while (i < n) { sum += s.y(idx(i) * t + ti); i += 1 }
-            preds(ti) = sum / n
+            if (isWeighted) {
+              if (exact) preds(ti) = s.y(idx(0) * t + ti)
+              else {
+                var num = 0.0; var den = 0.0; var i = 0
+                while (i < n) {
+                  val w = 1.0 / math.sqrt(d2(i))
+                  num += w * s.y(idx(i) * t + ti); den += w
+                  i += 1
+                }
+                preds(ti) = num / den
+              }
+            } else {
+              var sum = 0.0; var i = 0
+              while (i < n) { sum += s.y(idx(i) * t + ti); i += 1 }
+              preds(ti) = sum / n
+            }
             ti += 1
           }
           KnnKernel.outRow(row, nId, preds)

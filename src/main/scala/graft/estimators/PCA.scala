@@ -60,6 +60,20 @@ final case class PCAModel(
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame =
     transform(frame, opts)
 
+  /** Reconstruct feature space from component scores (reference
+    * `inverse_transform`): x̂_i = mean_i + Σ_j pc_j v_ji. Exact when
+    * k = d; the least-squares reconstruction otherwise.
+    */
+  def inverseTransform(df: DataFrame, idCols: Seq[String]): DataFrame = {
+    val feats = featureNames.zipWithIndex.map { case (c, i) =>
+      components.zipWithIndex
+        .map { case (v, j) => col(s"pc${j + 1}") * lit(v(i)) }
+        .reduce(_ + _)
+        .+(lit(means(i))).as(c)
+    }
+    df.select(idCols.map(col) ++ feats: _*)
+  }
+
   /** Project onto the top-k components: pc_j = Σ_i (x_i - mean_i) v_ji. */
   def transform(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
     val ff = frame.validated(featureNames)

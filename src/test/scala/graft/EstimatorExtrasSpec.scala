@@ -60,6 +60,30 @@ class EstimatorExtrasSpec extends AnyFunSuite {
     val stats = out.agg(avg("pc1"), stddev_pop("pc1")).collect()(0)
     assert(math.abs(stats.getDouble(0)) < 1e-8)
     assert(stats.getDouble(1) > 1.0)
+
+    // k = d roundtrips through inverse_transform exactly
+    val full = PCA(k = 3).fit(df, Seq("a", "b", "c"))
+    val back = full.inverseTransform(
+      full.transform(FeatureFrame(df, Seq("id"), Seq("a", "b", "c"))), Seq("id"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    rows.take(10).foreach { case (id, a, b, c) =>
+      val (ra, rb, rc) = back(id)
+      assert(math.abs(ra - a) < 1e-9 && math.abs(rb - b) < 1e-9 && math.abs(rc - c) < 1e-9)
+    }
+  }
+
+  test("weighted kNN follows sklearn's distance weighting and zero-distance rule") {
+    import spark.implicits._
+    val tr = Seq((0L, 0.0, 0.0), (1L, 1.0, 10.0), (2L, 3.0, 30.0)).toDF("tid", "x", "y")
+    val m = graft.estimators.KNeighborsRegressor(k = 2, orderBy = Seq("tid"), weighted = true)
+      .fit(tr, Seq("x"), Seq("y"))
+    val out = m.predict(graft.core.FeatureFrame(
+      Seq((1L, 2.0), (2L, 1.0)).toDF("id", "x"), Seq("id"), Seq("x")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // query 2.0: neighbors x=1 (d=1, w=1) and x=3 (d=1, w=1) → (10+30)/2
+    assert(math.abs(out(1L) - 20.0) < 1e-12)
+    // query 1.0: exact match on x=1 → its target wins outright
+    assert(out(2L) == 10.0)
   }
 
   test("synthetic generator is deterministic, bounded, smooth, and maskable") {
