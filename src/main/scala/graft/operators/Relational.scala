@@ -77,17 +77,13 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  /** B5: top-3 orders per customer by price (row_number, deterministic ties). */
-  def qTopNGroup(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    orders(s, dir)
+  /** B5: top-3 orders per customer by price (Windowed.topNPerKey). */
+  def qTopNGroup(s: SparkSession, dir: String): DataFrame =
+    Windowed.topNPerKey(orders(s, dir), Seq("o_custkey"),
+        order = col("o_totalprice"), tieBreak = col("o_orderkey"), n = 3)
       .select(col("o_custkey"), col("o_orderkey"),
-              dec2(col("o_totalprice")).as("totalprice"),
-              row_number().over(w).as("rn"))
-      .filter(col("rn") <= 3)
+              dec2(col("o_totalprice")).as("totalprice"), col("rn"))
       .orderBy(col("o_custkey"), col("rn"))
-  }
 
   /** B6: rollup aggregation over returnflag × linestatus. */
   def qRollup(s: SparkSession, dir: String): DataFrame = {
@@ -138,36 +134,22 @@ object Relational {
     val ord = orders(s, dir)
       .withColumn("rn", row_number().over(dedupW))
       .filter(col("rn") === 1)
-      .select(col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
-              lit(0).as("tag"), col("o_orderkey"), col("o_totalprice"),
-              lit(null).cast("long").as("event_id"))
-    val ev = events(s, dir)
-      .select(col("user_id"), col("ts").as("t"), lit(1).as("tag"),
-              lit(null).cast("long").as("o_orderkey"),
-              lit(null).cast("double").as("o_totalprice"),
-              col("event_id"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ord.unionByName(ev)
-      .withColumn("mk", last(col("o_orderkey"), ignoreNulls = true).over(w))
-      .withColumn("mp", last(col("o_totalprice"), ignoreNulls = true).over(w))
-      .filter(col("tag") === 1)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+              col("o_orderkey"), col("o_totalprice"))
+    Windowed.asOfJoin(
+        left = events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+        right = ord,
+        key = "user_id", leftTs = "ts", rightTs = "o_orderdate",
+        payload = Seq("o_orderkey", "o_totalprice"))
       .select(col("event_id"), col("user_id"),
-              col("mk").as("o_orderkey"), dec2(col("mp")).as("o_totalprice"))
+              col("o_orderkey"), dec2(col("o_totalprice")).as("o_totalprice"))
       .orderBy(col("event_id"))
   }
 
-  /** B10: sessionization (gaps-and-islands, 30 min inactivity gap). */
+  /** B10: sessionization (Windowed.sessionized, 30 min inactivity gap). */
   def qSessionize(s: SparkSession, dir: String): DataFrame = {
-    val byTime  = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events(s, dir)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byTime))
-      .withColumn("is_new",
-        when(col("prev_ts").isNull ||
-             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
-          .otherwise(0L))
-      .withColumn("session_seq", sum(col("is_new")).over(running))
+    Windowed.sessionized(events(s, dir), key = "user_id", ts = "ts",
+        tieBreak = "event_id", gapUs = 1800L * 1000000L)
       .groupBy(col("user_id"), col("session_seq"))
       .agg(count(lit(1)).as("n_events"),
            min(col("ts")).as("session_start"),

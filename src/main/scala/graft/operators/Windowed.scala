@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable windowed operators over arbitrary frames — the generic forms
+  * behind the B-block queries. Each costs exactly one shuffle on its
+  * natural key.
+  */
+object Windowed {
+
+  /** Top-n rows per key by `order` (descending), deterministic ties via
+    * `tieBreak` ascending. One shuffle on `keys`.
+    */
+  def topNPerKey(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Column,
+      tieBreak: Column,
+      n: Int
+  ): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.desc, tieBreak)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
+  /** Gaps-and-islands sessionization: events split into sessions when
+    * the gap to the previous event (per `key`, ordered by `ts` then
+    * `tieBreak`) exceeds `gapUs` microseconds. Emits the input rows with
+    * a 1-based `session_seq` per key. One shuffle on `key`.
+    */
+  def sessionized(
+      df: DataFrame,
+      key: String,
+      ts: String,
+      tieBreak: String,
+      gapUs: Long
+  ): DataFrame = {
+    val byTime  = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+    val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev", lag(col(ts), 1).over(byTime))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+             unix_micros(col(ts)) - unix_micros(col("__prev")) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("__new")).over(running))
+      .drop("__prev", "__new")
+  }
+
+  /** As-of join: for each left row, attach the right row with the
+    * greatest `rightTs` ≤ `leftTs` within the shared `key` — expressed
+    * Spark-first as a tagged union + one window pass (`last(...,
+    * ignoreNulls)` carries the latest right payload forward), so both
+    * sides shuffle ONCE on the key and no row explosion ever happens
+    * (a range-join formulation would be quadratic per key).
+    *
+    * The right side must be unique per (key, rightTs) — pre-dedup it if
+    * not (see Relational.qAsOf for a deterministic dedup recipe).
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]
+  ): DataFrame = {
+    val lCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__tag", lit(1))
+      .select((lCols.map(col) ++ payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        Seq(col("__t"), col("__tag"))): _*)
+    val r = right
+      .withColumn("__t", col(rightTs))
+      .withColumn("__tag", lit(0))
+      .select((lCols.map(c =>
+        if (c == key) col(key)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col) ++ Seq(col("__t"), col("__tag"))): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select((lCols.map(col) ++
+        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) ++
+        Seq(col("__tag"))): _*)
+      .filter(col("__tag") === 1)
+      .drop("__tag")
+  }
+}
