@@ -25,7 +25,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries report -1.0 in the per-query map but must not
+    // subtract from (and flatter) the total
+    val total = results.collect { case (_, t) if t >= 0 => t }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -16,12 +16,14 @@ object GraftSession {
     .config("spark.sql.extensions", "graft.GraftExtensions")
 
   def local(cpus: String): SparkSession = {
+    // NOTE: driver heap cannot be set here — the JVM is already running.
+    // build.sbt's javaOptions (-Xmx from SPARK_DRIVER_MEM) sizes the
+    // forked JVM; a builder-time spark.driver.memory would be a no-op.
     val s = withGraftConfigs(
       SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

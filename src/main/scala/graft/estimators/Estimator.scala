@@ -49,24 +49,42 @@ private[estimators] object FitUtil {
       orderCols: Seq[String],
       dataCols: Seq[String],
       maxRows: Int = 1 << 22
-  ): Array[Array[Double]] = {
+  ): Array[Array[Double]] =
+    collectSortedWithLabel(train, orderCols, dataCols, labelCol = None, maxRows)._1
+
+  /** As [[collectSorted]], optionally carrying one string column (a
+    * class label) through the same sort — classifier and regressor MUST
+    * share this comparator so identical data gets identical training
+    * ids (the (dist, id) tie-break contract).
+    */
+  def collectSortedWithLabel(
+      train: DataFrame,
+      orderCols: Seq[String],
+      dataCols: Seq[String],
+      labelCol: Option[String],
+      maxRows: Int = 1 << 22
+  ): (Array[Array[Double]], Array[String]) = {
     import org.apache.spark.sql.functions.col
-    val all = orderCols ++ dataCols
-    val rows = train.select(all.map(c => col(c).cast("double")): _*).collect()
+    val numeric = orderCols ++ dataCols
+    val cols = numeric.map(c => col(c).cast("double")) ++
+      labelCol.map(c => col(c).cast("string"))
+    val rows = train.select(cols: _*).collect()
     require(
       rows.length <= maxRows,
       s"training table has ${rows.length} rows (> $maxRows); " +
         "fit data must be small — it is broadcast to every task")
     val n = orderCols.length
-    implicit val lexicographic: Ordering[Array[Double]] =
-      (a: Array[Double], b: Array[Double]) => {
-        var i = 0
-        while (i < n && a(i) == b(i)) i += 1
-        if (i == n) 0 else java.lang.Double.compare(a(i), b(i))
-      }
-    rows
-      .map(r => Array.tabulate(all.length)(i => r.getDouble(i)))
-      .sorted
-      .map(_.drop(n))
+    val collected = rows.map { r =>
+      (Array.tabulate(numeric.length)(i => r.getDouble(i)),
+       if (labelCol.isDefined) r.getString(numeric.length) else null)
+    }
+    // total order (Double.compare: NaN high, -0.0 < 0.0) so TimSort's
+    // contract holds on any input
+    val sorted = collected.sortWith { case ((a, _), (b, _)) =>
+      var i = 0; var cmp = 0
+      while (i < n && { cmp = java.lang.Double.compare(a(i), b(i)); cmp == 0 }) i += 1
+      i < n && cmp < 0
+    }
+    (sorted.map(_._1.drop(n)), sorted.map(_._2))
   }
 }

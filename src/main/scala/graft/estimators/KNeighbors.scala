@@ -206,14 +206,19 @@ final class KnnRegressorModel private[estimators] (
         else {
           val n = KnnKernel.topK(q, s, kk, idx, d2)
           val preds = new Array[Any](t)
-          // sklearn weights="distance": weight 1/dist; a zero-distance
-          // neighbor dominates (it is first in (dist, id) order)
-          val exact = isWeighted && n > 0 && d2(0) == 0.0
+          // sklearn weights="distance": weight 1/dist; when any neighbor
+          // is at distance 0, the prediction is the MEAN of all
+          // zero-distance neighbors (they sort first in (dist, id) order)
+          var nExact = 0
+          if (isWeighted) while (nExact < n && d2(nExact) == 0.0) nExact += 1
           var ti = 0
           while (ti < t) {
             if (isWeighted) {
-              if (exact) preds(ti) = s.y(idx(0) * t + ti)
-              else {
+              if (nExact > 0) {
+                var sum = 0.0; var i = 0
+                while (i < nExact) { sum += s.y(idx(i) * t + ti); i += 1 }
+                preds(ti) = sum / nExact
+              } else {
                 var num = 0.0; var den = 0.0; var i = 0
                 while (i < n) {
                   val w = 1.0 / math.sqrt(d2(i))
@@ -282,23 +287,25 @@ final case class KNeighborsClassifier(k: Int = 5, orderBy: Seq[String] = Nil)
 
   def fit(train: DataFrame, featureCols: Seq[String], targetCols: Seq[String]): KnnClassifierModel = {
     require(targetCols.length == 1, "classifier takes exactly one target column")
-    val labelCol = targetCols.head
     val ord = if (orderBy.nonEmpty) orderBy else featureCols
-    val n = ord.length
-    val rows = train
-      .select((ord ++ featureCols).map(c => col(c).cast("double")) :+ col(labelCol).cast("string"): _*)
-      .collect()
-      .map(r => (Array.tabulate(n + featureCols.length)(r.getDouble), r.getString(n + featureCols.length)))
-      .sortBy(_._1.take(n).toSeq)(scala.math.Ordering.Implicits.seqOrdering)
+    val (feats, labels) = FitUtil.collectSortedWithLabel(
+      train, ord, featureCols, labelCol = Some(targetCols.head))
     val d = featureCols.length
-    val classes = rows.map(_._2).distinct.sorted.toSeq
+    // sklearn's tie rule is "lowest class VALUE": order numerically when
+    // every label parses as a number (string sort would put "10" < "2"),
+    // lexicographically otherwise
+    val distinct = labels.distinct.toSeq
+    val asNumbers = distinct.map(c => c -> c.toDoubleOption)
+    val classes =
+      if (asNumbers.forall(_._2.isDefined)) distinct.sortBy(_.toDouble)
+      else distinct.sorted
     val clsIdx = classes.zipWithIndex.toMap
     val st = new KnnState(
-      ids = Array.tabulate(rows.length)(_.toLong),
-      x = rows.flatMap(_._1.slice(n, n + d)),
+      ids = Array.tabulate(feats.length)(_.toLong),
+      x = feats.flatten,
       y = Array.empty,
-      yCls = rows.map(r => clsIdx(r._2)),
-      m = rows.length,
+      yCls = labels.map(clsIdx),
+      m = feats.length,
       d = d)
     new KnnClassifierModel(featureCols, classes, st, k)
   }

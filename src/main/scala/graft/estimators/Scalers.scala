@@ -25,25 +25,24 @@ sealed trait AffineScalerModel extends FittedModel {
   protected def params: Map[String, (Double, Double)]
   protected def outPrefix: String
 
-  private def affine(ff: FeatureFrame, inverse: Boolean): DataFrame = {
+  private def affine(ff: FeatureFrame, opts: PredictOptions): DataFrame = {
     val mask = ff.noDataMask
     def out(c: String): Column = {
       val (scale, offset) = params(c)
       val safeScale = if (scale == 0.0) 1.0 else scale
-      if (inverse) col(c) * safeScale + offset
-      else (col(c) - offset) / safeScale
+      (col(c) - offset) / safeScale
     }
     ff.df.select(
       ff.idCols.map(col) ++
         ff.featureCols.map(c =>
-          when(mask, lit(Double.NaN)).otherwise(out(c)).as(s"$outPrefix$c")): _*)
+          when(mask, lit(opts.noDataOutput)).otherwise(out(c)).as(s"$outPrefix$c")): _*)
   }
 
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame =
     transform(frame, opts)
 
   def transform(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame =
-    affine(frame.validated(featureNames), inverse = false)
+    affine(frame.validated(featureNames), opts)
 
   /** Inverse transform over a frame whose feature columns hold SCALED
     * values named `outPrefix + originalName` (reference

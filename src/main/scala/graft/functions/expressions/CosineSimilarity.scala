@@ -1,9 +1,10 @@
 package graft.functions.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<double>` columns, WITH code generation — unlike the
@@ -18,8 +19,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
-  // inputs must be array<double>; registered signature documents this
-  // (ExpectsInputTypes is private[sql] and not available to extensions)
+
+  // ExpectsInputTypes is private[sql]; enforce array<double> inputs via
+  // the public checkInputDataTypes hook instead — ArrayData.getDouble on
+  // an int/float array would silently reinterpret bytes
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override def dataType: DataType = DoubleType
 

@@ -40,6 +40,53 @@ object Similarity {
       val qnorm: Array[Double]
   ) extends Serializable
 
+  /** Per-partition bounded top-k buffers, one per query: keeps the k
+    * best (sim desc, vid asc) entries via insertion into sorted arrays.
+    * Shared by the exact and ANN kernels so tie-break fixes apply to
+    * both.
+    */
+  private final class TopKHeaps(nq: Int, k: Int) {
+    val sim = Array.fill(nq)(new Array[Double](k))
+    val vid = Array.fill(nq)(new Array[Long](k))
+    val cnt = new Array[Int](nq)
+
+    def insert(qi: Int, s: Double, id: Long): Unit = {
+      val c = cnt(qi)
+      val better = c < k || s > sim(qi)(c - 1) ||
+        (s == sim(qi)(c - 1) && id < vid(qi)(c - 1))
+      if (better) {
+        var p = math.min(c, k - 1)
+        while (p > 0 && (sim(qi)(p - 1) < s ||
+               (sim(qi)(p - 1) == s && vid(qi)(p - 1) > id))) {
+          sim(qi)(p) = sim(qi)(p - 1); vid(qi)(p) = vid(qi)(p - 1); p -= 1
+        }
+        sim(qi)(p) = s; vid(qi)(p) = id
+        if (c < k) cnt(qi) = c + 1
+      }
+    }
+
+    def emit(qids: Array[Long]): Iterator[Row] =
+      (0 until nq).iterator.flatMap { qi =>
+        (0 until cnt(qi)).map(p => Row(qids(qi), vid(qi)(p), sim(qi)(p)))
+      }
+  }
+
+  private val localTopKSchema = StructType(Seq(
+    StructField("q_id", LongType, nullable = false),
+    StructField("vec_id", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+
+  /** Merge per-partition candidates into the global per-query top-k. */
+  private def globalTopK(locals: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    locals
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+              dec4(col("sim")).as("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** D1: brute-force cosine top-k of every corpus vector against each
     * broadcast query vector. Two-phase: per-partition bounded heaps →
     * tiny global reduction.
@@ -61,18 +108,11 @@ object Similarity {
       })
     val bc = s.sparkContext.broadcast(st)
 
-    val localSchema = StructType(Seq(
-      StructField("q_id", LongType, nullable = false),
-      StructField("vec_id", LongType, nullable = false),
-      StructField("sim", DoubleType, nullable = false)))
-
     val locals = fanOut(e.select(col("vec_id"), col("v")))
       .mapPartitions { it =>
         val q = bc.value
         val nq = q.qids.length
-        val simH = Array.fill(nq)(new Array[Double](k))
-        val vidH = Array.fill(nq)(new Array[Long](k))
-        val cnt  = new Array[Int](nq)
+        val heaps = new TopKHeaps(nq, k)
         it.foreach { row =>
           val v = row.getSeq[Double](1).toArray
           val vid = row.getLong(0)
@@ -84,35 +124,14 @@ object Similarity {
             val qvv = q.qv(qi)
             var d = 0.0; var j = 0
             while (j < v.length) { d += qvv(j) * v(j); j += 1 }
-            val sim = d / (q.qnorm(qi) * nrm)
-            val c = cnt(qi)
-            val better = c < k || sim > simH(qi)(c - 1) ||
-              (sim == simH(qi)(c - 1) && vid < vidH(qi)(c - 1))
-            if (better) {
-              val fill = math.min(c, k - 1)
-              var p = fill
-              while (p > 0 && (simH(qi)(p - 1) < sim ||
-                     (simH(qi)(p - 1) == sim && vidH(qi)(p - 1) > vid))) {
-                simH(qi)(p) = simH(qi)(p - 1); vidH(qi)(p) = vidH(qi)(p - 1); p -= 1
-              }
-              simH(qi)(p) = sim; vidH(qi)(p) = vid
-              if (c < k) cnt(qi) = c + 1
-            }
+            heaps.insert(qi, d / (q.qnorm(qi) * nrm), vid)
             qi += 1
           }
         }
-        (0 until nq).iterator.flatMap { qi =>
-          (0 until cnt(qi)).map(p => Row(q.qids(qi), vidH(qi)(p), simH(qi)(p)))
-        }
-      }(Encoders.row(localSchema))
+        heaps.emit(q.qids)
+      }(Encoders.row(localTopKSchema))
 
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    locals
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
-              dec4(col("sim")).as("sim"))
-      .orderBy(col("q_id"), col("rank"))
+    globalTopK(locals, k)
   }
 
   /** D2: exact embedding near-dup pairs (cosine ≥ 0.4). The corpus is
@@ -256,17 +275,11 @@ object Similarity {
     }
     val bc = s.sparkContext.broadcast((qids, qv, qnorm, buckets, planes))
 
-    val localSchema = StructType(Seq(
-      StructField("q_id", LongType, nullable = false),
-      StructField("vec_id", LongType, nullable = false),
-      StructField("sim", DoubleType, nullable = false)))
     val locals = fanOut(e.select(col("vec_id"), col("v")))
       .mapPartitions { it =>
         val (bQids, bQv, bQnorm, bBuckets, bPlanes) = bc.value
         val nq = bQids.length
-        val simH = Array.fill(nq)(new Array[Double](k))
-        val vidH = Array.fill(nq)(new Array[Long](k))
-        val cnt  = new Array[Int](nq)
+        val heaps = new TopKHeaps(nq, k)
         val cand = new Array[Boolean](nq)
         it.foreach { row =>
           val v = row.getSeq[Double](1).toArray
@@ -282,8 +295,8 @@ object Similarity {
           java.util.Arrays.fill(cand, false)
           var any = false
           var b = 0
-          while (b < 8) {
-            val key = (b << 16) | ((sig >>> (b * 4)) & 0xf)
+          while (b < nBands) {
+            val key = (b << 16) | ((sig >>> (b * bandBits)) & ((1 << bandBits) - 1))
             val qs = bBuckets.get(key)
             if (qs != null) { qs.foreach(cand(_) = true); any = true }
             b += 1
@@ -298,36 +311,16 @@ object Similarity {
                 val qvv = bQv(qi)
                 var d = 0.0; var jj = 0
                 while (jj < v.length) { d += qvv(jj) * v(jj); jj += 1 }
-                val sim = d / (bQnorm(qi) * nrm)
-                val c = cnt(qi)
-                val better = c < k || sim > simH(qi)(c - 1) ||
-                  (sim == simH(qi)(c - 1) && vid < vidH(qi)(c - 1))
-                if (better) {
-                  var pp = math.min(c, k - 1)
-                  while (pp > 0 && (simH(qi)(pp - 1) < sim ||
-                         (simH(qi)(pp - 1) == sim && vidH(qi)(pp - 1) > vid))) {
-                    simH(qi)(pp) = simH(qi)(pp - 1); vidH(qi)(pp) = vidH(qi)(pp - 1); pp -= 1
-                  }
-                  simH(qi)(pp) = sim; vidH(qi)(pp) = vid
-                  if (c < k) cnt(qi) = c + 1
-                }
+                heaps.insert(qi, d / (bQnorm(qi) * nrm), vid)
               }
               qi += 1
             }
           }
         }
-        (0 until nq).iterator.flatMap { qi =>
-          (0 until cnt(qi)).map(p2 => Row(bQids(qi), vidH(qi)(p2), simH(qi)(p2)))
-        }
-      }(Encoders.row(localSchema))
+        heaps.emit(bQids)
+      }(Encoders.row(localTopKSchema))
 
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    locals
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
-              dec4(col("sim")).as("sim"))
-      .orderBy(col("q_id"), col("rank"))
+    globalTopK(locals, k)
   }
 
   val oracles: Map[String, String] = Map(

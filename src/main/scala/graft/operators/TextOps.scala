@@ -178,7 +178,11 @@ object TextOps {
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"),
              concat_ws("#", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey")))
+    // docs with <3 words have NULL signatures; concat_ws would fold them
+    // all into one "" bucket — a quadratic blowup at corpus scale (and a
+    // divergence from the oracle, whose NULL || NULL never joins)
     val bands = sig
+      .filter(col("sig0").isNotNull)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     // One aggregation into per-bucket doc lists instead of a self-join:

@@ -65,25 +65,30 @@ object Windowed {
       payload: Seq[String]
   ): DataFrame = {
     val lCols = left.columns.toSeq
+    // the payload travels as ONE struct so `last(..., ignoreNulls)`
+    // picks all columns from the SAME right row atomically — per-column
+    // lasts would backfill a legitimate NULL payload field from an older
+    // right row, fabricating rows that never existed
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c)))
     val l = left
       .withColumn("__t", col(leftTs))
       .withColumn("__tag", lit(1))
-      .select((lCols.map(col) ++ payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
-        Seq(col("__t"), col("__tag"))): _*)
+      .withColumn("__p", lit(null).cast(payloadType))
+      .select((lCols.map(col) ++ Seq(col("__p"), col("__t"), col("__tag"))): _*)
     val r = right
       .withColumn("__t", col(rightTs))
       .withColumn("__tag", lit(0))
+      .withColumn("__p", struct(payload.map(col): _*))
       .select((lCols.map(c =>
         if (c == key) col(key)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col) ++ Seq(col("__t"), col("__tag"))): _*)
+        Seq(col("__p"), col("__t"), col("__tag"))): _*)
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select((lCols.map(col) ++
-        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) ++
-        Seq(col("__tag"))): _*)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .drop("__tag")
+      .select((lCols.map(col) ++ payload.map(c => col(s"__m.$c").as(c))): _*)
   }
 }
