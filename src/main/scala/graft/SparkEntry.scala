@@ -24,6 +24,7 @@ object SparkEntry {
     "q_sessionize"     -> (Relational.qSessionize _),
     "q_tumbling"       -> (Relational.qTumbling _),
     "q_knn_reg"        -> (Estimation.qKnnReg _),
+    "q_knn_weighted"   -> (Estimation.qKnnWeighted _),
     "q_knn_reg_multi"  -> (Estimation.qKnnRegMulti _),
     "q_knn_cls"        -> (Estimation.qKnnCls _),
     "q_knn_proba"      -> (Estimation.qKnnProba _),

@@ -64,6 +64,19 @@ object Estimation {
       .orderBy(col("li_id"))
   }
 
+  /** A1b: distance-weighted kNN regression (sklearn weights="distance";
+    * zero-distance neighbors — the training rows themselves appear in
+    * the prediction set — take the unweighted mean of the exact
+    * matches).
+    */
+  def qKnnWeighted(s: SparkSession, dir: String): DataFrame = {
+    val model = KNeighborsRegressor(k = 5, orderBy = trainOrder, weighted = true)
+      .fit(trainLi(s, dir), Seq("l_extendedprice"), Seq("l_quantity"))
+    model.predict(FeatureFrame(li(s, dir), Seq("li_id"), Seq("l_extendedprice")))
+      .select(col("li_id"), dec4(col("l_quantity")).as("prediction"))
+      .orderBy(col("li_id"))
+  }
+
   /** A2: multi-feature (d=3), multi-target (t=2) kNN regression. */
   def qKnnRegMulti(s: SparkSession, dir: String): DataFrame = {
     val model = KNeighborsRegressor(k = 5, orderBy = trainOrder)
@@ -216,6 +229,18 @@ object Estimation {
           |    (q.l_extendedprice-train.l_extendedprice)*(q.l_extendedprice-train.l_extendedprice), tid) AS rn
           |  FROM q CROSS JOIN train)
           |SELECT li_id, CAST(ROUND(AVG(ty),4) AS DECIMAL(18,4)) AS prediction
+          |FROM d WHERE rn <= 5 GROUP BY li_id ORDER BY li_id""".stripMargin,
+      "q_knn_weighted" ->
+        s"""WITH $train, $q,
+          |d AS (SELECT li_id, train.l_quantity AS ty,
+          |  (q.l_extendedprice-train.l_extendedprice)*(q.l_extendedprice-train.l_extendedprice) AS d2,
+          |  ROW_NUMBER() OVER (PARTITION BY li_id ORDER BY
+          |    (q.l_extendedprice-train.l_extendedprice)*(q.l_extendedprice-train.l_extendedprice), tid) AS rn
+          |  FROM q CROSS JOIN train)
+          |SELECT li_id, CAST(ROUND(CASE
+          |    WHEN SUM(CASE WHEN d2 = 0 THEN 1 ELSE 0 END) > 0
+          |    THEN AVG(ty) FILTER (WHERE d2 = 0)
+          |    ELSE SUM(ty/SQRT(d2))/SUM(1/SQRT(d2)) END, 4) AS DECIMAL(18,4)) AS prediction
           |FROM d WHERE rn <= 5 GROUP BY li_id ORDER BY li_id""".stripMargin,
       "q_knn_reg_multi" ->
         s"""WITH $train, $q,
