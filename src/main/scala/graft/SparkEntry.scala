@@ -23,6 +23,7 @@ object SparkEntry {
     "q_asof"           -> (Relational.qAsOf _),
     "q_sessionize"     -> (Relational.qSessionize _),
     "q_tumbling"       -> (Relational.qTumbling _),
+    "q_range_join"     -> (Relational.qRangeJoin _),
     "q_knn_reg"        -> (Estimation.qKnnReg _),
     "q_knn_weighted"   -> (Estimation.qKnnWeighted _),
     "q_knn_reg_multi"  -> (Estimation.qKnnRegMulti _),

@@ -158,6 +158,28 @@ object Relational {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** B12: range join — every error event opens a 1-hour incident window
+    * per user; count that user's events inside each window
+    * (Windowed.rangeJoin: bucketed equi-join, no nested loop). Inner
+    * semantics (every window contains at least its own error event).
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val intervals = events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("user_id"),
+              col("ts").as("w_start"),
+              timestamp_micros(unix_micros(col("ts")) + hourUs).as("w_end"))
+    Windowed.rangeJoin(
+        points = events(s, dir).select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        intervals = intervals,
+        key = "user_id", ts = "ts", start = "w_start", end = "w_end",
+        bucketUs = hourUs)
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"), dec2(sum(col("value"))).as("sum_value"))
+      .orderBy(col("incident_id"))
+  }
+
   /** B11: tumbling 1-hour window aggregate over the event stream (batch twin of F1). */
   def qTumbling(s: SparkSession, dir: String): DataFrame = {
     events(s, dir)
@@ -261,6 +283,15 @@ object Relational {
         |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
         |  CAST(ROUND(SUM(value),2) AS DECIMAL(18,2)) AS sum_value
         |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_range_join" ->
+      """SELECT i.event_id AS incident_id, COUNT(*) AS n_events,
+        |  CAST(ROUND(SUM(e.value),2) AS DECIMAL(18,2)) AS sum_value
+        |FROM events i JOIN events e
+        |  ON i.event_type = 'error'
+        | AND e.user_id = i.user_id
+        | AND e.ts >= i.ts
+        | AND e.ts < i.ts + INTERVAL 1 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  COUNT(*) AS n, CAST(ROUND(SUM(value),2) AS DECIMAL(18,2)) AS sum_value

@@ -46,6 +46,41 @@ object Windowed {
       .drop("__prev", "__new")
   }
 
+  /** Range (interval) join: match each point row (`ts`) to the interval
+    * rows `[start, end)` of the same `key`. Spark has no optimized range
+    * join, and a bare inequality join plans as a nested loop — so the
+    * intervals are exploded to the coarse time buckets they cover
+    * (`sequence` on `bucketUs`-sized epochs) and the join runs as an
+    * equi-join on (key, bucket) with the range predicate as a residual
+    * filter. Shuffle volume is O(points + intervals × span/bucketUs),
+    * never the cross product; pick `bucketUs` ≈ the typical span.
+    *
+    * Inner semantics; each matching (point, interval) pair appears
+    * exactly once (a point lives in exactly one bucket).
+    */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      key: String,
+      ts: String,
+      start: String,
+      end: String,
+      bucketUs: Long
+  ): DataFrame = {
+    val p = points
+      .withColumn("__bp", floor(unix_micros(col(ts)) / bucketUs))
+    val i = intervals
+      .withColumnRenamed(key, "__k")
+      .withColumn("__bi", explode(sequence(
+        floor(unix_micros(col(start)) / bucketUs),
+        // end is exclusive: the last covered bucket is for end - 1µs
+        floor((unix_micros(col(end)) - 1) / bucketUs))))
+    p.join(i,
+        col(key) === col("__k") && col("__bp") === col("__bi") &&
+          col(ts) >= col(start) && col(ts) < col(end))
+      .drop("__bp", "__bi", "__k")
+  }
+
   /** As-of join: for each left row, attach the right row with the
     * greatest `rightTs` ≤ `leftTs` within the shared `key` — expressed
     * Spark-first as a tagged union + one window pass (`last(...,
