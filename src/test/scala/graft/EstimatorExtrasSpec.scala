@@ -40,6 +40,24 @@ class EstimatorExtrasSpec extends AnyFunSuite {
     assert(gMse < 0.2 * yVar, s"GBT underfits: mse=$gMse")
   }
 
+  test("Graft.wrap adapts any Spark ML estimator into the contract") {
+    val rows = (0 until 200).map { i =>
+      val x = i / 10.0
+      (i.toLong, x, 1.0 + 2.0 * x)
+    }
+    val df = rows.toDF("id", "x", "y")
+    val m = Graft.wrap(new org.apache.spark.ml.regression.LinearRegression())
+      .fit(df, Seq("x"), Seq("y"))
+    val pred = m.predict(FeatureFrame(df, Seq("id"), Seq("x")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.take(5).foreach { case (id, _, y) => assert(math.abs(pred(id) - y) < 1e-6) }
+    // masked rows still fill per the shared contract
+    val masked = Seq((9L, Double.NaN)).toDF("id", "x")
+    val out = m.predict(FeatureFrame(masked, Seq("id"), Seq("x")),
+      PredictOptions(noDataOutput = -7.0)).collect()
+    assert(out.head.getDouble(1) == -7.0)
+  }
+
   test("PCA recovers the dominant axis with deterministic sign") {
     // points spread along (1, 2, 0) with small noise
     val rnd = new scala.util.Random(9)

@@ -75,6 +75,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(mse < 0.5, s"imputation mse $mse")
   }
 
+  test("partitioned parquet sink enables partition pruning on read") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    graft.sources.Sinks.parquet(events, tmp, partitionBy = Seq("event_type"))
+    val back = spark.read.parquet(tmp).filter(col("event_type") === "error")
+    val n = back.count()
+    assert(n > 0 && n < events.count())
+    val plan = back.queryExecution.executedPlan.toString
+    // the predicate must prune at the directory level, not row level
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+  }
+
   test("csv loader round-trips with explicit schema") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
