@@ -1,23 +1,23 @@
 package graft.estimators
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.functions._
 
 import graft.core.{FeatureFrame, PredictOptions}
+import graft.sources.Tables.fanOut
 
 /** k-nearest-neighbor estimators — the reference's canonical workload
   * (KNeighborsRegressor/Classifier wrapped by `estimator.py:119`;
   * `predict_proba` `estimator.py:233`; `kneighbors` `estimator.py:387`).
   *
   * Spark realization: the training matrix is SMALL by construction (the
-  * tabular fit side), so it is collected once and broadcast as primitive
-  * row-major arrays; each input partition streams through a mapPartitions
-  * kernel doing an O(m·d) scan per row into a bounded k-slot insertion
-  * buffer. Zero shuffle, zero crossJoin — input partitions are processed
-  * independently, so throughput scales linearly with executors at 100 TB.
-  * (A crossJoin+window formulation would materialize n×m rows through a
-  * shuffle; ruled out at scale.)
+  * tabular fit side), collected once into primitive row-major arrays and
+  * shipped inside a Catalyst expression ([[KnnScanExpr]]) — each input
+  * row's top-k scan runs directly on InternalRow data inside the
+  * projection. Zero shuffle, zero crossJoin, no per-row Row boxing;
+  * input partitions are processed independently, so throughput scales
+  * linearly with executors at 100 TB. (A crossJoin+window formulation
+  * would materialize n×m rows through a shuffle; ruled out at scale.)
   *
   * Determinism: neighbors are ordered by (squaredDistance, trainId)
   * ascending — distance ties break on the training-row id, matching the
@@ -86,69 +86,20 @@ private[estimators] object KnnKernel {
     n
   }
 
-  /** Read the feature vector of `row` (columns [offset, offset+d)) into
-    * `q`; returns true when the row is NoData-masked (NULL, NaN, or the
-    * per-feature sentinel — `ufunc/_base.py:26` any-feature rule).
+  /** Project the validated frame to (ids ++ mask ++ knn-scan output):
+    * the narrow input is fanned out BEFORE the scan expression so the
+    * O(m·d) per-row work runs on all cores even when the source arrives
+    * as a single partition; masked rows skip the scan entirely.
     */
-  def readFeatures(
-      row: Row,
-      offset: Int,
-      q: Array[Double],
-      sentinels: Array[Double]
-  ): Boolean = {
-    var masked = false
-    var j = 0
-    while (j < q.length) {
-      if (row.isNullAt(offset + j)) masked = true
-      else {
-        val v = row.getDouble(offset + j)
-        if (java.lang.Double.isNaN(v)) masked = true
-        else {
-          val s = sentinels(j)
-          if (!java.lang.Double.isNaN(s) && v == s) masked = true
-        }
-        q(j) = v
-      }
-      j += 1
-    }
-    masked
-  }
-
-  /** Project the frame to (idCols ++ features-as-double) and run the
-    * row function built by `mkPart` per partition (so implementations
-    * can allocate scratch buffers once per partition, not per row),
-    * producing `outFields` appended to the id columns.
-    */
-  def run(
-      frame: FeatureFrame,
-      fitNames: Seq[String],
-      outFields: Seq[StructField]
-  )(mkPart: () => (Row, Int, Array[Double], Boolean) => Row): DataFrame = {
-    val ff = frame.validated(fitNames)
-    val nId = ff.idCols.length
-    val in = graft.sources.Tables.fanOut(ff.df.select(
+  def scanned(ff: FeatureFrame, st: KnnState, k: Int, mode: Int, classCount: Int): DataFrame = {
+    val in = fanOut(ff.df.select(
       (ff.idCols.map(col) ++ ff.featureCols.map(c => col(c).cast("double"))): _*))
-    val sentinels = ff.sentinels
-    val outSchema = StructType(
-      ff.idCols.map(in.schema(_)) ++ outFields)
-    val d = ff.featureCols.length
-    in.mapPartitions { it =>
-      val mkRow = mkPart()
-      val q = new Array[Double](d)
-      it.map { row =>
-        val masked = readFeatures(row, nId, q, sentinels)
-        mkRow(row, nId, q, masked)
-      }
-    }(Encoders.row(outSchema))
-  }
-
-  /** Copy id values + payload into one output array (one alloc per row). */
-  def outRow(row: Row, nId: Int, payload: Array[Any]): Row = {
-    val a = new Array[Any](nId + payload.length)
-    var i = 0
-    while (i < nId) { a(i) = row.get(i); i += 1 }
-    System.arraycopy(payload, 0, a, nId, payload.length)
-    Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(a))
+    val features = array(ff.featureCols.map(col): _*)
+    val knn = GraftSqlBridge.column(
+      KnnScanExpr(GraftSqlBridge.expression(features), st, k, mode, classCount))
+    val mask = ff.noDataMask
+    in.select(
+      ff.idCols.map(col) :+ mask.as("__m") :+ when(!mask, knn).as("__knn"): _*)
   }
 }
 
@@ -160,8 +111,8 @@ private[estimators] object KnnKernel {
   * distance tie-break. Defaults to the feature+target columns.
   *
   * `weighted = true` is sklearn's `weights="distance"`: targets average
-  * with weight 1/distance; an exact-match neighbor (distance 0) takes
-  * the whole prediction (sklearn's zero-distance rule).
+  * with weight 1/distance; zero-distance neighbors take the mean of the
+  * exact matches (sklearn's zero-distance rule).
   */
 final case class KNeighborsRegressor(
     k: Int = 5, orderBy: Seq[String] = Nil, weighted: Boolean = false)
@@ -191,91 +142,37 @@ final class KnnRegressorModel private[estimators] (
 ) extends FittedModel {
 
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
-    val bc = frame.df.sparkSession.sparkContext.broadcast(st)
-    val t = targetNames.length
-    val outFields = targetNames.map(StructField(_, DoubleType, nullable = false))
-    val kk = k
-    val isWeighted = weighted // local copy: the closure must not capture `this`
-    KnnKernel.run(frame, featureNames, outFields) { () =>
-      val s = bc.value
-      val idx = new Array[Int](math.min(kk, s.m))
-      val d2 = new Array[Double](idx.length)
-      val fillPayload: Array[Any] = Array.fill(t)(opts.noDataOutput)
-      (row, nId, q, masked) =>
-        if (masked) KnnKernel.outRow(row, nId, fillPayload)
-        else {
-          val n = KnnKernel.topK(q, s, kk, idx, d2)
-          val preds = new Array[Any](t)
-          // sklearn weights="distance": weight 1/dist; when any neighbor
-          // is at distance 0, the prediction is the MEAN of all
-          // zero-distance neighbors (they sort first in (dist, id) order)
-          var nExact = 0
-          if (isWeighted) while (nExact < n && d2(nExact) == 0.0) nExact += 1
-          var ti = 0
-          while (ti < t) {
-            if (isWeighted) {
-              if (nExact > 0) {
-                var sum = 0.0; var i = 0
-                while (i < nExact) { sum += s.y(idx(i) * t + ti); i += 1 }
-                preds(ti) = sum / nExact
-              } else {
-                var num = 0.0; var den = 0.0; var i = 0
-                while (i < n) {
-                  val w = 1.0 / math.sqrt(d2(i))
-                  num += w * s.y(idx(i) * t + ti); den += w
-                  i += 1
-                }
-                preds(ti) = num / den
-              }
-            } else {
-              var sum = 0.0; var i = 0
-              while (i < n) { sum += s.y(idx(i) * t + ti); i += 1 }
-              preds(ti) = sum / n
-            }
-            ti += 1
-          }
-          KnnKernel.outRow(row, nId, preds)
-        }
+    val ff = frame.validated(featureNames)
+    val mode = if (weighted) KnnScanExpr.ModeWeighted else KnnScanExpr.ModeReg
+    val scanned = KnnKernel.scanned(ff, st, k, mode, 0)
+    val outs = targetNames.zipWithIndex.map { case (tn, i) =>
+      when(col("__m"), lit(opts.noDataOutput))
+        .otherwise(element_at(col("__knn"), i + 1)).as(tn)
     }
+    scanned.select(ff.idCols.map(col) ++ outs: _*)
   }
 
   /** kneighbors (reference `estimator.py:387`): per input row, the k
     * nearest training ids and (optionally) Euclidean distances, as
-    * sequentially-named columns (`generate_sequential_names`).
+    * sequentially-named columns (`generate_sequential_names`). Masked
+    * rows get id -1 and `opts.noDataOutput` distances; so do the slots
+    * beyond the training size when m < k.
     */
   def kneighbors(frame: FeatureFrame, returnDistance: Boolean = true,
                  opts: PredictOptions = PredictOptions()): DataFrame = {
-    val bc = frame.df.sparkSession.sparkContext.broadcast(st)
-    val kk = k
-    val idFields = FeatureFrame.sequentialNames(kk, "neighbor")
-      .map(StructField(_, LongType, nullable = false))
-    val dFields =
-      if (returnDistance)
-        FeatureFrame.sequentialNames(kk, "distance")
-          .map(StructField(_, DoubleType, nullable = false))
-      else Seq.empty
-    val width = if (returnDistance) 2 * kk else kk
-    KnnKernel.run(frame, featureNames, idFields ++ dFields) { () =>
-      val s = bc.value
-      val idx = new Array[Int](math.min(kk, s.m))
-      val d2 = new Array[Double](idx.length)
-      val fillPayload: Array[Any] = Array.tabulate(width)(i =>
-        if (i < kk) -1L else opts.noDataOutput)
-      (row, nId, q, masked) =>
-        if (masked) KnnKernel.outRow(row, nId, fillPayload)
-        else {
-          val n = KnnKernel.topK(q, s, kk, idx, d2)
-          val payload = new Array[Any](width)
-          var i = 0
-          while (i < kk) {
-            payload(i) = if (i < n) s.ids(idx(i)) else -1L
-            if (returnDistance)
-              payload(kk + i) = if (i < n) math.sqrt(d2(i)) else opts.noDataOutput
-            i += 1
-          }
-          KnnKernel.outRow(row, nId, payload)
-        }
+    val ff = frame.validated(featureNames)
+    val scanned = KnnKernel.scanned(ff, st, k, KnnScanExpr.ModeNN, 0)
+    val idCols = FeatureFrame.sequentialNames(k, "neighbor").zipWithIndex.map { case (nm, i) =>
+      when(col("__m"), lit(-1L))
+        .otherwise(element_at(col("__knn"), i + 1).cast("long")).as(nm)
     }
+    val distCols =
+      if (!returnDistance) Seq.empty
+      else FeatureFrame.sequentialNames(k, "distance").zipWithIndex.map { case (nm, i) =>
+        when(col("__m"), lit(opts.noDataOutput))
+          .otherwise(nanvl(element_at(col("__knn"), k + i + 1), lit(opts.noDataOutput))).as(nm)
+      }
+    scanned.select(ff.idCols.map(col) ++ idCols ++ distCols: _*)
   }
 }
 
@@ -318,63 +215,40 @@ final class KnnClassifierModel private[estimators] (
     k: Int
 ) extends FittedModel {
 
+  private def counts(ff: FeatureFrame): DataFrame =
+    KnnKernel.scanned(ff, st, k, KnnScanExpr.ModeCounts, classes.length)
+
   /** Majority-vote class per row; masked rows get `noDataLabel`. */
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame =
     predictLabeled(frame, noDataLabel = null)
 
   def predictLabeled(frame: FeatureFrame, noDataLabel: String): DataFrame = {
-    val bc = frame.df.sparkSession.sparkContext.broadcast(st)
-    val cls = classes.toArray
-    val kk = k
-    KnnKernel.run(frame, featureNames,
-      Seq(StructField("prediction", StringType, nullable = true))) { () =>
-      val s = bc.value
-      val idx = new Array[Int](math.min(kk, s.m))
-      val d2 = new Array[Double](idx.length)
-      val counts = new Array[Int](cls.length)
-      val fillPayload: Array[Any] = Array[Any](noDataLabel)
-      (row, nId, q, masked) =>
-        if (masked) KnnKernel.outRow(row, nId, fillPayload)
-        else {
-          val n = KnnKernel.topK(q, s, kk, idx, d2)
-          java.util.Arrays.fill(counts, 0)
-          var i = 0
-          while (i < n) { counts(s.yCls(idx(i))) += 1; i += 1 }
-          // highest count wins; ties go to the lowest class value (classes
-          // are sorted ascending, so first max index wins)
-          var best = 0; var c = 1
-          while (c < counts.length) { if (counts(c) > counts(best)) best = c; c += 1 }
-          KnnKernel.outRow(row, nId, Array[Any](cls(best)))
-        }
+    val ff = frame.validated(featureNames)
+    val scanned = counts(ff)
+    val scores = classes.indices.map(i => element_at(col("__knn"), i + 1))
+    // first class (ascending order) whose count >= every later count is
+    // the argmax with ties to the lowest class value
+    val pred = classes.zipWithIndex.foldRight(lit(classes.last): Column) {
+      case ((cls, i), elseExpr) =>
+        val rest = scores.drop(i + 1)
+        if (rest.isEmpty) elseExpr
+        else when(rest.map(o => scores(i) >= o).reduce(_ && _), cls).otherwise(elseExpr)
     }
+    scanned.select(ff.idCols.map(col) :+
+      when(col("__m"), lit(noDataLabel)).otherwise(pred).as("prediction"): _*)
   }
 
   /** predict_proba (reference `estimator.py:233`): neighbor class
     * frequencies, one column per class value (classes-as-bands).
     */
   def predictProba(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
-    val bc = frame.df.sparkSession.sparkContext.broadcast(st)
-    val cls = classes.toArray
-    val kk = k
-    val outFields = cls.map(c => StructField(s"p_$c", DoubleType, nullable = false)).toSeq
-    KnnKernel.run(frame, featureNames, outFields) { () =>
-      val s = bc.value
-      val idx = new Array[Int](math.min(kk, s.m))
-      val d2 = new Array[Double](idx.length)
-      val counts = new Array[Int](cls.length)
-      val fillPayload: Array[Any] = Array.fill(cls.length)(opts.noDataOutput)
-      (row, nId, q, masked) =>
-        if (masked) KnnKernel.outRow(row, nId, fillPayload)
-        else {
-          val n = KnnKernel.topK(q, s, kk, idx, d2)
-          java.util.Arrays.fill(counts, 0)
-          var i = 0
-          while (i < n) { counts(s.yCls(idx(i))) += 1; i += 1 }
-          val payload = new Array[Any](cls.length)
-          var c = 0
-          while (c < cls.length) { payload(c) = counts(c).toDouble / n; c += 1 }
-          KnnKernel.outRow(row, nId, payload)
-        }
+    val ff = frame.validated(featureNames)
+    val scanned = counts(ff)
+    val n = math.min(k, st.m).toDouble
+    val outs = classes.zipWithIndex.map { case (cls, i) =>
+      when(col("__m"), lit(opts.noDataOutput))
+        .otherwise(element_at(col("__knn"), i + 1) / n).as(s"p_$cls")
     }
+    scanned.select(ff.idCols.map(col) ++ outs: _*)
   }
 }

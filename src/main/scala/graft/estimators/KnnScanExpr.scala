@@ -1,0 +1,110 @@
+package graft.estimators
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Catalyst expression form of the kNN scan: evaluates directly on
+  * InternalRow data inside the projection, replacing the mapPartitions
+  * kernel whose per-row Row decode/encode dominated predict cost (the
+  * math is unchanged — it delegates to [[KnnKernel.topK]], so distance
+  * accumulation and (dist, id) tie-breaks stay bit-identical to the
+  * oracles).
+  *
+  * Input: `array<double>` of features (NoData rows must be routed around
+  * the expression by the caller's `when(mask, ...)`). Output:
+  * `array<double>` whose layout depends on `mode`:
+  *  - [[KnnScanExpr.ModeReg]]:      t mean-of-neighbors targets
+  *  - [[KnnScanExpr.ModeWeighted]]: t 1/distance-weighted targets
+  *                                  (zero-distance neighbors average)
+  *  - [[KnnScanExpr.ModeCounts]]:   classCount neighbor class counts
+  *  - [[KnnScanExpr.ModeNN]]:       k neighbor ids then k distances
+  *                                  (ids are exact ≤ 2^53 doubles)
+  *
+  * The fitted state ships inside the expression → serialized once into
+  * the stage's task binary (the fit side is small by construction).
+  */
+case class KnnScanExpr(
+    child: Expression,
+    st: KnnState,
+    k: Int,
+    mode: Int,
+    classCount: Int
+) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "graft_knn_scan"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val d = st.d
+    val q = new Array[Double](d)
+    var j = 0
+    while (j < d) { q(j) = arr.getDouble(j); j += 1 }
+    val idx = new Array[Int](math.min(k, st.m))
+    val d2 = new Array[Double](idx.length)
+    val n = KnnKernel.topK(q, st, k, idx, d2)
+    val t = if (st.m == 0) 0 else st.y.length / st.m
+    val out = mode match {
+      case KnnScanExpr.ModeReg =>
+        val o = new Array[Double](t)
+        var ti = 0
+        while (ti < t) {
+          var sum = 0.0; var i = 0
+          while (i < n) { sum += st.y(idx(i) * t + ti); i += 1 }
+          o(ti) = sum / n
+          ti += 1
+        }
+        o
+      case KnnScanExpr.ModeWeighted =>
+        val o = new Array[Double](t)
+        var nExact = 0
+        while (nExact < n && d2(nExact) == 0.0) nExact += 1
+        var ti = 0
+        while (ti < t) {
+          if (nExact > 0) {
+            var sum = 0.0; var i = 0
+            while (i < nExact) { sum += st.y(idx(i) * t + ti); i += 1 }
+            o(ti) = sum / nExact
+          } else {
+            var num = 0.0; var den = 0.0; var i = 0
+            while (i < n) {
+              val w = 1.0 / math.sqrt(d2(i))
+              num += w * st.y(idx(i) * t + ti); den += w
+              i += 1
+            }
+            o(ti) = num / den
+          }
+          ti += 1
+        }
+        o
+      case KnnScanExpr.ModeCounts =>
+        val o = new Array[Double](classCount)
+        var i = 0
+        while (i < n) { o(st.yCls(idx(i))) += 1.0; i += 1 }
+        o
+      case KnnScanExpr.ModeNN =>
+        val o = new Array[Double](2 * k)
+        var i = 0
+        while (i < k) {
+          o(i) = if (i < n) st.ids(idx(i)).toDouble else -1.0
+          o(k + i) = if (i < n) math.sqrt(d2(i)) else Double.NaN
+          i += 1
+        }
+        o
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KnnScanExpr =
+    copy(child = newChild)
+}
+
+object KnnScanExpr {
+  val ModeReg = 0
+  val ModeWeighted = 1
+  val ModeCounts = 2
+  val ModeNN = 3
+}

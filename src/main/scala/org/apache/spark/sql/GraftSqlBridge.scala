@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Expression↔Column lifting for the graft engine. Spark 4 moved the
+  * classic Column internals behind `private[sql]`; extension libraries
+  * that define native Catalyst expressions conventionally expose them
+  * through a bridge in this package (the analyzer/optimizer surface the
+  * expressions plug into is stable developer API).
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
