@@ -118,6 +118,13 @@ final case class KNeighborsRegressor(
     k: Int = 5, orderBy: Seq[String] = Nil, weighted: Boolean = false)
     extends FeatureEstimator[KnnRegressorModel] {
 
+  /** Unsupervised form (the reference wraps sklearn NearestNeighbors
+    * too): fit without targets; only `kneighbors` is meaningful on the
+    * resulting model.
+    */
+  def fit(train: DataFrame, featureCols: Seq[String]): KnnRegressorModel =
+    fit(train, featureCols, Nil)
+
   def fit(train: DataFrame, featureCols: Seq[String], targetCols: Seq[String]): KnnRegressorModel = {
     val ord = if (orderBy.nonEmpty) orderBy else featureCols ++ targetCols
     val sorted = FitUtil.collectSorted(train, ord, featureCols ++ targetCols)
@@ -156,21 +163,25 @@ final class KnnRegressorModel private[estimators] (
     * nearest training ids and (optionally) Euclidean distances, as
     * sequentially-named columns (`generate_sequential_names`). Masked
     * rows get id -1 and `opts.noDataOutput` distances; so do the slots
-    * beyond the training size when m < k.
+    * beyond the training size when m < k. `nNeighbors` overrides the
+    * fit-time k at call time (reference's `n_neighbors` kwarg); pass
+    * 0 to keep the model's k.
     */
   def kneighbors(frame: FeatureFrame, returnDistance: Boolean = true,
-                 opts: PredictOptions = PredictOptions()): DataFrame = {
+                 opts: PredictOptions = PredictOptions(),
+                 nNeighbors: Int = 0): DataFrame = {
+    val kk = if (nNeighbors > 0) nNeighbors else k
     val ff = frame.validated(featureNames)
-    val scanned = KnnKernel.scanned(ff, st, k, KnnScanExpr.ModeNN, 0)
-    val idCols = FeatureFrame.sequentialNames(k, "neighbor").zipWithIndex.map { case (nm, i) =>
+    val scanned = KnnKernel.scanned(ff, st, kk, KnnScanExpr.ModeNN, 0)
+    val idCols = FeatureFrame.sequentialNames(kk, "neighbor").zipWithIndex.map { case (nm, i) =>
       when(col("__m"), lit(-1L))
         .otherwise(element_at(col("__knn"), i + 1).cast("long")).as(nm)
     }
     val distCols =
       if (!returnDistance) Seq.empty
-      else FeatureFrame.sequentialNames(k, "distance").zipWithIndex.map { case (nm, i) =>
+      else FeatureFrame.sequentialNames(kk, "distance").zipWithIndex.map { case (nm, i) =>
         when(col("__m"), lit(opts.noDataOutput))
-          .otherwise(nanvl(element_at(col("__knn"), k + i + 1), lit(opts.noDataOutput))).as(nm)
+          .otherwise(nanvl(element_at(col("__knn"), kk + i + 1), lit(opts.noDataOutput))).as(nm)
       }
     scanned.select(ff.idCols.map(col) ++ idCols ++ distCols: _*)
   }

@@ -83,6 +83,22 @@ class KNeighborsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 1.0 / 3 && r.getDouble(2) == 2.0 / 3 && r.getDouble(3) == 0.0)
   }
 
+  test("kneighbors honors a call-time n_neighbors override") {
+    val in = Seq((1L, 10.4)).toDF("id", "x")
+    val nn = model(3).kneighbors(FeatureFrame(in, Seq("id"), Seq("x")), nNeighbors = 2)
+      .collect().head
+    // columns: id, neighbor0, neighbor1, distance0, distance1
+    assert(nn.length == 5)
+    assert((nn.getLong(1), nn.getLong(2)) == ((3L, 4L)))
+  }
+
+  test("unsupervised fit (no targets) supports kneighbors") {
+    val m = KNeighborsRegressor(k = 2, orderBy = Seq("tid")).fit(train, Seq("x"))
+    val nn = m.kneighbors(FeatureFrame(Seq((1L, 0.2)).toDF("id", "x"), Seq("id"), Seq("x")))
+      .collect().head
+    assert((nn.getLong(1), nn.getLong(2)) == ((0L, 1L)))
+  }
+
   test("kernel matches brute force on random data") {
     val rnd = new scala.util.Random(7)
     val tr = (0 until 200).map(i => (i.toLong, rnd.nextDouble() * 10, rnd.nextDouble() * 10, rnd.nextDouble()))
