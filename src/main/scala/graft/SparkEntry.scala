@@ -6,9 +6,13 @@ import graft.operators.{Estimation, Multimodal, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The engine's identity is the fit-small/predict-big kNN
+    * imputation (the reference's canonical workload), so that's the
+    * flagship.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Pricing(spark, "/root/testdata/sf0.001")
+    Estimation.qKnnReg(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -24,6 +28,7 @@ object SparkEntry {
     "q_sessionize"     -> (Relational.qSessionize _),
     "q_tumbling"       -> (Relational.qTumbling _),
     "q_range_join"     -> (Relational.qRangeJoin _),
+    "q_semi_anti"      -> (Relational.qSemiAnti _),
     "q_knn_reg"        -> (Estimation.qKnnReg _),
     "q_knn_weighted"   -> (Estimation.qKnnWeighted _),
     "q_knn_reg_multi"  -> (Estimation.qKnnRegMulti _),

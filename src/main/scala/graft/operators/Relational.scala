@@ -180,6 +180,25 @@ object Relational {
       .orderBy(col("incident_id"))
   }
 
+  /** B13: semi/anti join — customers who ever ordered (EXISTS) but not
+    * since 2000 (NOT EXISTS): lapsed customers per segment. LeftSemi/LeftAnti never
+    * materialize the probe side's payload: the orders scan is pruned to
+    * the join key + pushed date filter, and both joins broadcast the
+    * filtered key sets.
+    */
+  def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val everOrdered = orders(s, dir).select(col("o_custkey"))
+    val recent = orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select(col("o_custkey"))
+    customer(s, dir)
+      .join(broadcast(everOrdered), col("c_custkey") === everOrdered("o_custkey"), "left_semi")
+      .join(broadcast(recent), col("c_custkey") === recent("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_lapsed"), dec2(sum(col("c_acctbal"))).as("sum_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** B11: tumbling 1-hour window aggregate over the event stream (batch twin of F1). */
   def qTumbling(s: SparkSession, dir: String): DataFrame = {
     events(s, dir)
@@ -283,6 +302,14 @@ object Relational {
         |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
         |  CAST(ROUND(SUM(value),2) AS DECIMAL(18,2)) AS sum_value
         |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_lapsed,
+        |  CAST(ROUND(SUM(c_acctbal),2) AS DECIMAL(18,2)) AS sum_acctbal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_range_join" ->
       """SELECT i.event_id AS incident_id, COUNT(*) AS n_events,
         |  CAST(ROUND(SUM(e.value),2) AS DECIMAL(18,2)) AS sum_value
