@@ -24,7 +24,13 @@ object Skew {
       valueCol: String,
       salt: Int = 16
   ): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    // the salt must be DETERMINISTIC per row: with partition-id/row-order
+    // salts, a fetch-failure retry recomputes map tasks with different
+    // salt assignments and the combined partials double-count or drop
+    // rows (the SPARK-23207 class of bug). Hash every column — spreads
+    // the hot key unless rows are full duplicates.
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col): _*), lit(salt)))
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
@@ -44,7 +50,8 @@ object Skew {
       salt: Int = 16
   ): DataFrame = {
     val bucket: Column = pmod(hash(col(valueCol)), lit(salt))
-    df.select((keys.map(col) :+ col(valueCol) :+ bucket.as("__salt")): _*)
+    df.filter(col(valueCol).isNotNull) // countDistinct excludes NULLs
+      .select((keys.map(col) :+ col(valueCol) :+ bucket.as("__salt")): _*)
       .distinct() // shuffles on (keys, value, salt) — uniform even for hot keys
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__pd")) // rows are distinct values per bucket

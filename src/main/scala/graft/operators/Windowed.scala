@@ -20,6 +20,8 @@ object Windowed {
       tieBreak: Column,
       n: Int
   ): DataFrame = {
+    require(!df.columns.contains("rn"),
+      "topNPerKey emits an 'rn' column; rename the input's existing one")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order.desc, tieBreak)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
   }
@@ -36,6 +38,8 @@ object Windowed {
       tieBreak: String,
       gapUs: Long
   ): DataFrame = {
+    require(!df.columns.contains("session_seq"),
+      "sessionized emits a 'session_seq' column; rename the input's existing one")
     val byTime  = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
     val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__prev", lag(col(ts), 1).over(byTime))
@@ -70,6 +74,10 @@ object Windowed {
     val p = points
       .withColumn("__bp", floor(unix_micros(col(ts)) / bucketUs))
     val i = intervals
+      // degenerate intervals (end <= start) match nothing — and MUST be
+      // dropped before sequence(), which would otherwise produce a
+      // DESCENDING bucket range (step -1) and explode junk rows
+      .filter(col(end) > col(start))
       .withColumnRenamed(key, "__k")
       .withColumn("__bi", explode(sequence(
         floor(unix_micros(col(start)) / bucketUs),
@@ -100,6 +108,11 @@ object Windowed {
       payload: Seq[String]
   ): DataFrame = {
     val lCols = left.columns.toSeq
+    val reserved = Seq("__t", "__tag", "__p", "__m")
+    require(!(lCols ++ payload).exists(reserved.contains),
+      s"asOfJoin reserves ${reserved.mkString(", ")} as internal column names")
+    require(payload.forall(c => !lCols.contains(c)),
+      "payload column names must not collide with left-side columns")
     // the payload travels as ONE struct so `last(..., ignoreNulls)`
     // picks all columns from the SAME right row atomically — per-column
     // lasts would backfill a legitimate NULL payload field from an older
@@ -124,6 +137,8 @@ object Windowed {
     l.unionByName(r)
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .select((lCols.map(col) ++ payload.map(c => col(s"__m.$c").as(c))): _*)
+      // getField, not col("__m.<name>"): a payload name containing dots
+      // would otherwise parse as a deeper path
+      .select((lCols.map(col) ++ payload.map(c => col("__m").getField(c).as(c))): _*)
   }
 }

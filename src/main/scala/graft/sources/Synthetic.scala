@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * the generator scales to arbitrarily many samples.
   *
   * Noise model: per feature, `octaves` layers of linearly-interpolated
-  * lattice noise; layer o anchors every 2^o samples with amplitude
-  * 2^-o (value noise, the hash-based analogue of the reference's
-  * fractal noise). Values land in [0, 1). Percentile masking NaNs all
+  * lattice noise; layer o has amplitude 2^-o with anchors every
+  * 4^(octaves-1-o) samples — largest amplitude on the longest
+  * wavelength, the fractal convention (hash-based analogue of the
+  * reference's fractal noise). Values land in [0, 1). Percentile masking NaNs all
   * features where a dedicated mask-noise band falls below the given
   * percentile — producing the contiguous NoData regions rasters have.
   */

@@ -30,7 +30,11 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")
     if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // floor division (subtract the non-negative pmod remainder first):
+      // plain `div` truncates toward zero, which would land pre-1970
+      // sub-microsecond instants one microsecond LATE vs DuckDB's
+      // truncation; integer `div` keeps full 64-bit precision
+      df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L")))
     else df
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -39,8 +39,13 @@ object EventStreams {
       duration_us: Long,
       sum_value: Double)
 
-  /** Carry-over state: sessions closed so far + the open session's events. */
-  final case class SessionState(closedCount: Long, open: List[Ev])
+  /** Carry-over state: the open session's AGGREGATE only — every emitted
+    * field (count, sum, first/last ts) is associative, so state is O(1)
+    * per user regardless of session length (buffering the raw events
+    * would grow state/checkpoints without bound on chatty users).
+    */
+  final case class OpenSession(
+      seq: Long, firstTs: Long, lastTs: Long, n: Long, sum: Double)
 
   /** F2: session windows (30-minute inactivity gap) via
     * flatMapGroupsWithState in Update mode. Closed sessions are final on
@@ -54,26 +59,25 @@ object EventStreams {
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
-        (uid: Long, batch: Iterator[Ev], state: GroupState[SessionState]) => {
-          val prev = state.getOption.getOrElse(SessionState(0L, Nil))
-          val all = (prev.open ++ batch).sortBy(e => (e.ts, e.event_id))
-          if (all.isEmpty) Iterator.empty
+        (uid: Long, batch: Iterator[Ev], state: GroupState[OpenSession]) => {
+          val sorted = batch.toArray.sortBy(e => (e.ts, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
           else {
-            // split into gap-delimited sessions
-            val sessions = all.tail.foldLeft(List(List(all.head))) { (acc, e) =>
-              if (e.ts - acc.head.head.ts > gapUs) List(e) :: acc
-              else (e :: acc.head) :: acc.tail
-            }.map(_.reverse).reverse
-            state.update(SessionState(prev.closedCount + sessions.length - 1, sessions.last))
-            sessions.iterator.zipWithIndex.map { case (evs, i) =>
-              SessionOut(
-                user_id = uid,
-                session_seq = prev.closedCount + i + 1,
-                n_events = evs.length,
-                session_start = evs.head.ts,
-                duration_us = evs.last.ts - evs.head.ts,
-                sum_value = evs.map(_.value).sum)
+            var open = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            def emit(s: OpenSession): Unit =
+              out += SessionOut(uid, s.seq, s.n, s.firstTs, s.lastTs - s.firstTs, s.sum)
+            sorted.foreach { e =>
+              if (open != null && e.ts - open.lastTs <= gapUs)
+                open = open.copy(lastTs = e.ts, n = open.n + 1, sum = open.sum + e.value)
+              else {
+                val nextSeq = if (open == null) 1L else { emit(open); open.seq + 1 }
+                open = OpenSession(nextSeq, e.ts, e.ts, 1L, e.value)
+              }
             }
+            emit(open) // the still-open session; re-emitted on later updates
+            state.update(open)
+            out.iterator
           }
         })
   }
