@@ -91,12 +91,30 @@ object TextOps {
       .select(col("doc_id"), langPred(T.words(col("text"))).as("pred_lang"))
       .orderBy(col("doc_id"))
 
-  /** fanOut first: shingle construction is an interpreted higher-order
-    * function, so it must run on all cores, not the scan's single task.
+  /** Word 3-shingles per doc via a compiled kernel (the Column
+    * higher-order-function formulation is interpreted — fine for one-off
+    * metrics, too slow on the similarity hot path), fanned out so the
+    * work uses all cores. Callers dedupe with array_distinct (codegen'd).
     */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sh", org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
+        nullable = false)))
     fanOut(documents(s, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), T.shingles3(T.words(col("text"))).as("sh"))
+      .mapPartitions { it =>
+        it.map { row =>
+          val words = row.getString(1).split(" ", -1)
+          val out = new scala.collection.mutable.ArrayBuffer[String](math.max(words.length - 2, 0))
+          var i = 0
+          while (i + 2 < words.length) {
+            out += words(i) + " " + words(i + 1) + " " + words(i + 2)
+            i += 1
+          }
+          Row(row.getLong(0), out.toSeq)
+        }
+      }(Encoders.row(outSchema))
+  }
 
   /** MinHash signatures via a compiled mapPartitions kernel: Catalyst's
     * higher-order functions (transform/array_min) are interpreted, not
@@ -156,7 +174,11 @@ object TextOps {
 
   /** Candidate pairs → exact Jaccard over distinct shingle sets → τ filter. */
   private def jaccardVerify(s: SparkSession, dir: String, cand: DataFrame, tau: Double): DataFrame = {
+    // shuffle-hash, not broadcast: the sets are few ROWS but carry fat
+    // shingle arrays — broadcasting them (twice) builds ~100MB driver
+    // relations; hashing the small candidate side is stable and cheap
     val sets = shingled(s, dir).select(col("doc_id"), array_distinct(col("sh")).as("ss"))
+      .hint("shuffle_hash")
     cand
       .join(sets.select(col("doc_id").as("a_id"), col("ss").as("sa")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("ss").as("sb")), "b_id")
