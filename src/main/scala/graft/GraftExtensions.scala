@@ -19,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[CosineSimilarity].getName, null, "graft_cosine",
         "graft_cosine(a, b) - cosine similarity of two double arrays", ""),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

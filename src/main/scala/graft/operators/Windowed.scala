@@ -89,6 +89,35 @@ object Windowed {
       .drop("__bp", "__bi", "__k")
   }
 
+  /** As-of join via the CUSTOM PHYSICAL OPERATOR (graft.plans
+    * .AsOfJoinExec, registered through GraftExtensions): both sides
+    * shuffle once on the key, sort within partitions, and a streaming
+    * per-partition merge attaches the latest right payload — O(1) memory
+    * per partition, no union row-blowup, no window state. Semantics are
+    * identical to [[asOfJoin]] (spec-verified); restrictions: integral
+    * key, timestamp/long ts columns, right side unique per (key, ts).
+    */
+  def asOfJoinExec(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]
+  ): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column '$name' not found"))
+    GraftSqlBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinPlan(lp, rp,
+        leftKey = attr(lp, key), rightKey = attr(rp, key),
+        leftTs = attr(lp, leftTs), rightTs = attr(rp, rightTs),
+        payload = payload.map(attr(rp, _))))
+  }
+
   /** As-of join: for each left row, attach the right row with the
     * greatest `rightTs` ≤ `leftTs` within the shared `key` — expressed
     * Spark-first as a tagged union + one window pass (`last(...,

@@ -1,0 +1,137 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Ascending, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Custom whole-operator as-of join — the (c) extension path: a logical
+  * node, a planner strategy, and a physical operator with distribution +
+  * ordering requirements, registered through SparkSessionExtensions
+  * (GraftExtensions).
+  *
+  * Semantics: for each left row, attach the payload of the right row
+  * with the greatest `rightTs` <= `leftTs` within the same key (NULL
+  * payload when none). Equivalent to Windowed.asOfJoin (spec-verified),
+  * but executed as a streaming per-partition MERGE over the two sorted,
+  * co-partitioned children: each side is shuffled ONCE on its key and
+  * sorted within partitions — no union row-blowup, no window state, and
+  * the merge is O(|left| + |right|) per partition with O(1) memory.
+  *
+  * Type restrictions (checked at construction): keys are integral
+  * (read as long) and timestamps are timestamp/long-backed — covering
+  * the engine's event/order shapes without generic ordering machinery.
+  */
+final case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Attribute,
+    rightKey: Attribute,
+    leftTs: Attribute,
+    rightTs: Attribute,
+    payload: Seq[Attribute]
+) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, p) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, p) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Attribute,
+    rightKey: Attribute,
+    leftTs: Attribute,
+    rightTs: Attribute,
+    payload: Seq[Attribute]
+) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+        Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lkIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val ltIdx = left.output.indexWhere(_.exprId == leftTs.exprId)
+    val rkIdx = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rtIdx = right.output.indexWhere(_.exprId == rightTs.exprId)
+    val payloadIdx = payload.map(a => right.output.indexWhere(_.exprId == a.exprId)).toArray
+    require((Seq(lkIdx, ltIdx, rkIdx, rtIdx) ++ payloadIdx).forall(_ >= 0),
+      "as-of join attributes must resolve against child outputs")
+    val nPayload = payloadIdx.length
+    val payloadTypes = payload.map(_.dataType).toArray
+    val outputSchema = output
+
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val project = UnsafeProjection.create(outputSchema, outputSchema)
+      val joined = new JoinedRow
+      val nullPayload = new GenericInternalRow(nPayload)
+      val matchPayload = new GenericInternalRow(nPayload)
+
+      new Iterator[InternalRow] {
+        private var matchKey = 0L
+        private var hasMatch = false
+        private var rHead: InternalRow = _
+        private def advanceRight(): Unit =
+          rHead = if (rIt.hasNext) rIt.next() else null
+        advanceRight()
+
+        override def hasNext: Boolean = lIt.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIt.next()
+          val lKey = l.getLong(lkIdx)
+          val lTs = l.getLong(ltIdx)
+          // consume right rows up to (lKey, lTs]; the LAST one per key wins
+          while (rHead != null && {
+            val rk = rHead.getLong(rkIdx)
+            rk < lKey || (rk == lKey && rHead.getLong(rtIdx) <= lTs)
+          }) {
+            val rk = rHead.getLong(rkIdx)
+            if (rk == lKey) {
+              var i = 0
+              while (i < nPayload) {
+                val idx = payloadIdx(i)
+                if (rHead.isNullAt(idx)) matchPayload.setNullAt(i)
+                else
+                  // copyValue: the iterator reuses the row buffer, so
+                  // non-primitive values (UTF8String, arrays) must be
+                  // deep-copied before advancing past rHead
+                  matchPayload.update(i,
+                    InternalRow.copyValue(rHead.get(idx, payloadTypes(i))))
+                i += 1
+              }
+              matchKey = rk
+              hasMatch = true
+            }
+            advanceRight()
+          }
+          val p =
+            if (hasMatch && matchKey == lKey) matchPayload
+            else nullPayload
+          project(joined(l, p))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
