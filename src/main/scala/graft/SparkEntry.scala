@@ -25,6 +25,7 @@ object SparkEntry {
     "q_distinct"       -> (Relational.qDistinct _),
     "q_pivot"          -> (Relational.qPivot _),
     "q_asof"           -> (Relational.qAsOf _),
+    "q_asof_exec"      -> (Relational.qAsOfExec _),
     "q_sessionize"     -> (Relational.qSessionize _),
     "q_tumbling"       -> (Relational.qTumbling _),
     "q_range_join"     -> (Relational.qRangeJoin _),

@@ -146,6 +146,28 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** B9b: the same as-of join through the CUSTOM PHYSICAL OPERATOR
+    * (AsOfJoinExec via Windowed.asOfJoinExec) — gate-verified against
+    * the identical DuckDB ASOF JOIN oracle as q_asof.
+    */
+  def qAsOfExec(s: SparkSession, dir: String): DataFrame = {
+    val dedupW = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val ord = orders(s, dir)
+      .withColumn("rn", row_number().over(dedupW))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+              col("o_orderkey"), col("o_totalprice"))
+    Windowed.asOfJoinExec(
+        left = events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+        right = ord,
+        key = "user_id", leftTs = "ts", rightTs = "o_orderdate",
+        payload = Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"),
+              col("o_orderkey"), dec2(col("o_totalprice")).as("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
   /** B10: sessionization (Windowed.sessionized, 30 min inactivity gap). */
   def qSessionize(s: SparkSession, dir: String): DataFrame = {
     Windowed.sessionized(events(s, dir), key = "user_id", ts = "ts",
@@ -275,6 +297,18 @@ object Relational {
         |  CAST(ROUND(SUM(value),2) AS DECIMAL(18,2)) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_asof" ->
+      """WITH o AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |        ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, o.o_orderkey,
+        |  CAST(ROUND(o.o_totalprice,2) AS DECIMAL(18,2)) AS o_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q_asof_exec" ->
       """WITH o AS (
         |  SELECT * FROM (
         |    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
