@@ -198,15 +198,16 @@ final case class KNeighborsClassifier(k: Int = 5, orderBy: Seq[String] = Nil)
     val ord = if (orderBy.nonEmpty) orderBy else featureCols
     val (feats, labels) = FitUtil.collectSortedWithLabel(
       train, ord, featureCols, labelCol = Some(targetCols.head))
+    require(labels.forall(_ != null),
+      s"classifier label column '${targetCols.head}' contains NULLs")
     val d = featureCols.length
     // sklearn's tie rule is "lowest class VALUE": order numerically when
     // every label parses as a number (string sort would put "10" < "2"),
     // lexicographically otherwise
-    val distinct = labels.distinct.toSeq
-    val asNumbers = distinct.map(c => c -> c.toDoubleOption)
+    val asNumbers = labels.distinct.toSeq.map(c => c -> c.toDoubleOption)
     val classes =
-      if (asNumbers.forall(_._2.isDefined)) distinct.sortBy(_.toDouble)
-      else distinct.sorted
+      if (asNumbers.forall(_._2.isDefined)) asNumbers.sortBy(_._2.get).map(_._1)
+      else asNumbers.map(_._1).sorted
     val clsIdx = classes.zipWithIndex.toMap
     val st = new KnnState(
       ids = Array.tabulate(feats.length)(_.toLong),
@@ -229,9 +230,19 @@ final class KnnClassifierModel private[estimators] (
   private def counts(ff: FeatureFrame): DataFrame =
     KnnKernel.scanned(ff, st, k, KnnScanExpr.ModeCounts, classes.length)
 
-  /** Majority-vote class per row; masked rows get `noDataLabel`. */
-  def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame =
-    predictLabeled(frame, noDataLabel = null)
+  /** Majority-vote class per row. Masked rows get `opts.noDataOutput`
+    * rendered as a label (integers render without a decimal point so
+    * numeric label spaces round-trip); the default NaN maps to NULL.
+    * Use [[predictLabeled]] to pick the fill label directly.
+    */
+  def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
+    val fill =
+      if (opts.noDataOutput.isNaN) null
+      else if (opts.noDataOutput == math.floor(opts.noDataOutput) && !opts.noDataOutput.isInfinite)
+        opts.noDataOutput.toLong.toString
+      else opts.noDataOutput.toString
+    predictLabeled(frame, noDataLabel = fill)
+  }
 
   def predictLabeled(frame: FeatureFrame, noDataLabel: String): DataFrame = {
     val ff = frame.validated(featureNames)

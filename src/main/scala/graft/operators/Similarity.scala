@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.core.FeatureFrame
 import graft.estimators.KNeighborsClassifier
-import graft.functions.{dec4, VectorFunctions => V}
+import graft.functions.dec4
 import graft.sources.Tables._
 
 /** Similarity search over the embeddings table (SURVEY.md §2 D1/D2/D4).
@@ -26,6 +26,22 @@ import graft.sources.Tables._
   *   kernel with k=1 — no shuffle on the corpus side.
   */
 object Similarity {
+
+  /** Sign signature over the hyperplane set — the ONE implementation
+    * used for both query (driver) and corpus (executor) vectors; any
+    * divergence would silently collapse recall.
+    */
+  private def planeSig(planes: Array[Array[Double]], v: Array[Double]): Int = {
+    var sig = 0; var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      var d = 0.0; var j = 0
+      while (j < v.length) { d += pl(j) * v(j); j += 1 }
+      if (d > 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir).select(
@@ -227,9 +243,9 @@ object Similarity {
   }
 
   /** D3: random-hyperplane LSH-bucketed approximate nearest neighbors —
-    * the 100 TB path for similarity search. 16 deterministic Gaussian
-    * hyperplanes (seeded) give each vector a 16-bit sign signature,
-    * split into 2 bands of 8 bits; a corpus vector is a candidate for a
+    * the 100 TB path for similarity search. 32 deterministic Gaussian
+    * hyperplanes (seeded) give each vector a 32-bit sign signature,
+    * split into 8 bands of 4 bits; a corpus vector is a candidate for a
     * query iff they share a band. Exact cosine is computed ONLY for
     * candidates, inside the same single-pass bounded-heap kernel as D1 —
     * no shuffle of the corpus, no candidate materialization. Recall vs
@@ -247,16 +263,6 @@ object Similarity {
     val rnd = new scala.util.Random(42)
     val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
 
-    def sigOf(v: Array[Double]): Int = {
-      var sig = 0; var p = 0
-      while (p < nPlanes) {
-        var d = 0.0; var j = 0
-        while (j < dim) { d += planes(p)(j) * v(j); j += 1 }
-        if (d > 0) sig |= (1 << p)
-        p += 1
-      }
-      sig
-    }
     def bandKeys(sig: Int): Seq[Int] =
       (0 until nBands).map(b => (b << 16) | ((sig >>> (b * bandBits)) & ((1 << bandBits) - 1)))
 
@@ -268,7 +274,7 @@ object Similarity {
     // band-key -> query indexes sharing that band
     val buckets = new java.util.HashMap[Int, Array[Int]]()
     qv.zipWithIndex.foreach { case (v, qi) =>
-      bandKeys(sigOf(v)).foreach { key =>
+      bandKeys(planeSig(planes, v)).foreach { key =>
         val prev = buckets.getOrDefault(key, Array.empty)
         if (!prev.contains(qi)) buckets.put(key, prev :+ qi)
       }
@@ -284,14 +290,7 @@ object Similarity {
         it.foreach { row =>
           val v = row.getSeq[Double](1).toArray
           val vid = row.getLong(0)
-          // signature of the corpus vector
-          var sig = 0; var p = 0
-          while (p < bPlanes.length) {
-            var d = 0.0; var j = 0
-            while (j < v.length) { d += bPlanes(p)(j) * v(j); j += 1 }
-            if (d > 0) sig |= (1 << p)
-            p += 1
-          }
+          val sig = planeSig(bPlanes, v)
           java.util.Arrays.fill(cand, false)
           var any = false
           var b = 0

@@ -106,6 +106,8 @@ object Windowed {
       payload: Seq[String]
   ): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
+    require(payload.forall(c => !left.columns.contains(c)),
+      "payload column names must not collide with left-side columns")
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =

@@ -33,6 +33,17 @@ final case class AsOfJoinPlan(
     rightTs: Attribute,
     payload: Seq[Attribute]
 ) extends BinaryNode {
+  {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    def longBacked(a: Attribute, what: String): Unit = a.dataType match {
+      case LongType | TimestampType | TimestampNTZType => ()
+      case dt => throw new IllegalArgumentException(
+        s"as-of exec $what '${a.name}' must be long-backed (bigint/timestamp), got $dt")
+    }
+    longBacked(leftKey, "key"); longBacked(rightKey, "key")
+    longBacked(leftTs, "timestamp"); longBacked(rightTs, "timestamp")
+  }
+
   override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -66,6 +77,13 @@ final case class AsOfJoinExec(
     Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
         Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
 
+  // 1:1 with the left child's rows: downstream key-aggregations and
+  // joins can reuse the partitioning and sort without re-shuffling
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lkIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
     val ltIdx = left.output.indexWhere(_.exprId == leftTs.exprId)
@@ -96,29 +114,36 @@ final case class AsOfJoinExec(
 
         override def next(): InternalRow = {
           val l = lIt.next()
+          // NULL key/ts never matches (SQL semantics); NULL-keyed left
+          // rows sort together but get the null payload below
+          if (l.isNullAt(lkIdx) || l.isNullAt(ltIdx))
+            return project(joined(l, nullPayload))
           val lKey = l.getLong(lkIdx)
           val lTs = l.getLong(ltIdx)
-          // consume right rows up to (lKey, lTs]; the LAST one per key wins
-          while (rHead != null && {
+          // consume right rows up to (lKey, lTs]; the LAST one per key
+          // wins; NULL-keyed/ts right rows are skipped
+          while (rHead != null && (rHead.isNullAt(rkIdx) || rHead.isNullAt(rtIdx) || {
             val rk = rHead.getLong(rkIdx)
             rk < lKey || (rk == lKey && rHead.getLong(rtIdx) <= lTs)
-          }) {
-            val rk = rHead.getLong(rkIdx)
-            if (rk == lKey) {
-              var i = 0
-              while (i < nPayload) {
-                val idx = payloadIdx(i)
-                if (rHead.isNullAt(idx)) matchPayload.setNullAt(i)
-                else
-                  // copyValue: the iterator reuses the row buffer, so
-                  // non-primitive values (UTF8String, arrays) must be
-                  // deep-copied before advancing past rHead
-                  matchPayload.update(i,
-                    InternalRow.copyValue(rHead.get(idx, payloadTypes(i))))
-                i += 1
+          })) {
+            if (!rHead.isNullAt(rkIdx) && !rHead.isNullAt(rtIdx)) {
+              val rk = rHead.getLong(rkIdx)
+              if (rk == lKey) {
+                var i = 0
+                while (i < nPayload) {
+                  val idx = payloadIdx(i)
+                  if (rHead.isNullAt(idx)) matchPayload.setNullAt(i)
+                  else
+                    // copyValue: the iterator reuses the row buffer, so
+                    // non-primitive values (UTF8String, arrays) must be
+                    // deep-copied before advancing past rHead
+                    matchPayload.update(i,
+                      InternalRow.copyValue(rHead.get(idx, payloadTypes(i))))
+                  i += 1
+                }
+                matchKey = rk
+                hasMatch = true
               }
-              matchKey = rk
-              hasMatch = true
             }
             advanceRight()
           }
