@@ -30,6 +30,7 @@ object SparkEntry {
     "q_tumbling"       -> (Relational.qTumbling _),
     "q_range_join"     -> (Relational.qRangeJoin _),
     "q_semi_anti"      -> (Relational.qSemiAnti _),
+    "q_setops"         -> (Relational.qSetOps _),
     "q_knn_reg"        -> (Estimation.qKnnReg _),
     "q_knn_weighted"   -> (Estimation.qKnnWeighted _),
     "q_knn_reg_multi"  -> (Estimation.qKnnRegMulti _),

@@ -221,6 +221,24 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** B14: set operations — customer cohorts by year compared with
+    * INTERSECT / EXCEPT (distinct set semantics, one hash shuffle per
+    * operand pair).
+    */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    def cohort(year: Int) = orders(s, dir)
+      .filter(col("o_orderdate") >= lit(s"$year-01-01") &&
+              col("o_orderdate") < lit(s"${year + 1}-01-01"))
+      .select(col("o_custkey"))
+    val c97 = cohort(1997); val c98 = cohort(1998)
+    val retained = c97.intersect(c98).count()
+    val churned  = c97.except(c98).count()
+    val acquired = c98.except(c97).count()
+    import s.implicits._
+    Seq(("acquired", acquired), ("churned", churned), ("retained", retained))
+      .toDF("cohort", "n").orderBy(col("cohort"))
+  }
+
   /** B11: tumbling 1-hour window aggregate over the event stream (batch twin of F1). */
   def qTumbling(s: SparkSession, dir: String): DataFrame = {
     events(s, dir)
@@ -336,6 +354,17 @@ object Relational {
         |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
         |  CAST(ROUND(SUM(value),2) AS DECIMAL(18,2)) AS sum_value
         |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_setops" ->
+      """WITH c97 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'),
+        |c98 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01')
+        |SELECT 'acquired' AS cohort, (SELECT COUNT(*) FROM (SELECT * FROM c98 EXCEPT SELECT * FROM c97)) AS n
+        |UNION ALL
+        |SELECT 'churned', (SELECT COUNT(*) FROM (SELECT * FROM c97 EXCEPT SELECT * FROM c98))
+        |UNION ALL
+        |SELECT 'retained', (SELECT COUNT(*) FROM (SELECT * FROM c97 INTERSECT SELECT * FROM c98))
+        |ORDER BY 1""".stripMargin,
     "q_semi_anti" ->
       """SELECT c_mktsegment, COUNT(*) AS n_lapsed,
         |  CAST(ROUND(SUM(c_acctbal),2) AS DECIMAL(18,2)) AS sum_acctbal
