@@ -28,6 +28,15 @@ object EventStreams {
   def tumblingStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     tumblingAgg(events.withWatermark("ts", watermark))
 
+  /** F3: streaming exact dedup — drop re-deliveries of the same id
+    * within the watermark horizon (state holds only ids inside the
+    * horizon, so it is bounded; the batch twin is TextOps.qExactDedup's
+    * hash-keyed dedup).
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(idCols ++ Seq("ts"))
+
   /** Event for the sessionizer: `ts` in epoch micros. */
   final case class Ev(user_id: Long, ts: Long, event_id: Long, value: Double)
 

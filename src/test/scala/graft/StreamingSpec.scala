@@ -85,6 +85,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered events across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val deduped = EventStreams.dedupStream(
+      input.toDF().withColumn("ts", timestamp_micros(col("ts"))), Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("d_out")
+      .outputMode("append").start()
+    try {
+      val evs = eventRows.take(300)
+      input.addData(evs); q.processAllAvailable()
+      input.addData(evs.take(150)); q.processAllAvailable() // exact re-delivery
+      val got = spark.table("d_out").count()
+      assert(got == 300, s"expected 300 unique events, got $got")
+    } finally q.stop()
+  }
+
   private def unix_micros_of(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000) % 1000
 }
