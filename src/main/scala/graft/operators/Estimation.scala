@@ -228,7 +228,7 @@ object Estimation {
           |  ROW_NUMBER() OVER (PARTITION BY li_id ORDER BY
           |    (q.l_extendedprice-train.l_extendedprice)*(q.l_extendedprice-train.l_extendedprice), tid) AS rn
           |  FROM q CROSS JOIN train)
-          |SELECT li_id, CAST(ROUND(AVG(ty),4) AS DECIMAL(18,4)) AS prediction
+          |SELECT li_id, CAST(ROUND(AVG(ty),4) AS DECIMAL(18,4))::DOUBLE AS prediction
           |FROM d WHERE rn <= 5 GROUP BY li_id ORDER BY li_id""".stripMargin,
       "q_knn_weighted" ->
         s"""WITH $train, $q,
@@ -240,7 +240,7 @@ object Estimation {
           |SELECT li_id, CAST(ROUND(CASE
           |    WHEN SUM(CASE WHEN d2 = 0 THEN 1 ELSE 0 END) > 0
           |    THEN AVG(ty) FILTER (WHERE d2 = 0)
-          |    ELSE SUM(ty/SQRT(d2))/SUM(1/SQRT(d2)) END, 4) AS DECIMAL(18,4)) AS prediction
+          |    ELSE SUM(ty/SQRT(d2))/SUM(1/SQRT(d2)) END, 4) AS DECIMAL(18,4))::DOUBLE AS prediction
           |FROM d WHERE rn <= 5 GROUP BY li_id ORDER BY li_id""".stripMargin,
       "q_knn_reg_multi" ->
         s"""WITH $train, $q,
@@ -250,8 +250,8 @@ object Estimation {
           |    +(q.l_discount-train.l_discount)*(q.l_discount-train.l_discount)
           |    +(q.l_tax-train.l_tax)*(q.l_tax-train.l_tax), tid) AS rn
           |  FROM q CROSS JOIN train)
-          |SELECT li_id, CAST(ROUND(AVG(ty1),4) AS DECIMAL(18,4)) AS pred_price,
-          |  CAST(ROUND(AVG(ty2),4) AS DECIMAL(18,4)) AS pred_supp
+          |SELECT li_id, CAST(ROUND(AVG(ty1),4) AS DECIMAL(18,4))::DOUBLE AS pred_price,
+          |  CAST(ROUND(AVG(ty2),4) AS DECIMAL(18,4))::DOUBLE AS pred_supp
           |FROM d WHERE rn <= 5 GROUP BY li_id ORDER BY li_id""".stripMargin,
       "q_knn_cls" ->
         s"""WITH $train, $q,
@@ -272,9 +272,9 @@ object Estimation {
           |    +(q.l_quantity-train.l_quantity)*(q.l_quantity-train.l_quantity), tid) AS rn
           |  FROM q CROSS JOIN train)
           |SELECT li_id,
-          |  CAST(ROUND(SUM(CASE WHEN tcls='A' THEN 1 ELSE 0 END)/5.0,4) AS DECIMAL(18,4)) AS p_A,
-          |  CAST(ROUND(SUM(CASE WHEN tcls='N' THEN 1 ELSE 0 END)/5.0,4) AS DECIMAL(18,4)) AS p_N,
-          |  CAST(ROUND(SUM(CASE WHEN tcls='R' THEN 1 ELSE 0 END)/5.0,4) AS DECIMAL(18,4)) AS p_R
+          |  CAST(ROUND(SUM(CASE WHEN tcls='A' THEN 1 ELSE 0 END)/5.0,4) AS DECIMAL(18,4))::DOUBLE AS p_A,
+          |  CAST(ROUND(SUM(CASE WHEN tcls='N' THEN 1 ELSE 0 END)/5.0,4) AS DECIMAL(18,4))::DOUBLE AS p_N,
+          |  CAST(ROUND(SUM(CASE WHEN tcls='R' THEN 1 ELSE 0 END)/5.0,4) AS DECIMAL(18,4))::DOUBLE AS p_R
           |FROM d WHERE rn <= 5 GROUP BY li_id ORDER BY li_id""".stripMargin,
       "q_kneighbors" ->
         s"""WITH $train, $q,
@@ -287,9 +287,9 @@ object Estimation {
           |  MAX(CASE WHEN rn=1 THEN tid END) AS neighbor0,
           |  MAX(CASE WHEN rn=2 THEN tid END) AS neighbor1,
           |  MAX(CASE WHEN rn=3 THEN tid END) AS neighbor2,
-          |  CAST(ROUND(MAX(CASE WHEN rn=1 THEN SQRT(d2) END),4) AS DECIMAL(18,4)) AS distance0,
-          |  CAST(ROUND(MAX(CASE WHEN rn=2 THEN SQRT(d2) END),4) AS DECIMAL(18,4)) AS distance1,
-          |  CAST(ROUND(MAX(CASE WHEN rn=3 THEN SQRT(d2) END),4) AS DECIMAL(18,4)) AS distance2
+          |  CAST(ROUND(MAX(CASE WHEN rn=1 THEN SQRT(d2) END),4) AS DECIMAL(18,4))::DOUBLE AS distance0,
+          |  CAST(ROUND(MAX(CASE WHEN rn=2 THEN SQRT(d2) END),4) AS DECIMAL(18,4))::DOUBLE AS distance1,
+          |  CAST(ROUND(MAX(CASE WHEN rn=3 THEN SQRT(d2) END),4) AS DECIMAL(18,4))::DOUBLE AS distance2
           |FROM d WHERE rn <= 3 GROUP BY li_id ORDER BY li_id""".stripMargin,
       "q_std_scaler" ->
         s"""WITH $train,
@@ -297,9 +297,9 @@ object Estimation {
           |  AVG(l_extendedprice) AS m2, STDDEV_POP(l_extendedprice) AS s2,
           |  AVG(l_discount) AS m3, STDDEV_POP(l_discount) AS s3 FROM train)
           |SELECT $uidSql AS li_id,
-          |  CAST(ROUND((l_quantity-m1)/s1,4) AS DECIMAL(18,4)) AS scaled_l_quantity,
-          |  CAST(ROUND((l_extendedprice-m2)/s2,4) AS DECIMAL(18,4)) AS scaled_l_extendedprice,
-          |  CAST(ROUND((l_discount-m3)/s3,4) AS DECIMAL(18,4)) AS scaled_l_discount
+          |  CAST(ROUND((l_quantity-m1)/s1,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_quantity,
+          |  CAST(ROUND((l_extendedprice-m2)/s2,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_extendedprice,
+          |  CAST(ROUND((l_discount-m3)/s3,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_discount
           |FROM lineitem CROSS JOIN st ORDER BY li_id""".stripMargin,
       "q_minmax_scaler" ->
         s"""WITH $train,
@@ -307,9 +307,9 @@ object Estimation {
           |  MIN(l_extendedprice) AS lo2, MAX(l_extendedprice) AS hi2,
           |  MIN(l_discount) AS lo3, MAX(l_discount) AS hi3 FROM train)
           |SELECT $uidSql AS li_id,
-          |  CAST(ROUND((l_quantity-lo1)/(hi1-lo1),4) AS DECIMAL(18,4)) AS scaled_l_quantity,
-          |  CAST(ROUND((l_extendedprice-lo2)/(hi2-lo2),4) AS DECIMAL(18,4)) AS scaled_l_extendedprice,
-          |  CAST(ROUND((l_discount-lo3)/(hi3-lo3),4) AS DECIMAL(18,4)) AS scaled_l_discount
+          |  CAST(ROUND((l_quantity-lo1)/(hi1-lo1),4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_quantity,
+          |  CAST(ROUND((l_extendedprice-lo2)/(hi2-lo2),4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_extendedprice,
+          |  CAST(ROUND((l_discount-lo3)/(hi3-lo3),4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_discount
           |FROM lineitem CROSS JOIN st ORDER BY li_id""".stripMargin,
       "q_inverse_std" ->
         s"""WITH $train,
@@ -317,16 +317,16 @@ object Estimation {
           |  AVG(l_extendedprice) AS m2, STDDEV_POP(l_extendedprice) AS s2,
           |  AVG(l_discount) AS m3, STDDEV_POP(l_discount) AS s3 FROM train)
           |SELECT $uidSql AS li_id,
-          |  CAST(ROUND(((l_quantity-m1)/s1)*s1+m1,2) AS DECIMAL(18,2)) AS l_quantity,
-          |  CAST(ROUND(((l_extendedprice-m2)/s2)*s2+m2,2) AS DECIMAL(18,2)) AS l_extendedprice,
-          |  CAST(ROUND(((l_discount-m3)/s3)*s3+m3,2) AS DECIMAL(18,2)) AS l_discount
+          |  CAST(ROUND(((l_quantity-m1)/s1)*s1+m1,2) AS DECIMAL(18,2))::DOUBLE AS l_quantity,
+          |  CAST(ROUND(((l_extendedprice-m2)/s2)*s2+m2,2) AS DECIMAL(18,2))::DOUBLE AS l_extendedprice,
+          |  CAST(ROUND(((l_discount-m3)/s3)*s3+m3,2) AS DECIMAL(18,2))::DOUBLE AS l_discount
           |FROM lineitem CROSS JOIN st ORDER BY li_id""".stripMargin,
       "q_linreg" ->
         s"""WITH $train,
           |co AS (SELECT REGR_SLOPE(l_extendedprice, l_quantity) AS b1,
           |  REGR_INTERCEPT(l_extendedprice, l_quantity) AS b0 FROM train)
           |SELECT $uidSql AS li_id,
-          |  CAST(ROUND(b0 + b1*l_quantity,2) AS DECIMAL(18,2)) AS prediction
+          |  CAST(ROUND(b0 + b1*l_quantity,2) AS DECIMAL(18,2))::DOUBLE AS prediction
           |FROM lineitem CROSS JOIN co ORDER BY li_id""".stripMargin,
       "q_linreg_multi" ->
         s"""WITH $train,
@@ -342,7 +342,7 @@ object Estimation {
           |  my - (v2*c1y - c12*c2y)/(v1*v2 - c12*c12)*m1
           |     - (v1*c2y - c12*c1y)/(v1*v2 - c12*c12)*m2 AS b0 FROM mo)
           |SELECT $uidSql AS li_id,
-          |  CAST(ROUND(b0 + b1*l_quantity + b2*l_discount,2) AS DECIMAL(18,2)) AS prediction
+          |  CAST(ROUND(b0 + b1*l_quantity + b2*l_discount,2) AS DECIMAL(18,2))::DOUBLE AS prediction
           |FROM lineitem CROSS JOIN co ORDER BY li_id""".stripMargin,
       "q_knn_nodata" ->
         s"""WITH $train,
@@ -357,7 +357,7 @@ object Estimation {
           |    +(valid.x2-train.l_quantity)*(valid.x2-train.l_quantity), tid) AS rn
           |  FROM valid CROSS JOIN train),
           |p AS (SELECT li_id, AVG(ty) AS pred FROM d WHERE rn <= 5 GROUP BY li_id)
-          |SELECT qq.li_id, CAST(ROUND(COALESCE(p.pred, -999),4) AS DECIMAL(18,4)) AS prediction
+          |SELECT qq.li_id, CAST(ROUND(COALESCE(p.pred, -999),4) AS DECIMAL(18,4))::DOUBLE AS prediction
           |FROM qq LEFT JOIN p USING (li_id) ORDER BY li_id""".stripMargin
     )
   }

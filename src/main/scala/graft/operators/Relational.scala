@@ -251,17 +251,17 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(ROUND(SUM(l_quantity),2) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(ROUND(SUM(l_extendedprice),2) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2)) AS sum_disc_price,
-        |  CAST(ROUND(AVG(l_quantity),4) AS DECIMAL(18,4)) AS avg_qty,
-        |  CAST(ROUND(AVG(l_discount),4) AS DECIMAL(18,4)) AS avg_disc,
+        |  CAST(ROUND(SUM(l_quantity),2) AS DECIMAL(18,2))::DOUBLE AS sum_qty,
+        |  CAST(ROUND(SUM(l_extendedprice),2) AS DECIMAL(18,2))::DOUBLE AS sum_base_price,
+        |  CAST(ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2))::DOUBLE AS sum_disc_price,
+        |  CAST(ROUND(AVG(l_quantity),4) AS DECIMAL(18,4))::DOUBLE AS avg_qty,
+        |  CAST(ROUND(AVG(l_discount),4) AS DECIMAL(18,4))::DOUBLE AS avg_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate,
-        |  CAST(ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2)) AS revenue
+        |  CAST(ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2))::DOUBLE AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -271,7 +271,7 @@ object Relational {
         |GROUP BY 1,2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_region" ->
       """SELECT n_name,
-        |  CAST(ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2)) AS revenue
+        |  CAST(ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2))::DOUBLE AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
@@ -285,34 +285,34 @@ object Relational {
       """SELECT o_custkey, o_orderkey,
         |  CAST(ROUND(SUM(o_totalprice) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS DECIMAL(18,2)) AS running_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS DECIMAL(18,2))::DOUBLE AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_topn_group" ->
       """SELECT o_custkey, o_orderkey, totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey,
-        |    CAST(ROUND(o_totalprice,2) AS DECIMAL(18,2)) AS totalprice,
+        |    CAST(ROUND(o_totalprice,2) AS DECIMAL(18,2))::DOUBLE AS totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
         |  COALESCE(l_linestatus,'ALL') AS linestatus,
-        |  COUNT(*) AS n, CAST(ROUND(SUM(l_quantity),2) AS DECIMAL(18,2)) AS sum_qty
+        |  COUNT(*) AS n, CAST(ROUND(SUM(l_quantity),2) AS DECIMAL(18,2))::DOUBLE AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY 1,2""".stripMargin,
     "q_distinct" ->
       """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
         |  COUNT(*) AS n_customers,
-        |  CAST(ROUND(SUM(c_acctbal),2) AS DECIMAL(18,2)) AS sum_acctbal
+        |  CAST(ROUND(SUM(c_acctbal),2) AS DECIMAL(18,2))::DOUBLE AS sum_acctbal
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
-        |  SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n_click,
-        |  SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error,
-        |  SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
-        |  SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS n_signup,
-        |  SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS n_view,
-        |  CAST(ROUND(SUM(value),2) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(ROUND(SUM(value),2) AS DECIMAL(18,2))::DOUBLE AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_asof" ->
       """WITH o AS (
@@ -322,7 +322,7 @@ object Relational {
         |        ORDER BY o_orderkey DESC) AS rn
         |    FROM orders) WHERE rn = 1)
         |SELECT e.event_id, e.user_id, o.o_orderkey,
-        |  CAST(ROUND(o.o_totalprice,2) AS DECIMAL(18,2)) AS o_totalprice
+        |  CAST(ROUND(o.o_totalprice,2) AS DECIMAL(18,2))::DOUBLE AS o_totalprice
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
@@ -334,7 +334,7 @@ object Relational {
         |        ORDER BY o_orderkey DESC) AS rn
         |    FROM orders) WHERE rn = 1)
         |SELECT e.event_id, e.user_id, o.o_orderkey,
-        |  CAST(ROUND(o.o_totalprice,2) AS DECIMAL(18,2)) AS o_totalprice
+        |  CAST(ROUND(o.o_totalprice,2) AS DECIMAL(18,2))::DOUBLE AS o_totalprice
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
@@ -346,13 +346,13 @@ object Relational {
         |         THEN 1 ELSE 0 END AS is_new
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
-        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |  FROM g)
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start,
         |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
-        |  CAST(ROUND(SUM(value),2) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(ROUND(SUM(value),2) AS DECIMAL(18,2))::DOUBLE AS sum_value
         |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q_setops" ->
       """WITH c97 AS (SELECT DISTINCT o_custkey FROM orders
@@ -367,7 +367,7 @@ object Relational {
         |ORDER BY 1""".stripMargin,
     "q_semi_anti" ->
       """SELECT c_mktsegment, COUNT(*) AS n_lapsed,
-        |  CAST(ROUND(SUM(c_acctbal),2) AS DECIMAL(18,2)) AS sum_acctbal
+        |  CAST(ROUND(SUM(c_acctbal),2) AS DECIMAL(18,2))::DOUBLE AS sum_acctbal
         |FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -375,7 +375,7 @@ object Relational {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_range_join" ->
       """SELECT i.event_id AS incident_id, COUNT(*) AS n_events,
-        |  CAST(ROUND(SUM(e.value),2) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(ROUND(SUM(e.value),2) AS DECIMAL(18,2))::DOUBLE AS sum_value
         |FROM events i JOIN events e
         |  ON i.event_type = 'error'
         | AND e.user_id = i.user_id
@@ -384,7 +384,7 @@ object Relational {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
-        |  COUNT(*) AS n, CAST(ROUND(SUM(value),2) AS DECIMAL(18,2)) AS sum_value
+        |  COUNT(*) AS n, CAST(ROUND(SUM(value),2) AS DECIMAL(18,2))::DOUBLE AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   )
 }

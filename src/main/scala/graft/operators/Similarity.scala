@@ -332,12 +332,12 @@ object Similarity {
         |r AS (SELECT q_id, vec_id, sim,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
         |  FROM sims)
-        |SELECT q_id, vec_id, rank, CAST(ROUND(sim,4) AS DECIMAL(18,4)) AS sim
+        |SELECT q_id, vec_id, rank, CAST(ROUND(sim,4) AS DECIMAL(18,4))::DOUBLE AS sim
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q_embed_neardup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |    CAST(b.embedding AS DOUBLE[])),4) AS DECIMAL(18,4)) AS cosine
+        |    CAST(b.embedding AS DOUBLE[])),4) AS DECIMAL(18,4))::DOUBLE AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |  CAST(b.embedding AS DOUBLE[])) >= 0.4

@@ -346,7 +346,7 @@ object TextOps {
 
   private val jacSelSql =
     """SELECT c.a_id, c.b_id,
-      |  CAST(ROUND(i/(sa.n+sb.n-i),4) AS DECIMAL(18,4)) AS jaccard
+      |  CAST(ROUND(i/(sa.n+sb.n-i),4) AS DECIMAL(18,4))::DOUBLE AS jaccard
       |FROM cand c JOIN ip ON ip.a_id=c.a_id AND ip.b_id=c.b_id
       |JOIN sz sa ON sa.doc_id=c.a_id JOIN sz sb ON sb.doc_id=c.b_id
       |WHERE i/(sa.n+sb.n-i) >= 0.5 ORDER BY 1,2""".stripMargin
@@ -363,9 +363,9 @@ object TextOps {
     "q_quality" ->
       s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents)
         |SELECT doc_id, LEN(w) AS n_words,
-        |  CAST(ROUND(CAST(list_sum(list_transform(w, x -> LEN(x))) AS DOUBLE)/LEN(w),4) AS DECIMAL(18,4)) AS avg_word_len,
-        |  CAST(ROUND(CAST(LEN(list_filter(w, x -> x IN ($stopSql))) AS DOUBLE)/LEN(w),4) AS DECIMAL(18,4)) AS stop_ratio,
-        |  CAST(ROUND(1.0 - CAST(LEN(list_distinct(w)) AS DOUBLE)/LEN(w),4) AS DECIMAL(18,4)) AS dup_ratio
+        |  CAST(ROUND(CAST(list_sum(list_transform(w, x -> LEN(x))) AS DOUBLE)/LEN(w),4) AS DECIMAL(18,4))::DOUBLE AS avg_word_len,
+        |  CAST(ROUND(CAST(LEN(list_filter(w, x -> x IN ($stopSql))) AS DOUBLE)/LEN(w),4) AS DECIMAL(18,4))::DOUBLE AS stop_ratio,
+        |  CAST(ROUND(1.0 - CAST(LEN(list_distinct(w)) AS DOUBLE)/LEN(w),4) AS DECIMAL(18,4))::DOUBLE AS dup_ratio
         |FROM base ORDER BY doc_id""".stripMargin,
     "q_langid" -> {
       val scoreExprs = langMarkers.map { case (code, m) =>

@@ -78,7 +78,7 @@ class StreamingSpec extends AnyFunSuite {
         .map { r =>
           (r.getLong(0), r.getLong(1)) ->
             (r.getLong(2), unix_micros_of(r.getTimestamp(3)), r.getLong(4),
-             r.getDecimal(5).movePointRight(2).longValueExact())
+             math.round(r.getDouble(5) * 100))
         }.toMap
       assert(got.size == expected.size)
       assert(got == expected)
