@@ -64,10 +64,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
-  /** q_simhash / q_fingerprint / q_ann_lsh are intentionally absent:
-    * bit-level kernels and the hyperplane draw aren't SQL-expressible,
-    * so the driver records a rows-only check; their semantics are
-    * covered by ScalaTest specs instead (SURVEY.md §2 C8/C9/D3).
+  /** q_ann_lsh is intentionally absent: the Gaussian hyperplane draw
+    * (JVM RNG) isn't SQL-expressible, so the driver records a rows-only
+    * check; recall vs brute force is asserted in SimilaritySpec (D3).
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Estimation.oracles ++ TextOps.oracles ++

@@ -246,8 +246,8 @@ object TextOps {
     * +tf / -tf to its lane; fingerprint bit = 1 iff the lane sum is
     * positive. Near-identical documents land within a few bits of
     * Hamming distance (verified in SimHashSpec; near-dup join via
-    * 16-bit-band blocking is exercised there too). Compiled kernel —
-    * rows-only oracle (bit kernels aren't portably SQL-expressible).
+    * 16-bit-band blocking is exercised there too). Compiled kernel,
+    * hash-verified against a nibble-arithmetic DuckDB oracle.
     */
   def qSimHash(s: SparkSession, dir: String): DataFrame = {
     val outSchema = StructType(Seq(
@@ -286,7 +286,9 @@ object TextOps {
   /** C9: winnowing document fingerprints (Schleimer et al., MOSS):
     * rolling hashes of character k-grams (k=8), window w=4, keep each
     * window's minimum (rightmost wins ties), dedup positions. Emits
-    * stable per-doc aggregates; set semantics verified in SimHashSpec.
+    * stable per-doc aggregates, hash-verified against a SQL replica of
+    * the rolling-hash + rightmost-min selection; the coverage guarantee
+    * is asserted in TextKernelsSpec.
     */
   def qFingerprint(s: SparkSession, dir: String): DataFrame = {
     val outSchema = StructType(Seq(
@@ -351,7 +353,70 @@ object TextOps {
       |JOIN sz sa ON sa.doc_id=c.a_id JOIN sz sb ON sb.doc_id=c.b_id
       |WHERE i/(sa.n+sb.n-i) >= 0.5 ORDER BY 1,2""".stripMargin
 
+  /** SimHash oracle: replicates the kernel bit-for-bit in SQL. Bit j of
+    * a word's 64-bit hash (first 8 md5 bytes, big-endian) lives in hex
+    * char 16 - j/4, bit j%4 of that nibble; lanes sum +tf/-tf; the
+    * unsigned fingerprint is folded to signed BIGINT two's-complement.
+    */
+  private val simhashSql =
+    """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS c
+      |  FROM (SELECT doc_id, unnest(w) AS word FROM base) GROUP BY 1,2),
+      |wh AS (SELECT doc_id, c, substr(md5(word),1,16) AS hx FROM tf),
+      |lanes AS (
+      |  SELECT doc_id, j,
+      |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, 16 - j//4, 1)) - 1) >> (j % 4)) & 1 = 1
+      |        THEN c ELSE -c END) AS lane
+      |  FROM wh CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY 1,2),
+      |fp AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN lane > 0 THEN CAST(POWER(2, j) AS HUGEINT) ELSE 0 END) AS ufp,
+      |    CAST(SUM(CASE WHEN lane > 0 THEN 1 ELSE 0 END) AS INT) AS popcount
+      |  FROM lanes GROUP BY 1)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN ufp >= CAST(POWER(2,63) AS HUGEINT)
+      |       THEN ufp - 2*CAST(POWER(2,63) AS HUGEINT) ELSE ufp END AS BIGINT) AS simhash,
+      |  popcount
+      |FROM fp ORDER BY doc_id""".stripMargin
+
+  /** Winnowing oracle: per-position polynomial hash of char 8-grams
+    * (mod 2^31-1, same base/modulus as TextKernels.winnow), rightmost
+    * window minimum encoded as min of (h * 2^20 + (2^20-1-i)) so one
+    * MIN picks (h asc, i desc), positions deduped. The `i <= ng - 3`
+    * filter applies AFTER the window function — filtering first would
+    * strip the rows that end-of-document frames need.
+    */
+  private val fingerprintSql: String = {
+    val (b, m) = (1000003L, 2147483647L)
+    val pw = Array.iterate(1L, 8)(p => p * b % m)
+    val terms = (0 until 8)
+      .map(t => s"ascii(substr(text, i+$t, 1)) * ${pw(7 - t)}::BIGINT")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, text, length(text) - 7 AS ng FROM documents),
+      |g AS (SELECT doc_id, i, ($terms) % $m AS h
+      |  FROM d, (SELECT unnest(range(1, 100000)) AS i) r WHERE d.ng >= 1 AND i <= d.ng),
+      |k AS (SELECT doc_id, i, h, h * 1048576 + (1048575 - i) AS key,
+      |  MAX(i) OVER (PARTITION BY doc_id) AS ng FROM g),
+      |wmin AS (SELECT doc_id, i, ng, MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+      |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk FROM k),
+      |selp AS (SELECT DISTINCT doc_id, 1048575 - (mk % 1048576) AS pos, mk // 1048576 AS h
+      |  FROM wmin WHERE i <= ng - 3),
+      |big AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_fp, MIN(h) AS min_fp, MAX(h) AS max_fp
+      |  FROM selp GROUP BY 1),
+      |small AS (SELECT doc_id, 1 AS n_fp, MIN(h) AS mn FROM g
+      |  WHERE doc_id IN (SELECT doc_id FROM d WHERE ng BETWEEN 1 AND 4) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(big.n_fp, small.n_fp, 0) AS n_fp,
+      |  COALESCE(big.min_fp, small.mn) AS min_fp,
+      |  COALESCE(big.max_fp, small.mn) AS max_fp
+      |FROM d LEFT JOIN big ON d.doc_id = big.doc_id
+      |LEFT JOIN small ON d.doc_id = small.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_simhash" -> simhashSql,
+    "q_fingerprint" -> fingerprintSql,
     "q_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 2""".stripMargin,
