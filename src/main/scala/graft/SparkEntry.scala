@@ -64,10 +64,6 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
-  /** q_ann_lsh is intentionally absent: the Gaussian hyperplane draw
-    * (JVM RNG) isn't SQL-expressible, so the driver records a rows-only
-    * check; recall vs brute force is asserted in SimilaritySpec (D3).
-    */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Estimation.oracles ++ TextOps.oracles ++
       Similarity.oracles ++ Multimodal.oracles

@@ -27,6 +27,33 @@ import graft.sources.Tables._
   */
 object Similarity {
 
+  /** Deterministic Gaussian hyperplanes via md5 + Box-Muller: component
+    * (p,j) draws u1,u2 from the first 13 hex chars (52 bits) of
+    * md5("p|j|1") / md5("p|j|2"), z = sqrt(-2 ln u1) cos(2π u2). An
+    * engine-neutral derivation (unlike a JVM RNG) lets the DuckDB
+    * oracle rebuild the identical planes; sign decisions agree across
+    * engines unless |dot| is within libm's ulp noise (~1e-13 —
+    * probability ~0 for 64-dim random data).
+    */
+  private[operators] def gaussianPlanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex13(s0: String): Long = {
+      md.reset()
+      val d = md.digest(s0.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 13 hex chars = 6 bytes + the high nibble of byte 6
+      var v = 0L
+      var i = 0
+      while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      (v << 4) | ((d(6) >> 4) & 0xfL)
+    }
+    val denom = 4503599627370496.0 // 16^13 = 2^52
+    Array.tabulate(nPlanes, dim) { (p, j) =>
+      val u1 = (hex13(s"$p|$j|1") + 1.0) / denom
+      val u2 = hex13(s"$p|$j|2") / denom
+      math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+    }
+  }
+
   /** Sign signature over the hyperplane set — the ONE implementation
     * used for both query (driver) and corpus (executor) vectors; any
     * divergence would silently collapse recall.
@@ -249,8 +276,8 @@ object Similarity {
     * query iff they share a band. Exact cosine is computed ONLY for
     * candidates, inside the same single-pass bounded-heap kernel as D1 —
     * no shuffle of the corpus, no candidate materialization. Recall vs
-    * brute force is asserted in SimilaritySpec; rows-only oracle (the
-    * hyperplane draw isn't SQL-expressible).
+    * brute force is asserted in SimilaritySpec; the DuckDB oracle
+    * rebuilds the md5-derived planes and band joins in SQL.
     */
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val k = 10
@@ -260,8 +287,7 @@ object Similarity {
     val nPlanes = nBands * bandBits
     val e = emb(s, dir)
     val dim = 64
-    val rnd = new scala.util.Random(42)
-    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    val planes = gaussianPlanes(nPlanes, dim)
 
     def bandKeys(sig: Int): Seq[Int] =
       (0 until nBands).map(b => (b << 16) | ((sig >>> (b * bandBits)) & ((1 << bandBits) - 1)))
@@ -322,7 +348,43 @@ object Similarity {
     globalTopK(locals, k)
   }
 
+  /** D3 oracle: rebuilds the md5/Box-Muller hyperplanes in SQL, derives
+    * each vector's per-band 4-bit sign key, joins queries to corpus
+    * vectors sharing any band, and ranks exact cosine over candidates
+    * only — the same candidate semantics as the kernel's bucket scan.
+    */
+  private val annLshSql: String = {
+    val u = (t: String) =>
+      s"""list_sum(list_transform(range(1,14), t ->
+         |      (strpos('0123456789abcdef', substr(md5(p||'|'||j||'|$t'), t, 1)) - 1)
+         |      * CAST(16^(13-t) AS BIGINT)))""".stripMargin
+    s"""WITH pz AS (
+      |  SELECT p, j,
+      |    sqrt(-2*ln((${u("1")} + 1.0)/4503599627370496.0))
+      |      * cos(2*pi()*(${u("2")}/4503599627370496.0)) AS z
+      |  FROM (SELECT unnest(range(32)) AS p), (SELECT unnest(range(64)) AS j)),
+      |planes AS (SELECT p, list(z ORDER BY j) AS pv FROM pz GROUP BY p),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |bands AS (SELECT vec_id, p // 4 AS band,
+      |    SUM(CASE WHEN list_dot_product(pv, v) > 0
+      |        THEN CAST(2^(p % 4) AS INT) ELSE 0 END) AS bkey
+      |  FROM e CROSS JOIN planes GROUP BY 1, 2),
+      |q AS (SELECT * FROM bands WHERE vec_id % 50 = 0),
+      |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+      |  FROM q JOIN bands c ON q.band = c.band AND q.bkey = c.bkey),
+      |sims AS (SELECT q_id, cand.vec_id,
+      |    list_cosine_similarity(qe.v, ce.v) AS sim
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
+      |  JOIN e ce ON ce.vec_id = cand.vec_id),
+      |r AS (SELECT q_id, vec_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM sims)
+      |SELECT q_id, vec_id, rank, CAST(ROUND(sim,4) AS DECIMAL(18,4))::DOUBLE AS sim
+      |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_ann_lsh" -> annLshSql,
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id % 50 = 0),
