@@ -24,14 +24,34 @@ object TextFunctions {
         i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature for permutation `perm`: the minimum md5 of
-    * `"<perm>|<shingle>"` over the document's shingles. Comparing full
-    * 32-hex md5 strings lexicographically equals comparing them as
-    * unsigned integers, so `min(hexString)` IS the minhash — no hex
-    * parsing, portable across engines.
+  /** MinHash permutation constants: (a, b) pairs for the universal
+    * hash family h_j(x) = (a_j·x + b_j) mod p, p = 2^31-1 (the scheme
+    * Spark MLlib's MinHashLSH uses, with fixed constants instead of a
+    * seeded draw so a SQL oracle can rebuild them). One md5 per
+    * shingle feeds every permutation — 8× less digest work than
+    * hashing per-permutation, the dominant cost of MinHash at corpus
+    * scale.
     */
-  def minhashSig(shingles: Column, perm: Int): Column =
-    array_min(transform(shingles, s => md5(concat(lit(s"$perm|"), s))))
+  val minhashP = 2147483647L // 2^31-1
+  val minhashPerms: Array[(Long, Long)] = Array(
+    (1000003L, 12345L), (1299721L, 54321L), (15485863L, 98765L),
+    (32452843L, 11111L), (49979687L, 22222L), (67867967L, 33333L),
+    (86028121L, 44444L), (104395301L, 55555L))
+
+  /** Base shingle hash: the first 13 hex chars (52 bits) of md5, mod p.
+    * `conv` is codegen'd; the DuckDB oracle parses the same prefix with
+    * nibble arithmetic.
+    */
+  def minhashBase(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 13), 16, 10).cast("long") % minhashP
+
+  /** MinHash signature for permutation `perm` over pre-hashed shingle
+    * values (see [[minhashBase]]).
+    */
+  def minhashSig(baseHashes: Column, perm: Int): Column = {
+    val (a, b) = minhashPerms(perm)
+    array_min(transform(baseHashes, h => (lit(a) * h + lit(b)) % minhashP))
+  }
 
   /** Sum of word lengths (exact integer arithmetic both engines). */
   def sumWordLen(ws: Column): Column =

@@ -118,49 +118,57 @@ object TextOps {
 
   /** MinHash signatures via a compiled mapPartitions kernel: Catalyst's
     * higher-order functions (transform/array_min) are interpreted, not
-    * codegen'd, which makes 8 md5 permutations × shingles the dominant
-    * cost at scale — the kernel computes the same md5-hex minima ~10×
-    * faster. Output is bit-identical to the Column formulation
-    * (TextFunctions.minhashSig) and the DuckDB oracle.
+    * codegen'd, so the hot loop is compiled here. ONE md5 per shingle
+    * (52-bit prefix mod 2^31-1) feeds all 8 universal-hash permutations
+    * (a_j·h + b_j mod p, TextFunctions.minhashPerms) — 8× less digest
+    * work than per-permutation hashing, the dominant MinHash cost at
+    * corpus scale. Bit-identical to the Column formulation
+    * (TextFunctions.minhashBase/minhashSig) and the DuckDB oracle.
     */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
-    val nPerms = 8
+    val perms = T.minhashPerms
+    val mP = T.minhashP
+    val nPerms = perms.length
     val outSchema = StructType(
       StructField("doc_id", LongType, nullable = false) +:
-        (0 until nPerms).map(j => StructField(s"sig$j", StringType, nullable = true)))
+        (0 until nPerms).map(j => StructField(s"sig$j", LongType, nullable = true)))
     fanOut(documents(s, dir).select(col("doc_id"), col("text")))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = "0123456789abcdef".toCharArray
-        def md5hex(s0: String): String = {
+        def base(s0: String): Long = {
           md.reset()
           val d = md.digest(s0.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val out = new Array[Char](32)
+          // first 13 hex chars = 6 bytes + the high nibble of byte 6
+          var v = 0L
           var i = 0
-          while (i < 16) {
-            out(2 * i) = hex((d(i) >> 4) & 0xf); out(2 * i + 1) = hex(d(i) & 0xf)
-            i += 1
-          }
-          new String(out)
+          while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+          ((v << 4) | ((d(6) >> 4) & 0xfL)) % mP
         }
-        val prefixes = Array.tabulate(nPerms)(j => s"$j|")
+        val as = perms.map(_._1)
+        val bs = perms.map(_._2)
         it.map { row =>
           val words = row.getString(1).split(" ", -1)
-          val mins = new Array[String](nPerms)
+          val mins = Array.fill(nPerms)(Long.MaxValue)
+          var any = false
           var i = 0
           while (i + 2 < words.length) {
-            val shingle = words(i) + " " + words(i + 1) + " " + words(i + 2)
+            val h = base(words(i) + " " + words(i + 1) + " " + words(i + 2))
+            any = true
             var j = 0
             while (j < nPerms) {
-              val h = md5hex(prefixes(j) + shingle)
-              if (mins(j) == null || h < mins(j)) mins(j) = h
+              val v = (as(j) * h + bs(j)) % mP
+              if (v < mins(j)) mins(j) = v
               j += 1
             }
             i += 1
           }
           val out = new Array[Any](1 + nPerms)
           out(0) = row.getLong(0)
-          System.arraycopy(mins, 0, out, 1, nPerms)
+          var j = 0
+          while (j < nPerms) {
+            out(j + 1) = if (any) mins(j) else null
+            j += 1
+          }
           Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
         }
       }(Encoders.row(outSchema))
@@ -341,10 +349,22 @@ object TextOps {
       |ip AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS i
       |  FROM dd x JOIN dd y ON x.s=y.s AND x.doc_id<y.doc_id GROUP BY 1,2)""".stripMargin
 
-  private val sigSql =
-    (0 until 8).map(j =>
-      s"list_aggregate(list_transform(shingles, s -> md5('$j|' || s)),'min') AS sig$j")
-      .mkString("sig AS (SELECT doc_id, ", ", ", " FROM sh)")
+  /** Signature oracle: one md5 per shingle (52-bit hex prefix parsed
+    * with nibble arithmetic, mod 2^31-1), then the 8 universal-hash
+    * minima — mirrors TextFunctions.minhashPerms exactly.
+    */
+  private val sigSql = {
+    val p = T.minhashP
+    val sigExprs = T.minhashPerms.zipWithIndex.map { case ((a, b), j) =>
+      s"CAST(list_aggregate(list_transform(hv, h -> ($a*h + $b) % $p),'min') AS BIGINT) AS sig$j"
+    }.mkString(", ")
+    s"""hx AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hl FROM sh),
+      |hs AS (SELECT doc_id, list_transform(hl, x ->
+      |  list_sum(list_transform(range(1,14), t ->
+      |    (strpos('0123456789abcdef', substr(x,t,1)) - 1) * CAST(16^(13-t) AS BIGINT)))
+      |  % $p) AS hv FROM hx),
+      |sig AS (SELECT doc_id, $sigExprs FROM hs)""".stripMargin
+  }
 
   private val jacSelSql =
     """SELECT c.a_id, c.b_id,

@@ -18,14 +18,20 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(r(1).isEmpty)
   }
 
-  test("minhash signature equals min md5 of perm-prefixed shingles") {
+  test("minhash signature equals universal-hash min over md5 base hashes") {
     val df = Seq("a b c d").toDF("text")
-      .select(T.minhashSig(T.shingles3(T.words(col("text"))), 3).as("sig"))
+      .select(T.minhashSig(
+        transform(T.shingles3(T.words(col("text"))), T.minhashBase _), 3).as("sig"))
     val md = java.security.MessageDigest.getInstance("MD5")
     def md5hex(s: String) =
       md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    val expected = Seq("3|a b c", "3|b c d").map { s => md.reset(); md5hex(s) }.min
-    assert(df.collect().head.getString(0) == expected)
+    val (a, b) = T.minhashPerms(3)
+    val expected = Seq("a b c", "b c d").map { s =>
+      md.reset()
+      val h = java.lang.Long.parseLong(md5hex(s).take(13), 16) % T.minhashP
+      (a * h + b) % T.minhashP
+    }.min
+    assert(df.collect().head.getLong(0) == expected)
   }
 
   test("marker count and word-length sum") {
