@@ -43,10 +43,13 @@ def main(sf_dir: str, out_dir: str) -> int:
         spark_rel = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
         spark_cols = sorted(spark_rel.columns)
         spark_rows = sorted(
-            tuple(norm(v) for v in row)
-            for row in con.sql(
-                f"SELECT {', '.join(spark_cols)} FROM '{res_dir}/*.parquet'"
-            ).fetchall()
+            (
+                tuple(norm(v) for v in row)
+                for row in con.sql(
+                    f"SELECT {', '.join(spark_cols)} FROM '{res_dir}/*.parquet'"
+                ).fetchall()
+            ),
+            key=repr,  # None sorts consistently alongside ints/floats
         )
         try:
             oracle_rel = con.sql(oracles[name])
@@ -60,10 +63,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             continue
         oracle_rows = sorted(
-            tuple(norm(v) for v in row)
-            for row in con.sql(
-                f"SELECT {', '.join(oracle_cols)} FROM ({oracles[name]})"
-            ).fetchall()
+            (
+                tuple(norm(v) for v in row)
+                for row in con.sql(
+                    f"SELECT {', '.join(oracle_cols)} FROM ({oracles[name]})"
+                ).fetchall()
+            ),
+            key=repr,
         )
         if len(spark_rows) != len(oracle_rows):
             print(f"FAIL {name}: rowcount {len(spark_rows)} != {len(oracle_rows)}")

@@ -31,6 +31,13 @@ object SparkEntry {
     "q_range_join"     -> (Relational.qRangeJoin _),
     "q_semi_anti"      -> (Relational.qSemiAnti _),
     "q_setops"         -> (Relational.qSetOps _),
+    "q_cube"           -> (Relational.qCube _),
+    "q_percentile"     -> (Relational.qPercentile _),
+    "q_corr"           -> (Relational.qCorr _),
+    "q7_nation_volume" -> (Relational.q7NationVolume _),
+    "q_lead_lag"       -> (Relational.qLeadLag _),
+    "q_asof_tolerance" -> (Relational.qAsOfTolerance _),
+    "q_skew_agg"       -> (Relational.qSkewAgg _),
     "q_knn_reg"        -> (Estimation.qKnnReg _),
     "q_knn_weighted"   -> (Estimation.qKnnWeighted _),
     "q_knn_reg_multi"  -> (Estimation.qKnnRegMulti _),
@@ -51,6 +58,8 @@ object SparkEntry {
     "q_lsh_pairs"      -> (TextOps.qLshPairs _),
     "q_ngram_jaccard"  -> (TextOps.qNgramJaccard _),
     "q_curate"         -> (TextOps.qCurate _),
+    "q_repetition"     -> (TextOps.qRepetition _),
+    "q_charclass"      -> (TextOps.qCharClass _),
     "q_cosine_topk"    -> (Similarity.qCosineTopK _),
     "q_embed_neardup"  -> (Similarity.qEmbedNearDup _),
     "q_centroid_cls"   -> (Similarity.qCentroidCls _),

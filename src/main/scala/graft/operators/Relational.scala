@@ -239,6 +239,140 @@ object Relational {
       .toDF("cohort", "n").orderBy(col("cohort"))
   }
 
+  /** B15: CUBE aggregation — all grouping-set combinations of
+    * returnflag × linestatus in one pass (map-side partials per set).
+    */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dec2(sum(col("l_extendedprice"))).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_price"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  /** B16: exact percentiles per group — `percentile` is Spark's exact
+    * (sort-based, interpolating) aggregate, the same definition as
+    * DuckDB's quantile_cont. Exact quantiles need the full value set
+    * per group; the approximate path for 100 TB interactive use is
+    * Sketches.percentilePerKey (mergeable Greenwald-Khanna partials,
+    * no global sort).
+    */
+  def qPercentile(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dec4(expr("percentile(l_extendedprice, 0.5)")).as("p50_price"),
+        dec4(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"),
+        dec4(expr("percentile(l_quantity, 0.5)")).as("p50_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** B17: correlation / covariance / spread statistics per group —
+    * single-pass co-moment aggregates (mergeable partials, one shuffle
+    * of constant-size state per group).
+    */
+  def qCorr(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dec4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        dec2(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qty_price"),
+        dec4(stddev_samp(col("l_discount"))).as("std_discount"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** B18: nation-pair trade volume (TPC-H Q7 shape) — fact table joined
+    * through orders to the customer nation and directly to the supplier
+    * nation, both dimension chains broadcast; revenue per ordered
+    * nation pair × year for differing nations.
+    */
+  def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val supNation = broadcast(
+      supplier(s, dir).join(nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val custNation = broadcast(
+      customer(s, dir).join(nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+               year(col("o_orderdate")).cast("long").as("l_year"))
+      // exact integer-cents arithmetic: ep·(1-disc) summed as cents ×
+      // discount-percent units is order-independent in BOTH engines
+      // (unlike a double sum, which can land on a rounding boundary —
+      // observed as an off-by-0.01 vs the oracle on this very query),
+      // and the single final division is the same double op both sides
+      .agg((sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+                (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+              .cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** B19: sequential window functions — per-customer order timeline with
+    * previous-order gap (LAG) and spend quartile (NTILE). One shuffle on
+    * the window key.
+    */
+  def qLeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("long").as("gap_days"),
+        ntile(4).over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))).cast("long").as("spend_quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** B20: as-of join with staleness tolerance — the matched order's
+    * payload is kept only when it is at most 30 days old at event time
+    * (sensor-fusion/feature-store semantics: stale state is no state).
+    */
+  def qAsOfTolerance(s: SparkSession, dir: String): DataFrame = {
+    val tolUs = 30L * 86400L * 1000000L
+    val dedupW = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val ord = orders(s, dir)
+      .withColumn("rn", row_number().over(dedupW))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+              col("o_orderkey"), col("o_totalprice"))
+    // o_orderdate round-trips through the as-of payload struct as
+    // TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (the session is UTC, so
+    // the cast is a no-op on the instant)
+    val fresh = unix_micros(col("ts")) -
+      unix_micros(col("o_orderdate").cast("timestamp")) <= tolUs
+    Windowed.asOfJoin(
+        left = events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+        right = ord,
+        key = "user_id", leftTs = "ts", rightTs = "o_orderdate",
+        payload = Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+      .select(col("event_id"), col("user_id"),
+              when(fresh, col("o_orderkey")).as("o_orderkey"),
+              when(fresh, dec2(col("o_totalprice"))).as("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  /** B21: salted aggregation on a skewed key (Skew.saltedSumCount) —
+    * event_type has 5 hot values at any scale, so the direct hash
+    * aggregate funnels into 5 reducers; salting spreads the wide
+    * shuffle uniformly and reduces the tiny salted partials. The result
+    * is provably identical to the direct aggregate (associative sums).
+    */
+  def qSkewAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedSumCount(
+        events(s, dir).select(col("event_type"), col("value")),
+        keys = Seq("event_type"), valueCol = "value")
+      .select(col("event_type"), dec2(col("sum_value")).as("sum_value"), col("n"))
+      .orderBy(col("event_type"))
+
   /** B11: tumbling 1-hour window aggregate over the event stream (batch twin of F1). */
   def qTumbling(s: SparkSession, dir: String): DataFrame = {
     events(s, dir)
@@ -385,6 +519,67 @@ object Relational {
     "q_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  COUNT(*) AS n, CAST(ROUND(SUM(value),2) AS DECIMAL(18,2))::DOUBLE AS sum_value
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
+        |  COALESCE(l_linestatus,'ALL') AS linestatus,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(l_extendedprice),2) AS DECIMAL(18,2))::DOUBLE AS sum_price
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY 1,2""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  CAST(ROUND(quantile_cont(l_extendedprice, 0.5),4) AS DECIMAL(18,4))::DOUBLE AS p50_price,
+        |  CAST(ROUND(quantile_cont(l_extendedprice, 0.9),4) AS DECIMAL(18,4))::DOUBLE AS p90_price,
+        |  CAST(ROUND(quantile_cont(l_quantity, 0.5),4) AS DECIMAL(18,4))::DOUBLE AS p50_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_corr" ->
+      """SELECT l_returnflag,
+        |  CAST(ROUND(corr(l_quantity, l_extendedprice),4) AS DECIMAL(18,4))::DOUBLE AS corr_qty_price,
+        |  CAST(ROUND(covar_samp(l_quantity, l_extendedprice),2) AS DECIMAL(18,2))::DOUBLE AS covar_qty_price,
+        |  CAST(ROUND(stddev_samp(l_discount),4) AS DECIMAL(18,4))::DOUBLE AS std_discount
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(YEAR(o_orderdate) AS BIGINT) AS l_year,
+        |  CAST(CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+        |    * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))) AS BIGINT) AS DOUBLE)
+        |    / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "q_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS gap_days,
+        |  CAST(NTILE(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS spend_quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_asof_tolerance" ->
+      """WITH o AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |        ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN epoch_us(e.ts) - epoch_us(o.o_orderdate) <= 2592000000000
+        |       THEN o.o_orderkey END AS o_orderkey,
+        |  CASE WHEN epoch_us(e.ts) - epoch_us(o.o_orderdate) <= 2592000000000
+        |       THEN CAST(ROUND(o.o_totalprice,2) AS DECIMAL(18,2))::DOUBLE END AS o_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT event_type,
+        |  CAST(ROUND(SUM(value),2) AS DECIMAL(18,2))::DOUBLE AS sum_value,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -338,6 +338,61 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** C11: repetition quality filters (the Gopher-rules family): the
+    * fraction of duplicated word 2-grams and the dominance of the most
+    * frequent word. Both are per-document set/frequency reductions —
+    * codegen'd array expressions for the 2-grams, one explode+reaggregate
+    * for the word mode (partial aggregation keeps the shuffle at
+    * one row per (doc, word)).
+    */
+  def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    val ws = T.words(col("text"))
+    val grams2 = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val base = documents(s, dir).select(
+      col("doc_id"),
+      size(ws).cast("long").as("n_words"),
+      grams2.as("g2"))
+    val gramStats = base.select(
+      col("doc_id"), col("n_words"),
+      size(col("g2")).as("n_g2"),
+      size(array_distinct(col("g2"))).as("n_g2_distinct"))
+    val topWord = documents(s, dir)
+      .select(col("doc_id"), explode(T.words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    gramStats.join(topWord, "doc_id")
+      .select(
+        col("doc_id"), col("n_words"),
+        dec4(when(col("n_g2") > 0,
+          lit(1.0) - col("n_g2_distinct").cast("double") / col("n_g2"))
+          .otherwise(lit(0.0))).as("dup_2gram_frac"),
+        dec4(col("top_c").cast("double") / col("n_words")).as("top_word_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C12: character-class composition — alpha/digit/space/other ratios
+    * per document, pure codegen'd regexp arithmetic (no shuffle).
+    */
+  def qCharClass(s: SparkSession, dir: String): DataFrame = {
+    val n = length(col("text"))
+    def classLen(re: String): Column =
+      length(regexp_replace(col("text"), re, ""))
+    val nAlpha = n - classLen("[a-z]")
+    val nDigit = n - classLen("[0-9]")
+    val nSpace = n - classLen(" ")
+    documents(s, dir).select(
+      col("doc_id"),
+      n.cast("long").as("n_chars"),
+      dec4(nAlpha.cast("double") / n).as("alpha_ratio"),
+      dec4(nDigit.cast("double") / n).as("digit_ratio"),
+      dec4(nSpace.cast("double") / n).as("space_ratio"),
+      dec4((n - nAlpha - nDigit - nSpace).cast("double") / n).as("other_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared oracle SQL fragments (DuckDB dialect). */
   private val baseSql =
     """base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
@@ -435,6 +490,37 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_repetition" ->
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |g2 AS (SELECT doc_id, LEN(w) AS n_words,
+        |  CASE WHEN LEN(w) >= 2 THEN list_transform(range(1, LEN(w)),
+        |    i -> array_to_string(w[i:i+1],' ')) ELSE [] END AS g FROM base),
+        |gs AS (SELECT doc_id, n_words, LEN(g) AS n_g2,
+        |  LEN(list_distinct(g)) AS n_d FROM g2),
+        |tw AS (SELECT doc_id, MAX(c) AS top_c FROM (
+        |  SELECT doc_id, word, COUNT(*) AS c FROM
+        |    (SELECT doc_id, unnest(w) AS word FROM base) GROUP BY 1,2)
+        |  GROUP BY 1)
+        |SELECT gs.doc_id, n_words,
+        |  CAST(ROUND(CASE WHEN n_g2 > 0
+        |    THEN 1.0 - CAST(n_d AS DOUBLE)/n_g2 ELSE 0.0 END,4)
+        |    AS DECIMAL(18,4))::DOUBLE AS dup_2gram_frac,
+        |  CAST(ROUND(CAST(top_c AS DOUBLE)/n_words,4)
+        |    AS DECIMAL(18,4))::DOUBLE AS top_word_ratio
+        |FROM gs JOIN tw ON gs.doc_id = tw.doc_id ORDER BY 1""".stripMargin,
+    "q_charclass" ->
+      """WITH c AS (SELECT doc_id, LENGTH(text) AS n,
+        |  LENGTH(text) - LENGTH(regexp_replace(text, '[a-z]', '', 'g')) AS n_alpha,
+        |  LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+        |  LENGTH(text) - LENGTH(regexp_replace(text, ' ', '', 'g')) AS n_space
+        |  FROM documents)
+        |SELECT doc_id, n AS n_chars,
+        |  CAST(ROUND(CAST(n_alpha AS DOUBLE)/n,4) AS DECIMAL(18,4))::DOUBLE AS alpha_ratio,
+        |  CAST(ROUND(CAST(n_digit AS DOUBLE)/n,4) AS DECIMAL(18,4))::DOUBLE AS digit_ratio,
+        |  CAST(ROUND(CAST(n_space AS DOUBLE)/n,4) AS DECIMAL(18,4))::DOUBLE AS space_ratio,
+        |  CAST(ROUND(CAST(n - n_alpha - n_digit - n_space AS DOUBLE)/n,4)
+        |    AS DECIMAL(18,4))::DOUBLE AS other_ratio
+        |FROM c ORDER BY 1""".stripMargin,
     "q_simhash" -> simhashSql,
     "q_fingerprint" -> fingerprintSql,
     "q_exact_dedup" ->
