@@ -19,6 +19,9 @@ object QProf {
     time("scan_lineitem_full") { lineitem(spark, dir).agg(sum(col("l_quantity"))).count() }
     time("q3_shipping") { operators.Relational.q3Shipping(spark, dir).count() }
     time("q5_region") { operators.Relational.q5Region(spark, dir).count() }
+    time("q_curate") { operators.TextOps.qCurate(spark, dir).count() }
+    time("q_setops") { operators.Relational.qSetOps(spark, dir).count() }
+    time("q_embed_neardup") { operators.Similarity.qEmbedNearDup(spark, dir).count() }
     spark.stop()
   }
 }

@@ -231,12 +231,14 @@ object Relational {
               col("o_orderdate") < lit(s"${year + 1}-01-01"))
       .select(col("o_custkey"))
     val c97 = cohort(1997); val c98 = cohort(1998)
-    val retained = c97.intersect(c98).count()
-    val churned  = c97.except(c98).count()
-    val acquired = c98.except(c97).count()
-    import s.implicits._
-    Seq(("acquired", acquired), ("churned", churned), ("retained", retained))
-      .toDF("cohort", "n").orderBy(col("cohort"))
+    // one lazy plan, one action: the three set-op counts run as sibling
+    // subtrees of a single job instead of three driver round-trips
+    def counted(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("cohort"), col("n"))
+    counted("acquired", c98.except(c97))
+      .unionAll(counted("churned", c97.except(c98)))
+      .unionAll(counted("retained", c97.intersect(c98)))
+      .orderBy(col("cohort"))
   }
 
   /** B15: CUBE aggregation — all grouping-set combinations of

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
@@ -329,10 +330,15 @@ object TextOps {
       n.cast("long").as("n_words"),
       (size(array_distinct(ws)).cast("double") / n).as("distinct_ratio"),
       langPred(ws).as("pred_lang"))
-    val keepers = scored.groupBy(col("h")).agg(min(col("doc_id")).as("keeper_id"))
+    // keeper-of-hash via ONE window pass (row_number over the content
+    // hash) instead of a groupBy + self-join: the self-join recomputed
+    // every per-doc score expression on a second scan and shuffled
+    // twice; this shuffles once and scores once
+    val keeperW = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     scored
-      .join(keepers, scored("doc_id") === keepers("keeper_id"))
-      .filter(col("n_words") >= 20 && col("distinct_ratio") >= 0.3 &&
+      .withColumn("rn", row_number().over(keeperW))
+      .filter(col("rn") === 1 &&
+        col("n_words") >= 20 && col("distinct_ratio") >= 0.3 &&
         col("pred_lang").isin("en", "de"))
       .select(col("doc_id"), col("n_words"), col("pred_lang"))
       .orderBy(col("doc_id"))
