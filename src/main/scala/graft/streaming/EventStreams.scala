@@ -37,6 +37,26 @@ object EventStreams {
                   watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates(idCols ++ Seq("ts"))
 
+  /** F4: stream-stream interval join — every error event opens a 1-hour
+    * incident window; subsequent events of the same user inside the
+    * window join to it (streaming twin of Relational.qRangeJoin, B12).
+    * Both sides carry watermarks and the join condition bounds event
+    * time on both ends, so Spark derives finite state-eviction horizons:
+    * an incident is dropped from state once the watermark passes
+    * i_ts + 1 hour — state is O(open windows), not O(stream).
+    */
+  def incidentJoinStream(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val pts = events.withWatermark("ts", watermark)
+    val inc = events
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("user_id").as("i_user"),
+              col("ts").as("i_ts"))
+      .withWatermark("i_ts", watermark)
+    pts.join(inc, expr(
+        "user_id = i_user AND ts >= i_ts AND ts < i_ts + INTERVAL 1 HOUR"))
+      .select(col("incident_id"), col("event_id"), col("user_id"), col("ts"), col("value"))
+  }
+
   /** Event for the sessionizer: `ts` in epoch micros. */
   final case class Ev(user_id: Long, ts: Long, event_id: Long, value: Double)
 

@@ -102,6 +102,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  private case class REv(user_id: Long, ts: Long, event_id: Long,
+                         event_type: String, value: Double)
+
+  test("stream-stream interval join equals the batch range join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[REv]
+    val joined = EventStreams.incidentJoinStream(
+      input.toDF().withColumn("ts", timestamp_micros(col("ts"))))
+    val q = joined.writeStream.format("memory").queryName("j_out")
+      .outputMode("append").start()
+    try {
+      val evs = Tables.events(spark, sfDir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts"),
+                col("event_id"), col("event_type"), col("value"))
+        .collect()
+        .map(r => REv(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+        .sortBy(e => (e.ts, e.event_id)).toSeq
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+      val got = spark.table("j_out")
+        .groupBy(col("incident_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), math.round(r.getDouble(2) * 100)))
+        .toMap
+      val expected = graft.operators.Relational.qRangeJoin(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), math.round(r.getDouble(2) * 100)))
+        .toMap
+      assert(got.size == expected.size)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   private def unix_micros_of(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000) % 1000
 }
