@@ -22,6 +22,8 @@ object QProf {
     time("q_curate") { operators.TextOps.qCurate(spark, dir).count() }
     time("q_setops") { operators.Relational.qSetOps(spark, dir).count() }
     time("q_embed_neardup") { operators.Similarity.qEmbedNearDup(spark, dir).count() }
+    time("q_knn_reg") { operators.Estimation.qKnnReg(spark, dir).count() }
+    time("q_knn_proba") { operators.Estimation.qKnnProba(spark, dir).count() }
     spark.stop()
   }
 }

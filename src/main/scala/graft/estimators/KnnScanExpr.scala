@@ -1,7 +1,7 @@
 package graft.estimators
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
@@ -31,11 +31,23 @@ case class KnnScanExpr(
     k: Int,
     mode: Int,
     classCount: Int
-) extends UnaryExpression with CodegenFallback {
+) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   override def prettyName: String = "graft_knn_scan"
+
+  /** Stays inside whole-stage codegen: the generated projection passes
+    * the child ArrayData straight to the compiled kernel via a
+    * task-serialized reference — unlike CodegenFallback, which drops
+    * out of the generated plan and materializes an InternalRow per
+    * input row just to call eval().
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("knnScan", this, classOf[KnnScanExpr].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
