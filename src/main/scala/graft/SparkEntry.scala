@@ -66,7 +66,9 @@ object SparkEntry {
     "q_simhash"        -> (TextOps.qSimHash _),
     "q_fingerprint"    -> (TextOps.qFingerprint _),
     "q_ann_lsh"        -> (Similarity.qAnnLsh _),
+    "q_ann_multiprobe" -> (Similarity.qAnnMultiprobe _),
     "q_binary_meta"    -> (Multimodal.qBinaryMeta _),
+    "q_media_meta"     -> (Multimodal.qMediaMeta _),
     "q_rf_reg"         -> (Estimation.qRfReg _),
     "q_pca"            -> (Estimation.qPca _)
   )

@@ -35,12 +35,35 @@ object Multimodal {
         lower(hex(substring(col("payload"), 1, 4))).as("magic"))
       .orderBy(col("doc_id"))
 
+  /** E3: media decode roundtrip through the oracle gate — the widths/
+    * heights READ BACK from the synthesized GRFT headers must equal the
+    * formulas that wrote them, and the feature extractor must emit its
+    * contracted dimension. The oracle recomputes the header fields from
+    * doc_id and the payload length from the text, so any header-layout
+    * or parse bug (endianness, offset, truncation) hash-mismatches.
+    */
+  def qMediaMeta(s: SparkSession, dir: String): DataFrame = {
+    val media = synthesizeMedia(s, dir)
+    decodeFeatures(media)
+      .select(col("media_id"),
+              col("width").cast("long").as("width"),
+              col("height").cast("long").as("height"),
+              size(col("features")).cast("long").as("n_features"))
+      .orderBy(col("media_id"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q_binary_meta" ->
       """SELECT doc_id, OCTET_LENGTH(text::BLOB) AS n_bytes,
         |  sha256(text) AS sha,
         |  lower(substring(hex(text::BLOB), 1, 8)) AS magic
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  16 + doc_id % 16 AS width,
+        |  16 + doc_id % 8 AS height,
+        |  8 AS n_features
+        |FROM documents ORDER BY 1""".stripMargin
   )
 
   /** E2 media record: opaque payload + typed metadata. */

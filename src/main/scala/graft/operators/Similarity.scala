@@ -279,7 +279,22 @@ object Similarity {
     * brute force is asserted in SimilaritySpec; the DuckDB oracle
     * rebuilds the md5-derived planes and band joins in SQL.
     */
-  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    annLsh(s, dir, multiProbe = false)
+
+  /** D5: multi-probe LSH ANN — each query also probes every band key
+    * within Hamming distance 1 of its own (4 flips per 4-bit band), so
+    * a near neighbor that disagrees on ONE hyperplane of a band still
+    * collides. Probe expansion happens on the tiny query side; the
+    * corpus pass is unchanged (each corpus vector still looks up its
+    * exact keys once). Standard recall/candidate trade-off: ~5x the
+    * candidate rate of single-probe for this banding, bought without
+    * extra tables or corpus passes (Lv et al., VLDB'07).
+    */
+  def qAnnMultiprobe(s: SparkSession, dir: String): DataFrame =
+    annLsh(s, dir, multiProbe = true)
+
+  private def annLsh(s: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
     val k = 10
     val nBands = 8
     val bandBits = 4 // 8 bands × 4 bits: banding theory S-curve tuned so
@@ -301,8 +316,13 @@ object Similarity {
     val buckets = new java.util.HashMap[Int, Array[Int]]()
     qv.zipWithIndex.foreach { case (v, qi) =>
       bandKeys(planeSig(planes, v)).foreach { key =>
-        val prev = buckets.getOrDefault(key, Array.empty)
-        if (!prev.contains(qi)) buckets.put(key, prev :+ qi)
+        val probes =
+          if (!multiProbe) Seq(key)
+          else key +: (0 until bandBits).map(t => key ^ (1 << t))
+        probes.foreach { pk =>
+          val prev = buckets.getOrDefault(pk, Array.empty)
+          if (!prev.contains(qi)) buckets.put(pk, prev :+ qi)
+        }
       }
     }
     val bc = s.sparkContext.broadcast((qids, qv, qnorm, buckets, planes))
@@ -353,7 +373,9 @@ object Similarity {
     * vectors sharing any band, and ranks exact cosine over candidates
     * only — the same candidate semantics as the kernel's bucket scan.
     */
-  private val annLshSql: String = {
+  private def annLshSql(probe1: Boolean): String = {
+    val cond =
+      if (probe1) "bit_count(xor(q.bkey, c.bkey)) <= 1" else "q.bkey = c.bkey"
     val u = (t: String) =>
       s"""list_sum(list_transform(range(1,14), t ->
          |      (strpos('0123456789abcdef', substr(md5(p||'|'||j||'|$t'), t, 1)) - 1)
@@ -366,12 +388,12 @@ object Similarity {
       |planes AS (SELECT p, list(z ORDER BY j) AS pv FROM pz GROUP BY p),
       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |bands AS (SELECT vec_id, p // 4 AS band,
-      |    SUM(CASE WHEN list_dot_product(pv, v) > 0
-      |        THEN CAST(2^(p % 4) AS INT) ELSE 0 END) AS bkey
+      |    CAST(SUM(CASE WHEN list_dot_product(pv, v) > 0
+      |        THEN CAST(2^(p % 4) AS INT) ELSE 0 END) AS BIGINT) AS bkey
       |  FROM e CROSS JOIN planes GROUP BY 1, 2),
       |q AS (SELECT * FROM bands WHERE vec_id % 50 = 0),
       |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
-      |  FROM q JOIN bands c ON q.band = c.band AND q.bkey = c.bkey),
+      |  FROM q JOIN bands c ON q.band = c.band AND ${cond}),
       |sims AS (SELECT q_id, cand.vec_id,
       |    list_cosine_similarity(qe.v, ce.v) AS sim
       |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
@@ -384,7 +406,8 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
-    "q_ann_lsh" -> annLshSql,
+    "q_ann_lsh" -> annLshSql(probe1 = false),
+    "q_ann_multiprobe" -> annLshSql(probe1 = true),
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id % 50 = 0),

@@ -28,6 +28,25 @@ class SimilaritySpec extends AnyFunSuite {
     ann.foreach { case (q, s) => assert(s.contains(q)) }
   }
 
+  test("multi-probe ANN recall dominates single-probe") {
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val exact = Similarity.qCosineTopK(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact.map { case (q, ex) =>
+        got.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+      }
+      rs.sum / rs.size
+    }
+    val single = recall(Similarity.qAnnLsh(spark, sfDir))
+    val multi = recall(Similarity.qAnnMultiprobe(spark, sfDir))
+    assert(multi >= single, s"multi-probe recall $multi < single-probe $single")
+    assert(multi > 0.5, s"multi-probe recall $multi")
+  }
+
   test("media synthesis + stub decode preserve schema, rows, and determinism") {
     val media = Multimodal.synthesizeMedia(spark, sfDir)
     assert(media.schema == Multimodal.mediaSchema)
