@@ -36,6 +36,9 @@ def main(sf_dir: str, out_dir: str) -> None:
     results = {}
     for name in sorted(oracles):
         files = glob.glob(f"{out}/{name}/*.parquet")
+        if not files:
+            results[name] = {"err": "no spark output"}
+            continue
         spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         try:
             oracle_df = con.sql(oracles[name]).df()

@@ -40,10 +40,19 @@ object TextFunctions {
 
   /** Base shingle hash: the first 13 hex chars (52 bits) of md5, mod p.
     * `conv` is codegen'd; the DuckDB oracle parses the same prefix with
-    * nibble arithmetic.
+    * nibble arithmetic ([[hexPrefix52Sql]]); the kernel equivalent is
+    * [[TextKernels.md5Prefix52]].
     */
   def minhashBase(shingle: Column): Column =
     conv(substring(md5(shingle), 1, 13), 16, 10).cast("long") % minhashP
+
+  /** DuckDB fragment parsing the first 13 hex chars of `hexExpr` (a hex
+    * string expression) to a BIGINT — the SQL replica of
+    * [[TextKernels.md5Prefix52]].
+    */
+  def hexPrefix52Sql(hexExpr: String): String =
+    s"list_sum(list_transform(range(1,14), t -> " +
+      s"(strpos('0123456789abcdef', substr($hexExpr, t, 1)) - 1) * CAST(16^(13-t) AS BIGINT)))"
 
   /** MinHash signature for permutation `perm` over pre-hashed shingle
     * values (see [[minhashBase]]).

@@ -3,6 +3,22 @@ package graft.functions
 /** Driver/executor-side text kernels shared by operators and specs. */
 object TextKernels {
 
+  /** THE cross-engine hash-prefix contract: the first 52 bits (13 hex
+    * chars) of an md5 digest as a non-negative long — 6 bytes plus the
+    * high nibble of byte 6, big-endian. Every consumer (minhash base
+    * hashes, LSH hyperplane draws) and every SQL replica
+    * ([[graft.functions.TextFunctions.hexPrefix52Sql]]) must stay in
+    * lockstep with this definition.
+    */
+  def md5Prefix52(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(6) >> 4) & 0xfL)
+  }
+
   private val B = 1000003L
   private val M = 2147483647L // 2^31-1; products of two residues fit in a Long
 

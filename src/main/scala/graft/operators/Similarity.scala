@@ -37,15 +37,7 @@ object Similarity {
     */
   private[operators] def gaussianPlanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    def hex13(s0: String): Long = {
-      md.reset()
-      val d = md.digest(s0.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // first 13 hex chars = 6 bytes + the high nibble of byte 6
-      var v = 0L
-      var i = 0
-      while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-      (v << 4) | ((d(6) >> 4) & 0xfL)
-    }
+    def hex13(s0: String): Long = graft.functions.TextKernels.md5Prefix52(md, s0)
     val denom = 4503599627370496.0 // 16^13 = 2^52
     Array.tabulate(nPlanes, dim) { (p, j) =>
       val u1 = (hex13(s"$p|$j|1") + 1.0) / denom
@@ -377,9 +369,7 @@ object Similarity {
     val cond =
       if (probe1) "bit_count(xor(q.bkey, c.bkey)) <= 1" else "q.bkey = c.bkey"
     val u = (t: String) =>
-      s"""list_sum(list_transform(range(1,14), t ->
-         |      (strpos('0123456789abcdef', substr(md5(p||'|'||j||'|$t'), t, 1)) - 1)
-         |      * CAST(16^(13-t) AS BIGINT)))""".stripMargin
+      graft.functions.TextFunctions.hexPrefix52Sql(s"md5(p||'|'||j||'|$t')")
     s"""WITH pz AS (
       |  SELECT p, j,
       |    sqrt(-2*ln((${u("1")} + 1.0)/4503599627370496.0))

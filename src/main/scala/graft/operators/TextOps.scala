@@ -136,15 +136,7 @@ object TextOps {
     fanOut(documents(s, dir).select(col("doc_id"), col("text")))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        def base(s0: String): Long = {
-          md.reset()
-          val d = md.digest(s0.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          // first 13 hex chars = 6 bytes + the high nibble of byte 6
-          var v = 0L
-          var i = 0
-          while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-          ((v << 4) | ((d(6) >> 4) & 0xfL)) % mP
-        }
+        def base(s0: String): Long = TextKernels.md5Prefix52(md, s0) % mP
         val as = perms.map(_._1)
         val bs = perms.map(_._2)
         it.map { row =>
@@ -421,9 +413,7 @@ object TextOps {
     }.mkString(", ")
     s"""hx AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hl FROM sh),
       |hs AS (SELECT doc_id, list_transform(hl, x ->
-      |  list_sum(list_transform(range(1,14), t ->
-      |    (strpos('0123456789abcdef', substr(x,t,1)) - 1) * CAST(16^(13-t) AS BIGINT)))
-      |  % $p) AS hv FROM hx),
+      |  ${T.hexPrefix52Sql("x")} % $p) AS hv FROM hx),
       |sig AS (SELECT doc_id, $sigExprs FROM hs)""".stripMargin
   }
 
@@ -465,7 +455,11 @@ object TextOps {
     * window minimum encoded as min of (h * 2^20 + (2^20-1-i)) so one
     * MIN picks (h asc, i desc), positions deduped. The `i <= ng - 3`
     * filter applies AFTER the window function — filtering first would
-    * strip the rows that end-of-document frames need.
+    * strip the rows that end-of-document frames need. Contract limits:
+    * positions pack into 20 bits (documents <= 1M chars) and char
+    * arithmetic assumes BMP-only text (DuckDB ascii() is a code point,
+    * JVM charAt a UTF-16 unit — equal only below U+10000; the corpus
+    * vocab including the zh markers is BMP).
     */
   private val fingerprintSql: String = {
     val (b, m) = (1000003L, 2147483647L)
@@ -475,7 +469,8 @@ object TextOps {
       .mkString(" + ")
     s"""WITH d AS (SELECT doc_id, text, length(text) - 7 AS ng FROM documents),
       |g AS (SELECT doc_id, i, ($terms) % $m AS h
-      |  FROM d, (SELECT unnest(range(1, 100000)) AS i) r WHERE d.ng >= 1 AND i <= d.ng),
+      |  FROM d, (SELECT unnest(range(1, (SELECT MAX(length(text))+1 FROM documents))) AS i) r
+      |  WHERE d.ng >= 1 AND i <= d.ng),
       |k AS (SELECT doc_id, i, h, h * 1048576 + (1048575 - i) AS key,
       |  MAX(i) OVER (PARTITION BY doc_id) AS ng FROM g),
       |wmin AS (SELECT doc_id, i, ng, MIN(key) OVER (PARTITION BY doc_id ORDER BY i
@@ -572,10 +567,12 @@ object TextOps {
         |  CAST(LEN(list_distinct(w)) AS DOUBLE)/LEN(w) AS distinct_ratio,
         |  CASE $caseChain ELSE '${codes.last}' END AS pred_lang
         |  FROM (SELECT doc_id, text, w, $scoreExprs FROM base)),
-        |keep AS (SELECT h, MIN(doc_id) AS keeper_id FROM sc GROUP BY 1)
+        |keep AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |  FROM sc)
         |SELECT doc_id, n_words, pred_lang
-        |FROM sc JOIN keep ON sc.doc_id = keep.keeper_id
-        |WHERE n_words >= 20 AND distinct_ratio >= 0.3 AND pred_lang IN ('en','de')
+        |FROM keep
+        |WHERE rn = 1 AND n_words >= 20 AND distinct_ratio >= 0.3
+        |  AND pred_lang IN ('en','de')
         |ORDER BY doc_id""".stripMargin
     },
     "q_minhash" ->

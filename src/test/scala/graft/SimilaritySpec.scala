@@ -29,10 +29,10 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("multi-probe ANN recall dominates single-probe") {
+    val exact = Similarity.qCosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     def recall(df: org.apache.spark.sql.DataFrame): Double = {
-      val exact = Similarity.qCosineTopK(spark, sfDir).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       val got = df.collect()
         .map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
