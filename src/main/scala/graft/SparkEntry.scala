@@ -40,6 +40,7 @@ object SparkEntry {
     "q_skew_agg"       -> (Relational.qSkewAgg _),
     "q_knn_reg"        -> (Estimation.qKnnReg _),
     "q_knn_weighted"   -> (Estimation.qKnnWeighted _),
+    "q_radius_reg"     -> (Estimation.qRadiusReg _),
     "q_knn_reg_multi"  -> (Estimation.qKnnRegMulti _),
     "q_knn_cls"        -> (Estimation.qKnnCls _),
     "q_knn_proba"      -> (Estimation.qKnnProba _),

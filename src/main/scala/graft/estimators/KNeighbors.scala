@@ -91,12 +91,13 @@ private[estimators] object KnnKernel {
     * O(m·d) per-row work runs on all cores even when the source arrives
     * as a single partition; masked rows skip the scan entirely.
     */
-  def scanned(ff: FeatureFrame, st: KnnState, k: Int, mode: Int, classCount: Int): DataFrame = {
+  def scanned(ff: FeatureFrame, st: KnnState, k: Int, mode: Int, classCount: Int,
+              radius2: Double = 0.0): DataFrame = {
     val in = fanOut(ff.df.select(
       (ff.idCols.map(col) ++ ff.featureCols.map(c => col(c).cast("double"))): _*))
     val features = array(ff.featureCols.map(col): _*)
     val knn = GraftSqlBridge.column(
-      KnnScanExpr(GraftSqlBridge.expression(features), st, k, mode, classCount))
+      KnnScanExpr(GraftSqlBridge.expression(features), st, k, mode, classCount, radius2))
     val mask = ff.noDataMask
     in.select(
       ff.idCols.map(col) :+ mask.as("__m") :+ when(!mask, knn).as("__knn"): _*)
@@ -184,6 +185,55 @@ final class KnnRegressorModel private[estimators] (
           .otherwise(nanvl(element_at(col("__knn"), kk + i + 1), lit(opts.noDataOutput))).as(nm)
       }
     scanned.select(ff.idCols.map(col) ++ idCols ++ distCols: _*)
+  }
+}
+
+/** RadiusNeighborsRegressor (sklearn's radius_neighbors family): the
+  * prediction is the mean target over ALL training neighbors within
+  * Euclidean `radius` — no k, the ball defines the neighborhood. Same
+  * broadcast-state scan as kNN (one corpus pass, zero shuffle); empty
+  * balls yield `opts.noDataOutput` (sklearn emits NaN + a warning;
+  * the fill keeps the output double-typed and oracle-comparable).
+  */
+final case class RadiusNeighborsRegressor(radius: Double, orderBy: Seq[String] = Nil)
+    extends FeatureEstimator[RadiusRegressorModel] {
+
+  def fit(train: DataFrame, featureCols: Seq[String], targetCols: Seq[String]): RadiusRegressorModel = {
+    val ord = if (orderBy.nonEmpty) orderBy else featureCols ++ targetCols
+    val sorted = FitUtil.collectSorted(train, ord, featureCols ++ targetCols)
+    val d = featureCols.length; val t = targetCols.length
+    val st = new KnnState(
+      ids = Array.tabulate(sorted.length)(_.toLong),
+      x = sorted.flatMap(_.take(d)),
+      y = sorted.flatMap(_.slice(d, d + t)),
+      yCls = Array.empty,
+      m = sorted.length,
+      d = d)
+    new RadiusRegressorModel(featureCols, targetCols, st, radius)
+  }
+}
+
+final class RadiusRegressorModel private[estimators] (
+    val featureNames: Seq[String],
+    val targetNames: Seq[String],
+    st: KnnState,
+    radius: Double
+) extends FittedModel {
+
+  /** Per input row: `n_in_radius` plus the mean of each target over the
+    * ball (filled with `opts.noDataOutput` when empty or masked).
+    */
+  def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
+    val ff = frame.validated(featureNames)
+    val scanned = KnnKernel.scanned(ff, st, k = 0, KnnScanExpr.ModeRadius, 0,
+      radius2 = radius * radius)
+    val nCol = when(col("__m"), lit(0L))
+      .otherwise(element_at(col("__knn"), 1).cast("long")).as("n_in_radius")
+    val outs = targetNames.zipWithIndex.map { case (tn, i) =>
+      when(col("__m"), lit(opts.noDataOutput))
+        .otherwise(nanvl(element_at(col("__knn"), i + 2), lit(opts.noDataOutput))).as(tn)
+    }
+    scanned.select((ff.idCols.map(col) :+ nCol) ++ outs: _*)
   }
 }
 

@@ -30,7 +30,8 @@ case class KnnScanExpr(
     st: KnnState,
     k: Int,
     mode: Int,
-    classCount: Int
+    classCount: Int,
+    radius2: Double = 0.0
 ) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -55,10 +56,34 @@ case class KnnScanExpr(
     val q = new Array[Double](d)
     var j = 0
     while (j < d) { q(j) = arr.getDouble(j); j += 1 }
+    val t = if (st.m == 0) 0 else st.y.length / st.m
+    if (mode == KnnScanExpr.ModeRadius) {
+      // all-neighbors-within-radius: [count, mean per target]; NaN means
+      // when the ball is empty (callers fill). Target sums accumulate in
+      // training-id order — identical to the oracle for integer-valued
+      // targets (exact) and within round-off for continuous ones.
+      val o = new Array[Double](1 + t)
+      var cnt = 0
+      var i = 0
+      while (i < st.m) {
+        val base = i * d
+        var dd = 0.0; var jj = 0
+        while (jj < d) { val diff = q(jj) - st.x(base + jj); dd += diff * diff; jj += 1 }
+        if (dd <= radius2) {
+          cnt += 1
+          var ti = 0
+          while (ti < t) { o(1 + ti) += st.y(i * t + ti); ti += 1 }
+        }
+        i += 1
+      }
+      o(0) = cnt.toDouble
+      var ti = 0
+      while (ti < t) { o(1 + ti) = if (cnt > 0) o(1 + ti) / cnt else Double.NaN; ti += 1 }
+      return new GenericArrayData(o)
+    }
     val idx = new Array[Int](math.min(k, st.m))
     val d2 = new Array[Double](idx.length)
     val n = KnnKernel.topK(q, st, k, idx, d2)
-    val t = if (st.m == 0) 0 else st.y.length / st.m
     val out = mode match {
       case KnnScanExpr.ModeReg =>
         val o = new Array[Double](t)
@@ -119,4 +144,5 @@ object KnnScanExpr {
   val ModeWeighted = 1
   val ModeCounts = 2
   val ModeNN = 3
+  val ModeRadius = 4
 }

@@ -77,6 +77,21 @@ object Estimation {
       .orderBy(col("li_id"))
   }
 
+  /** A1c: RadiusNeighborsRegressor — mean target over ALL training
+    * neighbors within Euclidean radius 300 of the price (sklearn's
+    * radius_neighbors family). Empty balls emit NULL prediction (the
+    * NaN fill rounds to NULL through dec4 — matching the oracle's
+    * CASE WHEN empty). Count column exposes the ball size.
+    */
+  def qRadiusReg(s: SparkSession, dir: String): DataFrame = {
+    val model = RadiusNeighborsRegressor(radius = 300.0, orderBy = trainOrder)
+      .fit(trainLi(s, dir), Seq("l_extendedprice"), Seq("l_quantity"))
+    model.predict(FeatureFrame(li(s, dir), Seq("li_id"), Seq("l_extendedprice")))
+      .select(col("li_id"), col("n_in_radius"),
+              dec4(col("l_quantity")).as("prediction"))
+      .orderBy(col("li_id"))
+  }
+
   /** A2: multi-feature (d=3), multi-target (t=2) kNN regression. */
   def qKnnRegMulti(s: SparkSession, dir: String): DataFrame = {
     val model = KNeighborsRegressor(k = 5, orderBy = trainOrder)
@@ -230,6 +245,16 @@ object Estimation {
           |  FROM q CROSS JOIN train)
           |SELECT li_id, CAST(ROUND(AVG(ty),4) AS DECIMAL(18,4))::DOUBLE AS prediction
           |FROM d WHERE rn <= 5 GROUP BY li_id ORDER BY li_id""".stripMargin,
+      "q_radius_reg" ->
+        s"""WITH $train, $q
+          |SELECT li_id, CAST(COUNT(train.tid) AS BIGINT) AS n_in_radius,
+          |  CASE WHEN COUNT(train.tid) = 0 THEN NULL
+          |    ELSE CAST(ROUND(CAST(SUM(train.l_quantity) AS DOUBLE)/COUNT(train.tid),4)
+          |      AS DECIMAL(18,4))::DOUBLE END AS prediction
+          |FROM q LEFT JOIN train
+          |  ON (q.l_extendedprice-train.l_extendedprice)*(q.l_extendedprice-train.l_extendedprice)
+          |     <= 90000.0
+          |GROUP BY li_id ORDER BY li_id""".stripMargin,
       "q_knn_weighted" ->
         s"""WITH $train, $q,
           |d AS (SELECT li_id, train.l_quantity AS ty,

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.{FeatureFrame, NoData, PredictOptions}
-import graft.estimators.{KNeighborsClassifier, KNeighborsRegressor}
+import graft.estimators.{KNeighborsClassifier, KNeighborsRegressor, RadiusNeighborsRegressor}
 
 /** kNN kernel semantics: neighbor order, tie rules, NoData handling —
   * the reference's estimator surface (`estimator.py:119/233/387`).
@@ -117,5 +117,21 @@ class KNeighborsSpec extends AnyFunSuite {
         .sortBy(t => (t._1, t._2)).take(5).map(_._3).sum / 5
       assert(math.abs(got(qid) - expected) < 1e-12, s"query $qid")
     }
+  }
+
+  test("radius regressor averages the ball, counts it, and NaNs empty balls") {
+    val train = Seq((0.0, 10.0), (1.0, 20.0), (2.0, 40.0), (100.0, 99.0))
+      .toDF("f", "y")
+    val model = RadiusNeighborsRegressor(radius = 1.5, orderBy = Seq("f"))
+      .fit(train, Seq("f"), Seq("y"))
+    val in = Seq((1L, 1.0), (2L, 50.0)).toDF("id", "f")
+    val out = model.predict(FeatureFrame(in, Seq("id"), Seq("f")))
+      .orderBy("id").collect()
+    // id 1: ball {0,1,2} -> n=3, mean=(10+20+40)/3
+    assert(out(0).getLong(1) == 3L)
+    assert(math.abs(out(0).getDouble(2) - 70.0 / 3) < 1e-12)
+    // id 2: empty ball -> n=0, NaN fill
+    assert(out(1).getLong(1) == 0L)
+    assert(out(1).getDouble(2).isNaN)
   }
 }
