@@ -38,6 +38,7 @@ object SparkEntry {
     "q_lead_lag"       -> (Relational.qLeadLag _),
     "q_asof_tolerance" -> (Relational.qAsOfTolerance _),
     "q_skew_agg"       -> (Relational.qSkewAgg _),
+    "q_string_agg"     -> (Relational.qStringAgg _),
     "q_knn_reg"        -> (Estimation.qKnnReg _),
     "q_knn_weighted"   -> (Estimation.qKnnWeighted _),
     "q_radius_reg"     -> (Estimation.qRadiusReg _),
@@ -61,6 +62,7 @@ object SparkEntry {
     "q_curate"         -> (TextOps.qCurate _),
     "q_repetition"     -> (TextOps.qRepetition _),
     "q_charclass"      -> (TextOps.qCharClass _),
+    "q_tfidf"          -> (TextOps.qTfidf _),
     "q_cosine_topk"    -> (Similarity.qCosineTopK _),
     "q_embed_neardup"  -> (Similarity.qEmbedNearDup _),
     "q_centroid_cls"   -> (Similarity.qCentroidCls _),

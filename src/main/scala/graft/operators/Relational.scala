@@ -375,6 +375,25 @@ object Relational {
       .select(col("event_type"), dec2(col("sum_value")).as("sum_value"), col("n"))
       .orderBy(col("event_type"))
 
+  /** B22: ordered string aggregation — the top-5 account balances per
+    * market segment as a comma-joined custkey list (LISTAGG/string_agg
+    * semantics). collect_list alone is partition-order-nondeterministic,
+    * so elements carry their rank and sort_array restores a total order
+    * before joining.
+    */
+  def qStringAgg(s: SparkSession, dir: String): DataFrame = {
+    val top = Windowed.topNPerKey(customer(s, dir), Seq("c_mktsegment"),
+      order = col("c_acctbal"), tieBreak = col("c_custkey"), n = 5)
+    top
+      .groupBy(col("c_mktsegment"))
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col("rn"), col("c_custkey")))),
+          x => x.getField("c_custkey").cast("string")),
+        ",").as("top5_custkeys"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** B11: tumbling 1-hour window aggregate over the event stream (batch twin of F1). */
   def qTumbling(s: SparkSession, dir: String): DataFrame = {
     events(s, dir)
@@ -578,6 +597,13 @@ object Relational {
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "q_string_agg" ->
+      """WITH t AS (SELECT c_mktsegment, c_custkey,
+        |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |SELECT c_mktsegment, string_agg(c_custkey, ',' ORDER BY rn) AS top5_custkeys
+        |FROM t WHERE rn <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_skew_agg" ->
       """SELECT event_type,
         |  CAST(ROUND(SUM(value),2) AS DECIMAL(18,2))::DOUBLE AS sum_value,

@@ -391,6 +391,30 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** C13: TF-IDF top term per document — classic IR scoring over the
+    * corpus: tf from a per-(doc, word) count, df from a per-word
+    * distinct-doc count, idf = ln(N/df), argmax per doc with ties to
+    * the lexicographically lowest term. Two hash shuffles (word counts,
+    * df join) — both on keys whose cardinality is vocabulary-, not
+    * corpus-, sized after the first partial aggregation.
+    */
+  def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val nDocs = documents(s, dir).count()
+    val tf = documents(s, dir)
+      .select(col("doc_id"), explode(T.words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "w")
+      .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+    val wnd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("w"))
+    scored.withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("w").as("top_term"),
+              dec4(col("tfidf")).as("top_tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared oracle SQL fragments (DuckDB dialect). */
   private val baseSql =
     """base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
@@ -491,6 +515,18 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf" ->
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM
+        |  (SELECT doc_id, unnest(w) AS word FROM base) GROUP BY 1,2),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, tf.word, tf * ln((SELECT COUNT(*) FROM documents)::DOUBLE / df) AS tfidf,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tf * ln((SELECT COUNT(*) FROM documents)::DOUBLE / df) DESC, tf.word) AS rn
+        |  FROM tf JOIN df ON tf.word = df.word)
+        |SELECT doc_id, word AS top_term,
+        |  CAST(ROUND(tfidf,4) AS DECIMAL(18,4))::DOUBLE AS top_tfidf
+        |FROM sc WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |g2 AS (SELECT doc_id, LEN(w) AS n_words,
