@@ -39,6 +39,10 @@ object SparkEntry {
     "q_asof_tolerance" -> (Relational.qAsOfTolerance _),
     "q_skew_agg"       -> (Relational.qSkewAgg _),
     "q_string_agg"     -> (Relational.qStringAgg _),
+    "q_full_outer"     -> (Relational.qFullOuter _),
+    "q_unpivot"        -> (Relational.qUnpivot _),
+    "q_sample"         -> (Relational.qSample _),
+    "q_histogram"      -> (Relational.qHistogram _),
     "q_knn_reg"        -> (Estimation.qKnnReg _),
     "q_knn_weighted"   -> (Estimation.qKnnWeighted _),
     "q_radius_reg"     -> (Estimation.qRadiusReg _),

@@ -394,6 +394,65 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** B23: full outer join — per-nation customer vs supplier presence,
+    * including nations with only one side (dimension-sized inputs, so
+    * both aggregates broadcast into the join).
+    */
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_customers"))
+    val p = supplier(s, dir).groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(p, Seq("nk"), "full_outer")
+      .select(col("nk").as("nationkey"),
+              coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+              coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** B24: unpivot/melt — the per-user event-type counts turned back
+    * into (user_id, event_type, n) rows via stack (the inverse of B8's
+    * pivot; map-side, no shuffle beyond the source aggregate).
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types.map(t => t: Any))
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+    wide.select(col("user_id"),
+        expr(s"stack(${types.length}, " +
+          types.map(t => s"'$t', `$t`").mkString(", ") + ") AS (event_type, n)"))
+      .filter(col("n") > 0)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** B25: deterministic sampling — an md5-keyed 5% sample (the
+    * engine-portable way to sample reproducibly at 100 TB: no RNG
+    * state, any engine computes the same subset) aggregated per flag.
+    */
+  def qSample(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir)
+      .filter(conv(substring(md5(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))), 1, 13),
+        16, 10).cast("long") % 100 < 5)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dec2(sum(col("l_extendedprice"))).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** B26: histogram — fixed-width binning of order totals (width 50k),
+    * one hash aggregate; integer bin arithmetic is engine-exact.
+    */
+  def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    orders(s, dir)
+      .groupBy(floor(col("o_totalprice") / 50000.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), dec2(min(col("o_totalprice"))).as("lo"),
+           dec2(max(col("o_totalprice"))).as("hi"))
+      .orderBy(col("bin"))
+  }
+
   /** B11: tumbling 1-hour window aggregate over the event stream (batch twin of F1). */
   def qTumbling(s: SparkSession, dir: String): DataFrame = {
     events(s, dir)
@@ -597,6 +656,31 @@ object Relational {
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "q_full_outer" ->
+      """SELECT COALESCE(c.nk, p.nk) AS nationkey,
+        |  COALESCE(n_customers, 0) AS n_customers,
+        |  COALESCE(n_suppliers, 0) AS n_suppliers
+        |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) p
+        |  ON c.nk = p.nk
+        |ORDER BY 1""".stripMargin,
+    "q_unpivot" ->
+      """SELECT user_id, event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_sample" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(l_extendedprice),2) AS DECIMAL(18,2))::DOUBLE AS sum_price
+        |FROM lineitem
+        |WHERE CAST(list_sum(list_transform(range(1,14), t ->
+        |    (strpos('0123456789abcdef', substr(md5(l_orderkey||'|'||l_linenumber||'|'||l_partkey||'|'||l_suppkey), t, 1)) - 1)
+        |    * CAST(16^(13-t) AS BIGINT))) AS BIGINT) % 100 < 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(MIN(o_totalprice),2) AS DECIMAL(18,2))::DOUBLE AS lo,
+        |  CAST(ROUND(MAX(o_totalprice),2) AS DECIMAL(18,2))::DOUBLE AS hi
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_string_agg" ->
       """WITH t AS (SELECT c_mktsegment, c_custkey,
         |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment
