@@ -74,6 +74,7 @@ object SparkEntry {
     "q_fingerprint"    -> (TextOps.qFingerprint _),
     "q_ann_lsh"        -> (Similarity.qAnnLsh _),
     "q_ann_multiprobe" -> (Similarity.qAnnMultiprobe _),
+    "q_ann_ivf"        -> (Similarity.qAnnIvf _),
     "q_binary_meta"    -> (Multimodal.qBinaryMeta _),
     "q_media_meta"     -> (Multimodal.qMediaMeta _),
     "q_rf_reg"         -> (Estimation.qRfReg _),

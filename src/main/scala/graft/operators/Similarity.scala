@@ -35,13 +35,14 @@ object Similarity {
     * engines unless |dot| is within libm's ulp noise (~1e-13 —
     * probability ~0 for 64-dim random data).
     */
-  private[operators] def gaussianPlanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+  private[operators] def gaussianPlanes(nPlanes: Int, dim: Int,
+                                        tag: String = ""): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def hex13(s0: String): Long = graft.functions.TextKernels.md5Prefix52(md, s0)
     val denom = 4503599627370496.0 // 16^13 = 2^52
     Array.tabulate(nPlanes, dim) { (p, j) =>
-      val u1 = (hex13(s"$p|$j|1") + 1.0) / denom
-      val u2 = hex13(s"$p|$j|2") / denom
+      val u1 = (hex13(s"$tag$p|$j|1") + 1.0) / denom
+      val u2 = hex13(s"$tag$p|$j|2") / denom
       math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
     }
   }
@@ -286,6 +287,91 @@ object Similarity {
   def qAnnMultiprobe(s: SparkSession, dir: String): DataFrame =
     annLsh(s, dir, multiProbe = true)
 
+  /** D6: IVF-style partitioned ANN — the production path when the
+    * corpus is too big even for per-band LSH buckets: a coarse
+    * quantizer (16 deterministic unit-norm centroids) assigns every
+    * vector to one Voronoi cell; each query probes only its nProbe=2
+    * nearest cells, so a cell-partitioned corpus reads ~1/8 of the data
+    * per query. Cells are computed corpus-side in the same single pass
+    * that reranks exact cosine for candidate queries — at 100 TB the
+    * cell id becomes a partition column and probing = partition
+    * pruning. Centroids derive from the md5/Box-Muller draw (tag
+    * "ivf|"), so the oracle rebuilds the exact cells.
+    */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val nCells = 16
+    val nProbe = 2
+    val dim = 64
+    val e = emb(s, dir)
+    val cents = gaussianPlanes(nCells, dim, tag = "ivf|").map { c =>
+      // normalize COMPONENT-WISE first (x / sqrt(sum x^2), sum in index
+      // order) — the oracle transforms the list the same way; dotting
+      // first and dividing after would be a different float sequence
+      var n2 = 0.0; var j = 0
+      while (j < dim) { n2 += c(j) * c(j); j += 1 }
+      val nrm = math.sqrt(n2)
+      c.map(_ / nrm)
+    }
+    def topCells(v: Array[Double], n: Int): Array[Int] = {
+      val dots = Array.tabulate(nCells) { ci =>
+        val cv = cents(ci)
+        var d = 0.0; var j = 0
+        while (j < v.length) { d += cv(j) * v(j); j += 1 }
+        d
+      }
+      (0 until nCells).sortBy(ci => (-dots(ci), ci)).take(n).toArray
+    }
+    val qRows = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+    val qids = qRows.map(_.getLong(0))
+    val qv = qRows.map(_.getSeq[Double](1).toArray)
+    val qnorm = qv.map(a => math.sqrt(a.map(x => x * x).sum))
+    // cell -> query indexes probing it
+    val probing = Array.fill(nCells)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    qv.zipWithIndex.foreach { case (v, qi) =>
+      topCells(v, nProbe).foreach(c => probing(c) += qi)
+    }
+    val probingArr = probing.map(_.toArray)
+    val bc = s.sparkContext.broadcast((qids, qv, qnorm, cents, probingArr))
+
+    val locals = fanOut(e.select(col("vec_id"), col("v")))
+      .mapPartitions { it =>
+        val (bQids, bQv, bQnorm, bCents, bProbing) = bc.value
+        val nq = bQids.length
+        val heaps = new TopKHeaps(nq, k)
+        it.foreach { row =>
+          val v = row.getSeq[Double](1).toArray
+          val vid = row.getLong(0)
+          // corpus cell = argmax centroid dot (tie -> lowest cell id)
+          var best = 0; var bestD = Double.NegativeInfinity
+          var ci = 0
+          while (ci < bCents.length) {
+            val cv = bCents(ci)
+            var d = 0.0; var j = 0
+            while (j < v.length) { d += cv(j) * v(j); j += 1 }
+            if (d > bestD) { bestD = d; best = ci }
+            ci += 1
+          }
+          val qs = bProbing(best)
+          if (qs.nonEmpty) {
+            var n2 = 0.0; var j = 0
+            while (j < v.length) { n2 += v(j) * v(j); j += 1 }
+            val nrm = math.sqrt(n2)
+            qs.foreach { qi =>
+              val qvv = bQv(qi)
+              var d = 0.0; var jj = 0
+              while (jj < v.length) { d += qvv(jj) * v(jj); jj += 1 }
+              heaps.insert(qi, d / (bQnorm(qi) * nrm), vid)
+            }
+          }
+        }
+        heaps.emit(bQids)
+      }(Encoders.row(localTopKSchema))
+
+    globalTopK(locals, k)
+  }
+
   private def annLsh(s: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
     val k = 10
     val nBands = 8
@@ -395,9 +481,46 @@ object Similarity {
       |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** D6 oracle: rebuild the tagged centroid draw, normalize component-
+    * wise, assign cells by ranked centroid dot, probe each query's top-2
+    * cells, rerank exact cosine over cell members only.
+    */
+  private val annIvfSql: String = {
+    val u = (t: String) =>
+      graft.functions.TextFunctions.hexPrefix52Sql(s"md5('ivf|'||p||'|'||j||'|$t')")
+    s"""WITH pz AS (
+      |  SELECT p, j,
+      |    sqrt(-2*ln((${u("1")} + 1.0)/4503599627370496.0))
+      |      * cos(2*pi()*(${u("2")}/4503599627370496.0)) AS z
+      |  FROM (SELECT unnest(range(16)) AS p), (SELECT unnest(range(64)) AS j)),
+      |cents AS (SELECT p, list(z ORDER BY j) AS cv FROM pz GROUP BY p),
+      |cnorm AS (SELECT p,
+      |    list_transform(cv, x -> x / sqrt(list_sum(list_transform(cv, y -> y*y)))) AS cv
+      |  FROM cents),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cd AS (SELECT vec_id, p, list_dot_product(cv, v) AS dt FROM e CROSS JOIN cnorm),
+      |cellr AS (SELECT vec_id, p,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, p) AS rn
+      |  FROM cd),
+      |cell AS (SELECT vec_id, p FROM cellr WHERE rn = 1),
+      |probes AS (SELECT vec_id, p FROM cellr WHERE rn <= 2 AND vec_id % 50 = 0),
+      |cand AS (SELECT DISTINCT pr.vec_id AS q_id, c.vec_id
+      |  FROM probes pr JOIN cell c ON pr.p = c.p),
+      |sims AS (SELECT q_id, cand.vec_id,
+      |    list_cosine_similarity(qe.v, ce.v) AS sim
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
+      |  JOIN e ce ON ce.vec_id = cand.vec_id),
+      |r AS (SELECT q_id, vec_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM sims)
+      |SELECT q_id, vec_id, rank, CAST(ROUND(sim,4) AS DECIMAL(18,4))::DOUBLE AS sim
+      |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_ann_lsh" -> annLshSql(probe1 = false),
     "q_ann_multiprobe" -> annLshSql(probe1 = true),
+    "q_ann_ivf" -> annIvfSql,
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id % 50 = 0),
