@@ -415,6 +415,40 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** C14: feature-hashing text vectorizer (the hashing trick,
+    * Weinberger et al.: token -> bucket via hash, signed +-1 by a hash
+    * bit) emitted as sparse (doc_id, bucket, weight) rows. Weights are
+    * integer sums -> engine-exact; a dense `array(64)` form is one
+    * groupBy-pivot away; cosine over these is the cheap
+    * embedding-free near-dup signal. One compiled pass per partition,
+    * one vocabulary-free shuffle of the sparse triples.
+    */
+  def qHashEmbed(s: SparkSession, dir: String): DataFrame = {
+    val nBuckets = 64
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("w", LongType, nullable = false)))
+    fanOut(documents(s, dir).select(col("doc_id"), col("text")))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { row =>
+          val acc = new Array[Long](nBuckets)
+          row.getString(1).split(" ", -1).foreach { w =>
+            val h = TextKernels.md5Prefix52(md, w)
+            val b = (h % nBuckets).toInt
+            val sgn = if (((h / nBuckets) % 2) == 1) 1L else -1L
+            acc(b) += sgn
+          }
+          val id = row.getLong(0)
+          (0 until nBuckets).iterator
+            .filter(acc(_) != 0L)
+            .map(b => Row(id, b, acc(b)))
+        }
+      }(Encoders.row(outSchema))
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
   /** Shared oracle SQL fragments (DuckDB dialect). */
   private val baseSql =
     """base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
@@ -515,6 +549,14 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_hash_embed" ->
+      s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |h AS (SELECT doc_id, ${T.hexPrefix52Sql("md5(word)")} AS hv
+        |  FROM (SELECT doc_id, unnest(ws) AS word FROM base)),
+        |t AS (SELECT doc_id, CAST(hv % 64 AS INT) AS bucket,
+        |  CASE WHEN (hv // 64) % 2 = 1 THEN 1 ELSE -1 END AS sgn FROM h)
+        |SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS w
+        |FROM t GROUP BY 1,2 HAVING SUM(sgn) <> 0 ORDER BY 1,2""".stripMargin,
     "q_tfidf" ->
       """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM
