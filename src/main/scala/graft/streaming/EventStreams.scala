@@ -57,6 +57,52 @@ object EventStreams {
       .select(col("incident_id"), col("event_id"), col("user_id"), col("ts"), col("value"))
   }
 
+  /** F5 input: orders (tag=0, state updates) and events (tag=1, probes)
+    * merged into one keyed stream; `ts` in epoch micros.
+    */
+  final case class AsOfIn(user_id: Long, ts: Long, tag: Int, event_id: Long,
+                          o_orderkey: Long, o_totalprice: Double)
+
+  final case class AsOfOut(event_id: Long, user_id: Long,
+                           o_orderkey: Option[Long], o_totalprice: Option[Double])
+
+  /** The as-of state is ONE tuple per user: the best (latest orderdate,
+    * then highest orderkey) order seen so far — O(1) state, the
+    * streaming analogue of the batch dedup-then-carry-forward
+    * (Windowed.asOfJoin / Relational.qAsOf).
+    */
+  final case class LatestOrder(ts: Long, orderkey: Long, totalprice: Double)
+
+  /** F5: streaming as-of join — each event is enriched with the most
+    * recent order (orderdate <= event ts, dedup to the highest orderkey
+    * per date) of the same user. Orders sort before events at equal ts
+    * (tag 0 < 1) because the as-of condition is inclusive. Requires
+    * per-user event-time order across batches, like the sessionizer.
+    */
+  def asOfStream(in: Dataset[AsOfIn]): Dataset[AsOfOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[AsOfIn], state: GroupState[LatestOrder]) => {
+          val sorted = batch.toArray.sortBy(r => (r.ts, r.tag, r.event_id, r.o_orderkey))
+          var latest = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
+          sorted.foreach { r =>
+            if (r.tag == 0) {
+              if (latest == null || r.ts > latest.ts ||
+                  (r.ts == latest.ts && r.o_orderkey > latest.orderkey))
+                latest = LatestOrder(r.ts, r.o_orderkey, r.o_totalprice)
+            } else {
+              out += (if (latest == null) AsOfOut(r.event_id, uid, None, None)
+                      else AsOfOut(r.event_id, uid, Some(latest.orderkey),
+                                   Some(latest.totalprice)))
+            }
+          }
+          if (latest != null) state.update(latest)
+          out.iterator
+        })
+  }
+
   /** Event for the sessionizer: `ts` in epoch micros. */
   final case class Ev(user_id: Long, ts: Long, event_id: Long, value: Double)
 

@@ -137,6 +137,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of join equals the batch as-of across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.AsOfIn]
+    val q = EventStreams.asOfStream(input.toDS()).writeStream
+      .format("memory").queryName("a_out").outputMode("update").start()
+    try {
+      val orders = Tables.orders(spark, sfDir)
+        .select(col("o_custkey"),
+                unix_micros(col("o_orderdate").cast("timestamp")).as("ts"),
+                col("o_orderkey"), col("o_totalprice"))
+        .collect()
+        .map(r => EventStreams.AsOfIn(r.getLong(0), r.getLong(1), 0, -1L,
+                                      r.getLong(2), r.getDouble(3)))
+      val events = Tables.events(spark, sfDir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts"), col("event_id"))
+        .collect()
+        .map(r => EventStreams.AsOfIn(r.getLong(0), r.getLong(1), 1, r.getLong(2), -1L, 0.0))
+      val all = (orders ++ events).sortBy(r => (r.ts, r.tag, r.event_id, r.o_orderkey)).toSeq
+      val third = all.length / 3
+      input.addData(all.take(third)); q.processAllAvailable()
+      input.addData(all.slice(third, 2 * third)); q.processAllAvailable()
+      input.addData(all.drop(2 * third)); q.processAllAvailable()
+      val got = spark.table("a_out").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)),
+           if (r.isNullAt(3)) None else Some(math.round(r.getDouble(3) * 100))))
+        .toMap
+      val expected = graft.operators.Relational.qAsOf(spark, sfDir).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)),
+           if (r.isNullAt(3)) None else Some(math.round(r.getDouble(3) * 100))))
+        .toMap
+      assert(got.size == expected.size)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   private def unix_micros_of(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000) % 1000
 }
