@@ -43,6 +43,9 @@ object SparkEntry {
     "q_unpivot"        -> (Relational.qUnpivot _),
     "q_sample"         -> (Relational.qSample _),
     "q_histogram"      -> (Relational.qHistogram _),
+    "q13_custdist"     -> (Relational.q13CustDist _),
+    "q18_toporders"    -> (Relational.q18TopOrders _),
+    "q_skew_distinct"  -> (Relational.qSkewDistinct _),
     "q_knn_reg"        -> (Estimation.qKnnReg _),
     "q_knn_weighted"   -> (Estimation.qKnnWeighted _),
     "q_radius_reg"     -> (Estimation.qRadiusReg _),

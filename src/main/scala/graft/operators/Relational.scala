@@ -453,6 +453,52 @@ object Relational {
       .orderBy(col("bin"))
   }
 
+  /** B27: customer order-count distribution (TPC-H Q13 shape) — LEFT
+    * OUTER join so zero-order customers count, then a second aggregate
+    * over the per-customer counts. Both aggregates shuffle keys whose
+    * cardinality collapses after the first partial.
+    */
+  def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    val perCust = customer(s, dir)
+      .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** B28: large-volume orders (TPC-H Q18 shape) — a HAVING aggregate
+    * over lineitem feeds a semi-join filter on orders: the IN-subquery
+    * family, planned as one shuffle per aggregate plus a broadcast
+    * semi-join on the tiny qualifying key set.
+    */
+  def q18TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+      .select(col("l_orderkey"), col("sum_qty"))
+    orders(s, dir)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+              dec2(col("o_totalprice")).as("o_totalprice"),
+              dec2(col("sum_qty")).as("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** B29: exact distinct users per event type through the SALTED dedup
+    * shuffle (Skew.saltedCountDistinct) — the hot-key-safe form of
+    * COUNT(DISTINCT): the dedup shuffle keys on (type, user, salt), so
+    * one dominant type cannot funnel into one reducer.
+    */
+  def qSkewDistinct(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedCountDistinct(
+        events(s, dir).select(col("event_type"), col("user_id")),
+        keys = Seq("event_type"), valueCol = "user_id")
+      .select(col("event_type"), col("n_distinct_user_id"))
+      .orderBy(col("event_type"))
+
   /** B11: tumbling 1-hour window aggregate over the event stream (batch twin of F1). */
   def qTumbling(s: SparkSession, dir: String): DataFrame = {
     events(s, dir)
@@ -656,6 +702,24 @@ object Relational {
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1) t
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q18_toporders" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(ROUND(o_totalprice,2) AS DECIMAL(18,2))::DOUBLE AS o_totalprice,
+        |  CAST(ROUND(sum_qty,2) AS DECIMAL(18,2))::DOUBLE AS sum_qty
+        |FROM orders JOIN (
+        |  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300) b
+        |ON o_orderkey = b.l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_skew_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_full_outer" ->
       """SELECT COALESCE(c.nk, p.nk) AS nationkey,
         |  COALESCE(n_customers, 0) AS n_customers,
