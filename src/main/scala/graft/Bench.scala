@@ -18,6 +18,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         fn(spark, sfDir).count()
+        // reap the warm-up run's broadcasts/shuffles NOW: with a large
+        // heap, GC (and so Spark's ContextCleaner) may not run for many
+        // queries, and 60+ queries of accumulated executor state slows
+        // allocation-heavy kernels 3x in-bench vs isolated
+        System.gc()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         name -> (System.nanoTime() - t0) / 1e9
