@@ -18,11 +18,15 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         fn(spark, sfDir).count()
-        // reap the warm-up run's broadcasts/shuffles NOW: with a large
-        // heap, GC (and so Spark's ContextCleaner) may not run for many
+        // reap the warm-up run's broadcasts/shuffles: with a large heap,
+        // GC (and so Spark's ContextCleaner) may not run for many
         // queries, and 60+ queries of accumulated executor state slows
-        // allocation-heavy kernels 3x in-bench vs isolated
+        // allocation-heavy kernels 3x in-bench vs isolated. gc() only
+        // ENQUEUES the weak refs — the cleaner thread drains them
+        // asynchronously, so give it a bounded head start rather than
+        // letting the unbroadcasts land inside the timed window.
         System.gc()
+        Thread.sleep(100)
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         name -> (System.nanoTime() - t0) / 1e9

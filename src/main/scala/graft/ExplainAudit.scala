@@ -2,7 +2,9 @@ package graft
 import org.apache.spark.sql.functions._
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
-    val dir = "/root/testdata/sf0.01"
+    val dir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.01")
     val spark = GraftSession.local("8")
     for ((n, q) <- Seq(
       "q7" -> operators.Relational.q7NationVolume(spark, dir),

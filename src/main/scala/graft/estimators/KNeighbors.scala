@@ -225,6 +225,14 @@ final class RadiusRegressorModel private[estimators] (
     */
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
     val ff = frame.validated(featureNames)
+    if (st.m == 0) {
+      // empty fit: the kernel's output array carries no target slots, so
+      // element_at would be out of bounds (NULL, or an error under ANSI
+      // mode) — emit the documented fill directly
+      val outs = targetNames.map(tn => lit(opts.noDataOutput).as(tn))
+      return ff.df.select(
+        (ff.idCols.map(col) :+ lit(0L).as("n_in_radius")) ++ outs: _*)
+    }
     val scanned = KnnKernel.scanned(ff, st, k = 0, KnnScanExpr.ModeRadius, 0,
       radius2 = radius * radius)
     val nCol = when(col("__m"), lit(0L))

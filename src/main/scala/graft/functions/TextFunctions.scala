@@ -38,13 +38,16 @@ object TextFunctions {
     (32452843L, 11111L), (49979687L, 22222L), (67867967L, 33333L),
     (86028121L, 44444L), (104395301L, 55555L))
 
-  /** Base shingle hash: the first 13 hex chars (52 bits) of md5, mod p.
-    * `conv` is codegen'd; the DuckDB oracle parses the same prefix with
-    * nibble arithmetic ([[hexPrefix52Sql]]); the kernel equivalent is
-    * [[TextKernels.md5Prefix52]].
+  /** First 52 bits of md5 as a long Column (codegen'd) — the Column
+    * form of [[TextKernels.md5Prefix52]]; the DuckDB replica is
+    * [[hexPrefix52Sql]].
     */
+  def hexPrefix52(c: Column): Column =
+    conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+
+  /** Base shingle hash: the 52-bit md5 prefix mod p. */
   def minhashBase(shingle: Column): Column =
-    conv(substring(md5(shingle), 1, 13), 16, 10).cast("long") % minhashP
+    hexPrefix52(shingle) % minhashP
 
   /** DuckDB fragment parsing the first 13 hex chars of `hexExpr` (a hex
     * string expression) to a BIGINT — the SQL replica of

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{dec2, dec4}
+import graft.functions.{dec2, dec4, TextFunctions => TF}
 import graft.sources.Tables._
 
 /** Relational / OLAP query surface (SURVEY.md §2 B1–B11).
@@ -107,9 +107,16 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** The generator's closed event-type vocabulary — shared by B8 pivot
+    * and B24 unpivot so the two cannot drift; a type outside this list
+    * would be silently dropped by pivot(values), so it is the CONTRACT,
+    * not a convenience.
+    */
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
   /** B8: pivot event_type into per-user count columns (map-side expressible). */
   def qPivot(s: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+    val types = eventTypes
     val aggs =
       types.map(t => sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")) :+
         dec2(sum(col("value"))).as("sum_value")
@@ -415,7 +422,7 @@ object Relational {
     * pivot; map-side, no shuffle beyond the source aggregate).
     */
   def qUnpivot(s: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+    val types = eventTypes
     val wide = events(s, dir)
       .groupBy(col("user_id"))
       .pivot("event_type", types.map(t => t: Any))
@@ -434,9 +441,9 @@ object Relational {
     */
   def qSample(s: SparkSession, dir: String): DataFrame = {
     lineitem(s, dir)
-      .filter(conv(substring(md5(concat_ws("|",
-          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))), 1, 13),
-        16, 10).cast("long") % 100 < 5)
+      .filter(TF.hexPrefix52(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"))) % 100 < 5)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), dec2(sum(col("l_extendedprice"))).as("sum_price"))
       .orderBy(col("l_returnflag"))
@@ -719,7 +726,7 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin,
     "q_skew_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM events WHERE user_id IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_full_outer" ->
       """SELECT COALESCE(c.nk, p.nk) AS nationkey,
         |  COALESCE(n_customers, 0) AS n_customers,
@@ -732,12 +739,10 @@ object Relational {
       """SELECT user_id, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q_sample" ->
-      """SELECT l_returnflag, COUNT(*) AS n,
+      s"""SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(ROUND(SUM(l_extendedprice),2) AS DECIMAL(18,2))::DOUBLE AS sum_price
         |FROM lineitem
-        |WHERE CAST(list_sum(list_transform(range(1,14), t ->
-        |    (strpos('0123456789abcdef', substr(md5(l_orderkey||'|'||l_linenumber||'|'||l_partkey||'|'||l_suppkey), t, 1)) - 1)
-        |    * CAST(16^(13-t) AS BIGINT))) AS BIGINT) % 100 < 5
+        |WHERE CAST(${TF.hexPrefix52Sql("md5(l_orderkey||'|'||l_linenumber||'|'||l_partkey||'|'||l_suppkey)")} AS BIGINT) % 100 < 5
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin,

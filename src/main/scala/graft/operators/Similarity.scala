@@ -76,6 +76,25 @@ object Similarity {
       val qnorm: Array[Double]
   ) extends Serializable
 
+  /** THE query-side collect: every ANN/exact variant builds its
+    * broadcast state here so the norm accumulation order (index
+    * ascending — bit-sensitive to the oracles) cannot drift between
+    * copies.
+    */
+  private def collectQueries(e: DataFrame): QueryState = {
+    val qRows = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+    val qv = qRows.map(_.getSeq[Double](1).toArray)
+    new QueryState(
+      qids = qRows.map(_.getLong(0)),
+      qv = qv,
+      qnorm = qv.map { a =>
+        var s2 = 0.0; var i = 0
+        while (i < a.length) { s2 += a(i) * a(i); i += 1 }
+        math.sqrt(s2)
+      })
+  }
+
   /** Per-partition bounded top-k buffers, one per query: keeps the k
     * best (sim desc, vid asc) entries via insertion into sorted arrays.
     * Shared by the exact and ANN kernels so tie-break fixes apply to
@@ -130,18 +149,7 @@ object Similarity {
   def qCosineTopK(s: SparkSession, dir: String): DataFrame = {
     val k = 10
     val e = emb(s, dir)
-    val qRows = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id"), col("v")).collect()
-      .sortBy(_.getLong(0))
-    val st = new QueryState(
-      qids = qRows.map(_.getLong(0)),
-      qv = qRows.map(_.getSeq[Double](1).toArray),
-      qnorm = qRows.map { r =>
-        val a = r.getSeq[Double](1).toArray
-        var s2 = 0.0; var i = 0
-        while (i < a.length) { s2 += a(i) * a(i); i += 1 }
-        math.sqrt(s2)
-      })
+    val st = collectQueries(e)
     val bc = s.sparkContext.broadcast(st)
 
     val locals = fanOut(e.select(col("vec_id"), col("v")))
@@ -322,11 +330,8 @@ object Similarity {
       }
       (0 until nCells).sortBy(ci => (-dots(ci), ci)).take(n).toArray
     }
-    val qRows = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
-    val qids = qRows.map(_.getLong(0))
-    val qv = qRows.map(_.getSeq[Double](1).toArray)
-    val qnorm = qv.map(a => math.sqrt(a.map(x => x * x).sum))
+    val qs = collectQueries(e)
+    val (qids, qv, qnorm) = (qs.qids, qs.qv, qs.qnorm)
     // cell -> query indexes probing it
     val probing = Array.fill(nCells)(scala.collection.mutable.ArrayBuffer.empty[Int])
     qv.zipWithIndex.foreach { case (v, qi) =>
@@ -385,11 +390,8 @@ object Similarity {
     def bandKeys(sig: Int): Seq[Int] =
       (0 until nBands).map(b => (b << 16) | ((sig >>> (b * bandBits)) & ((1 << bandBits) - 1)))
 
-    val qRows = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
-    val qids = qRows.map(_.getLong(0))
-    val qv = qRows.map(_.getSeq[Double](1).toArray)
-    val qnorm = qv.map(a => math.sqrt(a.map(x => x * x).sum))
+    val qs = collectQueries(e)
+    val (qids, qv, qnorm) = (qs.qids, qs.qv, qs.qnorm)
     // band-key -> query indexes sharing that band
     val buckets = new java.util.HashMap[Int, Array[Int]]()
     qv.zipWithIndex.foreach { case (v, qi) =>

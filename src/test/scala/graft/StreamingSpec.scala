@@ -160,17 +160,14 @@ class StreamingSpec extends AnyFunSuite {
       input.addData(all.take(third)); q.processAllAvailable()
       input.addData(all.slice(third, 2 * third)); q.processAllAvailable()
       input.addData(all.drop(2 * third)); q.processAllAvailable()
-      val got = spark.table("a_out").collect()
-        .map(r => r.getLong(0) ->
-          (if (r.isNullAt(2)) None else Some(r.getLong(2)),
-           if (r.isNullAt(3)) None else Some(math.round(r.getDouble(3) * 100))))
-        .toMap
-      val expected = graft.operators.Relational.qAsOf(spark, sfDir).collect()
-        .map(r => r.getLong(0) ->
-          (if (r.isNullAt(2)) None else Some(r.getLong(2)),
-           if (r.isNullAt(3)) None else Some(math.round(r.getDouble(3) * 100))))
-        .toMap
-      assert(got.size == expected.size)
+      def rows(rs: Array[org.apache.spark.sql.Row]) = rs.map { r =>
+        (r.getLong(0), r.getLong(1),
+         if (r.isNullAt(2)) None else Some(r.getLong(2)),
+         if (r.isNullAt(3)) None else Some(math.round(r.getDouble(3) * 100)))
+      }.sortBy(t => (t._1, t._2)).toSeq
+      val got = rows(spark.table("a_out").collect())
+      val expected = rows(graft.operators.Relational.qAsOf(spark, sfDir).collect())
+      assert(expected.nonEmpty)
       assert(got == expected)
     } finally q.stop()
   }
