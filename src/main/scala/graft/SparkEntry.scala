@@ -71,6 +71,7 @@ object SparkEntry {
     "q_charclass"      -> (TextOps.qCharClass _),
     "q_tfidf"          -> (TextOps.qTfidf _),
     "q_hash_embed"     -> (TextOps.qHashEmbed _),
+    "q_gopher"         -> (TextOps.qGopher _),
     "q_cosine_topk"    -> (Similarity.qCosineTopK _),
     "q_embed_neardup"  -> (Similarity.qEmbedNearDup _),
     "q_centroid_cls"   -> (Similarity.qCentroidCls _),

@@ -449,6 +449,31 @@ object TextOps {
       .orderBy(col("doc_id"), col("bucket"))
   }
 
+  /** C15: Gopher-style quality gate (Rae et al., the rule family every
+    * LLM corpus pipeline applies) — the subset meaningful for
+    * single-line documents: word-count bounds, mean-word-length bounds,
+    * alphabetic-word ratio, and minimum stopword evidence. Emitted as
+    * per-rule integer flags plus the composite keep bit, so the gate is
+    * auditable (which rule killed a doc) and engine-exact.
+    */
+  def qGopher(s: SparkSession, dir: String): DataFrame = {
+    val ws = T.words(col("text"))
+    val n = size(ws)
+    val sumLen = T.sumWordLen(ws)
+    val nAlphaWords = size(filter(ws, w => w.rlike("[a-z]")))
+    val nStop = T.markerCount(ws, Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+    val fCount = (n >= 50 && n <= 100000).cast("int")
+    val fLen = (sumLen >= n * 3 && sumLen <= n * 10).cast("int")
+    val fAlpha = (nAlphaWords * 5 >= n * 4).cast("int") // >= 80%
+    val fStop = (nStop >= 2).cast("int")
+    documents(s, dir).select(
+      col("doc_id"), n.cast("long").as("n_words"),
+      fCount.as("f_wordcount"), fLen.as("f_wordlen"),
+      fAlpha.as("f_alpha"), fStop.as("f_stop"),
+      (fCount * fLen * fAlpha * fStop).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared oracle SQL fragments (DuckDB dialect). */
   private val baseSql =
     """base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
@@ -549,6 +574,22 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_gopher" ->
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |m AS (SELECT doc_id, LEN(w) AS n,
+        |  list_sum(list_transform(w, x -> LEN(x))) AS sumlen,
+        |  LEN(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+        |  LEN(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with'))) AS n_stop
+        |  FROM base),
+        |f AS (SELECT doc_id, n,
+        |  CASE WHEN n >= 50 AND n <= 100000 THEN 1 ELSE 0 END AS f_wordcount,
+        |  CASE WHEN sumlen >= n*3 AND sumlen <= n*10 THEN 1 ELSE 0 END AS f_wordlen,
+        |  CASE WHEN n_alpha*5 >= n*4 THEN 1 ELSE 0 END AS f_alpha,
+        |  CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS f_stop
+        |  FROM m)
+        |SELECT doc_id, n AS n_words, f_wordcount, f_wordlen, f_alpha, f_stop,
+        |  f_wordcount * f_wordlen * f_alpha * f_stop AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q_hash_embed" ->
       s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
         |h AS (SELECT doc_id, ${T.hexPrefix52Sql("md5(word)")} AS hv
