@@ -49,6 +49,7 @@ object SparkEntry {
     "q_knn_reg"        -> (Estimation.qKnnReg _),
     "q_knn_weighted"   -> (Estimation.qKnnWeighted _),
     "q_radius_reg"     -> (Estimation.qRadiusReg _),
+    "q_rank_norm"      -> (Estimation.qRankNorm _),
     "q_knn_reg_multi"  -> (Estimation.qKnnRegMulti _),
     "q_knn_cls"        -> (Estimation.qKnnCls _),
     "q_knn_proba"      -> (Estimation.qKnnProba _),
@@ -76,6 +77,7 @@ object SparkEntry {
     "q_embed_neardup"  -> (Similarity.qEmbedNearDup _),
     "q_centroid_cls"   -> (Similarity.qCentroidCls _),
     "q_simhash"        -> (TextOps.qSimHash _),
+    "q_simhash_pairs"  -> (TextOps.qSimHashPairs _),
     "q_fingerprint"    -> (TextOps.qFingerprint _),
     "q_ann_lsh"        -> (Similarity.qAnnLsh _),
     "q_ann_multiprobe" -> (Similarity.qAnnMultiprobe _),

@@ -157,6 +157,24 @@ object Estimation {
       .orderBy(col("li_id"))
   }
 
+  /** A7b: rank/quantile normalization (QuantileTransformer family) —
+    * each row's feature maps to its normalized rank pos/(n-1) with a
+    * deterministic id tie-break; exact integer arithmetic until one
+    * final division, so the output is bit-identical cross-engine with
+    * no rounding. The exact form needs a global order (one-partition
+    * window — fine at verify scale); the 100 TB path replaces the
+    * global sort with Sketches.quantiles bucket boundaries.
+    */
+  def qRankNorm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("l_extendedprice"), col("li_id"))
+    li(s, dir)
+      .select(col("li_id"),
+        ((row_number().over(w) - 1).cast("double") /
+          (count(lit(1)).over(Window.partitionBy()) - 1)).as("rank_pct"))
+      .orderBy(col("li_id"))
+  }
+
   /** A8: inverse_transform roundtrip (scale → unscale ≈ identity). */
   def qInverseStd(s: SparkSession, dir: String): DataFrame = {
     val model = StandardScaler().fit(trainLi(s, dir), scaleFeatures)
@@ -255,6 +273,12 @@ object Estimation {
           |  ON (q.l_extendedprice-train.l_extendedprice)*(q.l_extendedprice-train.l_extendedprice)
           |     <= 90000.0
           |GROUP BY li_id ORDER BY li_id""".stripMargin,
+      "q_rank_norm" ->
+        s"""WITH $q
+          |SELECT li_id,
+          |  CAST(ROW_NUMBER() OVER (ORDER BY l_extendedprice, li_id) - 1 AS DOUBLE)
+          |    / (COUNT(*) OVER () - 1) AS rank_pct
+          |FROM q ORDER BY li_id""".stripMargin,
       "q_knn_weighted" ->
         s"""WITH $train, $q,
           |d AS (SELECT li_id, train.l_quantity AS ty,

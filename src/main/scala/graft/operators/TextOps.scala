@@ -308,6 +308,37 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** C8b: SimHash hamming near-dup PAIRS as a distributed join — each
+    * fingerprint explodes to its four 16-bit bands; docs sharing a band
+    * value become candidates (fingerprints ride along, so the kernel
+    * runs once); exact hamming verifies. At threshold 3 the blocking is
+    * EXACT by pigeonhole — 3 bit flips cannot touch all 4 bands — so
+    * the plain all-pairs oracle is equivalent, not approximate.
+    * Candidate volume is O(docs x 4), never O(docs^2).
+    */
+  def qSimHashPairs(s: SparkSession, dir: String): DataFrame = {
+    val maxHamming = 3
+    val fp = qSimHash(s, dir).select(col("doc_id"), col("simhash"))
+    val bands = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), 16 * b).bitwiseAND(lit(0xffffL)).as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+              col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands
+      .groupBy(col("band"), col("bkey"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a.doc_id").as("a_id"), col("a.simhash").as("fa"), explode(col("ds")).as("b"))
+      .filter(col("a_id") < col("b.doc_id"))
+      .select(col("a_id"), col("b.doc_id").as("b_id"),
+              bit_count(col("fa").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+    cand.filter(col("hamming") <= maxHamming)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** C10: end-to-end corpus curation — the composite filter every LLM
     * data pipeline runs: keep a document iff it is (a) its content
     * hash's canonical keeper (exact dedup), (b) above quality floors,
@@ -642,6 +673,13 @@ object TextOps {
         |    AS DECIMAL(18,4))::DOUBLE AS other_ratio
         |FROM c ORDER BY 1""".stripMargin,
     "q_simhash" -> simhashSql,
+    "q_simhash_pairs" ->
+      s"""WITH fp AS ($simhashSql)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY 1,2""".stripMargin,
     "q_fingerprint" -> fingerprintSql,
     "q_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
