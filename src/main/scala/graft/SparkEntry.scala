@@ -46,6 +46,7 @@ object SparkEntry {
     "q13_custdist"     -> (Relational.q13CustDist _),
     "q18_toporders"    -> (Relational.q18TopOrders _),
     "q_skew_distinct"  -> (Relational.qSkewDistinct _),
+    "q_range_window"   -> (Relational.qRangeWindow _),
     "q_knn_reg"        -> (Estimation.qKnnReg _),
     "q_knn_weighted"   -> (Estimation.qKnnWeighted _),
     "q_radius_reg"     -> (Estimation.qRadiusReg _),

@@ -506,6 +506,23 @@ object Relational {
       .select(col("event_type"), col("n_distinct_user_id"))
       .orderBy(col("event_type"))
 
+  /** B30: RANGE-frame window — each order's trailing 30-day same-
+    * customer order count and spend (a time-range frame, not a row
+    * frame: peers enter by VALUE distance on the epoch-day axis). One
+    * shuffle on the window key.
+    */
+  def qRangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val days = datediff(col("o_orderdate").cast("date"), lit("1990-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(days)
+      .rangeBetween(-30, 0)
+    orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+              count(lit(1)).over(w).as("n_30d"),
+              dec2(sum(col("o_totalprice")).over(w)).as("spend_30d"))
+      .select(col("o_custkey"), col("o_orderkey"), col("n_30d"), col("spend_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** B11: tumbling 1-hour window aggregate over the event stream (batch twin of F1). */
   def qTumbling(s: SparkSession, dir: String): DataFrame = {
     events(s, dir)
@@ -709,6 +726,15 @@ object Relational {
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "q_range_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  COUNT(*) OVER w AS n_30d,
+        |  CAST(ROUND(SUM(o_totalprice) OVER w,2) AS DECIMAL(18,2))::DOUBLE AS spend_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q13_custdist" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Relational
+
+/** Locks in the scale posture (SURVEY §6): the headline join plans must
+  * broadcast every dimension chain (no SortMergeJoin sneaking in when a
+  * stats estimate shifts) and the fact-table scans must push their
+  * predicates into the parquet source. A regression here is invisible
+  * to the value-correctness gate but catastrophic at 100 TB.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("headline join queries broadcast dims and never sort-merge") {
+    for ((name, q) <- Seq(
+        "q3" -> Relational.q3Shipping(spark, sfDir),
+        "q5" -> Relational.q5Region(spark, sfDir),
+        "q7" -> Relational.q7NationVolume(spark, sfDir),
+        "q18" -> Relational.q18TopOrders(spark, sfDir))) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$name lost its broadcast joins:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name degraded to SortMergeJoin:\n$p")
+    }
+  }
+
+  test("fact-scan predicates reach the parquet source") {
+    val p = plan(Relational.q1Pricing(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"q1's shipdate filter did not push into the scan:\n$p")
+  }
+
+  test("scans prune to the projected columns") {
+    val p = plan(Relational.qDistinct(spark, sfDir))
+    // customer has 5+ columns; this aggregate needs exactly three
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+      .split(",").map(_.takeWhile(_ != '#')).toSet
+    assert(scanCols == Set("c_nationkey", "c_acctbal", "c_mktsegment"),
+      s"qDistinct reads more than its three columns: $scanCols\n$p")
+  }
+}
