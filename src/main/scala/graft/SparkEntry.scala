@@ -53,6 +53,7 @@ object SparkEntry {
     "q_rank_norm"      -> (Estimation.qRankNorm _),
     "q_knn_reg_multi"  -> (Estimation.qKnnRegMulti _),
     "q_knn_cls"        -> (Estimation.qKnnCls _),
+    "q_knn_cls_weighted" -> (Estimation.qKnnClsWeighted _),
     "q_knn_proba"      -> (Estimation.qKnnProba _),
     "q_kneighbors"     -> (Estimation.qKneighbors _),
     "q_std_scaler"     -> (Estimation.qStdScaler _),

@@ -248,7 +248,8 @@ final class RadiusRegressorModel private[estimators] (
 /** KNeighborsClassifier: majority vote with sklearn's tie rule
   * (highest count, then lowest class value).
   */
-final case class KNeighborsClassifier(k: Int = 5, orderBy: Seq[String] = Nil)
+final case class KNeighborsClassifier(k: Int = 5, orderBy: Seq[String] = Nil,
+    weighted: Boolean = false)
     extends FeatureEstimator[KnnClassifierModel] {
 
   def fit(train: DataFrame, featureCols: Seq[String], targetCols: Seq[String]): KnnClassifierModel = {
@@ -274,7 +275,7 @@ final case class KNeighborsClassifier(k: Int = 5, orderBy: Seq[String] = Nil)
       yCls = labels.map(clsIdx),
       m = feats.length,
       d = d)
-    new KnnClassifierModel(featureCols, classes, st, k)
+    new KnnClassifierModel(featureCols, classes, st, k, weighted)
   }
 }
 
@@ -282,11 +283,15 @@ final class KnnClassifierModel private[estimators] (
     val featureNames: Seq[String],
     val classes: Seq[String],
     st: KnnState,
-    k: Int
+    k: Int,
+    weighted: Boolean = false
 ) extends FittedModel {
 
-  private def counts(ff: FeatureFrame): DataFrame =
-    KnnKernel.scanned(ff, st, k, KnnScanExpr.ModeCounts, classes.length)
+  private def counts(ff: FeatureFrame): DataFrame = {
+    val mode =
+      if (weighted) KnnScanExpr.ModeWeightedCounts else KnnScanExpr.ModeCounts
+    KnnKernel.scanned(ff, st, k, mode, classes.length)
+  }
 
   /** Majority-vote class per row. Masked rows get `opts.noDataOutput`
     * rendered as a label (integers render without a decimal point so

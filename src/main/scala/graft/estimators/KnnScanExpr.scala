@@ -122,6 +122,23 @@ case class KnnScanExpr(
         var i = 0
         while (i < n) { o(st.yCls(idx(i))) += 1.0; i += 1 }
         o
+      case KnnScanExpr.ModeWeightedCounts =>
+        // per-class 1/distance weight sums, accumulated in neighbor-rank
+        // order (the oracle sums an ORDER BY rn list, so per-class scores
+        // are bit-identical); sklearn zero-distance rule: exact matches
+        // vote with weight 1 and everything else 0
+        val o = new Array[Double](classCount)
+        var nExact = 0
+        while (nExact < n && d2(nExact) == 0.0) nExact += 1
+        var i = 0
+        while (i < n) {
+          val w =
+            if (nExact > 0) { if (d2(i) == 0.0) 1.0 else 0.0 }
+            else 1.0 / math.sqrt(d2(i))
+          o(st.yCls(idx(i))) += w
+          i += 1
+        }
+        o
       case KnnScanExpr.ModeNN =>
         val o = new Array[Double](2 * k)
         var i = 0
@@ -145,4 +162,5 @@ object KnnScanExpr {
   val ModeCounts = 2
   val ModeNN = 3
   val ModeRadius = 4
+  val ModeWeightedCounts = 5
 }

@@ -114,6 +114,21 @@ object Estimation {
       .orderBy(col("li_id"))
   }
 
+  /** A3b: distance-weighted classification (sklearn weights="distance"
+    * vote): each neighbor votes 1/distance; exact matches take over with
+    * weight 1 (sklearn's zero-distance rule); argmax with ties to the
+    * lowest class value. Per-class scores accumulate in neighbor-rank
+    * order on both engines (the oracle sums an ORDER BY rn list), so
+    * the float argmax compares bit-identical inputs.
+    */
+  def qKnnClsWeighted(s: SparkSession, dir: String): DataFrame = {
+    val model = KNeighborsClassifier(k = 5, orderBy = trainOrder, weighted = true)
+      .fit(trainLi(s, dir), Seq("l_extendedprice", "l_quantity"), Seq("l_returnflag"))
+    model.predict(FeatureFrame(li(s, dir), Seq("li_id"),
+        Seq("l_extendedprice", "l_quantity")))
+      .orderBy(col("li_id"))
+  }
+
   /** A4: predict_proba — neighbor class frequencies, one column per class. */
   def qKnnProba(s: SparkSession, dir: String): DataFrame = {
     val model = KNeighborsClassifier(k = 5, orderBy = trainOrder)
@@ -313,6 +328,29 @@ object Estimation {
           |r AS (SELECT li_id, tcls,
           |  ROW_NUMBER() OVER (PARTITION BY li_id ORDER BY cnt DESC, tcls) AS rr FROM k)
           |SELECT li_id, tcls AS prediction FROM r WHERE rr = 1 ORDER BY li_id""".stripMargin,
+      "q_knn_cls_weighted" ->
+        s"""WITH $train, $q,
+          |d AS (SELECT li_id, train.l_returnflag AS tcls,
+          |  (q.l_extendedprice-train.l_extendedprice)*(q.l_extendedprice-train.l_extendedprice)
+          |    + (q.l_quantity-train.l_quantity)*(q.l_quantity-train.l_quantity) AS d2,
+          |  ROW_NUMBER() OVER (PARTITION BY li_id ORDER BY
+          |    (q.l_extendedprice-train.l_extendedprice)*(q.l_extendedprice-train.l_extendedprice)
+          |    + (q.l_quantity-train.l_quantity)*(q.l_quantity-train.l_quantity), tid) AS rn
+          |  FROM q CROSS JOIN train),
+          |nb AS (SELECT * FROM d WHERE rn <= 5),
+          |ex AS (SELECT li_id, MAX(CASE WHEN d2 = 0 THEN 1 ELSE 0 END) AS has_exact
+          |  FROM nb GROUP BY 1),
+          |w AS (SELECT nb.li_id, tcls, rn,
+          |  CASE WHEN has_exact = 1 THEN CASE WHEN d2 = 0 THEN 1.0 ELSE 0.0 END
+          |       ELSE 1.0/SQRT(d2) END AS wt
+          |  FROM nb JOIN ex ON nb.li_id = ex.li_id),
+          |sc AS (SELECT li_id, tcls, list_sum(list(wt ORDER BY rn)) AS score
+          |  FROM w GROUP BY 1,2),
+          |r AS (SELECT li_id, tcls,
+          |  ROW_NUMBER() OVER (PARTITION BY li_id ORDER BY score DESC, tcls) AS rr
+          |  FROM sc)
+          |SELECT li_id, tcls AS prediction FROM r WHERE rr = 1
+          |ORDER BY li_id""".stripMargin,
       "q_knn_proba" ->
         s"""WITH $train, $q,
           |d AS (SELECT li_id, train.l_returnflag AS tcls,
