@@ -68,6 +68,7 @@ object SparkEntry {
     "q_langid"         -> (TextOps.qLangId _),
     "q_minhash"        -> (TextOps.qMinHash _),
     "q_lsh_pairs"      -> (TextOps.qLshPairs _),
+    "q_dedup_clusters" -> (TextOps.qDedupClusters _),
     "q_ngram_jaccard"  -> (TextOps.qNgramJaccard _),
     "q_curate"         -> (TextOps.qCurate _),
     "q_repetition"     -> (TextOps.qRepetition _),

@@ -339,6 +339,19 @@ object TextOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** C16: near-dup CLUSTERS — the LSH pairs grouped into connected
+    * components (Graphs.connectedComponents), cluster id = the smallest
+    * doc_id in the component (the canonical keeper). This is the step
+    * that turns pairwise near-dup evidence into a deduplication
+    * decision.
+    */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qLshPairs(s, dir).select(col("a_id").as("a"), col("b_id").as("b"))
+    Graphs.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C10: end-to-end corpus curation — the composite filter every LLM
     * data pipeline runs: keep a document iff it is (a) its content
     * hash's canonical keeper (exact dedup), (b) above quality floors,
@@ -750,6 +763,31 @@ object TextOps {
         |  FROM bands x JOIN bands y
         |  ON x.band=y.band AND x.bkey=y.bkey AND x.doc_id<y.doc_id)
         |$jacSelSql""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH $baseSql,
+        |$sigSql,
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, sig0 || '#' || sig1 AS bkey FROM sig UNION ALL
+        |  SELECT doc_id, 1, sig2 || '#' || sig3 FROM sig UNION ALL
+        |  SELECT doc_id, 2, sig4 || '#' || sig5 FROM sig UNION ALL
+        |  SELECT doc_id, 3, sig6 || '#' || sig7 FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM bands x JOIN bands y
+        |  ON x.band=y.band AND x.bkey=y.bkey AND x.doc_id<y.doc_id),
+        |pairs AS (SELECT c.a_id, c.b_id
+        |  FROM cand c JOIN ip ON ip.a_id=c.a_id AND ip.b_id=c.b_id
+        |  JOIN sz sa ON sa.doc_id=c.a_id JOIN sz sb ON sb.doc_id=c.b_id
+        |  WHERE i/(sa.n+sb.n-i) >= 0.5),
+        |edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  WITH RECURSIVE r(a, b) AS (
+        |    SELECT a, a FROM edges
+        |    UNION
+        |    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+        |  SELECT * FROM r)
+        |SELECT a AS doc_id, MIN(b) AS cluster_id
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH $baseSql,
         |dfq AS (SELECT s, COUNT(*) AS c FROM dd GROUP BY 1),
