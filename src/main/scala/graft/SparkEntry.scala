@@ -62,6 +62,7 @@ object SparkEntry {
     "q_linreg"         -> (Estimation.qLinReg _),
     "q_linreg_multi"   -> (Estimation.qLinRegMulti _),
     "q_knn_nodata"     -> (Estimation.qKnnNoData _),
+    "q_knn_missing"    -> (Estimation.qKnnMissing _),
     "q_exact_dedup"    -> (TextOps.qExactDedup _),
     "q_token_count"    -> (TextOps.qTokenCount _),
     "q_quality"        -> (TextOps.qQuality _),

@@ -49,6 +49,15 @@ private[estimators] object KnnKernel {
   ): Int = {
     val m = st.m; val d = st.d
     val n = math.min(k, m)
+    // nan_euclidean (sklearn KNNImputer distance): missing (NaN) query
+    // dims are skipped and the sum scales by d/n_obs. Fully-observed
+    // rows get factor 1.0 and x*1.0 is the identity for every double,
+    // so the classic paths are bit-unchanged. Fully-missing rows are
+    // the caller's responsibility (mask + fill).
+    var nobs = 0
+    var jj = 0
+    while (jj < d) { if (!q(jj).isNaN) nobs += 1; jj += 1 }
+    val factor = d.toDouble / nobs
     var filled = 0
     var i = 0
     while (i < m) {
@@ -56,10 +65,14 @@ private[estimators] object KnnKernel {
       var d2 = 0.0
       var j = 0
       while (j < d) {
-        val diff = q(j) - st.x(base + j)
-        d2 += diff * diff
+        val qj = q(j)
+        if (qj == qj) { // not NaN
+          val diff = qj - st.x(base + j)
+          d2 += diff * diff
+        }
         j += 1
       }
+      d2 *= factor
       val id = st.ids(i)
       if (filled < n) {
         // insertion sort into the not-yet-full buffer
@@ -92,13 +105,13 @@ private[estimators] object KnnKernel {
     * as a single partition; masked rows skip the scan entirely.
     */
   def scanned(ff: FeatureFrame, st: KnnState, k: Int, mode: Int, classCount: Int,
-              radius2: Double = 0.0): DataFrame = {
+              radius2: Double = 0.0, maskOverride: Option[Column] = None): DataFrame = {
     val in = fanOut(ff.df.select(
       (ff.idCols.map(col) ++ ff.featureCols.map(c => col(c).cast("double"))): _*))
     val features = array(ff.featureCols.map(col): _*)
     val knn = GraftSqlBridge.column(
       KnnScanExpr(GraftSqlBridge.expression(features), st, k, mode, classCount, radius2))
-    val mask = ff.noDataMask
+    val mask = maskOverride.getOrElse(ff.noDataMask)
     in.select(
       ff.idCols.map(col) :+ mask.as("__m") :+ when(!mask, knn).as("__knn"): _*)
   }
@@ -153,6 +166,27 @@ final class KnnRegressorModel private[estimators] (
     val ff = frame.validated(featureNames)
     val mode = if (weighted) KnnScanExpr.ModeWeighted else KnnScanExpr.ModeReg
     val scanned = KnnKernel.scanned(ff, st, k, mode, 0)
+    val outs = targetNames.zipWithIndex.map { case (tn, i) =>
+      when(col("__m"), lit(opts.noDataOutput))
+        .otherwise(element_at(col("__knn"), i + 1)).as(tn)
+    }
+    scanned.select(ff.idCols.map(col) ++ outs: _*)
+  }
+
+  /** Prediction under PARTIALLY missing features (sklearn KNNImputer's
+    * nan_euclidean semantics): NaN feature dims are skipped and the
+    * distance scales by d/n_obs, so rows with missing features still
+    * find neighbors instead of being masked. Only rows with EVERY
+    * feature missing take the `opts.noDataOutput` fill.
+    */
+  def predictWithMissing(frame: FeatureFrame,
+                         opts: PredictOptions = PredictOptions()): DataFrame = {
+    val ff = frame.validated(featureNames)
+    val allMissing = ff.featureCols
+      .map(c => col(c).isNull || isnan(col(c).cast("double")))
+      .reduce(_ && _)
+    val mode = if (weighted) KnnScanExpr.ModeWeighted else KnnScanExpr.ModeReg
+    val scanned = KnnKernel.scanned(ff, st, k, mode, 0, maskOverride = Some(allMissing))
     val outs = targetNames.zipWithIndex.map { case (tn, i) =>
       when(col("__m"), lit(opts.noDataOutput))
         .otherwise(element_at(col("__knn"), i + 1)).as(tn)

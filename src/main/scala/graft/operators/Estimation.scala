@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{FeatureFrame, NoData, PredictOptions}
 import graft.estimators._
-import graft.functions.{dec2, dec4}
+import graft.functions.{dec2, dec4, TextFunctions => TF}
 import graft.sources.Tables._
 
 /** Feature-array estimator query surface (SURVEY.md §2 A1–A11).
@@ -126,6 +126,30 @@ object Estimation {
       .fit(trainLi(s, dir), Seq("l_extendedprice", "l_quantity"), Seq("l_returnflag"))
     model.predict(FeatureFrame(li(s, dir), Seq("li_id"),
         Seq("l_extendedprice", "l_quantity")))
+      .orderBy(col("li_id"))
+  }
+
+  /** A11b: prediction under partially missing features — sklearn
+    * KNNImputer's nan_euclidean distance: a deterministic md5 coin
+    * knocks out one of the two features on half the rows (pattern 0 →
+    * price missing, 1 → discount missing), and the kernel skips NaN
+    * dims with the d/n_obs scale instead of masking the row. The
+    * oracle reproduces the per-pattern distance algebra exactly
+    * (factor × observed-sum, multiplication commutes bit-exactly).
+    */
+  def qKnnMissing(s: SparkSession, dir: String): DataFrame = {
+    val model = KNeighborsRegressor(k = 5, orderBy = trainOrder)
+      .fit(trainLi(s, dir), Seq("l_extendedprice", "l_discount"), Seq("l_quantity"))
+    val nan = lit(Double.NaN)
+    val pat = pmod(TF.hexPrefix52(col("li_id")), lit(4))
+    val input = li(s, dir).select(
+      col("li_id"), pat.as("pat"),
+      when(pat === 0, nan).otherwise(col("l_extendedprice")).as("l_extendedprice"),
+      when(pat === 1, nan).otherwise(col("l_discount")).as("l_discount"))
+    model.predictWithMissing(
+        FeatureFrame(input, Seq("li_id", "pat"), Seq("l_extendedprice", "l_discount")))
+      .select(col("li_id"), col("pat"),
+              dec4(col("l_quantity")).as("prediction"))
       .orderBy(col("li_id"))
   }
 
@@ -351,6 +375,24 @@ object Estimation {
           |  FROM sc)
           |SELECT li_id, tcls AS prediction FROM r WHERE rr = 1
           |ORDER BY li_id""".stripMargin,
+      "q_knn_missing" ->
+        s"""WITH $train, $q,
+          |qp AS (SELECT li_id, l_quantity, l_extendedprice, l_discount,
+          |  CAST(${TF.hexPrefix52Sql("md5(li_id)")} % 4 AS BIGINT) AS pat FROM q),
+          |d AS (SELECT li_id, pat, train.l_quantity AS ty,
+          |  CASE WHEN pat = 0 THEN
+          |    (2.0/1) * ((qp.l_discount-train.l_discount)*(qp.l_discount-train.l_discount))
+          |  WHEN pat = 1 THEN
+          |    (2.0/1) * ((qp.l_extendedprice-train.l_extendedprice)*(qp.l_extendedprice-train.l_extendedprice))
+          |  ELSE
+          |    (2.0/2) * ((qp.l_extendedprice-train.l_extendedprice)*(qp.l_extendedprice-train.l_extendedprice)
+          |      + (qp.l_discount-train.l_discount)*(qp.l_discount-train.l_discount))
+          |  END AS d2, tid
+          |  FROM qp CROSS JOIN train),
+          |r AS (SELECT li_id, pat, ty,
+          |  ROW_NUMBER() OVER (PARTITION BY li_id ORDER BY d2, tid) AS rn FROM d)
+          |SELECT li_id, pat, CAST(ROUND(AVG(ty),4) AS DECIMAL(18,4))::DOUBLE AS prediction
+          |FROM r WHERE rn <= 5 GROUP BY 1,2 ORDER BY li_id""".stripMargin,
       "q_knn_proba" ->
         s"""WITH $train, $q,
           |d AS (SELECT li_id, train.l_returnflag AS tcls,
