@@ -47,6 +47,7 @@ object SparkEntry {
     "q18_toporders"    -> (Relational.q18TopOrders _),
     "q_skew_distinct"  -> (Relational.qSkewDistinct _),
     "q_range_window"   -> (Relational.qRangeWindow _),
+    "q_ohlc"           -> (Relational.qOhlc _),
     "q_knn_reg"        -> (Estimation.qKnnReg _),
     "q_knn_weighted"   -> (Estimation.qKnnWeighted _),
     "q_radius_reg"     -> (Estimation.qRadiusReg _),

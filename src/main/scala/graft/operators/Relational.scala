@@ -523,6 +523,33 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** B31: time-series resample — 15-minute OHLC bars per event type
+    * (open/close picked by deterministic (ts, event_id) endpoints via
+    * ranked windows, high/low/volume as plain aggregates). One shuffle
+    * on the (bucket, type) key.
+    */
+  def qOhlc(s: SparkSession, dir: String): DataFrame = {
+    val bucket = timestamp_micros(
+      (unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(900000000L))))
+    val base = events(s, dir).select(
+      bucket.as("bucket"), col("event_type"), col("ts"), col("event_id"), col("value"))
+    val wAsc = Window.partitionBy(col("bucket"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy(col("bucket"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    base
+      .withColumn("rna", row_number().over(wAsc))
+      .withColumn("rnd", row_number().over(wDesc))
+      .groupBy(col("bucket"), col("event_type"))
+      .agg(
+        dec2(max(when(col("rna") === 1, col("value")))).as("open"),
+        dec2(max(col("value"))).as("high"),
+        dec2(min(col("value"))).as("low"),
+        dec2(max(when(col("rnd") === 1, col("value")))).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   /** B11: tumbling 1-hour window aggregate over the event stream (batch twin of F1). */
   def qTumbling(s: SparkSession, dir: String): DataFrame = {
     events(s, dir)
@@ -735,6 +762,24 @@ object Relational {
         |  ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_ohlc" ->
+      """WITH b AS (SELECT
+        |  make_timestamp(epoch_us(ts) - epoch_us(ts) % 900000000) AS bucket,
+        |  event_type, ts, event_id, value,
+        |  ROW_NUMBER() OVER (PARTITION BY
+        |    epoch_us(ts) - epoch_us(ts) % 900000000, event_type
+        |    ORDER BY ts, event_id) AS rna,
+        |  ROW_NUMBER() OVER (PARTITION BY
+        |    epoch_us(ts) - epoch_us(ts) % 900000000, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rnd
+        |  FROM events)
+        |SELECT bucket, event_type,
+        |  CAST(ROUND(MAX(CASE WHEN rna = 1 THEN value END),2) AS DECIMAL(18,2))::DOUBLE AS open,
+        |  CAST(ROUND(MAX(value),2) AS DECIMAL(18,2))::DOUBLE AS high,
+        |  CAST(ROUND(MIN(value),2) AS DECIMAL(18,2))::DOUBLE AS low,
+        |  CAST(ROUND(MAX(CASE WHEN rnd = 1 THEN value END),2) AS DECIMAL(18,2))::DOUBLE AS close,
+        |  COUNT(*) AS n
+        |FROM b GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q13_custdist" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count

@@ -134,4 +134,23 @@ class KNeighborsSpec extends AnyFunSuite {
     assert(out(1).getLong(1) == 0L)
     assert(out(1).getDouble(2).isNaN)
   }
+
+  test("predictWithMissing skips NaN dims with d/n_obs scaling; all-missing rows fill") {
+    val train = Seq((0.0, 0.0, 10.0), (10.0, 0.0, 20.0), (0.0, 10.0, 40.0))
+      .toDF("f1", "f2", "y")
+    val model = KNeighborsRegressor(k = 1, orderBy = Seq("f1", "f2"))
+      .fit(train, Seq("f1", "f2"), Seq("y"))
+    val in = Seq(
+      (1L, Double.NaN, 0.5),     // f1 missing: nearest by f2 alone -> (0,0) or (10,0); tie d2, lower id
+      (2L, 9.0, Double.NaN),     // f2 missing: nearest by f1 alone -> (10,0) -> 20
+      (3L, Double.NaN, Double.NaN)) // all missing -> fill
+      .toDF("id", "f1", "f2")
+    val out = model.predictWithMissing(
+        FeatureFrame(in, Seq("id"), Seq("f1", "f2")),
+        PredictOptions(noDataOutput = -1.0))
+      .orderBy("id").collect()
+    assert(out(0).getDouble(1) == 10.0) // f2=0.5 closest to rows with f2=0; tie -> lowest id
+    assert(out(1).getDouble(1) == 20.0)
+    assert(out(2).getDouble(1) == -1.0)
+  }
 }
