@@ -89,6 +89,7 @@ object SparkEntry {
     "q_ann_ivf"        -> (Similarity.qAnnIvf _),
     "q_binary_meta"    -> (Multimodal.qBinaryMeta _),
     "q_media_meta"     -> (Multimodal.qMediaMeta _),
+    "q_media_frames"   -> (Multimodal.qMediaFrames _),
     "q_rf_reg"         -> (Estimation.qRfReg _),
     "q_pca"            -> (Estimation.qPca _)
   )

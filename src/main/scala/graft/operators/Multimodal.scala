@@ -52,7 +52,88 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** E4 media record: multi-frame payload ("GRFV" + frame count + int
+    * length-prefixed frames — the text chopped into 2–5 char-boundary
+    * chunks, so a SQL oracle can rebuild every frame).
+    */
+  def synthesizeVideo(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false)))
+    fanOut(documents(s, dir).select(col("doc_id"), col("text")))
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val text = row.getString(1)
+          val len = text.length
+          val n = (2 + id % 4).toInt
+          val frames = (0 until n).map { i =>
+            text.substring((i * len) / n, ((i + 1) * len) / n)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+          val bb = java.nio.ByteBuffer.allocate(8 + frames.map(_.length + 4).sum)
+          bb.put("GRFV".getBytes); bb.putInt(n)
+          frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+          Row(id, bb.array(), n)
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  private val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_chars", LongType, nullable = false),
+    StructField("frame_md5", StringType, nullable = false)))
+
+  /** E4: stride frame sampling — parse the container, emit every
+    * `stride`-th frame with its char count and content hash. The
+    * sampling decision happens INSIDE the parse loop, so skipped frames
+    * are seeked over, not decoded (the property that matters when a
+    * frame is 2 MB of pixels instead of a text chunk).
+    */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { row =>
+          val id = row.getLong(0)
+          val bb = java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](1))
+          val magic = new Array[Byte](4); bb.get(magic)
+          require(new String(magic) == "GRFV", s"bad magic for media $id")
+          val n = bb.getInt
+          (0 until n).flatMap { i =>
+            val flen = bb.getInt
+            if (i % stride == 0) {
+              val f = new Array[Byte](flen); bb.get(f)
+              md.reset()
+              val hex = md.digest(f).map(b => f"$b%02x").mkString
+              val chars = new String(f, java.nio.charset.StandardCharsets.UTF_8).length.toLong
+              Some(Row(id, i, chars, hex))
+            } else {
+              bb.position(bb.position() + flen) // seek, don't decode
+              None
+            }
+          }
+        }
+      }(Encoders.row(frameSchema))
+  }
+
+  def qMediaFrames(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(synthesizeVideo(s, dir), stride = 2)
+      .orderBy(col("media_id"), col("frame_idx"))
+
   val oracles: Map[String, String] = Map(
+    "q_media_frames" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len, 2 + doc_id % 4 AS n
+        |  FROM documents),
+        |f AS (SELECT doc_id, text, i,
+        |  1 + (i*len)//n AS st, ((i+1)*len)//n - (i*len)//n AS flen
+        |  FROM d, (SELECT unnest(range(8)) AS i) r WHERE i < n AND i % 2 = 0)
+        |SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(flen AS BIGINT) AS frame_chars,
+        |  md5(substr(text, CAST(st AS INT), CAST(flen AS INT))) AS frame_md5
+        |FROM f ORDER BY 1, 2""".stripMargin,
     "q_binary_meta" ->
       """SELECT doc_id, OCTET_LENGTH(text::BLOB) AS n_bytes,
         |  sha256(text) AS sha,
