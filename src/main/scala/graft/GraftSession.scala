@@ -13,6 +13,12 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
+    // Constraint propagation canonicalizes giant And predicates when a
+    // wide (64-feature) pivot + CASE-chain prediction feeds a join —
+    // observed as a >15 min PLANNING hang on the k-means query (TimSort
+    // inside Expression.canonicalized). Every graft plan states its
+    // filters explicitly, so inferred constraints buy nothing here.
+    .config("spark.sql.constraintPropagation.enabled", "false")
     .config("spark.sql.extensions", "graft.GraftExtensions")
 
   def local(cpus: String): SparkSession = {

@@ -22,8 +22,14 @@ object Graphs {
     * endpoint, component = the smallest node id reachable.
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
-    val bidir = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    // materialize the edge set ONCE: the caller's edge pipeline (e.g.
+    // the full MinHash-LSH candidate cascade) would otherwise re-execute
+    // on every iteration AND every convergence count — observed 17x on
+    // the dedup-clusters bench. localCheckpoint truncates the lineage to
+    // the stored blocks.
+    val mat = edges.select(col("a"), col("b")).localCheckpoint()
+    val bidir = mat
+      .union(mat.select(col("b").as("a"), col("a").as("b")))
     val nodes = bidir.select(col("a").as("id")).distinct()
     var labels = nodes.select(col("id"), col("id").as("component"))
     var converged = false

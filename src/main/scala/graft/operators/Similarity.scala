@@ -295,6 +295,60 @@ object Similarity {
   def qAnnMultiprobe(s: SparkSession, dir: String): DataFrame =
     annLsh(s, dir, multiProbe = true)
 
+  /** D7: k-means clustering (2 unrolled Lloyd iterations, k=8) — the
+    * sklearn KMeans shape made engine-deterministic: init centroids are
+    * the embeddings of 8 fixed vec_ids, assignment is nearest-centroid
+    * (ties to the lowest cluster id) through the same broadcast k=1
+    * scan as D4, means are one posexplode aggregate per iteration.
+    * Each iteration = one assignment pass over the corpus (no shuffle)
+    * + one (cluster × dim)-sized aggregate — the textbook distributed
+    * Lloyd step. Output: per-cluster size and the first two centroid
+    * coordinates at 4dp (rounding absorbs partial-aggregation ulp).
+    */
+  def qKmeans(s: SparkSession, dir: String): DataFrame = {
+    val kC = 8
+    val dim = 64
+    val e = emb(s, dir)
+    val initIds = (0 until kC).map(_ * 60L)
+
+    def widen(cent: DataFrame): DataFrame = cent
+      .groupBy(col("cluster"))
+      .pivot("pos", (0 until dim).map(i => i: Any))
+      .agg(first(col("c")))
+      .toDF("cluster" +: (0 until dim).map(i => s"f$i"): _*)
+
+    def assign(centWide: DataFrame): DataFrame = {
+      val model = KNeighborsClassifier(k = 1, orderBy = Seq("cluster"))
+        .fit(centWide, (0 until dim).map(i => s"f$i"), Seq("cluster"))
+      val input = e.select(
+        col("vec_id") +: (0 until dim).map(i => element_at(col("v"), i + 1).as(s"f$i")): _*)
+      model.predict(FeatureFrame(input, Seq("vec_id"), (0 until dim).map(i => s"f$i")))
+        .select(col("vec_id"), col("prediction").cast("long").as("cluster"))
+    }
+
+    val init = e.filter(col("vec_id").isInCollection(initIds))
+      .select(col("vec_id").as("seed"), posexplode(col("v")))
+      .select(((col("seed") / 60L).cast("long")).as("cluster"), col("pos"), col("col").as("c"))
+    val a1 = assign(widen(init))
+    val cent1 = e.join(a1, "vec_id")
+      .select(col("cluster"), posexplode(col("v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(avg(col("col")).as("c"))
+    val a2 = assign(widen(cent1))
+    val cent2 = e.join(a2, "vec_id")
+      .select(col("cluster"), posexplode(col("v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(avg(col("col")).as("c"))
+    val c01 = cent2.filter(col("pos") < 2)
+      .groupBy(col("cluster"))
+      .pivot("pos", Seq(0, 1))
+      .agg(first(col("c")))
+      .select(col("cluster"), dec4(col("0")).as("c0"), dec4(col("1")).as("c1"))
+    a2.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .join(c01, "cluster")
+      .orderBy(col("cluster"))
+  }
+
   /** D6: IVF-style partitioned ANN — the production path when the
     * corpus is too big even for per-band LSH buckets: a coarse
     * quantizer (16 deterministic unit-norm centroids) assigns every
@@ -519,7 +573,38 @@ object Similarity {
       |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** D7 oracle: the same two unrolled Lloyd iterations — seed centroids
+    * from fixed vec_ids, ranked-distance assignment (ties to lowest
+    * cluster), per-(cluster, dim) means between iterations.
+    */
+  private val kmeansSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |dims AS (SELECT unnest(range(1,65)) AS i),
+      |c0 AS (SELECT CAST(vec_id // 60 AS BIGINT) AS cl, i, v[i] AS c
+      |  FROM e, dims WHERE vec_id % 60 = 0 AND vec_id <= 420),
+      |d1 AS (SELECT e.vec_id, c0.cl, SUM((v[i]-c)*(v[i]-c)) AS d2
+      |  FROM e CROSS JOIN c0 WHERE c0.i = c0.i GROUP BY 1,2),
+      |a1 AS (SELECT vec_id, cl FROM (
+      |  SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+      |  FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT cl, i, AVG(v[i]) AS c
+      |  FROM e JOIN a1 USING (vec_id), dims GROUP BY 1,2),
+      |d2_ AS (SELECT e.vec_id, c1.cl, SUM((v[i]-c)*(v[i]-c)) AS d2
+      |  FROM e CROSS JOIN c1 WHERE c1.i = c1.i GROUP BY 1,2),
+      |a2 AS (SELECT vec_id, cl FROM (
+      |  SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+      |  FROM d2_) WHERE rn = 1),
+      |c2 AS (SELECT cl, i, AVG(v[i]) AS c
+      |  FROM e JOIN a2 USING (vec_id), dims GROUP BY 1,2)
+      |SELECT a2n.cl AS cluster, a2n.n,
+      |  CAST(ROUND(MAX(CASE WHEN i = 1 THEN c END),4) AS DECIMAL(18,4))::DOUBLE AS c0,
+      |  CAST(ROUND(MAX(CASE WHEN i = 2 THEN c END),4) AS DECIMAL(18,4))::DOUBLE AS c1
+      |FROM (SELECT cl, COUNT(*) AS n FROM a2 GROUP BY 1) a2n
+      |JOIN c2 ON a2n.cl = c2.cl
+      |GROUP BY 1,2 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_kmeans" -> kmeansSql,
     "q_ann_lsh" -> annLshSql(probe1 = false),
     "q_ann_multiprobe" -> annLshSql(probe1 = true),
     "q_ann_ivf" -> annIvfSql,

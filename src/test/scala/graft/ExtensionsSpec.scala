@@ -84,7 +84,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(n > 0 && n < events.count())
     val plan = back.queryExecution.executedPlan.toString
     // the predicate must prune at the directory level, not row level
-    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    assert(plan.contains("PartitionFilters: [(event_type"), plan)
   }
 
   test("csv loader round-trips with explicit schema") {
