@@ -181,10 +181,22 @@ final class KnnRegressorModel private[estimators] (
     */
   def predictWithMissing(frame: FeatureFrame,
                          opts: PredictOptions = PredictOptions()): DataFrame = {
-    val ff = frame.validated(featureNames)
-    val allMissing = ff.featureCols
-      .map(c => col(c).isNull || isnan(col(c).cast("double")))
-      .reduce(_ && _)
+    val ff0 = frame.validated(featureNames)
+    // normalize EVERY missing form to NaN before the scan: the kernel
+    // only knows NaN-skipping — a NULL element would read back from
+    // ArrayData as 0.0 (a phantom observed value) and a configured
+    // NoData sentinel would participate in the distance
+    val sentinels = ff0.featureCols.zip(ff0.sentinels)
+    val normalized = ff0.df.select(
+      ff0.idCols.map(col) ++ sentinels.map { case (c, sv) =>
+        val d = col(c).cast("double")
+        val missing =
+          if (sv.isNaN) d.isNull || isnan(d)
+          else d.isNull || isnan(d) || d === lit(sv)
+        when(missing, lit(Double.NaN)).otherwise(d).as(c)
+      }: _*)
+    val ff = FeatureFrame(normalized, ff0.idCols, ff0.featureCols)
+    val allMissing = ff.featureCols.map(c => isnan(col(c))).reduce(_ && _)
     val mode = if (weighted) KnnScanExpr.ModeWeighted else KnnScanExpr.ModeReg
     val scanned = KnnKernel.scanned(ff, st, k, mode, 0, maskOverride = Some(allMissing))
     val outs = targetNames.zipWithIndex.map { case (tn, i) =>
@@ -363,10 +375,16 @@ final class KnnClassifierModel private[estimators] (
   def predictProba(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
     val ff = frame.validated(featureNames)
     val scanned = counts(ff)
-    val n = math.min(k, st.m).toDouble
+    // uniform votes normalize by the neighbor count; distance weights
+    // normalize by the row's TOTAL weight (sklearn semantics) so the
+    // columns always sum to 1
+    val denom: Column =
+      if (weighted)
+        classes.indices.map(i => element_at(col("__knn"), i + 1)).reduce(_ + _)
+      else lit(math.min(k, st.m).toDouble)
     val outs = classes.zipWithIndex.map { case (cls, i) =>
       when(col("__m"), lit(opts.noDataOutput))
-        .otherwise(element_at(col("__knn"), i + 1) / n).as(s"p_$cls")
+        .otherwise(element_at(col("__knn"), i + 1) / denom).as(s"p_$cls")
     }
     scanned.select(ff.idCols.map(col) ++ outs: _*)
   }

@@ -35,13 +35,17 @@ object Graphs {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      // neighbor labels + own label, take the min per node
+      // neighbor labels + own label, take the min per node; checkpoint
+      // so the round runs ONCE (the convergence count would otherwise
+      // re-execute it, and each later round would replay all earlier
+      // ones — O(rounds^2) plus a full replay at consumption)
       val prop = bidir
         .join(labels.withColumnRenamed("id", "b").withColumnRenamed("component", "nbl"), "b")
         .select(col("a").as("id"), col("nbl").as("component"))
         .union(labels)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
+        .localCheckpoint()
       val changed = prop.alias("n")
         .join(labels.alias("o"), col("n.id") === col("o.id"))
         .filter(col("n.component") =!= col("o.component"))
@@ -50,6 +54,10 @@ object Graphs {
       converged = changed == 0
       it += 1
     }
+    // an unconverged result silently mislabels components — refuse it
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds " +
+        "(component diameter exceeds the iteration budget; raise maxIters)")
     labels
   }
 }

@@ -54,7 +54,12 @@ object Multimodal {
 
   /** E4 media record: multi-frame payload ("GRFV" + frame count + int
     * length-prefixed frames — the text chopped into 2–5 char-boundary
-    * chunks, so a SQL oracle can rebuild every frame).
+    * chunks, so a SQL oracle can rebuild every frame). Contract limit:
+    * chunk boundaries use UTF-16 unit indexes (String.substring) while
+    * the oracle counts code points — equal only for BMP text (the
+    * corpus vocab is BMP; an astral char could also split a surrogate
+    * pair at a boundary). A production container would chunk on byte
+    * offsets instead.
     */
   def synthesizeVideo(s: SparkSession, dir: String): DataFrame = {
     val outSchema = StructType(Seq(

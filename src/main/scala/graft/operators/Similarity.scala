@@ -330,10 +330,16 @@ object Similarity {
       .select(col("vec_id").as("seed"), posexplode(col("v")))
       .select(((col("seed") / 60L).cast("long")).as("cluster"), col("pos"), col("col").as("c"))
     val a1 = assign(widen(init))
+    // iteration-1 centroids are QUANTIZED to 6dp before feeding the
+    // round-2 assignment: raw avg() differs in ulps between Spark's
+    // partial-aggregation order (itself run-to-run nondeterministic)
+    // and DuckDB's sequential AVG, and an unquantized centroid would
+    // let a near-boundary point flip clusters between engines — the
+    // same cross-engine accumulation rule every other oracle follows
     val cent1 = e.join(a1, "vec_id")
       .select(col("cluster"), posexplode(col("v")))
       .groupBy(col("cluster"), col("pos"))
-      .agg(avg(col("col")).as("c"))
+      .agg(graft.functions.dec6(avg(col("col"))).as("c"))
     val a2 = assign(widen(cent1))
     val cent2 = e.join(a2, "vec_id")
       .select(col("cluster"), posexplode(col("v")))
@@ -583,14 +589,14 @@ object Similarity {
       |c0 AS (SELECT CAST(vec_id // 60 AS BIGINT) AS cl, i, v[i] AS c
       |  FROM e, dims WHERE vec_id % 60 = 0 AND vec_id <= 420),
       |d1 AS (SELECT e.vec_id, c0.cl, SUM((v[i]-c)*(v[i]-c)) AS d2
-      |  FROM e CROSS JOIN c0 WHERE c0.i = c0.i GROUP BY 1,2),
+      |  FROM e CROSS JOIN c0 GROUP BY 1,2),
       |a1 AS (SELECT vec_id, cl FROM (
       |  SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
       |  FROM d1) WHERE rn = 1),
-      |c1 AS (SELECT cl, i, AVG(v[i]) AS c
+      |c1 AS (SELECT cl, i, CAST(ROUND(AVG(v[i]),6) AS DECIMAL(18,6))::DOUBLE AS c
       |  FROM e JOIN a1 USING (vec_id), dims GROUP BY 1,2),
       |d2_ AS (SELECT e.vec_id, c1.cl, SUM((v[i]-c)*(v[i]-c)) AS d2
-      |  FROM e CROSS JOIN c1 WHERE c1.i = c1.i GROUP BY 1,2),
+      |  FROM e CROSS JOIN c1 GROUP BY 1,2),
       |a2 AS (SELECT vec_id, cl FROM (
       |  SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
       |  FROM d2_) WHERE rn = 1),

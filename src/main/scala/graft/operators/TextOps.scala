@@ -173,6 +173,28 @@ object TextOps {
   def qMinHash(s: SparkSession, dir: String): DataFrame =
     signatures(s, dir).orderBy(col("doc_id"))
 
+  /** THE bucket→candidate-pair cascade shared by every blocking scheme
+    * (MinHash-LSH bands, rare-shingle inverted index, SimHash bands):
+    * group payloads per bucket, explode unordered (a, b) pairs with
+    * a.id < b.id, dedup pairs found in several buckets. The payload
+    * struct must expose an `id` field; extra fields (fingerprints)
+    * ride along so callers never re-scan. Pair volume is bounded by
+    * bucket collision structure, never O(corpus²); callers must keep
+    * their buckets non-degenerate (e.g. the NULL-signature guard in
+    * qLshPairs).
+    */
+  private def bucketPairs(df: DataFrame, bucketCols: Seq[String],
+                          payload: Column): DataFrame =
+    df.select(bucketCols.map(col) :+ payload.as("p"): _*)
+      .groupBy(bucketCols.map(col): _*)
+      .agg(collect_list(col("p")).as("ps"))
+      .filter(size(col("ps")) > 1)
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a"), col("b"))
+      .distinct()
+
   /** Candidate pairs → exact Jaccard over distinct shingle sets → τ filter. */
   private def jaccardVerify(s: SparkSession, dir: String, cand: DataFrame, tau: Double): DataFrame = {
     // shuffle-hash, not broadcast: the sets are few ROWS but carry fat
@@ -208,18 +230,9 @@ object TextOps {
       .filter(col("sig0").isNotNull)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    // One aggregation into per-bucket doc lists instead of a self-join:
-    // the md5 signature pipeline is evaluated ONCE, and pair generation
-    // is a per-bucket explode (bucket sizes are bounded by collision
-    // structure, not corpus size).
-    val cand = bands
-      .groupBy(col("band"), col("bkey"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("a_id"), col("ids"))
-      .select(col("a_id"), explode(col("ids")).as("b_id"))
-      .filter(col("a_id") < col("b_id"))
-      .distinct()
+    val cand = bucketPairs(bands, Seq("band", "bkey"),
+        struct(col("doc_id").as("id")))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
     jaccardVerify(s, dir, cand, tau = 0.5)
   }
 
@@ -229,15 +242,18 @@ object TextOps {
     */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     // Inverted index in ONE pass: per-shingle doc lists; rare-shingle
-    // blocking (2 ≤ df ≤ 5) caps pair fanout at C(5,2) per shingle.
-    val cand = shingled(s, dir)
+    // blocking (df ≤ 5, enforced before pair expansion) caps pair
+    // fanout at C(5,2) per shingle.
+    val exploded = shingled(s, dir)
       .select(col("doc_id"), explode(array_distinct(col("sh"))).as("sh1"))
-      .groupBy(col("sh1"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, 5))
-      .select(explode(col("ids")).as("a_id"), col("ids"))
-      .select(col("a_id"), explode(col("ids")).as("b_id"))
-      .filter(col("a_id") < col("b_id"))
+    val rare = exploded.groupBy(col("sh1"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 5))
+      .select(col("sh1"))
+    val cand = bucketPairs(
+        exploded.join(rare, "sh1"), Seq("sh1"),
+        struct(col("doc_id").as("id")))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
     jaccardVerify(s, dir, cand, tau = 0.5)
   }
@@ -325,16 +341,10 @@ object TextOps {
           shiftrightunsigned(col("simhash"), 16 * b).bitwiseAND(lit(0xffffL)).as("bkey"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
               col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cand = bands
-      .groupBy(col("band"), col("bkey"))
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(col("ds")).as("a"), col("ds"))
-      .select(col("a.doc_id").as("a_id"), col("a.simhash").as("fa"), explode(col("ds")).as("b"))
-      .filter(col("a_id") < col("b.doc_id"))
-      .select(col("a_id"), col("b.doc_id").as("b_id"),
-              bit_count(col("fa").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+    val cand = bucketPairs(bands, Seq("band", "bkey"),
+        struct(col("doc_id").as("id"), col("simhash")))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+              bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
     cand.filter(col("hamming") <= maxHamming)
       .orderBy(col("a_id"), col("b_id"))
   }
