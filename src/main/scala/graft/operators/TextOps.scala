@@ -184,16 +184,22 @@ object TextOps {
     * qLshPairs).
     */
   private def bucketPairs(df: DataFrame, bucketCols: Seq[String],
-                          payload: Column): DataFrame =
+                          payload: Column,
+                          maxBucketSize: Option[Int] = None): DataFrame = {
+    val sizeOk = maxBucketSize match {
+      case Some(m) => size(col("ps")) > 1 && size(col("ps")) <= m
+      case None    => size(col("ps")) > 1
+    }
     df.select(bucketCols.map(col) :+ payload.as("p"): _*)
       .groupBy(bucketCols.map(col): _*)
       .agg(collect_list(col("p")).as("ps"))
-      .filter(size(col("ps")) > 1)
+      .filter(sizeOk)
       .select(explode(col("ps")).as("a"), col("ps"))
       .select(col("a"), explode(col("ps")).as("b"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a"), col("b"))
       .distinct()
+  }
 
   /** Candidate pairs → exact Jaccard over distinct shingle sets → τ filter. */
   private def jaccardVerify(s: SparkSession, dir: String, cand: DataFrame, tau: Double): DataFrame = {
@@ -242,19 +248,13 @@ object TextOps {
     */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     // Inverted index in ONE pass: per-shingle doc lists; rare-shingle
-    // blocking (df ≤ 5, enforced before pair expansion) caps pair
-    // fanout at C(5,2) per shingle.
+    // blocking (bucket size ≤ 5 == shingle df ≤ 5, docs are distinct
+    // per bucket) caps pair fanout at C(5,2) per shingle.
     val exploded = shingled(s, dir)
       .select(col("doc_id"), explode(array_distinct(col("sh"))).as("sh1"))
-    val rare = exploded.groupBy(col("sh1"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, 5))
-      .select(col("sh1"))
-    val cand = bucketPairs(
-        exploded.join(rare, "sh1"), Seq("sh1"),
-        struct(col("doc_id").as("id")))
+    val cand = bucketPairs(exploded, Seq("sh1"),
+        struct(col("doc_id").as("id")), maxBucketSize = Some(5))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .distinct()
     jaccardVerify(s, dir, cand, tau = 0.5)
   }
 
