@@ -92,7 +92,11 @@ object SparkEntry {
     "q_media_meta"     -> (Multimodal.qMediaMeta _),
     "q_media_frames"   -> (Multimodal.qMediaFrames _),
     "q_rf_reg"         -> (Estimation.qRfReg _),
-    "q_pca"            -> (Estimation.qPca _)
+    "q_gbt_reg"        -> (Estimation.qGbtReg _),
+    "q_cart_reg"       -> (Estimation.qCartReg _),
+    "q_pca"            -> (Estimation.qPca _),
+    "q_pca_fit"        -> (Estimation.qPcaFit _),
+    "q_pipeline"       -> (Estimation.qPipeline _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

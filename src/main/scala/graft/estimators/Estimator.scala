@@ -34,6 +34,21 @@ trait FittedModel {
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame
 }
 
+/** A fitted model whose output is itself a feature frame (scalers, PCA) —
+  * the composable stage type for [[FeaturePipeline]] (the reference
+  * supports sklearn `Pipeline` objects through the same estimator wrap,
+  * `estimator.py:523`).
+  */
+trait FittedTransform extends FittedModel {
+  /** Transform a frame; output carries the frame's id columns plus
+    * [[outputFeatureNames]].
+    */
+  def transform(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame
+
+  /** Names of the feature columns this transform emits, in order. */
+  def outputFeatureNames: Seq[String]
+}
+
 private[estimators] object FitUtil {
   /** Collect a small training table and sort it into the canonical order
     * defined by `orderCols` (lexicographic on their double values).

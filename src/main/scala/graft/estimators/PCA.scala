@@ -55,7 +55,9 @@ final case class PCAModel(
     means: Seq[Double],
     components: Seq[Array[Double]], // k rows of d loadings
     explainedVariance: Seq[Double]
-) extends FittedModel {
+) extends FittedTransform {
+
+  def outputFeatureNames: Seq[String] = components.indices.map(j => s"pc${j + 1}")
 
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame =
     transform(frame, opts)

@@ -19,8 +19,9 @@ import graft.core.{FeatureFrame, PredictOptions}
   * `opts.noDataOutput` via a `when` predicate — zero extra cost in the
   * codegen'd path.
   */
-sealed trait AffineScalerModel extends FittedModel {
+sealed trait AffineScalerModel extends FittedTransform {
   def featureNames: Seq[String]
+  def outputFeatureNames: Seq[String] = featureNames.map(c => s"$outPrefix$c")
   /** Per-feature (scale, offset): transform = (x - offset) / scale. */
   protected def params: Map[String, (Double, Double)]
   protected def outPrefix: String

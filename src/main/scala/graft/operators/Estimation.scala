@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{FeatureFrame, NoData, PredictOptions}
@@ -262,28 +262,173 @@ object Estimation {
   }
 
   /** A12: arbitrary-estimator delegation — MLlib RandomForest wrapped in
-    * the FeatureEstimator contract. Rows-only oracle (the forest is
-    * engine-specific); behavior is covered by EstimatorExtrasSpec.
+    * the FeatureEstimator contract. The forest's splits are
+    * engine-specific, so the ORACLE checks the regression-forest
+    * invariant instead: every prediction is an average of leaf means of
+    * training targets, hence provably inside the training-target hull
+    * [min(y), max(y)]. Exact prediction behavior is spec-covered
+    * (EstimatorExtrasSpec); the fully-oracled deterministic tree is
+    * q_cart_reg.
     */
   def qRfReg(s: SparkSession, dir: String): DataFrame = {
+    val train = trainLi(s, dir)
     val model = RandomForestRegression(numTrees = 20, maxDepth = 6, seed = 42)
+      .fit(train, Seq("l_quantity", "l_discount", "l_tax"), Seq("l_extendedprice"))
+    val mm = train
+      .agg(min(col("l_extendedprice")).cast("double"), max(col("l_extendedprice")).cast("double"))
+      .collect()(0)
+    model.predict(FeatureFrame(li(s, dir), Seq("li_id"),
+        Seq("l_quantity", "l_discount", "l_tax")))
+      .select(col("li_id"),
+        (col("l_extendedprice") >= mm.getDouble(0) &&
+         col("l_extendedprice") <= mm.getDouble(1)).cast("int").as("in_hull"))
+      .orderBy(col("li_id"))
+  }
+
+  /** A12b: GBT delegation, same hull-invariant oracle shape as A12 with
+    * a documented slack: boosting stages sum shrunken residual steps, so
+    * predictions are not PROVABLY hull-bounded like forest averages —
+    * the gate asserts the hull widened by 25% of the target range
+    * (empirically far beyond any observed excursion at stepSize 0.1).
+    */
+  def qGbtReg(s: SparkSession, dir: String): DataFrame = {
+    val train = trainLi(s, dir)
+    val model = GBTRegression(maxIter = 20, maxDepth = 4, seed = 42)
+      .fit(train, Seq("l_quantity", "l_discount", "l_tax"), Seq("l_extendedprice"))
+    val mm = train
+      .agg(min(col("l_extendedprice")).cast("double"), max(col("l_extendedprice")).cast("double"))
+      .collect()(0)
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val slack = 0.25 * (hi - lo)
+    model.predict(FeatureFrame(li(s, dir), Seq("li_id"),
+        Seq("l_quantity", "l_discount", "l_tax")))
+      .select(col("li_id"),
+        (col("l_extendedprice") >= lo - slack &&
+         col("l_extendedprice") <= hi + slack).cast("int").as("in_hull"))
+      .orderBy(col("li_id"))
+  }
+
+  /** A12c: deterministic CART regression tree (depth 2, exact-integer
+    * split search — Cart.scala) with the splits REPLICATED in SQL: the
+    * oracle re-runs the variance-reduction search per node via window
+    * prefix sums and exact HUGEINT gain comparisons, then routes every
+    * row through the discovered thresholds. This is the fully-oracled
+    * tree estimator the engine-specific MLlib forest (A12) cannot be.
+    */
+  def qCartReg(s: SparkSession, dir: String): DataFrame = {
+    val model = CartRegression(maxDepth = 2, targetScale = 100.0, orderBy = trainOrder)
       .fit(trainLi(s, dir), Seq("l_quantity", "l_discount", "l_tax"), Seq("l_extendedprice"))
+    // the SQL oracle unrolls a FULL depth-2 tree; a degenerate fit must
+    // fail loudly, not hash-mismatch
+    model.root match {
+      case CartSplit(_, _, _: CartSplit, _: CartSplit) => ()
+      case _ => throw new IllegalStateException(
+        s"q_cart_reg needs a full depth-2 tree, got ${model.describe}")
+    }
     model.predict(FeatureFrame(li(s, dir), Seq("li_id"),
         Seq("l_quantity", "l_discount", "l_tax")))
       .select(col("li_id"), dec4(col("l_extendedprice")).as("prediction"))
       .orderBy(col("li_id"))
   }
 
-  /** A13: PCA transform — distributed gram/mean aggregation + driver
-    * eigensolve, codegen'd projection. Rows-only oracle (sign/rotation
-    * conventions differ across engines); covered by EstimatorExtrasSpec.
+  /** A13: PCA transform — distributed moment aggregation + driver
+    * eigensolve (PCA.scala), codegen'd projection. d = 2 features with
+    * var(l_quantity) >> var(l_discount), so the symmetric 2x2
+    * eigendecomposition has a guaranteed eigenvalue gap and the oracle
+    * can rebuild components in closed form (quadratic-formula
+    * eigenvalues; eigenvectors from the cancellation-free rows
+    * (l1-b, c) / (c, l2-a); sklearn-style largest-|loading|-positive
+    * sign fix). Engine eigensolvers agree to ~1e-13, absorbed by dec4.
     */
   def qPca(s: SparkSession, dir: String): DataFrame = {
-    val model = PCA(k = 2).fit(trainLi(s, dir), scaleFeatures)
-    model.transform(FeatureFrame(li(s, dir), Seq("li_id"), scaleFeatures))
+    val pcaFeatures = Seq("l_quantity", "l_discount")
+    val model = PCA(k = 2).fit(trainLi(s, dir), pcaFeatures)
+    model.transform(FeatureFrame(li(s, dir), Seq("li_id"), pcaFeatures))
       .select(col("li_id"), dec4(col("pc1")).as("pc1"), dec4(col("pc2")).as("pc2"))
       .orderBy(col("li_id"))
   }
+
+  /** A13b: the PCA FIT pass oracled EXACTLY — the same second-moment
+    * aggregate PCA.fit runs (PCA.scala:26), in integer cents so every
+    * sufficient statistic (n, Σx_i, Σx_i·x_j) is an exact integer on
+    * both engines, plus the derived covariance entries computed from
+    * those integers with an identical float op sequence (bit-identical
+    * cross-engine). At 100 TB this one aggregate IS the fit.
+    */
+  def qPcaFit(s: SparkSession, dir: String): DataFrame = {
+    val t = trainLi(s, dir).select(
+      col("l_quantity").cast("long").as("x1"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("x2"),
+      round(col("l_discount") * 100, 0).cast("long").as("x3"))
+    val agg = t.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("x3")).as("s3"),
+      sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x1") * col("x3")).as("s13"), sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x2") * col("x3")).as("s23"), sum(col("x3") * col("x3")).as("s33"))
+    def cov(sij: String, si: String, sj: String): Column =
+      col(sij).cast("double") / col("n").cast("double") -
+        (col(si).cast("double") / col("n").cast("double")) *
+        (col(sj).cast("double") / col("n").cast("double"))
+    agg.select(col("n"), col("s1"), col("s2"), col("s3"),
+      col("s11"), col("s12"), col("s13"), col("s22"), col("s23"), col("s33"),
+      cov("s11", "s1", "s1").as("cov11"), cov("s12", "s1", "s2").as("cov12"),
+      cov("s13", "s1", "s3").as("cov13"), cov("s22", "s2", "s2").as("cov22"),
+      cov("s23", "s2", "s3").as("cov23"), cov("s33", "s3", "s3").as("cov33"))
+  }
+
+  /** A18: pipeline composition (reference transform-of-Pipelines,
+    * `estimator.py:523`) — StandardScaler -> kNN regression fitted and
+    * applied as ONE model (Pipeline.scala). The oracle scales both sides
+    * with the train statistics and runs the kNN in scaled space with the
+    * identical subtraction order.
+    */
+  def qPipeline(s: SparkSession, dir: String): DataFrame = {
+    val pipe = FeaturePipeline(Seq(StandardScaler()),
+      KNeighborsRegressor(k = 5, orderBy = trainOrder))
+    val model = pipe.fit(trainLi(s, dir), Seq("l_extendedprice", "l_quantity"), Seq("l_discount"))
+    model.predict(FeatureFrame(li(s, dir), Seq("li_id"), Seq("l_extendedprice", "l_quantity")))
+      .select(col("li_id"), dec4(col("l_discount")).as("prediction"))
+      .orderBy(col("li_id"))
+  }
+
+  /** One CART node's split search in SQL: per feature, sort by
+    * (value, tid), window prefix sums of the integer target, candidate
+    * thresholds at distinct-value boundaries, gain compared EXACTLY via
+    * (n·S_L − n_L·S)² / (n_L·n_R) cross-multiplied in HUGEINT — the
+    * mirror of CartModel.bestSplit's BigInt comparison. `src` must have
+    * columns (tid, f0, f1, f2, y).
+    */
+  private def cartSplitBlock(src: String, name: String): String = {
+    val perFeature = (0 until 3).map { i =>
+      s"""SELECT $i AS fidx, fv, nfv, sl, nl, s, n FROM (
+         |      SELECT CAST(f$i AS DOUBLE) AS fv,
+         |        LEAD(CAST(f$i AS DOUBLE)) OVER (ORDER BY f$i, tid) AS nfv,
+         |        SUM(y) OVER (ORDER BY f$i, tid ROWS UNBOUNDED PRECEDING) AS sl,
+         |        ROW_NUMBER() OVER (ORDER BY f$i, tid) AS nl,
+         |        SUM(y) OVER () AS s, COUNT(*) OVER () AS n
+         |      FROM $src)""".stripMargin
+    }.mkString("\n    UNION ALL\n    ")
+    s"""${name}_cand AS (
+       |  SELECT fidx, thr, diff*diff AS a, CAST(nl AS HUGEINT)*(n-nl) AS b FROM (
+       |    SELECT fidx, (fv+nfv)/2 AS thr,
+       |      CAST(n AS HUGEINT)*sl - CAST(nl AS HUGEINT)*s AS diff, nl, n
+       |    FROM ($perFeature)
+       |    WHERE nfv IS NOT NULL AND fv < nfv)),
+       |${name}_best AS (
+       |  SELECT c1.fidx, c1.thr FROM ${name}_cand c1
+       |  WHERE NOT EXISTS (SELECT 1 FROM ${name}_cand c2
+       |    WHERE c2.a*c1.b > c1.a*c2.b
+       |       OR (c2.a*c1.b = c1.a*c2.b AND (c2.fidx < c1.fidx
+       |            OR (c2.fidx = c1.fidx AND c2.thr < c1.thr)))))""".stripMargin
+  }
+
+  /** Route a row through a fitted node: feature value by the node's
+    * discovered feature index.
+    */
+  private def cartFv(bestAlias: String, f0: String, f1: String, f2: String): String =
+    s"(CASE $bestAlias.fidx WHEN 0 THEN CAST($f0 AS DOUBLE) " +
+      s"WHEN 1 THEN CAST($f1 AS DOUBLE) ELSE CAST($f2 AS DOUBLE) END)"
 
   /** Oracle SQL (DuckDB dialect). The kNN oracles use the crossJoin +
     * ROW_NUMBER formulation the Spark engine deliberately AVOIDS — fine
@@ -473,6 +618,109 @@ object Estimation {
           |SELECT $uidSql AS li_id,
           |  CAST(ROUND(b0 + b1*l_quantity + b2*l_discount,2) AS DECIMAL(18,2))::DOUBLE AS prediction
           |FROM lineitem CROSS JOIN co ORDER BY li_id""".stripMargin,
+      "q_rf_reg" ->
+        s"""WITH $q
+          |SELECT li_id, CAST(1 AS INTEGER) AS in_hull FROM q ORDER BY li_id""".stripMargin,
+      "q_gbt_reg" ->
+        s"""WITH $q
+          |SELECT li_id, CAST(1 AS INTEGER) AS in_hull FROM q ORDER BY li_id""".stripMargin,
+      "q_cart_reg" ->
+        s"""WITH $train, $q,
+          |t0 AS (SELECT tid, l_quantity AS f0, l_discount AS f1, l_tax AS f2,
+          |  CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS y FROM train),
+          |${cartSplitBlock("t0", "root")},
+          |tl AS (SELECT t0.* FROM t0 CROSS JOIN root_best b
+          |  WHERE ${cartFv("b", "f0", "f1", "f2")} <= b.thr),
+          |tr AS (SELECT t0.* FROM t0 CROSS JOIN root_best b
+          |  WHERE ${cartFv("b", "f0", "f1", "f2")} > b.thr),
+          |${cartSplitBlock("tl", "lft")},
+          |${cartSplitBlock("tr", "rgt")},
+          |leaf_ll AS (SELECT CAST(SUM(y) AS DOUBLE)/COUNT(*)/100 AS p FROM tl
+          |  CROSS JOIN lft_best b WHERE ${cartFv("b", "f0", "f1", "f2")} <= b.thr),
+          |leaf_lr AS (SELECT CAST(SUM(y) AS DOUBLE)/COUNT(*)/100 AS p FROM tl
+          |  CROSS JOIN lft_best b WHERE ${cartFv("b", "f0", "f1", "f2")} > b.thr),
+          |leaf_rl AS (SELECT CAST(SUM(y) AS DOUBLE)/COUNT(*)/100 AS p FROM tr
+          |  CROSS JOIN rgt_best b WHERE ${cartFv("b", "f0", "f1", "f2")} <= b.thr),
+          |leaf_rr AS (SELECT CAST(SUM(y) AS DOUBLE)/COUNT(*)/100 AS p FROM tr
+          |  CROSS JOIN rgt_best b WHERE ${cartFv("b", "f0", "f1", "f2")} > b.thr)
+          |SELECT li_id, CAST(ROUND(
+          |  CASE WHEN ${cartFv("rb", "l_quantity", "l_discount", "l_tax")} <= rb.thr
+          |  THEN CASE WHEN ${cartFv("lb", "l_quantity", "l_discount", "l_tax")} <= lb.thr
+          |       THEN ll.p ELSE lr.p END
+          |  ELSE CASE WHEN ${cartFv("gb", "l_quantity", "l_discount", "l_tax")} <= gb.thr
+          |       THEN rl.p ELSE rr.p END END, 4) AS DECIMAL(18,4))::DOUBLE AS prediction
+          |FROM q CROSS JOIN root_best rb CROSS JOIN lft_best lb CROSS JOIN rgt_best gb
+          |CROSS JOIN leaf_ll ll CROSS JOIN leaf_lr lr
+          |CROSS JOIN leaf_rl rl CROSS JOIN leaf_rr rr
+          |ORDER BY li_id""".stripMargin,
+      "q_pca" ->
+        s"""WITH $train, $q,
+          |mo AS (SELECT
+          |  SUM(l_quantity*l_quantity)/COUNT(*) - AVG(l_quantity)*AVG(l_quantity) AS a,
+          |  SUM(l_discount*l_discount)/COUNT(*) - AVG(l_discount)*AVG(l_discount) AS b,
+          |  SUM(l_quantity*l_discount)/COUNT(*) - AVG(l_quantity)*AVG(l_discount) AS c,
+          |  AVG(l_quantity) AS mq, AVG(l_discount) AS md FROM train),
+          |ev AS (SELECT *,
+          |  (a+b)/2 + SQRT((a-b)*(a-b)/4 + c*c) AS l1,
+          |  (a+b)/2 - SQRT((a-b)*(a-b)/4 + c*c) AS l2 FROM mo),
+          |w AS (SELECT mq, md,
+          |  (l1-b)/SQRT((l1-b)*(l1-b)+c*c) AS w11, c/SQRT((l1-b)*(l1-b)+c*c) AS w12,
+          |  c/SQRT(c*c+(l2-a)*(l2-a)) AS w21, (l2-a)/SQRT(c*c+(l2-a)*(l2-a)) AS w22
+          |  FROM ev),
+          |v AS (SELECT mq, md,
+          |  CASE WHEN (CASE WHEN ABS(w11) >= ABS(w12) THEN w11 ELSE w12 END) < 0
+          |    THEN -w11 ELSE w11 END AS v11,
+          |  CASE WHEN (CASE WHEN ABS(w11) >= ABS(w12) THEN w11 ELSE w12 END) < 0
+          |    THEN -w12 ELSE w12 END AS v12,
+          |  CASE WHEN (CASE WHEN ABS(w21) >= ABS(w22) THEN w21 ELSE w22 END) < 0
+          |    THEN -w21 ELSE w21 END AS v21,
+          |  CASE WHEN (CASE WHEN ABS(w21) >= ABS(w22) THEN w21 ELSE w22 END) < 0
+          |    THEN -w22 ELSE w22 END AS v22 FROM w)
+          |SELECT li_id,
+          |  CAST(ROUND((l_quantity-mq)*v11 + (l_discount-md)*v12,4)
+          |    AS DECIMAL(18,4))::DOUBLE AS pc1,
+          |  CAST(ROUND((l_quantity-mq)*v21 + (l_discount-md)*v22,4)
+          |    AS DECIMAL(18,4))::DOUBLE AS pc2
+          |FROM q CROSS JOIN v ORDER BY li_id""".stripMargin,
+      "q_pca_fit" ->
+        s"""WITH t AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
+          |  CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS x2,
+          |  CAST(ROUND(l_discount*100,0) AS BIGINT) AS x3
+          |  FROM lineitem WHERE l_orderkey % 499 = 0),
+          |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+          |  CAST(SUM(x3) AS BIGINT) AS s3,
+          |  CAST(SUM(x1*x1) AS BIGINT) AS s11, CAST(SUM(x1*x2) AS BIGINT) AS s12,
+          |  CAST(SUM(x1*x3) AS BIGINT) AS s13, CAST(SUM(x2*x2) AS BIGINT) AS s22,
+          |  CAST(SUM(x2*x3) AS BIGINT) AS s23, CAST(SUM(x3*x3) AS BIGINT) AS s33
+          |  FROM t)
+          |SELECT n, s1, s2, s3, s11, s12, s13, s22, s23, s33,
+          |  CAST(s11 AS DOUBLE)/CAST(n AS DOUBLE)
+          |    - (CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)) AS cov11,
+          |  CAST(s12 AS DOUBLE)/CAST(n AS DOUBLE)
+          |    - (CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE)) AS cov12,
+          |  CAST(s13 AS DOUBLE)/CAST(n AS DOUBLE)
+          |    - (CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE)) AS cov13,
+          |  CAST(s22 AS DOUBLE)/CAST(n AS DOUBLE)
+          |    - (CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE)) AS cov22,
+          |  CAST(s23 AS DOUBLE)/CAST(n AS DOUBLE)
+          |    - (CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE)) AS cov23,
+          |  CAST(s33 AS DOUBLE)/CAST(n AS DOUBLE)
+          |    - (CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE)) AS cov33
+          |FROM a""".stripMargin,
+      "q_pipeline" ->
+        s"""WITH $train, $q,
+          |st AS (SELECT AVG(l_extendedprice) AS m1, STDDEV_POP(l_extendedprice) AS s1,
+          |  AVG(l_quantity) AS m2, STDDEV_POP(l_quantity) AS s2 FROM train),
+          |d AS (SELECT li_id, train.l_discount AS ty,
+          |  ROW_NUMBER() OVER (PARTITION BY li_id ORDER BY
+          |    ((q.l_extendedprice-m1)/s1 - (train.l_extendedprice-m1)/s1)
+          |      *((q.l_extendedprice-m1)/s1 - (train.l_extendedprice-m1)/s1)
+          |    +((q.l_quantity-m2)/s2 - (train.l_quantity-m2)/s2)
+          |      *((q.l_quantity-m2)/s2 - (train.l_quantity-m2)/s2), tid) AS rn
+          |  FROM q CROSS JOIN train CROSS JOIN st)
+          |SELECT li_id, CAST(ROUND(AVG(ty),4) AS DECIMAL(18,4))::DOUBLE AS prediction
+          |FROM d WHERE rn <= 5 GROUP BY li_id ORDER BY li_id""".stripMargin,
       "q_knn_nodata" ->
         s"""WITH $train,
           |qq AS (SELECT $uidSql AS li_id,
