@@ -25,9 +25,10 @@ object Graphs {
     // materialize the edge set ONCE: the caller's edge pipeline (e.g.
     // the full MinHash-LSH candidate cascade) would otherwise re-execute
     // on every iteration AND every convergence count — observed 17x on
-    // the dedup-clusters bench. localCheckpoint truncates the lineage to
-    // the stored blocks.
-    val mat = edges.select(col("a"), col("b")).localCheckpoint()
+    // the dedup-clusters bench. Materialize.pin = reliable checkpoint()
+    // when a checkpoint dir is configured (cluster mode — survives
+    // executor loss), localCheckpoint() otherwise (single-node dev).
+    val mat = graft.core.Materialize.pin(edges.select(col("a"), col("b")))
     val bidir = mat
       .union(mat.select(col("b").as("a"), col("a").as("b")))
     val nodes = bidir.select(col("a").as("id")).distinct()
@@ -35,17 +36,16 @@ object Graphs {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      // neighbor labels + own label, take the min per node; checkpoint
-      // so the round runs ONCE (the convergence count would otherwise
+      // neighbor labels + own label, take the min per node; pin so the
+      // round runs ONCE (the convergence count would otherwise
       // re-execute it, and each later round would replay all earlier
       // ones — O(rounds^2) plus a full replay at consumption)
-      val prop = bidir
+      val prop = graft.core.Materialize.pin(bidir
         .join(labels.withColumnRenamed("id", "b").withColumnRenamed("component", "nbl"), "b")
         .select(col("a").as("id"), col("nbl").as("component"))
         .union(labels)
         .groupBy(col("id"))
-        .agg(min(col("component")).as("component"))
-        .localCheckpoint()
+        .agg(min(col("component")).as("component")))
       val changed = prop.alias("n")
         .join(labels.alias("o"), col("n.id") === col("o.id"))
         .filter(col("n.component") =!= col("o.component"))

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graphs
+
+/** Connected components: correctness plus both Materialize.pin modes
+  * (reliable checkpoint under a configured dir vs localCheckpoint).
+  */
+class GraphsSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  private def edges() = {
+    import s.implicits._
+    // two components: {1,2,3,4} (chain + extra edge) and {10,11}
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (10L, 11L)).toDF("a", "b")
+  }
+
+  private def expected = Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L))
+
+  private def run(): Set[(Long, Long)] =
+    Graphs.connectedComponents(edges())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("connected components converge to min labels (localCheckpoint mode)") {
+    assert(s.sparkContext.getCheckpointDir.isEmpty)
+    assert(run() === expected)
+  }
+
+  test("connected components under a reliable checkpoint dir") {
+    // the dir stays set on the shared session afterwards (SparkContext
+    // has no unset); later suites then exercise the reliable-checkpoint
+    // branch of Materialize.pin too, which is exactly the coverage we
+    // want — so the temp dir is left in place for the JVM's lifetime
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    s.sparkContext.setCheckpointDir(dir)
+    assert(run() === expected)
+  }
+}
