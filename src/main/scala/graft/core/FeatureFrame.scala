@@ -2,7 +2,8 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, FloatType, NumericType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType,
+  IntegerType, LongType, NumericType, ShortType}
 
 /** NoData configuration for input features.
   *
@@ -39,14 +40,64 @@ object NoData {
   * (`estimator.py:125`): `nodata_output` fills masked rows,
   * `skip_nodata` computes only valid rows, `ensure_min_samples` pads
   * fully-masked partitions, `allow_cast` permits output-dtype widening
-  * when `nodata_output` doesn't fit the estimator dtype.
+  * when `nodata_output` doesn't fit the estimator dtype
+  * (`ufunc/_base.py:148`), `check_output_for_nodata` flags valid
+  * outputs that collide with the fill value (`ufunc/_base.py:424`).
+  *
+  * `outputType` requests a narrower output dtype than the engine's
+  * natural double (e.g. IntegerType predictions). Enforcement mirrors
+  * the reference: if `noDataOutput` is not representable in the
+  * requested type, predict REFUSES unless `allowCast = true`, in which
+  * case the output silently widens back to double (the dtype of the
+  * fill), exactly the reference's cast-to-`type(nodata_output)` rule.
+  *
+  * `checkOutputForNoData = true` counts VALID (unmasked) outputs equal
+  * to `noDataOutput` — those rows are indistinguishable from fills
+  * downstream. Counting runs in the executors via an accumulator (see
+  * the owning model's `noDataCollisionCount`); it is opt-in because the
+  * per-row check drops the output column out of pure codegen.
   */
 final case class PredictOptions(
     skipNoData: Boolean = true,
     noDataOutput: Double = Double.NaN,
     ensureMinSamples: Int = 1,
-    allowCast: Boolean = false
-)
+    allowCast: Boolean = false,
+    checkOutputForNoData: Boolean = false,
+    outputType: Option[DataType] = scala.None
+) {
+
+  /** The dtype predict must emit: the requested `outputType` when the
+    * fill fits it, the widened `natural` when it doesn't and casting is
+    * allowed, an error otherwise (`ufunc/_base.py:148-149`).
+    */
+  def resolveOutputType(natural: DataType = DoubleType): DataType = outputType match {
+    case scala.Some(dt) if PredictOptions.representable(noDataOutput, dt) => dt
+    case scala.Some(dt) if allowCast => natural
+    case scala.Some(dt) =>
+      throw new IllegalArgumentException(
+        s"noDataOutput $noDataOutput cannot be represented in the requested " +
+          s"output type $dt; pass allowCast = true to widen the output to $natural " +
+          "or choose a representable fill value")
+    case scala.None => natural
+  }
+}
+
+object PredictOptions {
+  /** Can `v` round-trip through `dt` exactly? (np.can_cast analogue.) */
+  def representable(v: Double, dt: DataType): Boolean = dt match {
+    case DoubleType => true
+    case FloatType  => v.isNaN || v.toFloat.toDouble == v
+    case IntegerType | LongType | ShortType | ByteType =>
+      val (lo, hi) = dt match {
+        case IntegerType => (Int.MinValue.toDouble, Int.MaxValue.toDouble)
+        case LongType    => (Long.MinValue.toDouble, Long.MaxValue.toDouble)
+        case ShortType   => (Short.MinValue.toDouble, Short.MaxValue.toDouble)
+        case _           => (Byte.MinValue.toDouble, Byte.MaxValue.toDouble)
+      }
+      !v.isNaN && !v.isInfinite && v == math.floor(v) && v >= lo && v <= hi
+    case _ => false
+  }
+}
 
 /** Errors raised by fit/predict-time feature-name validation, matching
   * the reference's checks (`estimator.py:796` `_check_feature_names`).

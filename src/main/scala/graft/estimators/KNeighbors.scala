@@ -3,7 +3,7 @@ package graft.estimators
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.functions._
 
-import graft.core.{FeatureFrame, PredictOptions}
+import graft.core.{FeatureFrame, OutputContract, PredictOptions}
 import graft.sources.Tables.fanOut
 
 /** k-nearest-neighbor estimators — the reference's canonical workload
@@ -162,13 +162,23 @@ final class KnnRegressorModel private[estimators] (
     weighted: Boolean = false
 ) extends FittedModel {
 
+  /** Fill-collision count from the LAST predict issued with
+    * `checkOutputForNoData = true` (read after an action on its
+    * result); 0 when the check was off or no collision occurred.
+    */
+  @transient @volatile private var collisionAcc: Option[org.apache.spark.util.LongAccumulator] =
+    scala.None
+  def noDataCollisionCount: Long = collisionAcc.map(_.sum).getOrElse(0L)
+
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
     val ff = frame.validated(featureNames)
+    opts.resolveOutputType() // A15: reject an unrepresentable fill at CALL time
+    val acc = OutputContract.collisionAccumulator(ff.df.sparkSession, opts)
+    collisionAcc = acc
     val mode = if (weighted) KnnScanExpr.ModeWeighted else KnnScanExpr.ModeReg
     val scanned = KnnKernel.scanned(ff, st, k, mode, 0)
     val outs = targetNames.zipWithIndex.map { case (tn, i) =>
-      when(col("__m"), lit(opts.noDataOutput))
-        .otherwise(element_at(col("__knn"), i + 1)).as(tn)
+      OutputContract.applyTo(element_at(col("__knn"), i + 1), col("__m"), opts, acc).as(tn)
     }
     scanned.select(ff.idCols.map(col) ++ outs: _*)
   }

@@ -50,8 +50,16 @@ final case class PipelineModel[M <: FittedModel](
 
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
     var ff = frame.validated(featureNames)
+    // intermediate stages ALWAYS fill masked rows with NaN: NaN is the
+    // one fill the next stage's FeatureFrame re-masks automatically
+    // (float NaN rule), so the mask propagates. Writing the caller's
+    // noDataOutput here (e.g. -999) would make the sentinel look like
+    // valid feature data downstream and masked rows would get a real
+    // prediction computed from garbage. The caller's fill applies only
+    // at the final predictor stage.
+    val interOpts = opts.copy(noDataOutput = Double.NaN)
     stages.foreach { m =>
-      ff = FeatureFrame(m.transform(ff, opts), ff.idCols, m.outputFeatureNames)
+      ff = FeatureFrame(m.transform(ff, interOpts), ff.idCols, m.outputFeatureNames)
     }
     last.predict(ff, opts)
   }

@@ -3,7 +3,7 @@ package graft.estimators
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
 
-import graft.core.{FeatureFrame, PredictOptions}
+import graft.core.{FeatureFrame, OutputContract, PredictOptions}
 
 /** Feature scalers — the reference's `transform`/`inverse_transform`
   * surface (StandardScaler / MinMaxScaler through
@@ -26,7 +26,17 @@ sealed trait AffineScalerModel extends FittedTransform {
   protected def params: Map[String, (Double, Double)]
   protected def outPrefix: String
 
+  /** Fill-collision count from the LAST transform issued with
+    * `checkOutputForNoData = true` (read after an action on its result).
+    */
+  @transient @volatile private var collisionAcc: Option[org.apache.spark.util.LongAccumulator] =
+    scala.None
+  def noDataCollisionCount: Long = collisionAcc.map(_.sum).getOrElse(0L)
+
   private def affine(ff: FeatureFrame, opts: PredictOptions): DataFrame = {
+    opts.resolveOutputType() // A15: reject an unrepresentable fill at CALL time
+    val acc = OutputContract.collisionAccumulator(ff.df.sparkSession, opts)
+    collisionAcc = acc
     val mask = ff.noDataMask
     def out(c: String): Column = {
       val (scale, offset) = params(c)
@@ -36,7 +46,7 @@ sealed trait AffineScalerModel extends FittedTransform {
     ff.df.select(
       ff.idCols.map(col) ++
         ff.featureCols.map(c =>
-          when(mask, lit(opts.noDataOutput)).otherwise(out(c)).as(s"$outPrefix$c")): _*)
+          OutputContract.applyTo(out(c), mask, opts, acc).as(s"$outPrefix$c")): _*)
   }
 
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame =
@@ -59,15 +69,49 @@ sealed trait AffineScalerModel extends FittedTransform {
   }
 }
 
-/** (x - mean) / stddev_pop, sklearn StandardScaler semantics. */
-final case class StandardScaler(outPrefix: String = "scaled_")
+/** (x - mean) / stddev_pop, sklearn StandardScaler semantics.
+  *
+  * `exactScales`: opt-in exact-integer fit — for each feature `c` with
+  * multiplier m (x·m integral, e.g. 100.0 for currency cents), the fit
+  * aggregates n, Σ(x·m), Σ(x·m)² as DECIMAL(38,0) (overflow-proof at
+  * any row count) and derives mean/std from those exact integers with
+  * a fixed float op sequence. Any engine aggregating the same integers
+  * (DuckDB HUGEINT, Spark decimal) lands on bit-identical mean/std —
+  * unlike avg/stddev_pop, whose partial-aggregation order drifts by
+  * ulps run-to-run and engine-to-engine. Use when downstream consumers
+  * (e.g. a kNN ranking in scaled space) are sensitive to last-ulp
+  * differences in the fitted stats.
+  */
+final case class StandardScaler(outPrefix: String = "scaled_",
+    exactScales: Map[String, Double] = Map.empty)
     extends FeatureEstimator[StandardScalerModel] {
   def fit(train: DataFrame, featureCols: Seq[String], targetCols: Seq[String] = Nil): StandardScalerModel = {
+    if (exactScales.nonEmpty) return fitExact(train, featureCols)
     val aggs = featureCols.flatMap(c =>
       Seq(avg(col(c)).as(s"mean_$c"), stddev_pop(col(c)).as(s"std_$c")))
     val r = train.agg(aggs.head, aggs.tail: _*).collect()(0)
     val params = featureCols.zipWithIndex.map { case (c, i) =>
       c -> (r.getDouble(2 * i + 1), r.getDouble(2 * i)) // (scale=std, offset=mean)
+    }.toMap
+    StandardScalerModel(featureCols, params, outPrefix)
+  }
+
+  private def fitExact(train: DataFrame, featureCols: Seq[String]): StandardScalerModel = {
+    val missing = featureCols.filterNot(exactScales.contains)
+    require(missing.isEmpty, s"exactScales missing multipliers for: ${missing.mkString(", ")}")
+    val aggs = featureCols.flatMap { c =>
+      val xi = round(col(c) * exactScales(c), 0).cast("decimal(19,0)")
+      Seq(sum(xi.cast("decimal(38,0)")).as(s"s_$c"), sum(xi * xi).as(s"s2_$c"))
+    } :+ count(lit(1)).as("n")
+    val r = train.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nD = r.getLong(2 * featureCols.length).toDouble
+    val params = featureCols.zipWithIndex.map { case (c, i) =>
+      val m = exactScales(c)
+      // fixed sequence — mirrored verbatim by the SQL oracles:
+      // b = S/n; a = S2/n; std = sqrt(a - b*b)/m; mean = b/m
+      val b = r.getDecimal(2 * i).doubleValue / nD
+      val a = r.getDecimal(2 * i + 1).doubleValue / nD
+      c -> (math.sqrt(a - b * b) / m, b / m)
     }.toMap
     StandardScalerModel(featureCols, params, outPrefix)
   }

@@ -299,11 +299,32 @@ object Estimation {
     val mm = train
       .agg(min(col("l_extendedprice")).cast("double"), max(col("l_extendedprice")).cast("double"))
       .collect()(0)
-    model.predict(FeatureFrame(li(s, dir), Seq("li_id"),
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    // hull widened by a tiny relative epsilon: forest predictions are
+    // averages of leaf means, provably inside [lo, hi] in REAL
+    // arithmetic, but fl(n·hi)/n can exceed hi by an ulp (e.g. a leaf
+    // of all-max targets) — exact containment would flip in_hull on
+    // float noise
+    val eps = 1e-9 * math.max(1.0, math.max(math.abs(lo), math.abs(hi)))
+    // second, permutation-sensitive invariant: a tree ensemble is a
+    // deterministic function of the feature vector, so every row in a
+    // duplicate-feature group must carry the SAME prediction (~5k
+    // distinct triples over 60k rows — heavily grouped). A shuffle of
+    // predictions across rows keeps the hull gate green but breaks
+    // group-constancy almost surely.
+    import org.apache.spark.sql.expressions.Window
+    val input = li(s, dir)
+      .withColumn("__q", col("l_quantity"))
+      .withColumn("__d", col("l_discount"))
+      .withColumn("__t", col("l_tax"))
+    val w = Window.partitionBy(col("__q"), col("__d"), col("__t"))
+    model.predict(FeatureFrame(input, Seq("li_id", "__q", "__d", "__t"),
         Seq("l_quantity", "l_discount", "l_tax")))
       .select(col("li_id"),
-        (col("l_extendedprice") >= mm.getDouble(0) &&
-         col("l_extendedprice") <= mm.getDouble(1)).cast("int").as("in_hull"))
+        (col("l_extendedprice") >= lo - eps &&
+         col("l_extendedprice") <= hi + eps).cast("int").as("in_hull"),
+        (max(col("l_extendedprice")).over(w) ===
+         min(col("l_extendedprice")).over(w)).cast("int").as("consistent"))
       .orderBy(col("li_id"))
   }
 
@@ -322,11 +343,20 @@ object Estimation {
       .collect()(0)
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val slack = 0.25 * (hi - lo)
-    model.predict(FeatureFrame(li(s, dir), Seq("li_id"),
+    // same permutation-sensitive group-constancy invariant as qRfReg
+    import org.apache.spark.sql.expressions.Window
+    val input = li(s, dir)
+      .withColumn("__q", col("l_quantity"))
+      .withColumn("__d", col("l_discount"))
+      .withColumn("__t", col("l_tax"))
+    val w = Window.partitionBy(col("__q"), col("__d"), col("__t"))
+    model.predict(FeatureFrame(input, Seq("li_id", "__q", "__d", "__t"),
         Seq("l_quantity", "l_discount", "l_tax")))
       .select(col("li_id"),
         (col("l_extendedprice") >= lo - slack &&
-         col("l_extendedprice") <= hi + slack).cast("int").as("in_hull"))
+         col("l_extendedprice") <= hi + slack).cast("int").as("in_hull"),
+        (max(col("l_extendedprice")).over(w) ===
+         min(col("l_extendedprice")).over(w)).cast("int").as("consistent"))
       .orderBy(col("li_id"))
   }
 
@@ -378,16 +408,24 @@ object Estimation {
     * cross-engine). At 100 TB this one aggregate IS the fit.
     */
   def qPcaFit(s: SparkSession, dir: String): DataFrame = {
+    // moments accumulate as DECIMAL(38,0), not LongType: at the 100 TB
+    // posture Σx² ~ (1e7 cents)² × billions of rows overflows a Long
+    // (which Spark wraps SILENTLY under non-ANSI), while the DuckDB
+    // side sums in HUGEINT — decimal keeps the "exact integer on both
+    // engines" contract at any scale. Cell strings still compare equal
+    // ('123' either way), and covariances cast decimal→double exactly
+    // like the oracle's HUGEINT→DOUBLE.
     val t = trainLi(s, dir).select(
-      col("l_quantity").cast("long").as("x1"),
-      round(col("l_extendedprice") * 100, 0).cast("long").as("x2"),
-      round(col("l_discount") * 100, 0).cast("long").as("x3"))
+      col("l_quantity").cast("decimal(19,0)").as("x1"),
+      round(col("l_extendedprice") * 100, 0).cast("decimal(19,0)").as("x2"),
+      round(col("l_discount") * 100, 0).cast("decimal(19,0)").as("x3"))
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,0)"))
     val agg = t.agg(
       count(lit(1)).as("n"),
-      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("x3")).as("s3"),
-      sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
-      sum(col("x1") * col("x3")).as("s13"), sum(col("x2") * col("x2")).as("s22"),
-      sum(col("x2") * col("x3")).as("s23"), sum(col("x3") * col("x3")).as("s33"))
+      dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"), dsum(col("x3")).as("s3"),
+      dsum(col("x1") * col("x1")).as("s11"), dsum(col("x1") * col("x2")).as("s12"),
+      dsum(col("x1") * col("x3")).as("s13"), dsum(col("x2") * col("x2")).as("s22"),
+      dsum(col("x2") * col("x3")).as("s23"), dsum(col("x3") * col("x3")).as("s33"))
     def cov(sij: String, si: String, sj: String): Column =
       col(sij).cast("double") / col("n").cast("double") -
         (col(si).cast("double") / col("n").cast("double")) *
@@ -406,7 +444,12 @@ object Estimation {
     * identical subtraction order.
     */
   def qPipeline(s: SparkSession, dir: String): DataFrame = {
-    val pipe = FeaturePipeline(Seq(StandardScaler()),
+    // exact-integer scaler fit (cents trick): mean/std derive from
+    // DECIMAL(38,0) moment sums, so they are bit-identical to the
+    // oracle's HUGEINT derivation and the downstream kNN ranking in
+    // scaled space cannot flip on a last-ulp stat difference
+    val pipe = FeaturePipeline(
+      Seq(StandardScaler(exactScales = Map("l_extendedprice" -> 100.0, "l_quantity" -> 1.0))),
       KNeighborsRegressor(k = 5, orderBy = trainOrder))
     val model = pipe.fit(trainLi(s, dir), Seq("l_extendedprice", "l_quantity"), Seq("l_discount"))
     model.predict(FeatureFrame(li(s, dir), Seq("li_id"), Seq("l_extendedprice", "l_quantity")))
@@ -642,10 +685,12 @@ object Estimation {
           |FROM lineitem CROSS JOIN co ORDER BY li_id""".stripMargin,
       "q_rf_reg" ->
         s"""WITH $q
-          |SELECT li_id, CAST(1 AS INTEGER) AS in_hull FROM q ORDER BY li_id""".stripMargin,
+          |SELECT li_id, CAST(1 AS INTEGER) AS in_hull,
+          |  CAST(1 AS INTEGER) AS consistent FROM q ORDER BY li_id""".stripMargin,
       "q_gbt_reg" ->
         s"""WITH $q
-          |SELECT li_id, CAST(1 AS INTEGER) AS in_hull FROM q ORDER BY li_id""".stripMargin,
+          |SELECT li_id, CAST(1 AS INTEGER) AS in_hull,
+          |  CAST(1 AS INTEGER) AS consistent FROM q ORDER BY li_id""".stripMargin,
       "q_cart_reg" ->
         s"""WITH $train, $q,
           |t0 AS (SELECT tid, l_quantity AS f0, l_discount AS f1, l_tax AS f2,
@@ -732,8 +777,20 @@ object Estimation {
           |FROM a""".stripMargin,
       "q_pipeline" ->
         s"""WITH $train, $q,
-          |st AS (SELECT AVG(l_extendedprice) AS m1, STDDEV_POP(l_extendedprice) AS s1,
-          |  AVG(l_quantity) AS m2, STDDEV_POP(l_quantity) AS s2 FROM train),
+          |mo AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+          |  SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS se,
+          |  SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+          |    * CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS se2,
+          |  SUM(CAST(ROUND(l_quantity,0) AS BIGINT)) AS sq,
+          |  SUM(CAST(ROUND(l_quantity,0) AS BIGINT)
+          |    * CAST(ROUND(l_quantity,0) AS BIGINT)) AS sq2 FROM train),
+          |st AS (SELECT
+          |  (CAST(se AS DOUBLE)/n)/100.0 AS m1,
+          |  sqrt(CAST(se2 AS DOUBLE)/n
+          |    - (CAST(se AS DOUBLE)/n)*(CAST(se AS DOUBLE)/n))/100.0 AS s1,
+          |  (CAST(sq AS DOUBLE)/n)/1.0 AS m2,
+          |  sqrt(CAST(sq2 AS DOUBLE)/n
+          |    - (CAST(sq AS DOUBLE)/n)*(CAST(sq AS DOUBLE)/n))/1.0 AS s2 FROM mo),
           |d AS (SELECT li_id, train.l_discount AS ty,
           |  ROW_NUMBER() OVER (PARTITION BY li_id ORDER BY
           |    ((q.l_extendedprice-m1)/s1 - (train.l_extendedprice-m1)/s1)

@@ -88,6 +88,30 @@ class CartPipelineSpec extends AnyFunSuite {
     assert(got.size == 300 && got == want)
   }
 
+  test("pipeline propagates the mask through stages; sentinel fill applies only at the end") {
+    import graft.core.{NoData, PredictOptions}
+    val train = (0 until 40).map(i => (i.toLong, i.toDouble, 2.0 * i, i * 3.0))
+      .toDF("id", "a", "b", "y")
+    // row 1 is masked via the configured sentinel on `a`
+    val input = Seq((0L, 5.0, 10.0), (1L, -1.0, 12.0), (2L, 7.0, 14.0))
+      .toDF("id", "a", "b")
+    val pipe = FeaturePipeline(Seq(StandardScaler()),
+      KNeighborsRegressor(k = 3, orderBy = Seq("id")))
+    val pm = pipe.fit(train, Seq("a", "b"), Seq("y"))
+    val frame = FeatureFrame(input, Seq("id"), Seq("a", "b"),
+      NoData.perFeature(Map("a" -> -1.0)))
+    // a NON-NaN sentinel: before the fix the scaler stage wrote -999
+    // into the intermediate features, the next frame saw it as valid
+    // data, and the masked row got a prediction computed from garbage
+    val got = pm.predict(frame, PredictOptions(noDataOutput = -999.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == -999.0, s"masked row must take the caller's fill, got ${got(1L)}")
+    // unmasked rows are unaffected by the fill choice
+    val plain = pm.predict(frame).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(0L) == plain(0L) && got(2L) == plain(2L))
+  }
+
   test("pipeline validates input feature names against the FIRST stage") {
     val train = Seq((0L, 1.0, 2.0, 3.0)).toDF("id", "a", "b", "y")
     val pipe = FeaturePipeline(Seq(StandardScaler()),

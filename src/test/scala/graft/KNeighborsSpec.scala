@@ -153,4 +153,51 @@ class KNeighborsSpec extends AnyFunSuite {
     assert(out(1).getDouble(1) == 20.0)
     assert(out(2).getDouble(1) == -1.0)
   }
+
+  test("A15 allowCast: integer outputType with a representable fill narrows the output") {
+    import org.apache.spark.sql.types.IntegerType
+    val in = Seq((1L, 0.9), (2L, Double.NaN)).toDF("id", "x")
+    val out = model(1).predict(FeatureFrame(in, Seq("id"), Seq("x")),
+        PredictOptions(noDataOutput = -999.0, outputType = Some(IntegerType)))
+      .orderBy("id")
+    assert(out.schema("y").dataType == IntegerType)
+    val rows = out.collect()
+    assert(rows(0).getInt(1) == 10 && rows(1).getInt(1) == -999)
+  }
+
+  test("A15 allowCast: unrepresentable fill is refused at call time, widened when allowed") {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+    val in = Seq((1L, 0.9)).toDF("id", "x")
+    val frame = FeatureFrame(in, Seq("id"), Seq("x"))
+    // default NaN fill does not fit an int output
+    intercept[IllegalArgumentException] {
+      model(1).predict(frame, PredictOptions(outputType = Some(IntegerType)))
+    }
+    // allowCast widens back to the natural double (the fill's dtype)
+    val widened = model(1).predict(frame,
+      PredictOptions(outputType = Some(IntegerType), allowCast = true))
+    assert(widened.schema("y").dataType == DoubleType)
+    // non-integral sentinel is just as unrepresentable
+    intercept[IllegalArgumentException] {
+      model(1).predict(frame,
+        PredictOptions(noDataOutput = -999.5, outputType = Some(IntegerType)))
+    }
+  }
+
+  test("A15 checkOutputForNoData counts valid outputs that collide with the fill") {
+    // every target is -999, so every VALID prediction equals the fill
+    val t = Seq((0L, 0.0, -999.0), (1L, 1.0, -999.0), (2L, 2.0, -999.0))
+      .toDF("tid", "x", "y")
+    val m = KNeighborsRegressor(k = 1, orderBy = Seq("tid")).fit(t, Seq("x"), Seq("y"))
+    val in = Seq((1L, 0.1), (2L, 1.1), (3L, Double.NaN)).toDF("id", "x")
+    val out = m.predict(FeatureFrame(in, Seq("id"), Seq("x")),
+      PredictOptions(noDataOutput = -999.0, checkOutputForNoData = true))
+    out.collect() // the accumulator fills on the action
+    assert(m.noDataCollisionCount == 2L, s"got ${m.noDataCollisionCount}")
+    // masked row (NaN input) was filled, not counted
+    val silent = m.predict(FeatureFrame(in, Seq("id"), Seq("x")),
+      PredictOptions(noDataOutput = -999.0))
+    silent.collect()
+    assert(m.noDataCollisionCount == 0L)
+  }
 }
