@@ -201,12 +201,57 @@ object TextOps {
       .distinct()
   }
 
-  /** Candidate pairs → exact Jaccard over distinct shingle sets → τ filter. */
-  private def jaccardVerify(s: SparkSession, dir: String, cand: DataFrame, tau: Double): DataFrame = {
+  /** MinHash signatures computed FROM an already-materialized shingle
+    * frame (doc_id, sh) — same mins as the text kernel (duplicate
+    * shingles cannot change a min), so callers that ALSO need the raw
+    * sets for exact verification scan documents once, not twice.
+    */
+  private def signaturesFrom(shingles: DataFrame): DataFrame = {
+    val perms = T.minhashPerms
+    val mP = T.minhashP
+    val nPerms = perms.length
+    val outSchema = StructType(
+      StructField("doc_id", LongType, nullable = false) +:
+        (0 until nPerms).map(j => StructField(s"sig$j", LongType, nullable = true)))
+    shingles.select(col("doc_id"), col("sh"))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def base(s0: String): Long = TextKernels.md5Prefix52(md, s0) % mP
+        val as = perms.map(_._1)
+        val bs = perms.map(_._2)
+        it.map { row =>
+          val sh = row.getSeq[String](1)
+          val mins = Array.fill(nPerms)(Long.MaxValue)
+          sh.foreach { g =>
+            val h = base(g)
+            var j = 0
+            while (j < nPerms) {
+              val v = (as(j) * h + bs(j)) % mP
+              if (v < mins(j)) mins(j) = v
+              j += 1
+            }
+          }
+          val out = new Array[Any](1 + nPerms)
+          out(0) = row.getLong(0)
+          var j = 0
+          while (j < nPerms) {
+            out(j + 1) = if (sh.nonEmpty) mins(j) else null
+            j += 1
+          }
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Candidate pairs → exact Jaccard over distinct shingle sets → τ filter.
+    * `sets0` is the caller's (pinned) shingle frame — sharing it with
+    * candidate generation keeps each dedup query at ONE documents scan.
+    */
+  private def jaccardVerify(sets0: DataFrame, cand: DataFrame, tau: Double): DataFrame = {
     // shuffle-hash, not broadcast: the sets are few ROWS but carry fat
     // shingle arrays — broadcasting them (twice) builds ~100MB driver
     // relations; hashing the small candidate side is stable and cheap
-    val sets = shingled(s, dir).select(col("doc_id"), array_distinct(col("sh")).as("ss"))
+    val sets = sets0.select(col("doc_id"), array_distinct(col("sh")).as("ss"))
       .hint("shuffle_hash")
     cand
       .join(sets.select(col("doc_id").as("a_id"), col("ss").as("sa")), "a_id")
@@ -225,7 +270,10 @@ object TextOps {
     * pipeline, including any LSH misses.
     */
   def qLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(s, dir)
+    // ONE documents scan: the pinned shingle sets feed both the MinHash
+    // signatures (candidate side) and the exact-Jaccard verify
+    val sets = graft.core.Materialize.pin(shingled(s, dir))
+    val sig = signaturesFrom(sets)
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"),
              concat_ws("#", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey")))
@@ -239,7 +287,7 @@ object TextOps {
     val cand = bucketPairs(bands, Seq("band", "bkey"),
         struct(col("doc_id").as("id")))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-    jaccardVerify(s, dir, cand, tau = 0.5)
+    jaccardVerify(sets, cand, tau = 0.5)
   }
 
   /** C7: n-gram Jaccard similarity join — inverted index over shingles,
@@ -247,15 +295,17 @@ object TextOps {
     * Jaccard ≥ 0.5.
     */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // Inverted index in ONE pass: per-shingle doc lists; rare-shingle
+    // Inverted index in ONE pass over the pinned shingle sets (the
+    // verify side reuses them — one documents scan total); rare-shingle
     // blocking (bucket size ≤ 5 == shingle df ≤ 5, docs are distinct
     // per bucket) caps pair fanout at C(5,2) per shingle.
-    val exploded = shingled(s, dir)
+    val sets = graft.core.Materialize.pin(shingled(s, dir))
+    val exploded = sets
       .select(col("doc_id"), explode(array_distinct(col("sh"))).as("sh1"))
     val cand = bucketPairs(exploded, Seq("sh1"),
         struct(col("doc_id").as("id")), maxBucketSize = Some(5))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-    jaccardVerify(s, dir, cand, tau = 0.5)
+    jaccardVerify(sets, cand, tau = 0.5)
   }
 
   /** C8: 64-bit SimHash fingerprints. Per distinct word: 64-bit hash =
