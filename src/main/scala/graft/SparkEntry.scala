@@ -87,6 +87,7 @@ object SparkEntry {
     "q_ann_lsh"        -> (Similarity.qAnnLsh _),
     "q_ann_multiprobe" -> (Similarity.qAnnMultiprobe _),
     "q_ann_ivf"        -> (Similarity.qAnnIvf _),
+    "q_ann_pq"         -> (Similarity.qAnnPq _),
     "q_kmeans"         -> (Similarity.qKmeans _),
     "q_binary_meta"    -> (Multimodal.qBinaryMeta _),
     "q_media_meta"     -> (Multimodal.qMediaMeta _),

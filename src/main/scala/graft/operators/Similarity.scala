@@ -451,6 +451,109 @@ object Similarity {
     globalTopK(locals, k)
   }
 
+  /** D8: product-quantization ANN with exact rerank — the memory-bound
+    * production path: each 64-dim vector compresses to 8 one-byte codes
+    * (8 subspaces × 16 deterministic sub-centroids, tag "pq|"), ADC
+    * (asymmetric distance: query vs the code's reconstructed vector)
+    * ranks candidates from codes alone, and only the top-`nCand` per
+    * query are reranked with exact cosine against the raw vectors.
+    * Phase 1 scans codes (at scale: the 8-byte code column, 32× smaller
+    * than raw vectors, no shuffle); phase 2 is a broadcast semi-join
+    * point-lookup of candidate rows (partition-prunable). Sub-centroid
+    * assignment ties break to the lowest code index; the oracle
+    * replicates codes, reconstruction, ADC (list_distance — the same
+    * index-ordered sqrt-of-squares sequence as the kernel) and the
+    * rerank (Jégou et al., TPAMI'11).
+    */
+  def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val nSub = 8
+    val subDim = 8
+    val nCodes = 16
+    val nCand = 50
+    val e = emb(s, dir)
+    // codebook index p = sub*nCodes + code, each a subDim-dim centroid
+    val cb = gaussianPlanes(nSub * nCodes, subDim, tag = "pq|")
+    val qs = collectQueries(e)
+    val bc = s.sparkContext.broadcast((qs.qids, qs.qv, qs.qnorm, cb))
+
+    // phase 1: encode + reconstruct + ADC per query, bounded heaps of
+    // the nCand best (smallest ADC). TopKHeaps orders sim DESC, so feed
+    // -distance: desc(-d) == asc(d), ties still to the lower vec_id.
+    val locals = fanOut(e.select(col("vec_id"), col("v")))
+      .mapPartitions { it =>
+        val (bQids, bQv, _, bCb) = bc.value
+        val nq = bQids.length
+        val heaps = new TopKHeaps(nq, nCand)
+        val recon = new Array[Double](nSub * subDim)
+        it.foreach { row =>
+          val v = row.getSeq[Double](1).toArray
+          val vid = row.getLong(0)
+          var sIdx = 0
+          while (sIdx < nSub) {
+            var best = 0; var bestD = Double.PositiveInfinity
+            var ci = 0
+            while (ci < nCodes) {
+              val cv = bCb(sIdx * nCodes + ci)
+              var d2 = 0.0; var j = 0
+              while (j < subDim) {
+                val diff = v(sIdx * subDim + j) - cv(j)
+                d2 += diff * diff
+                j += 1
+              }
+              // strict < keeps the LOWEST code index on ties — mirrors
+              // the oracle's ROW_NUMBER (ORDER BY d, ci); ranking by d²
+              // equals ranking by the oracle's sqrt (monotone)
+              if (d2 < bestD) { bestD = d2; best = ci }
+              ci += 1
+            }
+            val cv = bCb(sIdx * nCodes + best)
+            System.arraycopy(cv, 0, recon, sIdx * subDim, subDim)
+            sIdx += 1
+          }
+          var qi = 0
+          while (qi < nq) {
+            val qvv = bQv(qi)
+            var d2 = 0.0; var j = 0
+            while (j < recon.length) {
+              val diff = qvv(j) - recon(j)
+              d2 += diff * diff
+              j += 1
+            }
+            heaps.insert(qi, -math.sqrt(d2), vid) // sqrt: list_distance parity
+            qi += 1
+          }
+        }
+        heaps.emit(bQids)
+      }(Encoders.row(localTopKSchema))
+
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val cands = locals
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= nCand)
+      .select(col("q_id"), col("vec_id"))
+
+    // phase 2: exact-cosine rerank of candidate rows only (broadcast
+    // the tiny candidate set; the corpus side is a semi-join lookup)
+    val joined = e.select(col("vec_id"), col("v"))
+      .join(broadcast(cands), "vec_id")
+    val rerank = joined.select(col("q_id"), col("vec_id"), col("v"))
+      .mapPartitions { it =>
+        val (bQids, bQv, bQnorm, _) = bc.value
+        val qIdx = bQids.zipWithIndex.toMap
+        it.map { row =>
+          val qi = qIdx(row.getLong(0))
+          val v = row.getSeq[Double](2).toArray
+          val qvv = bQv(qi)
+          var d = 0.0; var n2 = 0.0; var j = 0
+          while (j < v.length) { d += qvv(j) * v(j); n2 += v(j) * v(j); j += 1 }
+          Row(row.getLong(0), row.getLong(1), d / (bQnorm(qi) * math.sqrt(n2)))
+        }
+      }(Encoders.row(localTopKSchema))
+
+    globalTopK(rerank, k)
+  }
+
   private def annLsh(s: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
     val k = 10
     val nBands = 8
@@ -624,8 +727,53 @@ object Similarity {
       |JOIN c2 ON a2n.cl = c2.cl
       |GROUP BY 1,2 ORDER BY 1""".stripMargin
 
+  /** D8 oracle: rebuild the tagged sub-codebooks, assign each vector's
+    * per-subspace code by ranked distance (ties to the lowest code),
+    * reconstruct, rank ADC (list_distance — the kernel's exact float
+    * sequence), then exact-cosine rerank over the candidate set only.
+    */
+  private val annPqSql: String = {
+    val u = (t: String) =>
+      graft.functions.TextFunctions.hexPrefix52Sql(s"md5('pq|'||p||'|'||j||'|$t')")
+    s"""WITH pz AS (
+      |  SELECT p, j,
+      |    sqrt(-2*ln((${u("1")} + 1.0)/4503599627370496.0))
+      |      * cos(2*pi()*(${u("2")}/4503599627370496.0)) AS z
+      |  FROM (SELECT unnest(range(128)) AS p), (SELECT unnest(range(8)) AS j)),
+      |cb AS (SELECT p // 16 AS s, p % 16 AS ci, list(z ORDER BY j) AS cv
+      |  FROM pz GROUP BY p),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sub AS (SELECT vec_id, s, ci, cv,
+      |    list_distance(v[s*8+1 : s*8+8], cv) AS d
+      |  FROM e CROSS JOIN cb),
+      |codes AS (SELECT vec_id, s, cv FROM (
+      |  SELECT vec_id, s, cv,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, ci) AS rn FROM sub)
+      |  WHERE rn = 1),
+      |recon AS (SELECT vec_id, flatten(list(cv ORDER BY s)) AS rv
+      |  FROM codes GROUP BY vec_id),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+      |  WHERE vec_id % 50 = 0 AND vec_id < 5000),
+      |adc AS (SELECT q_id, r.vec_id, list_distance(qv, rv) AS ad
+      |  FROM q CROSS JOIN recon r),
+      |cand AS (SELECT q_id, vec_id FROM (
+      |  SELECT q_id, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad, vec_id) AS rn FROM adc)
+      |  WHERE rn <= 50),
+      |sims AS (SELECT q_id, cand.vec_id,
+      |    list_cosine_similarity(qe.v, ce.v) AS sim
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
+      |  JOIN e ce ON ce.vec_id = cand.vec_id),
+      |r AS (SELECT q_id, vec_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM sims)
+      |SELECT q_id, vec_id, rank, CAST(ROUND(sim,4) AS DECIMAL(18,4))::DOUBLE AS sim
+      |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansSql,
+    "q_ann_pq" -> annPqSql,
     "q_ann_lsh" -> annLshSql(probe1 = false),
     "q_ann_multiprobe" -> annLshSql(probe1 = true),
     "q_ann_ivf" -> annIvfSql,
