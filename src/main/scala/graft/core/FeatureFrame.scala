@@ -87,10 +87,19 @@ object PredictOptions {
   def representable(v: Double, dt: DataType): Boolean = dt match {
     case DoubleType => true
     case FloatType  => v.isNaN || v.toFloat.toDouble == v
-    case IntegerType | LongType | ShortType | ByteType =>
+    case LongType =>
+      // Long.MaxValue.toDouble rounds UP to 2^63, so `v <= Long.MaxValue
+      // .toDouble` admits 2^63 itself — which the Spark cast CLAMPS to
+      // Long.MaxValue, leaving masked rows holding a value different
+      // from noDataOutput. Strict upper bound: every double below 2^63
+      // is an exact long (doubles that large are integral multiples of
+      // 1024), and a round-trip check alone would also pass 2^63
+      // (toLong clamps, clamp.toDouble rounds back up).
+      !v.isNaN && !v.isInfinite && v == math.floor(v) &&
+        v >= Long.MinValue.toDouble && v < 9.223372036854776e18
+    case IntegerType | ShortType | ByteType =>
       val (lo, hi) = dt match {
         case IntegerType => (Int.MinValue.toDouble, Int.MaxValue.toDouble)
-        case LongType    => (Long.MinValue.toDouble, Long.MaxValue.toDouble)
         case ShortType   => (Short.MinValue.toDouble, Short.MaxValue.toDouble)
         case _           => (Byte.MinValue.toDouble, Byte.MaxValue.toDouble)
       }

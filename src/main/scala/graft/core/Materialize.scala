@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Lineage-truncating materialization for iterative / multi-consumer
   * frames (connected-components rounds, shingle sets read by both the
@@ -14,11 +15,23 @@ import org.apache.spark.sql.DataFrame
   * `localCheckpoint()` (blocks live in executor storage; single-node /
   * dev-only, an executor loss kills the lineage). The fallback keeps
   * `local[*]` tests and notebooks zero-config.
+  *
+  * Reliable-checkpoint hygiene: `checkpoint()` alone computes the plan
+  * TWICE (once for the action, once to write the checkpoint files), so
+  * `pin` persists the frame first and unpersists after — one compute,
+  * one file write. Checkpoint directories are only reclaimed when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (then the
+  * ContextCleaner deletes them as the checkpointed RDDs are GC'd);
+  * set it on any long-running application using a checkpoint dir, or
+  * the directory grows by one rdd-N per `pin` for the app lifetime.
   */
 object Materialize {
 
   /** Materialize `df` eagerly and truncate its lineage. */
   def pin(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint()
+      finally df.unpersist(blocking = false)
+    } else df.localCheckpoint()
 }

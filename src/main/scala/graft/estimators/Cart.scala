@@ -3,7 +3,7 @@ package graft.estimators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.core.{FeatureFrame, PredictOptions}
+import graft.core.{ContractedOutputs, FeatureFrame, PredictOptions}
 
 /** A deterministic CART regression tree with ENGINE-REPRODUCIBLE splits —
   * the reference's tree-estimator delegation (`estimator.py:36` wraps any
@@ -111,7 +111,7 @@ final case class CartModel(
     targetName: String,
     targetScale: Double,
     root: CartNode
-) extends FittedModel {
+) extends FittedModel with ContractedOutputs {
 
   /** The fitted tree as nested (fidx, thr) splits — exposed so specs and
     * the SQL oracle docs can assert the exact discovered structure.
@@ -126,13 +126,13 @@ final case class CartModel(
 
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
     val ff = frame.validated(featureNames)
-    val mask = ff.noDataMask
+    val out = outputContract(ff.df.sparkSession, opts)
     def expr(nd: CartNode): Column = nd match {
       case CartLeaf(s, n) => lit(s.toDouble / n / targetScale)
       case CartSplit(f, t, l, r) =>
         when(col(featureNames(f)).cast("double") <= lit(t), expr(l)).otherwise(expr(r))
     }
     ff.df.select(ff.idCols.map(col) :+
-      when(mask, lit(opts.noDataOutput)).otherwise(expr(root)).as(targetName): _*)
+      out(expr(root), ff.noDataMask).as(targetName): _*)
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.ml.regression.{GBTRegressor, RandomForestRegressor => Ml
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.core.{FeatureFrame, PredictOptions}
+import graft.core.{ContractedOutputs, FeatureFrame, PredictOptions}
 
 /** Arbitrary-estimator delegation (the reference wraps ANY sklearn
   * estimator, `estimator.py:36`): any Spark ML predictor wraps into the
@@ -71,20 +71,21 @@ final case class MLlibWrapModel(
     featureNames: Seq[String],
     targetName: String,
     model: Transformer
-) extends FittedModel {
+) extends FittedModel with ContractedOutputs {
 
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
     val ff = frame.validated(featureNames)
+    val out = outputContract(ff.df.sparkSession, opts)
     val mask = ff.noDataMask
     val asm = new VectorAssembler()
       .setInputCols(featureNames.toArray).setOutputCol("__features")
     // masked rows carry a zero vector through the model, then the
-    // when(mask, ...) projection replaces their prediction with the fill
+    // contract projection replaces their prediction with the fill
     val safe = ff.featureCols.foldLeft(ff.df.withColumn("__mask", mask)) {
       (d, c) => d.withColumn(c, when(col("__mask"), lit(0.0)).otherwise(col(c).cast("double")))
     }
     model.transform(asm.transform(safe))
       .select(ff.idCols.map(col) :+
-        when(col("__mask"), lit(opts.noDataOutput)).otherwise(col("__pred")).as(targetName): _*)
+        out(col("__pred"), col("__mask")).as(targetName): _*)
   }
 }

@@ -3,7 +3,7 @@ package graft.estimators
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.functions._
 
-import graft.core.{FeatureFrame, OutputContract, PredictOptions}
+import graft.core.{ContractedOutputs, FeatureFrame, PredictOptions}
 import graft.sources.Tables.fanOut
 
 /** k-nearest-neighbor estimators — the reference's canonical workload
@@ -160,25 +160,15 @@ final class KnnRegressorModel private[estimators] (
     st: KnnState,
     k: Int,
     weighted: Boolean = false
-) extends FittedModel {
-
-  /** Fill-collision count from the LAST predict issued with
-    * `checkOutputForNoData = true` (read after an action on its
-    * result); 0 when the check was off or no collision occurred.
-    */
-  @transient @volatile private var collisionAcc: Option[org.apache.spark.util.LongAccumulator] =
-    scala.None
-  def noDataCollisionCount: Long = collisionAcc.map(_.sum).getOrElse(0L)
+) extends FittedModel with ContractedOutputs {
 
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
     val ff = frame.validated(featureNames)
-    opts.resolveOutputType() // A15: reject an unrepresentable fill at CALL time
-    val acc = OutputContract.collisionAccumulator(ff.df.sparkSession, opts)
-    collisionAcc = acc
+    val out = outputContract(ff.df.sparkSession, opts)
     val mode = if (weighted) KnnScanExpr.ModeWeighted else KnnScanExpr.ModeReg
     val scanned = KnnKernel.scanned(ff, st, k, mode, 0)
     val outs = targetNames.zipWithIndex.map { case (tn, i) =>
-      OutputContract.applyTo(element_at(col("__knn"), i + 1), col("__m"), opts, acc).as(tn)
+      out(element_at(col("__knn"), i + 1), col("__m")).as(tn)
     }
     scanned.select(ff.idCols.map(col) ++ outs: _*)
   }
@@ -207,11 +197,11 @@ final class KnnRegressorModel private[estimators] (
       }: _*)
     val ff = FeatureFrame(normalized, ff0.idCols, ff0.featureCols)
     val allMissing = ff.featureCols.map(c => isnan(col(c))).reduce(_ && _)
+    val out = outputContract(ff.df.sparkSession, opts)
     val mode = if (weighted) KnnScanExpr.ModeWeighted else KnnScanExpr.ModeReg
     val scanned = KnnKernel.scanned(ff, st, k, mode, 0, maskOverride = Some(allMissing))
     val outs = targetNames.zipWithIndex.map { case (tn, i) =>
-      when(col("__m"), lit(opts.noDataOutput))
-        .otherwise(element_at(col("__knn"), i + 1)).as(tn)
+      out(element_at(col("__knn"), i + 1), col("__m")).as(tn)
     }
     scanned.select(ff.idCols.map(col) ++ outs: _*)
   }
@@ -229,6 +219,9 @@ final class KnnRegressorModel private[estimators] (
                  nNeighbors: Int = 0): DataFrame = {
     val kk = if (nNeighbors > 0) nNeighbors else k
     val ff = frame.validated(featureNames)
+    // A15 applies to the DISTANCE columns (double outputs); neighbor ids
+    // stay long with the reference's -1 missing marker
+    val out = outputContract(ff.df.sparkSession, opts)
     val scanned = KnnKernel.scanned(ff, st, kk, KnnScanExpr.ModeNN, 0)
     val idCols = FeatureFrame.sequentialNames(kk, "neighbor").zipWithIndex.map { case (nm, i) =>
       when(col("__m"), lit(-1L))
@@ -237,8 +230,8 @@ final class KnnRegressorModel private[estimators] (
     val distCols =
       if (!returnDistance) Seq.empty
       else FeatureFrame.sequentialNames(kk, "distance").zipWithIndex.map { case (nm, i) =>
-        when(col("__m"), lit(opts.noDataOutput))
-          .otherwise(nanvl(element_at(col("__knn"), kk + i + 1), lit(opts.noDataOutput))).as(nm)
+        out(nanvl(element_at(col("__knn"), kk + i + 1), lit(opts.noDataOutput)),
+          col("__m")).as(nm)
       }
     scanned.select(ff.idCols.map(col) ++ idCols ++ distCols: _*)
   }
@@ -274,18 +267,23 @@ final class RadiusRegressorModel private[estimators] (
     val targetNames: Seq[String],
     st: KnnState,
     radius: Double
-) extends FittedModel {
+) extends FittedModel with ContractedOutputs {
 
   /** Per input row: `n_in_radius` plus the mean of each target over the
     * ball (filled with `opts.noDataOutput` when empty or masked).
+    * Empty-ball rows are intentional fills on VALID rows, so the opt-in
+    * collision check counts them — they are exactly the rows downstream
+    * cannot distinguish from masked fills.
     */
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
     val ff = frame.validated(featureNames)
+    val out = outputContract(ff.df.sparkSession, opts)
     if (st.m == 0) {
       // empty fit: the kernel's output array carries no target slots, so
       // element_at would be out of bounds (NULL, or an error under ANSI
       // mode) — emit the documented fill directly
-      val outs = targetNames.map(tn => lit(opts.noDataOutput).as(tn))
+      val outs = targetNames.map(tn =>
+        lit(opts.noDataOutput).cast(opts.resolveOutputType()).as(tn))
       return ff.df.select(
         (ff.idCols.map(col) :+ lit(0L).as("n_in_radius")) ++ outs: _*)
     }
@@ -294,8 +292,8 @@ final class RadiusRegressorModel private[estimators] (
     val nCol = when(col("__m"), lit(0L))
       .otherwise(element_at(col("__knn"), 1).cast("long")).as("n_in_radius")
     val outs = targetNames.zipWithIndex.map { case (tn, i) =>
-      when(col("__m"), lit(opts.noDataOutput))
-        .otherwise(nanvl(element_at(col("__knn"), i + 2), lit(opts.noDataOutput))).as(tn)
+      out(nanvl(element_at(col("__knn"), i + 2), lit(opts.noDataOutput)),
+        col("__m")).as(tn)
     }
     scanned.select((ff.idCols.map(col) :+ nCol) ++ outs: _*)
   }
@@ -341,7 +339,7 @@ final class KnnClassifierModel private[estimators] (
     st: KnnState,
     k: Int,
     weighted: Boolean = false
-) extends FittedModel {
+) extends FittedModel with ContractedOutputs {
 
   private def counts(ff: FeatureFrame): DataFrame = {
     val mode =
@@ -355,6 +353,13 @@ final class KnnClassifierModel private[estimators] (
     * Use [[predictLabeled]] to pick the fill label directly.
     */
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
+    // A15 is a numeric-output contract; the label prediction is a STRING
+    // column, so a requested numeric cast or fill-collision check cannot
+    // apply — reject loudly instead of silently ignoring the options
+    // (predictProba carries the contract on its numeric columns)
+    require(opts.outputType.isEmpty && !opts.checkOutputForNoData,
+      "outputType / checkOutputForNoData do not apply to string-label " +
+        "prediction; use predictProba for contracted numeric outputs")
     val fill =
       if (opts.noDataOutput.isNaN) null
       else if (opts.noDataOutput == math.floor(opts.noDataOutput) && !opts.noDataOutput.isInfinite)
@@ -384,6 +389,7 @@ final class KnnClassifierModel private[estimators] (
     */
   def predictProba(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
     val ff = frame.validated(featureNames)
+    val out = outputContract(ff.df.sparkSession, opts)
     val scanned = counts(ff)
     // uniform votes normalize by the neighbor count; distance weights
     // normalize by the row's TOTAL weight (sklearn semantics) so the
@@ -393,8 +399,7 @@ final class KnnClassifierModel private[estimators] (
         classes.indices.map(i => element_at(col("__knn"), i + 1)).reduce(_ + _)
       else lit(math.min(k, st.m).toDouble)
     val outs = classes.zipWithIndex.map { case (cls, i) =>
-      when(col("__m"), lit(opts.noDataOutput))
-        .otherwise(element_at(col("__knn"), i + 1) / denom).as(s"p_$cls")
+      out(element_at(col("__knn"), i + 1) / denom, col("__m")).as(s"p_$cls")
     }
     scanned.select(ff.idCols.map(col) ++ outs: _*)
   }

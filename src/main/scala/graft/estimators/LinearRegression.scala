@@ -3,7 +3,7 @@ package graft.estimators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.core.{FeatureFrame, PredictOptions}
+import graft.core.{ContractedOutputs, FeatureFrame, PredictOptions}
 
 /** Ordinary least squares via DISTRIBUTED normal equations: one aggregate
   * pass over the training table accumulates X'X and X'y (map-side partial
@@ -66,16 +66,17 @@ final case class LinearRegressionModel(
     targetNames: Seq[String],
     intercepts: Seq[Double],
     coefficients: Seq[Map[String, Double]] // one map per target
-) extends FittedModel {
+) extends FittedModel with ContractedOutputs {
 
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
     val ff = frame.validated(featureNames)
+    val out = outputContract(ff.df.sparkSession, opts)
     val mask = ff.noDataMask
     val preds = targetNames.zipWithIndex.map { case (tn, k) =>
       val dot = featureNames
         .map(c => col(c) * lit(coefficients(k)(c)))
         .foldLeft(lit(intercepts(k)): Column)(_ + _)
-      when(mask, lit(opts.noDataOutput)).otherwise(dot).as(tn)
+      out(dot, mask).as(tn)
     }
     ff.df.select(ff.idCols.map(col) ++ preds: _*)
   }

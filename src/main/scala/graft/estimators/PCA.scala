@@ -4,7 +4,7 @@ import breeze.linalg.{eigSym, DenseMatrix}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.core.{FeatureFrame, PredictOptions}
+import graft.core.{ContractedOutputs, FeatureFrame, PredictOptions}
 
 /** Principal component analysis with a DISTRIBUTED fit: one aggregate
   * pass accumulates the d×d second-moment matrix and the means (d(d+1)/2
@@ -55,7 +55,7 @@ final case class PCAModel(
     means: Seq[Double],
     components: Seq[Array[Double]], // k rows of d loadings
     explainedVariance: Seq[Double]
-) extends FittedTransform {
+) extends FittedTransform with ContractedOutputs {
 
   def outputFeatureNames: Seq[String] = components.indices.map(j => s"pc${j + 1}")
 
@@ -79,12 +79,13 @@ final case class PCAModel(
   /** Project onto the top-k components: pc_j = Σ_i (x_i - mean_i) v_ji. */
   def transform(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
     val ff = frame.validated(featureNames)
+    val out = outputContract(ff.df.sparkSession, opts)
     val mask = ff.noDataMask
     val pcs = components.zipWithIndex.map { case (v, j) =>
       val dot: Column = featureNames.zipWithIndex
         .map { case (c, i) => (col(c) - lit(means(i))) * lit(v(i)) }
         .reduce(_ + _)
-      when(mask, lit(opts.noDataOutput)).otherwise(dot).as(s"pc${j + 1}")
+      out(dot, mask).as(s"pc${j + 1}")
     }
     ff.df.select(ff.idCols.map(col) ++ pcs: _*)
   }

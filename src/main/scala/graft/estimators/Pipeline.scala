@@ -56,8 +56,12 @@ final case class PipelineModel[M <: FittedModel](
     // noDataOutput here (e.g. -999) would make the sentinel look like
     // valid feature data downstream and masked rows would get a real
     // prediction computed from garbage. The caller's fill applies only
-    // at the final predictor stage.
-    val interOpts = opts.copy(noDataOutput = Double.NaN)
+    // at the final predictor stage — as do outputType (a float/int cast
+    // on INTERMEDIATE features would lose precision or reject the NaN
+    // fill outright) and the collision check (NaN fills skip it anyway,
+    // and the caller asked about the final output, not stage internals).
+    val interOpts = opts.copy(noDataOutput = Double.NaN,
+      outputType = scala.None, checkOutputForNoData = false)
     stages.foreach { m =>
       ff = FeatureFrame(m.transform(ff, interOpts), ff.idCols, m.outputFeatureNames)
     }

@@ -3,7 +3,7 @@ package graft.estimators
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
 
-import graft.core.{FeatureFrame, OutputContract, PredictOptions}
+import graft.core.{ContractedOutputs, FeatureFrame, PredictOptions}
 
 /** Feature scalers — the reference's `transform`/`inverse_transform`
   * surface (StandardScaler / MinMaxScaler through
@@ -19,24 +19,15 @@ import graft.core.{FeatureFrame, OutputContract, PredictOptions}
   * `opts.noDataOutput` via a `when` predicate — zero extra cost in the
   * codegen'd path.
   */
-sealed trait AffineScalerModel extends FittedTransform {
+sealed trait AffineScalerModel extends FittedTransform with ContractedOutputs {
   def featureNames: Seq[String]
   def outputFeatureNames: Seq[String] = featureNames.map(c => s"$outPrefix$c")
   /** Per-feature (scale, offset): transform = (x - offset) / scale. */
   protected def params: Map[String, (Double, Double)]
   protected def outPrefix: String
 
-  /** Fill-collision count from the LAST transform issued with
-    * `checkOutputForNoData = true` (read after an action on its result).
-    */
-  @transient @volatile private var collisionAcc: Option[org.apache.spark.util.LongAccumulator] =
-    scala.None
-  def noDataCollisionCount: Long = collisionAcc.map(_.sum).getOrElse(0L)
-
   private def affine(ff: FeatureFrame, opts: PredictOptions): DataFrame = {
-    opts.resolveOutputType() // A15: reject an unrepresentable fill at CALL time
-    val acc = OutputContract.collisionAccumulator(ff.df.sparkSession, opts)
-    collisionAcc = acc
+    val contracted = outputContract(ff.df.sparkSession, opts)
     val mask = ff.noDataMask
     def out(c: String): Column = {
       val (scale, offset) = params(c)
@@ -46,7 +37,7 @@ sealed trait AffineScalerModel extends FittedTransform {
     ff.df.select(
       ff.idCols.map(col) ++
         ff.featureCols.map(c =>
-          OutputContract.applyTo(out(c), mask, opts, acc).as(s"$outPrefix$c")): _*)
+          contracted(out(c), mask).as(s"$outPrefix$c")): _*)
   }
 
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame =
