@@ -78,6 +78,8 @@ object SparkEntry {
     "q_tfidf"          -> (TextOps.qTfidf _),
     "q_hash_embed"     -> (TextOps.qHashEmbed _),
     "q_gopher"         -> (TextOps.qGopher _),
+    "q_decontam"       -> (TextOps.qDecontam _),
+    "q_semdedup"       -> (Similarity.qSemDedup _),
     "q_cosine_topk"    -> (Similarity.qCosineTopK _),
     "q_embed_neardup"  -> (Similarity.qEmbedNearDup _),
     "q_centroid_cls"   -> (Similarity.qCentroidCls _),

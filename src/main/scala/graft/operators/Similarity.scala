@@ -771,8 +771,126 @@ object Similarity {
       |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** D9: SemDeDup (Abbas et al., 2023) — semantic near-duplicate
+    * pruning, the embedding-space analogue of MinHash-LSH dedup: a
+    * coarse quantizer (16 deterministic unit-norm centroids, tag
+    * "sem|" — same md5/Box-Muller draw the IVF oracle rebuilds)
+    * assigns every vector to one cell, and near-dup pairs are searched
+    * ONLY within cells — never across the whole corpus. A vector is a
+    * duplicate when a LOWER-id vector in its cell has cosine ≥ τ; its
+    * `dup_of` is the lowest such partner (the cluster keeper rule).
+    *
+    * Scale posture: one corpus pass assigns cells (broadcast
+    * centroids, no shuffle), then ONE shuffle co-partitions each cell;
+    * per-task memory is one cell and the pair scan is O(Σ cell²) —
+    * the SemDeDup paper's point is that nCells grows with the corpus
+    * (cells stay ~constant size), so the quadratic term never sees
+    * the full n. Cross-cell near-dups are missed by design (the
+    * paper's recall trade-off); the exact-recall alternative is the
+    * D2 triangle join.
+    */
+  def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tau = 0.35
+    val nCells = 16
+    val dim = 64
+    val cents = gaussianPlanes(nCells, dim, tag = "sem|").map { c =>
+      // component-wise normalize, sums in index order (oracle parity)
+      var n2 = 0.0; var j = 0
+      while (j < dim) { n2 += c(j) * c(j); j += 1 }
+      val nrm = math.sqrt(n2)
+      c.map(_ / nrm)
+    }
+    val bc = s.sparkContext.broadcast(cents)
+    val ds = emb(s, dir).select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+    val byCell = ds.map { case (id, v) =>
+      val cs = bc.value
+      var best = 0; var bestD = Double.NegativeInfinity
+      var ci = 0
+      while (ci < cs.length) {
+        val cv = cs(ci)
+        var d = 0.0; var j = 0
+        while (j < v.length) { d += cv(j) * v(j); j += 1 }
+        // strict > keeps the LOWEST cell id on ties (oracle ROW_NUMBER
+        // ORDER BY dt DESC, p)
+        if (d > bestD) { bestD = d; best = ci }
+        ci += 1
+      }
+      (best, id, v)
+    }
+    val dups = byCell
+      .groupByKey(_._1)
+      .flatMapGroups { (cell: Int, it: Iterator[(Int, Long, Array[Double])]) =>
+        val rows = it.toArray.sortBy(_._2)
+        val m = rows.length
+        val nrm = rows.map { t =>
+          var s2 = 0.0; var j = 0
+          while (j < t._3.length) { s2 += t._3(j) * t._3(j); j += 1 }
+          math.sqrt(s2)
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+        var q = 0
+        while (q < m) {
+          val vq = rows(q)._3
+          var found = false
+          var p = 0
+          // ids ascend, so the FIRST qualifying p is the lowest dup_of
+          while (p < q && !found) {
+            if (rows(p)._2 < rows(q)._2) {
+              val vp = rows(p)._3
+              var d = 0.0; var j = 0
+              while (j < vq.length) { d += vp(j) * vq(j); j += 1 }
+              val sim = d / (nrm(p) * nrm(q))
+              if (sim >= tau) {
+                out += ((rows(q)._2, cell.toLong, rows(p)._2, sim))
+                found = true
+              }
+            }
+            p += 1
+          }
+          q += 1
+        }
+        out.iterator
+      }
+    dups.toDF("vec_id", "cell", "dup_of", "sim")
+      .select(col("vec_id"), col("cell"), col("dup_of"), dec4(col("sim")).as("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val semDedupSql: String = {
+    val u = (t: String) =>
+      graft.functions.TextFunctions.hexPrefix52Sql(s"md5('sem|'||p||'|'||j||'|$t')")
+    s"""WITH pz AS (
+      |  SELECT p, j,
+      |    sqrt(-2*ln((${u("1")} + 1.0)/4503599627370496.0))
+      |      * cos(2*pi()*(${u("2")}/4503599627370496.0)) AS z
+      |  FROM (SELECT unnest(range(16)) AS p), (SELECT unnest(range(64)) AS j)),
+      |cents AS (SELECT p, list(z ORDER BY j) AS cv FROM pz GROUP BY p),
+      |cnorm AS (SELECT p,
+      |    list_transform(cv, x -> x / sqrt(list_sum(list_transform(cv, y -> y*y)))) AS cv
+      |  FROM cents),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cd AS (SELECT vec_id, p, list_dot_product(cv, v) AS dt FROM e CROSS JOIN cnorm),
+      |cellr AS (SELECT vec_id, p,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, p) AS rn
+      |  FROM cd),
+      |cell AS (SELECT vec_id, p FROM cellr WHERE rn = 1),
+      |prs AS (SELECT cb.vec_id AS vec_id, cb.p AS cell, ca.vec_id AS dup_of,
+      |    list_cosine_similarity(ea.v, eb.v) AS sim
+      |  FROM cell ca JOIN cell cb ON ca.p = cb.p AND ca.vec_id < cb.vec_id
+      |  JOIN e ea ON ea.vec_id = ca.vec_id
+      |  JOIN e eb ON eb.vec_id = cb.vec_id
+      |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35),
+      |r AS (SELECT vec_id, cell, dup_of, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dup_of) AS rn FROM prs)
+      |SELECT vec_id, cell, dup_of,
+      |  CAST(ROUND(sim,4) AS DECIMAL(18,4))::DOUBLE AS cosine
+      |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansSql,
+    "q_semdedup" -> semDedupSql,
     "q_ann_pq" -> annPqSql,
     "q_ann_lsh" -> annLshSql(probe1 = false),
     "q_ann_multiprobe" -> annLshSql(probe1 = true),

@@ -97,7 +97,7 @@ object TextOps {
     * metrics, too slow on the similarity hot path), fanned out so the
     * work uses all cores. Callers dedupe with array_distinct (codegen'd).
     */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
+  private def shingled(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("sh", org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
@@ -106,10 +106,11 @@ object TextOps {
       .mapPartitions { it =>
         it.map { row =>
           val words = row.getString(1).split(" ", -1)
-          val out = new scala.collection.mutable.ArrayBuffer[String](math.max(words.length - 2, 0))
+          val out = new scala.collection.mutable.ArrayBuffer[String](
+            math.max(words.length - n + 1, 0))
           var i = 0
-          while (i + 2 < words.length) {
-            out += words(i) + " " + words(i + 1) + " " + words(i + 2)
+          while (i + n - 1 < words.length) {
+            out += words.slice(i, i + n).mkString(" ")
             i += 1
           }
           Row(row.getLong(0), out.toSeq)
@@ -578,6 +579,35 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** C17: exact n-gram eval-set decontamination (the GPT-3/Pile
+    * training-hygiene step: drop training docs that share a long
+    * word n-gram with a benchmark). The "benchmark" here is the
+    * documents with doc_id % 97 == 0 — a stand-in for the genuinely
+    * SMALL eval suite a production run supplies as its own table.
+    * Output: every contaminated training doc with its count of
+    * distinct shared 4-grams.
+    *
+    * Scale posture: the eval side is tiny by contract, so its distinct
+    * n-gram set BROADCASTS; the corpus explodes to n-grams and
+    * broadcast-semi-joins — the corpus never shuffles, and the one
+    * aggregation shuffles only the matched subset (≈ contamination
+    * volume, not corpus volume). The shingle set is pinned so the eval
+    * and training sides are one documents scan.
+    */
+  def qDecontam(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.core.Materialize.pin(
+      shingled(s, dir, n = 4)
+        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g")))
+    val evalGrams = g.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+    g.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      // DISTINCT: the corpus has degenerate duplicate doc_ids, whose
+      // repeated (doc_id, gram) rows must not double-count
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared oracle SQL fragments (DuckDB dialect). */
   private val baseSql =
     """base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
@@ -848,6 +878,17 @@ object TextOps {
         |  SELECT * FROM r)
         |SELECT a AS doc_id, MIN(b) AS cluster_id
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_decontam" ->
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |g5 AS (SELECT doc_id, list_transform(range(1, len(w)-2),
+        |  i -> array_to_string(w[i:i+3],' ')) AS gs FROM base WHERE len(w) >= 4),
+        |dd AS (SELECT DISTINCT doc_id, g FROM
+        |  (SELECT doc_id, unnest(gs) AS g FROM g5)),
+        |ev AS (SELECT DISTINCT g FROM dd WHERE doc_id % 97 = 0)
+        |SELECT d.doc_id, COUNT(DISTINCT d.g) AS n_shared
+        |FROM dd d JOIN ev ON d.g = ev.g
+        |WHERE d.doc_id % 97 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH $baseSql,
         |dfq AS (SELECT s, COUNT(*) AS c FROM dd GROUP BY 1),
