@@ -94,6 +94,7 @@ object SparkEntry {
     "q_binary_meta"    -> (Multimodal.qBinaryMeta _),
     "q_media_meta"     -> (Multimodal.qMediaMeta _),
     "q_media_frames"   -> (Multimodal.qMediaFrames _),
+    "q_media_bytes"    -> (Multimodal.qMediaBytes _),
     "q_rf_reg"         -> (Estimation.qRfReg _),
     "q_gbt_reg"        -> (Estimation.qGbtReg _),
     "q_cart_reg"       -> (Estimation.qCartReg _),

@@ -128,7 +128,120 @@ object Multimodal {
     sampleFrames(synthesizeVideo(s, dir), stride = 2)
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** E5 media record: BYTE-OFFSET chunked container ("GRFB" + frame
+    * count + int length-prefixed byte frames) — the production chunking
+    * that drops E4's BMP-only contract: frame boundaries are byte
+    * offsets (i·len/n) snapped FORWARD to the next UTF-8 code-point
+    * start (skip 10xxxxxx continuation bytes, ≤3 in valid UTF-8), so no
+    * code point is ever split regardless of astral-plane content. The
+    * snap is the only text-awareness; a real A/V container needs none
+    * (its frames are already byte-addressed).
+    */
+  def synthesizeVideoBytes(s: SparkSession, dir: String): DataFrame =
+    chunkBytes(fanOut(documents(s, dir).select(col("doc_id"), col("text"))))
+
+  /** E5 chunker over any (doc_id, text) frame — split out so specs can
+    * feed multibyte/astral content the all-ASCII corpus lacks.
+    */
+  def chunkBytes(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false)))
+    docs.select(col("doc_id"), col("text"))
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val bytes = row.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val blen = bytes.length
+          val n = (2 + id % 4).toInt
+          // snapped boundary: min o in 0..3 with b+o at end-of-buffer or
+          // on a non-continuation byte (mirrors the oracle's list_min)
+          def snap(b: Int): Int = {
+            var o = 0
+            while (o < 3 && b + o < blen && (bytes(b + o) & 0xC0) == 0x80) o += 1
+            b + o
+          }
+          val bnds = Array.tabulate(n + 1)(i => snap((i.toLong * blen / n).toInt))
+          val frames = (0 until n).map(i =>
+            java.util.Arrays.copyOfRange(bytes, bnds(i), bnds(i + 1)))
+          val bb = java.nio.ByteBuffer.allocate(8 + frames.map(_.length + 4).sum)
+          bb.put("GRFB".getBytes); bb.putInt(n)
+          frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+          Row(id, bb.array(), n)
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  private val byteFrameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_bytes", LongType, nullable = false),
+    StructField("frame_md5", StringType, nullable = false)))
+
+  /** E5: stride sampling over the byte-offset container. Skipped frames
+    * are seeked, not read. The content hash is md5 of the frame's
+    * UPPERCASE-HEX rendering — DuckDB's md5 only takes VARCHAR, and
+    * hex(blob) is the one bridge both engines render identically.
+    */
+  def sampleByteFrames(media: DataFrame, stride: Int): DataFrame = {
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexd = "0123456789ABCDEF".toCharArray
+        it.flatMap { row =>
+          val id = row.getLong(0)
+          val bb = java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](1))
+          val magic = new Array[Byte](4); bb.get(magic)
+          require(new String(magic) == "GRFB", s"bad magic for media $id")
+          val n = bb.getInt
+          (0 until n).flatMap { i =>
+            val flen = bb.getInt
+            if (i % stride == 0) {
+              val f = new Array[Byte](flen); bb.get(f)
+              val hx = new Array[Char](2 * flen)
+              var j = 0
+              while (j < flen) {
+                hx(2 * j) = hexd((f(j) & 0xF0) >> 4)
+                hx(2 * j + 1) = hexd(f(j) & 0x0F)
+                j += 1
+              }
+              md.reset()
+              val dig = md.digest(new String(hx)
+                .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+              Some(Row(id, i, flen.toLong, dig.map(b => f"$b%02x").mkString))
+            } else {
+              bb.position(bb.position() + flen) // seek, don't decode
+              None
+            }
+          }
+        }
+      }(Encoders.row(byteFrameSchema))
+  }
+
+  def qMediaBytes(s: SparkSession, dir: String): DataFrame =
+    sampleByteFrames(synthesizeVideoBytes(s, dir), stride = 2)
+      .orderBy(col("media_id"), col("frame_idx"))
+
   val oracles: Map[String, String] = Map(
+    "q_media_bytes" ->
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS blen,
+        |    CAST(2 + doc_id % 4 AS BIGINT) AS n FROM documents),
+        |b AS (SELECT doc_id, hx, blen, n, i, (i*blen)//n AS rawb
+        |  FROM d, (SELECT unnest(range(9)) AS i) WHERE i <= n),
+        |sn AS (SELECT doc_id, hx, n, i,
+        |    rawb + list_min([o FOR o IN [0,1,2,3]
+        |      IF rawb + o >= blen
+        |         OR substr(hx, 2*(rawb+o)+1, 1) NOT IN ('8','9','A','B')]) AS bnd
+        |  FROM b),
+        |f AS (SELECT a.doc_id, a.i, a.bnd AS st, e.bnd AS en, a.hx
+        |  FROM sn a JOIN sn e ON a.doc_id = e.doc_id AND e.i = a.i + 1
+        |  WHERE a.i < a.n AND a.i % 2 = 0)
+        |SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(en - st AS BIGINT) AS frame_bytes,
+        |  md5(substr(hx, 2*st+1, 2*(en-st))) AS frame_md5
+        |FROM f ORDER BY 1, 2""".stripMargin,
     "q_media_frames" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len, 2 + doc_id % 4 AS n
         |  FROM documents),

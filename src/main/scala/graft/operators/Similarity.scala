@@ -380,21 +380,44 @@ object Similarity {
     * pruning. Centroids derive from the md5/Box-Muller draw (tag
     * "ivf|"), so the oracle rebuilds the exact cells.
     */
+  /** The IVF coarse quantizer: nCells unit-norm deterministic centroids
+    * (tag "ivf|"), normalized COMPONENT-WISE first (x / sqrt(sum x²),
+    * sum in index order) — the oracle transforms the list the same way;
+    * dotting first and dividing after would be a different float
+    * sequence. Public so the streaming upsert path (F6) indexes into
+    * the IDENTICAL cells as the batch D6 query.
+    */
+  def ivfCentroids(nCells: Int = 16, dim: Int = 64): Array[Array[Double]] =
+    gaussianPlanes(nCells, dim, tag = "ivf|").map { c =>
+      var n2 = 0.0; var j = 0
+      while (j < dim) { n2 += c(j) * c(j); j += 1 }
+      val nrm = math.sqrt(n2)
+      c.map(_ / nrm)
+    }
+
+  /** Cell assignment: argmax centroid dot, ties to the lowest cell id —
+    * the ONE rule shared by the batch corpus pass and streaming upserts.
+    */
+  def ivfCell(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.NegativeInfinity
+    var ci = 0
+    while (ci < cents.length) {
+      val cv = cents(ci)
+      var d = 0.0; var j = 0
+      while (j < v.length) { d += cv(j) * v(j); j += 1 }
+      if (d > bestD) { bestD = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val k = 10
     val nCells = 16
     val nProbe = 2
     val dim = 64
     val e = emb(s, dir)
-    val cents = gaussianPlanes(nCells, dim, tag = "ivf|").map { c =>
-      // normalize COMPONENT-WISE first (x / sqrt(sum x^2), sum in index
-      // order) — the oracle transforms the list the same way; dotting
-      // first and dividing after would be a different float sequence
-      var n2 = 0.0; var j = 0
-      while (j < dim) { n2 += c(j) * c(j); j += 1 }
-      val nrm = math.sqrt(n2)
-      c.map(_ / nrm)
-    }
+    val cents = ivfCentroids(nCells, dim)
     def topCells(v: Array[Double], n: Int): Array[Int] = {
       val dots = Array.tabulate(nCells) { ci =>
         val cv = cents(ci)

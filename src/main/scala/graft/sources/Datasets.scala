@@ -28,6 +28,56 @@ object Datasets {
     * small labelled sample of the feature space; `pixels` is the full
     * synthetic feature array wrapped as a FeatureFrame.
     */
+  /** Feature columns of the packaged ecoplot sample, in fit order. */
+  val EcoplotFeatures: Seq[String] = Seq("elev", "precip", "temp", "nbr", "ndvi", "slope")
+
+  /** Tree-cover target columns of the packaged ecoplot sample. */
+  val EcoplotTargets: Seq[String] = Seq("cov_psme", "cov_pila", "cov_abco")
+
+  /** The PACKAGED sample-dataset loader — the reference's
+    * `load_swo_ecoplot` analogue (`datasets/_base.py:108`): that loader
+    * returns (X_image, X, y) — a feature raster plus plot-measurement
+    * dataframes for the canonical kNN-imputation workflow. Here the
+    * plot table ships INSIDE the jar (`graft/datasets/
+    * ecoplot_sample.csv`, 240 deterministic md5-derived plots with 6
+    * environmental/spectral features and 3 tree-cover targets — the
+    * zero-egress stand-in for the reference's download-and-cache), and
+    * the image side is the synthetic feature array with the same
+    * feature columns, sized by `nPixels`.
+    *
+    * Returns (X, y, image): plot features, plot covers (both keyed by
+    * plot_id, driver-parsed — the resource is KB-scale by packaging
+    * contract), and the full feature frame to predict over.
+    */
+  def loadEcoplotSample(
+      spark: SparkSession,
+      nPixels: Long = 10000,
+      seed: Long = 42
+  ): (DataFrame, DataFrame, FeatureFrame) = {
+    val in = getClass.getResourceAsStream("/graft/datasets/ecoplot_sample.csv")
+    require(in != null, "packaged dataset graft/datasets/ecoplot_sample.csv missing from classpath")
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    val header = lines.head.split(",").toSeq
+    val rows = lines.tail.map { ln =>
+      val p = ln.split(",")
+      org.apache.spark.sql.Row.fromSeq(p.head.toLong +: p.tail.map(_.toDouble).toSeq)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("plot_id",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+        header.tail.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val plots = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    val x = plots.select((col("plot_id") +: EcoplotFeatures.map(col)): _*)
+    val y = plots.select((col("plot_id") +: EcoplotTargets.map(col)): _*)
+    val pixels = Synthetic.featureArray(spark, nPixels, EcoplotFeatures, seed = seed)
+    (x, y, FeatureFrame(pixels, Seq("sample_id"), EcoplotFeatures))
+  }
+
   def sampleImputationData(
       spark: SparkSession,
       nPixels: Long = 10000,

@@ -156,4 +156,50 @@ object EventStreams {
           }
         })
   }
+
+  /** F6 input: a vector upsert — `ts` is the version (epoch micros). */
+  final case class VecUpsert(vec_id: Long, v: Array[Double], ts: Long)
+
+  /** F6 output: the index changelog — the vector's (possibly re-)
+    * assigned IVF cell at its newest accepted version.
+    */
+  final case class CellAssign(vec_id: Long, cell: Int, ts: Long)
+
+  /** F6 state: O(1) per vec_id — version + cell, never the vector. */
+  final case class VecVersion(ts: Long, cell: Int)
+
+  /** F6: streaming IVF index maintenance — incoming vectors are
+    * assigned to their coarse cell with the IDENTICAL deterministic
+    * quantizer as the batch D6 query (`Similarity.ivfCentroids` /
+    * `ivfCell`), and a LATER ts for an already-indexed vec_id
+    * re-assigns it (upsert; stale versions are dropped). Output is an
+    * Update-mode changelog: one row per key per batch when its newest
+    * version was accepted — exactly what a downstream cell-partitioned
+    * index needs to apply (vec_id → cell) moves incrementally.
+    *
+    * Scale posture: state is O(1) per vec_id (ts + cell — vectors are
+    * NOT buffered), keyed state shards across executors by vec_id
+    * hash, and the centroid matrix rides inside the closure (it is
+    * KB-scale by construction). At 100 TB the changelog sink is the
+    * same cell-partitioned layout D6 prunes at query time.
+    */
+  def ivfUpsertStream(in: Dataset[VecUpsert],
+                      cents: Array[Array[Double]]): Dataset[CellAssign] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.vec_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (vid: Long, batch: Iterator[VecUpsert], state: GroupState[VecVersion]) => {
+          // newest version in this batch wins; equal ts keeps the
+          // earlier arrival (upserts at the same version are idempotent)
+          var best: VecUpsert = null
+          batch.foreach { u => if (best == null || u.ts > best.ts) best = u }
+          val prior = state.getOption.orNull
+          if (best == null || (prior != null && best.ts <= prior.ts)) Iterator.empty
+          else {
+            val cell = graft.operators.Similarity.ivfCell(cents, best.v)
+            state.update(VecVersion(best.ts, cell))
+            Iterator.single(CellAssign(vid, cell, best.ts))
+          }
+        })
+  }
 }

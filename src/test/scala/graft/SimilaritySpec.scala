@@ -47,6 +47,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(multi > 0.5, s"multi-probe recall $multi")
   }
 
+  test("E5 byte-offset chunking never splits a code point (incl. astral chars)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // astral (4-byte) + CJK (3-byte) + accent (2-byte) content that the
+    // all-ASCII corpus can't exercise: raw offsets land mid-code-point
+    val texts = Seq(
+      (0L, "😀😀😀 héllo wörld 的是了 plain ascii tail here"),
+      (1L, "的是了的是了的是了的是了"),
+      (2L, "a😀b😀c😀d😀e😀f😀"),
+      (3L, ""), // degenerate: empty doc still chunks into n empty frames
+      (7L, "xy")) // fewer bytes than frames -> some empty slices
+    val docs = texts.toDF("doc_id", "text")
+    // private synthesize path exercised through a temp-view-free clone:
+    // re-chunk here with the same snap rule and compare full roundtrip
+    val media = Multimodal.chunkBytes(docs)
+    val frames = Multimodal.sampleByteFrames(media, stride = 1).collect()
+    val byDoc = texts.toMap
+    frames.foreach { r =>
+      val id = r.getLong(0)
+      // every frame must re-decode as valid UTF-8 whose bytes round-trip
+      // (a split code point would produce replacement chars and fail)
+      val all = frames.filter(_.getLong(0) == id).sortBy(_.getInt(1))
+      val joined = all.map(_.getLong(2)).sum
+      assert(joined == byDoc(id).getBytes("UTF-8").length.toLong,
+        s"doc $id: frame bytes don't sum to payload bytes")
+    }
+    // reassembled text equals the original for a doc with all widths
+    val m0 = media.filter(col("media_id") === 0L).collect().head
+    val bb = java.nio.ByteBuffer.wrap(m0.getAs[Array[Byte]](1))
+    val magic = new Array[Byte](4); bb.get(magic); val n = bb.getInt
+    val parts = (0 until n).map { _ =>
+      val len = bb.getInt; val f = new Array[Byte](len); bb.get(f)
+      val s0 = new String(f, "UTF-8")
+      assert(!s0.contains('�'), "frame split a code point")
+      s0
+    }
+    assert(parts.mkString == texts.head._2)
+  }
+
   test("media synthesis + stub decode preserve schema, rows, and determinism") {
     val media = Multimodal.synthesizeMedia(spark, sfDir)
     assert(media.schema == Multimodal.mediaSchema)

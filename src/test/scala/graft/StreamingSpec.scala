@@ -57,6 +57,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F6 streaming IVF upserts assign batch-identical cells and honor versioning") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import graft.streaming.EventStreams.{CellAssign, VecUpsert}
+    implicit val sqlCtx = spark.sqlContext
+    val cents = Similarity.ivfCentroids()
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).take(40)
+    val input = MemoryStream[VecUpsert]
+    val q = EventStreams.ivfUpsertStream(input.toDS(), cents)
+      .writeStream.format("memory").queryName("ivf_out").outputMode("update").start()
+    try {
+      // batch 1: initial inserts
+      input.addData(vecs.take(30).map { case (id, v) => VecUpsert(id, v, ts = 100L) })
+      q.processAllAvailable()
+      val b1 = spark.table("ivf_out").as[CellAssign].collect()
+      assert(b1.length == 30)
+      b1.foreach { a =>
+        val v = vecs.toMap.apply(a.vec_id)
+        assert(a.cell == Similarity.ivfCell(cents, v), s"cell mismatch for ${a.vec_id}")
+      }
+      // batch 2: a real upsert (new vector, later ts), a stale replay
+      // (older ts — must be dropped), and a fresh insert
+      val (id0, _) = vecs(0); val (_, vOther) = vecs(35)
+      val (id1, v1) = vecs(1)
+      val (idNew, vNew) = vecs(31)
+      input.addData(Seq(
+        VecUpsert(id0, vOther, ts = 200L), // re-assign to vOther's cell
+        VecUpsert(id1, vecs(36)._2, ts = 50L), // STALE: ts < 100
+        VecUpsert(idNew, vNew, ts = 150L)))
+      q.processAllAvailable()
+      val b2 = spark.table("ivf_out").as[CellAssign].collect().filter(_.ts > 100L)
+      assert(b2.map(_.vec_id).toSet == Set(id0, idNew), "stale upsert leaked or insert lost")
+      assert(b2.find(_.vec_id == id0).get.cell == Similarity.ivfCell(cents, vOther))
+      // final index state (last row per key) matches a batch pass over
+      // the latest accepted versions
+      val latest = vecs.take(30).toMap ++ Map(id0 -> vOther, idNew -> vNew)
+      val index = spark.table("ivf_out").as[CellAssign].collect()
+        .groupBy(_.vec_id).map { case (id, as) => id -> as.maxBy(_.ts).cell }
+      assert(index == latest.map { case (id, v) => id -> Similarity.ivfCell(cents, v) })
+    } finally q.stop()
+  }
+
   test("streaming sessionization equals batch gaps-and-islands across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
