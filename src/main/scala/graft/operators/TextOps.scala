@@ -504,13 +504,17 @@ object TextOps {
     * corpus-, sized after the first partial aggregation.
     */
   def qTfidf(s: SparkSession, dir: String): DataFrame = {
-    val nDocs = documents(s, dir).count()
+    // N as a LAZY broadcast 1-row aggregate (a metadata-only parquet
+    // count), not an eager .count() at plan-construction time — building
+    // the query must not run a job before the caller asks for one
+    val nDocs = documents(s, dir).agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = documents(s, dir)
       .select(col("doc_id"), explode(T.words(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), "w")
-      .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
     val wnd = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("w"))
     scored.withColumn("rn", row_number().over(wnd))

@@ -39,6 +39,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q1's shipdate filter did not push into the scan:\n$p")
   }
 
+  test("decontam broadcasts the eval-gram side and never shuffles it") {
+    val p = plan(graft.operators.TextOps.qDecontam(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"q_decontam lost the eval-gram broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q_decontam degraded to SortMergeJoin:\n$p")
+  }
+
   test("scans prune to the projected columns") {
     val p = plan(Relational.qDistinct(spark, sfDir))
     // customer has 5+ columns; this aggregate needs exactly three
