@@ -64,6 +64,11 @@ object SparkEntry {
     "q_linreg_multi"   -> (Estimation.qLinRegMulti _),
     "q_knn_nodata"     -> (Estimation.qKnnNoData _),
     "q_knn_missing"    -> (Estimation.qKnnMissing _),
+    "q6_forecast"      -> (Relational.q6Forecast _),
+    "q10_returns"      -> (Relational.q10Returns _),
+    "q14_promo"        -> (Relational.q14Promo _),
+    "q16_suppcnt"      -> (Relational.q16SuppCnt _),
+    "q19_disjunct"     -> (Relational.q19Disjunct _),
     "q_exact_dedup"    -> (TextOps.qExactDedup _),
     "q_token_count"    -> (TextOps.qTokenCount _),
     "q_quality"        -> (TextOps.qQuality _),
@@ -79,6 +84,7 @@ object SparkEntry {
     "q_hash_embed"     -> (TextOps.qHashEmbed _),
     "q_gopher"         -> (TextOps.qGopher _),
     "q_decontam"       -> (TextOps.qDecontam _),
+    "q_bloom"          -> (TextOps.qBloom _),
     "q_semdedup"       -> (Similarity.qSemDedup _),
     "q_cosine_topk"    -> (Similarity.qCosineTopK _),
     "q_embed_neardup"  -> (Similarity.qEmbedNearDup _),

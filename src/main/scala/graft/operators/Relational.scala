@@ -558,8 +558,132 @@ object Relational {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** B32: revenue-change forecast (TPC-H Q6 shape) — THE pushdown
+    * showcase: every predicate (date range, discount band, quantity cap)
+    * reaches the parquet scan, the aggregate is one partial-combined
+    * scalar; zero shuffle beyond the 1-row exchange.
+    */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+              col("l_shipdate") < lit("1998-01-01") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(dec2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"))
+
+  /** B33: returned-item reporting (TPC-H Q10 shape) — fact-fact join on
+    * the order key, customer×nation dims broadcast, deterministic top-20
+    * on (rounded revenue desc, custkey).
+    */
+  def q10Returns(s: SparkSession, dir: String): DataFrame = {
+    val dims = broadcast(
+      customer(s, dir)
+        .join(nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name")))
+    lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .join(orders(s, dir).filter(col("o_orderdate") >= lit("1997-07-01") &&
+                                  col("o_orderdate") < lit("1997-10-01")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dec2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** B34: promotion revenue share (TPC-H Q14 shape). Each sum is rounded
+    * to cents BEFORE the division — raw double sums drift by ulps with
+    * partial-aggregation order (run-to-run and engine-to-engine), and a
+    * ratio of two drifting sums could flip the final 4dp rounding; two
+    * stable operands make the quotient bit-deterministic.
+    */
+  def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01") &&
+              col("l_shipdate") < lit("1997-10-01"))
+      .join(broadcast(part(s, dir).select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+      .agg(
+        dec2(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))).as("promo"),
+        dec2(sum(rev)).as("total"))
+      .select(dec4(lit(100.0) * col("promo") / col("total")).as("promo_revenue_pct"))
+  }
+
+  /** B36: supplier-count by part attributes (TPC-H Q16 shape, adapted:
+    * no partsupp table ships, so supplier×part pairs come from observed
+    * lineitem rows). Distinct aggregation after a broadcast part join;
+    * the corpus shuffles once on the group key.
+    */
+  def q16SuppCnt(s: SparkSession, dir: String): DataFrame = {
+    val parts = broadcast(
+      part(s, dir)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+                col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+    lineitem(s, dir)
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** B35: disjunctive predicate join (TPC-H Q19 shape) — three OR'd
+    * brand/size/quantity bands; the part side is broadcast and the OR
+    * chain stays inside one codegen'd filter (no union-of-scans).
+    */
+  def q19Disjunct(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .join(broadcast(part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))),
+            col("l_partkey") === col("p_partkey"))
+    val bands =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    li.filter(bands)
+      .agg(dec2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above. */
   val oracles: Map[String, String] = Map(
+    "q6_forecast" ->
+      """SELECT CAST(ROUND(SUM(l_extendedprice*l_discount),2) AS DECIMAL(18,2))::DOUBLE AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2))::DOUBLE AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+        |GROUP BY 1,2,3,4 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo" ->
+      """WITH s AS (SELECT
+        |  CAST(ROUND(SUM(CASE WHEN p_type='PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END),2) AS DECIMAL(18,2))::DOUBLE AS promo,
+        |  CAST(ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2))::DOUBLE AS total
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01')
+        |SELECT CAST(ROUND(100.0*promo/total,4) AS DECIMAL(18,4))::DOUBLE AS promo_revenue_pct
+        |FROM s""".stripMargin,
+    "q16_suppcnt" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1,4,9,14,19,23,36,45)
+        |GROUP BY 1,2,3 ORDER BY supplier_cnt DESC, 1, 2, 3""".stripMargin,
+    "q19_disjunct" ->
+      """SELECT CAST(ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS DECIMAL(18,2))::DOUBLE AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(ROUND(SUM(l_quantity),2) AS DECIMAL(18,2))::DOUBLE AS sum_qty,

@@ -612,6 +612,52 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** C18: deterministic Bloom-filter pre-screen for decontamination —
+    * the constant-space form of C17 for when even the eval n-gram KEY
+    * set is too big to broadcast but its BLOOM FILTER fits anywhere
+    * (here m=16384 bits, k=2 md5-derived hashes; production sizes m to
+    * the eval-gram cardinality). The filter is built from one bounded
+    * collect of eval-gram bit positions and embedded as a literal
+    * bitmask, so the corpus-side Bloom test is a pure per-row
+    * expression: NO join, NO shuffle — only the (tiny) exact-count
+    * comparison joins. False positives are part of the CONTRACT and
+    * fully deterministic (md5 both engines replicate), so the oracle
+    * verifies them too: per flagged doc, `n_maybe` is the Bloom's
+    * gram-hit count, `n_true` the exact count (C17's n_shared);
+    * n_maybe > n_true rows are the filter's reproducible FPs.
+    */
+  def qBloom(s: SparkSession, dir: String): DataFrame = {
+    val m = 16384
+    val k = 2
+    def positions(g: Column): Seq[Column] = (0 until k).map { j =>
+      // 52-bit md5 prefix mod m — TextKernels.md5Prefix52's Column twin
+      conv(substring(md5(concat(lit(s"bloom|$j|"), g)), 1, 13), 16, 10)
+        .cast("long") % m
+    }
+    val grams = graft.core.Materialize.pin(
+      shingled(s, dir, n = 4)
+        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g")))
+    val ev = grams.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+    // build the filter: one driver-side fold over the eval-gram
+    // positions (eval side is small by the same contract as C17)
+    val bits = new Array[Boolean](m)
+    ev.select(positions(col("g")): _*).collect()
+      .foreach(r => (0 until k).foreach(j => bits(r.getLong(j).toInt) = true))
+    val bitmask = bits.map(b => if (b) '1' else '0').mkString
+    val maybeHit = positions(col("g"))
+      .map(p => lit(bitmask).substr((p + 1).cast("int"), lit(1)) === "1")
+      .reduce(_ && _)
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("mh", maybeHit.cast("int"))
+      .join(broadcast(ev.withColumn("__t", lit(1))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("mh")).as("n_maybe"),
+        sum(coalesce(col("__t"), lit(0))).as("n_true"))
+      .filter(col("n_maybe") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared oracle SQL fragments (DuckDB dialect). */
   private val baseSql =
     """base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
@@ -882,6 +928,24 @@ object TextOps {
         |  SELECT * FROM r)
         |SELECT a AS doc_id, MIN(b) AS cluster_id
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bloom" -> {
+      val pref = T.hexPrefix52Sql("md5('bloom|'||j||'|'||g)")
+      s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |g4 AS (SELECT doc_id, list_transform(range(1, len(w)-2),
+        |  i -> array_to_string(w[i:i+3],' ')) AS gs FROM base WHERE len(w) >= 4),
+        |dd AS (SELECT DISTINCT doc_id, g FROM
+        |  (SELECT doc_id, unnest(gs) AS g FROM g4)),
+        |ev AS (SELECT DISTINCT g FROM dd WHERE doc_id % 97 = 0),
+        |evp AS (SELECT DISTINCT $pref % 16384 AS p
+        |  FROM ev, (SELECT unnest(range(2)) AS j)),
+        |trh AS (SELECT doc_id, g,
+        |    MIN(CASE WHEN $pref % 16384 IN (SELECT p FROM evp) THEN 1 ELSE 0 END) AS mh
+        |  FROM dd, (SELECT unnest(range(2)) AS j)
+        |  WHERE doc_id % 97 <> 0 GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(mh) AS BIGINT) AS n_maybe,
+        |  CAST(SUM(CASE WHEN g IN (SELECT g FROM ev) THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+        |FROM trh GROUP BY 1 HAVING SUM(mh) > 0 ORDER BY 1""".stripMargin
+    },
     "q_decontam" ->
       """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |g5 AS (SELECT doc_id, list_transform(range(1, len(w)-2),
