@@ -69,6 +69,8 @@ object SparkEntry {
     "q14_promo"        -> (Relational.q14Promo _),
     "q16_suppcnt"      -> (Relational.q16SuppCnt _),
     "q19_disjunct"     -> (Relational.q19Disjunct _),
+    "q_ntile"          -> (Relational.qNtile _),
+    "q_grouping_sets"  -> (Relational.qGroupingSets _),
     "q_exact_dedup"    -> (TextOps.qExactDedup _),
     "q_token_count"    -> (TextOps.qTokenCount _),
     "q_quality"        -> (TextOps.qQuality _),
@@ -85,6 +87,7 @@ object SparkEntry {
     "q_gopher"         -> (TextOps.qGopher _),
     "q_decontam"       -> (TextOps.qDecontam _),
     "q_bloom"          -> (TextOps.qBloom _),
+    "q_urlnorm"        -> (TextOps.qUrlNorm _),
     "q_semdedup"       -> (Similarity.qSemDedup _),
     "q_cosine_topk"    -> (Similarity.qCosineTopK _),
     "q_embed_neardup"  -> (Similarity.qEmbedNearDup _),

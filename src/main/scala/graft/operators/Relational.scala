@@ -647,8 +647,91 @@ object Relational {
       .agg(dec2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
   }
 
+  /** B37: distribution windows — ntile quartiles, percent_rank and
+    * cume_dist over per-customer spend, WITHOUT the single-partition
+    * global window those functions naively need (the q_rank_norm
+    * lesson): GK-sketch bucket boundaries + per-bucket partitioned
+    * row_numbers + exact bucket offsets give the exact global rank,
+    * and because the order key (cents-rounded spend, custkey) is
+    * UNIQUE, every SQL distribution function is a closed form of that
+    * rank — ntile by the remainder formula, percent_rank (r−1)/(n−1),
+    * cume_dist r/n. Plans contain no unpartitioned window at any
+    * scale.
+    */
+  def qNtile(s: SparkSession, dir: String): DataFrame = {
+    val nBuckets = 32
+    val nTiles = 4
+    val spend = orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(dec2(sum(col("o_totalprice"))).as("spend"))
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = graft.operators.Sketches.quantiles(spend, "spend", probs).distinct.sorted
+    val bucket = bounds
+      .foldLeft(lit(0))((acc, b) => acc + (col("spend") > lit(b)).cast("int"))
+      .as("__bkt")
+    val bucketed = spend.select(col("o_custkey"), col("spend"), bucket)
+    val counts = bucketed.groupBy(col("__bkt")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    val offsets = Array.tabulate(bounds.length + 1)(b =>
+      (0 until b).map(counts.getOrElse(_, 0L)).sum)
+    val w = Window.partitionBy(col("__bkt")).orderBy(col("spend"), col("o_custkey"))
+    // NTILE(t) over n rows: the first n%t tiles take ceil(n/t) rows
+    val q = n / nTiles; val rem = n % nTiles
+    val r1 = (row_number().over(w) + element_at(lit(offsets), col("__bkt") + 1))
+      .cast("long") // 1-based exact global rank
+    val r0 = r1 - 1
+    val quartile =
+      if (q == 0) r1 // degenerate n < t: one row per tile, NTILE = rank
+      else when(r0 < rem * (q + 1), floor(r0 / lit((q + 1).toDouble)))
+        .otherwise(lit(rem) + floor((r0 - rem * (q + 1)) / lit(q.toDouble))) + 1
+    bucketed.select(
+      col("o_custkey"), col("spend"),
+      quartile.cast("long").as("quartile"),
+      dec4(r0.cast("double") / lit((n - 1).toDouble)).as("pct_rank"),
+      dec4(r1.cast("double") / lit(n.toDouble)).as("cume"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** B38: explicit GROUPING SETS — the arbitrary-combination form that
+    * rollup (B6) and cube (B15) can't express: (flag, status), (flag),
+    * and grand total, with grouping_id disambiguating NULL-as-data from
+    * NULL-as-aggregated. SQL-expressed (the Dataset API only surfaces
+    * rollup/cube); one shuffle, partial aggregation per set.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir).createOrReplaceTempView("graft_li_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id() AS BIGINT) AS gid,
+        |  CAST(ROUND(SUM(l_quantity), 2) AS DECIMAL(18,2)) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM graft_li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+      .selectExpr("l_returnflag", "l_linestatus", "gid",
+        "CAST(sum_qty AS DOUBLE) AS sum_qty", "n")
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above. */
   val oracles: Map[String, String] = Map(
+    "q_ntile" ->
+      """WITH s AS (SELECT o_custkey,
+        |  CAST(ROUND(SUM(o_totalprice),2) AS DECIMAL(18,2))::DOUBLE AS spend
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey, spend,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(ROUND(PERCENT_RANK() OVER w,4) AS DECIMAL(18,4))::DOUBLE AS pct_rank,
+        |  CAST(ROUND(CUME_DIST() OVER w,4) AS DECIMAL(18,4))::DOUBLE AS cume
+        |FROM s WINDOW w AS (ORDER BY spend, o_custkey) ORDER BY o_custkey""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(ROUND(SUM(l_quantity),2) AS DECIMAL(18,2))::DOUBLE AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "q6_forecast" ->
       """SELECT CAST(ROUND(SUM(l_extendedprice*l_discount),2) AS DECIMAL(18,2))::DOUBLE AS revenue
         |FROM lineitem

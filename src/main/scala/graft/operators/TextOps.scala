@@ -658,6 +658,53 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** C19: URL canonicalization dedup — the web-corpus hygiene step that
+    * collapses scheme/host case, default ports, tracking params,
+    * param order, fragments, and trailing slashes before exact dedup.
+    * The corpus ships no URL column, so messy-but-equivalent URLs are
+    * SYNTHESIZED deterministically from doc fields (the same
+    * convention as the media container: the derivation IS the
+    * contract); ~7 docs share each canonical URL by construction.
+    * Canonicalization is pure codegen'd string work per row; the dedup
+    * is ONE hash shuffle on the canonical key — identical scale shape
+    * to C1.
+    */
+  def qUrlNorm(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    // messy synthesis: case-flipped scheme/host, sometimes-explicit :80,
+    // swapped param order, a utm_ tracking param, fragment, trailing /
+    val scheme = when(id % 2 === 0, "HTTP").otherwise("http")
+    val host = concat(
+      when(id % 3 === 0, "WWW.").otherwise("www."),
+      col("source"), lit(".Example.COM"))
+    val port = when(id % 5 === 0, ":80").otherwise("")
+    val path = concat(lit("/docs/"), (id / 140).cast("long"))
+    val slash = when(id % 4 === 0, "/").otherwise("")
+    val params = when(id % 2 === 0, "a=1&b=2").otherwise("b=2&a=1")
+    val utm = when(id % 6 === 0, "utm_source=feed&").otherwise("")
+    val frag = when(id % 3 === 0, concat(lit("#sec"), id % 3)).otherwise("")
+    val raw = concat(scheme, lit("://"), host, port, path, slash, lit("?"), utm, params, frag)
+
+    val noFrag = regexp_replace(col("url"), "#.*$", "")
+    val pre = substring_index(noFrag, "?", 1)
+    val query = substring_index(noFrag, "?", -1) // synthesis always has one "?"
+    val keptParams = filter(split(query, "&"),
+      p => !p.startsWith("utm_") && p =!= "")
+    val canonPre = regexp_replace(
+      regexp_replace(lower(pre), ":80/", "/"),
+      "/$", "")
+    val canon = concat(canonPre,
+      when(size(keptParams) > 0,
+        concat(lit("?"), array_join(sort_array(keptParams), "&"))).otherwise(""))
+
+    documents(s, dir)
+      .select(id, raw.as("url"))
+      .select(col("doc_id"), canon.as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("keeper_id"))
+  }
+
   /** Shared oracle SQL fragments (DuckDB dialect). */
   private val baseSql =
     """base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
@@ -928,6 +975,31 @@ object TextOps {
         |  SELECT * FROM r)
         |SELECT a AS doc_id, MIN(b) AS cluster_id
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_urlnorm" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END) || source || '.Example.COM' ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+        |  '/docs/' || CAST(doc_id // 140 AS BIGINT) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) || '?' ||
+        |  (CASE WHEN doc_id % 6 = 0 THEN 'utm_source=feed&' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'a=1&b=2' ELSE 'b=2&a=1' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN '#sec' || CAST(doc_id % 3 AS BIGINT) ELSE '' END)
+        |  AS url FROM documents),
+        |nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS v FROM u),
+        |sp AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(lower(string_split(v,'?')[1]), ':80/', '/'),
+        |      '/$', '') AS pre,
+        |    string_split(v,'?')[2] AS q FROM nf),
+        |ke AS (SELECT doc_id, pre,
+        |    [p FOR p IN string_split(q,'&') IF NOT starts_with(p,'utm_') AND p <> ''] AS kept
+        |  FROM sp),
+        |c AS (SELECT doc_id, pre ||
+        |    CASE WHEN len(kept) > 0 THEN '?' || array_to_string(list_sort(kept),'&')
+        |         ELSE '' END AS canonical_url
+        |  FROM ke)
+        |SELECT canonical_url, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+        |FROM c GROUP BY 1 ORDER BY keeper_id""".stripMargin,
     "q_bloom" -> {
       val pref = T.hexPrefix52Sql("md5('bloom|'||j||'|'||g)")
       s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
