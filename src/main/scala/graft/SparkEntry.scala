@@ -59,6 +59,9 @@ object SparkEntry {
     "q_kneighbors"     -> (Estimation.qKneighbors _),
     "q_std_scaler"     -> (Estimation.qStdScaler _),
     "q_minmax_scaler"  -> (Estimation.qMinMaxScaler _),
+    "q_robust_scaler"  -> (Estimation.qRobustScaler _),
+    "q_l2norm"         -> (Estimation.qL2Norm _),
+    "q_kbins"          -> (Estimation.qKbins _),
     "q_inverse_std"    -> (Estimation.qInverseStd _),
     "q_linreg"         -> (Estimation.qLinReg _),
     "q_linreg_multi"   -> (Estimation.qLinRegMulti _),

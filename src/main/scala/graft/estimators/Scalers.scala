@@ -134,3 +134,99 @@ final case class MinMaxScalerModel(
     protected val params: Map[String, (Double, Double)],
     protected val outPrefix: String
 ) extends AffineScalerModel
+
+/** (x - median) / IQR, sklearn RobustScaler semantics — the
+  * outlier-resistant scaler. Fit is ONE distributed exact-percentile
+  * aggregate (Spark's `percentile` — linear interpolation at
+  * p·(n−1), the same type-7 rule DuckDB's quantile_cont and numpy use,
+  * so fitted stats are engine-identical); at corpus-scale fit sizes,
+  * swap in approx_percentile with a documented tolerance.
+  */
+final case class RobustScaler(outPrefix: String = "scaled_")
+    extends FeatureEstimator[RobustScalerModel] {
+  def fit(train: DataFrame, featureCols: Seq[String], targetCols: Seq[String] = Nil): RobustScalerModel = {
+    val aggs = featureCols.flatMap(c => Seq(
+      percentile(col(c), lit(0.5)).as(s"med_$c"),
+      percentile(col(c), lit(0.75)).as(s"q3_$c"),
+      percentile(col(c), lit(0.25)).as(s"q1_$c")))
+    val r = train.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val params = featureCols.zipWithIndex.map { case (c, i) =>
+      // IQR in the same op order as the oracle: q3 - q1
+      c -> (r.getDouble(3 * i + 1) - r.getDouble(3 * i + 2), r.getDouble(3 * i))
+    }.toMap
+    RobustScalerModel(featureCols, params, outPrefix)
+  }
+}
+
+final case class RobustScalerModel(
+    featureNames: Seq[String],
+    protected val params: Map[String, (Double, Double)],
+    protected val outPrefix: String
+) extends AffineScalerModel
+
+/** Row-wise L2 normalization, sklearn Normalizer semantics: each row's
+  * feature vector divides by its own norm (accumulated in declaration
+  * order — bit-identical to a left-associated SQL sum). Stateless (no
+  * fit), pure codegen, zero shuffle; all-zero rows pass through
+  * unscaled (sklearn's rule).
+  */
+final case class RowNormalizer(
+    featureNames: Seq[String],
+    outPrefix: String = "norm_"
+) extends FittedTransform with graft.core.ContractedOutputs {
+  def outputFeatureNames: Seq[String] = featureNames.map(c => s"$outPrefix$c")
+
+  def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame =
+    transform(frame, opts)
+
+  def transform(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
+    val ff = frame.validated(featureNames)
+    val contracted = outputContract(ff.df.sparkSession, opts)
+    val mask = ff.noDataMask
+    val norm = sqrt(featureNames.map(c => col(c) * col(c)).reduce(_ + _))
+    val safe = when(norm === 0.0, 1.0).otherwise(norm)
+    ff.df.select(
+      ff.idCols.map(col) ++
+        ff.featureCols.map(c =>
+          contracted(col(c) / safe, mask).as(s"$outPrefix$c")): _*)
+  }
+}
+
+/** Quantile-strategy discretizer, sklearn KBinsDiscretizer shape: fit
+  * learns the (nBins−1) interior exact-percentile edges per feature;
+  * transform assigns bin = count of edges strictly below x — the same
+  * bucket rule the GK-sketch rank path uses, codegen'd as a comparison
+  * chain (no UDF, no shuffle).
+  */
+final case class KBinsDiscretizer(nBins: Int = 5, outPrefix: String = "bin_")
+    extends FeatureEstimator[KBinsModel] {
+  def fit(train: DataFrame, featureCols: Seq[String], targetCols: Seq[String] = Nil): KBinsModel = {
+    require(nBins >= 2, "nBins must be >= 2")
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    val aggs = featureCols.flatMap(c =>
+      probs.zipWithIndex.map { case (p, j) => percentile(col(c), lit(p)).as(s"e${j}_$c") })
+    val r = train.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val edges = featureCols.zipWithIndex.map { case (c, i) =>
+      c -> probs.indices.map(j => r.getDouble(i * probs.length + j)).toArray
+    }.toMap
+    KBinsModel(featureCols, edges, outPrefix)
+  }
+}
+
+final case class KBinsModel(
+    featureNames: Seq[String],
+    edges: Map[String, Array[Double]],
+    outPrefix: String
+) extends FittedModel {
+  def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
+    val ff = frame.validated(featureNames)
+    val mask = ff.noDataMask
+    ff.df.select(
+      ff.idCols.map(col) ++
+        ff.featureCols.map { c =>
+          val bin = edges(c)
+            .foldLeft(lit(0))((acc, e) => acc + (col(c) > lit(e)).cast("int"))
+          when(mask, lit(null)).otherwise(bin).cast("long").as(s"$outPrefix$c")
+        }: _*)
+  }
+}

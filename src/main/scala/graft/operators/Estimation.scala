@@ -196,6 +196,40 @@ object Estimation {
       .orderBy(col("li_id"))
   }
 
+  /** A7c: RobustScaler.transform — (x − median)/IQR, the
+    * outlier-resistant affine; fit is one exact-percentile aggregate
+    * over the small train side, transform the usual codegen'd affine.
+    */
+  def qRobustScaler(s: SparkSession, dir: String): DataFrame = {
+    val model = RobustScaler().fit(trainLi(s, dir), scaleFeatures)
+    model.transform(FeatureFrame(li(s, dir), Seq("li_id"), scaleFeatures))
+      .select(col("li_id") +:
+        scaleFeatures.map(c => dec4(col(s"scaled_$c")).as(s"scaled_$c")): _*)
+      .orderBy(col("li_id"))
+  }
+
+  /** A7d: row-wise L2 normalization (sklearn Normalizer) — stateless,
+    * pure codegen, zero shuffle; norms accumulate in declaration order
+    * for oracle bit-parity.
+    */
+  def qL2Norm(s: SparkSession, dir: String): DataFrame = {
+    val model = RowNormalizer(scaleFeatures)
+    model.transform(FeatureFrame(li(s, dir), Seq("li_id"), scaleFeatures))
+      .select(col("li_id") +:
+        scaleFeatures.map(c => dec4(col(s"norm_$c")).as(s"norm_$c")): _*)
+      .orderBy(col("li_id"))
+  }
+
+  /** A7e: quantile-strategy discretization (sklearn KBinsDiscretizer,
+    * 5 bins) — interior exact-percentile edges from the train side,
+    * bin assignment as a codegen'd comparison chain.
+    */
+  def qKbins(s: SparkSession, dir: String): DataFrame = {
+    val model = KBinsDiscretizer(nBins = 5).fit(trainLi(s, dir), scaleFeatures)
+    model.predict(FeatureFrame(li(s, dir), Seq("li_id"), scaleFeatures))
+      .orderBy(col("li_id"))
+  }
+
   /** A7b: rank/quantile normalization (QuantileTransformer family) —
     * each row's feature maps to its normalized rank pos/(n-1) with a
     * deterministic id tie-break; exact integer arithmetic until one
@@ -640,6 +674,50 @@ object Estimation {
           |  CAST(ROUND((l_extendedprice-m2)/s2,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_extendedprice,
           |  CAST(ROUND((l_discount-m3)/s3,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_discount
           |FROM lineitem CROSS JOIN st ORDER BY li_id""".stripMargin,
+      "q_robust_scaler" ->
+        s"""WITH $train,
+          |st AS (SELECT
+          |  quantile_cont(l_quantity,0.5) AS m1,
+          |  quantile_cont(l_quantity,0.75) - quantile_cont(l_quantity,0.25) AS s1,
+          |  quantile_cont(l_extendedprice,0.5) AS m2,
+          |  quantile_cont(l_extendedprice,0.75) - quantile_cont(l_extendedprice,0.25) AS s2,
+          |  quantile_cont(l_discount,0.5) AS m3,
+          |  quantile_cont(l_discount,0.75) - quantile_cont(l_discount,0.25) AS s3
+          |  FROM train),
+          |sg AS (SELECT m1, m2, m3,
+          |  CASE WHEN s1 = 0 THEN 1.0 ELSE s1 END AS s1,
+          |  CASE WHEN s2 = 0 THEN 1.0 ELSE s2 END AS s2,
+          |  CASE WHEN s3 = 0 THEN 1.0 ELSE s3 END AS s3 FROM st)
+          |SELECT $uidSql AS li_id,
+          |  CAST(ROUND((l_quantity-m1)/s1,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_quantity,
+          |  CAST(ROUND((l_extendedprice-m2)/s2,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_extendedprice,
+          |  CAST(ROUND((l_discount-m3)/s3,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_discount
+          |FROM lineitem CROSS JOIN sg ORDER BY li_id""".stripMargin,
+      "q_l2norm" ->
+        s"""WITH n AS (SELECT *,
+          |  sqrt(l_quantity*l_quantity + l_extendedprice*l_extendedprice
+          |    + l_discount*l_discount) AS n0 FROM lineitem),
+          |g AS (SELECT *, CASE WHEN n0 = 0 THEN 1.0 ELSE n0 END AS ns FROM n)
+          |SELECT $uidSql AS li_id,
+          |  CAST(ROUND(l_quantity/ns,4) AS DECIMAL(18,4))::DOUBLE AS norm_l_quantity,
+          |  CAST(ROUND(l_extendedprice/ns,4) AS DECIMAL(18,4))::DOUBLE AS norm_l_extendedprice,
+          |  CAST(ROUND(l_discount/ns,4) AS DECIMAL(18,4))::DOUBLE AS norm_l_discount
+          |FROM g ORDER BY li_id""".stripMargin,
+      "q_kbins" -> {
+        val feats = Seq("l_quantity" -> "1", "l_extendedprice" -> "2", "l_discount" -> "3")
+        val edgeAggs = feats.flatMap { case (c, i) =>
+          (1 until 5).map(j => s"quantile_cont($c,0.${2 * j}) AS e${j}_$i")
+        }.mkString(", ")
+        val bins = feats.map { case (c, i) =>
+          "CAST(" + (1 until 5).map(j => s"CAST($c > e${j}_$i AS INT)").mkString(" + ") +
+            s" AS BIGINT) AS bin_$c"
+        }.mkString(",\n  ")
+        s"""WITH $train,
+          |e AS (SELECT $edgeAggs FROM train)
+          |SELECT $uidSql AS li_id,
+          |  ${bins.split("\n").mkString("\n          |")}
+          |FROM lineitem CROSS JOIN e ORDER BY li_id""".stripMargin
+      },
       "q_minmax_scaler" ->
         s"""WITH $train,
           |st AS (SELECT MIN(l_quantity) AS lo1, MAX(l_quantity) AS hi1,
