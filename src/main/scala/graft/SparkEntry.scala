@@ -74,6 +74,9 @@ object SparkEntry {
     "q19_disjunct"     -> (Relational.q19Disjunct _),
     "q_ntile"          -> (Relational.qNtile _),
     "q_grouping_sets"  -> (Relational.qGroupingSets _),
+    "q_ffill"          -> (Relational.qFfill _),
+    "q_moving_avg"     -> (Relational.qMovingAvg _),
+    "q_pca_inverse"    -> (Estimation.qPcaInverse _),
     "q_exact_dedup"    -> (TextOps.qExactDedup _),
     "q_token_count"    -> (TextOps.qTokenCount _),
     "q_quality"        -> (TextOps.qQuality _),

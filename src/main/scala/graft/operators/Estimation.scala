@@ -434,6 +434,22 @@ object Estimation {
       .orderBy(col("li_id"))
   }
 
+  /** A13c: PCA inverse_transform roundtrip — transform to the FULL
+    * component basis (k = d) then reconstruct: x̂ = mean + Σ pc_j v_j
+    * recovers x up to float epsilon, so dec4(x̂) equals the dec4'd
+    * ORIGINAL features and the oracle is the identity projection —
+    * any sign, ordering, or transpose bug in the component handling
+    * breaks the roundtrip loudly.
+    */
+  def qPcaInverse(s: SparkSession, dir: String): DataFrame = {
+    val pcaFeatures = Seq("l_quantity", "l_discount")
+    val model = PCA(k = 2).fit(trainLi(s, dir), pcaFeatures)
+    val scores = model.transform(FeatureFrame(li(s, dir), Seq("li_id"), pcaFeatures))
+    model.inverseTransform(scores, Seq("li_id"))
+      .select(col("li_id") +: pcaFeatures.map(c => dec4(col(c)).as(c)): _*)
+      .orderBy(col("li_id"))
+  }
+
   /** A13b: the PCA FIT pass oracled EXACTLY — the same second-moment
     * aggregate PCA.fit runs (PCA.scala:26), in integer cents so every
     * sufficient statistic (n, Σx_i, Σx_i·x_j) is an exact integer on
@@ -674,6 +690,11 @@ object Estimation {
           |  CAST(ROUND((l_extendedprice-m2)/s2,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_extendedprice,
           |  CAST(ROUND((l_discount-m3)/s3,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_discount
           |FROM lineitem CROSS JOIN st ORDER BY li_id""".stripMargin,
+      "q_pca_inverse" ->
+        s"""SELECT $uidSql AS li_id,
+          |  CAST(ROUND(l_quantity,4) AS DECIMAL(18,4))::DOUBLE AS l_quantity,
+          |  CAST(ROUND(l_discount,4) AS DECIMAL(18,4))::DOUBLE AS l_discount
+          |FROM lineitem ORDER BY li_id""".stripMargin,
       "q_robust_scaler" ->
         s"""WITH $train,
           |st AS (SELECT

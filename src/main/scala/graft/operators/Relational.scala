@@ -713,8 +713,79 @@ object Relational {
         "CAST(sum_qty AS DOUBLE) AS sum_qty", "n")
   }
 
+  /** B39: time-series gap fill + forward fill — the feature-store
+    * "carry last observation forward" primitive: per-user daily sums
+    * densified onto the observed calendar (users × distinct days — a
+    * broadcast of the tiny day dim), gaps NULL, then
+    * last-non-null-carried-forward via an IGNORE NULLS running window.
+    * The window partitions by user — parallel at any scale; leading
+    * gaps before a user's first observation stay NULL (no lookback
+    * into other users).
+    */
+  def qFfill(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(dec2(sum(col("value"))).as("day_sum"))
+    val cal = daily.select(col("user_id")).distinct()
+      .crossJoin(broadcast(daily.select(col("day")).distinct()))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select(
+        col("user_id"), col("day"),
+        last(col("day_sum"), ignoreNulls = true).over(w).as("filled_sum"),
+        col("day_sum").isNull.cast("int").as("is_gap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** B40: rows-frame moving average — 3-order trailing mean per
+    * customer. A float `avg` over the frame is NOT oracle-safe here:
+    * a 3-value mean lands exactly on half-cent boundaries often enough
+    * (~50 flips per 15k rows observed) that engine summation order
+    * flips the rounding — so the frame sums EXACT CENTS (the money
+    * columns' integer form) and derives the mean with one fixed float
+    * sequence both engines replicate bit-for-bit.
+    */
+  def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    // mean cents can be an EXACT x.5 (n=2) — a true binary tie both
+    // engines round half-away identically; rounding the /100 quotient
+    // directly instead would tie on a non-representable x.xx5 where
+    // Spark (shortest-string HALF_UP) and DuckDB (binary) disagree
+    val meanCents = round(sum(cents).over(w).cast("double") / count(lit(1)).over(w), 0)
+    orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        dec2(meanCents / lit(100.0)).as("ma3"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above. */
   val oracles: Map[String, String] = Map(
+    "q_ffill" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |    CAST(ROUND(SUM(value),2) AS DECIMAL(18,2))::DOUBLE AS day_sum
+        |  FROM events GROUP BY 1,2),
+        |cal AS (SELECT user_id, day
+        |  FROM (SELECT DISTINCT user_id FROM daily), (SELECT DISTINCT day FROM daily)),
+        |j AS (SELECT cal.user_id, cal.day, daily.day_sum
+        |  FROM cal LEFT JOIN daily USING (user_id, day))
+        |SELECT user_id, day,
+        |  LAST_VALUE(day_sum IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+        |  CAST(day_sum IS NULL AS INT) AS is_gap
+        |FROM j ORDER BY user_id, day""".stripMargin,
+    "q_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ROUND(ROUND(CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w, 0) / 100.0, 2) AS DECIMAL(18,2))::DOUBLE AS ma3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_ntile" ->
       """WITH s AS (SELECT o_custkey,
         |  CAST(ROUND(SUM(o_totalprice),2) AS DECIMAL(18,2))::DOUBLE AS spend
