@@ -48,6 +48,13 @@ object SparkEntry {
     "q_skew_distinct"  -> (Relational.qSkewDistinct _),
     "q_range_window"   -> (Relational.qRangeWindow _),
     "q_ohlc"           -> (Relational.qOhlc _),
+    "q4_orderprio"     -> (Relational.q4OrderPrio _),
+    "q12_priority"     -> (Relational.q12Priority _),
+    "q15_topsupp"      -> (Relational.q15TopSupp _),
+    "q17_smallqty"     -> (Relational.q17SmallQty _),
+    "q21_waiting"      -> (Relational.q21Waiting _),
+    "q22_balance"      -> (Relational.q22Balance _),
+    "q8_share"         -> (Relational.q8Share _),
     "q_knn_reg"        -> (Estimation.qKnnReg _),
     "q_knn_weighted"   -> (Estimation.qKnnWeighted _),
     "q_radius_reg"     -> (Estimation.qRadiusReg _),

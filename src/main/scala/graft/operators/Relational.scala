@@ -763,8 +763,259 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Exact per-line revenue in 10^-4-dollar units: money columns carry
+    * exactly 2 decimals and discounts are whole percents, so
+    * cents × (100 − pct) is an integer — sums are order-independent
+    * and engine-identical, unlike float `price*(1-discount)` sums.
+    */
+  private def revE4: Column =
+    round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+
+  /** B41: order-priority checking (TPC-H Q4 shape, adapted: no
+    * commit/receipt dates ship, so "late" = any lineitem shipped more
+    * than 60 days after the order date). The EXISTS is a LEFT SEMI
+    * join on the order key with the lateness residual — one shuffle
+    * on the key, lineitem never aggregated, duplicates never built.
+    */
+  def q4OrderPrio(s: SparkSession, dir: String): DataFrame = {
+    val ord = orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-07-01") &&
+              col("o_orderdate") < lit("1997-10-01"))
+    ord.join(lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate")),
+             col("o_orderkey") === col("l_orderkey") &&
+               col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+             "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** B42: priority line counts (TPC-H Q12 shape, adapted: no shipmode
+    * column ships, so the group key is l_returnflag). Fact-fact equi
+    * join + conditional CASE sums; the only shuffles are the join key
+    * and the 3-group aggregate.
+    */
+  def q12Priority(s: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+              col("l_shipdate") < lit("1998-01-01"))
+      .join(orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+           sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** B43: small-quantity revenue (TPC-H Q17 shape). The correlated
+    * `l_quantity < 0.2 * avg(per-part quantity)` is decided in EXACT
+    * integer algebra — quantities are whole numbers, so
+    * `5·q·cnt < sum` is the same predicate with no float threshold
+    * that could flip with aggregation order. Per-part stats are
+    * dim-scale (one row per brand part) and broadcast back.
+    */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val parts = broadcast(
+      part(s, dir).filter(col("p_brand") === "Brand#23").select(col("p_partkey")))
+    val li = lineitem(s, dir).join(parts, col("l_partkey") === col("p_partkey"))
+    val stats = broadcast(
+      li.groupBy(col("p_partkey").as("sp_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty_sum"),
+             count(lit(1)).as("qty_cnt")))
+    // avg_yearly = sum(price)/7; cents(sum)/7 never lands on a .5 tie
+    // (c/7 has fractional part k/7), so the integer rounding is exact
+    li.join(stats, col("p_partkey") === col("sp_partkey"))
+      .filter(col("l_quantity").cast("long") * 5 * col("qty_cnt") < col("qty_sum"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rev_cents"))
+      .select(dec2(round(col("rev_cents").cast("double") / 7.0, 0) / 100.0).as("avg_yearly"))
+  }
+
+  /** B44: dormant high-balance customers (TPC-H Q22 shape, adapted:
+    * no phone column ships, so the "country code" group key is
+    * c_nationkey). The positive-balance average is a 1-row broadcast
+    * aggregate (never a driver scalar), and the above-average test is
+    * exact integer algebra on cents (`bal·cnt > sum`); "dormant" =
+    * no order since 2000-01-01 (every synthetic customer has SOME
+    * order, so the literal Q22 "no orders at all" is vacuous here),
+    * realized as a LEFT ANTI join against the filtered order fact.
+    */
+  def q22Balance(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("c_acctbal") * 100, 0).cast("long")
+    val cust = customer(s, dir)
+    val stats = broadcast(
+      cust.filter(col("c_acctbal") > 0)
+        .agg(sum(cents).as("bal_cents"), count(lit(1)).as("bal_cnt")))
+    cust.crossJoin(stats)
+      .filter(cents * col("bal_cnt") > col("bal_cents"))
+      .join(orders(s, dir).filter(col("o_orderdate") >= lit("2000-01-01"))
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), dec2(sum(col("c_acctbal"))).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** B45: top supplier by quarterly revenue (TPC-H Q15 shape). Revenue
+    * accumulates in exact 10^-4-dollar integers so the global max and
+    * its ties are engine-identical (a float max could disagree by one
+    * ulp and drop a tying supplier); the max is a 1-row broadcast
+    * aggregate crossed back, never a driver scalar or global sort.
+    */
+  def q15TopSupp(s: SparkSession, dir: String): DataFrame = {
+    val rev = lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+              col("l_shipdate") < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revE4).as("rev_e4"))
+    val top = broadcast(rev.agg(max(col("rev_e4")).as("max_e4")))
+    rev.crossJoin(top).filter(col("rev_e4") === col("max_e4"))
+      .join(broadcast(supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+              dec2(round(col("rev_e4").cast("double") / 100.0, 0) / 100.0).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** B46: national market share (TPC-H Q8 shape): NATION_3's share of
+    * ASIA-customer revenue per order year. Customer-region and
+    * supplier-nation dim chains both broadcast; numerator and
+    * denominator are exact integer sums, so the published ratio is a
+    * division of two engine-identical integers.
+    */
+  def q8Share(s: SparkSession, dir: String): DataFrame = {
+    val asiaCust = broadcast(
+      customer(s, dir)
+        .join(nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(region(s, dir).filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey")))
+    val suppNation = broadcast(
+      supplier(s, dir)
+        .join(nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    lineitem(s, dir)
+      .join(orders(s, dir)
+              .filter(col("o_orderdate") >= lit("1996-01-01") &&
+                      col("o_orderdate") < lit("1998-01-01"))
+              .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_3", revE4).otherwise(0L)).as("nation_e4"),
+           sum(revE4).as("total_e4"))
+      .select(col("o_year"),
+              dec4(col("nation_e4").cast("double") / col("total_e4")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** B47: suppliers who kept orders waiting (TPC-H Q21 shape, adapted
+    * to shipped columns: in each multi-supplier order, blame the
+    * supplier holding the UNIQUE latest ship date; orders whose max is
+    * shared across suppliers are skipped). Two aggregates over the
+    * same order key — Catalyst reuses the exchange — then a broadcast
+    * name join; no correlated per-row subqueries survive into the plan.
+    */
+  def q21Waiting(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val ostats = li.groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("max_ship"),
+           countDistinct(col("l_suppkey")).as("nsupp"))
+      .filter(col("nsupp") >= 2)
+    val blame = li.join(ostats, Seq("l_orderkey"))
+      .filter(col("l_shipdate") === col("max_ship"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("maxsupp"),
+           min(col("l_suppkey")).as("blame_supp"))
+      .filter(col("maxsupp") === 1)
+    blame
+      .join(broadcast(supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+            col("blame_supp") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above. */
   val oracles: Map[String, String] = Map(
+    "q4_orderprio" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_priority" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q17_smallqty" ->
+      """WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#23'),
+        |stats AS (SELECT l_partkey AS sp, SUM(CAST(l_quantity AS BIGINT)) AS qty_sum,
+        |    COUNT(*) AS qty_cnt FROM li GROUP BY 1)
+        |SELECT CAST(ROUND(ROUND(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT))/7.0, 0)/100.0, 2)
+        |  AS DECIMAL(18,2))::DOUBLE AS avg_yearly
+        |FROM li JOIN stats ON l_partkey = sp
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * qty_cnt < qty_sum""".stripMargin,
+    "q22_balance" ->
+      """WITH s AS (SELECT SUM(CAST(ROUND(c_acctbal*100,0) AS BIGINT)) AS bal_cents,
+        |    COUNT(*) AS bal_cnt FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(ROUND(SUM(c_acctbal),2) AS DECIMAL(18,2))::DOUBLE AS totacctbal
+        |FROM customer, s
+        |WHERE CAST(ROUND(c_acctbal*100,0) AS BIGINT) * bal_cnt > bal_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_topsupp" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+        |        * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))) AS rev_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  CAST(ROUND(ROUND(rev_e4/100.0, 0)/100.0, 2) AS DECIMAL(18,2))::DOUBLE AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_e4 = (SELECT MAX(rev_e4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q8_share" ->
+      """WITH j AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |    sn.n_name AS supp_nation,
+        |    CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT)) AS rev_e4
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_year,
+        |  CAST(ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_e4 ELSE 0 END) AS DOUBLE)
+        |    / SUM(rev_e4), 4) AS DECIMAL(18,4))::DOUBLE AS mkt_share
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_waiting" ->
+      """WITH os AS (SELECT l_orderkey, MAX(l_shipdate) AS max_ship,
+        |    COUNT(DISTINCT l_suppkey) AS nsupp FROM lineitem GROUP BY 1),
+        |blame AS (SELECT l.l_orderkey, MIN(l.l_suppkey) AS blame_supp
+        |  FROM lineitem l JOIN os ON l.l_orderkey = os.l_orderkey
+        |  WHERE l.l_shipdate = os.max_ship AND os.nsupp >= 2
+        |  GROUP BY 1 HAVING COUNT(DISTINCT l.l_suppkey) = 1)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM blame JOIN supplier ON blame_supp = s_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q_ffill" ->
       """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
         |    CAST(ROUND(SUM(value),2) AS DECIMAL(18,2))::DOUBLE AS day_sum

@@ -30,6 +30,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("Q8 market share broadcasts both dim chains, facts never sort-merge") {
+    val p = plan(Relational.q8Share(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"q8 lost its broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q8 degraded to SortMergeJoin:\n$p")
+  }
+
+  test("Q4 EXISTS stays a semi join (no duplicate-building inner join)") {
+    val p = plan(Relational.q4OrderPrio(spark, sfDir))
+    assert(p.contains("LeftSemi"), s"q4's EXISTS is not a semi join:\n$p")
+  }
+
+  test("Q22 dormant-customer check stays an anti join") {
+    val p = plan(Relational.q22Balance(spark, sfDir))
+    assert(p.contains("LeftAnti"), s"q22's NOT EXISTS is not an anti join:\n$p")
+  }
+
   test("fact-scan predicates reach the parquet source") {
     val p = plan(Relational.q1Pricing(spark, sfDir))
     // constraint propagation is off (GraftSession), so no inferred
