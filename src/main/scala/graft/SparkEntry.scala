@@ -65,6 +65,10 @@ object SparkEntry {
     "q_knn_proba"      -> (Estimation.qKnnProba _),
     "q_kneighbors"     -> (Estimation.qKneighbors _),
     "q_std_scaler"     -> (Estimation.qStdScaler _),
+    "q_maxabs"         -> (Estimation.qMaxAbs _),
+    "q_winsorize"      -> (Estimation.qWinsorize _),
+    "q_ridge"          -> (Estimation.qRidge _),
+    "q_target_enc"     -> (Estimation.qTargetEnc _),
     "q_minmax_scaler"  -> (Estimation.qMinMaxScaler _),
     "q_robust_scaler"  -> (Estimation.qRobustScaler _),
     "q_l2norm"         -> (Estimation.qL2Norm _),

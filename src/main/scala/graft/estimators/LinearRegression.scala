@@ -81,3 +81,46 @@ final case class LinearRegressionModel(
     ff.df.select(ff.idCols.map(col) ++ preds: _*)
   }
 }
+
+/** Ridge regression (L2-penalized OLS, intercept unpenalized), d = 2,
+  * solved in CLOSED FORM so an external engine can replicate the fit
+  * bit-for-bit: the fit aggregate accumulates the nine raw moments
+  * n, Σx₁, Σx₂, Σy, Σx₁², Σx₁x₂, Σx₂², Σx₁y, Σx₂y — when the feature
+  * and target encodings are integer-valued (the caller's contract,
+  * e.g. counts / whole percents / cents), every partial sum is exact
+  * and order-independent — then derives the weights with one fixed
+  * float op sequence (centered Cramer) that the SQL oracle mirrors
+  * verbatim:
+  *   a11 = s11 − s1·s1/n + α     a12 = s12 − s1·s2/n
+  *   a22 = s22 − s2·s2/n + α     b1 = s1y − s1·sy/n   b2 = s2y − s2·sy/n
+  *   w1 = (b1·a22 − b2·a12)/(a11·a22 − a12·a12)
+  *   w2 = (a11·b2 − a12·b1)/(a11·a22 − a12·a12)
+  *   b0 = sy/n − w1·(s1/n) − w2·(s2/n)
+  * Predict is the codegen'd dot product, as in LinearRegression.
+  */
+final case class RidgeRegression(alpha: Double) extends FeatureEstimator[LinearRegressionModel] {
+  def fit(train: DataFrame, featureCols: Seq[String], targetCols: Seq[String]): LinearRegressionModel = {
+    require(featureCols.length == 2 && targetCols.length == 1,
+      "RidgeRegression ships the closed-form d=2, t=1 solve (the SQL-replicable path)")
+    val Seq(x1, x2) = featureCols.map(c => col(c).cast("double"))
+    val y = col(targetCols.head).cast("double")
+    val r = train.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(x1).as("s1"), sum(x2).as("s2"), sum(y).as("sy"),
+      sum(x1 * x1).as("s11"), sum(x1 * x2).as("s12"), sum(x2 * x2).as("s22"),
+      sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y")).collect()(0)
+    val (n, s1, s2, sy) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val (s11, s12, s22, s1y, s2y) =
+      (r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8))
+    val a11 = s11 - s1 * s1 / n + alpha
+    val a12 = s12 - s1 * s2 / n
+    val a22 = s22 - s2 * s2 / n + alpha
+    val b1 = s1y - s1 * sy / n
+    val b2 = s2y - s2 * sy / n
+    val w1 = (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12)
+    val w2 = (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12)
+    val b0 = sy / n - w1 * (s1 / n) - w2 * (s2 / n)
+    LinearRegressionModel(featureCols, targetCols, Seq(b0),
+      Seq(Map(featureCols(0) -> w1, featureCols(1) -> w2)))
+  }
+}

@@ -230,3 +230,71 @@ final case class KBinsModel(
         }: _*)
   }
 }
+
+/** x / max(|x|), sklearn MaxAbsScaler semantics — preserves sparsity
+  * and sign; fit is one min/max aggregate (the max-abs derives from
+  * the two exact column extremes, no abs() scan needed).
+  */
+final case class MaxAbsScaler(outPrefix: String = "scaled_")
+    extends FeatureEstimator[MaxAbsScalerModel] {
+  def fit(train: DataFrame, featureCols: Seq[String], targetCols: Seq[String] = Nil): MaxAbsScalerModel = {
+    val aggs = featureCols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"min_$c"), max(col(c)).cast("double").as(s"max_$c")))
+    val r = train.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val params = featureCols.zipWithIndex.map { case (c, i) =>
+      val lo = r.getDouble(2 * i); val hi = r.getDouble(2 * i + 1)
+      c -> (math.max(math.abs(lo), math.abs(hi)), 0.0) // (scale=max|x|, offset=0)
+    }.toMap
+    MaxAbsScalerModel(featureCols, params, outPrefix)
+  }
+}
+
+final case class MaxAbsScalerModel(
+    featureNames: Seq[String],
+    protected val params: Map[String, (Double, Double)],
+    protected val outPrefix: String
+) extends AffineScalerModel
+
+/** Percentile clipping (winsorization) — values outside the fitted
+  * [p_lo, p_hi] exact percentiles clamp to the boundary. Fit is one
+  * distributed exact-percentile aggregate (same type-7 interpolation
+  * contract as RobustScaler); transform is a codegen'd
+  * greatest(lo, least(hi, x)) with no shuffle.
+  */
+final case class Winsorizer(pLo: Double = 0.05, pHi: Double = 0.95,
+    outPrefix: String = "w_") extends FeatureEstimator[WinsorizerModel] {
+  def fit(train: DataFrame, featureCols: Seq[String], targetCols: Seq[String] = Nil): WinsorizerModel = {
+    require(pLo < pHi, "pLo must be < pHi")
+    val aggs = featureCols.flatMap(c => Seq(
+      percentile(col(c), lit(pLo)).as(s"lo_$c"),
+      percentile(col(c), lit(pHi)).as(s"hi_$c")))
+    val r = train.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val bounds = featureCols.zipWithIndex.map { case (c, i) =>
+      c -> (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+    }.toMap
+    WinsorizerModel(featureCols, bounds, outPrefix)
+  }
+}
+
+final case class WinsorizerModel(
+    featureNames: Seq[String],
+    bounds: Map[String, (Double, Double)],
+    outPrefix: String
+) extends FittedTransform with graft.core.ContractedOutputs {
+  def outputFeatureNames: Seq[String] = featureNames.map(c => s"$outPrefix$c")
+
+  def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame =
+    transform(frame, opts)
+
+  def transform(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
+    val ff = frame.validated(featureNames)
+    val contracted = outputContract(ff.df.sparkSession, opts)
+    val mask = ff.noDataMask
+    ff.df.select(
+      ff.idCols.map(col) ++
+        ff.featureCols.map { c =>
+          val (lo, hi) = bounds(c)
+          contracted(greatest(lit(lo), least(lit(hi), col(c))), mask).as(s"$outPrefix$c")
+        }: _*)
+  }
+}

@@ -230,6 +230,65 @@ object Estimation {
       .orderBy(col("li_id"))
   }
 
+  /** A7f: MaxAbsScaler.transform — x/max|x|, sparsity- and
+    * sign-preserving; fit reuses the min/max aggregate (max-abs
+    * derives from the two extremes, no abs() pass).
+    */
+  def qMaxAbs(s: SparkSession, dir: String): DataFrame = {
+    val model = MaxAbsScaler().fit(trainLi(s, dir), scaleFeatures)
+    model.transform(FeatureFrame(li(s, dir), Seq("li_id"), scaleFeatures))
+      .select(col("li_id") +:
+        scaleFeatures.map(c => dec4(col(s"scaled_$c")).as(s"scaled_$c")): _*)
+      .orderBy(col("li_id"))
+  }
+
+  /** A7g: percentile winsorization — clamp to the fitted exact
+    * [p05, p95]; transform is a codegen'd greatest/least chain.
+    */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val model = Winsorizer(0.05, 0.95).fit(trainLi(s, dir), scaleFeatures)
+    model.transform(FeatureFrame(li(s, dir), Seq("li_id"), scaleFeatures))
+      .select(col("li_id") +:
+        scaleFeatures.map(c => dec4(col(s"w_$c")).as(s"w_$c")): _*)
+      .orderBy(col("li_id"))
+  }
+
+  /** A9c: ridge regression (α=1000, intercept unpenalized) on
+    * integer-encoded features (count, whole percent) and a cents
+    * target, so every fit moment is an exact order-independent sum and
+    * the closed-form Cramer solve is bit-replicable cross-engine.
+    */
+  def qRidge(s: SparkSession, dir: String): DataFrame = {
+    def enc(df: DataFrame): DataFrame = df
+      .withColumn("x1", col("l_quantity").cast("double"))
+      .withColumn("x2", round(col("l_discount") * 100, 0).cast("double"))
+      .withColumn("y_cents", round(col("l_extendedprice") * 100, 0).cast("double"))
+    val model = RidgeRegression(alpha = 1000.0)
+      .fit(enc(trainLi(s, dir)), Seq("x1", "x2"), Seq("y_cents"))
+    model.predict(FeatureFrame(enc(li(s, dir)), Seq("li_id"), Seq("x1", "x2")))
+      .select(col("li_id"), dec2(col("y_cents") / 100.0).as("prediction"))
+      .orderBy(col("li_id"))
+  }
+
+  /** A20: smoothed target-mean encoding of the supplier key (m=10) —
+    * the high-cardinality categorical featurizer. Fitted state is one
+    * row per category (dim-scale), broadcast-joined back over the fact
+    * side; categories outside the training slice encode to the prior.
+    */
+  def qTargetEnc(s: SparkSession, dir: String): DataFrame = {
+    def enc(df: DataFrame): DataFrame =
+      df.withColumn("y_cents", round(col("l_extendedprice") * 100, 0).cast("double"))
+    val model = TargetEncoder("l_suppkey", "y_cents", smoothing = 10.0)
+      .fit(enc(trainLi(s, dir)))
+    model.transform(enc(li(s, dir)), Seq("li_id"))
+      // 4dp-dollar output via an INTEGER rounding boundary (cents×100):
+      // integer-quotient ties are exact binary .5s both engines round
+      // alike, unlike a direct dec4 of the quotient (see TargetEncoder)
+      .select(col("li_id"),
+              (round(col("enc_l_suppkey") * 100, 0) / 10000.0).as("enc_supp"))
+      .orderBy(col("li_id"))
+  }
+
   /** A7b: rank/quantile normalization (QuantileTransformer family) —
     * each row's feature maps to its normalized rank pos/(n-1) with a
     * deterministic id tie-break; exact integer arithmetic until one
@@ -714,6 +773,62 @@ object Estimation {
           |  CAST(ROUND((l_extendedprice-m2)/s2,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_extendedprice,
           |  CAST(ROUND((l_discount-m3)/s3,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_discount
           |FROM lineitem CROSS JOIN sg ORDER BY li_id""".stripMargin,
+      "q_maxabs" ->
+        s"""WITH $train,
+          |st AS (SELECT
+          |  GREATEST(ABS(MIN(l_quantity)), ABS(MAX(l_quantity))) AS s1,
+          |  GREATEST(ABS(MIN(l_extendedprice)), ABS(MAX(l_extendedprice))) AS s2,
+          |  GREATEST(ABS(MIN(l_discount)), ABS(MAX(l_discount))) AS s3
+          |  FROM train)
+          |SELECT $uidSql AS li_id,
+          |  CAST(ROUND(l_quantity/s1,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_quantity,
+          |  CAST(ROUND(l_extendedprice/s2,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_extendedprice,
+          |  CAST(ROUND(l_discount/s3,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_discount
+          |FROM lineitem CROSS JOIN st ORDER BY li_id""".stripMargin,
+      "q_winsorize" ->
+        s"""WITH $train,
+          |st AS (SELECT
+          |  quantile_cont(l_quantity,0.05) AS lo1, quantile_cont(l_quantity,0.95) AS hi1,
+          |  quantile_cont(l_extendedprice,0.05) AS lo2, quantile_cont(l_extendedprice,0.95) AS hi2,
+          |  quantile_cont(l_discount,0.05) AS lo3, quantile_cont(l_discount,0.95) AS hi3
+          |  FROM train)
+          |SELECT $uidSql AS li_id,
+          |  CAST(ROUND(GREATEST(lo1, LEAST(hi1, l_quantity)),4) AS DECIMAL(18,4))::DOUBLE AS w_l_quantity,
+          |  CAST(ROUND(GREATEST(lo2, LEAST(hi2, l_extendedprice)),4) AS DECIMAL(18,4))::DOUBLE AS w_l_extendedprice,
+          |  CAST(ROUND(GREATEST(lo3, LEAST(hi3, l_discount)),4) AS DECIMAL(18,4))::DOUBLE AS w_l_discount
+          |FROM lineitem CROSS JOIN st ORDER BY li_id""".stripMargin,
+      "q_ridge" ->
+        s"""WITH $train,
+          |t AS (SELECT CAST(l_quantity AS DOUBLE) AS x1,
+          |    CAST(ROUND(l_discount*100,0) AS DOUBLE) AS x2,
+          |    CAST(ROUND(l_extendedprice*100,0) AS DOUBLE) AS y FROM train),
+          |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x1) AS s1, SUM(x2) AS s2,
+          |    SUM(y) AS sy, SUM(x1*x1) AS s11, SUM(x1*x2) AS s12, SUM(x2*x2) AS s22,
+          |    SUM(x1*y) AS s1y, SUM(x2*y) AS s2y FROM t),
+          |a AS (SELECT n, s1, s2, sy,
+          |  s11 - s1*s1/n + 1000.0 AS a11, s12 - s1*s2/n AS a12,
+          |  s22 - s2*s2/n + 1000.0 AS a22,
+          |  s1y - s1*sy/n AS b1, s2y - s2*sy/n AS b2 FROM m),
+          |w AS (SELECT n, s1, s2, sy,
+          |  (b1*a22 - b2*a12)/(a11*a22 - a12*a12) AS w1,
+          |  (a11*b2 - a12*b1)/(a11*a22 - a12*a12) AS w2 FROM a),
+          |f AS (SELECT w1, w2, sy/n - w1*(s1/n) - w2*(s2/n) AS b0 FROM w)
+          |SELECT $uidSql AS li_id,
+          |  CAST(ROUND((b0 + CAST(l_quantity AS DOUBLE)*w1
+          |    + CAST(ROUND(l_discount*100,0) AS DOUBLE)*w2)/100.0,2)
+          |    AS DECIMAL(18,2))::DOUBLE AS prediction
+          |FROM lineitem CROSS JOIN f ORDER BY li_id""".stripMargin,
+      "q_target_enc" ->
+        s"""WITH $train,
+          |g AS (SELECT l_suppkey AS gk, SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT))::DOUBLE AS s,
+          |    CAST(COUNT(*) AS DOUBLE) AS c FROM train GROUP BY 1),
+          |p AS (SELECT FLOOR(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT))::DOUBLE
+          |    / CAST(COUNT(*) AS DOUBLE) + 0.5) AS prior FROM train)
+          |SELECT $uidSql AS li_id,
+          |  ROUND((COALESCE(g.s, 0.0) + 10.0*p.prior)/(COALESCE(g.c, 0.0) + 10.0)*100.0, 0)
+          |    / 10000.0 AS enc_supp
+          |FROM lineitem CROSS JOIN p LEFT JOIN g ON lineitem.l_suppkey = g.gk
+          |ORDER BY li_id""".stripMargin,
       "q_l2norm" ->
         s"""WITH n AS (SELECT *,
           |  sqrt(l_quantity*l_quantity + l_extendedprice*l_extendedprice

@@ -74,4 +74,49 @@ class ScalersSpec extends AnyFunSuite {
     assert(math.abs(m.coefficients(0)("x") - 1.0) < 1e-9)
     assert(math.abs(m.coefficients(1)("x") + 2.0) < 1e-9)
   }
+  test("maxabs scaler divides by max |x| and preserves sign") {
+    val in = Seq((1L, -4.0, 1.0), (2L, 2.0, -5.0), (3L, 1.0, 2.5)).toDF("id", "a", "b")
+    val m = graft.estimators.MaxAbsScaler().fit(in, Seq("a", "b"))
+    val r = m.transform(FeatureFrame(in, Seq("id"), Seq("a", "b"))).orderBy("id").collect()
+    assert(r.map(_.getDouble(1)).toSeq == Seq(-1.0, 0.5, 0.25))
+    assert(r.map(_.getDouble(2)).toSeq == Seq(0.2, -1.0, 0.5))
+  }
+
+  test("winsorizer clamps outside the fitted percentiles and keeps the middle") {
+    val in = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "a")
+    val m = graft.estimators.Winsorizer(0.05, 0.95).fit(in, Seq("a"))
+    val r = m.transform(FeatureFrame(in, Seq("id"), Seq("a"))).orderBy("id").collect()
+    val lo = 1.0 + 0.05 * 99 // type-7 percentile of 1..100
+    val hi = 1.0 + 0.95 * 99
+    assert(r(0).getDouble(1) == lo)   // 1 clamps up
+    assert(r(99).getDouble(1) == hi)  // 100 clamps down
+    assert(r(49).getDouble(1) == 50.0) // middle untouched
+  }
+
+  test("ridge with alpha=0 matches OLS; alpha shrinks toward the mean") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val x1 = (rnd.nextInt(50) + 1).toDouble; val x2 = (rnd.nextInt(10) + 1).toDouble
+      (i.toLong, x1, x2, 5.0 + 3.0 * x1 - 2.0 * x2)
+    }
+    val df = rows.toDF("id", "x1", "x2", "y")
+    val r0 = graft.estimators.RidgeRegression(alpha = 0.0).fit(df, Seq("x1", "x2"), Seq("y"))
+    assert(math.abs(r0.coefficients.head("x1") - 3.0) < 1e-8)
+    assert(math.abs(r0.coefficients.head("x2") + 2.0) < 1e-8)
+    assert(math.abs(r0.intercepts.head - 5.0) < 1e-6)
+    val r1 = graft.estimators.RidgeRegression(alpha = 1e6).fit(df, Seq("x1", "x2"), Seq("y"))
+    assert(math.abs(r1.coefficients.head("x1")) < math.abs(r0.coefficients.head("x1")))
+    assert(math.abs(r1.coefficients.head("x2")) < math.abs(r0.coefficients.head("x2")))
+  }
+
+  test("target encoder: seen keys blend toward the prior, unseen keys get it exactly") {
+    val fit = Seq(("a", 100.0), ("a", 200.0), ("b", 1000.0)).toDF("k", "y")
+    val m = graft.estimators.TargetEncoder("k", "y", smoothing = 1.0).fit(fit)
+    val prior = math.floor((100.0 + 200.0 + 1000.0) / 3 + 0.5) // 433
+    val apply = Seq((1L, "a"), (2L, "b"), (3L, "zzz")).toDF("id", "k")
+    val r = m.transform(apply, Seq("id")).orderBy("id").collect()
+    assert(r(0).getDouble(1) == (300.0 + prior) / 3.0)  // (sum + m*prior)/(n + m)
+    assert(r(1).getDouble(1) == (1000.0 + prior) / 2.0)
+    assert(r(2).getDouble(1) == prior)                  // unseen -> prior
+  }
 }
