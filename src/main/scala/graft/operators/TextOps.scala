@@ -705,6 +705,93 @@ object TextOps {
       .orderBy(col("keeper_id"))
   }
 
+  /** C20: PII detection + redaction — the corpus-hygiene pass every
+    * training pipeline runs before release. Deterministic synthesis
+    * (emails/phones/IPs injected from doc fields, as q_urlnorm
+    * synthesizes URLs) keeps the oracle exact; detection and redaction
+    * are pure codegen'd regex work — zero shuffle, scales linearly.
+    */
+  def qPii(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val email = concat(col("source"), lit("_"), id, lit("@example.com"))
+    val phone = concat(lit("555-"), lpad((id % 10000).cast("string"), 4, "0"))
+    val ip = concat(lit("10."), id % 256,
+      lit("."), (id / 7).cast("long") % 256, lit("."), (id / 13).cast("long") % 256)
+    val injected = concat(col("text"),
+      when(id % 3 === 0, concat(lit(" contact "), email)).otherwise(lit("")),
+      when(id % 4 === 0, concat(lit(" call "), phone)).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" host "), ip)).otherwise(lit("")))
+    val emailRe = "[a-z0-9_]+@[a-z0-9.]+\\.com"
+    val phoneRe = "555-[0-9]{4}"
+    val ipRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    documents(s, dir)
+      .select(col("doc_id"), injected.as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(emailRe)).cast("long").as("n_email"),
+        regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phone"),
+        regexp_count(col("t"), lit(ipRe)).cast("long").as("n_ip"),
+        md5(regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"),
+          ipRe, "<IP>")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C21: stratified (language-balanced) sampling — ~60 docs per
+    * language via a deterministic hash-threshold: keep iff
+    * `md5_52("strat|"+id) % n_lang < quota`. NO per-language window
+    * (a language-partitioned row_number would put every "en" doc in
+    * one task at corpus scale — the exact skew the q_rank_norm lesson
+    * bans); per-language counts are a 5-row broadcast aggregate, the
+    * keep test is codegen'd per row. Quota holds in expectation — the
+    * cost of the shuffle-free plan — and the draw is reproducible.
+    */
+  def qStratified(s: SparkSession, dir: String): DataFrame = {
+    val quota = 60
+    val counts = documents(s, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+    documents(s, dir)
+      .join(broadcast(counts), "lang")
+      .filter(T.hexPrefix52(concat(lit("strat|"), col("doc_id"))) % col("n_lang") < quota)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C22: cross-document substring-duplication candidates — pairs of
+    * docs sharing ≥2 winnowing fingerprints (Schleimer et al.: any
+    * shared substring ≥ k+w−1 chars guarantees a shared fingerprint,
+    * so heavy fingerprint overlap flags copied spans, the approximate
+    * stand-in for suffix-array exact substring dedup at corpus scale).
+    * Per-doc fingerprints come from the same compiled winnow kernel as
+    * C9; pair generation is a fingerprint-bucket join with bucket size
+    * capped at 8 (rare-fingerprint blocking, same df-cap contract as
+    * the shingle index) — candidate volume O(docs × fps), never
+    * O(docs²).
+    */
+  def qFpOverlap(s: SparkSession, dir: String): DataFrame = {
+    val fpSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+    val fps = fanOut(documents(s, dir).select(col("doc_id"), col("text")))
+      .mapPartitions { it =>
+        it.flatMap { row =>
+          TextKernels.winnow(row.getString(1), k = 8, w = 4)
+            .distinct.map(h => Row(row.getLong(0), h))
+        }
+      }(Encoders.row(fpSchema))
+    fps.groupBy(col("fp"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= 8)
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Shared oracle SQL fragments (DuckDB dialect). */
   private val baseSql =
     """base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
@@ -775,13 +862,17 @@ object TextOps {
     * JVM charAt a UTF-16 unit — equal only below U+10000; the corpus
     * vocab including the zh markers is BMP).
     */
-  private val fingerprintSql: String = {
+  /** Winnowing CTE chain shared by q_fingerprint and q_fp_overlap:
+    * per-position rolling hash (`g`), rightmost-min window selection
+    * (`selp`), single-min fallback for sub-window docs (`small`).
+    */
+  private val winnowCteSql: String = {
     val (b, m) = (1000003L, 2147483647L)
     val pw = Array.iterate(1L, 8)(p => p * b % m)
     val terms = (0 until 8)
       .map(t => s"ascii(substr(text, i+$t, 1)) * ${pw(7 - t)}::BIGINT")
       .mkString(" + ")
-    s"""WITH d AS (SELECT doc_id, text, length(text) - 7 AS ng FROM documents),
+    s"""d AS (SELECT doc_id, text, length(text) - 7 AS ng FROM documents),
       |g AS (SELECT doc_id, i, ($terms) % $m AS h
       |  FROM d, (SELECT unnest(range(1, (SELECT MAX(length(text))+1 FROM documents))) AS i) r
       |  WHERE d.ng >= 1 AND i <= d.ng),
@@ -791,10 +882,14 @@ object TextOps {
       |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk FROM k),
       |selp AS (SELECT DISTINCT doc_id, 1048575 - (mk % 1048576) AS pos, mk // 1048576 AS h
       |  FROM wmin WHERE i <= ng - 3),
-      |big AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_fp, MIN(h) AS min_fp, MAX(h) AS max_fp
-      |  FROM selp GROUP BY 1),
       |small AS (SELECT doc_id, 1 AS n_fp, MIN(h) AS mn FROM g
-      |  WHERE doc_id IN (SELECT doc_id FROM d WHERE ng BETWEEN 1 AND 4) GROUP BY 1)
+      |  WHERE doc_id IN (SELECT doc_id FROM d WHERE ng BETWEEN 1 AND 4) GROUP BY 1)""".stripMargin
+  }
+
+  private val fingerprintSql: String = {
+    s"""WITH $winnowCteSql,
+      |big AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_fp, MIN(h) AS min_fp, MAX(h) AS max_fp
+      |  FROM selp GROUP BY 1)
       |SELECT d.doc_id,
       |  COALESCE(big.n_fp, small.n_fp, 0) AS n_fp,
       |  COALESCE(big.min_fp, small.mn) AS min_fp,
@@ -881,6 +976,41 @@ object TextOps {
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY 1,2""".stripMargin,
     "q_fingerprint" -> fingerprintSql,
+    "q_pii" ->
+      """WITH t AS (SELECT doc_id,
+        |  text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' contact ' || source || '_' || doc_id || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || (doc_id % 256) || '.' || ((doc_id // 7) % 256) || '.' || ((doc_id // 13) % 256) ELSE '' END
+        |  AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(LEN(regexp_extract_all(t, '[a-z0-9_]+@[a-z0-9.]+\.com')) AS BIGINT) AS n_email,
+        |  CAST(LEN(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  CAST(LEN(regexp_extract_all(t, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9_]+@[a-z0-9.]+\.com', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g')) AS redacted_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_stratified" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1)
+        |SELECT doc_id, lang FROM documents JOIN c USING (lang)
+        |WHERE CAST(${T.hexPrefix52Sql("md5('strat|' || doc_id)")} AS BIGINT) % n_lang < 60
+        |ORDER BY doc_id""".stripMargin,
+    "q_fp_overlap" ->
+      s"""WITH $winnowCteSql,
+        |fpbig AS (SELECT DISTINCT doc_id, h FROM selp),
+        |fpall AS (SELECT doc_id, h FROM fpbig
+        |  UNION ALL
+        |  SELECT doc_id, mn AS h FROM small
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM fpbig)),
+        |bu AS (SELECT h FROM fpall GROUP BY 1
+        |  HAVING COUNT(*) > 1 AND COUNT(*) <= 8)
+        |SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_shared
+        |FROM fpall x JOIN fpall y ON x.h = y.h AND x.doc_id < y.doc_id
+        |JOIN bu ON x.h = bu.h
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY 1, 2""".stripMargin,
     "q_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 2""".stripMargin,
