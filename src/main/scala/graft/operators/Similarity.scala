@@ -687,10 +687,14 @@ object Similarity {
     * wise, assign cells by ranked centroid dot, probe each query's top-2
     * cells, rerank exact cosine over cell members only.
     */
-  private val annIvfSql: String = {
+  /** IVF coarse-quantizer CTE chain shared by q_ann_ivf and
+    * q_cluster_sample: centroid rebuild (`cnorm`), per-vector cell
+    * ranks (`cellr`), final cell assignment (`cell`).
+    */
+  private val ivfCellCteSql: String = {
     val u = (t: String) =>
       graft.functions.TextFunctions.hexPrefix52Sql(s"md5('ivf|'||p||'|'||j||'|$t')")
-    s"""WITH pz AS (
+    s"""pz AS (
       |  SELECT p, j,
       |    sqrt(-2*ln((${u("1")} + 1.0)/4503599627370496.0))
       |      * cos(2*pi()*(${u("2")}/4503599627370496.0)) AS z
@@ -704,7 +708,11 @@ object Similarity {
       |cellr AS (SELECT vec_id, p,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, p) AS rn
       |  FROM cd),
-      |cell AS (SELECT vec_id, p FROM cellr WHERE rn = 1),
+      |cell AS (SELECT vec_id, p FROM cellr WHERE rn = 1)""".stripMargin
+  }
+
+  private val annIvfSql: String = {
+    s"""WITH $ivfCellCteSql,
       |probes AS (SELECT vec_id, p FROM cellr
       |  WHERE rn <= 2 AND vec_id % 50 = 0 AND vec_id < 5000),
       |cand AS (SELECT DISTINCT pr.vec_id AS q_id, c.vec_id
@@ -812,6 +820,36 @@ object Similarity {
     * paper's recall trade-off); the exact-recall alternative is the
     * D2 triangle join.
     */
+  /** D10: cluster-balanced sampling — the curation counterpart of IVF:
+    * draw ~`quota` vectors per coarse-quantizer cell so a training
+    * subset covers embedding space instead of mirroring its density
+    * (dense regions are down-weighted, sparse ones kept). Cell
+    * assignment reuses the EXACT D6 quantizer (ivfCentroids/ivfCell);
+    * the draw is the same deterministic hash-threshold rule as the
+    * stratified text sampler — no per-cell window, no skew, one 16-row
+    * broadcast aggregate; the corpus streams through the assignment
+    * kernel twice (count pass + keep pass), never shuffles.
+    */
+  def qClusterSample(s: SparkSession, dir: String): DataFrame = {
+    val quota = 40
+    val cents = ivfCentroids()
+    val bc = s.sparkContext.broadcast(cents)
+    val cellSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("cell", IntegerType, nullable = false)))
+    val cells = fanOut(emb(s, dir).select(col("vec_id"), col("v")))
+      .mapPartitions { it =>
+        val c = bc.value
+        it.map(row => Row(row.getLong(0), ivfCell(c, row.getSeq[Double](1).toArray)))
+      }(Encoders.row(cellSchema))
+    val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    cells.join(broadcast(counts), "cell")
+      .filter(graft.functions.TextFunctions.hexPrefix52(
+        concat(lit("cs|"), col("vec_id"))) % col("n_cell") < quota)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .orderBy(col("vec_id"))
+  }
+
   def qSemDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tau = 0.35
@@ -918,6 +956,13 @@ object Similarity {
     "q_ann_lsh" -> annLshSql(probe1 = false),
     "q_ann_multiprobe" -> annLshSql(probe1 = true),
     "q_ann_ivf" -> annIvfSql,
+    "q_cluster_sample" ->
+      s"""WITH $ivfCellCteSql,
+        |cnt AS (SELECT p, COUNT(*) AS n_cell FROM cell GROUP BY 1)
+        |SELECT c.vec_id, CAST(c.p AS BIGINT) AS cell
+        |FROM cell c JOIN cnt ON c.p = cnt.p
+        |WHERE CAST(${graft.functions.TextFunctions.hexPrefix52Sql("md5('cs|' || c.vec_id)")} AS BIGINT) % n_cell < 40
+        |ORDER BY c.vec_id""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 5000),
