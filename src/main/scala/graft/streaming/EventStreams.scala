@@ -157,6 +157,40 @@ object EventStreams {
         })
   }
 
+  /** F7 output: one row per (user, rank) — the user's current top-N
+    * events by value. Update-mode changelog: re-emitted whenever the
+    * user's top set changes; readers keep the last row per (user, rn).
+    */
+  final case class TopNOut(user_id: Long, rn: Int, event_id: Long, value: Double)
+
+  /** F7: streaming per-key top-N (batch twin B5 topNPerKey): each
+    * user's N largest events by (value desc, event_id asc), maintained
+    * incrementally via flatMapGroupsWithState. State is the BOUNDED
+    * top-N array per user — O(N) per key regardless of stream length,
+    * the streaming analogue of B5's "never a global sort" posture; a
+    * batch that does not change a user's top set emits nothing.
+    */
+  def topNStream(events: Dataset[Ev], n: Int = 3): Dataset[TopNOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[Ev], state: GroupState[Array[TopNOut]]) => {
+          val prev = state.getOption.getOrElse(Array.empty[TopNOut])
+          // merge: previous top-N + new events, keep the N best
+          val merged = (prev.map(t => (t.value, t.event_id)) ++
+              batch.map(e => (e.value, e.event_id)))
+            .distinct
+            .sortBy { case (v, id) => (-v, id) }
+            .take(n)
+          val next = merged.zipWithIndex.map { case ((v, id), i) =>
+            TopNOut(uid, i + 1, id, v)
+          }
+          if (next.sameElements(prev)) Iterator.empty
+          else { state.update(next); next.iterator }
+        })
+  }
+
   /** F6 input: a vector upsert — `ts` is the version (epoch micros). */
   final case class VecUpsert(vec_id: Long, v: Array[Double], ts: Long)
 

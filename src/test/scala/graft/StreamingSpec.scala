@@ -130,6 +130,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F7 streaming per-key top-N equals batch topNPerKey across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.topNStream(input.toDS(), n = 3).writeStream
+      .format("memory").queryName("t_out").outputMode("update").start()
+    try {
+      val evs = eventRows
+      val third = evs.length / 3
+      input.addData(evs.take(third)); q.processAllAvailable()
+      input.addData(evs.slice(third, 2 * third)); q.processAllAvailable()
+      input.addData(evs.drop(2 * third)); q.processAllAvailable()
+      // last update per (user, rn) is the final top-N row
+      val rows = spark.table("t_out").collect()
+      val got = rows.zipWithIndex
+        .map { case (r, i) => (r.getLong(0), r.getInt(1)) -> (i, r.getLong(2), r.getDouble(3)) }
+        .groupBy(_._1).view.mapValues(v => { val x = v.maxBy(_._2._1)._2; (x._2, x._3) }).toMap
+      val expected = graft.operators.Windowed.topNPerKey(
+          Tables.events(spark, sfDir)
+            .select(col("user_id"), col("event_id"), col("value")),
+          Seq("user_id"), order = col("value"), tieBreak = col("event_id"), n = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(r.fieldIndex("rn"))) ->
+          (r.getLong(r.fieldIndex("event_id")), r.getDouble(r.fieldIndex("value"))))
+        .toMap
+      assert(got.size == expected.size)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
