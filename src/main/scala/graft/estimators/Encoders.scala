@@ -55,3 +55,31 @@ final case class TargetEncoderModel(
     joined.select(idCols.map(col) :+ enc.as(s"enc_$keyCol"): _*)
   }
 }
+
+/** One-hot encoding, sklearn OneHotEncoder(handle_unknown='ignore')
+  * semantics: fit learns each column's sorted distinct categories from
+  * the (small) training side; transform emits one 0/1 indicator column
+  * `<col>_<category>` per fitted category as pure codegen'd
+  * comparisons — unseen categories encode to all-zeros. Category sets
+  * are dim-scale by nature (they become physical columns), so the
+  * driver collect in fit is bounded by the output schema width.
+  */
+final case class OneHotEncoder(cols: Seq[String]) {
+  def fit(train: DataFrame): OneHotModel = {
+    val cats = cols.map { c =>
+      c -> train.select(col(c).cast("string")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+    }
+    OneHotModel(cats)
+  }
+}
+
+final case class OneHotModel(categories: Seq[(String, Seq[String])]) {
+  def transform(df: DataFrame, idCols: Seq[String]): DataFrame = {
+    val outs = categories.flatMap { case (c, cats) =>
+      cats.map(v =>
+        (col(c).cast("string") === v).cast("long").as(s"${c}_$v"))
+    }
+    df.select(idCols.map(col) ++ outs: _*)
+  }
+}

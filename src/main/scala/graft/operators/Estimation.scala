@@ -289,6 +289,33 @@ object Estimation {
       .orderBy(col("li_id"))
   }
 
+  /** A21: categorical Naive Bayes (Laplace +1) predicting the return
+    * flag from three discretized integer features. Scores are DOUBLE
+    * quotients of exact integer count products (no log(): libm ulp
+    * noise near argmax ties is the classic cross-engine flip) — see
+    * CategoricalNB.
+    */
+  def qNbayes(s: SparkSession, dir: String): DataFrame = {
+    def enc(df: DataFrame): DataFrame = df
+      .withColumn("f1", (col("l_quantity") / 10).cast("long"))
+      .withColumn("f2", round(col("l_discount") * 100, 0).cast("long"))
+      .withColumn("f3", round(col("l_tax") * 100, 0).cast("long"))
+    val model = CategoricalNB()
+      .fit(enc(trainLi(s, dir)), Seq("f1", "f2", "f3"), "l_returnflag")
+    model.predict(FeatureFrame(enc(li(s, dir)), Seq("li_id"), Seq("f1", "f2", "f3")))
+      .orderBy(col("li_id"))
+  }
+
+  /** A22: one-hot encoding of the two status categoricals — fit learns
+    * sorted category sets from the training slice, transform is one
+    * codegen'd 0/1 indicator column per category.
+    */
+  def qOneHot(s: SparkSession, dir: String): DataFrame = {
+    val model = OneHotEncoder(Seq("l_returnflag", "l_linestatus")).fit(trainLi(s, dir))
+    model.transform(li(s, dir), Seq("li_id"))
+      .orderBy(col("li_id"))
+  }
+
   /** A7b: rank/quantile normalization (QuantileTransformer family) —
     * each row's feature maps to its normalized rank pos/(n-1) with a
     * deterministic id tie-break; exact integer arithmetic until one
@@ -773,6 +800,40 @@ object Estimation {
           |  CAST(ROUND((l_extendedprice-m2)/s2,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_extendedprice,
           |  CAST(ROUND((l_discount-m3)/s3,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_discount
           |FROM lineitem CROSS JOIN sg ORDER BY li_id""".stripMargin,
+      "q_nbayes" ->
+        s"""WITH $train,
+          |tt AS (SELECT CAST(FLOOR(l_quantity/10) AS BIGINT) AS f1,
+          |    CAST(ROUND(l_discount*100,0) AS BIGINT) AS f2,
+          |    CAST(ROUND(l_tax*100,0) AS BIGINT) AS f3, l_returnflag AS c FROM train),
+          |cls AS (SELECT c, COUNT(*) AS n_c FROM tt GROUP BY 1),
+          |c1 AS (SELECT c, f1 AS v, COUNT(*) AS n FROM tt GROUP BY 1,2),
+          |c2 AS (SELECT c, f2 AS v, COUNT(*) AS n FROM tt GROUP BY 1,2),
+          |c3 AS (SELECT c, f3 AS v, COUNT(*) AS n FROM tt GROUP BY 1,2),
+          |vs AS (SELECT (SELECT COUNT(DISTINCT f1) FROM tt) AS v1,
+          |    (SELECT COUNT(DISTINCT f2) FROM tt) AS v2,
+          |    (SELECT COUNT(DISTINCT f3) FROM tt) AS v3),
+          |q AS (SELECT $uidSql AS li_id,
+          |    CAST(FLOOR(l_quantity/10) AS BIGINT) AS f1,
+          |    CAST(ROUND(l_discount*100,0) AS BIGINT) AS f2,
+          |    CAST(ROUND(l_tax*100,0) AS BIGINT) AS f3 FROM lineitem),
+          |s AS (SELECT li_id, cls.c,
+          |    CAST(cls.n_c * (COALESCE(c1.n,0)+1) * (COALESCE(c2.n,0)+1) * (COALESCE(c3.n,0)+1) AS DOUBLE)
+          |    / CAST((cls.n_c + v1) * (cls.n_c + v2) * (cls.n_c + v3) AS DOUBLE) AS sc
+          |  FROM q CROSS JOIN cls CROSS JOIN vs
+          |  LEFT JOIN c1 ON c1.c = cls.c AND c1.v = q.f1
+          |  LEFT JOIN c2 ON c2.c = cls.c AND c2.v = q.f2
+          |  LEFT JOIN c3 ON c3.c = cls.c AND c3.v = q.f3),
+          |r AS (SELECT li_id, c,
+          |    ROW_NUMBER() OVER (PARTITION BY li_id ORDER BY sc DESC, c) AS rn FROM s)
+          |SELECT li_id, c AS prediction FROM r WHERE rn = 1 ORDER BY li_id""".stripMargin,
+      "q_onehot" ->
+        s"""SELECT $uidSql AS li_id,
+          |  CAST(l_returnflag = 'A' AS BIGINT) AS l_returnflag_A,
+          |  CAST(l_returnflag = 'N' AS BIGINT) AS l_returnflag_N,
+          |  CAST(l_returnflag = 'R' AS BIGINT) AS l_returnflag_R,
+          |  CAST(l_linestatus = 'F' AS BIGINT) AS l_linestatus_F,
+          |  CAST(l_linestatus = 'O' AS BIGINT) AS l_linestatus_O
+          |FROM lineitem ORDER BY li_id""".stripMargin,
       "q_maxabs" ->
         s"""WITH $train,
           |st AS (SELECT

@@ -119,4 +119,30 @@ class ScalersSpec extends AnyFunSuite {
     assert(r(1).getDouble(1) == (1000.0 + prior) / 2.0)
     assert(r(2).getDouble(1) == prior)                  // unseen -> prior
   }
+  test("categorical NB: hand-computed smoothed counts and class-ascending ties") {
+    // train: f=0 -> mostly "a", f=1 -> mostly "b"
+    val fit = Seq((0L, "a"), (0L, "a"), (1L, "a"), (1L, "b"), (1L, "b"))
+      .toDF("f", "y")
+    val m = graft.estimators.CategoricalNB().fit(fit, Seq("f"), "y")
+    val in = Seq((1L, 0L), (2L, 1L), (3L, 99L)).toDF("id", "f")
+    val r = m.predict(FeatureFrame(in, Seq("id"), Seq("f"))).orderBy("id").collect()
+    // f=0: a -> 3*(2+1)/(3+2)=9/5; b -> 2*(0+1)/(2+2)=1/2  => "a"
+    assert(r(0).getString(1) == "a")
+    // f=1: a -> 3*(1+1)/5=6/5; b -> 2*(2+1)/4=3/2           => "b"
+    assert(r(1).getString(1) == "b")
+    // unseen f=99: both fall to the +1 floor: a -> 3/5, b -> 2/4 => "a"
+    assert(r(2).getString(1) == "a")
+  }
+
+  test("one-hot encoder: fitted categories sorted, unseen encodes to all-zeros") {
+    val fit = Seq("r", "g", "b").toDF("c")
+    val m = graft.estimators.OneHotEncoder(Seq("c")).fit(fit)
+    val in = Seq((1L, "g"), (2L, "zzz")).toDF("id", "c")
+    val out = m.transform(in, Seq("id")).orderBy("id")
+    assert(out.columns.toSeq == Seq("id", "c_b", "c_g", "c_r"))
+    val r = out.collect()
+    assert(r(0).getLong(1) == 0 && r(0).getLong(2) == 1 && r(0).getLong(3) == 0)
+    assert(r(1).getLong(1) == 0 && r(1).getLong(2) == 0 && r(1).getLong(3) == 0)
+  }
+
 }
