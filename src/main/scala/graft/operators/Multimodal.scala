@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.dec4
 import graft.sources.Tables._
 
 /** Multimodal (binary payload) columns (SURVEY.md §2 E1/E2).
@@ -224,6 +225,21 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_idx"))
 
   val oracles: Map[String, String] = Map(
+    "q_media_audio" ->
+      """WITH d AS (SELECT doc_id, CAST(64 + doc_id % 64 AS BIGINT) AS n FROM documents),
+        |t AS (SELECT doc_id, n, i AS t, ((doc_id*31 + i*i*7) % 4096) - 2048 AS s
+        |  FROM d, (SELECT unnest(range(128)) AS i) WHERE i < n),
+        |ch AS (SELECT doc_id, n, c, (c*n)//4 AS st, ((c+1)*n)//4 AS en
+        |  FROM d, (SELECT unnest(range(4)) AS c)),
+        |l AS (SELECT doc_id, t, s, LAG(s) OVER (PARTITION BY doc_id ORDER BY t) AS ps FROM t),
+        |j AS (SELECT ch.doc_id, ch.c, l.t, l.s, l.ps, ch.st
+        |  FROM ch JOIN l ON l.doc_id = ch.doc_id AND l.t >= ch.st AND l.t < ch.en)
+        |SELECT doc_id AS media_id, CAST(c AS INT) AS chunk_idx,
+        |  COUNT(*) AS n_samples,
+        |  CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+        |  CAST(SUM(CASE WHEN t >= st+1 AND (ps < 0) <> (s < 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
+        |  CAST(ROUND(sqrt(CAST(SUM(s*s) AS DOUBLE)/COUNT(*)),4) AS DECIMAL(18,4))::DOUBLE AS rms
+        |FROM j GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q_media_bytes" ->
       """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
         |    octet_length(encode(text)) AS blen,
@@ -278,6 +294,81 @@ object Multimodal {
     * width/height/channels as big-endian ints) so decode plumbing has a
     * real binary format to parse.
     */
+  /** E6 synthesis: a deterministic "PCM16" waveform per doc —
+    * n = 64 + id%64 samples, s[t] = ((id·31 + t²·7) mod 4096) − 2048 —
+    * packed LITTLE-ENDIAN int16 into a binary payload. Pure integer
+    * formula so the oracle rebuilds the samples directly; the Spark
+    * query must recover them from the BYTES, proving the pack/parse
+    * roundtrip the way E3 proves the header roundtrip.
+    */
+  def synthesizeAudio(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    fanOut(documents(s, dir).select(col("doc_id")))
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val n = (64 + id % 64).toInt
+          val bb = java.nio.ByteBuffer.allocate(2 * n)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var t = 0
+          while (t < n) {
+            bb.putShort((((id * 31 + t.toLong * t * 7) % 4096) - 2048).toShort)
+            t += 1
+          }
+          Row(id, bb.array())
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** E6: per-chunk waveform statistics over the packed PCM payload —
+    * the audio analogue of frame sampling: 4 equal sample chunks
+    * (boundaries (c·n)/4, the E4/E5 rule), and per chunk the count,
+    * peak |s|, zero crossings (sign flips between ADJACENT samples
+    * inside the chunk), and RMS. Everything but the final RMS is exact
+    * integer arithmetic; RMS = sqrt(sumsq/cnt) is one IEEE-exact
+    * sqrt of a quotient of exact integers — engine-identical before
+    * the 4dp output rounding.
+    */
+  def qMediaAudio(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("chunk_idx", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("n_zero_cross", LongType, nullable = false),
+      StructField("sumsq", LongType, nullable = false)))
+    synthesizeAudio(s, dir)
+      .mapPartitions { it =>
+        it.flatMap { row =>
+          val id = row.getLong(0)
+          val bb = java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](1))
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = bb.remaining() / 2
+          val samples = Array.fill(n)(bb.getShort().toLong)
+          (0 until 4).map { c =>
+            val st = c * n / 4
+            val en = (c + 1) * n / 4
+            var peak = 0L; var zc = 0L; var sumsq = 0L
+            var t = st
+            while (t < en) {
+              val v = samples(t)
+              if (math.abs(v) > peak) peak = math.abs(v)
+              sumsq += v * v
+              if (t >= st + 1 && (samples(t - 1) < 0) != (v < 0)) zc += 1
+              t += 1
+            }
+            Row(id, c, (en - st).toLong, peak, zc, sumsq)
+          }
+        }
+      }(Encoders.row(outSchema))
+      .select(col("media_id"), col("chunk_idx"), col("n_samples"),
+              col("peak"), col("n_zero_cross"),
+              dec4(sqrt(col("sumsq").cast("double") / col("n_samples"))).as("rms"))
+      .orderBy(col("media_id"), col("chunk_idx"))
+  }
+
   def synthesizeMedia(s: SparkSession, dir: String): DataFrame = {
     val docs = fanOut(documents(s, dir).select(col("doc_id"), col("text")))
     docs.mapPartitions { it =>
