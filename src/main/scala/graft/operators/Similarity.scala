@@ -820,6 +820,115 @@ object Similarity {
     * paper's recall trade-off); the exact-recall alternative is the
     * D2 triangle join.
     */
+  /** D11: MMR-diversified retrieval (Carbonell & Goldstein) — from each
+    * probe's brute-force top-20, greedily pick 5 maximizing
+    * `0.7·sim(q,d) − 0.3·max_{s∈S} sim(d,s)` (ties → lowest vec_id):
+    * the diversified-sampling step that keeps a retrieved training
+    * batch from being 5 copies of the same neighborhood. Scale shape:
+    * phase 1 is the D1 kernel (broadcast probes, bounded heaps); the
+    * greedy runs per probe over its own ≤20 candidates grouped into
+    * ONE row — O(probes · 20² · d) work spread across executors, never
+    * a cross-probe shuffle. Oracle: 4 unrolled greedy steps in SQL
+    * (the q_kmeans unrolling idiom).
+    */
+  def qMmr(s: SparkSession, dir: String): DataFrame = {
+    val kCand = 20
+    val kPick = 5
+    val e = emb(s, dir)
+    val st = collectQueries(e)
+    val bc = s.sparkContext.broadcast(st)
+    val locals = fanOut(e.select(col("vec_id"), col("v")))
+      .mapPartitions { it =>
+        val q = bc.value
+        val nq = q.qids.length
+        val heaps = new TopKHeaps(nq, kCand)
+        it.foreach { row =>
+          val v = row.getSeq[Double](1).toArray
+          val vid = row.getLong(0)
+          var n2 = 0.0; var i = 0
+          while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+          val nrm = math.sqrt(n2)
+          var qi = 0
+          while (qi < nq) {
+            val qvv = q.qv(qi)
+            var d = 0.0; var j = 0
+            while (j < v.length) { d += qvv(j) * v(j); j += 1 }
+            heaps.insert(qi, d / (q.qnorm(qi) * nrm), vid)
+            qi += 1
+          }
+        }
+        heaps.emit(q.qids)
+      }(Encoders.row(localTopKSchema))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val cand = locals.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kCand)
+      .select(col("q_id"), col("vec_id"))
+    val grouped = cand
+      .join(e.select(col("vec_id"), col("v")), "vec_id")
+      .groupBy(col("q_id"))
+      .agg(collect_list(struct(col("vec_id"), col("v"))).as("cands"))
+    val outSchema = StructType(Seq(
+      StructField("q_id", LongType, nullable = false),
+      StructField("pick", IntegerType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    grouped.mapPartitions { it =>
+      val q = bc.value
+      val qIndex = q.qids.zipWithIndex.toMap
+      it.flatMap { row =>
+        val qid = row.getLong(0)
+        val qi = qIndex(qid)
+        val (qv, qn) = (q.qv(qi), q.qnorm(qi))
+        // vec_id-ascending candidate order makes "first strict max" the
+        // lowest-id tie-break, mirroring the oracle's (score DESC, vec_id)
+        val cands = row.getSeq[Row](1)
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1).toArray
+        val m = cands.length
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var d = 0.0; var j = 0
+          while (j < a.length) { d += a(j) * b(j); j += 1 }
+          d
+        }
+        val norms = cands.map { case (_, v) =>
+          var n2 = 0.0; var j = 0
+          while (j < v.length) { n2 += v(j) * v(j); j += 1 }
+          math.sqrt(n2)
+        }
+        val qsim = Array.tabulate(m)(i => dot(qv, cands(i)._2) / (qn * norms(i)))
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        (1 to math.min(kPick, m)).map { pick =>
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < m) {
+            if (!selected.contains(i)) {
+              // true max over S (can be negative), not a 0-floored max —
+              // the oracle's MAX(cc.s) has no floor; first pick has no
+              // diversity term at all
+              val score =
+                if (selected.isEmpty) 0.7 * qsim(i)
+                else {
+                  var maxPrev = Double.NegativeInfinity
+                  selected.foreach { j =>
+                    val sij = dot(cands(i)._2, cands(j)._2) / (norms(i) * norms(j))
+                    if (sij > maxPrev) maxPrev = sij
+                  }
+                  0.7 * qsim(i) - 0.3 * maxPrev
+                }
+              if (score > bestScore) { best = i; bestScore = score }
+            }
+            i += 1
+          }
+          selected += best
+          Row(qid, pick, cands(best)._1, bestScore)
+        }
+      }
+    }(Encoders.row(outSchema))
+      .select(col("q_id"), col("pick"), col("vec_id"),
+              dec4(col("score")).as("mmr_score"))
+      .orderBy(col("q_id"), col("pick"))
+  }
+
   /** D10: cluster-balanced sampling — the curation counterpart of IVF:
     * draw ~`quota` vectors per coarse-quantizer cell so a training
     * subset covers embedding space instead of mirroring its density
@@ -949,6 +1058,48 @@ object Similarity {
       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
+  /** D11 oracle: 4 unrolled greedy MMR steps (the q_kmeans idiom) —
+    * step k scores the unselected candidates against the selected set
+    * via the symmetric candidate-pair sims and picks the
+    * (score DESC, vec_id) winner.
+    */
+  private val mmrSql: String = {
+    val steps = (2 to 5).map { k =>
+      s"""sc$k AS (SELECT c.q_id, c.vec_id, 0.7*c.sim - 0.3*MAX(cc.s) AS score
+        |  FROM cand c
+        |  JOIN selu${k - 1} s ON s.q_id = c.q_id
+        |  JOIN cc ON cc.q_id = c.q_id AND cc.a_id = c.vec_id AND cc.b_id = s.vec_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM selu${k - 1} x
+        |                    WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+        |  GROUP BY c.q_id, c.vec_id, c.sim),
+        |sel$k AS (SELECT q_id, vec_id, score FROM (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        |  FROM sc$k) WHERE rn = 1),
+        |selu$k AS (SELECT * FROM selu${k - 1}
+        |  UNION ALL SELECT q_id, vec_id, score, $k AS pick FROM sel$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 5000),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sims AS (SELECT q_id, e.vec_id, list_cosine_similarity(qv, v) AS sim
+      |  FROM q CROSS JOIN e),
+      |cand AS (SELECT q_id, vec_id, sim FROM (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+      |  FROM sims) WHERE rn <= 20),
+      |cc AS (SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_cosine_similarity(ea.v, eb.v) AS s
+      |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+      |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id),
+      |sel1 AS (SELECT q_id, vec_id, 0.7*sim AS score FROM (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY 0.7*sim DESC, vec_id) AS rn
+      |  FROM cand) WHERE rn = 1),
+      |selu1 AS (SELECT q_id, vec_id, score, 1 AS pick FROM sel1),
+      |$steps
+      |SELECT q_id, CAST(pick AS INT) AS pick, vec_id,
+      |  CAST(ROUND(score,4) AS DECIMAL(18,4))::DOUBLE AS mmr_score
+      |FROM selu5 ORDER BY q_id, pick""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansSql,
     "q_semdedup" -> semDedupSql,
@@ -956,6 +1107,7 @@ object Similarity {
     "q_ann_lsh" -> annLshSql(probe1 = false),
     "q_ann_multiprobe" -> annLshSql(probe1 = true),
     "q_ann_ivf" -> annIvfSql,
+    "q_mmr" -> mmrSql,
     "q_cluster_sample" ->
       s"""WITH $ivfCellCteSql,
         |cnt AS (SELECT p, COUNT(*) AS n_cell FROM cell GROUP BY 1)

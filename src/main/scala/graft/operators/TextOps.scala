@@ -792,6 +792,22 @@ object TextOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** C23: corpus vocabulary build — the tokenizer-training primitive:
+    * term → (document frequency, total term frequency), top 30 by
+    * (df desc, term asc — a unique total order). One explode + one
+    * term-key shuffle with map-side partial aggregation; the global
+    * top-30 is a TakeOrderedAndProject (bounded k on the driver),
+    * never a global sort.
+    */
+  def qVocab(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(30)
+
   /** Shared oracle SQL fragments (DuckDB dialect). */
   private val baseSql =
     """base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
@@ -997,6 +1013,11 @@ object TextOps {
         |SELECT doc_id, lang FROM documents JOIN c USING (lang)
         |WHERE CAST(${T.hexPrefix52Sql("md5('strat|' || doc_id)")} AS BIGINT) % n_lang < 60
         |ORDER BY doc_id""".stripMargin,
+    "q_vocab" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+        |SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+        |FROM w WHERE LENGTH(term) > 0
+        |GROUP BY 1 ORDER BY df DESC, term LIMIT 30""".stripMargin,
     "q_fp_overlap" ->
       s"""WITH $winnowCteSql,
         |fpbig AS (SELECT DISTINCT doc_id, h FROM selp),
