@@ -940,8 +940,61 @@ object Relational {
       .limit(20)
   }
 
+  /** B48: percent-of-total (ratio_to_report semantics) — each order
+    * priority's share of total order value. The naive form is
+    * `sum(x) OVER ()` — a single-partition window over the whole
+    * aggregate; here the total is a 1-row broadcast aggregate crossed
+    * back (the q_rank_norm rule), and both operands are exact cent
+    * integers so the shares are engine-identical quotients.
+    */
+  def qPctTotal(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val g = orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(cents).as("cents"))
+    val t = broadcast(g.agg(sum(col("cents")).as("total")))
+    g.crossJoin(t)
+      .select(col("o_orderpriority"),
+              dec2(col("cents").cast("double") / 100.0).as("revenue"),
+              dec4(col("cents").cast("double") / col("total")).as("share"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** B49: cohort retention matrix — users bucketed by first-active
+    * day, distinct-user counts per (cohort, activity day) — the events
+    * table spans one month, so day is the meaningful grain. Two
+    * aggregates keyed on user_id (Catalyst reuses the exchange) then
+    * one (cohort, month) aggregate; the classic product-analytics
+    * shape with no window at all.
+    */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val m = events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("m"))
+      .distinct()
+    val c = m.groupBy(col("user_id")).agg(min(col("m")).as("cohort"))
+    m.join(c, "user_id")
+      .groupBy(col("cohort"), col("m").as("active_day"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("active_day"))
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above. */
   val oracles: Map[String, String] = Map(
+    "q_pct_total" ->
+      """WITH g AS (SELECT o_orderpriority,
+        |    SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT SUM(cents) AS total FROM g)
+        |SELECT o_orderpriority,
+        |  CAST(ROUND(CAST(cents AS DOUBLE)/100.0,2) AS DECIMAL(18,2))::DOUBLE AS revenue,
+        |  CAST(ROUND(CAST(cents AS DOUBLE)/total,4) AS DECIMAL(18,4))::DOUBLE AS share
+        |FROM g CROSS JOIN t ORDER BY 1""".stripMargin,
+    "q_retention" ->
+      """WITH m AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS m FROM events),
+        |c AS (SELECT user_id, MIN(m) AS cohort FROM m GROUP BY 1)
+        |SELECT cohort, m.m AS active_day, COUNT(*) AS n_users
+        |FROM m JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q4_orderprio" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders

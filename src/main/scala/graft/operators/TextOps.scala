@@ -711,7 +711,27 @@ object TextOps {
     * synthesizes URLs) keeps the oracle exact; detection and redaction
     * are pure codegen'd regex work — zero shuffle, scales linearly.
     */
-  def qPii(s: SparkSession, dir: String): DataFrame = {
+  /** The C20 detection/redaction pipeline over ANY (doc_id, t) frame —
+    * batch and streaming (F8) run the IDENTICAL expressions; stateless,
+    * so it attaches to a streaming DataFrame unchanged.
+    */
+  def piiOn(docs: DataFrame): DataFrame = {
+    val emailRe = "[a-z0-9_]+@[a-z0-9.]+\\.com"
+    val phoneRe = "555-[0-9]{4}"
+    val ipRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    docs.select(col("doc_id"),
+      regexp_count(col("t"), lit(emailRe)).cast("long").as("n_email"),
+      regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phone"),
+      regexp_count(col("t"), lit(ipRe)).cast("long").as("n_ip"),
+      md5(regexp_replace(
+        regexp_replace(
+          regexp_replace(col("t"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"),
+        ipRe, "<IP>")).as("redacted_md5"))
+  }
+
+  /** PII synthesis for the C20/F8 inputs (doc_id, t). */
+  def piiInput(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val email = concat(col("source"), lit("_"), id, lit("@example.com"))
     val phone = concat(lit("555-"), lpad((id % 10000).cast("string"), 4, "0"))
@@ -721,22 +741,11 @@ object TextOps {
       when(id % 3 === 0, concat(lit(" contact "), email)).otherwise(lit("")),
       when(id % 4 === 0, concat(lit(" call "), phone)).otherwise(lit("")),
       when(id % 5 === 0, concat(lit(" host "), ip)).otherwise(lit("")))
-    val emailRe = "[a-z0-9_]+@[a-z0-9.]+\\.com"
-    val phoneRe = "555-[0-9]{4}"
-    val ipRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
-    documents(s, dir)
-      .select(col("doc_id"), injected.as("t"))
-      .select(col("doc_id"),
-        regexp_count(col("t"), lit(emailRe)).cast("long").as("n_email"),
-        regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phone"),
-        regexp_count(col("t"), lit(ipRe)).cast("long").as("n_ip"),
-        md5(regexp_replace(
-          regexp_replace(
-            regexp_replace(col("t"), emailRe, "<EMAIL>"),
-            phoneRe, "<PHONE>"),
-          ipRe, "<IP>")).as("redacted_md5"))
-      .orderBy(col("doc_id"))
+    docs.select(col("doc_id"), injected.as("t"))
   }
+
+  def qPii(s: SparkSession, dir: String): DataFrame =
+    piiOn(piiInput(documents(s, dir))).orderBy(col("doc_id"))
 
   /** C21: stratified (language-balanced) sampling — ~60 docs per
     * language via a deterministic hash-threshold: keep iff

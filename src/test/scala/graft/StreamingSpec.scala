@@ -160,6 +160,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  private case class PiiDoc(doc_id: Long, t: String)
+
+  test("F8 streaming PII curation equals the batch pipeline across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchIn = graft.operators.TextOps.piiInput(
+      Tables.documents(spark, sfDir)).collect()
+      .map(r => PiiDoc(r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[PiiDoc]
+    val q = graft.operators.TextOps.piiOn(input.toDF()).writeStream
+      .format("memory").queryName("pii_out").outputMode("append").start()
+    try {
+      val half = batchIn.length / 2
+      input.addData(batchIn.take(half)); q.processAllAvailable()
+      input.addData(batchIn.drop(half)); q.processAllAvailable()
+      val got = spark.table("pii_out").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toMap
+      val expected = graft.operators.TextOps.qPii(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toMap
+      assert(got.size == expected.size && got == expected)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
