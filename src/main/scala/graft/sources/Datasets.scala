@@ -20,6 +20,9 @@ object Datasets {
     spark.read.schema(schema).option("header", "true").csv(path)
 
   /** Generic JSON-lines loader, schema-first for the same reason. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 

@@ -34,4 +34,11 @@ object Sinks {
 
   def jsonLines(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(path)
+
+  /** ORC with the same partition-directory contract as [[parquet]]. */
+  def orc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+          mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
 }
