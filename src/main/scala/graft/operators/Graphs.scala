@@ -60,4 +60,38 @@ object Graphs {
         "(component diameter exceeds the iteration budget; raise maxIters)")
     labels
   }
+
+  /** FIXED-POINT PageRank over an undirected edge list (a, b) — ranks
+    * in 10⁻⁹ units, damping 0.85 as the exact rational 17/20:
+    *
+    *   r₀ = 10⁹;  r_{k+1}(v) = 0.15·10⁹ + (17 · Σ_{u~v} (r_k(u) div deg u)) div 20
+    *
+    * Every operation is INTEGER (div = floor on positives), so partial
+    * aggregation order cannot move a single bit — a float PageRank's
+    * neighbor sums drift with Spark's partial-agg order and can never
+    * be hash-compared across engines. The quantization error vs real
+    * PageRank is ≤ deg·10⁻⁹ per step — noise for ranking, exactness
+    * for the gate. Each iteration is one join + one aggregate keyed on
+    * node id (the CC shuffle shape); iterations are FIXED (k=3), so no
+    * convergence count and no checkpoint dependence — the plan is a
+    * static 3-deep chain Catalyst pipelines end-to-end.
+    */
+  def pagerankFixedPoint(edgesAB: DataFrame, iters: Int = 3): DataFrame = {
+    val mat = graft.core.Materialize.pin(edgesAB.select(col("a"), col("b")))
+    val edges = mat
+      .union(mat.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("src"), col("b").as("dst"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = graft.core.Materialize.pin(edges.join(deg, "src"))
+    var ranks = e.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1000000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+      ranks = contrib.groupBy(col("id"))
+        .agg(sum(col("c")).as("sm"))
+        .select(col("id"), expr("150000000 + (17 * sm) div 20").as("r"))
+    }
+    ranks
+  }
 }

@@ -801,6 +801,19 @@ object TextOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** C24: PageRank centrality over the substring-duplication graph
+    * (C22's fingerprint-overlap pairs as undirected edges) — ranks the
+    * most-copied-from documents, the "which doc is the template"
+    * signal dedup keeper-selection can use instead of lowest-id. Fixed-
+    * point integer arithmetic end to end (Graphs.pagerankFixedPoint):
+    * bit-exact cross-engine, no float aggregation order dependence.
+    */
+  def qPagerank(s: SparkSession, dir: String): DataFrame =
+    Graphs.pagerankFixedPoint(
+        qFpOverlap(s, dir).select(col("a_id").as("a"), col("b_id").as("b")))
+      .select(col("id").as("doc_id"), col("r").as("rank_e9"))
+      .orderBy(col("doc_id"))
+
   /** C23: corpus vocabulary build — the tokenizer-training primitive:
     * term → (document frequency, total term frequency), top 30 by
     * (df desc, term asc — a unique total order). One explode + one
@@ -910,6 +923,23 @@ object TextOps {
       |small AS (SELECT doc_id, 1 AS n_fp, MIN(h) AS mn FROM g
       |  WHERE doc_id IN (SELECT doc_id FROM d WHERE ng BETWEEN 1 AND 4) GROUP BY 1)""".stripMargin
   }
+
+  /** C22/C24 shared pair CTE: winnow fingerprint sets → df-capped
+    * bucket join → pairs sharing ≥2 fingerprints (`pr`).
+    */
+  private lazy val fpPairCteSql: String =
+    s"""$winnowCteSql,
+      |fpbig AS (SELECT DISTINCT doc_id, h FROM selp),
+      |fpall AS (SELECT doc_id, h FROM fpbig
+      |  UNION ALL
+      |  SELECT doc_id, mn AS h FROM small
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM fpbig)),
+      |bu AS (SELECT h FROM fpall GROUP BY 1
+      |  HAVING COUNT(*) > 1 AND COUNT(*) <= 8),
+      |pr AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_shared
+      |  FROM fpall x JOIN fpall y ON x.h = y.h AND x.doc_id < y.doc_id
+      |  JOIN bu ON x.h = bu.h
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
 
   private val fingerprintSql: String = {
     s"""WITH $winnowCteSql,
@@ -1028,19 +1058,23 @@ object TextOps {
         |FROM w WHERE LENGTH(term) > 0
         |GROUP BY 1 ORDER BY df DESC, term LIMIT 30""".stripMargin,
     "q_fp_overlap" ->
-      s"""WITH $winnowCteSql,
-        |fpbig AS (SELECT DISTINCT doc_id, h FROM selp),
-        |fpall AS (SELECT doc_id, h FROM fpbig
-        |  UNION ALL
-        |  SELECT doc_id, mn AS h FROM small
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM fpbig)),
-        |bu AS (SELECT h FROM fpall GROUP BY 1
-        |  HAVING COUNT(*) > 1 AND COUNT(*) <= 8)
-        |SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_shared
-        |FROM fpall x JOIN fpall y ON x.h = y.h AND x.doc_id < y.doc_id
-        |JOIN bu ON x.h = bu.h
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
-        |ORDER BY 1, 2""".stripMargin,
+      s"""WITH $fpPairCteSql
+        |SELECT a_id, b_id, n_shared FROM pr ORDER BY 1, 2""".stripMargin,
+    "q_pagerank" -> {
+      val iters = (1 to 3).map { k =>
+        s"""c$k AS (SELECT ed.d AS id, SUM(r${k - 1}.r // dg.deg) AS sm
+          |  FROM ed JOIN dg ON ed.s = dg.s JOIN r${k - 1} ON r${k - 1}.id = ed.s
+          |  GROUP BY 1),
+          |r$k AS (SELECT id, CAST(150000000 + (17 * sm) // 20 AS BIGINT) AS r FROM c$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $fpPairCteSql,
+        |ed AS (SELECT a_id AS s, b_id AS d FROM pr
+        |  UNION ALL SELECT b_id AS s, a_id AS d FROM pr),
+        |dg AS (SELECT s, COUNT(*) AS deg FROM ed GROUP BY 1),
+        |r0 AS (SELECT DISTINCT s AS id, CAST(1000000000 AS BIGINT) AS r FROM ed),
+        |$iters
+        |SELECT id AS doc_id, r AS rank_e9 FROM r3 ORDER BY 1""".stripMargin
+    },
     "q_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 2""".stripMargin,
