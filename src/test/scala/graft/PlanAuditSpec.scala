@@ -23,11 +23,21 @@ class PlanAuditSpec extends AnyFunSuite {
         "q3" -> Relational.q3Shipping(spark, sfDir),
         "q5" -> Relational.q5Region(spark, sfDir),
         "q7" -> Relational.q7NationVolume(spark, sfDir),
-        "q18" -> Relational.q18TopOrders(spark, sfDir))) {
+        "q18" -> Relational.q18TopOrders(spark, sfDir),
+        "q17" -> Relational.q17SmallQty(spark, sfDir),
+        "q_target_enc" -> graft.operators.Estimation.qTargetEnc(spark, sfDir),
+        "q_stratified" -> graft.operators.TextOps.qStratified(spark, sfDir))) {
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"), s"$name lost its broadcast joins:\n$p")
       assert(!p.contains("SortMergeJoin"), s"$name degraded to SortMergeJoin:\n$p")
     }
+  }
+
+  test("percent-of-total crosses a 1-row BROADCAST total, never a sort-merge") {
+    val p = plan(Relational.qPctTotal(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"q_pct_total's total is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q_pct_total degraded to SortMergeJoin:\n$p")
   }
 
   test("Q8 market share broadcasts both dim chains, facts never sort-merge") {
