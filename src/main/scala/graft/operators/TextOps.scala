@@ -814,6 +814,29 @@ object TextOps {
       .select(col("id").as("doc_id"), col("r").as("rank_e9"))
       .orderBy(col("doc_id"))
 
+  /** C25: edit-distance near-dup verify — the character-level
+    * complement of Jaccard/SimHash: candidates blocked on a shared
+    * 24-char prefix (bucket size capped at 8, the df-cap contract),
+    * then verified with the codegen'd levenshtein;
+    * sim = 1 − lev/max(len). Blocking note: prefix blocking only
+    * recalls dups that agree on their opening — the production cascade
+    * runs it alongside the C6/C8b blockers, not instead of them.
+    */
+  def qEditDist(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+      .select(col("doc_id"), col("text"), substring(col("text"), 1, 24).as("pre"))
+    val cand = bucketPairs(d, Seq("pre"),
+        struct(col("doc_id").as("id"), col("text")), maxBucketSize = Some(8))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+              levenshtein(col("a.text"), col("b.text")).cast("long").as("lev"),
+              greatest(length(col("a.text")), length(col("b.text")))
+                .cast("double").as("mxlen"))
+    cand.filter(col("lev") <= 40)
+      .select(col("a_id"), col("b_id"), col("lev"),
+              dec4(lit(1.0) - col("lev").cast("double") / col("mxlen")).as("sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** C23: corpus vocabulary build — the tokenizer-training primitive:
     * term → (document frequency, total term frequency), top 30 by
     * (df desc, term asc — a unique total order). One explode + one
@@ -1052,6 +1075,18 @@ object TextOps {
         |SELECT doc_id, lang FROM documents JOIN c USING (lang)
         |WHERE CAST(${T.hexPrefix52Sql("md5('strat|' || doc_id)")} AS BIGINT) % n_lang < 60
         |ORDER BY doc_id""".stripMargin,
+    "q_editdist" ->
+      """WITH p AS (SELECT doc_id, text, substr(text,1,24) AS pre FROM documents),
+        |sz AS (SELECT pre FROM p GROUP BY 1 HAVING COUNT(*) > 1 AND COUNT(*) <= 8)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+        |  CAST(ROUND(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+        |    / CAST(GREATEST(LENGTH(a.text), LENGTH(b.text)) AS DOUBLE), 4)
+        |    AS DECIMAL(18,4))::DOUBLE AS sim
+        |FROM p a JOIN p b ON a.pre = b.pre AND a.doc_id < b.doc_id
+        |JOIN sz ON a.pre = sz.pre
+        |WHERE levenshtein(a.text, b.text) <= 40
+        |ORDER BY 1, 2""".stripMargin,
     "q_vocab" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
         |SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
