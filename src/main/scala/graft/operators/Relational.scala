@@ -978,8 +978,75 @@ object Relational {
       .orderBy(col("cohort"), col("active_day"))
   }
 
+  /** B50: conversion funnel (view → click → purchase, order enforced by
+    * FIRST-occurrence timestamps) — per-user conditional MIN aggregates,
+    * one user-keyed shuffle, no window, no self-join chain (the naive
+    * funnel is a 3-way self-join that explodes at scale).
+    */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    def firstTs(t: String) =
+      min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+    val perUser = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("t_view").isNotNull.cast("long")).as("n_view"),
+      sum((col("t_view").isNotNull && col("t_click") > col("t_view"))
+        .cast("long")).as("n_view_click"),
+      sum((col("t_view").isNotNull && col("t_click") > col("t_view") &&
+           col("t_purchase") > col("t_click")).cast("long")).as("n_full_funnel"))
+  }
+
+  /** B51: sketch-vs-exact quantile contract — the scale path for
+    * percentiles is approx_percentile (one pass, mergeable, no global
+    * sort); this query GATES its documented accuracy=10⁴ bound against
+    * the exact per-group percentiles, emitting 1-flags the oracle
+    * expects to be all-true (the RF/GBT invariant-oracle idiom: the
+    * sketch values themselves are engine-specific, the CONTRACT is
+    * not). A sketch drifting out of tolerance fails the hash gate.
+    */
+  def qApproxQuantile(s: SparkSession, dir: String): DataFrame = {
+    val acc = 10000
+    val g = lineitem(s, dir).groupBy(col("l_returnflag")).agg(
+      percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+      percentile(col("l_extendedprice"), lit(0.95)).as("p95"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(acc)).as("a50"),
+      percentile_approx(col("l_extendedprice"), lit(0.95), lit(acc)).as("a95"),
+      count(lit(1)).as("n"))
+    // rank-error bound: the approx value must sit within ±n/acc ranks;
+    // bound it VALUE-wise via the exact percentiles at p ± 2/acc
+    val lo50 = percentile(col("l_extendedprice"), lit(0.5 - 2.0 / acc))
+    val hi50 = percentile(col("l_extendedprice"), lit(0.5 + 2.0 / acc))
+    val lo95 = percentile(col("l_extendedprice"), lit(0.95 - 2.0 / acc))
+    val hi95 = percentile(col("l_extendedprice"), lit(0.95 + 2.0 / acc))
+    val bounds = lineitem(s, dir).groupBy(col("l_returnflag").as("bf")).agg(
+      lo50.as("lo50"), hi50.as("hi50"), lo95.as("lo95"), hi95.as("hi95"))
+    g.join(broadcast(bounds), col("l_returnflag") === col("bf"))
+      .select(col("l_returnflag"),
+              (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
+                .cast("int").as("p50_in_bounds"),
+              (col("a95") >= col("lo95") && col("a95") <= col("hi95"))
+                .cast("int").as("p95_in_bounds"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above. */
   val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH u AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type='view' THEN ts END) AS tv,
+        |    MIN(CASE WHEN event_type='click' THEN ts END) AS tc,
+        |    MIN(CASE WHEN event_type='purchase' THEN ts END) AS tp
+        |  FROM events GROUP BY 1)
+        |SELECT COUNT(*) AS n_users,
+        |  SUM(CAST(tv IS NOT NULL AS BIGINT)) AS n_view,
+        |  SUM(CAST(tv IS NOT NULL AND tc > tv AS BIGINT)) AS n_view_click,
+        |  SUM(CAST(tv IS NOT NULL AND tc > tv AND tp > tc AS BIGINT)) AS n_full_funnel
+        |FROM u""".stripMargin,
+    "q_approx_quantile" ->
+      """SELECT l_returnflag, 1 AS p50_in_bounds, 1 AS p95_in_bounds
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pct_total" ->
       """WITH g AS (SELECT o_orderpriority,
         |    SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS cents
