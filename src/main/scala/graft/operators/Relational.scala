@@ -1031,8 +1031,93 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** B52: truncated exponential moving average (half-life weights
+    * 1, ½, ¼, ⅛ over the 4 most recent orders per customer) — the
+    * LAG-column formulation keeps the float op sequence FIXED
+    * (numerator and denominator built left-to-right over exact cent
+    * inputs), so both engines compute bit-identical smoothed values,
+    * unlike a true infinite-memory EWMA whose recurrence order is
+    * engine-private. One user-keyed window, no global sort.
+    */
+  def qEwma(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    def lagc(i: Int): Column = if (i == 0) cents else lag(cents, i).over(w)
+    val weights = Seq(1.0, 0.5, 0.25, 0.125)
+    val terms = (0 until 4).map(i =>
+      (when(lagc(i).isNotNull, lit(weights(i))).otherwise(lit(0.0)),
+       when(lagc(i).isNotNull, lagc(i).cast("double") * weights(i)).otherwise(lit(0.0))))
+    val num = terms.map(_._2).reduceLeft(_ + _)
+    val den = terms.map(_._1).reduceLeft(_ + _)
+    orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+              dec2(num / den / 100.0).as("ewma"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** B53: table profiling — the data-quality audit primitive every
+    * ingestion pipeline runs first: per column null count, distinct
+    * count, min/max rendered to strings. ONE pass over the fact table
+    * (all aggregates fused in a single hash-agg), output pivoted to a
+    * row per column by plain selects.
+    */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                   "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(col(c).isNull.cast("long")).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"))
+    } :+ count(lit(1)).as("n")
+    val r = orders(s, dir).agg(aggs.head, aggs.tail: _*)
+    // pivot the 1-row aggregate by EXPLODING it — a unionAll of
+    // per-column selects would re-run the aggregation (and the scan)
+    // once per column
+    val entries = cols.map(c =>
+      struct(lit(c).as("column_name"), col("n").as("n_rows"),
+             col(s"nn_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
+             col(s"mn_$c").as("min_str"), col(s"mx_$c").as("max_str")))
+    r.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.*"))
+      .orderBy(col("column_name"))
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above. */
   val oracles: Map[String, String] = Map(
+    "q_ewma" ->
+      """WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents FROM orders),
+        |l AS (SELECT o_custkey, o_orderkey,
+        |    cents AS l0,
+        |    LAG(cents, 1) OVER w AS l1,
+        |    LAG(cents, 2) OVER w AS l2,
+        |    LAG(cents, 3) OVER w AS l3
+        |  FROM c WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(ROUND((
+        |      (CASE WHEN l0 IS NOT NULL THEN CAST(l0 AS DOUBLE)*1.0 ELSE 0.0 END
+        |     + CASE WHEN l1 IS NOT NULL THEN CAST(l1 AS DOUBLE)*0.5 ELSE 0.0 END
+        |     + CASE WHEN l2 IS NOT NULL THEN CAST(l2 AS DOUBLE)*0.25 ELSE 0.0 END
+        |     + CASE WHEN l3 IS NOT NULL THEN CAST(l3 AS DOUBLE)*0.125 ELSE 0.0 END)
+        |    / (CASE WHEN l0 IS NOT NULL THEN 1.0 ELSE 0.0 END
+        |     + CASE WHEN l1 IS NOT NULL THEN 0.5 ELSE 0.0 END
+        |     + CASE WHEN l2 IS NOT NULL THEN 0.25 ELSE 0.0 END
+        |     + CASE WHEN l3 IS NOT NULL THEN 0.125 ELSE 0.0 END) / 100.0), 2)
+        |    AS DECIMAL(18,2))::DOUBLE AS ewma
+        |FROM l ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                     "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+          |  SUM(CAST($c IS NULL AS BIGINT)) AS n_null,
+          |  COUNT(DISTINCT $c) AS n_distinct,
+          |  CAST(MIN($c) AS VARCHAR) AS min_str,
+          |  CAST(MAX($c) AS VARCHAR) AS max_str FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
     "q_funnel" ->
       """WITH u AS (SELECT user_id,
         |    MIN(CASE WHEN event_type='view' THEN ts END) AS tv,
