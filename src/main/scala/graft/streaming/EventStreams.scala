@@ -191,6 +191,20 @@ object EventStreams {
         })
   }
 
+  /** F9: streaming vocabulary counts — the C23 primitive as a stateful
+    * streaming aggregate: per-term running (df is approximated by tf
+    * here; exact streaming df needs per-(term, doc) dedup state) in
+    * Update mode. Built-in `groupBy(term).count()` — Spark shards the
+    * count state by term hash; no custom state management needed.
+    * Readers keep the last row per term.
+    */
+  def vocabStream(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"))
+      .count()
+
   /** F6 input: a vector upsert — `ts` is the version (epoch micros). */
   final case class VecUpsert(vec_id: Long, v: Array[Double], ts: Long)
 

@@ -160,6 +160,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  private case class TDoc(doc_id: Long, text: String)
+
+  test("F9 streaming vocabulary counts equal batch term counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect().map(r => TDoc(r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[TDoc]
+    val q = EventStreams.vocabStream(input.toDF()).writeStream
+      .format("memory").queryName("v_out").outputMode("update").start()
+    try {
+      val half = docs.length / 2
+      input.addData(docs.take(half)); q.processAllAvailable()
+      input.addData(docs.drop(half)); q.processAllAvailable()
+      // last update per term is the final count
+      val got = spark.table("v_out").collect().zipWithIndex
+        .map { case (r, i) => r.getString(0) -> (i, r.getLong(1)) }
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2._1)._2._2).toMap
+      val expected = Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("term")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.size == expected.size && got == expected)
+    } finally q.stop()
+  }
+
   private case class PiiDoc(doc_id: Long, t: String)
 
   test("F8 streaming PII curation equals the batch pipeline across batches") {
