@@ -298,3 +298,69 @@ final case class WinsorizerModel(
         }: _*)
   }
 }
+
+/** Mean/median imputation, sklearn SimpleImputer semantics: fit learns
+  * each feature's fill from the OBSERVED (non-null, non-NaN) training
+  * values; transform replaces missing entries with the fill, leaving
+  * observed values untouched. Mean fills are exact for integer-valued
+  * features (sum/count of exact integers — the determinism contract);
+  * median uses the same type-7 exact percentile as RobustScaler.
+  */
+final case class SimpleImputer(strategy: String = "mean",
+    outPrefix: String = "imp_") extends FeatureEstimator[SimpleImputerModel] {
+  require(strategy == "mean" || strategy == "median",
+    s"unknown SimpleImputer strategy '$strategy'")
+  def fit(train: DataFrame, featureCols: Seq[String], targetCols: Seq[String] = Nil): SimpleImputerModel = {
+    val observed = featureCols.map(c =>
+      when(col(c).isNotNull && !isnan(col(c).cast("double")), col(c).cast("double")))
+    val aggs = featureCols.zip(observed).flatMap { case (c, o) =>
+      if (strategy == "mean")
+        Seq(sum(o).as(s"s_$c"), count(o).cast("double").as(s"n_$c"))
+      else
+        Seq(percentile(o, lit(0.5)).as(s"s_$c"), lit(1.0).as(s"n_$c"))
+    }
+    val r = train.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val fills = featureCols.zipWithIndex.map { case (c, i) =>
+      c -> (if (strategy == "mean") r.getDouble(2 * i) / r.getDouble(2 * i + 1)
+            else r.getDouble(2 * i))
+    }.toMap
+    SimpleImputerModel(featureCols, fills, outPrefix)
+  }
+}
+
+final case class SimpleImputerModel(
+    featureNames: Seq[String],
+    fills: Map[String, Double],
+    outPrefix: String
+) extends FittedTransform {
+  def outputFeatureNames: Seq[String] = featureNames.map(c => s"$outPrefix$c")
+  def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame =
+    transform(frame, opts)
+  def transform(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
+    val df = frame.df
+    df.select(
+      frame.idCols.map(col) ++
+        featureNames.map { c =>
+          val x = col(c).cast("double")
+          when(x.isNull || isnan(x), lit(fills(c))).otherwise(x).as(s"$outPrefix$c")
+        }: _*)
+  }
+}
+
+/** Degree-2 polynomial feature expansion (sklearn PolynomialFeatures,
+  * include_bias=false): x₁..x_d → all degree-1 and degree-2 monomials
+  * in declaration order. Stateless, pure codegen, zero shuffle.
+  */
+final case class PolynomialFeatures(featureNames: Seq[String]) {
+  /** Output columns: x_i as-is, then x_i*x_j for i <= j, named
+    * `p_<i>`/`p_<i>_<j>` over the original names.
+    */
+  def transform(df: DataFrame, idCols: Seq[String]): DataFrame = {
+    val linear = featureNames.map(c => col(c).cast("double").as(s"p_$c"))
+    val quads = for {
+      i <- featureNames.indices; j <- i until featureNames.length
+    } yield (col(featureNames(i)).cast("double") * col(featureNames(j)).cast("double"))
+      .as(s"p_${featureNames(i)}_${featureNames(j)}")
+    df.select(idCols.map(col) ++ linear ++ quads: _*)
+  }
+}

@@ -289,6 +289,34 @@ object Estimation {
       .orderBy(col("li_id"))
   }
 
+  /** A23: mean imputation (sklearn SimpleImputer) — x1 goes missing on
+    * `l_partkey % 37 = 0` rows (the A11 sentinel pattern); the fill is
+    * the train-side mean of OBSERVED values, exact because quantity is
+    * integer-valued.
+    */
+  def qImpute(s: SparkSession, dir: String): DataFrame = {
+    def enc(df: DataFrame): DataFrame = df.withColumn("x1",
+      when(col("l_partkey") % 37 === 0, lit(null)).otherwise(col("l_quantity")))
+    val model = SimpleImputer("mean").fit(enc(trainLi(s, dir)), Seq("x1"))
+    model.transform(FeatureFrame(enc(li(s, dir)), Seq("li_id"), Seq("x1")))
+      .select(col("li_id"), dec4(col("imp_x1")).as("imp_x1"))
+      .orderBy(col("li_id"))
+  }
+
+  /** A24: degree-2 polynomial feature expansion (include_bias=false),
+    * stateless codegen.
+    */
+  def qPoly(s: SparkSession, dir: String): DataFrame =
+    PolynomialFeatures(Seq("l_quantity", "l_discount"))
+      .transform(li(s, dir), Seq("li_id"))
+      .select(col("li_id"),
+        dec4(col("p_l_quantity")).as("p_q"),
+        dec4(col("p_l_discount")).as("p_d"),
+        dec4(col("p_l_quantity_l_quantity")).as("p_qq"),
+        dec4(col("p_l_quantity_l_discount")).as("p_qd"),
+        dec4(col("p_l_discount_l_discount")).as("p_dd"))
+      .orderBy(col("li_id"))
+
   /** A21: categorical Naive Bayes (Laplace +1) predicting the return
     * flag from three discretized integer features. Scores are DOUBLE
     * quotients of exact integer count products (no log(): libm ulp
@@ -800,6 +828,23 @@ object Estimation {
           |  CAST(ROUND((l_extendedprice-m2)/s2,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_extendedprice,
           |  CAST(ROUND((l_discount-m3)/s3,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_discount
           |FROM lineitem CROSS JOIN sg ORDER BY li_id""".stripMargin,
+      "q_impute" ->
+        s"""WITH tt AS (SELECT CASE WHEN l_partkey % 37 = 0 THEN NULL ELSE l_quantity END AS x1
+          |  FROM lineitem WHERE l_orderkey % 499 = 0),
+          |m AS (SELECT SUM(CAST(x1 AS BIGINT))::DOUBLE / COUNT(x1) AS fill FROM tt)
+          |SELECT $uidSql AS li_id,
+          |  CAST(ROUND(COALESCE(
+          |    CASE WHEN l_partkey % 37 = 0 THEN NULL ELSE l_quantity END, fill), 4)
+          |    AS DECIMAL(18,4))::DOUBLE AS imp_x1
+          |FROM lineitem CROSS JOIN m ORDER BY li_id""".stripMargin,
+      "q_poly" ->
+        s"""SELECT $uidSql AS li_id,
+          |  CAST(ROUND(l_quantity,4) AS DECIMAL(18,4))::DOUBLE AS p_q,
+          |  CAST(ROUND(l_discount,4) AS DECIMAL(18,4))::DOUBLE AS p_d,
+          |  CAST(ROUND(l_quantity*l_quantity,4) AS DECIMAL(18,4))::DOUBLE AS p_qq,
+          |  CAST(ROUND(l_quantity*l_discount,4) AS DECIMAL(18,4))::DOUBLE AS p_qd,
+          |  CAST(ROUND(l_discount*l_discount,4) AS DECIMAL(18,4))::DOUBLE AS p_dd
+          |FROM lineitem ORDER BY li_id""".stripMargin,
       "q_nbayes" ->
         s"""WITH $train,
           |tt AS (SELECT CAST(FLOOR(l_quantity/10) AS BIGINT) AS f1,
