@@ -1084,8 +1084,39 @@ object Relational {
       .orderBy(col("column_name"))
   }
 
+  /** B54: Z-order (Morton) clustering key — the write-layout primitive
+    * behind multi-dimensional data skipping: interleaving the bits of
+    * two 8-bit dimension bins gives a 16-bit key whose sort order
+    * keeps both dimensions locally clustered, so min/max file stats
+    * prune on either predicate. Pure integer bit arithmetic, codegen'd
+    * per row; sorting BY the key at write time is Sinks.parquet's job.
+    */
+  def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val b1 = least(lit(255L), floor(col("o_totalprice") / 2000.0).cast("long"))
+    val b2 = col("o_custkey") % 256
+    val z = (0 until 8).foldLeft(lit(0L): Column) { (acc, i) =>
+      acc +
+        shiftright(b1, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b2, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }
+    orders(s, dir)
+      .select(col("o_orderkey"), b1.as("price_bin"), b2.as("cust_bin"), z.as("zkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above. */
   val oracles: Map[String, String] = Map(
+    "q_zorder" -> {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"((b1 >> $i) & 1) * ${1L << (2 * i)}",
+        s"((b2 >> $i) & 1) * ${1L << (2 * i + 1)}")).mkString(" + ")
+      s"""WITH b AS (SELECT o_orderkey,
+        |    LEAST(255, CAST(FLOOR(o_totalprice / 2000.0) AS BIGINT)) AS b1,
+        |    o_custkey % 256 AS b2 FROM orders)
+        |SELECT o_orderkey, b1 AS price_bin, b2 AS cust_bin,
+        |  CAST(0 + $terms AS BIGINT) AS zkey
+        |FROM b ORDER BY o_orderkey""".stripMargin
+    },
     "q_ewma" ->
       """WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |    CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents FROM orders),
