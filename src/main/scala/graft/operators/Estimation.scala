@@ -317,6 +317,21 @@ object Estimation {
         dec4(col("p_l_discount_l_discount")).as("p_dd"))
       .orderBy(col("li_id"))
 
+  /** A25: balanced class weights (sklearn compute_class_weight):
+    * w_c = n / (k · n_c) — the loss-reweighting companion to the
+    * classifiers; one class aggregate + a 1-row broadcast total, exact
+    * integer operands so the quotients are engine-identical.
+    */
+  def qClassWeight(s: SparkSession, dir: String): DataFrame = {
+    val g = lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_c"))
+    val t = broadcast(g.agg(sum(col("n_c")).as("n"), count(lit(1)).as("k")))
+    g.crossJoin(t)
+      .select(col("l_returnflag").as("class"), col("n_c"),
+              (col("n").cast("double") / (col("k") * col("n_c"))).as("weight"))
+      .orderBy(col("class"))
+  }
+
   /** A21: categorical Naive Bayes (Laplace +1) predicting the return
     * flag from three discretized integer features. Scores are DOUBLE
     * quotients of exact integer count products (no log(): libm ulp
@@ -828,6 +843,11 @@ object Estimation {
           |  CAST(ROUND((l_extendedprice-m2)/s2,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_extendedprice,
           |  CAST(ROUND((l_discount-m3)/s3,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_discount
           |FROM lineitem CROSS JOIN sg ORDER BY li_id""".stripMargin,
+      "q_class_weight" ->
+        """WITH g AS (SELECT l_returnflag AS class, COUNT(*) AS n_c FROM lineitem GROUP BY 1),
+          |t AS (SELECT SUM(n_c) AS n, COUNT(*) AS k FROM g)
+          |SELECT class, n_c, CAST(n AS DOUBLE)/(k*n_c) AS weight
+          |FROM g CROSS JOIN t ORDER BY class""".stripMargin,
       "q_impute" ->
         s"""WITH tt AS (SELECT CASE WHEN l_partkey % 37 = 0 THEN NULL ELSE l_quantity END AS x1
           |  FROM lineitem WHERE l_orderkey % 499 = 0),
