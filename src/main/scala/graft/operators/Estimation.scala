@@ -332,6 +332,37 @@ object Estimation {
       .orderBy(col("class"))
   }
 
+  /** A26: regression evaluation metrics (MAE/RMSE/R²) for the A9 OLS
+    * fit — errors quantized to EXACT cents against the dec2-rounded
+    * prediction (q_linreg's published contract), squared sums in
+    * DECIMAL(38,0) (overflow-proof at any row count, the q_pca_fit
+    * idiom), ONE aggregate pass; the metrics derive from the exact
+    * integers with a fixed float sequence.
+    */
+  def qRegMetrics(s: SparkSession, dir: String): DataFrame = {
+    val model = LinearRegression()
+      .fit(trainLi(s, dir), Seq("l_quantity"), Seq("l_extendedprice"))
+    val b0 = model.intercepts.head
+    val b1 = model.coefficients.head("l_quantity")
+    val predC = round(round(lit(b0) + lit(b1) * col("l_quantity"), 2) * 100, 0)
+      .cast("decimal(19,0)")
+    val yC = round(col("l_extendedprice") * 100, 0).cast("decimal(19,0)")
+    val err = predC - yC
+    lineitem(s, dir).agg(
+        count(lit(1)).as("n"),
+        sum(abs(err)).as("sa"),
+        sum(err * err).as("ss"),
+        sum(yC).as("sy"),
+        sum(yC * yC).as("syy"))
+      .select(
+        col("n").as("n_rows"),
+        dec4(col("sa").cast("double") / col("n") / 100.0).as("mae"),
+        dec4(sqrt(col("ss").cast("double") / col("n")) / 100.0).as("rmse"),
+        dec4(lit(1.0) - col("ss").cast("double") /
+          (col("syy").cast("double") -
+           col("sy").cast("double") * col("sy").cast("double") / col("n"))).as("r2"))
+  }
+
   /** A21: categorical Naive Bayes (Laplace +1) predicting the return
     * flag from three discretized integer features. Scores are DOUBLE
     * quotients of exact integer count products (no log(): libm ulp
@@ -843,6 +874,23 @@ object Estimation {
           |  CAST(ROUND((l_extendedprice-m2)/s2,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_extendedprice,
           |  CAST(ROUND((l_discount-m3)/s3,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_discount
           |FROM lineitem CROSS JOIN sg ORDER BY li_id""".stripMargin,
+      "q_reg_metrics" ->
+        s"""WITH $train,
+          |co AS (SELECT REGR_SLOPE(l_extendedprice, l_quantity) AS b1,
+          |  REGR_INTERCEPT(l_extendedprice, l_quantity) AS b0 FROM train),
+          |e AS (SELECT CAST(ROUND(ROUND(b0 + b1*l_quantity, 2)*100, 0) AS HUGEINT)
+          |    - CAST(ROUND(l_extendedprice*100,0) AS HUGEINT) AS ec,
+          |    CAST(ROUND(l_extendedprice*100,0) AS HUGEINT) AS yc
+          |  FROM lineitem CROSS JOIN co),
+          |m AS (SELECT COUNT(*) AS n, SUM(ABS(ec)) AS sa, SUM(ec*ec) AS ss,
+          |    SUM(yc) AS sy, SUM(yc*yc) AS syy FROM e)
+          |SELECT n AS n_rows,
+          |  CAST(ROUND(CAST(sa AS DOUBLE)/n/100.0, 4) AS DECIMAL(18,4))::DOUBLE AS mae,
+          |  CAST(ROUND(sqrt(CAST(ss AS DOUBLE)/n)/100.0, 4) AS DECIMAL(18,4))::DOUBLE AS rmse,
+          |  CAST(ROUND(1.0 - CAST(ss AS DOUBLE)
+          |    /(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n), 4)
+          |    AS DECIMAL(18,4))::DOUBLE AS r2
+          |FROM m""".stripMargin,
       "q_class_weight" ->
         """WITH g AS (SELECT l_returnflag AS class, COUNT(*) AS n_c FROM lineitem GROUP BY 1),
           |t AS (SELECT SUM(n_c) AS n, COUNT(*) AS k FROM g)

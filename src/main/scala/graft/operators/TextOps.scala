@@ -853,6 +853,52 @@ object TextOps {
       .orderBy(col("df").desc, col("term"))
       .limit(30)
 
+  /** C26: language-ID confusion matrix — the evaluation primitive for
+    * the C4 classifier: (gold, predicted) counts over the corpus, one
+    * small-key aggregate after the codegen'd prediction.
+    */
+  def qConfusion(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("lang").as("gold_lang"), langPred(T.words(col("text"))).as("pred_lang"))
+      .groupBy(col("gold_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("gold_lang"), col("pred_lang"))
+
+  /** C27: IQR outlier flags on document length (Tukey fences at
+    * 1.5·IQR) — the data-quality screen; bounds are a 1-row exact-
+    * percentile aggregate crossed back (at corpus scale, swap in the
+    * GK sketch bounds as q_percentile documents).
+    */
+  def qOutliers(s: SparkSession, dir: String): DataFrame = {
+    val b = broadcast(documents(s, dir).agg(
+      percentile(col("n_chars"), lit(0.25)).as("q1"),
+      percentile(col("n_chars"), lit(0.75)).as("q3")))
+    val x = col("n_chars").cast("double")
+    documents(s, dir).crossJoin(b)
+      .select(col("doc_id"), col("n_chars"),
+        (x < col("q1") - lit(1.5) * (col("q3") - col("q1")) ||
+         x > col("q3") + lit(1.5) * (col("q3") - col("q1"))).cast("int").as("is_outlier"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-prediction CTE (`pred`) shared by the C4 oracle and the
+    * C26 confusion matrix.
+    */
+  private lazy val langPredCteSql: String = {
+    val scoreExprs = langMarkers.map { case (code, m) =>
+      s"LEN(list_filter(w, x -> x IN (${m.map(w => s"'$w'").mkString(", ")}))) AS s_$code"
+    }.mkString(", ")
+    val codes = langMarkers.map(_._1)
+    val caseChain = codes.init.zipWithIndex.map { case (code, i) =>
+      val rest = codes.drop(i + 1)
+      s"WHEN ${rest.map(r => s"s_$code >= s_$r").mkString(" AND ")} THEN '$code'"
+    }.mkString(" ")
+    s"""base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |sc AS (SELECT doc_id, $scoreExprs FROM base),
+      |pred AS (SELECT doc_id, CASE $caseChain ELSE '${codes.last}' END AS pred_lang
+      |  FROM sc)""".stripMargin
+  }
+
   /** Shared oracle SQL fragments (DuckDB dialect). */
   private val baseSql =
     """base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
@@ -1125,20 +1171,21 @@ object TextOps {
         |  CAST(ROUND(CAST(LEN(list_filter(w, x -> x IN ($stopSql))) AS DOUBLE)/LEN(w),4) AS DECIMAL(18,4))::DOUBLE AS stop_ratio,
         |  CAST(ROUND(1.0 - CAST(LEN(list_distinct(w)) AS DOUBLE)/LEN(w),4) AS DECIMAL(18,4))::DOUBLE AS dup_ratio
         |FROM base ORDER BY doc_id""".stripMargin,
-    "q_langid" -> {
-      val scoreExprs = langMarkers.map { case (code, m) =>
-        s"LEN(list_filter(w, x -> x IN (${m.map(w => s"'$w'").mkString(", ")}))) AS s_$code"
-      }.mkString(", ")
-      val codes = langMarkers.map(_._1)
-      val caseChain = codes.init.zipWithIndex.map { case (code, i) =>
-        val rest = codes.drop(i + 1)
-        s"WHEN ${rest.map(r => s"s_$code >= s_$r").mkString(" AND ")} THEN '$code'"
-      }.mkString(" ")
-      s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-        |sc AS (SELECT doc_id, $scoreExprs FROM base)
-        |SELECT doc_id, CASE $caseChain ELSE '${codes.last}' END AS pred_lang
-        |FROM sc ORDER BY doc_id""".stripMargin
-    },
+    "q_langid" ->
+      s"""WITH $langPredCteSql
+        |SELECT doc_id, pred_lang FROM pred ORDER BY doc_id""".stripMargin,
+    "q_confusion" ->
+      s"""WITH $langPredCteSql
+        |SELECT d.lang AS gold_lang, p.pred_lang, COUNT(*) AS n
+        |FROM documents d JOIN pred p USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_outliers" ->
+      """WITH b AS (SELECT quantile_cont(n_chars, 0.25) AS q1,
+        |    quantile_cont(n_chars, 0.75) AS q3 FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(CAST(n_chars AS DOUBLE) < q1 - 1.5*(q3 - q1)
+        |    OR CAST(n_chars AS DOUBLE) > q3 + 1.5*(q3 - q1) AS INT) AS is_outlier
+        |FROM documents CROSS JOIN b ORDER BY doc_id""".stripMargin,
     "q_curate" -> {
       val scoreExprs = langMarkers.map { case (code, m) =>
         s"LEN(list_filter(w, x -> x IN (${m.map(w => s"'$w'").mkString(", ")}))) AS s_$code"
