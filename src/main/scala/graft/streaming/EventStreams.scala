@@ -205,6 +205,45 @@ object EventStreams {
       .groupBy(col("term"))
       .count()
 
+  /** F10 input/state/output: first-occurrence timestamps per funnel
+    * stage — O(1) state per user (three longs, Long.MaxValue = unseen).
+    */
+  final case class FEv(user_id: Long, ts: Long, event_type: String)
+  final case class FunnelTs(tv: Long, tc: Long, tp: Long)
+  final case class FunnelOut(user_id: Long, stage: Int)
+
+  /** F10: streaming conversion funnel (batch twin B50): tracks each
+    * user's FIRST view/click/purchase timestamps and emits the current
+    * funnel depth (0–3, click counts only after a view, purchase only
+    * after a qualifying click — the B50 ordering rule) whenever it
+    * changes. Update-mode changelog; readers keep the last row per
+    * user. State never grows with event volume.
+    */
+  def funnelStream(in: Dataset[FEv]): Dataset[FunnelOut] = {
+    import in.sparkSession.implicits._
+    val U = Long.MaxValue
+    def depth(t: FunnelTs): Int =
+      if (t.tv == U) 0
+      else if (t.tc == U || t.tc <= t.tv) 1
+      else if (t.tp == U || t.tp <= t.tc) 2
+      else 3
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[FEv], state: GroupState[FunnelTs]) => {
+          val prev = state.getOption.getOrElse(FunnelTs(U, U, U))
+          val next = batch.foldLeft(prev) { (t, e) =>
+            e.event_type match {
+              case "view"     => t.copy(tv = math.min(t.tv, e.ts))
+              case "click"    => t.copy(tc = math.min(t.tc, e.ts))
+              case "purchase" => t.copy(tp = math.min(t.tp, e.ts))
+              case _          => t
+            }
+          }
+          if (next == prev && state.exists) Iterator.empty
+          else { state.update(next); Iterator.single(FunnelOut(uid, depth(next))) }
+        })
+  }
+
   /** F6 input: a vector upsert — `ts` is the version (epoch micros). */
   final case class VecUpsert(vec_id: Long, v: Array[Double], ts: Long)
 

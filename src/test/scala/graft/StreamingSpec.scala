@@ -187,6 +187,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F10 streaming funnel depths aggregate to the batch funnel counts") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.FEv
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts"), col("event_type"))
+      .collect().map(r => FEv(r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_.ts).toSeq
+    val input = MemoryStream[FEv]
+    val q = EventStreams.funnelStream(input.toDS()).writeStream
+      .format("memory").queryName("f_out").outputMode("update").start()
+    try {
+      val third = evs.length / 3
+      input.addData(evs.take(third)); q.processAllAvailable()
+      input.addData(evs.slice(third, 2 * third)); q.processAllAvailable()
+      input.addData(evs.drop(2 * third)); q.processAllAvailable()
+      val finalStage = spark.table("f_out").collect().zipWithIndex
+        .map { case (r, i) => r.getLong(0) -> (i, r.getInt(1)) }
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2._1)._2._2).toMap
+      val b = graft.operators.Relational.qFunnel(spark, sfDir).collect()(0)
+      assert(finalStage.size == b.getLong(0))                    // n_users
+      assert(finalStage.count(_._2 >= 1) == b.getLong(1))        // n_view
+      assert(finalStage.count(_._2 >= 2) == b.getLong(2))        // n_view_click
+      assert(finalStage.count(_._2 >= 3) == b.getLong(3))        // n_full_funnel
+    } finally q.stop()
+  }
+
   private case class PiiDoc(doc_id: Long, t: String)
 
   test("F8 streaming PII curation equals the batch pipeline across batches") {
