@@ -1104,8 +1104,54 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** B55: table-version diff (data reconciliation): two deterministic
+    * "snapshots" of orders (v1 drops keys % 97 = 0, v2 drops % 103 = 0
+    * and bumps prices on % 101 = 0), compared by ONE full-outer join
+    * on the key with per-row content hashes → added/removed/changed/
+    * same counts. The at-scale shape of a snapshot audit: no collect,
+    * no sort, one key shuffle.
+    */
+  def qDiff(s: SparkSession, dir: String): DataFrame = {
+    def hashed(df: DataFrame, hc: String): DataFrame =
+      df.select(col("o_orderkey").as(s"k_$hc"),
+        md5(concat_ws("|", col("o_custkey"),
+          round(col("o_totalprice") * 100, 0).cast("long"),
+          col("o_orderstatus"))).as(s"h_$hc"))
+    val v1 = orders(s, dir).filter(col("o_orderkey") % 97 =!= 0)
+    val v2 = orders(s, dir).filter(col("o_orderkey") % 103 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    hashed(v1, "a").join(hashed(v2, "b"), col("k_a") === col("k_b"), "full_outer")
+      .select(
+        when(col("k_a").isNull, "added")
+          .when(col("k_b").isNull, "removed")
+          .when(col("h_a") =!= col("h_b"), "changed")
+          .otherwise("same").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above. */
   val oracles: Map[String, String] = Map(
+    "q_diff" ->
+      """WITH v1 AS (SELECT o_orderkey AS k,
+        |    md5(o_custkey || '|' || CAST(ROUND(o_totalprice*100,0) AS BIGINT)
+        |        || '|' || o_orderstatus) AS h
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |v2 AS (SELECT o_orderkey AS k,
+        |    md5(o_custkey || '|' || CAST(ROUND(
+        |      CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+        |           ELSE o_totalprice END * 100, 0) AS BIGINT)
+        |        || '|' || o_orderstatus) AS h
+        |  FROM orders WHERE o_orderkey % 103 <> 0)
+        |SELECT CASE WHEN v1.k IS NULL THEN 'added'
+        |            WHEN v2.k IS NULL THEN 'removed'
+        |            WHEN v1.h <> v2.h THEN 'changed'
+        |            ELSE 'same' END AS status, COUNT(*) AS n
+        |FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_zorder" -> {
       val terms = (0 until 8).flatMap(i => Seq(
         s"((b1 >> $i) & 1) * ${1L << (2 * i)}",
