@@ -332,6 +332,28 @@ object Estimation {
       .orderBy(col("class"))
   }
 
+  /** A27: classifier calibration curve for the A4 probability surface —
+    * predicted P(class='R') bucketed into its six exact levels (k=5
+    * neighbors → p ∈ {0, .2, .4, .6, .8, 1}) against the observed rate
+    * of 'R'. Bins are exact neighbor counts, so the bucketing is
+    * engine-stable; one id-keyed join + one 6-key aggregate.
+    */
+  def qCalibration(s: SparkSession, dir: String): DataFrame = {
+    val model = KNeighborsClassifier(k = 5, orderBy = trainOrder)
+      .fit(trainLi(s, dir), Seq("l_extendedprice", "l_quantity"), Seq("l_returnflag"))
+    val src = li(s, dir)
+    val proba = model.predictProba(
+      FeatureFrame(src, Seq("li_id"), Seq("l_extendedprice", "l_quantity")))
+    proba.join(src.select(col("li_id"), col("l_returnflag")), "li_id")
+      .select(round(col("p_R") * 5, 0).cast("long").as("bin"),
+              (col("l_returnflag") === "R").cast("long").as("hit"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("hit")).as("n_true"))
+      .select(col("bin"), col("n"), col("n_true"),
+              dec4(col("n_true").cast("double") / col("n")).as("actual_rate"))
+      .orderBy(col("bin"))
+  }
+
   /** A26: regression evaluation metrics (MAE/RMSE/R²) for the A9 OLS
     * fit — errors quantized to EXACT cents against the dec2-rounded
     * prediction (q_linreg's published contract), squared sums in
@@ -874,6 +896,21 @@ object Estimation {
           |  CAST(ROUND((l_extendedprice-m2)/s2,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_extendedprice,
           |  CAST(ROUND((l_discount-m3)/s3,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_discount
           |FROM lineitem CROSS JOIN sg ORDER BY li_id""".stripMargin,
+      "q_calibration" ->
+        s"""WITH $train, $q,
+          |d AS (SELECT li_id, train.l_returnflag AS tcls,
+          |  ROW_NUMBER() OVER (PARTITION BY li_id ORDER BY
+          |    (q.l_extendedprice-train.l_extendedprice)*(q.l_extendedprice-train.l_extendedprice)
+          |    +(q.l_quantity-train.l_quantity)*(q.l_quantity-train.l_quantity), tid) AS rn
+          |  FROM q CROSS JOIN train),
+          |g AS (SELECT li_id, SUM(CASE WHEN tcls='R' THEN 1 ELSE 0 END) AS bin
+          |  FROM d WHERE rn <= 5 GROUP BY li_id),
+          |q2 AS (SELECT $uidSql AS li_id, l_returnflag FROM lineitem)
+          |SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
+          |  SUM(CAST(q2.l_returnflag = 'R' AS BIGINT)) AS n_true,
+          |  CAST(ROUND(SUM(CAST(q2.l_returnflag = 'R' AS BIGINT))::DOUBLE / COUNT(*), 4)
+          |    AS DECIMAL(18,4))::DOUBLE AS actual_rate
+          |FROM g JOIN q2 USING (li_id) GROUP BY 1 ORDER BY 1""".stripMargin,
       "q_reg_metrics" ->
         s"""WITH $train,
           |co AS (SELECT REGR_SLOPE(l_extendedprice, l_quantity) AS b1,
