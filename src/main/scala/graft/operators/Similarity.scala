@@ -257,6 +257,70 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** D12: k-nearest-neighbor GRAPH over the corpus (top-3 cosine
+    * neighbors per vector) — the construction step behind graph-based
+    * dedup/clustering (SemDeDup-style) and NN-descent ANN. Same
+    * block-partitioned triangle self-join as D2 (every pair computed in
+    * exactly ONE block-pair group, task memory = two blocks), but each
+    * group emits its LOCAL per-vector top-k (both pair directions) and
+    * a vec_id-keyed window reduces the ≤ B·k candidates per vector to
+    * the global top-k — the top-k of per-group top-ks is exact.
+    * Shuffle volume O(n·B·k), never O(n²) rows.
+    */
+  def qKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 3
+    val nBlocks = 16
+    val ds = emb(s, dir).select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+    val repl = ds.flatMap { case (id, v) =>
+      val b = (id % nBlocks).toInt
+      (0 until nBlocks).map(o => (math.min(b, o), math.max(b, o), id, v))
+    }
+    val locals = repl
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long, Array[Double])]) =>
+        val (bi, bj) = key
+        val rows = it.toArray.sortBy(_._3)
+        val m = rows.length
+        val ids = rows.map(_._3)
+        val home = rows.map(t => (t._3 % nBlocks).toInt)
+        val nrm = rows.map { t =>
+          var s2 = 0.0; var j = 0
+          while (j < t._4.length) { s2 += t._4(j) * t._4(j); j += 1 }
+          math.sqrt(s2)
+        }
+        val cands = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[(Double, Long)])
+        var p = 0
+        while (p < m) {
+          val vp = rows(p)._4
+          var q = p + 1
+          while (q < m) {
+            if ((bi == bj || home(p) != home(q)) && ids(p) != ids(q)) {
+              val vq = rows(q)._4
+              var d = 0.0; var j = 0
+              while (j < vp.length) { d += vp(j) * vq(j); j += 1 }
+              val sim = d / (nrm(p) * nrm(q))
+              cands(p) += ((sim, ids(q)))
+              cands(q) += ((sim, ids(p)))
+            }
+            q += 1
+          }
+          p += 1
+        }
+        (0 until m).iterator.flatMap { i =>
+          cands(i).sortBy { case (sim, nb) => (-sim, nb) }.take(k)
+            .map { case (sim, nb) => (ids(i), nb, sim) }
+        }
+      }
+      .toDF("vec_id", "nb_id", "sim")
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nb_id"))
+    locals.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+              col("nb_id"), dec4(col("sim")).as("sim"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** D4: nearest-centroid classification — per-label mean vectors via a
     * posexplode aggregate, then k=1 kNN against the 10 broadcast
     * centroids (Euclidean; ties to the lowest label).
@@ -1108,6 +1172,17 @@ object Similarity {
     "q_ann_multiprobe" -> annLshSql(probe1 = true),
     "q_ann_ivf" -> annIvfSql,
     "q_mmr" -> mmrSql,
+    "q_knn_graph" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sims AS (SELECT a.vec_id, b.vec_id AS nb_id,
+        |    list_cosine_similarity(a.v, b.v) AS sim
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, nb_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nb_id) AS rank
+        |  FROM sims)
+        |SELECT vec_id, CAST(rank AS BIGINT) AS rank, nb_id,
+        |  CAST(ROUND(sim,4) AS DECIMAL(18,4))::DOUBLE AS sim
+        |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
     "q_cluster_sample" ->
       s"""WITH $ivfCellCteSql,
         |cnt AS (SELECT p, COUNT(*) AS n_cell FROM cell GROUP BY 1)
