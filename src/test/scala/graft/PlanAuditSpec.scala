@@ -56,6 +56,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"q22's NOT EXISTS is not an anti join:\n$p")
   }
 
+  test("corpus-pair queries never plan a cartesian product") {
+    for ((name, q) <- Seq(
+        "q_knn_graph" -> graft.operators.Similarity.qKnnGraph(spark, sfDir),
+        "q_embed_neardup" -> graft.operators.Similarity.qEmbedNearDup(spark, sfDir),
+        "q_editdist" -> graft.operators.TextOps.qEditDist(spark, sfDir))) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$name degraded to a cartesian product:\n$p")
+    }
+  }
+
   test("fact-scan predicates reach the parquet source") {
     val p = plan(Relational.q1Pricing(spark, sfDir))
     // constraint propagation is off (GraftSession), so no inferred
