@@ -576,6 +576,25 @@ object Estimation {
       .orderBy(col("li_id"))
   }
 
+  /** A12d: one exact gradient-boosting stage (Boosting.scala) — the
+    * depth-1 residual tree is closed-form (variance reduction is
+    * shift-invariant, so the residual split is the best depth-1 split
+    * on y and F1 = (1−lr)·mean + lr·leafMean), which makes this the
+    * fully VALUE-oracled boosting query next to the invariant-gated
+    * MLlib ensemble (A12b). The oracle re-runs the exact-HUGEINT split
+    * search (the q_cart_reg block) and combines the leaf means with the
+    * identical float op sequence.
+    */
+  def qGbtStage1(s: SparkSession, dir: String): DataFrame = {
+    val model = GradientBoostStage1(learningRate = 0.5, targetScale = 100.0,
+        orderBy = trainOrder)
+      .fit(trainLi(s, dir), Seq("l_quantity", "l_discount", "l_tax"), Seq("l_extendedprice"))
+    model.predict(FeatureFrame(li(s, dir), Seq("li_id"),
+        Seq("l_quantity", "l_discount", "l_tax")))
+      .select(col("li_id"), dec4(col("l_extendedprice")).as("prediction"))
+      .orderBy(col("li_id"))
+  }
+
   /** A12c: deterministic CART regression tree (depth 2, exact-integer
     * split search — Cart.scala) with the splits REPLICATED in SQL: the
     * oracle re-runs the variance-reduction search per node via window
@@ -907,7 +926,7 @@ object Estimation {
           |  FROM d WHERE rn <= 5 GROUP BY li_id),
           |q2 AS (SELECT $uidSql AS li_id, l_returnflag FROM lineitem)
           |SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
-          |  SUM(CAST(q2.l_returnflag = 'R' AS BIGINT)) AS n_true,
+          |  CAST(SUM(CAST(q2.l_returnflag = 'R' AS BIGINT)) AS BIGINT) AS n_true,
           |  CAST(ROUND(SUM(CAST(q2.l_returnflag = 'R' AS BIGINT))::DOUBLE / COUNT(*), 4)
           |    AS DECIMAL(18,4))::DOUBLE AS actual_rate
           |FROM g JOIN q2 USING (li_id) GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -1144,6 +1163,23 @@ object Estimation {
           |FROM q CROSS JOIN root_best rb CROSS JOIN lft_best lb CROSS JOIN rgt_best gb
           |CROSS JOIN leaf_ll ll CROSS JOIN leaf_lr lr
           |CROSS JOIN leaf_rl rl CROSS JOIN leaf_rr rr
+          |ORDER BY li_id""".stripMargin,
+      "q_gbt_stage1" ->
+        s"""WITH $train, $q,
+          |t0 AS (SELECT tid, l_quantity AS f0, l_discount AS f1, l_tax AS f2,
+          |  CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS y FROM train),
+          |${cartSplitBlock("t0", "root")},
+          |gm AS (SELECT CAST(SUM(y) AS DOUBLE)/COUNT(*)/100 AS mean FROM t0),
+          |leaf_l AS (SELECT CAST(SUM(y) AS DOUBLE)/COUNT(*)/100 AS p FROM t0
+          |  CROSS JOIN root_best b WHERE ${cartFv("b", "f0", "f1", "f2")} <= b.thr),
+          |leaf_r AS (SELECT CAST(SUM(y) AS DOUBLE)/COUNT(*)/100 AS p FROM t0
+          |  CROSS JOIN root_best b WHERE ${cartFv("b", "f0", "f1", "f2")} > b.thr)
+          |SELECT li_id, CAST(ROUND(
+          |  CASE WHEN ${cartFv("rb", "l_quantity", "l_discount", "l_tax")} <= rb.thr
+          |  THEN (1.0-0.5)*gm.mean + 0.5*ll.p
+          |  ELSE (1.0-0.5)*gm.mean + 0.5*lr.p END, 4) AS DECIMAL(18,4))::DOUBLE AS prediction
+          |FROM q CROSS JOIN root_best rb CROSS JOIN gm
+          |CROSS JOIN leaf_l ll CROSS JOIN leaf_r lr
           |ORDER BY li_id""".stripMargin,
       "q_pca" ->
         s"""WITH $train, $q,

@@ -1058,29 +1058,57 @@ object Relational {
 
   /** B53: table profiling — the data-quality audit primitive every
     * ingestion pipeline runs first: per column null count, distinct
-    * count, min/max rendered to strings. ONE pass over the fact table
-    * (all aggregates fused in a single hash-agg), output pivoted to a
-    * row per column by plain selects.
+    * count, min/max rendered to strings.
+    *
+    * Scale shape (since r6): Spark compiles N `countDistinct` in one
+    * aggregate into an Expand that multiplies every input row ×(N+1)
+    * BEFORE the shuffle — a 6× shuffle amplification over the full
+    * fact table at 100 TB. Instead:
+    *   - pass 1: null counts / min / max / row count fused in ONE
+    *     hash-agg (no Expand — these are plain aggregates);
+    *   - pass 2: exact distinct counts via explode to (column, value)
+    *     pairs and a TWO-LEVEL aggregate. The first level groups by
+    *     (column, value) with map-side partial aggregation, so the
+    *     shuffle carries at most the per-partition-distinct pairs —
+    *     the true information content — never a blown-up copy of the
+    *     input. The second level is 5 keys.
+    * The two 5-row results meet in a broadcast join. Values are exact,
+    * so the DuckDB oracle hash-checks them. PlanAuditSpec locks the
+    * no-Expand property.
     */
   def qProfile(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
                    "o_orderpriority")
-    val aggs = cols.flatMap { c =>
+    val df = orders(s, dir)
+    val basicAggs = cols.flatMap { c =>
       Seq(sum(col(c).isNull.cast("long")).as(s"nn_$c"),
-          countDistinct(col(c)).as(s"nd_$c"),
           min(col(c)).cast("string").as(s"mn_$c"),
           max(col(c)).cast("string").as(s"mx_$c"))
     } :+ count(lit(1)).as("n")
-    val r = orders(s, dir).agg(aggs.head, aggs.tail: _*)
+    val basic = df.agg(basicAggs.head, basicAggs.tail: _*)
     // pivot the 1-row aggregate by EXPLODING it — a unionAll of
     // per-column selects would re-run the aggregation (and the scan)
     // once per column
     val entries = cols.map(c =>
       struct(lit(c).as("column_name"), col("n").as("n_rows"),
-             col(s"nn_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
+             col(s"nn_$c").as("n_null"),
              col(s"mn_$c").as("min_str"), col(s"mx_$c").as("max_str")))
-    r.select(explode(array(entries: _*)).as("e"))
+    val basicRows = basic.select(explode(array(entries: _*)).as("e"))
       .select(col("e.*"))
+    // exact distinct counts, two-level: the string rendering is
+    // injective per column (long/double/string), so distinct-of-
+    // rendered == distinct-of-typed; nulls dropped to match
+    // COUNT(DISTINCT c) semantics
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.*"))
+      .filter(col("v").isNotNull)
+    val nd = pairs
+      .groupBy(col("column_name"), col("v")).agg(count(lit(1)))
+      .groupBy(col("column_name")).agg(count(lit(1)).as("n_distinct"))
+    basicRows.join(broadcast(nd), Seq("column_name"))
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+              col("n_distinct"), col("min_str"), col("max_str"))
       .orderBy(col("column_name"))
   }
 
@@ -1189,7 +1217,7 @@ object Relational {
                      "o_orderpriority")
       cols.map { c =>
         s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
-          |  SUM(CAST($c IS NULL AS BIGINT)) AS n_null,
+          |  CAST(SUM(CAST($c IS NULL AS BIGINT)) AS BIGINT) AS n_null,
           |  COUNT(DISTINCT $c) AS n_distinct,
           |  CAST(MIN($c) AS VARCHAR) AS min_str,
           |  CAST(MAX($c) AS VARCHAR) AS max_str FROM orders""".stripMargin
@@ -1202,9 +1230,9 @@ object Relational {
         |    MIN(CASE WHEN event_type='purchase' THEN ts END) AS tp
         |  FROM events GROUP BY 1)
         |SELECT COUNT(*) AS n_users,
-        |  SUM(CAST(tv IS NOT NULL AS BIGINT)) AS n_view,
-        |  SUM(CAST(tv IS NOT NULL AND tc > tv AS BIGINT)) AS n_view_click,
-        |  SUM(CAST(tv IS NOT NULL AND tc > tv AND tp > tc AS BIGINT)) AS n_full_funnel
+        |  CAST(SUM(CAST(tv IS NOT NULL AS BIGINT)) AS BIGINT) AS n_view,
+        |  CAST(SUM(CAST(tv IS NOT NULL AND tc > tv AS BIGINT)) AS BIGINT) AS n_view_click,
+        |  CAST(SUM(CAST(tv IS NOT NULL AND tc > tv AND tp > tc AS BIGINT)) AS BIGINT) AS n_full_funnel
         |FROM u""".stripMargin,
     "q_approx_quantile" ->
       """SELECT l_returnflag, 1 AS p50_in_bounds, 1 AS p95_in_bounds
@@ -1234,8 +1262,8 @@ object Relational {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q12_priority" ->
       """SELECT l_returnflag,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
