@@ -868,7 +868,7 @@ object Similarity {
 
   /** D9: SemDeDup (Abbas et al., 2023) — semantic near-duplicate
     * pruning, the embedding-space analogue of MinHash-LSH dedup: a
-    * coarse quantizer (16 deterministic unit-norm centroids, tag
+    * coarse quantizer (`nCells` deterministic unit-norm centroids, tag
     * "sem|" — same md5/Box-Muller draw the IVF oracle rebuilds)
     * assigns every vector to one cell, and near-dup pairs are searched
     * ONLY within cells — never across the whole corpus. A vector is a
@@ -880,9 +880,11 @@ object Similarity {
     * per-task memory is one cell and the pair scan is O(Σ cell²) —
     * the SemDeDup paper's point is that nCells grows with the corpus
     * (cells stay ~constant size), so the quadratic term never sees
-    * the full n. Cross-cell near-dups are missed by design (the
-    * paper's recall trade-off); the exact-recall alternative is the
-    * D2 triangle join.
+    * the full n. Since r6 nCells is a PARAMETER ([[semDedup]]) sized
+    * by [[semCellsFor]] (corpusRows / targetCellSize); the oracled
+    * query pins 16, the sf0.01 value of that rule. Cross-cell
+    * near-dups are missed by design (the paper's recall trade-off);
+    * the exact-recall alternative is the D2 triangle join.
     */
   /** D11: MMR-diversified retrieval (Carbonell & Goldstein) — from each
     * probe's brute-force top-20, greedily pick 5 maximizing
@@ -1023,10 +1025,28 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Cell-count sizing rule for [[semDedup]]: nCells grows linearly
+    * with the corpus so cells stay ~`targetCellSize` vectors and the
+    * within-cell O(cell²) pair scan stays constant per task as the
+    * corpus scales — the SemDeDup paper's scaling argument, made a
+    * parameter instead of a literal. At 100 TB you pass the (known)
+    * corpus row count from table stats; there is no extra count job
+    * unless you want one.
+    */
+  def semCellsFor(corpusRows: Long, targetCellSize: Int = 32): Int =
+    math.max(1L, math.min(Int.MaxValue.toLong,
+      (corpusRows + targetCellSize - 1) / targetCellSize)).toInt
+
+  /** Parameterized SemDeDup kernel: quantize to `nCells` deterministic
+    * unit-norm centroids (tag "sem|"), search near-dup pairs ONLY
+    * within cells. `qSemDedup` pins nCells=16 (the value the static
+    * DuckDB oracle rebuilds — 500 sf0.01 vectors / 32-per-cell target);
+    * real deployments derive it via [[semCellsFor]]. SimilaritySpec
+    * checks the kernel at two other cell counts against a local
+    * reference.
+    */
+  def semDedup(s: SparkSession, dir: String, nCells: Int, tau: Double = 0.35): DataFrame = {
     import s.implicits._
-    val tau = 0.35
-    val nCells = 16
     val dim = 64
     val cents = gaussianPlanes(nCells, dim, tag = "sem|").map { c =>
       // component-wise normalize, sums in index order (oracle parity)
@@ -1090,6 +1110,9 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("dup_of"), dec4(col("sim")).as("cosine"))
       .orderBy(col("vec_id"))
   }
+
+  def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    semDedup(s, dir, nCells = 16)
 
   private val semDedupSql: String = {
     val u = (t: String) =>
