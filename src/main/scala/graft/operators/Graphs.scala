@@ -86,12 +86,68 @@ object Graphs {
     var ranks = e.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1000000000L).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), expr("r div deg").as("c"))
-      ranks = contrib.groupBy(col("id"))
-        .agg(sum(col("c")).as("sm"))
-        .select(col("id"), expr("150000000 + (17 * sm) div 20").as("r"))
+      ranks = pagerankStep(e, ranks)
     }
     ranks
   }
+
+  /** One integer fixed-point PageRank update (shared by the unrolled
+    * and the converging forms — identical arithmetic by construction).
+    */
+  private def pagerankStep(e: DataFrame, ranks: DataFrame): DataFrame = {
+    val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
+      .select(col("dst").as("id"), expr("r div deg").as("c"))
+    contrib.groupBy(col("id"))
+      .agg(sum(col("c")).as("sm"))
+      .select(col("id"), expr("150000000 + (17 * sm) div 20").as("r"))
+  }
+
+  /** CONVERGING PageRank for real use (the oracled q_pagerank keeps the
+    * fixed 3-iteration unrolled form as its declared contract): iterate
+    * [[pagerankStep]] until the max per-node rank change is ≤ `tolE9`
+    * (units of 10⁻⁹ rank) or `maxIters` rounds, with the C16 idiom —
+    * every round's ranks pinned (reliable checkpoint when a dir is
+    * configured, else localCheckpoint) so round k never replays rounds
+    * 1..k−1, and the convergence check is ONE scalar aggregate per
+    * round, no data collected. Integer arithmetic means the iteration
+    * can oscillate by a few quanta around its fixed point instead of
+    * reaching it exactly; a tolE9 of a few thousand (≈ 10⁻⁶ rank)
+    * absorbs that while still being far below ranking resolution.
+    *
+    * Returns (ranks, iterations run). An unconverged result fails
+    * loudly, mirroring connectedComponents.
+    */
+  def pagerankConverged(edgesAB: DataFrame, maxIters: Int = 20,
+                        tolE9: Long = 1000L): (DataFrame, Int) = {
+    val mat = graft.core.Materialize.pin(edgesAB.select(col("a"), col("b")))
+    val edges = mat
+      .union(mat.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("src"), col("b").as("dst"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = graft.core.Materialize.pin(edges.join(deg, "src"))
+    var ranks = graft.core.Materialize.pin(
+      e.select(col("src").as("id")).distinct()
+        .select(col("id"), lit(1000000000L).as("r")))
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val next = graft.core.Materialize.pin(pagerankStep(e, ranks))
+      // max over an empty frame (edgeless input) is null -> converged
+      val row = next.withColumnRenamed("r", "rn")
+        .join(ranks, "id")
+        .agg(max(abs(col("rn") - col("r"))).as("d"))
+        .collect()(0)
+      val delta = if (row.isNullAt(0)) 0L else row.getLong(0)
+      ranks = next
+      it += 1
+      converged = delta <= tolE9
+    }
+    require(converged,
+      s"pagerank did not converge to tol=$tolE9 in $maxIters rounds")
+    (ranks, it)
+  }
+
+  /** [[pagerankConverged]], ranks only. */
+  def pagerank(edgesAB: DataFrame, maxIters: Int = 20, tolE9: Long = 1000L): DataFrame =
+    pagerankConverged(edgesAB, maxIters, tolE9)._1
 }

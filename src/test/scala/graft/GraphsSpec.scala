@@ -27,6 +27,24 @@ class GraphsSpec extends AnyFunSuite {
     assert(run() === expected)
   }
 
+  test("converging pagerank equals the unrolled fixed-point form at its stop round") {
+    val (ranks, iters) = Graphs.pagerankConverged(edges(), maxIters = 30, tolE9 = 1000L)
+    assert(iters >= 1 && iters <= 30)
+    val converged = ranks.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the converging loop is pagerankStep iterated `iters` times — the
+    // unrolled form with the same round count must be BIT-identical
+    // (integer arithmetic: no float drift to hide behind)
+    val unrolled = Graphs.pagerankFixedPoint(edges(), iters = iters)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(converged === unrolled)
+    // and one more round moves every node by at most the tolerance
+    val next = Graphs.pagerankFixedPoint(edges(), iters = iters + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    converged.foreach { case (id, r) =>
+      assert(math.abs(next(id) - r) <= 1000L, s"node $id moved past tol after stop")
+    }
+  }
+
   test("connected components under a reliable checkpoint dir") {
     // the dir stays set on the shared session afterwards (SparkContext
     // has no unset); later suites then exercise the reliable-checkpoint
