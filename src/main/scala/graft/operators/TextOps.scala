@@ -626,29 +626,65 @@ object TextOps {
     * gram-hit count, `n_true` the exact count (C17's n_shared);
     * n_maybe > n_true rows are the filter's reproducible FPs.
     */
-  def qBloom(s: SparkSession, dir: String): DataFrame = {
-    val m = 16384
-    val k = 2
-    def positions(g: Column): Seq[Column] = (0 until k).map { j =>
-      // 52-bit md5 prefix mod m — TextKernels.md5Prefix52's Column twin
+  /** C18 kernel pieces, factored so the STREAMING twin (F11,
+    * EventStreams.bloomDecontamStream) attaches the IDENTICAL
+    * expressions to an unbounded frame.
+    */
+  /** The k Bloom bit positions of a gram: 52-bit md5 prefix mod m —
+    * TextKernels.md5Prefix52's Column twin.
+    */
+  def bloomPositions(g: Column, m: Int = 16384, k: Int = 2): Seq[Column] =
+    (0 until k).map { j =>
       conv(substring(md5(concat(lit(s"bloom|$j|"), g)), 1, 13), 16, 10)
         .cast("long") % m
     }
+
+  /** Build the filter: one driver-side fold over the eval-gram
+    * positions (eval side is small by the same contract as C17).
+    * Batch-side only — the result rides into stream/corpus expressions
+    * as a literal.
+    */
+  def bloomBitmaskOf(ev: DataFrame, m: Int = 16384, k: Int = 2): String = {
+    val bits = new Array[Boolean](m)
+    ev.select(bloomPositions(col("g"), m, k): _*).collect()
+      .foreach(r => (0 until k).foreach(j => bits(r.getLong(j).toInt) = true))
+    bits.map(b => if (b) '1' else '0').mkString
+  }
+
+  /** The per-row Bloom membership test: all k positions set in the
+    * literal bitmask. Pure codegen — no join, no shuffle, no state —
+    * so it attaches unchanged to batch or streaming frames.
+    */
+  def bloomMaybeHit(g: Column, bitmask: String, m: Int = 16384, k: Int = 2): Column =
+    bloomPositions(g, m, k)
+      .map(p => lit(bitmask).substr((p + 1).cast("int"), lit(1)) === "1")
+      .reduce(_ && _)
+
+  /** Word n-gram shingles as a PURE-SQL expression pipeline (unlike the
+    * compiled [[shingled]] kernel, this attaches to streaming frames):
+    * one distinct gram row per (doc, gram). Matches the kernel's gram
+    * format exactly (space-joined word windows, `split(text, " ", -1)`
+    * word rule).
+    */
+  def shingleGramsOn(docs: DataFrame, n: Int): DataFrame = {
+    val words = split(col("text"), " ", -1)
+    val idxs = when(size(words) >= n, sequence(lit(0), size(words) - n))
+      .otherwise(array().cast("array<int>"))
+    docs.select(col("doc_id"),
+      explode(array_distinct(transform(idxs, i =>
+        concat_ws(" ", slice(words, i + 1, lit(n)))))).as("g"))
+  }
+
+  def qBloom(s: SparkSession, dir: String): DataFrame = {
+    val m = 16384
+    val k = 2
     val grams = graft.core.Materialize.pin(
       shingled(s, dir, n = 4)
         .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g")))
     val ev = grams.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
-    // build the filter: one driver-side fold over the eval-gram
-    // positions (eval side is small by the same contract as C17)
-    val bits = new Array[Boolean](m)
-    ev.select(positions(col("g")): _*).collect()
-      .foreach(r => (0 until k).foreach(j => bits(r.getLong(j).toInt) = true))
-    val bitmask = bits.map(b => if (b) '1' else '0').mkString
-    val maybeHit = positions(col("g"))
-      .map(p => lit(bitmask).substr((p + 1).cast("int"), lit(1)) === "1")
-      .reduce(_ && _)
+    val bitmask = bloomBitmaskOf(ev, m, k)
     grams.filter(col("doc_id") % 97 =!= 0)
-      .withColumn("mh", maybeHit.cast("int"))
+      .withColumn("mh", bloomMaybeHit(col("g"), bitmask, m, k).cast("int"))
       .join(broadcast(ev.withColumn("__t", lit(1))), Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(

@@ -244,6 +244,24 @@ object EventStreams {
         })
   }
 
+  /** F11: streaming Bloom decontamination (batch twin C18 qBloom) —
+    * the newest-data decontam shape: the eval-set Bloom bitmask is
+    * built ONCE batch-side (TextOps.bloomBitmaskOf) and the C18
+    * expressions attach UNCHANGED to the unbounded document stream:
+    * pure-SQL shingling, per-gram membership test against the literal
+    * bitmask. COMPLETELY STATELESS — no join, no aggregate, no state
+    * store; append mode, one output row per flagged (doc, gram). At
+    * 100 TB/day this is the cheapest possible streaming screen: the
+    * corpus never shuffles, the filter rides in the task binary.
+    */
+  def bloomDecontamStream(docs: DataFrame, bitmask: String, n: Int = 4,
+                          m: Int = 16384, k: Int = 2): DataFrame = {
+    import graft.operators.TextOps
+    TextOps.shingleGramsOn(docs, n)
+      .filter(TextOps.bloomMaybeHit(col("g"), bitmask, m, k))
+      .select(col("doc_id"), col("g"))
+  }
+
   /** F6 input: a vector upsert — `ts` is the version (epoch micros). */
   final case class VecUpsert(vec_id: Long, v: Array[Double], ts: Long)
 

@@ -239,6 +239,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F11 streaming Bloom decontam flags the batch q_bloom gram set across batches") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    // bitmask built batch-side from the eval slice, exactly as C18 does
+    val evGrams = TextOps.shingleGramsOn(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")), n = 4)
+      .filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+    val bitmask = TextOps.bloomBitmaskOf(evGrams)
+    val corpus = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => TDoc(r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[TDoc]
+    val q = EventStreams.bloomDecontamStream(input.toDF(), bitmask).writeStream
+      .format("memory").queryName("b_out").outputMode("append").start()
+    try {
+      val half = corpus.length / 2
+      input.addData(corpus.take(half)); q.processAllAvailable()
+      input.addData(corpus.drop(half)); q.processAllAvailable()
+      val got = spark.table("b_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      // twin assertion: stream == the same expressions applied in batch
+      val batchSet = EventStreams.bloomDecontamStream(
+          Tables.documents(spark, sfDir).filter(col("doc_id") % 97 =!= 0)
+            .select(col("doc_id"), col("text")), bitmask)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got.nonEmpty)
+      assert(got == batchSet)
+      // cross-link to the ORACLED q_bloom (hash-gated against DuckDB):
+      // per-doc flagged counts agree wherever the corpus has a single
+      // row per doc_id (q_bloom counts per gram ROW, so the corpus's
+      // degenerate duplicate doc_ids double-count there by design)
+      val dupDocs = Tables.documents(spark, sfDir).groupBy(col("doc_id"))
+        .count().filter(col("count") > 1)
+        .collect().map(_.getLong(0)).toSet
+      val gotPerDoc = got.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        .filter { case (d, _) => !dupDocs(d) }
+      val expected = TextOps.qBloom(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .filter { case (d, _) => !dupDocs(d) }.toMap
+      assert(expected.nonEmpty)
+      assert(gotPerDoc == expected)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
