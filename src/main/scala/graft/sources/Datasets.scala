@@ -52,11 +52,19 @@ object Datasets {
     * plot_id, driver-parsed — the resource is KB-scale by packaging
     * contract), and the full feature frame to predict over.
     */
+  /** The reference's `large_rasters=True` image shape
+    * (datasets/_base.py:110 — a 2048×4096 raster variant of the same
+    * sample, shipped for scale demos).
+    */
+  val EcoplotLargeRasterPixels: Long = 2048L * 4096L
+
   def loadEcoplotSample(
       spark: SparkSession,
       nPixels: Long = 10000,
-      seed: Long = 42
+      seed: Long = 42,
+      large: Boolean = false
   ): (DataFrame, DataFrame, FeatureFrame) = {
+    val px = if (large) EcoplotLargeRasterPixels else nPixels
     val in = getClass.getResourceAsStream("/graft/datasets/ecoplot_sample.csv")
     require(in != null, "packaged dataset graft/datasets/ecoplot_sample.csv missing from classpath")
     val lines =
@@ -77,7 +85,7 @@ object Datasets {
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
     val x = plots.select((col("plot_id") +: EcoplotFeatures.map(col)): _*)
     val y = plots.select((col("plot_id") +: EcoplotTargets.map(col)): _*)
-    val pixels = Synthetic.featureArray(spark, nPixels, EcoplotFeatures, seed = seed)
+    val pixels = Synthetic.featureArray(spark, px, EcoplotFeatures, seed = seed)
     (x, y, FeatureFrame(pixels, Seq("sample_id"), EcoplotFeatures))
   }
 

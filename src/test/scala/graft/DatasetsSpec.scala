@@ -26,6 +26,23 @@ class DatasetsSpec extends AnyFunSuite {
     assert(x2.collect().toSeq == x.collect().toSeq)
   }
 
+  test("large_rasters variant: end-to-end kNN imputation over the 2048x4096 image") {
+    val (x, y, image) = Datasets.loadEcoplotSample(spark, large = true)
+    assert(Datasets.EcoplotLargeRasterPixels == 2048L * 4096L)
+    val train = x.join(y, "plot_id")
+    val model = KNeighborsRegressor(k = 5, orderBy = Seq("plot_id"))
+      .fit(train, Datasets.EcoplotFeatures, Datasets.EcoplotTargets)
+    val pred = model.predict(image)
+    // aggregate-only verification: the 8.4M-row image must flow through
+    // the codegen'd kNN kernel distributed, never collected
+    val t = Datasets.EcoplotTargets.head
+    val hull = y.selectExpr(s"min($t) AS lo", s"max($t) AS hi").collect().head
+    val agg = pred.selectExpr(
+      "count(*) AS n", s"min($t) AS lo", s"max($t) AS hi").collect().head
+    assert(agg.getLong(0) == Datasets.EcoplotLargeRasterPixels)
+    assert(agg.getDouble(1) >= hull.getDouble(0) && agg.getDouble(2) <= hull.getDouble(1))
+  }
+
   test("the canonical kNN-imputation workflow runs end-to-end on the sample") {
     val (x, y, image) = Datasets.loadEcoplotSample(spark, nPixels = 1000)
     val train = x.join(y, "plot_id")
