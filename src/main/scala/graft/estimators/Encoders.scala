@@ -67,7 +67,9 @@ final case class TargetEncoderModel(
 final case class OneHotEncoder(cols: Seq[String]) {
   def fit(train: DataFrame): OneHotModel = {
     val cats = cols.map { c =>
-      c -> train.select(col(c).cast("string")).distinct()
+      // null categories carry no indicator column (sklearn raises on
+      // NaN; encoding nulls to all-zeros is the 'ignore' analogue)
+      c -> train.select(col(c).cast("string")).na.drop().distinct()
         .collect().map(_.getString(0)).sorted.toSeq
     }
     OneHotModel(cats)
@@ -77,8 +79,10 @@ final case class OneHotEncoder(cols: Seq[String]) {
 final case class OneHotModel(categories: Seq[(String, Seq[String])]) {
   def transform(df: DataFrame, idCols: Seq[String]): DataFrame = {
     val outs = categories.flatMap { case (c, cats) =>
+      // null-safe equality: a null category encodes to all-zeros
+      // (the 'ignore' analogue), not to null indicator columns
       cats.map(v =>
-        (col(c).cast("string") === v).cast("long").as(s"${c}_$v"))
+        (col(c).cast("string") <=> v).cast("long").as(s"${c}_$v"))
     }
     df.select(idCols.map(col) ++ outs: _*)
   }

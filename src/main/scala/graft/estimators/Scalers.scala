@@ -243,7 +243,10 @@ final case class MaxAbsScaler(outPrefix: String = "scaled_")
     val r = train.agg(aggs.head, aggs.tail: _*).collect()(0)
     val params = featureCols.zipWithIndex.map { case (c, i) =>
       val lo = r.getDouble(2 * i); val hi = r.getDouble(2 * i + 1)
-      c -> (math.max(math.abs(lo), math.abs(hi)), 0.0) // (scale=max|x|, offset=0)
+      // sklearn maps a zero scale to 1 so constant-zero columns pass
+      // through unchanged instead of emitting NaN/Infinity
+      val sc = math.max(math.abs(lo), math.abs(hi))
+      c -> (if (sc == 0.0) 1.0 else sc, 0.0) // (scale=max|x|, offset=0)
     }.toMap
     MaxAbsScalerModel(featureCols, params, outPrefix)
   }

@@ -82,6 +82,15 @@ class ScalersSpec extends AnyFunSuite {
     assert(r.map(_.getDouble(2)).toSeq == Seq(0.2, -1.0, 0.5))
   }
 
+  test("maxabs scaler passes constant-zero columns through unchanged (no NaN)") {
+    // sklearn MaxAbsScaler maps a zero scale to 1
+    val in = Seq((1L, 0.0, 3.0), (2L, 0.0, -6.0)).toDF("id", "z", "b")
+    val m = graft.estimators.MaxAbsScaler().fit(in, Seq("z", "b"))
+    val r = m.transform(FeatureFrame(in, Seq("id"), Seq("z", "b"))).orderBy("id").collect()
+    assert(r.map(_.getDouble(1)).toSeq == Seq(0.0, 0.0))
+    assert(r.map(_.getDouble(2)).toSeq == Seq(0.5, -1.0))
+  }
+
   test("winsorizer clamps outside the fitted percentiles and keeps the middle") {
     val in = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "a")
     val m = graft.estimators.Winsorizer(0.05, 0.95).fit(in, Seq("a"))
@@ -143,6 +152,17 @@ class ScalersSpec extends AnyFunSuite {
     val r = out.collect()
     assert(r(0).getLong(1) == 0 && r(0).getLong(2) == 1 && r(0).getLong(3) == 0)
     assert(r(1).getLong(1) == 0 && r(1).getLong(2) == 0 && r(1).getLong(3) == 0)
+  }
+
+  test("one-hot encoder tolerates null categories in fit; nulls encode to all-zeros") {
+    val fit = Seq(Some("r"), None, Some("g")).toDF("c")
+    val m = graft.estimators.OneHotEncoder(Seq("c")).fit(fit) // must not NPE
+    val in = Seq((1L, Some("r")), (2L, Option.empty[String])).toDF("id", "c")
+    val out = m.transform(in, Seq("id")).orderBy("id")
+    assert(out.columns.toSeq == Seq("id", "c_g", "c_r"))
+    val r = out.collect()
+    assert(r(0).getLong(1) == 0 && r(0).getLong(2) == 1)
+    assert(r(1).getLong(1) == 0 && r(1).getLong(2) == 0)
   }
 
 }
