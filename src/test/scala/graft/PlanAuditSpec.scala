@@ -67,6 +67,38 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_profile plans no Expand over the fact table (multi-countDistinct trap)") {
+    // Spark compiles N countDistinct in one aggregate into an Expand
+    // that multiplies every input row x(N+1) before the shuffle — a 6x
+    // shuffle amplification at 100 TB. The r6 two-level rewrite must
+    // keep Expand out of the plan entirely.
+    val p = plan(Relational.qProfile(spark, sfDir))
+    assert(!p.contains("Expand"), s"q_profile regressed to an Expand plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q_profile's 5-row meet must broadcast:\n$p")
+  }
+
+  test("q_pagerank plans exactly one join+agg shuffle pair per iteration") {
+    // 3 unrolled fixed-point iterations: each is ONE edges-ranks join
+    // plus ONE aggregate on node id. More exchanges per round would
+    // multiply the per-iteration shuffle volume at graph scale.
+    val q = graft.operators.TextOps.qPagerank(spark, sfDir)
+    q.collect() // materialize (pins run; plan contains reused stages)
+    val p = plan(q)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    // 3 iterations x (1 join-side + 1 agg partial->final) + the final
+    // orderBy's range exchange lives separately; allow the pinned edge
+    // prep but fail if the per-iteration pair count doubles
+    assert(exchanges <= 9, s"q_pagerank shuffle count blew up ($exchanges):\n$p")
+  }
+
+  test("q_knn_graph (named): block-triangle join is not a cartesian and buckets on block keys") {
+    val p = plan(graft.operators.Similarity.qKnnGraph(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      s"q_knn_graph degraded to a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q_knn_graph degraded to a nested-loop join:\n$p")
+  }
+
   test("fact-scan predicates reach the parquet source") {
     val p = plan(Relational.q1Pricing(spark, sfDir))
     // constraint propagation is off (GraftSession), so no inferred
