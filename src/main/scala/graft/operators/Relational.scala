@@ -1031,6 +1031,34 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** B56: sketch-vs-exact DISTINCT contract (the B51 idiom for
+    * cardinality) — the scale path for distinct counts is
+    * approx_count_distinct (HLL++: one pass, mergeable, constant
+    * memory, no Expand, no dedup shuffle); this query GATES the
+    * sketch against the exact per-group cardinality at 5× the
+    * configured rsd (HLL++ is deterministic for given data, so the
+    * flag is stable cross-run) and emits 1-flags the oracle expects
+    * all-true. The exact side is computed the scale-safe two-level
+    * way (group on (key, value) with map-side dedup, then count) —
+    * never a mixed distinct/non-distinct aggregate that would plan an
+    * Expand.
+    */
+  def qHllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val rsd = 0.01
+    val li = lineitem(s, dir)
+    val exact = li
+      .groupBy(col("l_returnflag"), col("l_partkey")).agg(count(lit(1)))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_exact"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), rsd).as("n_approx"))
+    exact.join(broadcast(approx), "l_returnflag")
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") <=
+          lit(5 * rsd) * col("n_exact").cast("double"))
+          .cast("int").as("distinct_in_bounds"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** B52: truncated exponential moving average (half-life weights
     * 1, ½, ¼, ⅛ over the 4 most recent orders per customer) — the
     * LAG-column formulation keeps the float op sequence FIXED
@@ -1236,6 +1264,10 @@ object Relational {
         |FROM u""".stripMargin,
     "q_approx_quantile" ->
       """SELECT l_returnflag, 1 AS p50_in_bounds, 1 AS p95_in_bounds
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hll_distinct" ->
+      """SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+        |  1 AS distinct_in_bounds
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pct_total" ->
       """WITH g AS (SELECT o_orderpriority,

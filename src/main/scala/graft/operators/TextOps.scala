@@ -565,7 +565,11 @@ object TextOps {
     * per-rule integer flags plus the composite keep bit, so the gate is
     * auditable (which rule killed a doc) and engine-exact.
     */
-  def qGopher(s: SparkSession, dir: String): DataFrame = {
+  /** The C15 rule expressions over any (doc_id, text) frame — pure
+    * stateless codegen, so the STREAMING twin (F12) attaches them to an
+    * unbounded frame unchanged.
+    */
+  def gopherOn(docs: DataFrame): DataFrame = {
     val ws = T.words(col("text"))
     val n = size(ws)
     val sumLen = T.sumWordLen(ws)
@@ -575,13 +579,15 @@ object TextOps {
     val fLen = (sumLen >= n * 3 && sumLen <= n * 10).cast("int")
     val fAlpha = (nAlphaWords * 5 >= n * 4).cast("int") // >= 80%
     val fStop = (nStop >= 2).cast("int")
-    documents(s, dir).select(
+    docs.select(
       col("doc_id"), n.cast("long").as("n_words"),
       fCount.as("f_wordcount"), fLen.as("f_wordlen"),
       fAlpha.as("f_alpha"), fStop.as("f_stop"),
       (fCount * fLen * fAlpha * fStop).as("keep"))
-      .orderBy(col("doc_id"))
   }
+
+  def qGopher(s: SparkSession, dir: String): DataFrame =
+    gopherOn(documents(s, dir)).orderBy(col("doc_id"))
 
   /** C17: exact n-gram eval-set decontamination (the GPT-3/Pile
     * training-hygiene step: drop training docs that share a long

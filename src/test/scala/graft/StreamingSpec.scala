@@ -285,6 +285,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F12 streaming Gopher quality gate equals the oracled batch flags across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect().map(r => TDoc(r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[TDoc]
+    val q = graft.operators.TextOps.gopherOn(input.toDF()).writeStream
+      .format("memory").queryName("g_out").outputMode("append").start()
+    try {
+      val half = docs.length / 2
+      input.addData(docs.take(half)); q.processAllAvailable()
+      input.addData(docs.drop(half)); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))
+      val got = spark.table("g_out").collect().map(key).sorted.toSeq
+      val expected = graft.operators.TextOps.qGopher(spark, sfDir).collect().map(key).sorted.toSeq
+      assert(expected.nonEmpty && got == expected)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
