@@ -342,9 +342,14 @@ object Estimation {
     val model = KNeighborsClassifier(k = 5, orderBy = trainOrder)
       .fit(trainLi(s, dir), Seq("l_extendedprice", "l_quantity"), Seq("l_returnflag"))
     val src = li(s, dir)
+    // the gold label rides through predictProba as an ID column — a
+    // join of the proba output back to the fact scan would shuffle the
+    // fact table twice on a 32-char md5 key (measured 2.9 s at sf0.1,
+    // ~6x the kNN itself; unbounded fact-fact shuffle at 100 TB)
     val proba = model.predictProba(
-      FeatureFrame(src, Seq("li_id"), Seq("l_extendedprice", "l_quantity")))
-    proba.join(src.select(col("li_id"), col("l_returnflag")), "li_id")
+      FeatureFrame(src, Seq("li_id", "l_returnflag"),
+        Seq("l_extendedprice", "l_quantity")))
+    proba
       .select(round(col("p_R") * 5, 0).cast("long").as("bin"),
               (col("l_returnflag") === "R").cast("long").as("hit"))
       .groupBy(col("bin"))

@@ -99,6 +99,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_knn_graph degraded to a nested-loop join:\n$p")
   }
 
+  test("q_calibration never joins the fact table to itself (label rides the kNN pass)") {
+    val p = plan(graft.operators.Estimation.qCalibration(spark, sfDir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q_calibration re-grew the fact-fact id join:\n$p")
+  }
+
   test("fact-scan predicates reach the parquet source") {
     val p = plan(Relational.q1Pricing(spark, sfDir))
     // constraint propagation is off (GraftSession), so no inferred
