@@ -48,6 +48,98 @@ final case class GradientBoostStage1(
   }
 }
 
+/** TWO exact gradient-boosting stages — the stage-2 residual fit stays
+  * engine-reproducible by clearing denominators: with lr = 1/2,
+  *
+  *   F1 ∈ { (S/n + S_L/n_L)/2, (S/n + S_R/n_R)/2 }      (cents, rational)
+  *   D  = 2·n·n_L·n_R
+  *   t_i = D·(y_i − F1(side(i)))
+  *       = D·y_i − (n_L·n_R·S + n·n_R·S_L)   [left side]
+  *       = D·y_i − (n_L·n_R·S + n·n_L·S_R)   [right side]
+  *
+  * — every t_i an exact Long, and Σt = 0 identically (the boosting
+  * residual-sum invariant), which also bounds the HUGEINT gain compare
+  * in the SQL replica. Positive scaling doesn't move the variance-
+  * reduction argmax, so the depth-1 tree on t IS the residual tree,
+  * found by the same exact-BigInt search. The stage-2 leaf value in
+  * dollars is lr·(mean t)/D/100, combined per row as
+  * F2 = F1-CASE + stage2-CASE with one float op sequence both engines
+  * share.
+  */
+final case class GradientBoostTwoStage(
+    targetScale: Double = 1.0,
+    orderBy: Seq[String]
+) extends FeatureEstimator[GradientBoostTwoStageModel] {
+  private val lr = 0.5
+
+  def fit(train: DataFrame, featureCols: Seq[String], targetCols: Seq[String]): GradientBoostTwoStageModel = {
+    require(targetCols.length == 1, "GradientBoostTwoStage is single-target")
+    val d = featureCols.length
+    val data = FitUtil.collectSorted(train, orderBy, featureCols :+ targetCols.head)
+    val xs = data.map(_.take(d))
+    val ys = data.map { r =>
+      val y = r(d) * targetScale
+      val yl = math.round(y)
+      require(math.abs(y - yl) < 1e-6,
+        s"target ${r(d)} is not integral at scale $targetScale")
+      yl
+    }
+    val rows = xs.indices.toArray
+    val (f1, t1, sl, nl, sr, nr) = CartModel.grow(xs, ys, rows, d, 1) match {
+      case CartSplit(f, t, CartLeaf(a, b), CartLeaf(c, e)) => (f, t, a, b, c, e)
+      case other => throw new IllegalStateException(s"stage-1 needs a full depth-1 tree, got $other")
+    }
+    val n = nl + nr
+    val s = sl + sr
+    val dd = 2L * n * nl * nr
+    val kl = nl.toLong * nr * s + n.toLong * nr * sl
+    val kr = nl.toLong * nr * s + n.toLong * nl * sr
+    val ts = rows.map { i =>
+      dd * ys(i) - (if (xs(i)(f1) <= t1) kl else kr)
+    }
+    val (f2, t2, tl, nl2, tr, nr2) = CartModel.grow(xs, ts, rows, d, 1) match {
+      case CartSplit(f, t, CartLeaf(a, b), CartLeaf(c, e)) => (f, t, a, b, c, e)
+      case other => throw new IllegalStateException(s"stage-2 needs a full depth-1 tree, got $other")
+    }
+    GradientBoostTwoStageModel(featureCols, targetCols.head, targetScale, lr,
+      f1, t1, sl, nl, sr, nr, dd, f2, t2, tl, nl2, tr, nr2)
+  }
+}
+
+final case class GradientBoostTwoStageModel(
+    featureNames: Seq[String],
+    targetName: String,
+    targetScale: Double,
+    learningRate: Double,
+    fidx1: Int, thr1: Double,
+    leftSum: Long, leftN: Int, rightSum: Long, rightN: Int,
+    dd: Long,
+    fidx2: Int, thr2: Double,
+    leftT: Long, leftN2: Int, rightT: Long, rightN2: Int
+) extends FittedModel with ContractedOutputs {
+
+  /** F1 leaf constants — IDENTICAL op sequence to GradientBoostStage1. */
+  private def stage1(sum: Long, n: Int): Double = {
+    val mean = (leftSum + rightSum).toDouble / (leftN + rightN) / targetScale
+    val leaf = sum.toDouble / n / targetScale
+    (1.0 - learningRate) * mean + learningRate * leaf
+  }
+
+  /** Stage-2 leaf constants: lr·(mean t)/D in target units. */
+  private def stage2(t: Long, n: Int): Double =
+    learningRate * (t.toDouble / n / dd.toDouble / targetScale)
+
+  def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
+    val ff = frame.validated(featureNames)
+    val out = outputContract(ff.df.sparkSession, opts)
+    val f1 = when(col(featureNames(fidx1)).cast("double") <= lit(thr1),
+      lit(stage1(leftSum, leftN))).otherwise(lit(stage1(rightSum, rightN)))
+    val f2 = when(col(featureNames(fidx2)).cast("double") <= lit(thr2),
+      lit(stage2(leftT, leftN2))).otherwise(lit(stage2(rightT, rightN2)))
+    ff.df.select(ff.idCols.map(col) :+ out(f1 + f2, ff.noDataMask).as(targetName): _*)
+  }
+}
+
 final case class GradientBoostStage1Model(
     featureNames: Seq[String],
     targetName: String,

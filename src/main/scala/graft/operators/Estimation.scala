@@ -600,6 +600,22 @@ object Estimation {
       .orderBy(col("li_id"))
   }
 
+  /** A12e: TWO exact boosting stages (Boosting.GradientBoostTwoStage) —
+    * the stage-2 residual fit cleared of denominators (t = D·r exact
+    * Longs, Σt = 0) so the whole two-stage ensemble is value-oracled:
+    * the oracle re-runs BOTH exact-HUGEINT split searches (stage 2 over
+    * the derived residual targets) and combines the four leaf constants
+    * with the shared float op sequence.
+    */
+  def qGbtStage2(s: SparkSession, dir: String): DataFrame = {
+    val model = GradientBoostTwoStage(targetScale = 100.0, orderBy = trainOrder)
+      .fit(trainLi(s, dir), Seq("l_quantity", "l_discount", "l_tax"), Seq("l_extendedprice"))
+    model.predict(FeatureFrame(li(s, dir), Seq("li_id"),
+        Seq("l_quantity", "l_discount", "l_tax")))
+      .select(col("li_id"), dec4(col("l_extendedprice")).as("prediction"))
+      .orderBy(col("li_id"))
+  }
+
   /** A12c: deterministic CART regression tree (depth 2, exact-integer
     * split search — Cart.scala) with the splits REPLICATED in SQL: the
     * oracle re-runs the variance-reduction search per node via window
@@ -1185,6 +1201,42 @@ object Estimation {
           |  ELSE (1.0-0.5)*gm.mean + 0.5*lr.p END, 4) AS DECIMAL(18,4))::DOUBLE AS prediction
           |FROM q CROSS JOIN root_best rb CROSS JOIN gm
           |CROSS JOIN leaf_l ll CROSS JOIN leaf_r lr
+          |ORDER BY li_id""".stripMargin,
+      "q_gbt_stage2" ->
+        s"""WITH $train, $q,
+          |t0 AS (SELECT tid, l_quantity AS f0, l_discount AS f1, l_tax AS f2,
+          |  CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS y FROM train),
+          |${cartSplitBlock("t0", "root")},
+          |gm AS (SELECT CAST(SUM(y) AS DOUBLE)/COUNT(*)/100 AS mean FROM t0),
+          |lc AS (SELECT CAST(SUM(y) AS HUGEINT) AS sl, CAST(COUNT(*) AS HUGEINT) AS nl,
+          |    CAST(SUM(y) AS DOUBLE)/COUNT(*)/100 AS p FROM t0
+          |  CROSS JOIN root_best b WHERE ${cartFv("b", "f0", "f1", "f2")} <= b.thr),
+          |rc AS (SELECT CAST(SUM(y) AS HUGEINT) AS sr, CAST(COUNT(*) AS HUGEINT) AS nr,
+          |    CAST(SUM(y) AS DOUBLE)/COUNT(*)/100 AS p FROM t0
+          |  CROSS JOIN root_best b WHERE ${cartFv("b", "f0", "f1", "f2")} > b.thr),
+          |dd AS (SELECT 2*(nl+nr)*nl*nr AS d,
+          |    nl*nr*(sl+sr) + (nl+nr)*nr*sl AS kl,
+          |    nl*nr*(sl+sr) + (nl+nr)*nl*sr AS kr FROM lc CROSS JOIN rc),
+          |t1 AS (SELECT t0.tid, t0.f0, t0.f1, t0.f2,
+          |    CAST(dd.d*t0.y - CASE WHEN ${cartFv("b", "t0.f0", "t0.f1", "t0.f2")} <= b.thr
+          |      THEN dd.kl ELSE dd.kr END AS BIGINT) AS y
+          |  FROM t0 CROSS JOIN root_best b CROSS JOIN dd),
+          |${cartSplitBlock("t1", "st2")},
+          |l2 AS (SELECT CAST(SUM(y) AS DOUBLE)/COUNT(*) AS tm FROM t1
+          |  CROSS JOIN st2_best b WHERE ${cartFv("b", "f0", "f1", "f2")} <= b.thr),
+          |r2 AS (SELECT CAST(SUM(y) AS DOUBLE)/COUNT(*) AS tm FROM t1
+          |  CROSS JOIN st2_best b WHERE ${cartFv("b", "f0", "f1", "f2")} > b.thr)
+          |SELECT li_id, CAST(ROUND(
+          |  (CASE WHEN ${cartFv("rb", "l_quantity", "l_discount", "l_tax")} <= rb.thr
+          |   THEN (1.0-0.5)*gm.mean + 0.5*ll.p
+          |   ELSE (1.0-0.5)*gm.mean + 0.5*rr.p END)
+          |  + (CASE WHEN ${cartFv("sb", "l_quantity", "l_discount", "l_tax")} <= sb.thr
+          |     THEN 0.5*(l2.tm/CAST(dd.d AS DOUBLE)/100)
+          |     ELSE 0.5*(r2.tm/CAST(dd.d AS DOUBLE)/100) END)
+          |  , 4) AS DECIMAL(18,4))::DOUBLE AS prediction
+          |FROM q CROSS JOIN root_best rb CROSS JOIN st2_best sb CROSS JOIN gm
+          |CROSS JOIN lc ll CROSS JOIN rc rr CROSS JOIN dd
+          |CROSS JOIN l2 CROSS JOIN r2
           |ORDER BY li_id""".stripMargin,
       "q_pca" ->
         s"""WITH $train, $q,
