@@ -1111,8 +1111,14 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** The query derives nCells FROM THE CORPUS via [[semCellsFor]] (one
+    * cheap count job — at 100 TB you'd read it from table stats): at
+    * the sf0.01 gate that is exactly the 16 cells the static oracle
+    * rebuilds; at larger inputs the quantizer refines automatically so
+    * cells stay ~32 vectors and the pair scan stays flat per task.
+    */
   def qSemDedup(s: SparkSession, dir: String): DataFrame =
-    semDedup(s, dir, nCells = 16)
+    semDedup(s, dir, nCells = semCellsFor(emb(s, dir).count()))
 
   private val semDedupSql: String = {
     val u = (t: String) =>
