@@ -843,6 +843,38 @@ object TextOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** C28: training-data chunking — split every document into 32-word
+    * windows with 8-word overlap (stride 24), the context-window
+    * packing step between curation and tokenization in an LLM data
+    * pipeline. Pure stateless codegen (split + sequence + slice +
+    * posexplode): no shuffle, no state — each task chunks its own
+    * partition, so the op is free at any corpus size; emitted as
+    * (chunk_idx, n_tokens, chunk md5) so the output stays narrow.
+    * Chunk count = (nw − size + stride − 1) div stride + 1 for nw >
+    * size (exact integer both engines); short tails are kept (the
+    * packer downstream decides padding vs dropping).
+    */
+  /** The chunker over any (doc_id, text) frame — stateless, so the
+    * streaming twin (F13) attaches it to an unbounded ingest stream
+    * unchanged.
+    */
+  def chunksOn(docs: DataFrame, sz: Int = 32, stride: Int = 24): DataFrame = {
+    val ws = split(col("text"), " ", -1)
+    val nw = size(ws)
+    val nc = when(nw <= sz, lit(1)).otherwise(
+      floor((nw - sz + (stride - 1)).cast("double") / stride).cast("int") + 1)
+    docs
+      .select(col("doc_id"), nw.as("nw"),
+        posexplode(transform(sequence(lit(0), nc - 1), i =>
+          concat_ws(" ", slice(ws, i * stride + 1, lit(sz))))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        least(lit(sz), col("nw") - col("pos") * stride).cast("long").as("n_tokens"),
+        md5(col("col")).as("chunk_md5"))
+  }
+
+  def qChunks(s: SparkSession, dir: String): DataFrame =
+    chunksOn(documents(s, dir)).orderBy(col("doc_id"), col("chunk_idx"))
+
   /** C24: PageRank centrality over the substring-duplication graph
     * (C22's fingerprint-overlap pairs as undirected edges) — ranks the
     * most-copied-from documents, the "which doc is the template"
@@ -1180,6 +1212,16 @@ object TextOps {
         |SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
         |FROM w WHERE LENGTH(term) > 0
         |GROUP BY 1 ORDER BY df DESC, term LIMIT 30""".stripMargin,
+    "q_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws, len(ws) AS nw,
+        |    CASE WHEN len(ws) <= 32 THEN 1
+        |         ELSE (len(ws) - 32 + 23) // 24 + 1 END AS nc FROM w),
+        |e AS (SELECT doc_id, ws, nw, unnest(range(nc)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(LEAST(32, nw - i*24) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(list_slice(ws, i*24 + 1, i*24 + 32), ' ')) AS chunk_md5
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_fp_overlap" ->
       s"""WITH $fpPairCteSql
         |SELECT a_id, b_id, n_shared FROM pr ORDER BY 1, 2""".stripMargin,

@@ -305,6 +305,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F13 streaming chunker equals the oracled batch chunks across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect().map(r => TDoc(r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[TDoc]
+    val q = graft.operators.TextOps.chunksOn(input.toDF()).writeStream
+      .format("memory").queryName("c_out").outputMode("append").start()
+    try {
+      val half = docs.length / 2
+      input.addData(docs.take(half)); q.processAllAvailable()
+      input.addData(docs.drop(half)); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val got = spark.table("c_out").collect().map(key).sorted.toSeq
+      val expected = graft.operators.TextOps.qChunks(spark, sfDir).collect().map(key).sorted.toSeq
+      assert(expected.nonEmpty && got == expected)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
