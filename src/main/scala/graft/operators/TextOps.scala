@@ -875,6 +875,43 @@ object TextOps {
   def qChunks(s: SparkSession, dir: String): DataFrame =
     chunksOn(documents(s, dir)).orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** C30: deterministic train/val/test split (90/5/5) — hash-range
+    * assignment on the 52-bit md5 prefix ("split|" tag): engine-
+    * portable (no RNG state to shuffle-order-couple), stable across
+    * reruns and cluster sizes, pure codegen per row, zero shuffle —
+    * the only correct way to split 100 TB (a random() split changes
+    * membership every run and leaks val into train).
+    */
+  def qSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = T.hexPrefix52(concat(lit("split|"), col("doc_id"))) % 100
+    documents(s, dir)
+      .select(col("doc_id"),
+        when(h < 90, "train").when(h < 95, "val").otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C29: BPE-merge pair statistics — the tokenizer-TRAINING inner
+    * loop (count adjacent-token pairs, merge the most frequent): top-20
+    * adjacent word pairs by the unique (count desc, w1, w2) order. One
+    * explode + one pair-key shuffle with map-side combine; the global
+    * top-20 is a bounded TakeOrderedAndProject, never a global sort —
+    * the C23 vocabulary shape applied to pairs.
+    */
+  def qBpePairs(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ", -1)
+    val idxs = when(size(ws) >= 2, sequence(lit(0), size(ws) - 2))
+      .otherwise(array().cast("array<int>"))
+    documents(s, dir)
+      .select(explode(transform(idxs, i =>
+        struct(element_at(ws, i + 1).as("w1"), element_at(ws, i + 2).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   /** C24: PageRank centrality over the substring-duplication graph
     * (C22's fingerprint-overlap pairs as undirected edges) — ranks the
     * most-copied-from documents, the "which doc is the template"
@@ -1212,6 +1249,21 @@ object TextOps {
         |SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
         |FROM w WHERE LENGTH(term) > 0
         |GROUP BY 1 ORDER BY df DESC, term LIMIT 30""".stripMargin,
+    "q_split" -> {
+      val u = graft.functions.TextFunctions.hexPrefix52Sql("md5('split|'||doc_id)")
+      s"""SELECT doc_id,
+        |  CASE WHEN $u % 100 < 90 THEN 'train'
+        |       WHEN $u % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q_bpe_pairs" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |e AS (SELECT ws, unnest(range(len(ws) - 1)) AS i FROM w),
+        |p AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2 FROM e)
+        |SELECT w1, w2, COUNT(*) AS n FROM p
+        |WHERE LENGTH(w1) > 0 AND LENGTH(w2) > 0
+        |GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
     "q_chunks" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |c AS (SELECT doc_id, ws, len(ws) AS nw,
