@@ -636,14 +636,21 @@ object TextOps {
     * EventStreams.bloomDecontamStream) attaches the IDENTICAL
     * expressions to an unbounded frame.
     */
-  /** The k Bloom bit positions of a gram: 52-bit md5 prefix mod m —
-    * TextKernels.md5Prefix52's Column twin.
+  /** The k Bloom bit positions of a gram via Kirsch–Mitzenmacher
+    * double hashing: ONE md5 digest per gram (the dominant decontam
+    * screen cost — the corpus side evaluates this for every gram of
+    * 100 TB), split into h1 = top 26 bits / h2 = low 26 bits of the
+    * 52-bit prefix, position_j = (h1 + j·h2) mod m. Engine-neutral
+    * integer arithmetic; the oracle rebuilds the same positions.
+    * (r6: replaced k independent digests — 2× less digest work for the
+    * same asymptotic FP rate, per Kirsch & Mitzenmacher 2006.)
     */
-  def bloomPositions(g: Column, m: Int = 16384, k: Int = 2): Seq[Column] =
-    (0 until k).map { j =>
-      conv(substring(md5(concat(lit(s"bloom|$j|"), g)), 1, 13), 16, 10)
-        .cast("long") % m
-    }
+  def bloomPositions(g: Column, m: Int = 16384, k: Int = 2): Seq[Column] = {
+    val u = T.hexPrefix52(concat(lit("bloom|"), g))
+    val h1 = shiftright(u, 26)
+    val h2 = u.bitwiseAND(lit((1L << 26) - 1))
+    (0 until k).map(j => (h1 + lit(j.toLong) * h2) % m)
+  }
 
   /** Build the filter: one driver-side fold over the eval-gram
     * positions (eval side is small by the same contract as C17).
@@ -1413,17 +1420,18 @@ object TextOps {
         |SELECT canonical_url, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
         |FROM c GROUP BY 1 ORDER BY keeper_id""".stripMargin,
     "q_bloom" -> {
-      val pref = T.hexPrefix52Sql("md5('bloom|'||j||'|'||g)")
+      val u = T.hexPrefix52Sql("md5('bloom|'||g)")
+      val pos = s"(($u // 67108864) + j * ($u % 67108864)) % 16384"
       s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |g4 AS (SELECT doc_id, list_transform(range(1, len(w)-2),
         |  i -> array_to_string(w[i:i+3],' ')) AS gs FROM base WHERE len(w) >= 4),
         |dd AS (SELECT DISTINCT doc_id, g FROM
         |  (SELECT doc_id, unnest(gs) AS g FROM g4)),
         |ev AS (SELECT DISTINCT g FROM dd WHERE doc_id % 97 = 0),
-        |evp AS (SELECT DISTINCT $pref % 16384 AS p
+        |evp AS (SELECT DISTINCT $pos AS p
         |  FROM ev, (SELECT unnest(range(2)) AS j)),
         |trh AS (SELECT doc_id, g,
-        |    MIN(CASE WHEN $pref % 16384 IN (SELECT p FROM evp) THEN 1 ELSE 0 END) AS mh
+        |    MIN(CASE WHEN $pos IN (SELECT p FROM evp) THEN 1 ELSE 0 END) AS mh
         |  FROM dd, (SELECT unnest(range(2)) AS j)
         |  WHERE doc_id % 97 <> 0 GROUP BY 1, 2)
         |SELECT doc_id, CAST(SUM(mh) AS BIGINT) AS n_maybe,
