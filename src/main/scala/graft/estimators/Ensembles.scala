@@ -29,8 +29,16 @@ object MLlibDelegate {
   )(build: (String, String, String) => DataFrame => Transformer): MLlibWrapModel = {
     val asm = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("__features")
+    // the train side is SMALL by the estimator contract: coalesce(1) +
+    // cache keeps MLlib's iterative fitters (GBT: ~4 jobs × maxIter)
+    // from re-reading the scan every job. Measured: the remaining
+    // q_gbt_reg cost (~4 s at sf0.1) is MLlib's internal per-iteration
+    // job scheduling, not input partitioning — inherent to the
+    // delegation; the exact-oracled alternative is q_gbt_stage1/2.
     val assembled = asm.transform(train.withColumn("__label", col(targetCol).cast("double")))
+      .coalesce(1).cache()
     val model = build("__features", "__label", "__pred")(assembled)
+    assembled.unpersist(blocking = false)
     MLlibWrapModel(featureCols, targetCol, model)
   }
 }
