@@ -882,6 +882,46 @@ object TextOps {
   def qChunks(s: SparkSession, dir: String): DataFrame =
     chunksOn(documents(s, dir)).orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** C31: the END-TO-END corpus pipeline — the flagship composition
+    * every piece above exists for: per training document (eval slice
+    * excluded), its exact-dedup keeper flag (C1 rule), Gopher quality
+    * verdict (C15), eval-set contamination flag (C17's exact 4-gram
+    * rule), split assignment (C30), and the final `selected` bit
+    * (keeper ∧ quality ∧ clean ∧ train). Scale shape: one content-hash
+    * shuffle (dedup), one broadcast semi-join (decontam — the eval side
+    * is small by contract), everything else stateless codegen; the
+    * corpus is scanned, never collected, never self-joined on ids
+    * beyond the keeper equi-join.
+    */
+  def qCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val all = documents(s, dir).select(col("doc_id"), col("text"))
+    val base = all.filter(col("doc_id") % 97 =!= 0).distinct()
+    val keepers = base.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+    val evalGrams = shingleGramsOn(all.filter(col("doc_id") % 97 === 0), n = 4)
+      .select(col("g")).distinct()
+    val contaminated = shingleGramsOn(base, n = 4)
+      .join(broadcast(evalGrams), "g")
+      .select(col("doc_id")).distinct()
+      .withColumn("cont", lit(1))
+    val h = T.hexPrefix52(concat(lit("split|"), col("doc_id"))) % 100
+    val split = when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    val flags = gopherOn(base).select(col("doc_id"), col("keep").as("keep_quality"))
+    base.withColumn("h", md5(col("text")))
+      .join(keepers, "h")
+      .join(flags, Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("doc_id") === col("keeper_id")).cast("int").as("is_keeper"),
+        col("keep_quality"),
+        coalesce(col("cont"), lit(0)).as("contaminated"),
+        split.as("split"))
+      .withColumn("selected",
+        (col("is_keeper") === 1 && col("keep_quality") === 1 &&
+         col("contaminated") === 0 && col("split") === "train").cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C30: deterministic train/val/test split (90/5/5) — hash-range
     * assignment on the 52-bit md5 prefix ("split|" tag): engine-
     * portable (no RNG state to shuffle-order-couple), stable across
@@ -1256,6 +1296,41 @@ object TextOps {
         |SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
         |FROM w WHERE LENGTH(term) > 0
         |GROUP BY 1 ORDER BY df DESC, term LIMIT 30""".stripMargin,
+    "q_corpus_pipeline" -> {
+      val u = T.hexPrefix52Sql("md5('split|'||doc_id)")
+      val sp = s"CASE WHEN $u % 100 < 90 THEN 'train' WHEN $u % 100 < 95 THEN 'val' ELSE 'test' END"
+      s"""WITH b AS (SELECT DISTINCT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        |k AS (SELECT md5(text) AS h, MIN(doc_id) AS keeper_id FROM b GROUP BY 1),
+        |w AS (SELECT doc_id, string_split(text,' ') AS w FROM b),
+        |m AS (SELECT doc_id, LEN(w) AS n,
+        |  list_sum(list_transform(w, x -> LEN(x))) AS sumlen,
+        |  LEN(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+        |  LEN(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with'))) AS n_stop
+        |  FROM w),
+        |f AS (SELECT doc_id,
+        |  CASE WHEN n >= 50 AND n <= 100000 THEN 1 ELSE 0 END
+        |  * CASE WHEN sumlen >= n*3 AND sumlen <= n*10 THEN 1 ELSE 0 END
+        |  * CASE WHEN n_alpha*5 >= n*4 THEN 1 ELSE 0 END
+        |  * CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS keep_quality FROM m),
+        |tg AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)-2), i -> array_to_string(w[i:i+3],' '))) AS g
+        |  FROM w WHERE len(w) >= 4)),
+        |ev AS (SELECT DISTINCT g FROM (
+        |  SELECT unnest(list_transform(range(1, len(string_split(text,' '))-2),
+        |    i -> array_to_string(string_split(text,' ')[i:i+3],' '))) AS g
+        |  FROM documents WHERE doc_id % 97 = 0 AND len(string_split(text,' ')) >= 4)),
+        |cont AS (SELECT DISTINCT tg.doc_id FROM tg JOIN ev USING (g))
+        |SELECT b.doc_id,
+        |  CASE WHEN b.doc_id = k.keeper_id THEN 1 ELSE 0 END AS is_keeper,
+        |  f.keep_quality,
+        |  CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated,
+        |  $sp AS split,
+        |  CASE WHEN b.doc_id = k.keeper_id AND f.keep_quality = 1
+        |    AND cont.doc_id IS NULL AND $sp = 'train' THEN 1 ELSE 0 END AS selected
+        |FROM b JOIN k ON md5(b.text) = k.h JOIN f USING (doc_id)
+        |LEFT JOIN cont USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    },
     "q_split" -> {
       val u = graft.functions.TextFunctions.hexPrefix52Sql("md5('split|'||doc_id)")
       s"""SELECT doc_id,

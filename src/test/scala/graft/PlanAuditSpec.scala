@@ -122,6 +122,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_decontam degraded to SortMergeJoin:\n$p")
   }
 
+  test("corpus pipeline: eval grams broadcast, no cartesian, no nested loop") {
+    val p = plan(graft.operators.TextOps.qCorpusPipeline(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"q_corpus_pipeline lost the eval-gram broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q_corpus_pipeline planned an unbounded join:\n$p")
+  }
+
   test("scans prune to the projected columns") {
     val p = plan(Relational.qDistinct(spark, sfDir))
     // customer has 5+ columns; this aggregate needs exactly three
