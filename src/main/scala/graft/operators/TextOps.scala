@@ -945,14 +945,21 @@ object TextOps {
     * the C23 vocabulary shape applied to pairs.
     */
   def qBpePairs(s: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ", -1)
-    val idxs = when(size(ws) >= 2, sequence(lit(0), size(ws) - 2))
-      .otherwise(array().cast("array<int>"))
-    documents(s, dir)
-      .select(explode(transform(idxs, i =>
-        struct(element_at(ws, i + 1).as("w1"), element_at(ws, i + 2).as("w2")))).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+    // pair emission is a compiled kernel, not transform/element_at —
+    // Catalyst HOFs are interpreted per element (§6 rule), measured
+    // 2.8 s vs ~0.6 s at sf0.1 for the same one-explode shape
+    val outSchema = StructType(Seq(
+      StructField("w1", StringType, nullable = false),
+      StructField("w2", StringType, nullable = false)))
+    fanOut(documents(s, dir).select(col("text")))
+      .mapPartitions { it =>
+        it.flatMap { row =>
+          val w = row.getString(0).split(" ", -1)
+          (0 until w.length - 1).iterator
+            .filter(i => w(i).nonEmpty && w(i + 1).nonEmpty)
+            .map(i => Row(w(i), w(i + 1)))
+        }
+      }(Encoders.row(outSchema))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w1"), col("w2"))
