@@ -34,4 +34,26 @@ object Materialize {
       try df.checkpoint()
       finally df.unpersist(blocking = false)
     } else df.localCheckpoint()
+
+  /** Release the storage behind a frame previously returned by [[pin]],
+    * once no live frame depends on it: frees the executor blocks
+    * (localCheckpoint case) and deletes the rdd-N checkpoint directory
+    * (reliable case) — without this an iterative algorithm that pins
+    * every round grows storage linearly with rounds for the application
+    * lifetime (the ContextCleaner only reclaims checkpoint dirs when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` AND the
+    * RDD is GC'd). The released frame must not be read again. No-op on
+    * frames that were never pinned.
+    */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach { rdd =>
+      rdd.unpersist(blocking = false)
+      rdd.getCheckpointFile.foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(path, true)
+      }
+    }
 }

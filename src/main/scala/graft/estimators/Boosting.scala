@@ -91,12 +91,26 @@ final case class GradientBoostTwoStage(
     }
     val n = nl + nr
     val s = sl + sr
-    val dd = 2L * n * nl * nr
-    val kl = nl.toLong * nr * s + n.toLong * nr * sl
-    val kr = nl.toLong * nr * s + n.toLong * nl * sr
+    // Cleared-denominator residuals are cubic in n (D = 2·n·n_L·n_R) and
+    // multiply cent-scaled targets — past ~10^4 train rows plain Long
+    // arithmetic would silently wrap while the HUGEINT oracle errors, a
+    // divergent failure. Every product/sum below is *Exact so a scale-up
+    // fails LOUDLY (ArithmeticException) instead of fitting a wrong tree;
+    // the final require bounds the stage-2 leaf sums Σt the grow() leaves
+    // accumulate in Long.
+    import java.lang.Math.{addExact, multiplyExact, subtractExact}
+    val dd = multiplyExact(multiplyExact(multiplyExact(2L, n.toLong), nl.toLong), nr.toLong)
+    val kl = addExact(multiplyExact(multiplyExact(nl.toLong, nr.toLong), s),
+      multiplyExact(multiplyExact(n.toLong, nr.toLong), sl))
+    val kr = addExact(multiplyExact(multiplyExact(nl.toLong, nr.toLong), s),
+      multiplyExact(multiplyExact(n.toLong, nl.toLong), sr))
     val ts = rows.map { i =>
-      dd * ys(i) - (if (xs(i)(f1) <= t1) kl else kr)
+      subtractExact(multiplyExact(dd, ys(i)), if (xs(i)(f1) <= t1) kl else kr)
     }
+    val maxAbsT = ts.foldLeft(0L)((m, t) => math.max(m, math.abs(t)))
+    require(maxAbsT <= Long.MaxValue / math.max(n, 1),
+      s"stage-2 residual sums can exceed Long (n=$n, max|t|=$maxAbsT) — " +
+        "reduce targetScale or train-set size")
     val (f2, t2, tl, nl2, tr, nr2) = CartModel.grow(xs, ts, rows, d, 1) match {
       case CartSplit(f, t, CartLeaf(a, b), CartLeaf(c, e)) => (f, t, a, b, c, e)
       case other => throw new IllegalStateException(s"stage-2 needs a full depth-1 tree, got $other")

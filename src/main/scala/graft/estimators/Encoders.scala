@@ -66,11 +66,15 @@ final case class TargetEncoderModel(
   */
 final case class OneHotEncoder(cols: Seq[String]) {
   def fit(train: DataFrame): OneHotModel = {
-    val cats = cols.map { c =>
-      // null categories carry no indicator column (sklearn raises on
-      // NaN; encoding nulls to all-zeros is the 'ignore' analogue)
-      c -> train.select(col(c).cast("string")).na.drop().distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
+    // One aggregate job for ALL columns (collect_set per column with
+    // map-side partial aggregation), not one distinct().collect() job
+    // per column — fit cost is one scan regardless of column count.
+    // null categories carry no indicator column (sklearn raises on
+    // NaN; encoding nulls to all-zeros is the 'ignore' analogue).
+    val aggs = cols.map(c => collect_set(col(c).cast("string")).as(c))
+    val row = train.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val cats = cols.zipWithIndex.map { case (c, i) =>
+      c -> row.getSeq[String](i).sorted.toSeq
     }
     OneHotModel(cats)
   }

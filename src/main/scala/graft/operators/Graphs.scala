@@ -33,6 +33,9 @@ object Graphs {
       .union(mat.select(col("b").as("a"), col("a").as("b")))
     val nodes = bidir.select(col("a").as("id")).distinct()
     var labels = nodes.select(col("id"), col("id").as("component"))
+    // round 1's labels derive from the edge pin (still needed every
+    // round) — only release label frames this loop pinned itself
+    var labelsPinned = false
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -50,7 +53,11 @@ object Graphs {
         .join(labels.alias("o"), col("n.id") === col("o.id"))
         .filter(col("n.component") =!= col("o.component"))
         .count()
+      // the superseded round's pin is dead once the changed-count read
+      // it — release, or storage grows linearly with rounds
+      if (labelsPinned) graft.core.Materialize.release(labels)
       labels = prop
+      labelsPinned = true
       converged = changed == 0
       it += 1
     }
@@ -125,6 +132,8 @@ object Graphs {
       .select(col("a").as("src"), col("b").as("dst"))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val e = graft.core.Materialize.pin(edges.join(deg, "src"))
+    // the raw edge pin only feeds e's build — release it now
+    graft.core.Materialize.release(mat)
     var ranks = graft.core.Materialize.pin(
       e.select(col("src").as("id")).distinct()
         .select(col("id"), lit(1000000000L).as("r")))
@@ -138,6 +147,9 @@ object Graphs {
         .agg(max(abs(col("rn") - col("r"))).as("d"))
         .collect()(0)
       val delta = if (row.isNullAt(0)) 0L else row.getLong(0)
+      // round k's pin is no longer referenced once the delta check read
+      // it — release, or storage grows linearly with iterations
+      graft.core.Materialize.release(ranks)
       ranks = next
       it += 1
       converged = delta <= tolE9

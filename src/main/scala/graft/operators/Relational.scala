@@ -1134,9 +1134,14 @@ object Relational {
     val nd = pairs
       .groupBy(col("column_name"), col("v")).agg(count(lit(1)))
       .groupBy(col("column_name")).agg(count(lit(1)).as("n_distinct"))
-    basicRows.join(broadcast(nd), Seq("column_name"))
+    // LEFT join + coalesce(0): an all-NULL column yields no nd row
+    // (its values are filtered before the distinct pass) but must still
+    // profile with n_distinct = 0, matching COUNT(DISTINCT c) = 0 —
+    // an inner join would silently drop the column from the audit.
+    basicRows.join(broadcast(nd), Seq("column_name"), "left")
       .select(col("column_name"), col("n_rows"), col("n_null"),
-              col("n_distinct"), col("min_str"), col("max_str"))
+              coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+              col("min_str"), col("max_str"))
       .orderBy(col("column_name"))
   }
 
