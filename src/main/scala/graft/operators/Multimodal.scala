@@ -278,7 +278,22 @@ object Multimodal {
         |  16 + doc_id % 16 AS width,
         |  16 + doc_id % 8 AS height,
         |  8 AS n_features
-        |FROM documents ORDER BY 1""".stripMargin
+        |FROM documents ORDER BY 1""".stripMargin,
+    "q_media_decode" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |    (7*doc_id + 3*x + 5*y) % 256 AS r,
+        |    (11*doc_id + x + 2*y) % 256 AS g,
+        |    (13*doc_id + 2*x + y) % 256 AS b
+        |  FROM d, (SELECT unnest(range(24)) AS x), (SELECT unnest(range(16)) AS y)
+        |  WHERE x < w AND y < h)
+        |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, COUNT(*) AS n_px,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b,
+        |  CAST(MAX(299*r + 587*g + 114*b) AS BIGINT) AS max_lum
+        |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
   )
 
   /** E2 media record: opaque payload + typed metadata. */
@@ -389,12 +404,13 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
 
-  /** E2: decode + feature-extract plumbing. The header parse and the
-    * batch/schema/partitioning contract are real; the pixel decode is a
-    * STUB — a deterministic fake (hash-derived features standing in for
-    * a real codec, which this container does not ship). A production
-    * deployment swaps `fakeDecode` for an actual image library; nothing
-    * else changes.
+  /** E2: decode + feature-extract plumbing, dispatched on the payload's
+    * magic bytes: "BM" → REAL BMP decode (JDK ImageIO) with per-channel
+    * pixel statistics as the feature vector; "GRFT" → the synthetic
+    * header format with the deterministic `fakeDecode` fallback (the
+    * payload body is document text, not pixels). Adding a codec =
+    * adding a magic branch; the schema/batching/partitioning contract
+    * is shared, and payload bytes never cross a shuffle either way.
     */
   def decodeFeatures(media: DataFrame, featureDim: Int = 8): DataFrame = {
     media.select(col("media_id"), col("payload"))
@@ -402,15 +418,180 @@ object Multimodal {
         it.map { row =>
           val id = row.getLong(0)
           val payload = row.getAs[Array[Byte]](1)
-          val bb = java.nio.ByteBuffer.wrap(payload)
-          val magic = new Array[Byte](4); bb.get(magic)
-          require(new String(magic) == "GRFT", s"bad magic for media $id")
-          val w = bb.getInt; val h = bb.getInt; bb.getInt // channels
-          val features = fakeDecode(payload, featureDim)
-          Row(id, w, h, features)
+          if (payload.length >= 2 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte) {
+            val img = decodeImage(id, payload)
+            Row(id, img.getWidth, img.getHeight, imageFeatures(img, featureDim))
+          } else {
+            val bb = java.nio.ByteBuffer.wrap(payload)
+            val magic = new Array[Byte](4); bb.get(magic)
+            require(new String(magic) == "GRFT", s"bad magic for media $id")
+            val w = bb.getInt; val h = bb.getInt; bb.getInt // channels
+            Row(id, w, h, fakeDecode(payload, featureDim))
+          }
         }
       }(Encoders.row(decodedSchema))
   }
+
+  /** REAL image decode: the JDK's ImageIO (BMP reader ships with the
+    * JRE — no external dependency, honoring the no-new-libraries
+    * constraint). Stream cache off: decode stays in-memory per task,
+    * no temp-file I/O in the hot loop.
+    */
+  private def decodeImage(id: Long, payload: Array[Byte]): java.awt.image.BufferedImage = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"undecodable image payload for media $id")
+    img
+  }
+
+  /** Deterministic pixel-statistic features in [0,1] from a decoded
+    * image: channel means, luminance mean/min/max, and normalized
+    * dimensions — one pixel pass, same output order regardless of task
+    * placement. Dims beyond 8 pad with 0.
+    */
+  private def imageFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var minL = Long.MaxValue; var maxL = Long.MinValue
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+        sr += r; sg += g; sb += b
+        val lum = 299L * r + 587L * g + 114L * b
+        if (lum < minL) minL = lum
+        if (lum > maxL) maxL = lum
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val full = Array(
+      (sr.toDouble / n / 255.0).toFloat,
+      (sg.toDouble / n / 255.0).toFloat,
+      (sb.toDouble / n / 255.0).toFloat,
+      ((299.0 * sr + 587.0 * sg + 114.0 * sb) / n / 255000.0).toFloat,
+      (minL.toDouble / 255000.0).toFloat,
+      (maxL.toDouble / 255000.0).toFloat,
+      w / 256.0f,
+      h / 256.0f)
+    if (dim <= full.length) full.take(dim)
+    else full ++ Array.fill(dim - full.length)(0.0f)
+  }
+
+  /** E2 synthesis for the REAL codec path: a deterministic RGB image
+    * per doc — w = 8 + id%16, h = 8 + id%8, pixel (x, y) channels
+    *
+    *   r = (7·id + 3x + 5y) mod 256
+    *   g = (11·id + x + 2y) mod 256
+    *   b = (13·id + 2x + y) mod 256
+    *
+    * — ENCODED as an actual 24-bit BMP by ImageIO's writer. Pure
+    * integer pixel formulas mean the DuckDB oracle rebuilds every pixel
+    * without decoding anything, so `q_media_decode` proves the full
+    * encode → bytes → ImageIO decode path against independently
+    * computed ground truth (any codec, layout, or channel-order bug
+    * hash-mismatches).
+    */
+  def synthesizeBmp(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    fanOut(documents(s, dir).select(col("doc_id")))
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          Row(id, encodeBmp(id))
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Build the deterministic image for `id` and encode it as a real BMP. */
+  private[graft] def encodeBmp(id: Long): Array[Byte] = {
+    val w = (8 + id % 16).toInt; val h = (8 + id % 8).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((7 * id + 3L * x + 5L * y) % 256).toInt
+        val g = ((11 * id + x + 2L * y) % 256).toInt
+        val b = ((13 * id + 2L * x + y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    require(javax.imageio.ImageIO.write(img, "bmp", bos), "no BMP writer available")
+    bos.toByteArray
+  }
+
+  private val decodeStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("max_lum", LongType, nullable = false)))
+
+  /** E2: the real-codec gate query — encode every doc's deterministic
+    * image as an actual BMP, DECODE the bytes back with ImageIO, and
+    * emit exact per-image integer pixel statistics. The oracle never
+    * sees the BMP: it recomputes the same statistics from the pixel
+    * formulas directly, so a hash match proves the codec roundtrip
+    * end-to-end. Stats accumulate inside the decode kernel (one pixel
+    * pass, no per-pixel rows, no shuffle of payload bytes).
+    */
+  def qMediaDecode(s: SparkSession, dir: String): DataFrame =
+    synthesizeBmp(s, dir)
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val img = decodeImage(id, row.getAs[Array[Byte]](1))
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L; var maxL = Long.MinValue
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+              sr += r; sg += g; sb += b
+              val lum = 299L * r + 587L * g + 114L * b
+              if (lum > maxL) maxL = lum
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, w.toLong, h.toLong, w.toLong * h, sr, sg, sb, maxL)
+        }
+      }(Encoders.row(decodeStatsSchema))
+      .orderBy(col("media_id"))
+
+  /** E7: the production blob-ingest path — one file per blob on
+    * shared storage, read by Spark's `binaryFile` source (path, length,
+    * content), the media id recovered from the file name, then the SAME
+    * decode kernel as the in-memory path. At 100 TB this is the whole
+    * ingest story: the source splits by file, payloads stay inside
+    * their scan task, and decode parallelism is file-count parallelism.
+    */
+  def readBlobs(s: SparkSession, dir: String): DataFrame =
+    s.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.[A-Za-z0-9]+$", 1)
+          .cast("long").as("media_id"),
+        col("content").as("payload"))
+
+  /** E7: ingest + decode in one call ([[readBlobs]] → [[decodeFeatures]]). */
+  def ingestBlobs(s: SparkSession, dir: String, featureDim: Int = 8): DataFrame =
+    decodeFeatures(readBlobs(s, dir), featureDim)
 
   /** STUB decoder: deterministic hash-derived "features" in [0,1).
     * Placeholder for a real codec (???) — see decodeFeatures doc.

@@ -24,11 +24,10 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
-  test("binaryFile ingest: on-disk media blobs decode identically to the in-memory frame") {
-    // the real 100 TB ingest path for multimodal columns: one file per
-    // blob, read as Spark's binaryFile source (path/length/content),
-    // media_id recovered from the file name — then the SAME decode
-    // kernel runs unchanged on the ingested frame
+  test("ingestBlobs: on-disk media blobs decode identically to the in-memory frame") {
+    // the real 100 TB ingest path for multimodal columns, as API:
+    // Multimodal.ingestBlobs = binaryFile source (one file per blob) +
+    // media_id from the file name + the SAME decode kernel
     import graft.operators.Multimodal
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
     val media = Multimodal.synthesizeMedia(spark, sfDir)
@@ -38,15 +37,35 @@ class FormatsSpec extends AnyFunSuite {
         java.nio.file.Paths.get(dir, f"${r.getLong(0)}%08d.bin"),
         r.getAs[Array[Byte]](1))
     }
-    val ingested = spark.read.format("binaryFile").load(dir)
-      .select(regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("media_id"),
-              col("content").as("payload"))
-    val dec = Multimodal.decodeFeatures(ingested).collect()
+    val dec = Multimodal.ingestBlobs(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getSeq[Float](3))).toMap
     val expected = Multimodal.decodeFeatures(
         Multimodal.synthesizeMedia(spark, sfDir)).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getSeq[Float](3))).toMap
     assert(dec.size == media.length && dec == expected)
+  }
+
+  test("ingestBlobs over real encoded BMP files: ImageIO decode matches the in-memory path") {
+    import graft.operators.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("graft_bmp").toString
+    val media = Multimodal.synthesizeBmp(spark, sfDir)
+      .select(col("media_id"), col("payload")).collect()
+    media.foreach { r =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"${r.getLong(0)}%08d.bmp"),
+        r.getAs[Array[Byte]](1))
+    }
+    val dec = Multimodal.ingestBlobs(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getSeq[Float](3))).toMap
+    val expected = Multimodal.decodeFeatures(
+        Multimodal.synthesizeBmp(spark, sfDir)).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getSeq[Float](3))).toMap
+    assert(dec.size == media.length && dec == expected)
+    // real decode, real dimensions: width/height come from the BMP
+    // header via ImageIO, matching the synthesis formulas
+    dec.foreach { case (id, (w, h, _)) =>
+      assert(w == 8 + (id % 16).toInt && h == 8 + (id % 8).toInt)
+    }
   }
 
   test("partitioned write + partition-pruned read: predicate becomes a PartitionFilter") {
