@@ -37,7 +37,14 @@ object Bench {
     // failed queries report -1.0 in the per-query map but must not
     // subtract from (and flatter) the total
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver keeps only a truncated stdout tail — also write the
+    // full per-query JSON to a file so every query time is auditable
+    // round-over-round (committed as bench_out.json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

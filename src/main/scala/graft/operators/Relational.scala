@@ -506,6 +506,40 @@ object Relational {
       .select(col("event_type"), col("n_distinct_user_id"))
       .orderBy(col("event_type"))
 
+  /** Row count for the B57/B58 Zipf fixture — bounded by the DuckDB
+    * oracle's md5 replay cost at the gate, not by Spark.
+    */
+  private val zipfRows = 500000L
+
+  /** B57: the SALTED distinct count on GENUINELY skewed data —
+    * [[graft.sources.Synthetic.zipfEvents]] gives user 1 ~50% of all
+    * rows (the parquet testdata's user_id is uniform, so B29 never
+    * faced real skew). Twin of [[qZipfDistinctDirect]]: same rows, same
+    * oracle — the gate proves salted == direct == ground truth under a
+    * Zipf(2) hot key, and the bench carries both lines so the cost of
+    * the salted layout is auditable round-over-round. Measured finding
+    * (SURVEY §6): Spark's two-phase distinct rewrite already dedups on
+    * the uniform (key, value) pair, so salting is insurance for
+    * engines/plans without that rewrite, not a local win.
+    */
+  def qZipfDistinct(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedCountDistinct(
+        graft.sources.Synthetic.zipfEvents(s, zipfRows),
+        keys = Seq("user_id"), valueCol = "v")
+      .select(col("user_id"), col("n_distinct_v"))
+      .orderBy(col("user_id"))
+
+  /** B58: the direct COUNT(DISTINCT) twin of [[qZipfDistinct]] on the
+    * same Zipf fixture — Catalyst's planAggregateWithOneDistinct keys
+    * the dedup exchange on (user_id, v), which is uniform even when
+    * user_id is not.
+    */
+  def qZipfDistinctDirect(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Synthetic.zipfEvents(s, zipfRows)
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("v")).as("n_distinct_v"))
+      .orderBy(col("user_id"))
+
   /** B30: RANGE-frame window — each order's trailing 30-day same-
     * customer order count and spend (a time-range frame, not a row
     * frame: peers enter by VALUE distance on the epoch-day axis). One
@@ -1708,6 +1742,23 @@ object Relational {
       """SELECT event_type,
         |  CAST(ROUND(SUM(value),2) AS DECIMAL(18,2))::DOUBLE AS sum_value,
         |  COUNT(*) AS n
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_zipf_distinct" -> zipfDistinctSql,
+    "q_zipf_distinct_direct" -> zipfDistinctSql
   )
+
+  /** Shared oracle for B57/B58: rebuild the Zipf fixture row-by-row
+    * from the md5 formulas and count distinct directly — ground truth
+    * independent of either Spark layout.
+    */
+  private lazy val zipfDistinctSql: String = {
+    val hu = TF.hexPrefix52Sql("md5('zu|'||i)")
+    val hv = TF.hexPrefix52Sql("md5('zv|'||i)")
+    s"""WITH e AS (SELECT
+      |    LEAST(4503599627370496 // ($hu + 1), 1000) AS user_id,
+      |    $hv % 100000 AS v
+      |  FROM (SELECT unnest(range($zipfRows)) AS i))
+      |SELECT user_id, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct_v
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -191,6 +191,49 @@ object Similarity {
     globalTopK(locals, k)
   }
 
+  /** D13: the ANN recall CONTRACT (B51's sketch-vs-exact idiom for
+    * similarity search): every approximate variant's top-10 must hit at
+    * least its documented recall floor against the exact D1 brute-force
+    * top-10 over the same probe set, emitting 1-flags the oracle
+    * expects all-true. Floors are the measured sf0.01/sf0.1 recalls
+    * minus margin — they LOCK the candidate-generation quality against
+    * regression (a banding/cell/codebook bug that silently degrades
+    * recall fails the hash gate even though every ANN result row stays
+    * individually "valid"):
+    *
+    *   lsh ≥ 0.60   (measured 0.78 @ sf0.01, 0.75 @ sf0.1)
+    *   multiprobe ≥ 0.90   (measured 1.00 both)
+    *   ivf ≥ 0.25   (nProbe=2/16 cells, measured 0.31 / 0.40)
+    *   pq ≥ 0.04    (UNTRAINED random codebooks + 1% rerank budget,
+    *                 measured 0.17 / 0.06 — the honest strawman number)
+    *   pq_trained ≥ 0.20   (D8b: one-Lloyd-trained codebooks + 3%
+    *                 rerank budget, measured 0.50 / 0.24)
+    *
+    * Cost shape: the exact baseline is pinned once; each variant adds
+    * its own corpus pass plus a broadcast-semi hit count — O(#variants)
+    * scans, no pairwise blowup.
+    */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = graft.core.Materialize.pin(
+      qCosineTopK(s, dir).select(col("q_id"), col("vec_id")))
+    val total = exact.agg(count(lit(1)).cast("double").as("n_exact"))
+    val methods = Seq(
+      ("ivf", 0.25, qAnnIvf(s, dir)),
+      ("lsh", 0.60, qAnnLsh(s, dir)),
+      ("multiprobe", 0.90, qAnnMultiprobe(s, dir)),
+      ("pq", 0.04, qAnnPq(s, dir)),
+      ("pq_trained", 0.20, qAnnPqTrained(s, dir)))
+    methods.map { case (name, floor, ann) =>
+      ann.select(col("q_id"), col("vec_id"))
+        .join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).cast("double").as("hits"))
+        .crossJoin(broadcast(total))
+        .select(lit(name).as("method"),
+                (col("hits") / col("n_exact") >= lit(floor))
+                  .cast("int").as("recall_ok"))
+    }.reduce(_ unionAll _).orderBy(col("method"))
+  }
+
   /** D2: exact embedding near-dup pairs (cosine ≥ 0.4) as a
     * block-partitioned self-join (triangle join): vectors are hashed
     * into B blocks, every vector is shuffled to each of its B
@@ -552,15 +595,77 @@ object Similarity {
     * index-ordered sqrt-of-squares sequence as the kernel) and the
     * rerank (Jégou et al., TPAMI'11).
     */
-  def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+  def qAnnPq(s: SparkSession, dir: String): DataFrame =
+    annPqWith(s, dir, gaussianPlanes(8 * 16, 8, tag = "pq|"), nCand = 50)
+
+  /** D8b: PQ with TRAINED codebooks — the production form of D8
+    * (Jégou et al. train sub-codebooks with k-means; random codebooks
+    * are the known-bad strawman). One Lloyd refinement per subspace
+    * over the full corpus: assign every subvector to its nearest init
+    * code (same strict-< lowest-index tie rule as encoding), replace
+    * each code with the 6dp-quantized component mean of its assigned
+    * subvectors (the D7 kmeans cross-engine accumulation rule; codes
+    * that attract nothing keep their init centroid). Training is ONE
+    * extra corpus pass + a (128 × 8)-row aggregate — fit state is
+    * dim-scale, broadcast back. The rerank budget rises to nCand=150
+    * (3% of the sf0.1 corpus — the knob a deployment tunes). Measured
+    * recall@10 vs exact: 0.17 → 0.50 at sf0.01, 0.06 → 0.24 at sf0.1
+    * (untrained/50 → trained/150); `q_ann_recall` locks the floor.
+    */
+  def qAnnPqTrained(s: SparkSession, dir: String): DataFrame =
+    annPqWith(s, dir, trainPqCodebook(emb(s, dir)), nCand = 150)
+
+  /** One-Lloyd-iteration PQ codebook training (see [[qAnnPqTrained]]). */
+  def trainPqCodebook(e: DataFrame): Array[Array[Double]] = {
+    val nSub = 8; val subDim = 8; val nCodes = 16
+    val cb0 = gaussianPlanes(nSub * nCodes, subDim, tag = "pq|")
+    val sess = e.sparkSession
+    val bc = sess.sparkContext.broadcast(cb0)
+    val assignSchema = StructType(Seq(
+      StructField("p", IntegerType, nullable = false),
+      StructField("sub", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val assigns = e.select(col("vec_id"), col("v"))
+      .mapPartitions { it =>
+        val cb = bc.value
+        it.flatMap { row =>
+          val v = row.getSeq[Double](1).toArray
+          (0 until nSub).map { sIdx =>
+            var best = 0; var bestD = Double.PositiveInfinity
+            var ci = 0
+            while (ci < nCodes) {
+              val cv = cb(sIdx * nCodes + ci)
+              var d2 = 0.0; var j = 0
+              while (j < subDim) {
+                val diff = v(sIdx * subDim + j) - cv(j)
+                d2 += diff * diff
+                j += 1
+              }
+              if (d2 < bestD) { bestD = d2; best = ci }
+              ci += 1
+            }
+            Row(sIdx * nCodes + best,
+              java.util.Arrays.copyOfRange(v, sIdx * subDim, (sIdx + 1) * subDim).toSeq)
+          }
+        }
+      }(Encoders.row(assignSchema))
+    // (code, component) means: ≤ nSub·nCodes·subDim = 1024 rows — a
+    // bounded fit collect, the scale posture of every other estimator
+    val means = assigns.select(col("p"), posexplode(col("sub")))
+      .groupBy(col("p"), col("pos"))
+      .agg(graft.functions.dec6(avg(col("col"))).as("m"))
+      .collect()
+    val cb1 = cb0.map(_.clone)
+    means.foreach(r => cb1(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    cb1
+  }
+
+  private def annPqWith(s: SparkSession, dir: String, cb: Array[Array[Double]],
+                        nCand: Int): DataFrame = {
     val k = 10
     val nSub = 8
     val subDim = 8
     val nCodes = 16
-    val nCand = 50
     val e = emb(s, dir)
-    // codebook index p = sub*nCodes + code, each a subDim-dim centroid
-    val cb = gaussianPlanes(nSub * nCodes, subDim, tag = "pq|")
     val qs = collectQueries(e)
     val bc = s.sparkContext.broadcast((qs.qids, qs.qv, qs.qnorm, cb))
 
@@ -855,6 +960,65 @@ object Similarity {
       |  SELECT q_id, vec_id,
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad, vec_id) AS rn FROM adc)
       |  WHERE rn <= 50),
+      |sims AS (SELECT q_id, cand.vec_id,
+      |    list_cosine_similarity(qe.v, ce.v) AS sim
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
+      |  JOIN e ce ON ce.vec_id = cand.vec_id),
+      |r AS (SELECT q_id, vec_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM sims)
+      |SELECT q_id, vec_id, rank, CAST(ROUND(sim,4) AS DECIMAL(18,4))::DOUBLE AS sim
+      |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** [[annPqSql]] with the one-Lloyd-step codebook refinement of
+    * [[trainPqCodebook]] replayed in SQL: assign on the init codebook,
+    * 6dp-quantized per-(code, component) means (the D7 rule), empty
+    * codes COALESCE back to init — then the identical encode/ADC/
+    * rerank tail.
+    */
+  private val annPqTrainedSql: String = {
+    val u = (t: String) =>
+      graft.functions.TextFunctions.hexPrefix52Sql(s"md5('pq|'||p||'|'||j||'|$t')")
+    s"""WITH pz AS (
+      |  SELECT p, j,
+      |    sqrt(-2*ln((${u("1")} + 1.0)/4503599627370496.0))
+      |      * cos(2*pi()*(${u("2")}/4503599627370496.0)) AS z
+      |  FROM (SELECT unnest(range(128)) AS p), (SELECT unnest(range(8)) AS j)),
+      |cb AS (SELECT p // 16 AS s, p % 16 AS ci, list(z ORDER BY j) AS cv
+      |  FROM pz GROUP BY p),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sub0 AS (SELECT vec_id, s, ci, cv,
+      |    list_distance(v[s*8+1 : s*8+8], cv) AS d
+      |  FROM e CROSS JOIN cb),
+      |a0 AS (SELECT vec_id, s, ci FROM (
+      |  SELECT vec_id, s, ci,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, ci) AS rn FROM sub0)
+      |  WHERE rn = 1),
+      |mu AS (SELECT a0.s, a0.ci, j,
+      |    CAST(ROUND(AVG(e.v[a0.s*8 + j]),6) AS DECIMAL(18,6))::DOUBLE AS m
+      |  FROM a0 JOIN e USING (vec_id), (SELECT unnest(range(1,9)) AS j)
+      |  GROUP BY 1, 2, 3),
+      |cbt AS (SELECT s, ci, list(m ORDER BY j) AS cv FROM mu GROUP BY 1, 2),
+      |cb1 AS (SELECT cb.s, cb.ci, COALESCE(cbt.cv, cb.cv) AS cv
+      |  FROM cb LEFT JOIN cbt ON cb.s = cbt.s AND cb.ci = cbt.ci),
+      |sub AS (SELECT vec_id, s, ci, cv,
+      |    list_distance(v[s*8+1 : s*8+8], cv) AS d
+      |  FROM e CROSS JOIN cb1),
+      |codes AS (SELECT vec_id, s, cv FROM (
+      |  SELECT vec_id, s, cv,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, ci) AS rn FROM sub)
+      |  WHERE rn = 1),
+      |recon AS (SELECT vec_id, flatten(list(cv ORDER BY s)) AS rv
+      |  FROM codes GROUP BY vec_id),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+      |  WHERE vec_id % 50 = 0 AND vec_id < 5000),
+      |adc AS (SELECT q_id, r.vec_id, list_distance(qv, rv) AS ad
+      |  FROM q CROSS JOIN recon r),
+      |cand AS (SELECT q_id, vec_id FROM (
+      |  SELECT q_id, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad, vec_id) AS rn FROM adc)
+      |  WHERE rn <= 150),
       |sims AS (SELECT q_id, cand.vec_id,
       |    list_cosine_similarity(qe.v, ce.v) AS sim
       |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
@@ -1199,6 +1363,11 @@ object Similarity {
     "q_kmeans" -> kmeansSql,
     "q_semdedup" -> semDedupSql,
     "q_ann_pq" -> annPqSql,
+    "q_ann_pq_trained" -> annPqTrainedSql,
+    "q_ann_recall" ->
+      """SELECT * FROM (VALUES ('ivf', 1), ('lsh', 1), ('multiprobe', 1),
+        |  ('pq', 1), ('pq_trained', 1))
+        |AS t(method, recall_ok) ORDER BY method""".stripMargin,
     "q_ann_lsh" -> annLshSql(probe1 = false),
     "q_ann_multiprobe" -> annLshSql(probe1 = true),
     "q_ann_ivf" -> annIvfSql,

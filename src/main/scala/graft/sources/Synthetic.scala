@@ -39,6 +39,38 @@ object Synthetic {
     layers.reduce(_ + _) / lit(ampSum)
   }
 
+  /** Zipf-skewed synthetic event stream — the skew fixture the parquet
+    * testdata lacks (its `events.user_id` is uniform, so the salted
+    * aggregation paths were never exercised against REAL skew). Pure
+    * integer construction, so the DuckDB oracle rebuilds every row:
+    *
+    *   h       = 52-bit md5 prefix of "zu|<i>"   (uniform in [0, 2^52))
+    *   user_id = min(2^52 div (h+1), nUsers)
+    *   v       = 52-bit md5 prefix of "zv|<i>" mod nValues
+    *
+    * P(raw user ≥ k) = 1/k exactly, so P(user = k) ≈ 1/k² — a Zipf(2)
+    * tail where user 1 absorbs ~50% of ALL rows and the clamp bucket
+    * `nUsers` collects the ~1/nUsers tail. No floats anywhere (an
+    * exp/ln-based Zipf map could round differently across engines at
+    * bucket boundaries); distributed generation via spark.range, no
+    * driver materialization.
+    */
+  def zipfEvents(
+      spark: SparkSession,
+      nRows: Long,
+      nUsers: Int = 1000,
+      nValues: Int = 100000
+  ): DataFrame = {
+    import graft.functions.TextFunctions.hexPrefix52
+    spark.range(nRows).toDF("event_id")
+      .withColumn("__hu", hexPrefix52(concat(lit("zu|"), col("event_id").cast("string"))))
+      .withColumn("user_id",
+        least(expr("4503599627370496 div (__hu + 1)"), lit(nUsers.toLong)))
+      .withColumn("v",
+        hexPrefix52(concat(lit("zv|"), col("event_id").cast("string"))) % nValues)
+      .select(col("event_id"), col("user_id"), col("v"))
+  }
+
   /** Generate `nRows` samples of the named features. `maskPercentile`
     * in (0,1) NaNs that fraction of rows (by the mask band's empirical
     * percentile); 0 disables masking.

@@ -130,6 +130,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_corpus_pipeline planned an unbounded join:\n$p")
   }
 
+  test("q_hll_distinct aggregates sketches without an Expand") {
+    // the HLL++ sketch is ONE aggregate expression per grouping — if it
+    // ever compiled through the multi-countDistinct Expand path the
+    // scan would amplify before the shuffle like the q_profile trap
+    val p = plan(Relational.qHllDistinct(spark, sfDir))
+    assert(!p.contains("Expand"), s"q_hll_distinct regressed to an Expand plan:\n$p")
+  }
+
+  test("q_bpe_pairs takes top-k via TakeOrderedAndProject, not a global sort") {
+    // top-20 of the pair counts must be the per-partition heap + driver
+    // merge operator; a global Sort would shuffle every (pair, count)
+    // row just to keep 20
+    val p = plan(graft.operators.TextOps.qBpePairs(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q_bpe_pairs lost its TakeOrderedAndProject top-k:\n$p")
+    assert(!"(?m)^\\s*[+:*]*\\s*Sort ".r.findFirstIn(p).isDefined ||
+           p.contains("TakeOrderedAndProject"),
+      s"q_bpe_pairs plans a global sort:\n$p")
+  }
+
+  test("q_split assigns splits with zero shuffles") {
+    // the deterministic hash-range split is pure per-row codegen over
+    // the scan — any Exchange means the assignment stopped being free
+    val p = plan(graft.operators.TextOps.qSplit(spark, sfDir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 0, s"q_split grew a shuffle ($exchanges):\n$p")
+  }
+
   test("scans prune to the projected columns") {
     val p = plan(Relational.qDistinct(spark, sfDir))
     // customer has 5+ columns; this aggregate needs exactly three

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+import graft.sources.Synthetic
+
+/** Salting under REAL skew: the parquet testdata's keys are uniform, so
+  * until this fixture the salted aggregation paths were only ever
+  * checked on data where salting is moot. `Synthetic.zipfEvents` has a
+  * Zipf(2) hot key (user 1 ≈ 50% of all rows); every salted kernel must
+  * return EXACTLY the direct aggregate's rows on it (integer values, so
+  * no float-order escape hatch).
+  */
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val ev = Synthetic.zipfEvents(spark, 200000L).localCheckpoint()
+
+  test("the Zipf fixture is actually skewed: hot key holds ~half of all rows") {
+    val counts = ev.groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(total == 200000L)
+    val hot = counts(1L).toDouble / total
+    assert(hot > 0.45 && hot < 0.55, s"user 1 holds $hot of rows, expected ~0.5")
+    // and a heavy tail, not two hot keys: user 2 ~ 1/6
+    val second = counts(2L).toDouble / total
+    assert(second > 0.12 && second < 0.21, s"user 2 holds $second, expected ~1/6")
+  }
+
+  test("saltedSumCount == direct aggregate on the skewed key, row for row") {
+    val salted = Skew.saltedSumCount(ev, Seq("user_id"), "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = ev.groupBy(col("user_id"))
+      .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("saltedCountDistinct == direct COUNT(DISTINCT) on the skewed key, row for row") {
+    val salted = Skew.saltedCountDistinct(ev, Seq("user_id"), "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = ev.groupBy(col("user_id"))
+      .agg(countDistinct(col("v")).as("nd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == direct)
+  }
+
+  test("salted dedup shuffle spreads the hot key over salt buckets") {
+    // the property salting buys at scale: no single reducer key carries
+    // the hot user's whole value set — every (user, salt) cell is
+    // bounded by ~|values|/salt
+    val salt = 16
+    val cells = ev.select(col("user_id"), col("v"),
+        pmod(hash(col("v")), lit(salt)).as("__salt"))
+      .distinct()
+      .groupBy(col("user_id"), col("__salt")).count()
+      .filter(col("user_id") === 1L)
+      .collect().map(_.getLong(2))
+    assert(cells.length == salt)
+    val (mn, mx) = (cells.min, cells.max)
+    assert(mx < 2 * mn, s"hot key's salt cells are unbalanced: min=$mn max=$mx")
+  }
+}
