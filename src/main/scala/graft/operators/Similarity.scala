@@ -1209,16 +1209,65 @@ object Similarity {
     * checks the kernel at two other cell counts against a local
     * reference.
     */
-  def semDedup(s: SparkSession, dir: String, nCells: Int, tau: Double = 0.35): DataFrame = {
-    import s.implicits._
-    val dim = 64
-    val cents = gaussianPlanes(nCells, dim, tag = "sem|").map { c =>
-      // component-wise normalize, sums in index order (oracle parity)
+  /** The D9 coarse quantizer: nCells unit-norm deterministic centroids
+    * (tag "sem|"), normalized component-wise with index-order sums
+    * (oracle parity). Public so the streaming twin (F14) quantizes into
+    * the IDENTICAL cells; assignment uses the same argmax/lowest-id
+    * rule as [[ivfCell]].
+    */
+  def semCentroids(nCells: Int, dim: Int = 64): Array[Array[Double]] =
+    gaussianPlanes(nCells, dim, tag = "sem|").map { c =>
       var n2 = 0.0; var j = 0
       while (j < dim) { n2 += c(j) * c(j); j += 1 }
       val nrm = math.sqrt(n2)
       c.map(_ / nrm)
     }
+
+  /** The D9 within-cell scan, shared verbatim by the batch query and
+    * the F14 streaming twin: `ids` ascending with parallel `vecs`;
+    * returns (vec_id, dup_of, cosine) for every vector whose LOWEST-id
+    * partner at cosine ≥ tau precedes it. Index-order accumulation
+    * throughout, so stream and batch are bit-identical.
+    */
+  private[graft] def cellDupScan(
+      ids: Array[Long],
+      vecs: Array[Array[Double]],
+      tau: Double): Seq[(Long, Long, Double)] = {
+    val m = ids.length
+    val nrm = vecs.map { v =>
+      var s2 = 0.0; var j = 0
+      while (j < v.length) { s2 += v(j) * v(j); j += 1 }
+      math.sqrt(s2)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var q = 0
+    while (q < m) {
+      val vq = vecs(q)
+      var found = false
+      var p = 0
+      // ids ascend, so the FIRST qualifying p is the lowest dup_of
+      while (p < q && !found) {
+        if (ids(p) < ids(q)) {
+          val vp = vecs(p)
+          var d = 0.0; var j = 0
+          while (j < vq.length) { d += vp(j) * vq(j); j += 1 }
+          val sim = d / (nrm(p) * nrm(q))
+          if (sim >= tau) {
+            out += ((ids(q), ids(p), sim))
+            found = true
+          }
+        }
+        p += 1
+      }
+      q += 1
+    }
+    out.toSeq
+  }
+
+  def semDedup(s: SparkSession, dir: String, nCells: Int, tau: Double = 0.35): DataFrame = {
+    import s.implicits._
+    val dim = 64
+    val cents = semCentroids(nCells, dim)
     val bc = s.sparkContext.broadcast(cents)
     val ds = emb(s, dir).select(col("vec_id"), col("v")).as[(Long, Array[Double])]
     val byCell = ds.map { case (id, v) =>
@@ -1240,35 +1289,8 @@ object Similarity {
       .groupByKey(_._1)
       .flatMapGroups { (cell: Int, it: Iterator[(Int, Long, Array[Double])]) =>
         val rows = it.toArray.sortBy(_._2)
-        val m = rows.length
-        val nrm = rows.map { t =>
-          var s2 = 0.0; var j = 0
-          while (j < t._3.length) { s2 += t._3(j) * t._3(j); j += 1 }
-          math.sqrt(s2)
-        }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
-        var q = 0
-        while (q < m) {
-          val vq = rows(q)._3
-          var found = false
-          var p = 0
-          // ids ascend, so the FIRST qualifying p is the lowest dup_of
-          while (p < q && !found) {
-            if (rows(p)._2 < rows(q)._2) {
-              val vp = rows(p)._3
-              var d = 0.0; var j = 0
-              while (j < vq.length) { d += vp(j) * vq(j); j += 1 }
-              val sim = d / (nrm(p) * nrm(q))
-              if (sim >= tau) {
-                out += ((rows(q)._2, cell.toLong, rows(p)._2, sim))
-                found = true
-              }
-            }
-            p += 1
-          }
-          q += 1
-        }
-        out.iterator
+        cellDupScan(rows.map(_._2), rows.map(_._3), tau)
+          .iterator.map { case (id, dupOf, sim) => (id, cell.toLong, dupOf, sim) }
       }
     dups.toDF("vec_id", "cell", "dup_of", "sim")
       .select(col("vec_id"), col("cell"), col("dup_of"), dec4(col("sim")).as("cosine"))

@@ -288,6 +288,74 @@ object EventStreams {
     * KB-scale by construction). At 100 TB the changelog sink is the
     * same cell-partitioned layout D6 prunes at query time.
     */
+  /** F14 input: a vector arriving on the embedding stream. */
+  final case class VecArrival(vec_id: Long, v: Array[Double])
+
+  /** F14 output: an Update-mode dup-mark changelog row — the newest
+    * (dup_of, cosine) assignment for `vec_id`; the latest row per
+    * vec_id IS the batch SemDeDup verdict over everything seen so far.
+    */
+  final case class DupMark(vec_id: Long, cell: Long, dup_of: Long, cosine: Double)
+
+  /** F14 state: one CELL's arrivals (ids ascending, vectors parallel)
+    * plus the dup_of each already-emitted id last reported — bounded by
+    * the SemDeDup sizing rule itself (cells hold ~targetCellSize
+    * vectors by construction of `semCellsFor`).
+    */
+  final case class SemCellState(
+      ids: Array[Long],
+      vecs: Array[Array[Double]],
+      emitted: Map[Long, Long])
+
+  /** F14: streaming SemDeDup — incremental within-cell duplicate
+    * marking with the IDENTICAL quantizer and pair rule as the batch
+    * D9 query: arrivals are keyed by their coarse cell
+    * (`Similarity.semCentroids` + the `ivfCell` argmax rule), each
+    * cell's state replays `Similarity.cellDupScan` over its vectors
+    * (shared code — bit-identical arithmetic), and a changelog row is
+    * emitted whenever a vector's dup_of assignment CHANGES: a new
+    * arrival can be born a duplicate, and a late lower-id arrival can
+    * re-assign an existing vector's dup_of (or newly mark it) — dupness
+    * itself never retracts, so Update-mode latest-per-key equals the
+    * batch verdict over the union of all batches, whatever the arrival
+    * order (StreamingSpec feeds id-interleaved batches to prove it).
+    *
+    * Scale posture: state shards by cell hash; per-cell cost is the
+    * same O(cell²) scan the batch pays, on ~32 vectors; re-delivered
+    * vec_ids are dropped (first version wins, matching batch's one-row-
+    * per-vector input contract).
+    */
+  def semDedupStream(in: Dataset[VecArrival],
+                     cents: Array[Array[Double]],
+                     tau: Double = 0.35): Dataset[DupMark] = {
+    import in.sparkSession.implicits._
+    import graft.operators.Similarity
+    in.groupByKey(a => Similarity.ivfCell(cents, a.v))
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (cell: Int, batch: Iterator[VecArrival], state: GroupState[SemCellState]) => {
+          val prior = state.getOption.getOrElse(
+            SemCellState(Array.empty, Array.empty, Map.empty))
+          val known = prior.ids.toSet
+          val fresh = batch.filter(a => !known.contains(a.vec_id))
+            .map(a => a.vec_id -> a.v).toMap // re-delivery within the batch: first wins
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val merged = (prior.ids.zip(prior.vecs) ++ fresh.toArray).sortBy(_._1)
+            val ids = merged.map(_._1)
+            val vecs = merged.map(_._2)
+            val dups = Similarity.cellDupScan(ids, vecs, tau)
+            val changed = dups.filter { case (id, dupOf, _) =>
+              !prior.emitted.get(id).contains(dupOf)
+            }
+            state.update(SemCellState(ids, vecs,
+              dups.map { case (id, dupOf, _) => id -> dupOf }.toMap))
+            changed.iterator.map { case (id, dupOf, sim) =>
+              DupMark(id, cell.toLong, dupOf, sim)
+            }
+          }
+        })
+  }
+
   def ivfUpsertStream(in: Dataset[VecUpsert],
                       cents: Array[Array[Double]]): Dataset[CellAssign] = {
     import in.sparkSession.implicits._

@@ -102,6 +102,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F14 streaming SemDeDup equals batch semDedup across id-interleaved batches") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import graft.streaming.EventStreams.{DupMark, VecArrival}
+    implicit val sqlCtx = spark.sqlContext
+    val nCells = 4 // small cells -> plenty of within-cell pairs at sf0.001
+    val tau = 0.2
+    val cents = Similarity.semCentroids(nCells)
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val input = MemoryStream[VecArrival]
+    val q = EventStreams.semDedupStream(input.toDS(), cents, tau)
+      .writeStream.format("memory").queryName("sem_out").outputMode("update").start()
+    try {
+      // ODD ids first, then EVEN: every even arrival is a LATE lower-id
+      // vector relative to its odd successor, so batch 2 must re-assign
+      // (or newly mark) earlier arrivals for stream == batch to hold
+      val (odd, even) = vecs.partition(_._1 % 2 == 1)
+      input.addData(odd.map { case (id, v) => VecArrival(id, v) }.toSeq)
+      q.processAllAvailable()
+      input.addData(even.map { case (id, v) => VecArrival(id, v) }.toSeq)
+      // plus a re-delivery that must be ignored
+      input.addData(Seq(VecArrival(odd.head._1, odd.head._2)))
+      q.processAllAvailable()
+      val marks = spark.table("sem_out").as[DupMark].collect()
+      // changelog semantics: latest row per vec_id is the verdict; a
+      // vector may appear twice (marked in b1, re-assigned in b2), and
+      // the LAST dup_of must be the batch one — take the final emission
+      val got = marks.zipWithIndex
+        .groupBy(_._1.vec_id)
+        .map { case (_, ms) => ms.maxBy(_._2)._1 }
+        .map(m => (m.vec_id, m.cell, m.dup_of,
+          BigDecimal(m.cosine).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toSet
+      val expected = Similarity.semDedup(spark, sfDir, nCells, tau)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(expected.nonEmpty, "fixture produced no dups — lower tau")
+      assert(got == expected)
+      // and the interleave actually exercised re-assignment: some id
+      // was emitted more than once
+      assert(marks.groupBy(_.vec_id).exists(_._2.length > 1),
+        "no dup_of re-assignment happened; batches not adversarial enough")
+    } finally q.stop()
+  }
+
   test("streaming sessionization equals batch gaps-and-islands across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
