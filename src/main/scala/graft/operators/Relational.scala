@@ -579,6 +579,32 @@ object Relational {
               sum(col("v")).over(w).as("running")))
   }
 
+  /** B61: EXACT per-key median on the skewed key, cardinality-bounded —
+    * the third genuinely-skew-vulnerable plan from §6 (exact percentile
+    * buffers raw values per key). Two-level form: (key, value)
+    * histogram first — that shuffle keys on the UNIFORM pair and
+    * map-side combines duplicates — then the per-key cumulative window
+    * runs over DISTINCT VALUES only, so the hot reducer's input is
+    * bounded by value cardinality, not row count (100k here vs 250k hot
+    * rows; at 100 TB: |domain| vs billions). Lower-median contract,
+    * rank (n+1) div 2, all-integer — hash-exact. For continuous
+    * (all-distinct) values this degenerates and the scale answer is the
+    * B51 sketch, not this.
+    */
+  def qMedianSkew(s: SparkSession, dir: String): DataFrame = {
+    val hist = graft.sources.Synthetic.zipfEvents(s, zipfRows)
+      .groupBy(col("user_id"), col("v")).agg(count(lit(1)).as("cnt"))
+    val byVal = Window.partitionBy(col("user_id")).orderBy(col("v"))
+    val whole = Window.partitionBy(col("user_id"))
+    val rank = expr("(n + 1) div 2") // integral division (Column./ is float)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(byVal))
+      .withColumn("n", sum(col("cnt")).over(whole))
+      .filter(col("cum") >= rank && col("cum") - col("cnt") < rank)
+      .select(col("user_id"), col("v").as("median_v"), col("n"))
+      .orderBy(col("user_id"))
+  }
+
   /** B30: RANGE-frame window — each order's trailing 30-day same-
     * customer order count and spend (a time-range frame, not a row
     * frame: peers enter by VALUE distance on the epoch-day axis). One
@@ -1785,7 +1811,16 @@ object Relational {
     "q_zipf_distinct" -> zipfDistinctSql,
     "q_zipf_distinct_direct" -> zipfDistinctSql,
     "q_running_skew" -> runningSkewSql,
-    "q_running_skew_window" -> runningSkewSql
+    "q_running_skew_window" -> runningSkewSql,
+    "q_median_skew" ->
+      s"""WITH e AS $zipfFixtureSql,
+        |h AS (SELECT user_id, v, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+        |c AS (SELECT user_id, v, cnt,
+        |  SUM(cnt) OVER (PARTITION BY user_id ORDER BY v) AS cum,
+        |  SUM(cnt) OVER (PARTITION BY user_id) AS n FROM h)
+        |SELECT user_id, v AS median_v, CAST(n AS BIGINT) AS n
+        |FROM c WHERE cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2
+        |ORDER BY 1""".stripMargin
   )
 
   /** The B57–B60 Zipf fixture rebuilt row-by-row from the md5

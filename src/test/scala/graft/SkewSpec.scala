@@ -62,6 +62,48 @@ class SkewSpec extends AnyFunSuite {
     assert(direct.size == 200000)
   }
 
+  test("AQE skew-join engages on the Zipf fixture (locks the §6 join-skew claim)") {
+    // §6 claims non-broadcast join skew is AQE's job — prove AQE
+    // actually detects and splits our hot key rather than trusting the
+    // default thresholds to fire someday. Thresholds are lowered to
+    // local-fixture scale and restored afterwards (shared session).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // the fixture's single projected column compresses to ~100 KB for
+      // the hot partition — scale the byte thresholds to match
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // enough reducers that the MEDIAN partition is tiny next to the
+      // hot key's (the skew detector needs > 5x median AND > threshold)
+      conf.set("spark.sql.shuffle.partitions", "64")
+      val dim = spark.range(1001).selectExpr("id AS user_id", "id * 7 AS weight")
+      // GLOBAL aggregate after the join: a per-key aggregate would
+      // REQUIRE the join's hash partitioning and AQE then (by default)
+      // refuses to split skewed partitions rather than add a shuffle
+      val joined = ev.join(dim, "user_id").agg(sum(col("weight")).as("w"))
+      // execute THIS Dataset (a count() would plan a different query),
+      // then read the AQE FINAL plan — it marks the split join skew=true
+      assert(joined.collect().length == 1)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot-key join as skewed:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("salted dedup shuffle spreads the hot key over salt buckets") {
     // the property salting buys at scale: no single reducer key carries
     // the hot user's whole value set — every (user, salt) cell is
