@@ -288,6 +288,46 @@ object EventStreams {
     * KB-scale by construction). At 100 TB the changelog sink is the
     * same cell-partitioned layout D6 prunes at query time.
     */
+  /** F15 input: one keyed value in arrival-order position `event_id`. */
+  final case class KeyedVal(user_id: Long, event_id: Long, v: Long)
+
+  /** F15 output: the running per-key prefix sum at this event. */
+  final case class RunningOut(user_id: Long, event_id: Long, v: Long, running: Long)
+
+  /** F15 state: O(1) per key — the running total and the high-water
+    * event id (vectors of past events are never buffered).
+    */
+  final case class RunState(total: Long, lastEvent: Long)
+
+  /** F15: streaming per-key RUNNING sums — the stream twin of the B59/
+    * B60 running aggregate: exact Long prefix sums keyed by user, O(1)
+    * state per key, Update-mode one-row-per-event changelog. In-batch
+    * arrivals are applied in event_id order and an arrival at or below
+    * the key's high-water mark is DROPPED (the monotone-source
+    * contract: a replayed offset must not double-count) — so across
+    * batches that respect per-key order the emitted rows equal the
+    * batch window exactly. Skew posture: state shards by key hash and
+    * per-event work is O(1), so a hot key costs its row count spread
+    * over arrivals — there is no per-key sort task at all (the stream
+    * beats BOTH batch layouts by doing the scan incrementally).
+    */
+  def runningSumStream(in: Dataset[KeyedVal]): Dataset[RunningOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[KeyedVal], state: GroupState[RunState]) => {
+          var st = state.getOption.getOrElse(RunState(0L, Long.MinValue))
+          val out = batch.toArray.sortBy(_.event_id).iterator
+            .filter(_.event_id > st.lastEvent)
+            .map { e =>
+              st = RunState(st.total + e.v, e.event_id)
+              RunningOut(uid, e.event_id, e.v, st.total)
+            }.toArray // drain before update: st must hold the final total
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** F14 input: a vector arriving on the embedding stream. */
   final case class VecArrival(vec_id: Long, v: Array[Double])
 

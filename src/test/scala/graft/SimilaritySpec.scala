@@ -10,6 +10,26 @@ class SimilaritySpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("trainPqCodebook: codes that attract no subvectors keep their init centroid") {
+    import spark.implicits._
+    // 10 IDENTICAL vectors: per subspace every subvector lands on ONE
+    // nearest init code — the other 15 must fall back to init (the
+    // COALESCE branch the oracle replays), and the one trained code
+    // must be the 6dp-rounded shared subvector
+    val v = Array.tabulate(64)(j => math.sin(j + 1.0))
+    val e = (0L until 10L).map(id => (id, v)).toDF("vec_id", "v")
+    val cb0 = graft.operators.Similarity.trainPqCodebook(e.limit(0)) // empty fit = pure init
+    val cb1 = graft.operators.Similarity.trainPqCodebook(e)
+    for (s <- 0 until 8) {
+      val trained = (0 until 16).filter(ci => !java.util.Arrays.equals(
+        cb1(s * 16 + ci), cb0(s * 16 + ci)))
+      assert(trained.size == 1, s"subspace $s: expected exactly one trained code, got $trained")
+      val expected = (0 until 8).map(j =>
+        BigDecimal(v(s * 8 + j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(cb1(s * 16 + trained.head).toSeq == expected)
+    }
+  }
+
   test("ANN-LSH reaches useful recall vs brute force and stays approximate-cheap") {
     val exact = Similarity.qCosineTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap

@@ -62,6 +62,21 @@ class SkewSpec extends AnyFunSuite {
     assert(direct.size == 200000)
   }
 
+  test("rangePartitionedRunningSum handles negative values and a single-key input") {
+    import org.apache.spark.sql.expressions.Window
+    // all rows one key (the degenerate total-skew case), signed values
+    val one = spark.range(10000)
+      .selectExpr("CAST(1 AS LONG) AS user_id", "id AS event_id",
+                  "CAST(id % 7 - 3 AS LONG) AS v")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val direct = one.select(col("user_id"), col("event_id"), col("v"),
+        sum(col("v")).over(w).as("running"))
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    val two = Skew.rangePartitionedRunningSum(one, "user_id", "event_id", "v")
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(two == direct && two.size == 10000)
+  }
+
   test("AQE skew-join engages on the Zipf fixture (locks the §6 join-skew claim)") {
     // §6 claims non-broadcast join skew is AQE's job — prove AQE
     // actually detects and splits our hot key rather than trusting the

@@ -102,6 +102,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F15 streaming running sums equal the batch window across batches, replays dropped") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{KeyedVal, RunningOut}
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Synthetic.zipfEvents(spark, 5000L)
+      .collect().map(r => KeyedVal(r.getLong(1), r.getLong(0), r.getLong(2))).toSeq
+    val input = MemoryStream[KeyedVal]
+    val q = EventStreams.runningSumStream(input.toDS())
+      .writeStream.format("memory").queryName("run_out").outputMode("update").start()
+    try {
+      // split by global event_id: per-key order is preserved across
+      // batches (the monotone-source contract)
+      val (b1, b2) = ev.partition(_.event_id < 2500)
+      input.addData(b1); q.processAllAvailable()
+      // replay part of batch 1 — at/below each key's high-water mark,
+      // must not double-count
+      input.addData(b1.take(500)); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("run_out").as[RunningOut].collect()
+        .map(r => (r.user_id, r.event_id, r.v, r.running)).toSet
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val expected = graft.sources.Synthetic.zipfEvents(spark, 5000L)
+        .select(col("user_id"), col("event_id"), col("v"),
+                sum(col("v")).over(w).as("running"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected)
+      assert(got.size == 5000)
+    } finally q.stop()
+  }
+
   test("F14 streaming SemDeDup equals batch semDedup across id-interleaved batches") {
     import spark.implicits._
     import graft.operators.Similarity
