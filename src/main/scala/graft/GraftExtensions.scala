@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.CosineSimilarity
+import graft.functions.expressions.{CosineSimilarity, MisraGries}
 
 /** Engine extensions installed via `spark.sql.extensions` (set by
   * [[GraftSession]]): registers the native codegen'd functions so SQL
@@ -19,6 +19,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[CosineSimilarity].getName, null, "graft_cosine",
         "graft_cosine(a, b) - cosine similarity of two double arrays", ""),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_mg"),
+      new ExpressionInfo(
+        classOf[MisraGries].getName, null, "graft_mg",
+        "graft_mg(col, k) - Misra-Gries heavy-hitters summary (map of key -> " +
+          "estimated count, at most k entries, est within N/(k+1) of truth)", ""),
+      (children: Seq[Expression]) => MisraGries(
+        children(0),
+        children(1).eval().asInstanceOf[Number].intValue())))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

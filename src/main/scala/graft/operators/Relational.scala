@@ -605,6 +605,33 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** B62: heavy-hitters CONTRACT on the Zipf fixture — the B51/B56
+    * idiom for frequent items: the native `graft_mg` Misra–Gries
+    * aggregate (functions/expressions/MisraGries.scala) compresses the
+    * 500k-row stream into ≤64 counters with the deterministic guarantee
+    * true − N/(k+1) ≤ est ≤ true, every key above N/65 present. The
+    * query checks the top-5 TRUE heavy keys (exact aggregate, unique
+    * (count desc, key) order) against the sketch: found + both bounds,
+    * all deterministically 1 by the MG theorem regardless of partition
+    * layout or merge order — which is exactly what makes the sketch
+    * safe at 100 TB, where the exact groupBy is a full shuffle but the
+    * sketch is one ≤64-entry map per task merged in a 1-row aggregate.
+    */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.sources.Synthetic.zipfEvents(s, zipfRows)
+    val bound = zipfRows / 65L // floor(N/(k+1)) with k = 64
+    val sk = e.agg(expr("graft_mg(user_id, 64)").as("mg"))
+    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("user_id")).limit(5)
+    val est = coalesce(try_element_at(col("mg"), col("user_id")), lit(0L))
+    exact.crossJoin(broadcast(sk))
+      .select(col("user_id"), col("true_cnt"),
+        map_contains_key(col("mg"), col("user_id")).cast("int").as("found"),
+        (est <= col("true_cnt") && est >= col("true_cnt") - lit(bound))
+          .cast("int").as("bounds_ok"))
+      .orderBy(col("user_id"))
+  }
+
   /** B30: RANGE-frame window — each order's trailing 30-day same-
     * customer order count and spend (a time-range frame, not a row
     * frame: peers enter by VALUE distance on the epoch-day axis). One
@@ -1820,7 +1847,16 @@ object Relational {
         |  SUM(cnt) OVER (PARTITION BY user_id) AS n FROM h)
         |SELECT user_id, v AS median_v, CAST(n AS BIGINT) AS n
         |FROM c WHERE cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+    // B62 contract: the flags are deterministically 1 by the MG theorem
+    // (every top-5 true count exceeds N/65), so the oracle pins the
+    // exact top-5 keys/counts and all-true verdicts
+    "q_heavy_hitters" ->
+      s"""WITH e AS $zipfFixtureSql,
+        |t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM e
+        |  GROUP BY 1 ORDER BY true_cnt DESC, user_id LIMIT 5)
+        |SELECT user_id, true_cnt, 1 AS found, 1 AS bounds_ok
+        |FROM t ORDER BY user_id""".stripMargin
   )
 
   /** The B57–B60 Zipf fixture rebuilt row-by-row from the md5

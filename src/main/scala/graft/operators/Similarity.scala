@@ -248,6 +248,32 @@ object Similarity {
     * exact. Per-pair dot/norm accumulate in index order, so results
     * are bit-identical to the previous broadcast formulation.
     */
+  /** D13: embedding-space decontamination — C17's exact n-gram rule
+    * generalized to SEMANTIC leakage: flag every corpus vector whose
+    * max cosine against ANY held-out eval vector reaches 0.4 (a
+    * paraphrased eval question shares no 4-gram but lands next to it
+    * in embedding space). Same eval-slice convention as C17
+    * (id % 97 == 0). Scale shape: the eval side is small BY CONTRACT
+    * (it's an eval set), so it broadcasts; the corpus streams through
+    * one BroadcastNestedLoopJoin scoring with the native codegen'd
+    * graft_cosine expression, then a partial max-aggregate — the
+    * corpus is never shuffled, never self-joined, and the flag
+    * compares on the 4dp-rounded value so the verdict is bit-portable
+    * cross-engine.
+    */
+  def qEmbedDecontam(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val corpus = e.filter(col("vec_id") % 97 =!= 0).select(col("vec_id"), col("v"))
+    val ev = e.filter(col("vec_id") % 97 === 0).select(col("v").as("ev"))
+    corpus.join(broadcast(ev))
+      .select(col("vec_id"), expr("graft_cosine(v, ev)").as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(dec4(max(col("sim"))).as("max_eval_sim"))
+      .select(col("vec_id"), col("max_eval_sim"),
+        (col("max_eval_sim") >= 0.4).cast("int").as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tau = 0.4
@@ -1423,6 +1449,18 @@ object Similarity {
         |  FROM sims)
         |SELECT q_id, vec_id, rank, CAST(ROUND(sim,4) AS DECIMAL(18,4))::DOUBLE AS sim
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_embed_decontam" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 97 <> 0),
+        |ev AS (SELECT CAST(embedding AS DOUBLE[]) AS ev
+        |  FROM embeddings WHERE vec_id % 97 = 0),
+        |m AS (SELECT vec_id,
+        |    CAST(ROUND(MAX(list_cosine_similarity(v, ev)),4)
+        |      AS DECIMAL(18,4))::DOUBLE AS max_eval_sim
+        |  FROM c CROSS JOIN ev GROUP BY 1)
+        |SELECT vec_id, max_eval_sim,
+        |  CASE WHEN max_eval_sim >= 0.4 THEN 1 ELSE 0 END AS contaminated
+        |FROM m ORDER BY vec_id""".stripMargin,
     "q_embed_neardup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -937,6 +937,183 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** C32: cross-document duplicated n-gram fraction — the RefinedWeb/
+    * Dolma-style dup_ngram filter signal: per document, the fraction of
+    * its word 3-gram OCCURRENCES whose gram appears in more than one
+    * document. Unlike C11 (within-doc repetition) this measures corpus-
+    * level boilerplate (headers, license blocks, templated spam). Scale
+    * shape: one explode + one gram-key shuffle with map-side partial
+    * countDistinct, then the gram→doc join shuffles O(gram occurrences)
+    * — never O(docs²); the gram stats frame is the same cardinality as
+    * the C23 vocabulary (sub-linear in corpus size after dedup), so at
+    * 100 TB AQE turns the join's small side into a broadcast where it
+    * fits and a plain shuffle join where it doesn't.
+    */
+  def qDupNgram(s: SparkSession, dir: String): DataFrame = {
+    val g = documents(s, dir)
+      .select(col("doc_id"), T.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 2),
+          i => concat_ws(" ", element_at(col("w"), i),
+            element_at(col("w"), i + 1), element_at(col("w"), i + 2)))).as("g"))
+    val st = g.groupBy(col("g")).agg(countDistinct(col("doc_id")).as("ndocs"))
+    g.join(st, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"),
+        dec4(col("n_dup").cast("double") / col("n_grams")).as("dup_3gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C33: corpus-trained bigram language-model score — the CCNet-style
+    * perplexity quality filter: train bigram/unigram counts on the
+    * corpus itself, score each document by its mean bigram log-
+    * probability ln(c2(w1 w2)/c1(w1)) (no smoothing needed — the model
+    * is trained on the scored corpus, so every bigram has c2 ≥ 1).
+    * Low scores = improbable word sequences = gibberish/boilerplate;
+    * the threshold consumer is a C10-style curation gate. Cross-engine
+    * determinism: each per-bigram term is rounded to 6dp and cast
+    * DECIMAL(18,6) BEFORE summing, so the per-doc sum is exact decimal
+    * arithmetic — immune to float summation order, which differs
+    * between Spark's partial aggregates and DuckDB. Scale shape: two
+    * count shuffles (unigram, bigram — both vocabulary-sized after
+    * combine) + the occurrence→count joins on token keys; no driver
+    * round-trip, no all-pairs, and the trained counts are reusable
+    * frames (fit once, score any stream).
+    */
+  /** (doc_id, w1, bg) bigram occurrences of a (doc_id, text) frame —
+    * stateless codegen, so it attaches to streams unchanged.
+    */
+  private def bigramsOn(docs: DataFrame): DataFrame = {
+    val w = T.words(col("text"))
+    docs.select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            concat_ws(" ", element_at(col("w"), i),
+              element_at(col("w"), i + 1)).as("bg")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+  }
+
+  /** LM FIT: (unigram counts keyed `t`, bigram counts keyed `bg`) over
+    * a training corpus — two vocabulary-sized count aggregates,
+    * reusable static frames (fit once, score any batch or stream).
+    */
+  def lmFit(docs: DataFrame): (DataFrame, DataFrame) = {
+    val uni = docs.select(explode(T.words(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val c2 = bigramsOn(docs).groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    (uni, c2)
+  }
+
+  /** LM SCORE: per-document mean bigram log-probability against fitted
+    * counts. Each term rounds to 6dp DECIMAL BEFORE the sum, so the
+    * score is exact decimal arithmetic (float summation order differs
+    * between engines and between partial-aggregate schedules). On a
+    * stream this is two stream-static joins + one Update-mode per-doc
+    * aggregate (F16).
+    */
+  def lmScoreOn(docs: DataFrame, uni: DataFrame, c2: DataFrame): DataFrame =
+    bigramsOn(docs)
+      .join(c2, "bg").join(uni, col("w1") === col("t"))
+      .select(col("doc_id"),
+        round(log(col("c2").cast("double") / col("c1")), 6)
+          .cast("decimal(18,6)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        dec4(col("sum_lp").cast("double") / col("n_bigrams")).as("avg_logprob"))
+
+  def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"), col("text"))
+    val (uni, c2) = lmFit(docs)
+    lmScoreOn(docs, uni, c2).orderBy(col("doc_id"))
+  }
+
+  /** C34: token-budget domain mixing — the pre-training sampler that
+    * turns "give every domain an equal share of a 25%-of-corpus token
+    * budget" into a deterministic per-document keep decision: per
+    * source domain, keep rate = min(1, budget_share/domain_tokens)
+    * expressed as an INTEGER millionths threshold (pure BIGINT div —
+    * bit-identical cross-engine, no float boundary), membership by the
+    * C30 hash-range rule ("mix|" tag), so the sample is stable across
+    * reruns and cluster sizes and never couples to shuffle order.
+    * Scale shape: one domain aggregate (domains ≪ docs), thresholds
+    * broadcast back, keep decision pure codegen per row; the output is
+    * the per-domain audit (docs/tokens before vs kept) a mixture run
+    * logs. At 100 TB swap the uniform weights for any target mixture —
+    * the threshold algebra is unchanged.
+    */
+  def qDomainMix(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"), col("source"),
+      size(T.words(col("text"))).cast("long").as("toks"))
+    val tot = d.agg(sum(col("toks")).as("total_toks"),
+      countDistinct(col("source")).as("n_dom"))
+    val dom = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("dom_toks"))
+    val thr = dom.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("dom_toks"),
+        least(lit(1000000L),
+          expr("(1000000 * ((total_toks div 4) div n_dom)) div dom_toks")).as("thr"))
+    val u = T.hexPrefix52(concat(lit("mix|"), col("doc_id"))) % 1000000L
+    d.join(broadcast(thr), "source")
+      .select(col("source"), col("n_docs"), col("dom_toks"), col("thr"),
+        when(u < col("thr"), 1L).otherwise(0L).as("kept"), col("toks"))
+      .groupBy(col("source"), col("n_docs"), col("dom_toks"), col("thr"))
+      .agg(sum(col("kept")).as("n_kept"),
+           sum(col("kept") * col("toks")).as("kept_toks"))
+      .orderBy(col("source"))
+  }
+
+  /** C35: BM25 relevance scoring — the retrieval primitive for corpus
+    * search / RAG indexing: Lucene-flavored BM25 (k1 = 1.2, b = 0.75,
+    * idf = ln(1 + (N − df + ½)/(df + ½))) of a fixed query term set
+    * against every document. Cross-engine determinism: corpus stats
+    * (N, total length, per-term df) are ONE exact integer aggregate
+    * crossed back as a broadcast row; every float subexpression has a
+    * fixed parenthesization replicated verbatim in the oracle, each
+    * per-term score rounds to 6dp DECIMAL before the (exact, decimal)
+    * sum — the C33 summation rule. Scale shape: one 1-row stats
+    * aggregate + pure codegen per document, zero shuffle of the
+    * corpus; at 100 TB the stats row is a fit artifact (compute once,
+    * score forever, attach to streams unchanged).
+    */
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("spark", "join", "filter")
+    val w = T.words(col("text"))
+    val base = documents(s, dir)
+      .select(col("doc_id"), w.as("w"), size(w).cast("long").as("dl"))
+    val statAggs = count(lit(1)).as("n") +: sum(col("dl")).as("total_len") +:
+      qterms.map(t => sum(array_contains(col("w"), t).cast("long")).as(s"df_$t"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val perTerm = qterms.map { t =>
+      val tf = size(filter(col("w"), x => x === lit(t))).cast("double")
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
+      val denom = tf + lit(1.2) * (lit(0.25) +
+        lit(0.75) * (col("dl") * col("n")).cast("double") / col("total_len"))
+      (when(tf > 0, round(idf * (tf * lit(2.2)) / denom, 6)
+         .cast("decimal(18,6)")).otherwise(lit(null)),
+       (tf > 0).cast("long"))
+    }
+    // the per-term decimals are already rounded: their sum is EXACT, so
+    // emit it as a plain decimal→double cast — re-rounding to 4dp would
+    // sit on half-boundaries (…x50 at the 5th decimal) that Java
+    // BigDecimal (HALF_UP on the shortest repr) and DuckDB (binary
+    // double) resolve differently
+    scored
+      .select(col("doc_id"),
+        perTerm.map(_._2).reduce(_ + _).as("n_hit"),
+        (perTerm.map(t => coalesce(t._1, lit(0).cast("decimal(18,6)")))
+          .reduce(_ + _).cast("double") + lit(0.0)).as("bm25"))
+      .filter(col("n_hit") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** C29: BPE-merge pair statistics — the tokenizer-TRAINING inner
     * loop (count adjacent-token pairs, merge the most frequent): top-20
     * adjacent word pairs by the unique (count desc, w1, w2) order. One
@@ -1188,7 +1365,41 @@ object TextOps {
       |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** BM25 oracle: the C35 arithmetic replicated term-by-term with the
+    * same parenthesization (tf/idf/denominator), per-term 6dp DECIMAL
+    * rounding before the exact decimal sum.
+    */
+  private val bm25OracleSql: String = {
+    val qterms = Seq("spark", "join", "filter")
+    val dfAggs = qterms.map(t =>
+      s"CAST(SUM(CASE WHEN list_contains(w,'$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(", ")
+    val termCols = qterms.map { t =>
+      val tf = s"CAST(LEN(list_filter(w, x -> x = '$t')) AS DOUBLE)"
+      s"""CASE WHEN $tf > 0 THEN CAST(ROUND(
+         |    ln(1.0 + (n - df_$t + 0.5)/(df_$t + 0.5)) * ($tf * 2.2) /
+         |    ($tf + 1.2*(0.25 + 0.75*CAST(dl*n AS DOUBLE)/total_len)), 6)
+         |    AS DECIMAL(18,6)) ELSE NULL END AS lp_$t,
+         |  CASE WHEN $tf > 0 THEN 1 ELSE 0 END AS hit_$t""".stripMargin
+    }.mkString(",\n  ")
+    val hitSum = qterms.map(t => s"hit_$t").mkString(" + ")
+    val lpSum = qterms.map(t => s"COALESCE(lp_$t, CAST(0 AS DECIMAL(18,6)))")
+      .mkString(" + ")
+    s"""WITH base AS (SELECT doc_id, string_split(text,' ') AS w,
+      |  CAST(LEN(string_split(text,' ')) AS BIGINT) AS dl FROM documents),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(dl) AS BIGINT) AS total_len, $dfAggs FROM base),
+      |sc AS (SELECT * FROM base CROSS JOIN st),
+      |t AS (SELECT doc_id,
+      |  $termCols
+      |  FROM sc)
+      |SELECT doc_id, CAST($hitSum AS BIGINT) AS n_hit,
+      |  CAST($lpSum AS DOUBLE) + 0.0 AS bm25
+      |FROM t WHERE $hitSum > 0 ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bm25" -> bm25OracleSql,
     "q_gopher" ->
       """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |m AS (SELECT doc_id, LEN(w) AS n,
@@ -1303,6 +1514,47 @@ object TextOps {
         |SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
         |FROM w WHERE LENGTH(term) > 0
         |GROUP BY 1 ORDER BY df DESC, term LIMIT 30""".stripMargin,
+    "q_dup_ngram" ->
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, LEN(w)-1),
+        |    i -> array_to_string(w[i:i+2],' '))) AS g
+        |  FROM base WHERE LEN(w) >= 3),
+        |st AS (SELECT g, COUNT(DISTINCT doc_id) AS ndocs FROM g GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(ROUND(CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*),4) AS DECIMAL(18,4))::DOUBLE AS dup_3gram_frac
+        |FROM g JOIN st USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_lm_score" ->
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |uni AS (SELECT t, COUNT(*) AS c1 FROM (SELECT unnest(w) AS t FROM base) GROUP BY 1),
+        |bi AS (SELECT doc_id, unnest(list_transform(range(1, LEN(w)),
+        |    i -> struct_pack(w1 := w[i], bg := array_to_string(w[i:i+1],' ')))) AS p
+        |  FROM base WHERE LEN(w) >= 2),
+        |bx AS (SELECT doc_id, p.w1 AS w1, p.bg AS bg FROM bi),
+        |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bx GROUP BY 1),
+        |t AS (SELECT doc_id, CAST(ROUND(ln(CAST(c2 AS DOUBLE) / c1), 6) AS DECIMAL(18,6)) AS lp
+        |  FROM bx JOIN c2 USING (bg) JOIN uni ON bx.w1 = uni.t)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4)
+        |    AS DECIMAL(18,4))::DOUBLE AS avg_logprob
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_domain_mix" ->
+      s"""WITH d AS (SELECT doc_id, source,
+        |  CAST(LEN(string_split(text,' ')) AS BIGINT) AS toks FROM documents),
+        |tot AS (SELECT SUM(toks) AS total_toks, COUNT(DISTINCT source) AS n_dom FROM d),
+        |dom AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS dom_toks
+        |  FROM d GROUP BY 1),
+        |thr AS (SELECT source, n_docs, dom_toks,
+        |  LEAST(1000000, (1000000 * ((total_toks // 4) // n_dom)) // dom_toks) AS thr
+        |  FROM dom CROSS JOIN tot),
+        |k AS (SELECT d.source, n_docs, dom_toks, thr,
+        |  CASE WHEN ${T.hexPrefix52Sql("md5('mix|' || d.doc_id)")} % 1000000 < thr
+        |    THEN 1 ELSE 0 END AS kept, toks
+        |  FROM d JOIN thr USING (source))
+        |SELECT source, n_docs, dom_toks, CAST(thr AS BIGINT) AS thr,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  CAST(SUM(kept * toks) AS BIGINT) AS kept_toks
+        |FROM k GROUP BY 1,2,3,4 ORDER BY source""".stripMargin,
     "q_corpus_pipeline" -> {
       val u = T.hexPrefix52Sql("md5('split|'||doc_id)")
       val sp = s"CASE WHEN $u % 100 < 90 THEN 'train' WHEN $u % 100 < 95 THEN 'val' ELSE 'test' END"

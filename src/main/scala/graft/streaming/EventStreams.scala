@@ -328,6 +328,46 @@ object EventStreams {
         })
   }
 
+  /** F17 output: one summary entry of shard `shard` at version `ver`. */
+  final case class MgOut(shard: Int, ver: Long, key: Long, est: Long)
+
+  /** F17 state: the shard's MG summary (≤k counters) + emission version. */
+  final case class MgState(ver: Long, keys: Array[Long], counts: Array[Long])
+
+  /** F17: streaming heavy hitters — the B62 Misra–Gries summary
+    * maintained incrementally with the SAME kernel
+    * ([[graft.functions.expressions.MisraGries.add]]): the key space
+    * shards by hash (so no shard is a hot spot and state stays ≤ k
+    * counters per shard), each arrival applies one O(1) amortized MG
+    * step, and every batch re-emits the shard's current summary under
+    * a bumped version (Update-mode changelog; readers take the max
+    * version per shard and union shards — key spaces are disjoint, so
+    * the union IS the global summary, ≤ shards·k counters). The B62
+    * contract carries over per shard with N_s ≤ N:
+    * true − N/(k+1) ≤ est ≤ true, presence above N/(k+1) — proved in
+    * StreamingSpec across arbitrary batch splits of the Zipf fixture.
+    */
+  def heavyHittersStream(
+      in: Dataset[KeyedVal], k: Int = 8, shards: Int = 4): Dataset[MgOut] = {
+    import in.sparkSession.implicits._
+    import graft.functions.expressions.MisraGries
+    in.groupByKey(e => math.floorMod(e.user_id, shards.toLong).toInt)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (shard: Int, batch: Iterator[KeyedVal], state: GroupState[MgState]) => {
+          val prev = state.getOption.getOrElse(
+            MgState(0L, Array.empty[Long], Array.empty[Long]))
+          var cur = scala.collection.mutable.LongMap.empty[Long]
+          var i = 0
+          while (i < prev.keys.length) { cur(prev.keys(i)) = prev.counts(i); i += 1 }
+          batch.foreach(e => cur = MisraGries.add(cur, e.user_id, k))
+          val ver = prev.ver + 1
+          val keys = cur.keys.toArray
+          java.util.Arrays.sort(keys)
+          state.update(MgState(ver, keys, keys.map(cur.apply)))
+          keys.iterator.map(kk => MgOut(shard, ver, kk, cur(kk)))
+        })
+  }
+
   /** F14 input: a vector arriving on the embedding stream. */
   final case class VecArrival(vec_id: Long, v: Array[Double])
 

@@ -67,6 +67,37 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("C32/C33 gram joins never plan all-pairs; C34 thresholds broadcast") {
+    // dup-ngram and LM scoring join occurrences to count frames on
+    // gram/token KEYS — a cartesian or BNLJ here is the O(docs²) trap.
+    for ((name, q) <- Seq(
+        "q_dup_ngram" -> graft.operators.TextOps.qDupNgram(spark, sfDir),
+        "q_lm_score" -> graft.operators.TextOps.qLmScore(spark, sfDir))) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name planned an all-pairs join:\n$p")
+    }
+    // domain-mix thresholds are domains-sized: the doc-side join must
+    // broadcast them, never shuffle the corpus on source.
+    val p = plan(graft.operators.TextOps.qDomainMix(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"q_domain_mix lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q_domain_mix shuffled the corpus on source:\n$p")
+  }
+
+  test("C35 BM25 and D13 embed-decontam broadcast their small sides, corpus never shuffle-joined") {
+    // both queries cross the corpus with a broadcast frame (1-row stats
+    // / eval slice): the plan must be a broadcast nested loop, never a
+    // sort-merge (which would shuffle the 100 TB corpus) or a cartesian
+    for ((name, q) <- Seq(
+        "q_bm25" -> graft.operators.TextOps.qBm25(spark, sfDir),
+        "q_embed_decontam" -> graft.operators.Similarity.qEmbedDecontam(spark, sfDir))) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$name lost its broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$name shuffled or cartesianed the corpus:\n$p")
+    }
+  }
+
   test("q_profile plans no Expand over the fact table (multi-countDistinct trap)") {
     // Spark compiles N countDistinct in one aggregate into an Expand
     // that multiplies every input row x(N+1) before the shuffle — a 6x

@@ -30,4 +30,38 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(_.getDouble(1))
     p.foreach(v => assert(math.abs(v - 500) < 40))
   }
+
+  test("graft_mg Misra-Gries: contract holds under every partition layout") {
+    import spark.implicits._
+    // 9 decoy keys × 1000 rows + one hot key with 6000 of 15000 rows:
+    // hot count > N/(k+1) for k=8 (15000/9 = 1666) → guaranteed present
+    val rows = (0 until 9).flatMap(k => Seq.fill(1000)(k.toLong + 100)) ++
+      Seq.fill(6000)(7L)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size
+    for (parts <- Seq(1, 7, 32)) {
+      val df = spark.sparkContext.parallelize(rows.map(Tuple1(_)), parts).toDF("k")
+      val est = df.agg(expr("graft_mg(k, 8)")).collect()(0)
+        .getMap[Long, Long](0).toMap
+      assert(est.size <= 8)
+      est.foreach { case (key, e) =>
+        assert(e <= exact(key), s"parts=$parts key=$key overestimates") }
+      exact.foreach { case (key, t) =>
+        assert(t - est.getOrElse(key, 0L) <= n / 9,
+          s"parts=$parts key=$key est too low") }
+      assert(est.contains(7L), s"hot key missing at parts=$parts")
+    }
+  }
+
+  test("graft_mg participates in partial aggregation (ObjectHashAggregate)") {
+    // the scale contract: each task ships one ≤k-entry summary into the
+    // exchange, never raw rows — that requires the partial/final
+    // ObjectHashAggregate pair, not a single-node fallback
+    val df = spark.range(1000).selectExpr("id % 10 AS k")
+    val plan = df.agg(expr("graft_mg(k, 4)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
+    assert(plan.contains("partial_graft_mg") || plan.toLowerCase.contains("partial"),
+      s"no partial aggregation phase in:\n$plan")
+  }
 }

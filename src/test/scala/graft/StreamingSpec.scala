@@ -294,6 +294,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F17 streaming heavy hitters keep the Misra-Gries contract across batches") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{KeyedVal, MgOut}
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8; val shards = 4
+    val ev = graft.sources.Synthetic.zipfEvents(spark, 5000L)
+      .collect().map(r => KeyedVal(r.getLong(1), r.getLong(0), r.getLong(2))).toSeq
+    val exact = ev.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    val n = ev.size
+    val input = MemoryStream[KeyedVal]
+    val q = EventStreams.heavyHittersStream(input.toDS(), k, shards)
+      .writeStream.format("memory").queryName("mg_out").outputMode("update").start()
+    try {
+      val third = ev.length / 3
+      input.addData(ev.take(third)); q.processAllAvailable()
+      input.addData(ev.slice(third, 2 * third)); q.processAllAvailable()
+      input.addData(ev.drop(2 * third)); q.processAllAvailable()
+      val rows = spark.table("mg_out").as[MgOut].collect()
+      // latest version per shard; shard key spaces are disjoint so the
+      // union is the global summary
+      val latest = rows.groupBy(_.shard).values.flatMap { sh =>
+        val maxVer = sh.map(_.ver).max
+        sh.filter(_.ver == maxVer)
+      }.map(o => o.key -> o.est).toMap
+      assert(latest.size <= shards * k)
+      latest.foreach { case (key, e) =>
+        assert(e <= exact(key), s"key $key overestimates") }
+      exact.foreach { case (key, t) =>
+        assert(t - latest.getOrElse(key, 0L) <= n / (k + 1),
+          s"key $key est too low") }
+      // the Zipf hot key holds ~half the rows -> guaranteed present
+      val hot = exact.maxBy(_._2)._1
+      assert(latest.contains(hot))
+    } finally q.stop()
+  }
+
+  test("F16 streaming LM scoring equals batch q_lm_score with fit-once counts") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    // fit ONCE on the batch corpus; the static count frames then score
+    // an unbounded stream via two stream-static joins + one Update-mode
+    // per-doc aggregate — the C33 fit/score split exercised end-to-end
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val (uni, c2) = TextOps.lmFit(docs)
+    val corpus = docs.collect().map(r => TDoc(r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[TDoc]
+    val q = TextOps.lmScoreOn(input.toDF(), uni, c2).writeStream
+      .format("memory").queryName("lm_out").outputMode("update").start()
+    try {
+      val half = corpus.length / 2
+      input.addData(corpus.take(half)); q.processAllAvailable()
+      input.addData(corpus.drop(half)); q.processAllAvailable()
+      val got = spark.table("lm_out").collect().zipWithIndex
+        .map { case (r, i) => r.getLong(0) -> (i, r.getLong(1), r.getDouble(2)) }
+        .groupBy(_._1).view.mapValues(v => { val m = v.maxBy(_._2._1)._2; (m._2, m._3) })
+        .toMap
+      val expected = TextOps.qLmScore(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == expected && got.nonEmpty)
+    } finally q.stop()
+  }
+
   private case class PiiDoc(doc_id: Long, t: String)
 
   test("F8 streaming PII curation equals the batch pipeline across batches") {
