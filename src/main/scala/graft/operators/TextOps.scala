@@ -569,18 +569,33 @@ object TextOps {
     * stateless codegen, so the STREAMING twin (F12) attaches them to an
     * unbounded frame unchanged.
     */
-  def gopherOn(docs: DataFrame): DataFrame = {
+  /** The four C15 rule flags over a `text` column — shared by
+    * [[gopherOn]] and the single-column verdict [[gopherKeepCol]].
+    */
+  private def gopherFlagCols: (Column, Column, Column, Column) = {
     val ws = T.words(col("text"))
     val n = size(ws)
     val sumLen = T.sumWordLen(ws)
     val nAlphaWords = size(filter(ws, w => w.rlike("[a-z]")))
     val nStop = T.markerCount(ws, Seq("the", "be", "to", "of", "and", "that", "have", "with"))
-    val fCount = (n >= 50 && n <= 100000).cast("int")
-    val fLen = (sumLen >= n * 3 && sumLen <= n * 10).cast("int")
-    val fAlpha = (nAlphaWords * 5 >= n * 4).cast("int") // >= 80%
-    val fStop = (nStop >= 2).cast("int")
+    ((n >= 50 && n <= 100000).cast("int"),
+     (sumLen >= n * 3 && sumLen <= n * 10).cast("int"),
+     (nAlphaWords * 5 >= n * 4).cast("int"), // >= 80%
+     (nStop >= 2).cast("int"))
+  }
+
+  /** The C15 keep verdict as ONE stateless Column over `text` — for
+    * compositions (C31, F18) that only need the final bit.
+    */
+  def gopherKeepCol: Column = {
+    val (fCount, fLen, fAlpha, fStop) = gopherFlagCols
+    fCount * fLen * fAlpha * fStop
+  }
+
+  def gopherOn(docs: DataFrame): DataFrame = {
+    val (fCount, fLen, fAlpha, fStop) = gopherFlagCols
     docs.select(
-      col("doc_id"), n.cast("long").as("n_words"),
+      col("doc_id"), size(T.words(col("text"))).cast("long").as("n_words"),
       fCount.as("f_wordcount"), fLen.as("f_wordlen"),
       fAlpha.as("f_alpha"), fStop.as("f_stop"),
       (fCount * fLen * fAlpha * fStop).as("keep"))

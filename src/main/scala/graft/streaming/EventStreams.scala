@@ -368,6 +368,59 @@ object EventStreams {
         })
   }
 
+  /** F18 intermediate: one corpus doc with its stateless flags. */
+  final case class CurDoc(
+      h: String, doc_id: Long, keep_quality: Int, contaminated: Int, split: String)
+
+  /** F18 output: the C31 curation verdict for one streamed document. */
+  final case class CurOut(
+      doc_id: Long, is_keeper: Int, keep_quality: Int, contaminated: Int,
+      split: String, selected: Int)
+
+  /** F18: the STREAMING end-to-end curation pipeline — the C31
+    * composition (dedup keeper ∧ Gopher quality ∧ eval decontamination
+    * ∧ split) attached to an unbounded document stream. Everything but
+    * the keeper bit is stateless codegen: the Gopher verdict
+    * (TextOps.gopherKeepCol — the same Column C31 multiplies in), the
+    * contamination bit as arrays_overlap of the doc's distinct 4-grams
+    * against the eval gram set (spec-scale exact form; at 100 TB the
+    * F11 Bloom bitmask pre-screens and the C17 broadcast semi-join
+    * confirms), and the C30 hash-range split. The keeper bit is the F3
+    * dedup idiom: state = lowest doc_id seen per content hash, arrivals
+    * in id order (monotone-source contract) make first-seen == the
+    * batch MIN, so the Append-mode verdicts equal qCorpusPipeline
+    * exactly. State is O(1) per distinct content hash.
+    */
+  def curationStream(docs: DataFrame, evalGrams: Seq[String]): Dataset[CurOut] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val words = split(col("text"), " ", -1)
+    val idxs = when(size(words) >= 4, sequence(lit(0), size(words) - 4))
+      .otherwise(array().cast("array<int>"))
+    val grams = array_distinct(transform(idxs, i =>
+      concat_ws(" ", slice(words, i + 1, lit(4)))))
+    val hspl = TF.hexPrefix52(concat(lit("split|"), col("doc_id"))) % 100
+    val enriched = docs.filter(col("doc_id") % 97 =!= 0).select(
+      md5(col("text")).as("h"), col("doc_id"),
+      graft.operators.TextOps.gopherKeepCol.as("keep_quality"),
+      arrays_overlap(grams, typedLit(evalGrams)).cast("int").as("contaminated"),
+      when(hspl < 90, "train").when(hspl < 95, "val").otherwise("test").as("split")
+    ).as[CurDoc]
+    enriched.groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (_: String, batch: Iterator[CurDoc], state: GroupState[Long]) => {
+          var keeper = state.getOption.getOrElse(Long.MaxValue)
+          val out = batch.toArray.sortBy(_.doc_id).map { d =>
+            val isK = if (d.doc_id < keeper) { keeper = d.doc_id; 1 } else 0
+            CurOut(d.doc_id, isK, d.keep_quality, d.contaminated, d.split,
+              isK * d.keep_quality * (1 - d.contaminated) *
+                (if (d.split == "train") 1 else 0))
+          }
+          if (keeper != Long.MaxValue) state.update(keeper)
+          out.iterator
+        })
+  }
+
   /** F14 input: a vector arriving on the embedding stream. */
   final case class VecArrival(vec_id: Long, v: Array[Double])
 

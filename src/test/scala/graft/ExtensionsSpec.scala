@@ -35,6 +35,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(plan.split("\n").exists(l => l.trim.matches("""\+- \*\(\d+\) Project .*graft_cosine.*""")), plan)
   }
 
+  test("graft_mg works per GROUP in SQL (heavy hitters per key)") {
+    import spark.implicits._
+    // per-group sketches: each group's summary obeys the MG contract
+    // independently (the group-by path exercises partial merge per key)
+    val rows = (0 until 2).flatMap { g =>
+      (0 until 4).flatMap(k => Seq.fill(500 * (k + 1))((g.toLong, k.toLong)))
+    }
+    val df = rows.toDF("g", "k").repartition(8)
+    df.createOrReplaceTempView("mg_in")
+    val out = spark.sql("SELECT g, graft_mg(k, 3) AS mg FROM mg_in GROUP BY g")
+      .collect().map(r => r.getLong(0) -> r.getMap[Long, Long](1).toMap).toMap
+    val exact = (0 until 4).map(k => k.toLong -> 500L * (k + 1)).toMap
+    val n = exact.values.sum
+    for (g <- Seq(0L, 1L); (key, est) <- out(g)) assert(est <= exact(key))
+    for (g <- Seq(0L, 1L); (key, t) <- exact)
+      assert(t - out(g).getOrElse(key, 0L) <= n / 4, s"g=$g key=$key")
+    // k=3 holds the 2000-count key (> n/4 = 1250) in every layout
+    assert(out.values.forall(_.contains(3L)))
+  }
+
   test("salted aggregations equal their direct formulations") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

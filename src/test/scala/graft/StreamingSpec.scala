@@ -294,6 +294,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F18 streaming curation pipeline equals the oracled batch q_corpus_pipeline") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.CurOut
+    implicit val sqlCtx = spark.sqlContext
+    // eval gram set built batch-side, exactly as C31 does
+    val evalGrams = graft.operators.TextOps.shingleGramsOn(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 97 === 0), n = 4)
+      .select(col("g")).distinct().collect().map(_.getString(0)).toSeq
+    // id-ordered arrivals (the monotone-source contract: first-seen
+    // content hash == the batch MIN keeper)
+    val corpus = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => TDoc(r.getLong(0), r.getString(1))).sortBy(_.doc_id).toSeq
+    val input = MemoryStream[TDoc]
+    val q = EventStreams.curationStream(input.toDF(), evalGrams).writeStream
+      .format("memory").queryName("cur_out").outputMode("append").start()
+    try {
+      val half = corpus.length / 2
+      input.addData(corpus.take(half)); q.processAllAvailable()
+      input.addData(corpus.drop(half)); q.processAllAvailable()
+      val got = spark.table("cur_out").as[CurOut].collect()
+        .map(o => (o.doc_id, o.is_keeper, o.keep_quality, o.contaminated,
+          o.split, o.selected)).toSet
+      val expected = graft.operators.TextOps.qCorpusPipeline(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getString(4), r.getInt(5))).toSet
+      assert(got == expected && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("F17 streaming heavy hitters keep the Misra-Gries contract across batches") {
     import spark.implicits._
     import graft.streaming.EventStreams.{KeyedVal, MgOut}
