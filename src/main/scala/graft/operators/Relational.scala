@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{dec2, dec4, TextFunctions => TF}
+import graft.functions.{dec2, dec4, dec6, TextFunctions => TF}
 import graft.sources.Tables._
 
 /** Relational / OLAP query surface (SURVEY.md §2 B1–B11).
@@ -630,6 +630,25 @@ object Relational {
         (est <= col("true_cnt") && est >= col("true_cnt") - lit(bound))
           .cast("int").as("bounds_ok"))
       .orderBy(col("user_id"))
+  }
+
+  /** B63: the ranking-function window family — percent_rank,
+    * cume_dist and nth_value (3rd-lowest value so far) per event-type
+    * partition, ordered by the UNIQUE (value, event_id) key so every
+    * rank is deterministic cross-engine (ties on value alone would
+    * make nth_value engine-dependent). One shuffle on the window key;
+    * the fractions are exact integer ratios evaluated in fixed order,
+    * so dec6 is noise-free.
+    */
+  def qRankFns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        dec6(percent_rank().over(w)).as("pct_rank"),
+        dec6(cume_dist().over(w)).as("cume"),
+        dec2(nth_value(col("value"), 3).over(w)).as("third_low"))
+      .orderBy(col("event_type"), col("event_id"))
   }
 
   /** B30: RANGE-frame window — each order's trailing 30-day same-
@@ -1755,6 +1774,14 @@ object Relational {
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "q_rank_fns" ->
+      """SELECT event_type, event_id,
+        |  CAST(ROUND(percent_rank() OVER w, 6) AS DECIMAL(18,6))::DOUBLE AS pct_rank,
+        |  CAST(ROUND(cume_dist() OVER w, 6) AS DECIMAL(18,6))::DOUBLE AS cume,
+        |  CAST(ROUND(nth_value(value, 3) OVER w, 2) AS DECIMAL(18,2))::DOUBLE AS third_low
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, event_id""".stripMargin,
     "q_range_window" ->
       """SELECT o_custkey, o_orderkey,
         |  COUNT(*) OVER w AS n_30d,

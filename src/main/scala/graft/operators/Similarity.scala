@@ -248,7 +248,7 @@ object Similarity {
     * exact. Per-pair dot/norm accumulate in index order, so results
     * are bit-identical to the previous broadcast formulation.
     */
-  /** D13: embedding-space decontamination — C17's exact n-gram rule
+  /** D14: embedding-space decontamination — C17's exact n-gram rule
     * generalized to SEMANTIC leakage: flag every corpus vector whose
     * max cosine against ANY held-out eval vector reaches 0.4 (a
     * paraphrased eval question shares no 4-gram but lands next to it

@@ -952,6 +952,28 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The C36 canonical form: lowercase, punctuation stripped,
+    * whitespace collapsed and trimmed — one pure-codegen expression.
+    */
+  def canonicalText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** C36: canonicalizing exact dedup — C1's content-hash rule applied
+    * to the NORMALIZED text: catches the near-identical variants raw
+    * hashing misses (case flips, punctuation, double spaces) while
+    * staying one codegen expression + one hash shuffle — the cheap
+    * middle tier between C1 (byte-exact) and C5/C8 (MinHash/SimHash).
+    * `n_raw_forms` counts the distinct raw hashes merged into each
+    * canonical cluster (the docs C1 would have kept as "different").
+    */
+  def qCanonDedup(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(md5(canonicalText(col("text"))).as("h"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_members"),
+           countDistinct(md5(col("text"))).as("n_raw_forms"))
+      .select(col("keeper_id"), col("n_members"), col("n_raw_forms"))
+      .orderBy(col("keeper_id"))
+
   /** C32: cross-document duplicated n-gram fraction — the RefinedWeb/
     * Dolma-style dup_ngram filter signal: per document, the fraction of
     * its word 3-gram OCCURRENCES whose gram appears in more than one
@@ -1415,6 +1437,13 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q_bm25" -> bm25OracleSql,
+    "q_canon_dedup" ->
+      """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_members,
+        |  COUNT(DISTINCT md5(text)) AS n_raw_forms
+        |FROM documents
+        |GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
+        |  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+        |ORDER BY keeper_id""".stripMargin,
     "q_gopher" ->
       """WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |m AS (SELECT doc_id, LEN(w) AS n,

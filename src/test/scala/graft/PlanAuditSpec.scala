@@ -84,7 +84,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"q_domain_mix shuffled the corpus on source:\n$p")
   }
 
-  test("C35 BM25 and D13 embed-decontam broadcast their small sides, corpus never shuffle-joined") {
+  test("C35 BM25 and D14 embed-decontam broadcast their small sides, corpus never shuffle-joined") {
     // both queries cross the corpus with a broadcast frame (1-row stats
     // / eval slice): the plan must be a broadcast nested loop, never a
     // sort-merge (which would shuffle the 100 TB corpus) or a cartesian

@@ -12,6 +12,20 @@ class TextKernelsSpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("canonicalText merges case/punctuation/whitespace variants (C36)") {
+    import spark.implicits._
+    // four renderings of the same sentence + one genuinely different doc
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "hello  world."),
+      (4L, " HELLO WORLD "), (5L, "goodbye world")
+    ).toDF("doc_id", "text")
+    val clusters = docs
+      .groupBy(md5(TextOps.canonicalText(col("text"))).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(clusters == Map(1L -> 4L, 5L -> 1L))
+  }
+
   test("winnowing: identical texts share all fingerprints; coverage holds") {
     val a = TextKernels.winnow("the quick brown fox jumps over the lazy dog", 8, 4)
     val b = TextKernels.winnow("the quick brown fox jumps over the lazy dog", 8, 4)
