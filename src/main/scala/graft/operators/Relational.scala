@@ -638,7 +638,12 @@ object Relational {
     * rank is deterministic cross-engine (ties on value alone would
     * make nth_value engine-dependent). One shuffle on the window key;
     * the fractions are exact integer ratios evaluated in fixed order,
-    * so dec6 is noise-free.
+    * so dec6 is noise-free. Skew caveat (§6): event_type has few
+    * distinct values, so each window partition is one reducer — the
+    * B59 two-phase range-partitioned scan is the answer when a single
+    * type outgrows a task, and cume_dist/nth_value specifically can be
+    * rebuilt from the B61 (key, value)-histogram shape; this query
+    * documents the DIRECT family semantics those rewrites must match.
     */
   def qRankFns(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type"))

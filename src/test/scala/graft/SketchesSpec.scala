@@ -53,6 +53,34 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("Misra-Gries kernel bounds hold on random streams and under merge (property sweep)") {
+    import graft.functions.expressions.MisraGries
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 20) {
+      val k = 2 + rnd.nextInt(10)
+      val n = 500 + rnd.nextInt(2000)
+      // zipf-ish: low keys much more frequent than high keys
+      val keys = Array.fill(n)((rnd.nextInt(30) * rnd.nextDouble()).toLong)
+      val exact = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      // sequential build
+      var whole = scala.collection.mutable.LongMap.empty[Long]
+      keys.foreach(key => whole = MisraGries.add(whole, key, k))
+      // split build + merge (the distributed path)
+      val (l, r) = keys.splitAt(rnd.nextInt(n))
+      var a = scala.collection.mutable.LongMap.empty[Long]
+      var b = scala.collection.mutable.LongMap.empty[Long]
+      l.foreach(key => a = MisraGries.add(a, key, k))
+      r.foreach(key => b = MisraGries.add(b, key, k))
+      val merged = MisraGries.mergeMaps(a, b, k)
+      for (m <- Seq(whole, merged)) {
+        assert(m.size <= k)
+        m.foreach { case (key, est) => assert(est <= exact(key)) }
+        exact.foreach { case (key, t) =>
+          assert(t - m.getOrElse(key, 0L) <= n / (k + 1), s"k=$k n=$n key=$key") }
+      }
+    }
+  }
+
   test("graft_mg participates in partial aggregation (ObjectHashAggregate)") {
     // the scale contract: each task ships one ≤k-entry summary into the
     // exchange, never raw rows — that requires the partial/final
