@@ -987,18 +987,26 @@ object TextOps {
     * fits and a plain shuffle join where it doesn't.
     */
   def qDupNgram(s: SparkSession, dir: String): DataFrame = {
-    val g = documents(s, dir)
+    // per-(doc, gram) occurrence counts FIRST: the (doc_id, g) combine
+    // collapses within-doc repeats before anything shuffles, the gram
+    // stats become a plain count over one-row-per-(doc,gram) (the
+    // countDistinct dedup exchange disappears), and the join back
+    // carries distinct pairs, not occurrences — on boilerplate-heavy
+    // corpora (the op's target) that's the difference between
+    // shuffling O(tokens) and O(distinct doc-gram pairs)
+    val g2 = documents(s, dir)
       .select(col("doc_id"), T.words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("w")) - 2),
           i => concat_ws(" ", element_at(col("w"), i),
             element_at(col("w"), i + 1), element_at(col("w"), i + 2)))).as("g"))
-    val st = g.groupBy(col("g")).agg(countDistinct(col("doc_id")).as("ndocs"))
-    g.join(st, "g")
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+    val st = g2.groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
+    g2.join(st, "g")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-           sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .agg(sum(col("cnt")).as("n_grams"),
+           sum(when(col("ndocs") > 1, col("cnt")).otherwise(0L)).as("n_dup"))
       .select(col("doc_id"), col("n_grams"),
         dec4(col("n_dup").cast("double") / col("n_grams")).as("dup_3gram_frac"))
       .orderBy(col("doc_id"))
@@ -1053,16 +1061,30 @@ object TextOps {
     * stream this is two stream-static joins + one Update-mode per-doc
     * aggregate (F16).
     */
-  def lmScoreOn(docs: DataFrame, uni: DataFrame, c2: DataFrame): DataFrame =
-    bigramsOn(docs)
+  def lmScoreOn(docs: DataFrame, uni: DataFrame, c2: DataFrame): DataFrame = {
+    // batch path combines per-(doc, bigram) occurrences before the
+    // count joins: equal occurrences share one exact lp term, so their
+    // sum = cnt·lp (decimal × integer, still exact) and the join rows
+    // shrink from occurrences to distinct pairs — the C32 shuffle
+    // rule. The STREAM path must stay a single stateful aggregate
+    // (chained streaming aggregations are unsupported without
+    // watermark/append), so it rides cnt = 1 per occurrence — the
+    // final per-doc aggregate is the one stateful op either way.
+    val bx = bigramsOn(docs)
+    val pairs =
+      if (docs.isStreaming) bx.withColumn("cnt", lit(1L))
+      else bx.groupBy(col("doc_id"), col("w1"), col("bg"))
+        .agg(count(lit(1)).as("cnt"))
+    pairs
       .join(c2, "bg").join(uni, col("w1") === col("t"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("cnt"),
         round(log(col("c2").cast("double") / col("c1")), 6)
           .cast("decimal(18,6)").as("lp"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_lp"))
+      .agg(sum(col("cnt")).as("n_bigrams"), sum(col("lp") * col("cnt")).as("sum_lp"))
       .select(col("doc_id"), col("n_bigrams"),
         dec4(col("sum_lp").cast("double") / col("n_bigrams")).as("avg_logprob"))
+  }
 
   def qLmScore(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir).select(col("doc_id"), col("text"))

@@ -368,6 +368,18 @@ object EventStreams {
         })
   }
 
+  /** F19: streaming canonicalizing dedup (batch twin C36) — first-seen
+    * per canonical content hash (the C36 normalization expression
+    * attached unchanged) via dropDuplicates: state is one key per
+    * distinct canonical form (bound it with a TTL column in
+    * production, as F3 does with its watermark). Under id-ordered
+    * arrivals the kept set equals C36's min-id keepers exactly.
+    */
+  def canonDedupStream(docs: DataFrame): DataFrame =
+    docs.withColumn("h", md5(graft.operators.TextOps.canonicalText(col("text"))))
+      .dropDuplicates("h")
+      .select(col("doc_id"), col("h"))
+
   /** F18 intermediate: one corpus doc with its stateless flags. */
   final case class CurDoc(
       h: String, doc_id: Long, keep_quality: Int, contaminated: Int, split: String)

@@ -294,6 +294,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F19 streaming canonical dedup keeps exactly the batch q_canon_dedup keepers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => TDoc(r.getLong(0), r.getString(1))).sortBy(_.doc_id).toSeq
+    val input = MemoryStream[TDoc]
+    val q = EventStreams.canonDedupStream(input.toDF()).writeStream
+      .format("memory").queryName("cd_out").outputMode("append").start()
+    try {
+      val half = corpus.length / 2
+      input.addData(corpus.take(half)); q.processAllAvailable()
+      input.addData(corpus.drop(half)); q.processAllAvailable()
+      val got = spark.table("cd_out").collect().map(_.getLong(0)).toSet
+      val keepers = graft.operators.TextOps.qCanonDedup(spark, sfDir).collect()
+        .map(_.getLong(0)).toSet
+      assert(got == keepers && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("F18 streaming curation pipeline equals the oracled batch q_corpus_pipeline") {
     import spark.implicits._
     import graft.streaming.EventStreams.CurOut
