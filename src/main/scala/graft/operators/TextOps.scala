@@ -1457,8 +1457,183 @@ object TextOps {
       |FROM t WHERE $hitSum > 0 ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic 10-word non-overlapping segmentation of a
+    * (doc_id, text) frame → (doc_id, seg_idx, seg) — the "line" unit
+    * for corpus-level segment dedup (C37). Pure stateless codegen
+    * (split + sequence + slice + posexplode), so the F20 streaming
+    * twin attaches it to an unbounded stream unchanged. The testdata
+    * has no newlines, so segmentation is positional; on real corpora
+    * the same op runs over `split(text, '\n')` lines instead.
+    */
+  def segmentsOn(docs: DataFrame, segLen: Int = 10): DataFrame = {
+    val ws = split(col("text"), " ", -1)
+    val nseg = floor((size(ws) + (segLen - 1)).cast("double") / segLen).cast("int")
+    docs
+      .select(col("doc_id"), posexplode(transform(sequence(lit(0), nseg - 1),
+        i => concat_ws(" ", slice(ws, i * segLen + 1, lit(segLen))))))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
+        col("col").as("seg"))
+  }
+
+  /** Per-segment corpus stats for C37/F20: occurrence count and the
+    * lexicographically-first instance, encoded as
+    * doc_id·10⁶ + seg_idx (documented bound: < 10⁶ segments per doc —
+    * 10 M words — which the chunking contract upstream guarantees).
+    * A plain numeric MIN, so the streaming twin maintains it as O(1)
+    * per-segment state in Update mode.
+    */
+  def segmentStatsOn(segs: DataFrame): DataFrame =
+    segs.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_occ"),
+           min(col("doc_id") * 1000000L + col("seg_idx")).as("kinst"))
+
+  /** C37: corpus-level segment (paragraph/line) dedup — the CCNet/
+    * RefinedWeb "remove duplicated lines across the corpus" pass, the
+    * sub-document complement of C1 (whole-doc) and C32 (n-gram
+    * signal): every 10-word segment is kept only at its first corpus
+    * occurrence (lowest (doc_id, seg_idx)), so boilerplate shared
+    * across documents survives exactly once. Output per document:
+    * segment counts and the md5 of the de-duplicated rebuild (kept
+    * segments re-joined in order). Scale shape: one segment-key
+    * shuffle for the stats (map-side combined), one segment-key
+    * shuffle join back (AQE broadcasts the stats side where it fits),
+    * one doc-key shuffle to rebuild — O(segments) everywhere, no
+    * all-pairs, no collect. The kept-segment collect_list is bounded
+    * by the document's own length (the E4-style per-row bound), and
+    * sort_array makes its order deterministic.
+    */
+  def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val segs = segmentsOn(documents(s, dir).select(col("doc_id"), col("text")))
+    val keep = col("doc_id") * 1000000L + col("seg_idx") === col("kinst")
+    segs.join(segmentStatsOn(segs), "seg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+           sum(keep.cast("long")).as("n_kept"),
+           sort_array(collect_list(when(keep,
+             struct(col("seg_idx"), col("seg"))))).as("ks"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        md5(array_join(transform(col("ks"), x => x("seg")), " ")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C38: PMI collocation statistics — the corpus-linguistics step a
+    * tokenizer/phrase-mining pipeline runs after C23/C29: score each
+    * adjacent word pair by pointwise mutual information
+    * log(p(ab)/(p(a)p(b))). Ranking is by the EXACT integer-scaled
+    * ratio c(ab)·N·10⁶ div (c(a)·c(b)) — monotone in PMI, no float
+    * log, so the top-k order is bit-identical cross-engine; the
+    * product runs in DECIMAL(38,0) (DuckDB HUGEINT) so corpus-scale N
+    * cannot overflow. Scale shape: two vocabulary-sized count shuffles
+    * (unigram, pair — both map-side combined), the pair→unigram count
+    * joins key on tokens (AQE broadcasts the unigram side where it
+    * fits), N rides a 1-row broadcast cross join, and the top-25 is a
+    * TakeOrderedAndProject — never a global sort.
+    */
+  def qPmi(s: SparkSession, dir: String): DataFrame = {
+    val w = T.words(col("text"))
+    val base = documents(s, dir).select(col("doc_id"), w.as("w"))
+    val uni = base.select(explode(col("w")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val n = uni.agg(sum(col("c1")).as("n_tokens"))
+    val pairs = base.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("w1"),
+                    element_at(col("w"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+    pairs
+      .join(uni.select(col("t").as("w1"), col("c1").as("c1a")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c1").as("c1b")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("""CAST((CAST(c12 AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0))
+                * 1000000) DIV (CAST(c1a AS DECIMAL(38,0)) * CAST(c1b AS DECIMAL(38,0)))
+                AS BIGINT)""").as("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
+      .limit(25)
+  }
+
+  /** C39: inverted-index build — term → document frequency, total term
+    * frequency, and the first-8 posting list (ascending doc ids): the
+    * retrieval-side artifact a decontamination / search service builds
+    * from the corpus. Scale shape: per-(doc, term) pre-combine first
+    * (the C32 shuffle rule — postings carry distinct pairs, not
+    * occurrences), then ONE term-key shuffle feeds both the stats
+    * aggregate and the posting-list window; the rn ≤ 8 filter is a
+    * WindowGroupLimit (rank-limit pushdown — plan-audited), so hot
+    * terms prune to 8 rows per partition BEFORE the full sort, and the
+    * bounded collect_list holds ≤ 8 entries. Top-30 by (df desc, term)
+    * is a TakeOrderedAndProject.
+    */
+  def qInverted(s: SparkSession, dir: String): DataFrame = {
+    val p = documents(s, dir)
+      .select(col("doc_id"), explode(T.words(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+    val st = p.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("cnt")).as("tf"))
+    val rn = row_number().over(
+      Window.partitionBy(col("term")).orderBy(col("doc_id")))
+    val post = p.withColumn("rn", rn).filter(col("rn") <= 8)
+      .groupBy(col("term"))
+      .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+        x => x.cast("string")), ",").as("posting"))
+    st.join(post, "term")
+      .filter(col("df") >= 3)
+      .select(col("term"), col("df"), col("tf"), col("posting"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(30)
+  }
+
   val oracles: Map[String, String] = Map(
     "q_bm25" -> bm25OracleSql,
+    "q_line_dedup" ->
+      """WITH b AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |seg AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+        |    array_to_string(w[(i*10+1):(i*10+10)],' ') AS seg
+        |  FROM b, UNNEST(range(0, (LEN(w)+9)//10)) AS u(i)),
+        |st AS (SELECT seg, COUNT(*) AS n_occ,
+        |    MIN(doc_id*1000000 + seg_idx) AS kinst FROM seg GROUP BY 1),
+        |k AS (SELECT doc_id, seg_idx, seg,
+        |    CASE WHEN doc_id*1000000 + seg_idx = kinst THEN 1 ELSE 0 END AS keep
+        |  FROM seg JOIN st USING (seg))
+        |SELECT doc_id, COUNT(*) AS n_segs,
+        |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(string_agg(CASE WHEN keep = 1 THEN seg END, ' '
+        |    ORDER BY seg_idx), '')) AS kept_md5
+        |FROM k GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_pmi" ->
+      """WITH b AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |uni AS (SELECT t, COUNT(*) AS c1
+        |  FROM (SELECT unnest(w) AS t FROM b) WHERE LENGTH(t) > 0 GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_tokens FROM uni),
+        |pr AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c12
+        |  FROM (SELECT unnest(list_transform(range(1, LEN(w)),
+        |      i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS p
+        |    FROM b WHERE LEN(w) >= 2)
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT w1, w2, c12,
+        |  CAST((CAST(c12 AS HUGEINT) * n_tokens * 1000000)
+        |    // (CAST(a.c1 AS HUGEINT) * b2.c1) AS BIGINT) AS pmi_ppm
+        |FROM pr JOIN uni a ON pr.w1 = a.t JOIN uni b2 ON pr.w2 = b2.t
+        |CROSS JOIN n
+        |ORDER BY pmi_ppm DESC, w1, w2 LIMIT 25""".stripMargin,
+    "q_inverted" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+        |  FROM documents),
+        |p AS (SELECT term, doc_id, COUNT(*) AS cnt FROM w
+        |  WHERE LENGTH(term) > 0 GROUP BY 1, 2),
+        |st AS (SELECT term, COUNT(*) AS df, CAST(SUM(cnt) AS BIGINT) AS tf
+        |  FROM p GROUP BY 1),
+        |r AS (SELECT term, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM p),
+        |post AS (SELECT term,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS posting
+        |  FROM r WHERE rn <= 8 GROUP BY 1)
+        |SELECT term, df, tf, posting FROM st JOIN post USING (term)
+        |WHERE df >= 3 ORDER BY df DESC, term LIMIT 30""".stripMargin,
     "q_canon_dedup" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_members,
         |  COUNT(DISTINCT md5(text)) AS n_raw_forms

@@ -98,6 +98,32 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("C37/C38/C39: segment/PMI/inverted joins key-join (no all-pairs); inverted prunes postings pre-sort") {
+    // line-dedup joins segments to segment stats, PMI joins pairs to
+    // unigram counts, the index joins stats to postings — all on KEYS;
+    // a cartesian/BNLJ would be the O(docs²) trap. q_pmi's 1-row
+    // n_tokens broadcast is the one allowed BNLJ.
+    for ((name, q, allowBnlj) <- Seq(
+        ("q_line_dedup", graft.operators.TextOps.qLineDedup(spark, sfDir), false),
+        ("q_pmi", graft.operators.TextOps.qPmi(spark, sfDir), true),
+        ("q_inverted", graft.operators.TextOps.qInverted(spark, sfDir), false))) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
+      if (!allowBnlj)
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name planned a nested-loop join:\n$p")
+    }
+    // the posting-list rn <= 8 must compile to a WindowGroupLimit so
+    // hot terms prune to 8 rows per partition BEFORE the full sort —
+    // without it the window buffers every occurrence of every term.
+    val p = plan(graft.operators.TextOps.qInverted(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"),
+      s"q_inverted lost the rank-limit pushdown:\n$p")
+    // and the global top-k stays bounded, never a global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q_inverted's top-30 became a global sort:\n$p")
+  }
+
   test("q_profile plans no Expand over the fact table (multi-countDistinct trap)") {
     // Spark compiles N countDistinct in one aggregate into an Expand
     // that multiplies every input row x(N+1) before the shuffle — a 6x
