@@ -1344,8 +1344,138 @@ object Relational {
       .orderBy(col("status"))
   }
 
+  /** B64: gaps-and-islands — per user, maximal runs of CONSECUTIVE
+    * active days (the classic streak/retention primitive): distinct
+    * (user, day) first, then the row_number trick (day − rn is
+    * constant within a run) groups each streak with plain aggregates.
+    * Scale shape: one (user, day) distinct shuffle (map-side
+    * combined), then per-user windows — partitioned by user_id, so no
+    * global sort; a hot user's window input is bounded by the DAY
+    * domain (≤ 365/user/year after the distinct), not their event
+    * count — the same cardinality-bound argument as B61.
+    */
+  def qGapIslands(s: SparkSession, dir: String): DataFrame = {
+    val d = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val rn = row_number().over(
+      Window.partitionBy(col("user_id")).orderBy(col("day")))
+    d.withColumn("anchor", date_sub(col("day"), rn))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(min(col("day")).as("island_start"),
+           max(col("day")).as("island_end"),
+           count(lit(1)).as("n_days"))
+      .select(col("user_id"), col("island_start"), col("island_end"),
+        col("n_days"))
+      .orderBy(col("user_id"), col("island_start"))
+  }
+
+  /** B65: peak concurrency via the sweep line — "how many sessions are
+    * open at once", the load-planning query an interval self-join
+    * answers in O(n²) and the sweep answers in O(n log n): each B10
+    * session emits +1 at its start and −1 just after its end
+    * (end-exclusive, so back-to-back sessions touching at one
+    * microsecond don't count as concurrent), deltas collapse per
+    * timestamp, and the running sum of deltas IS the concurrency
+    * profile. The global prefix sum is the B59 two-phase distributed
+    * scan (range-partition + broadcast carry offsets) — NO
+    * single-reducer global window anywhere, so the shape survives any
+    * session count; the top-10 peaks are a TakeOrderedAndProject.
+    */
+  def qConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val sess = Windowed.sessionized(events(s, dir), key = "user_id",
+        ts = "ts", tieBreak = "event_id", gapUs = 1800L * 1000000L)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(unix_micros(col("ts"))).as("s_us"),
+           max(unix_micros(col("ts"))).as("e_us"))
+    val deltas = sess
+      .select(explode(array(
+        struct(col("s_us").as("t_us"), lit(1L).as("d")),
+        struct((col("e_us") + 1L).as("t_us"), lit(-1L).as("d")))).as("x"))
+      .groupBy(col("x.t_us").as("t_us")).agg(sum(col("x.d")).as("delta"))
+      .withColumn("g", lit(0L))
+    Skew.rangePartitionedRunningSum(deltas.select(col("g"), col("t_us"),
+        col("delta")), key = "g", orderCol = "t_us", valueCol = "delta")
+      .select(col("t_us"), col("running").as("concurrency"))
+      .orderBy(col("concurrency").desc, col("t_us"))
+      .limit(10)
+  }
+
+  /** B66: two-sample Kolmogorov–Smirnov statistic — does the discount
+    * regime shift the quantity distribution? D = max |F_A − F_B| over
+    * the value domain, computed EXACTLY in integers: the cumulative
+    * counts are cross-multiplied (|cumA·n_B − cumB·n_A|) instead of
+    * divided, so there is no float CDF and the argmax is bit-stable
+    * cross-engine (ties → lowest quantity). Scale shape: one
+    * (qty)-key count shuffle with map-side combine collapses the fact
+    * table to the VALUE DOMAIN (50 distinct quantities — the B61
+    * cardinality bound), the cumulative window runs over that bounded
+    * domain only, totals ride a 1-row broadcast, and the argmax row is
+    * a TakeOrderedAndProject(1).
+    */
+  def qKsTest(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir).select(
+      col("l_quantity").cast("long").as("qty"),
+      (col("l_discount") >= 0.05).cast("long").as("isa"))
+    val h = li.groupBy(col("qty"))
+      .agg(sum(col("isa")).as("ca"),
+           (count(lit(1)) - sum(col("isa"))).as("cb"))
+    val tot = h.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val w = Window.orderBy(col("qty"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.select(col("qty"), sum(col("ca")).over(w).as("cuma"),
+             sum(col("cb")).over(w).as("cumb"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")).as("d_scaled"),
+        col("qty").as("at_qty"))
+      .orderBy(col("d_scaled").desc, col("at_qty"))
+      .limit(1)
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above. */
   val oracles: Map[String, String] = Map(
+    "q_gap_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM d)
+        |SELECT user_id, MIN(day) AS island_start, MAX(day) AS island_end,
+        |  COUNT(*) AS n_days
+        |FROM r GROUP BY user_id, day - CAST(rn AS INTEGER)
+        |ORDER BY user_id, island_start""".stripMargin,
+    "q_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM g),
+        |se AS (SELECT user_id, session_seq, MIN(epoch_us(ts)) AS s_us,
+        |    MAX(epoch_us(ts)) AS e_us FROM s GROUP BY 1, 2),
+        |dd AS (SELECT t_us, CAST(SUM(d) AS BIGINT) AS delta FROM (
+        |    SELECT s_us AS t_us, 1 AS d FROM se
+        |    UNION ALL SELECT e_us + 1, -1 FROM se) GROUP BY 1),
+        |run AS (SELECT t_us, CAST(SUM(delta) OVER (ORDER BY t_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS concurrency FROM dd)
+        |SELECT t_us, concurrency FROM run
+        |ORDER BY concurrency DESC, t_us LIMIT 10""".stripMargin,
+    "q_ks_test" ->
+      """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS isa FROM lineitem),
+        |h AS (SELECT qty, CAST(SUM(isa) AS BIGINT) AS ca,
+        |    CAST(COUNT(*) - SUM(isa) AS BIGINT) AS cb FROM li GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b FROM h),
+        |c AS (SELECT qty,
+        |    CAST(SUM(ca) OVER (ORDER BY qty ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cuma,
+        |    CAST(SUM(cb) OVER (ORDER BY qty ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cumb FROM h)
+        |SELECT n_a, n_b, ABS(cuma*n_b - cumb*n_a) AS d_scaled, qty AS at_qty
+        |FROM c CROSS JOIN tot
+        |ORDER BY d_scaled DESC, at_qty LIMIT 1""".stripMargin,
     "q_diff" ->
       """WITH v1 AS (SELECT o_orderkey AS k,
         |    md5(o_custkey || '|' || CAST(ROUND(o_totalprice*100,0) AS BIGINT)

@@ -124,6 +124,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_inverted's top-30 became a global sort:\n$p")
   }
 
+  test("B64/B65: island windows stay user-partitioned; the sweep line never plans a global window") {
+    // gap-islands' windows must partition by user_id — an Exchange
+    // SinglePartition would mean a global sort of every (user, day).
+    val gi = plan(Relational.qGapIslands(spark, sfDir))
+    assert(!gi.contains("Exchange SinglePartition"),
+      s"q_gap_islands planned a single-partition exchange:\n$gi")
+    // the concurrency profile's global prefix sum is the B59 two-phase
+    // scan: the plan must contain NO Window operator at all (a Window
+    // over (ORDER BY t) would be the single-reducer trap) — the only
+    // single-partition exchange allowed is the final top-10 TakeOrdered.
+    val q = Relational.qConcurrency(spark, sfDir)
+    q.collect() // materialize (the scan pins its range-parted input)
+    val p = plan(q)
+    assert(!p.contains("Window"),
+      s"q_concurrency regressed to a window-based prefix sum:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q_concurrency cartesian:\n$p")
+  }
+
   test("q_profile plans no Expand over the fact table (multi-countDistinct trap)") {
     // Spark compiles N countDistinct in one aggregate into an Expand
     // that multiplies every input row x(N+1) before the shuffle — a 6x
