@@ -380,6 +380,22 @@ object EventStreams {
       .dropDuplicates("h")
       .select(col("doc_id"), col("h"))
 
+  /** F20: streaming corpus segment-dedup stats (batch twin C37) — the
+    * per-segment (occurrence count, first-instance key) pair that
+    * drives the line-dedup keeper rule, maintained incrementally on an
+    * unbounded ingest stream: segmentation is the SAME stateless
+    * codegen expression as batch (TextOps.segmentsOn), and the stats
+    * are ONE built-in Update-mode aggregate whose state is O(1) per
+    * distinct segment (a count and a numeric min — no lists, no
+    * buffers). A segment instance is a keeper iff its
+    * doc_id·10⁶+seg_idx equals the emitted kinst, so the C37 decision
+    * is answerable at any stream position and equals the batch rule on
+    * the data seen so far.
+    */
+  def segmentStatsStream(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.segmentStatsOn(
+      graft.operators.TextOps.segmentsOn(docs))
+
   /** F18 intermediate: one corpus doc with its stateless flags. */
   final case class CurDoc(
       h: String, doc_id: Long, keep_quality: Int, contaminated: Int, split: String)

@@ -267,6 +267,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F20 streaming segment-dedup stats equal the batch C37 stats across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect().map(r => TDoc(r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[TDoc]
+    val q = EventStreams.segmentStatsStream(input.toDF()).writeStream
+      .format("memory").queryName("seg_out").outputMode("update").start()
+    try {
+      val half = docs.length / 2
+      input.addData(docs.take(half)); q.processAllAvailable()
+      input.addData(docs.drop(half)); q.processAllAvailable()
+      // last update per segment is the final (n_occ, kinst) pair
+      val got = spark.table("seg_out").collect().zipWithIndex
+        .map { case (r, i) => r.getString(0) -> (i, (r.getLong(1), r.getLong(2))) }
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2._1)._2._2).toMap
+      val expected = graft.operators.TextOps.segmentStatsOn(
+          graft.operators.TextOps.segmentsOn(
+            Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got.size == expected.size && got == expected)
+    } finally q.stop()
+  }
+
   test("F10 streaming funnel depths aggregate to the batch funnel counts") {
     import spark.implicits._
     import graft.streaming.EventStreams.FEv
