@@ -1432,8 +1432,189 @@ object Relational {
       .limit(1)
   }
 
+  /** B67: min-cost supplier per part (TPC-H Q2 shape, adapted: no
+    * partsupp table ships, so the offer catalog is DERIVED from the
+    * fact — the cost of a (part, supplier) offer is the cheapest
+    * observed line total in exact cents). The classic correlated MIN
+    * subquery decorrelates into two aggregates — per-offer min, then
+    * per-part min joined back on equality — and because costs are
+    * integers the tie set is engine-identical. Both dim chains
+    * (supplier→nation→region and the part filter) broadcast; the
+    * fact is scanned once.
+    */
+  def q2MinCost(s: SparkSession, dir: String): DataFrame = {
+    val eurSupp = broadcast(
+      supplier(s, dir)
+        .join(nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(region(s, dir).filter(col("r_name") === "EUROPE"),
+              col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name")))
+    val stdPart = broadcast(
+      part(s, dir).filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_brand")))
+    val offers = lineitem(s, dir)
+      .join(eurSupp.select(col("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+      .join(stdPart.select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(round(col("l_extendedprice") * 100, 0).cast("long")).as("cost_cents"))
+    val mins = offers.groupBy(col("l_partkey").as("mp"))
+      .agg(min(col("cost_cents")).as("min_cents"))
+    offers
+      .join(mins, col("l_partkey") === col("mp") &&
+                  col("cost_cents") === col("min_cents"))
+      .join(stdPart, col("l_partkey") === col("p_partkey"))
+      .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+              col("p_brand"),
+              dec2(col("cost_cents").cast("double") / 100.0).as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** B68: product-type profit (TPC-H Q9 shape, adapted: no partsupp
+    * supply cost ships, so unit cost = 60% of p_retailprice). Profit
+    * accumulates in exact 10^-4-dollar integers (revE4 minus
+    * retail-cents × 60 × qty), so nation×year sums are
+    * order-independent; the part filter and supplier→nation chain
+    * broadcast and the only fact-fact shuffle is the l_orderkey join.
+    */
+  def q9Profit(s: SparkSession, dir: String): DataFrame = {
+    val bluePart = broadcast(
+      part(s, dir).filter(col("p_name").like("blue%"))
+        .select(col("p_partkey"),
+                round(col("p_retailprice") * 100, 0).cast("long").as("retail_cents")))
+    val suppNation = broadcast(
+      supplier(s, dir).join(nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name")))
+    lineitem(s, dir)
+      .join(bluePart, col("l_partkey") === col("p_partkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(revE4 - col("retail_cents") * lit(60L) *
+               col("l_quantity").cast("long")).as("profit_e4"))
+      .select(col("n_name"), col("o_year"),
+              dec2(round(col("profit_e4").cast("double") / 100.0, 0) / 100.0).as("profit"))
+      .orderBy(col("n_name"), col("o_year"))
+  }
+
+  /** B69: important stock value (TPC-H Q11 shape, adapted: a part's
+    * "stock value" is the revenue attributed to NATION_7's suppliers,
+    * derived from the fact). The global total and part count are a
+    * 1-row broadcast aggregate crossed back; "important" = value more
+    * than 2× the average part value — a SCALE-INVARIANT exact integer
+    * predicate (value·nparts > 2·total), so the cut needs no tuned
+    * absolute threshold when the corpus grows 100×.
+    */
+  def q11Stock(s: SparkSession, dir: String): DataFrame = {
+    val n7supp = broadcast(
+      supplier(s, dir)
+        .join(nation(s, dir).filter(col("n_name") === "NATION_7"),
+              col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")))
+    val v = lineitem(s, dir)
+      .join(n7supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(revE4).as("value_e4"))
+    val tot = broadcast(v.agg(sum(col("value_e4")).as("total_e4"),
+                              count(lit(1)).as("nparts")))
+    v.crossJoin(tot)
+      .filter(col("value_e4") * col("nparts") > col("total_e4") * 2)
+      .select(col("l_partkey"),
+              dec2(round(col("value_e4").cast("double") / 100.0, 0) / 100.0).as("part_value"))
+      .orderBy(col("value_e4").desc, col("l_partkey"))
+  }
+
+  /** B70: dominant suppliers (TPC-H Q20 shape, adapted: "excess
+    * stock" = the supplier shipped more than HALF of a contested
+    * part's 1997 volume). Per-(part, supplier) and per-part totals are
+    * two aggregates over the same exchange — Catalyst reuses it — and
+    * the majority test is exact integer algebra (2·qty > total, only
+    * parts with ≥2 suppliers contested); name lookups broadcast.
+    */
+  def q20Excess(s: SparkSession, dir: String): DataFrame = {
+    val redPart = broadcast(
+      part(s, dir).filter(col("p_name").like("%red%")).select(col("p_partkey")))
+    val ps = lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+              col("l_shipdate") < lit("1998-01-01"))
+      .join(redPart, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("supp_qty"))
+    val pt = ps.groupBy(col("l_partkey").as("tp"))
+      .agg(sum(col("supp_qty")).as("part_total"), count(lit(1)).as("nsupp"))
+    ps.join(pt, col("l_partkey") === col("tp") &&
+                col("supp_qty") * 2 > col("part_total") && col("nsupp") >= 2)
+      .join(broadcast(supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_dominated"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above. */
   val oracles: Map[String, String] = Map(
+    "q2_mincost" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS cost_cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  JOIN part ON l_partkey = p_partkey AND p_size <= 10 AND p_type = 'STANDARD'
+        |  GROUP BY 1,2),
+        |mn AS (SELECT l_partkey AS mp, MIN(cost_cents) AS min_cents FROM offers GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  CAST(ROUND(cost_cents/100.0,2) AS DECIMAL(18,2))::DOUBLE AS supply_cost
+        |FROM offers JOIN mn ON l_partkey = mp AND cost_cents = min_cents
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    "q9_profit" ->
+      """WITH j AS (
+        |  SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))
+        |      - CAST(ROUND(p_retailprice*100,0) AS BIGINT)*60*CAST(l_quantity AS BIGINT)
+        |      AS amount_e4
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'blue%'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT n_name, o_year,
+        |  CAST(ROUND(ROUND(CAST(SUM(amount_e4) AS DOUBLE)/100.0,0)/100.0,2)
+        |    AS DECIMAL(18,2))::DOUBLE AS profit
+        |FROM j GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q11_stock" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+        |        * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))) AS value_e4
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+        |  GROUP BY 1),
+        |t AS (SELECT SUM(value_e4) AS total_e4, COUNT(*) AS nparts FROM v)
+        |SELECT l_partkey,
+        |  CAST(ROUND(ROUND(CAST(value_e4 AS DOUBLE)/100.0,0)/100.0,2)
+        |    AS DECIMAL(18,2))::DOUBLE AS part_value
+        |FROM v, t WHERE value_e4 * nparts > 2 * total_e4
+        |ORDER BY value_e4 DESC, l_partkey""".stripMargin,
+    "q20_excess" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS supp_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1,2),
+        |pt AS (SELECT l_partkey AS tp, SUM(supp_qty) AS part_total, COUNT(*) AS nsupp
+        |  FROM ps GROUP BY 1)
+        |SELECT s_suppkey, s_name, COUNT(*) AS n_dominated
+        |FROM ps JOIN pt ON l_partkey = tp AND 2*supp_qty > part_total AND nsupp >= 2
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1,2 ORDER BY 1""".stripMargin,
     "q_gap_islands" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |r AS (SELECT user_id, day,
