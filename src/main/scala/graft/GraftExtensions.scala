@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CosineSimilarity, MisraGries}
+import graft.functions.expressions.{CosineSimilarity, CountMin, MisraGries}
 
 /** Engine extensions installed via `spark.sql.extensions` (set by
   * [[GraftSession]]): registers the native codegen'd functions so SQL
@@ -28,6 +28,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => MisraGries(
         children(0),
         children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(
+        classOf[CountMin].getName, null, "graft_cms",
+        "graft_cms(col, depth, width) - Count-Min sketch (flat row-major " +
+          "array<bigint>; probe row d with pmod(xxhash64(col, CAST(d AS " +
+          "BIGINT)), width); est >= true always)", ""),
+      (children: Seq[Expression]) => CountMin(
+        children(0),
+        children(1).eval().asInstanceOf[Number].intValue(),
+        children(2).eval().asInstanceOf[Number].intValue())))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -632,6 +632,37 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** B71: Count-Min frequency estimates under the B51/B62
+    * sketch-vs-exact contract, on the SAME genuinely-skewed Zipf
+    * fixture as B62: build one `graft_cms(user_id, 4, 2048)` grid
+    * (native mergeable aggregate, constant task memory), then probe it
+    * for the top-5 true heavy keys with PURE BUILTIN SQL —
+    * `least(element_at(cms, d·w + pmod(xxhash64(user_id, d), w) + 1))`
+    * — no UDF anywhere on the probe path. Flags: `over_ok` is CMS's
+    * deterministic one-sided guarantee (est ≥ true, always); `bound_ok`
+    * gates the overshoot at 4·N/width, ~4× the expected colliding mass
+    * per row (deterministic here: fixed hashes, fixed fixture).
+    */
+  def qCmsFreq(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.sources.Synthetic.zipfEvents(s, zipfRows)
+    val depth = 4
+    val width = 2048
+    val sk = e.agg(expr(s"graft_cms(user_id, $depth, $width)").as("cms"))
+    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("user_id")).limit(5)
+    val est = least((0 until depth).map(d =>
+      element_at(col("cms"),
+        (lit(d * width) +
+          pmod(xxhash64(col("user_id"), lit(d.toLong)), lit(width)) +
+          lit(1)).cast("int"))): _*)
+    val slack = 4L * zipfRows / width
+    exact.crossJoin(broadcast(sk))
+      .select(col("user_id"), col("true_cnt"),
+        (est >= col("true_cnt")).cast("int").as("over_ok"),
+        (est <= col("true_cnt") + lit(slack)).cast("int").as("bound_ok"))
+      .orderBy(col("user_id"))
+  }
+
   /** B63: the ranking-function window family — percent_rank,
     * cume_dist and nth_value (3rd-lowest value so far) per event-type
     * partition, ordered by the UNIQUE (value, event_id) key so every
@@ -2199,6 +2230,12 @@ object Relational {
         |t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM e
         |  GROUP BY 1 ORDER BY true_cnt DESC, user_id LIMIT 5)
         |SELECT user_id, true_cnt, 1 AS found, 1 AS bounds_ok
+        |FROM t ORDER BY user_id""".stripMargin,
+    "q_cms_freq" ->
+      s"""WITH e AS $zipfFixtureSql,
+        |t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM e
+        |  GROUP BY 1 ORDER BY true_cnt DESC, user_id LIMIT 5)
+        |SELECT user_id, true_cnt, 1 AS over_ok, 1 AS bound_ok
         |FROM t ORDER BY user_id""".stripMargin
   )
 

@@ -81,6 +81,45 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_cms Count-Min: one-sided error under every partition layout; SQL probe hits the kernel's cells") {
+    import spark.implicits._
+    import graft.functions.expressions.CountMin
+    val rnd = new scala.util.Random(7)
+    val rows = Array.fill(12000)((rnd.nextInt(40) * rnd.nextDouble()).toLong)
+    val exact = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val depth = 4
+    val width = 64
+    def kernelEst(grid: Array[Long], key: Long): Long =
+      (0 until depth).map(d => grid(d * width + CountMin.bucket(key, d, width))).min
+    for (parts <- Seq(1, 7, 32)) {
+      val df = spark.sparkContext.parallelize(rows.toSeq.map(Tuple1(_)), parts).toDF("k")
+      val grid = df.agg(expr(s"graft_cms(k, $depth, $width)")).collect()(0)
+        .getSeq[Long](0).toArray
+      assert(grid.length == depth * width)
+      // every row conserves total mass — the elementwise merge loses nothing
+      for (d <- 0 until depth)
+        assert(grid.slice(d * width, (d + 1) * width).sum == rows.length.toLong,
+          s"parts=$parts row=$d mass")
+      exact.foreach { case (key, t) =>
+        assert(kernelEst(grid, key) >= t, s"parts=$parts key=$key underestimates") }
+    }
+    // the builtin-SQL probe (element_at + pmod(xxhash64)) reads the SAME
+    // cells as the Scala kernel — the composability contract of B71
+    val df = rows.toSeq.toDF("k")
+    val grid = df.agg(expr(s"graft_cms(k, $depth, $width)")).collect()(0)
+      .getSeq[Long](0).toArray
+    val sk = df.agg(expr(s"graft_cms(k, $depth, $width)").as("cms"))
+    val probed = df.distinct().crossJoin(broadcast(sk))
+      .select(col("k"),
+        least((0 until depth).map(d =>
+          element_at(col("cms"),
+            (lit(d * width) + pmod(xxhash64(col("k"), lit(d.toLong)), lit(width)) +
+              lit(1)).cast("int"))): _*).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.keys.foreach { key =>
+      assert(probed(key) == kernelEst(grid, key), s"SQL probe diverges at $key") }
+  }
+
   test("graft_mg participates in partial aggregation (ObjectHashAggregate)") {
     // the scale contract: each task ships one ≤k-entry summary into the
     // exchange, never raw rows — that requires the partial/final
@@ -90,6 +129,15 @@ class SketchesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
     assert(plan.contains("partial_graft_mg") || plan.toLowerCase.contains("partial"),
+      s"no partial aggregation phase in:\n$plan")
+  }
+
+  test("graft_cms participates in partial aggregation (ObjectHashAggregate)") {
+    val df = spark.range(1000).selectExpr("id % 10 AS k")
+    val plan = df.agg(expr("graft_cms(k, 4, 32)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
+    assert(plan.contains("partial_graft_cms") || plan.toLowerCase.contains("partial"),
       s"no partial aggregation phase in:\n$plan")
   }
 }
