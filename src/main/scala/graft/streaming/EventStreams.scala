@@ -536,4 +536,48 @@ object EventStreams {
           }
         })
   }
+
+  /** F21 output: shard `shard`'s CMS grid at version `ver` (flat
+    * row-major depth×width, the B71 layout).
+    */
+  final case class CmsOut(shard: Int, ver: Long, grid: Array[Long])
+
+  /** F21 state: the shard's grid + emission version. */
+  final case class CmsState(ver: Long, grid: Array[Long])
+
+  /** F21: streaming Count-Min sketch (batch twin B71, SAME
+    * [[graft.functions.expressions.CountMin.bucket]] kernel): the key
+    * space shards by hash (F17's rule — no hot shard, fixed
+    * depth·width·8-byte state per shard), each arrival increments its
+    * row buckets in O(depth), and every batch re-emits the shard's
+    * grid under a bumped version (Update-mode changelog). Because each
+    * key updates only its own shard's grid and CMS merge is
+    * elementwise ADD, the elementwise SUM of the latest grid per shard
+    * IS — bit for bit — the batch `graft_cms` grid over the rows seen
+    * so far; any SQL probe (the B71 `element_at`+`pmod(xxhash64)`
+    * expression) then reads identical estimates from the summed grid.
+    */
+  def cmsStream(
+      in: Dataset[KeyedVal],
+      depth: Int = 4, width: Int = 256, shards: Int = 4): Dataset[CmsOut] = {
+    import in.sparkSession.implicits._
+    import graft.functions.expressions.CountMin
+    in.groupByKey(e => math.floorMod(e.user_id, shards.toLong).toInt)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (shard: Int, batch: Iterator[KeyedVal], state: GroupState[CmsState]) => {
+          val prev = state.getOption.getOrElse(
+            CmsState(0L, new Array[Long](depth * width)))
+          val grid = prev.grid.clone()
+          batch.foreach { e =>
+            var d = 0
+            while (d < depth) {
+              grid(d * width + CountMin.bucket(e.user_id, d, width)) += 1L
+              d += 1
+            }
+          }
+          val ver = prev.ver + 1
+          state.update(CmsState(ver, grid))
+          Iterator.single(CmsOut(shard, ver, grid))
+        })
+  }
 }

@@ -233,6 +233,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges == 0, s"q_split grew a shuffle ($exchanges):\n$p")
   }
 
+  test("TPC-H completions (B67-B70): dims broadcast, no cartesian anywhere") {
+    // the agg-agg joins (offers->per-part min, per-(part,supp)->per-part
+    // totals) may legitimately shuffle on their keys — what must never
+    // regress is the dim-chain broadcasts and absence of any
+    // cartesian/nested-loop pairing on the fact side
+    for ((name, q) <- Seq(
+        "q2_mincost" -> Relational.q2MinCost(spark, sfDir),
+        "q9_profit" -> Relational.q9Profit(spark, sfDir),
+        "q11_stock" -> Relational.q11Stock(spark, sfDir),
+        "q20_excess" -> Relational.q20Excess(spark, sfDir))) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$name lost its dim broadcasts:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
+    }
+    // Q9's only fact-fact shuffle is the l_orderkey join; every other
+    // join must have been broadcast
+    val p9 = plan(Relational.q9Profit(spark, sfDir))
+    assert("SortMergeJoin".r.findAllIn(p9).size <= 1,
+      s"q9_profit grew a second fact-fact sort-merge join:\n$p9")
+  }
+
   test("scans prune to the projected columns") {
     val p = plan(Relational.qDistinct(spark, sfDir))
     // customer has 5+ columns; this aggregate needs exactly three

@@ -405,6 +405,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F21 streaming CMS: summed shard grids are bit-identical to the batch graft_cms grid") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{CmsOut, KeyedVal}
+    implicit val sqlCtx = spark.sqlContext
+    val depth = 4; val width = 256; val shards = 4
+    val ev = graft.sources.Synthetic.zipfEvents(spark, 5000L)
+      .collect().map(r => KeyedVal(r.getLong(1), r.getLong(0), r.getLong(2))).toSeq
+    val exact = ev.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    val input = MemoryStream[KeyedVal]
+    val q = EventStreams.cmsStream(input.toDS(), depth, width, shards)
+      .writeStream.format("memory").queryName("cms_out").outputMode("update").start()
+    try {
+      val third = ev.length / 3
+      input.addData(ev.take(third)); q.processAllAvailable()
+      input.addData(ev.slice(third, 2 * third)); q.processAllAvailable()
+      input.addData(ev.drop(2 * third)); q.processAllAvailable()
+      val rows = spark.table("cms_out").as[CmsOut].collect()
+      // latest grid per shard; keys touch only their own shard, and CMS
+      // merge is elementwise add, so the shard sum IS the global grid
+      val summed = new Array[Long](depth * width)
+      rows.groupBy(_.shard).values.foreach { sh =>
+        val g = sh.maxBy(_.ver).grid
+        var i = 0
+        while (i < summed.length) { summed(i) += g(i); i += 1 }
+      }
+      val batchGrid = ev.toDF()
+        .agg(expr(s"graft_cms(user_id, $depth, $width)")).collect()(0)
+        .getSeq[Long](0).toArray
+      assert(java.util.Arrays.equals(summed, batchGrid),
+        "stream-summed grid diverges from the batch sketch")
+      // and the one-sided estimate contract holds on the summed grid
+      import graft.functions.expressions.CountMin
+      exact.foreach { case (key, t) =>
+        val est = (0 until depth)
+          .map(d => summed(d * width + CountMin.bucket(key, d, width))).min
+        assert(est >= t, s"key $key underestimates")
+      }
+    } finally q.stop()
+  }
+
   test("F16 streaming LM scoring equals batch q_lm_score with fit-once counts") {
     import spark.implicits._
     import graft.operators.TextOps
