@@ -1407,9 +1407,64 @@ object Similarity {
       |FROM selu5 ORDER BY q_id, pick""".stripMargin
   }
 
+  /** D15: simplified silhouette (Hruschka et al.'s centroid variant,
+    * on SQUARED Euclidean distances) — the clustering-quality audit
+    * for any labeled/clustered embedding corpus: per point,
+    * a² = d²(point, own centroid), b² = min d²(point, other
+    * centroids), s = (b² − a²)/max(a², b²) ∈ [−1, 1]; reported as the
+    * per-cluster mean. The full silhouette is an all-pairs O(n²)
+    * scan; the centroid form is the one that survives 100 TB — one
+    * centroid aggregate + one broadcast of k·dim doubles + one
+    * corpus-partition-local pass, no pairwise join anywhere. Float
+    * determinism: per-point s is scaled to integer PPM first (the C33
+    * rule), so the per-cluster sum is exact and the published mean is
+    * a division of engine-identical integers.
+    */
+  def qSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cent = e.select(col("label").as("clabel"), posexplode(col("v")))
+      .groupBy(col("clabel"), col("pos")).agg(avg(col("col")).as("c"))
+      .groupBy(col("clabel"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("ps"))
+      .select(col("clabel"), transform(col("ps"), p => p("c")).as("cv"))
+    val d2 = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+                  lit(0.0), (acc, x) => acc + x).as("d2"))
+    val ab = d2.groupBy(col("vec_id"), col("label"))
+      .agg(sum(when(col("clabel") === col("label"), col("d2"))).as("a2"),
+           min(when(col("clabel") =!= col("label"), col("d2"))).as("b2"))
+    val sil = when(greatest(col("a2"), col("b2")) <= lit(0.0), lit(0.0))
+      .otherwise((col("b2") - col("a2")) / greatest(col("a2"), col("b2")))
+    ab.select(col("label"), round(sil * lit(1000000.0), 0).cast("long").as("s_ppm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("s_ppm")).as("ppm"))
+      .select(col("label"), col("n"),
+              dec4(col("ppm").cast("double") / col("n") / lit(1000000.0)).as("mean_sil"))
+      .orderBy(col("label"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansSql,
     "q_semdedup" -> semDedupSql,
+    "q_silhouette" ->
+      """WITH ct AS (SELECT label AS clabel, i, AVG(embedding[i]) AS c
+        |  FROM embeddings, (SELECT unnest(range(1,65)) AS i) GROUP BY 1,2),
+        |d AS (SELECT e.vec_id, e.label, ct.clabel,
+        |    SUM((embedding[i]-c)*(embedding[i]-c)) AS d2
+        |  FROM embeddings e CROSS JOIN ct GROUP BY 1,2,3),
+        |ab AS (SELECT vec_id, label,
+        |    SUM(CASE WHEN clabel = label THEN d2 END) AS a2,
+        |    MIN(CASE WHEN clabel <> label THEN d2 END) AS b2
+        |  FROM d GROUP BY 1,2),
+        |sp AS (SELECT label,
+        |    CAST(ROUND(CASE WHEN GREATEST(a2, b2) <= 0 THEN 0
+        |      ELSE (b2 - a2) / GREATEST(a2, b2) END * 1000000, 0) AS BIGINT) AS s_ppm
+        |  FROM ab)
+        |SELECT label, COUNT(*) AS n,
+        |  CAST(ROUND(CAST(SUM(s_ppm) AS DOUBLE) / COUNT(*) / 1000000, 4)
+        |    AS DECIMAL(18,4))::DOUBLE AS mean_sil
+        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ann_pq" -> annPqSql,
     "q_ann_pq_trained" -> annPqTrainedSql,
     "q_ann_recall" ->
