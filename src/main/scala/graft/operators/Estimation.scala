@@ -767,6 +767,41 @@ object Estimation {
     s"(CASE $bestAlias.fidx WHEN 0 THEN CAST($f0 AS DOUBLE) " +
       s"WHEN 1 THEN CAST($f1 AS DOUBLE) ELSE CAST($f2 AS DOUBLE) END)"
 
+  /** A28: focal (3×3 moving-window) raster mean with NoData handling —
+    * the neighborhood primitive of the reference's raster domain
+    * (focal statistics are what raster pipelines run before/after
+    * per-pixel estimators): for every cell of the
+    * [[graft.sources.Synthetic.rasterGrid]] fixture, the mean of the
+    * valid (in-grid, non-NoData) cells in its 3×3 window, plus the
+    * contributing count. Spark-first shape: 2D windows don't exist in
+    * SQL window functions, so this is SHIFT-AND-AGGREGATE — each cell
+    * emits itself to its ≤9 target windows (an explode of the constant
+    * offset array, pure codegen), then ONE map-side-combinable
+    * (x, y)-key aggregate. At 100 TB this beats per-block halo
+    * exchange in simplicity and equals it in shuffle volume (9× cell
+    * count, combiner-collapsed); NoData cells contribute nothing but
+    * still RECEIVE a window (vcnt = 0 → NULL mean, the
+    * check_output_for_nodata contract from A15). Integer cell values
+    * make (vsum, vcnt) engine-exact; the published mean is their
+    * quotient.
+    */
+  def qFocalMean(s: SparkSession, dir: String): DataFrame = {
+    val w = 120L
+    val h = 80L
+    val g = graft.sources.Synthetic.rasterGrid(s, w, h)
+    val offs = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+      struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+    g.select(col("x"), col("y"), col("v"), explode(offs).as("o"))
+      .select((col("x") + col("o.dx")).as("tx"),
+              (col("y") + col("o.dy")).as("ty"), col("v"))
+      .filter(col("tx") >= 0 && col("tx") < w && col("ty") >= 0 && col("ty") < h)
+      .groupBy(col("tx"), col("ty"))
+      .agg(sum(col("v")).as("vsum"), count(col("v")).as("vcnt"))
+      .select(col("tx").as("x"), col("ty").as("y"), col("vsum"), col("vcnt"),
+              dec4(col("vsum").cast("double") / col("vcnt")).as("focal_mean"))
+      .orderBy(col("x"), col("y"))
+  }
+
   /** Oracle SQL (DuckDB dialect). The kNN oracles use the crossJoin +
     * ROW_NUMBER formulation the Spark engine deliberately AVOIDS — fine
     * at sf0.01 oracle scale, ruled out at 100 TB (see class doc).
@@ -776,6 +811,19 @@ object Estimation {
     val q     = s"q AS (SELECT $uidSql AS li_id, l_quantity, " +
       "l_discount, l_tax, l_extendedprice, l_partkey, l_suppkey FROM lineitem)"
     Map(
+      "q_focal_mean" ->
+        s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
+          |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx
+          |  FROM range(0, 9600) t(i)),
+          |gv AS (SELECT x, y, CASE WHEN hx % 19 = 0 THEN NULL ELSE hx % 1000 END AS v
+          |  FROM g),
+          |sh AS (SELECT x + dx AS tx, y + dy AS ty, v
+          |  FROM gv, (SELECT unnest(range(-1,2)) AS dx), (SELECT unnest(range(-1,2)) AS dy)
+          |  WHERE x + dx BETWEEN 0 AND 119 AND y + dy BETWEEN 0 AND 79)
+          |SELECT tx AS x, ty AS y, CAST(SUM(v) AS BIGINT) AS vsum,
+          |  CAST(COUNT(v) AS BIGINT) AS vcnt,
+          |  CAST(ROUND(CAST(SUM(v) AS DOUBLE)/COUNT(v), 4) AS DECIMAL(18,4))::DOUBLE AS focal_mean
+          |FROM sh GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
       "q_knn_reg" ->
         s"""WITH $train, $q,
           |d AS (SELECT li_id, train.l_quantity AS ty,

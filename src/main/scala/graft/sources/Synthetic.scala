@@ -19,6 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Synthetic {
 
+  /** Deterministic raster-grid fixture for the focal (moving-window)
+    * ops: a w×h band of integer cell values v = md5-52('ras|x,y') %
+    * 1000, with NoData holes where the hash ≡ 0 (mod 19) (~5% of
+    * cells, scattered). Pure codegen over `spark.range` — no driver
+    * materialization, rebuildable row-by-row in SQL from the same
+    * formulas (the zipfEvents convention), so focal results are
+    * oracle-checkable without shipping the grid.
+    */
+  def rasterGrid(spark: SparkSession, w: Long, h: Long): DataFrame = {
+    import graft.functions.TextFunctions.hexPrefix52
+    val hx = hexPrefix52(concat(lit("ras|"), col("x").cast("string"),
+                                lit(","), col("y").cast("string")))
+    spark.range(w * h)
+      .select((col("id") % w).as("x"), expr(s"id div $w").as("y"))
+      .select(col("x"), col("y"),
+        when(hx % 19 === 0, lit(null).cast("long")).otherwise(hx % 1000).as("v"))
+  }
+
   private def unit(seed: Long, feat: String, o: Int, idx: Column): Column =
     (abs(xxhash64(lit(seed), lit(feat), lit(o), idx)) % lit(1L << 52)).cast("double") /
       lit((1L << 52).toDouble)
