@@ -1584,8 +1584,53 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** B72: Bloom-pre-filtered fact join — the runtime-filter technique
+    * that decides whether a 100 TB fact join is affordable: the
+    * selective dim subset's keys are compressed into the C18
+    * Kirsch–Mitzenmacher bitmask and the fact side drops non-matching
+    * rows with a PURE CODEGEN membership test BEFORE its shuffle, so
+    * the exchange carries ~selectivity·N + FP rows instead of N. The
+    * build is DISTRIBUTED: ≤ m distinct bit positions cross the wire
+    * (a bounded collect, the C18 rule) — never the dim keys
+    * themselves. Bloom false positives are removed by the exact join
+    * that follows, so the result is IDENTICAL to the plain join — the
+    * oracle runs the plain join, which is the whole point: same
+    * answer, pre-filtered exchange.
+    */
+  def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val m = 16384
+    val k = 2
+    val dim = orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+              col("o_orderdate") >= lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val bits = new Array[Boolean](m)
+    dim.select(explode(array(
+        TextOps.bloomPositions(col("o_orderkey").cast("string"), m, k): _*)).as("p"))
+      .distinct().collect()
+      .foreach(r => bits(r.getLong(0).toInt) = true)
+    val bitmask = bits.map(b => if (b) '1' else '0').mkString
+    lineitem(s, dir)
+      .filter(TextOps.bloomMaybeHit(col("l_orderkey").cast("string"), bitmask, m, k))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_lines"), sum(revE4).as("rev_e4"))
+      .select(col("month"), col("n_lines"),
+              dec2(round(col("rev_e4").cast("double") / 100.0, 0) / 100.0).as("revenue"))
+      .orderBy(col("month"))
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above. */
   val oracles: Map[String, String] = Map(
+    "q_bloom_join" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |  COUNT(*) AS n_lines,
+        |  CAST(ROUND(ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))) AS DOUBLE)/100.0,0)/100.0,2)
+        |    AS DECIMAL(18,2))::DOUBLE AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderdate >= TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q2_mincost" ->
       """WITH offers AS (
         |  SELECT l_partkey, l_suppkey,

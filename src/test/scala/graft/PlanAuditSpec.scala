@@ -254,6 +254,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q9_profit grew a second fact-fact sort-merge join:\n$p9")
   }
 
+  test("q_bloom_join: the membership test filters the fact BEFORE its join") {
+    val p = plan(Relational.qBloomJoin(spark, sfDir))
+    // the codegen'd bitmask probe (substr over the literal) must appear
+    // as a Filter in the plan — losing it silently reverts to shipping
+    // the whole fact into the join
+    assert(p.contains("substr"), s"q_bloom_join lost its Bloom pre-filter:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q_bloom_join planned a cartesian:\n$p")
+  }
+
   test("scans prune to the projected columns") {
     val p = plan(Relational.qDistinct(spark, sfDir))
     // customer has 5+ columns; this aggregate needs exactly three
