@@ -293,6 +293,21 @@ object Multimodal {
         |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
         |  CAST(SUM(b) AS BIGINT) AS sum_b,
         |  CAST(MAX(299*r + 587*g + 114*b) AS BIGINT) AS max_lum
+        |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q_media_png" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 12 AS w, 8 + doc_id % 6 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |    (3*doc_id + 5*x + 7*y) % 256 AS r,
+        |    (5*doc_id + 3*x + y) % 256 AS g,
+        |    (17*doc_id + x + 3*y) % 256 AS b
+        |  FROM d, (SELECT unnest(range(20)) AS x), (SELECT unnest(range(14)) AS y)
+        |  WHERE x < w AND y < h)
+        |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, COUNT(*) AS n_px,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b,
+        |  CAST(MAX(299*r + 587*g + 114*b) AS BIGINT) AS max_lum
         |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
   )
 
@@ -418,7 +433,12 @@ object Multimodal {
         it.map { row =>
           val id = row.getLong(0)
           val payload = row.getAs[Array[Byte]](1)
-          if (payload.length >= 2 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte) {
+          val isBmp = payload.length >= 2 &&
+            payload(0) == 'B'.toByte && payload(1) == 'M'.toByte
+          val isPng = payload.length >= 4 && payload(0) == 0x89.toByte &&
+            payload(1) == 'P'.toByte && payload(2) == 'N'.toByte &&
+            payload(3) == 'G'.toByte
+          if (isBmp || isPng) {
             val img = decodeImage(id, payload)
             Row(id, img.getWidth, img.getHeight, imageFeatures(img, featureDim))
           } else {
@@ -550,7 +570,27 @@ object Multimodal {
     * pass, no per-pixel rows, no shuffle of payload bytes).
     */
   def qMediaDecode(s: SparkSession, dir: String): DataFrame =
-    synthesizeBmp(s, dir)
+    decodeStats(synthesizeBmp(s, dir))
+
+  /** E8: the SECOND real codec — the same gate query over actual PNGs
+    * (ImageIO's PNG reader/writer also ships with the JRE). PNG is
+    * lossless, so the decoded pixels must equal the formula pixels bit
+    * for bit, exactly as with BMP — but the byte path exercised is a
+    * genuinely different one (DEFLATE streams, chunked container,
+    * scanline filters) reached through the same magic-dispatched
+    * decode kernel. Different pixel formulas/dimensions than E2, so
+    * the two codec gates cannot mask each other.
+    */
+  def qMediaPng(s: SparkSession, dir: String): DataFrame =
+    decodeStats(synthesizePng(s, dir))
+
+  /** Shared codec-gate kernel: decode each payload (any ImageIO
+    * format) and emit exact per-image integer pixel statistics. Stats
+    * accumulate inside the decode pass — no per-pixel rows, no shuffle
+    * of payload bytes.
+    */
+  private def decodeStats(media: DataFrame): DataFrame =
+    media
       .mapPartitions { it =>
         it.map { row =>
           val id = row.getLong(0)
@@ -574,6 +614,48 @@ object Multimodal {
         }
       }(Encoders.row(decodeStatsSchema))
       .orderBy(col("media_id"))
+
+  /** E8 synthesis: deterministic RGB images (distinct formulas and
+    * dimensions from the BMP set) encoded as REAL PNGs.
+    */
+  def synthesizePng(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    fanOut(documents(s, dir).select(col("doc_id")))
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          Row(id, encodePng(id))
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Build the E8 deterministic image for `id` — w = 8 + id%12,
+    * h = 8 + id%6, r = (3·id + 5x + 7y) % 256, g = (5·id + 3x + y)
+    * % 256, b = (17·id + x + 3y) % 256 — and encode it as a real PNG.
+    */
+  private[graft] def encodePng(id: Long): Array[Byte] = {
+    val w = (8 + id % 12).toInt; val h = (8 + id % 6).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((3 * id + 5L * x + 7L * y) % 256).toInt
+        val g = ((5 * id + 3L * x + y) % 256).toInt
+        val b = ((17 * id + x + 3L * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer available")
+    bos.toByteArray
+  }
 
   /** E7: the production blob-ingest path — one file per blob on
     * shared storage, read by Spark's `binaryFile` source (path, length,
