@@ -802,6 +802,61 @@ object Estimation {
       .orderBy(col("x"), col("y"))
   }
 
+  /** A29: zonal statistics — the other raster-domain reduction
+    * (complement of A28's focal window): per-zone count / valid-count /
+    * sum / min / max / mean of cell values, where the zone layer is a
+    * second categorical raster (here 8×8-block regions hashed to 6 zone
+    * ids — the shape of a land-cover class raster over the value band).
+    * Spark-first shape: the zone id is a pure codegen expression on the
+    * cell coordinates (in a real pipeline it is a second column of the
+    * same cell table — NO join, rasters of identical geometry are
+    * stored aligned), so the whole query is ONE map-side-combinable
+    * aggregate keyed by the tiny zone domain; NoData cells count toward
+    * n_cells but contribute nothing else (the A15 masking contract).
+    * Integer cell values make every statistic engine-exact; the mean is
+    * the published quotient. At 100 TB: a 6-key (or any
+    * domain-bounded) aggregate over an arbitrarily large grid is the
+    * best possible plan — partial aggregation collapses each task to
+    * |zones| rows before the exchange.
+    */
+  def qZonal(s: SparkSession, dir: String): DataFrame = {
+    val w = 120L
+    val h = 80L
+    val g = graft.sources.Synthetic.rasterGrid(s, w, h)
+    val blockKey = concat(lit("zone|"), expr("x div 8").cast("string"),
+                          lit(","), expr("y div 8").cast("string"))
+    g.withColumn("zone", TF.hexPrefix52(blockKey) % 6)
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_cells"), count(col("v")).as("n_valid"),
+           sum(col("v")).as("vsum"), min(col("v")).as("vmin"),
+           max(col("v")).as("vmax"))
+      .select(col("zone"), col("n_cells"), col("n_valid"), col("vsum"),
+              col("vmin"), col("vmax"),
+              dec4(col("vsum").cast("double") / col("n_valid")).as("zonal_mean"))
+      .orderBy(col("zone"))
+  }
+
+  /** A30: raster resample / overview build — 2×2 block-mean downsample
+    * (the pyramid level-1 primitive every raster store materializes
+    * before serving): cells group by their (x div 2, y div 2) target
+    * cell, NoData-aware exact (vsum, vcnt) per block, mean NULL when
+    * all four source cells are NoData (vsum is NULL ⇒ the quotient is
+    * NULL — the A28 convention). Spark-first shape: no explode at all —
+    * the block key is pure integer codegen and the single aggregate is
+    * map-side-combinable with dense integer keys, so the downsample is
+    * one shuffle of at most |target grid| rows regardless of source
+    * size; chaining it k times builds the whole pyramid in k such
+    * passes.
+    */
+  def qResample(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.sources.Synthetic.rasterGrid(s, 120L, 80L)
+    g.groupBy(expr("x div 2").as("rx"), expr("y div 2").as("ry"))
+      .agg(sum(col("v")).as("vsum"), count(col("v")).as("vcnt"))
+      .select(col("rx"), col("ry"), col("vsum"), col("vcnt"),
+              dec4(col("vsum").cast("double") / col("vcnt")).as("mean_v"))
+      .orderBy(col("rx"), col("ry"))
+  }
+
   /** Oracle SQL (DuckDB dialect). The kNN oracles use the crossJoin +
     * ROW_NUMBER formulation the Spark engine deliberately AVOIDS — fine
     * at sf0.01 oracle scale, ruled out at 100 TB (see class doc).
@@ -824,6 +879,29 @@ object Estimation {
           |  CAST(COUNT(v) AS BIGINT) AS vcnt,
           |  CAST(ROUND(CAST(SUM(v) AS DOUBLE)/COUNT(v), 4) AS DECIMAL(18,4))::DOUBLE AS focal_mean
           |FROM sh GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+      "q_zonal" ->
+        s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
+          |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx,
+          |    ${TF.hexPrefix52Sql("md5('zone|'||((i % 120) // 8)||','||((i // 120) // 8))")} % 6 AS zone
+          |  FROM range(0, 9600) t(i)),
+          |gv AS (SELECT zone, CASE WHEN hx % 19 = 0 THEN NULL ELSE hx % 1000 END AS v
+          |  FROM g)
+          |SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_cells,
+          |  CAST(COUNT(v) AS BIGINT) AS n_valid, CAST(SUM(v) AS BIGINT) AS vsum,
+          |  CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax,
+          |  CAST(ROUND(CAST(SUM(v) AS DOUBLE)/COUNT(v), 4) AS DECIMAL(18,4))::DOUBLE AS zonal_mean
+          |FROM gv GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_resample" ->
+        s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
+          |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx
+          |  FROM range(0, 9600) t(i)),
+          |gv AS (SELECT x // 2 AS rx, y // 2 AS ry,
+          |    CASE WHEN hx % 19 = 0 THEN NULL ELSE hx % 1000 END AS v
+          |  FROM g)
+          |SELECT rx, ry, CAST(SUM(v) AS BIGINT) AS vsum,
+          |  CAST(COUNT(v) AS BIGINT) AS vcnt,
+          |  CAST(ROUND(CAST(SUM(v) AS DOUBLE)/COUNT(v), 4) AS DECIMAL(18,4))::DOUBLE AS mean_v
+          |FROM gv GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
       "q_knn_reg" ->
         s"""WITH $train, $q,
           |d AS (SELECT li_id, train.l_quantity AS ty,

@@ -1463,6 +1463,86 @@ object Relational {
       .limit(1)
   }
 
+  /** B73: exact per-group mode (most frequent value) with a
+    * deterministic tie-break — the categorical summary statistic
+    * `mode()` that SQL lacks natively. Two-level aggregate: the fact
+    * collapses to (group, value) counts with map-side combine first
+    * (the B61 cardinality bound — the shuffle carries at most
+    * |status|×|priority| rows), then the per-group argmax is a
+    * `min_by` over the (−count, value) struct — lexicographic struct
+    * comparison makes the tie rule (highest count, then lowest value)
+    * engine-identical with no window over the fact. At 100 TB the
+    * shape is two domain-bounded aggregates; nothing scales with row
+    * count past the first combiner.
+    */
+  def qMode(s: SparkSession, dir: String): DataFrame = {
+    val c = orders(s, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    c.groupBy(col("o_orderstatus"))
+      .agg(min_by(struct(col("o_orderpriority"), col("cnt")),
+                  struct((-col("cnt")).as("nc"), col("o_orderpriority"))).as("m"),
+           sum(col("cnt")).as("n_rows"))
+      .select(col("o_orderstatus"), col("m.o_orderpriority").as("mode_priority"),
+              col("m.cnt").as("mode_count"), col("n_rows"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** B74: Gini impurity of the order-status mix per priority class —
+    * the split-quality statistic of A12c's CART (and the diversity
+    * audit a label-distribution monitor runs), computed EXACTLY:
+    * impurity = 1 − Σ(c_i/n)² is published as integer PPM
+    * (n² − Σc_i²)·10⁶ div n², with the counts carried in
+    * DECIMAL(38,0) so n² cannot overflow at any corpus size and the
+    * integral division is bit-identical cross-engine (no float
+    * quotient at all). Same two-level domain-bounded aggregate shape
+    * as B73.
+    */
+  def qGini(s: SparkSession, dir: String): DataFrame = {
+    val c = orders(s, dir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("cnt"))
+    c.groupBy(col("o_orderpriority"))
+      .agg(sum(col("cnt")).as("n"), sum(col("cnt") * col("cnt")).as("ss"),
+           count(lit(1)).as("n_classes"))
+      .select(col("o_orderpriority"), col("n").cast("long").as("n_rows"),
+              col("n_classes"),
+              expr("CAST(((n*n - ss) * 1000000) div (n*n) AS BIGINT)").as("gini_ppm"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** B75: exact ROC AUC via the Mann–Whitney U statistic — the
+    * ranking-quality metric for a classifier score (does quantity
+    * predict a return?), computed with NO per-row ranking: the fact
+    * collapses to the 50-value score domain first (the B66 KS idiom),
+    * the tie-corrected U then reads off the histogram —
+    * U·2 = Σ_v pos_v·(2·negBelow_v + neg_v), every term an exact
+    * integer (midrank tie handling falls out of the +neg_v term
+    * without any ½ fractions). The cumulative window runs over the
+    * bounded domain only, totals ride a 1-row broadcast, U
+    * accumulates in DECIMAL(38,0) (nPos·nNeg·2 overflows a long at
+    * corpus scale), and the published AUC = U2/(2·nPos·nNeg) is one
+    * IEEE division of exactly-representable operands.
+    */
+  def qAuc(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir).select(
+      col("l_quantity").cast("long").as("qty"),
+      (col("l_returnflag") === "R").cast("long").as("pos"))
+    val h = li.groupBy(col("qty"))
+      .agg(sum(col("pos")).as("p"), (count(lit(1)) - sum(col("pos"))).as("ng"))
+    val w = Window.orderBy(col("qty"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = h.select(col("p"), col("ng"),
+      (sum(col("ng")).over(w) - col("ng")).as("cnb"))
+    val tot = h.agg(sum(col("p")).as("n_pos"), sum(col("ng")).as("n_neg"))
+    c.agg(sum((col("p") * (lit(2L) * col("cnb") + col("ng")))
+           .cast("decimal(38,0)")).as("u2"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        dec6(col("u2").cast("double") /
+             (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+  }
+
   /** B67: min-cost supplier per part (TPC-H Q2 shape, adapted: no
     * partsupp table ships, so the offer catalog is DERIVED from the
     * fact — the cost of a (part, supplier) offer is the cheapest
@@ -1733,6 +1813,41 @@ object Relational {
         |SELECT n_a, n_b, ABS(cuma*n_b - cumb*n_a) AS d_scaled, qty AS at_qty
         |FROM c CROSS JOIN tot
         |ORDER BY d_scaled DESC, at_qty LIMIT 1""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY cnt DESC, o_orderpriority) AS rn,
+        |    SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n_rows FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |  CAST(cnt AS BIGINT) AS mode_count, CAST(n_rows AS BIGINT) AS n_rows
+        |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin,
+    "q_gini" ->
+      """WITH c AS (SELECT o_orderpriority, o_orderstatus,
+        |    CAST(COUNT(*) AS HUGEINT) AS cnt FROM orders GROUP BY 1, 2),
+        |g AS (SELECT o_orderpriority, SUM(cnt) AS n, SUM(cnt*cnt) AS ss,
+        |    COUNT(*) AS n_classes FROM c GROUP BY 1)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(n_classes AS BIGINT) AS n_classes,
+        |  CAST(((n*n - ss) * 1000000) // (n*n) AS BIGINT) AS gini_ppm
+        |FROM g ORDER BY 1""".stripMargin,
+    "q_auc" ->
+      """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos FROM lineitem),
+        |h AS (SELECT qty, CAST(SUM(pos) AS BIGINT) AS p,
+        |    CAST(COUNT(*) - SUM(pos) AS BIGINT) AS ng FROM li GROUP BY 1),
+        |c AS (SELECT qty, p, ng,
+        |    CAST(SUM(ng) OVER (ORDER BY qty ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) - ng AS BIGINT) AS cnb FROM h),
+        |tot AS (SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+        |    CAST(SUM(ng) AS BIGINT) AS n_neg FROM h),
+        |u AS (SELECT CAST(SUM(CAST(p AS HUGEINT) * (2*cnb + ng))
+        |    AS DECIMAL(38,0)) AS u2 FROM c)
+        |SELECT n_pos, n_neg, u2,
+        |  CAST(ROUND(CAST(u2 AS DOUBLE) / ((2.0*n_pos)*n_neg), 6)
+        |    AS DECIMAL(18,6))::DOUBLE AS auc
+        |FROM u CROSS JOIN tot""".stripMargin,
     "q_diff" ->
       """WITH v1 AS (SELECT o_orderkey AS k,
         |    md5(o_custkey || '|' || CAST(ROUND(o_totalprice*100,0) AS BIGINT)
