@@ -157,6 +157,34 @@ object EventStreams {
         })
   }
 
+  /** F22 (shared batch/stream form): sessionization via the BUILT-IN
+    * `session_window` aggregate — the production state-store path
+    * (merging session state, watermark finalization, Append-mode
+    * exactly-once emission) as opposed to F2's explicit
+    * flatMapGroupsWithState machine. Semantics note vs B10/F2:
+    * `session_window` merges events STRICTLY closer than the gap
+    * (B10's inactivity rule is inclusive ≤) and the window end is
+    * last-event + gap, so its twin contract is the SAME aggregate run
+    * in batch mode — what streaming adds is the state machinery, and
+    * that is what the spec pins. State is O(open sessions); a session
+    * is emitted exactly once, when the watermark proves it can no
+    * longer grow.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w").getField("start").as("session_start"),
+              col("w").getField("end").as("session_end"),
+              col("n_events"), col("sum_value"))
+
+  /** F22: the streaming form — watermark bounds session state and
+    * finalizes sessions for Append mode.
+    */
+  def sessionWindowStream(events: DataFrame, gap: String = "30 minutes",
+                          watermark: String = "1 hour"): DataFrame =
+    sessionWindowAgg(events.withWatermark("ts", watermark), gap)
+
   /** F7 output: one row per (user, rank) — the user's current top-N
     * events by value. Update-mode changelog: re-emitted whenever the
     * user's top set changes; readers keep the last row per (user, rn).

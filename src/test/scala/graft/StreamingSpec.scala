@@ -210,6 +210,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F22 built-in session_window stream equals the batch session_window aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionWindowStream(
+        input.toDF().withColumn("ts", timestamp_micros(col("ts"))))
+      .writeStream.format("memory").queryName("sw_out")
+      .outputMode("append").start()
+    try {
+      val evs = eventRows
+      val sentinelUid = 999999L
+      val sentinelTs = evs.map(_.ts).max + 7L * 24 * 3600 * 1000000L
+      val (h1, h2) = evs.splitAt(evs.length / 2) // sessions split mid-stream
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+      // two sentinel batches: the first advances the max event time, the
+      // second runs with the advanced watermark and flushes every real
+      // session out of the state store (Append emits on finalization only)
+      input.addData(Ev(sentinelUid, sentinelTs, 1L, 0.0)); q.processAllAvailable()
+      input.addData(Ev(sentinelUid, sentinelTs + 1000000L, 2L, 0.0)); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3),
+         math.round(r.getDouble(4) * 100))
+      val got = spark.table("sw_out")
+        .filter(col("user_id") =!= sentinelUid).collect().map(key).toSet
+      val expected = EventStreams.sessionWindowAgg(
+          Tables.events(spark, sfDir).select(col("user_id"), col("ts"), col("value")))
+        .collect().map(key).toSet
+      assert(expected.nonEmpty)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("F7 streaming per-key top-N equals batch topNPerKey across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
