@@ -240,6 +240,20 @@ object Multimodal {
         |  CAST(SUM(CASE WHEN t >= st+1 AND (ps < 0) <> (s < 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
         |  CAST(ROUND(sqrt(CAST(SUM(s*s) AS DOUBLE)/COUNT(*)),4) AS DECIMAL(18,4))::DOUBLE AS rms
         |FROM j GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_media_wav" ->
+      """WITH d AS (SELECT doc_id, CAST(48 + doc_id % 96 AS BIGINT) AS n,
+        |    CAST(8000 + (doc_id % 5) * 2000 AS BIGINT) AS sample_rate FROM documents),
+        |t AS (SELECT doc_id, n, i AS t, ((doc_id*37 + i*i*7 + i*11) % 4096) - 2048 AS s
+        |  FROM d, (SELECT unnest(range(144)) AS i) WHERE i < n),
+        |l AS (SELECT doc_id, t, s, LAG(s) OVER (PARTITION BY doc_id ORDER BY t) AS ps FROM t)
+        |SELECT d.doc_id AS media_id, d.sample_rate,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+        |  CAST(SUM(CASE WHEN l.t >= 1 AND (ps < 0) <> (s < 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
+        |  CAST(ROUND(sqrt(CAST(SUM(s*s) AS DOUBLE)/COUNT(*)),4) AS DECIMAL(18,4))::DOUBLE AS rms,
+        |  CAST((d.n * 1000000) // d.sample_rate AS BIGINT) AS duration_us
+        |FROM l JOIN d ON l.doc_id = d.doc_id
+        |GROUP BY 1, 2, d.n ORDER BY 1""".stripMargin,
     "q_media_bytes" ->
       """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
         |    octet_length(encode(text)) AS blen,
@@ -397,6 +411,105 @@ object Multimodal {
               col("peak"), col("n_zero_cross"),
               dec4(sqrt(col("sumsq").cast("double") / col("n_samples"))).as("rms"))
       .orderBy(col("media_id"), col("chunk_idx"))
+  }
+
+  /** E9 synthesis: REAL RIFF/WAVE audio files — a canonical 44-byte
+    * PCM WAV container (RIFF size header, `fmt ` chunk with format
+    * code / channels / sample rate / byte rate / block align / bits,
+    * `data` chunk) around a deterministic mono 16-bit waveform:
+    * n = 48 + id%96 samples of s[t] = ((id·37 + t²·7 + t·11) mod
+    * 4096) − 2048 at sample rate 8000 + (id%5)·2000 Hz. Distinct
+    * formula and length from E6's raw-PCM fixture so the two audio
+    * gates cannot mask each other.
+    */
+  def synthesizeWav(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    fanOut(documents(s, dir).select(col("doc_id")))
+      .mapPartitions { it =>
+        it.map { row => val id = row.getLong(0); Row(id, encodeWav(id)) }
+      }(Encoders.row(outSchema))
+  }
+
+  private[graft] def encodeWav(id: Long): Array[Byte] = {
+    val n = (48 + id % 96).toInt
+    val rate = (8000 + (id % 5) * 2000).toInt
+    val dataLen = 2 * n
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1)          // PCM
+    bb.putShort(1)          // mono
+    bb.putInt(rate)
+    bb.putInt(rate * 2)     // byte rate
+    bb.putShort(2)          // block align
+    bb.putShort(16)         // bits per sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var t = 0
+    while (t < n) {
+      bb.putShort((((id * 37 + t.toLong * t * 7 + t.toLong * 11) % 4096) - 2048).toShort)
+      t += 1
+    }
+    bb.array()
+  }
+
+  /** E9: REAL audio container codec — the WAV payloads are decoded by
+    * the JRE's `javax.sound.sampled.AudioSystem` (its RIFF chunk
+    * walker + PCM frame reader — the audio analogue of E2/E8's
+    * ImageIO path, a genuinely independent byte path from E6's
+    * hand-packed PCM). The format fields (rate, mono, 16-bit) and
+    * every sample are recovered FROM THE BYTES, and the oracle
+    * recomputes the emitted whole-file statistics (peak, sign-flip
+    * zero crossings, RMS, floor-division duration) from the synthesis
+    * formulas alone — so header fields, sample payload, and byte
+    * order must all roundtrip exactly. Same scale posture as every
+    * decode kernel here: payloads stream through partitions, never
+    * cross a shuffle.
+    */
+  def qMediaWav(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("n_zero_cross", LongType, nullable = false),
+      StructField("sumsq", LongType, nullable = false),
+      StructField("duration_us", LongType, nullable = false)))
+    synthesizeWav(s, dir)
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val in = new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1))
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+          val fmt = ais.getFormat
+          require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16,
+                  s"unexpected wav format for media $id")
+          val rate = fmt.getSampleRate.toLong
+          val raw = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(raw).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = raw.length / 2
+          var peak = 0L; var zc = 0L; var sumsq = 0L
+          var prev = 0L; var t = 0
+          while (t < n) {
+            val v = bb.getShort().toLong
+            if (math.abs(v) > peak) peak = math.abs(v)
+            sumsq += v * v
+            if (t >= 1 && (prev < 0) != (v < 0)) zc += 1
+            prev = v; t += 1
+          }
+          Row(id, rate, n.toLong, peak, zc, sumsq, n.toLong * 1000000L / rate)
+        }
+      }(Encoders.row(outSchema))
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+              col("peak"), col("n_zero_cross"),
+              dec4(sqrt(col("sumsq").cast("double") / col("n_samples"))).as("rms"),
+              col("duration_us"))
+      .orderBy(col("media_id"))
   }
 
   def synthesizeMedia(s: SparkSession, dir: String): DataFrame = {

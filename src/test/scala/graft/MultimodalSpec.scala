@@ -50,4 +50,25 @@ class MultimodalSpec extends AnyFunSuite {
       assert(w == 16 + (id % 16).toInt && h == 16 + (id % 8).toInt)
     }
   }
+
+  test("encodeWav produces a real RIFF/WAVE file that AudioSystem decodes sample-exactly") {
+    for (id <- Seq(0L, 7L, 123L)) {
+      val bytes = Multimodal.encodeWav(id)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      assert(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16)
+      assert(fmt.getSampleRate.toLong == 8000 + (id % 5) * 2000)
+      val raw = ais.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(raw).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = raw.length / 2
+      assert(n == (48 + id % 96).toInt)
+      for (t <- 0 until n) {
+        val expected = ((id * 37 + t.toLong * t * 7 + t.toLong * 11) % 4096) - 2048
+        assert(bb.getShort().toLong == expected, s"sample $t of media $id")
+      }
+    }
+  }
 }
