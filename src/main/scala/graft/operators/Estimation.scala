@@ -857,6 +857,107 @@ object Estimation {
       .orderBy(col("rx"), col("ry"))
   }
 
+  /** The shared per-term SSE-from-moments expression for A31/A32 —
+    * ONE formula string used verbatim by both the Spark `expr` and the
+    * DuckDB oracle, so the IEEE op sequence is identical by
+    * construction (the strongest form of the cross-engine float rule).
+    */
+  private val sseFromMomentsSql =
+    "(((((syy - (2.0*b0)*sy) - (2.0*w)*sxy) + ((2.0*b0)*w)*sx) + (nd*b0)*b0) + (w*w)*sxx"
+  // closing paren lives in the caller so the constant reads as a term
+
+  /** A31: k-fold cross-validation (k=5) of the simple linear estimator
+    * in exactly TWO corpus passes regardless of k — the distributed
+    * form of sklearn's cross_val_score: pass 1 is ONE aggregate of the
+    * exact integer sufficient statistics (n, Σx, Σy, Σx², Σxy) GROUPED
+    * BY fold (fold = li_id % 5, deterministic); each fold's training
+    * moments are then total − fold (exact DECIMAL(38,0) subtraction —
+    * no second scan, no per-fold refit), the closed-form fit runs on
+    * the 5-row frame, and pass 2 scores every held-out row against its
+    * fold's broadcast coefficients. Errors quantize to exact
+    * centi-quantity integers (the A26 rule) so the per-fold squared
+    * sums are order-independent; RMSE is one IEEE sqrt of a quotient
+    * of exact operands. At 100 TB: CV cost is 2 scans + a 5-row
+    * broadcast — not k refits.
+    */
+  def qCrossVal(s: SparkSession, dir: String): DataFrame = {
+    val base = lineitem(s, dir).select(
+      ((col("l_orderkey") * 8 + col("l_linenumber")) % 5).as("fold"),
+      round(col("l_extendedprice") * 100, 0).cast("decimal(20,0)").as("x"),
+      col("l_quantity").cast("decimal(20,0)").as("y"))
+    val fm = base.groupBy(col("fold"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+           sum(col("x")).cast("decimal(38,0)").as("sx"),
+           sum(col("y")).cast("decimal(38,0)").as("sy"),
+           sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+           sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"))
+    val tot = fm.agg(sum(col("n")).as("tn"), sum(col("sx")).as("tsx"),
+                     sum(col("sy")).as("tsy"), sum(col("sxx")).as("tsxx"),
+                     sum(col("sxy")).as("tsxy"))
+    val coefs = fm.crossJoin(broadcast(tot))
+      .select(col("fold"), col("n").cast("long").as("n_test"),
+        (col("tn") - col("n")).cast("double").as("ntr"),
+        (col("tsx") - col("sx")).cast("double").as("trx"),
+        (col("tsy") - col("sy")).cast("double").as("try"),
+        (col("tsxx") - col("sxx")).cast("double").as("trxx"),
+        (col("tsxy") - col("sxy")).cast("double").as("trxy"))
+      .withColumn("w", (col("ntr") * col("trxy") - col("trx") * col("try")) /
+                       (col("ntr") * col("trxx") - col("trx") * col("trx")))
+      .withColumn("b0", (col("try") - col("w") * col("trx")) / col("ntr"))
+    val errs = base.join(broadcast(coefs.select(col("fold"), col("w"), col("b0"))), "fold")
+      .select(col("fold"),
+        (col("y").cast("double") * 100.0 -
+         round((col("b0") + col("w") * col("x").cast("double")) * 100.0, 0))
+          .cast("decimal(19,0)").as("e"))
+      .groupBy(col("fold"))
+      .agg(sum(col("e") * col("e")).as("sse"), count(lit(1)).cast("double").as("nt"))
+    coefs.join(errs, "fold")
+      .select(col("fold"), col("ntr").cast("long").as("n_train"), col("n_test"),
+        graft.functions.dec6(col("w")).as("slope"),
+        graft.functions.dec6(col("b0")).as("intercept"),
+        dec4(sqrt(col("sse").cast("double") / col("nt")) / 100.0).as("rmse"))
+      .orderBy(col("fold"))
+  }
+
+  /** A32: ridge regularization path — hyperparameter grid search from
+    * SUFFICIENT STATISTICS, i.e. at ZERO extra corpus passes: the
+    * centered 1-feature ridge solution w(α) = (Σxy − ΣxΣy/n)/(Σx² −
+    * (Σx)²/n + α) and its TRAINING SSE are both closed forms over the
+    * same five exact integer moments (plus Σy²), so the whole α grid
+    * {0, 10⁶, 10⁹} evaluates on a 1-row × 3-alpha broadcast frame
+    * after ONE moment aggregate. The SSE-from-moments expression is
+    * shared VERBATIM with the DuckDB oracle ([[sseFromMomentsSql]]) —
+    * identical IEEE op sequence by construction. This is the shape
+    * model selection takes at 100 TB: scan once, fit the whole grid
+    * driver-free, pick α by the 3-row result.
+    */
+  def qRidgePath(s: SparkSession, dir: String): DataFrame = {
+    val base = lineitem(s, dir).select(
+      round(col("l_extendedprice") * 100, 0).cast("decimal(20,0)").as("x"),
+      col("l_quantity").cast("decimal(20,0)").as("y"))
+    val m = base.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("sxd"),
+      sum(col("y")).cast("decimal(38,0)").as("syd"),
+      sum(col("x") * col("x")).cast("decimal(38,0)").as("sxxd"),
+      sum(col("x") * col("y")).cast("decimal(38,0)").as("sxyd"),
+      sum(col("y") * col("y")).cast("decimal(38,0)").as("syyd"))
+    val alphas = { import s.implicits._; Seq(0.0, 1e6, 1e9).toDF("alpha") }
+    m.crossJoin(broadcast(alphas))
+      .select(col("alpha"),
+        col("n").cast("double").as("nd"), col("sxd").cast("double").as("sx"),
+        col("syd").cast("double").as("sy"), col("sxxd").cast("double").as("sxx"),
+        col("sxyd").cast("double").as("sxy"), col("syyd").cast("double").as("syy"))
+      .withColumn("w", (col("sxy") - col("sx") * col("sy") / col("nd")) /
+                       ((col("sxx") - col("sx") * col("sx") / col("nd")) + col("alpha")))
+      .withColumn("b0", (col("sy") - col("w") * col("sx")) / col("nd"))
+      .withColumn("sse", expr(sseFromMomentsSql + ")"))
+      .select(col("alpha"), graft.functions.dec6(col("w")).as("slope"),
+        graft.functions.dec6(col("b0")).as("intercept"),
+        dec4(sqrt(col("sse") / col("nd"))).as("rmse_train"))
+      .orderBy(col("alpha"))
+  }
+
   /** Oracle SQL (DuckDB dialect). The kNN oracles use the crossJoin +
     * ROW_NUMBER formulation the Spark engine deliberately AVOIDS — fine
     * at sf0.01 oracle scale, ruled out at 100 TB (see class doc).
@@ -902,6 +1003,50 @@ object Estimation {
           |  CAST(COUNT(v) AS BIGINT) AS vcnt,
           |  CAST(ROUND(CAST(SUM(v) AS DOUBLE)/COUNT(v), 4) AS DECIMAL(18,4))::DOUBLE AS mean_v
           |FROM gv GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+      "q_crossval" ->
+        """WITH b AS (SELECT (l_orderkey * 8 + l_linenumber) % 5 AS fold,
+          |    CAST(ROUND(l_extendedprice*100,0) AS HUGEINT) AS x,
+          |    CAST(l_quantity AS HUGEINT) AS y FROM lineitem),
+          |fm AS (SELECT fold, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+          |    SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy FROM b GROUP BY 1),
+          |tot AS (SELECT SUM(n) AS tn, SUM(sx) AS tsx, SUM(sy) AS tsy,
+          |    SUM(sxx) AS tsxx, SUM(sxy) AS tsxy FROM fm),
+          |co AS (SELECT fold, CAST(n AS BIGINT) AS n_test,
+          |    CAST(tn - n AS DOUBLE) AS ntr, CAST(tsx - sx AS DOUBLE) AS trx,
+          |    CAST(tsy - sy AS DOUBLE) AS tryy, CAST(tsxx - sxx AS DOUBLE) AS trxx,
+          |    CAST(tsxy - sxy AS DOUBLE) AS trxy FROM fm CROSS JOIN tot),
+          |wf AS (SELECT fold, n_test, ntr, trx, tryy,
+          |    (ntr*trxy - trx*tryy)/(ntr*trxx - trx*trx) AS w FROM co),
+          |f AS (SELECT fold, n_test, ntr, w, (tryy - w*trx)/ntr AS b0 FROM wf),
+          |e AS (SELECT b.fold,
+          |    CAST(CAST(y AS DOUBLE)*100.0
+          |      - ROUND((b0 + w*CAST(x AS DOUBLE))*100.0, 0) AS HUGEINT) AS e
+          |  FROM b JOIN f ON b.fold = f.fold),
+          |g AS (SELECT fold, SUM(e*e) AS sse,
+          |    CAST(COUNT(*) AS DOUBLE) AS nt FROM e GROUP BY 1)
+          |SELECT f.fold, CAST(f.ntr AS BIGINT) AS n_train, f.n_test,
+          |  CAST(ROUND(w, 6) AS DECIMAL(18,6))::DOUBLE AS slope,
+          |  CAST(ROUND(b0, 6) AS DECIMAL(18,6))::DOUBLE AS intercept,
+          |  CAST(ROUND(sqrt(CAST(sse AS DOUBLE)/nt)/100.0, 4)
+          |    AS DECIMAL(18,4))::DOUBLE AS rmse
+          |FROM f JOIN g ON f.fold = g.fold ORDER BY 1""".stripMargin,
+      "q_ridge_path" ->
+        s"""WITH b AS (SELECT CAST(ROUND(l_extendedprice*100,0) AS HUGEINT) AS x,
+          |    CAST(l_quantity AS HUGEINT) AS y FROM lineitem),
+          |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sxh, SUM(y) AS syh,
+          |    SUM(x*x) AS sxxh, SUM(x*y) AS sxyh, SUM(y*y) AS syyh FROM b),
+          |al AS (SELECT unnest([0.0, 1e6, 1e9]) AS alpha),
+          |d AS (SELECT alpha, CAST(n AS DOUBLE) AS nd, CAST(sxh AS DOUBLE) AS sx,
+          |    CAST(syh AS DOUBLE) AS sy, CAST(sxxh AS DOUBLE) AS sxx,
+          |    CAST(sxyh AS DOUBLE) AS sxy, CAST(syyh AS DOUBLE) AS syy
+          |  FROM m CROSS JOIN al),
+          |wf AS (SELECT *, (sxy - sx*sy/nd)/((sxx - sx*sx/nd) + alpha) AS w FROM d),
+          |bf AS (SELECT *, (sy - w*sx)/nd AS b0 FROM wf),
+          |sf AS (SELECT *, $sseFromMomentsSql) AS sse FROM bf)
+          |SELECT alpha, CAST(ROUND(w, 6) AS DECIMAL(18,6))::DOUBLE AS slope,
+          |  CAST(ROUND(b0, 6) AS DECIMAL(18,6))::DOUBLE AS intercept,
+          |  CAST(ROUND(sqrt(sse/nd), 4) AS DECIMAL(18,4))::DOUBLE AS rmse_train
+          |FROM sf ORDER BY alpha""".stripMargin,
       "q_knn_reg" ->
         s"""WITH $train, $q,
           |d AS (SELECT li_id, train.l_quantity AS ty,
