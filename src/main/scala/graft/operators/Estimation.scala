@@ -819,13 +819,15 @@ object Estimation {
     * best possible plan — partial aggregation collapses each task to
     * |zones| rows before the exchange.
     */
-  def qZonal(s: SparkSession, dir: String): DataFrame = {
-    val w = 120L
-    val h = 80L
-    val g = graft.sources.Synthetic.rasterGrid(s, w, h)
+  /** The A29 kernel: zone assignment + the zonal aggregate as a plain
+    * DataFrame transform — every statistic is associative, so the SAME
+    * expressions attach unchanged to a streaming cell/tile source
+    * (F23: Update-mode incremental zonal stats as tiles arrive).
+    */
+  def zonalStats(cells: DataFrame): DataFrame = {
     val blockKey = concat(lit("zone|"), expr("x div 8").cast("string"),
                           lit(","), expr("y div 8").cast("string"))
-    g.withColumn("zone", TF.hexPrefix52(blockKey) % 6)
+    cells.withColumn("zone", TF.hexPrefix52(blockKey) % 6)
       .groupBy(col("zone"))
       .agg(count(lit(1)).as("n_cells"), count(col("v")).as("n_valid"),
            sum(col("v")).as("vsum"), min(col("v")).as("vmin"),
@@ -833,8 +835,11 @@ object Estimation {
       .select(col("zone"), col("n_cells"), col("n_valid"), col("vsum"),
               col("vmin"), col("vmax"),
               dec4(col("vsum").cast("double") / col("n_valid")).as("zonal_mean"))
-      .orderBy(col("zone"))
   }
+
+  def qZonal(s: SparkSession, dir: String): DataFrame =
+    zonalStats(graft.sources.Synthetic.rasterGrid(s, 120L, 80L))
+      .orderBy(col("zone"))
 
   /** A30: raster resample / overview build — 2×2 block-mean downsample
     * (the pyramid level-1 primitive every raster store materializes

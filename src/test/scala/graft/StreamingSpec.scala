@@ -27,6 +27,8 @@ class StreamingSpec extends AnyFunSuite {
 
   private case class TEv(ts: Long, event_type: String, value: Double)
 
+  private case class Cell(x: Long, y: Long, v: Option[Long])
+
   test("streaming tumbling agg equals the batch aggregate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -238,6 +240,39 @@ class StreamingSpec extends AnyFunSuite {
       val expected = EventStreams.sessionWindowAgg(
           Tables.events(spark, sfDir).select(col("user_id"), col("ts"), col("value")))
         .collect().map(key).toSet
+      assert(expected.nonEmpty)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("F23 streaming zonal stats equal batch qZonal after all tiles arrive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cells = graft.sources.Synthetic.rasterGrid(spark, 120L, 80L)
+      .collect()
+      .map(r => Cell(r.getLong(0), r.getLong(1),
+                     if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSeq
+    val input = MemoryStream[Cell]
+    val q = graft.operators.Estimation.zonalStats(input.toDF())
+      .writeStream.format("memory").queryName("z_out")
+      .outputMode("update").start()
+    try {
+      // tiles arrive in two interleaved halves (stripes of x), so every
+      // zone is updated across batches
+      val (h1, h2) = cells.partition(_.x % 2 == 0)
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+      val rows = spark.table("z_out").collect()
+      val got = rows.zipWithIndex
+        .map { case (r, i) => r.getLong(0) ->
+          (i, (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+               r.getLong(5), r.getDouble(6))) }
+        .groupBy(_._1).view.mapValues(v => v.maxBy(_._2._1)._2._2).toMap
+      val expected = graft.operators.Estimation.qZonal(spark, sfDir).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+           r.getLong(5), r.getDouble(6))).toMap
       assert(expected.nonEmpty)
       assert(got == expected)
     } finally q.stop()
