@@ -1463,6 +1463,36 @@ object Relational {
       .limit(1)
   }
 
+  /** B76: chi-squared independence test over the (returnflag ×
+    * linestatus) contingency table, EXACT to the last integer: using
+    * χ² = N·Σ O²/(r·c) − N, each cell's term is the integral division
+    * (N·O²·10⁶) div (r_i·c_j) — all operands exact DECIMAL(38,0), so
+    * the published χ²-PPM is bit-identical cross-engine with no float
+    * CDF or quotient anywhere (the B66 cross-multiplication idea
+    * fused with C33's scale-then-sum rule). Scale shape: one
+    * domain-bounded (cell) aggregate collapses the fact; row/column
+    * totals re-aggregate the tiny cell frame; every join is a
+    * broadcast of ≤|domain| rows.
+    */
+  def qChi2(s: SparkSession, dir: String): DataFrame = {
+    val c = lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("o"))
+    val r  = c.groupBy(col("rf")).agg(sum(col("o")).as("rt"))
+    val cl = c.groupBy(col("ls")).agg(sum(col("o")).as("ct"))
+    val nT = c.agg(sum(col("o")).as("nn"))
+    val rn  = r.agg(count(lit(1)).as("nr"))
+    val cln = cl.agg(count(lit(1)).as("nc"))
+    c.join(broadcast(r), "rf").join(broadcast(cl), "ls")
+      .crossJoin(broadcast(nT))
+      .select(expr("(nn * o * o * 1000000) div (rt * ct)").as("tij"), col("nn"))
+      .agg(sum(col("tij")).as("ts"), max(col("nn")).as("nn"))
+      .crossJoin(broadcast(rn)).crossJoin(broadcast(cln))
+      .select(col("nn").cast("long").as("n"),
+              ((col("nr") - 1) * (col("nc") - 1)).as("df"),
+              expr("CAST(ts - nn * 1000000 AS BIGINT)").as("chi2_ppm"))
+  }
+
   /** B73: exact per-group mode (most frequent value) with a
     * deterministic tie-break — the categorical summary statistic
     * `mode()` that SQL lacks natively. Two-level aggregate: the fact
@@ -1813,6 +1843,19 @@ object Relational {
         |SELECT n_a, n_b, ABS(cuma*n_b - cumb*n_a) AS d_scaled, qty AS at_qty
         |FROM c CROSS JOIN tot
         |ORDER BY d_scaled DESC, at_qty LIMIT 1""".stripMargin,
+    "q_chi2" ->
+      """WITH c AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |    CAST(COUNT(*) AS HUGEINT) AS o FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT rf, SUM(o) AS rt FROM c GROUP BY 1),
+        |cl AS (SELECT ls, SUM(o) AS ct FROM c GROUP BY 1),
+        |nt AS (SELECT SUM(o) AS nn FROM c),
+        |t AS (SELECT (nn * o * o * 1000000) // (rt * ct) AS tij, nn
+        |  FROM c JOIN r USING (rf) JOIN cl USING (ls) CROSS JOIN nt),
+        |ag AS (SELECT SUM(tij) AS ts, MAX(nn) AS nn,
+        |    (SELECT COUNT(*) FROM r) AS nr, (SELECT COUNT(*) FROM cl) AS nc
+        |  FROM t)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST((nr-1)*(nc-1) AS BIGINT) AS df,
+        |  CAST(ts - nn * 1000000 AS BIGINT) AS chi2_ppm FROM ag""".stripMargin,
     "q_mode" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
         |  FROM orders GROUP BY 1, 2),
