@@ -924,6 +924,79 @@ object Estimation {
       .orderBy(col("fold"))
   }
 
+  /** The A33 derivation chain: every float step from raw moments to the
+    * three R² figures, as (name, formula) SQL text — applied in order
+    * with `expr` on the Spark side and emitted verbatim as a chain of
+    * CTEs in the DuckDB oracle, so the IEEE op sequence is shared BY
+    * CONSTRUCTION (the [[sseFromMomentsSql]] rule, generalized to the
+    * whole derivation). The solve sequences mirror the A9c ridge
+    * oracle's Cramer forms.
+    */
+  private val featImpDerivs: Seq[(String, String)] = Seq(
+    "a11" -> "s11 - (s1*s1)/nd",
+    "a12" -> "s12 - (s1*s2)/nd",
+    "a22" -> "s22 - (s2*s2)/nd",
+    "b1"  -> "s1y - (s1*sy)/nd",
+    "b2"  -> "s2y - (s2*sy)/nd",
+    "syc" -> "syy - (sy*sy)/nd",
+    "det" -> "a11*a22 - a12*a12",
+    "w1"  -> "(b1*a22 - b2*a12)/det",
+    "w2"  -> "(a11*b2 - a12*b1)/det",
+    "ssef" -> "syc - (w1*b1 + w2*b2)",
+    "r2_full" -> "1.0 - ssef/syc",
+    "r2o1" -> "((b1*b1)/a11)/syc",
+    "r2o2" -> "((b2*b2)/a22)/syc")
+
+  /** A33: drop-one feature importance from SUFFICIENT STATISTICS — the
+    * model-diagnostics step (sklearn's permutation_importance intent)
+    * at ZERO extra corpus passes: for the 2-feature OLS (quantity,
+    * discount → price cents), the full-model R² and each
+    * leave-one-feature-out R² are closed forms over the ten exact
+    * integer moments of ONE aggregate; importance_j = R²_full −
+    * R²_without_j. Every float step is a [[featImpDerivs]] formula
+    * shared verbatim with the oracle. At 100 TB: model audit = the
+    * same single scan the fit already does, then arithmetic on a 1-row
+    * frame.
+    */
+  def qFeatImportance(s: SparkSession, dir: String): DataFrame = {
+    val base = lineitem(s, dir).select(
+      col("l_quantity").cast("decimal(20,0)").as("x1"),
+      round(col("l_discount") * 100, 0).cast("decimal(20,0)").as("x2"),
+      round(col("l_extendedprice") * 100, 0).cast("decimal(20,0)").as("y"))
+    val m = base.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x1")).cast("decimal(38,0)").as("s1d"),
+      sum(col("x2")).cast("decimal(38,0)").as("s2d"),
+      sum(col("y")).cast("decimal(38,0)").as("syd"),
+      sum(col("x1") * col("x1")).cast("decimal(38,0)").as("s11d"),
+      sum(col("x1") * col("x2")).cast("decimal(38,0)").as("s12d"),
+      sum(col("x2") * col("x2")).cast("decimal(38,0)").as("s22d"),
+      sum(col("x1") * col("y")).cast("decimal(38,0)").as("s1yd"),
+      sum(col("x2") * col("y")).cast("decimal(38,0)").as("s2yd"),
+      sum(col("y") * col("y")).cast("decimal(38,0)").as("syyd"))
+    val d0 = m.select(
+      col("n").cast("double").as("nd"), col("s1d").cast("double").as("s1"),
+      col("s2d").cast("double").as("s2"), col("syd").cast("double").as("sy"),
+      col("s11d").cast("double").as("s11"), col("s12d").cast("double").as("s12"),
+      col("s22d").cast("double").as("s22"), col("s1yd").cast("double").as("s1y"),
+      col("s2yd").cast("double").as("s2y"), col("syyd").cast("double").as("syy"))
+    val derived = featImpDerivs.foldLeft(d0) {
+      case (acc, (nm, f)) => acc.withColumn(nm, expr(f))
+    }
+    derived.select(explode(array(
+        struct(lit("x1").as("feature"), col("r2_full"),
+               col("r2o2").as("r2_without"),
+               (col("r2_full") - col("r2o2")).as("imp")),
+        struct(lit("x2").as("feature"), col("r2_full"),
+               col("r2o1").as("r2_without"),
+               (col("r2_full") - col("r2o1")).as("imp")))).as("t"))
+      .select(col("t.feature").as("feature"),
+              graft.functions.dec6(col("t.r2_full")).as("r2_full"),
+              graft.functions.dec6(col("t.r2_without")).as("r2_without"),
+              graft.functions.dec6(col("t.imp")).as("importance"))
+      .orderBy(col("feature"))
+  }
+
   /** A32: ridge regularization path — hyperparameter grid search from
     * SUFFICIENT STATISTICS, i.e. at ZERO extra corpus passes: the
     * centered 1-feature ridge solution w(α) = (Σxy − ΣxΣy/n)/(Σx² −
@@ -1035,6 +1108,36 @@ object Estimation {
           |  CAST(ROUND(sqrt(CAST(sse AS DOUBLE)/nt)/100.0, 4)
           |    AS DECIMAL(18,4))::DOUBLE AS rmse
           |FROM f JOIN g ON f.fold = g.fold ORDER BY 1""".stripMargin,
+      "q_feat_importance" -> {
+        val chain = featImpDerivs.zipWithIndex.map { case ((nm, f), i) =>
+          s"d${i + 1} AS (SELECT *, $f AS $nm FROM d$i)"
+        }.mkString(",\n")
+        val last = s"d${featImpDerivs.length}"
+        s"""WITH b AS (SELECT CAST(l_quantity AS HUGEINT) AS x1,
+          |    CAST(ROUND(l_discount*100,0) AS HUGEINT) AS x2,
+          |    CAST(ROUND(l_extendedprice*100,0) AS HUGEINT) AS y FROM lineitem),
+          |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x1) AS s1h, SUM(x2) AS s2h,
+          |    SUM(y) AS syh, SUM(x1*x1) AS s11h, SUM(x1*x2) AS s12h,
+          |    SUM(x2*x2) AS s22h, SUM(x1*y) AS s1yh, SUM(x2*y) AS s2yh,
+          |    SUM(y*y) AS syyh FROM b),
+          |d0 AS (SELECT CAST(n AS DOUBLE) AS nd, CAST(s1h AS DOUBLE) AS s1,
+          |    CAST(s2h AS DOUBLE) AS s2, CAST(syh AS DOUBLE) AS sy,
+          |    CAST(s11h AS DOUBLE) AS s11, CAST(s12h AS DOUBLE) AS s12,
+          |    CAST(s22h AS DOUBLE) AS s22, CAST(s1yh AS DOUBLE) AS s1y,
+          |    CAST(s2yh AS DOUBLE) AS s2y, CAST(syyh AS DOUBLE) AS syy FROM m),
+          |$chain
+          |SELECT feature,
+          |  CAST(ROUND(r2_full, 6) AS DECIMAL(18,6))::DOUBLE AS r2_full,
+          |  CAST(ROUND(r2_without, 6) AS DECIMAL(18,6))::DOUBLE AS r2_without,
+          |  CAST(ROUND(imp, 6) AS DECIMAL(18,6))::DOUBLE AS importance
+          |FROM (
+          |  SELECT 'x1' AS feature, r2_full, r2o2 AS r2_without,
+          |    r2_full - r2o2 AS imp FROM $last
+          |  UNION ALL
+          |  SELECT 'x2' AS feature, r2_full, r2o1 AS r2_without,
+          |    r2_full - r2o1 AS imp FROM $last)
+          |ORDER BY feature""".stripMargin
+      },
       "q_ridge_path" ->
         s"""WITH b AS (SELECT CAST(ROUND(l_extendedprice*100,0) AS HUGEINT) AS x,
           |    CAST(l_quantity AS HUGEINT) AS y FROM lineitem),
