@@ -1706,22 +1706,30 @@ object Relational {
     * that follows, so the result is IDENTICAL to the plain join — the
     * oracle runs the plain join, which is the whole point: same
     * answer, pre-filtered exchange.
+    *
+    * m is SIZED FROM THE BUILD SIDE (the runtime-filter rule — a
+    * filter sized for one scale saturates at the next): next power of
+    * two ≥ 8 bits/key at k=2 keeps the fill ratio ~0.22 and the FP
+    * rate ~5% at ANY dim selectivity; the r7 fixed m=16384 was 87%
+    * full at sf0.1 (FP 0.76 — the "filter" passed 77% of the fact).
     */
   def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
-    val m = 16384
     val k = 2
     val dim = orders(s, dir)
       .filter(col("o_orderpriority") === "1-URGENT" &&
               col("o_orderdate") >= lit("1998-01-01"))
       .select(col("o_orderkey"), col("o_orderdate"))
+    val nKeys = dim.count() // build-side stats size the filter
+    var m = 16384
+    while (m < 8L * nKeys && m < (1 << 22)) m <<= 1
     val bits = new Array[Boolean](m)
     dim.select(explode(array(
-        TextOps.bloomPositions(col("o_orderkey").cast("string"), m, k): _*)).as("p"))
+        TextOps.bloomPositionsFast(col("o_orderkey").cast("string"), m, k): _*)).as("p"))
       .distinct().collect()
       .foreach(r => bits(r.getLong(0).toInt) = true)
     val bitmask = bits.map(b => if (b) '1' else '0').mkString
     lineitem(s, dir)
-      .filter(TextOps.bloomMaybeHit(col("l_orderkey").cast("string"), bitmask, m, k))
+      .filter(TextOps.bloomMaybeHitFast(col("l_orderkey").cast("string"), bitmask, m, k))
       .join(dim, col("l_orderkey") === col("o_orderkey"))
       .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
       .agg(count(lit(1)).as("n_lines"), sum(revE4).as("rev_e4"))

@@ -682,11 +682,42 @@ object TextOps {
   /** The per-row Bloom membership test: all k positions set in the
     * literal bitmask. Pure codegen — no join, no shuffle, no state —
     * so it attaches unchanged to batch or streaming frames.
+    *
+    * Representation matters at fact-scan rates: the original
+    * `substr(<16384-char literal>, pos, 1)` probe walked the
+    * UTF8String byte-by-byte to find the character offset — O(position)
+    * PER ROW, measured 49 s for a single 600k-row scan (B72). The
+    * bitmask now rides as ONE boolean-array literal probed with
+    * `element_at` — O(1) integer indexing, whole-stage-codegen'd,
+    * same semantics bit-for-bit (sub-second on the same scan).
     */
   def bloomMaybeHit(g: Column, bitmask: String, m: Int = 16384, k: Int = 2): Column =
-    bloomPositions(g, m, k)
-      .map(p => lit(bitmask).substr((p + 1).cast("int"), lit(1)) === "1")
+    maybeHitWith(bloomPositions(g, m, k), bitmask)
+
+  /** xxhash64-based double-hashed positions for ENGINE-INTERNAL
+    * runtime filters (B72): membership only needs build/probe
+    * consistency inside one engine — false positives are removed by
+    * the exact join that follows — so the cheap non-replicable hash is
+    * the right tool there (~10× less per-row work than a hex md5
+    * parse). C18's decontamination screen keeps the md5 form because
+    * its ORACLE replicates the positions.
+    */
+  def bloomPositionsFast(g: Column, m: Int, k: Int = 2): Seq[Column] = {
+    val u = abs(xxhash64(lit("bloom|"), g))
+    val h1 = shiftright(u, 26)
+    val h2 = u.bitwiseAND(lit((1L << 26) - 1))
+    (0 until k).map(j => (h1 + lit(j.toLong) * h2) % m)
+  }
+
+  def bloomMaybeHitFast(g: Column, bitmask: String, m: Int, k: Int = 2): Column =
+    maybeHitWith(bloomPositionsFast(g, m, k), bitmask)
+
+  private def maybeHitWith(positions: Seq[Column], bitmask: String): Column = {
+    val maskCol = typedLit(bitmask.map(_ == '1').toArray)
+    positions
+      .map(p => element_at(maskCol, (p + 1).cast("int")))
       .reduce(_ && _)
+  }
 
   /** Word n-gram shingles as a PURE-SQL expression pipeline (unlike the
     * compiled [[shingled]] kernel, this attaches to streaming frames):

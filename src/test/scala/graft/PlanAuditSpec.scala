@@ -256,11 +256,41 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("q_bloom_join: the membership test filters the fact BEFORE its join") {
     val p = plan(Relational.qBloomJoin(spark, sfDir))
-    // the codegen'd bitmask probe (substr over the literal) must appear
-    // as a Filter in the plan — losing it silently reverts to shipping
-    // the whole fact into the join
-    assert(p.contains("substr"), s"q_bloom_join lost its Bloom pre-filter:\n$p")
+    // the codegen'd bitmask probe (element_at into the boolean-array
+    // literal) must appear as a Filter in the plan — losing it silently
+    // reverts to shipping the whole fact into the join
+    assert(p.contains("element_at"), s"q_bloom_join lost its Bloom pre-filter:\n$p")
     assert(!p.contains("CartesianProduct"), s"q_bloom_join planned a cartesian:\n$p")
+  }
+
+  test("raster reductions (A29/A30) are single aggregates: no join, no window, no extra exchange") {
+    for ((name, q) <- Seq(
+        "q_zonal" -> graft.operators.Estimation.qZonal(spark, sfDir),
+        "q_resample" -> graft.operators.Estimation.qResample(spark, sfDir))) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$name grew a join:\n$p")
+      assert(!p.contains("Window"), s"$name grew a window:\n$p")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$name shuffles more than the one aggregate exchange:\n$p")
+    }
+  }
+
+  test("statistics queries (B73-B76, A31-A33) keep the fact out of windows and sort-merges") {
+    // each collapses the fact to a domain-bounded frame FIRST; windows
+    // and joins may only run on that collapsed side, so the executed
+    // plan must never sort-merge and never window-partition the scan
+    for ((name, q) <- Seq(
+        "q_mode" -> Relational.qMode(spark, sfDir),
+        "q_gini" -> Relational.qGini(spark, sfDir),
+        "q_auc"  -> Relational.qAuc(spark, sfDir),
+        "q_chi2" -> Relational.qChi2(spark, sfDir),
+        "q_crossval" -> graft.operators.Estimation.qCrossVal(spark, sfDir),
+        "q_ridge_path" -> graft.operators.Estimation.qRidgePath(spark, sfDir),
+        "q_feat_importance" -> graft.operators.Estimation.qFeatImportance(spark, sfDir))) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$name degraded to SortMergeJoin:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
   }
 
   test("scans prune to the projected columns") {
