@@ -862,6 +862,34 @@ object Estimation {
       .orderBy(col("rx"), col("ry"))
   }
 
+  /** A34: LOCAL map algebra — the cell-wise member of the raster-op
+    * taxonomy (local / focal A28 / zonal A29 / resample A30): a
+    * normalized-difference index (the NDVI shape) over two aligned
+    * bands of the same grid, (a−b)/(a+b) published as exact integer
+    * PPM. Aligned rasters are COLUMNS of one cell table — band b is
+    * another codegen formula on the same rows, so the whole op is
+    * per-row codegen with ZERO shuffle, the cheapest possible 100 TB
+    * plan. NoData in either band (or a+b = 0) → NULL (A15). The
+    * integral division runs on a NON-NEGATIVE numerator with the sign
+    * split out, because Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors — identical only when the numerator is
+    * non-negative.
+    */
+  def qMapAlgebra(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.sources.Synthetic.rasterGrid(s, 120L, 80L)
+    val hb = TF.hexPrefix52(concat(lit("ras2|"), col("x").cast("string"),
+                                   lit(","), col("y").cast("string")))
+    g.withColumn("b", when(hb % 23 === 0, lit(null).cast("long"))
+                        .otherwise(hb % 1000))
+      .select(col("x"), col("y"), col("v").as("a"), col("b"),
+        when(col("v").isNull || col("b").isNull || (col("v") + col("b")) === 0,
+             lit(null).cast("long"))
+          .otherwise(
+            (when(col("v") >= col("b"), lit(1L)).otherwise(lit(-1L))) *
+            expr("(abs(v - b) * 1000000) div (v + b)")).as("nd_ppm"))
+      .orderBy(col("x"), col("y"))
+  }
+
   /** The shared per-term SSE-from-moments expression for A31/A32 —
     * ONE formula string used verbatim by both the Spark `expr` and the
     * DuckDB oracle, so the IEEE op sequence is identical by
@@ -1081,6 +1109,20 @@ object Estimation {
           |  CAST(COUNT(v) AS BIGINT) AS vcnt,
           |  CAST(ROUND(CAST(SUM(v) AS DOUBLE)/COUNT(v), 4) AS DECIMAL(18,4))::DOUBLE AS mean_v
           |FROM gv GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+      "q_map_algebra" ->
+        s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
+          |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS ha,
+          |    ${TF.hexPrefix52Sql("md5('ras2|'||(i % 120)||','||(i // 120))")} AS hb
+          |  FROM range(0, 9600) t(i)),
+          |gv AS (SELECT x, y,
+          |    CASE WHEN ha % 19 = 0 THEN NULL ELSE ha % 1000 END AS a,
+          |    CASE WHEN hb % 23 = 0 THEN NULL ELSE hb % 1000 END AS b
+          |  FROM g)
+          |SELECT x, y, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+          |  CASE WHEN a IS NULL OR b IS NULL OR a + b = 0 THEN NULL
+          |    ELSE CAST((CASE WHEN a >= b THEN 1 ELSE -1 END)
+          |      * ((ABS(a - b) * 1000000) // (a + b)) AS BIGINT) END AS nd_ppm
+          |FROM gv ORDER BY x, y""".stripMargin,
       "q_crossval" ->
         """WITH b AS (SELECT (l_orderkey * 8 + l_linenumber) % 5 AS fold,
           |    CAST(ROUND(l_extendedprice*100,0) AS HUGEINT) AS x,
