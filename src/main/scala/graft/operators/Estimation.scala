@@ -890,6 +890,22 @@ object Estimation {
       .orderBy(col("x"), col("y"))
   }
 
+  /** A35: GLOBAL raster statistics — the whole-grid reduction closing
+    * the taxonomy (local A34 / focal A28 / zonal A29 / global /
+    * resample A30): n, valid count, min/max/sum and the exact-quotient
+    * mean in one partial-aggregated pass, NoData-aware. The 100 TB
+    * plan is the one Spark already picks: map-side combine to a
+    * single row per task, one tiny final merge.
+    */
+  def qRasterGlobal(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Synthetic.rasterGrid(s, 120L, 80L)
+      .agg(count(lit(1)).as("n_cells"), count(col("v")).as("n_valid"),
+           sum(col("v")).as("vsum"), min(col("v")).as("vmin"),
+           max(col("v")).as("vmax"))
+      .select(col("n_cells"), col("n_valid"), col("vsum"), col("vmin"),
+              col("vmax"),
+              dec4(col("vsum").cast("double") / col("n_valid")).as("mean_v"))
+
   /** The shared per-term SSE-from-moments expression for A31/A32 —
     * ONE formula string used verbatim by both the Spark `expr` and the
     * DuckDB oracle, so the IEEE op sequence is identical by
@@ -1109,6 +1125,15 @@ object Estimation {
           |  CAST(COUNT(v) AS BIGINT) AS vcnt,
           |  CAST(ROUND(CAST(SUM(v) AS DOUBLE)/COUNT(v), 4) AS DECIMAL(18,4))::DOUBLE AS mean_v
           |FROM gv GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+      "q_raster_global" ->
+        s"""WITH g AS (SELECT ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx
+          |  FROM range(0, 9600) t(i)),
+          |gv AS (SELECT CASE WHEN hx % 19 = 0 THEN NULL ELSE hx % 1000 END AS v FROM g)
+          |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+          |  CAST(COUNT(v) AS BIGINT) AS n_valid, CAST(SUM(v) AS BIGINT) AS vsum,
+          |  CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax,
+          |  CAST(ROUND(CAST(SUM(v) AS DOUBLE)/COUNT(v), 4) AS DECIMAL(18,4))::DOUBLE AS mean_v
+          |FROM gv""".stripMargin,
       "q_map_algebra" ->
         s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
           |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS ha,
