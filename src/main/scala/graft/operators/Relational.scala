@@ -1189,26 +1189,35 @@ object Relational {
     */
   def qApproxQuantile(s: SparkSession, dir: String): DataFrame = {
     val acc = 10000
-    val g = lineitem(s, dir).groupBy(col("l_returnflag")).agg(
-      percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-      percentile(col("l_extendedprice"), lit(0.95)).as("p95"),
+    val li = lineitem(s, dir)
+    // RANK-SPACE ε-contract (ε = 2/acc), the true approximate-percentile
+    // definition and the scale-independent one: the count of rows
+    // strictly below / at-or-below the sketch's value must bracket n·p
+    // within ±εn, compared in exact integers (scaled by acc). The r7
+    // value-space form (exact percentiles at p ± 2/acc) FAILED at
+    // sf0.001: percentile_approx returns an observed data value while
+    // exact percentile interpolates, and at n≈600 the value interval is
+    // degenerate — it contains no data value at all. Rank space is the
+    // space the sketch's guarantee actually lives in.
+    val g = li.groupBy(col("l_returnflag")).agg(
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(acc)).as("a50"),
-      percentile_approx(col("l_extendedprice"), lit(0.95), lit(acc)).as("a95"),
-      count(lit(1)).as("n"))
-    // rank-error bound: the approx value must sit within ±n/acc ranks;
-    // bound it VALUE-wise via the exact percentiles at p ± 2/acc
-    val lo50 = percentile(col("l_extendedprice"), lit(0.5 - 2.0 / acc))
-    val hi50 = percentile(col("l_extendedprice"), lit(0.5 + 2.0 / acc))
-    val lo95 = percentile(col("l_extendedprice"), lit(0.95 - 2.0 / acc))
-    val hi95 = percentile(col("l_extendedprice"), lit(0.95 + 2.0 / acc))
-    val bounds = lineitem(s, dir).groupBy(col("l_returnflag").as("bf")).agg(
-      lo50.as("lo50"), hi50.as("hi50"), lo95.as("lo95"), hi95.as("hi95"))
-    g.join(broadcast(bounds), col("l_returnflag") === col("bf"))
+      percentile_approx(col("l_extendedprice"), lit(0.95), lit(acc)).as("a95"))
+    val gb = broadcast(g.select(col("l_returnflag").as("bf"),
+                                col("a50"), col("a95")))
+    li.join(gb, col("l_returnflag") === col("bf"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum((col("l_extendedprice") < col("a50")).cast("long")).as("lt50"),
+           sum((col("l_extendedprice") <= col("a50")).cast("long")).as("le50"),
+           sum((col("l_extendedprice") < col("a95")).cast("long")).as("lt95"),
+           sum((col("l_extendedprice") <= col("a95")).cast("long")).as("le95"),
+           count(lit(1)).as("n"))
       .select(col("l_returnflag"),
-              (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
-                .cast("int").as("p50_in_bounds"),
-              (col("a95") >= col("lo95") && col("a95") <= col("hi95"))
-                .cast("int").as("p95_in_bounds"))
+        (col("lt50") * acc <= col("n") * (acc / 2) + col("n") * 2 &&
+         col("le50") * acc >= col("n") * (acc / 2) - col("n") * 2)
+          .cast("int").as("p50_in_bounds"),
+        (col("lt95") * acc <= col("n") * (acc * 95 / 100) + col("n") * 2 &&
+         col("le95") * acc >= col("n") * (acc * 95 / 100) - col("n") * 2)
+          .cast("int").as("p95_in_bounds"))
       .orderBy(col("l_returnflag"))
   }
 
