@@ -1747,8 +1747,119 @@ object Relational {
       .orderBy(col("month"))
   }
 
+  /** B77: KMV (bottom-k minimum values) distinct-count sketch — the
+    * sketch family member that is EXACTLY oracle-able: unlike HLL++
+    * (B56, engine-internal hashing, invariant-gated) the KMV estimate
+    * is a pure function of the k smallest md5 hashes, which both
+    * engines compute bit-identically. Per group keep the k = 64
+    * smallest 52-bit md5 hashes over DISTINCT values (two-level: the
+    * (group, value) distinct combines map-side first — the B61
+    * cardinality rule — then the per-group bottom-k is a rank-limited
+    * window, which Catalyst executes as a WindowGroupLimit: every task
+    * prunes to k rows per group BEFORE the sort, so the window input
+    * is bounded by k·groups per partition, never the value count).
+    * Estimate = (k−1)·2⁵² div h_(k) (exact integral division of exact
+    * integers); groups with fewer than k values are exact by
+    * construction. The sketch is mergeable (union of min-k sets) —
+    * constant memory at 100 TB, and F24 streams the same rule.
+    */
+  def qKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val d = lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+    val h = d.withColumn("hv",
+      TF.hexPrefix52(concat(lit("kmv|"), col("l_partkey").cast("string"))))
+    val rn = row_number().over(
+      Window.partitionBy(col("l_returnflag")).orderBy(col("hv"), col("l_partkey")))
+    val kk = h.withColumn("rn", rn).filter(col("rn") <= k)
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("hv")).as("kth"), count(lit(1)).as("n_kept"))
+    val ex = d.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_exact"))
+    ex.join(kk, "l_returnflag")
+      .withColumn("kmv_est",
+        when(col("n_kept") < k, col("n_exact"))
+          .otherwise(expr(s"${(k - 1).toLong * (1L << 52)} div kth")))
+      .withColumn("err_bp", expr("abs(kmv_est - n_exact) * 10000 div n_exact"))
+      .select(col("l_returnflag"), col("n_exact"), col("kmv_est"), col("err_bp"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** B78: one-way ANOVA F statistic, exact to the last integer — the
+    * hypothesis-test family member (with B66 KS, B75 AUC, B76 χ²)
+    * for "does the group affect the measure": quantity by returnflag.
+    * One map-side-combinable moment aggregate (n, Σx, Σx²; integer x
+    * by contract) collapses the fact to k = 3 rows; each between-group
+    * term S_g²·10⁶ div n_g is an integral division of DECIMAL(38,0)
+    * operands (non-negative numerators — Spark div truncates, DuckDB
+    * // floors, identical there), so SSB·10⁶ and SSW·10⁶ are exact
+    * BIGINTs and F is ONE IEEE division of exactly-rounded operands —
+    * bit-identical cross-engine, no float CDF or variance anywhere.
+    */
+  /** The ANOVA F ratio as ONE formula string, applied with `expr` on
+    * the Spark side and spliced verbatim into the DuckDB oracle — the
+    * sseFromMomentsSql rule: identical IEEE op sequence by
+    * construction (see Estimation.qRidgePath).
+    */
+  private val anovaFSql =
+    "(CAST(ssb_e6 AS DOUBLE) * CAST(n - n_groups AS DOUBLE)) / " +
+      "(CAST(ssw_e6 AS DOUBLE) * CAST(n_groups - 1 AS DOUBLE))"
+
+  def qAnova(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("long")
+    val g = lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_g"),
+           sum(x).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("s_g"),
+           sum(x * x).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("q_g"))
+      .withColumn("term_e6", expr("s_g * s_g * 1000000 div n_g"))
+    g.agg(count(lit(1)).as("n_groups"),
+          sum(col("n_g")).as("n"),
+          sum(col("s_g")).as("s"),
+          sum(col("q_g")).as("q"),
+          sum(col("term_e6")).as("terms_e6"))
+      .withColumn("ssb_e6", expr("terms_e6 - (s * s * 1000000 div n)"))
+      .withColumn("ssw_e6", expr("CAST(q * 1000000 AS BIGINT) - terms_e6"))
+      // one fixed IEEE op sequence, shared verbatim with the oracle
+      // (cast-exact operands, so the quotient is bit-identical)
+      .withColumn("f_stat", dec6(expr(anovaFSql)))
+      .select(col("n_groups"), col("n").cast("long").as("n"),
+              col("ssb_e6").cast("long").as("ssb_e6"),
+              col("ssw_e6").cast("long").as("ssw_e6"), col("f_stat"))
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above. */
   val oracles: Map[String, String] = Map(
+    "q_kmv_distinct" ->
+      s"""WITH d AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+        |h AS (SELECT l_returnflag, l_partkey,
+        |  ${TF.hexPrefix52Sql("md5('kmv|' || CAST(l_partkey AS VARCHAR))")} AS hv FROM d),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |    ORDER BY hv, l_partkey) AS rn FROM h),
+        |kk AS (SELECT l_returnflag, MAX(hv) AS kth, COUNT(*) AS n_kept
+        |  FROM r WHERE rn <= 64 GROUP BY 1),
+        |ex AS (SELECT l_returnflag, COUNT(*) AS n_exact FROM d GROUP BY 1),
+        |j AS (SELECT ex.l_returnflag, n_exact,
+        |  CASE WHEN n_kept < 64 THEN n_exact
+        |       ELSE CAST(${63L * (1L << 52)} // kth AS BIGINT) END AS kmv_est
+        |  FROM ex JOIN kk USING (l_returnflag))
+        |SELECT l_returnflag, n_exact, kmv_est,
+        |  CAST(ABS(kmv_est - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
+        |FROM j ORDER BY l_returnflag""".stripMargin,
+    "q_anova" ->
+      s"""WITH g AS (SELECT l_returnflag, COUNT(*) AS n_g,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS s_g,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS HUGEINT) AS q_g
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT *, s_g * s_g * 1000000 // n_g AS term_e6 FROM g),
+        |m AS (SELECT COUNT(*) AS n_groups, SUM(n_g) AS n, SUM(s_g) AS s,
+        |    SUM(q_g) AS q, CAST(SUM(term_e6) AS HUGEINT) AS terms_e6 FROM t),
+        |f AS (SELECT n_groups, n,
+        |    CAST(terms_e6 - (s * s * 1000000 // n) AS BIGINT) AS ssb_e6,
+        |    CAST(q * 1000000 - terms_e6 AS BIGINT) AS ssw_e6 FROM m)
+        |SELECT CAST(n_groups AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n,
+        |  ssb_e6, ssw_e6,
+        |  CAST(ROUND($anovaFSql, 6) AS DECIMAL(18,6))::DOUBLE AS f_stat
+        |FROM f""".stripMargin,
     "q_bloom_join" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
         |  COUNT(*) AS n_lines,
