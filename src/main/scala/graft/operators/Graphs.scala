@@ -9,6 +9,45 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Triangle enumeration by DEGREE-ORDERED edge iteration (the
+    * distributed standard — Suri & Vassilvitskii's "Counting triangles
+    * and the curse of the last reducer"): orient every undirected edge
+    * from its lower-(degree, id) endpoint to the higher, so each
+    * wedge u→v, u→w is generated at its LOWEST-ordered vertex — hub
+    * nodes never fan out (a node's oriented out-degree is O(√m)
+    * regardless of its raw degree, which is exactly the skew bound
+    * the naive node-centric join lacks), and every triangle is
+    * produced exactly once. One broadcastable degree dim, one
+    * self-join on the wedge center, one (v, w) semi-join against the
+    * oriented edge set — no cartesian, no per-node windows.
+    *
+    * Input: distinct undirected edges (lo, hi), lo < hi.
+    * Output: one row per triangle (u, v, w) in orientation order.
+    */
+  def orientedTriangles(edges: DataFrame): DataFrame = {
+    // order key: (degree, id) packed into one long — ids are dense and
+    // small by the caller's contract (node = id % 1000 style), so
+    // d·100000 + id is lexicographically identical to (d, id)
+    val deg = edges.select(col("lo").as("n"))
+      .union(edges.select(col("hi").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .select(col("n"), (col("d") * 100000L + col("n")).as("ordk"))
+    val e = edges
+      .join(broadcast(deg.withColumnRenamed("n", "lo").withColumnRenamed("ordk", "ord_lo")), "lo")
+      .join(broadcast(deg.withColumnRenamed("n", "hi").withColumnRenamed("ordk", "ord_hi")), "hi")
+    val oriented = e.select(
+      when(col("ord_lo") < col("ord_hi"), col("lo")).otherwise(col("hi")).as("src"),
+      when(col("ord_lo") < col("ord_hi"), col("hi")).otherwise(col("lo")).as("dst"),
+      when(col("ord_lo") < col("ord_hi"), col("ord_hi")).otherwise(col("ord_lo")).as("dst_ord"))
+    val o2 = oriented.select(col("src").as("src2"), col("dst").as("dst2"),
+                             col("dst_ord").as("dst_ord2"))
+    val wedges = oriented.join(o2, col("src") === col("src2") &&
+                                   col("dst_ord") < col("dst_ord2"))
+      .select(col("src").as("u"), col("dst").as("v"), col("dst2").as("w"))
+    wedges.join(oriented.select(col("src").as("v"), col("dst").as("w")),
+                Seq("v", "w"), "left_semi")
+  }
+
   /** Connected components by iterative min-label propagation — the
     * standard large-graph formulation (each round: every node adopts
     * the smallest label among itself and its neighbors; converges in

@@ -1827,8 +1827,60 @@ object Relational {
               col("ssw_e6").cast("long").as("ssw_e6"), col("f_stat"))
   }
 
+  /** B80: triangle counting by degree-ordered edge iteration
+    * ([[Graphs.orientedTriangles]]) — the graph-analytics density
+    * primitive (clustering coefficients, community cores, link-spam
+    * detection on the C19/C24 web-graph side). Fixture: a deterministic
+    * sparsified projection of the fact table — nodes = key residues,
+    * edges = co-occurring (order, part) residue pairs kept by a 5%
+    * md5 draw (the B25 deterministic-sample rule, so both engines
+    * build the identical graph at any scale). The degree ordering
+    * bounds every node's wedge fan-out at O(√m) — the "curse of the
+    * last reducer" fix: a hub key shuffles O(√m) wedges, not O(deg²).
+    * Output: top-10 nodes by triangle participation + the global count
+    * on a 1-row broadcast crossed back.
+    */
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val a = col("l_orderkey") % 1000
+    val b = col("l_partkey") % 1000
+    val e0 = lineitem(s, dir)
+      .filter(a =!= b)
+      .select(least(a, b).as("lo"), greatest(a, b).as("hi"))
+      .distinct()
+    val e = e0.filter(
+      TF.hexPrefix52(concat(lit("tri|"), col("lo").cast("string"),
+                            lit("|"), col("hi").cast("string"))) % 20 === 0)
+    val tri = Graphs.orientedTriangles(e)
+    val cnt = tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    val total = broadcast(tri.agg(count(lit(1)).as("total_tri")))
+    cnt.crossJoin(total)
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(10)
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above. */
   val oracles: Map[String, String] = Map(
+    "q_triangles" ->
+      s"""WITH e0 AS (SELECT DISTINCT least(l_orderkey % 1000, l_partkey % 1000) AS lo,
+        |    greatest(l_orderkey % 1000, l_partkey % 1000) AS hi
+        |  FROM lineitem WHERE l_orderkey % 1000 <> l_partkey % 1000),
+        |e AS (SELECT lo, hi FROM e0
+        |  WHERE ${TF.hexPrefix52Sql("md5('tri|' || lo || '|' || hi)")} % 20 = 0),
+        |deg AS (SELECT n, COUNT(*)*100000 + n AS ordk FROM
+        |  (SELECT lo AS n FROM e UNION ALL SELECT hi AS n FROM e) GROUP BY n),
+        |o AS (SELECT CASE WHEN dl.ordk < dh.ordk THEN lo ELSE hi END AS src,
+        |    CASE WHEN dl.ordk < dh.ordk THEN hi ELSE lo END AS dst,
+        |    CASE WHEN dl.ordk < dh.ordk THEN dh.ordk ELSE dl.ordk END AS dst_ord
+        |  FROM e JOIN deg dl ON e.lo = dl.n JOIN deg dh ON e.hi = dh.n),
+        |tri AS (SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+        |  FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst_ord < o2.dst_ord
+        |  WHERE EXISTS (SELECT 1 FROM o oc WHERE oc.src = o1.dst AND oc.dst = o2.dst)),
+        |nc AS (SELECT node, COUNT(*) AS n_tri FROM (SELECT u AS node FROM tri
+        |    UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri) GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS total_tri FROM tri)
+        |SELECT node, n_tri, total_tri FROM nc CROSS JOIN t
+        |ORDER BY n_tri DESC, node LIMIT 10""".stripMargin,
     "q_kmv_distinct" ->
       s"""WITH d AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
         |h AS (SELECT l_returnflag, l_partkey,

@@ -1618,8 +1618,51 @@ object TextOps {
       .limit(30)
   }
 
+  /** C40: Flesch-style readability scoring — the document-level
+    * complexity signal quality pipelines bucket corpora by (simple
+    * wiki vs arxiv). Words = whitespace tokens; syllables = vowel
+    * groups (`[aeiouy]+` runs — a run never crosses a space, so the
+    * whole-text extraction equals the per-word sum); sentence
+    * boundaries are regex extraction — the punctuation-free synthetic
+    * corpus synthesizes terminators as designated marker words (the
+    * C19/C20 fixture-synthesis convention), counted with the same
+    * non-overlapping left-to-right semantics both engines share. The
+    * score stays in exact integer millis: each factor is an integral
+    * division of non-negative exact integers (truncation identical
+    * cross-engine), the final subtraction exact — no float anywhere.
+    * Stateless pure codegen, zero shuffle at any corpus size.
+    */
+  def qReadability(s: SparkSession, dir: String): DataFrame = {
+    val ws = T.words(col("text"))
+    documents(s, dir)
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        (size(regexp_extract_all(col("text"), lit(" (spark|table|value) "), lit(0)))
+          .cast("long") + 1L).as("n_sentences"),
+        size(regexp_extract_all(col("text"), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syllables"))
+      .withColumn("wps_e6", expr("n_words * 1000000 div n_sentences"))
+      .withColumn("spw_e6", expr("n_syllables * 1000000 div n_words"))
+      .withColumn("flesch_e3",
+        expr("206835 - (1015 * wps_e6 div 1000000) - (84600 * spw_e6 div 1000000)"))
+      .orderBy(col("doc_id"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q_bm25" -> bm25OracleSql,
+    "q_readability" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(LEN(regexp_extract_all(text, ' (spark|table|value) ')) AS BIGINT) + 1
+        |    AS n_sentences,
+        |  CAST(LEN(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |  FROM documents),
+        |f AS (SELECT *, n_words * 1000000 // n_sentences AS wps_e6,
+        |  n_syllables * 1000000 // n_words AS spw_e6 FROM b)
+        |SELECT doc_id, n_words, n_sentences, n_syllables, wps_e6, spw_e6,
+        |  206835 - (1015 * wps_e6 // 1000000) - (84600 * spw_e6 // 1000000)
+        |    AS flesch_e3
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q_line_dedup" ->
       """WITH b AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |seg AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
