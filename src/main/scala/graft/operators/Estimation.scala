@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{FeatureFrame, NoData, PredictOptions}
 import graft.estimators._
-import graft.functions.{dec2, dec4, TextFunctions => TF}
+import graft.functions.{dec2, dec4, dec6, TextFunctions => TF}
 import graft.sources.Tables._
 
 /** Feature-array estimator query surface (SURVEY.md §2 A1–A11).
@@ -1080,6 +1080,72 @@ object Estimation {
       .orderBy(col("alpha"))
   }
 
+  /** A36 float steps as shared formula text (the sseFromMomentsSql /
+    * featImpDerivs rule): each string is applied with `expr` on the
+    * Spark side and spliced verbatim into the oracle, so the IEEE op
+    * sequence is identical by construction. Operands are exact
+    * DECIMAL(38,0)/BIGINT moments (cast-exact into DOUBLE).
+    */
+  private val lcSlopeSql =
+    "CAST(n_train * sxy - sx * sy AS DOUBLE) / CAST(n_train * sxx - sx * sx AS DOUBLE)"
+  private val lcInterceptSql =
+    "(CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE)) / CAST(n_train AS DOUBLE)"
+  private val lcPredCentsSql =
+    "CAST(ROUND(ROUND(b0 + b1 * l_quantity, 2) * 100, 0) AS BIGINT)"
+  private val lcRmseSql =
+    "SQRT(CAST(sse AS DOUBLE) / CAST(n_score AS DOUBLE)) / 100.0"
+
+  /** A36: learning curve (sklearn model_selection.learning_curve
+    * intent) from SUFFICIENT STATISTICS — training-size sweep at two
+    * corpus passes TOTAL, not per size: pass 1 aggregates exact
+    * integer OLS moments GROUPED BY a deterministic md5 decile of the
+    * training sample, so every nested subset's moments are conditional
+    * sums over a 10-row frame (subsets nest: decile < 2 ⊂ < 6 ⊂ all —
+    * the hash-split C30 rule makes membership rerun-stable and
+    * engine-portable); the three closed-form fits evaluate on a 3-row
+    * stacked frame; pass 2 scores ALL three models against the full
+    * fact in one scan (3-row broadcast crossed back, errors exact
+    * cents per the A26 contract, SSE in DECIMAL(38,0)). Every float
+    * step is shared formula text ([[lcSlopeSql]] etc.) — bit-identical
+    * cross-engine. The production question it answers: is the model
+    * moment-starved (rising curve → label more data) or saturated?
+    */
+  def qLearningCurve(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val t = withId(lineitem(s, dir).filter(col("l_orderkey") % 29 === 0))
+      .select(
+        (TF.hexPrefix52(concat(lit("lc|"), col("li_id"))) % 10).as("dk"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("y"))
+    val mo = t.groupBy(col("dk")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    val fracs = Seq(2 -> "20", 6 -> "60", 10 -> "100")
+    val condAggs = fracs.flatMap { case (f, tag) =>
+      sum(when(col("dk") < f, col("n")).otherwise(0L)).as(s"n$tag") +:
+        Seq("sx", "sy", "sxx", "sxy").map(c =>
+          sum(when(col("dk") < f, col(c)).otherwise(0L)).cast(dec).as(s"$c$tag"))
+    }
+    val stacked = mo.agg(condAggs.head, condAggs.tail: _*).selectExpr(
+      "stack(3, " + fracs.map { case (_, tag) =>
+        s"${tag}L, n$tag, sx$tag, sy$tag, sxx$tag, sxy$tag"
+      }.mkString(", ") + ") as (frac_pct, n_train, sx, sy, sxx, sxy)")
+    val co = broadcast(stacked
+      .withColumn("b1", expr(lcSlopeSql))
+      .withColumn("b0", expr(lcInterceptSql)))
+    lineitem(s, dir).crossJoin(co)
+      .withColumn("e",
+        expr(lcPredCentsSql) - round(col("l_extendedprice") * 100, 0).cast("long"))
+      .groupBy(col("frac_pct"), col("n_train"), col("b1"), col("b0"))
+      .agg(count(lit(1)).as("n_score"),
+           sum((col("e") * col("e")).cast(dec)).as("sse"))
+      .withColumn("rmse", dec4(expr(lcRmseSql)))
+      .select(col("frac_pct"), col("n_train"),
+              dec6(col("b1")).as("b1"), dec6(col("b0")).as("b0"), col("rmse"))
+      .orderBy(col("frac_pct"))
+  }
+
   /** Oracle SQL (DuckDB dialect). The kNN oracles use the crossJoin +
     * ROW_NUMBER formulation the Spark engine deliberately AVOIDS — fine
     * at sf0.01 oracle scale, ruled out at 100 TB (see class doc).
@@ -1088,7 +1154,36 @@ object Estimation {
     val train = s"train AS ($trainSql)"
     val q     = s"q AS (SELECT $uidSql AS li_id, l_quantity, " +
       "l_discount, l_tax, l_extendedprice, l_partkey, l_suppkey FROM lineitem)"
+    def lcFit(pct: Int, cond: String): String =
+      s"SELECT $pct AS frac_pct, " +
+        s"CAST(SUM(CASE WHEN $cond THEN n ELSE 0 END) AS BIGINT) AS n_train, " +
+        Seq("sx", "sy", "sxx", "sxy").map(c =>
+          s"CAST(SUM(CASE WHEN $cond THEN $c ELSE 0 END) AS HUGEINT) AS $c")
+          .mkString(", ") + " FROM mo"
     Map(
+      "q_learning_curve" ->
+        s"""WITH tr AS (SELECT
+          |    CAST(${TF.hexPrefix52Sql(s"md5('lc|' || $uidSql)")} % 10 AS BIGINT) AS dk,
+          |    CAST(l_quantity AS BIGINT) AS x,
+          |    CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS y
+          |  FROM lineitem WHERE l_orderkey % 29 = 0),
+          |mo AS (SELECT dk, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+          |    SUM(x*x) AS sxx, SUM(x*y) AS sxy FROM tr GROUP BY 1),
+          |fits AS (${lcFit(20, "dk < 2")} UNION ALL ${lcFit(60, "dk < 6")}
+          |  UNION ALL ${lcFit(100, "TRUE")}),
+          |co1 AS (SELECT *, $lcSlopeSql AS b1 FROM fits),
+          |co AS (SELECT *, $lcInterceptSql AS b0 FROM co1),
+          |er AS (SELECT frac_pct, n_train, b1, b0,
+          |    $lcPredCentsSql - CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS e
+          |  FROM lineitem CROSS JOIN co),
+          |sc AS (SELECT frac_pct, n_train, b1, b0, COUNT(*) AS n_score,
+          |    SUM(CAST(e AS HUGEINT) * CAST(e AS HUGEINT)) AS sse
+          |  FROM er GROUP BY 1,2,3,4)
+          |SELECT CAST(frac_pct AS BIGINT) AS frac_pct, n_train,
+          |  CAST(ROUND(b1, 6) AS DECIMAL(18,6))::DOUBLE AS b1,
+          |  CAST(ROUND(b0, 6) AS DECIMAL(18,6))::DOUBLE AS b0,
+          |  CAST(ROUND($lcRmseSql, 4) AS DECIMAL(18,4))::DOUBLE AS rmse
+          |FROM sc ORDER BY frac_pct""".stripMargin,
       "q_focal_mean" ->
         s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
           |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx

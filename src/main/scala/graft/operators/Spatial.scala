@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.sources.Tables._
+
+/** Spatial operators (SURVEY.md §2 B81): distance joins over point
+  * data by GRID BLOCKING — the partitioned-spatial-join shape (cell =
+  * radius-sized tile; candidates only inside the 3×3 neighborhood, so
+  * per-task work is bounded by local point density and the shuffle is
+  * O(9·n) cell-keyed rows, never the O(n²) cross join a naive distance
+  * predicate plans). Coordinates are exact integer micro-units
+  * synthesized deterministically from event ids (the C19/C20 fixture
+  * convention), distances exact integer squares — no floats anywhere.
+  */
+object Spatial {
+
+  private val R = 500L // radius in integer units; also the cell size
+
+  /** Deterministic point cloud: (event_id, x, y) on a 100k × 100k
+    * integer grid, positions md5-derived so both engines rebuild the
+    * identical cloud at any scale factor.
+    */
+  private def points(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("event_id"),
+      (TF.hexPrefix52(concat(lit("px|"), col("event_id").cast("string"))) % 100000L).as("x"),
+      (TF.hexPrefix52(concat(lit("py|"), col("event_id").cast("string"))) % 100000L).as("y"))
+
+  /** B81: radius self-join (all pairs within distance R) via grid
+    * blocking. Build side keyed by its own cell; probe side replicated
+    * to the 3×3 neighborhood (constant 9× fan-out — each pair meets in
+    * EXACTLY one (build-cell, probe-offset) combination, and the
+    * id-order filter keeps one orientation, so no dedup pass is
+    * needed). Equi-join on the cell key → a plain shuffled hash join
+    * on a composite integer key; the residual exact-distance filter
+    * runs codegen'd inside the join. Output: the 20 closest pairs
+    * (deterministic by (d², id, id)) + the global pair count on a
+    * 1-row broadcast crossed back.
+    */
+  def qSpatialJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = points(s, dir)
+      .withColumn("cx", expr(s"x div $R"))
+      .withColumn("cy", expr(s"y div $R"))
+    val build = p.select(col("event_id").as("id_a"), col("x").as("xa"),
+                         col("y").as("ya"), col("cx"), col("cy"))
+    val probe = p
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("event_id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+              (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    val pairs = build.join(probe, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("d2", (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+                        (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("d2") <= R * R)
+    val total = broadcast(pairs.agg(count(lit(1)).as("n_pairs")))
+    pairs.select(col("id_a"), col("id_b"), col("d2"))
+      .crossJoin(total)
+      .orderBy(col("d2"), col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_spatial_join" ->
+      s"""WITH p AS (SELECT event_id,
+        |    ${TF.hexPrefix52Sql("md5('px|' || event_id)")} % 100000 AS x,
+        |    ${TF.hexPrefix52Sql("md5('py|' || event_id)")} % 100000 AS y
+        |  FROM events),
+        |c AS (SELECT *, x // $R AS cx, y // $R AS cy FROM p),
+        |probe AS (SELECT event_id AS id_b, x AS xb, y AS yb,
+        |    cx + dx.v AS cx, cy + dy.v AS cy
+        |  FROM c CROSS JOIN (VALUES (-1), (0), (1)) dx(v)
+        |         CROSS JOIN (VALUES (-1), (0), (1)) dy(v)),
+        |pairs AS (SELECT a.event_id AS id_a, probe.id_b,
+        |    (a.x - xb)*(a.x - xb) + (a.y - yb)*(a.y - yb) AS d2
+        |  FROM c a JOIN probe ON a.cx = probe.cx AND a.cy = probe.cy
+        |    AND a.event_id < probe.id_b
+        |  WHERE (a.x - xb)*(a.x - xb) + (a.y - yb)*(a.y - yb) <= ${R * R}),
+        |t AS (SELECT COUNT(*) AS n_pairs FROM pairs)
+        |SELECT id_a, id_b, CAST(d2 AS BIGINT) AS d2, n_pairs
+        |FROM pairs CROSS JOIN t
+        |ORDER BY d2, id_a, id_b LIMIT 20""".stripMargin)
+}
