@@ -396,6 +396,53 @@ object EventStreams {
         })
   }
 
+  final case class KmvArrival(grp: String, value: Long)
+  final case class KmvState(ver: Long, hashes: Array[Long], values: Array[Long])
+  final case class KmvOut(grp: String, ver: Long, n_kept: Int, kth: Long, est: Long)
+
+  /** F24: streaming KMV distinct-count sketch (batch twin B77) — the
+    * min-k set is the textbook MERGEABLE sketch state: per group keep
+    * the k smallest (52-bit md5 hash, value) pairs (the value rides
+    * along only to dedup re-deliveries and disambiguate the
+    * astronomically-unlikely 52-bit collision, exactly as the batch
+    * window orders by (hv, value)); each arrival is one binary-search
+    * + bounded insert, state is O(k) per group FOREVER, and the
+    * estimate (k−1)·2⁵² div h₍k₎ — or the exact kept count while the
+    * set is under k — is the batch formula verbatim. Update-mode
+    * changelog re-emits the group's sketch each batch under a bumped
+    * version; latest-per-group equals the batch B77 estimate in ANY
+    * arrival order (set union is commutative).
+    */
+  def kmvStream(in: Dataset[KmvArrival], k: Int = 64): Dataset[KmvOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.grp)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (grp: String, batch: Iterator[KmvArrival], state: GroupState[KmvState]) => {
+          val prev = state.getOption.getOrElse(
+            KmvState(0L, Array.empty[Long], Array.empty[Long]))
+          // (hash, value) pairs ordered by (hash, value); TreeSet keeps
+          // the min-k property under inserts in O(log k)
+          val set = scala.collection.mutable.TreeSet.empty[(Long, Long)]
+          var i = 0
+          while (i < prev.hashes.length) {
+            set += ((prev.hashes(i), prev.values(i))); i += 1
+          }
+          val md = java.security.MessageDigest.getInstance("MD5")
+          batch.foreach { a =>
+            val h = graft.functions.TextKernels.md5Prefix52(md, s"kmv|${a.value}")
+            set += ((h, a.value))
+            if (set.size > k) set -= set.last
+          }
+          val arr = set.toArray
+          val ver = prev.ver + 1
+          state.update(KmvState(ver, arr.map(_._1), arr.map(_._2)))
+          val est =
+            if (arr.length < k) arr.length.toLong
+            else (k - 1).toLong * (1L << 52) / arr.last._1
+          Iterator.single(KmvOut(grp, ver, arr.length, if (arr.isEmpty) 0L else arr.last._1, est))
+        })
+  }
+
   /** F19: streaming canonicalizing dedup (batch twin C36) — first-seen
     * per canonical content hash (the C36 normalization expression
     * attached unchanged) via dropDuplicates: state is one key per

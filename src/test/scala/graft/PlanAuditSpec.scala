@@ -293,6 +293,31 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV bottom-k compiles to a rank-limited window (WindowGroupLimit)") {
+    // the per-group bottom-64 must prune to k rows per group in each
+    // task BEFORE the window sort — without the pushdown every distinct
+    // (group, value) pair feeds the sort and the sketch's constant-
+    // memory claim is void
+    val p = plan(Relational.qKmvDistinct(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"),
+      s"q_kmv_distinct lost its rank-limit pushdown:\n$p")
+  }
+
+  test("triangle / spatial / learning-curve joins never plan a cartesian") {
+    for ((name, q) <- Seq(
+        "q_triangles" -> Relational.qTriangles(spark, sfDir),
+        "q_spatial_join" -> graft.operators.Spatial.qSpatialJoin(spark, sfDir))) {
+      val p = plan(q)
+      // the only nested-loop allowed is the 1-row broadcast total cross
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+    // the learning curve's only cross join must be against the 3-row
+    // broadcast coefficient frame
+    val lc = plan(graft.operators.Estimation.qLearningCurve(spark, sfDir))
+    assert(!lc.contains("CartesianProduct"), s"q_learning_curve plans a cartesian:\n$lc")
+    assert(!lc.contains("SortMergeJoin"), s"q_learning_curve sort-merges:\n$lc")
+  }
+
   test("scans prune to the projected columns") {
     val p = plan(Relational.qDistinct(spark, sfDir))
     // customer has 5+ columns; this aggregate needs exactly three

@@ -513,6 +513,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F24 streaming KMV sketch equals the batch B77 estimate across batches") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{KmvArrival, KmvOut}
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val arrivals = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_partkey")).collect()
+      .map(r => KmvArrival(r.getString(0), r.getLong(1))).toSeq
+    val input = MemoryStream[KmvArrival]
+    val q = EventStreams.kmvStream(input.toDS(), 64)
+      .writeStream.format("memory").queryName("kmv_out").outputMode("update").start()
+    try {
+      val third = arrivals.length / 3
+      input.addData(arrivals.take(third)); q.processAllAvailable()
+      input.addData(arrivals.slice(third, 2 * third)); q.processAllAvailable()
+      // re-deliver the first slice too: the min-k SET must not move
+      input.addData(arrivals.drop(2 * third) ++ arrivals.take(100))
+      q.processAllAvailable()
+      val rows = spark.table("kmv_out").as[KmvOut].collect()
+      val latest = rows.groupBy(_.grp).map { case (g, os) =>
+        g -> os.maxBy(_.ver).est
+      }
+      val batch = graft.operators.Relational.qKmvDistinct(spark, sfDir)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(latest == batch,
+        s"stream KMV $latest diverges from batch $batch")
+    } finally q.stop()
+  }
+
   test("F16 streaming LM scoring equals batch q_lm_score with fit-once counts") {
     import spark.implicits._
     import graft.operators.TextOps
