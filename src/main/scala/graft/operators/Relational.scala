@@ -1859,8 +1859,40 @@ object Relational {
       .limit(10)
   }
 
+  /** B82: changelog compaction to latest snapshot (the Delta/Hudi
+    * upsert-compaction semantics, and the batch form of every
+    * streaming "latest state per key" materialization): one
+    * map-side-combinable `max_by` aggregate per key over a PACKED
+    * scalar version key (event-time micros since the epoch floor,
+    * ·10⁶, + event_id as the unique tiebreak — exact integers, so the
+    * winner and its tie rule are engine-identical; DuckDB's arg_max
+    * rejects struct keys, hence the packing). Window-free — the
+    * ROW_NUMBER()=1 formulation would sort every key group; max_by
+    * combines partials and shuffles one row per (partition, key).
+    */
+  def qUpsertCompact(s: SparkSession, dir: String): DataFrame = {
+    val baseUs = 1704067200000000L // 2024-01-01 epoch micros (fixture floor)
+    val ver = (unix_micros(col("ts")) - baseUs) * 1000000L + col("event_id")
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max_by(col("event_id"), ver).as("last_event_id"),
+           max_by(col("event_type"), ver).as("last_type"),
+           dec2(max_by(col("value"), ver)).as("last_value"),
+           count(lit(1)).as("n_versions"))
+      .orderBy(col("user_id"))
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above. */
   val oracles: Map[String, String] = Map(
+    "q_upsert_compact" ->
+      """WITH v AS (SELECT *,
+        |  (epoch_us(ts) - 1704067200000000) * 1000000 + event_id AS ver
+        |  FROM events)
+        |SELECT user_id, arg_max(event_id, ver) AS last_event_id,
+        |  arg_max(event_type, ver) AS last_type,
+        |  CAST(ROUND(arg_max(value, ver), 2) AS DECIMAL(18,2))::DOUBLE AS last_value,
+        |  COUNT(*) AS n_versions
+        |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_triangles" ->
       s"""WITH e0 AS (SELECT DISTINCT least(l_orderkey % 1000, l_partkey % 1000) AS lo,
         |    greatest(l_orderkey % 1000, l_partkey % 1000) AS hi

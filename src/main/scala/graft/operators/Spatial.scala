@@ -63,7 +63,63 @@ object Spatial {
       .limit(20)
   }
 
+  /** B83: per-point nearest neighbor within radius R — the spatial kNN
+    * (k=1) via the SAME grid blocking as B81: all ordered neighbor
+    * pairs inside the 3×3 cells, then one `min_by` aggregate per point
+    * over a packed scalar order key d²·10⁷ + id (exact integers, so
+    * the argmin and its tie rule are engine-identical — DuckDB's
+    * arg_min rejects struct keys, hence the packing). Points with no
+    * neighbor inside R survive via a LEFT join with NULL nn — the A15
+    * NoData contract shape. Window-free: the per-point reduction is a
+    * map-side-combinable aggregate, never a rank window over pairs.
+    */
+  def qSpatialNn(s: SparkSession, dir: String): DataFrame = {
+    val p = points(s, dir)
+      .withColumn("cx", expr(s"x div $R"))
+      .withColumn("cy", expr(s"y div $R"))
+    val build = p.select(col("event_id").as("id_a"), col("x").as("xa"),
+                         col("y").as("ya"), col("cx"), col("cy"))
+    val probe = p
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("event_id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+              (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    val nn = build.join(probe, Seq("cx", "cy"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("d2", (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+                        (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("d2") <= R * R)
+      .withColumn("ok", col("d2") * 10000000L + col("id_b"))
+      .groupBy(col("id_a"))
+      .agg(min_by(col("id_b"), col("ok")).as("nn_id"), min(col("d2")).as("nn_d2"))
+    points(s, dir).select(col("event_id"))
+      .join(nn, col("event_id") === col("id_a"), "left")
+      .select(col("event_id"), col("nn_id"), col("nn_d2"))
+      .orderBy(col("event_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_spatial_nn" ->
+      s"""WITH p AS (SELECT event_id,
+        |    ${TF.hexPrefix52Sql("md5('px|' || event_id)")} % 100000 AS x,
+        |    ${TF.hexPrefix52Sql("md5('py|' || event_id)")} % 100000 AS y
+        |  FROM events),
+        |c AS (SELECT *, x // $R AS cx, y // $R AS cy FROM p),
+        |probe AS (SELECT event_id AS id_b, x AS xb, y AS yb,
+        |    cx + dx.v AS cx, cy + dy.v AS cy
+        |  FROM c CROSS JOIN (VALUES (-1), (0), (1)) dx(v)
+        |         CROSS JOIN (VALUES (-1), (0), (1)) dy(v)),
+        |pairs AS (SELECT a.event_id AS id_a, probe.id_b,
+        |    (a.x - xb)*(a.x - xb) + (a.y - yb)*(a.y - yb) AS d2
+        |  FROM c a JOIN probe ON a.cx = probe.cx AND a.cy = probe.cy
+        |    AND a.event_id <> probe.id_b
+        |  WHERE (a.x - xb)*(a.x - xb) + (a.y - yb)*(a.y - yb) <= ${R * R}),
+        |nn AS (SELECT id_a, arg_min(id_b, d2 * 10000000 + id_b) AS nn_id,
+        |    CAST(MIN(d2) AS BIGINT) AS nn_d2
+        |  FROM pairs GROUP BY 1)
+        |SELECT p.event_id, nn.nn_id, nn.nn_d2
+        |FROM p LEFT JOIN nn ON p.event_id = nn.id_a
+        |ORDER BY p.event_id""".stripMargin,
     "q_spatial_join" ->
       s"""WITH p AS (SELECT event_id,
         |    ${TF.hexPrefix52Sql("md5('px|' || event_id)")} % 100000 AS x,

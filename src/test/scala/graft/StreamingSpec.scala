@@ -542,6 +542,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F25 streaming upsert compaction equals batch B82; winner replays emit nothing") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{UpsertEv, UpsertOut}
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val baseUs = 1704067200000000L
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), (unix_micros(col("ts")) - baseUs) * 1000000L + col("event_id"),
+              col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => UpsertEv(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+    val input = MemoryStream[UpsertEv]
+    val q = EventStreams.upsertCompactStream(input.toDS())
+      .writeStream.format("memory").queryName("upsert_out").outputMode("update").start()
+    try {
+      val third = ev.length / 3
+      input.addData(ev.take(third)); q.processAllAvailable()
+      input.addData(ev.slice(third, 2 * third)); q.processAllAvailable()
+      input.addData(ev.drop(2 * third)); q.processAllAvailable()
+      val latest = spark.table("upsert_out").as[UpsertOut].collect()
+        .groupBy(_.user_id).map { case (u, os) =>
+          val o = os.maxBy(_.ver)
+          // n_versions grows monotonically: take the max emitted
+          u -> (o.last_event_id, o.last_type, os.map(_.n_versions).max)
+        }
+      val batch = graft.operators.Relational.qUpsertCompact(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(4))).toMap
+      assert(latest == batch, "stream compaction diverges from batch")
+      // replaying every current winner must emit NOTHING
+      val before = spark.table("upsert_out").count()
+      val winners = ev.groupBy(_.user_id).values.map(_.maxBy(_.ver)).toSeq
+      input.addData(winners); q.processAllAvailable()
+      assert(spark.table("upsert_out").count() == before,
+        "winner replays re-emitted state")
+    } finally q.stop()
+  }
+
   test("F16 streaming LM scoring equals batch q_lm_score with fit-once counts") {
     import spark.implicits._
     import graft.operators.TextOps
