@@ -2661,8 +2661,8 @@ object Relational {
     val hu = TF.hexPrefix52Sql("md5('zu|'||i)")
     val hv = TF.hexPrefix52Sql("md5('zv|'||i)")
     s"""(SELECT i AS event_id,
-      |    LEAST(4503599627370496 // ($hu + 1), 1000) AS user_id,
-      |    $hv % 100000 AS v
+      |    CAST(LEAST(4503599627370496 // ($hu + 1), 1000) AS BIGINT) AS user_id,
+      |    CAST($hv % 100000 AS BIGINT) AS v
       |  FROM (SELECT unnest(range($zipfRows)) AS i))""".stripMargin
   }
 
