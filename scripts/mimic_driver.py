@@ -5,6 +5,7 @@ the r01 hash_match pattern and validate fixes against it.
 
 Usage: python3 scripts/mimic_driver.py <sfDir> <verifyOutDir>
 """
+import datetime
 import glob
 import hashlib
 import json
@@ -17,9 +18,20 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _cell(v):
+    # pandas reads a parquet DATE column as datetime.date objects while
+    # DuckDB's .df() yields datetime64 — the real driver hash-matches
+    # date-typed outputs across that divide (observed: q_gap_islands /
+    # q_retention green in CORRECTNESS_r08), so normalize date -> midnight
+    # timestamp before stringifying.
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return str(pd.Timestamp(v))
+    return str(v)
+
+
 def df_hash(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)]
-    rows = sorted(tuple(str(v) for v in row) for row in df.itertuples(index=False, name=None))
+    rows = sorted(tuple(_cell(v) for v in row) for row in df.itertuples(index=False, name=None))
     h = hashlib.md5()
     for r in rows:
         h.update("\x1f".join(r).encode())
@@ -54,8 +66,8 @@ def main(sf_dir: str, out_dir: str) -> None:
         if not hm:
             sdf = spark_df[sorted(spark_df.columns)]
             odf = oracle_df[sorted(oracle_df.columns)]
-            srows = sorted(tuple(str(v) for v in r) for r in sdf.itertuples(index=False, name=None))
-            orows = sorted(tuple(str(v) for v in r) for r in odf.itertuples(index=False, name=None))
+            srows = sorted(tuple(_cell(v) for v in r) for r in sdf.itertuples(index=False, name=None))
+            orows = sorted(tuple(_cell(v) for v in r) for r in odf.itertuples(index=False, name=None))
             for a, b in zip(srows, orows):
                 if a != b:
                     results[name]["first_diff"] = {"spark": a, "oracle": b}

@@ -1200,7 +1200,7 @@ object Estimation {
       "q_zonal" ->
         s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
           |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx,
-          |    ${TF.hexPrefix52Sql("md5('zone|'||((i % 120) // 8)||','||((i // 120) // 8))")} % 6 AS zone
+          |    CAST(${TF.hexPrefix52Sql("md5('zone|'||((i % 120) // 8)||','||((i // 120) // 8))")} % 6 AS BIGINT) AS zone
           |  FROM range(0, 9600) t(i)),
           |gv AS (SELECT zone, CASE WHEN hx % 19 = 0 THEN NULL ELSE hx % 1000 END AS v
           |  FROM g)

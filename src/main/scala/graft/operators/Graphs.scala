@@ -25,13 +25,15 @@ object Graphs {
     * Output: one row per triangle (u, v, w) in orientation order.
     */
   def orientedTriangles(edges: DataFrame): DataFrame = {
-    // order key: (degree, id) packed into one long — ids are dense and
-    // small by the caller's contract (node = id % 1000 style), so
-    // d·100000 + id is lexicographically identical to (d, id)
+    // order key: the (degree, id) STRUCT — Spark orders structs
+    // lexicographically, so the total order is exact for ANY id
+    // domain (the earlier packed long d·100000 + id broke it for
+    // ids ≥ 10⁵; GraphsSpec pins that boundary). Oracles that need
+    // the same order on bounded fixtures may still pack.
     val deg = edges.select(col("lo").as("n"))
       .union(edges.select(col("hi").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      .select(col("n"), (col("d") * 100000L + col("n")).as("ordk"))
+      .select(col("n"), struct(col("d"), col("n")).as("ordk"))
     val e = edges
       .join(broadcast(deg.withColumnRenamed("n", "lo").withColumnRenamed("ordk", "ord_lo")), "lo")
       .join(broadcast(deg.withColumnRenamed("n", "hi").withColumnRenamed("ordk", "ord_hi")), "hi")

@@ -788,8 +788,11 @@ object Multimodal {
   def ingestBlobs(s: SparkSession, dir: String, featureDim: Int = 8): DataFrame =
     decodeFeatures(readBlobs(s, dir), featureDim)
 
-  /** STUB decoder: deterministic hash-derived "features" in [0,1).
-    * Placeholder for a real codec (???) — see decodeFeatures doc.
+  /** Deterministic hash-derived "features" in [0,1) for ARBITRARY
+    * payloads (the format-specific real codecs live in decodeBmp /
+    * decodePng / decodeWav below): keeps the E7 ingest path total —
+    * every blob gets a feature row even when its bytes are not one of
+    * the decoded container formats.
     */
   private def fakeDecode(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)

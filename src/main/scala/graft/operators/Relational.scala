@@ -1862,17 +1862,18 @@ object Relational {
   /** B82: changelog compaction to latest snapshot (the Delta/Hudi
     * upsert-compaction semantics, and the batch form of every
     * streaming "latest state per key" materialization): one
-    * map-side-combinable `max_by` aggregate per key over a PACKED
-    * scalar version key (event-time micros since the epoch floor,
-    * ·10⁶, + event_id as the unique tiebreak — exact integers, so the
-    * winner and its tie rule are engine-identical; DuckDB's arg_max
-    * rejects struct keys, hence the packing). Window-free — the
-    * ROW_NUMBER()=1 formulation would sort every key group; max_by
+    * map-side-combinable `max_by` aggregate per key over a STRUCT
+    * version key (event-time, event_id as the unique tiebreak) —
+    * Spark orders structs lexicographically, so the winner and its
+    * tie rule are exact at ANY time span or id domain (the earlier
+    * packed-long key overflowed past a ~107-day span and bled ties at
+    * event_id ≥ 10⁶; UpsertBoundsSpec pins those boundaries). The
+    * oracle expresses the same winner via ROW_NUMBER DESC — oracle
+    * perf is irrelevant, engine perf stays window-free: max_by
     * combines partials and shuffles one row per (partition, key).
     */
   def qUpsertCompact(s: SparkSession, dir: String): DataFrame = {
-    val baseUs = 1704067200000000L // 2024-01-01 epoch micros (fixture floor)
-    val ver = (unix_micros(col("ts")) - baseUs) * 1000000L + col("event_id")
+    val ver = struct(col("ts"), col("event_id"))
     events(s, dir)
       .groupBy(col("user_id"))
       .agg(max_by(col("event_id"), ver).as("last_event_id"),
@@ -1886,13 +1887,15 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q_upsert_compact" ->
       """WITH v AS (SELECT *,
-        |  (epoch_us(ts) - 1704067200000000) * 1000000 + event_id AS ver
+        |  ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn,
+        |  COUNT(*) OVER (PARTITION BY user_id) AS n_versions
         |  FROM events)
-        |SELECT user_id, arg_max(event_id, ver) AS last_event_id,
-        |  arg_max(event_type, ver) AS last_type,
-        |  CAST(ROUND(arg_max(value, ver), 2) AS DECIMAL(18,2))::DOUBLE AS last_value,
-        |  COUNT(*) AS n_versions
-        |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_type,
+        |  CAST(ROUND(value, 2) AS DECIMAL(18,2))::DOUBLE AS last_value,
+        |  n_versions
+        |FROM v WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_triangles" ->
       s"""WITH e0 AS (SELECT DISTINCT least(l_orderkey % 1000, l_partkey % 1000) AS lo,
         |    greatest(l_orderkey % 1000, l_partkey % 1000) AS hi
@@ -2099,7 +2102,7 @@ object Relational {
         |    CAST(SUM(ng) AS BIGINT) AS n_neg FROM h),
         |u AS (SELECT CAST(SUM(CAST(p AS HUGEINT) * (2*cnb + ng))
         |    AS DECIMAL(38,0)) AS u2 FROM c)
-        |SELECT n_pos, n_neg, u2,
+        |SELECT n_pos, n_neg, CAST(u2 AS BIGINT) AS u2,
         |  CAST(ROUND(CAST(u2 AS DOUBLE) / ((2.0*n_pos)*n_neg), 6)
         |    AS DECIMAL(18,6))::DOUBLE AS auc
         |FROM u CROSS JOIN tot""".stripMargin,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Materialize
 import graft.functions.{TextFunctions => TF}
 import graft.sources.Tables._
 
@@ -38,7 +39,11 @@ object Spatial {
     * on a composite integer key; the residual exact-distance filter
     * runs codegen'd inside the join. Output: the 20 closest pairs
     * (deterministic by (d², id, id)) + the global pair count on a
-    * 1-row broadcast crossed back.
+    * 1-row broadcast crossed back. The pairs subtree is PINNED
+    * ([[Materialize.pin]]) before fan-out to count + top-20 — without
+    * it both consumers re-run the scan+9×-explode+shuffle, the
+    * dominant cost at scale; with it the join runs once and the two
+    * readers scan the materialized (id_a, id_b, d2) projection only.
     */
   def qSpatialJoin(s: SparkSession, dir: String): DataFrame = {
     val p = points(s, dir)
@@ -51,13 +56,15 @@ object Spatial {
       .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
       .select(col("event_id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
               (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
-    val pairs = build.join(probe, Seq("cx", "cy"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("d2", (col("xa") - col("xb")) * (col("xa") - col("xb")) +
-                        (col("ya") - col("yb")) * (col("ya") - col("yb")))
-      .filter(col("d2") <= R * R)
+    val pairs = Materialize.pin(
+      build.join(probe, Seq("cx", "cy"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("d2", (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+                          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+        .filter(col("d2") <= R * R)
+        .select(col("id_a"), col("id_b"), col("d2")))
     val total = broadcast(pairs.agg(count(lit(1)).as("n_pairs")))
-    pairs.select(col("id_a"), col("id_b"), col("d2"))
+    pairs
       .crossJoin(total)
       .orderBy(col("d2"), col("id_a"), col("id_b"))
       .limit(20)

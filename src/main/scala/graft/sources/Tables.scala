@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated star schema.
   *
@@ -22,20 +22,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * nanos-epoch long (spark.sql.legacy.parquet.nanosAsLong — set by
-    * [[graft.GraftSession]]). Truncate to micros like DuckDB does so both
-    * engines see identical timestamps.
+  /** events.ts arrives in whichever physical encoding the generator used
+    * that round — the engine normalizes ALL of them to a canonical
+    * TIMESTAMP (instant semantics) so downstream `unix_micros` et al.
+    * always resolve:
+    *   - parquet TIMESTAMP(NANOS): Spark reads it as a nanos-epoch long
+    *     (spark.sql.legacy.parquet.nanosAsLong — set by
+    *     [[graft.GraftSession]]); truncate to micros like DuckDB does so
+    *     both engines see identical timestamps.
+    *   - parquet timestamp[us] isAdjustedToUTC=false: Spark 4 reads it as
+    *     TIMESTAMP_NTZ; cast to TIMESTAMP — instant-preserving because the
+    *     session timezone is pinned UTC ([[graft.GraftSession]]).
+    *   - parquet timestamp[us] isAdjustedToUTC=true: already TIMESTAMP.
+    * TimestampEncodingSpec pins this three-way contract.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      // floor division (subtract the non-negative pmod remainder first):
-      // plain `div` truncates toward zero, which would land pre-1970
-      // sub-microsecond instants one microsecond LATE vs DuckDB's
-      // truncation; integer `div` keeps full 64-bit precision
-      df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        // floor division (subtract the non-negative pmod remainder first):
+        // plain `div` truncates toward zero, which would land pre-1970
+        // sub-microsecond instants one microsecond LATE vs DuckDB's
+        // truncation; integer `div` keeps full 64-bit precision
+        df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

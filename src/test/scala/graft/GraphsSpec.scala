@@ -45,6 +45,20 @@ class GraphsSpec extends AnyFunSuite {
     }
   }
 
+  test("triangles survive node ids >= 10^5 (the packed order key collided there)") {
+    import s.implicits._
+    // with the old packed key d·100000 + n, node 0 (degree 3 → 300000)
+    // and node 100000 (degree 2 → 300000) COLLIDE: the (0, 100000) edge
+    // got an arbitrary orientation and the strict wedge inequality then
+    // dropped the triangle. The struct (degree, id) key is collision-free
+    // for any id domain.
+    val edges = Seq((0L, 100000L), (0L, 42L), (42L, 100000L), (0L, 99L))
+      .toDF("lo", "hi")
+    val tri = Graphs.orientedTriangles(edges).collect()
+    assert(tri.length === 1)
+    assert(tri(0).toSeq.toSet === Set(0L, 42L, 100000L))
+  }
+
   test("connected components under a reliable checkpoint dir") {
     // the dir stays set on the shared session afterwards (SparkContext
     // has no unset); later suites then exercise the reliable-checkpoint
