@@ -906,6 +906,26 @@ object Estimation {
               col("vmax"),
               dec4(col("vsum").cast("double") / col("n_valid")).as("mean_v"))
 
+  /** G1 (query-backed since r9): per-row raster statistics read THROUGH
+    * the custom DataSource V2 [[graft.sources.v2.RasterSource]] — the
+    * gate-level proof that the engine-extension source path works
+    * end-to-end, not only under DataSourceV2Spec: the y-range filter is
+    * pushed into stripe planning (pruned stripes never run), the (y, v)
+    * projection reaches the reader (x is never emitted), and the oracle
+    * recomputes the same md5 cell formula without ever touching the
+    * source. Same aggregate shape as A29/A35: one map-side-combinable
+    * domain-bounded pass.
+    */
+  def qRasterSource(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.v2.RasterSource")
+      .option("w", 120).option("h", 80).load()
+      .filter(col("y") >= 20 && col("y") <= 59)
+      .groupBy(col("y"))
+      .agg(count(lit(1)).as("n_cells"), count(col("v")).as("n_valid"),
+           sum(col("v")).as("vsum"), min(col("v")).as("vmin"),
+           max(col("v")).as("vmax"))
+      .orderBy(col("y"))
+
   /** The shared per-term SSE-from-moments expression for A31/A32 —
     * ONE formula string used verbatim by both the Spark `expr` and the
     * DuckDB oracle, so the IEEE op sequence is identical by
@@ -1208,6 +1228,16 @@ object Estimation {
           |  CAST(COUNT(v) AS BIGINT) AS n_valid, CAST(SUM(v) AS BIGINT) AS vsum,
           |  CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax,
           |  CAST(ROUND(CAST(SUM(v) AS DOUBLE)/COUNT(v), 4) AS DECIMAL(18,4))::DOUBLE AS zonal_mean
+          |FROM gv GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_raster_source" ->
+        s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
+          |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx
+          |  FROM range(0, 9600) t(i)),
+          |gv AS (SELECT y, CASE WHEN hx % 19 = 0 THEN NULL ELSE hx % 1000 END AS v
+          |  FROM g WHERE y BETWEEN 20 AND 59)
+          |SELECT y, CAST(COUNT(*) AS BIGINT) AS n_cells,
+          |  CAST(COUNT(v) AS BIGINT) AS n_valid, CAST(SUM(v) AS BIGINT) AS vsum,
+          |  CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax
           |FROM gv GROUP BY 1 ORDER BY 1""".stripMargin,
       "q_resample" ->
         s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,

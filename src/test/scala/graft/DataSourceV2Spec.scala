@@ -51,6 +51,21 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(df.count() == expect && expect == 120L * 20)
   }
 
+  test("q_raster_source (the gate query) gets pushdown AND pruning in one plan") {
+    val df = graft.operators.Estimation.qRasterSource(spark, "")
+    // the aggregate runs under AQE, so find the scan in the pre-adaptive
+    // physical plan (scanOf's executedPlan walk would see only the
+    // AdaptiveSparkPlanExec wrapper)
+    val scan = df.queryExecution.sparkPlan
+      .collectFirst { case b: BatchScanExec => b }.get
+      .scan.asInstanceOf[RasterScan]
+    assert(scan.description().contains("yRange=[20,59]"),
+      s"gate query's y filter not pushed: ${scan.description()}")
+    // x is never referenced → the reader must not emit it
+    assert(scan.readSchema().fieldNames.toSeq.sorted == Seq("v", "y"))
+    assert(df.count() == 40L)
+  }
+
   test("the scan plans parallel stripes and an empty range plans none") {
     val full = scanOf(v2(120, 80)).scan.asInstanceOf[RasterScan]
     assert(full.toBatch.planInputPartitions().length == 8)
