@@ -20,8 +20,28 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    =
+    guardNanosLong(table(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame  =
+    guardNanosLong(table(s, d, "lineitem"), "l_shipdate")
+
+  /** Date-ish fact columns (o_orderdate, l_shipdate) currently arrive as
+    * timestamp[us] NTZ and are used ONLY in literal comparisons /
+    * date_trunc — both resolve on NTZ, and leaving the scan column
+    * untouched keeps predicate pushdown into the parquet source (the
+    * audited `PushedFilters` posture; an unconditional cast here would
+    * detach every date filter from the scan). The ONE encoding that is
+    * silently catastrophic is TIMESTAMP(NANOS): under the session's
+    * `nanosAsLong` it surfaces as a plain long and every date predicate
+    * would compare strings to nanos. Normalize exactly that case
+    * (correctness over pushdown when the generator flips encodings —
+    * the round-8 lesson).
+    */
+  private def guardNanosLong(df: DataFrame, name: String): DataFrame =
+    if (df.schema(name).dataType == LongType)
+      df.withColumn(name,
+        timestamp_micros(expr(s"($name - pmod($name, 1000L)) div 1000L")))
+    else df
   /** events.ts arrives in whichever physical encoding the generator used
     * that round — the engine normalizes ALL of them to a canonical
     * TIMESTAMP (instant semantics) so downstream `unix_micros` et al.

@@ -318,6 +318,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!lc.contains("SortMergeJoin"), s"q_learning_curve sort-merges:\n$lc")
   }
 
+  test("q_spatial_join evaluates the grid-join pairs subtree exactly once") {
+    // the pairs frame is pinned (Materialize.pin) before the count /
+    // top-20 fan-out, so the FINAL plan must read the materialized RDD —
+    // no residual grid equi-join or 9×-explode Generate may remain (the
+    // pre-r9 plan re-ran scan+explode+join for BOTH consumers)
+    val p = plan(graft.operators.Spatial.qSpatialJoin(spark, sfDir))
+    assert(p.contains("Scan ExistingRDD"),
+      s"q_spatial_join no longer reads the pinned pairs:\n$p")
+    assert(!p.contains("Generate"),
+      s"q_spatial_join re-plans the 9x neighborhood explode after the pin:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q_spatial_join re-plans the grid join after the pin:\n$p")
+  }
+
   test("scans prune to the projected columns") {
     val p = plan(Relational.qDistinct(spark, sfDir))
     // customer has 5+ columns; this aggregate needs exactly three

@@ -69,6 +69,20 @@ class TimestampEncodingSpec extends AnyFunSuite {
     assertNormalized(dir)
   }
 
+  test("orders/lineitem date columns survive a TIMESTAMP(NANOS) flip (guarded long case)") {
+    import s.implicits._
+    // o_orderdate as a nanos long — the silently-catastrophic encoding:
+    // unguarded, `o_orderdate >= '1995-01-01'` compares strings to nanos
+    val dir = java.nio.file.Files.createTempDirectory("graft_odate").toString
+    Seq((1L, 1L, "O", 100.0, 1704067200000000L * 1000L),
+        (2L, 2L, "F", 200.0, 1735689600000000L * 1000L))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val o = Tables.orders(s, dir)
+    assert(o.schema("o_orderdate").dataType === TimestampType)
+    assert(o.filter(col("o_orderdate") >= "2024-06-01").count() === 1L)
+  }
+
   test("nanos-epoch long (the nanosAsLong read of TIMESTAMP(NANOS)) is truncated to micros") {
     // +999 ns on one row: DuckDB truncates nanos to micros; so must we
     val dir = writeFixture(
