@@ -26,15 +26,21 @@ def norm(v):
     return v
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only=None) -> int:
     out = Path(out_dir)
     oracles = json.loads((out / "oracle_sql.json").read_text())
     con = duckdb.connect()
+    # large-SF sweeps: an in-memory DB cannot spill, so heavy oracles OOM
+    # at sf0.1 — give DuckDB a temp dir and a bounded budget instead
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET memory_limit='32GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     n_fail = 0
     for name in sorted(oracles):
+        if only is not None and name not in only:
+            continue
         res_dir = out / name
         if not res_dir.exists():
             print(f"FAIL {name}: no Spark result written")
@@ -89,4 +95,6 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+    # optional 3rd arg: comma-separated query names to (re-)check
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(1 if main(sys.argv[1], sys.argv[2], only) else 0)
