@@ -1,0 +1,126 @@
+package graft.estimators
+
+import scala.collection.mutable
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.TextKernels
+import graft.functions.expressions.MisraGries
+
+/** Property-based checks of the pure kernels the distributed operators
+  * are built on (ScalaCheck runs these natively under sbt test — no
+  * Spark session, hundreds of randomized cases per property):
+  *
+  *  - Misra–Gries: the mergeable-summaries deterministic bound
+  *    `true − N/(k+1) ≤ est ≤ true` must hold for EVERY key under ANY
+  *    partitioning of the stream and ANY merge order — this is exactly
+  *    what makes `graft_mg` safe as an ObjectHashAggregate with
+  *    arbitrary partial placement (B62 / streaming F17).
+  *  - CART best split: the O(n log n) prefix-sum search must equal the
+  *    brute-force argmax of the exact rational gain
+  *    (n·S_L − n_L·S)²/(n_L·n_R) with (fidx, thr)-ascending ties —
+  *    the invariant the SQL oracle's NOT EXISTS replica encodes
+  *    (A12c/A12d/A12e).
+  *  - The (degree, id) struct order vs the oracle's packed
+  *    d·100000 + id: identical for ids < 10⁵ (why bounded-fixture
+  *    oracles may pack) — the r9 GraphsSpec collision case shows why
+  *    the ENGINE must not.
+  *  - md5Prefix52: equals an independent BigInteger-derived reference
+  *    and stays in [0, 2⁵²) — the cross-engine hash every md5-formula
+  *    oracle depends on.
+  */
+object KernelProps extends Properties("graft.kernels") {
+
+  // ---- Misra–Gries ----
+
+  private val streamGen: Gen[List[Long]] =
+    Gen.sized(sz => Gen.listOfN(math.min(sz * 4, 400), Gen.choose(0L, 12L)))
+
+  private def summarize(chunk: Seq[Long], k: Int): mutable.LongMap[Long] =
+    chunk.foldLeft(mutable.LongMap.empty[Long])((b, key) => MisraGries.add(b, key, k))
+
+  property("misra-gries bounds hold under any split + merge order") =
+    forAll(streamGen, Gen.choose(1, 6), Gen.choose(1L, 97L)) { (stream, k, splitSeed) =>
+      val n = stream.length
+      // deterministic pseudo-random chunking from splitSeed
+      val chunks = stream.zipWithIndex
+        .groupBy { case (_, i) => (i * splitSeed) % 3 }
+        .toSeq.sortBy(_._1).map(_._2.map(_._1))
+      val merged = chunks.map(summarize(_, k)) match {
+        case Nil => mutable.LongMap.empty[Long]
+        case h :: t => t.foldLeft(h)((a, c) => MisraGries.mergeMaps(a, c, k))
+      }
+      val truth = stream.groupBy(identity).map { case (key, v) => key -> v.length.toLong }
+      val slack = n.toLong / (k + 1)
+      val upperOk = merged.forall { case (key, est) => est <= truth.getOrElse(key, 0L) }
+      val lowerOk = truth.forall { case (key, t) => merged.getOrElse(key, 0L) >= t - slack }
+      val sizeOk = merged.size <= k
+      Prop(upperOk && lowerOk && sizeOk) :| s"n=$n k=$k merged=$merged truth=$truth"
+    }
+
+  // ---- CART best split vs brute force ----
+
+  private val cartGen: Gen[(Array[Array[Double]], Array[Long])] = for {
+    n <- Gen.choose(2, 40)
+    d <- Gen.choose(1, 3)
+    xs <- Gen.listOfN(n, Gen.listOfN(d, Gen.choose(0, 9).map(_.toDouble)))
+    ys <- Gen.listOfN(n, Gen.choose(-1000L, 1000L))
+  } yield (xs.map(_.toArray).toArray, ys.toArray)
+
+  private def bruteBest(xs: Array[Array[Double]], ys: Array[Long]): Option[(Int, Double)] = {
+    val n = xs.length
+    val d = xs(0).length
+    val s = ys.foldLeft(BigInt(0))(_ + _)
+    val cands = for {
+      f <- 0 until d
+      vs = xs.map(_(f)).distinct.sorted
+      i <- 0 until vs.length - 1
+      thr = (vs(i) + vs(i + 1)) / 2
+    } yield {
+      val left = xs.indices.filter(r => xs(r)(f) <= thr)
+      val nl = left.length
+      val sl = left.foldLeft(BigInt(0))((acc, r) => acc + ys(r))
+      val diff = BigInt(n) * sl - BigInt(nl) * s
+      ((f, thr), diff * diff, BigInt(nl) * BigInt(n - nl))
+    }
+    if (cands.isEmpty) None
+    else Some(cands.reduceLeft { (best, c) =>
+      // strictly-greater gain wins; ties keep the earlier (fidx, thr)
+      if (c._2 * best._3 > best._2 * c._3) c else best
+    }._1)
+  }
+
+  property("cart split search equals the brute-force exact-rational argmax") =
+    forAll(cartGen) { case (xs, ys) =>
+      val got = CartModel.grow(xs, ys, xs.indices.toArray, xs(0).length, 1) match {
+        case CartSplit(f, t, _, _) => Some((f, t))
+        case _                     => None
+      }
+      val want = bruteBest(xs, ys)
+      Prop(got == want) :| s"got=$got want=$want"
+    }
+
+  // ---- struct order vs packed order ----
+
+  property("packed d*100000+id order == (d, id) struct order for ids < 10^5") =
+    forAll(Gen.choose(1L, 1000L), Gen.choose(0L, 99999L),
+           Gen.choose(1L, 1000L), Gen.choose(0L, 99999L)) { (d1, n1, d2, n2) =>
+      val packed = (d1 * 100000L + n1).compareTo(d2 * 100000L + n2)
+      val struct = if (d1 != d2) d1.compareTo(d2) else n1.compareTo(n2)
+      Prop(Integer.signum(packed) == Integer.signum(struct)) :|
+        s"($d1,$n1) vs ($d2,$n2)"
+    }
+
+  // ---- md5Prefix52 ----
+
+  property("md5Prefix52 equals the BigInteger reference and is 52-bit") =
+    forAll(Gen.asciiPrintableStr) { str =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val got = TextKernels.md5Prefix52(md, str)
+      md.reset()
+      val digest = md.digest(str.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val ref = new java.math.BigInteger(1, digest).shiftRight(128 - 52).longValueExact()
+      Prop(got == ref && got >= 0L && got < (1L << 52)) :| s"got=$got ref=$ref"
+    }
+}
