@@ -112,6 +112,66 @@ object KernelProps extends Properties("graft.kernels") {
         s"($d1,$n1) vs ($d2,$n2)"
     }
 
+  // ---- Count-Min ----
+
+  private def cmsGrid(chunk: Seq[Long], depth: Int, width: Int): Array[Long] = {
+    val g = new Array[Long](depth * width)
+    chunk.foreach { x =>
+      var d = 0
+      while (d < depth) {
+        g(d * width + graft.functions.expressions.CountMin.bucket(x, d, width)) += 1L
+        d += 1
+      }
+    }
+    g
+  }
+
+  property("count-min merged shards == batch grid, and estimates never undercount") =
+    forAll(streamGen, Gen.choose(1, 4), Gen.choose(2, 16), Gen.choose(1L, 97L)) {
+      (stream, depth, width, splitSeed) =>
+        val chunks = stream.zipWithIndex
+          .groupBy { case (_, i) => (i * splitSeed) % 3 }
+          .toSeq.sortBy(_._1).map(_._2.map(_._1))
+        val merged = chunks.map(cmsGrid(_, depth, width))
+          .foldLeft(new Array[Long](depth * width)) { (a, c) =>
+            var i = 0; while (i < a.length) { a(i) += c(i); i += 1 }; a
+          }
+        val batch = cmsGrid(stream, depth, width)
+        val truth = stream.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+        def est(x: Long): Long = (0 until depth).map(d =>
+          merged(d * width + graft.functions.expressions.CountMin.bucket(x, d, width))).min
+        val gridOk = merged.sameElements(batch)
+        val overOk = truth.forall { case (k, t) => est(k) >= t }
+        Prop(gridOk && overOk) :| s"depth=$depth width=$width"
+    }
+
+  // ---- winnowing ----
+
+  private val docGen: Gen[String] =
+    Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+
+  property("winnowing: shared substrings of length >= k+w-1 share a fingerprint") =
+    forAll(docGen, docGen, docGen, Gen.choose(2, 4), Gen.choose(2, 4)) {
+      (pre, post, mid0, k, w) =>
+        // force the shared block to the guarantee length
+        val needed = k + w - 1
+        val mid = (mid0 * ((needed / math.max(mid0.length, 1)) + 1)).take(needed)
+        val a = pre + mid
+        val b = mid + post
+        val fa = TextKernels.winnow(a, k, w).toSet
+        val fb = TextKernels.winnow(b, k, w).toSet
+        Prop(fa.intersect(fb).nonEmpty) :| s"a='$a' b='$b' k=$k w=$w"
+    }
+
+  property("winnowing fingerprints are a subset of the direct k-gram hashes") =
+    forAll(docGen, Gen.choose(2, 5), Gen.choose(1, 5)) { (doc, k, w) =>
+      val fps = TextKernels.winnow(doc, k, w).toSet
+      val direct = (0 to doc.length - k).map { i =>
+        doc.substring(i, i + k).foldLeft(0L)((h, c) => (h * 1000003L + c) % 2147483647L)
+      }.toSet
+      Prop(fps.subsetOf(direct)) :| s"doc='$doc' fps=$fps"
+    }
+
   // ---- md5Prefix52 ----
 
   property("md5Prefix52 equals the BigInteger reference and is 52-bit") =
