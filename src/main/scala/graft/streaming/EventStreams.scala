@@ -396,22 +396,24 @@ object EventStreams {
         })
   }
 
-  final case class UpsertEv(user_id: Long, ver: Long, event_id: Long,
+  final case class UpsertEv(user_id: Long, ts_us: Long, event_id: Long,
                             event_type: String, value: Double)
-  final case class UpsertOut(user_id: Long, ver: Long, last_event_id: Long,
+  final case class UpsertOut(user_id: Long, ts_us: Long, last_event_id: Long,
                              last_type: String, last_value: Double, n_versions: Long)
 
   /** F25: streaming changelog compaction (batch twin B82) — "latest
     * state per key" as O(1) flatMapGroupsWithState state: (highest
-    * version key seen, its payload, version count); an arrival wins
-    * iff its packed version key exceeds the high-water mark (same
-    * exact-integer key as B82, so stream and batch pick the identical
-    * winner under ANY arrival order); a replay of the current winner
-    * (ver == mark) is dropped outright — the F15 replay contract.
-    * Arrivals below the mark keep the payload and count as superseded
-    * deliveries (first-delivery semantics: an exactly-once n_versions
-    * is the source's delivery contract, the winner needs none).
-    * Update-mode changelog: one row
+    * version seen, its payload, version count). The version order is
+    * the SAME lexicographic (event-time, event_id) the batch query's
+    * struct max_by key uses — exact at any time span or id domain
+    * (r9 de-packed both sides together: a packed scalar key overflowed
+    * past ~107-day spans and bled ties at event_id ≥ 10⁶) — so stream
+    * and batch pick the identical winner under ANY arrival order; a
+    * replay of the current winner (both fields equal) is dropped
+    * outright — the F15 replay contract. Arrivals below the mark keep
+    * the payload and count as superseded deliveries (first-delivery
+    * semantics: an exactly-once n_versions is the source's delivery
+    * contract, the winner needs none). Update-mode changelog: one row
     * per key per batch that touched it; latest-per-key IS the
     * compacted snapshot.
     */
@@ -420,17 +422,22 @@ object EventStreams {
     in.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
         (uid: Long, batch: Iterator[UpsertEv], state: GroupState[UpsertOut]) => {
-          var cur = state.getOption.getOrElse(UpsertOut(uid, Long.MinValue, 0L, "", 0.0, 0L))
+          var cur = state.getOption.getOrElse(
+            UpsertOut(uid, Long.MinValue, Long.MinValue, "", 0.0, 0L))
           var touched = false
           batch.foreach { e =>
-            if (e.ver > cur.ver) {
-              cur = UpsertOut(uid, e.ver, e.event_id, e.event_type, e.value, cur.n_versions + 1)
+            val cmp =
+              if (e.ts_us != cur.ts_us) java.lang.Long.compare(e.ts_us, cur.ts_us)
+              else java.lang.Long.compare(e.event_id, cur.last_event_id)
+            if (cmp > 0) {
+              cur = UpsertOut(uid, e.ts_us, e.event_id, e.event_type, e.value,
+                              cur.n_versions + 1)
               touched = true
-            } else if (e.ver < cur.ver) {
+            } else if (cmp < 0) {
               // older version: counts as a superseded row, keeps payload
               cur = cur.copy(n_versions = cur.n_versions + 1)
               touched = true
-            } // e.ver == cur.ver: replay of the current winner — dropped
+            } // cmp == 0: replay of the current winner — dropped
           }
           if (touched) { state.update(cur); Iterator.single(cur) }
           else Iterator.empty

@@ -547,9 +547,10 @@ class StreamingSpec extends AnyFunSuite {
     import graft.streaming.EventStreams.{UpsertEv, UpsertOut}
     implicit val sqlCtx = spark.sqlContext
     val sfDir = "/root/testdata/sf0.001"
-    val baseUs = 1704067200000000L
+    // version = the same lexicographic (event-time, event_id) the batch
+    // struct max_by key orders by — no packed scalar, no bounds
     val ev = graft.sources.Tables.events(spark, sfDir)
-      .select(col("user_id"), (unix_micros(col("ts")) - baseUs) * 1000000L + col("event_id"),
+      .select(col("user_id"), unix_micros(col("ts")),
               col("event_id"), col("event_type"), col("value"))
       .collect()
       .map(r => UpsertEv(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
@@ -564,7 +565,7 @@ class StreamingSpec extends AnyFunSuite {
       input.addData(ev.drop(2 * third)); q.processAllAvailable()
       val latest = spark.table("upsert_out").as[UpsertOut].collect()
         .groupBy(_.user_id).map { case (u, os) =>
-          val o = os.maxBy(_.ver)
+          val o = os.maxBy(x => (x.ts_us, x.last_event_id))
           // n_versions grows monotonically: take the max emitted
           u -> (o.last_event_id, o.last_type, os.map(_.n_versions).max)
         }
@@ -573,7 +574,8 @@ class StreamingSpec extends AnyFunSuite {
       assert(latest == batch, "stream compaction diverges from batch")
       // replaying every current winner must emit NOTHING
       val before = spark.table("upsert_out").count()
-      val winners = ev.groupBy(_.user_id).values.map(_.maxBy(_.ver)).toSeq
+      val winners = ev.groupBy(_.user_id).values
+        .map(_.maxBy(e => (e.ts_us, e.event_id))).toSeq
       input.addData(winners); q.processAllAvailable()
       assert(spark.table("upsert_out").count() == before,
         "winner replays re-emitted state")

@@ -51,6 +51,30 @@ class UpsertBoundsSpec extends AnyFunSuite {
     assert(r(0).getString(r(0).fieldIndex("last_type")) === "late_small_id")
   }
 
+  test("streaming twin picks the same winner at both boundaries (any arrival order)") {
+    import s.implicits._
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.{UpsertEv, UpsertOut}
+    implicit val sqlCtx = s.sqlContext
+    // worst-case arrival: the (wrong-under-packing) candidates arrive LAST
+    val evs = Seq(
+      UpsertEv(1L, t0 + 200L * 86400L * 1000000L, 2L, "new", 2.0), // +200 d
+      UpsertEv(1L, t0, 1L, "old", 1.0),
+      UpsertEv(2L, t0 + 1L, 1L, "late_small_id", 2.0),
+      UpsertEv(2L, t0, 2000000L, "early_big_id", 1.0))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UpsertEv]
+    val q = EventStreams.upsertCompactStream(input.toDS())
+      .writeStream.format("memory").queryName("upsert_bounds_out")
+      .outputMode("update").start()
+    try {
+      evs.foreach { e => input.addData(e); q.processAllAvailable() }
+      val latest = s.table("upsert_bounds_out").as[UpsertOut].collect()
+        .groupBy(_.user_id)
+        .map { case (u, os) => u -> os.maxBy(x => (x.ts_us, x.last_event_id)).last_type }
+      assert(latest === Map(1L -> "new", 2L -> "late_small_id"))
+    } finally q.stop()
+  }
+
   test("exact ts tie: bigger event_id wins at any id magnitude") {
     val dir = writeEvents(Seq(
       (999999L, t0, 3L, "lo", 1.0),
