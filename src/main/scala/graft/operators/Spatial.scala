@@ -73,12 +73,16 @@ object Spatial {
   /** B83: per-point nearest neighbor within radius R — the spatial kNN
     * (k=1) via the SAME grid blocking as B81: all ordered neighbor
     * pairs inside the 3×3 cells, then one `min_by` aggregate per point
-    * over a packed scalar order key d²·10⁷ + id (exact integers, so
-    * the argmin and its tie rule are engine-identical — DuckDB's
-    * arg_min rejects struct keys, hence the packing). Points with no
-    * neighbor inside R survive via a LEFT join with NULL nn — the A15
-    * NoData contract shape. Window-free: the per-point reduction is a
-    * map-side-combinable aggregate, never a rank window over pairs.
+    * over the (d², id) STRUCT order key — Spark orders structs
+    * lexicographically, so the argmin and its tie rule are exact at
+    * ANY id domain (the earlier packed d²·10⁷ + id bled ties once ids
+    * reached 10⁷). The ORACLE still packs: its fixture ids are bounded
+    * (event_id ≪ 10⁷ at every tested SF), where packed and struct
+    * orders coincide — the KernelProps bounded-domain property. Points
+    * with no neighbor inside R survive via a LEFT join with NULL nn —
+    * the A15 NoData contract shape. Window-free: the per-point
+    * reduction is a map-side-combinable aggregate, never a rank window
+    * over pairs.
     */
   def qSpatialNn(s: SparkSession, dir: String): DataFrame = {
     val p = points(s, dir)
@@ -96,7 +100,7 @@ object Spatial {
       .withColumn("d2", (col("xa") - col("xb")) * (col("xa") - col("xb")) +
                         (col("ya") - col("yb")) * (col("ya") - col("yb")))
       .filter(col("d2") <= R * R)
-      .withColumn("ok", col("d2") * 10000000L + col("id_b"))
+      .withColumn("ok", struct(col("d2"), col("id_b")))
       .groupBy(col("id_a"))
       .agg(min_by(col("id_b"), col("ok")).as("nn_id"), min(col("d2")).as("nn_d2"))
     points(s, dir).select(col("event_id"))

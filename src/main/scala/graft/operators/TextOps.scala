@@ -1507,16 +1507,18 @@ object TextOps {
   }
 
   /** Per-segment corpus stats for C37/F20: occurrence count and the
-    * lexicographically-first instance, encoded as
-    * doc_id·10⁶ + seg_idx (documented bound: < 10⁶ segments per doc —
-    * 10 M words — which the chunking contract upstream guarantees).
-    * A plain numeric MIN, so the streaming twin maintains it as O(1)
-    * per-segment state in Update mode.
+    * lexicographically-first instance as a MIN over the
+    * (doc_id, seg_idx) STRUCT — exact at any doc-id domain or document
+    * length (the earlier packed doc_id·10⁶ + seg_idx silently
+    * overflowed Long once doc ids passed ~9·10¹² — e.g. hash-derived
+    * ids — and bled at ≥ 10⁶ segments per doc). Still a plain built-in
+    * MIN, so the streaming twin maintains it as O(1) per-segment state
+    * in Update mode.
     */
   def segmentStatsOn(segs: DataFrame): DataFrame =
     segs.groupBy(col("seg"))
       .agg(count(lit(1)).as("n_occ"),
-           min(col("doc_id") * 1000000L + col("seg_idx")).as("kinst"))
+           min(struct(col("doc_id"), col("seg_idx"))).as("kinst"))
 
   /** C37: corpus-level segment (paragraph/line) dedup — the CCNet/
     * RefinedWeb "remove duplicated lines across the corpus" pass, the
@@ -1535,7 +1537,7 @@ object TextOps {
     */
   def qLineDedup(s: SparkSession, dir: String): DataFrame = {
     val segs = segmentsOn(documents(s, dir).select(col("doc_id"), col("text")))
-    val keep = col("doc_id") * 1000000L + col("seg_idx") === col("kinst")
+    val keep = struct(col("doc_id"), col("seg_idx")) === col("kinst")
     segs.join(segmentStatsOn(segs), "seg")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_segs"),

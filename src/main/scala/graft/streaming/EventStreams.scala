@@ -509,9 +509,9 @@ object EventStreams {
     * unbounded ingest stream: segmentation is the SAME stateless
     * codegen expression as batch (TextOps.segmentsOn), and the stats
     * are ONE built-in Update-mode aggregate whose state is O(1) per
-    * distinct segment (a count and a numeric min — no lists, no
-    * buffers). A segment instance is a keeper iff its
-    * doc_id·10⁶+seg_idx equals the emitted kinst, so the C37 decision
+    * distinct segment (a count and a (doc_id, seg_idx) struct min —
+    * no lists, no buffers). A segment instance is a keeper iff its
+    * (doc_id, seg_idx) equals the emitted kinst, so the C37 decision
     * is answerable at any stream position and equals the batch rule on
     * the data seen so far.
     */

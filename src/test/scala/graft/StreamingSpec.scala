@@ -348,13 +348,16 @@ class StreamingSpec extends AnyFunSuite {
       input.addData(docs.take(half)); q.processAllAvailable()
       input.addData(docs.drop(half)); q.processAllAvailable()
       // last update per segment is the final (n_occ, kinst) pair
+      def kinst(r: org.apache.spark.sql.Row): (Long, Long) = {
+        val k = r.getStruct(2); (k.getLong(0), k.getLong(1))
+      }
       val got = spark.table("seg_out").collect().zipWithIndex
-        .map { case (r, i) => r.getString(0) -> (i, (r.getLong(1), r.getLong(2))) }
+        .map { case (r, i) => r.getString(0) -> (i, (r.getLong(1), kinst(r))) }
         .groupBy(_._1).view.mapValues(_.maxBy(_._2._1)._2._2).toMap
       val expected = graft.operators.TextOps.segmentStatsOn(
           graft.operators.TextOps.segmentsOn(
             Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))))
-        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        .collect().map(r => r.getString(0) -> (r.getLong(1), kinst(r))).toMap
       assert(got.size == expected.size && got == expected)
     } finally q.stop()
   }
