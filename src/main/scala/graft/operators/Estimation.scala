@@ -980,7 +980,10 @@ object Estimation {
           .cast("decimal(19,0)").as("e"))
       .groupBy(col("fold"))
       .agg(sum(col("e") * col("e")).as("sse"), count(lit(1)).cast("double").as("nt"))
-    coefs.join(errs, "fold")
+    // both sides are 5-row frames, but their lineage-estimated stats can
+    // exceed the broadcast threshold at larger SFs and plan a SortMergeJoin
+    // — hint the meet explicitly
+    coefs.join(broadcast(errs), "fold")
       .select(col("fold"), col("ntr").cast("long").as("n_train"), col("n_test"),
         graft.functions.dec6(col("w")).as("slope"),
         graft.functions.dec6(col("b0")).as("intercept"),
