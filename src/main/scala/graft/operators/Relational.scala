@@ -1883,8 +1883,221 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** B84 shared formula text (the A32/A33 rule): every float step of the
+    * Welch t statistic is ONE string applied with `expr` on the Spark
+    * side and emitted verbatim in the oracle — identical IEEE op
+    * sequence over exact integer operands, so the published doubles are
+    * bit-identical cross-engine. u_i = s_i²/n_i as a variance-over-n
+    * term: (n·Q − S²)/(n·(n−1)·n) with n/S/Q the exact integer moments.
+    * sqrt is correctly rounded under IEEE-754 (the E6 precedent).
+    */
+  private val welchU1Sql =
+    "(CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / " +
+      "(CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0) * CAST(n1 AS DOUBLE))"
+  private val welchU2Sql =
+    "(CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / " +
+      "(CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0) * CAST(n2 AS DOUBLE))"
+  private val welchTSql =
+    "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt(u1 + u2)"
+  private val welchDfSql =
+    "((u1 + u2) * (u1 + u2)) / " +
+      "((u1 * u1) / (CAST(n1 AS DOUBLE) - 1.0) + (u2 * u2) / (CAST(n2 AS DOUBLE) - 1.0))"
+
+  /** B84: Welch's two-sample t-test (unequal variances) — does the
+    * returned-item population ('A') differ in mean quantity from the
+    * non-returned one ('R')? Completes the hypothesis-test family (B66
+    * KS, B75 AUC, B76 χ², B78 ANOVA) with the workhorse two-group mean
+    * test. Scale shape: ONE conditional-moment aggregate pass collapses
+    * the fact to a single row of six exact integer moments (map-side
+    * combined — no per-group shuffle at all, the groups are CASE
+    * flags); t and the Welch–Satterthwaite df are closed forms over
+    * those moments via shared formula text. Moment headroom: Q = Σq²
+    * with q ≤ 50 stays < 2⁶³ past 10¹⁵ rows.
+    */
+  def qWelchTtest(s: SparkSession, dir: String): DataFrame = {
+    val x   = col("l_quantity").cast("long")
+    val isA = col("l_returnflag") === "A"
+    lineitem(s, dir)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("n1"),
+           sum(when(isA, x)).as("s1"),
+           sum(when(isA, x * x)).as("q1"),
+           sum(when(!isA, 1L).otherwise(0L)).as("n2"),
+           sum(when(!isA, x)).as("s2"),
+           sum(when(!isA, x * x)).as("q2"))
+      .withColumn("u1", expr(welchU1Sql))
+      .withColumn("u2", expr(welchU2Sql))
+      .select(col("n1"), col("s1"), col("q1"), col("n2"), col("s2"),
+              col("q2"), dec6(expr(welchTSql)).as("t_stat"),
+              dec2(expr(welchDfSql)).as("df"))
+  }
+
+  /** B85 helper: signed integral-division PPM ratio. Spark `div`
+    * truncates toward zero while DuckDB `//` floors (the A34 finding) —
+    * identical only for non-negative operands, so the sign is split out
+    * and the division runs on |num|.
+    */
+  private def acPpm(num: String): Column =
+    (when(col(num) >= 0, lit(1L)).otherwise(lit(-1L)) *
+      expr(s"(abs($num) * 1000000) div den")).cast("long")
+
+  /** B85: lag-1/2/3 autocorrelation of the daily revenue series — the
+    * seasonality/trend screening statistic of time-series analysis,
+    * exact to the last integer: the fact collapses to the DAY domain
+    * first (one map-side-combined aggregate; the B61 cardinality bound
+    * — the lag window runs over |days| rows, never the fact), daily
+    * totals are exact cents, deviations are taken against the FLOOR
+    * mean (S div n — exact integers, so deviation growth stays linear
+    * in x and the squared products fit DECIMAL(38,0) at any corpus
+    * scale; the 1-cent mean floor is part of the statistic's
+    * definition, identical both engines), and each r_k is published as
+    * a signed integral-division PPM — no float anywhere. Totals ride a
+    * 1-row broadcast; Catalyst reuses the day-aggregate exchange for
+    * both consumers (the B70 posture).
+    */
+  def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val daily = orders(s, dir)
+      .groupBy(col("o_orderdate").as("day")).agg(sum(cents).as("x"))
+    val tot = daily.agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"))
+    val w = Window.orderBy(col("day"))
+    daily.crossJoin(broadcast(tot))
+      .withColumn("dv", col("x") - expr("sx div n_days"))
+      .select(col("n_days"), col("day"),
+              col("dv").cast("decimal(38,0)").as("dd"),
+              lag(col("dv"), 1).over(w).cast("decimal(38,0)").as("l1"),
+              lag(col("dv"), 2).over(w).cast("decimal(38,0)").as("l2"),
+              lag(col("dv"), 3).over(w).cast("decimal(38,0)").as("l3"))
+      .agg(max(col("n_days")).as("n_days"),
+           sum(col("dd") * col("dd")).as("den"),
+           sum(col("dd") * col("l1")).as("m1"),
+           sum(col("dd") * col("l2")).as("m2"),
+           sum(col("dd") * col("l3")).as("m3"))
+      .select(col("n_days"), acPpm("m1").as("r1_ppm"),
+              acPpm("m2").as("r2_ppm"), acPpm("m3").as("r3_ppm"))
+  }
+
+  /** B86: interval-union coverage ("how much wall-clock time had at
+    * least one session open, per day") — the utilization/SLA twin of
+    * B65's peak concurrency, and the classic DISTRIBUTED interval-union
+    * shape: sessions are clipped to fixed TIME BUCKETS (days), each
+    * bucket merges its own clipped pieces with a local sweep
+    * (bucket-partitioned window, running-max-end island detection), and
+    * because clipped pieces partition the union exactly, per-bucket
+    * covered time composes by plain addition — parallelism = the day
+    * domain, no global window anywhere. Session end is end-exclusive
+    * (+1 µs, the B65 rule) so instantaneous single-event sessions still
+    * cover one microsecond. The day fan-out is `sequence(d0, d1)` —
+    * O(span) pieces per session, bounded by the 30-min-gap session
+    * shape; a hot day's boundary set is the documented caveat (sub-day
+    * buckets are the same rewrite at finer grain). All arithmetic is
+    * exact integer microseconds.
+    */
+  def qIntervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val sess = Windowed.sessionized(events(s, dir), key = "user_id",
+        ts = "ts", tieBreak = "event_id", gapUs = 1800L * 1000000L)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(unix_micros(col("ts"))).as("s_us"),
+           (max(unix_micros(col("ts"))) + 1L).as("e_x"))
+    val pieces = sess
+      .withColumn("d0", expr(s"s_us div ${dayUs}L"))
+      .withColumn("d1", expr(s"(e_x - 1) div ${dayUs}L"))
+      .select(col("s_us"), col("e_x"),
+              explode(sequence(col("d0"), col("d1"))).as("day_idx"))
+      .select(col("day_idx"),
+              greatest(col("s_us"), col("day_idx") * dayUs).as("cs"),
+              least(col("e_x"), (col("day_idx") + 1L) * dayUs).as("ce"))
+    val byDay   = Window.partitionBy(col("day_idx")).orderBy(col("cs"), col("ce"))
+    val prevMax = byDay.rowsBetween(Window.unboundedPreceding, -1)
+    val run     = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pieces
+      .withColumn("pm", max(col("ce")).over(prevMax))
+      .withColumn("nw", when(col("pm").isNull || col("cs") > col("pm"), 1L)
+                          .otherwise(0L))
+      .withColumn("iid", sum(col("nw")).over(run))
+      .groupBy(col("day_idx"), col("iid"))
+      .agg((max(col("ce")) - min(col("cs"))).as("len"))
+      .groupBy(col("day_idx"))
+      .agg(count(lit(1)).as("n_islands"), sum(col("len")).as("covered_us"))
+      .orderBy(col("covered_us").desc, col("day_idx"))
+      .limit(10)
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above. */
   val oracles: Map[String, String] = Map(
+    "q_welch_ttest" ->
+      s"""WITH m AS (SELECT
+        |    SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) END) AS s1,
+        |    SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) END) AS q1,
+        |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n2,
+        |    SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END) AS s2,
+        |    SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) END) AS q2
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |u AS (SELECT *, $welchU1Sql AS u1, $welchU2Sql AS u2 FROM m)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(s1 AS BIGINT) AS s1,
+        |  CAST(q1 AS BIGINT) AS q1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(s2 AS BIGINT) AS s2, CAST(q2 AS BIGINT) AS q2,
+        |  CAST(ROUND($welchTSql, 6) AS DECIMAL(18,6))::DOUBLE AS t_stat,
+        |  CAST(ROUND($welchDfSql, 2) AS DECIMAL(18,2))::DOUBLE AS df
+        |FROM u""".stripMargin,
+    "q_autocorr" ->
+      """WITH daily AS (SELECT o_orderdate AS day,
+        |    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS xs
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_days, SUM(xs) AS sxh FROM daily),
+        |d0 AS (SELECT day,
+        |    CAST(xs AS BIGINT) - (CAST(sxh AS BIGINT) // n_days) AS dv
+        |  FROM daily CROSS JOIN tot),
+        |dl AS (SELECT CAST(dv AS HUGEINT) AS dd,
+        |    CAST(LAG(dv, 1) OVER (ORDER BY day) AS HUGEINT) AS l1,
+        |    CAST(LAG(dv, 2) OVER (ORDER BY day) AS HUGEINT) AS l2,
+        |    CAST(LAG(dv, 3) OVER (ORDER BY day) AS HUGEINT) AS l3
+        |  FROM d0),
+        |m AS (SELECT SUM(dd*dd) AS den, SUM(dd*l1) AS m1,
+        |    SUM(dd*l2) AS m2, SUM(dd*l3) AS m3 FROM dl)
+        |SELECT CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(CASE WHEN m1 >= 0 THEN (abs(m1) * 1000000) // den
+        |       ELSE -((abs(m1) * 1000000) // den) END AS BIGINT) AS r1_ppm,
+        |  CAST(CASE WHEN m2 >= 0 THEN (abs(m2) * 1000000) // den
+        |       ELSE -((abs(m2) * 1000000) // den) END AS BIGINT) AS r2_ppm,
+        |  CAST(CASE WHEN m3 >= 0 THEN (abs(m3) * 1000000) // den
+        |       ELSE -((abs(m3) * 1000000) // den) END AS BIGINT) AS r3_ppm
+        |FROM m CROSS JOIN tot""".stripMargin,
+    "q_interval_union" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g),
+        |iv AS (SELECT user_id, session_seq, MIN(epoch_us(ts)) AS s_us,
+        |    MAX(epoch_us(ts)) + 1 AS e_x FROM s GROUP BY 1, 2),
+        |dd AS (SELECT s_us, e_x, s_us // 86400000000 AS day0,
+        |    (e_x - 1) // 86400000000 AS day1 FROM iv),
+        |ex AS (SELECT s_us, e_x,
+        |    unnest(generate_series(day0, day1)) AS day_idx FROM dd),
+        |cl AS (SELECT day_idx,
+        |    GREATEST(s_us, day_idx * 86400000000) AS cs,
+        |    LEAST(e_x, (day_idx + 1) * 86400000000) AS ce FROM ex),
+        |mw AS (SELECT day_idx, cs, ce,
+        |    MAX(ce) OVER (PARTITION BY day_idx ORDER BY cs, ce
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM cl),
+        |il AS (SELECT *, CASE WHEN pm IS NULL OR cs > pm THEN 1 ELSE 0 END AS nw
+        |  FROM mw),
+        |i2 AS (SELECT *, SUM(nw) OVER (PARTITION BY day_idx ORDER BY cs, ce
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid FROM il),
+        |pi AS (SELECT day_idx, iid, MAX(ce) - MIN(cs) AS len
+        |  FROM i2 GROUP BY 1, 2)
+        |SELECT CAST(day_idx AS BIGINT) AS day_idx,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(len) AS BIGINT) AS covered_us
+        |FROM pi GROUP BY 1 ORDER BY covered_us DESC, day_idx LIMIT 10""".stripMargin,
     "q_upsert_compact" ->
       """WITH v AS (SELECT *,
         |  ROW_NUMBER() OVER (PARTITION BY user_id
