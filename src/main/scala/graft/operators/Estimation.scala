@@ -1169,6 +1169,117 @@ object Estimation {
       .orderBy(col("frac_pct"))
   }
 
+  /** A37 shared formula text (the featImpDerivs rule): per-feature
+    * squared correlation with the target and the univariate
+    * F-regression statistic F = r²/(1−r²)·(n−2), over exact integer
+    * moments cast-exact into DOUBLE.
+    */
+  private def kbR2Sql(j: Int): String =
+    s"((nd * s${j}y - s$j * sy) * (nd * s${j}y - s$j * sy)) / " +
+      s"((nd * s$j$j - s$j * s$j) * (nd * syy - sy * sy))"
+  private def kbFSql(j: Int): String =
+    s"(r2_$j / (1.0 - r2_$j)) * (nd - 2.0)"
+
+  /** A37: univariate feature selection (sklearn SelectKBest with
+    * f_regression): per-feature F statistics against the price target
+    * from ONE exact-integer moment aggregate — feature screening at
+    * 100 TB is the same single scan the fit already does, then
+    * arithmetic on a 1-row frame. Every float step is shared formula
+    * text ([[kbR2Sql]]/[[kbFSql]]); the selection rank orders by the
+    * ROUNDED F (identical both engines) with the feature name as the
+    * tie-break.
+    */
+  def qSelectKbest(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = lineitem(s, dir).select(
+      col("l_quantity").cast("decimal(20,0)").as("x1"),
+      round(col("l_discount") * 100, 0).cast("decimal(20,0)").as("x2"),
+      round(col("l_tax") * 100, 0).cast("decimal(20,0)").as("x3"),
+      round(col("l_extendedprice") * 100, 0).cast("decimal(20,0)").as("y"))
+    val m = base.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("y")).cast(dec).as("syd"),
+      sum(col("y") * col("y")).cast(dec).as("syyd"),
+      sum(col("x1")).cast(dec).as("s1d"),
+      sum(col("x1") * col("x1")).cast(dec).as("s11d"),
+      sum(col("x1") * col("y")).cast(dec).as("s1yd"),
+      sum(col("x2")).cast(dec).as("s2d"),
+      sum(col("x2") * col("x2")).cast(dec).as("s22d"),
+      sum(col("x2") * col("y")).cast(dec).as("s2yd"),
+      sum(col("x3")).cast(dec).as("s3d"),
+      sum(col("x3") * col("x3")).cast(dec).as("s33d"),
+      sum(col("x3") * col("y")).cast(dec).as("s3yd"))
+    val d0 = m.select(
+      col("n").cast("double").as("nd"), col("syd").cast("double").as("sy"),
+      col("syyd").cast("double").as("syy"),
+      col("s1d").cast("double").as("s1"), col("s11d").cast("double").as("s11"),
+      col("s1yd").cast("double").as("s1y"),
+      col("s2d").cast("double").as("s2"), col("s22d").cast("double").as("s22"),
+      col("s2yd").cast("double").as("s2y"),
+      col("s3d").cast("double").as("s3"), col("s33d").cast("double").as("s33"),
+      col("s3yd").cast("double").as("s3y"))
+    val der = (1 to 3).foldLeft(d0) { (acc, j) =>
+      acc.withColumn(s"r2_$j", expr(kbR2Sql(j)))
+         .withColumn(s"f_$j", expr(kbFSql(j)))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("f_stat").desc, col("feature"))
+    der.select(explode(array(
+        struct(lit("l_quantity").as("feature"), col("r2_1").as("r2"), col("f_1").as("f")),
+        struct(lit("l_discount").as("feature"), col("r2_2").as("r2"), col("f_2").as("f")),
+        struct(lit("l_tax").as("feature"), col("r2_3").as("r2"), col("f_3").as("f")))).as("t"))
+      .select(col("t.feature").as("feature"), dec6(col("t.r2")).as("r2"),
+              dec4(col("t.f")).as("f_stat"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("rank"))
+  }
+
+  /** A38: isotonic regression (sklearn IsotonicRegression — the
+    * monotone calibration/dose-response fit) of mean revenue vs
+    * quantity, EXACT end-to-end: the fact collapses to the bounded
+    * quantity domain in one map-side-combined aggregate (the B61
+    * cardinality rule — nothing downstream scales with row count),
+    * then the fitted values come from the minimax characterization
+    * ŷ(x_i) = max_{j≤i} min_{k≥i} mean(y over [x_j..x_k]) evaluated on
+    * the |domain|² interval frame — with every interval mean published
+    * as the INTEGRAL division (S·10⁶ div W) so the max/min run on
+    * exact integers and the pool boundaries are bit-identical
+    * cross-engine (the same scaled-quotient trick as C24/B74; PAVA's
+    * pools are exactly the level sets this formula produces). The
+    * domain frame is pinned ([[graft.core.Materialize.pin]]) so the
+    * fact aggregate runs ONCE despite its four consumers (the
+    * q_spatial_join lesson). O(|domain|³) interval work is
+    * corpus-independent (50³ rows here).
+    */
+  def qIsotonic(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir).select(
+      col("l_quantity").cast("long").as("x"),
+      (round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("y"))
+    val g = graft.core.Materialize.pin(
+      li.groupBy(col("x")).agg(count(lit(1)).as("w"), sum(col("y")).as("sy")))
+    val wd = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = g.select(col("x"), col("w"), col("sy"),
+      sum(col("w")).over(wd).as("cw"), sum(col("sy")).over(wd).as("cs"))
+    val pj = cum.select(col("x").as("j"), (col("cw") - col("w")).as("cw0"),
+                        (col("cs") - col("sy")).as("cs0"))
+    val pk = cum.select(col("x").as("k"), col("cw").as("cwk"), col("cs").as("csk"))
+    val pairs = pj.join(pk, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        expr("(CAST(csk - cs0 AS DECIMAL(38,0)) * 1000000) div (cwk - cw0)")
+          .as("est_e6"))
+    val mi = g.select(col("x").as("xi"))
+      .join(pairs, col("j") <= col("xi") && col("k") >= col("xi"))
+      .groupBy(col("xi"), col("j")).agg(min(col("est_e6")).as("mn"))
+    val iso = mi.groupBy(col("xi")).agg(max(col("mn")).as("yhat_e6"))
+    g.join(iso, col("x") === col("xi"))
+      .select(col("x"), col("w"),
+        expr("(CAST(sy AS DECIMAL(38,0)) * 1000000) div w").as("mean_e6"),
+        col("yhat_e6"))
+      .orderBy(col("x"))
+  }
+
   /** Oracle SQL (DuckDB dialect). The kNN oracles use the crossJoin +
     * ROW_NUMBER formulation the Spark engine deliberately AVOIDS — fine
     * at sf0.01 oracle scale, ruled out at 100 TB (see class doc).
@@ -1184,6 +1295,56 @@ object Estimation {
           s"CAST(SUM(CASE WHEN $cond THEN $c ELSE 0 END) AS HUGEINT) AS $c")
           .mkString(", ") + " FROM mo"
     Map(
+      "q_select_kbest" ->
+        s"""WITH b AS (SELECT CAST(l_quantity AS HUGEINT) AS x1,
+          |    CAST(ROUND(l_discount*100,0) AS HUGEINT) AS x2,
+          |    CAST(ROUND(l_tax*100,0) AS HUGEINT) AS x3,
+          |    CAST(ROUND(l_extendedprice*100,0) AS HUGEINT) AS y FROM lineitem),
+          |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(y) AS syh,
+          |    SUM(y*y) AS syyh, SUM(x1) AS s1h, SUM(x1*x1) AS s11h,
+          |    SUM(x1*y) AS s1yh, SUM(x2) AS s2h, SUM(x2*x2) AS s22h,
+          |    SUM(x2*y) AS s2yh, SUM(x3) AS s3h, SUM(x3*x3) AS s33h,
+          |    SUM(x3*y) AS s3yh FROM b),
+          |d0 AS (SELECT CAST(n AS DOUBLE) AS nd, CAST(syh AS DOUBLE) AS sy,
+          |    CAST(syyh AS DOUBLE) AS syy, CAST(s1h AS DOUBLE) AS s1,
+          |    CAST(s11h AS DOUBLE) AS s11, CAST(s1yh AS DOUBLE) AS s1y,
+          |    CAST(s2h AS DOUBLE) AS s2, CAST(s22h AS DOUBLE) AS s22,
+          |    CAST(s2yh AS DOUBLE) AS s2y, CAST(s3h AS DOUBLE) AS s3,
+          |    CAST(s33h AS DOUBLE) AS s33, CAST(s3yh AS DOUBLE) AS s3y FROM m),
+          |d1 AS (SELECT *, ${kbR2Sql(1)} AS r2_1, ${kbR2Sql(2)} AS r2_2,
+          |    ${kbR2Sql(3)} AS r2_3 FROM d0),
+          |d2 AS (SELECT *, ${kbFSql(1)} AS f_1, ${kbFSql(2)} AS f_2,
+          |    ${kbFSql(3)} AS f_3 FROM d1),
+          |u AS (SELECT 'l_quantity' AS feature, r2_1 AS r2, f_1 AS f FROM d2
+          |  UNION ALL SELECT 'l_discount', r2_2, f_2 FROM d2
+          |  UNION ALL SELECT 'l_tax', r2_3, f_3 FROM d2),
+          |r AS (SELECT feature,
+          |    CAST(ROUND(r2, 6) AS DECIMAL(18,6))::DOUBLE AS r2,
+          |    CAST(ROUND(f, 4) AS DECIMAL(18,4))::DOUBLE AS f_stat FROM u)
+          |SELECT feature, r2, f_stat,
+          |  CAST(ROW_NUMBER() OVER (ORDER BY f_stat DESC, feature) AS BIGINT) AS rank
+          |FROM r ORDER BY rank""".stripMargin,
+      "q_isotonic" ->
+        """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+          |    CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+          |      (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS y
+          |  FROM lineitem),
+          |g AS (SELECT x, COUNT(*) AS w, SUM(y) AS sy FROM li GROUP BY 1),
+          |cum AS (SELECT x, w, sy,
+          |    SUM(w) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+          |    SUM(sy) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+          |  FROM g),
+          |pairs AS (SELECT j.x AS j, k.x AS k,
+          |    (CAST(k.cs - (j.cs - j.sy) AS HUGEINT) * 1000000) //
+          |      CAST(k.cw - (j.cw - j.w) AS HUGEINT) AS est_e6
+          |  FROM cum j JOIN cum k ON j.x <= k.x),
+          |mi AS (SELECT d.x AS xi, p.j, MIN(p.est_e6) AS mn
+          |  FROM g d JOIN pairs p ON p.j <= d.x AND p.k >= d.x GROUP BY 1, 2),
+          |iso AS (SELECT xi, MAX(mn) AS yhat_e6 FROM mi GROUP BY 1)
+          |SELECT g.x, CAST(g.w AS BIGINT) AS w,
+          |  CAST((CAST(g.sy AS HUGEINT) * 1000000) // g.w AS BIGINT) AS mean_e6,
+          |  CAST(yhat_e6 AS BIGINT) AS yhat_e6
+          |FROM g JOIN iso ON g.x = iso.xi ORDER BY g.x""".stripMargin,
       "q_learning_curve" ->
         s"""WITH tr AS (SELECT
           |    CAST(${TF.hexPrefix52Sql(s"md5('lc|' || $uidSql)")} % 10 AS BIGINT) AS dk,
