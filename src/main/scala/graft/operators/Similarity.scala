@@ -772,6 +772,90 @@ object Similarity {
     globalTopK(rerank, k)
   }
 
+  /** D16 quantizer — ONE shared derivation for probes (driver) and
+    * corpus (executors), the planeSig single-implementation rule: the
+    * oracle replicates `floor(((v − mn) · 255.0) / (mx − mn))` with the
+    * SAME parenthesization, so both engines floor identical doubles.
+    */
+  private def sqQuantize(mins: Array[Double], maxs: Array[Double],
+                         v: Array[Double]): Array[Int] =
+    Array.tabulate(v.length) { j =>
+      val den = maxs(j) - mins(j)
+      if (den == 0.0) 0
+      else {
+        val q = math.floor(((v(j) - mins(j)) * 255.0) / den).toInt
+        if (q < 0) 0 else if (q > 255) 255 else q
+      }
+    }
+
+  /** D16: scalar-quantized (SQ8) ANN — the third production
+    * quantization family next to IVF (D6) and PQ (D8/D8b), and the
+    * vector-store default (FAISS/Milvus SQ8): each dimension
+    * affine-maps to an 8-bit code via the per-dim corpus [min, max].
+    * Fit is ONE map-side-combined 64-row min/max aggregate — exact
+    * SELECTION, no float accumulation, engine-identical by
+    * construction. Candidate scoring is the INTEGER code dot-product
+    * (exact cross-engine; score ≤ 255²·64 ≈ 4.2·10⁶ is double-exact in
+    * the shared heaps — no float ADC at all), per-partition bounded
+    * heaps → global top-50 (WindowGroupLimit prunes map-side), then
+    * the shared exact-cosine rerank emits top-10. At 100 TB the codes
+    * are an 8×-smaller scan-side payload and the fit stays a 64-row
+    * broadcast.
+    */
+  def qAnnSq(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val nCand = 50
+    val e = emb(s, dir)
+    val stats = e.select(posexplode(col("v")).as(Seq("d", "xv")))
+      .groupBy(col("d")).agg(min(col("xv")).as("mn"), max(col("xv")).as("mx"))
+      .orderBy(col("d")).collect()
+    val mins = stats.map(_.getDouble(1))
+    val maxs = stats.map(_.getDouble(2))
+    val qs = collectQueries(e)
+    val pCodes = qs.qv.map(sqQuantize(mins, maxs, _))
+    val bc = s.sparkContext.broadcast((qs.qids, pCodes, mins, maxs))
+    val locals = fanOut(e.select(col("vec_id"), col("v")))
+      .mapPartitions { it =>
+        val (bQids, bPc, bMn, bMx) = bc.value
+        val nq = bQids.length
+        val heaps = new TopKHeaps(nq, nCand)
+        it.foreach { row =>
+          val vid = row.getLong(0)
+          val cv = sqQuantize(bMn, bMx, row.getSeq[Double](1).toArray)
+          var qi = 0
+          while (qi < nq) {
+            val pc = bPc(qi)
+            var sc = 0L
+            var j = 0
+            while (j < cv.length) { sc += pc(j).toLong * cv(j); j += 1 }
+            heaps.insert(qi, sc.toDouble, vid)
+            qi += 1
+          }
+        }
+        heaps.emit(bQids)
+      }(Encoders.row(localTopKSchema))
+    val wSq = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val cands = locals.withColumn("rn", row_number().over(wSq))
+      .filter(col("rn") <= nCand).select(col("q_id"), col("vec_id"))
+    val bcQ = s.sparkContext.broadcast((qs.qids, qs.qv, qs.qnorm))
+    val rerank = e.select(col("vec_id"), col("v"))
+      .join(broadcast(cands), "vec_id")
+      .select(col("q_id"), col("vec_id"), col("v"))
+      .mapPartitions { it =>
+        val (bQids, bQv, bQnorm) = bcQ.value
+        val qIdx = bQids.zipWithIndex.toMap
+        it.map { row =>
+          val qi = qIdx(row.getLong(0))
+          val v = row.getSeq[Double](2).toArray
+          val qvv = bQv(qi)
+          var d = 0.0; var n2 = 0.0; var j = 0
+          while (j < v.length) { d += qvv(j) * v(j); n2 += v(j) * v(j); j += 1 }
+          Row(row.getLong(0), row.getLong(1), d / (bQnorm(qi) * math.sqrt(n2)))
+        }
+      }(Encoders.row(localTopKSchema))
+    globalTopK(rerank, k)
+  }
+
   private def annLsh(s: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
     val k = 10
     val nBands = 8
@@ -1467,6 +1551,33 @@ object Similarity {
         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ann_pq" -> annPqSql,
     "q_ann_pq_trained" -> annPqTrainedSql,
+    "q_ann_sq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |st AS (SELECT d, MIN(v[d + 1]) AS mn, MAX(v[d + 1]) AS mx
+        |  FROM e, (SELECT unnest(range(64)) AS d) GROUP BY 1),
+        |cd AS (SELECT e.vec_id, s.d,
+        |    CASE WHEN s.mx = s.mn THEN 0
+        |         ELSE LEAST(255, GREATEST(0,
+        |           CAST(FLOOR(((v[s.d + 1] - s.mn) * 255.0) / (s.mx - s.mn)) AS BIGINT)))
+        |    END AS c
+        |  FROM e, st s),
+        |pc AS (SELECT vec_id AS q_id, d, c FROM cd
+        |  WHERE vec_id % 50 = 0 AND vec_id < 5000),
+        |sc AS (SELECT p.q_id, c.vec_id, SUM(c.c * p.c) AS score
+        |  FROM cd c JOIN pc p USING (d) GROUP BY 1, 2),
+        |t50 AS (SELECT q_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        |  FROM sc),
+        |rr AS (SELECT t.q_id, t.vec_id,
+        |    list_cosine_similarity(q.v, e2.v) AS sim
+        |  FROM t50 t JOIN e q ON q.vec_id = t.q_id JOIN e e2 ON e2.vec_id = t.vec_id
+        |  WHERE t.rn <= 50),
+        |rk AS (SELECT q_id, vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM rr)
+        |SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
+        |  CAST(ROUND(sim, 4) AS DECIMAL(18,4))::DOUBLE AS sim
+        |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q_ann_recall" ->
       """SELECT * FROM (VALUES ('ivf', 1), ('lsh', 1), ('multiprobe', 1),
         |  ('pq', 1), ('pq_trained', 1))

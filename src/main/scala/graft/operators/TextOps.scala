@@ -309,6 +309,43 @@ object TextOps {
     jaccardVerify(sets, cand, tau = 0.5)
   }
 
+  /** C41: asymmetric CONTAINMENT dedup — the doc-inside-doc detector
+    * the symmetric Jaccard join (C7) structurally misses: a short
+    * document fully quoted inside a long one has tiny Jaccard (the
+    * union is dominated by the long doc) but containment
+    * C(A→B) = |A∩B|/|A| ≈ 1. The standard signal for quote/boilerplate
+    * supersets and snippet extraction in corpus curation (Broder's
+    * containment, the basis of super-shingle dedup). Same scale shape
+    * as C7: rare-shingle blocking (df ≤ 5) caps candidate fanout, ONE
+    * documents scan feeds blocking and verify off the pinned shingle
+    * sets, and both direction ratios publish as exact integral-division
+    * PPM (non-negative operands — the A34 div/floor rule never
+    * triggers). Pairs kept when either direction ≥ 0.6; empty shingle
+    * sets cannot reach the division (no shingles → no candidates).
+    */
+  def qContainment(s: SparkSession, dir: String): DataFrame = {
+    val sets = graft.core.Materialize.pin(shingled(s, dir))
+    val exploded = sets
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("sh1"))
+    val cand = bucketPairs(exploded, Seq("sh1"),
+        struct(col("doc_id").as("id")), maxBucketSize = Some(5))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    val ss = sets.select(col("doc_id"), array_distinct(col("sh")).as("ss"))
+      .hint("shuffle_hash")
+    cand
+      .join(ss.select(col("doc_id").as("a_id"), col("ss").as("sa")), "a_id")
+      .join(ss.select(col("doc_id").as("b_id"), col("ss").as("sb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("na", size(col("sa")).cast("long"))
+      .withColumn("nb", size(col("sb")).cast("long"))
+      .withColumn("cont_ab_ppm", expr("(inter * 1000000) div na"))
+      .withColumn("cont_ba_ppm", expr("(inter * 1000000) div nb"))
+      .filter(greatest(col("cont_ab_ppm"), col("cont_ba_ppm")) >= 600000L)
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"), col("inter"),
+              col("cont_ab_ppm"), col("cont_ba_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** C8: 64-bit SimHash fingerprints. Per distinct word: 64-bit hash =
     * first 8 bytes of md5(word) (big-endian); each bit contributes
     * +tf / -tf to its lane; fingerprint bit = 1 iff the lane sum is
@@ -2107,6 +2144,21 @@ object TextOps {
         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
         |  FROM dd x JOIN dd y ON x.s=y.s AND x.doc_id<y.doc_id
         |  JOIN rare r ON r.s=x.s)
-        |$jacSelSql""".stripMargin
+        |$jacSelSql""".stripMargin,
+    "q_containment" ->
+      s"""WITH $baseSql,
+        |dfq AS (SELECT s, COUNT(*) AS c FROM dd GROUP BY 1),
+        |rare AS (SELECT s FROM dfq WHERE c <= 5),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM dd x JOIN dd y ON x.s=y.s AND x.doc_id<y.doc_id
+        |  JOIN rare r ON r.s=x.s)
+        |SELECT c.a_id, c.b_id, CAST(sa.n AS BIGINT) AS na,
+        |  CAST(sb.n AS BIGINT) AS nb, CAST(i AS BIGINT) AS inter,
+        |  CAST((i * 1000000) // sa.n AS BIGINT) AS cont_ab_ppm,
+        |  CAST((i * 1000000) // sb.n AS BIGINT) AS cont_ba_ppm
+        |FROM cand c JOIN ip ON ip.a_id=c.a_id AND ip.b_id=c.b_id
+        |JOIN sz sa ON sa.doc_id=c.a_id JOIN sz sb ON sb.doc_id=c.b_id
+        |WHERE GREATEST((i * 1000000) // sa.n, (i * 1000000) // sb.n) >= 600000
+        |ORDER BY c.a_id, c.b_id""".stripMargin
   )
 }
