@@ -926,6 +926,29 @@ object Estimation {
            max(col("v")).as("vmax"))
       .orderBy(col("y"))
 
+  /** G2 (query-backed): global raster statistics where the AGGREGATION
+    * ITSELF is pushed into the DataSource V2 source
+    * (`SupportsPushDownAggregates` on
+    * [[graft.sources.v2.RasterSource]]): each stripe reduces to one
+    * partial row INSIDE the reader and Spark's final aggregate merges
+    * ≤8 stripe partials — at 100 TB no cell row ever crosses the
+    * source boundary (the storage-side aggregation posture of real
+    * columnar sources: parquet footer stats, Delta/Iceberg manifests).
+    * Distinct grid (200×100) from A35/G1 so the gates cannot mask each
+    * other; the oracle recomputes the md5 cell formula, blind to the
+    * pushdown. DataSourceV2Spec locks that the plan's scan really is
+    * the pushed-agg scan (5-field readSchema, no cell columns).
+    */
+  def qRasterAgg(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.v2.RasterSource")
+      .option("w", 200).option("h", 100).load()
+      .agg(count(lit(1)).as("n_cells"), count(col("v")).as("n_valid"),
+           sum(col("v")).as("vsum"), min(col("v")).as("vmin"),
+           max(col("v")).as("vmax"))
+      .select(col("n_cells"), col("n_valid"), col("vsum"), col("vmin"),
+              col("vmax"),
+              dec4(col("vsum").cast("double") / col("n_valid")).as("mean_v"))
+
   /** The shared per-term SSE-from-moments expression for A31/A32 —
     * ONE formula string used verbatim by both the Spark `expr` and the
     * DuckDB oracle, so the IEEE op sequence is identical by
@@ -1393,6 +1416,15 @@ object Estimation {
           |  CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax,
           |  CAST(ROUND(CAST(SUM(v) AS DOUBLE)/COUNT(v), 4) AS DECIMAL(18,4))::DOUBLE AS zonal_mean
           |FROM gv GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_raster_agg" ->
+        s"""WITH g AS (SELECT ${TF.hexPrefix52Sql("md5('ras|'||(i % 200)||','||(i // 200))")} AS hx
+          |  FROM range(0, 20000) t(i)),
+          |gv AS (SELECT CASE WHEN hx % 19 = 0 THEN NULL ELSE hx % 1000 END AS v FROM g)
+          |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+          |  CAST(COUNT(v) AS BIGINT) AS n_valid, CAST(SUM(v) AS BIGINT) AS vsum,
+          |  CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax,
+          |  CAST(ROUND(CAST(SUM(v) AS DOUBLE)/COUNT(v), 4) AS DECIMAL(18,4))::DOUBLE AS mean_v
+          |FROM gv""".stripMargin,
       "q_raster_source" ->
         s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
           |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx

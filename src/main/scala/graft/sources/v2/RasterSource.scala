@@ -5,7 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -70,12 +71,13 @@ final class RasterTable(w: Long, h: Long) extends Table with SupportsRead {
 
 final class RasterScanBuilder(w: Long, h: Long)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var yMin = 0L
   private var yMax = h - 1
   private var accepted = Array.empty[Filter]
   private var required = RasterSource.schema
+  private var pushedAggs = Array.empty[AggregateFunc]
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.filter {
@@ -97,11 +99,125 @@ final class RasterScanBuilder(w: Long, h: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new RasterScan(w, yMin, yMax, required)
+  /** G2: AGGREGATE pushdown (`SupportsPushDownAggregates`) — the
+    * capability that lets a 100 TB statistics query finish without a
+    * single cell row leaving the source: ungrouped COUNT(*)/COUNT(v)/
+    * MIN(v)/MAX(v)/SUM(v) reduce to ONE row per stripe inside the
+    * reader, and Spark's final aggregate merges the ≤8 stripe partials
+    * (partial pushdown — `supportCompletePushDown` stays false, so
+    * Spark still applies its count→sum merge rewrite and the result is
+    * exact under any stripe layout). Note Spark only offers an
+    * aggregation when NO post-scan filters remain; this source keeps
+    * pushed filters as residuals (the G1 contract), so the pushed-agg
+    * path engages on filterless statistics scans.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    def isV(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference => r.fieldNames.sameElements(Array("v"))
+        case _                 => false
+      }
+    val ok = aggregation.aggregateExpressions.nonEmpty &&
+      aggregation.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count     => !c.isDistinct && isV(c.column)
+        case m: Min       => isV(m.column)
+        case m: Max       => isV(m.column)
+        case sm: Sum      => !sm.isDistinct && isV(sm.column)
+        case _            => false
+      }
+    if (ok) pushedAggs = aggregation.aggregateExpressions
+    ok
+  }
+
+  override def build(): Scan =
+    if (pushedAggs.nonEmpty) new RasterAggScan(w, yMin, yMax, pushedAggs)
+    else new RasterScan(w, yMin, yMax, required)
 }
 
 final case class RasterStripe(w: Long, yStart: Long, yEnd: Long,
                               fields: Seq[String]) extends InputPartition
+
+/** G2 pushed-aggregate scan: each stripe reduces to ONE partial row in
+  * the reader (count/valid/min/max/sum over its cells, NoData-aware);
+  * the partial kinds ride the stripe as strings (AggregateFunc is not
+  * Serializable). An empty y-range still plans ONE empty stripe so the
+  * global aggregate sees a (0, 0, null, null, null) partial — a
+  * zero-row source under a pushed ungrouped aggregate would otherwise
+  * turn COUNT's merge-sum into NULL.
+  */
+final class RasterAggScan(w: Long, yMin: Long, yMax: Long,
+                          aggs: Array[AggregateFunc]) extends Scan with Batch {
+  private val aggKinds: Array[String] = aggs.map {
+    case _: CountStar => "count_star"
+    case _: Count     => "count_v"
+    case _: Min       => "min_v"
+    case _: Max       => "max_v"
+    case _: Sum       => "sum_v"
+    case other => throw new IllegalStateException(s"unexpected pushed agg $other")
+  }
+
+  override def readSchema(): StructType = StructType(aggKinds.zipWithIndex.map {
+    case (k, i) =>
+      StructField(s"agg_$i", LongType,
+        nullable = k != "count_star" && k != "count_v")
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRasterAggScan w=$w yRange=[$yMin,$yMax] aggs=${aggKinds.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (yMax < yMin) return Array(RasterStripe(w, 1L, 0L, aggKinds.toSeq))
+    val rows = yMax - yMin + 1
+    val stripes = math.min(8L, rows)
+    (0L until stripes).map { i =>
+      val s = yMin + i * rows / stripes
+      val e = yMin + (i + 1) * rows / stripes - 1
+      RasterStripe(w, s, e, aggKinds.toSeq): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[RasterStripe]
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = !emitted && { emitted = true; true }
+        override def get(): InternalRow = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          var nCells = 0L; var nValid = 0L; var sm = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          var y = p.yStart
+          while (y <= p.yEnd) {
+            var x = 0L
+            while (x < p.w) {
+              val hx = graft.functions.TextKernels.md5Prefix52(md, s"ras|$x,$y")
+              nCells += 1
+              if (hx % 19 != 0) {
+                val v = hx % 1000
+                nValid += 1; sm += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+              }
+              x += 1
+            }
+            y += 1
+          }
+          new GenericInternalRow(p.fields.map {
+            case "count_star" => java.lang.Long.valueOf(nCells): Any
+            case "count_v"    => java.lang.Long.valueOf(nValid): Any
+            case "sum_v"      => if (nValid == 0) null else java.lang.Long.valueOf(sm): Any
+            case "min_v"      => if (nValid == 0) null else java.lang.Long.valueOf(mn): Any
+            case "max_v"      => if (nValid == 0) null else java.lang.Long.valueOf(mx): Any
+          }.toArray)
+        }
+        override def close(): Unit = ()
+      }
+    }
+}
 
 final class RasterScan(w: Long, yMin: Long, yMax: Long, required: StructType)
     extends Scan with Batch {

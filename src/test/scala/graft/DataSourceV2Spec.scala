@@ -72,4 +72,39 @@ class DataSourceV2Spec extends AnyFunSuite {
     val empty = scanOf(v2(120, 80).filter(col("y") > 1000)).scan.asInstanceOf[RasterScan]
     assert(empty.toBatch.planInputPartitions().isEmpty)
   }
+
+  test("G2: ungrouped statistics push the AGGREGATION into the source") {
+    val df = v2(120, 80)
+      .agg(count(lit(1)).as("n_cells"), count(col("v")).as("n_valid"),
+           sum(col("v")).as("vsum"), min(col("v")).as("vmin"),
+           max(col("v")).as("vmax"))
+    val scan = df.queryExecution.sparkPlan
+      .collectFirst { case b: BatchScanExec => b }.get.scan
+    assert(scan.isInstanceOf[graft.sources.v2.RasterAggScan],
+      s"aggregate not pushed — scan is ${scan.getClass.getSimpleName}")
+    // the reader emits ONE partial row per stripe, no cell columns
+    assert(scan.readSchema().length == 5 &&
+      !scan.readSchema().fieldNames.exists(Set("x", "y", "v")))
+    // values equal the plain DataFrame aggregation over the fixture
+    val got = df.collect().head
+    val exp = graft.sources.Synthetic.rasterGrid(spark, 120, 80)
+      .agg(count(lit(1)), count(col("v")), sum(col("v")), min(col("v")),
+           max(col("v"))).collect().head
+    assert(got == exp, s"pushed-agg result $got != fixture $exp")
+  }
+
+  test("G2: a filtered aggregate stays on the residual-checked row scan") {
+    // post-scan residual filters block aggregate pushdown by design —
+    // the agg must NOT be pushed past a filter the source only prunes
+    val df = v2(120, 80).filter(col("y") >= 40 && col("y") < 60)
+      .agg(sum(col("v")).as("vsum"))
+    val scan = df.queryExecution.sparkPlan
+      .collectFirst { case b: BatchScanExec => b }.get.scan
+    assert(scan.isInstanceOf[RasterScan],
+      s"filtered aggregate unexpectedly pushed: ${scan.getClass.getSimpleName}")
+    val exp = graft.sources.Synthetic.rasterGrid(spark, 120, 80)
+      .filter(col("y") >= 40 && col("y") < 60)
+      .agg(sum(col("v"))).collect().head
+    assert(df.collect().head == exp)
+  }
 }
