@@ -1932,6 +1932,81 @@ object Relational {
               dec2(expr(welchDfSql)).as("df"))
   }
 
+  /** B87 per-cell term (shared formula text): (o/N)·ln(o·N/(r·c)),
+    * scaled to e6 and rounded to an exact integer BEFORE the sum (the
+    * C33 round-before-sum rule) — the cell sum is then exact integer
+    * arithmetic, immune to accumulation order; the single ln/division
+    * sequence is identical both engines over exact integer operands.
+    */
+  private val miTermSql =
+    "CAST(ROUND((CAST(o AS DOUBLE) / CAST(nn AS DOUBLE)) * " +
+      "ln((CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)) / " +
+      "(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))) * 1000000, 0) AS BIGINT)"
+
+  /** B87: mutual information of the (returnflag × linestatus) pair —
+    * the information-theoretic dependence measure next to B76's χ²
+    * (feature-dependence screening, the sklearn mutual_info_score
+    * shape). Same scale posture as B76: ONE domain-bounded cell
+    * aggregate collapses the fact, marginals re-aggregate the tiny
+    * cell frame, every join broadcasts ≤|domain| rows; per-cell terms
+    * are e6-rounded exact integers ([[miTermSql]]) so the MI sum is
+    * order-independent. Cells come from GROUP BY, so o > 0 always and
+    * ln's argument is never 0.
+    */
+  def qMutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val c = lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+      .agg(count(lit(1)).as("o"))
+    val r  = c.groupBy(col("rf")).agg(sum(col("o")).as("rt"))
+    val cl = c.groupBy(col("ls")).agg(sum(col("o")).as("ct"))
+    val nT = c.agg(sum(col("o")).as("nn"))
+    c.join(broadcast(r), "rf").join(broadcast(cl), "ls")
+      .crossJoin(broadcast(nT))
+      .select(expr(miTermSql).as("term"), col("nn"))
+      .agg(count(lit(1)).as("n_cells"), max(col("nn")).as("n"),
+           sum(col("term")).as("mi_e6"))
+      .select(col("n_cells"), col("n").cast("long").as("n"),
+              col("mi_e6").cast("long").as("mi_e6"))
+  }
+
+  /** B88 per-bucket term (shared formula text): (p_a − p_b)·ln(p_a/p_b)
+    * with the ratio cross-multiplied into exact integer operands, e6
+    * rounded per bucket before the exact integer sum (the C33 rule).
+    */
+  private val psiTermSql =
+    "CAST(ROUND((CAST(a AS DOUBLE) / CAST(na AS DOUBLE) - " +
+      "CAST(b AS DOUBLE) / CAST(nb AS DOUBLE)) * " +
+      "ln((CAST(a AS DOUBLE) * CAST(nb AS DOUBLE)) / " +
+      "(CAST(b AS DOUBLE) * CAST(na AS DOUBLE))) * 1000000, 0) AS BIGINT)"
+
+  /** B88: population stability index between the 1997 and 1998 shipping
+    * cohorts' quantity distributions — THE production drift monitor
+    * for score/feature distributions (PSI > 0.2 = retrain): one
+    * conditional two-cohort count aggregate over 10 fixed-width
+    * quantity buckets (domain-bounded — the B61 rule; the date filter
+    * stays pushdown-friendly as raw shipdate bounds), totals on a
+    * 1-row broadcast, per-bucket terms e6-rounded exact integers
+    * ([[psiTermSql]]). Buckets empty on either side are excluded and
+    * audited via n_buckets (the standard epsilon-free treatment).
+    */
+  def qPsi(s: SparkSession, dir: String): DataFrame = {
+    val isA = col("l_shipdate") < lit("1998-01-01")
+    val h = lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+              col("l_shipdate") < lit("1999-01-01"))
+      .groupBy(expr("(CAST(l_quantity AS BIGINT) - 1) div 5").as("bucket"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("a"),
+           sum(when(!isA, 1L).otherwise(0L)).as("b"))
+    val tot = h.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    h.filter(col("a") > 0 && col("b") > 0)
+      .crossJoin(broadcast(tot))
+      .select(expr(psiTermSql).as("term"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("na")).as("na"),
+           max(col("nb")).as("nb"), sum(col("term")).as("psi_e6"))
+      .select(col("n_buckets"), col("na"), col("nb"),
+              col("psi_e6").cast("long").as("psi_e6"))
+  }
+
   /** B85 helper: signed integral-division PPM ratio. Spark `div`
     * truncates toward zero while DuckDB `//` floors (the A34 finding) —
     * identical only for non-negative operands, so the sign is split out
@@ -2042,6 +2117,28 @@ object Relational {
         |  CAST(ROUND($welchTSql, 6) AS DECIMAL(18,6))::DOUBLE AS t_stat,
         |  CAST(ROUND($welchDfSql, 2) AS DECIMAL(18,2))::DOUBLE AS df
         |FROM u""".stripMargin,
+    "q_mutual_info" ->
+      s"""WITH c AS (SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT rf, CAST(SUM(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+        |cl AS (SELECT ls, CAST(SUM(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM c),
+        |j AS (SELECT $miTermSql AS term, nn FROM c JOIN r USING (rf)
+        |  JOIN cl USING (ls) CROSS JOIN t)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, CAST(MAX(nn) AS BIGINT) AS n,
+        |  CAST(SUM(term) AS BIGINT) AS mi_e6 FROM j""".stripMargin,
+    "q_psi" ->
+      s"""WITH h AS (SELECT (CAST(l_quantity AS BIGINT) - 1) // 5 AS bucket,
+        |    SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS b
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM h),
+        |j AS (SELECT $psiTermSql AS term, na, nb FROM h CROSS JOIN t
+        |  WHERE a > 0 AND b > 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets, MAX(na) AS na, MAX(nb) AS nb,
+        |  CAST(SUM(term) AS BIGINT) AS psi_e6 FROM j""".stripMargin,
     "q_autocorr" ->
       """WITH daily AS (SELECT o_orderdate AS day,
         |    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS xs
