@@ -703,4 +703,35 @@ object EventStreams {
           Iterator.single(CmsOut(shard, ver, grid))
         })
   }
+
+  /** F26: streaming drift monitor — the B88 PSI shape attached to an
+    * unbounded event stream: the arriving cohort's value-bucket
+    * histogram is ONE built-in Update-mode count aggregate
+    * (O(|buckets|) state total, ≤10 rows here), and the PSI against a
+    * STATIC baseline histogram is closed-form arithmetic over the
+    * latest per-bucket counts ([[psiE6]]) — production drift
+    * monitoring re-scores per micro-batch without a second pass over
+    * history. Buckets are fixed-width clamped (the B88 rule), so the
+    * state size never grows with the stream.
+    */
+  def driftBucketStream(events: DataFrame): DataFrame =
+    events.groupBy(
+      least(lit(9L), greatest(lit(0L), floor(col("value") / 20.0).cast("long")))
+        .as("bucket")).count()
+
+  /** The B88 PSI statistic as a pure kernel over two bucket histograms
+    * (the F26 meet): per-bucket (p_a−p_b)·ln(p_a/p_b) terms e6-rounded
+    * BEFORE the exact integer sum (the C33 rule); buckets empty on
+    * either side are excluded.
+    */
+  def psiE6(base: Map[Long, Long], cur: Map[Long, Long]): Long = {
+    val na = base.values.sum.toDouble
+    val nb = cur.values.sum.toDouble
+    (base.keySet ++ cur.keySet).toSeq.sorted.map { k =>
+      val a = base.getOrElse(k, 0L).toDouble
+      val b = cur.getOrElse(k, 0L).toDouble
+      if (a == 0 || b == 0) 0L
+      else math.round((a / na - b / nb) * math.log((a * nb) / (b * na)) * 1000000.0)
+    }.sum
+  }
 }

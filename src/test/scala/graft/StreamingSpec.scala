@@ -310,6 +310,37 @@ class StreamingSpec extends AnyFunSuite {
 
   private case class TDoc(doc_id: Long, text: String)
 
+  test("F26 streaming drift-bucket histogram equals batch; PSI meets the static baseline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = eventRows
+    // baseline cohort (even event ids) stays static; the odd cohort streams in
+    val (baseEvs, curEvs) = evs.partition(_.event_id % 2 == 0)
+    val input = MemoryStream[Ev]
+    val q = EventStreams.driftBucketStream(input.toDF())
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("update").start()
+    try {
+      val half = curEvs.length / 2
+      input.addData(curEvs.take(half)); q.processAllAvailable()
+      input.addData(curEvs.drop(half)); q.processAllAvailable()
+      // latest update per bucket is the final count
+      val got = spark.table("drift_out").collect().zipWithIndex
+        .map { case (r, i) => r.getLong(0) -> (i, r.getLong(1)) }
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2._1)._2._2).toMap
+      val batchCur = EventStreams.driftBucketStream(curEvs.toDF())
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == batchCur, "stream bucket state diverged from the batch histogram")
+      val baseHist = EventStreams.driftBucketStream(baseEvs.toDF())
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val psi = EventStreams.psiE6(baseHist, got)
+      assert(psi == EventStreams.psiE6(baseHist, batchCur))
+      // even/odd cohorts of one generator draw the same distribution —
+      // the monitor must NOT flag drift (PSI 0.2e6 is the retrain bar)
+      assert(math.abs(psi) < 200000, s"spurious drift: psi_e6=$psi")
+    } finally q.stop()
+  }
+
   test("F9 streaming vocabulary counts equal batch term counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
