@@ -2007,6 +2007,53 @@ object Relational {
               col("psi_e6").cast("long").as("psi_e6"))
   }
 
+  /** B89: Benford first-digit audit — the fraud/fabrication screen for
+    * financial facts (synthesized amounts drift from Benford's
+    * log-distribution): first digit of the exact cent amount via
+    * STRING head (pure integer→string, no float log10 on the data
+    * path), one 9-row domain-bounded count aggregate, observed shares
+    * as exact integral-division PPM, the Benford reference
+    * log10(1+1/d) e6-rounded from the 9 digit literals (identical
+    * both engines — it never touches data). The audit output is the
+    * per-digit comparison table.
+    */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val h = orders(s, dir).select(cents.as("cents"))
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
+    val t = broadcast(h.agg(sum(col("n_d")).as("n")))
+    h.crossJoin(t)
+      .select(col("digit"), col("n_d"),
+        expr("(n_d * 1000000) div n").as("p_obs_ppm"),
+        expr("CAST(ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000, 0) AS BIGINT)")
+          .as("p_ben_e6"))
+      .orderBy(col("digit"))
+  }
+
+  /** B90: day-of-week seasonality index of order revenue — the
+    * calendar-profile complement of B85's autocorrelation (retail
+    * load-shaping, anomaly baselines): dow from pure epoch-day integer
+    * arithmetic ((days_since_1970 + 4) mod 7 — no engine calendar
+    * convention in the loop; Spark's dayofweek is 1-based Sunday,
+    * DuckDB's 0-based), one 7-row domain-bounded aggregate of exact
+    * cent sums, index = (mean_d / mean_overall) as ONE exact integral
+    * division of DECIMAL(38,0) cross products — float-free.
+    */
+  def qSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val h = orders(s, dir)
+      .groupBy(pmod(datediff(col("o_orderdate"), lit("1970-01-01")) + 4, lit(7))
+        .cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_d"), sum(cents).as("s_d"))
+    val t = broadcast(h.agg(sum(col("n_d")).as("n"), sum(col("s_d")).as("st")))
+    h.crossJoin(t)
+      .select(col("dow"), col("n_d"),
+        expr("(CAST(s_d AS DECIMAL(38,0)) * n * 1000000) div " +
+             "(CAST(n_d AS DECIMAL(38,0)) * st)").as("index_ppm"))
+      .orderBy(col("dow"))
+  }
+
   /** B85 helper: signed integral-division PPM ratio. Spark `div`
     * truncates toward zero while DuckDB `//` floors (the A34 finding) —
     * identical only for non-negative operands, so the sign is split out
@@ -2117,6 +2164,26 @@ object Relational {
         |  CAST(ROUND($welchTSql, 6) AS DECIMAL(18,6))::DOUBLE AS t_stat,
         |  CAST(ROUND($welchDfSql, 2) AS DECIMAL(18,2))::DOUBLE AS df
         |FROM u""".stripMargin,
+    "q_benford" ->
+      """WITH c AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |h AS (SELECT CAST(SUBSTRING(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    COUNT(*) AS n_d FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM h)
+        |SELECT digit, CAST(n_d AS BIGINT) AS n_d,
+        |  CAST((n_d * 1000000) // n AS BIGINT) AS p_obs_ppm,
+        |  CAST(ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000, 0) AS BIGINT) AS p_ben_e6
+        |FROM h CROSS JOIN t ORDER BY digit""".stripMargin,
+    "q_seasonality" ->
+      """WITH h AS (SELECT
+        |    (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 4) % 7 AS dow,
+        |    COUNT(*) AS n_d,
+        |    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS s_d
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n, CAST(SUM(s_d) AS BIGINT) AS st FROM h)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(n_d AS BIGINT) AS n_d,
+        |  CAST((CAST(s_d AS HUGEINT) * n * 1000000) // (CAST(n_d AS HUGEINT) * st) AS BIGINT) AS index_ppm
+        |FROM h CROSS JOIN t ORDER BY dow""".stripMargin,
     "q_mutual_info" ->
       s"""WITH c AS (SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS o
         |  FROM lineitem GROUP BY 1, 2),
