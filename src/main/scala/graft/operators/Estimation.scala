@@ -926,6 +926,94 @@ object Estimation {
            max(col("v")).as("vmax"))
       .orderBy(col("y"))
 
+  /** A39 derivation chain (the featImpDerivs machine): Fisher LDA with
+    * shared pooled covariance, every float step ONE (name, formula)
+    * pair applied with `expr` on the Spark side and emitted verbatim
+    * as a CTE chain in the oracle — identical IEEE op sequence over
+    * exact integer moments. np/nn0 = class sizes, m.. = class means,
+    * sc../cv.. = pooled scatter and covariance, w = inv(Sigma)(mu1 −
+    * mu0) via the 2x2 Cramer inverse, c0 = midpoint threshold with
+    * the ln-prior term.
+    */
+  private val ldaDerivs: Seq[(String, String)] = Seq(
+    "m11"  -> "s1p / np",
+    "m21"  -> "s2p / np",
+    "m10"  -> "s1n / nn0",
+    "m20"  -> "s2n / nn0",
+    "sc11" -> "(q11p - (s1p * s1p) / np) + (q11n - (s1n * s1n) / nn0)",
+    "sc12" -> "(q12p - (s1p * s2p) / np) + (q12n - (s1n * s2n) / nn0)",
+    "sc22" -> "(q22p - (s2p * s2p) / np) + (q22n - (s2n * s2n) / nn0)",
+    "cv11" -> "sc11 / (np + nn0 - 2.0)",
+    "cv12" -> "sc12 / (np + nn0 - 2.0)",
+    "cv22" -> "sc22 / (np + nn0 - 2.0)",
+    "det"  -> "cv11 * cv22 - cv12 * cv12",
+    "d1"   -> "m11 - m10",
+    "d2"   -> "m21 - m20",
+    "w1"   -> "(cv22 * d1 - cv12 * d2) / det",
+    "w2"   -> "(cv11 * d2 - cv12 * d1) / det",
+    "c0"   -> "(w1 * (m11 + m10) + w2 * (m21 + m20)) / 2.0 - ln(np / nn0)")
+
+  /** The A39 per-row discriminant score — shared formula text so the
+    * float comparison against 0 is bit-identical cross-engine. */
+  private val ldaScoreSql = "w1 * fx1 + w2 * fx2 - c0 > 0.0"
+
+  /** A39: linear discriminant analysis (sklearn
+    * LinearDiscriminantAnalysis, lsqr/eigen shape) predicting
+    * returned-vs-kept from (quantity, discount) — the classical
+    * moments-closed-form classifier joining OLS (A9), ridge (A9c) and
+    * Naive Bayes (A21): fit = ONE conditional-moment aggregate pass
+    * (12 exact integers), w and the threshold are the [[ldaDerivs]]
+    * chain on a 1-row frame, and the evaluation pass scores the whole
+    * fact against the broadcast discriminant, emitting the confusion
+    * matrix (the A26 evaluation shape). Two corpus passes total at any
+    * scale.
+    */
+  def qLda(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x1  = col("l_quantity").cast("decimal(20,0)")
+    val x2  = round(col("l_discount") * 100, 0).cast("decimal(20,0)")
+    val isP = col("l_returnflag") === "R"
+    val m = lineitem(s, dir).select(x1.as("x1"), x2.as("x2"), isP.as("p"))
+      .agg(
+        sum(when(col("p"), 1L).otherwise(0L)).cast(dec).as("nph"),
+        sum(when(col("p"), col("x1"))).cast(dec).as("s1ph"),
+        sum(when(col("p"), col("x2"))).cast(dec).as("s2ph"),
+        sum(when(col("p"), col("x1") * col("x1"))).cast(dec).as("q11ph"),
+        sum(when(col("p"), col("x1") * col("x2"))).cast(dec).as("q12ph"),
+        sum(when(col("p"), col("x2") * col("x2"))).cast(dec).as("q22ph"),
+        sum(when(!col("p"), 1L).otherwise(0L)).cast(dec).as("nnh"),
+        sum(when(!col("p"), col("x1"))).cast(dec).as("s1nh"),
+        sum(when(!col("p"), col("x2"))).cast(dec).as("s2nh"),
+        sum(when(!col("p"), col("x1") * col("x1"))).cast(dec).as("q11nh"),
+        sum(when(!col("p"), col("x1") * col("x2"))).cast(dec).as("q12nh"),
+        sum(when(!col("p"), col("x2") * col("x2"))).cast(dec).as("q22nh"))
+    val d0 = m.select(
+      col("nph").cast("double").as("np"), col("s1ph").cast("double").as("s1p"),
+      col("s2ph").cast("double").as("s2p"), col("q11ph").cast("double").as("q11p"),
+      col("q12ph").cast("double").as("q12p"), col("q22ph").cast("double").as("q22p"),
+      col("nnh").cast("double").as("nn0"), col("s1nh").cast("double").as("s1n"),
+      col("s2nh").cast("double").as("s2n"), col("q11nh").cast("double").as("q11n"),
+      col("q12nh").cast("double").as("q12n"), col("q22nh").cast("double").as("q22n"))
+    val der = ldaDerivs.foldLeft(d0) {
+      case (acc, (nm, f)) => acc.withColumn(nm, expr(f))
+    }
+    val fit = broadcast(der.select(col("w1"), col("w2"), col("c0")))
+    lineitem(s, dir)
+      .select(col("l_quantity").cast("long").cast("double").as("fx1"),
+              round(col("l_discount") * 100, 0).cast("long").cast("double").as("fx2"),
+              isP.cast("int").as("actual"))
+      .crossJoin(fit)
+      .withColumn("pred", expr(ldaScoreSql).cast("int"))
+      .groupBy(col("w1"), col("w2"), col("c0"))
+      .agg(sum(expr("pred * actual")).as("tp"),
+           sum(expr("pred * (1 - actual)")).as("fp"),
+           sum(expr("(1 - pred) * actual")).as("fn"),
+           sum(expr("(1 - pred) * (1 - actual)")).as("tn"))
+      .select(dec6(col("w1")).as("w1"), dec6(col("w2")).as("w2"),
+              dec6(col("c0")).as("c0"), col("tp"), col("fp"), col("fn"),
+              col("tn"))
+  }
+
   /** G2 (query-backed): global raster statistics where the AGGREGATION
     * ITSELF is pushed into the DataSource V2 source
     * (`SupportsPushDownAggregates` on
@@ -1416,6 +1504,43 @@ object Estimation {
           |  CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax,
           |  CAST(ROUND(CAST(SUM(v) AS DOUBLE)/COUNT(v), 4) AS DECIMAL(18,4))::DOUBLE AS zonal_mean
           |FROM gv GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_lda" -> {
+        val chain = ldaDerivs.zipWithIndex.map { case ((nm, f), i) =>
+          s"d${i + 1} AS (SELECT *, $f AS $nm FROM d$i)"
+        }.mkString(",\n")
+        val last = s"d${ldaDerivs.length}"
+        s"""WITH b AS (SELECT CAST(l_quantity AS HUGEINT) AS x1,
+          |    CAST(ROUND(l_discount*100,0) AS HUGEINT) AS x2,
+          |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS p FROM lineitem),
+          |m AS (SELECT SUM(p) AS nph, SUM(p*x1) AS s1ph, SUM(p*x2) AS s2ph,
+          |    SUM(p*x1*x1) AS q11ph, SUM(p*x1*x2) AS q12ph, SUM(p*x2*x2) AS q22ph,
+          |    SUM(1-p) AS nnh, SUM((1-p)*x1) AS s1nh, SUM((1-p)*x2) AS s2nh,
+          |    SUM((1-p)*x1*x1) AS q11nh, SUM((1-p)*x1*x2) AS q12nh,
+          |    SUM((1-p)*x2*x2) AS q22nh FROM b),
+          |d0 AS (SELECT CAST(nph AS DOUBLE) AS np, CAST(s1ph AS DOUBLE) AS s1p,
+          |    CAST(s2ph AS DOUBLE) AS s2p, CAST(q11ph AS DOUBLE) AS q11p,
+          |    CAST(q12ph AS DOUBLE) AS q12p, CAST(q22ph AS DOUBLE) AS q22p,
+          |    CAST(nnh AS DOUBLE) AS nn0, CAST(s1nh AS DOUBLE) AS s1n,
+          |    CAST(s2nh AS DOUBLE) AS s2n, CAST(q11nh AS DOUBLE) AS q11n,
+          |    CAST(q12nh AS DOUBLE) AS q12n, CAST(q22nh AS DOUBLE) AS q22n FROM m),
+          |$chain,
+          |f AS (SELECT w1, w2, c0 FROM $last),
+          |sc AS (SELECT w1, w2, c0,
+          |    CASE WHEN $ldaScoreSql THEN 1 ELSE 0 END AS pred,
+          |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS actual
+          |  FROM (SELECT l_returnflag,
+          |      CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) AS fx1,
+          |      CAST(CAST(ROUND(l_discount*100,0) AS BIGINT) AS DOUBLE) AS fx2
+          |    FROM lineitem) CROSS JOIN f)
+          |SELECT CAST(ROUND(w1, 6) AS DECIMAL(18,6))::DOUBLE AS w1,
+          |  CAST(ROUND(w2, 6) AS DECIMAL(18,6))::DOUBLE AS w2,
+          |  CAST(ROUND(c0, 6) AS DECIMAL(18,6))::DOUBLE AS c0,
+          |  CAST(SUM(pred*actual) AS BIGINT) AS tp,
+          |  CAST(SUM(pred*(1-actual)) AS BIGINT) AS fp,
+          |  CAST(SUM((1-pred)*actual) AS BIGINT) AS fn,
+          |  CAST(SUM((1-pred)*(1-actual)) AS BIGINT) AS tn
+          |FROM sc GROUP BY w1, w2, c0""".stripMargin
+      },
       "q_raster_agg" ->
         s"""WITH g AS (SELECT ${TF.hexPrefix52Sql("md5('ras|'||(i % 200)||','||(i // 200))")} AS hx
           |  FROM range(0, 20000) t(i)),
