@@ -969,6 +969,32 @@ object Estimation {
     * scale.
     */
   def qLda(s: SparkSession, dir: String): DataFrame = {
+    val der = ldaDerivs.foldLeft(condMoments2(s, dir)) {
+      case (acc, (nm, f)) => acc.withColumn(nm, expr(f))
+    }
+    val fit = broadcast(der.select(col("w1"), col("w2"), col("c0")))
+    lineitem(s, dir)
+      .select(col("l_quantity").cast("long").cast("double").as("fx1"),
+              round(col("l_discount") * 100, 0).cast("long").cast("double").as("fx2"),
+              (col("l_returnflag") === "R").cast("int").as("actual"))
+      .crossJoin(fit)
+      .withColumn("pred", expr(ldaScoreSql).cast("int"))
+      .groupBy(col("w1"), col("w2"), col("c0"))
+      .agg(sum(expr("pred * actual")).as("tp"),
+           sum(expr("pred * (1 - actual)")).as("fp"),
+           sum(expr("(1 - pred) * actual")).as("fn"),
+           sum(expr("(1 - pred) * (1 - actual)")).as("tn"))
+      .select(dec6(col("w1")).as("w1"), dec6(col("w2")).as("w2"),
+              dec6(col("c0")).as("c0"), col("tp"), col("fp"), col("fn"),
+              col("tn"))
+  }
+
+  /** The shared A39/A41 conditional-moment frame: ONE aggregate pass
+    * collapses the fact to the 12 exact per-class integer moments of
+    * (quantity, discount-pct) split by returned-vs-kept, surfaced as
+    * the d0 double columns both derivation chains start from.
+    */
+  private def condMoments2(s: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val x1  = col("l_quantity").cast("decimal(20,0)")
     val x2  = round(col("l_discount") * 100, 0).cast("decimal(20,0)")
@@ -987,31 +1013,205 @@ object Estimation {
         sum(when(!col("p"), col("x1") * col("x1"))).cast(dec).as("q11nh"),
         sum(when(!col("p"), col("x1") * col("x2"))).cast(dec).as("q12nh"),
         sum(when(!col("p"), col("x2") * col("x2"))).cast(dec).as("q22nh"))
-    val d0 = m.select(
+    m.select(
       col("nph").cast("double").as("np"), col("s1ph").cast("double").as("s1p"),
       col("s2ph").cast("double").as("s2p"), col("q11ph").cast("double").as("q11p"),
       col("q12ph").cast("double").as("q12p"), col("q22ph").cast("double").as("q22p"),
       col("nnh").cast("double").as("nn0"), col("s1nh").cast("double").as("s1n"),
       col("s2nh").cast("double").as("s2n"), col("q11nh").cast("double").as("q11n"),
       col("q12nh").cast("double").as("q12n"), col("q22nh").cast("double").as("q22n"))
-    val der = ldaDerivs.foldLeft(d0) {
-      case (acc, (nm, f)) => acc.withColumn(nm, expr(f))
+  }
+
+  /** A40 shared float texts. The per-cell probability is the ONE
+    * transcendental step: it is quantized to an e6 integer IMMEDIATELY
+    * after `exp` (the C33/B87 rounding rule, applied one step earlier
+    * than usual) so a cross-engine ULP difference in `exp` can only
+    * surface if the true value sits within ~1e-10 of a rounding
+    * boundary — every downstream gradient/Hessian term is then EXACT
+    * integer arithmetic and order-independent by construction.
+    */
+  private val logEtaSql   = "w0 + w1*x1f + w2*x2f"
+  private val logPe6Sql   = "ROUND(1000000.0/(1.0 + exp(-eta)), 0)"
+  private val logScoreSql = "w0 + w1*x1f + w2*x2f > 0.0"
+
+  /** A40 exact integer per-cell terms (engine-agnostic text: DECIMAL
+    * arithmetic on the Spark side, HUGEINT in the oracle — exactness,
+    * not op-sequence, is the cross-engine contract for these).
+    * grad = x·(k − n·p)·1e6, hess = x·x'·n·p(1−p)·1e12.
+    */
+  private val logSumDefs: Seq[(String, String)] = {
+    val g = "(kk*1000000 - nn*pe6)"
+    val h = "(nn*pe6*(1000000 - pe6))"
+    Seq("gs0" -> g, "gs1" -> s"x1*$g", "gs2" -> s"x2*$g",
+        "hs00" -> h, "hs01" -> s"x1*$h", "hs02" -> s"x2*$h",
+        "hs11" -> s"x1*x1*$h", "hs12" -> s"x1*x2*$h", "hs22" -> s"x2*x2*$h")
+  }
+
+  /** A40 Newton-step derivation chain: exact integer sums → float
+    * gradient/Hessian → symmetric-3×3 adjugate solve (the A39 Cramer
+    * rule one dimension up) → updated weights. Shared verbatim with
+    * the oracle's per-iteration CTE chain.
+    */
+  private val logSolveDerivs: Seq[(String, String)] = Seq(
+    "gg0"  -> "CAST(gs0 AS DOUBLE)/1.0e6",
+    "gg1"  -> "CAST(gs1 AS DOUBLE)/1.0e6",
+    "gg2"  -> "CAST(gs2 AS DOUBLE)/1.0e6",
+    "aa00" -> "CAST(hs00 AS DOUBLE)/1.0e12",
+    "aa01" -> "CAST(hs01 AS DOUBLE)/1.0e12",
+    "aa02" -> "CAST(hs02 AS DOUBLE)/1.0e12",
+    "aa11" -> "CAST(hs11 AS DOUBLE)/1.0e12",
+    "aa12" -> "CAST(hs12 AS DOUBLE)/1.0e12",
+    "aa22" -> "CAST(hs22 AS DOUBLE)/1.0e12",
+    "ja00" -> "aa11*aa22 - aa12*aa12",
+    "ja01" -> "aa02*aa12 - aa01*aa22",
+    "ja02" -> "aa01*aa12 - aa02*aa11",
+    "ja11" -> "aa00*aa22 - aa02*aa02",
+    "ja12" -> "aa01*aa02 - aa00*aa12",
+    "ja22" -> "aa00*aa11 - aa01*aa01",
+    "det"  -> "aa00*ja00 + aa01*ja01 + aa02*ja02",
+    "dl0"  -> "(ja00*gg0 + ja01*gg1 + ja02*gg2)/det",
+    "dl1"  -> "(ja01*gg0 + ja11*gg1 + ja12*gg2)/det",
+    "dl2"  -> "(ja02*gg0 + ja12*gg1 + ja22*gg2)/det",
+    "nw0"  -> "w0 + dl0", "nw1" -> "w1 + dl1", "nw2" -> "w2 + dl2")
+
+  private val logNewtonIters = 6
+
+  /** A40: logistic regression (sklearn LogisticRegression,
+    * penalty=None / Newton solver) predicting returned-vs-kept from
+    * (quantity, discount) — the GLM member of the moments-closed-form
+    * family (A9 OLS / A9c ridge / A39 LDA). Logistic has no sufficient
+    * statistic over raw rows, but BOTH features are domain-bounded
+    * (quantity 1..50 × discount-pct 0..10 → ≤561 cells), so ONE corpus
+    * pass collapses the fact to per-cell (n, k) counts and every
+    * Newton/IRLS iteration runs on the tiny cell frame: per-cell
+    * p e6-quantized right after the sigmoid ([[logPe6Sql]]), gradient
+    * and Hessian as EXACT integer sums ([[logSumDefs]] — order- and
+    * layout-independent), the symmetric solve via the shared
+    * [[logSolveDerivs]] adjugate chain. 6 Newton iterations converge
+    * the 3-weight MLE far past the published e6 rounding. The
+    * evaluation pass scores the whole fact against the broadcast
+    * weights → confusion matrix (the A39 shape). At 100 TB: fit = ONE
+    * scan + 6 iterations over ≤561 rows; iteration cost is
+    * corpus-independent.
+    */
+  def qLogistic(s: SparkSession, dir: String): DataFrame = {
+    val cells0 = lineitem(s, dir)
+      .select(col("l_quantity").cast("decimal(6,0)").as("x1"),
+              round(col("l_discount") * 100, 0).cast("decimal(6,0)").as("x2"),
+              (col("l_returnflag") === "R").cast("int").as("r"))
+      .groupBy(col("x1"), col("x2"))
+      .agg(count(lit(1)).cast("decimal(14,0)").as("nn"),
+           sum(col("r")).cast("decimal(14,0)").as("kk"))
+      .withColumn("x1f", col("x1").cast("double"))
+      .withColumn("x2f", col("x2").cast("double"))
+    // pin: 6 iterations re-read the cell frame; without this every
+    // iteration's plan re-scans the fact for the cell aggregate
+    val cells = graft.core.Materialize.pin(cells0)
+    var w: DataFrame = s.range(1).select(
+      lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"))
+    for (_ <- 1 to logNewtonIters) {
+      val terms = cells.crossJoin(broadcast(w))
+        .withColumn("eta", expr(logEtaSql))
+        .withColumn("pe6", expr(s"CAST($logPe6Sql AS DECIMAL(38,0))"))
+      val aggs = logSumDefs.map { case (nm, f) =>
+        sum(expr(f)).cast("decimal(38,0)").as(nm) }
+      val sums = terms.groupBy(col("w0"), col("w1"), col("w2"))
+        .agg(aggs.head, aggs.tail: _*)
+      val der = logSolveDerivs.foldLeft(sums) {
+        case (acc, (nm, f)) => acc.withColumn(nm, expr(f))
+      }
+      w = der.select(col("nw0").as("w0"), col("nw1").as("w1"),
+                     col("nw2").as("w2"))
     }
-    val fit = broadcast(der.select(col("w1"), col("w2"), col("c0")))
-    lineitem(s, dir)
-      .select(col("l_quantity").cast("long").cast("double").as("fx1"),
-              round(col("l_discount") * 100, 0).cast("long").cast("double").as("fx2"),
-              isP.cast("int").as("actual"))
+    // pin the 1-row result (forces the 6-iteration evaluation) so the
+    // cell checkpoint can be released before the scoring pass runs
+    val wFinal = graft.core.Materialize.pin(w)
+    graft.core.Materialize.release(cells)
+    val fit = broadcast(wFinal)
+    val out = lineitem(s, dir)
+      .select(col("l_quantity").cast("long").cast("double").as("x1f"),
+              round(col("l_discount") * 100, 0).cast("long").cast("double").as("x2f"),
+              (col("l_returnflag") === "R").cast("int").as("actual"))
       .crossJoin(fit)
-      .withColumn("pred", expr(ldaScoreSql).cast("int"))
-      .groupBy(col("w1"), col("w2"), col("c0"))
+      .withColumn("pred", expr(logScoreSql).cast("int"))
+      .groupBy(col("w0"), col("w1"), col("w2"))
       .agg(sum(expr("pred * actual")).as("tp"),
            sum(expr("pred * (1 - actual)")).as("fp"),
            sum(expr("(1 - pred) * actual")).as("fn"),
            sum(expr("(1 - pred) * (1 - actual)")).as("tn"))
-      .select(dec6(col("w1")).as("w1"), dec6(col("w2")).as("w2"),
-              dec6(col("c0")).as("c0"), col("tp"), col("fp"), col("fn"),
+      .select(dec6(col("w0")).as("w0"), dec6(col("w1")).as("w1"),
+              dec6(col("w2")).as("w2"), col("tp"), col("fp"), col("fn"),
               col("tn"))
+    out
+  }
+
+  /** The A41 derivation chain: per-class means, UNBIASED (n_c − 1)
+    * covariances (sklearn QDA's scaling), 2×2 inverses, log-dets and
+    * log-priors — every float step from the shared d0 moment columns,
+    * applied with `expr` on the Spark side and emitted verbatim as a
+    * CTE chain in the oracle (the A33 rule).
+    */
+  private val qdaDerivs: Seq[(String, String)] = Seq(
+    "m1p"  -> "s1p / np",   "m2p" -> "s2p / np",
+    "m1n"  -> "s1n / nn0",  "m2n" -> "s2n / nn0",
+    "v11p" -> "(q11p - (s1p*s1p)/np) / (np - 1.0)",
+    "v12p" -> "(q12p - (s1p*s2p)/np) / (np - 1.0)",
+    "v22p" -> "(q22p - (s2p*s2p)/np) / (np - 1.0)",
+    "v11n" -> "(q11n - (s1n*s1n)/nn0) / (nn0 - 1.0)",
+    "v12n" -> "(q12n - (s1n*s2n)/nn0) / (nn0 - 1.0)",
+    "v22n" -> "(q22n - (s2n*s2n)/nn0) / (nn0 - 1.0)",
+    "detp" -> "v11p*v22p - v12p*v12p",
+    "detn" -> "v11n*v22n - v12n*v12n",
+    "i11p" -> "v22p/detp", "i12p" -> "0.0 - v12p/detp", "i22p" -> "v11p/detp",
+    "i11n" -> "v22n/detn", "i12n" -> "0.0 - v12n/detn", "i22n" -> "v11n/detn",
+    "ldp"  -> "ln(detp)",  "ldn" -> "ln(detn)",
+    "lpr"  -> "ln(np / (np + nn0))", "lnr" -> "ln(nn0 / (np + nn0))")
+
+  /** The A41 per-row discriminant comparison — one shared text so the
+    * float op sequence is identical cross-engine. */
+  private val qdaScoreSql =
+    "(0.0 - 0.5*ldp" +
+      " - 0.5*((fx1-m1p)*(i11p*(fx1-m1p)+i12p*(fx2-m2p))" +
+            " + (fx2-m2p)*(i12p*(fx1-m1p)+i22p*(fx2-m2p))) + lpr)" +
+    " > (0.0 - 0.5*ldn" +
+      " - 0.5*((fx1-m1n)*(i11n*(fx1-m1n)+i12n*(fx2-m2n))" +
+            " + (fx2-m2n)*(i12n*(fx1-m1n)+i22n*(fx2-m2n))) + lnr)"
+
+  /** Columns of the broadcast QDA fit consumed by the score text. */
+  private val qdaFitCols = Seq(
+    "m1p", "m2p", "i11p", "i12p", "i22p", "ldp", "lpr",
+    "m1n", "m2n", "i11n", "i12n", "i22n", "ldn", "lnr")
+
+  /** A41: quadratic discriminant analysis (sklearn
+    * QuadraticDiscriminantAnalysis) — per-class covariances instead of
+    * A39's pooled one, so the boundary is a conic: fit = the SAME
+    * single conditional-moment pass as LDA ([[condMoments2]] — the two
+    * classifiers literally share their scan), per-class 2×2 inverses /
+    * log-dets / log-priors via the [[qdaDerivs]] chain on a 1-row
+    * frame, and the evaluation pass scores the whole fact against the
+    * broadcast quadratic discriminant ([[qdaScoreSql]]) → confusion
+    * matrix. Two corpus passes at any scale.
+    */
+  def qQda(s: SparkSession, dir: String): DataFrame = {
+    val der = qdaDerivs.foldLeft(condMoments2(s, dir)) {
+      case (acc, (nm, f)) => acc.withColumn(nm, expr(f))
+    }
+    val fit = broadcast(der.select(qdaFitCols.map(col): _*))
+    lineitem(s, dir)
+      .select(col("l_quantity").cast("long").cast("double").as("fx1"),
+              round(col("l_discount") * 100, 0).cast("long").cast("double").as("fx2"),
+              (col("l_returnflag") === "R").cast("int").as("actual"))
+      .crossJoin(fit)
+      .withColumn("pred", expr(qdaScoreSql).cast("int"))
+      .groupBy(qdaFitCols.map(col): _*)
+      .agg(sum(expr("pred * actual")).as("tp"),
+           sum(expr("pred * (1 - actual)")).as("fp"),
+           sum(expr("(1 - pred) * actual")).as("fn"),
+           sum(expr("(1 - pred) * (1 - actual)")).as("tn"))
+      .select(dec6(col("m1p")).as("m1p"), dec6(col("m2p")).as("m2p"),
+              dec6(col("m1n")).as("m1n"), dec6(col("m2n")).as("m2n"),
+              dec6(col("ldp")).as("ldp"), dec6(col("ldn")).as("ldn"),
+              col("tp"), col("fp"), col("fn"), col("tn"))
   }
 
   /** G2 (query-backed): global raster statistics where the AGGREGATION
@@ -1395,6 +1595,25 @@ object Estimation {
     * ROW_NUMBER formulation the Spark engine deliberately AVOIDS — fine
     * at sf0.01 oracle scale, ruled out at 100 TB (see class doc).
     */
+  /** Shared A39/A41 oracle prefix: the conditional-moment CTEs
+    * replicating [[condMoments2]] (exact HUGEINT moments → d0 doubles).
+    */
+  private val condMomentsCtes: String =
+    s"""b AS (SELECT CAST(l_quantity AS HUGEINT) AS x1,
+      |    CAST(ROUND(l_discount*100,0) AS HUGEINT) AS x2,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS p FROM lineitem),
+      |m AS (SELECT SUM(p) AS nph, SUM(p*x1) AS s1ph, SUM(p*x2) AS s2ph,
+      |    SUM(p*x1*x1) AS q11ph, SUM(p*x1*x2) AS q12ph, SUM(p*x2*x2) AS q22ph,
+      |    SUM(1-p) AS nnh, SUM((1-p)*x1) AS s1nh, SUM((1-p)*x2) AS s2nh,
+      |    SUM((1-p)*x1*x1) AS q11nh, SUM((1-p)*x1*x2) AS q12nh,
+      |    SUM((1-p)*x2*x2) AS q22nh FROM b),
+      |d0 AS (SELECT CAST(nph AS DOUBLE) AS np, CAST(s1ph AS DOUBLE) AS s1p,
+      |    CAST(s2ph AS DOUBLE) AS s2p, CAST(q11ph AS DOUBLE) AS q11p,
+      |    CAST(q12ph AS DOUBLE) AS q12p, CAST(q22ph AS DOUBLE) AS q22p,
+      |    CAST(nnh AS DOUBLE) AS nn0, CAST(s1nh AS DOUBLE) AS s1n,
+      |    CAST(s2nh AS DOUBLE) AS s2n, CAST(q11nh AS DOUBLE) AS q11n,
+      |    CAST(q12nh AS DOUBLE) AS q12n, CAST(q22nh AS DOUBLE) AS q22n FROM m)""".stripMargin
+
   val oracles: Map[String, String] = {
     val train = s"train AS ($trainSql)"
     val q     = s"q AS (SELECT $uidSql AS li_id, l_quantity, " +
@@ -1509,20 +1728,7 @@ object Estimation {
           s"d${i + 1} AS (SELECT *, $f AS $nm FROM d$i)"
         }.mkString(",\n")
         val last = s"d${ldaDerivs.length}"
-        s"""WITH b AS (SELECT CAST(l_quantity AS HUGEINT) AS x1,
-          |    CAST(ROUND(l_discount*100,0) AS HUGEINT) AS x2,
-          |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS p FROM lineitem),
-          |m AS (SELECT SUM(p) AS nph, SUM(p*x1) AS s1ph, SUM(p*x2) AS s2ph,
-          |    SUM(p*x1*x1) AS q11ph, SUM(p*x1*x2) AS q12ph, SUM(p*x2*x2) AS q22ph,
-          |    SUM(1-p) AS nnh, SUM((1-p)*x1) AS s1nh, SUM((1-p)*x2) AS s2nh,
-          |    SUM((1-p)*x1*x1) AS q11nh, SUM((1-p)*x1*x2) AS q12nh,
-          |    SUM((1-p)*x2*x2) AS q22nh FROM b),
-          |d0 AS (SELECT CAST(nph AS DOUBLE) AS np, CAST(s1ph AS DOUBLE) AS s1p,
-          |    CAST(s2ph AS DOUBLE) AS s2p, CAST(q11ph AS DOUBLE) AS q11p,
-          |    CAST(q12ph AS DOUBLE) AS q12p, CAST(q22ph AS DOUBLE) AS q22p,
-          |    CAST(nnh AS DOUBLE) AS nn0, CAST(s1nh AS DOUBLE) AS s1n,
-          |    CAST(s2nh AS DOUBLE) AS s2n, CAST(q11nh AS DOUBLE) AS q11n,
-          |    CAST(q12nh AS DOUBLE) AS q12n, CAST(q22nh AS DOUBLE) AS q22n FROM m),
+        s"""WITH $condMomentsCtes,
           |$chain,
           |f AS (SELECT w1, w2, c0 FROM $last),
           |sc AS (SELECT w1, w2, c0,
@@ -1540,6 +1746,79 @@ object Estimation {
           |  CAST(SUM((1-pred)*actual) AS BIGINT) AS fn,
           |  CAST(SUM((1-pred)*(1-actual)) AS BIGINT) AS tn
           |FROM sc GROUP BY w1, w2, c0""".stripMargin
+      },
+      "q_logistic" -> {
+        val sumsSel = logSumDefs.map { case (nm, f) => s"SUM($f) AS $nm" }
+          .mkString(",\n    ")
+        def iter(i: Int): String = {
+          val prev = if (i == 1) "w0cte" else s"w${i - 1}"
+          val chain = logSolveDerivs.zipWithIndex.map { case ((nm, f), j) =>
+            s"s${i}_${j + 1} AS (SELECT *, $f AS $nm FROM s${i}_$j)"
+          }.mkString(",\n")
+          s"""c$i AS (SELECT cells.*, w0, w1, w2, $logEtaSql AS eta
+             |  FROM cells CROSS JOIN $prev),
+             |p$i AS (SELECT *, CAST($logPe6Sql AS HUGEINT) AS pe6 FROM c$i),
+             |s${i}_0 AS (SELECT w0, w1, w2,
+             |    $sumsSel
+             |  FROM p$i GROUP BY 1,2,3),
+             |$chain,
+             |w$i AS (SELECT nw0 AS w0, nw1 AS w1, nw2 AS w2
+             |  FROM s${i}_${logSolveDerivs.length})""".stripMargin
+        }
+        val iters = (1 to logNewtonIters).map(iter).mkString(",\n")
+        s"""WITH cells AS (SELECT CAST(l_quantity AS HUGEINT) AS x1,
+          |    CAST(ROUND(l_discount*100,0) AS HUGEINT) AS x2,
+          |    CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) AS x1f,
+          |    CAST(CAST(ROUND(l_discount*100,0) AS BIGINT) AS DOUBLE) AS x2f,
+          |    CAST(COUNT(*) AS HUGEINT) AS nn,
+          |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS HUGEINT) AS kk
+          |  FROM lineitem GROUP BY 1,2,3,4),
+          |w0cte AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+          |$iters,
+          |f AS (SELECT w0, w1, w2 FROM w$logNewtonIters),
+          |sc AS (SELECT w0, w1, w2,
+          |    CASE WHEN $logScoreSql THEN 1 ELSE 0 END AS pred,
+          |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS actual
+          |  FROM (SELECT l_returnflag,
+          |      CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) AS x1f,
+          |      CAST(CAST(ROUND(l_discount*100,0) AS BIGINT) AS DOUBLE) AS x2f
+          |    FROM lineitem) CROSS JOIN f)
+          |SELECT CAST(ROUND(w0, 6) AS DECIMAL(18,6))::DOUBLE AS w0,
+          |  CAST(ROUND(w1, 6) AS DECIMAL(18,6))::DOUBLE AS w1,
+          |  CAST(ROUND(w2, 6) AS DECIMAL(18,6))::DOUBLE AS w2,
+          |  CAST(SUM(pred*actual) AS BIGINT) AS tp,
+          |  CAST(SUM(pred*(1-actual)) AS BIGINT) AS fp,
+          |  CAST(SUM((1-pred)*actual) AS BIGINT) AS fn,
+          |  CAST(SUM((1-pred)*(1-actual)) AS BIGINT) AS tn
+          |FROM sc GROUP BY w0, w1, w2""".stripMargin
+      },
+      "q_qda" -> {
+        val chain = qdaDerivs.zipWithIndex.map { case ((nm, f), i) =>
+          s"d${i + 1} AS (SELECT *, $f AS $nm FROM d$i)"
+        }.mkString(",\n")
+        val last    = s"d${qdaDerivs.length}"
+        val fitCols = qdaFitCols.mkString(", ")
+        s"""WITH $condMomentsCtes,
+          |$chain,
+          |f AS (SELECT $fitCols FROM $last),
+          |sc AS (SELECT $fitCols,
+          |    CASE WHEN $qdaScoreSql THEN 1 ELSE 0 END AS pred,
+          |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS actual
+          |  FROM (SELECT l_returnflag,
+          |      CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) AS fx1,
+          |      CAST(CAST(ROUND(l_discount*100,0) AS BIGINT) AS DOUBLE) AS fx2
+          |    FROM lineitem) CROSS JOIN f)
+          |SELECT CAST(ROUND(m1p, 6) AS DECIMAL(18,6))::DOUBLE AS m1p,
+          |  CAST(ROUND(m2p, 6) AS DECIMAL(18,6))::DOUBLE AS m2p,
+          |  CAST(ROUND(m1n, 6) AS DECIMAL(18,6))::DOUBLE AS m1n,
+          |  CAST(ROUND(m2n, 6) AS DECIMAL(18,6))::DOUBLE AS m2n,
+          |  CAST(ROUND(ldp, 6) AS DECIMAL(18,6))::DOUBLE AS ldp,
+          |  CAST(ROUND(ldn, 6) AS DECIMAL(18,6))::DOUBLE AS ldn,
+          |  CAST(SUM(pred*actual) AS BIGINT) AS tp,
+          |  CAST(SUM(pred*(1-actual)) AS BIGINT) AS fp,
+          |  CAST(SUM((1-pred)*actual) AS BIGINT) AS fn,
+          |  CAST(SUM((1-pred)*(1-actual)) AS BIGINT) AS tn
+          |FROM sc GROUP BY $fitCols""".stripMargin
       },
       "q_raster_agg" ->
         s"""WITH g AS (SELECT ${TF.hexPrefix52Sql("md5('ras|'||(i % 200)||','||(i // 200))")} AS hx
