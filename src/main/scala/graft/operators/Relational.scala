@@ -2007,6 +2007,143 @@ object Relational {
               col("psi_e6").cast("long").as("psi_e6"))
   }
 
+  /** B91 z-statistic (normal approximation with tie correction) — ONE
+    * shared float text over the exact integer aggregates, so the IEEE
+    * op sequence is identical cross-engine. `ua2` is 2·U_A (midranks
+    * make U a half-integer under cross-cohort ties; doubling keeps it
+    * exact). */
+  private val mwZSql =
+    "(CAST(ua2 AS DOUBLE)/2.0 - CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)/2.0) / " +
+      "sqrt((CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)/12.0) * " +
+        "((CAST(nn AS DOUBLE) + 1.0) - " +
+          "CAST(tt AS DOUBLE)/(CAST(nn AS DOUBLE)*(CAST(nn AS DOUBLE) - 1.0))))"
+
+  /** B91: Mann–Whitney U test (Wilcoxon rank-sum) between the
+    * 1997/1998 shipping cohorts' quantity distributions — the
+    * NONPARAMETRIC member of the two-sample family (B84 Welch on
+    * means, B88 PSI on shapes, B66 KS on CDFs): quantity is
+    * domain-bounded (1..50), so the fact collapses to per-value cohort
+    * counts in ONE conditional aggregate (the B61 cardinality rule)
+    * and EXACT doubled midranks r2(v) = 2·cumBefore + c + 1 come from
+    * a window over the ≤50-row value frame — never over the fact.
+    * U, the tie term Σc(c²−1) and both cohort sizes are exact
+    * DECIMAL(38,0) integers; only the published z is float, via the
+    * shared [[mwZSql]] text. At 100 TB: one shuffle of ≤50 keys.
+    */
+  def qMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isA = col("l_shipdate") < lit("1998-01-01")
+    val cells = lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+              col("l_shipdate") < lit("1999-01-01"))
+      .groupBy(col("l_quantity").cast("long").as("v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).cast("decimal(38,0)").as("ca"),
+           sum(when(!isA, 1L).otherwise(0L)).cast("decimal(38,0)").as("cb"))
+    // ≤50-row domain frame: the single-partition window is bounded by
+    // the value domain, not the corpus
+    val win = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("c", col("ca") + col("cb"))
+      .withColumn("r2",
+        coalesce(sum(col("c")).over(win), lit(0)) * 2 + col("c") + 1)
+    ranked
+      .agg(sum(col("ca")).as("nad"), sum(col("cb")).as("nbd"),
+           sum(col("ca") * col("r2")).as("ra2"),
+           sum(col("c") * (col("c") * col("c") - 1)).as("ttd"))
+      .select(col("nad").as("na"), col("nbd").as("nb"),
+              (col("nad") + col("nbd")).as("nn"),
+              (col("ra2") - col("nad") * (col("nad") + 1)).as("ua2"),
+              col("ttd").as("tt"))
+      .select(col("na").cast("long").as("n_a"),
+              col("nb").cast("long").as("n_b"),
+              col("ua2").cast("long").as("u_a_x2"),
+              (col("na") * col("nb") * 2 - col("ua2")).cast("long").as("u_b_x2"),
+              dec6(expr(mwZSql)).as("z"))
+  }
+
+  /** B92 rho — shared float text over the exact rank-moment doubles. */
+  private val spearRhoSql =
+    "(nnd*sxy - sx*sy) / sqrt((nnd*sxx - sx*sx) * (nnd*syy - sy*sy))"
+
+  /** B92: Spearman rank correlation between quantity and discount —
+    * the rank twin of B17's Pearson: both variables are domain-bounded
+    * (50 × 11 values → ≤550 cells), so ONE corpus aggregate yields the
+    * joint cell counts, the marginal frames give EXACT doubled
+    * midranks (windows over ≤50-row domains), and ρ is Pearson over
+    * the midranks with every moment an exact DECIMAL(38,0) integer
+    * (the 2× rank scale cancels in the correlation). Only the final ρ
+    * is float, via the shared [[spearRhoSql]] text. One fact shuffle
+    * of ≤550 keys at any scale.
+    */
+  def qSpearman(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = lineitem(s, dir)
+      .groupBy(col("l_quantity").cast("long").as("vx"),
+               round(col("l_discount") * 100, 0).cast("long").as("vy"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+    def midranks(dim: String): DataFrame = {
+      val m = cells.groupBy(col(dim)).agg(sum(col("c")).as("cm"))
+      val w = Window.orderBy(col(dim))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      m.withColumn(s"r$dim",
+        coalesce(sum(col("cm")).over(w), lit(0)) * 2 + col("cm") + 1)
+        .select(col(dim), col(s"r$dim"))
+    }
+    cells
+      .join(broadcast(midranks("vx")), "vx")
+      .join(broadcast(midranks("vy")), "vy")
+      .agg(sum(col("c")).as("n"),
+           sum(col("c") * col("rvx")).as("sxd"),
+           sum(col("c") * col("rvy")).as("syd"),
+           sum(col("c") * col("rvx") * col("rvx")).as("sxxd"),
+           sum(col("c") * col("rvy") * col("rvy")).as("syyd"),
+           sum(col("c") * col("rvx") * col("rvy")).as("sxyd"))
+      .select(col("n").cast("long").as("n_rows"),
+              col("n").cast("double").as("nnd"),
+              col("sxd").cast("double").as("sx"),
+              col("syd").cast("double").as("sy"),
+              col("sxxd").cast("double").as("sxx"),
+              col("syyd").cast("double").as("syy"),
+              col("sxyd").cast("double").as("sxy"))
+      .select(col("n_rows"), dec6(expr(spearRhoSql)).as("rho"))
+  }
+
+  /** B93 V — shared float text over the exact chi2_ppm integer. */
+  private val cramersVSql =
+    "sqrt((CAST(chi2_ppm AS DOUBLE)/1.0e6) / " +
+      "(CAST(n AS DOUBLE) * CAST(dmin AS DOUBLE)))"
+
+  /** B93: Cramér's V effect size for the (returnflag × linestatus)
+    * association — closing the loop on B76's χ² (significance without
+    * effect size is the classic production-monitoring trap at 100 TB:
+    * EVERYTHING is significant at 1e12 rows): the SAME exact
+    * integral-division chi2_ppm pipeline as B76, extended with
+    * min(r−1, c−1) and V = sqrt(χ²/(n·dmin)) as the ONLY float step
+    * (shared [[cramersVSql]] text). One ≤6-cell shuffle at any scale.
+    */
+  def qCramersV(s: SparkSession, dir: String): DataFrame = {
+    val c = lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("o"))
+    val r   = c.groupBy(col("rf")).agg(sum(col("o")).as("rt"))
+    val cl  = c.groupBy(col("ls")).agg(sum(col("o")).as("ct"))
+    val nT  = c.agg(sum(col("o")).as("nn"))
+    val rn  = r.agg(count(lit(1)).as("nr"))
+    val cln = cl.agg(count(lit(1)).as("nc"))
+    c.join(broadcast(r), "rf").join(broadcast(cl), "ls")
+      .crossJoin(broadcast(nT))
+      .select(expr("(nn * o * o * 1000000) div (rt * ct)").as("tij"), col("nn"))
+      .agg(sum(col("tij")).as("ts"), max(col("nn")).as("nn"))
+      .crossJoin(broadcast(rn)).crossJoin(broadcast(cln))
+      .select(col("nn").cast("long").as("n"),
+              ((col("nr") - 1) * (col("nc") - 1)).as("df"),
+              least(col("nr") - 1, col("nc") - 1).cast("long").as("dmin"),
+              expr("CAST(ts - nn * 1000000 AS BIGINT)").as("chi2_ppm"))
+      .select(col("n"), col("df"), col("dmin"), col("chi2_ppm"),
+              dec6(expr(cramersVSql)).as("v"))
+  }
+
   /** B89: Benford first-digit audit — the fraud/fabrication screen for
     * financial facts (synthesized amounts drift from Benford's
     * log-distribution): first digit of the exact cent amount via
@@ -2206,6 +2343,61 @@ object Relational {
         |  WHERE a > 0 AND b > 0)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets, MAX(na) AS na, MAX(nb) AS nb,
         |  CAST(SUM(term) AS BIGINT) AS psi_e6 FROM j""".stripMargin,
+    "q_mannwhitney" ->
+      s"""WITH c0 AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+        |    CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  GROUP BY 1),
+        |r AS (SELECT *, ca + cb AS c,
+        |    2*COALESCE(SUM(ca+cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (ca+cb) + 1 AS r2
+        |  FROM c0),
+        |a AS (SELECT SUM(ca) AS na, SUM(cb) AS nb, SUM(ca*r2) AS ra2,
+        |    SUM(c*(c*c - 1)) AS tt FROM r),
+        |b AS (SELECT na, nb, na + nb AS nn, ra2 - na*(na+1) AS ua2, tt FROM a)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(ua2 AS BIGINT) AS u_a_x2, CAST(na*nb*2 - ua2 AS BIGINT) AS u_b_x2,
+        |  CAST(ROUND($mwZSql, 6) AS DECIMAL(18,6))::DOUBLE AS z
+        |FROM b""".stripMargin,
+    "q_spearman" ->
+      s"""WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS vx,
+        |    CAST(ROUND(l_discount*100,0) AS BIGINT) AS vy,
+        |    CAST(COUNT(*) AS HUGEINT) AS c FROM lineitem GROUP BY 1,2),
+        |mx AS (SELECT vx, SUM(c) AS cm FROM cells GROUP BY 1),
+        |rx AS (SELECT vx, 2*COALESCE(SUM(cm) OVER (ORDER BY vx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cm + 1 AS rvx FROM mx),
+        |my AS (SELECT vy, SUM(c) AS cm FROM cells GROUP BY 1),
+        |ry AS (SELECT vy, 2*COALESCE(SUM(cm) OVER (ORDER BY vy
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cm + 1 AS rvy FROM my),
+        |j AS (SELECT c, rvx, rvy FROM cells JOIN rx USING (vx) JOIN ry USING (vy)),
+        |a AS (SELECT SUM(c) AS n, SUM(c*rvx) AS sxd, SUM(c*rvy) AS syd,
+        |    SUM(c*rvx*rvx) AS sxxd, SUM(c*rvy*rvy) AS syyd,
+        |    SUM(c*rvx*rvy) AS sxyd FROM j),
+        |d AS (SELECT CAST(n AS BIGINT) AS n_rows, CAST(n AS DOUBLE) AS nnd,
+        |    CAST(sxd AS DOUBLE) AS sx, CAST(syd AS DOUBLE) AS sy,
+        |    CAST(sxxd AS DOUBLE) AS sxx, CAST(syyd AS DOUBLE) AS syy,
+        |    CAST(sxyd AS DOUBLE) AS sxy FROM a)
+        |SELECT n_rows, CAST(ROUND($spearRhoSql, 6) AS DECIMAL(18,6))::DOUBLE AS rho
+        |FROM d""".stripMargin,
+    "q_cramers_v" ->
+      s"""WITH c AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |    CAST(COUNT(*) AS HUGEINT) AS o FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT rf, SUM(o) AS rt FROM c GROUP BY 1),
+        |cl AS (SELECT ls, SUM(o) AS ct FROM c GROUP BY 1),
+        |nt AS (SELECT SUM(o) AS nn FROM c),
+        |t AS (SELECT (nn * o * o * 1000000) // (rt * ct) AS tij, nn
+        |  FROM c JOIN r USING (rf) JOIN cl USING (ls) CROSS JOIN nt),
+        |ag AS (SELECT SUM(tij) AS ts, MAX(nn) AS nn,
+        |    (SELECT COUNT(*) FROM r) AS nr, (SELECT COUNT(*) FROM cl) AS nc
+        |  FROM t),
+        |fin AS (SELECT CAST(nn AS BIGINT) AS n, CAST((nr-1)*(nc-1) AS BIGINT) AS df,
+        |    CAST(LEAST(nr-1, nc-1) AS BIGINT) AS dmin,
+        |    CAST(ts - nn * 1000000 AS BIGINT) AS chi2_ppm FROM ag)
+        |SELECT n, df, dmin, chi2_ppm,
+        |  CAST(ROUND($cramersVSql, 6) AS DECIMAL(18,6))::DOUBLE AS v
+        |FROM fin""".stripMargin,
     "q_autocorr" ->
       """WITH daily AS (SELECT o_orderdate AS day,
         |    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS xs
