@@ -2236,6 +2236,81 @@ object Relational {
               acPpm("m2").as("r2_ppm"), acPpm("m3").as("r3_ppm"))
   }
 
+  /** The shared B94/B95 daily revenue series: fact → day domain in ONE
+    * map-side-combined aggregate (the B61/B85 collapse), exact cents.
+    */
+  private def dailyRevenue(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("x"))
+
+  /** B94: CUSUM changepoint detection on the daily revenue series —
+    * THE classic "when did the level shift" audit (Page's cumulative
+    * sum), exact to the last cent: deviations against the FLOOR mean
+    * (S div n — the B85 rule: exact integers, linear operand growth),
+    * S_t as a running sum over the |days| domain frame (never the
+    * fact), and the changepoint is the argmax of |S_t| with an
+    * earliest-day tie-break. Everything published is an exact integer
+    * or a calendar day — float-free. At 100 TB: one ≤|days|-key
+    * shuffle, then domain-bounded window work.
+    */
+  def qCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenue(s, dir)
+    val tot = daily.agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"))
+    val w  = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = daily.crossJoin(broadcast(tot))
+      .withColumn("dev", col("x") - expr("sx div n_days"))
+      .withColumn("st", sum(col("dev")).over(w).cast("decimal(38,0)"))
+      .withColumn("abs_s", abs(col("st")))
+    val pick = Window.orderBy(col("abs_s").desc, col("day").asc)
+    st.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("n_days").cast("long").as("n_days"),
+              date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+              col("st").cast("long").as("s_at_cp"),
+              col("abs_s").cast("long").as("max_abs_s"))
+  }
+
+  /** B95: Theil–Sen slope of daily revenue over time — the robust
+    * (29%-breakdown) trend estimator next to B32's OLS forecast:
+    * pairwise slopes over the DAY DOMAIN (|days|² pairs — corpus-
+    * independent work, the fact itself is never self-joined), each
+    * slope quantized to exact e6 cents/day via the sign-split
+    * integral division (the B85 acPpm rule — the published statistic
+    * is the EXACT median of that quantized multiset, a well-defined
+    * contract), and the median found by cumulative counts over the
+    * slope-value frame (the B61 shape) — no global row sort. The
+    * domain self-join broadcasts one side (BroadcastNestedLoopJoin on
+    * a ≤|days|-row build — never a cartesian of facts). Publishes the
+    * two middle order statistics m_lo/m_hi (equal when the pair count
+    * is odd). At 100 TB: identical plan, identical cost.
+    */
+  def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenue(s, dir)
+    val a = daily.select(col("day").as("d1"), col("x").as("x1"))
+    val b = daily.select(col("day").as("d2"), col("x").as("x2"))
+    val pairs = a.join(broadcast(b), datediff(col("d2"), col("d1")) > 0)
+      .select(datediff(col("d2"), col("d1")).cast("decimal(38,0)").as("gap"),
+              (col("x2") - col("x1")).cast("decimal(38,0)").as("dx"))
+      .select((when(col("dx") >= 0, lit(1L)).otherwise(lit(-1L)) *
+        expr("(abs(dx) * 1000000) div gap")).cast("long").as("sl"))
+    val vc  = pairs.groupBy(col("sl")).agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+    val tot = vc.agg(sum(col("c")).as("np"))
+      .select(col("np"), expr("(np + 1) div 2").as("k1"),
+              expr("(np + 2) div 2").as("k2"))
+    val w = Window.orderBy(col("sl"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vc.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("np")).as("npx"),
+           min(when(col("cum") >= col("k1"), col("sl"))).as("mlo"),
+           min(when(col("cum") >= col("k2"), col("sl"))).as("mhi"))
+      .select(col("npx").cast("long").as("n_pairs"),
+              col("mlo").cast("long").as("m_lo"),
+              col("mhi").cast("long").as("m_hi"))
+  }
+
   /** B86: interval-union coverage ("how much wall-clock time had at
     * least one session open, per day") — the utilization/SLA twin of
     * B65's peak concurrency, and the classic DISTRIBUTED interval-union
@@ -2343,6 +2418,41 @@ object Relational {
         |  WHERE a > 0 AND b > 0)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets, MAX(na) AS na, MAX(nb) AS nb,
         |  CAST(SUM(term) AS BIGINT) AS psi_e6 FROM j""".stripMargin,
+    "q_cusum" ->
+      """WITH daily AS (SELECT o_orderdate AS day,
+        |    SUM(CAST(ROUND(o_totalprice*100,0) AS HUGEINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n_days, SUM(x) AS sx FROM daily),
+        |d AS (SELECT day, x - (sx // n_days) AS dev, n_days
+        |  FROM daily CROSS JOIN t),
+        |s AS (SELECT day, n_days,
+        |    SUM(dev) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st
+        |  FROM d),
+        |r AS (SELECT *, abs(st) AS abs_s,
+        |    ROW_NUMBER() OVER (ORDER BY abs(st) DESC, day ASC) AS rn FROM s)
+        |SELECT CAST(n_days AS BIGINT) AS n_days,
+        |  strftime(day, '%Y-%m-%d') AS cp_day,
+        |  CAST(st AS BIGINT) AS s_at_cp, CAST(abs_s AS BIGINT) AS max_abs_s
+        |FROM r WHERE rn = 1""".stripMargin,
+    "q_theilsen" ->
+      """WITH daily AS (SELECT o_orderdate AS day,
+        |    SUM(CAST(ROUND(o_totalprice*100,0) AS HUGEINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT CAST(date_diff('day', a.day, b.day) AS HUGEINT) AS gap,
+        |    b.x - a.x AS dx
+        |  FROM daily a JOIN daily b ON b.day > a.day),
+        |slv AS (SELECT (CASE WHEN dx >= 0 THEN 1 ELSE -1 END)
+        |    * ((abs(dx) * 1000000) // gap) AS sl FROM p),
+        |vc AS (SELECT sl, CAST(COUNT(*) AS HUGEINT) AS c FROM slv GROUP BY 1),
+        |t AS (SELECT SUM(c) AS np FROM vc),
+        |k AS (SELECT np, (np + 1) // 2 AS k1, (np + 2) // 2 AS k2 FROM t),
+        |cm AS (SELECT sl, SUM(c) OVER (ORDER BY sl
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM vc)
+        |SELECT CAST(np AS BIGINT) AS n_pairs,
+        |  CAST(MIN(CASE WHEN cum >= k1 THEN sl END) AS BIGINT) AS m_lo,
+        |  CAST(MIN(CASE WHEN cum >= k2 THEN sl END) AS BIGINT) AS m_hi
+        |FROM cm CROSS JOIN k GROUP BY np""".stripMargin,
     "q_mannwhitney" ->
       s"""WITH c0 AS (SELECT CAST(l_quantity AS BIGINT) AS v,
         |    CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
