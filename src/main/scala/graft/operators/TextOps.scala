@@ -1322,6 +1322,62 @@ object TextOps {
       .orderBy(col("df").desc, col("term"))
       .limit(30)
 
+  /** C42 shared float texts: ln(rank)/ln(tf) e6-quantized RIGHT AFTER
+    * the transcendental (the C33/B87 rule) so the OLS moments are
+    * exact integers; the closed-form fit is a shared derivation chain.
+    * The common e6 scale on both axes cancels in the slope; the
+    * intercept divides it back out.
+    */
+  private val zipfXsSql = "ROUND(ln(CAST(rank AS DOUBLE)) * 1000000, 0)"
+  private val zipfYsSql = "ROUND(ln(CAST(tf AS DOUBLE)) * 1000000, 0)"
+  private val zipfDerivs: Seq[(String, String)] = Seq(
+    "slope" -> "(nnd*sxy - sx*sy) / (nnd*sxx - sx*sx)",
+    "icept" -> "((sy - slope*sx) / nnd) / 1000000.0",
+    "r2"    -> ("((nnd*sxy - sx*sy)*(nnd*sxy - sx*sy)) / " +
+                "((nnd*sxx - sx*sx)*(nnd*syy - sy*sy))"))
+
+  /** C42: Zipf's-law fit of the corpus rank-frequency curve — the
+    * canonical corpus-health diagnostic (natural language tracks
+    * slope ≈ −1 on log-log; template/boilerplate corpora bend it):
+    * term frequencies in one aggregate, top-200 by (tf DESC, term)
+    * via TakeOrderedAndProject (distributed top-K — no global sort),
+    * ranks from a window over the 200-row frame, ln's e6-quantized
+    * ([[zipfXsSql]]/[[zipfYsSql]]) so the six OLS moments are EXACT
+    * DECIMAL(38,0) integers, and slope/intercept/R² via the shared
+    * [[zipfDerivs]] chain. Fit cost is corpus-independent after the
+    * one vocab aggregate.
+    */
+  def qZipfFit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term")).limit(200)
+    val ranked = tf.withColumn("rank",
+      row_number().over(Window.orderBy(col("tf").desc, col("term"))))
+    val m = ranked
+      .select(expr(s"CAST($zipfXsSql AS DECIMAL(38,0))").as("xs"),
+              expr(s"CAST($zipfYsSql AS DECIMAL(38,0))").as("ys"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("xs")).as("sxd"), sum(col("ys")).as("syd"),
+           sum(col("xs") * col("xs")).as("sxxd"),
+           sum(col("xs") * col("ys")).as("sxyd"),
+           sum(col("ys") * col("ys")).as("syyd"))
+      .select(col("n").cast("long").as("n_terms"),
+              col("n").cast("double").as("nnd"),
+              col("sxd").cast("double").as("sx"),
+              col("syd").cast("double").as("sy"),
+              col("sxxd").cast("double").as("sxx"),
+              col("sxyd").cast("double").as("sxy"),
+              col("syyd").cast("double").as("syy"))
+    zipfDerivs.foldLeft(m) { case (acc, (nm, f)) =>
+      acc.withColumn(nm, expr(f))
+    }.select(col("n_terms"), graft.functions.dec6(col("slope")).as("slope"),
+             graft.functions.dec6(col("icept")).as("intercept"),
+             graft.functions.dec6(col("r2")).as("r2"))
+  }
+
   /** C26: language-ID confusion matrix — the evaluation primitive for
     * the C4 classifier: (gold, predicted) counts over the corpus, one
     * small-key aggregate after the codegen'd prediction.
@@ -1863,6 +1919,30 @@ object TextOps {
         |JOIN sz ON a.pre = sz.pre
         |WHERE levenshtein(a.text, b.text) <= 40
         |ORDER BY 1, 2""".stripMargin,
+    "q_zipf_fit" -> {
+      val chain = zipfDerivs.zipWithIndex.map { case ((nm, f), i) =>
+        s"d${i + 1} AS (SELECT *, $f AS $nm FROM d$i)"
+      }.mkString(",\n")
+      s"""WITH tf AS (SELECT term, COUNT(*) AS tf
+        |  FROM (SELECT unnest(string_split(text,' ')) AS term FROM documents)
+        |  WHERE LENGTH(term) > 0 GROUP BY 1
+        |  ORDER BY tf DESC, term LIMIT 200),
+        |rk AS (SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS rank
+        |  FROM tf),
+        |l AS (SELECT CAST($zipfXsSql AS HUGEINT) AS xs,
+        |    CAST($zipfYsSql AS HUGEINT) AS ys FROM rk),
+        |a AS (SELECT COUNT(*) AS n, SUM(xs) AS sxd, SUM(ys) AS syd,
+        |    SUM(xs*xs) AS sxxd, SUM(xs*ys) AS sxyd, SUM(ys*ys) AS syyd FROM l),
+        |d0 AS (SELECT CAST(n AS BIGINT) AS n_terms, CAST(n AS DOUBLE) AS nnd,
+        |    CAST(sxd AS DOUBLE) AS sx, CAST(syd AS DOUBLE) AS sy,
+        |    CAST(sxxd AS DOUBLE) AS sxx, CAST(sxyd AS DOUBLE) AS sxy,
+        |    CAST(syyd AS DOUBLE) AS syy FROM a),
+        |$chain
+        |SELECT n_terms, CAST(ROUND(slope, 6) AS DECIMAL(18,6))::DOUBLE AS slope,
+        |  CAST(ROUND(icept, 6) AS DECIMAL(18,6))::DOUBLE AS intercept,
+        |  CAST(ROUND(r2, 6) AS DECIMAL(18,6))::DOUBLE AS r2
+        |FROM d${zipfDerivs.length}""".stripMargin
+    },
     "q_vocab" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
         |SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
