@@ -544,6 +544,130 @@ object Similarity {
     best
   }
 
+  /** D17: IVF-PQ composite ANN (IVFADC, Jégou et al. TPAMI'11 §IV) —
+    * the index layout production vector stores actually deploy (FAISS
+    * `IVFx,PQy`): the D6 coarse quantizer partitions the corpus into
+    * Voronoi cells, and WITHIN each probed cell candidates rank by PQ
+    * codes of the RESIDUAL v − centroid(cell) (residual energy is far
+    * below vector energy, so the same 8-byte code budget quantizes
+    * much finer than flat PQ — the whole point of the composite).
+    * One corpus pass does cell-assign + residual-encode + ADC against
+    * the per-(query, probed-cell) residuals (precomputed driver-side,
+    * broadcast); per-partition bounded heaps → global top-50 → the
+    * shared exact-cosine rerank emits top-10. At 100 TB: cell id is a
+    * partition column (probing = partition pruning, the D6 posture)
+    * AND the scanned payload is the 8-byte code column (the D8
+    * posture) — the two savings compose.
+    */
+  def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val nCells = 16
+    val nProbe = 2
+    val dim = 64
+    val nSub = 8
+    val subDim = 8
+    val nCodes = 16
+    val nCand = 50
+    val e = emb(s, dir)
+    val cents = ivfCentroids(nCells, dim)
+    val cb = gaussianPlanes(nSub * nCodes, subDim, tag = "pq|")
+    val qs = collectQueries(e)
+    def topCells(v: Array[Double], n: Int): Array[Int] = {
+      val dots = Array.tabulate(nCells) { ci =>
+        val cv = cents(ci)
+        var d = 0.0; var j = 0
+        while (j < v.length) { d += cv(j) * v(j); j += 1 }
+        d
+      }
+      (0 until nCells).sortBy(ci => (-dots(ci), ci)).take(n).toArray
+    }
+    // cell -> (query index, query residual vs THAT cell's centroid)
+    val probing = Array.fill(nCells)(
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Double])])
+    qs.qv.zipWithIndex.foreach { case (v, qi) =>
+      topCells(v, nProbe).foreach { c =>
+        probing(c) += ((qi, Array.tabulate(dim)(j => v(j) - cents(c)(j))))
+      }
+    }
+    val probingArr = probing.map(_.toArray)
+    val bc = s.sparkContext.broadcast(
+      (qs.qids, qs.qv, qs.qnorm, cents, cb, probingArr))
+
+    val locals = fanOut(e.select(col("vec_id"), col("v")))
+      .mapPartitions { it =>
+        val (bQids, _, _, bCents, bCb, bProbing) = bc.value
+        val nq = bQids.length
+        val heaps = new TopKHeaps(nq, nCand)
+        val res   = new Array[Double](dim)
+        val recon = new Array[Double](dim)
+        it.foreach { row =>
+          val v = row.getSeq[Double](1).toArray
+          val vid = row.getLong(0)
+          val cell = ivfCell(bCents, v)
+          val plist = bProbing(cell)
+          if (plist.nonEmpty) {
+            var j = 0
+            while (j < dim) { res(j) = v(j) - bCents(cell)(j); j += 1 }
+            // residual PQ encode + reconstruct (the D8 kernel on res)
+            var sIdx = 0
+            while (sIdx < nSub) {
+              var best = 0; var bestD = Double.PositiveInfinity
+              var ci = 0
+              while (ci < nCodes) {
+                val cv = bCb(sIdx * nCodes + ci)
+                var d2 = 0.0; var jj = 0
+                while (jj < subDim) {
+                  val diff = res(sIdx * subDim + jj) - cv(jj)
+                  d2 += diff * diff
+                  jj += 1
+                }
+                if (d2 < bestD) { bestD = d2; best = ci }
+                ci += 1
+              }
+              System.arraycopy(bCb(sIdx * nCodes + best), 0, recon,
+                sIdx * subDim, subDim)
+              sIdx += 1
+            }
+            plist.foreach { case (qi, qres) =>
+              var d2 = 0.0; var jj = 0
+              while (jj < dim) {
+                val diff = qres(jj) - recon(jj)
+                d2 += diff * diff
+                jj += 1
+              }
+              heaps.insert(qi, -math.sqrt(d2), vid) // sqrt: list_distance parity
+            }
+          }
+        }
+        heaps.emit(bQids)
+      }(Encoders.row(localTopKSchema))
+
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val cands = locals
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= nCand)
+      .select(col("q_id"), col("vec_id"))
+
+    val joined = e.select(col("vec_id"), col("v"))
+      .join(broadcast(cands), "vec_id")
+    val rerank = joined.select(col("q_id"), col("vec_id"), col("v"))
+      .mapPartitions { it =>
+        val (bQids, bQv, bQnorm, _, _, _) = bc.value
+        val qIdx = bQids.zipWithIndex.toMap
+        it.map { row =>
+          val qi = qIdx(row.getLong(0))
+          val v = row.getSeq[Double](2).toArray
+          val qvv = bQv(qi)
+          var d = 0.0; var n2 = 0.0; var j = 0
+          while (j < v.length) { d += qvv(j) * v(j); n2 += v(j) * v(j); j += 1 }
+          Row(row.getLong(0), row.getLong(1), d / (bQnorm(qi) * math.sqrt(n2)))
+        }
+      }(Encoders.row(localTopKSchema))
+
+    globalTopK(rerank, k)
+  }
+
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val k = 10
     val nCells = 16
@@ -996,6 +1120,59 @@ object Similarity {
       |  WHERE rn <= 2 AND vec_id % 50 = 0 AND vec_id < 5000),
       |cand AS (SELECT DISTINCT pr.vec_id AS q_id, c.vec_id
       |  FROM probes pr JOIN cell c ON pr.p = c.p),
+      |sims AS (SELECT q_id, cand.vec_id,
+      |    list_cosine_similarity(qe.v, ce.v) AS sim
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
+      |  JOIN e ce ON ce.vec_id = cand.vec_id),
+      |r AS (SELECT q_id, vec_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM sims)
+      |SELECT q_id, vec_id, rank, CAST(ROUND(sim,4) AS DECIMAL(18,4))::DOUBLE AS sim
+      |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** D17 oracle: the D6 cell CTEs + the D8 code CTEs composed on the
+    * RESIDUAL — corpus residuals vs the assigned cell's centroid,
+    * query residuals vs each probed cell's centroid, ADC joined on
+    * cell equality (a query's two probed cells see disjoint corpus
+    * slices, so no DISTINCT is needed), then the shared exact-cosine
+    * rerank tail.
+    */
+  private val annIvfPqSql: String = {
+    val u = (t: String) =>
+      graft.functions.TextFunctions.hexPrefix52Sql(s"md5('pq|'||p||'|'||j||'|$t')")
+    s"""WITH $ivfCellCteSql,
+      |pqz AS (
+      |  SELECT p, j,
+      |    sqrt(-2*ln((${u("1")} + 1.0)/4503599627370496.0))
+      |      * cos(2*pi()*(${u("2")}/4503599627370496.0)) AS z
+      |  FROM (SELECT unnest(range(128)) AS p), (SELECT unnest(range(8)) AS j)),
+      |cb AS (SELECT p // 16 AS s2, p % 16 AS ci, list(z ORDER BY j) AS cv
+      |  FROM pqz GROUP BY p),
+      |rese AS (SELECT e.vec_id, cell.p AS cp,
+      |    list_transform(range(1, 65), i -> e.v[i] - cn.cv[i]) AS rv
+      |  FROM e JOIN cell USING (vec_id) JOIN cnorm cn ON cn.p = cell.p),
+      |sub AS (SELECT vec_id, cp, s2, ci, cb.cv,
+      |    list_distance(rv[s2*8+1 : s2*8+8], cb.cv) AS d
+      |  FROM rese CROSS JOIN cb),
+      |codes AS (SELECT vec_id, cp, s2, cv FROM (
+      |  SELECT vec_id, cp, s2, cv,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, s2 ORDER BY d, ci) AS rn FROM sub)
+      |  WHERE rn = 1),
+      |recon AS (SELECT vec_id, cp, flatten(list(cv ORDER BY s2)) AS rv
+      |  FROM codes GROUP BY vec_id, cp),
+      |probes AS (SELECT vec_id AS q_id, p FROM cellr
+      |  WHERE rn <= 2 AND vec_id % 50 = 0 AND vec_id < 5000),
+      |qres AS (SELECT q_id, probes.p,
+      |    list_transform(range(1, 65), i -> e.v[i] - cn.cv[i]) AS qrv
+      |  FROM probes JOIN e ON e.vec_id = probes.q_id
+      |  JOIN cnorm cn ON cn.p = probes.p),
+      |adc AS (SELECT q_id, recon.vec_id, list_distance(qrv, recon.rv) AS ad
+      |  FROM qres JOIN recon ON recon.cp = qres.p),
+      |cand AS (SELECT q_id, vec_id FROM (
+      |  SELECT q_id, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad, vec_id) AS rn FROM adc)
+      |  WHERE rn <= 50),
       |sims AS (SELECT q_id, cand.vec_id,
       |    list_cosine_similarity(qe.v, ce.v) AS sim
       |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
@@ -1585,6 +1762,7 @@ object Similarity {
     "q_ann_lsh" -> annLshSql(probe1 = false),
     "q_ann_multiprobe" -> annLshSql(probe1 = true),
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_ivfpq" -> annIvfPqSql,
     "q_mmr" -> mmrSql,
     "q_knn_graph" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
