@@ -926,6 +926,24 @@ object Estimation {
            max(col("v")).as("vmax"))
       .orderBy(col("y"))
 
+  /** G3 (query-backed): TopN pushdown through the DataSource V2 source
+    * (`SupportsPushDownTopN`): ORDER BY y DESC, x DESC LIMIT 300 plans
+    * ONLY the last ceil(300/120)=3 grid rows — the scan never
+    * generates the other 77 (at 100 TB: a time-ordered store answers
+    * "latest N" reading one tail stripe, the storage-side TopK posture
+    * of Iceberg/Delta file-ordering + JDBC TopN pushdown). Sound under
+    * the secondary x key because stripes hold FULL grid rows; Spark
+    * re-sorts and re-limits (partial pushdown — pruning never decides
+    * correctness). The oracle recomputes the md5 formula over the
+    * whole grid and takes the same top-300, blind to the pushdown;
+    * DataSourceV2Spec locks that the planned range really tightened.
+    */
+  def qRasterTopK(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.v2.RasterSource")
+      .option("w", 120).option("h", 80).load()
+      .orderBy(col("y").desc, col("x").desc)
+      .limit(300)
+
   /** A39 derivation chain (the featImpDerivs machine): Fisher LDA with
     * shared pooled covariance, every float step ONE (name, formula)
     * pair applied with `expr` on the Spark side and emitted verbatim
@@ -1829,6 +1847,14 @@ object Estimation {
           |  CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax,
           |  CAST(ROUND(CAST(SUM(v) AS DOUBLE)/COUNT(v), 4) AS DECIMAL(18,4))::DOUBLE AS mean_v
           |FROM gv""".stripMargin,
+      "q_raster_topk" ->
+        s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
+          |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx
+          |  FROM range(0, 9600) t(i)),
+          |gv AS (SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+          |    CASE WHEN hx % 19 = 0 THEN NULL ELSE hx % 1000 END AS v FROM g)
+          |SELECT x, y, CAST(v AS BIGINT) AS v FROM gv
+          |ORDER BY y DESC, x DESC LIMIT 300""".stripMargin,
       "q_raster_source" ->
         s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
           |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx

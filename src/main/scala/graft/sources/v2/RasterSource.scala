@@ -71,13 +71,16 @@ final class RasterTable(w: Long, h: Long) extends Table with SupportsRead {
 
 final class RasterScanBuilder(w: Long, h: Long)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var yMin = 0L
   private var yMax = h - 1
   private var accepted = Array.empty[Filter]
   private var required = RasterSource.schema
   private var pushedAggs = Array.empty[AggregateFunc]
+  private var pushedLimit: Option[Int] = None
+  private var topNYDesc: Option[Boolean] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.filter {
@@ -133,9 +136,63 @@ final class RasterScanBuilder(w: Long, h: Long)
     ok
   }
 
+  /** G3: LIMIT pushdown (`SupportsPushDownLimit`) — a plain
+    * `.limit(n)` clamps the planned y-range to the FIRST
+    * ceil(n/w) grid rows before partitions exist; partial pushdown
+    * (`isPartiallyPushed` = true) keeps Spark's final Limit, so the
+    * source only guarantees "at least n rows if n exist", never
+    * correctness.
+    */
+  override def pushLimit(l: Int): Boolean = {
+    pushedLimit = Some(l)
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
+  /** G3: TopN pushdown (`SupportsPushDownTopN`) — ORDER BY y
+    * [ASC|DESC] LIMIT n plans only the ceil(n/w) grid rows at the
+    * matching END of the (possibly filter-tightened) y-range. Sound
+    * for ANY secondary sort keys because stripes always contain FULL
+    * grid rows: the true top-n under (y dir, anything...) is a subset
+    * of the last/first ceil(n/w) complete y-rows. Spark re-sorts and
+    * re-limits (partial pushdown) — the source only prunes.
+    */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        l: Int): Boolean =
+    orders.headOption match {
+      case Some(o) =>
+        val isY = o.expression() match {
+          case r: NamedReference => r.fieldNames.sameElements(Array("y"))
+          case _                 => false
+        }
+        if (!isY) false
+        else {
+          topNYDesc = Some(o.direction() ==
+            org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING)
+          pushedLimit = Some(l)
+          true
+        }
+      case None => false
+    }
+
+  /** The y-range after applying a pushed limit/top-N (no-op when the
+    * filter-tightened range is already empty). */
+  private def clampedRange: (Long, Long) = pushedLimit match {
+    case Some(l) if yMax >= yMin =>
+      val w0 = math.max(w, 1L)
+      val needRows = math.min((l + w0 - 1) / w0, yMax - yMin + 1)
+      if (topNYDesc.contains(true)) (math.max(yMin, yMax - needRows + 1), yMax)
+      else (yMin, math.min(yMax, yMin + needRows - 1))
+    case _ => (yMin, yMax)
+  }
+
   override def build(): Scan =
     if (pushedAggs.nonEmpty) new RasterAggScan(w, yMin, yMax, pushedAggs)
-    else new RasterScan(w, yMin, yMax, required)
+    else {
+      val (lo, hi) = clampedRange
+      new RasterScan(w, lo, hi, required)
+    }
 }
 
 final case class RasterStripe(w: Long, yStart: Long, yEnd: Long,

@@ -66,6 +66,50 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(df.count() == 40L)
   }
 
+  test("G3: ORDER BY y DESC LIMIT pushes TopN and plans only tail rows") {
+    val df = graft.operators.Estimation.qRasterTopK(spark, "")
+    val scan = df.queryExecution.sparkPlan
+      .collectFirst { case b: BatchScanExec => b }.get
+      .scan.asInstanceOf[RasterScan]
+    // 300 cells / 120 per row = 3 tail grid rows: [77,79]
+    assert(scan.description().contains("yRange=[77,79]"),
+      s"TopN pushdown did not clamp to the tail rows: ${scan.description()}")
+    // partial pushdown: Spark's final TopN still produces the exact set
+    val got = df.collect().map(r => (r.getLong(1), r.getLong(0)))
+    val expect = (for (y <- 79L to 77L by -1; x <- 119L to 0L by -1)
+      yield (y, x)).take(300)
+    assert(got.length == 300 && got.sameElements(expect))
+  }
+
+  test("G3: ORDER BY y ASC LIMIT clamps to head rows; non-y sort does not push") {
+    val asc = v2(120, 80).orderBy(col("y").asc).limit(150)
+    val ascScan = scanOf(asc).scan.asInstanceOf[RasterScan]
+    assert(ascScan.description().contains("yRange=[0,1]"),
+      s"ASC TopN should plan the 2 head rows: ${ascScan.description()}")
+    assert(asc.count() == 150)
+    val byX = v2(120, 80).orderBy(col("x").asc).limit(10)
+    val xScan = scanOf(byX).scan.asInstanceOf[RasterScan]
+    assert(xScan.description().contains("yRange=[0,79]"),
+      s"an x-ordered TopN must NOT clamp the y range: ${xScan.description()}")
+  }
+
+  test("G3: a plain LIMIT pushes; a residual-filtered LIMIT must NOT") {
+    val plain = v2(120, 80).limit(130)
+    val pScan = scanOf(plain).scan.asInstanceOf[RasterScan]
+    // ceil(130/120) = 2 head rows
+    assert(pScan.description().contains("yRange=[0,1]"),
+      s"plain limit should clamp to the head rows: ${pScan.description()}")
+    assert(plain.count() == 130)
+    // this source keeps pushed filters as residuals (the G1 contract),
+    // so Spark rightly refuses to push a limit BELOW a post-scan
+    // filter — a clamped range could then return < 130 surviving rows
+    val filtered = v2(120, 80).filter(col("y") >= 40).limit(130)
+    val fScan = scanOf(filtered).scan.asInstanceOf[RasterScan]
+    assert(fScan.description().contains("yRange=[40,79]"),
+      s"limit under a residual filter must not clamp: ${fScan.description()}")
+    assert(filtered.count() == 130)
+  }
+
   test("the scan plans parallel stripes and an empty range plans none") {
     val full = scanOf(v2(120, 80)).scan.asInstanceOf[RasterScan]
     assert(full.toBatch.planInputPartitions().length == 8)
