@@ -719,6 +719,38 @@ object EventStreams {
       least(lit(9L), greatest(lit(0L), floor(col("value") / 20.0).cast("long")))
         .as("bucket")).count()
 
+  /** F27: streaming first-digit audit (batch twin B89) — the Benford
+    * fraud/fabrication screen attached to an unbounded stream: the
+    * first digit of the exact cent amount (integer→string head, no
+    * float log on the data path — the B89 rule) feeds ONE built-in
+    * Update-mode count aggregate with O(9) state, and the audit
+    * statistic re-scores per micro-batch from the latest nine counts
+    * via [[benfordMadE6]] — no second pass over history, state never
+    * grows with the stream.
+    */
+  def benfordDigitStream(events: DataFrame): DataFrame =
+    events
+      .select(round(col("value") * 100, 0).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).count()
+
+  /** The B89 audit statistic as a pure kernel over a digit histogram
+    * (the F27 meet): mean absolute deviation (Nigrini's MAD screen)
+    * between observed shares (exact integral-division PPM) and the
+    * e6-rounded Benford reference log10(1+1/d) — the reference never
+    * touches data, so it is identical cross-engine by construction.
+    */
+  def benfordMadE6(hist: Map[Long, Long]): Long = {
+    val n = (1L to 9L).map(hist.getOrElse(_, 0L)).sum
+    if (n == 0L) 0L
+    else (1L to 9L).map { d =>
+      val obs = hist.getOrElse(d, 0L) * 1000000L / n
+      val ref = math.round(math.log10(1.0 + 1.0 / d.toDouble) * 1000000.0)
+      math.abs(obs - ref)
+    }.sum / 9
+  }
+
   /** The B88 PSI statistic as a pure kernel over two bucket histograms
     * (the F26 meet): per-bucket (p_a−p_b)·ln(p_a/p_b) terms e6-rounded
     * BEFORE the exact integer sum (the C33 rule); buckets empty on

@@ -341,6 +341,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F27 streaming Benford digit histogram equals batch; MAD re-scores from state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = eventRows
+    val input = MemoryStream[Ev]
+    val q = EventStreams.benfordDigitStream(input.toDF())
+      .writeStream.format("memory").queryName("benford_out")
+      .outputMode("update").start()
+    try {
+      val half = evs.length / 2
+      input.addData(evs.take(half)); q.processAllAvailable()
+      input.addData(evs.drop(half)); q.processAllAvailable()
+      val got = spark.table("benford_out").collect().zipWithIndex
+        .map { case (r, i) => r.getLong(0) -> (i, r.getLong(1)) }
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2._1)._2._2).toMap
+      val batch = EventStreams.benfordDigitStream(evs.toDF())
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == batch, "stream digit state diverged from the batch histogram")
+      assert(EventStreams.benfordMadE6(got) == EventStreams.benfordMadE6(batch))
+      // the kernel is well-defined on degenerate state
+      assert(EventStreams.benfordMadE6(Map.empty) == 0L)
+    } finally q.stop()
+  }
+
   test("F9 streaming vocabulary counts equal batch term counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
