@@ -1163,6 +1163,105 @@ object Estimation {
     out
   }
 
+  /** A42 standardization chain: centered second moments → the three
+    * correlations the standardized lasso works on. Every step shared
+    * formula text (the A33 rule).
+    */
+  private val lassoStdDerivs: Seq[(String, String)] = Seq(
+    "a11" -> "q11d - (s1d*s1d)/nd",
+    "a12" -> "q12d - (s1d*s2d)/nd",
+    "a22" -> "q22d - (s2d*s2d)/nd",
+    "ayy" -> "qyyd - (syd*syd)/nd",
+    "b1"  -> "q1yd - (s1d*syd)/nd",
+    "b2"  -> "q2yd - (s2d*syd)/nd",
+    "r12" -> "a12/(sqrt(a11)*sqrt(a22))",
+    "r1y" -> "b1/(sqrt(a11)*sqrt(ayy))",
+    "r2y" -> "b2/(sqrt(a22)*sqrt(ayy))")
+
+  /** A42 coordinate-descent sweep: each coordinate's partial
+    * correlation soft-thresholded at α = 0.005 (unit diagonal after
+    * standardization, so the update divides by 1). One shared text per
+    * step — both engines run the identical IEEE sequence.
+    */
+  private val lassoIterDerivs: Seq[(String, String)] = Seq(
+    "rr1" -> "r1y - r12*w2",
+    "w1n" -> ("CASE WHEN rr1 > 0.005 THEN rr1 - 0.005 " +
+              "WHEN rr1 < -0.005 THEN rr1 + 0.005 ELSE 0.0 END"),
+    "rr2" -> "r2y - r12*w1n",
+    "w2n" -> ("CASE WHEN rr2 > 0.005 THEN rr2 - 0.005 " +
+              "WHEN rr2 < -0.005 THEN rr2 + 0.005 ELSE 0.0 END"))
+
+  /** A42 back-transform: standardized coefficients → raw cents scale
+    * and the intercept. */
+  private val lassoOutDerivs: Seq[(String, String)] = Seq(
+    "w1r" -> "w1 * (sqrt(ayy)/sqrt(a11))",
+    "w2r" -> "w2 * (sqrt(ayy)/sqrt(a22))",
+    "b0r" -> "syd/nd - w1r*(s1d/nd) - w2r*(s2d/nd)")
+
+  /** Moment columns every lasso iteration frame carries. */
+  private val lassoCarry = Seq("nd", "s1d", "s2d", "syd",
+    "a11", "a22", "ayy", "r12", "r1y", "r2y")
+
+  private val lassoSweeps = 12
+
+  /** A42: lasso regression (sklearn Lasso, α=0.005 on standardized
+    * inputs) of price cents on (quantity, discount) — the SPARSE
+    * member of the moments family (A9 OLS / A9c ridge / A32 ridge
+    * path): coordinate descent needs ONLY the centered second moments,
+    * so fit = the same ONE exact-integer moment scan as OLS, then 12
+    * soft-threshold sweeps ([[lassoIterDerivs]]) on a 1-row frame —
+    * convergence is geometric in r12², and every float step is shared
+    * formula text (no quantization needed anywhere: the whole
+    * derivation is rational arithmetic from exact integers, identical
+    * cross-engine by op sequence). α sits between the two features'
+    * standardized correlations at the gate scale, so the weaker one
+    * is driven EXACTLY to zero while the stronger survives — the
+    * lasso's defining selection behavior, published as nnz. At 100 TB:
+    * one scan + corpus-independent sweeps.
+    */
+  def qLasso(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val m = lineitem(s, dir)
+      .select(col("l_quantity").cast("decimal(20,0)").as("x1"),
+              round(col("l_discount") * 100, 0).cast("decimal(20,0)").as("x2"),
+              round(col("l_extendedprice") * 100, 0).cast("decimal(20,0)").as("y"))
+      .agg(count(lit(1)).cast(dec).as("nh"),
+           sum(col("x1")).cast(dec).as("s1h"),
+           sum(col("x2")).cast(dec).as("s2h"),
+           sum(col("y")).cast(dec).as("syh"),
+           sum(col("x1") * col("x1")).cast(dec).as("q11h"),
+           sum(col("x1") * col("x2")).cast(dec).as("q12h"),
+           sum(col("x2") * col("x2")).cast(dec).as("q22h"),
+           sum(col("x1") * col("y")).cast(dec).as("q1yh"),
+           sum(col("x2") * col("y")).cast(dec).as("q2yh"),
+           sum(col("y") * col("y")).cast(dec).as("qyyh"))
+    val d0 = m.select(
+      col("nh").cast("double").as("nd"), col("s1h").cast("double").as("s1d"),
+      col("s2h").cast("double").as("s2d"), col("syh").cast("double").as("syd"),
+      col("q11h").cast("double").as("q11d"), col("q12h").cast("double").as("q12d"),
+      col("q22h").cast("double").as("q22d"), col("q1yh").cast("double").as("q1yd"),
+      col("q2yh").cast("double").as("q2yd"), col("qyyh").cast("double").as("qyyd"))
+    val std = lassoStdDerivs.foldLeft(d0) {
+      case (acc, (nm, f)) => acc.withColumn(nm, expr(f))
+    }
+    var fr = std.withColumn("w1", lit(0.0)).withColumn("w2", lit(0.0))
+    for (_ <- 1 to lassoSweeps) {
+      val it = lassoIterDerivs.foldLeft(fr) {
+        case (acc, (nm, f)) => acc.withColumn(nm, expr(f))
+      }
+      fr = it.select((lassoCarry.map(col) :+
+        col("w1n").as("w1") :+ col("w2n").as("w2")): _*)
+    }
+    val out = lassoOutDerivs.foldLeft(fr) {
+      case (acc, (nm, f)) => acc.withColumn(nm, expr(f))
+    }
+    out.select(dec6(col("w1")).as("w1_std"), dec6(col("w2")).as("w2_std"),
+               dec6(col("w1r")).as("w1_cents"), dec6(col("w2r")).as("w2_cents"),
+               dec6(col("b0r")).as("b0_cents"),
+               ((col("w1") =!= 0.0).cast("int") +
+                (col("w2") =!= 0.0).cast("int")).cast("long").as("nnz"))
+  }
+
   /** The A41 derivation chain: per-class means, UNBIASED (n_c − 1)
     * covariances (sklearn QDA's scaling), 2×2 inverses, log-dets and
     * log-priors — every float step from the shared d0 moment columns,
@@ -1809,6 +1908,52 @@ object Estimation {
           |  CAST(SUM((1-pred)*actual) AS BIGINT) AS fn,
           |  CAST(SUM((1-pred)*(1-actual)) AS BIGINT) AS tn
           |FROM sc GROUP BY w0, w1, w2""".stripMargin
+      },
+      "q_lasso" -> {
+        val stdChain = lassoStdDerivs.zipWithIndex.map { case ((nm, f), i) =>
+          s"t${i + 1} AS (SELECT *, $f AS $nm FROM t$i)"
+        }.mkString(",\n")
+        val stdLast = s"t${lassoStdDerivs.length}"
+        val carry = lassoCarry.mkString(", ")
+        def iter(i: Int): String = {
+          val prev = if (i == 1) "w0cte" else s"w${i - 1}"
+          val chain = lassoIterDerivs.zipWithIndex.map { case ((nm, f), j) =>
+            s"s${i}_${j + 1} AS (SELECT *, $f AS $nm FROM s${i}_$j)"
+          }.mkString(",\n")
+          s"""s${i}_0 AS (SELECT * FROM $prev),
+             |$chain,
+             |w$i AS (SELECT $carry, w1n AS w1, w2n AS w2
+             |  FROM s${i}_${lassoIterDerivs.length})""".stripMargin
+        }
+        val iters = (1 to lassoSweeps).map(iter).mkString(",\n")
+        val outChain = lassoOutDerivs.zipWithIndex.map { case ((nm, f), i) =>
+          s"o${i + 1} AS (SELECT *, $f AS $nm FROM o$i)"
+        }.mkString(",\n")
+        s"""WITH b AS (SELECT CAST(l_quantity AS HUGEINT) AS x1,
+          |    CAST(ROUND(l_discount*100,0) AS HUGEINT) AS x2,
+          |    CAST(ROUND(l_extendedprice*100,0) AS HUGEINT) AS y FROM lineitem),
+          |mom AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nh,
+          |    SUM(x1) AS s1h, SUM(x2) AS s2h, SUM(y) AS syh,
+          |    SUM(x1*x1) AS q11h, SUM(x1*x2) AS q12h, SUM(x2*x2) AS q22h,
+          |    SUM(x1*y) AS q1yh, SUM(x2*y) AS q2yh, SUM(y*y) AS qyyh FROM b),
+          |t0 AS (SELECT CAST(nh AS DOUBLE) AS nd, CAST(s1h AS DOUBLE) AS s1d,
+          |    CAST(s2h AS DOUBLE) AS s2d, CAST(syh AS DOUBLE) AS syd,
+          |    CAST(q11h AS DOUBLE) AS q11d, CAST(q12h AS DOUBLE) AS q12d,
+          |    CAST(q22h AS DOUBLE) AS q22d, CAST(q1yh AS DOUBLE) AS q1yd,
+          |    CAST(q2yh AS DOUBLE) AS q2yd, CAST(qyyh AS DOUBLE) AS qyyd FROM mom),
+          |$stdChain,
+          |w0cte AS (SELECT $carry, 0.0 AS w1, 0.0 AS w2 FROM $stdLast),
+          |$iters,
+          |o0 AS (SELECT * FROM w$lassoSweeps),
+          |$outChain
+          |SELECT CAST(ROUND(w1, 6) AS DECIMAL(18,6))::DOUBLE AS w1_std,
+          |  CAST(ROUND(w2, 6) AS DECIMAL(18,6))::DOUBLE AS w2_std,
+          |  CAST(ROUND(w1r, 6) AS DECIMAL(18,6))::DOUBLE AS w1_cents,
+          |  CAST(ROUND(w2r, 6) AS DECIMAL(18,6))::DOUBLE AS w2_cents,
+          |  CAST(ROUND(b0r, 6) AS DECIMAL(18,6))::DOUBLE AS b0_cents,
+          |  CAST((CASE WHEN w1 <> 0.0 THEN 1 ELSE 0 END)
+          |    + (CASE WHEN w2 <> 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz
+          |FROM o${lassoOutDerivs.length}""".stripMargin
       },
       "q_qda" -> {
         val chain = qdaDerivs.zipWithIndex.map { case ((nm, f), i) =>
