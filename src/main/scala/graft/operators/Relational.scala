@@ -2109,6 +2109,58 @@ object Relational {
       .select(col("n_rows"), dec6(expr(spearRhoSql)).as("rho"))
   }
 
+  /** B97 tau-b — ONE shared float text over the exact pair counts. */
+  private val kendallTauSql =
+    "CAST(nc_minus_nd AS DOUBLE) / " +
+      "(sqrt(CAST(n0 AS DOUBLE) - CAST(tx AS DOUBLE)) * " +
+       "sqrt(CAST(n0 AS DOUBLE) - CAST(ty AS DOUBLE)))"
+
+  /** B97: Kendall's τ-b between quantity and discount — the
+    * concordance twin of B92's Spearman (τ is the statistic robust to
+    * monotone re-scaling AND interpretable as P(concordant) −
+    * P(discordant)): naive τ is O(n²) over ROWS, but both variables
+    * are domain-bounded, so nc − nd collapses to a sum over CELL PAIRS
+    * (≤550² — corpus-independent): Σ cᵢ·cⱼ·sign((xᵢ−xⱼ)(yᵢ−yⱼ)) on a
+    * broadcast cell self-join (BNLJ, never a fact cartesian). Tie
+    * terms n1/n2 come from the marginal frames. EVERYTHING except the
+    * published τ is an exact DECIMAL(38,0) integer; τ is one shared
+    * float text. One ≤550-key fact shuffle at any scale.
+    */
+  def qKendall(s: SparkSession, dir: String): DataFrame = {
+    val cells = lineitem(s, dir)
+      .groupBy(col("l_quantity").cast("long").as("vx"),
+               round(col("l_discount") * 100, 0).cast("long").as("vy"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+    val a = cells.select(col("vx").as("x1"), col("vy").as("y1"), col("c").as("c1"))
+    val b = cells.select(col("vx").as("x2"), col("vy").as("y2"), col("c").as("c2"))
+    // strict upper triangle by (x, y) lexicographic order: each
+    // unordered cell pair counted once
+    val pairs = a.join(broadcast(b),
+        col("x1") < col("x2") ||
+        (col("x1") === col("x2") && col("y1") < col("y2")))
+      .select(col("c1"), col("c2"),
+        signum(((col("x1") - col("x2")) * (col("y1") - col("y2"))).cast("double"))
+          .cast("decimal(2,0)").as("sg"))
+      .agg(sum(col("c1") * col("c2") * col("sg")).as("ncdd"))
+    val tot = cells.agg(sum(col("c")).as("n"))
+      .select(col("n"), expr("(n * (n - 1)) div 2").as("n0d"))
+    val tx = cells.groupBy(col("vx")).agg(sum(col("c")).as("cm"))
+      .agg(sum(expr("(cm * (cm - 1)) div 2")).as("txd"))
+    val ty = cells.groupBy(col("vy")).agg(sum(col("c")).as("cm"))
+      .agg(sum(expr("(cm * (cm - 1)) div 2")).as("tyd"))
+    pairs.crossJoin(broadcast(tot)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select(col("n").cast("long").as("n_rows"),
+              col("ncdd").cast("long").as("nc_minus_nd"),
+              col("n0d").cast("decimal(38,0)").as("n0"),
+              col("txd").cast("decimal(38,0)").as("tx"),
+              col("tyd").cast("decimal(38,0)").as("ty"))
+      .select(col("n_rows"), col("nc_minus_nd"),
+              col("tx").cast("long").as("ties_x"),
+              col("ty").cast("long").as("ties_y"),
+              dec6(expr(kendallTauSql)).as("tau_b"))
+  }
+
   /** B93 V — shared float text over the exact chi2_ppm integer. */
   private val cramersVSql =
     "sqrt((CAST(chi2_ppm AS DOUBLE)/1.0e6) / " +
@@ -2491,6 +2543,29 @@ object Relational {
         |    CAST(sxyd AS DOUBLE) AS sxy FROM a)
         |SELECT n_rows, CAST(ROUND($spearRhoSql, 6) AS DECIMAL(18,6))::DOUBLE AS rho
         |FROM d""".stripMargin,
+    "q_kendall" ->
+      s"""WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS vx,
+        |    CAST(ROUND(l_discount*100,0) AS BIGINT) AS vy,
+        |    CAST(COUNT(*) AS HUGEINT) AS c FROM lineitem GROUP BY 1,2),
+        |p AS (SELECT a.c AS c1, b.c AS c2,
+        |    CAST(CASE WHEN (a.vx - b.vx)*(a.vy - b.vy) > 0 THEN 1
+        |      WHEN (a.vx - b.vx)*(a.vy - b.vy) < 0 THEN -1 ELSE 0 END AS HUGEINT) AS sg
+        |  FROM cells a JOIN cells b
+        |    ON a.vx < b.vx OR (a.vx = b.vx AND a.vy < b.vy)),
+        |nc AS (SELECT SUM(c1*c2*sg) AS ncdd FROM p),
+        |t AS (SELECT SUM(c) AS n, (SUM(c)*(SUM(c)-1))//2 AS n0d FROM cells),
+        |txc AS (SELECT SUM((cm*(cm-1))//2) AS txd
+        |  FROM (SELECT SUM(c) AS cm FROM cells GROUP BY vx)),
+        |tyc AS (SELECT SUM((cm*(cm-1))//2) AS tyd
+        |  FROM (SELECT SUM(c) AS cm FROM cells GROUP BY vy)),
+        |f AS (SELECT CAST(n AS BIGINT) AS n_rows,
+        |    CAST(ncdd AS BIGINT) AS nc_minus_nd,
+        |    n0d AS n0, txd AS tx, tyd AS ty
+        |  FROM nc CROSS JOIN t CROSS JOIN txc CROSS JOIN tyc)
+        |SELECT n_rows, nc_minus_nd, CAST(tx AS BIGINT) AS ties_x,
+        |  CAST(ty AS BIGINT) AS ties_y,
+        |  CAST(ROUND($kendallTauSql, 6) AS DECIMAL(18,6))::DOUBLE AS tau_b
+        |FROM f""".stripMargin,
     "q_cramers_v" ->
       s"""WITH c AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
         |    CAST(COUNT(*) AS HUGEINT) AS o FROM lineitem GROUP BY 1, 2),
