@@ -2339,28 +2339,35 @@ object Relational {
     * is odd). At 100 TB: identical plan, identical cost.
     */
   def qTheilSen(s: SparkSession, dir: String): DataFrame = {
-    val daily = dailyRevenue(s, dir)
+    // pin the ≤|days| frame: it feeds both join sides — unpinned, each
+    // consumer re-runs the fact aggregate
+    val daily = graft.core.Materialize.pin(dailyRevenue(s, dir))
     val a = daily.select(col("day").as("d1"), col("x").as("x1"))
     val b = daily.select(col("day").as("d2"), col("x").as("x2"))
-    val pairs = a.join(broadcast(b), datediff(col("d2"), col("d1")) > 0)
+    // join on the raw timestamp order (cheap comparison on all |days|²
+    // candidate pairs); datediff only on the surviving half
+    val pairs = a.join(broadcast(b), col("d2") > col("d1"))
       .select(datediff(col("d2"), col("d1")).cast("decimal(38,0)").as("gap"),
               (col("x2") - col("x1")).cast("decimal(38,0)").as("dx"))
       .select((when(col("dx") >= 0, lit(1L)).otherwise(lit(-1L)) *
         expr("(abs(dx) * 1000000) div gap")).cast("long").as("sl"))
-    val vc  = pairs.groupBy(col("sl")).agg(count(lit(1)).cast("decimal(38,0)").as("c"))
-    val tot = vc.agg(sum(col("c")).as("np"))
-      .select(col("np"), expr("(np + 1) div 2").as("k1"),
-              expr("(np + 2) div 2").as("k2"))
-    val w = Window.orderBy(col("sl"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    vc.withColumn("cum", sum(col("c")).over(w))
-      .crossJoin(broadcast(tot))
-      .agg(max(col("np")).as("npx"),
-           min(when(col("cum") >= col("k1"), col("sl"))).as("mlo"),
-           min(when(col("cum") >= col("k2"), col("sl"))).as("mhi"))
-      .select(col("npx").cast("long").as("n_pairs"),
-              col("mlo").cast("long").as("m_lo"),
-              col("mhi").cast("long").as("m_hi"))
+    // the pair count is ANALYTIC — |D|(|D|−1)/2 from the day count (a
+    // 1-row bounded-domain collect, the trainPqCodebook fit posture) —
+    // so the middle order statistics come from ONE distributed sort +
+    // zipWithIndex (range-partitioned, no single-partition window, no
+    // groupBy: slopes are near-unique so value-counting buys nothing)
+    val nDays = daily.count()
+    val np = nDays * (nDays - 1) / 2
+    val k1 = (np + 1) / 2
+    val k2 = (np + 2) / 2
+    val middles = pairs.orderBy(col("sl")).select(col("sl"))
+      .rdd.zipWithIndex()
+      .filter { case (_, i) => i == k1 - 1 || i == k2 - 1 }
+      .map(_._1.getLong(0)).collect()
+    s.range(1).select(
+      lit(np).as("n_pairs"),
+      lit(middles.min).as("m_lo"),
+      lit(middles.max).as("m_hi"))
   }
 
   /** B86: interval-union coverage ("how much wall-clock time had at
