@@ -2370,6 +2370,71 @@ object Relational {
       lit(middles.max).as("m_hi"))
   }
 
+  /** The B96 state recursion as a pure kernel: Holt's linear trend
+    * (α=0.3, β=0.1) with BOTH state variables quantized to exact e6
+    * integers after every step — the recursion the oracle replays as a
+    * recursive CTE with the identical float texts, so 2400 chained
+    * steps cannot accumulate cross-engine drift (each step's float
+    * work starts from identical exact integers).
+    */
+  private[operators] def holtStep(lq: Long, bq: Long, xCents: Long): (Long, Long) = {
+    val nl = math.round(0.3 * (xCents * 1000000L) + 0.7 * (lq + bq))
+    val nb = math.round(0.1 * (nl - lq) + 0.9 * bq)
+    (nl, nb)
+  }
+
+  /** B96: Holt double-exponential smoothing of daily revenue (level +
+    * trend — THE operational forecast baseline next to B32's OLS and
+    * B52's single EWMA): the fact collapses to the day domain (B61),
+    * and the inherently SEQUENTIAL recursion runs once over the
+    * ≤|days| frame in a single bounded partition (the A38 posture:
+    * corpus-independent sequential work is fine when the domain is
+    * bounded — the 100 TB fact never enters the recursion). State is
+    * e6-integer quantized every step ([[holtStep]]), so level, trend
+    * and the h-step forecasts l + h·b are EXACT integers — float-free
+    * output. Init: l₁ = x₁, b₁ = x₂ − x₁ (the classical convention).
+    */
+  def qHolt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val daily = dailyRevenue(s, dir)
+    val schema = StructType(Seq(
+      StructField("n_days", LongType, nullable = false),
+      StructField("level_e6", LongType, nullable = false),
+      StructField("trend_e6", LongType, nullable = false),
+      StructField("f1_e6", LongType, nullable = false),
+      StructField("f7_e6", LongType, nullable = false),
+      StructField("f30_e6", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    daily.coalesce(1).sortWithinPartitions(col("day"))
+      .select(col("x").cast("long"))
+      .mapPartitions { it =>
+        val xs = it.map(_.getLong(0))
+        if (!xs.hasNext) Iterator.empty
+        else {
+          val x1 = xs.next()
+          if (!xs.hasNext) {
+            val lq = x1 * 1000000L
+            Iterator.single(Row(1L, lq, 0L, lq, lq, lq))
+          } else {
+            val x2 = xs.next()
+            var lq = x1 * 1000000L
+            var bq = x2 * 1000000L - x1 * 1000000L
+            var n  = 1L
+            var cur = x2
+            var more = true
+            while (more) {
+              val (nl, nb) = holtStep(lq, bq, cur)
+              lq = nl; bq = nb; n += 1
+              if (xs.hasNext) cur = xs.next() else more = false
+            }
+            Iterator.single(Row(n, lq, bq,
+              lq + bq, lq + 7L * bq, lq + 30L * bq))
+          }
+        }
+      }(enc)
+  }
+
   /** B86: interval-union coverage ("how much wall-clock time had at
     * least one session open, per day") — the utilization/SLA twin of
     * B65's peak concurrency, and the classic DISTRIBUTED interval-union
@@ -2512,6 +2577,26 @@ object Relational {
         |  CAST(MIN(CASE WHEN cum >= k1 THEN sl END) AS BIGINT) AS m_lo,
         |  CAST(MIN(CASE WHEN cum >= k2 THEN sl END) AS BIGINT) AS m_hi
         |FROM cm CROSS JOIN k GROUP BY np""".stripMargin,
+    "q_holt" ->
+      """WITH RECURSIVE daily AS (SELECT o_orderdate AS day,
+        |    SUM(CAST(ROUND(o_totalprice*100,0) AS HUGEINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT CAST(x AS BIGINT) AS x,
+        |    ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily),
+        |hw(i, lq, bq) AS (
+        |  SELECT CAST(2 AS BIGINT), a.x * 1000000, b.x * 1000000 - a.x * 1000000
+        |  FROM idx a, idx b WHERE a.i = 1 AND b.i = 2
+        |  UNION ALL
+        |  SELECT hw.i + 1,
+        |    CAST(ROUND(0.3*(ix.x*1000000) + 0.7*(hw.lq + hw.bq)) AS BIGINT),
+        |    CAST(ROUND(0.1*(CAST(ROUND(0.3*(ix.x*1000000) + 0.7*(hw.lq + hw.bq)) AS BIGINT)
+        |      - hw.lq) + 0.9*hw.bq) AS BIGINT)
+        |  FROM hw JOIN idx ix ON ix.i = hw.i),
+        |fin AS (SELECT * FROM hw ORDER BY i DESC LIMIT 1)
+        |SELECT (SELECT COUNT(*) FROM idx) AS n_days, lq AS level_e6,
+        |  bq AS trend_e6, lq + bq AS f1_e6, lq + 7*bq AS f7_e6,
+        |  lq + 30*bq AS f30_e6
+        |FROM fin""".stripMargin,
     "q_mannwhitney" ->
       s"""WITH c0 AS (SELECT CAST(l_quantity AS BIGINT) AS v,
         |    CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
