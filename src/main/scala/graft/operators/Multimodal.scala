@@ -308,6 +308,22 @@ object Multimodal {
         |  CAST(SUM(b) AS BIGINT) AS sum_b,
         |  CAST(MAX(299*r + 587*g + 114*b) AS BIGINT) AS max_lum
         |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q_media_resize" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+        |  FROM documents),
+        |t AS (SELECT doc_id, w, h, xt, yt, (xt * w) // 8 AS sx, (yt * h) // 4 AS sy
+        |  FROM d, (SELECT unnest(range(8)) AS xt), (SELECT unnest(range(4)) AS yt)),
+        |px AS (SELECT doc_id, w, h, xt, yt,
+        |    (7*doc_id + 3*sx + 5*sy) % 256 AS r,
+        |    (11*doc_id + sx + 2*sy) % 256 AS g,
+        |    (13*doc_id + 2*sx + sy) % 256 AS b
+        |  FROM t)
+        |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b,
+        |  CAST(SUM((1 + xt + 8*yt) * (299*r + 587*g + 114*b)) AS BIGINT) AS wsum
+        |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "q_media_png" ->
       """WITH d AS (SELECT doc_id, 8 + doc_id % 12 AS w, 8 + doc_id % 6 AS h
         |  FROM documents),
@@ -727,6 +743,58 @@ object Multimodal {
         }
       }(Encoders.row(decodeStatsSchema))
       .orderBy(col("media_id"))
+
+  private val resizeStatsSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("wsum", LongType, nullable = false)))
+
+  /** E10: nearest-neighbor image RESIZE through the real codec path —
+    * the standardize-thumbnail step every multimodal training pipeline
+    * runs before feature extraction: decode the actual BMP payload
+    * (ImageIO, the E2 codec), sample each variable-size source down to
+    * a fixed 8×4 grid with the pure-integer mapping
+    * sx = (xt·w) div 8, sy = (yt·h) div 4 (an exact, engine-replicable
+    * contract — no float scale factor), and emit exact integer channel
+    * sums plus a POSITION-WEIGHTED luminance checksum (a transposed or
+    * shifted resize cannot slip past the value gate). Stats accumulate
+    * inside the decode pass — no per-pixel rows, no payload shuffle;
+    * at 100 TB the only moving data is (id, 7 longs) per image. The
+    * oracle recomputes from the pixel formula with the same index
+    * mapping, blind to both codec and resize code.
+    */
+  def qMediaResize(s: SparkSession, dir: String): DataFrame = {
+    val Wt = 8; val Ht = 4
+    synthesizeBmp(s, dir)
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val img = decodeImage(id, row.getAs[Array[Byte]](1))
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L; var ws = 0L
+          var yt = 0
+          while (yt < Ht) {
+            var xt = 0
+            while (xt < Wt) {
+              val sx = xt * w / Wt
+              val sy = yt * h / Ht
+              val p = img.getRGB(sx, sy)
+              val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+              sr += r; sg += g; sb += b
+              ws += (1L + xt + Wt.toLong * yt) * (299L * r + 587L * g + 114L * b)
+              xt += 1
+            }
+            yt += 1
+          }
+          Row(id, w.toLong, h.toLong, sr, sg, sb, ws)
+        }
+      }(Encoders.row(resizeStatsSchema))
+      .orderBy(col("media_id"))
+  }
 
   /** E8 synthesis: deterministic RGB images (distinct formulas and
     * dimensions from the BMP set) encoded as REAL PNGs.
