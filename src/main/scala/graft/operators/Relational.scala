@@ -2377,7 +2377,7 @@ object Relational {
     * steps cannot accumulate cross-engine drift (each step's float
     * work starts from identical exact integers).
     */
-  private[operators] def holtStep(lq: Long, bq: Long, xCents: Long): (Long, Long) = {
+  private[graft] def holtStep(lq: Long, bq: Long, xCents: Long): (Long, Long) = {
     val nl = math.round(0.3 * (xCents * 1000000L) + 0.7 * (lq + bq))
     val nb = math.round(0.1 * (nl - lq) + 0.9 * bq)
     (nl, nb)

@@ -172,6 +172,45 @@ object KernelProps extends Properties("graft.kernels") {
       Prop(fps.subsetOf(direct)) :| s"doc='$doc' fps=$fps"
     }
 
+  // ---- streaming monitor kernels (F26/F27/B96 meets) ----
+
+  private val histGen: Gen[Map[Long, Long]] =
+    Gen.mapOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(1L, 10000L)))
+      .suchThat(_.values.forall(_ > 0))
+
+  property("psiE6 is non-negative and zero on identical histograms") =
+    forAll(histGen, histGen) { (a, b) =>
+      import graft.streaming.EventStreams.psiE6
+      val nonneg = psiE6(a, b) >= 0L || a.isEmpty || b.isEmpty
+      val selfZero = a.isEmpty || psiE6(a, a) == 0L
+      Prop(nonneg && selfZero) :| s"a=$a b=$b psi=${psiE6(a, b)}"
+    }
+
+  property("benfordMadE6 is count-scale invariant and non-negative") =
+    forAll(histGen, Gen.choose(1L, 1000L)) { (h, c) =>
+      import graft.streaming.EventStreams.benfordMadE6
+      // integer scaling preserves the exact rational shares, so the
+      // floor-division PPM shares — and the MAD — are identical
+      val scaled = h.map { case (k, v) => k -> v * c }
+      Prop(benfordMadE6(h) >= 0L && benfordMadE6(scaled) == benfordMadE6(h)) :|
+        s"h=$h c=$c"
+    }
+
+  property("holtStep: stationary fixed point and convex-combination bound") =
+    forAll(Gen.choose(0L, 300000000L), Gen.choose(-1000000000000L, 1000000000000L),
+           Gen.choose(-100000000000L, 100000000000L)) { (x, lq, bq) =>
+      import graft.operators.Relational.holtStep
+      val (nl, nb) = holtStep(lq, bq, x)
+      val a = x * 1000000L; val b = lq + bq
+      val lo = math.min(a, b) - 1; val hi = math.max(a, b) + 1
+      val bound = nl >= lo && nl <= hi
+      // a flat series at the current level with zero trend is a fixed
+      // point: the float convex combination of equal integers rounds
+      // back to the same integer
+      val (fl, fb) = holtStep(a, 0L, x)
+      Prop(bound && fl == a && fb == 0L) :| s"x=$x lq=$lq bq=$bq nl=$nl"
+    }
+
   // ---- md5Prefix52 ----
 
   property("md5Prefix52 equals the BigInteger reference and is 52-bit") =
