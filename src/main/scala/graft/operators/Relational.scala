@@ -2370,6 +2370,50 @@ object Relational {
       lit(middles.max).as("m_hi"))
   }
 
+  /** B98: market-basket association mining — brand-pair LIFT over
+    * orders (the retail affinity query; Agrawal's frequent-itemset
+    * shape bounded by the brand domain): distinct (order, brand) pairs
+    * from the lineitem∘part meet, co-occurrence via an ORDER-KEYED
+    * equi-self-join (co-partitioned on the join key, ≤C(25,2) pairs
+    * per order — never a cartesian), and lift published as an EXACT
+    * integral-division PPM: (n_ab·N·10⁶) div (n_a·n_b) — float-free
+    * end to end. Top-20 by (lift DESC, brands) through the distributed
+    * TakeOrderedAndProject. At 100 TB: two key shuffles (dim meet +
+    * pair join) and a ≤625-row stats frame.
+    */
+  def qBasketLift(s: SparkSession, dir: String): DataFrame = {
+    val ob = lineitem(s, dir).select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .join(part(s, dir).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+      .select(col("ok"), col("p_brand").as("brand"))
+      .distinct()
+    val tot = ob.select(col("ok")).distinct()
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n_orders"))
+    val perBrand = ob.groupBy(col("brand"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n_brand"))
+    val a = ob.select(col("ok"), col("brand").as("brand_a"))
+    val b = ob.select(col("ok"), col("brand").as("brand_b"))
+    val pairs = a.join(b, Seq("ok"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n_ab"))
+    pairs
+      .join(broadcast(perBrand.select(col("brand").as("brand_a"),
+        col("n_brand").as("n_a"))), "brand_a")
+      .join(broadcast(perBrand.select(col("brand").as("brand_b"),
+        col("n_brand").as("n_b"))), "brand_b")
+      .crossJoin(broadcast(tot))
+      .select(col("brand_a"), col("brand_b"),
+        col("n_ab").cast("long").as("n_ab"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        col("n_orders").cast("long").as("n_orders"),
+        expr("CAST((n_ab * n_orders * 1000000) div (n_a * n_b) AS BIGINT)")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("brand_a"), col("brand_b"))
+      .limit(20)
+  }
+
   /** The B96 state recursion as a pure kernel: Holt's linear trend
     * (α=0.3, β=0.1) with BOTH state variables quantized to exact e6
     * integers after every step — the recursion the oracle replays as a
@@ -2577,6 +2621,24 @@ object Relational {
         |  CAST(MIN(CASE WHEN cum >= k1 THEN sl END) AS BIGINT) AS m_lo,
         |  CAST(MIN(CASE WHEN cum >= k2 THEN sl END) AS BIGINT) AS m_hi
         |FROM cm CROSS JOIN k GROUP BY np""".stripMargin,
+    "q_basket_lift" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |t AS (SELECT CAST(COUNT(DISTINCT ok) AS HUGEINT) AS n_orders FROM ob),
+        |pb AS (SELECT brand, CAST(COUNT(*) AS HUGEINT) AS n_brand FROM ob GROUP BY 1),
+        |pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |    CAST(COUNT(*) AS HUGEINT) AS n_ab
+        |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+        |  GROUP BY 1, 2),
+        |f AS (SELECT brand_a, brand_b, n_ab, pa.n_brand AS n_a,
+        |    pbb.n_brand AS n_b, n_orders,
+        |    (n_ab * n_orders * 1000000) // (pa.n_brand * pbb.n_brand) AS lift
+        |  FROM pr JOIN pb pa ON pr.brand_a = pa.brand
+        |  JOIN pb pbb ON pr.brand_b = pbb.brand CROSS JOIN t)
+        |SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(n_orders AS BIGINT) AS n_orders, CAST(lift AS BIGINT) AS lift_ppm
+        |FROM f ORDER BY lift_ppm DESC, brand_a, brand_b LIMIT 20""".stripMargin,
     "q_holt" ->
       """WITH RECURSIVE daily AS (SELECT o_orderdate AS day,
         |    SUM(CAST(ROUND(o_totalprice*100,0) AS HUGEINT)) AS x
