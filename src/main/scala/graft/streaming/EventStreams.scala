@@ -719,6 +719,51 @@ object EventStreams {
       least(lit(9L), greatest(lit(0L), floor(col("value") / 20.0).cast("long")))
         .as("bucket")).count()
 
+  /** F28 state: two one-sided CUSUM accumulators plus their running
+    * maxima and the dedup watermark. All exact integer cents. */
+  final case class CusumState(sPos: Long, sNeg: Long, maxPos: Long,
+                              maxNeg: Long, lastEvent: Long)
+  final case class CusumOut(user_id: Long, event_id: Long, s_pos: Long,
+                            s_neg: Long, max_pos: Long, max_neg: Long)
+
+  /** The F28/B94 online meet as a pure kernel: Page's ONE-SIDED CUSUM
+    * update against a fixed baseline μ₀ with slack k —
+    * s⁺ ← max(0, s⁺ + (x − μ₀ − k)), s⁻ ← max(0, s⁻ + (μ₀ − x − k)).
+    * Exact integer cents end to end (the batch B94 statistic needs the
+    * full-history mean; the ONLINE form monitors against a fixed
+    * baseline so state is O(1) — the standard production trade).
+    */
+  def cusumStep(sPos: Long, sNeg: Long, x: Long, mu0: Long, slack: Long): (Long, Long) =
+    (math.max(0L, sPos + (x - mu0 - slack)),
+     math.max(0L, sNeg + (mu0 - x - slack)))
+
+  /** F28: streaming per-key CUSUM level-shift monitor (online twin of
+    * B94): flatMapGroupsWithState with O(1) exact-integer state per
+    * key — two one-sided accumulators, their running maxima, and the
+    * event-id watermark (same dedup/order discipline as F13's running
+    * sums). Emits the post-event state per arrival in Update mode; an
+    * alert is `max_pos` or `max_neg` crossing the deployment's h
+    * threshold. State never grows with the stream.
+    */
+  def cusumStream(in: Dataset[KeyedVal], mu0: Long, slack: Long): Dataset[CusumOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[KeyedVal], state: GroupState[CusumState]) => {
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L, Long.MinValue))
+          val out = batch.toArray.sortBy(_.event_id).iterator
+            .filter(_.event_id > st.lastEvent)
+            .map { e =>
+              val (p, n) = cusumStep(st.sPos, st.sNeg, e.v, mu0, slack)
+              st = CusumState(p, n, math.max(st.maxPos, p),
+                math.max(st.maxNeg, n), e.event_id)
+              CusumOut(uid, e.event_id, p, n, st.maxPos, st.maxNeg)
+            }.toArray // drain before update: st must hold the final state
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** F27: streaming first-digit audit (batch twin B89) — the Benford
     * fraud/fabrication screen attached to an unbounded stream: the
     * first digit of the exact cent amount (integer→string head, no

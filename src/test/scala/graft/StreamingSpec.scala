@@ -135,6 +135,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F28 streaming per-key CUSUM equals a sequential batch fold; replay-safe") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{CusumOut, KeyedVal}
+    implicit val sqlCtx = spark.sqlContext
+    val mu0 = 6L; val slack = 1L
+    val ev = graft.sources.Synthetic.zipfEvents(spark, 5000L)
+      .collect().map(r => KeyedVal(r.getLong(1), r.getLong(0), r.getLong(2))).toSeq
+    val input = MemoryStream[KeyedVal]
+    val q = EventStreams.cusumStream(input.toDS(), mu0, slack)
+      .writeStream.format("memory").queryName("cusum_out").outputMode("update").start()
+    try {
+      val (b1, b2) = ev.partition(_.event_id < 2500)
+      input.addData(b1); q.processAllAvailable()
+      // replay below the high-water mark must not advance any state
+      input.addData(b1.take(500)); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("cusum_out").as[CusumOut].collect()
+        .map(r => (r.user_id, r.event_id) -> (r.s_pos, r.s_neg, r.max_pos, r.max_neg))
+        .toMap
+      // batch twin: the same pure fold per key in event-id order
+      val expected = ev.groupBy(_.user_id).flatMap { case (uid, evs) =>
+        var sp = 0L; var sn = 0L; var mp = 0L; var mn = 0L
+        evs.sortBy(_.event_id).map { e =>
+          val (p, n) = EventStreams.cusumStep(sp, sn, e.v, mu0, slack)
+          sp = p; sn = n; mp = math.max(mp, p); mn = math.max(mn, n)
+          (uid, e.event_id) -> (p, n, mp, mn)
+        }
+      }.toMap
+      assert(got.size == 5000)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("F14 streaming SemDeDup equals batch semDedup across id-interleaved batches") {
     import spark.implicits._
     import graft.operators.Similarity
