@@ -1262,6 +1262,82 @@ object Estimation {
                 (col("w2") =!= 0.0).cast("int")).cast("long").as("nnz"))
   }
 
+  /** A43 E-step texts: per-cell component densities (the shared 1/√2π
+    * cancels in the responsibility) and the responsibility quantized
+    * to an e6 integer IMMEDIATELY after the exp pair (the A40 rule) —
+    * every M-step sum is then exact integer arithmetic.
+    */
+  private val gmmD1Sql =
+    "pi1 * exp(0.0 - ((xf - mu1)*(xf - mu1))/(2.0*va1)) / sqrt(va1)"
+  private val gmmD2Sql =
+    "pi2 * exp(0.0 - ((xf - mu2)*(xf - mu2))/(2.0*va2)) / sqrt(va2)"
+  private val gmmR6Sql = "ROUND(1000000.0 * d1 / (d1 + d2), 0)"
+
+  /** A43 M-step: exact integer complements, then the closed-form
+    * float updates — ONE shared text per step. */
+  private val gmmCompDefs: Seq[(String, String)] = Seq(
+    "tn6" -> "tn * 1000000",
+    "gw2" -> "tn * 1000000 - gw1",
+    "gx2" -> "tx * 1000000 - gx1",
+    "gq2" -> "tq * 1000000 - gq1")
+  private val gmmSolveDerivs: Seq[(String, String)] = Seq(
+    "mu1n" -> "CAST(gx1 AS DOUBLE)/CAST(gw1 AS DOUBLE)",
+    "va1n" -> "CAST(gq1 AS DOUBLE)/CAST(gw1 AS DOUBLE) - mu1n*mu1n",
+    "mu2n" -> "CAST(gx2 AS DOUBLE)/CAST(gw2 AS DOUBLE)",
+    "va2n" -> "CAST(gq2 AS DOUBLE)/CAST(gw2 AS DOUBLE) - mu2n*mu2n",
+    "pi1n" -> "CAST(gw1 AS DOUBLE)/CAST(tn6 AS DOUBLE)",
+    "pi2n" -> "CAST(gw2 AS DOUBLE)/CAST(tn6 AS DOUBLE)")
+
+  private val gmmIters = 5
+
+  /** A43: two-component 1-D Gaussian mixture via EM (sklearn
+    * GaussianMixture(n_components=2) intent) over the quantity
+    * distribution — the UNSUPERVISED density member of the
+    * domain-collapsed family (A40 logistic / A41 QDA are its
+    * supervised cousins): quantity is domain-bounded, so the E-step
+    * runs over ≤50 cells; responsibilities e6-quantize right after
+    * the exp pair ([[gmmR6Sql]]), making every M-step sum EXACT
+    * integer arithmetic (order-independent), and the parameter
+    * updates are shared-text closed forms. Deterministic symmetric-
+    * breaking init (μ = 15/35, σ² = 100, π = ½). 5 EM iterations on
+    * the tiny frame; ONE corpus pass total.
+    */
+  def qGmm(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells0 = lineitem(s, dir)
+      .select(col("l_quantity").cast("decimal(6,0)").as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).cast("decimal(14,0)").as("c"))
+      .withColumn("xf", col("x").cast("double"))
+    val cells = graft.core.Materialize.pin(cells0)
+    var params: DataFrame = s.range(1).select(
+      lit(15.0).as("mu1"), lit(100.0).as("va1"), lit(0.5).as("pi1"),
+      lit(35.0).as("mu2"), lit(100.0).as("va2"), lit(0.5).as("pi2"))
+    for (_ <- 1 to gmmIters) {
+      val est = cells.crossJoin(broadcast(params))
+        .withColumn("d1", expr(gmmD1Sql))
+        .withColumn("d2", expr(gmmD2Sql))
+        .withColumn("r6", expr(s"CAST($gmmR6Sql AS DECIMAL(38,0))"))
+      val sums = est.agg(
+        sum(col("c")).cast(dec).as("tn"),
+        sum(col("c") * col("x")).cast(dec).as("tx"),
+        sum(col("c") * col("x") * col("x")).cast(dec).as("tq"),
+        sum(col("c") * col("r6")).cast(dec).as("gw1"),
+        sum(col("c") * col("r6") * col("x")).cast(dec).as("gx1"),
+        sum(col("c") * col("r6") * col("x") * col("x")).cast(dec).as("gq1"))
+      val der = (gmmCompDefs ++ gmmSolveDerivs).foldLeft(sums) {
+        case (acc, (nm, f)) => acc.withColumn(nm, expr(f))
+      }
+      params = der.select(col("mu1n").as("mu1"), col("va1n").as("va1"),
+        col("pi1n").as("pi1"), col("mu2n").as("mu2"),
+        col("va2n").as("va2"), col("pi2n").as("pi2"))
+    }
+    val fin = graft.core.Materialize.pin(params)
+    graft.core.Materialize.release(cells)
+    fin.select(dec6(col("mu1")).as("mu1"), dec6(col("va1")).as("var1"),
+               dec6(col("pi1")).as("pi1"), dec6(col("mu2")).as("mu2"),
+               dec6(col("va2")).as("var2"), dec6(col("pi2")).as("pi2"))
+  }
+
   /** The A41 derivation chain: per-class means, UNBIASED (n_c − 1)
     * covariances (sklearn QDA's scaling), 2×2 inverses, log-dets and
     * log-priors — every float step from the shared d0 moment columns,
@@ -1954,6 +2030,40 @@ object Estimation {
           |  CAST((CASE WHEN w1 <> 0.0 THEN 1 ELSE 0 END)
           |    + (CASE WHEN w2 <> 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz
           |FROM o${lassoOutDerivs.length}""".stripMargin
+      },
+      "q_gmm" -> {
+        val allDerivs = gmmCompDefs ++ gmmSolveDerivs
+        def iter(i: Int): String = {
+          val prev = if (i == 1) "p0" else s"p${i - 1}"
+          val chain = allDerivs.zipWithIndex.map { case ((nm, f), j) =>
+            s"g${i}_${j + 1} AS (SELECT *, $f AS $nm FROM g${i}_$j)"
+          }.mkString(",\n")
+          s"""e$i AS (SELECT cells.*, mu1, va1, pi1, mu2, va2, pi2,
+             |    $gmmD1Sql AS d1, $gmmD2Sql AS d2
+             |  FROM cells CROSS JOIN $prev),
+             |r$i AS (SELECT *, CAST($gmmR6Sql AS HUGEINT) AS r6 FROM e$i),
+             |g${i}_0 AS (SELECT SUM(c) AS tn, SUM(c*x) AS tx,
+             |    SUM(c*x*x) AS tq, SUM(c*r6) AS gw1, SUM(c*r6*x) AS gx1,
+             |    SUM(c*r6*x*x) AS gq1 FROM r$i),
+             |$chain,
+             |p$i AS (SELECT mu1n AS mu1, va1n AS va1, pi1n AS pi1,
+             |  mu2n AS mu2, va2n AS va2, pi2n AS pi2
+             |  FROM g${i}_${allDerivs.length})""".stripMargin
+        }
+        val iters = (1 to gmmIters).map(iter).mkString(",\n")
+        s"""WITH cells AS (SELECT CAST(l_quantity AS HUGEINT) AS x,
+          |    CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) AS xf,
+          |    CAST(COUNT(*) AS HUGEINT) AS c FROM lineitem GROUP BY 1, 2),
+          |p0 AS (SELECT 15.0 AS mu1, 100.0 AS va1, 0.5 AS pi1,
+          |    35.0 AS mu2, 100.0 AS va2, 0.5 AS pi2),
+          |$iters
+          |SELECT CAST(ROUND(mu1, 6) AS DECIMAL(18,6))::DOUBLE AS mu1,
+          |  CAST(ROUND(va1, 6) AS DECIMAL(18,6))::DOUBLE AS var1,
+          |  CAST(ROUND(pi1, 6) AS DECIMAL(18,6))::DOUBLE AS pi1,
+          |  CAST(ROUND(mu2, 6) AS DECIMAL(18,6))::DOUBLE AS mu2,
+          |  CAST(ROUND(va2, 6) AS DECIMAL(18,6))::DOUBLE AS var2,
+          |  CAST(ROUND(pi2, 6) AS DECIMAL(18,6))::DOUBLE AS pi2
+          |FROM p$gmmIters""".stripMargin
       },
       "q_qda" -> {
         val chain = qdaDerivs.zipWithIndex.map { case ((nm, f), i) =>
