@@ -2370,6 +2370,47 @@ object Relational {
       lit(middles.max).as("m_hi"))
   }
 
+  /** B99 per-row correlation — shared float text over the exact
+    * windowed integer moments; NULL (not NaN) when either variance
+    * term is zero, decided by EXACT integer comparison so both
+    * engines agree on the null set. */
+  private val rollCorrSql =
+    "CASE WHEN wn*sxx - sx*sx > 0 AND wn*syy - sy*sy > 0 THEN " +
+      "(CAST(wn*sxy - sx*sy AS DOUBLE)) / " +
+      "(sqrt(CAST(wn*sxx - sx*sx AS DOUBLE)) * " +
+       "sqrt(CAST(wn*syy - sy*sy AS DOUBLE))) ELSE NULL END"
+
+  /** B99: 30-observation rolling correlation between daily revenue
+    * and daily order count — the co-movement monitor of operational
+    * dashboards (and the windowed twin of B17's global Pearson): the
+    * fact collapses to the day domain (B61), six exact integer moment
+    * sums run in ONE trailing window over the ≤|days| frame, and the
+    * per-day ρ is a single shared float text with the zero-variance
+    * null set decided by exact integer comparison (cross-engine NaN
+    * divergence is impossible by construction). Day gaps mean
+    * "trailing 30 observations", not calendar days — documented
+    * contract. At 100 TB: one ≤|days|-key shuffle, bounded window.
+    */
+  def qRollCorr(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val daily = orders(s, dir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(cents).cast("decimal(38,0)").as("x"),
+           count(lit(1)).cast("decimal(38,0)").as("y"))
+    val w = Window.orderBy(col("day")).rowsBetween(-29, Window.currentRow)
+    daily
+      .select(col("day"),
+        count(lit(1)).over(w).cast("decimal(38,0)").as("wn"),
+        sum(col("x")).over(w).as("sx"), sum(col("y")).over(w).as("sy"),
+        sum(col("x") * col("x")).over(w).as("sxx"),
+        sum(col("y") * col("y")).over(w).as("syy"),
+        sum(col("x") * col("y")).over(w).as("sxy"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("wn").cast("long").as("n_win"),
+        dec6(expr(rollCorrSql)).as("roll_corr"))
+      .orderBy(col("day"))
+  }
+
   /** B98: market-basket association mining — brand-pair LIFT over
     * orders (the retail affinity query; Agrawal's frequent-itemset
     * shape bounded by the brand domain): distinct (order, brand) pairs
@@ -2621,6 +2662,21 @@ object Relational {
         |  CAST(MIN(CASE WHEN cum >= k1 THEN sl END) AS BIGINT) AS m_lo,
         |  CAST(MIN(CASE WHEN cum >= k2 THEN sl END) AS BIGINT) AS m_hi
         |FROM cm CROSS JOIN k GROUP BY np""".stripMargin,
+    "q_roll_corr" ->
+      s"""WITH daily AS (SELECT o_orderdate AS day,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS HUGEINT)) AS HUGEINT) AS x,
+        |    CAST(COUNT(*) AS HUGEINT) AS y
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT day,
+        |    CAST(COUNT(*) OVER w AS HUGEINT) AS wn,
+        |    SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+        |    SUM(x*x) OVER w AS sxx, SUM(y*y) OVER w AS syy,
+        |    SUM(x*y) OVER w AS sxy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(wn AS BIGINT) AS n_win,
+        |  CAST(ROUND($rollCorrSql, 6) AS DECIMAL(18,6))::DOUBLE AS roll_corr
+        |FROM m ORDER BY day""".stripMargin,
     "q_basket_lift" ->
       """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
