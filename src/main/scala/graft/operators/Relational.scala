@@ -2370,6 +2370,51 @@ object Relational {
       lit(middles.max).as("m_hi"))
   }
 
+  /** B100: classical additive seasonal decomposition of daily revenue
+    * (statsmodels seasonal_decompose intent: x = trend + seasonal +
+    * residual) — EXACT to the last integer: trend is the centered
+    * 7-observation moving average as an e6-scaled integral division
+    * (non-negative operands, floor == truncate both engines),
+    * detrended values are exact e6-cent integers, the per-day-of-week
+    * seasonal component is a sign-split integral division of the dow
+    * sums (the B85 acPpm rule — detrended values go negative), and
+    * the published per-dow diagnostics (seasonal level, mean absolute
+    * residual) are again sign-split/floor divisions. dow from pure
+    * epoch-day arithmetic (the B90 rule — no engine calendar in the
+    * loop). Float-free end to end. At 100 TB: one ≤|days|-key shuffle
+    * then bounded window/aggregate work.
+    */
+  def qDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenue(s, dir)
+      .select(col("day"), col("x").cast("decimal(38,0)").as("x"),
+        pmod(datediff(col("day"), lit("1970-01-01")) + 4, lit(7))
+          .cast("long").as("dow"))
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val detr = daily
+      .select(col("day"), col("dow"),
+        (col("x") * 1000000).as("x6"),
+        sum(col("x")).over(w).as("ws"),
+        count(lit(1)).over(w).cast("decimal(38,0)").as("wc"))
+      .select(col("day"), col("dow"),
+        (col("x6") - expr("(ws * 1000000) div wc")).as("d"))
+    val sea = detr.groupBy(col("dow"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n_days"),
+           sum(col("d")).as("sd"))
+      .select(col("dow"), col("n_days"),
+        (when(col("sd") >= 0, lit(1L)).otherwise(lit(-1L)) *
+          expr("abs(sd) div n_days")).cast("decimal(38,0)").as("s6"))
+    detr.join(broadcast(sea), "dow")
+      .select(col("dow"), col("n_days"), col("s6"),
+        abs(col("d") - col("s6")).as("ar"))
+      .groupBy(col("dow"))
+      .agg(max(col("n_days")).as("n_days"), max(col("s6")).as("s6"),
+           sum(col("ar")).as("sar"))
+      .select(col("dow"), col("n_days").cast("long").as("n_days"),
+        col("s6").cast("long").as("seasonal_e6"),
+        expr("sar div n_days").cast("long").as("mean_abs_resid_e6"))
+      .orderBy(col("dow"))
+  }
+
   /** B99 per-row correlation — shared float text over the exact
     * windowed integer moments; NULL (not NaN) when either variance
     * term is zero, decided by EXACT integer comparison so both
@@ -2662,6 +2707,25 @@ object Relational {
         |  CAST(MIN(CASE WHEN cum >= k1 THEN sl END) AS BIGINT) AS m_lo,
         |  CAST(MIN(CASE WHEN cum >= k2 THEN sl END) AS BIGINT) AS m_hi
         |FROM cm CROSS JOIN k GROUP BY np""".stripMargin,
+    "q_decompose" ->
+      """WITH daily AS (SELECT o_orderdate AS day,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS HUGEINT)) AS HUGEINT) AS x,
+        |    (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 4) % 7 AS dow
+        |  FROM orders GROUP BY o_orderdate),
+        |w AS (SELECT day, dow, x*1000000 AS x6,
+        |    SUM(x) OVER win AS ws, CAST(COUNT(*) OVER win AS HUGEINT) AS wc
+        |  FROM daily
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |detr AS (SELECT day, dow, x6 - ((ws * 1000000) // wc) AS d FROM w),
+        |sea AS (SELECT dow, CAST(COUNT(*) AS HUGEINT) AS n_days,
+        |    (CASE WHEN SUM(d) >= 0 THEN 1 ELSE -1 END) * (abs(SUM(d)) // COUNT(*)) AS s6
+        |  FROM detr GROUP BY 1),
+        |r AS (SELECT detr.dow, n_days, s6, abs(d - s6) AS ar
+        |  FROM detr JOIN sea USING (dow))
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(MAX(n_days) AS BIGINT) AS n_days,
+        |  CAST(MAX(s6) AS BIGINT) AS seasonal_e6,
+        |  CAST(SUM(ar) // MAX(n_days) AS BIGINT) AS mean_abs_resid_e6
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_roll_corr" ->
       s"""WITH daily AS (SELECT o_orderdate AS day,
         |    CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS HUGEINT)) AS HUGEINT) AS x,
