@@ -944,6 +944,25 @@ object Estimation {
       .orderBy(col("y").desc, col("x").desc)
       .limit(300)
 
+  /** G4 (query-backed): the custom DataSource V2 batch SINK
+    * ([[graft.sources.v2.StatsSink]]) driven end-to-end through the
+    * gate — the write runs Spark's full two-phase commit (per-task
+    * exact partials in `WriterCommitMessage`s, driver-side merge in
+    * `BatchWrite.commit`), and the query republishes the committed
+    * statistics; the oracle recomputes them straight from the table,
+    * blind to the write path. A wrong merge, a lost task partial, or
+    * a double-counted speculative task shows up as a value mismatch.
+    */
+  def qStatsSink(s: SparkSession, dir: String): DataFrame = {
+    val key = java.util.UUID.randomUUID().toString
+    lineitem(s, dir).select(col("l_quantity").cast("long").as("v"))
+      .write.format("graft.sources.v2.StatsSink").option("key", key)
+      .mode("append").save()
+    val st = graft.sources.v2.StatsSink.committed(key).get
+    s.range(1).select(lit(st.n).as("n_rows"), lit(st.sum).as("vsum"),
+      lit(st.min).as("vmin"), lit(st.max).as("vmax"))
+  }
+
   /** A39 derivation chain (the featImpDerivs machine): Fisher LDA with
     * shared pooled covariance, every float step ONE (name, formula)
     * pair applied with `expr` on the Spark side and emitted verbatim
@@ -2102,6 +2121,12 @@ object Estimation {
           |  CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax,
           |  CAST(ROUND(CAST(SUM(v) AS DOUBLE)/COUNT(v), 4) AS DECIMAL(18,4))::DOUBLE AS mean_v
           |FROM gv""".stripMargin,
+      "q_stats_sink" ->
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vsum,
+          |  CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vmin,
+          |  CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vmax
+          |FROM lineitem""".stripMargin,
       "q_raster_topk" ->
         s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
           |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx

@@ -110,6 +110,35 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(filtered.count() == 130)
   }
 
+  test("G4: the stats sink merges task partials exactly once on driver commit") {
+    import graft.sources.v2.StatsSink
+    val key = "spec-" + java.util.UUID.randomUUID()
+    spark.range(0, 10000).select((col("id") % 97).cast("long").as("v"))
+      .repartition(7) // multiple tasks -> multiple commit messages
+      .write.format("graft.sources.v2.StatsSink").option("key", key)
+      .mode("append").save()
+    val st = StatsSink.committed(key).get
+    assert(st.n == 10000)
+    assert(st.sum == (0L until 10000L).map(_ % 97).sum)
+    assert(st.min == 0 && st.max == 96)
+  }
+
+  test("G4: a failed job publishes nothing (driver commit never runs)") {
+    import graft.sources.v2.StatsSink
+    val key = "spec-abort-" + java.util.UUID.randomUUID()
+    val boom = udf((v: Long) => {
+      if (v == 666L) throw new RuntimeException("poison row")
+      v
+    })
+    intercept[Exception] {
+      spark.range(0, 1000).select(boom(col("id")).as("v"))
+        .write.format("graft.sources.v2.StatsSink").option("key", key)
+        .mode("append").save()
+    }
+    assert(StatsSink.committed(key).isEmpty,
+      "aborted write leaked partial state into the registry")
+  }
+
   test("the scan plans parallel stripes and an empty range plans none") {
     val full = scanOf(v2(120, 80)).scan.asInstanceOf[RasterScan]
     assert(full.toBatch.planInputPartitions().length == 8)
