@@ -944,6 +944,37 @@ object Estimation {
       .orderBy(col("y").desc, col("x").desc)
       .limit(300)
 
+  /** G5 (query-backed): band statistics computed THROUGH the custom
+    * source's MICRO-BATCH streaming read path
+    * ([[graft.sources.v2.RasterMicroBatchStream]]) — the gate-level
+    * proof that the extension pillar's STREAMING third works end to
+    * end: Trigger.AvailableNow drains the grid in rowsPerBatch-rate-
+    * limited micro-batches (source-side admission control, the
+    * maxOffsetsPerTrigger posture), the streaming aggregate folds
+    * them incrementally in the state store, and the final Complete-
+    * mode emission must equal the all-at-once batch answer — which is
+    * exactly what the oracle computes, blind to the streaming
+    * machinery, from the md5 cell formula. A lost batch, an off-by-one
+    * offset range, or a double-planned stripe shows up as a value
+    * mismatch here.
+    */
+  def qRasterStream(s: SparkSession, dir: String): DataFrame = {
+    val name = "raster_stream_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.format("graft.sources.v2.RasterSource")
+      .option("w", 120).option("h", 80).option("rowsPerBatch", 16).load()
+      .groupBy(expr("y div 16").as("band"))
+      .agg(count(lit(1)).as("n_cells"), count(col("v")).as("n_valid"),
+           sum(col("v")).as("vsum"), min(col("v")).as("vmin"),
+           max(col("v")).as("vmax"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("band"))
+  }
+
   /** G4 (query-backed): the custom DataSource V2 batch SINK
     * ([[graft.sources.v2.StatsSink]]) driven end-to-end through the
     * gate — the write runs Spark's full two-phase commit (per-task
@@ -1238,7 +1269,32 @@ object Estimation {
     * lasso's defining selection behavior, published as nnz. At 100 TB:
     * one scan + corpus-independent sweeps.
     */
-  def qLasso(s: SparkSession, dir: String): DataFrame = {
+  def qLasso(s: SparkSession, dir: String): DataFrame =
+    cdFit(s, dir, lassoIterDerivs)
+
+  /** A44 coordinate-descent sweep: ElasticNet's update — the lasso
+    * soft-threshold at α·l1_ratio, then shrink by 1 + α·(1−l1_ratio)
+    * (sklearn ElasticNet(alpha=0.01, l1_ratio=0.5) on standardized
+    * unit-diagonal inputs: threshold 0.005, divisor 1.005). One shared
+    * text per step — both engines run the identical IEEE sequence.
+    */
+  private val enetIterDerivs: Seq[(String, String)] = Seq(
+    "rr1" -> "r1y - r12*w2",
+    "w1n" -> ("CASE WHEN rr1 > 0.005 THEN (rr1 - 0.005)/1.005 " +
+              "WHEN rr1 < -0.005 THEN (rr1 + 0.005)/1.005 ELSE 0.0 END"),
+    "rr2" -> "r2y - r12*w1n",
+    "w2n" -> ("CASE WHEN rr2 > 0.005 THEN (rr2 - 0.005)/1.005 " +
+              "WHEN rr2 < -0.005 THEN (rr2 + 0.005)/1.005 ELSE 0.0 END"))
+
+  /** The shared A42/A44 coordinate-descent engine: ONE exact-integer
+    * moment scan of the fact, the standardization chain, `sweeps`
+    * soft-threshold sweeps of `iterDerivs` on a 1-row frame, the
+    * back-transform, and the published (std coefs, cents coefs,
+    * intercept, nnz) frame. Lasso and ElasticNet differ ONLY in the
+    * per-sweep update texts.
+    */
+  private def cdFit(s: SparkSession, dir: String,
+                    iterDerivs: Seq[(String, String)]): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val m = lineitem(s, dir)
       .select(col("l_quantity").cast("decimal(20,0)").as("x1"),
@@ -1265,7 +1321,7 @@ object Estimation {
     }
     var fr = std.withColumn("w1", lit(0.0)).withColumn("w2", lit(0.0))
     for (_ <- 1 to lassoSweeps) {
-      val it = lassoIterDerivs.foldLeft(fr) {
+      val it = iterDerivs.foldLeft(fr) {
         case (acc, (nm, f)) => acc.withColumn(nm, expr(f))
       }
       fr = it.select((lassoCarry.map(col) :+
@@ -1280,6 +1336,74 @@ object Estimation {
                ((col("w1") =!= 0.0).cast("int") +
                 (col("w2") =!= 0.0).cast("int")).cast("long").as("nnz"))
   }
+
+  /** The shared A42/A44 oracle: the same CTE chain machine as the
+    * engine's [[cdFit]] — moments, standardization, `lassoSweeps`
+    * sweeps of `iterDerivs`, back-transform — every float step the
+    * IDENTICAL formula text the Spark side runs. */
+  private def cdOracle(iterDerivs: Seq[(String, String)]): String = {
+    val stdChain = lassoStdDerivs.zipWithIndex.map { case ((nm, f), i) =>
+      s"t${i + 1} AS (SELECT *, $f AS $nm FROM t$i)"
+    }.mkString(",\n")
+    val stdLast = s"t${lassoStdDerivs.length}"
+    val carry = lassoCarry.mkString(", ")
+    def iter(i: Int): String = {
+      val prev = if (i == 1) "w0cte" else s"w${i - 1}"
+      val chain = iterDerivs.zipWithIndex.map { case ((nm, f), j) =>
+        s"s${i}_${j + 1} AS (SELECT *, $f AS $nm FROM s${i}_$j)"
+      }.mkString(",\n")
+      s"""s${i}_0 AS (SELECT * FROM $prev),
+         |$chain,
+         |w$i AS (SELECT $carry, w1n AS w1, w2n AS w2
+         |  FROM s${i}_${iterDerivs.length})""".stripMargin
+    }
+    val iters = (1 to lassoSweeps).map(iter).mkString(",\n")
+    val outChain = lassoOutDerivs.zipWithIndex.map { case ((nm, f), i) =>
+      s"o${i + 1} AS (SELECT *, $f AS $nm FROM o$i)"
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT CAST(l_quantity AS HUGEINT) AS x1,
+      |    CAST(ROUND(l_discount*100,0) AS HUGEINT) AS x2,
+      |    CAST(ROUND(l_extendedprice*100,0) AS HUGEINT) AS y FROM lineitem),
+      |mom AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nh,
+      |    SUM(x1) AS s1h, SUM(x2) AS s2h, SUM(y) AS syh,
+      |    SUM(x1*x1) AS q11h, SUM(x1*x2) AS q12h, SUM(x2*x2) AS q22h,
+      |    SUM(x1*y) AS q1yh, SUM(x2*y) AS q2yh, SUM(y*y) AS qyyh FROM b),
+      |t0 AS (SELECT CAST(nh AS DOUBLE) AS nd, CAST(s1h AS DOUBLE) AS s1d,
+      |    CAST(s2h AS DOUBLE) AS s2d, CAST(syh AS DOUBLE) AS syd,
+      |    CAST(q11h AS DOUBLE) AS q11d, CAST(q12h AS DOUBLE) AS q12d,
+      |    CAST(q22h AS DOUBLE) AS q22d, CAST(q1yh AS DOUBLE) AS q1yd,
+      |    CAST(q2yh AS DOUBLE) AS q2yd, CAST(qyyh AS DOUBLE) AS qyyd FROM mom),
+      |$stdChain,
+      |w0cte AS (SELECT $carry, 0.0 AS w1, 0.0 AS w2 FROM $stdLast),
+      |$iters,
+      |o0 AS (SELECT * FROM w$lassoSweeps),
+      |$outChain
+      |SELECT CAST(ROUND(w1, 6) AS DECIMAL(18,6))::DOUBLE AS w1_std,
+      |  CAST(ROUND(w2, 6) AS DECIMAL(18,6))::DOUBLE AS w2_std,
+      |  CAST(ROUND(w1r, 6) AS DECIMAL(18,6))::DOUBLE AS w1_cents,
+      |  CAST(ROUND(w2r, 6) AS DECIMAL(18,6))::DOUBLE AS w2_cents,
+      |  CAST(ROUND(b0r, 6) AS DECIMAL(18,6))::DOUBLE AS b0_cents,
+      |  CAST((CASE WHEN w1 <> 0.0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN w2 <> 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz
+      |FROM o${lassoOutDerivs.length}""".stripMargin
+  }
+
+  /** A44: ElasticNet (sklearn ElasticNet(alpha=0.01, l1_ratio=0.5),
+    * standardized) of price cents on (quantity, discount) — the
+    * COMBINED-penalty member completing the regularization family (A9
+    * OLS / A9c ridge / A42 lasso): the identical sufficient-statistic
+    * collapse (fit = ONE exact-integer moment scan + 12 corpus-
+    * independent sweeps on a 1-row frame), with the [[enetIterDerivs]]
+    * update — soft-threshold at the l1 share of the penalty, then
+    * ridge shrinkage by 1 + α·(1−l1). Same α split as A42's published
+    * contrast: the lasso member drives the weak feature to exact zero
+    * while the elastic net's ridge term also SHRINKS the surviving
+    * coefficient — the family's defining difference, visible in the
+    * published (w_std, nnz) against q_lasso's. At 100 TB: one scan +
+    * corpus-independent sweeps.
+    */
+  def qElastic(s: SparkSession, dir: String): DataFrame =
+    cdFit(s, dir, enetIterDerivs)
 
   /** A43 E-step texts: per-cell component densities (the shared 1/√2π
     * cancels in the responsibility) and the responsibility quantized
@@ -2004,52 +2128,8 @@ object Estimation {
           |  CAST(SUM((1-pred)*(1-actual)) AS BIGINT) AS tn
           |FROM sc GROUP BY w0, w1, w2""".stripMargin
       },
-      "q_lasso" -> {
-        val stdChain = lassoStdDerivs.zipWithIndex.map { case ((nm, f), i) =>
-          s"t${i + 1} AS (SELECT *, $f AS $nm FROM t$i)"
-        }.mkString(",\n")
-        val stdLast = s"t${lassoStdDerivs.length}"
-        val carry = lassoCarry.mkString(", ")
-        def iter(i: Int): String = {
-          val prev = if (i == 1) "w0cte" else s"w${i - 1}"
-          val chain = lassoIterDerivs.zipWithIndex.map { case ((nm, f), j) =>
-            s"s${i}_${j + 1} AS (SELECT *, $f AS $nm FROM s${i}_$j)"
-          }.mkString(",\n")
-          s"""s${i}_0 AS (SELECT * FROM $prev),
-             |$chain,
-             |w$i AS (SELECT $carry, w1n AS w1, w2n AS w2
-             |  FROM s${i}_${lassoIterDerivs.length})""".stripMargin
-        }
-        val iters = (1 to lassoSweeps).map(iter).mkString(",\n")
-        val outChain = lassoOutDerivs.zipWithIndex.map { case ((nm, f), i) =>
-          s"o${i + 1} AS (SELECT *, $f AS $nm FROM o$i)"
-        }.mkString(",\n")
-        s"""WITH b AS (SELECT CAST(l_quantity AS HUGEINT) AS x1,
-          |    CAST(ROUND(l_discount*100,0) AS HUGEINT) AS x2,
-          |    CAST(ROUND(l_extendedprice*100,0) AS HUGEINT) AS y FROM lineitem),
-          |mom AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nh,
-          |    SUM(x1) AS s1h, SUM(x2) AS s2h, SUM(y) AS syh,
-          |    SUM(x1*x1) AS q11h, SUM(x1*x2) AS q12h, SUM(x2*x2) AS q22h,
-          |    SUM(x1*y) AS q1yh, SUM(x2*y) AS q2yh, SUM(y*y) AS qyyh FROM b),
-          |t0 AS (SELECT CAST(nh AS DOUBLE) AS nd, CAST(s1h AS DOUBLE) AS s1d,
-          |    CAST(s2h AS DOUBLE) AS s2d, CAST(syh AS DOUBLE) AS syd,
-          |    CAST(q11h AS DOUBLE) AS q11d, CAST(q12h AS DOUBLE) AS q12d,
-          |    CAST(q22h AS DOUBLE) AS q22d, CAST(q1yh AS DOUBLE) AS q1yd,
-          |    CAST(q2yh AS DOUBLE) AS q2yd, CAST(qyyh AS DOUBLE) AS qyyd FROM mom),
-          |$stdChain,
-          |w0cte AS (SELECT $carry, 0.0 AS w1, 0.0 AS w2 FROM $stdLast),
-          |$iters,
-          |o0 AS (SELECT * FROM w$lassoSweeps),
-          |$outChain
-          |SELECT CAST(ROUND(w1, 6) AS DECIMAL(18,6))::DOUBLE AS w1_std,
-          |  CAST(ROUND(w2, 6) AS DECIMAL(18,6))::DOUBLE AS w2_std,
-          |  CAST(ROUND(w1r, 6) AS DECIMAL(18,6))::DOUBLE AS w1_cents,
-          |  CAST(ROUND(w2r, 6) AS DECIMAL(18,6))::DOUBLE AS w2_cents,
-          |  CAST(ROUND(b0r, 6) AS DECIMAL(18,6))::DOUBLE AS b0_cents,
-          |  CAST((CASE WHEN w1 <> 0.0 THEN 1 ELSE 0 END)
-          |    + (CASE WHEN w2 <> 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz
-          |FROM o${lassoOutDerivs.length}""".stripMargin
-      },
+      "q_lasso" -> cdOracle(lassoIterDerivs),
+      "q_elastic" -> cdOracle(enetIterDerivs),
       "q_gmm" -> {
         val allDerivs = gmmCompDefs ++ gmmSolveDerivs
         def iter(i: Int): String = {
@@ -2135,6 +2215,16 @@ object Estimation {
           |    CASE WHEN hx % 19 = 0 THEN NULL ELSE hx % 1000 END AS v FROM g)
           |SELECT x, y, CAST(v AS BIGINT) AS v FROM gv
           |ORDER BY y DESC, x DESC LIMIT 300""".stripMargin,
+      "q_raster_stream" ->
+        s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
+          |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx
+          |  FROM range(0, 9600) t(i)),
+          |gv AS (SELECT y // 16 AS band,
+          |    CASE WHEN hx % 19 = 0 THEN NULL ELSE hx % 1000 END AS v FROM g)
+          |SELECT CAST(band AS BIGINT) AS band, CAST(COUNT(*) AS BIGINT) AS n_cells,
+          |  CAST(COUNT(v) AS BIGINT) AS n_valid, CAST(SUM(v) AS BIGINT) AS vsum,
+          |  CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax
+          |FROM gv GROUP BY 1 ORDER BY 1""".stripMargin,
       "q_raster_source" ->
         s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
           |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx

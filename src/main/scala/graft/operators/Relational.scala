@@ -2370,6 +2370,107 @@ object Relational {
       lit(middles.max).as("m_hi"))
   }
 
+  /** B101 z-statistic (normal approximation with continuity
+    * correction) — ONE shared float text over the exact integers S and
+    * the ×18 variance numerator, so the IEEE op sequence is identical
+    * cross-engine; the S = 0 branch is decided by exact integer
+    * comparison. */
+  private val mkZSql =
+    "CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / " +
+      "sqrt(CAST(vn AS DOUBLE) / 18.0) " +
+    "WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / " +
+      "sqrt(CAST(vn AS DOUBLE) / 18.0) ELSE 0.0 END"
+
+  /** B101: Mann–Kendall trend test on the daily revenue series — the
+    * HYPOTHESIS-TEST companion of B95's Theil–Sen slope (the two are
+    * always reported together in trend monitoring: MK decides IF a
+    * monotone trend exists, Theil–Sen says how steep): S = Σ_{i<j}
+    * sign(x_j − x_i) over the DAY DOMAIN (|days|² pairs — corpus-
+    * independent, the fact is never self-joined; one side broadcast →
+    * BNLJ, never a cartesian of facts), the tie-corrected variance
+    * numerator 18·Var(S) = n(n−1)(2n+5) − Σ t(t−1)(2t+5) from exact
+    * integer aggregates over the value-count frame, and only the
+    * published z is float via the shared [[mkZSql]] text (continuity-
+    * corrected, S = 0 decided exactly). At 100 TB: one ≤|days|-key
+    * shuffle, then domain-bounded pair work.
+    */
+  def qMannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = graft.core.Materialize.pin(dailyRevenue(s, dir))
+    val a = daily.select(col("day").as("d1"), col("x").as("x1"))
+    val b = daily.select(col("day").as("d2"), col("x").as("x2"))
+    val sFrame = a.join(broadcast(b), col("d2") > col("d1"))
+      .agg(coalesce(sum(when(col("x2") > col("x1"), 1L)
+          .when(col("x2") < col("x1"), -1L).otherwise(0L)), lit(0L))
+        .cast("decimal(38,0)").as("s"))
+    val nFrame = daily.agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+    val tFrame = daily.groupBy(col("x"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+      .filter(col("c") > 1)
+      .agg(coalesce(sum(col("c") * (col("c") - 1) * (col("c") * 2 + 5)),
+        lit(0)).cast("decimal(38,0)").as("tt"))
+    nFrame.crossJoin(broadcast(sFrame)).crossJoin(broadcast(tFrame))
+      .withColumn("vn",
+        col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tt"))
+      .select(col("n").cast("long").as("n_days"),
+              col("s").cast("long").as("s"),
+              col("vn").cast("long").as("var_num_x18"),
+              dec6(expr(mkZSql)).as("z"))
+  }
+
+  /** B102 z-statistic — ONE shared float text over the exact integers
+    * (runs R, above/below counts), identical IEEE sequence both
+    * engines. */
+  private val runsZSql =
+    "(CAST(r AS DOUBLE) - (2.0*CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE) / " +
+      "(CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE)) + 1.0)) / " +
+    "sqrt(2.0*CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE) * " +
+      "(2.0*CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE) - CAST(n1 AS DOUBLE) - " +
+        "CAST(n2 AS DOUBLE)) / " +
+      "((CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE)) * " +
+       "(CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE)) * " +
+       "(CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE) - 1.0)))"
+
+  /** B102: Wald–Wolfowitz runs test on the daily revenue series — the
+    * RANDOMNESS screen of the time-series audit family (B94 asks
+    * "where did the level shift", B101 "is there a trend", this one
+    * "is the sequence even random"): each day classified above/below
+    * the series' LOWER MEDIAN (the exact (n+1)/2-th order statistic
+    * via cumulative counts over the value frame — the B61 shape, no
+    * global row sort; days equal to the median are excluded, the
+    * classical convention), the run count R = 1 + Σ[sign ≠ lag(sign)]
+    * from a lag over the day-ordered ≤|days| frame, and only the
+    * published z is float via the shared [[runsZSql]] text. At
+    * 100 TB: one ≤|days|-key shuffle, then domain-bounded window
+    * work.
+    */
+  def qRunsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = graft.core.Materialize.pin(dailyRevenue(s, dir))
+    val vc = daily.groupBy(col("x")).agg(count(lit(1)).as("c"))
+    val n = daily.count()
+    val k1 = (n + 1) / 2
+    val wv = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = vc.withColumn("cum", sum(col("c")).over(wv))
+      .filter(col("cum") >= k1)
+      .agg(min(col("x")).as("med"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter(col("x") =!= col("med"))
+      .select(col("day"), (col("x") > col("med")).cast("long").as("sg"))
+    val wd = Window.orderBy(col("day"))
+    val runs = signed
+      .withColumn("brk",
+        when(lag(col("sg"), 1).over(wd).isNull, 1L)
+          .when(lag(col("sg"), 1).over(wd) =!= col("sg"), 1L)
+          .otherwise(0L))
+      .agg(sum(col("brk")).cast("decimal(38,0)").as("r"),
+           sum(col("sg")).cast("decimal(38,0)").as("n1"),
+           sum(lit(1L) - col("sg")).cast("decimal(38,0)").as("n2"))
+    runs.select(col("n1").cast("long").as("n_above"),
+                col("n2").cast("long").as("n_below"),
+                col("r").cast("long").as("runs"),
+                dec6(expr(runsZSql)).as("z"))
+  }
+
   /** B100: classical additive seasonal decomposition of daily revenue
     * (statsmodels seasonal_decompose intent: x = trend + seasonal +
     * residual) — EXACT to the last integer: trend is the centered
@@ -2707,6 +2808,45 @@ object Relational {
         |  CAST(MIN(CASE WHEN cum >= k1 THEN sl END) AS BIGINT) AS m_lo,
         |  CAST(MIN(CASE WHEN cum >= k2 THEN sl END) AS BIGINT) AS m_hi
         |FROM cm CROSS JOIN k GROUP BY np""".stripMargin,
+    "q_mann_kendall" ->
+      s"""WITH daily AS (SELECT o_orderdate AS day,
+        |    SUM(CAST(ROUND(o_totalprice*100,0) AS HUGEINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT CASE WHEN b.x > a.x THEN 1
+        |    WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+        |  FROM daily a JOIN daily b ON b.day > a.day),
+        |sa AS (SELECT CAST(COALESCE(SUM(sg), 0) AS HUGEINT) AS s FROM p),
+        |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM daily),
+        |tc AS (SELECT CAST(COALESCE(SUM(c*(c-1)*(c*2+5)), 0) AS HUGEINT) AS tt
+        |  FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS c FROM daily GROUP BY x)
+        |  WHERE c > 1),
+        |f AS (SELECT n, s, n*(n-1)*(n*2+5) - tt AS vn
+        |  FROM nn CROSS JOIN sa CROSS JOIN tc)
+        |SELECT CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS s,
+        |  CAST(vn AS BIGINT) AS var_num_x18,
+        |  CAST(ROUND($mkZSql, 6) AS DECIMAL(18,6))::DOUBLE AS z
+        |FROM f""".stripMargin,
+    "q_runs_test" ->
+      s"""WITH daily AS (SELECT o_orderdate AS day,
+        |    SUM(CAST(ROUND(o_totalprice*100,0) AS HUGEINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |vc AS (SELECT x, COUNT(*) AS c FROM daily GROUP BY 1),
+        |k AS (SELECT (COUNT(*) + 1) // 2 AS k1 FROM daily),
+        |cm AS (SELECT x, SUM(c) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM vc),
+        |med AS (SELECT MIN(x) AS med FROM cm CROSS JOIN k WHERE cum >= k1),
+        |sg AS (SELECT day, CASE WHEN x > med THEN 1 ELSE 0 END AS sg
+        |  FROM daily CROSS JOIN med WHERE x <> med),
+        |b AS (SELECT sg, CASE WHEN LAG(sg) OVER (ORDER BY day) IS NULL THEN 1
+        |    WHEN LAG(sg) OVER (ORDER BY day) <> sg THEN 1 ELSE 0 END AS brk
+        |  FROM sg),
+        |f AS (SELECT CAST(SUM(brk) AS HUGEINT) AS r,
+        |    CAST(SUM(sg) AS HUGEINT) AS n1,
+        |    CAST(SUM(1 - sg) AS HUGEINT) AS n2 FROM b)
+        |SELECT CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+        |  CAST(r AS BIGINT) AS runs,
+        |  CAST(ROUND($runsZSql, 6) AS DECIMAL(18,6))::DOUBLE AS z
+        |FROM f""".stripMargin,
     "q_decompose" ->
       """WITH daily AS (SELECT o_orderdate AS day,
         |    CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS HUGEINT)) AS HUGEINT) AS x,

@@ -764,6 +764,56 @@ object EventStreams {
         })
   }
 
+  /** F29 state: the Holt recursion's two e6-quantized integers plus
+    * the init phase (0 = empty, 1 = one observation seen, 2 = running)
+    * and the event-id watermark. `x1` is the first observation, held
+    * only through phase 1 for the classical b₁ = x₂ − x₁ init. */
+  final case class HoltState(phase: Int, x1: Long, lq: Long, bq: Long,
+                             n: Long, lastEvent: Long)
+  final case class HoltOut(user_id: Long, event_id: Long, n: Long,
+                           level_e6: Long, trend_e6: Long, f1_e6: Long)
+
+  /** F29: streaming per-key Holt double-exponential smoother (online
+    * twin of B96, SAME [[graft.operators.Relational.holtStep]]
+    * kernel): flatMapGroupsWithState with O(1) exact-integer state per
+    * key — the recursion's (level, trend) pair is e6-quantized every
+    * step exactly as the batch query's, so the stream CANNOT drift
+    * from a batch replay of the same arrivals (StreamingSpec pins
+    * stream == sequential fold across batches incl. replay). Init
+    * follows B96's classical convention (l₁ = x₁, b₁ = x₂ − x₁, with
+    * x₂ then processed through the step). Emits the post-event state
+    * and 1-step forecast per arrival in Update mode; state never grows
+    * with the stream.
+    */
+  def holtStream(in: Dataset[KeyedVal]): Dataset[HoltOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[KeyedVal], state: GroupState[HoltState]) => {
+          var st = state.getOption.getOrElse(
+            HoltState(0, 0L, 0L, 0L, 0L, Long.MinValue))
+          val out = batch.toArray.sortBy(_.event_id).iterator
+            .filter(_.event_id > st.lastEvent)
+            .map { e =>
+              st = st.phase match {
+                case 0 =>
+                  HoltState(1, e.v, e.v * 1000000L, 0L, 1L, e.event_id)
+                case 1 =>
+                  val lq0 = st.x1 * 1000000L
+                  val bq0 = e.v * 1000000L - lq0
+                  val (nl, nb) = graft.operators.Relational.holtStep(lq0, bq0, e.v)
+                  HoltState(2, 0L, nl, nb, 2L, e.event_id)
+                case _ =>
+                  val (nl, nb) = graft.operators.Relational.holtStep(st.lq, st.bq, e.v)
+                  HoltState(2, 0L, nl, nb, st.n + 1, e.event_id)
+              }
+              HoltOut(uid, e.event_id, st.n, st.lq, st.bq, st.lq + st.bq)
+            }.toArray // drain before update: st must hold the final state
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** F27: streaming first-digit audit (batch twin B89) — the Benford
     * fraud/fabrication screen attached to an unbounded stream: the
     * first digit of the exact cent amount (integer→string head, no

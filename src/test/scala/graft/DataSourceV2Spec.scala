@@ -180,4 +180,59 @@ class DataSourceV2Spec extends AnyFunSuite {
       .agg(sum(col("v"))).collect().head
     assert(df.collect().head == exp)
   }
+
+  test("G5: AvailableNow drains the grid in rate-limited micro-batches == batch read") {
+    // rowsPerBatch=16 over 80 grid rows -> exactly 5 planned batches;
+    // the drained stream must equal the batch scan row-for-row
+    val q = spark.readStream.format("graft.sources.v2.RasterSource")
+      .option("w", 120).option("h", 80).option("rowsPerBatch", 16).load()
+      .writeStream.format("memory").queryName("g5_rows")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 5,
+        s"expected 5 rate-limited micro-batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows == 16 * 120))
+      val got = spark.table("g5_rows").collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .sortBy(t => (t._2, t._1))
+      val exp = v2(120, 80).collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .sortBy(t => (t._2, t._1))
+      assert(got.length == 9600 && got.sameElements(exp))
+    } finally q.stop()
+  }
+
+  test("G5: a filtered projected stream stays correct via residual re-evaluation") {
+    // Spark does NOT push filters into a micro-batch V2 scan (unlike
+    // the batch path): the y predicate runs post-scan as a residual,
+    // so every grid row is still admitted (10 batches of 8 rows) and
+    // correctness comes from re-evaluation — the same "pushdown is an
+    // optimization, never a correctness dependency" contract as G1
+    val q = spark.readStream.format("graft.sources.v2.RasterSource")
+      .option("w", 120).option("h", 80).option("rowsPerBatch", 8).load()
+      .filter(col("y") >= 20 && col("y") <= 43)
+      .select(col("y"), col("v"))
+      .writeStream.format("memory").queryName("g5_pruned")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      // full 80-row grid at 8 rows/batch: the rate limit still bounds
+      // every micro-batch even though the filter is not pushed
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 10 && batches.forall(_.numInputRows == 8 * 120))
+      val got = spark.table("g5_pruned").groupBy(col("y"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val exp = v2(120, 80).filter(col("y") >= 20 && col("y") <= 43)
+        .groupBy(col("y")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(got.length == 24 && got.sameElements(exp))
+    } finally q.stop()
+  }
 }

@@ -168,6 +168,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F29 streaming per-key Holt smoother equals a sequential batch fold; replay-safe") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{HoltOut, KeyedVal}
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Synthetic.zipfEvents(spark, 5000L)
+      .collect().map(r => KeyedVal(r.getLong(1), r.getLong(0), r.getLong(2))).toSeq
+    val input = MemoryStream[KeyedVal]
+    val q = EventStreams.holtStream(input.toDS())
+      .writeStream.format("memory").queryName("holt_out").outputMode("update").start()
+    try {
+      val (b1, b2) = ev.partition(_.event_id < 2500)
+      input.addData(b1); q.processAllAvailable()
+      // replay below the high-water mark must not advance the recursion
+      input.addData(b1.take(500)); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("holt_out").as[HoltOut].collect()
+        .map(r => (r.user_id, r.event_id) -> (r.n, r.level_e6, r.trend_e6, r.f1_e6))
+        .toMap
+      // batch twin: the B96 recursion (same holtStep kernel, same
+      // l1=x1 / b1=x2-x1 init) folded per key in event-id order
+      val expected = ev.groupBy(_.user_id).flatMap { case (uid, evs) =>
+        var lq = 0L; var bq = 0L; var n = 0L
+        evs.sortBy(_.event_id).map { e =>
+          if (n == 0L) { lq = e.v * 1000000L; bq = 0L; n = 1L }
+          else {
+            if (n == 1L) bq = e.v * 1000000L - lq
+            val (nl, nb) = graft.operators.Relational.holtStep(lq, bq, e.v)
+            lq = nl; bq = nb; n += 1
+          }
+          (uid, e.event_id) -> (n, lq, bq, lq + bq)
+        }
+      }.toMap
+      assert(got.size == 5000)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("F14 streaming SemDeDup equals batch semDedup across id-interleaved batches") {
     import spark.implicits._
     import graft.operators.Similarity
