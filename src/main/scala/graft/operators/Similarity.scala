@@ -261,6 +261,63 @@ object Similarity {
     * compares on the 4dp-rounded value so the verdict is bit-portable
     * cross-engine.
     */
+  /** D18: reciprocal-rank fusion (Cormack/Clarke/Büttcher SIGIR'09 —
+    * the hybrid-retrieval staple every production search stack runs:
+    * merge a LEXICAL ranking and a SEMANTIC ranking without score
+    * calibration): the lexical arm is C35's BM25 top-50 (rank by the
+    * 6dp-DECIMAL score — EXACT cross-engine by the C33 rounding rule,
+    * doc_id tie-break), the semantic arm is the exact-cosine top-50
+    * against a single broadcast probe (vector 0, the D1 kernel shape:
+    * per-partition bounded heaps → tiny global merge), and the fused
+    * score is Σ 10⁹ div (60 + rank) over the lists a doc appears in —
+    * an EXACT integral-division PPB (k=60, the paper's constant), so
+    * fusion arithmetic is float-free. Both arms reach their top-50 via
+    * distributed TakeOrdered (never a global sort); the fusion join
+    * runs on two ≤50-row frames. At 100 TB: two corpus passes (one
+    * per arm), a broadcast probe, and O(k) fusion work.
+    */
+  def qRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val k = 50
+    val e = emb(s, dir)
+    // single broadcast probe: vector 0 — O(d) driver collect
+    val q0 = e.filter(col("vec_id") === 0L).select(col("v"))
+      .collect().head.getSeq[Double](0).toArray
+    var qn2 = 0.0
+    var i = 0
+    while (i < q0.length) { qn2 += q0(i) * q0(i); i += 1 }
+    val bc = s.sparkContext.broadcast((q0, math.sqrt(qn2)))
+    val locals = fanOut(e.select(col("vec_id"), col("v")))
+      .mapPartitions { it =>
+        val (qv, qn) = bc.value
+        val heaps = new TopKHeaps(1, k)
+        it.foreach { row =>
+          val v = row.getSeq[Double](1).toArray
+          var n2 = 0.0; var j = 0
+          while (j < v.length) { n2 += v(j) * v(j); j += 1 }
+          var d = 0.0; j = 0
+          while (j < v.length) { d += qv(j) * v(j); j += 1 }
+          heaps.insert(0, d / (qn * math.sqrt(n2)), row.getLong(0))
+        }
+        heaps.emit(Array(0L))
+      }(Encoders.row(localTopKSchema))
+    val sem = globalTopK(locals, k)
+      .select(col("vec_id").as("doc_id"), col("rank").as("rank_sem"))
+    // the global row_number runs AFTER TakeOrdered shrank the frame to
+    // ≤50 rows — never a single-partition window over the corpus
+    val lexTop = graft.operators.TextOps.qBm25(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+    val wl = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val lex = lexTop
+      .withColumn("rank_lex", row_number().over(wl).cast("long"))
+      .select(col("doc_id"), col("rank_lex"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_lex"), col("rank_sem"),
+        (coalesce(expr("1000000000 div (60 + rank_lex)"), lit(0L)) +
+         coalesce(expr("1000000000 div (60 + rank_sem)"), lit(0L))).as("rrf_ppb"))
+      .orderBy(col("rrf_ppb").desc, col("doc_id"))
+      .limit(20)
+  }
+
   def qEmbedDecontam(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val corpus = e.filter(col("vec_id") % 97 =!= 0).select(col("vec_id"), col("v"))
@@ -1793,6 +1850,28 @@ object Similarity {
         |  FROM sims)
         |SELECT q_id, vec_id, rank, CAST(ROUND(sim,4) AS DECIMAL(18,4))::DOUBLE AS sim
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_rrf_fusion" ->
+      s"""WITH lex0 AS (${graft.operators.TextOps.bm25OracleSql}),
+        |lexr AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+        |  FROM lex0 QUALIFY rank_lex <= 50),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |sims AS (SELECT e.vec_id AS doc_id,
+        |    list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings e CROSS JOIN q),
+        |semr AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank_sem
+        |  FROM sims QUALIFY rank_sem <= 50),
+        |f AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, rank_lex, rank_sem,
+        |    COALESCE(1000000000 // (60 + rank_lex), 0)
+        |      + COALESCE(1000000000 // (60 + rank_sem), 0) AS rrf_ppb
+        |  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(rank_lex AS BIGINT) AS rank_lex,
+        |  CAST(rank_sem AS BIGINT) AS rank_sem,
+        |  CAST(rrf_ppb AS BIGINT) AS rrf_ppb
+        |FROM f ORDER BY rrf_ppb DESC, doc_id LIMIT 20""".stripMargin,
     "q_embed_decontam" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings WHERE vec_id % 97 <> 0),

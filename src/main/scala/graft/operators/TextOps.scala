@@ -1552,7 +1552,8 @@ object TextOps {
     * same parenthesization (tf/idf/denominator), per-term 6dp DECIMAL
     * rounding before the exact decimal sum.
     */
-  private val bm25OracleSql: String = {
+  // shared with D18's fusion oracle (Similarity.oracles)
+  private[operators] val bm25OracleSql: String = {
     val qterms = Seq("spark", "join", "filter")
     val dfAggs = qterms.map(t =>
       s"CAST(SUM(CASE WHEN list_contains(w,'$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
