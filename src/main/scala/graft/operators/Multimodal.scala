@@ -240,6 +240,20 @@ object Multimodal {
         |  CAST(SUM(CASE WHEN t >= st+1 AND (ps < 0) <> (s < 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
         |  CAST(ROUND(sqrt(CAST(SUM(s*s) AS DOUBLE)/COUNT(*)),4) AS DECIMAL(18,4))::DOUBLE AS rms
         |FROM j GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_media_decimate" ->
+      """WITH d AS (SELECT doc_id, CAST(48 + doc_id % 96 AS BIGINT) AS n,
+        |    CAST(8000 + (doc_id % 5) * 2000 AS BIGINT) AS sample_rate FROM documents),
+        |t AS (SELECT doc_id, n, sample_rate, i AS t, i // 2 AS k,
+        |    ((doc_id*37 + i*i*7 + i*11) % 4096) - 2048 AS s
+        |  FROM d, (SELECT unnest(range(144)) AS i) WHERE i < n AND i % 2 = 0)
+        |SELECT doc_id AS media_id,
+        |  CAST(sample_rate // 2 AS BIGINT) AS out_rate,
+        |  CAST(COUNT(*) AS BIGINT) AS n_out,
+        |  CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+        |  CAST(ROUND(sqrt(CAST(SUM(s*s) AS DOUBLE)/COUNT(*)),4) AS DECIMAL(18,4))::DOUBLE AS rms,
+        |  CAST(SUM((k + 1) * s) AS BIGINT) AS wsum,
+        |  CAST((COUNT(*) * 1000000) // (sample_rate // 2) AS BIGINT) AS duration_us
+        |FROM t GROUP BY 1, 2, sample_rate ORDER BY 1""".stripMargin,
     "q_media_wav" ->
       """WITH d AS (SELECT doc_id, CAST(48 + doc_id % 96 AS BIGINT) AS n,
         |    CAST(8000 + (doc_id % 5) * 2000 AS BIGINT) AS sample_rate FROM documents),
@@ -525,6 +539,65 @@ object Multimodal {
               col("peak"), col("n_zero_cross"),
               dec4(sqrt(col("sumsq").cast("double") / col("n_samples"))).as("rms"),
               col("duration_us"))
+      .orderBy(col("media_id"))
+  }
+
+  /** E11: decimation resampling through the REAL audio codec path —
+    * the audio twin of E10's image resize (the standardize-sample-rate
+    * step of audio pipelines: decode → take every 2nd PCM frame →
+    * re-derive rate/duration): payloads decode via
+    * `javax.sound.sampled.AudioSystem` (the E9 RIFF walker), the kept
+    * samples are the PURE-INTEGER mapping s_out[k] = s[2k] (plain
+    * decimation — the engine-replicable contract; a windowed-sinc
+    * low-pass would be float-order-sensitive), and the published
+    * statistics include a position-weighted checksum Σ (k+1)·s_out[k]
+    * so a shifted, reversed, or off-by-one decimation cannot pass.
+    * All outputs exact integers except the 4dp RMS. Stats accumulate
+    * inside the decode pass — only (id, 6 longs) per clip moves.
+    */
+  def qMediaDecimate(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("out_rate", LongType, nullable = false),
+      StructField("n_out", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("sumsq", LongType, nullable = false),
+      StructField("wsum", LongType, nullable = false),
+      StructField("duration_us", LongType, nullable = false)))
+    synthesizeWav(s, dir)
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val in = new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1))
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+          val fmt = ais.getFormat
+          require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16,
+                  s"unexpected wav format for media $id")
+          val rate = fmt.getSampleRate.toLong
+          val raw = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(raw).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = raw.length / 2
+          val outRate = rate / 2
+          var peak = 0L; var sumsq = 0L; var wsum = 0L; var k = 0L
+          var t = 0
+          while (t < n) {
+            val v = bb.getShort().toLong
+            if (t % 2 == 0) {
+              if (math.abs(v) > peak) peak = math.abs(v)
+              sumsq += v * v
+              k += 1
+              wsum += k * v
+            }
+            t += 1
+          }
+          Row(id, outRate, k, peak, sumsq, wsum, k * 1000000L / outRate)
+        }
+      }(Encoders.row(outSchema))
+      .select(col("media_id"), col("out_rate"), col("n_out"), col("peak"),
+              dec4(sqrt(col("sumsq").cast("double") / col("n_out"))).as("rms"),
+              col("wsum"), col("duration_us"))
       .orderBy(col("media_id"))
   }
 
