@@ -975,6 +975,35 @@ object Estimation {
     s.table(name).orderBy(col("band"))
   }
 
+  /** G6 (query-backed): the full STREAMING extension path chained end
+    * to end — the G5 micro-batch raster SOURCE feeding the G6
+    * streaming stats SINK ([[graft.sources.v2.StatsStreamingWrite]]):
+    * Trigger.AvailableNow drains the grid in 5 rate-limited epochs
+    * (16 rows × 120 cells each), every epoch runs Spark's two-phase
+    * commit (task partials → idempotent per-epoch driver publish),
+    * and the query republishes the cross-epoch merge + epoch count.
+    * The oracle recomputes the identical statistics from the md5 cell
+    * formula, blind to source, sink, offsets and epochs — a lost
+    * epoch, a double-committed retry, or a partial that leaked past
+    * an abort shows up as a value mismatch.
+    */
+  def qStatsStreamSink(s: SparkSession, dir: String): DataFrame = {
+    val key = java.util.UUID.randomUUID().toString
+    val q = s.readStream.format("graft.sources.v2.RasterSource")
+      .option("w", 120).option("h", 80).option("rowsPerBatch", 16).load()
+      .filter(col("v").isNotNull).select(col("v"))
+      .writeStream.format("graft.sources.v2.StatsSink").option("key", key)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("g6gate").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (nEpochs, st) = graft.sources.v2.StatsSink.streamCommitted(key).get
+    s.range(1).select(lit(nEpochs).as("n_epochs"), lit(st.n).as("n_valid"),
+      lit(st.sum).as("vsum"), lit(st.min).as("vmin"), lit(st.max).as("vmax"))
+  }
+
   /** G4 (query-backed): the custom DataSource V2 batch SINK
     * ([[graft.sources.v2.StatsSink]]) driven end-to-end through the
     * gate — the write runs Spark's full two-phase commit (per-task
@@ -2215,6 +2244,14 @@ object Estimation {
           |    CASE WHEN hx % 19 = 0 THEN NULL ELSE hx % 1000 END AS v FROM g)
           |SELECT x, y, CAST(v AS BIGINT) AS v FROM gv
           |ORDER BY y DESC, x DESC LIMIT 300""".stripMargin,
+      "q_stats_stream_sink" ->
+        s"""WITH g AS (SELECT ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx
+          |  FROM range(0, 9600) t(i)),
+          |gv AS (SELECT hx % 1000 AS v FROM g WHERE hx % 19 <> 0)
+          |SELECT CAST(5 AS BIGINT) AS n_epochs,
+          |  CAST(COUNT(*) AS BIGINT) AS n_valid, CAST(SUM(v) AS BIGINT) AS vsum,
+          |  CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax
+          |FROM gv""".stripMargin,
       "q_raster_stream" ->
         s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
           |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx

@@ -66,17 +66,44 @@ object StatsSink {
   def committed(key: String): Option[Stats] = results.get(key)
 
   private[v2] def publish(key: String, s: Stats): Unit = results.put(key, s)
+
+  /** G6: per-epoch committed stats of a STREAMING write, keyed by the
+    * `key` option. `StreamingWrite.commit(epoch, ...)` is the only
+    * writer, and it is IDEMPOTENT per epoch (putIfAbsent): after a
+    * failure Spark re-runs and re-commits the same epoch, and the
+    * retry must not double-count — the exactly-once contract every
+    * production streaming sink (Delta txn log, Kafka transactional
+    * producer) implements with an epoch/txn dedup check exactly like
+    * this one. Empty epochs are never recorded (their min/max
+    * identity elements must not pollute the merge).
+    */
+  private val streamResults = TrieMap.empty[String, TrieMap[Long, Stats]]
+
+  private[v2] def publishEpoch(key: String, epoch: Long, s: Stats): Unit =
+    streamResults.getOrElseUpdate(key, TrieMap.empty).putIfAbsent(epoch, s)
+
+  /** The cumulative merge over all committed epochs plus the epoch
+    * count — what a metrics consumer reads after the stream drains. */
+  def streamCommitted(key: String): Option[(Long, Stats)] =
+    streamResults.get(key).filter(_.nonEmpty).map { m =>
+      val ss = m.values.toSeq
+      (m.size.toLong,
+       Stats(ss.map(_.n).sum, ss.map(_.sum).sum,
+             ss.map(_.min).min, ss.map(_.max).max))
+    }
 }
 
 final class StatsSinkTable(key: String) extends Table with SupportsWrite {
   override def name(): String = s"graft_stats_sink($key)"
   override def schema(): StructType = StatsSink.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new StatsBatchWrite(key)
+        override def toStreaming: streaming.StreamingWrite =
+          new StatsStreamingWrite(key)
       }
     }
 }
@@ -85,26 +112,24 @@ final class StatsSinkTable(key: String) extends Table with SupportsWrite {
 final case class StatsPartial(n: Long, sum: Long, min: Long, max: Long)
     extends WriterCommitMessage
 
-final class StatsBatchWrite(key: String) extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new DataWriterFactory {
-      override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-        new DataWriter[InternalRow] {
-          private var n = 0L; private var sum = 0L
-          private var mn = Long.MaxValue; private var mx = Long.MinValue
-          override def write(record: InternalRow): Unit = {
-            val v = record.getLong(0)
-            n += 1; sum += v
-            if (v < mn) mn = v
-            if (v > mx) mx = v
-          }
-          override def commit(): WriterCommitMessage = StatsPartial(n, sum, mn, mx)
-          override def abort(): Unit = () // partial dies with the task
-          override def close(): Unit = ()
-        }
+/** The per-task reduction writer shared by the batch and streaming
+  * (G4/G6) write paths — identical accumulation, identical partial. */
+private[v2] object StatsWriters {
+  def newWriter(): DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private var n = 0L; private var sum = 0L
+    private var mn = Long.MaxValue; private var mx = Long.MinValue
+    override def write(record: InternalRow): Unit = {
+      val v = record.getLong(0)
+      n += 1; sum += v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
     }
+    override def commit(): WriterCommitMessage = StatsPartial(n, sum, mn, mx)
+    override def abort(): Unit = () // partial dies with the task
+    override def close(): Unit = ()
+  }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  def merge(messages: Array[WriterCommitMessage]): StatsSink.Stats = {
     var n = 0L; var sum = 0L
     var mn = Long.MaxValue; var mx = Long.MinValue
     messages.foreach { case StatsPartial(pn, ps, pmn, pmx) =>
@@ -112,8 +137,44 @@ final class StatsBatchWrite(key: String) extends BatchWrite {
       if (pmn < mn) mn = pmn
       if (pmx > mx) mx = pmx
     }
-    StatsSink.publish(key, StatsSink.Stats(n, sum, mn, mx))
+    StatsSink.Stats(n, sum, mn, mx)
   }
+}
+
+final class StatsBatchWrite(key: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new DataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+        StatsWriters.newWriter()
+    }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    StatsSink.publish(key, StatsWriters.merge(messages))
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** G6: the STREAMING write path (`StreamingWrite`) — the same two-phase
+  * commit as G4 run once PER EPOCH: each micro-batch's task partials
+  * merge in `commit(epochId, ...)` on the driver and publish under the
+  * epoch id; `StatsSink.publishEpoch` is putIfAbsent so an epoch
+  * RETRY after recovery merges exactly once (the idempotent-sink
+  * contract). Empty epochs publish nothing — their identity
+  * min/max must not pollute the cross-epoch merge.
+  */
+final class StatsStreamingWrite(key: String) extends streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    new streaming.StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+                                epochId: Long): DataWriter[InternalRow] =
+        StatsWriters.newWriter()
+    }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val merged = StatsWriters.merge(messages)
+    if (merged.n > 0) StatsSink.publishEpoch(key, epochId, merged)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }

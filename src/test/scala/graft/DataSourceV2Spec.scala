@@ -181,6 +181,39 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(df.collect().head == exp)
   }
 
+  test("G6: streaming write merges epochs cumulatively and a retried epoch commits once") {
+    import graft.sources.v2.{StatsPartial, StatsSink, StatsStreamingWrite}
+    val key = "g6-retry-" + java.util.UUID.randomUUID()
+    val w = new StatsStreamingWrite(key)
+    w.commit(0L, Array(StatsPartial(2, 10, 3, 7), StatsPartial(1, 5, 5, 5)))
+    w.commit(1L, Array(StatsPartial(1, -4, -4, -4)))
+    // recovery re-runs epoch 1 — the idempotent publish must not double-count
+    w.commit(1L, Array(StatsPartial(1, -4, -4, -4)))
+    // an empty epoch must publish nothing (identity min/max stay out)
+    w.commit(2L, Array(StatsPartial(0, 0, Long.MaxValue, Long.MinValue)))
+    val (nEpochs, st) = StatsSink.streamCommitted(key).get
+    assert(nEpochs == 2 && st == StatsSink.Stats(4, 11, -4, 7))
+  }
+
+  test("G6: a MemoryStream drained through the streaming sink equals the direct fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "g6-stream-" + java.util.UUID.randomUUID()
+    val input = MemoryStream[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("g6ckpt").toString
+    val q = input.toDS().toDF("v")
+      .writeStream.format("graft.sources.v2.StatsSink").option("key", key)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(5L, 9L, 2L); q.processAllAvailable()
+      input.addData(11L, -3L); q.processAllAvailable()
+      val (nEpochs, st) = graft.sources.v2.StatsSink.streamCommitted(key).get
+      assert(nEpochs == 2 && st == graft.sources.v2.StatsSink.Stats(5, 24, -3, 11))
+    } finally q.stop()
+  }
+
   test("G5: AvailableNow drains the grid in rate-limited micro-batches == batch read") {
     // rowsPerBatch=16 over 80 grid rows -> exactly 5 planned batches;
     // the drained stream must equal the batch scan row-for-row
