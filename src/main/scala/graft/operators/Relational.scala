@@ -2288,6 +2288,62 @@ object Relational {
               acPpm("m2").as("r2_ppm"), acPpm("m3").as("r3_ppm"))
   }
 
+  /** The B85 oracle text, shared verbatim with B103's (via CTE
+    * embedding) so the exact ppm autocorrelations feeding Ljung–Box
+    * are the SAME values the gate already pins. */
+  private val autocorrOracleSql: String =
+    """WITH daily AS (SELECT o_orderdate AS day,
+      |    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS xs
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_days, SUM(xs) AS sxh FROM daily),
+      |d0 AS (SELECT day,
+      |    CAST(xs AS BIGINT) - (CAST(sxh AS BIGINT) // n_days) AS dv
+      |  FROM daily CROSS JOIN tot),
+      |dl AS (SELECT CAST(dv AS HUGEINT) AS dd,
+      |    CAST(LAG(dv, 1) OVER (ORDER BY day) AS HUGEINT) AS l1,
+      |    CAST(LAG(dv, 2) OVER (ORDER BY day) AS HUGEINT) AS l2,
+      |    CAST(LAG(dv, 3) OVER (ORDER BY day) AS HUGEINT) AS l3
+      |  FROM d0),
+      |m AS (SELECT SUM(dd*dd) AS den, SUM(dd*l1) AS m1,
+      |    SUM(dd*l2) AS m2, SUM(dd*l3) AS m3 FROM dl)
+      |SELECT CAST(n_days AS BIGINT) AS n_days,
+      |  CAST(CASE WHEN m1 >= 0 THEN (abs(m1) * 1000000) // den
+      |       ELSE -((abs(m1) * 1000000) // den) END AS BIGINT) AS r1_ppm,
+      |  CAST(CASE WHEN m2 >= 0 THEN (abs(m2) * 1000000) // den
+      |       ELSE -((abs(m2) * 1000000) // den) END AS BIGINT) AS r2_ppm,
+      |  CAST(CASE WHEN m3 >= 0 THEN (abs(m3) * 1000000) // den
+      |       ELSE -((abs(m3) * 1000000) // den) END AS BIGINT) AS r3_ppm
+      |FROM m CROSS JOIN tot""".stripMargin
+
+  /** B103 statistic — ONE shared float text over (n, ρ₁..ρ₃ ppm):
+    * Q = n(n+2) Σ ρ̂ₖ²/(n−k), each ρ̂ₖ reconstructed from its EXACT
+    * ppm integer so both engines square identical doubles. */
+  private val lbQSql =
+    "CAST(nd AS DOUBLE) * (CAST(nd AS DOUBLE) + 2.0) * (" +
+      "(CAST(r1 AS DOUBLE)/1000000.0)*(CAST(r1 AS DOUBLE)/1000000.0)/(CAST(nd AS DOUBLE) - 1.0) + " +
+      "(CAST(r2 AS DOUBLE)/1000000.0)*(CAST(r2 AS DOUBLE)/1000000.0)/(CAST(nd AS DOUBLE) - 2.0) + " +
+      "(CAST(r3 AS DOUBLE)/1000000.0)*(CAST(r3 AS DOUBLE)/1000000.0)/(CAST(nd AS DOUBLE) - 3.0))"
+
+  /** B103: Ljung–Box portmanteau test (the "is there ANY serial
+    * correlation in the first m lags" gate run before fitting every
+    * forecast model — statsmodels acorr_ljungbox intent, m = 3) on
+    * the daily revenue series: the three autocorrelations are B85's
+    * EXACT sign-split ppm integers (same derivation, same oracle text
+    * via CTE embedding), and Q = n(n+2)Σρ̂ₖ²/(n−k) is ONE shared
+    * float text over those integers — the only float step in the
+    * query. Compare Q to χ²₍₃₎ quantiles downstream. At 100 TB: one
+    * ≤|days|-key shuffle then domain-bounded lag work (identical to
+    * B85's plan; the statistic is free once the ppm values exist).
+    */
+  def qLjungBox(s: SparkSession, dir: String): DataFrame =
+    qAutocorr(s, dir)
+      .select(col("n_days").as("nd"), col("r1_ppm").as("r1"),
+              col("r2_ppm").as("r2"), col("r3_ppm").as("r3"))
+      .select(col("nd").cast("long").as("n_days"),
+              col("r1").as("r1_ppm"), col("r2").as("r2_ppm"),
+              col("r3").as("r3_ppm"),
+              dec6(expr(lbQSql)).as("q_lb"))
+
   /** The shared B94/B95 daily revenue series: fact → day domain in ONE
     * map-side-combined aggregate (the B61/B85 collapse), exact cents.
     */
@@ -2997,29 +3053,15 @@ object Relational {
         |SELECT n, df, dmin, chi2_ppm,
         |  CAST(ROUND($cramersVSql, 6) AS DECIMAL(18,6))::DOUBLE AS v
         |FROM fin""".stripMargin,
-    "q_autocorr" ->
-      """WITH daily AS (SELECT o_orderdate AS day,
-        |    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS xs
-        |  FROM orders GROUP BY 1),
-        |tot AS (SELECT COUNT(*) AS n_days, SUM(xs) AS sxh FROM daily),
-        |d0 AS (SELECT day,
-        |    CAST(xs AS BIGINT) - (CAST(sxh AS BIGINT) // n_days) AS dv
-        |  FROM daily CROSS JOIN tot),
-        |dl AS (SELECT CAST(dv AS HUGEINT) AS dd,
-        |    CAST(LAG(dv, 1) OVER (ORDER BY day) AS HUGEINT) AS l1,
-        |    CAST(LAG(dv, 2) OVER (ORDER BY day) AS HUGEINT) AS l2,
-        |    CAST(LAG(dv, 3) OVER (ORDER BY day) AS HUGEINT) AS l3
-        |  FROM d0),
-        |m AS (SELECT SUM(dd*dd) AS den, SUM(dd*l1) AS m1,
-        |    SUM(dd*l2) AS m2, SUM(dd*l3) AS m3 FROM dl)
-        |SELECT CAST(n_days AS BIGINT) AS n_days,
-        |  CAST(CASE WHEN m1 >= 0 THEN (abs(m1) * 1000000) // den
-        |       ELSE -((abs(m1) * 1000000) // den) END AS BIGINT) AS r1_ppm,
-        |  CAST(CASE WHEN m2 >= 0 THEN (abs(m2) * 1000000) // den
-        |       ELSE -((abs(m2) * 1000000) // den) END AS BIGINT) AS r2_ppm,
-        |  CAST(CASE WHEN m3 >= 0 THEN (abs(m3) * 1000000) // den
-        |       ELSE -((abs(m3) * 1000000) // den) END AS BIGINT) AS r3_ppm
-        |FROM m CROSS JOIN tot""".stripMargin,
+    "q_autocorr" -> autocorrOracleSql,
+    "q_ljung_box" ->
+      s"""WITH ac AS ($autocorrOracleSql),
+        |b AS (SELECT n_days AS nd, r1_ppm AS r1, r2_ppm AS r2,
+        |    r3_ppm AS r3 FROM ac)
+        |SELECT CAST(nd AS BIGINT) AS n_days, CAST(r1 AS BIGINT) AS r1_ppm,
+        |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
+        |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
+        |FROM b""".stripMargin,
     "q_interval_union" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

@@ -261,6 +261,54 @@ object Similarity {
     * compares on the 4dp-rounded value so the verdict is bit-portable
     * cross-engine.
     */
+  /** The D18/D19 retrieval arms' shared depth. */
+  private val ArmK = 50
+
+  /** The SEMANTIC arm shared by D18/D19: exact-cosine top-50 of the
+    * corpus against the single broadcast probe (vector 0) — the D1
+    * kernel shape (per-partition bounded heaps → tiny global merge).
+    */
+  private def semArm(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // single broadcast probe: vector 0 — O(d) driver collect
+    val q0 = e.filter(col("vec_id") === 0L).select(col("v"))
+      .collect().head.getSeq[Double](0).toArray
+    var qn2 = 0.0
+    var i = 0
+    while (i < q0.length) { qn2 += q0(i) * q0(i); i += 1 }
+    val bc = s.sparkContext.broadcast((q0, math.sqrt(qn2)))
+    val locals = fanOut(e.select(col("vec_id"), col("v")))
+      .mapPartitions { it =>
+        val (qv, qn) = bc.value
+        val heaps = new TopKHeaps(1, ArmK)
+        it.foreach { row =>
+          val v = row.getSeq[Double](1).toArray
+          var n2 = 0.0; var j = 0
+          while (j < v.length) { n2 += v(j) * v(j); j += 1 }
+          var d = 0.0; j = 0
+          while (j < v.length) { d += qv(j) * v(j); j += 1 }
+          heaps.insert(0, d / (qn * math.sqrt(n2)), row.getLong(0))
+        }
+        heaps.emit(Array(0L))
+      }(Encoders.row(localTopKSchema))
+    globalTopK(locals, ArmK)
+      .select(col("vec_id").as("doc_id"), col("rank").as("rank_sem"))
+  }
+
+  /** The LEXICAL arm shared by D18/D19: C35's BM25 top-50 ranked on
+    * the exact 6dp-DECIMAL score with the doc_id tie-break. The global
+    * row_number runs AFTER TakeOrdered shrank the frame to ≤50 rows —
+    * never a single-partition window over the corpus.
+    */
+  private def lexArm(s: SparkSession, dir: String): DataFrame = {
+    val lexTop = graft.operators.TextOps.qBm25(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(ArmK)
+    val wl = Window.orderBy(col("bm25").desc, col("doc_id"))
+    lexTop
+      .withColumn("rank_lex", row_number().over(wl).cast("long"))
+      .select(col("doc_id"), col("rank_lex"))
+  }
+
   /** D18: reciprocal-rank fusion (Cormack/Clarke/Büttcher SIGIR'09 —
     * the hybrid-retrieval staple every production search stack runs:
     * merge a LEXICAL ranking and a SEMANTIC ranking without score
@@ -277,45 +325,54 @@ object Similarity {
     * per arm), a broadcast probe, and O(k) fusion work.
     */
   def qRrfFusion(s: SparkSession, dir: String): DataFrame = {
-    val k = 50
-    val e = emb(s, dir)
-    // single broadcast probe: vector 0 — O(d) driver collect
-    val q0 = e.filter(col("vec_id") === 0L).select(col("v"))
-      .collect().head.getSeq[Double](0).toArray
-    var qn2 = 0.0
-    var i = 0
-    while (i < q0.length) { qn2 += q0(i) * q0(i); i += 1 }
-    val bc = s.sparkContext.broadcast((q0, math.sqrt(qn2)))
-    val locals = fanOut(e.select(col("vec_id"), col("v")))
-      .mapPartitions { it =>
-        val (qv, qn) = bc.value
-        val heaps = new TopKHeaps(1, k)
-        it.foreach { row =>
-          val v = row.getSeq[Double](1).toArray
-          var n2 = 0.0; var j = 0
-          while (j < v.length) { n2 += v(j) * v(j); j += 1 }
-          var d = 0.0; j = 0
-          while (j < v.length) { d += qv(j) * v(j); j += 1 }
-          heaps.insert(0, d / (qn * math.sqrt(n2)), row.getLong(0))
-        }
-        heaps.emit(Array(0L))
-      }(Encoders.row(localTopKSchema))
-    val sem = globalTopK(locals, k)
-      .select(col("vec_id").as("doc_id"), col("rank").as("rank_sem"))
-    // the global row_number runs AFTER TakeOrdered shrank the frame to
-    // ≤50 rows — never a single-partition window over the corpus
-    val lexTop = graft.operators.TextOps.qBm25(s, dir)
-      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
-    val wl = Window.orderBy(col("bm25").desc, col("doc_id"))
-    val lex = lexTop
-      .withColumn("rank_lex", row_number().over(wl).cast("long"))
-      .select(col("doc_id"), col("rank_lex"))
+    val lex = lexArm(s, dir)
+    val sem = semArm(s, dir)
     lex.join(sem, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("rank_lex"), col("rank_sem"),
         (coalesce(expr("1000000000 div (60 + rank_lex)"), lit(0L)) +
          coalesce(expr("1000000000 div (60 + rank_sem)"), lit(0L))).as("rrf_ppb"))
       .orderBy(col("rrf_ppb").desc, col("doc_id"))
       .limit(20)
+  }
+
+  /** D19 weights: w_d = round(0.1 · 0.9^(d−1) · 10¹²) for d = 1..50,
+    * generated ONCE here and embedded as literals in BOTH the engine
+    * frame and the oracle's VALUES list — identical by construction,
+    * so no runtime `pow` whose last-ulp could diverge cross-engine.
+    */
+  private[operators] val rboWeights: Seq[(Int, Long)] =
+    (1 to ArmK).map(d => d -> Math.round(0.1 * math.pow(0.9, d - 1) * 1e12))
+
+  /** D19: rank-biased overlap (Webber/Moffat/Zobel TOIS'10, p = 0.9,
+    * truncated at depth 50) between the lexical and semantic arms —
+    * THE ranking-agreement diagnostic of hybrid retrieval (how much do
+    * BM25 and the embedding space agree before fusion? a collapse to
+    * ~0 flags a broken arm; D13 plays the same tripwire role for ANN
+    * recall): X_d = |A₁..d ∩ B₁..d| counts via each shared doc's
+    * dmin = max(rank_lex, rank_sem) ≤ d, and the truncated
+    * RBO = Σ w_d·X_d/d is computed ENTIRELY in exact integers —
+    * w_d·X_d div d over the pre-generated e12 weight literals
+    * ([[rboWeights]]) — float-free end to end. All frames ≤50 rows
+    * after the arms' TakeOrdered; at 100 TB the cost is the two arm
+    * passes, the overlap join is O(k²) constant.
+    */
+  def qRankOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = rboWeights.toDF("d", "w")
+      .select(col("d").cast("long").as("d"), col("w"))
+    val both = lexArm(s, dir).join(semArm(s, dir), "doc_id")
+      .select(greatest(col("rank_lex"), col("rank_sem")).as("dmin"))
+    val terms = ws.crossJoin(broadcast(both))
+      .filter(col("dmin") <= col("d"))
+      .groupBy(col("d"), col("w"))
+      .agg(count(lit(1)).as("x_d"))
+      .select(expr("(w * x_d) div d").as("contrib"), col("x_d"), col("d"))
+    terms.agg(
+        coalesce(max(when(col("d") === ArmK.toLong, col("x_d"))), lit(0L))
+          .as("n_both"),
+        coalesce(sum(col("contrib")), lit(0L)).as("rbo_e12"))
+      .select(col("n_both").cast("long").as("n_both"),
+              col("rbo_e12").cast("long").as("rbo_e12"))
   }
 
   def qEmbedDecontam(s: SparkSession, dir: String): DataFrame = {
@@ -1872,6 +1929,30 @@ object Similarity {
         |  CAST(rank_sem AS BIGINT) AS rank_sem,
         |  CAST(rrf_ppb AS BIGINT) AS rrf_ppb
         |FROM f ORDER BY rrf_ppb DESC, doc_id LIMIT 20""".stripMargin,
+    "q_rank_overlap" -> {
+      val valuesList = rboWeights.map { case (d, w) => s"($d, $w)" }.mkString(", ")
+      s"""WITH lex0 AS (${graft.operators.TextOps.bm25OracleSql}),
+        |lexr AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+        |  FROM lex0 QUALIFY rank_lex <= 50),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |sims AS (SELECT e.vec_id AS doc_id,
+        |    list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings e CROSS JOIN q),
+        |semr AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank_sem
+        |  FROM sims QUALIFY rank_sem <= 50),
+        |b AS (SELECT GREATEST(rank_lex, rank_sem) AS dmin
+        |  FROM lexr JOIN semr USING (doc_id)),
+        |wt(d, w) AS (SELECT * FROM (VALUES $valuesList)),
+        |t AS (SELECT d, w, CAST(COUNT(*) AS HUGEINT) AS x_d
+        |  FROM wt JOIN b ON b.dmin <= wt.d GROUP BY 1, 2),
+        |f AS (SELECT (w * x_d) // d AS contrib, x_d, d FROM t)
+        |SELECT CAST(COALESCE(MAX(CASE WHEN d = 50 THEN x_d END), 0) AS BIGINT) AS n_both,
+        |  CAST(COALESCE(SUM(contrib), 0) AS BIGINT) AS rbo_e12
+        |FROM f""".stripMargin
+    },
     "q_embed_decontam" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings WHERE vec_id % 97 <> 0),
