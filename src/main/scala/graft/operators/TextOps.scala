@@ -1322,6 +1322,55 @@ object TextOps {
       .orderBy(col("df").desc, col("term"))
       .limit(30)
 
+  /** C43: RAKE keyword extraction (Rose et al. 2010 — the unsupervised
+    * keyphrase miner of corpus exploration / topic labeling):
+    * candidate phrases are maximal stopword-free runs (classic
+    * gaps-and-islands — stopword-count prefix sum partitions each doc
+    * into phrase groups; the per-doc window is bounded by document
+    * length, never the corpus), word scores are RAKE's
+    * degree/frequency computed corpus-wide as EXACT integral-division
+    * PPM (degree = Σ |phrase| over a word's phrase occurrences), and a
+    * phrase scores the exact integer sum of its words' ppm scores (so
+    * identical phrase text ⇒ identical score by construction —
+    * published once per distinct phrase with its occurrence count).
+    * Top-20 by (score desc, phrase) via distributed TakeOrdered. At
+    * 100 TB: token-scale key shuffles (phrase-group, word, phrase) —
+    * the C13/C23 cost shape, no corpus self-join anywhere.
+    */
+  def qRake(s: SparkSession, dir: String): DataFrame = {
+    val stopwords = Seq("a", "the")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val toks = documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
+        col("col").as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("stop", col("word").isInCollection(stopwords).cast("long"))
+      .withColumn("grp", sum(col("stop")).over(w))
+    val pw = toks.filter(col("stop") === 0)
+      .select(col("doc_id"), col("grp"), col("i"), col("word"))
+    val ph = pw.groupBy(col("doc_id"), col("grp"))
+      .agg(array_join(transform(array_sort(
+             collect_list(struct(col("i"), col("word")))), _.getField("word")),
+             " ").as("phrase"),
+           count(lit(1)).as("plen"))
+    val wstat = pw.join(ph.select(col("doc_id"), col("grp"), col("plen")),
+        Seq("doc_id", "grp"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("word"), expr("(deg * 1000000) div freq").as("wsc"))
+    val occScore = pw.join(broadcast(wstat), "word")
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(sum(col("wsc")).as("sc"))
+    ph.join(occScore, Seq("doc_id", "grp"))
+      .groupBy(col("phrase"))
+      .agg(max(col("plen")).cast("long").as("n_words"),
+           count(lit(1)).as("n_occ"),
+           max(col("sc")).cast("long").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase"))
+      .limit(20)
+  }
+
   /** C42 shared float texts: ln(rank)/ln(tf) e6-quantized RIGHT AFTER
     * the transcendental (the C33/B87 rule) so the OLS moments are
     * exact integers; the closed-form fit is a shared derivation chain.
@@ -1944,6 +1993,24 @@ object TextOps {
         |  CAST(ROUND(r2, 6) AS DECIMAL(18,6))::DOUBLE AS r2
         |FROM d${zipfDerivs.length}""".stripMargin
     },
+    "q_rake" ->
+      """WITH docs AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |b AS (SELECT doc_id, i, w[CAST(i+1 AS INT)] AS word,
+        |    CASE WHEN w[CAST(i+1 AS INT)] IN ('a','the') THEN 1 ELSE 0 END AS stop
+        |  FROM docs, (SELECT unnest(range(128)) AS i)
+        |  WHERE i < LEN(w) AND LEN(w[CAST(i+1 AS INT)]) > 0),
+        |g AS (SELECT *, SUM(stop) OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM b),
+        |pw AS (SELECT doc_id, grp, i, word FROM g WHERE stop = 0),
+        |ph AS (SELECT doc_id, grp, STRING_AGG(word, ' ' ORDER BY i) AS phrase,
+        |    CAST(COUNT(*) AS HUGEINT) AS plen FROM pw GROUP BY 1, 2),
+        |ws AS (SELECT word, (SUM(plen) * 1000000) // COUNT(*) AS wsc
+        |  FROM pw JOIN ph USING (doc_id, grp) GROUP BY 1),
+        |oc AS (SELECT doc_id, grp, SUM(wsc) AS sc
+        |  FROM pw JOIN ws USING (word) GROUP BY 1, 2)
+        |SELECT phrase, CAST(MAX(plen) AS BIGINT) AS n_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occ, CAST(MAX(sc) AS BIGINT) AS score_ppm
+        |FROM ph JOIN oc USING (doc_id, grp)
+        |GROUP BY 1 ORDER BY score_ppm DESC, phrase LIMIT 20""".stripMargin,
     "q_vocab" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
         |SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
