@@ -1242,6 +1242,112 @@ object Estimation {
     out
   }
 
+  /** A45 shared float texts: the per-row prediction is the ONE float
+    * step on the data path and it quantizes to exact cents IMMEDIATELY
+    * (the A40 rule applied to regression) — residual, Huber weight
+    * (exact integral division at e6) and every weighted moment are
+    * then exact integer arithmetic, order-independent by construction.
+    */
+  private val hubPredSql = "ROUND(b0 + b1*x1f + b2*x2f, 0)"
+  private val HubDelta = 3000000L // cents; ≈ the 75th pct of |OLS resid|
+
+  /** A45 weighted-normal-equation solve: exact DECIMAL weighted moments
+    * → float symmetric-3×3 adjugate solve (the A40 chain with the
+    * Newton step replaced by a direct WLS solve). Shared verbatim with
+    * the oracle's per-iteration CTE chain; the common e6 weight scale
+    * cancels in the solve.
+    */
+  private val hubSolveDerivs: Seq[(String, String)] = Seq(
+    "aa00" -> "CAST(sw AS DOUBLE)",
+    "aa01" -> "CAST(sw1 AS DOUBLE)",
+    "aa02" -> "CAST(sw2 AS DOUBLE)",
+    "aa11" -> "CAST(sw11 AS DOUBLE)",
+    "aa12" -> "CAST(sw12 AS DOUBLE)",
+    "aa22" -> "CAST(sw22 AS DOUBLE)",
+    "bb0"  -> "CAST(swy AS DOUBLE)",
+    "bb1"  -> "CAST(sw1y AS DOUBLE)",
+    "bb2"  -> "CAST(sw2y AS DOUBLE)",
+    "ja00" -> "aa11*aa22 - aa12*aa12",
+    "ja01" -> "aa02*aa12 - aa01*aa22",
+    "ja02" -> "aa01*aa12 - aa02*aa11",
+    "ja11" -> "aa00*aa22 - aa02*aa02",
+    "ja12" -> "aa01*aa02 - aa00*aa12",
+    "ja22" -> "aa00*aa11 - aa01*aa01",
+    "det"  -> "aa00*ja00 + aa01*ja01 + aa02*ja02",
+    "nb0"  -> "(ja00*bb0 + ja01*bb1 + ja02*bb2)/det",
+    "nb1"  -> "(ja01*bb0 + ja11*bb1 + ja12*bb2)/det",
+    "nb2"  -> "(ja02*bb0 + ja12*bb1 + ja22*bb2)/det")
+
+  /** A45 weighted moment definitions over the exact per-row integers
+    * (aw = e6 Huber weight, x1/x2 domain ints, y exact cents). Integer
+    * steps are exactness-contracted, not op-sequence-contracted (the
+    * A40 rule), so each engine writes them in its own dialect.
+    */
+  private val hubSumDefs: Seq[(String, String)] = Seq(
+    "sw"   -> "aw",         "sw1"  -> "aw*x1",   "sw2"  -> "aw*x2",
+    "swy"  -> "aw*y",       "sw11" -> "aw*x1*x1", "sw12" -> "aw*x1*x2",
+    "sw22" -> "aw*x2*x2",   "sw1y" -> "aw*x1*y", "sw2y" -> "aw*x2*y")
+
+  private val hubIrlsIters = 2 // after the OLS init solve
+
+  /** A45: Huber-robust regression (sklearn HuberRegressor intent —
+    * the M-estimator via IRLS with the classic Huber ψ, fixed
+    * δ = [[HubDelta]] cents) of price cents on (quantity, discount):
+    * the ROBUST member of the regression family (A9 OLS / A9c ridge /
+    * A42 lasso / A44 enet — those reweight nothing; this one
+    * down-weights outliers by w = min(1, δ/|r|)). Determinism: the
+    * per-row prediction quantizes to exact cents immediately
+    * ([[hubPredSql]]), so the residual is an exact integer and the
+    * Huber weight is an exact e6 INTEGRAL DIVISION — every weighted
+    * moment is exact DECIMAL(38,0) and the only remaining float work
+    * is the shared 3×3 adjugate solve on a 1-row frame. Fit = OLS
+    * init solve + 2 IRLS passes; a final pass publishes the outlier
+    * census. 4 linear fact scans at any scale, zero shuffles beyond
+    * the 1-row aggregates.
+    */
+  def qHuber(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def base = lineitem(s, dir)
+      .select(col("l_quantity").cast("decimal(20,0)").as("x1"),
+              round(col("l_discount") * 100, 0).cast("decimal(20,0)").as("x2"),
+              round(col("l_extendedprice") * 100, 0).cast("decimal(20,0)").as("y"))
+      .withColumn("x1f", col("x1").cast("double"))
+      .withColumn("x2f", col("x2").cast("double"))
+    def solve(weighted: DataFrame): DataFrame = {
+      val aggs = hubSumDefs.map { case (nm, f) =>
+        sum(expr(f)).cast(dec).as(nm) }
+      val sums = weighted.agg(aggs.head, aggs.tail: _*)
+      hubSolveDerivs.foldLeft(sums) {
+        case (acc, (nm, f)) => acc.withColumn(nm, expr(f))
+      }.select(col("nb0").as("b0"), col("nb1").as("b1"), col("nb2").as("b2"))
+    }
+    // OLS init: unit weights (the aw ≡ 1e6 pass — e6 cancels in the solve)
+    var w = graft.core.Materialize.pin(
+      solve(base.withColumn("aw", lit(1000000L).cast(dec))))
+    for (_ <- 1 to hubIrlsIters) {
+      val weighted = base.crossJoin(broadcast(w))
+        .withColumn("pred", expr(s"CAST($hubPredSql AS DECIMAL(38,0))"))
+        .withColumn("r", col("y") - col("pred"))
+        .withColumn("aw",
+          expr(s"CASE WHEN abs(r) <= $HubDelta THEN CAST(1000000 AS DECIMAL(38,0)) " +
+               s"ELSE CAST((CAST($HubDelta AS DECIMAL(38,0)) * 1000000) div abs(r) " +
+               "AS DECIMAL(38,0)) END"))
+      val next = graft.core.Materialize.pin(solve(weighted))
+      graft.core.Materialize.release(w)
+      w = next
+    }
+    val out = base.crossJoin(broadcast(w))
+      .withColumn("pred", expr(s"CAST($hubPredSql AS DECIMAL(38,0))"))
+      .withColumn("r", col("y") - col("pred"))
+      .groupBy(col("b0"), col("b1"), col("b2"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum((abs(col("r")) > HubDelta).cast("long")).as("n_out"))
+      .select(dec6(col("b0")).as("b0"), dec6(col("b1")).as("b1"),
+              dec6(col("b2")).as("b2"), col("n_rows"),
+              col("n_out").cast("long").as("n_out"))
+    out
+  }
+
   /** A42 standardization chain: centered second moments → the three
     * correlations the standardized lasso works on. Every step shared
     * formula text (the A33 rule).
@@ -2156,6 +2262,47 @@ object Estimation {
           |  CAST(SUM((1-pred)*actual) AS BIGINT) AS fn,
           |  CAST(SUM((1-pred)*(1-actual)) AS BIGINT) AS tn
           |FROM sc GROUP BY w0, w1, w2""".stripMargin
+      },
+      "q_huber" -> {
+        val sumSql = hubSumDefs.map { case (nm, f) =>
+          s"CAST(SUM($f) AS HUGEINT) AS $nm" }.mkString(", ")
+        def solveChain(i: Int, src: String): String = {
+          val chain = hubSolveDerivs.zipWithIndex.map { case ((nm, f), j) =>
+            s"s${i}_${j + 1} AS (SELECT *, $f AS $nm FROM s${i}_$j)"
+          }.mkString(",\n")
+          s"""s${i}_0 AS (SELECT $sumSql FROM $src),
+             |$chain,
+             |p$i AS (SELECT nb0 AS b0, nb1 AS b1, nb2 AS b2
+             |  FROM s${i}_${hubSolveDerivs.length})""".stripMargin
+        }
+        def irlsIter(i: Int): String =
+          s"""e$i AS (SELECT b.*, b0, b1, b2,
+             |    CAST($hubPredSql AS HUGEINT) AS pred
+             |  FROM b CROSS JOIN p${i - 1}),
+             |r$i AS (SELECT *, y - pred AS r FROM e$i),
+             |w$i AS (SELECT *, CASE WHEN abs(r) <= $HubDelta
+             |    THEN CAST(1000000 AS HUGEINT)
+             |    ELSE (CAST($HubDelta AS HUGEINT) * 1000000) // abs(r) END AS aw
+             |  FROM r$i),
+             |${solveChain(i, s"w$i")}""".stripMargin
+        val iters = (1 to hubIrlsIters).map(irlsIter).mkString(",\n")
+        s"""WITH b AS (SELECT CAST(l_quantity AS HUGEINT) AS x1,
+          |    CAST(ROUND(l_discount*100,0) AS HUGEINT) AS x2,
+          |    CAST(ROUND(l_extendedprice*100,0) AS HUGEINT) AS y,
+          |    CAST(l_quantity AS DOUBLE) AS x1f,
+          |    CAST(ROUND(l_discount*100,0) AS DOUBLE) AS x2f FROM lineitem),
+          |e0 AS (SELECT b.*, CAST(1000000 AS HUGEINT) AS aw FROM b),
+          |${solveChain(0, "e0")},
+          |$iters,
+          |f AS (SELECT b.*, b0, b1, b2,
+          |    y - CAST($hubPredSql AS HUGEINT) AS r
+          |  FROM b CROSS JOIN p$hubIrlsIters)
+          |SELECT CAST(ROUND(b0, 6) AS DECIMAL(18,6))::DOUBLE AS b0,
+          |  CAST(ROUND(b1, 6) AS DECIMAL(18,6))::DOUBLE AS b1,
+          |  CAST(ROUND(b2, 6) AS DECIMAL(18,6))::DOUBLE AS b2,
+          |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(SUM(CASE WHEN abs(r) > $HubDelta THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+          |FROM f GROUP BY 1, 2, 3""".stripMargin
       },
       "q_lasso" -> cdOracle(lassoIterDerivs),
       "q_elastic" -> cdOracle(enetIterDerivs),
