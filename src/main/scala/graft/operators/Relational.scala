@@ -1179,6 +1179,54 @@ object Relational {
            col("t_purchase") > col("t_click")).cast("long")).as("n_full_funnel"))
   }
 
+  /** B104: marketing touch attribution over the event stream — the
+    * "which touch gets credit for the purchase" query every growth
+    * team runs, in its two classic models side by side: LAST-touch
+    * (most recent click/view in a 7-day lookback) and FIRST-touch
+    * (earliest click/view ever before the purchase). Pure window
+    * machinery: per-user (ts, event_id)-ordered frames with
+    * IGNORE-NULLS first/last over the preceding rows — one user-key
+    * shuffle, no self-join, no fact×fact anything; purchases outside
+    * the lookback (or with no prior touch) land in the audited 'none'
+    * bucket. Published: per (model, touch_type) purchase counts plus
+    * the exact summed last-touch gap (µs) for latency-to-convert
+    * analysis. At 100 TB: the one shuffle is the sessionization
+    * shuffle (B10), windows are per-user bounded.
+    */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val lookbackUs = 7L * 24 * 3600 * 1000000L
+    val isTouch = col("event_type").isin("click", "view")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = struct(col("ts"), col("event_id"), col("event_type"))
+    val marked = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("lt", last(when(isTouch, touch), ignoreNulls = true).over(w))
+      .withColumn("ft", first(when(isTouch, touch), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("gap_us",
+        expr("unix_micros(ts) - unix_micros(lt.ts)"))
+      .withColumn("last_type",
+        when(col("lt").isNull || col("gap_us") > lookbackUs, "none")
+          .otherwise(col("lt.event_type")))
+      .withColumn("first_type",
+        coalesce(col("ft.event_type"), lit("none")))
+    val lastAgg = marked.groupBy(col("last_type").as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+           coalesce(sum(when(col("last_type") =!= "none", col("gap_us"))),
+             lit(0L)).as("sum_gap_us"))
+      .withColumn("model", lit("last"))
+    val firstAgg = marked.groupBy(col("first_type").as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+           lit(0L).as("sum_gap_us"))
+      .withColumn("model", lit("first"))
+    lastAgg.unionByName(firstAgg)
+      .select(col("model"), col("touch_type"), col("n_purchases"),
+              col("sum_gap_us"))
+      .orderBy(col("model"), col("touch_type"))
+  }
+
   /** B51: sketch-vs-exact quantile contract — the scale path for
     * percentiles is approx_percentile (one pass, mergeable, no global
     * sort); this query GATES its documented accuracy=10⁴ bound against
@@ -2864,6 +2912,35 @@ object Relational {
         |  CAST(MIN(CASE WHEN cum >= k1 THEN sl END) AS BIGINT) AS m_lo,
         |  CAST(MIN(CASE WHEN cum >= k2 THEN sl END) AS BIGINT) AS m_hi
         |FROM cm CROSS JOIN k GROUP BY np""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END AS touch
+        |  FROM events),
+        |m AS (SELECT *,
+        |    LAST_VALUE(CASE WHEN touch = 1 THEN ts END IGNORE NULLS)
+        |      OVER w AS lt_ts,
+        |    LAST_VALUE(CASE WHEN touch = 1 THEN event_type END IGNORE NULLS)
+        |      OVER w AS lt_type,
+        |    FIRST_VALUE(CASE WHEN touch = 1 THEN event_type END IGNORE NULLS)
+        |      OVER w AS ft_type
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT *, epoch_us(ts) - epoch_us(lt_ts) AS gap_us
+        |  FROM m WHERE event_type = 'purchase'),
+        |c AS (SELECT CASE WHEN lt_ts IS NULL OR gap_us > 604800000000
+        |    THEN 'none' ELSE lt_type END AS touch_type, gap_us, ft_type FROM p),
+        |la AS (SELECT 'last' AS model, touch_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |    CAST(COALESCE(SUM(CASE WHEN touch_type <> 'none' THEN gap_us
+        |      ELSE 0 END), 0) AS BIGINT) AS sum_gap_us
+        |  FROM c GROUP BY 2),
+        |fa AS (SELECT 'first' AS model, COALESCE(ft_type, 'none') AS touch_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |    CAST(0 AS BIGINT) AS sum_gap_us
+        |  FROM c GROUP BY 2)
+        |SELECT * FROM la UNION ALL SELECT * FROM fa
+        |ORDER BY model, touch_type""".stripMargin,
     "q_mann_kendall" ->
       s"""WITH daily AS (SELECT o_orderdate AS day,
         |    SUM(CAST(ROUND(o_totalprice*100,0) AS HUGEINT)) AS x

@@ -264,23 +264,21 @@ object Similarity {
   /** The D18/D19 retrieval arms' shared depth. */
   private val ArmK = 50
 
-  /** The SEMANTIC arm shared by D18/D19: exact-cosine top-50 of the
-    * corpus against the single broadcast probe (vector 0) — the D1
-    * kernel shape (per-partition bounded heaps → tiny global merge).
+  /** Exact-cosine top-k of the corpus against ONE broadcast probe
+    * vector — the D1 kernel shape (per-partition bounded heaps → tiny
+    * global merge) for an explicit query vector. Shared by the D18/D19
+    * semantic arm and D20's two retrieval passes.
     */
-  private def semArm(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    // single broadcast probe: vector 0 — O(d) driver collect
-    val q0 = e.filter(col("vec_id") === 0L).select(col("v"))
-      .collect().head.getSeq[Double](0).toArray
+  private def singleProbeTopK(e: DataFrame, probe: Array[Double],
+                              k: Int): DataFrame = {
     var qn2 = 0.0
     var i = 0
-    while (i < q0.length) { qn2 += q0(i) * q0(i); i += 1 }
-    val bc = s.sparkContext.broadcast((q0, math.sqrt(qn2)))
+    while (i < probe.length) { qn2 += probe(i) * probe(i); i += 1 }
+    val bc = e.sparkSession.sparkContext.broadcast((probe, math.sqrt(qn2)))
     val locals = fanOut(e.select(col("vec_id"), col("v")))
       .mapPartitions { it =>
         val (qv, qn) = bc.value
-        val heaps = new TopKHeaps(1, ArmK)
+        val heaps = new TopKHeaps(1, k)
         it.foreach { row =>
           val v = row.getSeq[Double](1).toArray
           var n2 = 0.0; var j = 0
@@ -291,7 +289,20 @@ object Similarity {
         }
         heaps.emit(Array(0L))
       }(Encoders.row(localTopKSchema))
-    globalTopK(locals, ArmK)
+    globalTopK(locals, k)
+  }
+
+  /** The D18–D20 probe: vector 0, an O(d) driver collect. */
+  private def probe0(e: DataFrame): Array[Double] =
+    e.filter(col("vec_id") === 0L).select(col("v"))
+      .collect().head.getSeq[Double](0).toArray
+
+  /** The SEMANTIC arm shared by D18/D19: exact-cosine top-50 of the
+    * corpus against the single broadcast probe (vector 0).
+    */
+  private def semArm(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    singleProbeTopK(e, probe0(e), ArmK)
       .select(col("vec_id").as("doc_id"), col("rank").as("rank_sem"))
   }
 
@@ -333,6 +344,57 @@ object Similarity {
          coalesce(expr("1000000000 div (60 + rank_sem)"), lit(0L))).as("rrf_ppb"))
       .orderBy(col("rrf_ppb").desc, col("doc_id"))
       .limit(20)
+  }
+
+  /** D20: Rocchio pseudo-relevance feedback (the classic query
+    * expansion every IR stack grew up on, Rocchio '71 / modern RM3
+    * intent): retrieve the exact-cosine top-10 for the probe, expand
+    * the query q' = q + 0.75·mean(top-10 docs), re-retrieve with q',
+    * and publish the re-ranked top-10 with each doc's pre-feedback
+    * rank (NULL = pulled in by feedback — the interesting rows).
+    * Cross-engine determinism of q': every doc component quantizes to
+    * an exact e9 integer FIRST (Spark round == DuckDB ROUND, both
+    * half-away-from-zero), the feedback term is the exact integral
+    * 3·Σc div 40 with the acPpm sign-split (div truncates, // floors —
+    * they differ on negatives), and both engines divide the SAME e9
+    * long by 1e9 into the SAME double before the cosine kernel runs.
+    * Cost: two corpus passes + one ≤10-row driver meet — the PRF
+    * shape at any scale.
+    */
+  def qRocchio(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.core.Materialize.pin(emb(s, dir))
+    val q0 = probe0(e)
+    val before = graft.core.Materialize.pin(
+      singleProbeTopK(e, q0, 10)
+        .select(col("vec_id"), col("rank").as("rank_before")))
+    // exact e9 feedback sum per dimension over the top-10 docs
+    val contrib = e.join(broadcast(before.select(col("vec_id"))), "vec_id")
+      .select(posexplode(col("v")))
+      .groupBy(col("pos"))
+      .agg(sum(round(col("col") * 1e9, 0).cast("long")).as("c"))
+      .select(col("pos"),
+        expr("CAST(CASE WHEN 3*c >= 0 THEN (3*c) div 40 " +
+             "ELSE -((-(3*c)) div 40) END AS BIGINT)").as("fb"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val qpE9 = q0.indices.map { i =>
+      BigDecimal(q0(i) * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong +
+        contrib.getOrElse(i, 0L)
+    }.toArray
+    val qp = qpE9.map(_.toDouble / 1e9)
+    val after = singleProbeTopK(e, qp, 10)
+      .select(col("vec_id"), col("rank").as("rank_after"), col("sim"))
+    // pin the 10-row result (forces both retrieval passes) so the
+    // corpus/before checkpoints can be released before the caller
+    // evaluates the returned frame
+    val out = graft.core.Materialize.pin(
+      after.join(broadcast(before), Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("rank_after"), col("rank_before"),
+                col("sim").as("sim_after"))
+        .orderBy(col("rank_after")))
+    graft.core.Materialize.release(before)
+    graft.core.Materialize.release(e)
+    out
   }
 
   /** D19 weights: w_d = round(0.1 · 0.9^(d−1) · 10¹²) for d = 1..50,
@@ -1929,6 +1991,36 @@ object Similarity {
         |  CAST(rank_sem AS BIGINT) AS rank_sem,
         |  CAST(rrf_ppb AS BIGINT) AS rrf_ppb
         |FROM f ORDER BY rrf_ppb DESC, doc_id LIMIT 20""".stripMargin,
+    "q_rocchio" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |sims AS (SELECT e.vec_id,
+        |    list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings e CROSS JOIN q),
+        |bef AS (SELECT vec_id,
+        |    ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rank_before
+        |  FROM sims QUALIFY rank_before <= 10),
+        |fb AS (SELECT i, CAST(SUM(ROUND(e.embedding[i] * 1e9)) AS HUGEINT) AS c
+        |  FROM embeddings e JOIN bef USING (vec_id),
+        |    (SELECT unnest(range(1, 65)) AS i)
+        |  GROUP BY 1),
+        |qe AS (SELECT fb.i,
+        |    CAST(ROUND(qv[fb.i] * 1e9) AS HUGEINT) +
+        |    (CASE WHEN 3*c >= 0 THEN (3*c) // 40
+        |          ELSE -((-(3*c)) // 40) END) AS qp_e9
+        |  FROM fb CROSS JOIN q),
+        |qp AS (SELECT list(CAST(qp_e9 AS DOUBLE) / 1e9 ORDER BY i) AS qpl FROM qe),
+        |sims2 AS (SELECT e.vec_id,
+        |    list_cosine_similarity(qpl, CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings e CROSS JOIN qp),
+        |aft AS (SELECT vec_id, sim,
+        |    ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rank_after
+        |  FROM sims2 QUALIFY rank_after <= 10)
+        |SELECT aft.vec_id, CAST(rank_after AS BIGINT) AS rank_after,
+        |  CAST(rank_before AS BIGINT) AS rank_before,
+        |  CAST(ROUND(aft.sim, 4) AS DECIMAL(18,4))::DOUBLE AS sim_after
+        |FROM aft LEFT JOIN bef ON aft.vec_id = bef.vec_id
+        |ORDER BY rank_after""".stripMargin,
     "q_rank_overlap" -> {
       val valuesList = rboWeights.map { case (d, w) => s"($d, $w)" }.mkString(", ")
       s"""WITH lex0 AS (${graft.operators.TextOps.bm25OracleSql}),

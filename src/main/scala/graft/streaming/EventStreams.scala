@@ -814,6 +814,61 @@ object EventStreams {
         })
   }
 
+  /** F30 event/state/output shapes: O(1) exact state per user — the
+    * last touch's (ts, type), the first touch's type, and the
+    * event-id watermark. */
+  final case class AttrEvent(user_id: Long, event_id: Long, ts_us: Long,
+                             event_type: String)
+  final case class AttrState(ltTs: Long, ltType: String, ftType: String,
+                             lastEvent: Long)
+  final case class AttrOut(user_id: Long, event_id: Long, last_type: String,
+                           first_type: String, gap_us: Long)
+
+  /** F30: streaming touch attribution (online twin of B104): each
+    * purchase arrival is credited IMMEDIATELY from O(1) per-user state
+    * — last-touch (7-day lookback, 'none' outside it) and first-touch
+    * — instead of B104's full-history window; click/view arrivals
+    * update the state, everything else only advances the event-id
+    * watermark (the F13 dedup/order discipline). gap_us = −1 marks the
+    * 'none' bucket so downstream sums can exclude it exactly. State
+    * never grows with the stream; StreamingSpec pins stream ==
+    * sequential fold AND the per-model aggregate == the oracled batch
+    * B104 counts.
+    */
+  def attributionStream(in: Dataset[AttrEvent]): Dataset[AttrOut] = {
+    val lookbackUs = 7L * 24 * 3600 * 1000000L
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[AttrEvent], state: GroupState[AttrState]) => {
+          var st = state.getOption.getOrElse(
+            AttrState(Long.MinValue, null, null, Long.MinValue))
+          val out = batch.toArray.sortBy(_.event_id).iterator
+            .filter(_.event_id > st.lastEvent)
+            .flatMap { e =>
+              val res =
+                if (e.event_type == "purchase") {
+                  val gap = if (st.ltType == null) -1L else e.ts_us - st.ltTs
+                  val lt =
+                    if (st.ltType == null || gap > lookbackUs) "none"
+                    else st.ltType
+                  val ft = if (st.ftType == null) "none" else st.ftType
+                  Some(AttrOut(uid, e.event_id, lt, ft,
+                    if (lt == "none") -1L else gap))
+                } else None
+              st =
+                if (e.event_type == "click" || e.event_type == "view")
+                  AttrState(e.ts_us, e.event_type,
+                    if (st.ftType == null) e.event_type else st.ftType,
+                    e.event_id)
+                else st.copy(lastEvent = e.event_id)
+              res
+            }.toArray // drain before update: st must hold the final state
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** F27: streaming first-digit audit (batch twin B89) — the Benford
     * fraud/fabrication screen attached to an unbounded stream: the
     * first digit of the exact cent amount (integer→string head, no

@@ -205,6 +205,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F30 streaming attribution equals the oracled batch B104 aggregate; replay-safe") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{AttrEvent, AttrOut}
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us", "event_type")
+      .collect()
+      .map(r => AttrEvent(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    val input = MemoryStream[AttrEvent]
+    val q = EventStreams.attributionStream(input.toDS())
+      .writeStream.format("memory").queryName("attr_out").outputMode("update").start()
+    try {
+      val (b1, b2) = ev.partition(_.event_id < ev.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      // replay below the high-water mark must not re-credit purchases
+      input.addData(b1.take(200)); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("attr_out").as[AttrOut].collect()
+      // the streaming per-model aggregate must equal the oracled batch
+      // query row for row (counts AND exact summed gaps)
+      val streamLast = got.groupBy(_.last_type).map { case (t, xs) =>
+        ("last", t, xs.length.toLong, xs.filter(_.gap_us >= 0).map(_.gap_us).sum)
+      }.toSet
+      val streamFirst = got.groupBy(_.first_type).map { case (t, xs) =>
+        ("first", t, xs.length.toLong, 0L)
+      }.toSet
+      val batch = graft.operators.Relational.qAttribution(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamLast ++ streamFirst == batch)
+    } finally q.stop()
+  }
+
   test("F14 streaming SemDeDup equals batch semDedup across id-interleaved batches") {
     import spark.implicits._
     import graft.operators.Similarity

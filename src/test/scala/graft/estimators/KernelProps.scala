@@ -152,10 +152,18 @@ object KernelProps extends Properties("graft.kernels") {
 
   property("winnowing: shared substrings of length >= k+w-1 share a fingerprint") =
     forAll(docGen, docGen, docGen, Gen.choose(2, 4), Gen.choose(2, 4)) {
-      (pre, post, mid0, k, w) =>
-        // force the shared block to the guarantee length
+      (pre, post, mid0, k0, w0) =>
+        // clamp into the algorithm's domain: ScalaCheck's shrinker can
+        // escape Gen.choose bounds (it shrank to k=1, w=0 once — a
+        // harness artifact, not a kernel case), so the property body
+        // re-imposes k, w >= 2 instead of trusting the generator
+        val k = math.max(k0, 2)
+        val w = math.max(w0, 2)
+        // force the shared block to the guarantee length (mid0 can
+        // shrink to "" — same harness artifact — so re-seed it)
+        val midSeed = if (mid0.isEmpty) "x" else mid0
         val needed = k + w - 1
-        val mid = (mid0 * ((needed / math.max(mid0.length, 1)) + 1)).take(needed)
+        val mid = (midSeed * ((needed / midSeed.length) + 1)).take(needed)
         val a = pre + mid
         val b = mid + post
         val fa = TextKernels.winnow(a, k, w).toSet
