@@ -975,6 +975,31 @@ object Estimation {
     s.table(name).orderBy(col("band"))
   }
 
+  /** G7 (query-backed): dimension-join DYNAMIC pruning through the
+    * custom source ([[graft.sources.v2.RasterScan]]'s
+    * `SupportsRuntimeFiltering`): the selective region-derived
+    * dimension broadcasts, Spark re-plans the raster scan AT EXECUTION
+    * TIME with the join-derived In(y) filter, and the stripe planner
+    * shrinks to exactly the surviving grid rows (4 single-row stripes
+    * instead of 8 range stripes — DataSourceV2Spec locks the
+    * mechanism; this query gates the VALUES under it). The oracle
+    * recomputes from the md5 formula with a plain IN list, blind to
+    * pruning — which is exactly the point: runtime filters are not
+    * re-checked by Spark, so a wrong prune here is a wrong answer.
+    */
+  def qRasterDpp(s: SparkSession, dir: String): DataFrame = {
+    val dim = region(s, dir).filter(col("r_regionkey") < 4)
+      .select((col("r_regionkey") * 19 + 3).cast("long").as("dy"))
+    s.read.format("graft.sources.v2.RasterSource")
+      .option("w", 120).option("h", 80).load()
+      .join(dim, col("y") === col("dy"))
+      .groupBy(col("y"))
+      .agg(count(lit(1)).as("n_cells"), count(col("v")).as("n_valid"),
+           sum(col("v")).as("vsum"), min(col("v")).as("vmin"),
+           max(col("v")).as("vmax"))
+      .orderBy(col("y"))
+  }
+
   /** G6 (query-backed): the full STREAMING extension path chained end
     * to end — the G5 micro-batch raster SOURCE feeding the G6
     * streaming stats SINK ([[graft.sources.v2.StatsStreamingWrite]]):
@@ -2391,6 +2416,17 @@ object Estimation {
           |    CASE WHEN hx % 19 = 0 THEN NULL ELSE hx % 1000 END AS v FROM g)
           |SELECT x, y, CAST(v AS BIGINT) AS v FROM gv
           |ORDER BY y DESC, x DESC LIMIT 300""".stripMargin,
+      "q_raster_dpp" ->
+        s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
+          |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx
+          |  FROM range(0, 9600) t(i)),
+          |gv AS (SELECT y, CASE WHEN hx % 19 = 0 THEN NULL ELSE hx % 1000 END AS v
+          |  FROM g WHERE y IN (SELECT r_regionkey * 19 + 3 FROM region
+          |    WHERE r_regionkey < 4))
+          |SELECT CAST(y AS BIGINT) AS y, CAST(COUNT(*) AS BIGINT) AS n_cells,
+          |  CAST(COUNT(v) AS BIGINT) AS n_valid, CAST(SUM(v) AS BIGINT) AS vsum,
+          |  CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax
+          |FROM gv GROUP BY 1 ORDER BY 1""".stripMargin,
       "q_stats_stream_sink" ->
         s"""WITH g AS (SELECT ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx
           |  FROM range(0, 9600) t(i)),

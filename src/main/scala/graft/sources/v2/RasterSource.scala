@@ -280,14 +280,53 @@ final class RasterAggScan(w: Long, yMin: Long, yMax: Long,
 
 final class RasterScan(w: Long, yMin: Long, yMax: Long, required: StructType,
                        rowsPerBatch: Long = 16L)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
+  // G7: runtime-tightened bounds — start at the planning-time range and
+  // shrink when Spark delivers a join-derived filter at execution time
+  private var rtMin = yMin
+  private var rtMax = yMax
+  private var rtSet: Option[Set[Long]] = None
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftRasterScan w=$w yRange=[$yMin,$yMax] cols=${required.fieldNames.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    RasterScan.stripes(w, yMin, yMax, required.fieldNames.toSeq)
+  /** G7: `SupportsRuntimeFiltering` — the DataSource V2 face of dynamic
+    * partition pruning: when this scan sits under a join on `y` with a
+    * selective build side, Spark re-plans the scan AT EXECUTION TIME
+    * with an `In(y, <build-side values>)` filter, and the stripe
+    * planner shrinks to the value range (plus an exact per-row y-set
+    * check in the reader's stripe rows — runtime filters arrive after
+    * the logical plan is fixed, so Spark does NOT re-check them; the
+    * source must apply them exactly, the opposite of the G1 residual
+    * contract). At 100 TB this is the "join to the dimension prunes
+    * the fact scan" posture of partitioned parquet DPP.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("y"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("y", vs) if vs.nonEmpty =>
+      val set = vs.collect { case v: Long => v }.toSet
+      if (set.nonEmpty) {
+        rtSet = Some(rtSet.fold(set)(_ intersect set))
+        rtMin = math.max(rtMin, set.min)
+        rtMax = math.min(rtMax, set.max)
+      }
+    case _ => () // unhandled runtime filters are simply not applied
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fields = required.fieldNames.toSeq
+    rtSet match {
+      case Some(set) =>
+        // one stripe per surviving y row — pruning exact to the row set
+        set.toSeq.sorted.filter(y => y >= rtMin && y <= rtMax)
+          .map(y => RasterStripe(w, y, y, fields): InputPartition).toArray
+      case None => RasterScan.stripes(w, rtMin, rtMax, fields)
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     RasterScan.rowReaderFactory

@@ -181,6 +181,56 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(df.collect().head == exp)
   }
 
+  test("G7: a runtime In(y) filter prunes stripes to the exact row set") {
+    // unit-level contract: Spark delivers join-derived filters through
+    // SupportsRuntimeFiltering.filter AFTER build(); the planner must
+    // then emit exactly the surviving rows (runtime filters are NOT
+    // re-checked by Spark — pruning must be exact, unlike G1 residuals)
+    val scan = scanOf(v2(120, 80)).scan.asInstanceOf[RasterScan]
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("y", Array[Any](3L, 17L, 42L, 42L, 79L))))
+    val parts = scan.toBatch.planInputPartitions()
+    assert(parts.length == 4)
+    val rows = parts.map(_.asInstanceOf[graft.sources.v2.RasterStripe])
+      .map(p => (p.yStart, p.yEnd)).toSeq
+    assert(rows == Seq((3L, 3L), (17L, 17L), (42L, 42L), (79L, 79L)))
+    // intersecting a second runtime filter tightens further
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("y", Array[Any](17L, 42L, 99L))))
+    assert(scan.toBatch.planInputPartitions().length == 2)
+  }
+
+  test("G7: a selective join on y dynamically prunes the raster scan end to end") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // DPP requires a SELECTIVE predicate on the build side — a bare
+    // literal relation does not qualify (pruningHasBenefit = false)
+    val dim = spark.range(0, 80).toDF("dy")
+      .filter(col("dy") % 29 === 5) // -> {5, 34, 63}
+    val q = v2(120, 80).join(dim, col("y") === col("dy"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val got = q.collect().head
+    val exp = graft.sources.Synthetic.rasterGrid(spark, 120, 80)
+      .filter(col("y").isin(5L, 34L, 63L))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s")).collect().head
+    assert(got == exp)
+    // the executed adaptive plan's raster scan must carry the
+    // join-derived runtime filter (the DPP mechanism engaged); AQE
+    // hides stages behind QueryStageExec, so walk them explicitly
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def allScans(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case b: BatchScanExec if b.scan.isInstanceOf[RasterScan] => Seq(b)
+      case s: QueryStageExec        => allScans(s.plan)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case other => (other.children ++ other.subqueries).flatMap(allScans)
+    }
+    val scans = allScans(q.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "raster scan not found in the executed plan")
+    assert(scans.exists(_.runtimeFilters.nonEmpty),
+      "no runtime filter reached the raster scan")
+  }
+
   test("G6: streaming write merges epochs cumulatively and a retried epoch commits once") {
     import graft.sources.v2.{StatsPartial, StatsSink, StatsStreamingWrite}
     val key = "g6-retry-" + java.util.UUID.randomUUID()
