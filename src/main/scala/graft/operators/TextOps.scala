@@ -1322,6 +1322,86 @@ object TextOps {
       .orderBy(col("df").desc, col("term"))
       .limit(30)
 
+  /** A46 shared float texts — the ONLY transcendental steps, each
+    * e6-quantized immediately (the A40/C33 rule) so scoring is exact
+    * integer arithmetic: smoothed log-likelihood ln((n+1)/(nc+V)), the
+    * unseen-word default ln(1/(nc+V)), and the class prior. */
+  private val nbLnSql =
+    "ROUND(ln((CAST(nwc AS DOUBLE) + 1.0) / " +
+      "(CAST(nc AS DOUBLE) + CAST(vv AS DOUBLE))) * 1000000.0, 0)"
+  private val nbDfltSql =
+    "ROUND(ln(1.0 / (CAST(nc AS DOUBLE) + CAST(vv AS DOUBLE))) * 1000000.0, 0)"
+  private val nbPriorSql =
+    "ROUND(ln(CAST(ndc AS DOUBLE) / CAST(nd AS DOUBLE)) * 1000000.0, 0)"
+
+  /** A46: multinomial Naive Bayes (sklearn MultinomialNB, α = 1)
+    * predicting each document's SOURCE from its word counts — the
+    * text-classification member of the estimator family (A21 is its
+    * Gaussian cousin on tabular features) and the classic
+    * domain-classifier of corpus curation: fit = one vocab-bounded
+    * (class, word) count aggregate; every log-likelihood e6-quantizes
+    * immediately ([[nbLnSql]]) so the per-document score is EXACT
+    * integer arithmetic — and unseen (class, word) pairs never
+    * materialize: score = prior + toks·default(c) + Σ count·(lnθ −
+    * default) over SEEN pairs only (the sparse-NB identity that keeps
+    * the weight frame O(seen pairs), not O(vocab × classes)). Argmax
+    * with class-name tie-break over the docs×20 frame; publishes the
+    * sparse confusion matrix. At 100 TB: token-scale shuffles + a
+    * broadcast weight frame — the C33 fit-artifact posture.
+    */
+  def qMultinomialNb(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"), col("source"))
+    val toks = documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val toksPinned = graft.core.Materialize.pin(toks)
+    val docTot = toksPinned.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("toks"))
+    val labeled = toksPinned.join(broadcast(docs), "doc_id")
+    val nwc = labeled.groupBy(col("source"), col("word"))
+      .agg(sum(col("cnt")).as("nwc"))
+    val perClass = nwc.groupBy(col("source")).agg(sum(col("nwc")).as("nc"))
+    val vocab = toksPinned.select(col("word")).distinct()
+      .agg(count(lit(1)).as("vv"))
+    val priors = docs.groupBy(col("source")).agg(count(lit(1)).as("ndc"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
+    val classBase = perClass.crossJoin(broadcast(vocab))
+      .join(broadcast(priors), "source")
+      .select(col("source"), col("nc"), col("vv"),
+        expr(s"CAST($nbDfltSql AS BIGINT)").as("dflt_e6"),
+        expr(s"CAST($nbPriorSql AS BIGINT)").as("prior_e6"))
+    val weights = nwc.join(broadcast(classBase), "source")
+      .select(col("source"), col("word"),
+        (expr(s"CAST($nbLnSql AS BIGINT)") - col("dflt_e6")).as("delta_e6"))
+    val seenPart = toksPinned.join(broadcast(weights), "word")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt") * col("delta_e6")).as("seen_e6"))
+    val scores = docTot
+      .crossJoin(broadcast(classBase.select(col("source"), col("dflt_e6"),
+        col("prior_e6"))))
+      .join(seenPart, Seq("doc_id", "source"), "left_outer")
+      .select(col("doc_id"), col("source"),
+        (col("prior_e6") + col("toks") * col("dflt_e6") +
+         coalesce(col("seen_e6"), lit(0L))).as("score_e6"))
+    val wpick = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("source"))
+    val pred = scores
+      .withColumn("rn", row_number().over(wpick))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("source").as("predicted"))
+    // pin the ≤|classes|² confusion frame so the token checkpoint can
+    // be released before the caller evaluates the returned frame
+    val out = graft.core.Materialize.pin(
+      docs.join(pred, "doc_id")
+        .groupBy(col("source").as("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("actual"), col("predicted")))
+    graft.core.Materialize.release(toksPinned)
+    out
+  }
+
   /** C43: RAKE keyword extraction (Rose et al. 2010 — the unsupervised
     * keyphrase miner of corpus exploration / topic labeling):
     * candidate phrases are maximal stopword-free runs (classic
@@ -1425,6 +1505,90 @@ object TextOps {
     }.select(col("n_terms"), graft.functions.dec6(col("slope")).as("slope"),
              graft.functions.dec6(col("icept")).as("intercept"),
              graft.functions.dec6(col("r2")).as("r2"))
+  }
+
+  /** C44 shared float texts — ln's e6-quantized right after the
+    * transcendental (the C42 rule) over the exact prefix totals; the
+    * R² zero-variance null set is decided by the EXACT integer
+    * n·Σy² − (Σy)² (the B99 rule) so both engines agree on it. */
+  private val heapsXsSql = "ROUND(ln(CAST(ntok AS DOUBLE)) * 1000000, 0)"
+  private val heapsYsSql = "ROUND(ln(CAST(vocab AS DOUBLE)) * 1000000, 0)"
+  private val heapsDerivs: Seq[(String, String)] = Seq(
+    "slope" -> "(nnd*sxy - sx*sy) / (nnd*sxx - sx*sx)",
+    "icept" -> "((sy - slope*sx) / nnd) / 1000000.0",
+    "r2"    -> ("CASE WHEN vary = 0 THEN NULL ELSE " +
+                "((nnd*sxy - sx*sy)*(nnd*sxy - sx*sy)) / " +
+                "((nnd*sxx - sx*sx)*(nnd*syy - sy*sy)) END"))
+
+  /** C44: Heaps'-law fit of vocabulary growth — C42's companion
+    * corpus-health diagnostic (natural language grows V(n) ≈ K·n^β
+    * with β ≈ 0.4–0.6; a flat β flags boilerplate, β ≈ 1 flags
+    * noise/UUID soup): ten doc-id-prefix checkpoints, each with its
+    * EXACT cumulative token count and vocabulary size — V_i counts
+    * words whose FIRST-SEEN doc id (one word-key min aggregate) is
+    * below the threshold, so no prefix is ever re-scanned (the
+    * first-seen identity that makes cumulative-distinct linear).
+    * ln's e6-quantize ([[heapsXsSql]]) → exact OLS moments over the
+    * 10-point frame → the shared C42 derivation chain. At 100 TB:
+    * one token pass + one word-key aggregate; the checkpoint meet is
+    * O(10·docs + 10·vocab).
+    */
+  def qHeapsFit(s: SparkSession, dir: String): DataFrame = {
+    // BIGRAM vocabulary: the gate corpus's unigram vocab is bounded
+    // (saturates at the first checkpoint — zero ln-variance), so the
+    // growth curve is measured on word bigrams, exactly how Heaps is
+    // read off n-gram LM vocabularies
+    val toks = documents(s, dir)
+      .select(col("doc_id"), explode(
+        expr("CASE WHEN size(split(text, ' ')) >= 2 THEN " +
+             "transform(sequence(0, size(split(text, ' ')) - 2), " +
+             "i -> concat(split(text, ' ')[i], '_', split(text, ' ')[i+1])) " +
+             "ELSE array() END")).as("word"))
+    val toksPinned = graft.core.Materialize.pin(toks)
+    val docToks = toksPinned.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("toks"))
+    val firstSeen = toksPinned.groupBy(col("word"))
+      .agg(min(col("doc_id")).as("fs"))
+    val nd = documents(s, dir).agg((max(col("doc_id")) + 1).as("nd"))
+    val thresholds = s.range(1, 11).toDF("i")
+      .crossJoin(broadcast(nd))
+      .select(expr("(i * nd) div 10").as("t"))
+    val nTok = docToks.crossJoin(broadcast(thresholds))
+      .filter(col("doc_id") < col("t"))
+      .groupBy(col("t")).agg(sum(col("toks")).as("ntok"))
+    val vSize = firstSeen.crossJoin(broadcast(thresholds))
+      .filter(col("fs") < col("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("vocab"))
+    val pts = nTok.join(vSize, "t")
+    val m = pts
+      .select(expr(s"CAST($heapsXsSql AS DECIMAL(38,0))").as("xs"),
+              expr(s"CAST($heapsYsSql AS DECIMAL(38,0))").as("ys"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("xs")).as("sxd"), sum(col("ys")).as("syd"),
+           sum(col("xs") * col("xs")).as("sxxd"),
+           sum(col("xs") * col("ys")).as("sxyd"),
+           sum(col("ys") * col("ys")).as("syyd"))
+      .select(col("n").cast("long").as("n_points"),
+              col("n").cast("double").as("nnd"),
+              (col("n") * col("syyd") - col("syd") * col("syd"))
+                .cast("long").as("vary"),
+              col("sxd").cast("double").as("sx"),
+              col("syd").cast("double").as("sy"),
+              col("sxxd").cast("double").as("sxx"),
+              col("sxyd").cast("double").as("sxy"),
+              col("syyd").cast("double").as("syy"))
+    val fit = heapsDerivs.foldLeft(m) { case (acc, (nm, f)) =>
+      acc.withColumn(nm, expr(f))
+    }
+    val out = graft.core.Materialize.pin(
+      fit.crossJoin(broadcast(pts.agg(max(col("ntok")).cast("long").as("n_total"),
+          max(col("vocab")).cast("long").as("v_total"))))
+        .select(col("n_points"), col("n_total"), col("v_total"),
+                graft.functions.dec6(col("slope")).as("beta"),
+                graft.functions.dec6(col("icept")).as("ln_k"),
+                graft.functions.dec6(col("r2")).as("r2")))
+    graft.core.Materialize.release(toksPinned)
+    out
   }
 
   /** C26: language-ID confusion matrix — the evaluation primitive for
@@ -1993,6 +2157,76 @@ object TextOps {
         |  CAST(ROUND(r2, 6) AS DECIMAL(18,6))::DOUBLE AS r2
         |FROM d${zipfDerivs.length}""".stripMargin
     },
+    "q_heaps_fit" -> {
+      val chain = heapsDerivs.zipWithIndex.map { case ((nm, f), i) =>
+        s"d${i + 1} AS (SELECT *, $f AS $nm FROM d$i)"
+      }.mkString(",\n")
+      s"""WITH ww AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |toks AS (SELECT doc_id,
+        |    w[CAST(i+1 AS INT)] || '_' || w[CAST(i+2 AS INT)] AS word
+        |  FROM ww, (SELECT unnest(range(128)) AS i)
+        |  WHERE i < LEN(w) - 1),
+        |dt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS toks
+        |  FROM toks GROUP BY 1),
+        |fs AS (SELECT word, MIN(doc_id) AS fs FROM toks GROUP BY 1),
+        |nd AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+        |th AS (SELECT (i * nd) // 10 AS t
+        |  FROM (SELECT unnest(range(1, 11)) AS i) CROSS JOIN nd),
+        |nt AS (SELECT t, CAST(SUM(toks) AS BIGINT) AS ntok
+        |  FROM dt CROSS JOIN th WHERE doc_id < t GROUP BY 1),
+        |vs AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS vocab
+        |  FROM fs CROSS JOIN th WHERE fs.fs < t GROUP BY 1),
+        |p AS (SELECT nt.t, ntok, vocab FROM nt JOIN vs USING (t)),
+        |tt AS (SELECT CAST(MAX(ntok) AS BIGINT) AS n_total,
+        |    CAST(MAX(vocab) AS BIGINT) AS v_total FROM p),
+        |l AS (SELECT CAST($heapsXsSql AS HUGEINT) AS xs,
+        |    CAST($heapsYsSql AS HUGEINT) AS ys FROM p),
+        |a AS (SELECT COUNT(*) AS n, SUM(xs) AS sxd, SUM(ys) AS syd,
+        |    SUM(xs*xs) AS sxxd, SUM(xs*ys) AS sxyd, SUM(ys*ys) AS syyd FROM l),
+        |d0 AS (SELECT CAST(n AS BIGINT) AS n_points, CAST(n AS DOUBLE) AS nnd,
+        |    CAST(n*syyd - syd*syd AS BIGINT) AS vary,
+        |    CAST(sxd AS DOUBLE) AS sx, CAST(syd AS DOUBLE) AS sy,
+        |    CAST(sxxd AS DOUBLE) AS sxx, CAST(sxyd AS DOUBLE) AS sxy,
+        |    CAST(syyd AS DOUBLE) AS syy FROM a),
+        |$chain
+        |SELECT n_points, n_total, v_total,
+        |  CAST(ROUND(slope, 6) AS DECIMAL(18,6))::DOUBLE AS beta,
+        |  CAST(ROUND(icept, 6) AS DECIMAL(18,6))::DOUBLE AS ln_k,
+        |  CAST(ROUND(r2, 6) AS DECIMAL(18,6))::DOUBLE AS r2
+        |FROM d${zipfDerivs.length} CROSS JOIN tt""".stripMargin
+    },
+    "q_multinomial_nb" ->
+      s"""WITH toks AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word
+        |        FROM documents)
+        |  WHERE LEN(word) > 0 GROUP BY 1, 2),
+        |docs AS (SELECT doc_id, source FROM documents),
+        |dt AS (SELECT doc_id, SUM(cnt) AS toks FROM toks GROUP BY 1),
+        |nwc AS (SELECT source, word, SUM(cnt) AS nwc
+        |  FROM toks JOIN docs USING (doc_id) GROUP BY 1, 2),
+        |pc AS (SELECT source, SUM(nwc) AS nc FROM nwc GROUP BY 1),
+        |vb AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS vv FROM toks),
+        |pr AS (SELECT source, COUNT(*) AS ndc,
+        |    (SELECT COUNT(*) FROM docs) AS nd FROM docs GROUP BY 1),
+        |cb AS (SELECT source, nc, vv,
+        |    CAST($nbDfltSql AS BIGINT) AS dflt_e6,
+        |    CAST($nbPriorSql AS BIGINT) AS prior_e6
+        |  FROM pc CROSS JOIN vb JOIN pr USING (source)),
+        |wt AS (SELECT nwc.source, word,
+        |    CAST($nbLnSql AS BIGINT) - dflt_e6 AS delta_e6
+        |  FROM nwc JOIN cb ON nwc.source = cb.source),
+        |sp AS (SELECT doc_id, source, SUM(cnt * delta_e6) AS seen_e6
+        |  FROM toks JOIN wt USING (word) GROUP BY 1, 2),
+        |sc AS (SELECT dt.doc_id, cb.source,
+        |    prior_e6 + dt.toks * dflt_e6 + COALESCE(seen_e6, 0) AS score_e6
+        |  FROM dt CROSS JOIN cb
+        |  LEFT JOIN sp ON sp.doc_id = dt.doc_id AND sp.source = cb.source),
+        |pk AS (SELECT doc_id, source AS predicted,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score_e6 DESC, source) AS rn FROM sc)
+        |SELECT d.source AS actual, p.predicted, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM docs d JOIN pk p ON d.doc_id = p.doc_id AND p.rn = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_rake" ->
       """WITH docs AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |b AS (SELECT doc_id, i, w[CAST(i+1 AS INT)] AS word,
