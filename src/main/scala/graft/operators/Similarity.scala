@@ -346,6 +346,67 @@ object Similarity {
       .limit(20)
   }
 
+  /** D21 distance — each dimension's squared difference e6-quantizes
+    * BEFORE the sum, so the distance is an exact integer built from an
+    * ORDER-FREE integer sum (no float accumulation order to diverge
+    * cross-engine; the oracle sums the same per-dim integers). */
+  private val kcDistSql =
+    "aggregate(zip_with(v, cv, (a, b) -> " +
+      "CAST(ROUND((a - b) * (a - b) * 1000000, 0) AS BIGINT)), " +
+      "0L, (acc, x) -> acc + x)"
+
+  /** D21: k-center greedy coreset (farthest-point sampling — Gonzalez
+    * '85, the diversity-selection workhorse of modern training-data
+    * curation: pick the k points that COVER the embedding space, the
+    * opposite of D10's balanced sampling and D9's near-dup removal):
+    * seed with vector 0, then k−1 rounds of "farthest point from the
+    * chosen set" — each round ONE linear pass updating the running
+    * min-distance-to-centers and taking the global argmax via
+    * TakeOrdered (never a sort). Cross-engine determinism: each
+    * round's min-distance e6-QUANTIZES before the argmax, so the pick
+    * decision is an exact (md_e6 DESC, vec_id) integer order both
+    * engines share; the published coverage radius is the final
+    * quantized max-min. At 100 TB: k linear passes, centers broadcast
+    * — the standard coreset cost shape.
+    */
+  def qKCenter(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val e = graft.core.Materialize.pin(
+      emb(s, dir).select(col("vec_id"), col("v")))
+    // running state: per-vector min distance² to the chosen centers,
+    // e6-quantized after every round (the exact pick contract)
+    var md = graft.core.Materialize.pin(
+      e.crossJoin(broadcast(e.filter(col("vec_id") === 0L)
+          .select(col("v").as("cv"))))
+        .select(col("vec_id"), col("v"), expr(kcDistSql).as("md_e6")))
+    var picks = Vector((0L, 1, 0L)) // (vec_id, round, md_e6 at pick)
+    for (round <- 2 to k) {
+      val far = md.orderBy(col("md_e6").desc, col("vec_id")).limit(1)
+        .collect().head
+      val pickId = far.getLong(0)
+      picks :+= ((pickId, round, far.getLong(2)))
+      val cv = broadcast(md.filter(col("vec_id") === pickId)
+        .select(col("v").as("cv")))
+      val next = graft.core.Materialize.pin(
+        md.crossJoin(cv)
+          .select(col("vec_id"), col("v"),
+            least(col("md_e6"), expr(kcDistSql)).as("md_e6")))
+      graft.core.Materialize.release(md)
+      md = next
+    }
+    val radius = md.agg(max(col("md_e6")).as("radius_e6"))
+    import s.implicits._
+    val out = graft.core.Materialize.pin(
+      picks.toDF("vec_id", "pick_round", "md_e6_at_pick")
+        .crossJoin(broadcast(radius))
+        .select(col("vec_id"), col("pick_round").cast("long").as("pick_round"),
+                col("md_e6_at_pick"), col("radius_e6"))
+        .orderBy(col("pick_round")))
+    graft.core.Materialize.release(md)
+    graft.core.Materialize.release(e)
+    out
+  }
+
   /** D20: Rocchio pseudo-relevance feedback (the classic query
     * expansion every IR stack grew up on, Rocchio '71 / modern RM3
     * intent): retrieve the exact-cosine top-10 for the probe, expand
@@ -1991,6 +2052,42 @@ object Similarity {
         |  CAST(rank_sem AS BIGINT) AS rank_sem,
         |  CAST(rrf_ppb AS BIGINT) AS rrf_ppb
         |FROM f ORDER BY rrf_ppb DESC, doc_id LIMIT 20""".stripMargin,
+    "q_kcenter" -> {
+      def dSql(src: String, cent: String): String =
+        s"""SELECT m.vec_id,
+           |    SUM(CAST(ROUND((m.v[CAST(ix AS INT)] - $cent.cv[CAST(ix AS INT)]) *
+           |      (m.v[CAST(ix AS INT)] - $cent.cv[CAST(ix AS INT)]) * 1000000)
+           |      AS BIGINT)) AS d
+           |  FROM $src m CROSS JOIN $cent, (SELECT unnest(range(1, 65)) AS ix)
+           |  GROUP BY 1""".stripMargin
+      def roundCte(i: Int): String = {
+        val prev = s"m${i - 1}"
+        s"""p$i AS (SELECT vec_id, md FROM $prev ORDER BY md DESC, vec_id LIMIT 1),
+           |c$i AS (SELECT e.v AS cv FROM e JOIN p$i USING (vec_id)),
+           |d$i AS (${dSql(prev, s"c$i")}),
+           |m$i AS (SELECT m.vec_id, m.v, LEAST(m.md, d$i.d) AS md
+           |  FROM $prev m JOIN d$i USING (vec_id))""".stripMargin
+      }
+      val rounds = (2 to 5).map(roundCte).mkString(",\n")
+      val pickUnion = (2 to 5)
+        .map(i => s"SELECT vec_id, $i AS pick_round, md FROM p$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |c1 AS (SELECT v AS cv FROM e WHERE vec_id = 0),
+        |d1 AS (${dSql("e", "c1")}),
+        |m1 AS (SELECT e.vec_id, e.v, d1.d AS md FROM e JOIN d1 USING (vec_id)),
+        |$rounds,
+        |picks AS (SELECT CAST(0 AS BIGINT) AS vec_id, 1 AS pick_round,
+        |    CAST(0 AS BIGINT) AS md
+        |  UNION ALL $pickUnion),
+        |r AS (SELECT MAX(md) AS radius FROM m5)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |  CAST(pick_round AS BIGINT) AS pick_round,
+        |  CAST(md AS BIGINT) AS md_e6_at_pick,
+        |  CAST(radius AS BIGINT) AS radius_e6
+        |FROM picks CROSS JOIN r ORDER BY pick_round""".stripMargin
+    },
     "q_rocchio" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id = 0),

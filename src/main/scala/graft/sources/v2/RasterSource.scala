@@ -280,7 +280,8 @@ final class RasterAggScan(w: Long, yMin: Long, yMax: Long,
 
 final class RasterScan(w: Long, yMin: Long, yMax: Long, required: StructType,
                        rowsPerBatch: Long = 16L)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
   // G7: runtime-tightened bounds — start at the planning-time range and
   // shrink when Spark delivers a join-derived filter at execution time
   private var rtMin = yMin
@@ -303,6 +304,25 @@ final class RasterScan(w: Long, yMin: Long, yMax: Long, required: StructType,
     * contract). At 100 TB this is the "join to the dimension prunes
     * the fact scan" posture of partitioned parquet DPP.
     */
+  /** G8: `SupportsReportStatistics` — accurate row/byte estimates from
+    * the (filter-tightened) planned range, so Catalyst's join-strategy
+    * choice works on this source exactly as it does on parquet with
+    * footer stats: a scan pruned to a few grid rows reports a few KB
+    * and gets BROADCAST; without this, a DSv2 scan defaults to
+    * "unknown = huge" and every join degrades to sort-merge. The
+    * per-row width is the projected fields only — pruning a column
+    * shrinks the estimate like parquet's ReadSchema does.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.max(0L, yMax - yMin + 1) * w
+    // 8 bytes per projected long column + row overhead
+    private val rowBytes = 8L * required.fields.length + 16L
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * rowBytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
+
   override def filterAttributes(): Array[NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("y"))
 

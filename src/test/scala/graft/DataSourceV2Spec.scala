@@ -231,6 +231,26 @@ class DataSourceV2Spec extends AnyFunSuite {
       "no runtime filter reached the raster scan")
   }
 
+  test("G8: reported statistics shrink with pruning and drive broadcast selection") {
+    // stats track the filter-tightened range and the projected width
+    val full = scanOf(v2(120, 80)).scan.asInstanceOf[RasterScan]
+    assert(full.estimateStatistics().numRows().getAsLong == 9600)
+    val pruned = scanOf(v2(120, 80).filter(col("y") >= 78).select(col("y")))
+      .scan.asInstanceOf[RasterScan]
+    assert(pruned.estimateStatistics().numRows().getAsLong == 240)
+    assert(pruned.estimateStatistics().sizeInBytes().getAsLong <
+           full.estimateStatistics().sizeInBytes().getAsLong / 10)
+    // a y-pruned raster joined to a large frame broadcasts the raster
+    // side BECAUSE the source reported a small size — no hint anywhere
+    val big = spark.range(0, 2000000).select((col("id") % 120).as("x2"))
+    val j = v2(120, 80).filter(col("y") === 7).join(big, col("x") === col("x2"))
+    val bhj = j.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "stats-driven broadcast join not chosen:\n" +
+      j.queryExecution.sparkPlan.toString.take(2000))
+  }
+
   test("G6: streaming write merges epochs cumulatively and a retried epoch commits once") {
     import graft.sources.v2.{StatsPartial, StatsSink, StatsStreamingWrite}
     val key = "g6-retry-" + java.util.UUID.randomUUID()
