@@ -240,6 +240,24 @@ object Multimodal {
         |  CAST(SUM(CASE WHEN t >= st+1 AND (ps < 0) <> (s < 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
         |  CAST(ROUND(sqrt(CAST(SUM(s*s) AS DOUBLE)/COUNT(*)),4) AS DECIMAL(18,4))::DOUBLE AS rms
         |FROM j GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_media_cross_dedup" ->
+      s"""WITH d AS (SELECT doc_id AS c, CAST(8 + doc_id % 16 AS BIGINT) AS w,
+        |    CAST(8 + doc_id % 8 AS BIGINT) AS h,
+        |    ${graft.functions.TextFunctions.hexPrefix52Sql("md5('img|r|'||doc_id)")} % 256 AS br,
+        |    ${graft.functions.TextFunctions.hexPrefix52Sql("md5('img|g|'||doc_id)")} % 256 AS bg,
+        |    ${graft.functions.TextFunctions.hexPrefix52Sql("md5('img|b|'||doc_id)")} % 256 AS bb
+        |  FROM documents),
+        |px AS (SELECT c, i % w AS x, i // w AS y,
+        |    (br + 3*(i % w) + 5*(i // w)) % 256 AS r,
+        |    (bg + (i % w) + 2*(i // w)) % 256 AS g,
+        |    (bb + 2*(i % w) + (i // w)) % 256 AS b
+        |  FROM d, (SELECT unnest(range(384)) AS i) WHERE i < w * h),
+        |dg AS (SELECT c, md5(STRING_AGG(
+        |    x||','||y||','||r||','||g||','||b||';', '' ORDER BY y, x)) AS digest
+        |  FROM px GROUP BY 1)
+        |SELECT digest, CAST(2 AS BIGINT) AS n_members,
+        |  CAST(2 * c AS BIGINT) AS keeper
+        |FROM dg ORDER BY keeper""".stripMargin,
     "q_media_decimate" ->
       """WITH d AS (SELECT doc_id, CAST(48 + doc_id % 96 AS BIGINT) AS n,
         |    CAST(8000 + (doc_id % 5) * 2000 AS BIGINT) AS sample_rate FROM documents),
@@ -731,6 +749,110 @@ object Multimodal {
   }
 
   /** Build the deterministic image for `id` and encode it as a real BMP. */
+  /** The E12 shared pixel formula: one content id → one deterministic
+    * RGB image, encoded by TWO different real codecs below. The
+    * per-channel bases are md5-derived so no two content ids share an
+    * image (a plain linear-in-cid base repeats with period 256 — two
+    * contents 256 apart would be true duplicates of each other).
+    */
+  private def contentImage(cid: Long): java.awt.image.BufferedImage = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val br = graft.functions.TextKernels.md5Prefix52(md, s"img|r|$cid") % 256
+    val bg = graft.functions.TextKernels.md5Prefix52(md, s"img|g|$cid") % 256
+    val bb = graft.functions.TextKernels.md5Prefix52(md, s"img|b|$cid") % 256
+    val w = (8 + cid % 16).toInt; val h = (8 + cid % 8).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((br + 3L * x + 5L * y) % 256).toInt
+        val g = ((bg + x + 2L * y) % 256).toInt
+        val b = ((bb + 2L * x + y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** E12 fixture: every content id ships TWICE — media 2c as a real
+    * BMP and media 2c+1 as a real PNG of the IDENTICAL pixels. */
+  def synthesizeCrossCodec(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    fanOut(documents(s, dir).select(col("doc_id")))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { row =>
+          val c = row.getLong(0)
+          val img = contentImage(c)
+          def enc(fmt: String): Array[Byte] = {
+            val bos = new java.io.ByteArrayOutputStream()
+            require(javax.imageio.ImageIO.write(img, fmt, bos),
+                    s"no $fmt writer available")
+            bos.toByteArray
+          }
+          Iterator(Row(2 * c, enc("bmp")), Row(2 * c + 1, enc("png")))
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** E12: content-addressed CROSS-CODEC media dedup — the multimodal
+    * face of C1's exact dedup and the step every media pipeline needs
+    * before training (the same image arrives as BMP from one crawl
+    * and PNG from another; byte-level hashing sees two blobs): decode
+    * through the REAL codec (ImageIO's container sniffing picks the
+    * BMP or PNG path from the magic bytes — no format column
+    * consulted), canonicalize to a deterministic pixel text
+    * ("x,y,r,g,b;" in row-major order) and md5 it, then group by the
+    * digest — every content group must reunite exactly its two
+    * encodings, keeper = min id (the C1 convention). The oracle
+    * recomputes the digests FROM THE PIXEL FORMULA, blind to both
+    * codecs — a decoder that drops a channel, flips rows, or
+    * color-shifts breaks the digest. Scale shape: payloads stream
+    * through partitions, one digest-key shuffle of (id, 32-char)
+    * rows.
+    */
+  def qMediaCrossDedup(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("digest", StringType, nullable = false)))
+    synthesizeCrossCodec(s, dir)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { row =>
+          val id = row.getLong(0)
+          val in = new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1))
+          val img = javax.imageio.ImageIO.read(in)
+          val sb = new StringBuilder
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sb.append(x).append(',').append(y).append(',')
+                .append((p >> 16) & 0xFF).append(',')
+                .append((p >> 8) & 0xFF).append(',')
+                .append(p & 0xFF).append(';')
+              x += 1
+            }
+            y += 1
+          }
+          md.reset()
+          val dg = md.digest(sb.toString.getBytes("US-ASCII"))
+            .map("%02x".format(_)).mkString
+          Row(id, dg)
+        }
+      }(Encoders.row(outSchema))
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_members"), min(col("media_id")).as("keeper"))
+      .orderBy(col("keeper"))
+  }
+
   private[graft] def encodeBmp(id: Long): Array[Byte] = {
     val w = (8 + id % 16).toInt; val h = (8 + id % 8).toInt
     val img = new java.awt.image.BufferedImage(

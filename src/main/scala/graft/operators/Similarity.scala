@@ -346,6 +346,75 @@ object Similarity {
       .limit(20)
   }
 
+  /** The D1 exact-top-k kernel generalized to a DIMENSION PREFIX:
+    * cosine over the first `dims` components only (query and corpus
+    * norms both recomputed over the prefix). dims = 64 is exactly
+    * [[qCosineTopK]]'s computation. */
+  private def exactTopKPrefix(s: SparkSession, dir: String, dims: Int,
+                              k: Int): DataFrame = {
+    val e = emb(s, dir)
+    val st = collectQueries(e)
+    val bc = s.sparkContext.broadcast(st)
+    val locals = fanOut(e.select(col("vec_id"), col("v")))
+      .mapPartitions { it =>
+        val q = bc.value
+        val nq = q.qids.length
+        val qn = q.qv.map { a =>
+          var s2 = 0.0; var i = 0
+          while (i < dims) { s2 += a(i) * a(i); i += 1 }
+          math.sqrt(s2)
+        }
+        val heaps = new TopKHeaps(nq, k)
+        it.foreach { row =>
+          val v = row.getSeq[Double](1).toArray
+          val vid = row.getLong(0)
+          var n2 = 0.0; var i = 0
+          while (i < dims) { n2 += v(i) * v(i); i += 1 }
+          val nrm = math.sqrt(n2)
+          var qi = 0
+          while (qi < nq) {
+            val qv = q.qv(qi)
+            var d = 0.0; var j = 0
+            while (j < dims) { d += qv(j) * v(j); j += 1 }
+            heaps.insert(qi, d / (qn(qi) * nrm), vid)
+            qi += 1
+          }
+        }
+        heaps.emit(q.qids)
+      }(Encoders.row(localTopKSchema))
+    globalTopK(locals, k)
+  }
+
+  /** D22: matryoshka dimension-truncation evaluation (Kusupati
+    * NeurIPS'22 — the "how few leading dimensions can we keep"
+    * question behind every modern embedding-cost tradeoff): exact
+    * top-10 retrieval repeated over the 8/16/32-dim PREFIXES of the
+    * same vectors, each scored for recall against the full 64-dim
+    * exact top-10 (the D13 contract shape: exact integral recall_ppm,
+    * not a float). The synthetic embeddings carry no matryoshka
+    * training, so the curve is the honest un-nested baseline — the
+    * diagnostic a pipeline runs BEFORE trusting truncation. Cost:
+    * one probe collect + 4 corpus passes (one per prefix), recall
+    * joins on the ≤1000-row top-k frames.
+    */
+  def qMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val exact = graft.core.Materialize.pin(
+      exactTopKPrefix(s, dir, 64, 10).select(col("q_id"), col("vec_id")))
+    val total = exact.agg(count(lit(1)).as("n_exact"))
+    val out = Seq(8, 16, 32).map { d =>
+      exactTopKPrefix(s, dir, d, 10).select(col("q_id"), col("vec_id"))
+        .join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(total))
+        .select(lit(d.toLong).as("dims"), col("hits"), col("n_exact"),
+                expr("CAST((hits * 1000000) div n_exact AS BIGINT)")
+                  .as("recall_ppm"))
+    }.reduce(_ unionAll _).orderBy(col("dims"))
+    val pinned = graft.core.Materialize.pin(out)
+    graft.core.Materialize.release(exact)
+    pinned
+  }
+
   /** D21 distance — each dimension's squared difference e6-quantizes
     * BEFORE the sum, so the distance is an exact integer built from an
     * ORDER-FREE integer sum (no float accumulation order to diverge
@@ -2052,6 +2121,37 @@ object Similarity {
         |  CAST(rank_sem AS BIGINT) AS rank_sem,
         |  CAST(rrf_ppb AS BIGINT) AS rrf_ppb
         |FROM f ORDER BY rrf_ppb DESC, doc_id LIMIT 20""".stripMargin,
+    "q_matryoshka" -> {
+      def block(d: Int): String =
+        s"""s$d AS (SELECT q_id, e.vec_id,
+           |    list_cosine_similarity(qv[1:$d],
+           |      CAST(e.embedding AS DOUBLE[])[1:$d]) AS sim
+           |  FROM q CROSS JOIN embeddings e),
+           |r$d AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY sim DESC, vec_id) AS rank FROM s$d)
+           |  WHERE rank <= 10),
+           |h$d AS (SELECT CAST($d AS BIGINT) AS dims,
+           |    CAST(COUNT(*) AS BIGINT) AS hits
+           |  FROM r$d SEMI JOIN rf USING (q_id, vec_id))""".stripMargin
+      val blocks = Seq(8, 16, 32).map(block).mkString(",\n")
+      val union = Seq(8, 16, 32)
+        .map(d => s"SELECT dims, hits FROM h$d").mkString("\nUNION ALL ")
+      s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 5000),
+        |sf AS (SELECT q_id, e.vec_id,
+        |    list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM q CROSS JOIN embeddings e),
+        |rf AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, vec_id) AS rank FROM sf)
+        |  WHERE rank <= 10),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM rf),
+        |$blocks
+        |SELECT dims, hits, n_exact,
+        |  CAST((hits * 1000000) // n_exact AS BIGINT) AS recall_ppm
+        |FROM ($union) CROSS JOIN tt ORDER BY dims""".stripMargin
+    },
     "q_kcenter" -> {
       def dSql(src: String, cent: String): String =
         s"""SELECT m.vec_id,
