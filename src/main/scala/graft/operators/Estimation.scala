@@ -1267,6 +1267,105 @@ object Estimation {
     out
   }
 
+  /** A47 shared float texts — the per-cell mean is the ONE
+    * transcendental step, e6-quantized IMMEDIATELY after `exp` (the
+    * A40 rule) with a shared eta clamp so an early-Newton overshoot
+    * cannot overflow either engine; every gradient/Hessian term is
+    * then exact integer arithmetic. */
+  private val poisEtaSql = "w0 + w1*x1f + w2*x2f"
+  private val poisMu6Sql = "ROUND(1000000.0 * exp(LEAST(eta, 20.0)), 0)"
+
+  /** A47 exact integer per-cell terms (exactness-contracted, dialect
+    * free — the A40 rule): grad = x·(y − μ)·1e6, hess = x·x'·μ·1e6. */
+  private val poisSumDefs: Seq[(String, String)] = {
+    val g = "(yy*1000000 - mu6)"
+    Seq("gs0" -> g, "gs1" -> s"x1*$g", "gs2" -> s"x2*$g",
+        "hs00" -> "mu6", "hs01" -> "x1*mu6", "hs02" -> "x2*mu6",
+        "hs11" -> "x1*x1*mu6", "hs12" -> "x1*x2*mu6", "hs22" -> "x2*x2*mu6")
+  }
+
+  /** A47 Newton-step chain — the A40 adjugate solve with the Poisson
+    * 1e6 scaling (grad and hess share the single e6 factor). */
+  private val poisSolveDerivs: Seq[(String, String)] = Seq(
+    "gg0"  -> "CAST(gs0 AS DOUBLE)/1.0e6",
+    "gg1"  -> "CAST(gs1 AS DOUBLE)/1.0e6",
+    "gg2"  -> "CAST(gs2 AS DOUBLE)/1.0e6",
+    "aa00" -> "CAST(hs00 AS DOUBLE)/1.0e6",
+    "aa01" -> "CAST(hs01 AS DOUBLE)/1.0e6",
+    "aa02" -> "CAST(hs02 AS DOUBLE)/1.0e6",
+    "aa11" -> "CAST(hs11 AS DOUBLE)/1.0e6",
+    "aa12" -> "CAST(hs12 AS DOUBLE)/1.0e6",
+    "aa22" -> "CAST(hs22 AS DOUBLE)/1.0e6",
+    "ja00" -> "aa11*aa22 - aa12*aa12",
+    "ja01" -> "aa02*aa12 - aa01*aa22",
+    "ja02" -> "aa01*aa12 - aa02*aa11",
+    "ja11" -> "aa00*aa22 - aa02*aa02",
+    "ja12" -> "aa01*aa02 - aa00*aa12",
+    "ja22" -> "aa00*aa11 - aa01*aa01",
+    "det"  -> "aa00*ja00 + aa01*ja01 + aa02*ja02",
+    "dl0"  -> "(ja00*gg0 + ja01*gg1 + ja02*gg2)/det",
+    "dl1"  -> "(ja01*gg0 + ja11*gg1 + ja12*gg2)/det",
+    "dl2"  -> "(ja02*gg0 + ja12*gg1 + ja22*gg2)/det",
+    "nw0"  -> "w0 + dl0", "nw1" -> "w1 + dl1", "nw2" -> "w2 + dl2")
+
+  private val poisNewtonIters = 6
+
+  /** A47: Poisson regression (statsmodels GLM(Poisson)/sklearn
+    * PoissonRegressor intent, log link, Newton/IRLS) of the DAILY
+    * ORDER COUNT on (centered day index, weekend flag) — the
+    * count-GLM member of the family (A40 logistic is its binomial
+    * sibling): the fact collapses to the ≤\|days\| day domain (count
+    * per day = the Poisson response; weekday from epoch-day
+    * arithmetic, the B90 rule; the trend covariate CENTERED by the
+    * exact integral mean so Newton from zero is stable), the per-cell
+    * mean e6-quantizes right after `exp` ([[poisMu6Sql]]) making
+    * every gradient/Hessian sum exact integer arithmetic, and 6
+    * Newton iterations run the shared adjugate chain on a 1-row
+    * frame. Fit = ONE fact scan + corpus-independent iterations.
+    */
+  def qPoisson(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = orders(s, dir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).cast(dec).as("yy"))
+    val base = daily
+      .crossJoin(broadcast(daily.agg(min(col("day")).as("d0"))))
+      .select(col("yy"), datediff(col("day"), col("d0")).cast("long").as("t"),
+        (pmod(datediff(col("day"), lit("1970-01-01")) + 4, lit(7))
+          .isin(0, 6)).cast("long").as("wkd"))
+    val tb = base.agg(expr("sum(t) div count(1)").as("tbar"))
+    val cells0 = base.crossJoin(broadcast(tb))
+      .select(col("yy"), (col("t") - col("tbar")).cast(dec).as("x1"),
+              col("wkd").cast(dec).as("x2"))
+      .withColumn("x1f", col("x1").cast("double"))
+      .withColumn("x2f", col("x2").cast("double"))
+    val cells = graft.core.Materialize.pin(cells0)
+    var w: DataFrame = s.range(1).select(
+      lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"))
+    for (_ <- 1 to poisNewtonIters) {
+      val terms = cells.crossJoin(broadcast(w))
+        .withColumn("eta", expr(poisEtaSql))
+        .withColumn("mu6", expr(s"CAST($poisMu6Sql AS DECIMAL(38,0))"))
+      val aggs = poisSumDefs.map { case (nm, f) =>
+        sum(expr(f)).cast(dec).as(nm) }
+      val sums = terms.groupBy(col("w0"), col("w1"), col("w2"))
+        .agg(aggs.head, aggs.tail: _*)
+      val der = poisSolveDerivs.foldLeft(sums) {
+        case (acc, (nm, f)) => acc.withColumn(nm, expr(f))
+      }
+      w = der.select(col("nw0").as("w0"), col("nw1").as("w1"),
+                     col("nw2").as("w2"))
+    }
+    val tot = cells.agg(count(lit(1)).as("n_days"),
+      sum(col("yy")).cast("long").as("n_orders"))
+    val out = graft.core.Materialize.pin(
+      w.crossJoin(broadcast(tot))
+        .select(dec6(col("w0")).as("w0"), dec6(col("w1")).as("w1"),
+                dec6(col("w2")).as("w2"), col("n_days"), col("n_orders")))
+    graft.core.Materialize.release(cells)
+    out
+  }
+
   /** A45 shared float texts: the per-row prediction is the ONE float
     * step on the data path and it quantizes to exact cents IMMEDIATELY
     * (the A40 rule applied to regression) — residual, Huber weight
@@ -2287,6 +2386,48 @@ object Estimation {
           |  CAST(SUM((1-pred)*actual) AS BIGINT) AS fn,
           |  CAST(SUM((1-pred)*(1-actual)) AS BIGINT) AS tn
           |FROM sc GROUP BY w0, w1, w2""".stripMargin
+      },
+      "q_poisson" -> {
+        val sumsSel = poisSumDefs.map { case (nm, f) => s"SUM($f) AS $nm" }
+          .mkString(",\n    ")
+        def iter(i: Int): String = {
+          val prev = if (i == 1) "w0cte" else s"w${i - 1}"
+          val chain = poisSolveDerivs.zipWithIndex.map { case ((nm, f), j) =>
+            s"s${i}_${j + 1} AS (SELECT *, $f AS $nm FROM s${i}_$j)"
+          }.mkString(",\n")
+          s"""c$i AS (SELECT cells.*, w0, w1, w2, $poisEtaSql AS eta
+             |  FROM cells CROSS JOIN $prev),
+             |p$i AS (SELECT *, CAST($poisMu6Sql AS HUGEINT) AS mu6 FROM c$i),
+             |s${i}_0 AS (SELECT w0, w1, w2,
+             |    $sumsSel
+             |  FROM p$i GROUP BY 1,2,3),
+             |$chain,
+             |w$i AS (SELECT nw0 AS w0, nw1 AS w1, nw2 AS w2
+             |  FROM s${i}_${poisSolveDerivs.length})""".stripMargin
+        }
+        val iters = (1 to poisNewtonIters).map(iter).mkString(",\n")
+        s"""WITH daily AS (SELECT o_orderdate AS day,
+          |    CAST(COUNT(*) AS HUGEINT) AS yy FROM orders GROUP BY 1),
+          |d0 AS (SELECT MIN(day) AS d0 FROM daily),
+          |b AS (SELECT yy,
+          |    CAST(date_diff('day', d0.d0, CAST(day AS DATE)) AS BIGINT) AS t,
+          |    CASE WHEN (date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) + 4)
+          |      % 7 IN (0, 6) THEN 1 ELSE 0 END AS wkd
+          |  FROM daily CROSS JOIN d0),
+          |tb AS (SELECT SUM(t) // COUNT(*) AS tbar FROM b),
+          |cells AS (SELECT yy, CAST(t - tbar AS HUGEINT) AS x1,
+          |    CAST(wkd AS HUGEINT) AS x2,
+          |    CAST(t - tbar AS DOUBLE) AS x1f, CAST(wkd AS DOUBLE) AS x2f
+          |  FROM b CROSS JOIN tb),
+          |w0cte AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+          |$iters,
+          |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+          |    CAST(SUM(yy) AS BIGINT) AS n_orders FROM cells)
+          |SELECT CAST(ROUND(w0, 6) AS DECIMAL(18,6))::DOUBLE AS w0,
+          |  CAST(ROUND(w1, 6) AS DECIMAL(18,6))::DOUBLE AS w1,
+          |  CAST(ROUND(w2, 6) AS DECIMAL(18,6))::DOUBLE AS w2,
+          |  n_days, n_orders
+          |FROM w$poisNewtonIters CROSS JOIN tot""".stripMargin
       },
       "q_huber" -> {
         val sumSql = hubSumDefs.map { case (nm, f) =>

@@ -1227,6 +1227,93 @@ object Relational {
       .orderBy(col("model"), col("touch_type"))
   }
 
+  /** B105: first-order Markov transition matrix over the event stream
+    * — the "user journey" analysis behind funnel design (which step
+    * follows which, and how often): per-user (ts, event_id)-ordered
+    * lag gives each event its predecessor type, transition counts
+    * aggregate over the ≤|types|² domain, and the row-conditional
+    * probability is an EXACT integral-division PPM (n_ab·10⁶ div
+    * n_a·) — float-free. One user-key shuffle (the B10 sessionization
+    * shuffle), per-user bounded windows, then a ≤25-key aggregate. At
+    * 100 TB: identical plan; the transition frame is
+    * domain-bounded.
+    */
+  def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTot = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(fromTot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        expr("CAST((n * 1000000) div n_from AS BIGINT)").as("p_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** B106: Kaplan–Meier survival estimate of time-to-purchase after
+    * signup (right-censored at the study end — the retention/
+    * conversion-latency curve every product team reads): per-user
+    * first signup and first subsequent purchase (one user-key
+    * aggregate), exact integer day durations from epoch-µs floor
+    * division (calendar-free), censored users carry the study-end
+    * duration. The curve collapses to the ≤|days| DURATION DOMAIN:
+    * risk sets n_i from a reverse cumulative over the day frame, and
+    * the survival product S ← (S·(n−d)) div n runs as an EXACT
+    * INTEGRAL recursion over the bounded frame (the B96/A38 sequential
+    * posture; e6 scale, no float anywhere — the oracle replays the
+    * identical integer recursion as a recursive CTE). At 100 TB: one
+    * user-key shuffle, then domain-bounded work.
+    */
+  def qKaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val ev = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .join(su, "user_id")
+      .filter(col("ts") >= col("s_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    val endTs = ev.agg(max(col("ts")).as("end_ts"))
+    val dur = su.join(firstP, Seq("user_id"), "left_outer")
+      .crossJoin(broadcast(endTs))
+      .select(
+        expr("(unix_micros(coalesce(p_ts, end_ts)) - unix_micros(s_ts)) " +
+             "div 86400000000").as("dur"),
+        col("p_ts").isNotNull.cast("long").as("ev"))
+    val days = dur.groupBy(col("dur"))
+      .agg(sum(col("ev")).as("d"), count(lit(1)).as("tot"))
+    val wr = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val km = days
+      .withColumn("n_risk", sum(col("tot")).over(wr))
+      .filter(col("d") > 0)
+      .select(col("dur"), col("d"), col("n_risk"))
+    val outSchema = StructType(Seq(
+      StructField("dur_days", LongType, nullable = false),
+      StructField("d_events", LongType, nullable = false),
+      StructField("n_risk", LongType, nullable = false),
+      StructField("surv_e6", LongType, nullable = false)))
+    km.coalesce(1).sortWithinPartitions(col("dur"))
+      .select(col("dur").cast("long"), col("d").cast("long"),
+              col("n_risk").cast("long"))
+      .mapPartitions { it =>
+        var sE6 = 1000000L
+        it.map { r =>
+          val (t, d, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+          sE6 = sE6 * (n - d) / n
+          Row(t, d, n, sE6)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .orderBy(col("dur_days"))
+  }
+
   /** B51: sketch-vs-exact quantile contract — the scale path for
     * percentiles is approx_percentile (one pass, mergeable, no global
     * sort); this query GATES its documented accuracy=10⁴ bound against
@@ -2912,6 +2999,48 @@ object Relational {
         |  CAST(MIN(CASE WHEN cum >= k1 THEN sl END) AS BIGINT) AS m_lo,
         |  CAST(MIN(CASE WHEN cum >= k2 THEN sl END) AS BIGINT) AS m_hi
         |FROM cm CROSS JOIN k GROUP BY np""".stripMargin,
+    "q_kaplan_meier" ->
+      """WITH RECURSIVE su AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |fp AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts GROUP BY 1),
+        |en AS (SELECT MAX(ts) AS end_ts FROM events),
+        |du AS (SELECT (epoch_us(COALESCE(p_ts, end_ts)) - epoch_us(s_ts))
+        |      // 86400000000 AS dur,
+        |    CASE WHEN p_ts IS NULL THEN 0 ELSE 1 END AS e
+        |  FROM su LEFT JOIN fp USING (user_id) CROSS JOIN en),
+        |dy AS (SELECT dur, CAST(SUM(e) AS BIGINT) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS tot FROM du GROUP BY 1),
+        |rk AS (SELECT dur, d, SUM(tot) OVER (ORDER BY dur DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk FROM dy),
+        |km AS (SELECT dur, d, n_risk,
+        |    ROW_NUMBER() OVER (ORDER BY dur) AS i FROM rk WHERE d > 0),
+        |r(i, dur, d, n_risk, sv) AS (
+        |  SELECT i, dur, d, n_risk,
+        |    (CAST(1000000 AS HUGEINT) * (n_risk - d)) // n_risk
+        |  FROM km WHERE i = 1
+        |  UNION ALL
+        |  SELECT km.i, km.dur, km.d, km.n_risk,
+        |    (r.sv * (km.n_risk - km.d)) // km.n_risk
+        |  FROM r JOIN km ON km.i = r.i + 1)
+        |SELECT CAST(dur AS BIGINT) AS dur_days, d AS d_events,
+        |  CAST(n_risk AS BIGINT) AS n_risk, CAST(sv AS BIGINT) AS surv_e6
+        |FROM r ORDER BY dur_days""".stripMargin,
+    "q_transitions" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev AS from_type, event_type AS to_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |  FROM c GROUP BY 1)
+        |SELECT from_type, to_type, n, n_from,
+        |  CAST((n * 1000000) // n_from AS BIGINT) AS p_ppm
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     "q_attribution" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_type,
         |    CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END AS touch

@@ -869,6 +869,41 @@ object EventStreams {
         })
   }
 
+  /** F31 state/output: O(1) per user — the previous event type and the
+    * event-id watermark. */
+  final case class TransState(prevType: String, lastEvent: Long)
+  final case class TransOut(user_id: Long, event_id: Long,
+                            from_type: String, to_type: String)
+
+  /** F31: streaming journey transitions (online twin of B105): each
+    * arrival pairs with its per-user PREDECESSOR type from O(1) state
+    * (the batch query's lag window, incrementalized; first event per
+    * user emits nothing, exactly like lag's null row), replay below
+    * the event-id watermark dropped (F13 discipline). Downstream the
+    * pairs feed the same ≤\|types\|² count aggregate as the batch
+    * matrix — StreamingSpec pins stream pairs == batch lag pairs
+    * exactly.
+    */
+  def transitionStream(in: Dataset[AttrEvent]): Dataset[TransOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[AttrEvent], state: GroupState[TransState]) => {
+          var st = state.getOption.getOrElse(TransState(null, Long.MinValue))
+          val out = batch.toArray.sortBy(_.event_id).iterator
+            .filter(_.event_id > st.lastEvent)
+            .flatMap { e =>
+              val res =
+                if (st.prevType == null) None
+                else Some(TransOut(uid, e.event_id, st.prevType, e.event_type))
+              st = TransState(e.event_type, e.event_id)
+              res
+            }.toArray // drain before update: st must hold the final state
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** F27: streaming first-digit audit (batch twin B89) — the Benford
     * fraud/fabrication screen attached to an unbounded stream: the
     * first digit of the exact cent amount (integer→string head, no

@@ -239,6 +239,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F31 streaming transition pairs equal the batch lag pairs; replay-safe") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{AttrEvent, TransOut}
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us", "event_type")
+      .collect()
+      .map(r => AttrEvent(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    val input = MemoryStream[AttrEvent]
+    val q = EventStreams.transitionStream(input.toDS())
+      .writeStream.format("memory").queryName("trans_out").outputMode("update").start()
+    try {
+      val (b1, b2) = ev.partition(_.event_id < ev.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b1.take(300)); q.processAllAvailable() // replay: no dup pairs
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("trans_out").as[TransOut].collect()
+        .map(t => (t.user_id, t.event_id, t.from_type, t.to_type)).toSet
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val expected = graft.sources.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                lag(col("event_type"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getString(2)))
+        .toSet
+      assert(got == expected && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("F14 streaming SemDeDup equals batch semDedup across id-interleaved batches") {
     import spark.implicits._
     import graft.operators.Similarity
