@@ -240,6 +240,33 @@ object Multimodal {
         |  CAST(SUM(CASE WHEN t >= st+1 AND (ps < 0) <> (s < 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
         |  CAST(ROUND(sqrt(CAST(SUM(s*s) AS DOUBLE)/COUNT(*)),4) AS DECIMAL(18,4))::DOUBLE AS rms
         |FROM j GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_mm_curate" ->
+      """WITH tg AS (SELECT doc_id,
+        |    CASE WHEN LEN(string_split(text,' ')) >= 30
+        |      AND LEN(list_distinct(string_split(text,' '))) * 5
+        |          >= LEN(string_split(text,' ')) THEN 1 ELSE 0 END AS t_ok
+        |  FROM documents),
+        |d AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id,
+        |    (7*doc_id + 3*x + 5*y) % 256 AS r,
+        |    (11*doc_id + x + 2*y) % 256 AS g,
+        |    (13*doc_id + 2*x + y) % 256 AS b
+        |  FROM d, (SELECT unnest(range(24)) AS x), (SELECT unnest(range(16)) AS y)
+        |  WHERE x < w AND y < h),
+        |ig AS (SELECT doc_id, CASE WHEN COUNT(*) >= 128
+        |    AND SUM(r)*299 + SUM(g)*587 + SUM(b)*114
+        |        BETWEEN COUNT(*)*80000 AND COUNT(*)*180000
+        |    THEN 1 ELSE 0 END AS i_ok
+        |  FROM px GROUP BY 1),
+        |p AS (SELECT tg.doc_id, t_ok, i_ok FROM tg JOIN ig USING (doc_id)),
+        |dg AS (SELECT md5(COALESCE(STRING_AGG(doc_id, ',' ORDER BY doc_id), ''))
+        |    AS kept_md5
+        |  FROM p WHERE t_ok = 1 AND i_ok = 1)
+        |SELECT CAST(t_ok AS BIGINT) AS t_ok, CAST(i_ok AS BIGINT) AS i_ok,
+        |  CAST(COUNT(*) AS BIGINT) AS n, kept_md5
+        |FROM p CROSS JOIN dg GROUP BY 1, 2, kept_md5
+        |ORDER BY 1, 2""".stripMargin,
     "q_media_cross_dedup" ->
       s"""WITH d AS (SELECT doc_id AS c, CAST(8 + doc_id % 16 AS BIGINT) AS w,
         |    CAST(8 + doc_id % 8 AS BIGINT) AS h,
@@ -851,6 +878,42 @@ object Multimodal {
       .groupBy(col("digest"))
       .agg(count(lit(1)).as("n_members"), min(col("media_id")).as("keeper"))
       .orderBy(col("keeper"))
+  }
+
+  /** E13: cross-modal curation JOIN — the decision step of every
+    * image–text training pipeline (LAION/DataComp shape: a pair
+    * survives only if BOTH modalities pass their gates): the text
+    * gate is exact integer arithmetic over word counts (≥30 words AND
+    * ≥20% distinct — 5·|distinct| ≥ |words|, no float ratios), the
+    * image gate runs over the REAL decoded pixels (≥128 px AND mean
+    * luminance inside the mid band — 80000·n ≤ 299ΣR+587ΣG+114ΣB ≤
+    * 180000·n, exact integers), and the paired verdict is one
+    * doc_id-key join. Publishes the 2×2 gate census plus an md5
+    * digest of the sorted surviving ids — a single flipped verdict
+    * anywhere changes the digest. Scale shape: two linear passes
+    * (text, decode) + one key join; the census is 4 rows.
+    */
+  def qMmCurate(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val tg = documents(s, dir).select(col("doc_id"),
+      (size(ws) >= 30 &&
+       size(array_distinct(ws)) * 5 >= size(ws)).as("t_ok"))
+    val ig = decodeStats(synthesizeBmp(s, dir))
+      .select(col("media_id").as("doc_id"),
+        (col("n_px") >= 128L &&
+         (col("sum_r") * 299 + col("sum_g") * 587 + col("sum_b") * 114)
+           .between(col("n_px") * 80000L, col("n_px") * 180000L)).as("i_ok"))
+    val paired = tg.join(ig, "doc_id")
+    val digest = paired.filter(col("t_ok") && col("i_ok"))
+      .agg(md5(array_join(transform(
+        sort_array(collect_list(col("doc_id"))), _.cast("string")), ","))
+        .as("kept_md5"))
+    paired.groupBy(col("t_ok"), col("i_ok"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(digest))
+      .select(col("t_ok").cast("long").as("t_ok"),
+              col("i_ok").cast("long").as("i_ok"), col("n"), col("kept_md5"))
+      .orderBy(col("t_ok"), col("i_ok"))
   }
 
   private[graft] def encodeBmp(id: Long): Array[Byte] = {
