@@ -199,6 +199,13 @@ final class RasterScanBuilder(w: Long, h: Long, rowsPerBatch: Long = 16L)
 
 final case class RasterStripe(w: Long, yStart: Long, yEnd: Long,
                               fields: Seq[String]) extends InputPartition
+    with HasPartitionKey {
+  /** G9: the stripe's partition key — meaningful (and reported via
+    * `SupportsReportPartitioning`) only when the stripe holds a single
+    * grid row; multi-row stripes are never published as key-grouped. */
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](java.lang.Long.valueOf(yStart)))
+}
 
 /** G2 pushed-aggregate scan: each stripe reduces to ONE partial row in
   * the reader (count/valid/min/max/sum over its cells, NoData-aware);
@@ -281,7 +288,31 @@ final class RasterAggScan(w: Long, yMin: Long, yMax: Long,
 final class RasterScan(w: Long, yMin: Long, yMax: Long, required: StructType,
                        rowsPerBatch: Long = 16L)
     extends Scan with Batch with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsReportPartitioning {
+
+  /** G9: `SupportsReportPartitioning` — when every planned stripe
+    * holds exactly ONE grid row (small grids, or a G7 runtime filter
+    * that pruned to single rows), the scan reports
+    * KeyGroupedPartitioning on y, and under
+    * `spark.sql.sources.v2.bucketing.enabled` Spark can skip the
+    * shuffle for y-clustered operations — the storage-partitioned
+    * (Iceberg SPJ) posture. Multi-row stripes honestly report
+    * UnknownPartitioning: claiming a grouping the layout doesn't have
+    * would be a correctness bug, not an optimization.
+    */
+  override def outputPartitioning(): partitioning.Partitioning = {
+    val parts = planInputPartitions()
+    val singleRow = parts.nonEmpty &&
+      required.fieldNames.contains("y") && parts.forall {
+        case s: RasterStripe => s.yStart == s.yEnd
+        case _               => false
+      }
+    if (singleRow)
+      new partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity("y")), parts.length)
+    else new partitioning.UnknownPartitioning(parts.length)
+  }
   // G7: runtime-tightened bounds — start at the planning-time range and
   // shrink when Spark delivers a join-derived filter at execution time
   private var rtMin = yMin

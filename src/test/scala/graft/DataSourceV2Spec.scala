@@ -231,6 +231,37 @@ class DataSourceV2Spec extends AnyFunSuite {
       "no runtime filter reached the raster scan")
   }
 
+  test("G9: single-row stripes report KeyGroupedPartitioning on y; ranges stay Unknown") {
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    val small = scanOf(v2(120, 6)).scan.asInstanceOf[RasterScan]
+    assert(small.outputPartitioning().isInstanceOf[KeyGroupedPartitioning])
+    val ranged = scanOf(v2(120, 80)).scan.asInstanceOf[RasterScan]
+    assert(ranged.outputPartitioning().isInstanceOf[UnknownPartitioning])
+    // pruning y away must withdraw the claim (the key is not in output)
+    val noY = scanOf(v2(120, 6).select(col("v"))).scan.asInstanceOf[RasterScan]
+    assert(noY.outputPartitioning().isInstanceOf[UnknownPartitioning])
+  }
+
+  test("G9: under v2 bucketing a y-grouped aggregate skips the shuffle") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val df = v2(120, 6).groupBy(col("y"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      val exchanges = df.queryExecution.executedPlan.toString
+        .split("\n").count(_.contains("Exchange"))
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val exp = graft.sources.Synthetic.rasterGrid(spark, 120, 6)
+        .groupBy(col("y")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(got.sameElements(exp))
+      assert(exchanges == 0,
+        s"y-grouped aggregate still shuffles with reported partitioning:\n" +
+          df.queryExecution.executedPlan.toString.take(1500))
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("G8: reported statistics shrink with pruning and drive broadcast selection") {
     // stats track the filter-tightened range and the projected width
     val full = scanOf(v2(120, 80)).scan.asInstanceOf[RasterScan]
