@@ -1591,6 +1591,48 @@ object TextOps {
     out
   }
 
+  /** A48 statistic — ONE shared float text over the four exact pair
+    * counts (the only float step; everything upstream is integer
+    * combinatorics). */
+  private val ariSql =
+    "(CAST(sij AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sb AS DOUBLE)/CAST(stot AS DOUBLE)) / " +
+      "((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))/2.0 - " +
+       "CAST(sa AS DOUBLE)*CAST(sb AS DOUBLE)/CAST(stot AS DOUBLE))"
+
+  /** A48: adjusted Rand index (sklearn adjusted_rand_score — the
+    * chance-corrected agreement metric) between the C4 language-ID
+    * partition and the gold lang labels: the contingency table is
+    * C26's confusion frame, and every Σ C(·,2) pair count is EXACT
+    * integer combinatorics over it (cell, row-margin, column-margin,
+    * total — integral divisions by 2 on even products); only the
+    * published ARI is float, via the shared [[ariSql]] text. The
+    * metric generalizes to ANY two partitions of the corpus (cluster
+    * vs label, two clusterings) at the cost of one ≤\|classes\|²
+    * aggregate. At 100 TB: one fact pass + tiny-frame combinatorics.
+    */
+  def qAri(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cont = documents(s, dir)
+      .select(col("lang").as("gold"),
+        langPred(T.words(col("text"))).as("pred"))
+      .groupBy(col("gold"), col("pred"))
+      .agg(count(lit(1)).cast(dec).as("nij"))
+    val x = cont.agg(
+      sum(expr("(nij * (nij - 1)) div 2")).cast(dec).as("sij"),
+      sum(col("nij")).cast(dec).as("nn"))
+    val ra = cont.groupBy(col("gold")).agg(sum(col("nij")).as("ai"))
+      .agg(sum(expr("(ai * (ai - 1)) div 2")).cast(dec).as("sa"))
+    val rb = cont.groupBy(col("pred")).agg(sum(col("nij")).as("bj"))
+      .agg(sum(expr("(bj * (bj - 1)) div 2")).cast(dec).as("sb"))
+    x.crossJoin(broadcast(ra)).crossJoin(broadcast(rb))
+      .withColumn("stot", expr("CAST((nn * (nn - 1)) div 2 AS DECIMAL(38,0))"))
+      .select(col("nn").cast("long").as("n_rows"),
+              col("sij").cast("long").as("sij"),
+              col("sa").cast("long").as("sa"),
+              col("sb").cast("long").as("sb"),
+              graft.functions.dec6(expr(ariSql)).as("ari"))
+  }
+
   /** C26: language-ID confusion matrix — the evaluation primitive for
     * the C4 classifier: (gold, predicted) counts over the corpus, one
     * small-key aggregate after the codegen'd prediction.
@@ -2392,6 +2434,22 @@ object TextOps {
         |SELECT d.lang AS gold_lang, p.pred_lang, COUNT(*) AS n
         |FROM documents d JOIN pred p USING (doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_ari" ->
+      s"""WITH $langPredCteSql,
+        |cont AS (SELECT d.lang AS gold, p.pred_lang AS pred,
+        |    CAST(COUNT(*) AS HUGEINT) AS nij
+        |  FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2),
+        |x AS (SELECT SUM((nij*(nij-1))//2) AS sij, SUM(nij) AS nn FROM cont),
+        |ra AS (SELECT SUM((ai*(ai-1))//2) AS sa
+        |  FROM (SELECT SUM(nij) AS ai FROM cont GROUP BY gold)),
+        |rb AS (SELECT SUM((bj*(bj-1))//2) AS sb
+        |  FROM (SELECT SUM(nij) AS bj FROM cont GROUP BY pred)),
+        |f AS (SELECT nn, sij, sa, sb, (nn*(nn-1))//2 AS stot
+        |  FROM x CROSS JOIN ra CROSS JOIN rb)
+        |SELECT CAST(nn AS BIGINT) AS n_rows, CAST(sij AS BIGINT) AS sij,
+        |  CAST(sa AS BIGINT) AS sa, CAST(sb AS BIGINT) AS sb,
+        |  CAST(ROUND($ariSql, 6) AS DECIMAL(18,6))::DOUBLE AS ari
+        |FROM f""".stripMargin,
     "q_outliers" ->
       """WITH b AS (SELECT quantile_cont(n_chars, 0.25) AS q1,
         |    quantile_cont(n_chars, 0.75) AS q3 FROM documents)
