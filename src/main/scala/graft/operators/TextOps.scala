@@ -1591,6 +1591,80 @@ object TextOps {
     out
   }
 
+  /** The A46 fit as a BROADCASTABLE ARTIFACT (the C33 lmFit posture):
+    * per-class (default, prior) e6 integers plus the seen-pair delta
+    * map — everything the F32 streaming scorer needs, O(classes +
+    * seen pairs) on the driver.
+    */
+  final case class NbModel(classes: Array[String], dflt: Array[Long],
+                           prior: Array[Long],
+                           delta: Map[String, Array[Long]]) {
+    /** Score one tokenized document exactly like the A46 query:
+      * prior + toks·default + Σ count·delta over seen pairs, argmax
+      * with the class-name tie-break (classes are sorted). */
+    def predict(words: Iterator[String]): String = {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      var toks = 0L
+      words.foreach { w =>
+        if (w.nonEmpty) { toks += 1; counts.update(w, counts.getOrElse(w, 0L) + 1L) }
+      }
+      var best = 0
+      var bestScore = Long.MinValue
+      var c = 0
+      while (c < classes.length) {
+        var s = prior(c) + toks * dflt(c)
+        counts.foreach { case (w, n) =>
+          delta.get(w).foreach(arr => s += n * arr(c))
+        }
+        if (s > bestScore) { bestScore = s; best = c } // ties: first (sorted) class
+        c += 1
+      }
+      classes(best)
+    }
+  }
+
+  /** Collect the A46 fit into an [[NbModel]] — one vocab-bounded
+    * driver collect of the same frames the gate query builds. */
+  def nbFit(s: SparkSession, dir: String): NbModel = {
+    val docs = documents(s, dir).select(col("doc_id"), col("source"))
+    val toks = documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val labeled = toks.join(broadcast(docs), "doc_id")
+    val nwc = labeled.groupBy(col("source"), col("word"))
+      .agg(sum(col("cnt")).as("nwc"))
+    val perClass = nwc.groupBy(col("source")).agg(sum(col("nwc")).as("nc"))
+    val vocab = toks.select(col("word")).distinct().agg(count(lit(1)).as("vv"))
+    val priors = docs.groupBy(col("source")).agg(count(lit(1)).as("ndc"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
+    val cb = perClass.crossJoin(broadcast(vocab)).join(broadcast(priors), "source")
+      .select(col("source"), col("nc"), col("vv"),
+        expr(s"CAST($nbDfltSql AS BIGINT)").as("dflt_e6"),
+        expr(s"CAST($nbPriorSql AS BIGINT)").as("prior_e6"))
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val classes = cb.map(_._1)
+    val idx = classes.zipWithIndex.toMap
+    NbModel(classes, cb.map(_._2), cb.map(_._3),
+      nwc.join(broadcast(perClass), "source")
+        .crossJoin(broadcast(vocab))
+        .select(col("word"), col("source"),
+          (expr(s"CAST($nbLnSql AS BIGINT)")).as("ln_e6"))
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (w, rows) =>
+          val arr = new Array[Long](classes.length)
+          // delta = lnθ − class default; unseen classes stay 0
+          rows.foreach { r =>
+            val c = idx(r.getString(1))
+            arr(c) = r.getLong(2) - cb(c)._2
+          }
+          w -> arr
+        })
+  }
+
   /** A48 statistic — ONE shared float text over the four exact pair
     * counts (the only float step; everything upstream is integer
     * combinatorics). */

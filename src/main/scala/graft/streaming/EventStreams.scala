@@ -869,6 +869,32 @@ object EventStreams {
         })
   }
 
+  /** F32: streaming domain classification (batch twin A46, the F16
+    * fit-artifact posture): the multinomial-NB weights are a STATIC
+    * broadcast model fit once batch-side ([[graft.operators.TextOps
+    * .nbFit]]), and each arriving document scores STATELESSLY inside
+    * its micro-batch — tokenize, exact e6-integer class scores, argmax
+    * — no state store at all (the ideal streaming shape: curation
+    * models are fit artifacts, scoring attaches to any stream
+    * unchanged).
+    */
+  def nbClassifyStream(docs: DataFrame,
+                       model: graft.operators.TextOps.NbModel): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("predicted", StringType, nullable = false)))
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    docs.select(col("doc_id"), col("text"))
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { r =>
+          Row(r.getLong(0), m.predict(r.getString(1).split(' ').iterator))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** F31 state/output: O(1) per user — the previous event type and the
     * event-id watermark. */
   final case class TransState(prevType: String, lastEvent: Long)

@@ -271,6 +271,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F32 streaming NB classification aggregates to the oracled batch confusion") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val model = graft.operators.TextOps.nbFit(spark, sfDir)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.nbClassifyStream(
+        input.toDS().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("nb_out").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.partition(_._1 < docs.length / 2)
+      input.addData(b1.map(d => (d._1, d._2))); q.processAllAvailable()
+      input.addData(b2.map(d => (d._1, d._2))); q.processAllAvailable()
+      val srcOf = docs.map(d => d._1 -> d._3).toMap
+      // the stream's per-doc predictions, aggregated to a confusion,
+      // must equal the ORACLED batch query row for row — two
+      // independent implementations (kernel vs DataFrame), one contract
+      val got = spark.table("nb_out").collect()
+        .map(r => (srcOf(r.getLong(0)), r.getString(1)))
+        .groupBy(identity).map { case ((a, p), xs) => (a, p, xs.length.toLong) }
+        .toSet
+      val batch = graft.operators.TextOps.qMultinomialNb(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == batch && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("F14 streaming SemDeDup equals batch semDedup across id-interleaved batches") {
     import spark.implicits._
     import graft.operators.Similarity
