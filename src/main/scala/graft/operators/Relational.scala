@@ -1227,6 +1227,41 @@ object Relational {
       .orderBy(col("model"), col("touch_type"))
   }
 
+  /** B107: TIME-CONSTRAINED funnel (the deadline form of B50 —
+    * conversion only counts if each step lands inside its window:
+    * click ≤ 1 h after first view, purchase ≤ 24 h after that click):
+    * three user-key aggregate passes, each anchoring the next step's
+    * conditional min on the previous anchor (earliest-qualifying
+    * chain, the standard greedy funnel semantics), deadlines compared
+    * in exact epoch-µs integers. Publishes per-stage user counts and
+    * the exact summed view→purchase latency of full conversions. At
+    * 100 TB: three shuffles on the SAME user key (co-partitioned
+    * reuse), no self-join, no windows over the fact.
+    */
+  def qFunnelDeadline(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val dayUs = 24L * hourUs
+    val ev = events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("tv"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("t") > col("tv") && col("t") <= col("tv") + hourUs)
+      .groupBy(col("user_id"), col("tv")).agg(min(col("t")).as("tc"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("t") > col("tc") && col("t") <= col("tc") + dayUs)
+      .groupBy(col("user_id"), col("tv"), col("tc"))
+      .agg(min(col("t")).as("tp"))
+    v.agg(count(lit(1)).as("n_view")).crossJoin(
+        broadcast(c.agg(count(lit(1)).as("n_click_1h"))))
+      .crossJoin(broadcast(p.agg(
+        count(lit(1)).as("n_purchase_24h"),
+        coalesce(sum(col("tp") - col("tv")), lit(0L)).as("sum_latency_us"))))
+  }
+
   /** B105: first-order Markov transition matrix over the event stream
     * — the "user journey" analysis behind funnel design (which step
     * follows which, and how often): per-user (ts, event_id)-ordered
@@ -2999,6 +3034,24 @@ object Relational {
         |  CAST(MIN(CASE WHEN cum >= k1 THEN sl END) AS BIGINT) AS m_lo,
         |  CAST(MIN(CASE WHEN cum >= k2 THEN sl END) AS BIGINT) AS m_hi
         |FROM cm CROSS JOIN k GROUP BY np""".stripMargin,
+    "q_funnel_deadline" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |v AS (SELECT user_id, MIN(t) AS tv FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT ev.user_id, tv, MIN(t) AS tc
+        |  FROM ev JOIN v ON ev.user_id = v.user_id
+        |  WHERE event_type = 'click' AND t > tv AND t <= tv + 3600000000
+        |  GROUP BY 1, 2),
+        |p AS (SELECT ev.user_id, tv, tc, MIN(t) AS tp
+        |  FROM ev JOIN c ON ev.user_id = c.user_id
+        |  WHERE event_type = 'purchase' AND t > tc
+        |    AND t <= tc + 86400000000
+        |  GROUP BY 1, 2, 3)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_1h,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_24h,
+        |  (SELECT CAST(COALESCE(SUM(tp - tv), 0) AS BIGINT) FROM p)
+        |    AS sum_latency_us""".stripMargin,
     "q_kaplan_meier" ->
       """WITH RECURSIVE su AS (SELECT user_id, MIN(ts) AS s_ts FROM events
         |  WHERE event_type = 'signup' GROUP BY 1),

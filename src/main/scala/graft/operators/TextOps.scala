@@ -291,6 +291,38 @@ object TextOps {
     jaccardVerify(sets, cand, tau = 0.5)
   }
 
+  /** C45: INCREMENTAL dedup against a registry — the "dedup the new
+    * crawl against the existing corpus" shape every ingest pipeline
+    * runs (the registry is indexed ONCE; arrivals probe it — never a
+    * corpus self-join): the C6 MinHash-LSH bands split into a registry
+    * side (doc_id % 3 == 0, the standing index) and an arrival side,
+    * candidates come from the ASYMMETRIC band equi-join (arrival →
+    * registry only — cost O(arrivals × bands), the self-join's
+    * quadratic-corpus term is gone by construction), and survivors
+    * verify with the exact-Jaccard kernel off the same pinned shingle
+    * sets. At 100 TB the registry bands are a bucketed table and each
+    * ingest batch joins against it — this query IS that plan at gate
+    * scale.
+    */
+  def qRegistryDedup(s: SparkSession, dir: String): DataFrame = {
+    val sets = graft.core.Materialize.pin(shingled(s, dir))
+    val sig = signaturesFrom(sets)
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+             concat_ws("#", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey")))
+    val bands = sig
+      .filter(col("sig0").isNotNull)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val arr = bands.filter(col("doc_id") % 3 =!= 0)
+      .select(col("band"), col("bkey"), col("doc_id").as("a_id"))
+    val reg = bands.filter(col("doc_id") % 3 === 0)
+      .select(col("band"), col("bkey"), col("doc_id").as("b_id"))
+    val cand = arr.join(reg, Seq("band", "bkey"))
+      .select(col("a_id"), col("b_id")).distinct()
+    jaccardVerify(sets, cand, tau = 0.5)
+  }
+
   /** C7: n-gram Jaccard similarity join — inverted index over shingles,
     * blocked on rare shingles (df ≤ 5) to cap join fanout, then exact
     * Jaccard ≥ 0.5.
@@ -2571,6 +2603,24 @@ object TextOps {
         |  FROM bands x JOIN bands y
         |  ON x.band=y.band AND x.bkey=y.bkey AND x.doc_id<y.doc_id)
         |$jacSelSql""".stripMargin,
+    "q_registry_dedup" ->
+      s"""WITH $baseSql,
+        |$sigSql,
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, sig0 || '#' || sig1 AS bkey FROM sig UNION ALL
+        |  SELECT doc_id, 1, sig2 || '#' || sig3 FROM sig UNION ALL
+        |  SELECT doc_id, 2, sig4 || '#' || sig5 FROM sig UNION ALL
+        |  SELECT doc_id, 3, sig6 || '#' || sig7 FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM bands x JOIN bands y
+        |  ON x.band=y.band AND x.bkey=y.bkey
+        |  WHERE x.doc_id % 3 <> 0 AND y.doc_id % 3 = 0)
+        |SELECT c.a_id, c.b_id,
+        |  CAST(ROUND(i/(sa.n+sb.n-i),4) AS DECIMAL(18,4))::DOUBLE AS jaccard
+        |FROM cand c JOIN ip ON ip.a_id=LEAST(c.a_id,c.b_id)
+        |  AND ip.b_id=GREATEST(c.a_id,c.b_id)
+        |JOIN sz sa ON sa.doc_id=c.a_id JOIN sz sb ON sb.doc_id=c.b_id
+        |WHERE i/(sa.n+sb.n-i) >= 0.5 ORDER BY 1,2""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH $baseSql,
         |$sigSql,
