@@ -4,7 +4,7 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
@@ -61,7 +61,8 @@ object RasterSource {
     StructField("v", LongType, nullable = true)))
 }
 
-final class RasterTable(w: Long, h: Long) extends Table with SupportsRead {
+final class RasterTable(w: Long, h: Long) extends Table with SupportsRead
+    with SupportsMetadataColumns {
   override def name(): String = s"graft_raster(${w}x$h)"
   override def schema(): StructType = RasterSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -69,6 +70,24 @@ final class RasterTable(w: Long, h: Long) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RasterScanBuilder(w, h,
       Option(options.get("rowsPerBatch")).map(_.toLong).getOrElse(16L))
+
+  /** G10: `SupportsMetadataColumns` — the `_metadata` facility of file
+    * sources (`_metadata.file_path`, Iceberg's `_file`/`_partition`)
+    * on the custom source: `_stripe` exposes which planned stripe
+    * produced a row. Hidden from `SELECT *` (metadata columns must be
+    * asked for BY NAME — the Spark contract), emitted by the shared
+    * reader when the projection requests it, and joins/filters on it
+    * behave like any other column. The per-row provenance hook every
+    * debugging/auditing session wants from a production connector.
+    */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = "_stripe"
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "start grid row of the planned stripe that produced this row"
+    })
 }
 
 final class RasterScanBuilder(w: Long, h: Long, rowsPerBatch: Long = 16L)
@@ -426,9 +445,10 @@ object RasterScan {
           val hx = graft.functions.TextKernels.md5Prefix52(md, s"ras|$x,$y")
           val v: Any = if (hx % 19 == 0) null else java.lang.Long.valueOf(hx % 1000)
           new GenericInternalRow(p.fields.map {
-            case "x" => java.lang.Long.valueOf(x): Any
-            case "y" => java.lang.Long.valueOf(y): Any
-            case "v" => v
+            case "x"       => java.lang.Long.valueOf(x): Any
+            case "y"       => java.lang.Long.valueOf(y): Any
+            case "v"       => v
+            case "_stripe" => java.lang.Long.valueOf(p.yStart): Any
           }.toArray)
         }
         override def close(): Unit = ()

@@ -262,6 +262,20 @@ class DataSourceV2Spec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
   }
 
+  test("G10: the _stripe metadata column is hidden from * but selectable by name") {
+    val plain = v2(120, 80)
+    assert(!plain.schema.fieldNames.contains("_stripe"))
+    val withMeta = plain.select(col("y"), col("_stripe"))
+    // 80 rows / 8 stripes = 10 grid rows per stripe: the provenance
+    // column equals the stripe's start row
+    val got = withMeta.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 9600)
+    assert(got.forall { case (y, st) => st == (y / 10) * 10 })
+    // filters on the metadata column behave like any column
+    assert(plain.select(col("x"), col("_stripe"))
+      .filter(col("_stripe") === 40L).count() == 10 * 120)
+  }
+
   test("G8: reported statistics shrink with pruning and drive broadcast selection") {
     // stats track the filter-tightened range and the projected width
     val full = scanOf(v2(120, 80)).scan.asInstanceOf[RasterScan]
