@@ -2596,6 +2596,67 @@ object Relational {
       lit(middles.max).as("m_hi"))
   }
 
+  /** A49 thresholds: the Poisson(1) CDF at k = 0..6, scaled to the
+    * 52-bit md5 domain and generated ONCE here — embedded as literals
+    * in BOTH engines (the D19 rule: no runtime transcendentals whose
+    * last ulp could diverge). w(u) = #{k : t_k ≤ u} caps at 7. */
+  private[graft] val bootCdf52: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    var cum = 0.0
+    var fact = 1.0
+    (0 to 6).map { k =>
+      if (k > 0) fact *= k
+      cum += e1 / fact
+      math.round(cum * 4503599627370496.0) // × 2^52
+    }
+  }
+
+  /** A49: Poisson bootstrap of the mean daily revenue (Chamandy et al.
+    * 2012 — THE distributed bootstrap: independent Poisson(1) weights
+    * per (row, replicate) need no global resample coordination, which
+    * is why it's the production bootstrap at fleet scale): 20
+    * replicates over the day domain, each weight an EXACT integer from
+    * the md5-uniform u52 against the literal CDF thresholds
+    * ([[bootCdf52]]), each replicate's mean an exact e6 integral
+    * division, and the published spread (SD over replicate means) the
+    * ONE shared float text. Publishes n_reps, the grand mean, SD, and
+    * the exact min/max replicate means — the CI a dashboard draws. At
+    * 100 TB: one day-domain collapse + a ×20 domain fan-out; weights
+    * are per-partition pure functions, zero coordination.
+    */
+  def qBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val reps = 20
+    val daily = graft.core.Materialize.pin(dailyRevenue(s, dir))
+    val r = s.range(1, reps + 1).toDF("r")
+    val cmp = bootCdf52.map(t => s"(CASE WHEN $t <= u52 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val weighted = daily.crossJoin(broadcast(r))
+      .withColumn("u52", TF.hexPrefix52(
+        concat(lit("bs|"), col("r"), lit("|"),
+               date_format(col("day"), "yyyy-MM-dd"))))
+      .withColumn("wt", expr(cmp).cast("decimal(38,0)"))
+    val means = weighted.groupBy(col("r"))
+      .agg(sum(col("wt") * col("x")).cast("decimal(38,0)").as("sx"),
+           sum(col("wt")).cast("decimal(38,0)").as("sw"))
+      .select(col("r"),
+        expr("CAST((sx * 1000000) div sw AS DECIMAL(38,0))").as("m6"))
+    means.agg(count(lit(1)).cast("decimal(38,0)").as("nr"),
+              sum(col("m6")).as("sm"),
+              sum(col("m6") * col("m6")).as("sq"),
+              min(col("m6")).cast("long").as("min_mean_e6"),
+              max(col("m6")).cast("long").as("max_mean_e6"))
+      .select(col("nr").cast("long").as("n_reps"),
+              expr("CAST(sm div nr AS BIGINT)").as("grand_mean_e6"),
+              dec6(expr(bootSdSql)).as("sd_cents"),
+              col("min_mean_e6"), col("max_mean_e6"))
+  }
+
+  /** A49 spread — ONE shared float text over the exact e6 replicate
+    * sums (sample SD, divided back to cents). */
+  private val bootSdSql =
+    "sqrt((CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE)*CAST(sm AS DOUBLE)/CAST(nr AS DOUBLE)) / " +
+      "(CAST(nr AS DOUBLE) - 1.0)) / 1000000.0"
+
   /** B101 z-statistic (normal approximation with continuity
     * correction) — ONE shared float text over the exact integers S and
     * the ×18 variance numerator, so the IEEE op sequence is identical
@@ -3034,6 +3095,27 @@ object Relational {
         |  CAST(MIN(CASE WHEN cum >= k1 THEN sl END) AS BIGINT) AS m_lo,
         |  CAST(MIN(CASE WHEN cum >= k2 THEN sl END) AS BIGINT) AS m_hi
         |FROM cm CROSS JOIN k GROUP BY np""".stripMargin,
+    "q_bootstrap" -> {
+      val cmp = bootCdf52.map(t => s"(CASE WHEN $t <= u52 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH daily AS (SELECT o_orderdate AS day,
+        |    SUM(CAST(ROUND(o_totalprice*100,0) AS HUGEINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |reps AS (SELECT unnest(range(1, 21)) AS r),
+        |u AS (SELECT day, x, r,
+        |    ${TF.hexPrefix52Sql("md5('bs|'||r||'|'||strftime(day,'%Y-%m-%d'))")} AS u52
+        |  FROM daily CROSS JOIN reps),
+        |w AS (SELECT r, x, CAST($cmp AS HUGEINT) AS wt FROM u),
+        |m AS (SELECT r, (SUM(wt * x) * 1000000) // SUM(wt) AS m6
+        |  FROM w GROUP BY 1),
+        |a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nr, SUM(m6) AS sm,
+        |    SUM(m6 * m6) AS sq, MIN(m6) AS mn, MAX(m6) AS mx FROM m)
+        |SELECT CAST(nr AS BIGINT) AS n_reps,
+        |  CAST(sm // nr AS BIGINT) AS grand_mean_e6,
+        |  CAST(ROUND($bootSdSql, 6) AS DECIMAL(18,6))::DOUBLE AS sd_cents,
+        |  CAST(mn AS BIGINT) AS min_mean_e6, CAST(mx AS BIGINT) AS max_mean_e6
+        |FROM a""".stripMargin
+    },
     "q_funnel_deadline" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
         |v AS (SELECT user_id, MIN(t) AS tv FROM ev
