@@ -1262,6 +1262,54 @@ object Relational {
         coalesce(sum(col("tp") - col("tv")), lit(0L)).as("sum_latency_us"))))
   }
 
+  /** B108: clamped running balance per part (event-sourced INVENTORY
+    * reconstruction — shipments add, returns subtract, stock never
+    * goes below zero: bal ← max(0, bal + Δ), the recursion no window
+    * function expresses because the clamp makes it non-linear — the
+    * same sequential family as B94's CUSUM): events co-partitioned by
+    * part and folded IN KEY ORDER inside each partition (repartition +
+    * sortWithinPartitions + one pass — per-key sequential work bounded
+    * by items-per-part, all keys in parallel), publishing per part the
+    * exact final balance, running max, and clamp count. At 100 TB:
+    * ONE part-key shuffle, then embarrassingly parallel folds — the
+    * standard event-sourcing replay plan.
+    */
+  def qClampedBalance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("partkey", LongType, nullable = false),
+      StructField("n_events", LongType, nullable = false),
+      StructField("final_bal", LongType, nullable = false),
+      StructField("max_bal", LongType, nullable = false),
+      StructField("n_clamps", LongType, nullable = false)))
+    lineitem(s, dir)
+      .select(col("l_partkey").as("pk"), col("l_shipdate").as("d"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        (col("l_quantity").cast("long") *
+          when(col("l_returnflag") === "R", -1L).otherwise(1L)).as("delta"))
+      .repartition(col("pk"))
+      .sortWithinPartitions(col("pk"), col("d"), col("ok"), col("ln"))
+      .mapPartitions { it =>
+        var pk = Long.MinValue
+        var bal = 0L; var mx = 0L; var clamps = 0L; var n = 0L
+        var open = false
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def close(): Unit = if (open) out += Row(pk, n, bal, mx, clamps)
+        it.foreach { r =>
+          val k = r.getLong(0)
+          if (k != pk) { close(); pk = k; bal = 0L; mx = 0L; clamps = 0L; n = 0L; open = true }
+          val next = bal + r.getLong(4)
+          if (next < 0) { clamps += 1; bal = 0L } else bal = next
+          if (bal > mx) mx = bal
+          n += 1
+        }
+        close()
+        out.iterator
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .orderBy(col("partkey"))
+  }
+
   /** B105: first-order Markov transition matrix over the event stream
     * — the "user journey" analysis behind funnel design (which step
     * follows which, and how often): per-user (ts, event_id)-ordered
@@ -3162,6 +3210,28 @@ object Relational {
         |SELECT CAST(dur AS BIGINT) AS dur_days, d AS d_events,
         |  CAST(n_risk AS BIGINT) AS n_risk, CAST(sv AS BIGINT) AS surv_e6
         |FROM r ORDER BY dur_days""".stripMargin,
+    "q_clamped_balance" ->
+      """WITH RECURSIVE b AS (SELECT l_partkey AS pk,
+        |    CAST(l_quantity AS BIGINT) *
+        |      (CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END) AS d,
+        |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS i
+        |  FROM lineitem),
+        |r(pk, i, bal, mx, clamps) AS (
+        |  SELECT pk, CAST(1 AS BIGINT), GREATEST(0, d), GREATEST(0, d),
+        |    CAST(CASE WHEN d < 0 THEN 1 ELSE 0 END AS BIGINT)
+        |  FROM b WHERE i = 1
+        |  UNION ALL
+        |  SELECT b.pk, b.i, GREATEST(0, r.bal + b.d),
+        |    GREATEST(r.mx, GREATEST(0, r.bal + b.d)),
+        |    r.clamps + CASE WHEN r.bal + b.d < 0 THEN 1 ELSE 0 END
+        |  FROM r JOIN b ON b.pk = r.pk AND b.i = r.i + 1),
+        |f AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+        |    ORDER BY i DESC) AS rn FROM r)
+        |SELECT CAST(pk AS BIGINT) AS partkey, i AS n_events,
+        |  CAST(bal AS BIGINT) AS final_bal, CAST(mx AS BIGINT) AS max_bal,
+        |  clamps AS n_clamps
+        |FROM f WHERE rn = 1 ORDER BY partkey""".stripMargin,
     "q_transitions" ->
       """WITH p AS (SELECT user_id, event_type,
         |    LAG(event_type) OVER (PARTITION BY user_id
