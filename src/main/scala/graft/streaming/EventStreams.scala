@@ -895,6 +895,41 @@ object EventStreams {
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** F33 state/output: O(1) per key — balance, running max, clamp
+    * count, event-id watermark. */
+  final case class BalState(bal: Long, mx: Long, clamps: Long, n: Long,
+                            lastEvent: Long)
+  final case class BalOut(user_id: Long, event_id: Long, bal: Long,
+                          mx: Long, clamps: Long, n: Long)
+
+  /** F33: streaming clamped balance (online twin of B108's inventory
+    * replay): bal ← max(0, bal + Δ) per arrival from O(1) exact-integer
+    * state — the non-linear recursion no streaming window expresses,
+    * incrementalized the only way it can be (a per-key fold, exactly
+    * what flatMapGroupsWithState is for); replay below the event-id
+    * watermark dropped (F13 discipline). Emits the post-event state per
+    * arrival in Update mode; state never grows with the stream.
+    */
+  def clampedBalanceStream(in: Dataset[KeyedVal]): Dataset[BalOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[KeyedVal], state: GroupState[BalState]) => {
+          var st = state.getOption.getOrElse(BalState(0L, 0L, 0L, 0L, Long.MinValue))
+          val out = batch.toArray.sortBy(_.event_id).iterator
+            .filter(_.event_id > st.lastEvent)
+            .map { e =>
+              val next = st.bal + e.v
+              val bal = if (next < 0) 0L else next
+              st = BalState(bal, math.max(st.mx, bal),
+                st.clamps + (if (next < 0) 1L else 0L), st.n + 1, e.event_id)
+              BalOut(uid, e.event_id, st.bal, st.mx, st.clamps, st.n)
+            }.toArray // drain before update: st must hold the final state
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** F31 state/output: O(1) per user — the previous event type and the
     * event-id watermark. */
   final case class TransState(prevType: String, lastEvent: Long)

@@ -300,6 +300,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F33 streaming clamped balance equals a sequential batch fold; replay-safe") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{BalOut, KeyedVal}
+    implicit val sqlCtx = spark.sqlContext
+    // signed deltas so clamps genuinely engage
+    val ev = graft.sources.Synthetic.zipfEvents(spark, 5000L)
+      .collect().map { r =>
+        val raw = r.getLong(2)
+        KeyedVal(r.getLong(1), r.getLong(0), if (raw % 3 == 0) -raw else raw)
+      }.toSeq
+    val input = MemoryStream[KeyedVal]
+    val q = EventStreams.clampedBalanceStream(input.toDS())
+      .writeStream.format("memory").queryName("bal_out").outputMode("update").start()
+    try {
+      val (b1, b2) = ev.partition(_.event_id < 2500)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b1.take(400)); q.processAllAvailable() // replay: no double-fold
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("bal_out").as[BalOut].collect()
+        .map(r => (r.user_id, r.event_id) -> (r.bal, r.mx, r.clamps, r.n)).toMap
+      val expected = ev.groupBy(_.user_id).flatMap { case (uid, evs) =>
+        var bal = 0L; var mx = 0L; var clamps = 0L; var n = 0L
+        evs.sortBy(_.event_id).map { e =>
+          val next = bal + e.v
+          if (next < 0) { clamps += 1; bal = 0L } else bal = next
+          if (bal > mx) mx = bal
+          n += 1
+          (uid, e.event_id) -> (bal, mx, clamps, n)
+        }
+      }.toMap
+      assert(got.size == 5000 && got == expected)
+      // the fixture must actually exercise the clamp
+      assert(got.values.exists(_._3 > 0))
+    } finally q.stop()
+  }
+
   test("F14 streaming SemDeDup equals batch semDedup across id-interleaved batches") {
     import spark.implicits._
     import graft.operators.Similarity
