@@ -3048,6 +3048,109 @@ object Relational {
       .limit(10)
   }
 
+  /** B109: AR(2) fit by Yule–Walker on the daily revenue series — the
+    * "fit a small autoregression to the KPI" step run after the
+    * B85/B103 screening (statsmodels AutoReg intent, p = 2): the lag-1/2
+    * autocorrelations are B85's EXACT sign-split ppm integers (same
+    * derivation, shared oracle text via CTE embedding), and the 2×2
+    * Yule–Walker solve
+    *   φ₁ = r₁(1−r₂)/(1−r₁²),  φ₂ = (r₂−r₁²)/(1−r₁²)
+    * runs ENTIRELY on those integers — numerators carried at e12·e6
+    * in DECIMAL(38,0), published via sign-split integral division at
+    * e6 (the A34 floor rule), and the innovation-variance ratio
+    * 1−φ₁r₁−φ₂r₂ likewise as ppm. NO float anywhere in the query. At
+    * 100 TB: B85's plan exactly (one ≤|days|-key map-side-combined
+    * shuffle); the solve itself is free.
+    */
+  def qArFit(s: SparkSession, dir: String): DataFrame =
+    qAutocorr(s, dir)
+      .select(col("n_days"),
+              col("r1_ppm").cast("decimal(38,0)").as("a1"),
+              col("r2_ppm").cast("decimal(38,0)").as("a2"))
+      .withColumn("dn", expr("1000000000000 - a1 * a1"))
+      .withColumn("n1", expr("a1 * (1000000 - a2) * 1000000"))
+      .withColumn("n2", expr("(a2 * 1000000 - a1 * a1) * 1000000"))
+      .withColumn("phi1_e6", expr(
+        "CASE WHEN n1 >= 0 THEN abs(n1) div dn ELSE -(abs(n1) div dn) END"))
+      .withColumn("phi2_e6", expr(
+        "CASE WHEN n2 >= 0 THEN abs(n2) div dn ELSE -(abs(n2) div dn) END"))
+      .withColumn("ve12",
+        expr("1000000000000 - phi1_e6 * a1 - phi2_e6 * a2"))
+      .select(col("n_days"),
+              col("a1").cast("long").as("r1_ppm"),
+              col("a2").cast("long").as("r2_ppm"),
+              col("phi1_e6").cast("long").as("phi1_e6"),
+              col("phi2_e6").cast("long").as("phi2_e6"),
+              expr("CAST(CASE WHEN ve12 >= 0 THEN abs(ve12) div 1000000 " +
+                   "ELSE -(abs(ve12) div 1000000) END AS BIGINT)").as("v_ppm"))
+
+  /** B110 statistic — ONE shared float text over the exact integer
+    * aggregates (doubled rank sums keep midrank ties exact; the /4
+    * from R = R2/2 folds into 12/4 = 3), identical IEEE sequence both
+    * engines; the three group terms appear in fixed textual order so
+    * float addition order is pinned. */
+  private val kwHSql =
+    "((3.0/(CAST(nn AS DOUBLE)*(CAST(nn AS DOUBLE)+1.0))) * " +
+      "(CAST(r2a AS DOUBLE)*CAST(r2a AS DOUBLE)/CAST(na AS DOUBLE) + " +
+       "CAST(r2b AS DOUBLE)*CAST(r2b AS DOUBLE)/CAST(nb AS DOUBLE) + " +
+       "CAST(r2c AS DOUBLE)*CAST(r2c AS DOUBLE)/CAST(nc AS DOUBLE)) " +
+      "- 3.0*(CAST(nn AS DOUBLE)+1.0)) / " +
+    "(1.0 - CAST(tt AS DOUBLE)/" +
+      "(CAST(nn AS DOUBLE)*CAST(nn AS DOUBLE)*CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)))"
+
+  /** B110: Kruskal–Wallis H test across the three returnflag cohorts'
+    * quantity distributions — the k-SAMPLE member of the nonparametric
+    * family (B91 Mann–Whitney is its 2-sample special case; B78 ANOVA
+    * its parametric twin): quantity is domain-bounded (1..50), so the
+    * fact collapses to per-(group, value) cell counts in ONE
+    * map-side-combined aggregate (the B61 cardinality rule), EXACT
+    * doubled midranks r2(v) = 2·cumBefore + c + 1 come from a window
+    * over the ≤50-row value frame — never over the fact — and the
+    * three group rank sums, sizes and the tie term Σc(c²−1) are exact
+    * DECIMAL(38,0) integers. Only the published H is float, via the
+    * shared [[kwHSql]] text (tie-corrected; compare to χ²₍₂₎
+    * downstream). At 100 TB: one shuffle of ≤150 keys.
+    */
+  def qKruskal(s: SparkSession, dir: String): DataFrame = {
+    val cells = lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("g"),
+               col("l_quantity").cast("long").as("v"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+    val byV = cells.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+    // ≤50-row domain frame: the single-partition window is bounded by
+    // the value domain, not the corpus (the B91 posture)
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byV.withColumn("r2",
+      coalesce(sum(col("cv")).over(w), lit(0)) * 2 + col("cv") + 1)
+    val tieFrame = ranked
+      .agg(sum(col("cv") * (col("cv") * col("cv") - 1)).as("ttd"))
+    cells.join(broadcast(ranked.select(col("v"), col("r2"))), "v")
+      .agg(sum(when(col("g") === "A", col("c")).otherwise(lit(0))).as("nad"),
+           sum(when(col("g") === "N", col("c")).otherwise(lit(0))).as("nbd"),
+           sum(when(col("g") === "R", col("c")).otherwise(lit(0))).as("ncd"),
+           sum(when(col("g") === "A", col("c") * col("r2"))
+             .otherwise(lit(0))).as("r2ad"),
+           sum(when(col("g") === "N", col("c") * col("r2"))
+             .otherwise(lit(0))).as("r2bd"),
+           sum(when(col("g") === "R", col("c") * col("r2"))
+             .otherwise(lit(0))).as("r2cd"))
+      .crossJoin(broadcast(tieFrame))
+      .select(col("nad").as("na"), col("nbd").as("nb"), col("ncd").as("nc"),
+              (col("nad") + col("nbd") + col("ncd")).as("nn"),
+              col("r2ad").as("r2a"), col("r2bd").as("r2b"),
+              col("r2cd").as("r2c"), col("ttd").as("tt"))
+      .select(col("nn").cast("long").as("n_rows"),
+              col("na").cast("long").as("n_a"),
+              col("nb").cast("long").as("n_n"),
+              col("nc").cast("long").as("n_r"),
+              col("r2a").cast("long").as("rank2_a"),
+              col("r2b").cast("long").as("rank2_n"),
+              col("r2c").cast("long").as("rank2_r"),
+              col("tt").cast("long").as("tie_term"),
+              dec6(expr(kwHSql)).as("h"))
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above. */
   val oracles: Map[String, String] = Map(
     "q_welch_ttest" ->
@@ -3473,6 +3576,51 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_ar_fit" ->
+      s"""WITH ac AS ($autocorrOracleSql),
+        |b AS (SELECT n_days, CAST(r1_ppm AS HUGEINT) AS a1,
+        |    CAST(r2_ppm AS HUGEINT) AS a2 FROM ac),
+        |c AS (SELECT *, 1000000000000 - a1*a1 AS dn,
+        |    a1*(1000000 - a2)*1000000 AS n1,
+        |    (a2*1000000 - a1*a1)*1000000 AS n2 FROM b),
+        |d AS (SELECT *,
+        |    CASE WHEN n1 >= 0 THEN abs(n1) // dn
+        |         ELSE -(abs(n1) // dn) END AS phi1,
+        |    CASE WHEN n2 >= 0 THEN abs(n2) // dn
+        |         ELSE -(abs(n2) // dn) END AS phi2 FROM c),
+        |e AS (SELECT *, 1000000000000 - phi1*a1 - phi2*a2 AS ve12 FROM d)
+        |SELECT CAST(n_days AS BIGINT) AS n_days, CAST(a1 AS BIGINT) AS r1_ppm,
+        |  CAST(a2 AS BIGINT) AS r2_ppm, CAST(phi1 AS BIGINT) AS phi1_e6,
+        |  CAST(phi2 AS BIGINT) AS phi2_e6,
+        |  CAST(CASE WHEN ve12 >= 0 THEN abs(ve12) // 1000000
+        |       ELSE -(abs(ve12) // 1000000) END AS BIGINT) AS v_ppm
+        |FROM e""".stripMargin,
+    "q_kruskal" ->
+      s"""WITH cells AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS HUGEINT) AS c FROM lineitem GROUP BY 1, 2),
+        |bv AS (SELECT v, SUM(c) AS cv FROM cells GROUP BY 1),
+        |rk AS (SELECT v, cv, COALESCE(SUM(cv) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+        |    + cv + 1 AS r2
+        |  FROM bv),
+        |tc AS (SELECT SUM(cv*(cv*cv-1)) AS ttd FROM bv),
+        |gs AS (SELECT
+        |    SUM(CASE WHEN g='A' THEN c ELSE 0 END) AS na,
+        |    SUM(CASE WHEN g='N' THEN c ELSE 0 END) AS nb,
+        |    SUM(CASE WHEN g='R' THEN c ELSE 0 END) AS nc,
+        |    SUM(CASE WHEN g='A' THEN c*r2 ELSE 0 END) AS r2a,
+        |    SUM(CASE WHEN g='N' THEN c*r2 ELSE 0 END) AS r2b,
+        |    SUM(CASE WHEN g='R' THEN c*r2 ELSE 0 END) AS r2c
+        |  FROM cells JOIN rk USING (v)),
+        |f AS (SELECT na, nb, nc, na+nb+nc AS nn, r2a, r2b, r2c, ttd AS tt
+        |  FROM gs CROSS JOIN tc)
+        |SELECT CAST(nn AS BIGINT) AS n_rows, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_n, CAST(nc AS BIGINT) AS n_r,
+        |  CAST(r2a AS BIGINT) AS rank2_a, CAST(r2b AS BIGINT) AS rank2_n,
+        |  CAST(r2c AS BIGINT) AS rank2_r, CAST(tt AS BIGINT) AS tie_term,
+        |  CAST(ROUND($kwHSql, 6) AS DECIMAL(18,6))::DOUBLE AS h
+        |FROM f""".stripMargin,
     "q_interval_union" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,
