@@ -3001,6 +3001,71 @@ object Relational {
       }(enc)
   }
 
+  /** B111: Holt–Winters ADDITIVE seasonal smoothing of daily revenue
+    * (period 7 — the weekly cycle B90 measures; α=0.3, β=0.1, γ=0.2):
+    * the seasonal completion of B96's level+trend recursion. The fact
+    * collapses to the day domain (B61) and the inherently sequential
+    * triple recursion
+    *   l ← ⌊0.3(x−s₋₇) + 0.7(l+b)⌋,  b ← ⌊0.1(l−l₋₁) + 0.9b⌋,
+    *   s ← ⌊0.2(x−l) + 0.8s₋₇⌋
+    * runs once over the ≤|days| frame in a bounded partition (A38
+    * posture) — and because all three smoothing constants are rational
+    * TENTHS, each update is ONE exact integer floor-division by 10
+    * (3(x−s₋₇)+7(l+b) etc.): the recursion is float-FREE end to end,
+    * strictly stronger than B96's quantize-after-float-step posture
+    * (DuckDB evaluates decimal literals in exact DECIMAL arithmetic —
+    * a float engine replica would drift against it over 2400 chained
+    * steps; integral states make the question moot). The oracle keeps
+    * the FLOOR(0.3·x + …) decimal spelling: DuckDB `//` TRUNCATES
+    * toward zero on negative integers (probed — the "// floors" folk
+    * rule is false there), while FLOOR over its exact DECIMAL
+    * arithmetic is a true floor ≡ Math.floorDiv. Init: l₀ = floor-mean
+    * of week 1, b₀ = floor of (week-2 mean − week-1 mean)/7 (oracle
+    * spells floorDiv via a sign CASE), sᵢ = xᵢ·e6 − l₀. Forecasts
+    * l + h·b + s₍T+h−7₎ and the final seasonal envelope are exact
+    * integers.
+    */
+  def qHoltWinters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val daily = dailyRevenue(s, dir)
+    val schema = StructType(Seq(
+      StructField("n_days", LongType, nullable = false),
+      StructField("level_e6", LongType, nullable = false),
+      StructField("trend_e6", LongType, nullable = false),
+      StructField("f1_e6", LongType, nullable = false),
+      StructField("f7_e6", LongType, nullable = false),
+      StructField("s_low_e6", LongType, nullable = false),
+      StructField("s_high_e6", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    daily.coalesce(1).sortWithinPartitions(col("day"))
+      .select(col("x").cast("long"))
+      .mapPartitions { it =>
+        val xs = it.map(_.getLong(0)).toArray
+        require(xs.length >= 14,
+          s"Holt-Winters(7) needs >= 14 days, got ${xs.length}")
+        val w1 = xs.slice(0, 7).map(_ * 1000000L).sum
+        val w2 = xs.slice(7, 14).map(_ * 1000000L).sum
+        var lq = Math.floorDiv(w1, 7L)
+        var bq = Math.floorDiv(w2 - w1, 49L)
+        val q = scala.collection.mutable.Queue(
+          xs.slice(0, 7).map(_ * 1000000L - lq): _*)
+        var t = 7
+        while (t < xs.length) {
+          val sOld = q.dequeue()
+          val xe6 = xs(t) * 1000000L
+          val nl = Math.floorDiv(3L * (xe6 - sOld) + 7L * (lq + bq), 10L)
+          val nb = Math.floorDiv((nl - lq) + 9L * bq, 10L)
+          val ns = Math.floorDiv(2L * (xe6 - nl) + 8L * sOld, 10L)
+          lq = nl; bq = nb; q.enqueue(ns)
+          t += 1
+        }
+        val arr = q.toArray
+        Iterator.single(Row(xs.length.toLong, lq, bq,
+          lq + bq + arr(0), lq + 7L * bq + arr(6), arr.min, arr.max))
+      }(enc)
+  }
+
   /** B86: interval-union coverage ("how much wall-clock time had at
     * least one session open, per day") — the utilization/SLA twin of
     * B65's peak concurrency, and the classic DISTRIBUTED interval-union
@@ -3488,6 +3553,47 @@ object Relational {
         |SELECT (SELECT COUNT(*) FROM idx) AS n_days, lq AS level_e6,
         |  bq AS trend_e6, lq + bq AS f1_e6, lq + 7*bq AS f7_e6,
         |  lq + 30*bq AS f30_e6
+        |FROM fin""".stripMargin,
+    "q_holt_winters" ->
+      """WITH RECURSIVE daily AS (SELECT o_orderdate AS day,
+        |    SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT CAST(x AS BIGINT) AS x,
+        |    ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily),
+        |w1 AS (SELECT CAST(SUM(x) * 1000000 AS BIGINT) AS v FROM idx WHERE i <= 7),
+        |w2 AS (SELECT CAST(SUM(x) * 1000000 AS BIGINT) AS v
+        |  FROM idx WHERE i BETWEEN 8 AND 14),
+        |ini AS (SELECT CAST(w1.v // 7 AS BIGINT) AS l0,
+        |    CAST(CASE WHEN w2.v >= w1.v THEN (w2.v - w1.v) // 49
+        |      ELSE -(((w1.v - w2.v) + 48) // 49) END AS BIGINT) AS b0
+        |  FROM w1, w2),
+        |sz AS (SELECT
+        |    CAST(MAX(CASE WHEN i=1 THEN x*1000000 - l0 END) AS BIGINT) AS t1,
+        |    CAST(MAX(CASE WHEN i=2 THEN x*1000000 - l0 END) AS BIGINT) AS t2,
+        |    CAST(MAX(CASE WHEN i=3 THEN x*1000000 - l0 END) AS BIGINT) AS t3,
+        |    CAST(MAX(CASE WHEN i=4 THEN x*1000000 - l0 END) AS BIGINT) AS t4,
+        |    CAST(MAX(CASE WHEN i=5 THEN x*1000000 - l0 END) AS BIGINT) AS t5,
+        |    CAST(MAX(CASE WHEN i=6 THEN x*1000000 - l0 END) AS BIGINT) AS t6,
+        |    CAST(MAX(CASE WHEN i=7 THEN x*1000000 - l0 END) AS BIGINT) AS t7
+        |  FROM idx CROSS JOIN ini WHERE i <= 7),
+        |hw(i, lq, bq, s1, s2, s3, s4, s5, s6, s7) AS (
+        |  SELECT CAST(7 AS BIGINT), l0, b0, t1, t2, t3, t4, t5, t6, t7
+        |  FROM ini CROSS JOIN sz
+        |  UNION ALL
+        |  SELECT hw.i + 1,
+        |    CAST(FLOOR(0.3*(ix.x*1000000 - hw.s1) + 0.7*(hw.lq + hw.bq)) AS BIGINT),
+        |    CAST(FLOOR(0.1*(CAST(FLOOR(0.3*(ix.x*1000000 - hw.s1) + 0.7*(hw.lq + hw.bq)) AS BIGINT)
+        |      - hw.lq) + 0.9*hw.bq) AS BIGINT),
+        |    hw.s2, hw.s3, hw.s4, hw.s5, hw.s6, hw.s7,
+        |    CAST(FLOOR(0.2*(ix.x*1000000
+        |      - CAST(FLOOR(0.3*(ix.x*1000000 - hw.s1) + 0.7*(hw.lq + hw.bq)) AS BIGINT))
+        |      + 0.8*hw.s1) AS BIGINT)
+        |  FROM hw JOIN idx ix ON ix.i = hw.i + 1),
+        |fin AS (SELECT * FROM hw ORDER BY i DESC LIMIT 1)
+        |SELECT (SELECT COUNT(*) FROM idx) AS n_days, lq AS level_e6,
+        |  bq AS trend_e6, lq + bq + s1 AS f1_e6, lq + 7*bq + s7 AS f7_e6,
+        |  LEAST(s1, s2, s3, s4, s5, s6, s7) AS s_low_e6,
+        |  GREATEST(s1, s2, s3, s4, s5, s6, s7) AS s_high_e6
         |FROM fin""".stripMargin,
     "q_mannwhitney" ->
       s"""WITH c0 AS (SELECT CAST(l_quantity AS BIGINT) AS v,

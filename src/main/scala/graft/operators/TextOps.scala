@@ -1739,6 +1739,56 @@ object TextOps {
               graft.functions.dec6(expr(ariSql)).as("ari"))
   }
 
+  /** A50: classification report + Cohen's kappa for the C4 language-ID
+    * classifier (sklearn classification_report / cohen_kappa_score
+    * parity — the per-class evaluation that C26's raw confusion matrix
+    * feeds): per-class precision/recall/F1 are EXACT integral-ppm
+    * ratios of the confusion margins (tp/colsum, tp/rowsum,
+    * 2tp/(rowsum+colsum)); kappa collapses to the integer identity
+    * (N·Σtp − Σaᵢbᵢ)/(N² − Σaᵢbᵢ) over the same margins — the whole
+    * report is float-free. Margins absent on one side ride a full
+    * outer join with zero fills; zero denominators publish 0 (the
+    * sklearn zero_division=0 convention). At 100 TB: one fact pass
+    * (the codegen'd prediction) then ≤|classes| combinatorics.
+    */
+  def qClsReport(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cont = documents(s, dir)
+      .select(col("lang").as("gold"),
+        langPred(T.words(col("text"))).as("pred"))
+      .groupBy(col("gold"), col("pred"))
+      .agg(count(lit(1)).cast(dec).as("nij"))
+    val ga = cont.groupBy(col("gold").as("cls")).agg(sum(col("nij")).as("a"))
+    val pb = cont.groupBy(col("pred").as("cls")).agg(sum(col("nij")).as("b"))
+    val tp = cont.filter(col("gold") === col("pred"))
+      .select(col("gold").as("cls"), col("nij").as("tp"))
+    val per = ga.join(pb, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left_outer")
+      .select(col("cls"),
+        coalesce(col("a"), lit(0)).cast(dec).as("a"),
+        coalesce(col("b"), lit(0)).cast(dec).as("b"),
+        coalesce(col("tp"), lit(0)).cast(dec).as("tp"))
+    val tot = per.agg(sum(col("a")).as("nn"), sum(col("tp")).as("stp"),
+                      sum(col("a") * col("b")).as("sab"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cls").as("lang"),
+        col("a").cast("long").as("n_gold"),
+        col("b").cast("long").as("n_pred"),
+        col("tp").cast("long").as("n_tp"),
+        expr("CAST(CASE WHEN b = 0 THEN 0 ELSE (tp * 1000000) div b END" +
+             " AS BIGINT)").as("prec_ppm"),
+        expr("CAST(CASE WHEN a = 0 THEN 0 ELSE (tp * 1000000) div a END" +
+             " AS BIGINT)").as("rec_ppm"),
+        expr("CAST(CASE WHEN a + b = 0 THEN 0 " +
+             "ELSE (tp * 2000000) div (a + b) END AS BIGINT)").as("f1_ppm"),
+        expr("CAST(CASE WHEN nn*nn - sab = 0 THEN 0 " +
+             "WHEN nn*stp - sab >= 0 THEN " +
+             "(abs(nn*stp - sab) * 1000000) div (nn*nn - sab) " +
+             "ELSE -((abs(nn*stp - sab) * 1000000) div (nn*nn - sab)) " +
+             "END AS BIGINT)").as("kappa_ppm"))
+      .orderBy(col("lang"))
+  }
+
   /** C26: language-ID confusion matrix — the evaluation primitive for
     * the C4 classifier: (gold, predicted) counts over the corpus, one
     * small-key aggregate after the codegen'd prediction.
@@ -2540,6 +2590,32 @@ object TextOps {
         |SELECT d.lang AS gold_lang, p.pred_lang, COUNT(*) AS n
         |FROM documents d JOIN pred p USING (doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_cls_report" ->
+      s"""WITH $langPredCteSql,
+        |cont AS (SELECT d.lang AS gold, p.pred_lang AS pred,
+        |    CAST(COUNT(*) AS HUGEINT) AS nij
+        |  FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2),
+        |ga AS (SELECT gold AS cls, SUM(nij) AS a FROM cont GROUP BY 1),
+        |pb AS (SELECT pred AS cls, SUM(nij) AS b FROM cont GROUP BY 1),
+        |tpc AS (SELECT gold AS cls, nij AS tp FROM cont WHERE gold = pred),
+        |per AS (SELECT cls, COALESCE(a, 0) AS a, COALESCE(b, 0) AS b,
+        |    COALESCE(tp, 0) AS tp
+        |  FROM ga FULL OUTER JOIN pb USING (cls) LEFT JOIN tpc USING (cls)),
+        |tot AS (SELECT SUM(a) AS nn, SUM(tp) AS stp, SUM(a*b) AS sab FROM per)
+        |SELECT cls AS lang, CAST(a AS BIGINT) AS n_gold,
+        |  CAST(b AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS n_tp,
+        |  CAST(CASE WHEN b = 0 THEN 0 ELSE (tp * 1000000) // b END
+        |    AS BIGINT) AS prec_ppm,
+        |  CAST(CASE WHEN a = 0 THEN 0 ELSE (tp * 1000000) // a END
+        |    AS BIGINT) AS rec_ppm,
+        |  CAST(CASE WHEN a + b = 0 THEN 0
+        |    ELSE (tp * 2000000) // (a + b) END AS BIGINT) AS f1_ppm,
+        |  CAST(CASE WHEN nn*nn - sab = 0 THEN 0
+        |    WHEN nn*stp - sab >= 0 THEN
+        |      (abs(nn*stp - sab) * 1000000) // (nn*nn - sab)
+        |    ELSE -((abs(nn*stp - sab) * 1000000) // (nn*nn - sab))
+        |    END AS BIGINT) AS kappa_ppm
+        |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin,
     "q_ari" ->
       s"""WITH $langPredCteSql,
         |cont AS (SELECT d.lang AS gold, p.pred_lang AS pred,
