@@ -3044,19 +3044,12 @@ object Relational {
         val xs = it.map(_.getLong(0)).toArray
         require(xs.length >= 14,
           s"Holt-Winters(7) needs >= 14 days, got ${xs.length}")
-        val w1 = xs.slice(0, 7).map(_ * 1000000L).sum
-        val w2 = xs.slice(7, 14).map(_ * 1000000L).sum
-        var lq = Math.floorDiv(w1, 7L)
-        var bq = Math.floorDiv(w2 - w1, 49L)
-        val q = scala.collection.mutable.Queue(
-          xs.slice(0, 7).map(_ * 1000000L - lq): _*)
+        val (l0, b0, s0) = hwInit(xs.take(14))
+        var lq = l0; var bq = b0
+        val q = scala.collection.mutable.Queue(s0: _*)
         var t = 7
         while (t < xs.length) {
-          val sOld = q.dequeue()
-          val xe6 = xs(t) * 1000000L
-          val nl = Math.floorDiv(3L * (xe6 - sOld) + 7L * (lq + bq), 10L)
-          val nb = Math.floorDiv((nl - lq) + 9L * bq, 10L)
-          val ns = Math.floorDiv(2L * (xe6 - nl) + 8L * sOld, 10L)
+          val (nl, nb, ns) = hwStep(lq, bq, q.dequeue(), xs(t) * 1000000L)
           lq = nl; bq = nb; q.enqueue(ns)
           t += 1
         }
@@ -3064,6 +3057,29 @@ object Relational {
         Iterator.single(Row(xs.length.toLong, lq, bq,
           lq + bq + arr(0), lq + 7L * bq + arr(6), arr.min, arr.max))
       }(enc)
+  }
+
+  /** The B111 init as a pure kernel (shared with the F34 streaming
+    * twin): from the first 14 cent observations, the floor-mean level,
+    * the floor weekly-mean-difference trend, and the 7-slot seasonal
+    * queue — all exact integers. */
+  private[graft] def hwInit(xs: Array[Long]): (Long, Long, Array[Long]) = {
+    val w1 = xs.slice(0, 7).map(_ * 1000000L).sum
+    val w2 = xs.slice(7, 14).map(_ * 1000000L).sum
+    val l0 = Math.floorDiv(w1, 7L)
+    val b0 = Math.floorDiv(w2 - w1, 49L)
+    (l0, b0, xs.slice(0, 7).map(_ * 1000000L - l0))
+  }
+
+  /** The B111 state update as a pure kernel (shared with the F34
+    * streaming twin): one exact integer floor-division by 10 per
+    * state variable — float-free, so stream and batch CANNOT drift. */
+  private[graft] def hwStep(lq: Long, bq: Long, sOld: Long,
+                            xe6: Long): (Long, Long, Long) = {
+    val nl = Math.floorDiv(3L * (xe6 - sOld) + 7L * (lq + bq), 10L)
+    val nb = Math.floorDiv((nl - lq) + 9L * bq, 10L)
+    val ns = Math.floorDiv(2L * (xe6 - nl) + 8L * sOld, 10L)
+    (nl, nb, ns)
   }
 
   /** B86: interval-union coverage ("how much wall-clock time had at

@@ -814,6 +814,67 @@ object EventStreams {
         })
   }
 
+  /** F34 state: the init buffer (≤14 observations — bounded, so still
+    * O(1)) then the B111 integral state: (level, trend, 7-slot
+    * seasonal queue), all exact integers; event-id watermark for
+    * replay safety. */
+  final case class HwState(buf: Seq[Long], lq: Long, bq: Long,
+                           seas: Seq[Long], n: Long, lastEvent: Long)
+  final case class HwOut(user_id: Long, event_id: Long, n: Long,
+                         level_e6: Long, trend_e6: Long, f1_e6: Long)
+
+  /** F34: streaming per-key Holt–Winters additive smoother (online
+    * twin of B111, SAME [[graft.operators.Relational.hwInit]] /
+    * [[graft.operators.Relational.hwStep]] kernels): the first 14
+    * arrivals per key buffer for the classical two-week init; on the
+    * 14th, init runs and arrivals 8–14 replay through the step exactly
+    * as the batch recursion processes them, emitting the first output
+    * (n = 14); every later arrival is one integer-exact step. Because
+    * the kernel is float-FREE (each update one floor-division by 10),
+    * stream and batch CANNOT drift — StreamingSpec pins stream ==
+    * sequential fold across batches incl. replay. State is O(1) per
+    * key (≤14-slot buffer, then 9 longs); forecast f1 = l + b + s₋₆.
+    */
+  def holtWintersStream(in: Dataset[KeyedVal]): Dataset[HwOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[KeyedVal], state: GroupState[HwState]) => {
+          var st = state.getOption.getOrElse(
+            HwState(Nil, 0L, 0L, Nil, 0L, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[HwOut]
+          batch.toArray.sortBy(_.event_id).iterator
+            .filter(_.event_id > st.lastEvent)
+            .foreach { e =>
+              if (st.seas.isEmpty) {
+                val buf = st.buf :+ e.v
+                if (buf.length < 14)
+                  st = HwState(buf, 0L, 0L, Nil, buf.length.toLong, e.event_id)
+                else {
+                  val (l0, b0, s0) = graft.operators.Relational.hwInit(buf.toArray)
+                  var lq = l0; var bq = b0
+                  val q = scala.collection.mutable.Queue(s0.toSeq: _*)
+                  buf.drop(7).foreach { x =>
+                    val (nl, nb, ns) = graft.operators.Relational.hwStep(lq, bq, q.dequeue(), x * 1000000L)
+                    lq = nl; bq = nb; q.enqueue(ns)
+                  }
+                  st = HwState(Nil, lq, bq, q.toSeq, 14L, e.event_id)
+                  out += HwOut(uid, e.event_id, 14L, lq, bq, lq + bq + q.head)
+                }
+              } else {
+                val q = scala.collection.mutable.Queue(st.seas: _*)
+                val (nl, nb, ns) =
+                  graft.operators.Relational.hwStep(st.lq, st.bq, q.dequeue(), e.v * 1000000L)
+                q.enqueue(ns)
+                st = HwState(Nil, nl, nb, q.toSeq, st.n + 1, e.event_id)
+                out += HwOut(uid, e.event_id, st.n, nl, nb, nl + nb + q.head)
+              }
+            }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** F30 event/state/output shapes: O(1) exact state per user — the
     * last touch's (ts, type), the first touch's type, and the
     * event-id watermark. */

@@ -123,6 +123,28 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(st.min == 0 && st.max == 96)
   }
 
+  test("G11: RequiresDistributionAndOrdering makes Spark cluster+sort before the writer") {
+    import graft.sources.v2.ClusteredSink
+    val key = "spec-clustered-" + java.util.UUID.randomUUID()
+    // deliberately shuffled, many-partition input: without the engine
+    // honoring the sink's demanded layout, task rows would be neither
+    // key-disjoint nor sorted
+    spark.range(0, 20000)
+      .select((col("id") % 13).cast("long").as("k"),
+              ((col("id") * 7919) % 104729).cast("long").as("v"))
+      .repartition(11)
+      .write.format("graft.sources.v2.ClusteredSink").option("key", key)
+      .mode("append").save()
+    val r = ClusteredSink.committed(key).get
+    assert(r.nTasks == ClusteredSink.NumPartitions.toLong,
+      "requiredNumPartitions not honored")
+    assert(r.nRows == 20000)
+    assert(r.nKeys == 13)
+    assert(r.allSorted, "rows reached a task writer out of (k, v) order")
+    assert(r.disjoint, "a key's rows were split across write tasks")
+    assert(r.sumV == (0L until 20000L).map(i => (i * 7919) % 104729).sum)
+  }
+
   test("G4: a failed job publishes nothing (driver commit never runs)") {
     import graft.sources.v2.StatsSink
     val key = "spec-abort-" + java.util.UUID.randomUUID()

@@ -205,6 +205,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F34 streaming Holt-Winters equals a sequential batch fold; replay-safe") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{HwOut, KeyedVal}
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Synthetic.zipfEvents(spark, 5000L)
+      .collect().map(r => KeyedVal(r.getLong(1), r.getLong(0), r.getLong(2))).toSeq
+    val input = MemoryStream[KeyedVal]
+    val q = EventStreams.holtWintersStream(input.toDS())
+      .writeStream.format("memory").queryName("hw_out").outputMode("update").start()
+    try {
+      val (b1, b2) = ev.partition(_.event_id < 2500)
+      input.addData(b1); q.processAllAvailable()
+      // replay below the high-water mark must not advance the recursion
+      input.addData(b1.take(500)); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("hw_out").as[HwOut].collect()
+        .map(r => (r.user_id, r.event_id) -> (r.n, r.level_e6, r.trend_e6, r.f1_e6))
+        .toMap
+      // batch twin: the B111 recursion (same hwInit/hwStep kernels)
+      // folded per key in event-id order; first output at n = 14
+      val R = graft.operators.Relational
+      val expected = ev.groupBy(_.user_id).flatMap { case (uid, evs) =>
+        val xs = evs.sortBy(_.event_id)
+        if (xs.length < 14) Nil
+        else {
+          val (l0, b0, s0) = R.hwInit(xs.take(14).map(_.v).toArray)
+          var lq = l0; var bq = b0
+          val sq = scala.collection.mutable.Queue(s0.toSeq: _*)
+          xs.drop(7).zipWithIndex.flatMap { case (e, i) =>
+            val (nl, nb, ns) = R.hwStep(lq, bq, sq.dequeue(), e.v * 1000000L)
+            lq = nl; bq = nb; sq.enqueue(ns)
+            val n = i + 8 // observation count after this step
+            if (n >= 14)
+              Some((uid, e.event_id) -> (n.toLong, lq, bq, lq + bq + sq.head))
+            else None
+          }
+        }
+      }.toMap
+      assert(got.nonEmpty)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("F30 streaming attribution equals the oracled batch B104 aggregate; replay-safe") {
     import spark.implicits._
     import graft.streaming.EventStreams.{AttrEvent, AttrOut}
