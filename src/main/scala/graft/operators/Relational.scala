@@ -3232,6 +3232,38 @@ object Relational {
               dec6(expr(kwHSql)).as("h"))
   }
 
+  /** B112: top within-session event-type paths (consecutive trigrams)
+    * — the path-analysis generalization of B105's first-order
+    * transitions ("which 3-step journeys actually happen", the input
+    * to funnel design): sessions come from the SHARED B10 sessionizer
+    * (30-min gap), trigrams from two lags over the per-(user, session)
+    * window — the SAME one user-key shuffle; counts aggregate over the
+    * ≤|types|³ domain and the share is an EXACT integral-division PPM.
+    * Top-20 under a total (n DESC, lexicographic) order so the cut is
+    * deterministic. At 100 TB: one user-key shuffle + a ≤125-key
+    * aggregate.
+    */
+  def qEventPaths(s: SparkSession, dir: String): DataFrame = {
+    val sess = Windowed.sessionized(events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+      key = "user_id", ts = "ts", tieBreak = "event_id",
+      gapUs = 1800L * 1000000L)
+    val w = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val tri = sess
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tri.agg(sum(col("n")).as("nt"))
+    tri.crossJoin(broadcast(tot))
+      .select(col("t1"), col("t2"), col("t3"), col("n"),
+        expr("CAST((n * 1000000) div nt AS BIGINT)").as("share_ppm"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
   /** Oracle SQL (DuckDB dialect) for each query above. */
   val oracles: Map[String, String] = Map(
     "q_welch_ttest" ->
@@ -3698,6 +3730,28 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_event_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g),
+        |p AS (SELECT event_type,
+        |    LAG(event_type, 1) OVER v AS t2,
+        |    LAG(event_type, 2) OVER v AS t1
+        |  FROM s WINDOW v AS (PARTITION BY user_id, session_seq
+        |    ORDER BY ts, event_id)),
+        |c AS (SELECT t1, t2, event_type AS t3, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p WHERE t1 IS NOT NULL GROUP BY 1, 2, 3),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c)
+        |SELECT t1, t2, t3, n, CAST((n * 1000000) // nt AS BIGINT) AS share_ppm
+        |FROM c CROSS JOIN t
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
     "q_ar_fit" ->
       s"""WITH ac AS ($autocorrOracleSql),
         |b AS (SELECT n_days, CAST(r1_ppm AS HUGEINT) AS a1,

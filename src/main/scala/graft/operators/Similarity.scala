@@ -1901,10 +1901,120 @@ object Similarity {
   def qSemDedup(s: SparkSession, dir: String): DataFrame =
     semDedup(s, dir, nCells = 16)
 
-  private val semDedupSql: String = {
+  /** D23: DBSCAN within coarse-quantizer cells — the DENSITY member of
+    * the clustering family (D7 k-means is centroid-based, A43's GMM
+    * parametric; DBSCAN finds arbitrary-shape dense regions and labels
+    * sparse vectors noise — the curation screen for "which embedding
+    * regions are dense enough to subsample, which points are
+    * outliers"): ε-neighbors (cosine ≥ τ=0.3) are searched ONLY within
+    * the D9 "sem|" cells (one broadcast-centroid corpus pass to
+    * assign, ONE cell shuffle; per-task work O(cell²) — constant as
+    * the corpus scales under semCellsFor; cross-cell density is missed
+    * by design, the SemDeDup recall trade-off), cores need ≥ 3
+    * neighbors, clusters are MIN-CORE-ID connected components of the
+    * core–core graph — cell-local union-find, NO driver iteration,
+    * because edges cannot leave a cell — borders join the minimum
+    * cluster among their core neighbors, the rest is noise (−1).
+    * Scale posture: identical to D9 — assignment is shuffle-free, the
+    * only exchange is the cell co-partition, and per-task memory is
+    * one ~32-vector cell at any corpus size.
+    */
+  def qDbscan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nCells = 16; val dim = 64; val tau = 0.3; val minPts = 3
+    val cents = semCentroids(nCells, dim)
+    val bc = s.sparkContext.broadcast(cents)
+    val ds = emb(s, dir).select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+    val byCell = ds.map { case (id, v) =>
+      val cs = bc.value
+      var best = 0; var bestD = Double.NegativeInfinity
+      var ci = 0
+      while (ci < cs.length) {
+        val cv = cs(ci)
+        var d = 0.0; var j = 0
+        while (j < v.length) { d += cv(j) * v(j); j += 1 }
+        // strict > keeps the LOWEST cell id on ties (oracle ROW_NUMBER
+        // ORDER BY dt DESC, p)
+        if (d > bestD) { bestD = d; best = ci }
+        ci += 1
+      }
+      (best, id, v)
+    }
+    val out = byCell.groupByKey(_._1)
+      .flatMapGroups { (cellId: Int, it: Iterator[(Int, Long, Array[Double])]) =>
+        val rows = it.toArray.sortBy(_._2)
+        val ids = rows.map(_._2); val vecs = rows.map(_._3)
+        val m = ids.length
+        val nrm = vecs.map { v =>
+          var s2 = 0.0; var j = 0
+          while (j < v.length) { s2 += v(j) * v(j); j += 1 }
+          math.sqrt(s2)
+        }
+        val adj = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+        var p = 0
+        while (p < m) {
+          var q = p + 1
+          while (q < m) {
+            val vp = vecs(p); val vq = vecs(q)
+            var d = 0.0; var j = 0
+            while (j < vp.length) { d += vp(j) * vq(j); j += 1 }
+            if (d / (nrm(p) * nrm(q)) >= tau) { adj(p) += q; adj(q) += p }
+            q += 1
+          }
+          p += 1
+        }
+        val isCore = adj.map(_.length >= minPts)
+        // union-find over the core-core edges; cluster = min core id
+        val parent = Array.tabulate(m)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        var i = 0
+        while (i < m) {
+          if (isCore(i)) adj(i).foreach { j =>
+            if (isCore(j)) parent(find(i)) = find(j)
+          }
+          i += 1
+        }
+        val minId = scala.collection.mutable.Map.empty[Int, Long]
+        i = 0
+        while (i < m) {
+          if (isCore(i)) {
+            val r = find(i)
+            minId.get(r) match {
+              case Some(cur) if cur <= ids(i) => ()
+              case _ => minId(r) = ids(i)
+            }
+          }
+          i += 1
+        }
+        (0 until m).iterator.map { x =>
+          val cluster =
+            if (isCore(x)) minId(find(x))
+            else {
+              val coreNbrs = adj(x).filter(isCore(_))
+              if (coreNbrs.isEmpty) -1L
+              else coreNbrs.map(j => minId(find(j))).min
+            }
+          (ids(x), cellId.toLong, adj(x).length.toLong,
+           if (isCore(x)) 1 else 0, cluster)
+        }
+      }
+    out.toDF("vec_id", "cell", "n_neighbors", "is_core", "cluster")
+      .orderBy(col("vec_id"))
+  }
+
+  /** The D9/D23 shared cell-assignment CTE chain (16 "sem|" unit-norm
+    * centroids → per-vector argmax cell) — ONE text so the two oracles
+    * cannot drift from each other. */
+  private val semCellsCteSql: String = {
     val u = (t: String) =>
       graft.functions.TextFunctions.hexPrefix52Sql(s"md5('sem|'||p||'|'||j||'|$t')")
-    s"""WITH pz AS (
+    s"""pz AS (
       |  SELECT p, j,
       |    sqrt(-2*ln((${u("1")} + 1.0)/4503599627370496.0))
       |      * cos(2*pi()*(${u("2")}/4503599627370496.0)) AS z
@@ -1918,7 +2028,11 @@ object Similarity {
       |cellr AS (SELECT vec_id, p,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, p) AS rn
       |  FROM cd),
-      |cell AS (SELECT vec_id, p FROM cellr WHERE rn = 1),
+      |cell AS (SELECT vec_id, p FROM cellr WHERE rn = 1)""".stripMargin
+  }
+
+  private val semDedupSql: String =
+    s"""WITH $semCellsCteSql,
       |prs AS (SELECT cb.vec_id AS vec_id, cb.p AS cell, ca.vec_id AS dup_of,
       |    list_cosine_similarity(ea.v, eb.v) AS sim
       |  FROM cell ca JOIN cell cb ON ca.p = cb.p AND ca.vec_id < cb.vec_id
@@ -1930,7 +2044,6 @@ object Similarity {
       |SELECT vec_id, cell, dup_of,
       |  CAST(ROUND(sim,4) AS DECIMAL(18,4))::DOUBLE AS cosine
       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
-  }
 
   /** D11 oracle: 4 unrolled greedy MMR steps (the q_kmeans idiom) —
     * step k scores the unselected candidates against the selected set
@@ -2014,6 +2127,42 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansSql,
     "q_semdedup" -> semDedupSql,
+    "q_dbscan" ->
+      s"""WITH RECURSIVE $semCellsCteSql,
+        |prs AS (SELECT ca.vec_id AS a, cb.vec_id AS b
+        |  FROM cell ca JOIN cell cb ON ca.p = cb.p AND ca.vec_id < cb.vec_id
+        |  JOIN e ea ON ea.vec_id = ca.vec_id
+        |  JOIN e eb ON eb.vec_id = cb.vec_id
+        |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3),
+        |nbr AS (SELECT a AS v, b AS w FROM prs
+        |  UNION ALL SELECT b, a FROM prs),
+        |cnt AS (SELECT c.vec_id, c.p AS cell, COALESCE(n.nn, 0) AS n_nbr
+        |  FROM cell c LEFT JOIN
+        |    (SELECT v, COUNT(*) AS nn FROM nbr GROUP BY v) n
+        |    ON n.v = c.vec_id),
+        |core AS (SELECT vec_id FROM cnt WHERE n_nbr >= 3),
+        |ce AS (SELECT v, w FROM nbr
+        |  WHERE v IN (SELECT vec_id FROM core)
+        |    AND w IN (SELECT vec_id FROM core)),
+        |reach(v, r) AS (
+        |  SELECT vec_id, vec_id FROM core
+        |  UNION
+        |  SELECT ce.w, reach.r FROM reach JOIN ce ON ce.v = reach.v),
+        |clu AS (SELECT v AS vec_id, MIN(r) AS cl FROM reach GROUP BY v),
+        |border AS (SELECT n.v AS vec_id, MIN(c.cl) AS cl
+        |  FROM nbr n JOIN clu c ON c.vec_id = n.w
+        |  WHERE n.v NOT IN (SELECT vec_id FROM core)
+        |  GROUP BY n.v)
+        |SELECT cnt.vec_id, CAST(cnt.cell AS BIGINT) AS cell,
+        |  CAST(cnt.n_nbr AS BIGINT) AS n_neighbors,
+        |  CAST(CASE WHEN cr.vec_id IS NOT NULL THEN 1 ELSE 0 END
+        |    AS INTEGER) AS is_core,
+        |  CAST(COALESCE(cu.cl, bo.cl, -1) AS BIGINT) AS cluster
+        |FROM cnt
+        |LEFT JOIN core cr ON cr.vec_id = cnt.vec_id
+        |LEFT JOIN clu cu ON cu.vec_id = cnt.vec_id
+        |LEFT JOIN border bo ON bo.vec_id = cnt.vec_id
+        |ORDER BY cnt.vec_id""".stripMargin,
     "q_silhouette" ->
       """WITH ct AS (SELECT label AS clabel, i, AVG(embedding[i]) AS c
         |  FROM embeddings, (SELECT unnest(range(1,65)) AS i) GROUP BY 1,2),
