@@ -3232,6 +3232,133 @@ object Relational {
               dec6(expr(kwHSql)).as("h"))
   }
 
+  /** B113 statistic — ONE shared float text over the exact integer
+    * aggregates; the three group terms appear in fixed textual order
+    * so float addition order is pinned. d_g = S_g·N − S·n_g (exact),
+    * so Σ n_g(z̄_g − z̄)² = Σ d_g²/(n_g·N²). */
+  private val bfWSql =
+    "((CAST(nn AS DOUBLE) - 3.0)/2.0) * " +
+      "((CAST(da AS DOUBLE)*CAST(da AS DOUBLE)/CAST(na AS DOUBLE) + " +
+        "CAST(db AS DOUBLE)*CAST(db AS DOUBLE)/CAST(nb AS DOUBLE) + " +
+        "CAST(dc AS DOUBLE)*CAST(dc AS DOUBLE)/CAST(nc AS DOUBLE)) / " +
+       "(CAST(nn AS DOUBLE)*CAST(nn AS DOUBLE))) / " +
+      "(CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE)/CAST(na AS DOUBLE) + " +
+       "CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE)/CAST(nb AS DOUBLE) + " +
+       "CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE)/CAST(nc AS DOUBLE))"
+
+  /** B113: Brown–Forsythe test for variance homogeneity across the
+    * three returnflag cohorts' quantity distributions — the ASSUMPTION
+    * CHECK run before trusting B78's ANOVA (equal-variance) and the
+    * robust (median-centered) form of Levene's test: quantity is
+    * domain-bounded, so each group's EXACT median comes from the
+    * ≤50-row per-group value frame (cumulative counts, lower-median
+    * rule — the B102 convention), deviations z = |v − med_g| are exact
+    * integers on the same cells, and the W statistic's every moment
+    * (S_g, Q_g, n_g) is an exact DECIMAL(38,0) aggregate — only the
+    * published W is float via the shared [[bfWSql]] text (compare to
+    * F(2, N−3) downstream). At 100 TB: one ≤150-key shuffle.
+    */
+  def qBrownForsythe(s: SparkSession, dir: String): DataFrame = {
+    val cells = lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("g"),
+               col("l_quantity").cast("long").as("v"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+    // exact per-group lower median over the ≤50-row domain frame
+    val wg = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = cells
+      .withColumn("cum", sum(col("c")).over(wg))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("g"))))
+    val med = withCum
+      .filter(col("cum") * 2 >= col("tot")) // cum ≥ ceil(tot/2): lower median
+      .groupBy(col("g")).agg(min(col("v")).as("med"))
+    val z = cells.join(broadcast(med), "g")
+      .withColumn("z", abs(col("v") - col("med")).cast("decimal(38,0)"))
+    z.agg(sum(when(col("g") === "A", col("c")).otherwise(lit(0))).as("nad"),
+          sum(when(col("g") === "N", col("c")).otherwise(lit(0))).as("nbd"),
+          sum(when(col("g") === "R", col("c")).otherwise(lit(0))).as("ncd"),
+          sum(when(col("g") === "A", col("c") * col("z"))
+            .otherwise(lit(0))).as("sad"),
+          sum(when(col("g") === "N", col("c") * col("z"))
+            .otherwise(lit(0))).as("sbd"),
+          sum(when(col("g") === "R", col("c") * col("z"))
+            .otherwise(lit(0))).as("scd"),
+          sum(when(col("g") === "A", col("c") * col("z") * col("z"))
+            .otherwise(lit(0))).as("qad"),
+          sum(when(col("g") === "N", col("c") * col("z") * col("z"))
+            .otherwise(lit(0))).as("qbd"),
+          sum(when(col("g") === "R", col("c") * col("z") * col("z"))
+            .otherwise(lit(0))).as("qcd"))
+      .select(col("nad").as("na"), col("nbd").as("nb"), col("ncd").as("nc"),
+              (col("nad") + col("nbd") + col("ncd")).as("nn"),
+              col("sad").as("sa"), col("sbd").as("sb"), col("scd").as("sc"),
+              col("qad").as("qa"), col("qbd").as("qb"), col("qcd").as("qc"))
+      .withColumn("da", col("sa") * col("nn") - (col("sa") + col("sb") + col("sc")) * col("na"))
+      .withColumn("db", col("sb") * col("nn") - (col("sa") + col("sb") + col("sc")) * col("nb"))
+      .withColumn("dc", col("sc") * col("nn") - (col("sa") + col("sb") + col("sc")) * col("nc"))
+      .select(col("nn").cast("long").as("n_rows"),
+              col("na").cast("long").as("n_a"),
+              col("nb").cast("long").as("n_n"),
+              col("nc").cast("long").as("n_r"),
+              col("sa").cast("long").as("s_a"),
+              col("sb").cast("long").as("s_n"),
+              col("sc").cast("long").as("s_r"),
+              dec6(expr(bfWSql)).as("w"))
+  }
+
+  /** B114: Durbin–Watson serial-correlation diagnostic on the daily
+    * revenue OLS residuals — the test every regression report runs
+    * after fitting a trend (DW ≈ 2 means independent errors; B85/B103
+    * measure the raw series, DW measures what the TREND FIT leaves
+    * behind): the fact collapses to the day domain, the OLS
+    * coefficients come from exact DECIMAL(38,0) moments and are
+    * e6-QUANTIZED by sign-split integral division (the quantized-
+    * coefficient convention — B96's states, A44's weights), residuals
+    * rₜ = (yₜ·e6 − a − b·t) are computed exactly and then QUANTIZED
+    * to e3 by one more sign-split division — the down-scale keeps
+    * Σr²·e6 inside DECIMAL(38,0) at any gate SF AND keeps every
+    * integral-divide result inside LONG (Spark's `div` returns
+    * LongType and silently wraps past 2⁶³ — the overflow this query's
+    * first draft hit); DW = (Σ(rₜ−rₜ₋₁)²·e6) div Σrₜ² publishes as
+    * exact integral e6. NO float anywhere. At 100 TB: one
+    * ≤|days|-key shuffle then domain-bounded window work.
+    */
+  def qDurbinWatson(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    val daily = dailyRevenue(s, dir)
+      .withColumn("t", row_number().over(w).cast("decimal(38,0)"))
+      .withColumn("y", col("x").cast("decimal(38,0)"))
+    val m = daily.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"),
+        sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"))
+      .withColumn("numb", expr("(n * sty - st * sy) * 1000000"))
+      .withColumn("den", expr("n * stt - st * st"))
+      .withColumn("b_e6", expr(
+        "CASE WHEN numb >= 0 THEN abs(numb) div den " +
+        "ELSE -(abs(numb) div den) END"))
+      .withColumn("numa", expr("sy * 1000000 - b_e6 * st"))
+      .withColumn("a_e6", expr(
+        "CASE WHEN numa >= 0 THEN abs(numa) div n " +
+        "ELSE -(abs(numa) div n) END"))
+    daily
+      .crossJoin(broadcast(m.select(col("n"), col("a_e6"), col("b_e6"))))
+      .withColumn("r0", expr("y * 1000000 - (a_e6 + b_e6 * t)"))
+      .withColumn("r", expr(
+        "CAST(CASE WHEN r0 >= 0 THEN abs(r0) div 1000 " +
+        "ELSE -(abs(r0) div 1000) END AS DECIMAL(38,0))"))
+      .withColumn("rp", lag(col("r"), 1).over(w))
+      .agg(max(col("n")).cast("long").as("n_days"),
+           max(col("a_e6")).cast("long").as("a_e6"),
+           max(col("b_e6")).cast("long").as("b_e6"),
+           sum(col("r") * col("r")).as("dend"),
+           sum(when(col("rp").isNotNull,
+               (col("r") - col("rp")) * (col("r") - col("rp")))
+             .otherwise(lit(0))).as("numd"))
+      .select(col("n_days"), col("a_e6"), col("b_e6"),
+        expr("CAST((numd * 1000000) div dend AS BIGINT)").as("dw_e6"))
+  }
+
   /** B112: top within-session event-type paths (consecutive trigrams)
     * — the path-analysis generalization of B105's first-order
     * transitions ("which 3-step journeys actually happen", the input
@@ -3730,6 +3857,70 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_durbin_watson" ->
+      """WITH daily AS (SELECT o_orderdate AS day,
+        |    SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS HUGEINT) AS t,
+        |    CAST(x AS HUGEINT) AS y, day FROM daily),
+        |m0 AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(t) AS st,
+        |    SUM(t*t) AS stt, SUM(y) AS sy, SUM(t*y) AS sty FROM idx),
+        |m1 AS (SELECT *, (n*sty - st*sy) * 1000000 AS numb,
+        |    n*stt - st*st AS den FROM m0),
+        |m2 AS (SELECT *, CASE WHEN numb >= 0 THEN abs(numb) // den
+        |    ELSE -(abs(numb) // den) END AS b_e6 FROM m1),
+        |m3 AS (SELECT *, sy * 1000000 - b_e6 * st AS numa FROM m2),
+        |m4 AS (SELECT *, CASE WHEN numa >= 0 THEN abs(numa) // n
+        |    ELSE -(abs(numa) // n) END AS a_e6 FROM m3),
+        |r0 AS (SELECT y * 1000000 - (a_e6 + b_e6 * t) AS r0, day, n, a_e6, b_e6
+        |  FROM idx CROSS JOIN m4),
+        |r AS (SELECT CASE WHEN r0 >= 0 THEN abs(r0) // 1000
+        |    ELSE -(abs(r0) // 1000) END AS r, day, n, a_e6, b_e6 FROM r0),
+        |rl AS (SELECT r, LAG(r) OVER (ORDER BY day) AS rp, n, a_e6, b_e6
+        |  FROM r),
+        |ag AS (SELECT MAX(n) AS n, MAX(a_e6) AS a_e6, MAX(b_e6) AS b_e6,
+        |    SUM(r*r) AS dend,
+        |    SUM(CASE WHEN rp IS NOT NULL THEN (r-rp)*(r-rp) ELSE 0 END) AS numd
+        |  FROM rl)
+        |SELECT CAST(n AS BIGINT) AS n_days, CAST(a_e6 AS BIGINT) AS a_e6,
+        |  CAST(b_e6 AS BIGINT) AS b_e6,
+        |  CAST((numd * 1000000) // dend AS BIGINT) AS dw_e6
+        |FROM ag""".stripMargin,
+    "q_brown_forsythe" ->
+      s"""WITH cells AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS HUGEINT) AS c FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT g, v, c,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+        |    SUM(c) OVER (PARTITION BY g) AS tot
+        |  FROM cells),
+        |med AS (SELECT g, MIN(v) AS med FROM cum
+        |  WHERE cm * 2 >= tot GROUP BY g),
+        |z AS (SELECT cells.g, c, CAST(abs(v - med) AS HUGEINT) AS z
+        |  FROM cells JOIN med ON med.g = cells.g),
+        |ag AS (SELECT
+        |    SUM(CASE WHEN g='A' THEN c ELSE 0 END) AS na,
+        |    SUM(CASE WHEN g='N' THEN c ELSE 0 END) AS nb,
+        |    SUM(CASE WHEN g='R' THEN c ELSE 0 END) AS nc,
+        |    SUM(CASE WHEN g='A' THEN c*z ELSE 0 END) AS sa,
+        |    SUM(CASE WHEN g='N' THEN c*z ELSE 0 END) AS sb,
+        |    SUM(CASE WHEN g='R' THEN c*z ELSE 0 END) AS sc,
+        |    SUM(CASE WHEN g='A' THEN c*z*z ELSE 0 END) AS qa,
+        |    SUM(CASE WHEN g='N' THEN c*z*z ELSE 0 END) AS qb,
+        |    SUM(CASE WHEN g='R' THEN c*z*z ELSE 0 END) AS qc
+        |  FROM z),
+        |f AS (SELECT *, na+nb+nc AS nn,
+        |    sa*(na+nb+nc) - (sa+sb+sc)*na AS da,
+        |    sb*(na+nb+nc) - (sa+sb+sc)*nb AS db,
+        |    sc*(na+nb+nc) - (sa+sb+sc)*nc AS dc
+        |  FROM ag)
+        |SELECT CAST(nn AS BIGINT) AS n_rows, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_n, CAST(nc AS BIGINT) AS n_r,
+        |  CAST(sa AS BIGINT) AS s_a, CAST(sb AS BIGINT) AS s_n,
+        |  CAST(sc AS BIGINT) AS s_r,
+        |  CAST(ROUND($bfWSql, 6) AS DECIMAL(18,6))::DOUBLE AS w
+        |FROM f""".stripMargin,
     "q_event_paths" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, event_type,
