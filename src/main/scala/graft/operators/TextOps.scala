@@ -1315,6 +1315,36 @@ object TextOps {
       .select(col("id").as("doc_id"), col("r").as("rank_e9"))
       .orderBy(col("doc_id"))
 
+  /** C46: TextRank keyword extraction (Mihalcea & Tarau 2004 — the
+    * UNSUPERVISED corpus-keyword step next to C43's RAKE: RAKE scores
+    * stopword-delimited phrases locally, TextRank ranks single terms
+    * by GRAPH CENTRALITY over co-occurrence): candidate tokens (len ≥
+    * 4, non-stopword) pair with their consecutive kept neighbor per
+    * document (doc-bounded lead window — never a global sort), the
+    * distinct undirected pairs form the word graph, and C24's INTEGER
+    * fixed-point PageRank (e9 scale, 3 unrolled iterations, exact
+    * integral arithmetic) ranks terms; top-20 under the total
+    * (rank DESC, term) order. At 100 TB: one explode + doc-key
+    * windows, one distinct-pair shuffle, then 3 bounded-iteration
+    * join+agg rounds on the ≤|vocab| graph.
+    */
+  def qTextrank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(length(col("w")) >= 4 && !col("w").isInCollection(stopwords))
+    val adj = toks.withColumn("nxt", lead(col("w"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("w") =!= col("nxt"))
+      .select(least(col("w"), col("nxt")).as("a"),
+              greatest(col("w"), col("nxt")).as("b"))
+      .distinct()
+    Graphs.pagerankFixedPoint(adj)
+      .orderBy(col("r").desc, col("id"))
+      .limit(20)
+      .select(col("id").as("term"), col("r").as("rank_e9"))
+  }
+
   /** C25: edit-distance near-dup verify — the character-level
     * complement of Jaccard/SimHash: candidates blocked on a shared
     * 24-char prefix (bucket size capped at 8, the df-cap contract),
@@ -2552,6 +2582,31 @@ object TextOps {
     "q_fp_overlap" ->
       s"""WITH $fpPairCteSql
         |SELECT a_id, b_id, n_shared FROM pr ORDER BY 1, 2""".stripMargin,
+    "q_textrank" -> {
+      val iters = (1 to 3).map { k =>
+        s"""c$k AS (SELECT ed.d AS id, SUM(r${k - 1}.r // dg.deg) AS sm
+          |  FROM ed JOIN dg ON ed.s = dg.s JOIN r${k - 1} ON r${k - 1}.id = ed.s
+          |  GROUP BY 1),
+          |r$k AS (SELECT id, CAST(150000000 + (17 * sm) // 20 AS BIGINT) AS r FROM c$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH f AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '),
+        |      x -> LEN(x) >= 4 AND x NOT IN ($stopSql)) AS fw
+        |  FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, LEN(fw)),
+        |    i -> {'a': fw[i], 'b': fw[i+1]})) AS p
+        |  FROM f WHERE LEN(fw) >= 2),
+        |pr0 AS (SELECT p.a AS a, p.b AS b FROM bg WHERE p.a <> p.b),
+        |pr AS (SELECT DISTINCT LEAST(a, b) AS a_id, GREATEST(a, b) AS b_id
+        |  FROM pr0),
+        |ed AS (SELECT a_id AS s, b_id AS d FROM pr
+        |  UNION ALL SELECT b_id AS s, a_id AS d FROM pr),
+        |dg AS (SELECT s, COUNT(*) AS deg FROM ed GROUP BY 1),
+        |r0 AS (SELECT DISTINCT s AS id, CAST(1000000000 AS BIGINT) AS r FROM ed),
+        |$iters
+        |SELECT id AS term, r AS rank_e9 FROM r3
+        |ORDER BY r DESC, id LIMIT 20""".stripMargin
+    },
     "q_pagerank" -> {
       val iters = (1 to 3).map { k =>
         s"""c$k AS (SELECT ed.d AS id, SUM(r${k - 1}.r // dg.deg) AS sm

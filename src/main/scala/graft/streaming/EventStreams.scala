@@ -875,6 +875,50 @@ object EventStreams {
         })
   }
 
+  /** F35 state: the last two event types of the OPEN session plus the
+    * last event time and the event-id watermark — O(1) per user. */
+  final case class PathState(t1: String, t2: String, lastTs: Long,
+                             lastEvent: Long)
+  final case class PathOut(user_id: Long, event_id: Long, t1: String,
+                           t2: String, t3: String)
+
+  /** F35: streaming within-session path emission (online twin of
+    * B112): each arrival that completes a consecutive event-type
+    * TRIGRAM inside the open session (30-min gap — the B10 rule)
+    * emits it immediately; a gap reset clears the pair state, so
+    * trigrams never span sessions, exactly as the batch query's
+    * per-(user, session) windows. O(1) state per key (two strings +
+    * two longs); replay-safe via the event-id watermark. Downstream,
+    * the B112 aggregate (count per trigram, ppm shares) is one
+    * groupBy over this stream's output. StreamingSpec pins stream ==
+    * sequential fold across batches incl. replay.
+    */
+  def eventPathsStream(in: Dataset[AttrEvent]): Dataset[PathOut] = {
+    val gapUs = 1800L * 1000000L
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[AttrEvent], state: GroupState[PathState]) => {
+          var st = state.getOption.getOrElse(
+            PathState(null, null, Long.MinValue, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PathOut]
+          batch.toArray.sortBy(e => (e.ts_us, e.event_id)).iterator
+            .filter(_.event_id > st.lastEvent)
+            .foreach { e =>
+              val newSession =
+                st.lastTs == Long.MinValue || e.ts_us - st.lastTs > gapUs
+              val (t1, t2) =
+                if (newSession) (null: String, null: String)
+                else (st.t1, st.t2)
+              if (t1 != null && t2 != null)
+                out += PathOut(uid, e.event_id, t1, t2, e.event_type)
+              st = PathState(t2, e.event_type, e.ts_us, e.event_id)
+            }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** F30 event/state/output shapes: O(1) exact state per user — the
     * last touch's (ts, type), the first touch's type, and the
     * event-id watermark. */

@@ -248,6 +248,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F35 streaming session paths equal a sequential batch fold; replay-safe") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{AttrEvent, PathOut}
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 1800L * 1000000L
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us", "event_type")
+      .collect()
+      .map(r => AttrEvent(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    val input = MemoryStream[AttrEvent]
+    val q = EventStreams.eventPathsStream(input.toDS())
+      .writeStream.format("memory").queryName("paths_out").outputMode("update").start()
+    try {
+      val (b1, b2) = ev.partition(_.event_id < ev.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      // replay below the high-water mark must not re-emit trigrams
+      input.addData(b1.take(200)); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("paths_out").as[PathOut].collect()
+        .map(r => (r.user_id, r.event_id) -> (r.t1, r.t2, r.t3)).toMap
+      // batch twin: session-reset trigram fold per user in (ts, id) order
+      val expected = ev.groupBy(_.user_id).flatMap { case (uid, evs) =>
+        var t1: String = null; var t2: String = null
+        var lastTs = Long.MinValue
+        evs.sortBy(e => (e.ts_us, e.event_id)).flatMap { e =>
+          if (lastTs != Long.MinValue && e.ts_us - lastTs > gapUs) {
+            t1 = null; t2 = null
+          }
+          val res =
+            if (t1 != null && t2 != null)
+              Some((uid, e.event_id) -> (t1, t2, e.event_type))
+            else None
+          t1 = t2; t2 = e.event_type; lastTs = e.ts_us
+          res
+        }
+      }.toMap
+      assert(got.nonEmpty)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("F30 streaming attribution equals the oracled batch B104 aggregate; replay-safe") {
     import spark.implicits._
     import graft.streaming.EventStreams.{AttrEvent, AttrOut}
