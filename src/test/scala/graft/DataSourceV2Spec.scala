@@ -123,6 +123,34 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(st.min == 0 && st.max == 96)
   }
 
+  test("G12: the V2 function catalog serves a magic-invoke scalar and a mergeable aggregate") {
+    spark.conf.set("spark.sql.catalog.graft_fns",
+      classOf[graft.sources.v2.GraftFunctionCatalog].getName)
+    // scalar: TRUE floor division, which SQL's truncating div is not
+    val r = spark.sql(
+      "SELECT graft_fns.kernels.floor_div(-7L, 2L) AS fd, -7L div 2L AS td")
+      .collect().head
+    assert(r.getLong(0) == -4L, "floor_div must floor")
+    assert(r.getLong(1) == -3L, "IntegralDivide truncates - the contrast the fn exists for")
+    // the magic method binds via Invoke (no row-path fallback)
+    val plan = spark.sql("SELECT graft_fns.kernels.floor_div(id, 2L) FROM range(5)")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("invoke") || plan.contains("floor_div"),
+      s"expected an Invoke binding in:\n$plan")
+    // aggregate: gcd over a column whose quantum is 250, split across
+    // partitions so merge() genuinely runs
+    spark.range(1, 1001).selectExpr("id * 250 AS v")
+      .repartition(7).createOrReplaceTempView("g12_vals")
+    val g = spark.sql("SELECT graft_fns.kernels.gcd_agg(v) AS g FROM g12_vals")
+      .collect().head.getLong(0)
+    assert(g == 250L, s"gcd quantum must be 250, got $g")
+    // grouped form keeps partial aggregation
+    val grouped = spark.sql(
+      "SELECT v % 3 AS k, graft_fns.kernels.gcd_agg(v) AS g FROM g12_vals GROUP BY 1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(grouped.values.forall(_ % 250L == 0L))
+  }
+
   test("G11: RequiresDistributionAndOrdering makes Spark cluster+sort before the writer") {
     import graft.sources.v2.ClusteredSink
     val key = "spec-clustered-" + java.util.UUID.randomUUID()
