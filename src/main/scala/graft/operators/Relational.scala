@@ -3232,6 +3232,41 @@ object Relational {
               dec6(expr(kwHSql)).as("h"))
   }
 
+  /** B115: session entry/exit/bounce analysis — the product-analytics
+    * staple over B10's sessions ("where do sessions start, where do
+    * they end, how many are one-and-done"): sessions from the SHARED
+    * sessionizer (30-min gap, same single user-key shuffle), each
+    * session's entry/exit type and event count from one per-(user,
+    * session) aggregate with exact (ts, event_id)-ordered min/max_by
+    * struct ordering, then a ≤|types|²-key rollup: per (entry, exit)
+    * cell the session count, bounce count (n_events = 1) and EXACT
+    * integral-ppm bounce share of the entry row. At 100 TB: one
+    * user-key shuffle + a domain-bounded aggregate.
+    */
+  def qSessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val sess = Windowed.sessionized(events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+      key = "user_id", ts = "ts", tieBreak = "event_id",
+      gapUs = 1800L * 1000000L)
+    val per = sess.groupBy(col("user_id"), col("session_seq"))
+      .agg(min_by(col("event_type"), struct(col("ts"), col("event_id")))
+             .as("entry_type"),
+           max_by(col("event_type"), struct(col("ts"), col("event_id")))
+             .as("exit_type"),
+           count(lit(1)).as("n_events"))
+    val cells = per.groupBy(col("entry_type"), col("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+           sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+    val byEntry = cells.groupBy(col("entry_type"))
+      .agg(sum(col("n_sessions")).as("n_entry"))
+    cells.join(broadcast(byEntry), "entry_type")
+      .select(col("entry_type"), col("exit_type"), col("n_sessions"),
+        col("n_bounces"),
+        expr("CAST((n_bounces * 1000000) div n_entry AS BIGINT)")
+          .as("bounce_ppm_of_entry"))
+      .orderBy(col("entry_type"), col("exit_type"))
+  }
+
   /** B113 statistic — ONE shared float text over the exact integer
     * aggregates; the three group terms appear in fixed textual order
     * so float addition order is pinned. d_g = S_g·N − S·n_g (exact),
@@ -3857,6 +3892,41 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_session_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g),
+        |fi AS (SELECT user_id, session_seq, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+        |      ORDER BY ts, event_id) AS rf,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+        |      ORDER BY ts DESC, event_id DESC) AS rl,
+        |    COUNT(*) OVER (PARTITION BY user_id, session_seq) AS ne
+        |  FROM s),
+        |per AS (SELECT user_id, session_seq,
+        |    MAX(CASE WHEN rf = 1 THEN event_type END) AS entry_type,
+        |    MAX(CASE WHEN rl = 1 THEN event_type END) AS exit_type,
+        |    MAX(ne) AS n_events
+        |  FROM fi GROUP BY 1, 2),
+        |cells AS (SELECT entry_type, exit_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |    CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_bounces
+        |  FROM per GROUP BY 1, 2),
+        |be AS (SELECT entry_type, CAST(SUM(n_sessions) AS BIGINT) AS n_entry
+        |  FROM cells GROUP BY 1)
+        |SELECT entry_type, exit_type, n_sessions, n_bounces,
+        |  CAST((n_bounces * 1000000) // n_entry AS BIGINT)
+        |    AS bounce_ppm_of_entry
+        |FROM cells JOIN be USING (entry_type)
+        |ORDER BY entry_type, exit_type""".stripMargin,
     "q_durbin_watson" ->
       """WITH daily AS (SELECT o_orderdate AS day,
         |    SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS x

@@ -919,6 +919,51 @@ object EventStreams {
         })
   }
 
+  /** F36 state: the open session's aggregate — seq, bounds, count,
+    * entry/exit types — plus the event-id watermark; O(1) per user. */
+  final case class SessPathState(seq: Long, lastTs: Long, n: Long,
+                                 entry: String, exit: String, lastEvent: Long)
+  final case class SessPathOut(user_id: Long, session_seq: Long,
+                               entry_type: String, exit_type: String,
+                               n_events: Long)
+
+  /** F36: streaming session entry/exit tracking (online twin of
+    * B115's per-session frame): the F2 sessionizer pattern carrying
+    * entry/exit types — closed sessions are final on first emission,
+    * the open session re-emits (same session_seq) as arrivals extend
+    * it; readers keep the last row per (user_id, session_seq) and the
+    * B115 bounce rollup is one groupBy over that compacted stream.
+    * O(1) state per key, replay-safe via the event-id watermark.
+    * StreamingSpec pins the compacted stream == a sequential batch
+    * fold across batches incl. replay.
+    */
+  def sessionPathsStream(in: Dataset[AttrEvent]): Dataset[SessPathOut] = {
+    val gapUs = 1800L * 1000000L
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[AttrEvent], state: GroupState[SessPathState]) => {
+          var open = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessPathOut]
+          def emit(s: SessPathState): Unit =
+            out += SessPathOut(uid, s.seq, s.entry, s.exit, s.n)
+          val fresh = batch.toArray.sortBy(e => (e.ts_us, e.event_id))
+            .filter(e => open == null || e.event_id > open.lastEvent)
+          fresh.foreach { e =>
+            if (open != null && e.ts_us - open.lastTs <= gapUs)
+              open = open.copy(lastTs = e.ts_us, n = open.n + 1,
+                exit = e.event_type, lastEvent = e.event_id)
+            else {
+              val next = if (open == null) 1L else { emit(open); open.seq + 1 }
+              open = SessPathState(next, e.ts_us, 1L,
+                e.event_type, e.event_type, e.event_id)
+            }
+          }
+          if (open != null && fresh.nonEmpty) { emit(open); state.update(open) }
+          out.iterator
+        })
+  }
+
   /** F30 event/state/output shapes: O(1) exact state per user — the
     * last touch's (ts, type), the first touch's type, and the
     * event-id watermark. */

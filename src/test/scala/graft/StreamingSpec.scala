@@ -290,6 +290,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F36 streaming session entry/exit equals a sequential batch fold; replay-safe") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{AttrEvent, SessPathOut}
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 1800L * 1000000L
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us", "event_type")
+      .collect()
+      .map(r => AttrEvent(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    val input = MemoryStream[AttrEvent]
+    val q = EventStreams.sessionPathsStream(input.toDS())
+      .writeStream.format("memory").queryName("sesspath_out").outputMode("update").start()
+    try {
+      val (b1, b2) = ev.partition(_.event_id < ev.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b1.take(200)); q.processAllAvailable() // replay
+      input.addData(b2); q.processAllAvailable()
+      // compact: re-emissions of an open session only grow n_events,
+      // so last == max-n row per (user, session_seq)
+      val got = spark.table("sesspath_out").as[SessPathOut].collect()
+        .groupBy(r => (r.user_id, r.session_seq))
+        .map { case (k, rs) =>
+          val last = rs.maxBy(_.n_events)
+          k -> (last.entry_type, last.exit_type, last.n_events)
+        }
+      val expected = ev.groupBy(_.user_id).flatMap { case (uid, evs) =>
+        val sorted = evs.sortBy(e => (e.ts_us, e.event_id))
+        val sessions = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        var entry: String = null; var exit: String = null
+        var n = 0L; var lastTs = Long.MinValue
+        sorted.foreach { e =>
+          if (n > 0L && e.ts_us - lastTs <= gapUs) {
+            exit = e.event_type; n += 1
+          } else {
+            if (n > 0L) sessions += ((entry, exit, n))
+            entry = e.event_type; exit = e.event_type; n = 1L
+          }
+          lastTs = e.ts_us
+        }
+        if (n > 0L) sessions += ((entry, exit, n))
+        sessions.zipWithIndex.map { case (s, i) =>
+          (uid, (i + 1).toLong) -> s
+        }
+      }
+      assert(got.nonEmpty)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("F30 streaming attribution equals the oracled batch B104 aggregate; replay-safe") {
     import spark.implicits._
     import graft.streaming.EventStreams.{AttrEvent, AttrOut}
