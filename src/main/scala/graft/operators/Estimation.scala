@@ -2209,6 +2209,70 @@ object Estimation {
       |    CAST(s2nh AS DOUBLE) AS s2n, CAST(q11nh AS DOUBLE) AS q11n,
       |    CAST(q12nh AS DOUBLE) AS q12n, CAST(q22nh AS DOUBLE) AS q22n FROM m)""".stripMargin
 
+  /** A51 transform table, generated ONCE in Scala and shared verbatim
+    * by the engine (literal frame) and the oracle (VALUES list) — the
+    * D19 no-runtime-transcendental rule: pow/ln run at QUERY-BUILD
+    * time over the 5×50 (λ, value) grid and quantize to e6 integers,
+    * so neither engine's libm is in the value path. (lam_x2, v, t_e6):
+    * t = ((v+1)^λ − 1)/λ, or ln(v+1) at λ = 0. */
+  private lazy val yjTable: Seq[(Int, Long, Long)] =
+    for { lx2 <- Seq(-2, -1, 0, 1, 2); v <- 1 to 50 } yield {
+      val lam = lx2 / 2.0
+      val t =
+        if (lx2 == 0) math.log(v + 1.0)
+        else (math.pow(v + 1.0, lam) - 1.0) / lam
+      (lx2, v.toLong, Math.round(t * 1e6))
+    }
+
+  /** A51 log-term table: (v, round(ln(v+1)·e6)) — same rule. */
+  private lazy val yjLnTable: Seq[(Long, Long)] =
+    (1 to 50).map(v => (v.toLong, Math.round(math.log(v + 1.0) * 1e6)))
+
+  /** A51 log-likelihood — ONE shared float text over the exact
+    * DECIMAL(38,0) moments of the e6-quantized transforms:
+    * LL(λ) = −n/2·ln(σ̂²_λ) + (λ−1)·Σln(x+1). */
+  private val yjLlSql =
+    "-(CAST(n AS DOUBLE)/2.0) * ln(" +
+      "(CAST(stt AS DOUBLE)*CAST(n AS DOUBLE) - CAST(st AS DOUBLE)*CAST(st AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) / 1000000000000.0) + " +
+    "(CAST(lam_x2 AS DOUBLE)/2.0 - 1.0) * (CAST(sl AS DOUBLE)/1000000.0)"
+
+  /** A51: Yeo–Johnson power-transform λ selection by profile MLE
+    * (sklearn PowerTransformer intent; quantity is positive so YJ's
+    * positive branch = Box–Cox on x+1) over the grid λ ∈ {−1, −0.5,
+    * 0, 0.5, 1}: the fact collapses to the ≤50-value quantity domain,
+    * each (λ, value) transform is a PRE-GENERATED e6-integer literal
+    * ([[yjTable]] — pow/ln run at query build, never at query run, so
+    * cross-engine libm differences cannot bite), moments per λ are
+    * exact DECIMAL(38,0) aggregates, and only each λ's published LL
+    * is float via the shared [[yjLlSql]] text; the winner is the
+    * (ll DESC, λ) row. At 100 TB: one ≤50-key fact aggregate + a
+    * 250-row broadcast join.
+    */
+  def qYeoJohnson(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cnt = lineitem(s, dir)
+      .groupBy(col("l_quantity").cast("long").as("v"))
+      .agg(count(lit(1)).cast(dec).as("c"))
+    val tdf = s.createDataFrame(yjTable).toDF("lam_x2", "v", "t_e6")
+    val ldf = s.createDataFrame(yjLnTable).toDF("v", "lq_e6")
+    val m = cnt.join(broadcast(tdf), "v").join(broadcast(ldf), "v")
+      .groupBy(col("lam_x2"))
+      .agg(sum(col("c")).as("n"),
+           sum(col("c") * col("t_e6")).as("st"),
+           sum(col("c") * col("t_e6") * col("t_e6")).as("stt"),
+           sum(col("c") * col("lq_e6")).as("sl"))
+    val ll = m.select(col("lam_x2"),
+      col("n").cast("long").as("n_rows"),
+      dec6(expr(yjLlSql)).as("ll"))
+    // 5-row frame: the single-partition window is grid-bounded
+    val w = Window.orderBy(col("ll").desc, col("lam_x2"))
+    ll.withColumn("is_best",
+        (row_number().over(w) === 1).cast("int"))
+      .orderBy(col("lam_x2"))
+  }
+
   val oracles: Map[String, String] = {
     val train = s"train AS ($trainSql)"
     val q     = s"q AS (SELECT $uidSql AS li_id, l_quantity, " +
@@ -2219,7 +2283,26 @@ object Estimation {
         Seq("sx", "sy", "sxx", "sxy").map(c =>
           s"CAST(SUM(CASE WHEN $cond THEN $c ELSE 0 END) AS HUGEINT) AS $c")
           .mkString(", ") + " FROM mo"
+    val yjVals = yjTable
+      .map { case (lx2, v, t) => s"($lx2, $v, ${t}::BIGINT)" }.mkString(", ")
+    val yjLnVals = yjLnTable
+      .map { case (v, l) => s"($v, ${l}::BIGINT)" }.mkString(", ")
     Map(
+      "q_yeo_johnson" ->
+        s"""WITH cnt AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+          |    CAST(COUNT(*) AS HUGEINT) AS c FROM lineitem GROUP BY 1),
+          |td(lam_x2, v, t_e6) AS (SELECT * FROM (VALUES $yjVals)),
+          |ld(v, lq_e6) AS (SELECT * FROM (VALUES $yjLnVals)),
+          |m AS (SELECT lam_x2, SUM(c) AS n, SUM(c*t_e6) AS st,
+          |    SUM(c*t_e6*t_e6) AS stt, SUM(c*lq_e6) AS sl
+          |  FROM cnt JOIN td USING (v) JOIN ld USING (v) GROUP BY 1),
+          |ll AS (SELECT lam_x2, CAST(n AS BIGINT) AS n_rows,
+          |    CAST(ROUND($yjLlSql, 6) AS DECIMAL(18,6))::DOUBLE AS ll
+          |  FROM m)
+          |SELECT lam_x2, n_rows, ll,
+          |  CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY ll DESC, lam_x2) = 1
+          |    THEN 1 ELSE 0 END AS INTEGER) AS is_best
+          |FROM ll ORDER BY lam_x2""".stripMargin,
       "q_select_kbest" ->
         s"""WITH b AS (SELECT CAST(l_quantity AS HUGEINT) AS x1,
           |    CAST(ROUND(l_discount*100,0) AS HUGEINT) AS x2,

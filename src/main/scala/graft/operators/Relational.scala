@@ -3232,6 +3232,43 @@ object Relational {
               dec6(expr(kwHSql)).as("h"))
   }
 
+  /** B116: ABC (Pareto) classification of parts by revenue — the
+    * inventory-analytics staple ("A-parts: the ~20% carrying 80% of
+    * revenue"): the FACT collapses to one exact-cents revenue
+    * aggregate per part (one part-key shuffle with map-side combine),
+    * then ranking runs over the PART DIMENSION (cumulative revenue
+    * window under the total (rev DESC, partkey) order — bounded by
+    * |parts|, never the fact; at 100 TB rank the dim with the B37
+    * two-phase GK-bucket split instead of one partition), classes cut
+    * by EXACT integer threshold compares (cum·100 ≤ tot·80 → A,
+    * ≤ 95 → B, else C — inclusive-of-self cumulative, ties broken by
+    * partkey so the cut is deterministic), and the class rollup
+    * publishes exact counts/cents + integral-ppm revenue shares.
+    */
+  def qAbcParts(s: SparkSession, dir: String): DataFrame = {
+    val rev = lineitem(s, dir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("decimal(38,0)").as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("pk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rev.agg(sum(col("rev")).as("tot"))
+    rev.withColumn("cum", sum(col("rev")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(col("cum") * 100 <= col("tot") * 80, "A")
+          .when(col("cum") * 100 <= col("tot") * 95, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"),
+           sum(col("rev")).as("revd"),
+           max(col("tot")).as("totd"))
+      .select(col("cls"), col("n_parts"),
+        col("revd").cast("long").as("revenue_cents"),
+        expr("CAST((revd * 1000000) div totd AS BIGINT)").as("share_ppm"))
+      .orderBy(col("cls"))
+  }
+
   /** B115: session entry/exit/bounce analysis — the product-analytics
     * staple over B10's sessions ("where do sessions start, where do
     * they end, how many are one-and-done"): sessions from the SHARED
@@ -3892,6 +3929,23 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_abc_parts" ->
+      """WITH rev AS (SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS HUGEINT)
+        |      AS rev
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (SELECT pk, rev,
+        |    SUM(rev) OVER (ORDER BY rev DESC, pk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |  FROM rev),
+        |tot AS (SELECT SUM(rev) AS tot FROM rev),
+        |cls AS (SELECT CASE WHEN cm*100 <= tot*80 THEN 'A'
+        |    WHEN cm*100 <= tot*95 THEN 'B' ELSE 'C' END AS cls, rev, tot
+        |  FROM cum CROSS JOIN tot)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+        |  CAST((SUM(rev) * 1000000) // MAX(tot) AS BIGINT) AS share_ppm
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_session_paths" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, event_type,
