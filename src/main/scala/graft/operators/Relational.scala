@@ -3232,6 +3232,62 @@ object Relational {
               dec6(expr(kwHSql)).as("h"))
   }
 
+  /** B117: Croston's method for intermittent demand, per part (THE
+    * forecast for sparse spare-part-style series, where B96/B111
+    * assume a dense daily signal): each part's demand events (quantity
+    * z, inter-arrival gap in days, floored at 1) run through the two
+    * exponential recursions z' ← (z·e6 + 4z')/5, p' ← (gap·e6 + 4p')/5
+    * (α = 0.2 — rational fifth, so each update is ONE exact integer
+    * floor-division: float-free, the B111 posture), and the demand
+    * rate forecast is the integral ratio z'·e6 div p'. Execution is
+    * the B108 event-sourcing replay plan: ONE part-key shuffle,
+    * in-partition (shipdate, orderkey, linenumber)-ordered folds, all
+    * parts in parallel, per-key work bounded by items-per-part. Init:
+    * z'₁ = z₁·e6, p'₁ = e6 (unit first interval).
+    */
+  def qCroston(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("partkey", LongType, nullable = false),
+      StructField("n_demands", LongType, nullable = false),
+      StructField("z_e6", LongType, nullable = false),
+      StructField("p_e6", LongType, nullable = false),
+      StructField("forecast_e6", LongType, nullable = false)))
+    lineitem(s, dir)
+      .select(col("l_partkey").as("pk"),
+        col("l_shipdate").cast("date").as("d"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_quantity").cast("long").as("z"))
+      .repartition(col("pk"))
+      .sortWithinPartitions(col("pk"), col("d"), col("ok"), col("ln"))
+      .select(col("pk"), datediff(col("d"), lit("1970-01-01")).cast("long")
+        .as("ed"), col("z"))
+      .mapPartitions { it =>
+        var pk = Long.MinValue
+        var zq = 0L; var pq = 0L; var n = 0L; var lastEd = 0L
+        var open = false
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def close(): Unit = if (open)
+          out += Row(pk, n, zq, pq, Math.floorDiv(zq * 1000000L, pq))
+        it.foreach { r =>
+          val k = r.getLong(0); val ed = r.getLong(1); val z = r.getLong(2)
+          if (k != pk) {
+            close(); pk = k; zq = z * 1000000L; pq = 1000000L
+            n = 1L; lastEd = ed; open = true
+          } else {
+            val gap = math.max(1L, ed - lastEd)
+            zq = Math.floorDiv(z * 1000000L + 4L * zq, 5L)
+            pq = Math.floorDiv(gap * 1000000L + 4L * pq, 5L)
+            n += 1; lastEd = ed
+          }
+        }
+        close()
+        out.iterator
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .orderBy(col("partkey"))
+  }
+
   /** B116: ABC (Pareto) classification of parts by revenue — the
     * inventory-analytics staple ("A-parts: the ~20% carrying 80% of
     * revenue"): the FACT collapses to one exact-cents revenue
@@ -3929,6 +3985,31 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_croston" ->
+      """WITH RECURSIVE b AS (SELECT l_partkey AS pk,
+        |    CAST(l_quantity AS BIGINT) AS z,
+        |    CAST(l_shipdate AS DATE) AS d,
+        |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS i
+        |  FROM lineitem),
+        |g AS (SELECT pk, z, i,
+        |    CASE WHEN i = 1 THEN 0
+        |      ELSE GREATEST(1, date_diff('day',
+        |        LAG(d) OVER (PARTITION BY pk ORDER BY i), d)) END AS gap
+        |  FROM b),
+        |r(pk, i, zq, pq) AS (
+        |  SELECT pk, CAST(1 AS BIGINT), z * 1000000, CAST(1000000 AS BIGINT)
+        |  FROM g WHERE i = 1
+        |  UNION ALL
+        |  SELECT g.pk, g.i, (g.z * 1000000 + 4 * r.zq) // 5,
+        |    (g.gap * 1000000 + 4 * r.pq) // 5
+        |  FROM r JOIN g ON g.pk = r.pk AND g.i = r.i + 1),
+        |f AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+        |    ORDER BY i DESC) AS rn FROM r)
+        |SELECT CAST(pk AS BIGINT) AS partkey, i AS n_demands,
+        |  CAST(zq AS BIGINT) AS z_e6, CAST(pq AS BIGINT) AS p_e6,
+        |  CAST((zq * 1000000) // pq AS BIGINT) AS forecast_e6
+        |FROM f WHERE rn = 1 ORDER BY partkey""".stripMargin,
     "q_abc_parts" ->
       """WITH rev AS (SELECT l_partkey AS pk,
         |    CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS HUGEINT)
