@@ -1,0 +1,250 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 TABLE CATALOG (SURVEY §2 G13) — the full-catalog
+  * pillar that G1–G12's TableProviders sidestep: DDL and DML route
+  * through the connector catalog API end to end —
+  *
+  *   CREATE TABLE graft_mem.ns.t (…)   → `TableCatalog.createTable`
+  *   INSERT INTO graft_mem.ns.t …      → `SupportsWrite` (two-phase:
+  *     task partials carry rows, the driver commit publishes — a
+  *     failed job appends NOTHING, same contract as G4)
+  *   SELECT … FROM graft_mem.ns.t      → `SupportsRead` batch scan
+  *   DELETE FROM graft_mem.ns.t WHERE… → `SupportsDelete.deleteWhere`
+  *     with V1 source filters; `canDeleteWhere` REFUSES predicates it
+  *     cannot evaluate exactly (the metadata-delete contract: Spark
+  *     must fail the statement rather than half-delete — Iceberg's
+  *     metadata-only delete boundary)
+  *   DROP TABLE                        → `dropTable`
+  *
+  * Storage is a driver-side registry keyed by catalog name; scan
+  * partitions snapshot the rows at planning time (readers never see a
+  * concurrent delete). Atomic types only — the point is the catalog
+  * CONTRACT, not a storage engine.
+  */
+class MemCatalog extends TableCatalog {
+  private var catName = "graft_mem"
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catName = name
+  override def name(): String = catName
+
+  private def key(ident: Identifier): String =
+    (catName +: ident.namespace() :+ ident.name()).mkString(".")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    MemStore.tables.keys
+      .filter(_.startsWith((catName +: namespace).mkString(".") + "."))
+      .map { k =>
+        val parts = k.split('.').drop(1)
+        Identifier.of(parts.init, parts.last)
+      }.toArray
+
+  override def loadTable(ident: Identifier): Table =
+    MemStore.tables.get(key(ident)) match {
+      case Some(t) => new MemTable(key(ident), t.schema)
+      case None    => throw new NoSuchTableException(ident)
+    }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (MemStore.tables.contains(key(ident)))
+      throw new TableAlreadyExistsException(ident)
+    MemStore.tables.put(key(ident), MemStore.Stored(schema))
+    new MemTable(key(ident), schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean =
+    MemStore.tables.remove(key(ident)).isDefined
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE not supported")
+}
+
+object MemStore {
+  /** Rows live as external JVM values (Long/Int/Double/String/Boolean/
+    * null) so partitions can ship them to executors untouched. */
+  final case class Stored(schema: StructType) {
+    val rows = new scala.collection.mutable.ArrayBuffer[Array[Any]]()
+  }
+  val tables = TrieMap.empty[String, Stored]
+}
+
+final class MemTable(storeKey: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  override def name(): String = storeKey
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  // ---- read ----
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tableSchema
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] = {
+            // snapshot at planning time: readers are isolated from
+            // concurrent DML on the registry
+            val snap = MemStore.tables(storeKey).rows.toArray
+            Array(MemPartition(snap))
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            new MemReaderFactory(tableSchema)
+        }
+      }
+    }
+
+  // ---- write (INSERT INTO ... append) ----
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+            MemWriterFactory(tableSchema)
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val st = MemStore.tables(storeKey)
+            st.synchronized {
+              messages.foreach {
+                case MemRowsPartial(rows) => st.rows ++= rows
+                case _ => ()
+              }
+            }
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+
+  // ---- delete (DELETE FROM ... WHERE) ----
+  private def eval(f: Filter, row: Array[Any]): Boolean = {
+    def v(col: String): Any = row(tableSchema.fieldIndex(col))
+    def cmp(col: String, x: Any): Int = {
+      val a = v(col)
+      (a, x) match {
+        case (null, _) => throw new IllegalStateException("null compare")
+        case (a: Long, b: Number)   => java.lang.Long.compare(a, b.longValue())
+        case (a: Int, b: Number)    => java.lang.Long.compare(a.toLong, b.longValue())
+        case (a: Double, b: Number) => java.lang.Double.compare(a, b.doubleValue())
+        case (a: String, b: String) => a.compareTo(b)
+        case _ => throw new IllegalStateException(s"incomparable: $a vs $x")
+      }
+    }
+    f match {
+      case EqualTo(c, x)            => v(c) != null && cmp(c, x) == 0
+      case LessThan(c, x)           => v(c) != null && cmp(c, x) < 0
+      case LessThanOrEqual(c, x)    => v(c) != null && cmp(c, x) <= 0
+      case GreaterThan(c, x)        => v(c) != null && cmp(c, x) > 0
+      case GreaterThanOrEqual(c, x) => v(c) != null && cmp(c, x) >= 0
+      case In(c, xs)                => v(c) != null && xs.exists(x => cmp(c, x) == 0)
+      case IsNull(c)                => v(c) == null
+      case IsNotNull(c)             => v(c) != null
+      case And(l, r)                => eval(l, row) && eval(r, row)
+      case Or(l, r)                 => eval(l, row) || eval(r, row)
+      case Not(x)                   => !eval(x, row)
+      case AlwaysTrue()             => true
+      case AlwaysFalse()            => false
+      case other => throw new IllegalStateException(s"unsupported: $other")
+    }
+  }
+
+  private def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: LessThan | _: LessThanOrEqual | _: GreaterThan |
+         _: GreaterThanOrEqual | _: In | _: IsNull | _: IsNotNull |
+         _: AlwaysTrue | _: AlwaysFalse => true
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r)  => supported(l) && supported(r)
+    case Not(x)    => supported(x)
+    case _         => false
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(supported)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val st = MemStore.tables(storeKey)
+    st.synchronized {
+      val keep = st.rows.filterNot(r => filters.forall(f => eval(f, r)))
+      st.rows.clear()
+      st.rows ++= keep
+    }
+  }
+}
+
+final case class MemPartition(rows: Array[Array[Any]]) extends InputPartition
+
+final class MemReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val rows = partition.asInstanceOf[MemPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = {
+        val r = rows(i)
+        val out = new Array[Any](r.length)
+        var j = 0
+        while (j < r.length) {
+          out(j) = r(j) match {
+            case s: String => UTF8String.fromString(s)
+            case other     => other
+          }
+          j += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+      }
+      override def close(): Unit = ()
+    }
+}
+
+final case class MemRowsPartial(rows: Array[Array[Any]])
+    extends WriterCommitMessage
+
+/** Top-level (serializable) factory: ships ONLY the schema to tasks. */
+final case class MemWriterFactory(schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new MemWriter(schema)
+}
+
+final class MemWriter(schema: StructType) extends DataWriter[InternalRow] {
+  private val buf = new scala.collection.mutable.ArrayBuffer[Array[Any]]()
+  override def write(record: InternalRow): Unit = {
+    val out = new Array[Any](schema.length)
+    var j = 0
+    while (j < schema.length) {
+      out(j) =
+        if (record.isNullAt(j)) null
+        else schema(j).dataType match {
+          case LongType    => record.getLong(j)
+          case IntegerType => record.getInt(j)
+          case DoubleType  => record.getDouble(j)
+          case BooleanType => record.getBoolean(j)
+          case StringType  => record.getUTF8String(j).toString
+          case dt => throw new UnsupportedOperationException(s"type $dt")
+        }
+      j += 1
+    }
+    buf += out
+  }
+  override def commit(): WriterCommitMessage = MemRowsPartial(buf.toArray)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}

@@ -123,6 +123,34 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(st.min == 0 && st.max == 96)
   }
 
+  test("G13: the V2 table catalog runs CREATE/INSERT/SELECT/DELETE/DROP end to end") {
+    spark.conf.set("spark.sql.catalog.graft_mem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    val t = "graft_mem.ns.g13_t"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd'), (5, 'e')")
+    // a second INSERT appends through a separate two-phase commit
+    spark.sql(s"INSERT INTO $t SELECT id + 10, CAST(id AS STRING) FROM range(3)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").collect().head.getLong(0) == 8)
+    // DELETE with evaluable source filters
+    spark.sql(s"DELETE FROM $t WHERE k < 3")
+    val left = spark.sql(s"SELECT k FROM $t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(left == Seq(3L, 4L, 5L, 10L, 11L, 12L))
+    // a predicate the store cannot evaluate exactly must FAIL the
+    // statement, not half-delete (canDeleteWhere refusal)
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $t WHERE k % 2 = 0")
+    }
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").collect().head.getLong(0) == 6)
+    // compound filters evaluate
+    spark.sql(s"DELETE FROM $t WHERE k >= 10 AND s IN ('0', '2')")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").collect().head.getLong(0) == 4)
+    spark.sql(s"DROP TABLE $t")
+    intercept[Exception] { spark.sql(s"SELECT * FROM $t").collect() }
+  }
+
   test("G12: the V2 function catalog serves a magic-invoke scalar and a mergeable aggregate") {
     spark.conf.set("spark.sql.catalog.graft_fns",
       classOf[graft.sources.v2.GraftFunctionCatalog].getName)
