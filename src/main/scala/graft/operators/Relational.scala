@@ -3245,6 +3245,14 @@ object Relational {
     * parts in parallel, per-key work bounded by items-per-part. Init:
     * z'₁ = z₁·e6, p'₁ = e6 (unit first interval).
     */
+  /** The B117 state update as a pure kernel (shared with the F37
+    * streaming twin): α = 0.2 rational fifth — each update one exact
+    * integer floor-division, float-free. */
+  private[graft] def crostonStep(zq: Long, pq: Long, z: Long,
+                                 gap: Long): (Long, Long) =
+    (Math.floorDiv(z * 1000000L + 4L * zq, 5L),
+     Math.floorDiv(gap * 1000000L + 4L * pq, 5L))
+
   def qCroston(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -3277,8 +3285,8 @@ object Relational {
             n = 1L; lastEd = ed; open = true
           } else {
             val gap = math.max(1L, ed - lastEd)
-            zq = Math.floorDiv(z * 1000000L + 4L * zq, 5L)
-            pq = Math.floorDiv(gap * 1000000L + 4L * pq, 5L)
+            val (nz, np) = crostonStep(zq, pq, z, gap)
+            zq = nz; pq = np
             n += 1; lastEd = ed
           }
         }
@@ -3286,6 +3294,39 @@ object Relational {
         out.iterator
       }(org.apache.spark.sql.Encoders.row(outSchema))
       .orderBy(col("partkey"))
+  }
+
+  /** B118: RFM customer segmentation — THE classic marketing
+    * segmentation (recency / frequency / monetary quintiles): the fact
+    * collapses to one exact aggregate per customer (last order epoch-
+    * day, order count, cents — one cust-key shuffle), each dimension's
+    * quintile comes from ntile(5) under a TOTAL order (metric
+    * descending, custkey tie-break — deterministic bucket boundaries;
+    * windows run over the CUSTOMER DIMENSION, bounded like B116's
+    * part ranking, two-phase GK-split at extreme dimension sizes),
+    * and the ≤125-cell segment rollup publishes exact counts and
+    * cents. Quintile 1 = best (most recent / most frequent / highest
+    * spend).
+    */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val base = orders(s, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(max(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+             .as("last_ed"),
+           count(lit(1)).as("n_orders"),
+           sum(cents).cast("decimal(38,0)").as("cents"))
+    val rq = Window.orderBy(col("last_ed").desc, col("ck"))
+    val fq = Window.orderBy(col("n_orders").desc, col("ck"))
+    val mq = Window.orderBy(col("cents").desc, col("ck"))
+    base
+      .withColumn("r_q", ntile(5).over(rq))
+      .withColumn("f_q", ntile(5).over(fq))
+      .withColumn("m_q", ntile(5).over(mq))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(col("cents")).cast("long").as("revenue_cents"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
   }
 
   /** B116: ABC (Pareto) classification of parts by revenue — the
@@ -3985,6 +4026,22 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_rfm" ->
+      """WITH base AS (SELECT o_custkey AS ck,
+        |    MAX(datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE))) AS last_ed,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS HUGEINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |q AS (SELECT ck, cents,
+        |    NTILE(5) OVER (ORDER BY last_ed DESC, ck) AS r_q,
+        |    NTILE(5) OVER (ORDER BY n_orders DESC, ck) AS f_q,
+        |    NTILE(5) OVER (ORDER BY cents DESC, ck) AS m_q
+        |  FROM base)
+        |SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_croston" ->
       """WITH RECURSIVE b AS (SELECT l_partkey AS pk,
         |    CAST(l_quantity AS BIGINT) AS z,

@@ -964,6 +964,52 @@ object EventStreams {
         })
   }
 
+  /** F37 shapes: demand arrival (size in cents), the two Croston
+    * states + watermark — O(1) per key. */
+  final case class CrostonEvent(user_id: Long, event_id: Long, ts_us: Long,
+                                z: Long)
+  final case class CrostonState(zq: Long, pq: Long, n: Long, lastTsUs: Long,
+                                lastEvent: Long)
+  final case class CrostonOut(user_id: Long, event_id: Long, n: Long,
+                              z_e6: Long, p_e6: Long, forecast_e6: Long)
+
+  /** F37: streaming per-key Croston smoother (online twin of B117,
+    * SAME [[graft.operators.Relational.crostonStep]] kernel): each
+    * demand arrival advances the size/interval recursions from O(1)
+    * exact-integer state — gap = whole days since the previous demand,
+    * floored at 1, exactly the batch convention — and emits the
+    * post-event state + integral demand-rate forecast. Float-free
+    * kernel ⇒ stream and batch cannot drift; replay-safe via the
+    * event-id watermark. StreamingSpec pins stream == sequential fold.
+    */
+  def crostonStream(in: Dataset[CrostonEvent]): Dataset[CrostonOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[CrostonEvent], state: GroupState[CrostonState]) => {
+          var st = state.getOption.getOrElse(
+            CrostonState(0L, 0L, 0L, Long.MinValue, Long.MinValue))
+          val out = batch.toArray.sortBy(e => (e.ts_us, e.event_id)).iterator
+            .filter(_.event_id > st.lastEvent)
+            .map { e =>
+              st =
+                if (st.n == 0L)
+                  CrostonState(e.z * 1000000L, 1000000L, 1L, e.ts_us, e.event_id)
+                else {
+                  val gap = math.max(1L,
+                    Math.floorDiv(e.ts_us - st.lastTsUs, 86400000000L))
+                  val (nz, np) = graft.operators.Relational
+                    .crostonStep(st.zq, st.pq, e.z, gap)
+                  CrostonState(nz, np, st.n + 1, e.ts_us, e.event_id)
+                }
+              CrostonOut(uid, e.event_id, st.n, st.zq, st.pq,
+                Math.floorDiv(st.zq * 1000000L, st.pq))
+            }.toArray // drain before update
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** F30 event/state/output shapes: O(1) exact state per user — the
     * last touch's (ts, type), the first touch's type, and the
     * event-id watermark. */

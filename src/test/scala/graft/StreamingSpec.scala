@@ -341,6 +341,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F37 streaming Croston equals a sequential batch fold; replay-safe") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{CrostonEvent, CrostonOut}
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+        "CAST(ROUND(value * 100, 0) AS BIGINT) AS z")
+      .collect()
+      .map(r => CrostonEvent(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val input = MemoryStream[CrostonEvent]
+    val q = EventStreams.crostonStream(input.toDS())
+      .writeStream.format("memory").queryName("croston_out").outputMode("update").start()
+    try {
+      val (b1, b2) = ev.partition(_.event_id < ev.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b1.take(200)); q.processAllAvailable() // replay
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("croston_out").as[CrostonOut].collect()
+        .map(r => (r.user_id, r.event_id) -> (r.n, r.z_e6, r.p_e6, r.forecast_e6))
+        .toMap
+      val R = graft.operators.Relational
+      val expected = ev.groupBy(_.user_id).flatMap { case (uid, evs) =>
+        var zq = 0L; var pq = 0L; var n = 0L; var lastTs = Long.MinValue
+        evs.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+          if (n == 0L) { zq = e.z * 1000000L; pq = 1000000L; n = 1L }
+          else {
+            val gap = math.max(1L, Math.floorDiv(e.ts_us - lastTs, 86400000000L))
+            val (nz, np) = R.crostonStep(zq, pq, e.z, gap)
+            zq = nz; pq = np; n += 1
+          }
+          lastTs = e.ts_us
+          (uid, e.event_id) -> (n, zq, pq, Math.floorDiv(zq * 1000000L, pq))
+        }
+      }.toMap
+      assert(got.nonEmpty)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("F30 streaming attribution equals the oracled batch B104 aggregate; replay-safe") {
     import spark.implicits._
     import graft.streaming.EventStreams.{AttrEvent, AttrOut}
