@@ -1286,6 +1286,73 @@ object Similarity {
     globalTopK(rerank, k)
   }
 
+  /** D24 code: the 64-dim sign mask packed into ONE long (bit j set ⟺
+    * v_j > 0) — shared by probes (driver) and corpus (executors). */
+  private def signCode(v: Array[Double]): Long = {
+    var code = 0L; var j = 0
+    val n = math.min(v.length, 64)
+    while (j < n) { if (v(j) > 0) code |= (1L << j); j += 1 }
+    code
+  }
+
+  /** D24: binary (1-bit) quantization ANN — the EXTREME end of the
+    * memory-bound quantization family (SQ8 D16 stores 64 B/vector, PQ
+    * D8 8 B, this 8 B in ONE machine word): each vector's 64 sign bits
+    * pack into a long, candidate generation is popcount-Hamming on
+    * XOR (one ALU op per comparison — the reason binary codes are the
+    * production first-pass filter at billion scale), top-50 by
+    * (hamming ASC, vec_id) rerank with exact cosine, top-10 published.
+    * Same plan as D16: one corpus pass with broadcast probe codes +
+    * bounded heaps, a ≤(probes·50)-row rerank join, never an
+    * all-pairs. Cross-engine: Long.bitCount(xor) ≡ DuckDB
+    * bit_count(xor) on two's-complement BIGINT (probed), and the
+    * oracle folds its HUGEINT bit sum into the same signed word.
+    */
+  def qAnnBinary(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val nCand = 50
+    val e = emb(s, dir)
+    val qs = collectQueries(e)
+    val pCodes = qs.qv.map(signCode)
+    val bc = s.sparkContext.broadcast((qs.qids, pCodes))
+    val locals = fanOut(e.select(col("vec_id"), col("v")))
+      .mapPartitions { it =>
+        val (bQids, bPc) = bc.value
+        val nq = bQids.length
+        val heaps = new TopKHeaps(nq, nCand)
+        it.foreach { row =>
+          val vid = row.getLong(0)
+          val cv = signCode(row.getSeq[Double](1).toArray)
+          var qi = 0
+          while (qi < nq) {
+            heaps.insert(qi, -java.lang.Long.bitCount(bPc(qi) ^ cv).toDouble, vid)
+            qi += 1
+          }
+        }
+        heaps.emit(bQids)
+      }(Encoders.row(localTopKSchema))
+    val wB = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val cands = locals.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= nCand).select(col("q_id"), col("vec_id"))
+    val bcQ = s.sparkContext.broadcast((qs.qids, qs.qv, qs.qnorm))
+    val rerank = e.select(col("vec_id"), col("v"))
+      .join(broadcast(cands), "vec_id")
+      .select(col("q_id"), col("vec_id"), col("v"))
+      .mapPartitions { it =>
+        val (bQids, bQv, bQnorm) = bcQ.value
+        val qIdx = bQids.zipWithIndex.toMap
+        it.map { row =>
+          val qi = qIdx(row.getLong(0))
+          val v = row.getSeq[Double](2).toArray
+          val qvv = bQv(qi)
+          var d = 0.0; var n2 = 0.0; var j = 0
+          while (j < v.length) { d += qvv(j) * v(j); n2 += v(j) * v(j); j += 1 }
+          Row(row.getLong(0), row.getLong(1), d / (bQnorm(qi) * math.sqrt(n2)))
+        }
+      }(Encoders.row(localTopKSchema))
+    globalTopK(rerank, k)
+  }
+
   private def annLsh(s: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
     val k = 10
     val nBands = 8
@@ -2200,6 +2267,33 @@ object Similarity {
         |t50 AS (SELECT q_id, vec_id,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
         |  FROM sc),
+        |rr AS (SELECT t.q_id, t.vec_id,
+        |    list_cosine_similarity(q.v, e2.v) AS sim
+        |  FROM t50 t JOIN e q ON q.vec_id = t.q_id JOIN e e2 ON e2.vec_id = t.vec_id
+        |  WHERE t.rn <= 50),
+        |rk AS (SELECT q_id, vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM rr)
+        |SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
+        |  CAST(ROUND(sim, 4) AS DECIMAL(18,4))::DOUBLE AS sim
+        |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_ann_binary" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cd AS (SELECT vec_id,
+        |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |      THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT)
+        |      AS code
+        |  FROM (SELECT vec_id,
+        |      COALESCE(SUM(CASE WHEN v[d + 1] > 0
+        |        THEN (1::HUGEINT << d) ELSE 0::HUGEINT END), 0) AS s
+        |    FROM e, (SELECT unnest(range(64)) AS d) GROUP BY 1)),
+        |pc AS (SELECT vec_id AS q_id, code FROM cd
+        |  WHERE vec_id % 50 = 0 AND vec_id < 5000),
+        |hm AS (SELECT p.q_id, c.vec_id, bit_count(xor(c.code, p.code)) AS h
+        |  FROM cd c CROSS JOIN pc p),
+        |t50 AS (SELECT q_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY h, vec_id) AS rn
+        |  FROM hm),
         |rr AS (SELECT t.q_id, t.vec_id,
         |    list_cosine_similarity(q.v, e2.v) AS sim
         |  FROM t50 t JOIN e q ON q.vec_id = t.q_id JOIN e e2 ON e2.vec_id = t.vec_id
