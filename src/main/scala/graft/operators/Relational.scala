@@ -3296,6 +3296,42 @@ object Relational {
       .orderBy(col("partkey"))
   }
 
+  /** B119: Herfindahl–Hirschman market-concentration index per region
+    * — the antitrust/market-structure statistic (HHI = Σ shareᵢ², DOJ
+    * thresholds 1500/2500 on the ×10⁴ scale): supplier revenue from
+    * ONE fact aggregate (lineitem ⋈ broadcast supplier→nation→region
+    * dims — the B3 join shape), per-region totals on a ≤5-row
+    * broadcast, each supplier's share an EXACT integral ppm, and HHI
+    * published on the conventional ×10⁴ scale as Σ share_ppm² div e4
+    * (sum of exact integer squares — float-free; ppm granularity
+    * bounds the quantization error at < 1 HHI unit). At 100 TB: one
+    * supplier-key shuffle then a ≤5-key rollup.
+    */
+  def qHhi(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+    val dims = supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(nation(s, dir).select(col("n_nationkey"), col("n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(region(s, dir).select(col("r_regionkey"), col("r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("r_name").as("region"))
+    val supRev = lineitem(s, dir)
+      .groupBy(col("l_suppkey")).agg(sum(cents).cast("decimal(38,0)").as("rev"))
+      .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+    val regTot = supRev.groupBy(col("region"))
+      .agg(sum(col("rev")).as("tot"), count(lit(1)).as("n_suppliers"))
+    supRev.join(broadcast(regTot), "region")
+      .withColumn("share_ppm", expr("(rev * 1000000) div tot"))
+      .groupBy(col("region"))
+      .agg(max(col("n_suppliers")).as("n_suppliers"),
+           max(col("tot")).cast("long").as("revenue_cents"),
+           sum(col("share_ppm") * col("share_ppm")).as("sq"))
+      .select(col("region"), col("n_suppliers"), col("revenue_cents"),
+        expr("CAST(sq div 100000000 AS BIGINT)").as("hhi_x1e4"))
+      .orderBy(col("region"))
+  }
+
   /** B118: RFM customer segmentation — THE classic marketing
     * segmentation (recency / frequency / monetary quintiles): the fact
     * collapses to one exact aggregate per customer (last order epoch-
@@ -4026,6 +4062,24 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_hhi" ->
+      """WITH sr AS (SELECT l_suppkey AS sk,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS HUGEINT)
+        |      AS rev
+        |  FROM lineitem GROUP BY 1),
+        |dm AS (SELECT s_suppkey AS sk, r_name AS region
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |j AS (SELECT region, rev FROM sr JOIN dm USING (sk)),
+        |rt AS (SELECT region, SUM(rev) AS tot,
+        |    CAST(COUNT(*) AS BIGINT) AS n_suppliers FROM j GROUP BY 1),
+        |sh AS (SELECT j.region, (j.rev * 1000000) // rt.tot AS share_ppm
+        |  FROM j JOIN rt USING (region))
+        |SELECT region, MAX(rt.n_suppliers) AS n_suppliers,
+        |  CAST(MAX(rt.tot) AS BIGINT) AS revenue_cents,
+        |  CAST(SUM(share_ppm * share_ppm) // 100000000 AS BIGINT) AS hhi_x1e4
+        |FROM sh JOIN rt USING (region)
+        |GROUP BY region ORDER BY region""".stripMargin,
     "q_rfm" ->
       """WITH base AS (SELECT o_custkey AS ck,
         |    MAX(datediff('day', DATE '1970-01-01',

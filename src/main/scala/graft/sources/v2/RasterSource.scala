@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
@@ -307,7 +307,28 @@ final class RasterAggScan(w: Long, yMin: Long, yMax: Long,
 final class RasterScan(w: Long, yMin: Long, yMax: Long, required: StructType,
                        rowsPerBatch: Long = 16L)
     extends Scan with Batch with SupportsRuntimeFiltering
-    with SupportsReportStatistics with SupportsReportPartitioning {
+    with SupportsReportStatistics with SupportsReportPartitioning
+    with SupportsReportOrdering {
+
+  /** G14: `SupportsReportOrdering` — the reader emits each stripe's
+    * rows in (y, x) ascending order (see rowReaderFactory's loop), so
+    * the scan REPORTS that per-partition ordering and Spark's
+    * EnsureRequirements elides SortExec wherever the reported prefix
+    * satisfies the required one (on a single-stripe scan even a global
+    * ORDER BY y, x runs sort-free). Truthfulness rule: `x` is only
+    * sorted UNDER `y` (it restarts every grid row), so the report is
+    * the projected PREFIX of [y, x] — a projection without y reports
+    * nothing rather than a false x-order; claiming an order the
+    * layout lacks would be a wrong-results bug, the same honesty
+    * contract as G9's UnknownPartitioning fallback.
+    */
+  override def outputOrdering(): Array[SortOrder] = {
+    val f = required.fieldNames.toSet
+    Seq("y", "x").takeWhile(f.contains)
+      .map(c => Expressions.sort(Expressions.identity(c),
+        SortDirection.ASCENDING))
+      .toArray
+  }
 
   /** G9: `SupportsReportPartitioning` — when every planned stripe
     * holds exactly ONE grid row (small grids, or a G7 runtime filter

@@ -123,6 +123,38 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(st.min == 0 && st.max == 96)
   }
 
+  test("G14: reported (y, x) ordering elides per-partition sorts, honestly scoped") {
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def sorts(df: org.apache.spark.sql.DataFrame): Seq[SortExec] = {
+      df.collect() // settle AQE so the final physical plan exists
+      def walk(p: SparkPlan): Seq[SortExec] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case s: SortExec => s +: s.children.flatMap(walk)
+        case other => other.children.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    // every stripe emits (y, x)-ascending, so a PER-PARTITION sort on
+    // the reported prefix is elided - on any number of stripes
+    val local = v2(50, 40).where("y BETWEEN 0 AND 30")
+      .sortWithinPartitions("y", "x")
+    assert(sorts(local).isEmpty,
+      "expected per-partition sort elision from the reported ordering")
+    assert(local.count() == 50L * 31)
+    // control 1: a GLOBAL ORDER BY still needs OrderedDistribution -
+    // a per-partition ordering report must not elide it
+    val global = v2(50, 40).where("y BETWEEN 0 AND 30").orderBy("y", "x")
+    assert(sorts(global).nonEmpty,
+      "a global ORDER BY cannot be satisfied by per-partition order alone")
+    // control 2: x alone is NOT sorted across grid rows - a projection
+    // without y must not claim an ordering, so its local sort survives
+    val xOnly = v2(50, 40).select("x", "v").sortWithinPartitions("x")
+    assert(sorts(xOnly).nonEmpty,
+      "x-only projection must not claim an ordering; the sort must stay")
+  }
+
   test("G13: the V2 table catalog runs CREATE/INSERT/SELECT/DELETE/DROP end to end") {
     spark.conf.set("spark.sql.catalog.graft_mem",
       classOf[graft.sources.v2.MemCatalog].getName)
