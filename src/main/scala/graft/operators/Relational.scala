@@ -3296,6 +3296,56 @@ object Relational {
       .orderBy(col("partkey"))
   }
 
+  /** B120: churn-risk detection per nation — the dormancy screen of
+    * lifecycle analytics ("who has gone quiet relative to THEIR OWN
+    * rhythm"): per-customer inter-order gaps from a lag over the
+    * (custkey)-keyed window (bounded by orders-per-customer), the
+    * customer's EXACT lower-median gap from rank-vs-count integer
+    * compares on the same bounded frame (total (gap, day, key) order —
+    * deterministic), and a customer with ≥ 3 orders is at risk when
+    * their silence since the last order exceeds 2× that median
+    * (against the global max day on a 1-row broadcast). Rolled up per
+    * nation (broadcast dim) with EXACT integral-ppm risk rates. At
+    * 100 TB: one cust-key shuffle, per-key bounded windows, ≤25-key
+    * rollup.
+    */
+  def qChurnRisk(s: SparkSession, dir: String): DataFrame = {
+    val ord = orders(s, dir).select(col("o_custkey").as("ck"),
+      datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("ed"),
+      col("o_orderkey").as("ok"))
+    val w = Window.partitionBy(col("ck")).orderBy(col("ed"), col("ok"))
+    val gaps = ord.withColumn("ped", lag(col("ed"), 1).over(w))
+      .filter(col("ped").isNotNull)
+      .select(col("ck"), (col("ed") - col("ped")).as("gap"),
+              col("ed"), col("ok"))
+    val gw = Window.partitionBy(col("ck"))
+      .orderBy(col("gap"), col("ed"), col("ok"))
+    val med = gaps
+      .withColumn("rn", row_number().over(gw))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("ck"))))
+      .filter(col("rn") * 2 >= col("cnt"))
+      .groupBy(col("ck")).agg(min(col("gap")).as("med_gap"))
+    val last = ord.groupBy(col("ck"))
+      .agg(max(col("ed")).as("last_ed"), count(lit(1)).as("n_orders"))
+    val gmax = ord.agg(max(col("ed")).as("gm"))
+    val dims = customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(nation(s, dir).select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("ck"), col("n_name").as("nation"))
+    last.join(med, "ck").crossJoin(broadcast(gmax))
+      .filter(col("n_orders") >= 3)
+      .withColumn("at_risk",
+        (col("gm") - col("last_ed") > col("med_gap") * 2).cast("long"))
+      .join(broadcast(dims), "ck")
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(col("at_risk")).as("n_at_risk"))
+      .select(col("nation"), col("n_customers"), col("n_at_risk"),
+        expr("CAST((n_at_risk * 1000000) div n_customers AS BIGINT)")
+          .as("risk_ppm"))
+      .orderBy(col("nation"))
+  }
+
   /** B119: Herfindahl–Hirschman market-concentration index per region
     * — the antitrust/market-structure statistic (HHI = Σ shareᵢ², DOJ
     * thresholds 1500/2500 on the ×10⁴ scale): supplier revenue from
@@ -4062,6 +4112,34 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_churn_risk" ->
+      """WITH ord AS (SELECT o_custkey AS ck,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS ed, o_orderkey AS ok
+        |  FROM orders),
+        |gp AS (SELECT ck, ed - LAG(ed) OVER w AS gap, ed, ok
+        |  FROM ord WINDOW w AS (PARTITION BY ck ORDER BY ed, ok)),
+        |gaps AS (SELECT * FROM gp WHERE gap IS NOT NULL),
+        |rk AS (SELECT ck, gap,
+        |    ROW_NUMBER() OVER (PARTITION BY ck ORDER BY gap, ed, ok) AS rn,
+        |    COUNT(*) OVER (PARTITION BY ck) AS cnt
+        |  FROM gaps),
+        |med AS (SELECT ck, MIN(gap) AS med_gap FROM rk
+        |  WHERE rn * 2 >= cnt GROUP BY 1),
+        |lst AS (SELECT ck, MAX(ed) AS last_ed,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders FROM ord GROUP BY 1),
+        |gm AS (SELECT MAX(ed) AS gm FROM ord),
+        |dims AS (SELECT c_custkey AS ck, n_name AS nation
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |per AS (SELECT nation,
+        |    CASE WHEN gm.gm - last_ed > med_gap * 2 THEN 1 ELSE 0 END
+        |      AS at_risk
+        |  FROM lst JOIN med USING (ck) JOIN dims USING (ck) CROSS JOIN gm
+        |  WHERE n_orders >= 3)
+        |SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(at_risk) AS BIGINT) AS n_at_risk,
+        |  CAST((SUM(at_risk) * 1000000) // COUNT(*) AS BIGINT) AS risk_ppm
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_hhi" ->
       """WITH sr AS (SELECT l_suppkey AS sk,
         |    CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS HUGEINT)
