@@ -1800,6 +1800,47 @@ object Relational {
              (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
   }
 
+  /** A52: precision-recall curve + best-F1 operating point for the
+    * B75 score (sklearn precision_recall_curve / "argmax F1" parity —
+    * the THRESHOLD-PICKING step that follows every AUC report): the
+    * score is domain-bounded (quantity 1..50), so each threshold t's
+    * confusion counts are reverse-cumulative sums over the ≤50-row
+    * value frame ("predict positive when qty ≥ t" — never the fact),
+    * and precision/recall/F1 are EXACT integral-ppm divisions;
+    * f1_ppm = 2·TP·e6 div (2·TP + FP + FN) uses the single-division
+    * harmonic identity so no intermediate rounding compounds. The
+    * best row is the (f1 DESC, t ASC) pick — an exact integer
+    * compare. Float-free. At 100 TB: one ≤50-key fact aggregate.
+    */
+  def qPrCurve(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir).select(
+      col("l_quantity").cast("long").as("qty"),
+      (col("l_returnflag") === "R").cast("long").as("pos"))
+    val h = li.groupBy(col("qty"))
+      .agg(sum(col("pos")).cast("decimal(38,0)").as("p"),
+           (count(lit(1)) - sum(col("pos"))).cast("decimal(38,0)").as("ng"))
+    // reverse cumulative over the ≤50-row domain frame
+    val wRev = Window.orderBy(col("qty").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.agg(sum(col("p")).as("n_pos"))
+    val curve = h
+      .withColumn("tp", sum(col("p")).over(wRev))
+      .withColumn("fp", sum(col("ng")).over(wRev))
+      .crossJoin(broadcast(tot))
+      .select(col("qty").as("threshold"),
+        col("tp").cast("long").as("n_tp"),
+        col("fp").cast("long").as("n_fp"),
+        (col("n_pos") - col("tp")).cast("long").as("n_fn"),
+        expr("CAST((tp * 1000000) div (tp + fp) AS BIGINT)").as("prec_ppm"),
+        expr("CAST((tp * 1000000) div n_pos AS BIGINT)").as("rec_ppm"),
+        expr("CAST((tp * 2000000) div (tp * 2 + fp + (n_pos - tp)) AS BIGINT)")
+          .as("f1_ppm"))
+    val wBest = Window.orderBy(col("f1_ppm").desc, col("threshold"))
+    curve.withColumn("is_best",
+        (row_number().over(wBest) === 1).cast("int"))
+      .orderBy(col("threshold"))
+  }
+
   /** B67: min-cost supplier per part (TPC-H Q2 shape, adapted: no
     * partsupp table ships, so the offer catalog is DERIVED from the
     * fact — the cost of a (part, supplier) offer is the cheapest
@@ -4112,6 +4153,32 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_pr_curve" ->
+      """WITH h AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS p,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+        |      AS HUGEINT) AS ng
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT SUM(p) AS n_pos FROM h),
+        |cv AS (SELECT qty,
+        |    SUM(p) OVER (ORDER BY qty DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |    SUM(ng) OVER (ORDER BY qty DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+        |  FROM h),
+        |curve AS (SELECT qty AS threshold,
+        |    CAST(tp AS BIGINT) AS n_tp, CAST(fp AS BIGINT) AS n_fp,
+        |    CAST(n_pos - tp AS BIGINT) AS n_fn,
+        |    CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS prec_ppm,
+        |    CAST((tp * 1000000) // n_pos AS BIGINT) AS rec_ppm,
+        |    CAST((tp * 2000000) // (tp * 2 + fp + (n_pos - tp)) AS BIGINT)
+        |      AS f1_ppm
+        |  FROM cv CROSS JOIN tot)
+        |SELECT threshold, n_tp, n_fp, n_fn, prec_ppm, rec_ppm, f1_ppm,
+        |  CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY f1_ppm DESC, threshold)
+        |    = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_best
+        |FROM curve ORDER BY threshold""".stripMargin,
     "q_churn_risk" ->
       """WITH ord AS (SELECT o_custkey AS ck,
         |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
