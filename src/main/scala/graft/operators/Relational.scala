@@ -3337,6 +3337,46 @@ object Relational {
       .orderBy(col("partkey"))
   }
 
+  /** B121: open-order aging buckets per priority — the operations
+    * backlog dashboard ("how old is the unshipped work, and is the
+    * urgent queue aging worst"): open orders (o_orderstatus O or P —
+    * not fully shipped) age against the dataset's as-of day (global
+    * max orderdate, 1-row broadcast) in exact integer days, bucket by
+    * the standard 0–30/31–90/91–365/365+ fences (integer compares),
+    * and the (priority × bucket) rollup publishes counts, exact value
+    * cents, and the integral-ppm share of each priority's open value.
+    * One ≤(5·4)-key aggregate over the orders scan at any scale.
+    */
+  def qOrderAging(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val asOf = orders(s, dir)
+      .agg(max(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+        .as("as_of"))
+    val open = orders(s, dir)
+      .filter(col("o_orderstatus").isin("O", "P"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("ed"),
+        cents.as("cents"))
+      .crossJoin(broadcast(asOf))
+      .withColumn("age", col("as_of") - col("ed"))
+      .withColumn("bucket",
+        when(col("age") <= 30, "a_0_30")
+          .when(col("age") <= 90, "b_31_90")
+          .when(col("age") <= 365, "c_91_365")
+          .otherwise("d_over_365"))
+    val cells = open.groupBy(col("priority"), col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("cents")).cast("decimal(38,0)").as("value"))
+    val byPrio = cells.groupBy(col("priority"))
+      .agg(sum(col("value")).as("prio_total"))
+    cells.join(broadcast(byPrio), "priority")
+      .select(col("priority"), col("bucket"), col("n_orders"),
+        col("value").cast("long").as("value_cents"),
+        expr("CAST((value * 1000000) div prio_total AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy(col("priority"), col("bucket"))
+  }
+
   /** B120: churn-risk detection per nation — the dormancy screen of
     * lifecycle analytics ("who has gone quiet relative to THEIR OWN
     * rhythm"): per-customer inter-order gaps from a lag over the
@@ -4153,6 +4193,31 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_order_aging" ->
+      """WITH asf AS (SELECT MAX(datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE))) AS as_of FROM orders),
+        |op AS (SELECT o_orderpriority AS priority,
+        |    as_of - datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS age,
+        |    CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders CROSS JOIN asf
+        |  WHERE o_orderstatus IN ('O', 'P')),
+        |bk AS (SELECT priority,
+        |    CASE WHEN age <= 30 THEN 'a_0_30'
+        |      WHEN age <= 90 THEN 'b_31_90'
+        |      WHEN age <= 365 THEN 'c_91_365'
+        |      ELSE 'd_over_365' END AS bucket, cents
+        |  FROM op),
+        |cells AS (SELECT priority, bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(cents) AS HUGEINT) AS value FROM bk GROUP BY 1, 2),
+        |pt AS (SELECT priority, SUM(value) AS prio_total
+        |  FROM cells GROUP BY 1)
+        |SELECT priority, bucket, n_orders,
+        |  CAST(value AS BIGINT) AS value_cents,
+        |  CAST((value * 1000000) // prio_total AS BIGINT) AS share_ppm
+        |FROM cells JOIN pt USING (priority)
+        |ORDER BY priority, bucket""".stripMargin,
     "q_pr_curve" ->
       """WITH h AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
         |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
