@@ -3337,6 +3337,50 @@ object Relational {
       .orderBy(col("partkey"))
   }
 
+  /** B122: price-volume-mix decomposition of year-over-year revenue
+    * per brand — the FP&A bridge ("how much of the revenue change is
+    * price, how much volume"): both periods collapse to exact
+    * per-brand (revenue cents, quantity) aggregates in ONE conditional
+    * fact pass (lineitem ⋈ broadcast part dim), and the bridge uses
+    * the unit-price identity ΔR = (P₁−P₀)Q₁ + P₀ΔQ expressed in ONE
+    * exact integral division each — price_eff = R₁ − (R₀·Q₁) div Q₀,
+    * volume_eff = ΔR − price_eff — so the two effects sum EXACTLY to
+    * the revenue change by construction (the floor lands in
+    * price_eff; a float bridge never reconciles to the cent). Brands
+    * present in only one period are excluded (no unit price to
+    * bridge). At 100 TB: one brand-key shuffle of ≤25 keys.
+    */
+  def qPriceVolumeMix(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+    val inP0 = col("l_shipdate") >= lit("1996-01-01") &&
+               col("l_shipdate") < lit("1997-01-01")
+    val inP1 = col("l_shipdate") >= lit("1997-01-01") &&
+               col("l_shipdate") < lit("1998-01-01")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    lineitem(s, dir)
+      .filter(inP0 || inP1)
+      .join(broadcast(part(s, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(when(inP0, cents).otherwise(0L)).cast(dec).as("r0"),
+           sum(when(inP0, col("l_quantity").cast("long")).otherwise(0L))
+             .cast(dec).as("q0"),
+           sum(when(inP1, cents).otherwise(0L)).cast(dec).as("r1"),
+           sum(when(inP1, col("l_quantity").cast("long")).otherwise(0L))
+             .cast(dec).as("q1"))
+      .filter(col("q0") > 0 && col("q1") > 0)
+      .withColumn("price_eff", expr("r1 - (r0 * q1) div q0"))
+      .select(col("brand"),
+        col("r0").cast("long").as("rev0_cents"),
+        col("r1").cast("long").as("rev1_cents"),
+        col("q0").cast("long").as("qty0"),
+        col("q1").cast("long").as("qty1"),
+        col("price_eff").cast("long").as("price_eff_cents"),
+        (col("r1") - col("r0") - col("price_eff")).cast("long")
+          .as("volume_eff_cents"))
+      .orderBy(col("brand"))
+  }
+
   /** B121: open-order aging buckets per priority — the operations
     * backlog dashboard ("how old is the unshipped work, and is the
     * urgent queue aging worst"): open orders (o_orderstatus O or P —
@@ -4193,6 +4237,30 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_pvm" ->
+      """WITH f AS (SELECT p_brand AS brand,
+        |    CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01'
+        |      THEN CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+        |      ELSE 0 END) AS HUGEINT) AS r0,
+        |    CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01'
+        |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS HUGEINT) AS q0,
+        |    CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+        |      THEN CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+        |      ELSE 0 END) AS HUGEINT) AS r1,
+        |    CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+        |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS HUGEINT) AS q1
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1),
+        |b AS (SELECT *, r1 - (r0 * q1) // q0 AS price_eff
+        |  FROM f WHERE q0 > 0 AND q1 > 0)
+        |SELECT brand, CAST(r0 AS BIGINT) AS rev0_cents,
+        |  CAST(r1 AS BIGINT) AS rev1_cents,
+        |  CAST(q0 AS BIGINT) AS qty0, CAST(q1 AS BIGINT) AS qty1,
+        |  CAST(price_eff AS BIGINT) AS price_eff_cents,
+        |  CAST(r1 - r0 - price_eff AS BIGINT) AS volume_eff_cents
+        |FROM b ORDER BY brand""".stripMargin,
     "q_order_aging" ->
       """WITH asf AS (SELECT MAX(datediff('day', DATE '1970-01-01',
         |    CAST(o_orderdate AS DATE))) AS as_of FROM orders),

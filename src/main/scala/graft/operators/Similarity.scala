@@ -1286,6 +1286,49 @@ object Similarity {
     globalTopK(rerank, k)
   }
 
+  /** D25: embedding-centroid drift between the even/odd vec_id cohorts
+    * — the embedding-space DISTRIBUTION-SHIFT monitor (the D-family
+    * twin of B88's PSI: "did the new batch of embeddings move"):
+    * every component FLOOR-quantizes to an e6 integer per row BEFORE
+    * any sum (floor of the identical IEEE product both engines — the
+    * round-before-sum rule, so the per-(dim, cohort) sums are exact
+    * and layout-independent), cohort means are sign-split integral
+    * divisions, and the published L1 drift, squared-L2 drift, max
+    * per-dim drift and its argmax (drift DESC, dim tie-break via
+    * struct ordering) are ALL exact integers — float-free. At 100 TB:
+    * one explode + ONE ≤64-key map-side-combined aggregate.
+    */
+  def qEmbedDrift(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val comp = emb(s, dir)
+      .select((col("vec_id") % 2 === 0).as("ev"),
+        posexplode(col("v")).as(Seq("d", "x")))
+      .select(col("ev"), col("d"),
+        expr("CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))").as("q"))
+    val perDim = comp.groupBy(col("d"))
+      .agg(sum(when(col("ev"), 1L).otherwise(0L)).cast(dec).as("n0"),
+           sum(when(col("ev"), col("q")).otherwise(lit(0))).cast(dec).as("s0"),
+           sum(when(!col("ev"), 1L).otherwise(0L)).cast(dec).as("n1"),
+           sum(when(!col("ev"), col("q")).otherwise(lit(0))).cast(dec).as("s1"))
+      .withColumn("m0", expr(
+        "CASE WHEN s0 >= 0 THEN abs(s0) div n0 ELSE -(abs(s0) div n0) END"))
+      .withColumn("m1", expr(
+        "CASE WHEN s1 >= 0 THEN abs(s1) div n1 ELSE -(abs(s1) div n1) END"))
+      .withColumn("drift", abs(col("m1") - col("m0")))
+    perDim.agg(
+      max(col("n0")).cast("long").as("n_even"),
+      max(col("n1")).cast("long").as("n_odd"),
+      sum(col("drift")).cast("long").as("l1_drift_e6"),
+      sum(col("drift") * col("drift")).cast("long").as("l2sq_drift"),
+      // packed argmax key: d < 64 is a DOMAIN bound (posexplode of a
+      // 64-dim array), so drift·64 + (63−d) is a total order — higher
+      // drift wins, ties go to the lower dim (DuckDB arg_max rejects
+      // struct keys, hence the pack; the bound is structural, not a
+      // fixture assumption)
+      expr("CAST(max_by(d, drift * 64 + (63 - d)) AS BIGINT)").as("max_dim"),
+      max(col("drift")).cast("long").as("max_drift_e6"))
+  }
+
   /** D24 code: the 64-dim sign mask packed into ONE long (bit j set ⟺
     * v_j > 0) — shared by probes (driver) and corpus (executors). */
   private def signCode(v: Array[Double]): Long = {
@@ -2277,6 +2320,31 @@ object Similarity {
         |SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
         |  CAST(ROUND(sim, 4) AS DECIMAL(18,4))::DOUBLE AS sim
         |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_embed_drift" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |comp AS (SELECT (vec_id % 2 = 0) AS ev, d,
+        |    CAST(FLOOR(v[d + 1] * 1000000.0) AS HUGEINT) AS q
+        |  FROM e, (SELECT unnest(range(64)) AS d)),
+        |pd AS (SELECT d,
+        |    SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS n0,
+        |    SUM(CASE WHEN ev THEN q ELSE 0 END) AS s0,
+        |    SUM(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN NOT ev THEN q ELSE 0 END) AS s1
+        |  FROM comp GROUP BY 1),
+        |m AS (SELECT d, n0, n1,
+        |    CASE WHEN s0 >= 0 THEN abs(s0) // n0
+        |      ELSE -(abs(s0) // n0) END AS m0,
+        |    CASE WHEN s1 >= 0 THEN abs(s1) // n1
+        |      ELSE -(abs(s1) // n1) END AS m1
+        |  FROM pd),
+        |dr AS (SELECT d, n0, n1, abs(m1 - m0) AS drift FROM m)
+        |SELECT CAST(MAX(n0) AS BIGINT) AS n_even,
+        |  CAST(MAX(n1) AS BIGINT) AS n_odd,
+        |  CAST(SUM(drift) AS BIGINT) AS l1_drift_e6,
+        |  CAST(SUM(drift*drift) AS BIGINT) AS l2sq_drift,
+        |  CAST(arg_max(d, drift * 64 + (63 - d)) AS BIGINT) AS max_dim,
+        |  CAST(MAX(drift) AS BIGINT) AS max_drift_e6
+        |FROM dr""".stripMargin,
     "q_ann_binary" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cd AS (SELECT vec_id,
