@@ -1345,6 +1345,33 @@ object TextOps {
       .select(col("id").as("term"), col("r").as("rank_e9"))
   }
 
+  /** C47: context-window truncation loss — the token-budget planning
+    * step of every LLM data pipeline ("how much of the corpus falls
+    * off at cut K, and how many documents are touched"): whitespace
+    * token counts per document (the C2 convention), crossed with the
+    * bounded K grid {32, 128, 512} (broadcast literal frame), and per
+    * K the EXACT docs-over count, total tokens, lost tokens
+    * Σ max(0, n−K), and integral-ppm loss share. At 100 TB: one
+    * corpus pass, a 3-row broadcast, a 3-key aggregate.
+    */
+  def qCtxLoss(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = documents(s, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+    val ks = Seq(32L, 128L, 512L).toDF("k")
+    base.crossJoin(broadcast(ks))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("n") > col("k"), 1L).otherwise(0L)).as("n_docs_over"),
+           sum(col("n")).as("tokens_total"),
+           sum(greatest(col("n") - col("k"), lit(0L))).as("tokens_lost"))
+      .select(col("k"), col("n_docs"), col("n_docs_over"),
+        col("tokens_total"), col("tokens_lost"),
+        expr("CAST((tokens_lost * 1000000) div tokens_total AS BIGINT)")
+          .as("loss_ppm"))
+      .orderBy(col("k"))
+  }
+
   /** C25: edit-distance near-dup verify — the character-level
     * complement of Jaccard/SimHash: candidates blocked on a shared
     * 24-char prefix (bucket size capped at 8, the df-cap contract),
@@ -2582,6 +2609,19 @@ object TextOps {
     "q_fp_overlap" ->
       s"""WITH $fpPairCteSql
         |SELECT a_id, b_id, n_shared FROM pr ORDER BY 1, 2""".stripMargin,
+    "q_ctx_loss" ->
+      """WITH base AS (SELECT LEN(string_split(text, ' '))::BIGINT AS n
+        |  FROM documents),
+        |ks(k) AS (SELECT * FROM (VALUES (32::BIGINT), (128::BIGINT),
+        |  (512::BIGINT)))
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN n > k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_over,
+        |  CAST(SUM(n) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(GREATEST(n - k, 0)) AS BIGINT) AS tokens_lost,
+        |  CAST((SUM(GREATEST(n - k, 0)) * 1000000) // SUM(n) AS BIGINT)
+        |    AS loss_ppm
+        |FROM base CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
     "q_textrank" -> {
       val iters = (1 to 3).map { k =>
         s"""c$k AS (SELECT ed.d AS id, SUM(r${k - 1}.r // dg.deg) AS sm

@@ -1010,6 +1010,54 @@ object EventStreams {
         })
   }
 
+  /** F38 shapes: one quantized component observation; per-DIMENSION
+    * state (cohort counts + exact sums + vec watermark) — O(1) per
+    * key, 64 keys total. */
+  final case class DimEvent(d: Long, vec_id: Long, ev: Boolean, q: Long)
+  final case class DimState(n0: Long, s0: Long, n1: Long, s1: Long,
+                            lastVec: Long)
+  final case class DimDriftOut(d: Long, n0: Long, n1: Long, m0_e6: Long,
+                               m1_e6: Long, drift_e6: Long)
+
+  /** F38: streaming embedding-centroid drift, keyed BY DIMENSION
+    * (online twin of D25): each arriving e6-quantized component folds
+    * into its dimension's exact cohort sums — the state is 4 longs
+    * per dimension, 64 keys sharded across executors (keying by the
+    * DIMENSION, not a global key, is what keeps the monitor parallel
+    * — a single-key design would serialize the whole stream), and
+    * each batch re-emits the post-batch means (sign-split integral,
+    * the D25 formula) and drift per dimension. Replay-safe via the
+    * vec_id watermark; state never grows with the stream.
+    * StreamingSpec pins the final per-dim frame == a sequential fold
+    * == the batch D25 derivation.
+    */
+  def embedDriftStream(in: Dataset[DimEvent]): Dataset[DimDriftOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.d)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (d: Long, batch: Iterator[DimEvent], state: GroupState[DimState]) => {
+          var st = state.getOption.getOrElse(DimState(0L, 0L, 0L, 0L, Long.MinValue))
+          val fresh = batch.toArray.sortBy(_.vec_id)
+            .filter(_.vec_id > st.lastVec)
+          fresh.foreach { e =>
+            st =
+              if (e.ev) st.copy(n0 = st.n0 + 1, s0 = st.s0 + e.q,
+                lastVec = e.vec_id)
+              else st.copy(n1 = st.n1 + 1, s1 = st.s1 + e.q,
+                lastVec = e.vec_id)
+          }
+          state.update(st)
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            // toward-zero integral mean == the batch abs-div CASE
+            def m(sm: Long, n: Long): Long = if (n == 0L) 0L else sm / n
+            val m0 = m(st.s0, st.n0); val m1 = m(st.s1, st.n1)
+            Iterator.single(
+              DimDriftOut(d, st.n0, st.n1, m0, m1, math.abs(m1 - m0)))
+          }
+        })
+  }
+
   /** F30 event/state/output shapes: O(1) exact state per user — the
     * last touch's (ts, type), the first touch's type, and the
     * event-id watermark. */

@@ -381,6 +381,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F38 streaming per-dimension drift equals the batch D25 derivation; replay-safe") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{DimEvent, DimDriftOut}
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect()
+      .flatMap { r =>
+        val vid = r.getLong(0)
+        r.getSeq[Double](1).zipWithIndex.map { case (x, d) =>
+          DimEvent(d.toLong, vid, vid % 2 == 0, math.floor(x * 1000000.0).toLong)
+        }
+      }.toSeq
+    val input = MemoryStream[DimEvent]
+    val q = EventStreams.embedDriftStream(input.toDS())
+      .writeStream.format("memory").queryName("drift_out").outputMode("update").start()
+    try {
+      val (b1, b2) = ev.partition(_.vec_id < 250)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b1.take(1000)); q.processAllAvailable() // replay
+      input.addData(b2); q.processAllAvailable()
+      // final row per dim = the one with the largest observation count
+      val got = spark.table("drift_out").as[DimDriftOut].collect()
+        .groupBy(_.d)
+        .map { case (d, rs) =>
+          val last = rs.maxBy(r => r.n0 + r.n1)
+          d -> (last.n0, last.n1, last.m0_e6, last.m1_e6, last.drift_e6)
+        }
+      val expected = ev.groupBy(_.d).map { case (d, es) =>
+        val (a, b) = es.partition(_.ev)
+        val (n0, s0) = (a.length.toLong, a.map(_.q).sum)
+        val (n1, s1) = (b.length.toLong, b.map(_.q).sum)
+        def m(sm: Long, n: Long): Long = if (n == 0L) 0L else sm / n
+        d -> (n0, n1, m(s0, n0), m(s1, n1), math.abs(m(s1, n1) - m(s0, n0)))
+      }
+      assert(got.size == 64)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("F30 streaming attribution equals the oracled batch B104 aggregate; replay-safe") {
     import spark.implicits._
     import graft.streaming.EventStreams.{AttrEvent, AttrOut}
