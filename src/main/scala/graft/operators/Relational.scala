@@ -3337,6 +3337,41 @@ object Relational {
       .orderBy(col("partkey"))
   }
 
+  /** B123: robust anomaly days by median/MAD fences — the outlier
+    * detector that survives the outliers it hunts (mean/σ fences get
+    * dragged by the anomaly itself; median/MAD do not): the daily
+    * revenue series collapses to the day domain (B61), the EXACT
+    * lower median and the MAD (median of |x − med|) come from
+    * rank-vs-count integer compares over the bounded day frame
+    * (total (value, day) orders — deterministic), and a day is
+    * anomalous when |x − med| > 3·MAD — an exact integer compare.
+    * Publishes the fence parameters and the top-10 anomalous days by
+    * (|deviation| DESC, day). Float-free. At 100 TB: one ≤|days|-key
+    * shuffle then domain-bounded rank work.
+    */
+  def qAnomalyDays(s: SparkSession, dir: String): DataFrame = {
+    val daily = graft.core.Materialize.pin(dailyRevenue(s, dir))
+    def lowerMedian(df: DataFrame, c: String): DataFrame = {
+      val w = Window.orderBy(col(c), col("day"))
+      df.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("cnt"))))
+        .filter(col("rn") * 2 >= col("cnt"))
+        .agg(min(col(c)).as("med"))
+    }
+    val med = lowerMedian(daily, "x")
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("ad", abs(col("x") - col("med")))
+    val mad = lowerMedian(dev.select(col("ad").as("x"), col("day")), "x")
+      .withColumnRenamed("med", "mad")
+    dev.crossJoin(broadcast(mad))
+      .filter(col("ad") > col("mad") * 3)
+      .select(col("day"), col("x").as("revenue_cents"),
+        col("med").as("median_cents"), col("mad").as("mad_cents"),
+        col("ad").as("abs_dev_cents"))
+      .orderBy(col("abs_dev_cents").desc, col("day"))
+      .limit(10)
+  }
+
   /** B122: price-volume-mix decomposition of year-over-year revenue
     * per brand — the FP&A bridge ("how much of the revenue change is
     * price, how much volume"): both periods collapse to exact
@@ -4237,6 +4272,23 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_anomaly_days" ->
+      """WITH daily AS (SELECT o_orderdate AS day,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |m1 AS (SELECT MIN(x) AS med FROM (SELECT x,
+        |    ROW_NUMBER() OVER (ORDER BY x, day) AS rn,
+        |    COUNT(*) OVER () AS cnt FROM daily) WHERE rn * 2 >= cnt),
+        |dv AS (SELECT day, x, med, abs(x - med) AS ad
+        |  FROM daily CROSS JOIN m1),
+        |m2 AS (SELECT MIN(ad) AS mad FROM (SELECT ad,
+        |    ROW_NUMBER() OVER (ORDER BY ad, day) AS rn,
+        |    COUNT(*) OVER () AS cnt FROM dv) WHERE rn * 2 >= cnt)
+        |SELECT day, x AS revenue_cents, med AS median_cents,
+        |  mad AS mad_cents, ad AS abs_dev_cents
+        |FROM dv CROSS JOIN m2 WHERE ad > mad * 3
+        |ORDER BY ad DESC, day LIMIT 10""".stripMargin,
     "q_pvm" ->
       """WITH f AS (SELECT p_brand AS brand,
         |    CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01'
