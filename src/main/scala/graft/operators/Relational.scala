@@ -3337,6 +3337,44 @@ object Relational {
       .orderBy(col("partkey"))
   }
 
+  /** B124: order-to-ship service levels per priority — the logistics
+    * SLA dashboard ("is the urgent queue actually faster, and what's
+    * the tail"): the ship lag in exact integer days (l_shipdate −
+    * o_orderdate, one fact join with the orders side reduced to its
+    * two needed columns) is DOMAIN-BOUNDED (0..~4 months), so the
+    * fact collapses to per-(priority, lag) counts in ONE map-side-
+    * combined aggregate (the B61 rule) and the EXACT lower median and
+    * p90 come from cumulative counts over each priority's ≤200-row
+    * lag frame — rank-vs-count integer compares (2·cum ≥ n and
+    * 10·cum ≥ 9·n), never a fact sort. Float-free. At 100 TB: one
+    * orderkey join + one ≤(5·|lags|)-key shuffle.
+    */
+  def qShipLag(s: SparkSession, dir: String): DataFrame = {
+    val cells = lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders(s, dir).select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag"))
+      .groupBy(col("priority"), col("lag"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("priority"))))
+    val med = cum.filter(col("cum") * 2 >= col("n"))
+      .groupBy(col("priority")).agg(min(col("lag")).as("median_lag_days"))
+    val p90 = cum.filter(col("cum") * 10 >= col("n") * 9)
+      .groupBy(col("priority")).agg(min(col("lag")).as("p90_lag_days"))
+    val ext = cells.groupBy(col("priority"))
+      .agg(sum(col("c")).as("n_lines"), max(col("lag")).as("max_lag_days"))
+    ext.join(med, "priority").join(p90, "priority")
+      .select(col("priority"), col("n_lines"), col("median_lag_days"),
+        col("p90_lag_days"), col("max_lag_days"))
+      .orderBy(col("priority"))
+  }
+
   /** B123: robust anomaly days by median/MAD fences — the outlier
     * detector that survives the outliers it hunts (mean/σ fences get
     * dragged by the anomaly itself; median/MAD do not): the daily
@@ -4272,6 +4310,30 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_ship_lag" ->
+      """WITH cells AS (SELECT o_orderpriority AS priority,
+        |    datediff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS lag,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT priority, lag, c,
+        |    SUM(c) OVER (PARTITION BY priority ORDER BY lag
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+        |    SUM(c) OVER (PARTITION BY priority) AS n
+        |  FROM cells),
+        |med AS (SELECT priority, MIN(lag) AS median_lag_days
+        |  FROM cum WHERE cm * 2 >= n GROUP BY 1),
+        |p90 AS (SELECT priority, MIN(lag) AS p90_lag_days
+        |  FROM cum WHERE cm * 10 >= n * 9 GROUP BY 1),
+        |ext AS (SELECT priority, CAST(SUM(c) AS BIGINT) AS n_lines,
+        |    MAX(lag) AS max_lag_days FROM cells GROUP BY 1)
+        |SELECT priority, n_lines,
+        |  CAST(median_lag_days AS BIGINT) AS median_lag_days,
+        |  CAST(p90_lag_days AS BIGINT) AS p90_lag_days,
+        |  CAST(max_lag_days AS BIGINT) AS max_lag_days
+        |FROM ext JOIN med USING (priority) JOIN p90 USING (priority)
+        |ORDER BY priority""".stripMargin,
     "q_anomaly_days" ->
       """WITH daily AS (SELECT o_orderdate AS day,
         |    CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
