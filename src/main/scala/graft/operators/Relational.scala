@@ -1841,6 +1841,49 @@ object Relational {
       .orderBy(col("threshold"))
   }
 
+  /** A53: decile lift & cumulative-gains chart for the B75 score —
+    * the campaign-targeting evaluation next to A52's PR curve ("how
+    * much better than random is each scored decile"): the score
+    * domain's per-value (pos, neg) histogram orders DESCENDING, each
+    * VALUE group lands in the decile of its cumulative position
+    * (value-grouped deciles — a value never splits across deciles,
+    * the documented contract; d = ((cum−1)·10) div n + 1), and per
+    * decile the capture share, lift vs the base rate (pos·N·e6 div
+    * (rows·P)) and running cumulative gain are ALL exact integral
+    * ppm. Float-free. At 100 TB: one ≤50-key fact aggregate then
+    * 10-row frames.
+    */
+  def qLiftChart(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir).select(
+      col("l_quantity").cast("long").as("qty"),
+      (col("l_returnflag") === "R").cast("long").as("pos"))
+    val h = li.groupBy(col("qty"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c"),
+           sum(col("pos")).cast("decimal(38,0)").as("p"))
+    val wRev = Window.orderBy(col("qty").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.agg(sum(col("c")).as("n"), sum(col("p")).as("np"))
+    val deciled = h
+      .withColumn("cum", sum(col("c")).over(wRev))
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("CAST(((cum - 1) * 10) div n + 1 AS INT)"))
+    val cells = deciled.groupBy(col("decile"))
+      .agg(sum(col("c")).as("rows"), sum(col("p")).as("posd"),
+           max(col("n")).as("n"), max(col("np")).as("np"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_pos", sum(col("posd")).over(wCum))
+      .select(col("decile"),
+        col("rows").cast("long").as("n_rows"),
+        col("posd").cast("long").as("n_pos"),
+        expr("CAST((posd * 1000000) div np AS BIGINT)").as("capture_ppm"),
+        expr("CAST((posd * n * 1000000) div (rows * np) AS BIGINT)")
+          .as("lift_ppm"),
+        expr("CAST((cum_pos * 1000000) div np AS BIGINT)").as("cum_gain_ppm"))
+      .orderBy(col("decile"))
+  }
+
   /** B67: min-cost supplier per part (TPC-H Q2 shape, adapted: no
     * partsupp table ships, so the offer catalog is DERIVED from the
     * fact — the cost of a (part, supplier) offer is the cheapest
@@ -4310,6 +4353,30 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_lift_chart" ->
+      """WITH h AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(COUNT(*) AS HUGEINT) AS c,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS p
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT SUM(c) AS n, SUM(p) AS np FROM h),
+        |dc AS (SELECT qty, c, p,
+        |    SUM(c) OVER (ORDER BY qty DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h),
+        |dd AS (SELECT CAST(((cum - 1) * 10) // n + 1 AS INTEGER) AS decile,
+        |    c, p, n, np FROM dc CROSS JOIN tot),
+        |cells AS (SELECT decile, SUM(c) AS rows, SUM(p) AS posd,
+        |    MAX(n) AS n, MAX(np) AS np FROM dd GROUP BY 1),
+        |fin AS (SELECT *, SUM(posd) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+        |  FROM cells)
+        |SELECT decile, CAST(rows AS BIGINT) AS n_rows,
+        |  CAST(posd AS BIGINT) AS n_pos,
+        |  CAST((posd * 1000000) // np AS BIGINT) AS capture_ppm,
+        |  CAST((posd * n * 1000000) // (rows * np) AS BIGINT) AS lift_ppm,
+        |  CAST((cum_pos * 1000000) // np AS BIGINT) AS cum_gain_ppm
+        |FROM fin ORDER BY decile""".stripMargin,
     "q_ship_lag" ->
       """WITH cells AS (SELECT o_orderpriority AS priority,
         |    datediff('day', CAST(o_orderdate AS DATE),
