@@ -1286,6 +1286,32 @@ object Similarity {
     globalTopK(rerank, k)
   }
 
+  /** D26: nearest-neighbor similarity histogram — the τ-CALIBRATION
+    * curve for every similarity threshold in the dedup stack (D9's
+    * 0.35, D23's 0.3 were picked by looking at exactly this: "how
+    * much near-duplication exists at which similarity"): each
+    * vector's rank-1 neighbor similarity (the D12 exact kNN graph —
+    * block-partitioned triangle join, O(n·B), no all-pairs) buckets
+    * into 0.05-wide cells on the PUBLISHED dec4 value (both engines
+    * FLOOR the identical rounded double — double floor is a true
+    * floor on negatives in both), and the histogram publishes exact counts
+    * + integral-ppm shares per bucket. At 100 TB: the D12 plan + one
+    * ≤40-key aggregate.
+    */
+  def qNnDistHist(s: SparkSession, dir: String): DataFrame = {
+    val nn1 = qKnnGraph(s, dir).filter(col("rank") === 1)
+    val tot = nn1.agg(count(lit(1)).as("n"))
+    nn1
+      .withColumn("bucket",
+        expr("CAST(FLOOR(sim * 20.0) AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_vectors"),
+        expr("CAST((n_vectors * 1000000) div n AS BIGINT)").as("share_ppm"))
+      .orderBy(col("bucket"))
+  }
+
   /** D25: embedding-centroid drift between the even/odd vec_id cohorts
     * — the embedding-space DISTRIBUTION-SHIFT monitor (the D-family
     * twin of B88's PSI: "did the new batch of embeddings move"):
@@ -2320,6 +2346,24 @@ object Similarity {
         |SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
         |  CAST(ROUND(sim, 4) AS DECIMAL(18,4))::DOUBLE AS sim
         |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_nn_dist_hist" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sims AS (SELECT a.vec_id, b.vec_id AS nb_id,
+        |    list_cosine_similarity(a.v, b.v) AS sim
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nb_id)
+        |      AS rank
+        |  FROM sims),
+        |nn1 AS (SELECT vec_id,
+        |    CAST(ROUND(sim, 4) AS DECIMAL(18,4))::DOUBLE AS sim
+        |  FROM r WHERE rank = 1),
+        |tot AS (SELECT COUNT(*) AS n FROM nn1)
+        |SELECT CAST(FLOOR(sim * 20.0) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST((COUNT(*) * 1000000) // MAX(tot.n) AS BIGINT) AS share_ppm
+        |FROM nn1 CROSS JOIN tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_embed_drift" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |comp AS (SELECT (vec_id % 2 = 0) AS ev, d,
