@@ -383,6 +383,21 @@ object Multimodal {
         |  CAST(SUM(b) AS BIGINT) AS sum_b,
         |  CAST(SUM((1 + xt + 8*yt) * (299*r + 587*g + 114*b)) AS BIGINT) AS wsum
         |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q_media_ppm" ->
+      """WITH d AS (SELECT doc_id, 6 + doc_id % 10 AS w, 6 + doc_id % 8 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |    (7*doc_id + 2*x + 5*y) % 256 AS r,
+        |    (11*doc_id + 4*x + 3*y) % 256 AS g,
+        |    (13*doc_id + 6*x + y) % 256 AS b
+        |  FROM d, (SELECT unnest(range(16)) AS x), (SELECT unnest(range(14)) AS y)
+        |  WHERE x < w AND y < h)
+        |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, COUNT(*) AS n_px,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b,
+        |  CAST(MAX(299*r + 587*g + 114*b) AS BIGINT) AS max_lum
+        |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "q_media_png" ->
       """WITH d AS (SELECT doc_id, 8 + doc_id % 12 AS w, 8 + doc_id % 6 AS h
         |  FROM documents),
@@ -1057,6 +1072,107 @@ object Multimodal {
   /** E8 synthesis: deterministic RGB images (distinct formulas and
     * dimensions from the BMP set) encoded as REAL PNGs.
     */
+  /** E14 encoder: a REAL Netpbm P6 writer — the standard
+    * "P6\n<w> <h>\n255\n" ASCII header followed by raw RGB triples.
+    * Pixel formula distinct from E2/E8 so the codecs cannot be
+    * satisfied by cached stats: w = 6 + id%10, h = 6 + id%8,
+    * r = (7id+2x+5y)%256, g = (11id+4x+3y)%256, b = (13id+6x+y)%256.
+    */
+  private[graft] def encodePpm(id: Long): Array[Byte] = {
+    val w = (6 + id % 10).toInt; val h = (6 + id % 8).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](w * h * 3)
+    var i = 0; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(i) = ((7 * id + 2L * x + 5L * y) % 256).toByte
+        px(i + 1) = ((11 * id + 4L * x + 3L * y) % 256).toByte
+        px(i + 2) = ((13 * id + 6L * x + y) % 256).toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    header ++ px
+  }
+
+  /** E14 parser: a REAL spec-compliant P6 reader — tokenizing header
+    * fields across arbitrary whitespace and `#` comments (the part
+    * naive split-on-newline readers get wrong), then exactly ONE
+    * whitespace byte before the raster per the Netpbm spec. Java
+    * ImageIO ships no PNM plugin, so unlike E2/E8/E9 BOTH directions
+    * here are hand-rolled.
+    */
+  private[graft] def parsePpm(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    var pos = 0
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && pos < bytes.length) {
+        val c = bytes(pos).toChar
+        if (c == '#') {
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        } else if (c.isWhitespace) pos += 1
+        else done = true
+      }
+    }
+    def token(): String = {
+      skipWs()
+      val st = pos
+      while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
+      new String(bytes, st, pos - st, "US-ASCII")
+    }
+    require(token() == "P6", "not a P6 PPM")
+    val w = token().toInt
+    val h = token().toInt
+    require(token().toInt == 255, "unsupported maxval")
+    pos += 1 // exactly one whitespace byte separates maxval from raster
+    require(bytes.length >= pos + w * h * 3, "truncated raster")
+    (w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3))
+  }
+
+  /** E14: Netpbm P6 codec path — synthesize REAL P6 payloads (with a
+    * header comment exercising the parser's comment handling), parse
+    * them back through [[parsePpm]], and publish the exact integer
+    * pixel statistics; the oracle recomputes from the pixel formula,
+    * blind to the codec (the E8 contract shape).
+    */
+  def qMediaPpm(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("max_lum", LongType, nullable = false)))
+    fanOut(documents(s, dir).select(col("doc_id")))
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          // comment injection: the parser must skip it per spec
+          val raw = encodePpm(id)
+          val withComment =
+            ("P6\n# graft synthetic raster\n" +
+              new String(raw, 3, raw.length - 3, "ISO-8859-1"))
+              .getBytes("ISO-8859-1")
+          val (w, h, px) = parsePpm(withComment)
+          var sr = 0L; var sg = 0L; var sb = 0L; var maxL = Long.MinValue
+          var i = 0
+          while (i < px.length) {
+            val r = px(i) & 0xFF; val g = px(i + 1) & 0xFF
+            val b = px(i + 2) & 0xFF
+            sr += r; sg += g; sb += b
+            val lum = 299L * r + 587L * g + 114L * b
+            if (lum > maxL) maxL = lum
+            i += 3
+          }
+          Row(id, w.toLong, h.toLong, w.toLong * h, sr, sg, sb, maxL)
+        }
+      }(Encoders.row(outSchema))
+      .orderBy(col("media_id"))
+  }
+
   def synthesizePng(s: SparkSession, dir: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
