@@ -3380,6 +3380,32 @@ object Relational {
       .orderBy(col("partkey"))
   }
 
+  /** B125: same-day repeat-order audit — the double-submission /
+    * split-order data-quality screen ("which customers placed multiple
+    * orders on one day, and what do those bursts look like"): ONE
+    * (customer, day)-key aggregate over the orders scan, groups with
+    * ≥ 2 orders publish exact counts, combined cents, the burst's
+    * orderkey span, and the spread between the largest and smallest
+    * order (an identical-total burst — spread 0 — is the classic
+    * accidental resubmission signature). Top-20 under the total
+    * (n DESC, custkey, day) order. At 100 TB: one cust-day shuffle.
+    */
+  def qSameDayOrders(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    orders(s, dir)
+      .select(col("o_custkey").as("ck"), col("o_orderdate").as("day"),
+        col("o_orderkey").as("ok"), cents.as("cents"))
+      .groupBy(col("ck"), col("day"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("cents")).as("total_cents"),
+           min(col("ok")).as("first_orderkey"),
+           max(col("ok")).as("last_orderkey"),
+           (max(col("cents")) - min(col("cents"))).as("spread_cents"))
+      .filter(col("n_orders") >= 2)
+      .orderBy(col("n_orders").desc, col("ck"), col("day"))
+      .limit(20)
+  }
+
   /** B124: order-to-ship service levels per priority — the logistics
     * SLA dashboard ("is the urgent queue actually faster, and what's
     * the tail"): the ship lag in exact integer days (l_shipdate −
@@ -4353,6 +4379,18 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_same_day_orders" ->
+      """SELECT o_custkey AS ck, o_orderdate AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS first_orderkey,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS last_orderkey,
+        |  CAST(MAX(CAST(ROUND(o_totalprice*100,0) AS BIGINT))
+        |    - MIN(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+        |    AS spread_cents
+        |FROM orders GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY n_orders DESC, ck, day LIMIT 20""".stripMargin,
     "q_lift_chart" ->
       """WITH h AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
         |    CAST(COUNT(*) AS HUGEINT) AS c,
