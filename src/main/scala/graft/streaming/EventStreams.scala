@@ -1058,6 +1058,65 @@ object EventStreams {
         })
   }
 
+  /** F39 shapes: one order arrival; per-customer state = the CURRENT
+    * day's burst aggregate only (count, cents, first key, min/max
+    * cents) + the order-key watermark — O(1), day rollover resets. */
+  final case class OrderEvent(ck: Long, order_key: Long, day_ed: Long,
+                              cents: Long)
+  final case class BurstState(day: Long, n: Long, cents: Long,
+                              firstKey: Long, minC: Long, maxC: Long,
+                              lastKey: Long)
+  final case class BurstOut(ck: Long, order_key: Long, day_ed: Long,
+                            n_today: Long, total_cents: Long,
+                            spread_cents: Long)
+
+  /** F39: streaming same-day burst detector (online twin of B125's
+    * audit): each order arrival folds into its customer's CURRENT-day
+    * aggregate — a new day simply replaces the state (the previous
+    * day's burst is final the moment a later day arrives, no timer
+    * needed under day-ordered arrival) — and every arrival that makes
+    * today's count ≥ 2 emits the burst's running count, combined
+    * cents, and max−min spread (spread 0 = the resubmission
+    * signature, flagged the MOMENT the duplicate lands rather than in
+    * tomorrow's batch audit). O(1) state per customer; replay-safe
+    * via the lexicographic (day, order-key) watermark — orderkeys are
+    * NOT day-monotone, so a bare key watermark would drop genuine
+    * later-day arrivals. Requires (day, key)-ordered arrival per key,
+    * the F2 sessionizer's discipline. StreamingSpec pins stream ==
+    * sequential fold incl. replay.
+    */
+  def sameDayBurstStream(in: Dataset[OrderEvent]): Dataset[BurstOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.ck)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (ck: Long, batch: Iterator[OrderEvent], state: GroupState[BurstState]) => {
+          var st = state.getOption.getOrElse(
+            BurstState(Long.MinValue, 0L, 0L, 0L, 0L, 0L, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[BurstOut]
+          // watermark is the LEXICOGRAPHIC (day, key) pair: orderkeys are
+          // not day-monotone, so a bare key watermark would drop genuine
+          // later-day arrivals with smaller keys
+          batch.toArray.sortBy(e => (e.day_ed, e.order_key)).iterator
+            .filter(e => e.day_ed > st.day ||
+              (e.day_ed == st.day && e.order_key > st.lastKey))
+            .foreach { e =>
+              st =
+                if (e.day_ed != st.day)
+                  BurstState(e.day_ed, 1L, e.cents, e.order_key,
+                    e.cents, e.cents, e.order_key)
+                else
+                  BurstState(st.day, st.n + 1, st.cents + e.cents,
+                    st.firstKey, math.min(st.minC, e.cents),
+                    math.max(st.maxC, e.cents), e.order_key)
+              if (st.n >= 2)
+                out += BurstOut(ck, e.order_key, st.day, st.n, st.cents,
+                  st.maxC - st.minC)
+            }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** F30 event/state/output shapes: O(1) exact state per user — the
     * last touch's (ts, type), the first touch's type, and the
     * event-id watermark. */

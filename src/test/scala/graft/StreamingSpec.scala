@@ -421,6 +421,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F39 streaming same-day bursts equal a sequential batch fold; replay-safe") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{OrderEvent, BurstOut}
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Tables.orders(spark, sfDir)
+      .selectExpr("o_custkey", "o_orderkey",
+        "CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT) AS ed",
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents")
+      .collect()
+      .map(r => OrderEvent(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val input = MemoryStream[OrderEvent]
+    val q = EventStreams.sameDayBurstStream(input.toDS())
+      .writeStream.format("memory").queryName("burst_out").outputMode("update").start()
+    try {
+      // day-ordered arrival (the F39 contract); split by day median
+      val sorted = ev.sortBy(e => (e.day_ed, e.order_key))
+      val (b1, b2) = sorted.splitAt(sorted.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b1.takeRight(200)); q.processAllAvailable() // replay
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("burst_out").as[BurstOut].collect()
+        .map(r => (r.ck, r.order_key) ->
+          (r.day_ed, r.n_today, r.total_cents, r.spread_cents)).toMap
+      val expected = ev.groupBy(_.ck).flatMap { case (ck, es) =>
+        var day = Long.MinValue; var n = 0L; var cents = 0L
+        var minC = 0L; var maxC = 0L
+        es.sortBy(e => (e.day_ed, e.order_key)).flatMap { e =>
+          if (e.day_ed != day) {
+            day = e.day_ed; n = 1L; cents = e.cents
+            minC = e.cents; maxC = e.cents
+          } else {
+            n += 1; cents += e.cents
+            minC = math.min(minC, e.cents); maxC = math.max(maxC, e.cents)
+          }
+          if (n >= 2)
+            Some((ck, e.order_key) -> (day, n, cents, maxC - minC))
+          else None
+        }
+      }.toMap
+      assert(got.nonEmpty)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("F30 streaming attribution equals the oracled batch B104 aggregate; replay-safe") {
     import spark.implicits._
     import graft.streaming.EventStreams.{AttrEvent, AttrOut}
