@@ -3380,6 +3380,36 @@ object Relational {
       .orderBy(col("partkey"))
   }
 
+  /** B126: weekly engagement — DAU/WAU stickiness per epoch week (the
+    * product-engagement staple: "of the people active this week, how
+    * many days did they actually show up"): the event fact collapses
+    * to DISTINCT (day, user) pairs first (one dedup shuffle — the
+    * dominant cost, exact), then per epoch-week (epoch-day div 7) the
+    * day-active sum, the distinct weekly actives (a second exact
+    * dedup on the ALREADY-deduped pair frame), active-day count, and
+    * stickiness = Σdau·e6 div (n_days·wau) as ONE exact integral
+    * division. At 100 TB: swap the exact weekly dedup for the B56 HLL
+    * contract if ±2% suffices — the query shape is identical.
+    */
+  def qStickiness(s: SparkSession, dir: String): DataFrame = {
+    val pairs = events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("ed"),
+              col("user_id"))
+      .distinct()
+      .withColumn("week", expr("ed div 7"))
+    val daily = pairs.groupBy(col("week"), col("ed"))
+      .agg(count(lit(1)).as("dau"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+    val weekly = pairs.select(col("week"), col("user_id")).distinct()
+      .groupBy(col("week")).agg(count(lit(1)).as("wau"))
+    daily.join(weekly, "week")
+      .select(col("week"), col("n_days"), col("sum_dau"), col("wau"),
+        expr("CAST((sum_dau * 1000000) div (n_days * wau) AS BIGINT)")
+          .as("stickiness_ppm"))
+      .orderBy(col("week"))
+  }
+
   /** B125: same-day repeat-order audit — the double-submission /
     * split-order data-quality screen ("which customers placed multiple
     * orders on one day, and what do those bursts look like"): ONE
@@ -4379,6 +4409,22 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_stickiness" ->
+      """WITH pairs AS (SELECT DISTINCT
+        |    epoch_us(ts) // 86400000000 AS ed, user_id
+        |  FROM events),
+        |pw AS (SELECT ed // 7 AS week, ed, user_id FROM pairs),
+        |daily AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(dau) AS BIGINT) AS sum_dau
+        |  FROM (SELECT week, ed, COUNT(*) AS dau FROM pw GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |weekly AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS wau
+        |  FROM (SELECT DISTINCT week, user_id FROM pw) GROUP BY 1)
+        |SELECT week, n_days, sum_dau, wau,
+        |  CAST((sum_dau * 1000000) // (n_days * wau) AS BIGINT)
+        |    AS stickiness_ppm
+        |FROM daily JOIN weekly USING (week)
+        |ORDER BY week""".stripMargin,
     "q_same_day_orders" ->
       """SELECT o_custkey AS ck, o_orderdate AS day,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
