@@ -3380,6 +3380,34 @@ object Relational {
       .orderBy(col("partkey"))
   }
 
+  /** B127: week-over-week revenue growth — the executive trend tile
+    * (next to B32's fitted trend and B100's decomposition, this is
+    * the raw period-over-period delta everyone actually reads):
+    * weekly exact-cents revenue from one epoch-week aggregate
+    * (epoch-day div 7 — calendar-free), the prior week via lag over
+    * the bounded week frame, and the growth rate as a SIGN-SPLIT
+    * integral ppm of the exact delta. First week publishes NULL
+    * growth (no prior), weeks ordered ascending. At 100 TB: one
+    * ≤|weeks|-key map-side-combined shuffle.
+    */
+  def qWowGrowth(s: SparkSession, dir: String): DataFrame = {
+    val weekly = orders(s, dir)
+      .groupBy(expr("datediff(o_orderdate, DATE '1970-01-01') div 7")
+        .as("week"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val w = Window.orderBy(col("week"))
+    weekly
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .select(col("week").cast("long").as("week"),
+        col("cents"),
+        col("prev").as("prev_cents"),
+        expr("CAST(CASE WHEN prev IS NULL THEN NULL " +
+             "WHEN cents >= prev THEN ((cents - prev) * 1000000) div prev " +
+             "ELSE -(((prev - cents) * 1000000) div prev) END AS BIGINT)")
+          .as("growth_ppm"))
+      .orderBy(col("week"))
+  }
+
   /** B126: weekly engagement — DAU/WAU stickiness per epoch week (the
     * product-engagement staple: "of the people active this week, how
     * many days did they actually show up"): the event fact collapses
@@ -4409,6 +4437,21 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_wow_growth" ->
+      """WITH weekly AS (SELECT
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      // 7 AS week,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |lg AS (SELECT week, cents,
+        |    LAG(cents) OVER (ORDER BY week) AS prev FROM weekly)
+        |SELECT CAST(week AS BIGINT) AS week, cents, prev AS prev_cents,
+        |  CAST(CASE WHEN prev IS NULL THEN NULL
+        |    WHEN cents >= prev THEN ((cents - prev) * 1000000) // prev
+        |    ELSE -(((prev - cents) * 1000000) // prev) END AS BIGINT)
+        |    AS growth_ppm
+        |FROM lg ORDER BY week""".stripMargin,
     "q_stickiness" ->
       """WITH pairs AS (SELECT DISTINCT
         |    epoch_us(ts) // 86400000000 AS ed, user_id
