@@ -1846,6 +1846,57 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** A54 statistic — ONE shared float text over the exact DECIMAL
+    * aggregates: multiclass MCC = (c·s − Σpₖtₖ) /
+    * √((s²−Σpₖ²)(s²−Σtₖ²)) (Gorodkin's R_K). */
+  private val mccSql =
+    "(CAST(corr AS DOUBLE)*CAST(s AS DOUBLE) - CAST(spt AS DOUBLE)) / " +
+      "sqrt((CAST(s AS DOUBLE)*CAST(s AS DOUBLE) - CAST(spp AS DOUBLE)) * " +
+           "(CAST(s AS DOUBLE)*CAST(s AS DOUBLE) - CAST(stt AS DOUBLE)))"
+
+  /** A54: Matthews correlation coefficient (multiclass R_K) + balanced
+    * accuracy for the C4 language-ID classifier — the two
+    * class-imbalance-proof summary numbers next to A50's per-class
+    * report (sklearn matthews_corrcoef / balanced_accuracy_score
+    * parity): every input to both statistics is an exact DECIMAL(38,0)
+    * aggregate of the confusion margins (Σtp, N, Σpₖtₖ, Σpₖ², Σtₖ²,
+    * and the per-class recall ppms whose mean IS balanced accuracy —
+    * one integral division by the class count); only the published
+    * MCC is float via the shared [[mccSql]] text. At 100 TB: one fact
+    * pass then ≤|classes| combinatorics.
+    */
+  def qMcc(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cont = documents(s, dir)
+      .select(col("lang").as("gold"),
+        langPred(T.words(col("text"))).as("pred"))
+      .groupBy(col("gold"), col("pred"))
+      .agg(count(lit(1)).cast(dec).as("nij"))
+    val ga = cont.groupBy(col("gold").as("cls")).agg(sum(col("nij")).as("t"))
+    val pb = cont.groupBy(col("pred").as("cls")).agg(sum(col("nij")).as("p"))
+    val tp = cont.filter(col("gold") === col("pred"))
+      .select(col("gold").as("cls"), col("nij").as("tp"))
+    val per = ga.join(pb, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left_outer")
+      .select(col("cls"),
+        coalesce(col("t"), lit(0)).cast(dec).as("t"),
+        coalesce(col("p"), lit(0)).cast(dec).as("p"),
+        coalesce(col("tp"), lit(0)).cast(dec).as("tp"))
+    per.agg(
+        sum(col("tp")).as("corr"), sum(col("t")).as("s"),
+        sum(col("p") * col("t")).as("spt"),
+        sum(col("p") * col("p")).as("spp"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(when(col("t") > 0, lit(1L)).otherwise(0L)).as("k"),
+        sum(when(col("t") > 0, expr("(tp * 1000000) div t"))
+          .otherwise(lit(0L))).as("sum_rec"))
+      .select(col("s").cast("long").as("n_rows"),
+        col("corr").cast("long").as("n_correct"),
+        col("k").cast("long").as("n_classes"),
+        expr("CAST(sum_rec div k AS BIGINT)").as("bal_acc_ppm"),
+        graft.functions.dec6(expr(mccSql)).as("mcc"))
+  }
+
   /** C26: language-ID confusion matrix — the evaluation primitive for
     * the C4 classifier: (gold, predicted) counts over the corpus, one
     * small-key aggregate after the codegen'd prediction.
@@ -2685,6 +2736,28 @@ object TextOps {
         |SELECT d.lang AS gold_lang, p.pred_lang, COUNT(*) AS n
         |FROM documents d JOIN pred p USING (doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_mcc" ->
+      s"""WITH $langPredCteSql,
+        |cont AS (SELECT d.lang AS gold, p.pred_lang AS pred,
+        |    CAST(COUNT(*) AS HUGEINT) AS nij
+        |  FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2),
+        |ga AS (SELECT gold AS cls, SUM(nij) AS t FROM cont GROUP BY 1),
+        |pb AS (SELECT pred AS cls, SUM(nij) AS p FROM cont GROUP BY 1),
+        |tpc AS (SELECT gold AS cls, nij AS tp FROM cont WHERE gold = pred),
+        |per AS (SELECT cls, COALESCE(t, 0) AS t, COALESCE(p, 0) AS p,
+        |    COALESCE(tp, 0) AS tp
+        |  FROM ga FULL OUTER JOIN pb USING (cls) LEFT JOIN tpc USING (cls)),
+        |ag AS (SELECT SUM(tp) AS corr, SUM(t) AS s, SUM(p*t) AS spt,
+        |    SUM(p*p) AS spp, SUM(t*t) AS stt,
+        |    SUM(CASE WHEN t > 0 THEN 1 ELSE 0 END) AS k,
+        |    SUM(CASE WHEN t > 0 THEN (tp * 1000000) // t ELSE 0 END)
+        |      AS sum_rec
+        |  FROM per)
+        |SELECT CAST(s AS BIGINT) AS n_rows, CAST(corr AS BIGINT) AS n_correct,
+        |  CAST(k AS BIGINT) AS n_classes,
+        |  CAST(sum_rec // k AS BIGINT) AS bal_acc_ppm,
+        |  CAST(ROUND($mccSql, 6) AS DECIMAL(18,6))::DOUBLE AS mcc
+        |FROM ag""".stripMargin,
     "q_cls_report" ->
       s"""WITH $langPredCteSql,
         |cont AS (SELECT d.lang AS gold, p.pred_lang AS pred,
