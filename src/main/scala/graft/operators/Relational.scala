@@ -3380,6 +3380,33 @@ object Relational {
       .orderBy(col("partkey"))
   }
 
+  /** B128: seasonally-normalized peak days — "which days were big
+    * AFTER accounting for their weekday" (a raw top-10 just returns
+    * seven copies of the busiest weekday; normalizing by the B90
+    * day-of-week baseline surfaces genuine events): daily exact-cents
+    * revenue over the day domain, the dow baseline as an exact floor
+    * mean per weekday (pure epoch-day arithmetic, the B90
+    * convention), excess = (x·e6) div dow_mean as an exact integral
+    * ppm, top-10 under the total (excess DESC, day) order. At 100 TB:
+    * one ≤|days|-key shuffle + a 7-row broadcast.
+    */
+  def qPeakDays(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenue(s, dir)
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-01")) + 4, lit(7))
+          .cast("long"))
+    val base = daily.groupBy(col("dow"))
+      .agg(expr("CAST(sum(x) AS DECIMAL(38,0))").as("sd"),
+           count(lit(1)).as("nd"))
+      .select(col("dow"), expr("CAST(sd div nd AS BIGINT)").as("dow_mean"))
+    daily.join(broadcast(base), "dow")
+      .select(col("day"), col("x").as("revenue_cents"), col("dow"),
+        col("dow_mean").as("dow_mean_cents"),
+        expr("CAST((x * 1000000) div dow_mean AS BIGINT)").as("excess_ppm"))
+      .orderBy(col("excess_ppm").desc, col("day"))
+      .limit(10)
+  }
+
   /** B127: week-over-week revenue growth — the executive trend tile
     * (next to B32's fitted trend and B100's decomposition, this is
     * the raw period-over-period delta everyone actually reads):
@@ -4437,6 +4464,23 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_peak_days" ->
+      """WITH daily AS (SELECT o_orderdate AS day,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |dd AS (SELECT day, x,
+        |    (datediff('day', DATE '1970-01-01', CAST(day AS DATE)) + 4) % 7
+        |      AS dow
+        |  FROM daily),
+        |base AS (SELECT dow,
+        |    CAST(CAST(SUM(x) AS HUGEINT) // COUNT(*) AS BIGINT) AS dow_mean
+        |  FROM dd GROUP BY 1)
+        |SELECT day, x AS revenue_cents, CAST(dd.dow AS BIGINT) AS dow,
+        |  dow_mean AS dow_mean_cents,
+        |  CAST((x * 1000000) // dow_mean AS BIGINT) AS excess_ppm
+        |FROM dd JOIN base ON dd.dow = base.dow
+        |ORDER BY excess_ppm DESC, day LIMIT 10""".stripMargin,
     "q_wow_growth" ->
       """WITH weekly AS (SELECT
         |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
