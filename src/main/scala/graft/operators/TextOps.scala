@@ -1897,6 +1897,41 @@ object TextOps {
         graft.functions.dec6(expr(mccSql)).as("mcc"))
   }
 
+  /** C48: per-source language purity — the curation diagnostic for
+    * "which SOURCES are language-mixed or mislabeled" (per-source
+    * routing is how real pipelines act on language: drop, reroute, or
+    * re-run a better detector per feed): per (source, predicted-lang)
+    * counts in one aggregate after the codegen'd C4 prediction, the
+    * majority language per source by the deterministic
+    * (count DESC, lang) rank, purity = majority share and
+    * gold-agreement as EXACT integral ppm. At 100 TB: one fact pass,
+    * a ≤(sources×langs) cell frame, a ≤|sources| rollup.
+    */
+  def qSourcePurity(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+      .select(col("source"), col("lang").as("gold"),
+        langPred(T.words(col("text"))).as("pred"))
+    val cells = d.groupBy(col("source"), col("pred"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("pred"))
+    val major = cells.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("pred").as("major_lang"),
+        col("c").as("n_major"))
+    val tot = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum((col("gold") === col("pred")).cast("long")).as("n_agree"))
+    tot.join(major, "source")
+      .select(col("source"), col("n_docs"), col("major_lang"),
+        col("n_major"),
+        expr("CAST((n_major * 1000000) div n_docs AS BIGINT)")
+          .as("purity_ppm"),
+        expr("CAST((n_agree * 1000000) div n_docs AS BIGINT)")
+          .as("gold_agree_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** C26: language-ID confusion matrix — the evaluation primitive for
     * the C4 classifier: (gold, predicted) counts over the corpus, one
     * small-key aggregate after the codegen'd prediction.
@@ -2736,6 +2771,25 @@ object TextOps {
         |SELECT d.lang AS gold_lang, p.pred_lang, COUNT(*) AS n
         |FROM documents d JOIN pred p USING (doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_source_purity" ->
+      s"""WITH $langPredCteSql,
+        |d AS (SELECT dd.source, dd.lang AS gold, p.pred_lang AS pred
+        |  FROM documents dd JOIN pred p USING (doc_id)),
+        |cells AS (SELECT source, pred, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM d GROUP BY 1, 2),
+        |major AS (SELECT source, pred AS major_lang, c AS n_major
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY c DESC, pred) AS rn FROM cells)
+        |  WHERE rn = 1),
+        |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN gold = pred THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_agree
+        |  FROM d GROUP BY 1)
+        |SELECT source, n_docs, major_lang, n_major,
+        |  CAST((n_major * 1000000) // n_docs AS BIGINT) AS purity_ppm,
+        |  CAST((n_agree * 1000000) // n_docs AS BIGINT) AS gold_agree_ppm
+        |FROM tot JOIN major USING (source)
+        |ORDER BY source""".stripMargin,
     "q_mcc" ->
       s"""WITH $langPredCteSql,
         |cont AS (SELECT d.lang AS gold, p.pred_lang AS pred,
