@@ -3380,6 +3380,35 @@ object Relational {
       .orderBy(col("partkey"))
   }
 
+  /** B129: semi-structured property extraction — the JSON side-channel
+    * every event stream carries (the `props` column has been opaque to
+    * every query until now): `from_json` with an explicit schema
+    * (schema-on-read — the declarative path Catalyst can prune and
+    * codegen, NOT a per-row UDF), nulls from unparseable or absent
+    * keys counted honestly, and the extracted `k` aggregated per
+    * event type with exact integer stats (count / parsed count / sum
+    * / min / max / distinct). At 100 TB: parsing rides the scan
+    * (no extra pass), then one ≤|types|-key shuffle; at real scale
+    * the same query shape drops onto a columnarized variant
+    * (parquet-shredded JSON) with zero logical change.
+    */
+  def qPropsParse(s: SparkSession, dir: String): DataFrame = {
+    val parsed = events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+    parsed.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("k").isNotNull.cast("long")).as("n_parsed"),
+           sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"),
+           countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** B128: seasonally-normalized peak days — "which days were big
     * AFTER accounting for their weekday" (a raw top-10 just returns
     * seven copies of the busiest weekday; normalizing by the B90
@@ -4464,6 +4493,17 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_props_parse" ->
+      """WITH p AS (SELECT event_type,
+        |    CAST(props::JSON->>'k' AS BIGINT) AS k FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_parsed,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(MIN(k) AS BIGINT) AS min_k,
+        |  CAST(MAX(k) AS BIGINT) AS max_k,
+        |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_peak_days" ->
       """WITH daily AS (SELECT o_orderdate AS day,
         |    CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
