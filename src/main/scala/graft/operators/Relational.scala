@@ -3380,6 +3380,43 @@ object Relational {
       .orderBy(col("partkey"))
   }
 
+  /** B130: order/line status reconciliation — the referential
+    * data-integrity audit ("does the order header's status actually
+    * summarize its lines": TPC-H semantics say F = all lines F, O =
+    * none, P = mixed): one orderkey aggregate of line statuses joined
+    * back to headers (LEFT join — headers without lines are their own
+    * finding class), every order classified by exact integer compares
+    * into ok_f / ok_o / ok_p / violation_f / violation_o /
+    * violation_p / no_lines, and the class rollup publishes exact
+    * counts + integral-ppm shares. The violation classes being EMPTY
+    * is itself the audit's assertion on consistent data. At 100 TB:
+    * one orderkey shuffle + a ≤7-key rollup.
+    */
+  def qStatusConsistency(s: SparkSession, dir: String): DataFrame = {
+    val lines = lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+           sum((col("l_linestatus") === "F").cast("long")).as("n_f"))
+    val cls = orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus").as("st"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .withColumn("cls",
+        when(col("n_lines").isNull, "no_lines")
+          .when(col("st") === "F",
+            when(col("n_f") === col("n_lines"), "ok_f").otherwise("violation_f"))
+          .when(col("st") === "O",
+            when(col("n_f") === 0, "ok_o").otherwise("violation_o"))
+          .otherwise(
+            when(col("n_f") > 0 && col("n_f") < col("n_lines"), "ok_p")
+              .otherwise("violation_p")))
+    val cells = cls.groupBy(col("cls")).agg(count(lit(1)).as("n_orders"))
+    val tot = cells.agg(sum(col("n_orders")).as("n"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cls"), col("n_orders"),
+        expr("CAST((n_orders * 1000000) div n AS BIGINT)").as("share_ppm"))
+      .orderBy(col("cls"))
+  }
+
   /** B129: semi-structured property extraction — the JSON side-channel
     * every event stream carries (the `props` column has been opaque to
     * every query until now): `from_json` with an explicit schema
@@ -4493,6 +4530,27 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_status_consistency" ->
+      """WITH lines AS (SELECT l_orderkey,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_f
+        |  FROM lineitem GROUP BY 1),
+        |cl AS (SELECT CASE
+        |    WHEN n_lines IS NULL THEN 'no_lines'
+        |    WHEN o_orderstatus = 'F' THEN
+        |      CASE WHEN n_f = n_lines THEN 'ok_f' ELSE 'violation_f' END
+        |    WHEN o_orderstatus = 'O' THEN
+        |      CASE WHEN n_f = 0 THEN 'ok_o' ELSE 'violation_o' END
+        |    ELSE CASE WHEN n_f > 0 AND n_f < n_lines THEN 'ok_p'
+        |      ELSE 'violation_p' END END AS cls
+        |  FROM orders LEFT JOIN lines ON o_orderkey = l_orderkey),
+        |cells AS (SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM cl GROUP BY 1),
+        |tot AS (SELECT SUM(n_orders) AS n FROM cells)
+        |SELECT cls, n_orders,
+        |  CAST((n_orders * 1000000) // n AS BIGINT) AS share_ppm
+        |FROM cells CROSS JOIN tot ORDER BY cls""".stripMargin,
     "q_props_parse" ->
       """WITH p AS (SELECT event_type,
         |    CAST(props::JSON->>'k' AS BIGINT) AS k FROM events)
