@@ -2522,6 +2522,42 @@ object Relational {
       .orderBy(col("digit"))
   }
 
+  /** B131 expectation table: second-digit Benford probabilities
+    * p₂(d) = Σₖ₌₁..₉ log10(1 + 1/(10k+d)), generated ONCE at query
+    * build and embedded in BOTH engines as e6 literals (the D19
+    * no-runtime-transcendental rule — B89's first-digit expectation
+    * is a single log10 both engines agree on; the 9-term sum here is
+    * exactly where cross-libm drift could bite). */
+  private lazy val benford2Table: Seq[(Long, Long)] =
+    (0 to 9).map { d =>
+      val p = (1 to 9).map(k => math.log10(1.0 + 1.0 / (10 * k + d))).sum
+      (d.toLong, Math.round(p * 1e6))
+    }
+
+  /** B131: Benford SECOND-digit audit — the standard forensic
+    * follow-up to B89 (first digits can conform while fabricated
+    * values still skew the second digit; auditors run both): cents
+    * totals ≥ 10 contribute their second decimal digit (identical
+    * string extraction both engines), one 10-key aggregate, observed
+    * shares as EXACT integral ppm against the literal-embedded
+    * expectation. At 100 TB: one ≤10-key map-side-combined shuffle.
+    */
+  def qBenford2(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val h = orders(s, dir).select(cents.as("cents"))
+      .filter(col("cents") >= 10)
+      .select(substring(col("cents").cast("string"), 2, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
+    val exp = s.createDataFrame(benford2Table).toDF("digit", "p_ben_e6")
+    val t = broadcast(h.agg(sum(col("n_d")).as("n")))
+    h.crossJoin(t).join(broadcast(exp), "digit")
+      .select(col("digit"), col("n_d"),
+        expr("(n_d * 1000000) div n").as("p_obs_ppm"),
+        col("p_ben_e6"))
+      .orderBy(col("digit"))
+  }
+
   /** B90: day-of-week seasonality index of order revenue — the
     * calendar-profile complement of B85's autocorrelation (retail
     * load-shaping, anomaly baselines): dow from pure epoch-day integer
@@ -4530,6 +4566,23 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_benford2" -> {
+      val vals = benford2Table
+        .map { case (d, p) => s"($d::BIGINT, $p::BIGINT)" }.mkString(", ")
+      s"""WITH h AS (SELECT
+        |    CAST(substr(CAST(CAST(ROUND(o_totalprice*100,0) AS BIGINT)
+        |      AS VARCHAR), 2, 1) AS BIGINT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n_d
+        |  FROM orders
+        |  WHERE CAST(ROUND(o_totalprice*100,0) AS BIGINT) >= 10
+        |  GROUP BY 1),
+        |ex(digit, p_ben_e6) AS (SELECT * FROM (VALUES $vals)),
+        |t AS (SELECT SUM(n_d) AS n FROM h)
+        |SELECT digit, n_d,
+        |  CAST((n_d * 1000000) // n AS BIGINT) AS p_obs_ppm, p_ben_e6
+        |FROM h CROSS JOIN t JOIN ex USING (digit)
+        |ORDER BY digit""".stripMargin
+    },
     "q_status_consistency" ->
       """WITH lines AS (SELECT l_orderkey,
         |    CAST(COUNT(*) AS BIGINT) AS n_lines,
