@@ -2522,6 +2522,39 @@ object Relational {
       .orderBy(col("digit"))
   }
 
+  /** B132: monthly YTD running totals with prior-year comparison — the
+    * finance reporting tile (month revenue, year-to-date cumulative,
+    * same-month prior year, YoY growth): exact-cents monthly revenue
+    * over the bounded month domain (one map-side-combined aggregate on
+    * calendar year/month — the reporting grain IS calendar here, so
+    * Spark's year()/month() and DuckDB's agree by construction), YTD
+    * via the per-year cumulative window, prior year via lag-12 over
+    * the month order (months are contiguous in this fixture; a
+    * self-join on (year−1, month) is the gap-tolerant variant), and
+    * YoY as a SIGN-SPLIT integral ppm. At 100 TB: one ≤|months|-key
+    * shuffle then domain-bounded windows.
+    */
+  def qYtd(s: SparkSession, dir: String): DataFrame = {
+    val monthly = orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("y"),
+               month(col("o_orderdate")).as("m"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val wYtd = Window.partitionBy(col("y")).orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSeq = Window.orderBy(col("y"), col("m"))
+    monthly
+      .withColumn("ytd_cents", sum(col("cents")).over(wYtd))
+      .withColumn("py_cents", lag(col("cents"), 12).over(wSeq))
+      .select(col("y").cast("long").as("y"), col("m").cast("long").as("m"),
+        col("cents"), col("ytd_cents"), col("py_cents"),
+        expr("CAST(CASE WHEN py_cents IS NULL THEN NULL " +
+             "WHEN cents >= py_cents THEN " +
+             "((cents - py_cents) * 1000000) div py_cents " +
+             "ELSE -(((py_cents - cents) * 1000000) div py_cents) " +
+             "END AS BIGINT)").as("yoy_ppm"))
+      .orderBy(col("y"), col("m"))
+  }
+
   /** B131 expectation table: second-digit Benford probabilities
     * p₂(d) = Σₖ₌₁..₉ log10(1 + 1/(10k+d)), generated ONCE at query
     * build and embedded in BOTH engines as e6 literals (the D19
@@ -4566,6 +4599,26 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_ytd" ->
+      """WITH monthly AS (SELECT
+        |    CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+        |    CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (SELECT y, m, cents,
+        |    SUM(cents) OVER (PARTITION BY y ORDER BY m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ytd_cents,
+        |    LAG(cents, 12) OVER (ORDER BY y, m) AS py_cents
+        |  FROM monthly)
+        |SELECT y, m, cents, CAST(ytd_cents AS BIGINT) AS ytd_cents,
+        |  py_cents,
+        |  CAST(CASE WHEN py_cents IS NULL THEN NULL
+        |    WHEN cents >= py_cents THEN
+        |      ((cents - py_cents) * 1000000) // py_cents
+        |    ELSE -(((py_cents - cents) * 1000000) // py_cents)
+        |    END AS BIGINT) AS yoy_ppm
+        |FROM w ORDER BY y, m""".stripMargin,
     "q_benford2" -> {
       val vals = benford2Table
         .map { case (d, p) => s"($d::BIGINT, $p::BIGINT)" }.mkString(", ")
