@@ -1377,9 +1377,11 @@ object Similarity {
     * bit_count(xor) on two's-complement BIGINT (probed), and the
     * oracle folds its HUGEINT bit sum into the same signed word.
     */
-  def qAnnBinary(s: SparkSession, dir: String): DataFrame = {
+  def qAnnBinary(s: SparkSession, dir: String): DataFrame =
+    annBinary(s, dir, nCand = 50)
+
+  private def annBinary(s: SparkSession, dir: String, nCand: Int): DataFrame = {
     val k = 10
-    val nCand = 50
     val e = emb(s, dir)
     val qs = collectQueries(e)
     val pCodes = qs.qv.map(signCode)
@@ -1420,6 +1422,34 @@ object Similarity {
         }
       }(Encoders.row(localTopKSchema))
     globalTopK(rerank, k)
+  }
+
+  /** D27: candidate-budget recall sweep for the D24 binary index —
+    * the TUNING CURVE behind every "how many candidates do we rerank"
+    * knob (the D13 posture applied to the budget axis instead of the
+    * method axis): the binary pipeline runs at nCand ∈ {10, 25, 50}
+    * against the PINNED exact top-10 (one materialization, reused by
+    * all three arms — the qAnnRecall idiom), publishing hits and
+    * EXACT integral-ppm recall per budget. At 100 TB: three bounded
+    * candidate sweeps + one exact baseline, all sharing the corpus
+    * scan shape; the curve tells you where recall saturates so you
+    * stop paying for rerank you don't need.
+    */
+  def qBinaryBudget(s: SparkSession, dir: String): DataFrame = {
+    val exact = graft.core.Materialize.pin(
+      qCosineTopK(s, dir).select(col("q_id"), col("vec_id")))
+    val total = broadcast(exact.agg(count(lit(1)).as("n_exact")))
+    Seq(10, 25, 50).map { nc =>
+      annBinary(s, dir, nc).select(col("q_id"), col("vec_id"))
+        .join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(total)
+        .select(lit(nc.toLong).as("n_cand"),
+          col("hits").cast("long").as("n_hits"),
+          col("n_exact").cast("long").as("n_exact"),
+          expr("CAST((hits * 1000000) div n_exact AS BIGINT)")
+            .as("recall_ppm"))
+    }.reduce(_ unionAll _).orderBy(col("n_cand"))
   }
 
   private def annLsh(s: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
@@ -2416,6 +2446,51 @@ object Similarity {
         |SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
         |  CAST(ROUND(sim, 4) AS DECIMAL(18,4))::DOUBLE AS sim
         |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_binary_budget" -> {
+      val arms = Seq(10, 25, 50).map { nc =>
+        s"""rr$nc AS (SELECT t.q_id, t.vec_id,
+          |    list_cosine_similarity(q.v, e2.v) AS sim
+          |  FROM tr t JOIN e q ON q.vec_id = t.q_id
+          |  JOIN e e2 ON e2.vec_id = t.vec_id WHERE t.rn <= $nc),
+          |tk$nc AS (SELECT q_id, vec_id FROM (SELECT *,
+          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+          |      AS rank FROM rr$nc) WHERE rank <= 10),
+          |h$nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+          |  FROM tk$nc JOIN ex USING (q_id, vec_id))""".stripMargin
+      }.mkString(",\n")
+      val sel = Seq(10, 25, 50).map { nc =>
+        s"""SELECT CAST($nc AS BIGINT) AS n_cand, hits AS n_hits,
+          |  n_exact, CAST((hits * 1000000) // n_exact AS BIGINT)
+          |    AS recall_ppm
+          |FROM h$nc CROSS JOIN tot""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cd AS (SELECT vec_id,
+        |    CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |      THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT)
+        |      AS code
+        |  FROM (SELECT vec_id,
+        |      COALESCE(SUM(CASE WHEN v[d + 1] > 0
+        |        THEN (1::HUGEINT << d) ELSE 0::HUGEINT END), 0) AS s
+        |    FROM e, (SELECT unnest(range(64)) AS d) GROUP BY 1)),
+        |pc AS (SELECT vec_id AS q_id, code FROM cd
+        |  WHERE vec_id % 50 = 0 AND vec_id < 5000),
+        |hm AS (SELECT p.q_id, c.vec_id, bit_count(xor(c.code, p.code)) AS h
+        |  FROM cd c CROSS JOIN pc p),
+        |tr AS (SELECT q_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY h, vec_id) AS rn
+        |  FROM hm),
+        |exs AS (SELECT p.q_id, e2.vec_id,
+        |    list_cosine_similarity(q.v, e2.v) AS sim
+        |  FROM pc p JOIN e q ON q.vec_id = p.q_id CROSS JOIN e e2),
+        |ex AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+        |      AS rank FROM exs) WHERE rank <= 10),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex),
+        |$arms
+        |$sel
+        |ORDER BY n_cand""".stripMargin
+    },
     "q_ann_recall" ->
       """SELECT * FROM (VALUES ('ivf', 1), ('lsh', 1), ('multiprobe', 1),
         |  ('pq', 1), ('pq_trained', 1))
