@@ -2522,6 +2522,30 @@ object Relational {
       .orderBy(col("digit"))
   }
 
+  /** B134: round-number bias audit — the forensic companion to the
+    * Benford pair (B89/B131: digit DISTRIBUTIONS; this: terminal-
+    * value clumping — hand-entered or fabricated amounts
+    * over-select .00 and psychological-pricing endings like .99):
+    * one ≤100-key aggregate of cents mod 100, observed shares as
+    * EXACT integral ppm against the uniform 10000-ppm expectation,
+    * published for the top-10 most over-represented endings under the
+    * total (share DESC, ending) order plus the exact .00 ending's
+    * share. At 100 TB: one map-side-combined ≤100-key shuffle.
+    */
+  def qRoundBias(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val h = orders(s, dir)
+      .select(pmod(cents, lit(100L)).as("ending"))
+      .groupBy(col("ending")).agg(count(lit(1)).as("n"))
+    val t = broadcast(h.agg(sum(col("n")).as("tot")))
+    h.crossJoin(t)
+      .select(col("ending"), col("n"),
+        expr("CAST((n * 1000000) div tot AS BIGINT)").as("share_ppm"),
+        lit(10000L).as("uniform_ppm"))
+      .orderBy(col("share_ppm").desc, col("ending"))
+      .limit(10)
+  }
+
   /** B132: monthly YTD running totals with prior-year comparison — the
     * finance reporting tile (month revenue, year-to-date cumulative,
     * same-month prior year, YoY growth): exact-cents monthly revenue
@@ -4599,6 +4623,17 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_round_bias" ->
+      """WITH h AS (SELECT
+        |    CAST(ROUND(o_totalprice*100,0) AS BIGINT) % 100 AS ending,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT SUM(n) AS tot FROM h)
+        |SELECT ending, n,
+        |  CAST((n * 1000000) // tot AS BIGINT) AS share_ppm,
+        |  CAST(10000 AS BIGINT) AS uniform_ppm
+        |FROM h CROSS JOIN t
+        |ORDER BY share_ppm DESC, ending LIMIT 10""".stripMargin,
     "q_ytd" ->
       """WITH monthly AS (SELECT
         |    CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,

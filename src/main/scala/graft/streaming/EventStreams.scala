@@ -1117,6 +1117,52 @@ object EventStreams {
         })
   }
 
+  /** F40 shapes: one classified document arrival; per-SOURCE state =
+    * the language count map (bounded by the language domain, ≤ a
+    * handful of keys — O(langs), not O(stream)) + doc watermark. */
+  final case class DocLangEvent(source: String, doc_id: Long, pred: String)
+  final case class PurityState(counts: Map[String, Long], lastDoc: Long)
+  final case class PurityOut(source: String, n_docs: Long,
+                             major_lang: String, n_major: Long,
+                             purity_ppm: Long)
+
+  /** F40: streaming per-source language-purity monitor (online twin of
+    * C48): classified documents fold into their source's bounded
+    * language-count map, and each batch re-emits the source's current
+    * majority language (count DESC, lang tie-break — the C48 rule)
+    * and EXACT integral-ppm purity. The feed-routing decision ("this
+    * source started streaming the wrong language") fires while the
+    * feed is live instead of in tomorrow's batch audit. State is
+    * O(|langs|) per source; replay-safe via the doc-id watermark.
+    * StreamingSpec pins the final per-source frame == the batch C48
+    * derivation.
+    */
+  def sourcePurityStream(in: Dataset[DocLangEvent]): Dataset[PurityOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (src: String, batch: Iterator[DocLangEvent], state: GroupState[PurityState]) => {
+          var st = state.getOption.getOrElse(
+            PurityState(Map.empty, Long.MinValue))
+          val fresh = batch.toArray.sortBy(_.doc_id)
+            .filter(_.doc_id > st.lastDoc)
+          fresh.foreach { e =>
+            st = PurityState(
+              st.counts.updated(e.pred, st.counts.getOrElse(e.pred, 0L) + 1L),
+              e.doc_id)
+          }
+          state.update(st)
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val n = st.counts.values.sum
+            // (count DESC, lang ASC) — the C48 deterministic rank
+            val (lang, c) = st.counts.toSeq
+              .sortBy { case (l, cnt) => (-cnt, l) }.head
+            Iterator.single(PurityOut(src, n, lang, c, c * 1000000L / n))
+          }
+        })
+  }
+
   /** F30 event/state/output shapes: O(1) exact state per user — the
     * last touch's (ts, type), the first touch's type, and the
     * event-id watermark. */

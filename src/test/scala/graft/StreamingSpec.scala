@@ -466,6 +466,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F40 streaming source purity equals the batch C48 derivation; replay-safe") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{DocLangEvent, PurityOut}
+    implicit val sqlCtx = spark.sqlContext
+    // classify batch-side with the shared C4 predictor, stream the labels
+    val ev = graft.operators.TextOps.qLangId(spark, sfDir)
+      .join(graft.sources.Tables.documents(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+                org.apache.spark.sql.functions.col("source")), "doc_id")
+      .selectExpr("source", "doc_id", "pred_lang")
+      .collect()
+      .map(r => DocLangEvent(r.getString(0), r.getLong(1), r.getString(2)))
+      .toSeq
+    val input = MemoryStream[DocLangEvent]
+    val q = EventStreams.sourcePurityStream(input.toDS())
+      .writeStream.format("memory").queryName("purity_out").outputMode("update").start()
+    try {
+      val (b1, b2) = ev.partition(_.doc_id < ev.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b1.take(100)); q.processAllAvailable() // replay
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("purity_out").as[PurityOut].collect()
+        .groupBy(_.source)
+        .map { case (s, rs) =>
+          val last = rs.maxBy(_.n_docs)
+          s -> (last.n_docs, last.major_lang, last.n_major, last.purity_ppm)
+        }
+      val expected = ev.groupBy(_.source).map { case (s, es) =>
+        val counts = es.groupBy(_.pred).view.mapValues(_.length.toLong).toMap
+        val n = counts.values.sum
+        val (lang, c) = counts.toSeq.sortBy { case (l, cnt) => (-cnt, l) }.head
+        s -> (n, lang, c, c * 1000000L / n)
+      }
+      assert(got.nonEmpty)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("F30 streaming attribution equals the oracled batch B104 aggregate; replay-safe") {
     import spark.implicits._
     import graft.streaming.EventStreams.{AttrEvent, AttrOut}
