@@ -2522,7 +2522,7 @@ object Relational {
       .orderBy(col("digit"))
   }
 
-  /** B134: round-number bias audit — the forensic companion to the
+  /** B133: round-number bias audit — the forensic companion to the
     * Benford pair (B89/B131: digit DISTRIBUTIONS; this: terminal-
     * value clumping — hand-entered or fabricated amounts
     * over-select .00 and psychological-pricing endings like .99):
