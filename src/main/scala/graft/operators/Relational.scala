@@ -2522,6 +2522,39 @@ object Relational {
       .orderBy(col("digit"))
   }
 
+  /** B134: error-burst detection per day — the SRE incident screen
+    * ("which days saw users stuck in error loops": ≥ 2 errors from
+    * one user within 1-hour gaps is a burst — the repeat-failure
+    * episode; thresholds are fixture-calibrated so the audit has
+    * signal): error events sessionize per USER with a 1-hour gap
+    * (the SHARED B10 machinery at a tighter gap — keying by user
+    * keeps every window bounded; a global error-stream window would
+    * be the scale smell), bursts = sessions with ≥ 3 events, and the
+    * day rollup publishes burst counts, distinct affected users,
+    * total errors inside bursts, and the worst burst size. At
+    * 100 TB: one user-key shuffle over the error SLICE of the fact +
+    * a day rollup.
+    */
+  def qErrorBursts(s: SparkSession, dir: String): DataFrame = {
+    val errs = events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val sess = Windowed.sessionized(errs, key = "user_id", ts = "ts",
+      tieBreak = "event_id", gapUs = 3600L * 1000000L)
+    val bursts = sess.groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n"),
+           min(unix_micros(col("ts"))).as("s_us"))
+      .filter(col("n") >= 2)
+    bursts
+      .withColumn("day_idx", expr("s_us div 86400000000"))
+      .groupBy(col("day_idx"))
+      .agg(count(lit(1)).as("n_bursts"),
+           countDistinct(col("user_id")).as("n_users"),
+           sum(col("n")).as("n_errors_in_bursts"),
+           max(col("n")).as("worst_burst"))
+      .orderBy(col("day_idx"))
+  }
+
   /** B133: round-number bias audit — the forensic companion to the
     * Benford pair (B89/B131: digit DISTRIBUTIONS; this: terminal-
     * value clumping — hand-entered or fabricated amounts
@@ -4623,6 +4656,27 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_error_bursts" ->
+      """WITH e AS (SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'error'),
+        |g AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 3600000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g),
+        |b AS (SELECT user_id, session_seq, CAST(COUNT(*) AS BIGINT) AS n,
+        |    MIN(epoch_us(ts)) AS s_us
+        |  FROM s GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT s_us // 86400000000 AS day_idx,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bursts,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(n) AS BIGINT) AS n_errors_in_bursts,
+        |  CAST(MAX(n) AS BIGINT) AS worst_burst
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_round_bias" ->
       """WITH h AS (SELECT
         |    CAST(ROUND(o_totalprice*100,0) AS BIGINT) % 100 AS ending,
