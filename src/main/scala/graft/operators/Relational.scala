@@ -2522,6 +2522,40 @@ object Relational {
       .orderBy(col("digit"))
   }
 
+  /** B135: inter-arrival burstiness (CV²) per event type — the
+    * stochastic-process audit behind capacity planning (CV² ≈ 1 means
+    * Poisson-like arrivals, > 1 bursty, < 1 regular — the number that
+    * decides whether mean-based sizing is safe): per-(user, type)
+    * inter-arrival gaps from key-bounded lag windows, QUANTIZED to
+    * whole seconds per row (exact integral floor — µs-scale squared
+    * sums would overflow DECIMAL(38,0) at sf0.1; the second is the
+    * statistic's granularity contract), per-type gap moments
+    * (n, Σ, Σ²) as exact DECIMAL(38,0) aggregates, and CV² = Var/mean²
+    * collapsing to the integer identity (n·Q − S²)·e6 div S² — ONE
+    * integral division, float-free. At 100 TB: one user-key shuffle +
+    * a ≤|types|-key rollup.
+    */
+  def qBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("gap", expr("gap_us div 1000000"))
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+           sum(col("gap")).cast("decimal(38,0)").as("sg"),
+           sum(col("gap") * col("gap")).cast("decimal(38,0)").as("qg"))
+      .select(col("event_type"),
+        col("n").cast("long").as("n_gaps"),
+        expr("CAST(sg div n AS BIGINT)").as("mean_gap_s"),
+        expr("CAST(((n * qg - sg * sg) * 1000000) div (sg * sg) AS BIGINT)")
+          .as("cv2_e6"))
+      .orderBy(col("event_type"))
+  }
+
   /** B134: error-burst detection per day — the SRE incident screen
     * ("which days saw users stuck in error loops": ≥ 2 errors from
     * one user within 1-hour gaps is a burst — the repeat-failure
@@ -4656,6 +4690,21 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_burstiness" ->
+      """WITH g AS (SELECT event_type,
+        |    (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) // 1000000 AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id)),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(gap) AS HUGEINT) AS sg,
+        |    CAST(SUM(gap*gap) AS HUGEINT) AS qg
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+        |  CAST(sg // n AS BIGINT) AS mean_gap_s,
+        |  CAST(((n * qg - sg * sg) * 1000000) // (sg * sg) AS BIGINT)
+        |    AS cv2_e6
+        |FROM m ORDER BY event_type""".stripMargin,
     "q_error_bursts" ->
       """WITH e AS (SELECT user_id, ts, event_id FROM events
         |  WHERE event_type = 'error'),
