@@ -1312,6 +1312,42 @@ object Similarity {
       .orderBy(col("bucket"))
   }
 
+  /** D28: IVF index-health audit — cell-size imbalance for the D6
+    * coarse quantizer (the ANN ops metric: a skewed cell map means
+    * some probes scan 10× the vectors — tail latency — and empty
+    * cells waste the cell budget): one broadcast-centroid corpus pass
+    * assigns cells (the EXACT D6 quantizer), the ≤nCells count frame
+    * publishes per-cell sizes, and the single summary row carries
+    * n_cells used/empty, min/max cell size, and the skew factor
+    * max·nCells·e6 div n (1e6 = perfectly balanced) — all exact
+    * integers. At 100 TB: one corpus pass + a 16-key aggregate.
+    */
+  def qIvfBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nCells = 16
+    val cents = ivfCentroids(nCells)
+    val bc = s.sparkContext.broadcast(cents)
+    val cellsDf = emb(s, dir).select(col("vec_id"), col("v"))
+      .as[(Long, Array[Double])]
+      .map { case (_, v) => ivfCell(bc.value, v).toLong }
+      .toDF("cell")
+      .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+    cellsDf.agg(
+        count(lit(1)).as("n_used"),
+        sum(col("c")).as("n_vectors"),
+        min(col("c")).as("min_cell"),
+        max(col("c")).as("max_cell"))
+      .select(
+        lit(nCells.toLong).as("n_cells"),
+        col("n_used").cast("long").as("n_used"),
+        (lit(nCells.toLong) - col("n_used")).cast("long").as("n_empty"),
+        col("n_vectors").cast("long").as("n_vectors"),
+        col("min_cell").cast("long").as("min_cell"),
+        col("max_cell").cast("long").as("max_cell"),
+        expr(s"CAST((max_cell * $nCells * 1000000) div n_vectors AS BIGINT)")
+          .as("skew_e6"))
+  }
+
   /** D25: embedding-centroid drift between the even/odd vec_id cohorts
     * — the embedding-space DISTRIBUTION-SHIFT monitor (the D-family
     * twin of B88's PSI: "did the new batch of embeddings move"):
@@ -2446,6 +2482,18 @@ object Similarity {
         |SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
         |  CAST(ROUND(sim, 4) AS DECIMAL(18,4))::DOUBLE AS sim
         |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_ivf_balance" ->
+      s"""WITH $ivfCellCteSql,
+        |cc AS (SELECT p AS cell, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM cell GROUP BY 1)
+        |SELECT CAST(16 AS BIGINT) AS n_cells,
+        |  CAST(COUNT(*) AS BIGINT) AS n_used,
+        |  CAST(16 - COUNT(*) AS BIGINT) AS n_empty,
+        |  CAST(SUM(c) AS BIGINT) AS n_vectors,
+        |  CAST(MIN(c) AS BIGINT) AS min_cell,
+        |  CAST(MAX(c) AS BIGINT) AS max_cell,
+        |  CAST((MAX(c) * 16 * 1000000) // SUM(c) AS BIGINT) AS skew_e6
+        |FROM cc""".stripMargin,
     "q_binary_budget" -> {
       val arms = Seq(10, 25, 50).map { nc =>
         s"""rr$nc AS (SELECT t.q_id, t.vec_id,
