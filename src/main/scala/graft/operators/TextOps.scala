@@ -1074,6 +1074,41 @@ object TextOps {
       .select(col("keeper_id"), col("n_members"), col("n_raw_forms"))
       .orderBy(col("keeper_id"))
 
+  /** C49: dedup-cascade yield report — the corpus-curation summary
+    * every pipeline owner reads before anything else ("how much does
+    * each dedup stage actually remove"): ONE corpus pass computes the
+    * raw count and the exact (md5) and canonical (C36 normalization)
+    * distinct counts, and the three stage rows publish kept/removed
+    * counts plus the EXACT integral-ppm removal share of the raw
+    * corpus. The stage ordering is the production cascade's (cheap
+    * exact → canonical; the near-dup stages C5–C16 run downstream of
+    * this report on what survives). Each distinct count is its OWN
+    * dedup aggregate — two countDistinct in one agg would plan the
+    * banned Expand (tripling every fact row through the shuffle);
+    * three map-side-combined passes beat one tripled pass at any
+    * scale, and the plan audit enforces it.
+    */
+  def qDedupYield(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val stats = d.agg(count(lit(1)).as("raw"))
+      .crossJoin(broadcast(d.select(md5(col("text")).as("h")).distinct()
+        .agg(count(lit(1)).as("exact"))))
+      .crossJoin(broadcast(d.select(md5(canonicalText(col("text"))).as("h"))
+        .distinct().agg(count(lit(1)).as("canon"))))
+    val rows = stats.select(
+        lit("a_raw").as("stage"), col("raw").as("n_kept"),
+        lit(null).cast("long").as("n_removed"), col("raw"))
+      .unionAll(stats.select(lit("b_exact"), col("exact"),
+        (col("raw") - col("exact")).cast("long"), col("raw")))
+      .unionAll(stats.select(lit("c_canon"), col("canon"),
+        (col("exact") - col("canon")).cast("long"), col("raw")))
+    rows.select(col("stage"), col("n_kept"), col("n_removed"),
+        expr("CAST(CASE WHEN n_removed IS NULL THEN NULL " +
+             "ELSE (n_removed * 1000000) div raw END AS BIGINT)")
+          .as("removed_ppm_of_raw"))
+      .orderBy(col("stage"))
+  }
+
   /** C32: cross-document duplicated n-gram fraction — the RefinedWeb/
     * Dolma-style dup_ngram filter signal: per document, the fraction of
     * its word 3-gram OCCURRENCES whose gram appears in more than one
@@ -2358,6 +2393,25 @@ object TextOps {
         |  FROM r WHERE rn <= 8 GROUP BY 1)
         |SELECT term, df, tf, posting FROM st JOIN post USING (term)
         |WHERE df >= 3 ORDER BY df DESC, term LIMIT 30""".stripMargin,
+    "q_dedup_yield" ->
+      """WITH st AS (SELECT CAST(COUNT(*) AS BIGINT) AS raw,
+        |    CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS exact,
+        |    CAST(COUNT(DISTINCT md5(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))))
+        |      AS BIGINT) AS canon
+        |  FROM documents),
+        |rows AS (
+        |  SELECT 'a_raw' AS stage, raw AS n_kept,
+        |    CAST(NULL AS BIGINT) AS n_removed, raw FROM st
+        |  UNION ALL
+        |  SELECT 'b_exact', exact, raw - exact, raw FROM st
+        |  UNION ALL
+        |  SELECT 'c_canon', canon, exact - canon, raw FROM st)
+        |SELECT stage, n_kept, n_removed,
+        |  CAST(CASE WHEN n_removed IS NULL THEN NULL
+        |    ELSE (n_removed * 1000000) // raw END AS BIGINT)
+        |    AS removed_ppm_of_raw
+        |FROM rows ORDER BY stage""".stripMargin,
     "q_canon_dedup" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_members,
         |  COUNT(DISTINCT md5(text)) AS n_raw_forms
