@@ -92,12 +92,14 @@ final class RasterTable(w: Long, h: Long) extends Table with SupportsRead
 
 final class RasterScanBuilder(w: Long, h: Long, rowsPerBatch: Long = 16L)
     extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var yMin = 0L
   private var yMax = h - 1
   private var accepted = Array.empty[Filter]
+  private var acceptedV2 = Array.empty[org.apache.spark.sql.connector.expressions.filter.Predicate]
   private var required = RasterSource.schema
   private var pushedAggs = Array.empty[AggregateFunc]
   private var pushedLimit: Option[Int] = None
@@ -119,6 +121,49 @@ final class RasterScanBuilder(w: Long, h: Long, rowsPerBatch: Long = 16L)
   }
 
   override def pushedFilters(): Array[Filter] = accepted
+
+  /** G15: `SupportsPushDownV2Filters` — the MODERN predicate face of
+    * the same pushdown (once this trait is present, Spark routes
+    * through `pushPredicates` INSTEAD of the V1 `pushFilters`, so the
+    * translation below carries the whole G1/G3/G7 pruning surface;
+    * the existing pushdown specs re-running green IS the migration
+    * proof). Semantics identical to the V1 path: y-comparison
+    * predicates clamp the planned range, EVERYTHING stays a residual
+    * (the G1 contract — range pruning may skip work, never change
+    * results), and unhandled predicates are simply not accepted.
+    */
+  override def pushPredicates(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+    def yLit(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+        : Option[Long] = p.children() match {
+      case Array(r: NamedReference,
+                 l: org.apache.spark.sql.connector.expressions.Literal[_])
+          if r.fieldNames.sameElements(Array("y")) =>
+        l.value() match {
+          case v: java.lang.Long    => Some(v.longValue())
+          case v: java.lang.Integer => Some(v.longValue())
+          case _                    => None
+        }
+      case _ => None
+    }
+    acceptedV2 = predicates.filter { p =>
+      (p.name(), yLit(p)) match {
+        case (">", Some(v))  => yMin = math.max(yMin, v + 1); true
+        case (">=", Some(v)) => yMin = math.max(yMin, v); true
+        case ("<", Some(v))  => yMax = math.min(yMax, v - 1); true
+        case ("<=", Some(v)) => yMax = math.min(yMax, v); true
+        case ("=", Some(v))  =>
+          yMin = math.max(yMin, v); yMax = math.min(yMax, v); true
+        case _ => false
+      }
+    }
+    predicates // all residual, exactly like the V1 path
+  }
+
+  override def pushedPredicates()
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    acceptedV2
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema

@@ -155,6 +155,23 @@ class DataSourceV2Spec extends AnyFunSuite {
       "x-only projection must not claim an ordering; the sort must stay")
   }
 
+  test("G15: predicate pushdown routes through the V2 path and still prunes stripes") {
+    import graft.sources.v2.RasterScan
+    val df = v2(120, 80).filter(col("y") >= 40 && col("y") < 60)
+    val scan = scanOf(df).scan.asInstanceOf[RasterScan]
+    // the V2 translation carries the same range clamp as the V1 path did
+    assert(scan.description().contains("yRange=[40,59]"),
+      s"V2 predicate pushdown did not tighten the range: ${scan.description()}")
+    // and correctness is residual-checked, not pushdown-dependent
+    assert(df.count() == 120L * 20)
+    // a predicate the source cannot clamp (on x) leaves the range whole
+    val xf = v2(120, 80).filter(col("x") < 10)
+    val xScan = scanOf(xf).scan.asInstanceOf[RasterScan]
+    assert(xScan.description().contains("yRange=[0,79]"),
+      s"an x predicate must not clamp y: ${xScan.description()}")
+    assert(xf.count() == 10L * 80)
+  }
+
   test("G13: the V2 table catalog runs CREATE/INSERT/SELECT/DELETE/DROP end to end") {
     spark.conf.set("spark.sql.catalog.graft_mem",
       classOf[graft.sources.v2.MemCatalog].getName)
