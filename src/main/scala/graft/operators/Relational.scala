@@ -2522,6 +2522,28 @@ object Relational {
       .orderBy(col("digit"))
   }
 
+  /** B136: activity heatmap — event volume per (day-of-week, hour)
+    * cell (THE product-analytics usage heatmap, and the input to
+    * maintenance-window picking): both coordinates from pure epoch
+    * integer arithmetic (dow = (epoch_day + 4) mod 7 — the B90 rule,
+    * no engine calendar in the loop; hour = epoch_us div 3600e6 mod
+    * 24), one 168-cell map-side-combined aggregate, shares as EXACT
+    * integral ppm. At 100 TB: one ≤168-key shuffle.
+    */
+  def qActivityHeatmap(s: SparkSession, dir: String): DataFrame = {
+    val h = events(s, dir)
+      .select(
+        expr("pmod(unix_micros(ts) div 86400000000 + 4, 7)").as("dow"),
+        expr("pmod(unix_micros(ts) div 3600000000, 24)").as("hour"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val t = broadcast(h.agg(sum(col("n")).as("tot")))
+    h.crossJoin(t)
+      .select(col("dow"), col("hour"), col("n"),
+        expr("CAST((n * 1000000) div tot AS BIGINT)").as("share_ppm"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
   /** B135: inter-arrival burstiness (CV²) per event type — the
     * stochastic-process audit behind capacity planning (CV² ≈ 1 means
     * Poisson-like arrivals, > 1 bursty, < 1 regular — the number that
@@ -4690,6 +4712,16 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_activity_heatmap" ->
+      """WITH h AS (SELECT
+        |    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT SUM(n) AS tot FROM h)
+        |SELECT dow, hour, n,
+        |  CAST((n * 1000000) // tot AS BIGINT) AS share_ppm
+        |FROM h CROSS JOIN t ORDER BY dow, hour""".stripMargin,
     "q_burstiness" ->
       """WITH g AS (SELECT event_type,
         |    (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) // 1000000 AS gap
