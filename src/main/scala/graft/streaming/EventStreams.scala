@@ -1163,6 +1163,52 @@ object EventStreams {
         })
   }
 
+  /** F41 shapes: one error arrival; per-user state = the OPEN error
+    * session's aggregate (seq, count, first/last µs) + event
+    * watermark — O(1). */
+  final case class ErrEvent(user_id: Long, event_id: Long, ts_us: Long)
+  final case class ErrBurstState(seq: Long, n: Long, firstUs: Long,
+                                 lastUs: Long, lastEvent: Long)
+  final case class ErrBurstOut(user_id: Long, event_id: Long,
+                               burst_seq: Long, n_errors: Long,
+                               span_us: Long)
+
+  /** F41: streaming error-burst detector (online twin of B134): error
+    * arrivals sessionize per user with the 1-hour gap in O(1) state,
+    * and every arrival that makes the open session's count ≥ 2 emits
+    * the burst's running size and span — the retry-storm page fires
+    * on the SECOND error, not in tomorrow's batch rollup. Gap
+    * rollover replaces the state (the F36 no-timer rule). Replay-safe
+    * via the event-id watermark (error event ids are ts-ordered per
+    * user in this stream's contract, the F29 discipline).
+    * StreamingSpec pins stream == sequential fold incl. replay.
+    */
+  def errorBurstStream(in: Dataset[ErrEvent]): Dataset[ErrBurstOut] = {
+    val gapUs = 3600L * 1000000L
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[ErrEvent], state: GroupState[ErrBurstState]) => {
+          var st = state.getOption.getOrElse(
+            ErrBurstState(0L, 0L, 0L, Long.MinValue, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ErrBurstOut]
+          batch.toArray.sortBy(e => (e.ts_us, e.event_id)).iterator
+            .filter(_.event_id > st.lastEvent)
+            .foreach { e =>
+              st =
+                if (st.n == 0L || e.ts_us - st.lastUs > gapUs)
+                  ErrBurstState(st.seq + 1, 1L, e.ts_us, e.ts_us, e.event_id)
+                else
+                  st.copy(n = st.n + 1, lastUs = e.ts_us, lastEvent = e.event_id)
+              if (st.n >= 2L)
+                out += ErrBurstOut(uid, e.event_id, st.seq, st.n,
+                  st.lastUs - st.firstUs)
+            }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** F30 event/state/output shapes: O(1) exact state per user — the
     * last touch's (ts, type), the first touch's type, and the
     * event-id watermark. */

@@ -504,6 +504,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F41 streaming error bursts equal a sequential batch fold; replay-safe") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{ErrEvent, ErrBurstOut}
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 3600L * 1000000L
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .where("event_type = 'error'")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us")
+      .collect()
+      .map(r => ErrEvent(r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val input = MemoryStream[ErrEvent]
+    val q = EventStreams.errorBurstStream(input.toDS())
+      .writeStream.format("memory").queryName("errburst_out").outputMode("update").start()
+    try {
+      val (b1, b2) = ev.partition(_.event_id < ev.map(_.event_id).sorted
+        .apply(ev.length / 2))
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b1.take(50)); q.processAllAvailable() // replay
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("errburst_out").as[ErrBurstOut].collect()
+        .map(r => (r.user_id, r.event_id) -> (r.burst_seq, r.n_errors, r.span_us))
+        .toMap
+      val expected = ev.groupBy(_.user_id).flatMap { case (uid, es) =>
+        var seq = 0L; var n = 0L; var firstUs = 0L; var lastUs = Long.MinValue
+        es.sortBy(e => (e.ts_us, e.event_id)).flatMap { e =>
+          if (n == 0L || e.ts_us - lastUs > gapUs) {
+            seq += 1; n = 1L; firstUs = e.ts_us
+          } else n += 1
+          lastUs = e.ts_us
+          if (n >= 2L)
+            Some((uid, e.event_id) -> (seq, n, lastUs - firstUs))
+          else None
+        }
+      }.toMap
+      assert(got.nonEmpty)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("F30 streaming attribution equals the oracled batch B104 aggregate; replay-safe") {
     import spark.implicits._
     import graft.streaming.EventStreams.{AttrEvent, AttrOut}
