@@ -2522,6 +2522,54 @@ object Relational {
       .orderBy(col("digit"))
   }
 
+  /** B137: directed association rules over order baskets — the
+    * recommendation primitive B98's symmetric lift cannot express
+    * ("bread → butter can be strong while butter → bread is weak"):
+    * the same distinct (order, brand) frame and pair counts, but each
+    * unordered pair publishes BOTH directions with support (pair
+    * share of orders) and confidence (pair share of the antecedent's
+    * orders) as EXACT integral ppm; top-20 rules under the total
+    * (confidence DESC, antecedent, consequent) order with a support
+    * floor of 10 orders (rules below it are noise at any scale — the
+    * classic min-support contract). Same plan as B98: one distinct
+    * shuffle, one pair self-join on the order key, broadcast margins.
+    */
+  def qAssocRules(s: SparkSession, dir: String): DataFrame = {
+    val ob = lineitem(s, dir).select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .join(part(s, dir).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+      .select(col("ok"), col("p_brand").as("brand"))
+      .distinct()
+    val tot = ob.select(col("ok")).distinct()
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n_orders"))
+    val perBrand = ob.groupBy(col("brand"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n_brand"))
+    val a = ob.select(col("ok"), col("brand").as("brand_a"))
+    val b = ob.select(col("ok"), col("brand").as("brand_b"))
+    val pairs = a.join(b, Seq("ok"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n_ab"))
+      .filter(col("n_ab") >= 10)
+    val directed = pairs
+      .select(col("brand_a").as("antecedent"), col("brand_b").as("consequent"),
+        col("n_ab"))
+      .unionAll(pairs.select(col("brand_b"), col("brand_a"), col("n_ab")))
+    directed
+      .join(broadcast(perBrand.select(col("brand").as("antecedent"),
+        col("n_brand").as("n_ant"))), "antecedent")
+      .crossJoin(broadcast(tot))
+      .select(col("antecedent"), col("consequent"),
+        col("n_ab").cast("long").as("n_together"),
+        expr("CAST((n_ab * 1000000) div n_orders AS BIGINT)")
+          .as("support_ppm"),
+        expr("CAST((n_ab * 1000000) div n_ant AS BIGINT)")
+          .as("confidence_ppm"))
+      .orderBy(col("confidence_ppm").desc, col("antecedent"),
+        col("consequent"))
+      .limit(20)
+  }
+
   /** B136: activity heatmap — event volume per (day-of-week, hour)
     * cell (THE product-analytics usage heatmap, and the input to
     * maintenance-window picking): both coordinates from pure epoch
@@ -4712,6 +4760,28 @@ object Relational {
         |  CAST(r2 AS BIGINT) AS r2_ppm, CAST(r3 AS BIGINT) AS r3_ppm,
         |  CAST(ROUND($lbQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_lb
         |FROM b""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT CAST(COUNT(DISTINCT ok) AS HUGEINT) AS n_orders
+        |  FROM ob),
+        |pb AS (SELECT brand, CAST(COUNT(*) AS HUGEINT) AS n_brand
+        |  FROM ob GROUP BY 1),
+        |pairs AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |    CAST(COUNT(*) AS HUGEINT) AS n_ab
+        |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 10),
+        |directed AS (
+        |  SELECT brand_a AS antecedent, brand_b AS consequent, n_ab FROM pairs
+        |  UNION ALL
+        |  SELECT brand_b, brand_a, n_ab FROM pairs),
+        |j AS (SELECT antecedent, consequent, n_ab, n_brand AS n_ant
+        |  FROM directed JOIN pb ON pb.brand = directed.antecedent)
+        |SELECT antecedent, consequent, CAST(n_ab AS BIGINT) AS n_together,
+        |  CAST((n_ab * 1000000) // n_orders AS BIGINT) AS support_ppm,
+        |  CAST((n_ab * 1000000) // n_ant AS BIGINT) AS confidence_ppm
+        |FROM j CROSS JOIN tot
+        |ORDER BY confidence_ppm DESC, antecedent, consequent LIMIT 20""".stripMargin,
     "q_activity_heatmap" ->
       """WITH h AS (SELECT
         |    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
