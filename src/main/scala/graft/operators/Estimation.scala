@@ -2209,6 +2209,52 @@ object Estimation {
       |    CAST(s2nh AS DOUBLE) AS s2n, CAST(q11nh AS DOUBLE) AS q11n,
       |    CAST(q12nh AS DOUBLE) AS q12n, CAST(q22nh AS DOUBLE) AS q22n FROM m)""".stripMargin
 
+  /** A55: split-conformal prediction intervals for the A9 regressor —
+    * the DISTRIBUTION-FREE uncertainty wrapper modern ML pipelines put
+    * around any point predictor (Vovk/Angelopoulos split-conformal:
+    * with a held-out calibration set, the interval ±q̂ where q̂ is the
+    * ⌈(n+1)·0.9⌉-th smallest absolute calibration residual covers
+    * ≥ 90% of exchangeable test points — a finite-sample guarantee,
+    * no distributional assumptions): train = the A9 1/499 slice,
+    * calibration = the DISJOINT l_orderkey % 499 = 1 slice, residual
+    * scores quantized to exact cents (the q_linreg 2dp rendering
+    * absorbs coefficient ulp, same contract), q̂ by exact integer rank
+    * (ceiling via (9(n+1)+9) div 10; the rank window runs over the
+    * calibration SLICE — train-scale, the kNN-frame posture), and
+    * coverage over the full corpus as an EXACT integral ppm — the
+    * guarantee is then read directly: coverage_ppm ≥ ~900000.
+    */
+  def qConformal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val model = LinearRegression()
+      .fit(trainLi(s, dir), Seq("l_quantity"), Seq("l_extendedprice"))
+    def scored(df: DataFrame): DataFrame = {
+      val pred = model.predict(
+          FeatureFrame(df, Seq("li_id"), Seq("l_quantity")))
+        .select(col("li_id"), col("l_extendedprice").as("pred"))
+      df.select(col("li_id"), col("l_extendedprice").as("y"))
+        .join(pred, "li_id")
+        .select(col("li_id"),
+          expr("CAST(ROUND(ABS(y - pred) * 100, 0) AS BIGINT)").as("sc"))
+    }
+    val cal = scored(li(s, dir).filter(col("l_orderkey") % 499 === 1))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val w = Window.orderBy(col("sc"), col("li_id"))
+    val q90 = cal.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(nCal))
+      .filter(expr("rn = LEAST((9 * (n_cal + 1) + 9) div 10, n_cal)"))
+      .select(col("sc").as("q90"), col("n_cal"))
+    scored(li(s, dir))
+      .crossJoin(broadcast(q90))
+      .agg(max(col("n_cal")).as("n_cal"),
+           max(col("q90")).as("q90_cents"),
+           count(lit(1)).as("n_test"),
+           sum((col("sc") <= col("q90")).cast("long")).as("n_covered"))
+      .select(col("n_cal"), col("q90_cents"), col("n_test"), col("n_covered"),
+        expr("CAST((n_covered * 1000000) div n_test AS BIGINT)")
+          .as("coverage_ppm"))
+  }
+
   /** A51 transform table, generated ONCE in Scala and shared verbatim
     * by the engine (literal frame) and the oracle (VALUES list) — the
     * D19 no-runtime-transcendental rule: pow/ln run at QUERY-BUILD
@@ -2288,6 +2334,30 @@ object Estimation {
     val yjLnVals = yjLnTable
       .map { case (v, l) => s"($v, ${l}::BIGINT)" }.mkString(", ")
     Map(
+      "q_conformal" ->
+        s"""WITH co AS (SELECT REGR_SLOPE(l_extendedprice, l_quantity) AS b1,
+          |    REGR_INTERCEPT(l_extendedprice, l_quantity) AS b0
+          |  FROM lineitem WHERE l_orderkey % 499 = 0),
+          |cal AS (SELECT $uidSql AS li_id,
+          |    CAST(ROUND(ABS(l_extendedprice - (b0 + b1*l_quantity))*100, 0)
+          |      AS BIGINT) AS sc
+          |  FROM lineitem CROSS JOIN co WHERE l_orderkey % 499 = 1),
+          |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+          |rk AS (SELECT sc, ROW_NUMBER() OVER (ORDER BY sc, li_id) AS rn
+          |  FROM cal),
+          |q AS (SELECT sc AS q90, n_cal FROM rk CROSS JOIN nc
+          |  WHERE rn = LEAST((9 * (n_cal + 1) + 9) // 10, n_cal)),
+          |tst AS (SELECT
+          |    CAST(ROUND(ABS(l_extendedprice - (b0 + b1*l_quantity))*100, 0)
+          |      AS BIGINT) AS sc
+          |  FROM lineitem CROSS JOIN co)
+          |SELECT n_cal, q90 AS q90_cents,
+          |  CAST(COUNT(*) AS BIGINT) AS n_test,
+          |  CAST(SUM(CASE WHEN sc <= q90 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_covered,
+          |  CAST((SUM(CASE WHEN sc <= q90 THEN 1 ELSE 0 END) * 1000000)
+          |    // COUNT(*) AS BIGINT) AS coverage_ppm
+          |FROM tst CROSS JOIN q GROUP BY n_cal, q90""".stripMargin,
       "q_yeo_johnson" ->
         s"""WITH cnt AS (SELECT CAST(l_quantity AS BIGINT) AS v,
           |    CAST(COUNT(*) AS HUGEINT) AS c FROM lineitem GROUP BY 1),
