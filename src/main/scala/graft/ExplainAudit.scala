@@ -4,7 +4,14 @@ package graft
   * for a handful of representative queries; `--all` sweeps EVERY
   * registry query at the given SF and flags the plan shapes that are
   * scale-killers at 100 TB: CartesianProduct anywhere, Expand outside
-  * the cube/rollup/grouping-sets family (the multi-countDistinct trap).
+  * the cube/rollup/grouping-sets family (the multi-countDistinct trap),
+  * and — the r9 q_conformal lesson — an UNPARTITIONED window whose
+  * input subtree reaches a file relation without passing through an
+  * Aggregate or a Limit: such a window funnels a fact-proportional row
+  * count through ONE reducer. Windows over Aggregate output are exempt
+  * (the registry's unpartitioned windows are all domain-bounded — qty
+  * ≤ 50, days, deciles — and arrive via groupBy); windows under a
+  * Limit are bounded by construction.
   * SortMergeJoin is reported as INFO, not a failure: it is the correct
   * plan for full-outer joins (broadcast unsupported) and for fact-to-
   * derived-aggregate equi-joins where neither side is broadcastable at
@@ -16,6 +23,25 @@ object ExplainAudit {
   // Expand IS the operator for grouping-set queries
   private val expandOk = Set("q_cube", "q_rollup", "q_grouping_sets")
 
+  /** True if the optimized plan holds a partition-less Window whose
+    * child subtree reaches a file/table relation with no Aggregate or
+    * Limit in between — the single-reducer fact-window shape. */
+  private[graft] def unboundedFactWindow(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def reachesScan(n: LogicalPlan): Boolean = n match {
+      case _: GlobalLimit | _: LocalLimit => false
+      case _: Aggregate                   => false
+      case l: LeafNode =>
+        val cn = l.getClass.getSimpleName
+        cn.contains("Relation") && cn != "LocalRelation" && cn != "OneRowRelation"
+      case other => other.children.exists(reachesScan)
+    }
+    plan.collect {
+      case w: Window if w.partitionSpec.isEmpty => w
+    }.exists(w => reachesScan(w.child))
+  }
+
   def main(args: Array[String]): Unit = {
     val all = args.contains("--all")
     val dir = args.filterNot(_ == "--all").headOption
@@ -26,10 +52,12 @@ object ExplainAudit {
     if (all) {
       for ((n, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
         try {
-          val plan = fn(spark, dir).queryExecution.executedPlan.toString
+          val qe = fn(spark, dir).queryExecution
+          val plan = qe.executedPlan.toString
           val shapes = Seq(
             if (plan.contains("CartesianProduct")) Some("CartesianProduct") else None,
-            if (plan.contains("Expand") && !expandOk(n)) Some("Expand") else None
+            if (plan.contains("Expand") && !expandOk(n)) Some("Expand") else None,
+            if (unboundedFactWindow(qe.optimizedPlan)) Some("UnboundedFactWindow") else None
           ).flatten
           if (shapes.nonEmpty) { flagged += 1; println(s"FLAG $n: ${shapes.mkString(", ")}") }
           if (plan.contains("SortMergeJoin")) println(s"INFO $n: SortMergeJoin")

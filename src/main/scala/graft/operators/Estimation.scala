@@ -2209,42 +2209,77 @@ object Estimation {
       |    CAST(s2nh AS DOUBLE) AS s2n, CAST(q11nh AS DOUBLE) AS q11n,
       |    CAST(q12nh AS DOUBLE) AS q12n, CAST(q22nh AS DOUBLE) AS q22n FROM m)""".stripMargin
 
+  /** A55 shared rounding convention: round-half-away integral division
+    * of exact integers, sign-safe via the ABS trick so both engines'
+    * integral-divide operators (Spark `div` truncates toward zero,
+    * DuckDB `//` — floor) only ever see NON-NEGATIVE operands, where
+    * they agree. `di` is the engine's operator token. Requires b > 0.
+    */
+  private def rdiv(a: String, b: String, di: String): String =
+    s"(CASE WHEN ($a) < 0 THEN -(((-($a)) * 2 + ($b)) $di (2 * ($b))) " +
+      s"ELSE (($a) * 2 + ($b)) $di (2 * ($b)) END)"
+
+  /** A55 coefficient convention (the B114/A44 quantized-coefficient
+    * rule): slope/intercept derive from EXACT DECIMAL(38,0) moments of
+    * the integer (qty, cents) pairs and quantize to e4 integers via
+    * [[rdiv]] — b1_e4 first, then b0_e4 FROM the quantized b1 — so
+    * both engines score residuals from bit-identical integers; no
+    * float enters the query at all. */
+  private def conformalScSql(di: String): String =
+    s"(ABS(yc * 10000 - (b0_e4 + b1_e4 * q)) * 2 + 10000) $di 20000"
+
   /** A55: split-conformal prediction intervals for the A9 regressor —
     * the DISTRIBUTION-FREE uncertainty wrapper modern ML pipelines put
     * around any point predictor (Vovk/Angelopoulos split-conformal:
     * with a held-out calibration set, the interval ±q̂ where q̂ is the
     * ⌈(n+1)·0.9⌉-th smallest absolute calibration residual covers
     * ≥ 90% of exchangeable test points — a finite-sample guarantee,
-    * no distributional assumptions): train = the A9 1/499 slice,
-    * calibration = the DISJOINT l_orderkey % 499 = 1 slice, residual
-    * scores quantized to exact cents (the q_linreg 2dp rendering
-    * absorbs coefficient ulp, same contract), q̂ by exact integer rank
-    * (ceiling via (9(n+1)+9) div 10; the rank window runs over the
-    * calibration SLICE — train-scale, the kNN-frame posture), and
+    * no distributional assumptions): train = the A9 1/499 slice with
+    * coefficients from exact integer moments ([[conformalScSql]] —
+    * residual scores are exact cents, integer end to end),
+    * calibration = the first 4096 md5-ids of the DISJOINT
+    * l_orderkey % 499 = 1 slice — a COUNT-BOUNDED deterministic
+    * uniform subsample (md5 order ≈ random, TakeOrderedAndProject =
+    * distributed per-partition top-K then a 4096-row merge; at gate
+    * sf the slice is smaller than 4096 so the whole slice is the
+    * calibration set), q̂ by exact integer rank (ceiling via
+    * (9(n+1)+9) div 10; the rank window's frame is ≤ 4096 rows BY
+    * CONSTRUCTION — never fact-proportional, at any corpus size), and
     * coverage over the full corpus as an EXACT integral ppm — the
     * guarantee is then read directly: coverage_ppm ≥ ~900000.
     */
   def qConformal(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val model = LinearRegression()
-      .fit(trainLi(s, dir), Seq("l_quantity"), Seq("l_extendedprice"))
-    def scored(df: DataFrame): DataFrame = {
-      val pred = model.predict(
-          FeatureFrame(df, Seq("li_id"), Seq("l_quantity")))
-        .select(col("li_id"), col("l_extendedprice").as("pred"))
-      df.select(col("li_id"), col("l_extendedprice").as("y"))
-        .join(pred, "li_id")
+    val dec = "decimal(38,0)"
+    val base = li(s, dir).select(col("li_id"), col("l_orderkey"),
+      col("l_quantity").cast("long").as("q"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("yc"))
+    val m = base.filter(col("l_orderkey") % 499 === 0)
+      .agg(count(lit(1)).cast(dec).as("n"),
+           sum(col("q").cast(dec)).as("sx"),
+           sum(col("yc").cast(dec)).as("sy"),
+           sum((col("q") * col("q")).cast(dec)).as("sxx"),
+           sum((col("q") * col("yc")).cast(dec)).as("sxy"))
+    val co = m.select(col("n"), col("sx"), col("sy"),
+        expr(s"CAST(${rdiv("(n*sxy - sx*sy) * 10000", "n*sxx - sx*sx", "div")} " +
+          "AS DECIMAL(38,0))").as("b1_e4"))
+      .select(col("b1_e4").cast("long").as("b1_e4"),
+        expr(s"CAST(${rdiv("sy * 10000 - b1_e4 * sx", "n", "div")} AS BIGINT)")
+          .as("b0_e4"))
+    def scored(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(co))
         .select(col("li_id"),
-          expr("CAST(ROUND(ABS(y - pred) * 100, 0) AS BIGINT)").as("sc"))
-    }
-    val cal = scored(li(s, dir).filter(col("l_orderkey") % 499 === 1))
+          expr(s"CAST(${conformalScSql("div")} AS BIGINT)").as("sc"))
+    val cal = scored(base.filter(col("l_orderkey") % 499 === 1))
+      .orderBy(col("li_id")).limit(4096)
     val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    // frame ≤ 4096 rows (the limit above) — bounded by construction
     val w = Window.orderBy(col("sc"), col("li_id"))
     val q90 = cal.withColumn("rn", row_number().over(w))
       .crossJoin(broadcast(nCal))
       .filter(expr("rn = LEAST((9 * (n_cal + 1) + 9) div 10, n_cal)"))
       .select(col("sc").as("q90"), col("n_cal"))
-    scored(li(s, dir))
+    scored(base)
       .crossJoin(broadcast(q90))
       .agg(max(col("n_cal")).as("n_cal"),
            max(col("q90")).as("q90_cents"),
@@ -2335,22 +2370,30 @@ object Estimation {
       .map { case (v, l) => s"($v, ${l}::BIGINT)" }.mkString(", ")
     Map(
       "q_conformal" ->
-        s"""WITH co AS (SELECT REGR_SLOPE(l_extendedprice, l_quantity) AS b1,
-          |    REGR_INTERCEPT(l_extendedprice, l_quantity) AS b0
+        s"""WITH tr AS (SELECT CAST(l_quantity AS HUGEINT) AS q,
+          |    CAST(ROUND(l_extendedprice*100,0) AS HUGEINT) AS yc
           |  FROM lineitem WHERE l_orderkey % 499 = 0),
-          |cal AS (SELECT $uidSql AS li_id,
-          |    CAST(ROUND(ABS(l_extendedprice - (b0 + b1*l_quantity))*100, 0)
-          |      AS BIGINT) AS sc
-          |  FROM lineitem CROSS JOIN co WHERE l_orderkey % 499 = 1),
+          |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(q) AS sx,
+          |    SUM(yc) AS sy, SUM(q*q) AS sxx, SUM(q*yc) AS sxy FROM tr),
+          |c1 AS (SELECT n, sx, sy,
+          |    ${rdiv("(n*sxy - sx*sy) * 10000", "n*sxx - sx*sx", "//")} AS b1_e4
+          |  FROM m),
+          |co AS (SELECT CAST(b1_e4 AS BIGINT) AS b1_e4,
+          |    CAST(${rdiv("sy * 10000 - b1_e4 * sx", "n", "//")} AS BIGINT)
+          |      AS b0_e4 FROM c1),
+          |sco AS (SELECT $uidSql AS li_id, l_orderkey,
+          |    CAST(${conformalScSql("//")} AS BIGINT) AS sc
+          |  FROM (SELECT *, CAST(l_quantity AS BIGINT) AS q,
+          |      CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS yc
+          |    FROM lineitem) CROSS JOIN co),
+          |cal AS (SELECT li_id, sc FROM sco WHERE l_orderkey % 499 = 1
+          |  ORDER BY li_id LIMIT 4096),
           |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
           |rk AS (SELECT sc, ROW_NUMBER() OVER (ORDER BY sc, li_id) AS rn
           |  FROM cal),
           |q AS (SELECT sc AS q90, n_cal FROM rk CROSS JOIN nc
           |  WHERE rn = LEAST((9 * (n_cal + 1) + 9) // 10, n_cal)),
-          |tst AS (SELECT
-          |    CAST(ROUND(ABS(l_extendedprice - (b0 + b1*l_quantity))*100, 0)
-          |      AS BIGINT) AS sc
-          |  FROM lineitem CROSS JOIN co)
+          |tst AS (SELECT sc FROM sco)
           |SELECT n_cal, q90 AS q90_cents,
           |  CAST(COUNT(*) AS BIGINT) AS n_test,
           |  CAST(SUM(CASE WHEN sc <= q90 THEN 1 ELSE 0 END) AS BIGINT)

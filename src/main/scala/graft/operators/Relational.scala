@@ -2621,7 +2621,12 @@ object Relational {
       .select(col("event_type"),
         col("n").cast("long").as("n_gaps"),
         expr("CAST(sg div n AS BIGINT)").as("mean_gap_s"),
-        expr("CAST(((n * qg - sg * sg) * 1000000) div (sg * sg) AS BIGINT)")
+        // sg = 0 (every gap quantized to 0 s) would divide by zero —
+        // Spark div would yield NULL while DuckDB // errors, an
+        // engine/oracle parity break; both sides guard explicitly so
+        // they agree by construction (CV² is undefined at mean 0).
+        expr("CAST(CASE WHEN sg = 0 THEN NULL " +
+          "ELSE ((n * qg - sg * sg) * 1000000) div (sg * sg) END AS BIGINT)")
           .as("cv2_e6"))
       .orderBy(col("event_type"))
   }
@@ -2633,7 +2638,7 @@ object Relational {
     * signal): error events sessionize per USER with a 1-hour gap
     * (the SHARED B10 machinery at a tighter gap — keying by user
     * keeps every window bounded; a global error-stream window would
-    * be the scale smell), bursts = sessions with ≥ 3 events, and the
+    * be the scale smell), bursts = sessions with ≥ 2 events, and the
     * day rollup publishes burst counts, distinct affected users,
     * total errors inside bursts, and the worst burst size. At
     * 100 TB: one user-key shuffle over the error SLICE of the fact +
@@ -4804,7 +4809,8 @@ object Relational {
         |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
         |SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
         |  CAST(sg // n AS BIGINT) AS mean_gap_s,
-        |  CAST(((n * qg - sg * sg) * 1000000) // (sg * sg) AS BIGINT)
+        |  CAST(CASE WHEN sg = 0 THEN NULL
+        |    ELSE ((n * qg - sg * sg) * 1000000) // (sg * sg) END AS BIGINT)
         |    AS cv2_e6
         |FROM m ORDER BY event_type""".stripMargin,
     "q_error_bursts" ->
@@ -4899,7 +4905,8 @@ object Relational {
         |FROM cells CROSS JOIN tot ORDER BY cls""".stripMargin,
     "q_props_parse" ->
       """WITH p AS (SELECT event_type,
-        |    CAST(props::JSON->>'k' AS BIGINT) AS k FROM events)
+        |    TRY_CAST(TRY_CAST(props AS JSON)->>'k' AS BIGINT) AS k
+        |  FROM events)
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_parsed,

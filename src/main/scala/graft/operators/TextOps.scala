@@ -1458,6 +1458,20 @@ object TextOps {
   private val nbPriorSql =
     "ROUND(ln(CAST(ndc AS DOUBLE) / CAST(nd AS DOUBLE)) * 1000000.0, 0)"
 
+  /** A46 vocabulary bound (sklearn CountVectorizer max_features): the
+    * model vocabulary is the top-K words by (corpus count DESC, word)
+    * — a deterministic total order — and OUT-OF-VOCABULARY words drop
+    * from the document representation entirely (they contribute
+    * neither token counts nor smoothing mass; V in the Laplace
+    * denominator is the BOUNDED vocabulary size). Corpus vocabulary
+    * grows with corpus size (Heaps' law — C44 measures it), so an
+    * unbounded fit would make the broadcastable-artifact claim false
+    * at 100 TB; with the bound, the fit frame and the [[nbFit]]
+    * driver collect are ≤ K·|classes| rows BY CONSTRUCTION at any sf.
+    * K exceeds the gate fixture's vocabulary, so gate results are
+    * identical to the unbounded fit there. */
+  private[graft] val nbMaxFeatures = 65536
+
   /** A46: multinomial Naive Bayes (sklearn MultinomialNB, α = 1)
     * predicting each document's SOURCE from its word counts — the
     * text-classification member of the estimator family (A21 is its
@@ -1468,27 +1482,37 @@ object TextOps {
     * integer arithmetic — and unseen (class, word) pairs never
     * materialize: score = prior + toks·default(c) + Σ count·(lnθ −
     * default) over SEEN pairs only (the sparse-NB identity that keeps
-    * the weight frame O(seen pairs), not O(vocab × classes)). Argmax
+    * the weight frame O(seen pairs), not O(vocab × classes)); the
+    * vocabulary is BOUNDED to the top-[[nbMaxFeatures]] words
+    * (CountVectorizer max_features — OOV words drop from the doc
+    * representation, so the weight frame is ≤ K·|classes| at any
+    * corpus size). Argmax
     * with class-name tie-break over the docs×20 frame; publishes the
     * sparse confusion matrix. At 100 TB: token-scale shuffles + a
     * broadcast weight frame — the C33 fit-artifact posture.
     */
   def qMultinomialNb(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir).select(col("doc_id"), col("source"))
-    val toks = documents(s, dir)
+    val raw = documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("cnt"))
-    val toksPinned = graft.core.Materialize.pin(toks)
+    val rawPinned = graft.core.Materialize.pin(raw)
+    // model vocabulary: top-K words by the (count DESC, word) total
+    // order — distributed TakeOrdered, ≤ K rows, broadcast back
+    val vocabWords = rawPinned.groupBy(col("word"))
+      .agg(sum(col("cnt")).as("wn"))
+      .orderBy(col("wn").desc, col("word")).limit(nbMaxFeatures)
+      .select(col("word"))
+    val toksPinned = rawPinned.join(broadcast(vocabWords), "word")
     val docTot = toksPinned.groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("toks"))
     val labeled = toksPinned.join(broadcast(docs), "doc_id")
     val nwc = labeled.groupBy(col("source"), col("word"))
       .agg(sum(col("cnt")).as("nwc"))
     val perClass = nwc.groupBy(col("source")).agg(sum(col("nwc")).as("nc"))
-    val vocab = toksPinned.select(col("word")).distinct()
-      .agg(count(lit(1)).as("vv"))
+    val vocab = vocabWords.agg(count(lit(1)).as("vv"))
     val priors = docs.groupBy(col("source")).agg(count(lit(1)).as("ndc"))
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
     val classBase = perClass.crossJoin(broadcast(vocab))
@@ -1522,7 +1546,7 @@ object TextOps {
         .groupBy(col("source").as("actual"), col("predicted"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("actual"), col("predicted")))
-    graft.core.Materialize.release(toksPinned)
+    graft.core.Materialize.release(rawPinned)
     out
   }
 
@@ -1725,12 +1749,18 @@ object TextOps {
                            delta: Map[String, Array[Long]]) {
     /** Score one tokenized document exactly like the A46 query:
       * prior + toks·default + Σ count·delta over seen pairs, argmax
-      * with the class-name tie-break (classes are sorted). */
+      * with the class-name tie-break (classes are sorted). OOV words
+      * (not in the bounded model vocabulary — every vocab word is
+      * seen in ≥ 1 class, so vocab membership == delta key set) drop
+      * from the representation, the CountVectorizer max_features
+      * contract the batch query applies identically. */
     def predict(words: Iterator[String]): String = {
       val counts = scala.collection.mutable.HashMap.empty[String, Long]
       var toks = 0L
       words.foreach { w =>
-        if (w.nonEmpty) { toks += 1; counts.update(w, counts.getOrElse(w, 0L) + 1L) }
+        if (w.nonEmpty && delta.contains(w)) {
+          toks += 1; counts.update(w, counts.getOrElse(w, 0L) + 1L)
+        }
       }
       var best = 0
       var bestScore = Long.MinValue
@@ -1747,20 +1777,36 @@ object TextOps {
     }
   }
 
-  /** Collect the A46 fit into an [[NbModel]] — one vocab-bounded
-    * driver collect of the same frames the gate query builds. */
-  def nbFit(s: SparkSession, dir: String): NbModel = {
-    val docs = documents(s, dir).select(col("doc_id"), col("source"))
-    val toks = documents(s, dir)
+  /** Collect the A46 fit into an [[NbModel]] — the driver collect is
+    * ≤ maxFeatures·|classes| + |classes| rows BY CONSTRUCTION (the
+    * [[nbMaxFeatures]] vocabulary bound — corpus vocabulary is NOT
+    * structurally bounded at 100 TB per Heaps' law, the model
+    * vocabulary is), the fit-artifact posture F32 broadcasts. */
+  def nbFit(s: SparkSession, dir: String,
+            maxFeatures: Int = nbMaxFeatures): NbModel =
+    nbFitFrom(documents(s, dir)
+      .select(col("doc_id"), col("text"), col("source")), maxFeatures)
+
+  /** [[nbFit]] over an explicit (doc_id, text, source) frame — the
+    * spec entry point for adversarial high-vocabulary fixtures. */
+  def nbFitFrom(docsFull: DataFrame,
+                maxFeatures: Int = nbMaxFeatures): NbModel = {
+    val docs = docsFull.select(col("doc_id"), col("source"))
+    val raw = docsFull
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("cnt"))
+    val vocabWords = raw.groupBy(col("word"))
+      .agg(sum(col("cnt")).as("wn"))
+      .orderBy(col("wn").desc, col("word")).limit(maxFeatures)
+      .select(col("word"))
+    val toks = raw.join(broadcast(vocabWords), "word")
     val labeled = toks.join(broadcast(docs), "doc_id")
     val nwc = labeled.groupBy(col("source"), col("word"))
       .agg(sum(col("cnt")).as("nwc"))
     val perClass = nwc.groupBy(col("source")).agg(sum(col("nwc")).as("nc"))
-    val vocab = toks.select(col("word")).distinct().agg(count(lit(1)).as("vv"))
+    val vocab = vocabWords.agg(count(lit(1)).as("vv"))
     val priors = docs.groupBy(col("source")).agg(count(lit(1)).as("ndc"))
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
     val cb = perClass.crossJoin(broadcast(vocab)).join(broadcast(priors), "source")
@@ -2591,16 +2637,19 @@ object TextOps {
         |FROM d${zipfDerivs.length} CROSS JOIN tt""".stripMargin
     },
     "q_multinomial_nb" ->
-      s"""WITH toks AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      s"""WITH raw AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word
         |        FROM documents)
         |  WHERE LEN(word) > 0 GROUP BY 1, 2),
+        |vw AS (SELECT word FROM (SELECT word, SUM(cnt) AS wn FROM raw
+        |  GROUP BY 1 ORDER BY wn DESC, word LIMIT $nbMaxFeatures)),
+        |toks AS (SELECT raw.* FROM raw JOIN vw USING (word)),
         |docs AS (SELECT doc_id, source FROM documents),
         |dt AS (SELECT doc_id, SUM(cnt) AS toks FROM toks GROUP BY 1),
         |nwc AS (SELECT source, word, SUM(cnt) AS nwc
         |  FROM toks JOIN docs USING (doc_id) GROUP BY 1, 2),
         |pc AS (SELECT source, SUM(nwc) AS nc FROM nwc GROUP BY 1),
-        |vb AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS vv FROM toks),
+        |vb AS (SELECT CAST(COUNT(*) AS BIGINT) AS vv FROM vw),
         |pr AS (SELECT source, COUNT(*) AS ndc,
         |    (SELECT COUNT(*) FROM docs) AS nd FROM docs GROUP BY 1),
         |cb AS (SELECT source, nc, vv,

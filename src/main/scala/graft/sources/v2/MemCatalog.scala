@@ -63,9 +63,10 @@ class MemCatalog extends TableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    if (MemStore.tables.contains(key(ident)))
+    // atomic claim: a contains-then-put race would let two concurrent
+    // CREATEs both succeed (the loser's Stored silently replaced)
+    if (MemStore.tables.putIfAbsent(key(ident), MemStore.Stored(schema)).isDefined)
       throw new TableAlreadyExistsException(ident)
-    MemStore.tables.put(key(ident), MemStore.Stored(schema))
     new MemTable(key(ident), schema)
   }
 
@@ -154,7 +155,10 @@ final class MemTable(storeKey: String, tableSchema: StructType)
       case LessThanOrEqual(c, x)    => v(c) != null && cmp(c, x) <= 0
       case GreaterThan(c, x)        => v(c) != null && cmp(c, x) > 0
       case GreaterThanOrEqual(c, x) => v(c) != null && cmp(c, x) >= 0
-      case In(c, xs)                => v(c) != null && xs.exists(x => cmp(c, x) == 0)
+      // a NULL comparand in the IN-list never matches (SQL: x IN (1,
+      // NULL) is TRUE iff x = 1, else NULL → filtered) — cmp would
+      // throw on it, breaking the canDeleteWhere-accepted contract
+      case In(c, xs)                => v(c) != null && xs.exists(x => x != null && cmp(c, x) == 0)
       case IsNull(c)                => v(c) == null
       case IsNotNull(c)             => v(c) != null
       case And(l, r)                => eval(l, row) && eval(r, row)

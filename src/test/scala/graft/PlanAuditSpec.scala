@@ -332,6 +332,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_spatial_join re-plans the grid join after the pin:\n$p")
   }
 
+  test("UnboundedFactWindow flags the single-reducer fact-window shape") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val fact = graft.sources.Tables.lineitem(spark, sfDir)
+    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+    def flagged(df: DataFrame): Boolean =
+      ExplainAudit.unboundedFactWindow(df.queryExecution.optimizedPlan)
+    // the r9 q_conformal shape: partition-less window straight over a
+    // (filtered) fact scan — fact-proportional rows through one reducer
+    assert(flagged(fact.filter(col("l_orderkey") % 499 === 1)
+      .withColumn("rn", row_number().over(w))))
+    // bounded by a Limit between window and scan: not flagged
+    assert(!flagged(fact.orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(100).withColumn("rn", row_number().over(w))))
+    // bounded by an Aggregate (domain-bounded frame): not flagged
+    assert(!flagged(fact.groupBy(col("l_quantity")).count()
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("l_quantity"))))))
+    // partitioned windows are key-bounded, never flagged
+    assert(!flagged(fact.withColumn("rn", row_number().over(
+      Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"))))))
+  }
+
   test("scans prune to the projected columns") {
     val p = plan(Relational.qDistinct(spark, sfDir))
     // customer has 5+ columns; this aggregate needs exactly three
