@@ -1048,6 +1048,40 @@ object Estimation {
       lit(st.min).as("vmin"), lit(st.max).as("vmax"))
   }
 
+  /** G13 (query-backed): the DataSource V2 TABLE CATALOG
+    * ([[graft.sources.v2.MemCatalog]]) driven end-to-end through the
+    * gate — CREATE TABLE / INSERT INTO … SELECT (two-phase commit) /
+    * two DELETE WHERE statements over pushed V1 source filters /
+    * SELECT aggregate of the survivors, all through SQL against the
+    * registered catalog; the oracle recomputes the surviving rows
+    * straight from the parquet fixture with the delete predicates
+    * NEGATED, blind to the catalog machinery. A lost INSERT partial, a
+    * half-applied DELETE, or a snapshot leak shows up as a value
+    * mismatch. The fixture routes a 1/10 orders slice (the catalog is
+    * the CONTRACT pillar — a driver-registry store, not a storage
+    * engine; a production implementation of the same interfaces backs
+    * onto distributed storage, and every statement here is
+    * storage-agnostic catalog API).
+    */
+  def qCatalogRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_mem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    val t = "graft_mem.gate.orders_rt"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, st STRING, cents BIGINT)")
+    orders(s, dir).filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .createOrReplaceTempView("catalog_rt_src")
+    s.sql(s"INSERT INTO $t SELECT k, st, cents FROM catalog_rt_src")
+    s.sql(s"DELETE FROM $t WHERE st = 'F'")
+    s.sql(s"DELETE FROM $t WHERE cents < 500000")
+    s.sql(s"""SELECT st, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+      FROM $t GROUP BY st ORDER BY st""")
+  }
+
   /** A39 derivation chain (the featImpDerivs machine): Fisher LDA with
     * shared pooled covariance, every float step ONE (name, formula)
     * pair applied with `expr` on the Spark side and emitted verbatim
@@ -2739,6 +2773,16 @@ object Estimation {
           |  CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax,
           |  CAST(ROUND(CAST(SUM(v) AS DOUBLE)/COUNT(v), 4) AS DECIMAL(18,4))::DOUBLE AS mean_v
           |FROM gv""".stripMargin,
+      "q_catalog_roundtrip" ->
+        """WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+          |    CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
+          |  FROM orders WHERE o_orderkey % 10 = 0),
+          |surv AS (SELECT * FROM src
+          |  WHERE NOT (st = 'F') AND NOT (cents < 500000))
+          |SELECT st, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+          |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+          |FROM surv GROUP BY st ORDER BY st""".stripMargin,
       "q_stats_sink" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
           |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vsum,

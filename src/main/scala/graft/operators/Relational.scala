@@ -524,7 +524,7 @@ object Relational {
     */
   def qZipfDistinct(s: SparkSession, dir: String): DataFrame =
     Skew.saltedCountDistinct(
-        graft.sources.Synthetic.zipfEvents(s, zipfRows),
+        graft.sources.Synthetic.zipfEventsPinned(s, zipfRows),
         keys = Seq("user_id"), valueCol = "v")
       .select(col("user_id"), col("n_distinct_v"))
       .orderBy(col("user_id"))
@@ -535,7 +535,7 @@ object Relational {
     * user_id is not.
     */
   def qZipfDistinctDirect(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Synthetic.zipfEvents(s, zipfRows)
+    graft.sources.Synthetic.zipfEventsPinned(s, zipfRows)
       .groupBy(col("user_id"))
       .agg(countDistinct(col("v")).as("n_distinct_v"))
       .orderBy(col("user_id"))
@@ -565,7 +565,7 @@ object Relational {
     */
   def qRunningSkew(s: SparkSession, dir: String): DataFrame =
     runningDigest(Skew.rangePartitionedRunningSum(
-      graft.sources.Synthetic.zipfEvents(s, zipfRows),
+      graft.sources.Synthetic.zipfEventsPinned(s, zipfRows),
       key = "user_id", orderCol = "event_id", valueCol = "v"))
 
   /** B60: the direct per-key window twin of [[qRunningSkew]] — the
@@ -574,7 +574,7 @@ object Relational {
     */
   def qRunningSkewWindow(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-    runningDigest(graft.sources.Synthetic.zipfEvents(s, zipfRows)
+    runningDigest(graft.sources.Synthetic.zipfEventsPinned(s, zipfRows)
       .select(col("user_id"), col("event_id"), col("v"),
               sum(col("v")).over(w).as("running")))
   }
@@ -592,7 +592,7 @@ object Relational {
     * B51 sketch, not this.
     */
   def qMedianSkew(s: SparkSession, dir: String): DataFrame = {
-    val hist = graft.sources.Synthetic.zipfEvents(s, zipfRows)
+    val hist = graft.sources.Synthetic.zipfEventsPinned(s, zipfRows)
       .groupBy(col("user_id"), col("v")).agg(count(lit(1)).as("cnt"))
     val byVal = Window.partitionBy(col("user_id")).orderBy(col("v"))
     val whole = Window.partitionBy(col("user_id"))
@@ -618,7 +618,7 @@ object Relational {
     * sketch is one ≤64-entry map per task merged in a 1-row aggregate.
     */
   def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val e = graft.sources.Synthetic.zipfEvents(s, zipfRows)
+    val e = graft.sources.Synthetic.zipfEventsPinned(s, zipfRows)
     val bound = zipfRows / 65L // floor(N/(k+1)) with k = 64
     val sk = e.agg(expr("graft_mg(user_id, 64)").as("mg"))
     val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
@@ -644,7 +644,7 @@ object Relational {
     * per row (deterministic here: fixed hashes, fixed fixture).
     */
   def qCmsFreq(s: SparkSession, dir: String): DataFrame = {
-    val e = graft.sources.Synthetic.zipfEvents(s, zipfRows)
+    val e = graft.sources.Synthetic.zipfEventsPinned(s, zipfRows)
     val depth = 4
     val width = 2048
     val sk = e.agg(expr(s"graft_cms(user_id, $depth, $width)").as("cms"))

@@ -89,6 +89,28 @@ object Synthetic {
       .select(col("event_id"), col("user_id"), col("v"))
   }
 
+  /** Session-memoized PINNED copy of [[zipfEvents]] — bench hygiene
+    * (r9 finding): the fixture costs ~2 md5 evaluations per row to
+    * generate, and inside the timed region that cost shadows the
+    * operator under measurement (q_median_skew's round-over-round
+    * variance was fixture, not plan). One materialization per
+    * (session, shape) — ~12 MB at the 500k default — after which every
+    * consumer reads the pinned blocks. Values are bit-identical to the
+    * generator by construction (deterministic integer formulas), so
+    * the DuckDB replay oracles are unaffected.
+    */
+  def zipfEventsPinned(
+      spark: SparkSession,
+      nRows: Long,
+      nUsers: Int = 1000,
+      nValues: Int = 100000
+  ): DataFrame =
+    zipfPins.getOrElseUpdate((spark, nRows, nUsers, nValues),
+      graft.core.Materialize.pin(zipfEvents(spark, nRows, nUsers, nValues)))
+
+  private val zipfPins = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, Long, Int, Int), DataFrame]
+
   /** Generate `nRows` samples of the named features. `maskPercentile`
     * in (0,1) NaNs that fraction of rows (by the mask band's empirical
     * percentile); 0 disables masking.
