@@ -1048,6 +1048,34 @@ object Estimation {
       lit(st.min).as("vmin"), lit(st.max).as("vmax"))
   }
 
+  /** G11 (query-backed): the write-side data LAYOUT contract
+    * ([[graft.sources.v2.ClusteredSink]] —
+    * `RequiresDistributionAndOrdering`, Iceberg write-distribution /
+    * Delta clustered-write shape) driven through the gate: the sink
+    * DEMANDS rows arrive clustered by k across exactly 4 tasks and
+    * (k, v)-sorted within each; Spark plans the exchange + sort in
+    * front of the writer, task writers ASSERT the arrival order and
+    * report per-task key sets + exact stats, and the driver commit
+    * asserts pairwise key-set disjointness. The query publishes the
+    * verified report; the oracle recomputes the row/key/sum stats
+    * straight from parquet and pins the contract flags at 1 — a
+    * missing exchange (order violation), a lost task partial, or a
+    * double-counted speculative task all surface as value mismatches.
+    */
+  def qClusteredWrite(s: SparkSession, dir: String): DataFrame = {
+    val key = java.util.UUID.randomUUID().toString
+    lineitem(s, dir)
+      .select(col("l_quantity").cast("long").as("k"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("v"))
+      .write.format("graft.sources.v2.ClusteredSink").option("key", key)
+      .mode("append").save()
+    val r = graft.sources.v2.ClusteredSink.committed(key).get
+    s.range(1).select(lit(r.nTasks).as("n_tasks"), lit(r.nRows).as("n_rows"),
+      lit(r.nKeys).as("n_keys"), lit(r.sumV).as("sum_v"),
+      lit(if (r.allSorted) 1 else 0).as("all_sorted"),
+      lit(if (r.disjoint) 1 else 0).as("keysets_disjoint"))
+  }
+
   /** G13 (query-backed): the DataSource V2 TABLE CATALOG
     * ([[graft.sources.v2.MemCatalog]]) driven end-to-end through the
     * gate — CREATE TABLE / INSERT INTO … SELECT (two-phase commit) /
@@ -2773,6 +2801,15 @@ object Estimation {
           |  CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax,
           |  CAST(ROUND(CAST(SUM(v) AS DOUBLE)/COUNT(v), 4) AS DECIMAL(18,4))::DOUBLE AS mean_v
           |FROM gv""".stripMargin,
+      "q_clustered_write" ->
+        """SELECT CAST(4 AS BIGINT) AS n_tasks,
+          |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(COUNT(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT)
+          |    AS n_keys,
+          |  CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS BIGINT)
+          |    AS sum_v,
+          |  1 AS all_sorted, 1 AS keysets_disjoint
+          |FROM lineitem""".stripMargin,
       "q_catalog_roundtrip" ->
         """WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS st,
           |    CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
