@@ -875,8 +875,8 @@ object Similarity {
     val nSub = 8
     val subDim = 8
     val nCodes = 16
-    val nCand = 50
     val e = emb(s, dir)
+    val nCand = scaledCand(e, 50)
     val cents = ivfCentroids(nCells, dim)
     val cb = gaussianPlanes(nSub * nCodes, subDim, tag = "pq|")
     val qs = collectQueries(e)
@@ -1054,7 +1054,8 @@ object Similarity {
     * rerank (Jégou et al., TPAMI'11).
     */
   def qAnnPq(s: SparkSession, dir: String): DataFrame =
-    annPqWith(s, dir, gaussianPlanes(8 * 16, 8, tag = "pq|"), nCand = 50)
+    annPqWith(s, dir, gaussianPlanes(8 * 16, 8, tag = "pq|"),
+      nCand = scaledCand(emb(s, dir), 50))
 
   /** D8b: PQ with TRAINED codebooks — the production form of D8
     * (Jégou et al. train sub-codebooks with k-means; random codebooks
@@ -1071,7 +1072,8 @@ object Similarity {
     * (untrained/50 → trained/150); `q_ann_recall` locks the floor.
     */
   def qAnnPqTrained(s: SparkSession, dir: String): DataFrame =
-    annPqWith(s, dir, trainPqCodebook(emb(s, dir)), nCand = 150)
+    annPqWith(s, dir, trainPqCodebook(emb(s, dir)),
+      nCand = scaledCand(emb(s, dir), 150))
 
   // ---------------- D29: HNSW-style graph ANN ----------------
 
@@ -1335,6 +1337,21 @@ object Similarity {
     cb1
   }
 
+  /** Rerank-budget scale rule (the r10 sf1 finding: a FIXED candidate
+    * budget makes recall decay as the corpus grows — the untrained-PQ
+    * floor tripped at 10× sf0.1): every budgeted variant's nCand is
+    * corpus-PROPORTIONAL (base·corpus/2000 — the sf0.1 fraction) with
+    * the gate-scale value as the FLOOR, so results at ≤ sf0.1 are
+    * bit-unchanged while the budget fraction — and so recall — stays
+    * stable at any corpus size. The oracles carry the identical
+    * GREATEST(base, …) expression. D27's q_binary_budget keeps FIXED
+    * arms on purpose (it measures the budget↔recall trade-off).
+    */
+  private def scaledCand(e: DataFrame, base: Int): Int = {
+    val n = e.agg(count(lit(1))).collect()(0).getLong(0)
+    math.max(base.toLong, base.toLong * n / 2000L).toInt
+  }
+
   private def annPqWith(s: SparkSession, dir: String, cb: Array[Array[Double]],
                         nCand: Int): DataFrame = {
     val k = 10
@@ -1454,8 +1471,8 @@ object Similarity {
     */
   def qAnnSq(s: SparkSession, dir: String): DataFrame = {
     val k = 10
-    val nCand = 50
     val e = emb(s, dir)
+    val nCand = scaledCand(e, 50)
     val stats = e.select(posexplode(col("v")).as(Seq("d", "xv")))
       .groupBy(col("d")).agg(min(col("xv")).as("mn"), max(col("xv")).as("mx"))
       .orderBy(col("d")).collect()
@@ -1634,7 +1651,7 @@ object Similarity {
     * oracle folds its HUGEINT bit sum into the same signed word.
     */
   def qAnnBinary(s: SparkSession, dir: String): DataFrame =
-    annBinary(s, dir, nCand = 50)
+    annBinary(s, dir, nCand = scaledCand(emb(s, dir), 50))
 
   private def annBinary(s: SparkSession, dir: String, nCand: Int): DataFrame = {
     val k = 10
@@ -1900,7 +1917,7 @@ object Similarity {
       |cand AS (SELECT q_id, vec_id FROM (
       |  SELECT q_id, vec_id,
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad, vec_id) AS rn FROM adc)
-      |  WHERE rn <= 50),
+      |  WHERE rn <= GREATEST(50, 50 * (SELECT COUNT(*) FROM embeddings) // 2000)),
       |sims AS (SELECT q_id, cand.vec_id,
       |    list_cosine_similarity(qe.v, ce.v) AS sim
       |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
@@ -1974,7 +1991,7 @@ object Similarity {
       |cand AS (SELECT q_id, vec_id FROM (
       |  SELECT q_id, vec_id,
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad, vec_id) AS rn FROM adc)
-      |  WHERE rn <= 50),
+      |  WHERE rn <= GREATEST(50, 50 * (SELECT COUNT(*) FROM embeddings) // 2000)),
       |sims AS (SELECT q_id, cand.vec_id,
       |    list_cosine_similarity(qe.v, ce.v) AS sim
       |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
@@ -2033,7 +2050,7 @@ object Similarity {
       |cand AS (SELECT q_id, vec_id FROM (
       |  SELECT q_id, vec_id,
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad, vec_id) AS rn FROM adc)
-      |  WHERE rn <= 150),
+      |  WHERE rn <= GREATEST(150, 150 * (SELECT COUNT(*) FROM embeddings) // 2000)),
       |sims AS (SELECT q_id, cand.vec_id,
       |    list_cosine_similarity(qe.v, ce.v) AS sim
       |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
@@ -2625,7 +2642,7 @@ object Similarity {
         |rr AS (SELECT t.q_id, t.vec_id,
         |    list_cosine_similarity(q.v, e2.v) AS sim
         |  FROM t50 t JOIN e q ON q.vec_id = t.q_id JOIN e e2 ON e2.vec_id = t.vec_id
-        |  WHERE t.rn <= 50),
+        |  WHERE t.rn <= GREATEST(50, 50 * (SELECT COUNT(*) FROM embeddings) // 2000)),
         |rk AS (SELECT q_id, vec_id, sim,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
         |  FROM rr)
@@ -2695,7 +2712,7 @@ object Similarity {
         |rr AS (SELECT t.q_id, t.vec_id,
         |    list_cosine_similarity(q.v, e2.v) AS sim
         |  FROM t50 t JOIN e q ON q.vec_id = t.q_id JOIN e e2 ON e2.vec_id = t.vec_id
-        |  WHERE t.rn <= 50),
+        |  WHERE t.rn <= GREATEST(50, 50 * (SELECT COUNT(*) FROM embeddings) // 2000)),
         |rk AS (SELECT q_id, vec_id, sim,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
         |  FROM rr)
