@@ -282,9 +282,9 @@ object Multimodal {
         |dg AS (SELECT c, md5(STRING_AGG(
         |    x||','||y||','||r||','||g||','||b||';', '' ORDER BY y, x)) AS digest
         |  FROM px GROUP BY 1)
-        |SELECT digest, CAST(2 AS BIGINT) AS n_members,
-        |  CAST(2 * c AS BIGINT) AS keeper
-        |FROM dg ORDER BY keeper""".stripMargin,
+        |SELECT digest, CAST(2 * COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(2 * MIN(c) AS BIGINT) AS keeper
+        |FROM dg GROUP BY digest ORDER BY keeper""".stripMargin,
     "q_media_decimate" ->
       """WITH d AS (SELECT doc_id, CAST(48 + doc_id % 96 AS BIGINT) AS n,
         |    CAST(8000 + (doc_id % 5) * 2000 AS BIGINT) AS sample_rate FROM documents),
@@ -851,11 +851,15 @@ object Multimodal {
     * BMP or PNG path from the magic bytes — no format column
     * consulted), canonicalize to a deterministic pixel text
     * ("x,y,r,g,b;" in row-major order) and md5 it, then group by the
-    * digest — every content group must reunite exactly its two
-    * encodings, keeper = min id (the C1 convention). The oracle
-    * recomputes the digests FROM THE PIXEL FORMULA, blind to both
-    * codecs — a decoder that drops a channel, flips rows, or
-    * color-shifts breaks the digest. Scale shape: payloads stream
+    * digest — each content group reunites its two encodings, keeper =
+    * min id (the C1 convention); distinct source ids whose fixtures
+    * happen to share identical pixels (reachable at corpus scale —
+    * 50k ids birthday the (size, color-seed) space, observed at the
+    * 10× run) merge into ONE group, the content-addressed semantics.
+    * The oracle recomputes the digests FROM THE PIXEL FORMULA and
+    * groups by digest identically, blind to both codecs — a decoder
+    * that drops a channel, flips rows, or color-shifts breaks the
+    * digest. Scale shape: payloads stream
     * through partitions, one digest-key shuffle of (id, 32-char)
     * rows.
     */

@@ -3255,16 +3255,29 @@ object Relational {
       .limit(20)
   }
 
+  /** Exact half-away-from-zero rounding of a/10 — DECIMAL ROUND
+    * semantics (what the oracle's `ROUND(0.3*x + …)` computes, since
+    * 0.3 is DECIMAL there, not float), in pure integers. */
+  private def roundDiv10(a: Long): Long =
+    if (a >= 0) (a + 5L) / 10L else -((-a + 5L) / 10L)
+
   /** The B96 state recursion as a pure kernel: Holt's linear trend
-    * (α=0.3, β=0.1) with BOTH state variables quantized to exact e6
-    * integers after every step — the recursion the oracle replays as a
-    * recursive CTE with the identical float texts, so 2400 chained
-    * steps cannot accumulate cross-engine drift (each step's float
-    * work starts from identical exact integers).
+    * (α=0.3, β=0.1) with BOTH state variables exact e6 integers.
+    * FLOAT-FREE (the B111 tenths rule, adopted r10): the smoothing
+    * constants are rational tenths, so each update is one exact
+    * integral division — l ← round((3·x·e6 + 7(l+b))/10), b ←
+    * round(((l'−l) + 9b)/10). The previous double form lost exactness
+    * above 2^53 (daily cents·e6 at 10× sf0.1 crosses it) and drifted
+    * last digits against the oracle's exact DECIMAL recursive CTE —
+    * caught by the r10 cross-scale run. Math.*Exact: a state overflow
+    * is loud, never a silent wrap.
     */
   private[graft] def holtStep(lq: Long, bq: Long, xCents: Long): (Long, Long) = {
-    val nl = math.round(0.3 * (xCents * 1000000L) + 0.7 * (lq + bq))
-    val nb = math.round(0.1 * (nl - lq) + 0.9 * bq)
+    val nl = roundDiv10(Math.addExact(
+      Math.multiplyExact(3L, Math.multiplyExact(xCents, 1000000L)),
+      Math.multiplyExact(7L, Math.addExact(lq, bq))))
+    val nb = roundDiv10(Math.addExact(Math.subtractExact(nl, lq),
+      Math.multiplyExact(9L, bq)))
     (nl, nb)
   }
 
@@ -3424,6 +3437,14 @@ object Relational {
       .groupBy(col("user_id"), col("session_seq"))
       .agg(min(unix_micros(col("ts"))).as("s_us"),
            (max(unix_micros(col("ts"))) + 1L).as("e_x"))
+    // DISTINCT pieces before the sweep: a union is invariant under
+    // piece dedup (so every published value is unchanged), and it
+    // makes (cs, ce) a UNIQUE per-day sort key — with duplicate
+    // pieces (identical sessions from different users — reachable,
+    // seen at the 10× cross-scale run) a multi-pass window evaluation
+    // may permute peers BETWEEN the pm pass and the iid pass, carrying
+    // an nw label to a different peer position and silently merging
+    // islands; dedup removes the tie class entirely, in both engines.
     val pieces = sess
       .withColumn("d0", expr(s"s_us div ${dayUs}L"))
       .withColumn("d1", expr(s"(e_x - 1) div ${dayUs}L"))
@@ -3432,6 +3453,7 @@ object Relational {
       .select(col("day_idx"),
               greatest(col("s_us"), col("day_idx") * dayUs).as("cs"),
               least(col("e_x"), (col("day_idx") + 1L) * dayUs).as("ce"))
+      .distinct()
     val byDay   = Window.partitionBy(col("day_idx")).orderBy(col("cs"), col("ce"))
     val prevMax = byDay.rowsBetween(Window.unboundedPreceding, -1)
     val run     = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -5402,7 +5424,7 @@ object Relational {
         |    (e_x - 1) // 86400000000 AS day1 FROM iv),
         |ex AS (SELECT s_us, e_x,
         |    unnest(generate_series(day0, day1)) AS day_idx FROM dd),
-        |cl AS (SELECT day_idx,
+        |cl AS (SELECT DISTINCT day_idx,
         |    GREATEST(s_us, day_idx * 86400000000) AS cs,
         |    LEAST(e_x, (day_idx + 1) * 86400000000) AS ce FROM ex),
         |mw AS (SELECT day_idx, cs, ce,
