@@ -15,7 +15,14 @@ object Bench {
     // the multi-join plans costs multiples of the actual execution; the
     // timed second run is the steady-state cost. Nothing is cached
     // between runs — every run re-scans, re-fits, re-shuffles.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only skip list (comma-separated names) for cross-scale runs
+    // where the corpus×train kNN family is quadratic by design; the
+    // driver sets no env, so driver benches always run everything
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => skip(name) }
+      .map { case (name, fn) =>
       try {
         fn(spark, sfDir).count()
         // reap the warm-up run's broadcasts/shuffles: with a large heap,
