@@ -1550,6 +1550,44 @@ object TextOps {
     out
   }
 
+  /** C50: training-sequence packing census (the GPT-pretraining
+    * "concat and chunk" step every LLM data pipeline ends with):
+    * documents concatenate in doc_id order, each contributing its
+    * whitespace tokens + 1 EOS, and the stream chunks into EXACT
+    * 512-token training sequences — a document whose token interval
+    * crosses a chunk boundary SPANS sequences (the packing trade
+    * every pipeline audits: spanning docs read truncated context at
+    * the seam — C47 measures that loss; this publishes the census
+    * driving it). The global token prefix sum is the B59 two-phase
+    * distributed scan (range-partition + broadcast carry offsets —
+    * NEVER a single-reducer window over the corpus: exactly the shape
+    * the r10 UnboundedFactWindow FLAG exists to catch); span =
+    * ((end−1) div B) − (start div B) + 1, all exact integers.
+    * Publishes the one-row census: docs, tokens, sequences, spanning
+    * docs, max span, last-sequence fill ppm. At 100 TB: one
+    * token-count pass + the O(partitions) carry exchange.
+    */
+  def qSeqPack(s: SparkSession, dir: String): DataFrame = {
+    val B = 512L
+    val toks = documents(s, dir).select(lit(0L).as("g"), col("doc_id"),
+      (size(T.words(col("text"))) + 1L).as("w"))
+    val pre = Skew.rangePartitionedRunningSum(
+      toks, key = "g", orderCol = "doc_id", valueCol = "w")
+    pre.select(col("w"),
+        expr(s"((running - 1) div $B) - ((running - w) div $B) + 1")
+          .as("span"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("w")).as("total_tokens"),
+           sum((col("span") > 1).cast("long")).as("n_spanning"),
+           max(col("span")).as("max_span"))
+      .select(col("n_docs"), col("total_tokens"),
+        expr(s"(total_tokens + ${B - 1}) div $B").as("n_seqs"),
+        col("n_spanning"), col("max_span"),
+        expr(s"CASE WHEN total_tokens % $B = 0 THEN 1000000 " +
+          s"ELSE ((total_tokens % $B) * 1000000) div $B END")
+          .as("last_fill_ppm"))
+  }
+
   /** C43: RAKE keyword extraction (Rose et al. 2010 — the unsupervised
     * keyphrase miner of corpus exploration / topic labeling):
     * candidate phrases are maximal stopword-free runs (classic
@@ -2671,6 +2709,28 @@ object TextOps {
         |SELECT d.source AS actual, p.predicted, CAST(COUNT(*) AS BIGINT) AS n
         |FROM docs d JOIN pk p ON d.doc_id = p.doc_id AND p.rn = 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(LEN(string_split(text, ' ')) + 1 AS BIGINT) AS w
+        |  FROM documents),
+        |p AS (SELECT doc_id, w, SUM(w) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM t),
+        |sp AS (SELECT w, running,
+        |    ((running - 1) // 512) - ((running - w) // 512) + 1 AS span
+        |  FROM p),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(w) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(CASE WHEN span > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_spanning,
+        |    CAST(MAX(span) AS BIGINT) AS max_span FROM sp)
+        |SELECT n_docs, total_tokens,
+        |  CAST((total_tokens + 511) // 512 AS BIGINT) AS n_seqs,
+        |  n_spanning, max_span,
+        |  CAST(CASE WHEN total_tokens % 512 = 0 THEN 1000000
+        |    ELSE ((total_tokens % 512) * 1000000) // 512 END AS BIGINT)
+        |    AS last_fill_ppm
+        |FROM a""".stripMargin,
     "q_rake" ->
       """WITH docs AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |b AS (SELECT doc_id, i, w[CAST(i+1 AS INT)] AS word,

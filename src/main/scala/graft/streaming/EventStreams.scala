@@ -1290,6 +1290,43 @@ object EventStreams {
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** F42 input/output: a document with its token weight (tokens + 1
+    * EOS); the output assigns its token interval and chunk span. */
+  final case class PackIn(doc_id: Long, w: Long)
+  final case class PackOut(doc_id: Long, start: Long, endx: Long, span: Long)
+
+  /** F42: streaming sequence packer (batch twin C50): ONE O(1) state
+    * cell — the cumulative token count — assigns each arriving
+    * document its token interval [start, start + w) and its span over
+    * B=512-token training sequences, exactly the batch census
+    * arithmetic. Requires doc_id-ordered arrival within the packer
+    * key (each micro-batch sorts; cross-batch order is the stream
+    * contract, like the sessionizer). At scale one packer per
+    * partition/shard is the production shape — each shard packs its
+    * own sub-stream; the single-key form here is the semantics
+    * contract the spec replays against the batch prefix sum.
+    * Replay-safe via the doc_id watermark in state: a redelivered
+    * document is ignored (its interval is already assigned and
+    * emitted) — the F41 at-least-once posture.
+    */
+  def seqPackStream(in: Dataset[PackIn], b: Long = 512L): Dataset[PackOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_ => 0L)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (_: Long, batch: Iterator[PackIn], state: GroupState[(Long, Long)]) => {
+          var (cum, last) = state.getOption.getOrElse((0L, Long.MinValue))
+          val fresh = batch.toArray.filter(_.doc_id > last).sortBy(_.doc_id)
+          val out = fresh.map { d =>
+            val start = cum
+            cum += d.w
+            last = d.doc_id
+            PackOut(d.doc_id, start, cum, (cum - 1) / b - start / b + 1)
+          }
+          state.update((cum, last))
+          out.iterator
+        })
+  }
+
   /** F33 state/output: O(1) per key — balance, running max, clamp
     * count, event-id watermark. */
   final case class BalState(bal: Long, mx: Long, clamps: Long, n: Long,

@@ -504,6 +504,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F42 streaming sequence packer aggregates to the oracled batch census; replay-safe") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{PackIn, PackOut}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) + 1 AS LONG) AS w")
+      .collect().map(r => PackIn(r.getLong(0), r.getLong(1)))
+      .toSeq.sortBy(_.doc_id)
+    def run(name: String, batches: Seq[Seq[PackIn]]): Seq[PackOut] = {
+      val input = MemoryStream[PackIn]
+      val q = EventStreams.seqPackStream(input.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      try {
+        batches.foreach { b0 => input.addData(b0); q.processAllAvailable() }
+        spark.table(name).as[PackOut].collect().toSeq.sortBy(_.doc_id)
+      } finally q.stop()
+    }
+    // doc_id-ordered delivery split two ways + a replayed prefix:
+    // the assignment must be identical (watermark drops redeliveries)
+    val (a, b1) = docs.splitAt(docs.length / 2)
+    val r1 = run("pack_out_1", Seq(a, a.takeRight(40) ++ b1))
+    val (c, d1) = docs.splitAt(docs.length / 3)
+    val r2 = run("pack_out_2", Seq(c, d1))
+    assert(r1 == r2 && r1.nonEmpty)
+    // the per-doc intervals aggregate to the ORACLED batch census
+    val census = graft.operators.TextOps.qSeqPack(spark, sfDir).collect().head
+    assert(census.getLong(0) == r1.length.toLong)
+    assert(census.getLong(1) == r1.map(p => p.endx - p.start).sum)
+    assert(census.getLong(3) == r1.count(_.span > 1).toLong)
+    assert(census.getLong(4) == r1.map(_.span).max)
+  }
+
   test("F41 streaming error bursts equal a sequential batch fold; replay-safe") {
     import spark.implicits._
     import graft.streaming.EventStreams.{ErrEvent, ErrBurstOut}
