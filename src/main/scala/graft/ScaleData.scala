@@ -27,9 +27,12 @@ object ScaleData {
   def main(args: Array[String]): Unit = {
     val Array(src, dst, factorS) = args
     val f = factorS.toInt
-    val spark = GraftSession.local(
+    // reuse a live session (the spec calls main in-process — stopping
+    // a borrowed session would kill every suite after it)
+    val borrowed = org.apache.spark.sql.SparkSession.getDefaultSession
+    val spark = borrowed.getOrElse(GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS",
-        Runtime.getRuntime.availableProcessors().toString))
+        Runtime.getRuntime.availableProcessors().toString)))
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
 
     // key offsets derived from the SOURCE maxima (FK pairs share one)
@@ -76,6 +79,6 @@ object ScaleData {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       println(s"SCALED $t -> $dst/$t.parquet")
     }
-    spark.stop()
+    if (borrowed.isEmpty) spark.stop()
   }
 }

@@ -2522,6 +2522,48 @@ object Relational {
       .orderBy(col("digit"))
   }
 
+  /** B138: order↔lineitem financial reconciliation — the books-audit
+    * join every billing pipeline runs ("does the header total equal
+    * the sum of its lines?"): expected order value from lines as the
+    * EXACT integer Σ cents·(100−disc)·(100+tax) (cents·e4 scale — no
+    * float products), header total at the same scale, and the
+    * mismatch classed by RELATIVE error in exact integral ppm
+    * (within 1% / 10% / 50% / over, plus headers with no lines — the
+    * B130 consistency-census shape). The fixture's totals are
+    * independent of its lines, so the report is all-mismatch — the
+    * operator's value is the DISTRIBUTION, which the oracle must
+    * reproduce bucket by bucket. At 100 TB: one orderkey-combined
+    * line aggregate + a key join + a ≤5-key rollup.
+    */
+  def qOrderReconcile(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val lsum = lineitem(s, dir).groupBy(col("l_orderkey"))
+      .agg(sum(expr(
+        s"CAST(CAST(ROUND(l_extendedprice*100,0) AS $dec) * " +
+        s"(100 - CAST(ROUND(l_discount*100,0) AS $dec)) * " +
+        s"(100 + CAST(ROUND(l_tax*100,0) AS $dec)) AS $dec)")).as("exp_e4"))
+    val cls = orders(s, dir)
+      .select(col("o_orderkey"),
+        (round(col("o_totalprice") * 100, 0).cast("long") * 10000L)
+          .cast(dec).as("tot_e4"))
+      .join(lsum, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(expr("""CASE WHEN exp_e4 IS NULL THEN 'no_lines'
+        WHEN (ABS(exp_e4 - tot_e4) * 1000000) div tot_e4 <= 10000
+          THEN 'within_1pct'
+        WHEN (ABS(exp_e4 - tot_e4) * 1000000) div tot_e4 <= 100000
+          THEN 'within_10pct'
+        WHEN (ABS(exp_e4 - tot_e4) * 1000000) div tot_e4 <= 500000
+          THEN 'within_50pct'
+        ELSE 'over_50pct' END""").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_orders"))
+    val tot = broadcast(cls.agg(sum(col("n_orders")).as("n_total")))
+    cls.crossJoin(tot)
+      .select(col("bucket"), col("n_orders"),
+        expr("CAST((n_orders * 1000000) div n_total AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy(col("bucket"))
+  }
+
   /** B137: directed association rules over order baskets — the
     * recommendation primitive B98's symmetric lift cannot express
     * ("bread → butter can be strong while butter → bread is weak"):
@@ -4819,6 +4861,30 @@ object Relational {
         |SELECT dow, hour, n,
         |  CAST((n * 1000000) // tot AS BIGINT) AS share_ppm
         |FROM h CROSS JOIN t ORDER BY dow, hour""".stripMargin,
+    "q_order_reconcile" ->
+      """WITH l AS (SELECT l_orderkey,
+        |    SUM(CAST(ROUND(l_extendedprice*100,0) AS HUGEINT)
+        |      * (100 - CAST(ROUND(l_discount*100,0) AS HUGEINT))
+        |      * (100 + CAST(ROUND(l_tax*100,0) AS HUGEINT))) AS exp_e4
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT exp_e4,
+        |    CAST(ROUND(o_totalprice*100,0) AS HUGEINT) * 10000 AS tot_e4
+        |  FROM orders LEFT JOIN l ON o_orderkey = l_orderkey),
+        |cl AS (SELECT CASE WHEN exp_e4 IS NULL THEN 'no_lines'
+        |    WHEN (ABS(exp_e4 - tot_e4) * 1000000) // tot_e4 <= 10000
+        |      THEN 'within_1pct'
+        |    WHEN (ABS(exp_e4 - tot_e4) * 1000000) // tot_e4 <= 100000
+        |      THEN 'within_10pct'
+        |    WHEN (ABS(exp_e4 - tot_e4) * 1000000) // tot_e4 <= 500000
+        |      THEN 'within_50pct'
+        |    ELSE 'over_50pct' END AS bucket
+        |  FROM j),
+        |c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM cl GROUP BY 1),
+        |t AS (SELECT SUM(n_orders) AS n_total FROM c)
+        |SELECT bucket, n_orders,
+        |  CAST((n_orders * 1000000) // n_total AS BIGINT) AS share_ppm
+        |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
     "q_burstiness" ->
       """WITH g AS (SELECT event_type,
         |    (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) // 1000000 AS gap
