@@ -2564,6 +2564,43 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** B139: cohort LTV matrix — the subscription/e-commerce analytics
+    * staple the retention (B49) and churn (B120) views cannot
+    * replace ("how much revenue does the March cohort produce in its
+    * Nth month of life?"): customers cohorted by FIRST order month
+    * (calendar grain — B132's convention: both engines' year()/
+    * month() agree by construction), every order binned to
+    * (cohort, age-in-months), revenue in exact cents, cumulative LTV
+    * per cohort via a window over the ≤|months| bounded frame, and
+    * per-customer LTV as EXACT integral division by cohort size. At
+    * 100 TB: one custkey-combined min-aggregate, one key join back
+    * to the fact, a ≤|months|²-cell aggregate, and a broadcast of
+    * the ≤|months| cohort sizes — no fact-proportional window.
+    */
+  def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(col("o_custkey"),
+      (year(col("o_orderdate")).cast("long") * 12L +
+        month(col("o_orderdate")).cast("long") - 1L).as("m"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val coh = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort_m"))
+    val sizes = coh.groupBy(col("cohort_m"))
+      .agg(count(lit(1)).as("n_customers"))
+    val cells = o.join(coh, Seq("o_custkey"))
+      .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("age_months"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort_m")).orderBy(col("age_months"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(sizes), Seq("cohort_m"))
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .select(
+        expr("(cohort_m div 12) * 100 + (cohort_m % 12) + 1")
+          .as("cohort_ym"),
+        col("age_months"), col("n_customers"), col("n_orders"),
+        col("rev_cents"), col("cum_rev_cents"),
+        expr("cum_rev_cents div n_customers").as("ltv_per_cust_cents"))
+      .orderBy(col("cohort_ym"), col("age_months"))
+  }
+
   /** B137: directed association rules over order baskets — the
     * recommendation primitive B98's symmetric lift cannot express
     * ("bread → butter can be strong while butter → bread is weak"):
@@ -2957,6 +2994,89 @@ object Relational {
               date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
               col("st").cast("long").as("s_at_cp"),
               col("abs_s").cast("long").as("max_abs_s"))
+  }
+
+  /** B141: exact median absolute deviation (MAD) + robust-outlier
+    * census on the daily revenue series — the robust dispersion
+    * estimator the σ-based anomaly screen (B123) breaks on under
+    * heavy tails (50% breakdown vs 0%): median as the two middle
+    * order statistics over the ≤|days| frame (floor-median contract:
+    * med = (m_lo + m_hi) div 2, exact integral — the B95 middle-
+    * statistics posture), deviations |x − med| re-ranked the same
+    * way for the MAD, and outliers = days with |x − med| > 3·MAD
+    * (the classic robust z-score at the 3-MAD fence). Exact integers
+    * only. At 100 TB: one ≤|days|-key map-side-combined aggregate,
+    * then rank work over the bounded day domain — the fact is never
+    * sorted or windowed.
+    */
+  def qMad(s: SparkSession, dir: String): DataFrame = {
+    // pin: the ≤|days| frame feeds three consumers (median, dev, census)
+    val daily = graft.core.Materialize.pin(dailyRevenue(s, dir))
+    val nAgg = broadcast(daily.agg(count(lit(1)).as("n")))
+    val wx = Window.orderBy(col("x"), col("day"))
+    val med = broadcast(daily.crossJoin(nAgg)
+      .withColumn("rn", row_number().over(wx))
+      .filter(col("rn") === expr("(n+1) div 2") ||
+              col("rn") === expr("(n+2) div 2"))
+      .agg(expr("(min(x) + max(x)) div 2").as("med")))
+    val dev = daily.crossJoin(med)
+      .select(col("day"), abs(col("x") - col("med")).as("d"), col("med"))
+    val wd = Window.orderBy(col("d"), col("day"))
+    val mad = broadcast(dev.crossJoin(nAgg)
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === expr("(n+1) div 2") ||
+              col("rn") === expr("(n+2) div 2"))
+      .agg(expr("(min(d) + max(d)) div 2").as("mad")))
+    dev.crossJoin(mad).crossJoin(nAgg)
+      .agg(max(col("n")).as("n_days"),
+           max(col("med")).cast("long").as("med_cents"),
+           max(col("mad")).cast("long").as("mad_cents"),
+           sum(when(col("d") > col("mad") * 3, 1L).otherwise(0L))
+             .as("n_outlier_days"))
+  }
+
+  /** B140: Page–Hinkley drift detection on the daily revenue series —
+    * THE sequential (online-capable) changepoint test next to B94's
+    * retrospective CUSUM (Page 1954; the standard concept-drift
+    * monitor in streaming ML): m_t = Σ_{i≤t}(x_i − x̄_i) with the
+    * INCREMENTAL mean x̄_i = (Σ_{j≤i} x_j) div i (exact integral —
+    * the B85 rule), PH_t = m_t − min_{j≤t} m_j, alarm when PH_t
+    * exceeds λ = 10·x̄_global (fixture-calibrated so the audit has
+    * signal at every sf; the stream twin F43 takes λ as a
+    * parameter). Publishes the peak, first alarm, and alarm-day
+    * census — exact integers and calendar days only. At 100 TB: one
+    * ≤|days|-key map-side-combined aggregate, then windows over the
+    * bounded day domain (never the fact).
+    */
+  def qPageHinkley(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenue(s, dir)
+    val g = broadcast(daily.agg(
+      expr("sum(x) div count(1)").cast("decimal(38,0)").as("gmean")))
+    val wc = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ph = daily
+      .withColumn("cx", sum(col("x")).over(wc))
+      .withColumn("i", count(lit(1)).over(wc))
+      .withColumn("dev", col("x") - expr("cx div i"))
+      .withColumn("mt", sum(col("dev")).over(wc).cast("decimal(38,0)"))
+      .withColumn("mmin", min(col("mt")).over(wc))
+      .withColumn("ph", (col("mt") - col("mmin")).cast("decimal(38,0)"))
+    ph.crossJoin(g)
+      .agg(count(lit(1)).as("n_days"),
+           max(col("gmean")).cast("long").as("gmean_cents"),
+           max(col("ph")).cast("long").as("max_ph"),
+           expr("min_by(day, struct(CAST(-ph AS DECIMAL(38,0)), day))")
+             .as("peak_day_ts"),
+           sum(when(col("ph") > col("gmean") * 10, 1L).otherwise(0L))
+             .as("n_alarm_days"),
+           min(when(col("ph") > col("gmean") * 10, col("day")))
+             .as("first_alarm_ts"),
+           min(col("mt")).cast("long").as("min_m"))
+      .select(col("n_days"), col("gmean_cents"), col("max_ph"),
+        date_format(col("peak_day_ts"), "yyyy-MM-dd").as("peak_day"),
+        col("n_alarm_days"),
+        date_format(col("first_alarm_ts"), "yyyy-MM-dd").as("first_alarm_day"),
+        col("min_m"))
   }
 
   /** B95: Theil–Sen slope of daily revenue over time — the robust
@@ -4885,6 +5005,79 @@ object Relational {
         |SELECT bucket, n_orders,
         |  CAST((n_orders * 1000000) // n_total AS BIGINT) AS share_ppm
         |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
+    "q_mad" ->
+      """WITH daily AS (SELECT o_orderdate AS day,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+        |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, day) AS rn
+        |  FROM daily),
+        |med AS (SELECT (MIN(x) + MAX(x)) // 2 AS med FROM r, nn
+        |  WHERE rn IN ((n+1)//2, (n+2)//2)),
+        |dev AS (SELECT day, ABS(x - med) AS d, med FROM daily, med),
+        |r2 AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d, day) AS rn
+        |  FROM dev),
+        |mad AS (SELECT (MIN(d) + MAX(d)) // 2 AS mad FROM r2, nn
+        |  WHERE rn IN ((n+1)//2, (n+2)//2))
+        |SELECT (SELECT n FROM nn) AS n_days,
+        |  CAST(med AS BIGINT) AS med_cents,
+        |  CAST(mad AS BIGINT) AS mad_cents,
+        |  CAST((SELECT COUNT(*) FROM dev, mad WHERE d > 3*mad) AS BIGINT)
+        |    AS n_outlier_days
+        |FROM med, mad""".stripMargin,
+    "q_page_hinkley" ->
+      """WITH daily AS (SELECT o_orderdate AS day,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT SUM(x) // COUNT(*) AS gmean FROM daily),
+        |c AS (SELECT day, x, SUM(x) OVER w AS cx,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS i
+        |  FROM daily WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT day, x - cx // i AS dev FROM c),
+        |t AS (SELECT day, SUM(dev) OVER w AS mt
+        |  FROM m WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT day, mt, mt - MIN(mt) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+        |  FROM t)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST((SELECT gmean FROM g) AS BIGINT) AS gmean_cents,
+        |  CAST(MAX(ph) AS BIGINT) AS max_ph,
+        |  strftime(MIN(day) FILTER (WHERE ph = (SELECT MAX(ph) FROM p)),
+        |    '%Y-%m-%d') AS peak_day,
+        |  CAST(COUNT(*) FILTER (WHERE ph > 10*(SELECT gmean FROM g))
+        |    AS BIGINT) AS n_alarm_days,
+        |  strftime(MIN(day) FILTER (WHERE ph > 10*(SELECT gmean FROM g)),
+        |    '%Y-%m-%d') AS first_alarm_day,
+        |  CAST(MIN(mt) AS BIGINT) AS min_m
+        |FROM p""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) * 12
+        |      + CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) - 1 AS m,
+        |    CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |coh AS (SELECT o_custkey, MIN(m) AS cohort_m FROM o GROUP BY 1),
+        |sizes AS (SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |  FROM coh GROUP BY 1),
+        |cells AS (SELECT cohort_m, m - cohort_m AS age_months,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(cents) AS BIGINT) AS rev_cents
+        |  FROM o JOIN coh USING (o_custkey) GROUP BY 1, 2),
+        |w AS (SELECT cohort_m, age_months, n_customers, n_orders,
+        |    rev_cents,
+        |    CAST(SUM(rev_cents) OVER (PARTITION BY cohort_m
+        |      ORDER BY age_months ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum_rev_cents
+        |  FROM cells JOIN sizes USING (cohort_m))
+        |SELECT (cohort_m // 12) * 100 + (cohort_m % 12) + 1 AS cohort_ym,
+        |  age_months, n_customers, n_orders, rev_cents, cum_rev_cents,
+        |  CAST(cum_rev_cents // n_customers AS BIGINT)
+        |    AS ltv_per_cust_cents
+        |FROM w ORDER BY cohort_ym, age_months""".stripMargin,
     "q_burstiness" ->
       """WITH g AS (SELECT event_type,
         |    (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) // 1000000 AS gap

@@ -191,6 +191,95 @@ object Similarity {
     globalTopK(locals, k)
   }
 
+  /** D30: FILTERED vector search + the post-filter-loss census — the
+    * metadata-constrained query every production vector store serves
+    * ("top-k among vectors with label = X") and the classic failure
+    * mode it exists to avoid: filtering the unconstrained top-k after
+    * the fact loses results whenever the filter is selective (~10%
+    * per label here, so naive post-filtering keeps ~1 of 10). One
+    * corpus pass feeds TWO bounded heap sets per query (the D1 exact
+    * kernel, label predicate applied INSIDE the scan — the pre-filter
+    * arm), and each published filtered hit carries `in_unfiltered`
+    * (would naive post-filtering have found it?) plus the label's
+    * selectivity census. At 100 TB: same cost as D1 (one pass,
+    * O(q·k) state per task) + a ≤|labels|-key broadcast census; with
+    * a label-partitioned layout the filter prunes partitions before
+    * the scan (the G7 DPP posture).
+    */
+  def qAnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val e = emb(s, dir)
+    val st = collectQueries(e)
+    // query labels: the same bounded probe frame and vec_id order
+    val qLabels: Array[Int] = e
+      .filter(col("vec_id") % ProbeEvery === 0 &&
+              col("vec_id") < ProbeEvery.toLong * MaxProbes)
+      .select(col("vec_id"), col("label")).collect()
+      .sortBy(_.getLong(0)).map(_.getInt(1))
+    val bc = s.sparkContext.broadcast((st, qLabels))
+    val armSchema = StructType(Seq(
+      StructField("arm", IntegerType, nullable = false),
+      StructField("q_id", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("sim", DoubleType, nullable = false)))
+    val locals = fanOut(e.select(col("vec_id"), col("v"), col("label")))
+      .mapPartitions { it =>
+        val (q, ql) = bc.value
+        val nq = q.qids.length
+        val hu = new TopKHeaps(nq, k) // unfiltered arm
+        val hf = new TopKHeaps(nq, k) // label-filtered arm
+        it.foreach { row =>
+          val v = row.getSeq[Double](1).toArray
+          val vid = row.getLong(0)
+          val lab = row.getInt(2)
+          var n2 = 0.0; var i = 0
+          while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+          val nrm = math.sqrt(n2)
+          var qi = 0
+          while (qi < nq) {
+            val qvv = q.qv(qi)
+            var d = 0.0; var j = 0
+            while (j < v.length) { d += qvv(j) * v(j); j += 1 }
+            val sim = d / (q.qnorm(qi) * nrm)
+            hu.insert(qi, sim, vid)
+            if (lab == ql(qi)) hf.insert(qi, sim, vid)
+            qi += 1
+          }
+        }
+        hu.emit(q.qids).map(r =>
+          Row(0, r.getLong(0), r.getLong(1), r.getDouble(2))) ++
+          hf.emit(q.qids).map(r =>
+            Row(1, r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }(Encoders.row(armSchema))
+    val w = Window.partitionBy(col("arm"), col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val ranked = graft.core.Materialize.pin(
+      locals.withColumn("rank", row_number().over(w)).filter(col("rank") <= k))
+    val filteredTop = ranked.filter(col("arm") === 1)
+      .select(col("q_id"), col("vec_id"),
+              col("rank").cast("long").as("rank"), dec4(col("sim")).as("sim"))
+    val unfTop = ranked.filter(col("arm") === 0)
+      .select(col("q_id").as("u_q"), col("vec_id").as("u_v"))
+    import scala.jdk.CollectionConverters._
+    val qlab = s.createDataFrame(
+      st.qids.zip(qLabels).map { case (id, l) =>
+        Row(id, l.toLong) }.toSeq.asJava,
+      StructType(Seq(StructField("q_id", LongType, nullable = false),
+                     StructField("q_label", LongType, nullable = false))))
+    val nLab = e.groupBy(col("label").cast("long").as("q_label"))
+      .agg(count(lit(1)).as("n_label"))
+    filteredTop
+      .join(broadcast(unfTop),
+        col("q_id") === col("u_q") && col("vec_id") === col("u_v"), "left")
+      .join(broadcast(qlab), Seq("q_id"))
+      .join(broadcast(nLab), Seq("q_label"))
+      .select(col("q_id"), col("q_label"), col("rank"), col("vec_id"),
+        col("sim"),
+        when(col("u_v").isNull, 0L).otherwise(1L).as("in_unfiltered"),
+        col("n_label"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** D13: the ANN recall CONTRACT (B51's sketch-vs-exact idiom for
     * similarity search): every approximate variant's top-10 must hit at
     * least its documented recall floor against the exact D1 brute-force
@@ -2817,6 +2906,36 @@ object Similarity {
         |  FROM sims)
         |SELECT q_id, vec_id, rank, CAST(ROUND(sim,4) AS DECIMAL(18,4))::DOUBLE AS sim
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS q_label,
+        |    CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 5000),
+        |f AS (SELECT q_id, q_label, e.vec_id,
+        |    list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM q JOIN embeddings e ON CAST(e.label AS BIGINT) = q_label),
+        |fr AS (SELECT q_id, q_label, vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, vec_id) AS rank
+        |  FROM f),
+        |u AS (SELECT q_id, e.vec_id,
+        |    list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM q CROSS JOIN embeddings e),
+        |ut AS (SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, vec_id) AS r FROM u)
+        |  WHERE r <= 10),
+        |nl AS (SELECT CAST(label AS BIGINT) AS q_label,
+        |    CAST(COUNT(*) AS BIGINT) AS n_label
+        |  FROM embeddings GROUP BY 1)
+        |SELECT fr.q_id, fr.q_label, CAST(rank AS BIGINT) AS rank,
+        |  fr.vec_id,
+        |  CAST(ROUND(sim,4) AS DECIMAL(18,4))::DOUBLE AS sim,
+        |  CAST(CASE WHEN ut.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS in_unfiltered,
+        |  nl.n_label
+        |FROM fr LEFT JOIN ut ON fr.q_id = ut.q_id AND fr.vec_id = ut.vec_id
+        |JOIN nl USING (q_label)
+        |WHERE rank <= 10 ORDER BY fr.q_id, rank""".stripMargin,
     "q_rrf_fusion" ->
       s"""WITH lex0 AS (${graft.operators.TextOps.bm25OracleSql}),
         |lexr AS (SELECT doc_id,

@@ -1327,6 +1327,52 @@ object EventStreams {
         })
   }
 
+  /** F43 input/output: one daily aggregate point (epoch-day, exact
+    * cents); the output carries the Page–Hinkley statistic and the
+    * alarm flag at threshold λ. */
+  final case class PhIn(day_ed: Long, x: Long)
+  final case class PhOut(day_ed: Long, mean_i: Long, mt: Long, ph: Long,
+                         alarm: Boolean)
+
+  /** F43: streaming Page–Hinkley drift detector (batch twin B140):
+    * FOUR O(1) state cells — point count i, cumulative sum cx,
+    * running deviation sum m_t, and its running minimum — reproduce
+    * the batch recursion exactly: x̄_i = cx div i (exact integral,
+    * including the current point — the B140/B85 rule), m_t += x−x̄_i,
+    * PH_t = m_t − min m_j, alarm when PH_t > λ (the batch query
+    * calibrates λ = 10·global-mean; online, λ is the caller's
+    * parameter — a global mean does not exist mid-stream). Day-
+    * ordered arrival is the stream contract (daily aggregates arrive
+    * in day order by construction); replay-safe via the day
+    * watermark in state — a redelivered day is ignored, its
+    * statistic already emitted (the F41 at-least-once posture). At
+    * scale: the input is the ≤|days| daily-aggregate stream (a
+    * windowed upstream agg), not the raw fact — one detector key
+    * holds four longs.
+    */
+  def pageHinkleyStream(in: Dataset[PhIn], lambda: Long): Dataset[PhOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_ => 0L)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (_: Long, batch: Iterator[PhIn],
+         state: GroupState[(Long, Long, Long, Long, Long)]) => {
+          var (i, cx, mt, mmin, last) =
+            state.getOption.getOrElse((0L, 0L, 0L, Long.MaxValue, Long.MinValue))
+          val fresh = batch.toArray.filter(_.day_ed > last).sortBy(_.day_ed)
+          val out = fresh.map { p =>
+            i += 1; cx += p.x
+            val mean = cx / i // cx ≥ 0: / equals the batch div here
+            mt += p.x - mean
+            mmin = math.min(mmin, mt)
+            last = p.day_ed
+            val ph = mt - mmin
+            PhOut(p.day_ed, mean, mt, ph, ph > lambda)
+          }
+          state.update((i, cx, mt, mmin, last))
+          out.iterator
+        })
+  }
+
   /** F33 state/output: O(1) per key — balance, running max, clamp
     * count, event-id watermark. */
   final case class BalState(bal: Long, mx: Long, clamps: Long, n: Long,

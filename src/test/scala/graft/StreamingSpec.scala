@@ -536,6 +536,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(census.getLong(4) == r1.map(_.span).max)
   }
 
+  test("F43 streaming Page–Hinkley equals the batch B140 recursion; replay-safe") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{PhIn, PhOut}
+    implicit val sqlCtx = spark.sqlContext
+    val daily = graft.sources.Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(expr("CAST(ROUND(o_totalprice*100,0) AS BIGINT)")).as("x"))
+      .selectExpr("CAST(datediff(day, DATE '1970-01-01') AS BIGINT) AS ed", "x")
+      .collect().map(r => PhIn(r.getLong(0), r.getLong(1)))
+      .sortBy(_.day_ed).toSeq
+    val lambda = 10L * (daily.map(_.x).sum / daily.length)
+    val input = MemoryStream[PhIn]
+    val q = EventStreams.pageHinkleyStream(input.toDS(), lambda)
+      .writeStream.format("memory").queryName("ph_out").outputMode("update").start()
+    try {
+      // day-ordered arrival split mid-series + a replayed tail batch
+      val (b1, b2) = daily.splitAt(daily.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b1.takeRight(50)); q.processAllAvailable() // replay
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("ph_out").as[PhOut].collect()
+        .map(p => p.day_ed -> p).toMap
+      // the reference is the batch recursion run sequentially
+      var i = 0L; var cx = 0L; var mt = 0L; var mmin = Long.MaxValue
+      val expected = daily.map { p =>
+        i += 1; cx += p.x
+        val mean = cx / i
+        mt += p.x - mean
+        mmin = math.min(mmin, mt)
+        val ph = mt - mmin
+        p.day_ed -> PhOut(p.day_ed, mean, mt, ph, ph > lambda)
+      }.toMap
+      assert(got.size == daily.size)
+      assert(got == expected)
+      // and the oracled batch view agrees on the headline numbers
+      val b = graft.operators.Relational.qPageHinkley(spark, sfDir).collect()(0)
+      assert(b.getAs[Long]("max_ph") == expected.values.map(_.ph).max)
+      assert(b.getAs[Long]("n_alarm_days") == expected.values.count(_.alarm).toLong)
+    } finally q.stop()
+  }
+
   test("F41 streaming error bursts equal a sequential batch fold; replay-safe") {
     import spark.implicits._
     import graft.streaming.EventStreams.{ErrEvent, ErrBurstOut}
