@@ -225,6 +225,40 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_idx"))
 
   val oracles: Map[String, String] = Map(
+    "q_media_phash" ->
+      """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 16 AS BIGINT) AS w,
+        |    CAST(8 + doc_id % 8 AS BIGINT) AS h FROM documents),
+        |g AS (SELECT doc_id, (i % 9) AS xt, (i // 9) AS yt,
+        |    ((i % 9) * w) // 9 AS sx, ((i // 9) * h) // 8 AS sy
+        |  FROM d, (SELECT unnest(range(72)) AS i)),
+        |p AS (SELECT doc_id, xt, yt,
+        |    299*((7*doc_id + 3*sx + 5*sy) % 256)
+        |  + 587*((11*doc_id + sx + 2*sy) % 256)
+        |  + 114*((13*doc_id + 2*sx + sy) % 256) AS lum
+        |  FROM g),
+        |b AS (SELECT doc_id, yt*8 + xt AS idx,
+        |    CASE WHEN LEAD(lum) OVER (PARTITION BY doc_id, yt
+        |      ORDER BY xt) > lum THEN 1 ELSE 0 END AS bit
+        |  FROM p QUALIFY xt < 8),
+        |hb AS (SELECT doc_id, idx // 16 AS band_id,
+        |    SUM(bit * (1 << (idx % 16))) AS v
+        |  FROM b GROUP BY 1, 2),
+        |bandc AS (SELECT band_id, v, COUNT(*) AS n FROM hb GROUP BY 1, 2),
+        |bands AS (SELECT CAST(band_id AS BIGINT) AS band_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    CAST(MAX(n) AS BIGINT) AS max_bucket,
+        |    CAST(SUM(n*(n-1)//2) AS BIGINT) AS n_candidate_pairs
+        |  FROM bandc GROUP BY 1),
+        |fh AS (SELECT STRING_AGG(v::VARCHAR, ',' ORDER BY band_id) AS v
+        |  FROM hb GROUP BY doc_id),
+        |fc AS (SELECT v, COUNT(*) AS n FROM fh GROUP BY 1),
+        |fulls AS (SELECT CAST(-1 AS BIGINT) AS band_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    CAST(MAX(n) AS BIGINT) AS max_bucket,
+        |    CAST(SUM(n*(n-1)//2) AS BIGINT) AS n_candidate_pairs
+        |  FROM fc)
+        |SELECT * FROM bands UNION ALL SELECT * FROM fulls
+        |ORDER BY band_id""".stripMargin,
     "q_media_audio" ->
       """WITH d AS (SELECT doc_id, CAST(64 + doc_id % 64 AS BIGINT) AS n FROM documents),
         |t AS (SELECT doc_id, n, i AS t, ((doc_id*31 + i*i*7) % 4096) - 2048 AS s
@@ -989,6 +1023,75 @@ object Multimodal {
     */
   def qMediaPng(s: SparkSession, dir: String): DataFrame =
     decodeStats(synthesizePng(s, dir))
+
+  /** E15: perceptual-hash (dHash) image near-duplication — the
+    * image-side twin of the text near-dup family (C8 SimHash → this;
+    * LAION/DataComp pipelines dedup images exactly this way before
+    * training): decode the REAL BMP payload (ImageIO, the E2 codec),
+    * sample a 9×8 luminance grid with the pure-integer E10 mapping
+    * sx = (xt·w) div 9, sy = (yt·h) div 8, take the 64 horizontal
+    * gradient signs as the dHash (idx = yt·8 + xt), and split the
+    * hash into four 16-bit BANDS (the C8b blocking idiom — candidate
+    * pairs come from band-equality buckets, never an all-pairs scan).
+    * Publishes per band (and band −1 = the full hash, i.e. exact
+    * perceptual duplicates): bucket count, largest bucket, and the
+    * candidate-pair volume ΣC(n,2) — counts derived from bucket
+    * sizes, pairs never materialized. The E2 pixel formula is
+    * periodic in id mod 256, so true duplicate clusters exist by
+    * construction and the census has signal. At 100 TB: one decode
+    * pass emitting (id, 4 shorts), a ≤65536-key per-band aggregate —
+    * payload bytes never shuffle.
+    */
+  def qMediaPhash(s: SparkSession, dir: String): DataFrame = {
+    val hashSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("b0", LongType, nullable = false),
+      StructField("b1", LongType, nullable = false),
+      StructField("b2", LongType, nullable = false),
+      StructField("b3", LongType, nullable = false)))
+    val hashes = synthesizeBmp(s, dir)
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val img = decodeImage(id, row.getAs[Array[Byte]](1))
+          val w = img.getWidth; val h = img.getHeight
+          val lum = Array.ofDim[Long](8, 9)
+          var yt = 0
+          while (yt < 8) {
+            var xt = 0
+            while (xt < 9) {
+              val p = img.getRGB((xt * w) / 9, (yt * h) / 8)
+              lum(yt)(xt) = 299L * ((p >> 16) & 0xFF) +
+                587L * ((p >> 8) & 0xFF) + 114L * (p & 0xFF)
+              xt += 1
+            }
+            yt += 1
+          }
+          val bands = new Array[Long](4)
+          var idx = 0
+          while (idx < 64) {
+            val x = idx % 8; val y = idx / 8
+            if (lum(y)(x + 1) > lum(y)(x))
+              bands(idx / 16) |= 1L << (idx % 16)
+            idx += 1
+          }
+          Row(id, bands(0), bands(1), bands(2), bands(3))
+        }
+      }(Encoders.row(hashSchema))
+    val bands = hashes.selectExpr("media_id",
+      "stack(4, CAST(0 AS BIGINT), b0, CAST(1 AS BIGINT), b1, " +
+      "CAST(2 AS BIGINT), b2, CAST(3 AS BIGINT), b3) AS (band_id, v)")
+    def census(keyed: DataFrame): DataFrame =
+      keyed.groupBy(col("band_id"), col("v"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_buckets"),
+             max(col("n")).as("max_bucket"),
+             sum(expr("n * (n - 1) div 2")).as("n_candidate_pairs"))
+    val full = hashes.select(lit(-1L).as("band_id"),
+      concat_ws(",", col("b0"), col("b1"), col("b2"), col("b3")).as("v"))
+    census(bands).unionByName(census(full)).orderBy(col("band_id"))
+  }
 
   /** Shared codec-gate kernel: decode each payload (any ImageIO
     * format) and emit exact per-image integer pixel statistics. Stats
