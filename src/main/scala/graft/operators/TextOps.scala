@@ -92,6 +92,35 @@ object TextOps {
       .select(col("doc_id"), langPred(T.words(col("text"))).as("pred_lang"))
       .orderBy(col("doc_id"))
 
+  /** C51: tokenizer fertility per language — the BPE-vocab planning
+    * table every multilingual tokenizer effort starts from ("how many
+    * subword tokens does a word cost in each language, and how many
+    * characters does a token buy?"): docs routed by the SHARED C4
+    * predictor, both token conventions from C2 (whitespace words and
+    * the BPE-ish regex `[a-z]+|[0-9]+|[^a-z0-9 ]`), fragmentation =
+    * regex-tokens-per-word and compression = chars-per-regex-token,
+    * both EXACT integral permille. A language whose fragmentation is
+    * high is under-served by the vocab — the signal this table
+    * exists to surface. At 100 TB: one linear pass (predict +
+    * tokenize fold together), one ≤|langs|-key map-side-combined
+    * aggregate.
+    */
+  def qTokFertility(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(langPred(T.words(col("text"))).as("pred_lang"),
+        length(col("text")).cast("long").as("nc"),
+        size(T.words(col("text"))).cast("long").as("nw"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("nr"))
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+           sum(col("nw")).as("n_ws_tokens"), sum(col("nr")).as("n_re_tokens"))
+      .select(col("pred_lang"), col("n_docs"), col("n_chars"),
+        col("n_ws_tokens"), col("n_re_tokens"),
+        expr("(n_re_tokens * 1000) div n_ws_tokens").as("frag_permille"),
+        expr("(n_chars * 1000) div n_re_tokens").as("chars_per_tok_permille"))
+      .orderBy(col("pred_lang"))
+
   /** Word 3-shingles per doc via a compiled kernel (the Column
     * higher-order-function formulation is interpreted — fine for one-off
     * metrics, too slow on the similarity hot path), fanned out so the
@@ -2929,6 +2958,24 @@ object TextOps {
     "q_langid" ->
       s"""WITH $langPredCteSql
         |SELECT doc_id, pred_lang FROM pred ORDER BY doc_id""".stripMargin,
+    "q_tok_fertility" ->
+      s"""WITH $langPredCteSql,
+        |t AS (SELECT p.pred_lang,
+        |    LENGTH(text) AS nc,
+        |    LEN(string_split(text,' ')) AS nw,
+        |    LEN(regexp_extract_all(text,'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS nr
+        |  FROM documents d JOIN pred p USING (doc_id)),
+        |a AS (SELECT pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |    CAST(SUM(nw) AS BIGINT) AS n_ws_tokens,
+        |    CAST(SUM(nr) AS BIGINT) AS n_re_tokens
+        |  FROM t GROUP BY 1)
+        |SELECT pred_lang, n_docs, n_chars, n_ws_tokens, n_re_tokens,
+        |  CAST((n_re_tokens * 1000) // n_ws_tokens AS BIGINT)
+        |    AS frag_permille,
+        |  CAST((n_chars * 1000) // n_re_tokens AS BIGINT)
+        |    AS chars_per_tok_permille
+        |FROM a ORDER BY pred_lang""".stripMargin,
     "q_confusion" ->
       s"""WITH $langPredCteSql
         |SELECT d.lang AS gold_lang, p.pred_lang, COUNT(*) AS n
