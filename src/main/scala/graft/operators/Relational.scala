@@ -2537,11 +2537,14 @@ object Relational {
     */
   def qOrderReconcile(s: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(38,0)"
+    // per-row product in LONG (cents ≤ 1e7 · 200 · 200 ≈ 4e11 ≪ 2^63);
+    // only the order-level sum needs DECIMAL headroom — one cast per
+    // row instead of three decimal multiplies (2.2s → long-lane codegen)
     val lsum = lineitem(s, dir).groupBy(col("l_orderkey"))
       .agg(sum(expr(
-        s"CAST(CAST(ROUND(l_extendedprice*100,0) AS $dec) * " +
-        s"(100 - CAST(ROUND(l_discount*100,0) AS $dec)) * " +
-        s"(100 + CAST(ROUND(l_tax*100,0) AS $dec)) AS $dec)")).as("exp_e4"))
+        s"CAST(CAST(ROUND(l_extendedprice*100,0) AS BIGINT) * " +
+        s"(100 - CAST(ROUND(l_discount*100,0) AS BIGINT)) * " +
+        s"(100 + CAST(ROUND(l_tax*100,0) AS BIGINT)) AS $dec)")).as("exp_e4"))
     val cls = orders(s, dir)
       .select(col("o_orderkey"),
         (round(col("o_totalprice") * 100, 0).cast("long") * 10000L)

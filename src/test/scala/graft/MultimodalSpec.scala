@@ -51,6 +51,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("E15 phash banding never misses an exact perceptual duplicate (LSH guarantee)") {
+    // two images with equal full hashes agree on EVERY band, so each
+    // band's candidate-pair volume must dominate the exact-dup pair
+    // volume — the banding-recall invariant that makes the blocked
+    // near-dup scan safe to trust at scale (a band that undercounts
+    // would silently drop true duplicates from the candidate set)
+    val spark = TestSpark.spark
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Multimodal.qMediaPhash(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (_, _, exactPairs) = rows(-1L)
+    assert(exactPairs > 0, "fixture must contain true perceptual dups")
+    for (b <- 0L to 3L) {
+      val (nBuckets, maxBucket, candPairs) = rows(b)
+      assert(candPairs >= exactPairs,
+        s"band $b candidate volume $candPairs < exact-dup volume $exactPairs")
+      assert(nBuckets >= 1 && maxBucket >= 1)
+    }
+    // and the bands really are coarser: every band has at most as many
+    // buckets as the full hash (pigeonhole on the 16-bit projections)
+    val (fullBuckets, _, _) = rows(-1L)
+    for (b <- 0L to 3L)
+      assert(rows(b)._1 <= fullBuckets)
+  }
+
   test("encodeWav produces a real RIFF/WAVE file that AudioSystem decodes sample-exactly") {
     for (id <- Seq(0L, 7L, 123L)) {
       val bytes = Multimodal.encodeWav(id)
