@@ -40,5 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(1).eval().asInstanceOf[Number].intValue(),
         children(2).eval().asInstanceOf[Number].intValue())))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // custom logical nodes opt OUT of Catalyst's pushdown by default —
+    // this rule opts the as-of node back in for left-only predicates
+    ext.injectOptimizerRule(_ => graft.plans.AsOfFilterPushdown)
   }
 }

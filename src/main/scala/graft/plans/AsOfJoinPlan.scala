@@ -50,6 +50,40 @@ final case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Catalyst optimizer rule (SparkSessionExtensions ·
+  * injectOptimizerRule — SURVEY §2 G16): restore filter pushdown
+  * through the custom as-of node. Catalyst's stock
+  * PushPredicateThroughNonJoin knows nothing about [[AsOfJoinPlan]],
+  * so ANY predicate above it — however selective — would otherwise
+  * stop at the node and both scans below would read everything.
+  * Left-only deterministic conjuncts commute with the as-of
+  * semantics (each left row's match depends only on that row and the
+  * right side), so they move below the node, where the stock rules in
+  * the same fixed-point batch keep walking them down to the scan
+  * (`PushedFilters` — spec-locked end to end). Predicates referencing
+  * the attached payload are NOT safe to move (they observe the join's
+  * result) and stay above; right-side pre-filtering would change the
+  * match set and is never derived here.
+  */
+object AsOfFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsOfJoinPlan) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic &&
+          p.references.subsetOf(a.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(push.reduce(And), a.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, p) =>

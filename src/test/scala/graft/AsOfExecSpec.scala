@@ -45,6 +45,53 @@ class AsOfExecSpec extends AnyFunSuite {
     assert(viaExec.toSeq == viaWindow.toSeq)
   }
 
+  test("G16: left-only filters push through the as-of node to the scan; payload filters stay") {
+    val (ev, ord) = sides
+    val joined = Windowed.asOfJoinExec(ev, ord, "user_id", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"))
+
+    // left-only predicate: must sink below AsOfJoinPlan and keep walking
+    // to the left parquet scan as a pushed data filter
+    val lf = joined.filter(col("user_id") < 50L)
+    val opt = lf.queryExecution.optimizedPlan
+    def filterAboveAsOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.child.isInstanceOf[graft.plans.AsOfJoinPlan] => f
+      }.nonEmpty
+    assert(!filterAboveAsOf(opt), s"left-only filter stuck above the node:\n$opt")
+    val scans = lf.queryExecution.executedPlan.toString
+    assert(scans.contains("PushedFilters: [IsNotNull(user_id), LessThan(user_id,50)]") ||
+           scans.contains("LessThan(user_id,50)"),
+      s"predicate did not reach the scan:\n$scans")
+
+    // and semantics are unchanged: push-then-join == join-then-filter
+    val expected = joined.collect()
+      .filter(r => r.getLong(1) < 50L)
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sortBy(identity)
+    val got = lf.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sortBy(identity)
+    assert(got.length > 0 && got.toSeq == expected.toSeq)
+
+    // payload predicate: NOT safe to move — must remain above the node
+    val pf = joined.filter(col("o_totalprice") > 1000.0)
+    assert(filterAboveAsOf(pf.queryExecution.optimizedPlan),
+      "payload filter must stay above the as-of node")
+    // mixed conjunction: the left half sinks, the payload half stays
+    val mixed = joined.filter(col("user_id") < 50L && col("o_totalprice") > 1000.0)
+    val mopt = mixed.queryExecution.optimizedPlan
+    assert(filterAboveAsOf(mopt), "payload conjunct must stay above")
+    assert(!mopt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.child.isInstanceOf[graft.plans.AsOfJoinPlan] => f
+    }.exists(_.condition.references.exists(_.name == "user_id")),
+      "left conjunct must not remain above the node")
+  }
+
   test("custom exec plans as one exchange + sort per side, no window/union") {
     val (ev, ord) = sides
     val df = Windowed.asOfJoinExec(ev, ord, "user_id", "ts", "o_orderdate",
