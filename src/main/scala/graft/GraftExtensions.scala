@@ -43,5 +43,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // custom logical nodes opt OUT of Catalyst's pushdown by default —
     // this rule opts the as-of node back in for left-only predicates
     ext.injectOptimizerRule(_ => graft.plans.AsOfFilterPushdown)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfColumnPruning)
   }
 }

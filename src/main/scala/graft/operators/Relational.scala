@@ -175,6 +175,34 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** B9c: the G16/G17 optimizer rules driven through the DRIVER gate —
+    * a selective filter plus a narrow projection over the custom as-of
+    * exec. Without AsOfFilterPushdown the user_id predicate would stop
+    * above the node (both scans full); without AsOfColumnPruning the
+    * dropped o_totalprice payload would still be scanned, merged, and
+    * shuffled. With them the plan is: pruned scans → one exchange +
+    * sort per side → merge carrying ONE payload column. The oracle is
+    * the same DuckDB ASOF JOIN with the WHERE applied after — proving
+    * push-then-join == join-then-filter on real data.
+    */
+  def qAsOfPruned(s: SparkSession, dir: String): DataFrame = {
+    val dedupW = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val ord = orders(s, dir)
+      .withColumn("rn", row_number().over(dedupW))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+              col("o_orderkey"), col("o_totalprice"))
+    Windowed.asOfJoinExec(
+        left = events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+        right = ord,
+        key = "user_id", leftTs = "ts", rightTs = "o_orderdate",
+        payload = Seq("o_orderkey", "o_totalprice"))
+      .filter(col("user_id") % 10 === 3)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
   /** B10: sessionization (Windowed.sessionized, 30 min inactivity gap). */
   def qSessionize(s: SparkSession, dir: String): DataFrame = {
     Windowed.sessionized(events(s, dir), key = "user_id", ts = "ts",
@@ -6251,6 +6279,18 @@ object Relational {
         |  CAST(ROUND(o.o_totalprice,2) AS DECIMAL(18,2))::DOUBLE AS o_totalprice
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q_asof_pruned" ->
+      """WITH o AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderkey,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |        ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, o.o_orderkey
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |WHERE e.user_id % 10 = 3
         |ORDER BY e.event_id""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (

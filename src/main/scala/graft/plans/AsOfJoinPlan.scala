@@ -84,6 +84,50 @@ object AsOfFilterPushdown
   }
 }
 
+/** Catalyst optimizer rule (injectOptimizerRule — SURVEY §2 G17): the
+  * column-pruning half of what stock Catalyst cannot do through an
+  * unknown node. ColumnPruning stops at [[AsOfJoinPlan]], so a query
+  * consuming two columns of a wide as-of result would still scan every
+  * column of both children. For a Project above the node (optionally
+  * across a retained payload Filter), this rule (1) drops payload
+  * columns nothing upstream references — the merge then never copies
+  * them — and (2) inserts child Projects keeping only the referenced
+  * columns plus each side's key/ts, which the stock rules collapse
+  * into the scans (`ReadSchema` narrows — spec-locked). No-op when
+  * nothing shrinks, so the fixed point terminates.
+  */
+object AsOfColumnPruning
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+
+  private def prune(a: AsOfJoinPlan, used: AttributeSet): Option[AsOfJoinPlan] = {
+    val keepPayload = a.payload.filter(used.contains)
+    val needL = AttributeSet(Seq(a.leftKey, a.leftTs)) ++
+      (used -- AttributeSet(a.payload))
+    val needR = AttributeSet(Seq(a.rightKey, a.rightTs)) ++
+      AttributeSet(keepPayload)
+    val newLeft =
+      if (a.left.output.forall(needL.contains)) a.left
+      else Project(a.left.output.filter(needL.contains), a.left)
+    val newRight =
+      if (a.right.output.forall(needR.contains)) a.right
+      else Project(a.right.output.filter(needR.contains), a.right)
+    if (keepPayload.length == a.payload.length &&
+        (newLeft eq a.left) && (newRight eq a.right)) None
+    else Some(a.copy(left = newLeft, right = newRight, payload = keepPayload))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projList, a: AsOfJoinPlan) =>
+      prune(a, AttributeSet(projList.flatMap(_.references)))
+        .map(n => p.copy(child = n)).getOrElse(p)
+    case p @ Project(projList, f @ Filter(cond, a: AsOfJoinPlan)) =>
+      prune(a, AttributeSet(projList.flatMap(_.references)) ++ cond.references)
+        .map(n => p.copy(child = f.copy(child = n))).getOrElse(p)
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, p) =>

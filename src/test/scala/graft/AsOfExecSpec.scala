@@ -92,6 +92,32 @@ class AsOfExecSpec extends AnyFunSuite {
       "left conjunct must not remain above the node")
   }
 
+  test("G17: unused payload columns prune through the as-of node down to the scan") {
+    val (ev, ord) = sides
+    val joined = Windowed.asOfJoinExec(ev, ord, "user_id", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"))
+    val narrow = joined.select(col("event_id"), col("o_orderkey"))
+    // the node itself drops the unused payload column...
+    val nodes = narrow.queryExecution.optimizedPlan.collect {
+      case a: graft.plans.AsOfJoinPlan => a
+    }
+    assert(nodes.nonEmpty && nodes.head.payload.map(_.name) == Seq("o_orderkey"),
+      s"payload not pruned:\n${narrow.queryExecution.optimizedPlan}")
+    // ...and the stock rules walk the narrowed projection into the
+    // orders scan: o_totalprice must not be read anywhere
+    val physical = narrow.queryExecution.executedPlan.toString
+    assert(!physical.contains("o_totalprice"),
+      s"pruned column still read:\n$physical")
+    // semantics unchanged vs projecting the full-width join
+    val expected = joined.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sortBy(identity)
+    val got = narrow.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(identity)
+    assert(got.length > 0 && got.toSeq == expected.toSeq)
+  }
+
   test("custom exec plans as one exchange + sort per side, no window/union") {
     val (ev, ord) = sides
     val df = Windowed.asOfJoinExec(ev, ord, "user_id", "ts", "o_orderdate",
