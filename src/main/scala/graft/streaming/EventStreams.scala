@@ -1327,6 +1327,48 @@ object EventStreams {
         })
   }
 
+  /** F44 input/output: one order event (customer, order key, calendar
+    * month index, exact cents); the output stamps the customer's
+    * cohort month and the order's age-in-months. */
+  final case class CohortIn(ck: Long, order_key: Long, m: Long, cents: Long)
+  final case class CohortOut(ck: Long, order_key: Long, cohort_m: Long,
+                             age_months: Long, cents: Long)
+
+  /** F44: streaming cohort assignment (online twin of B139's LTV
+    * matrix): TWO O(1) state cells per customer — the cohort month
+    * (frozen at first arrival) and a (month, order_key) lexicographic
+    * replay watermark. Each arriving order is stamped with its
+    * customer's cohort and age; the LTV matrix is then a downstream
+    * windowed aggregate of the stamped stream (the spec aggregates
+    * the emissions and matches the ORACLED batch cells exactly:
+    * n_orders, rev_cents, and distinct customers per cohort).
+    * Arrival contract: (month, order_key)-ordered per customer (the
+    * F39 posture); replay-safe — a redelivered order sorts at or
+    * below the watermark and is ignored, its stamp already emitted.
+    * At scale: state is two longs per customer key, the standard
+    * keyed-state shape (F30 attribution), never a global structure.
+    */
+  def cohortLtvStream(in: Dataset[CohortIn]): Dataset[CohortOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.ck)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (ck: Long, batch: Iterator[CohortIn],
+         state: GroupState[(Long, Long, Long)]) => {
+          var (cohort, wm, wok) = state.getOption
+            .getOrElse((Long.MaxValue, Long.MinValue, Long.MinValue))
+          val fresh = batch.toArray
+            .filter(e => e.m > wm || (e.m == wm && e.order_key > wok))
+            .sortBy(e => (e.m, e.order_key))
+          val out = fresh.map { e =>
+            if (cohort == Long.MaxValue) cohort = e.m
+            wm = e.m; wok = e.order_key
+            CohortOut(ck, e.order_key, cohort, e.m - cohort, e.cents)
+          }
+          state.update((cohort, wm, wok))
+          out.iterator
+        })
+  }
+
   /** F43 input/output: one daily aggregate point (epoch-day, exact
     * cents); the output carries the Page–Hinkley statistic and the
     * alarm flag at threshold λ. */

@@ -536,6 +536,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(census.getLong(4) == r1.map(_.span).max)
   }
 
+  test("F44 streaming cohort stamps aggregate to the oracled B139 LTV cells; replay-safe") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{CohortIn, CohortOut}
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.sources.Tables.orders(spark, sfDir)
+      .selectExpr("o_custkey",
+        "o_orderkey",
+        "CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) - 1 AS m",
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents")
+      .collect()
+      .map(r => CohortIn(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(e => (e.m, e.order_key)) // (month, key)-ordered arrival
+    val input = MemoryStream[CohortIn]
+    val q = EventStreams.cohortLtvStream(input.toDS())
+      .writeStream.format("memory").queryName("cohort_out").outputMode("update").start()
+    try {
+      val (b1, b2) = ev.splitAt(ev.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b1.takeRight(100)); q.processAllAvailable() // replay
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("cohort_out").as[CohortOut].collect()
+      assert(got.length == ev.length, "exactly one stamp per order")
+      // aggregate the stamped stream to the LTV cells and customers
+      val cells = got.groupBy(o => (o.cohort_m, o.age_months))
+        .map { case (k, os) => k -> (os.length.toLong, os.map(_.cents).sum) }
+      val custs = got.groupBy(_.cohort_m)
+        .map { case (c, os) => c -> os.map(_.ck).distinct.length.toLong }
+      // the ORACLED batch view must agree cell by cell
+      val batch = graft.operators.Relational.qCohortLtv(spark, sfDir).collect()
+      assert(batch.nonEmpty)
+      batch.foreach { r =>
+        val ym = r.getAs[Long]("cohort_ym")
+        val cohortM = (ym / 100) * 12 + (ym % 100) - 1
+        val age = r.getAs[Long]("age_months")
+        val (nOrders, revCents) = cells((cohortM, age))
+        assert(nOrders == r.getAs[Long]("n_orders"), s"cell ($ym,$age) n")
+        assert(revCents == r.getAs[Long]("rev_cents"), s"cell ($ym,$age) rev")
+        assert(custs(cohortM) == r.getAs[Long]("n_customers"), s"cohort $ym sizes")
+      }
+      assert(cells.size == batch.length, "no extra cells in the stream")
+    } finally q.stop()
+  }
+
   test("F43 streaming Page–Hinkley equals the batch B140 recursion; replay-safe") {
     import spark.implicits._
     import graft.streaming.EventStreams.{PhIn, PhOut}
