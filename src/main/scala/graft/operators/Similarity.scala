@@ -1065,6 +1065,96 @@ object Similarity {
     globalTopK(rerank, k)
   }
 
+  /** D31: IVF with MULTI-ASSIGNMENT (spilled assignment — the modern
+    * recall lever on the D6 index, the idea behind ScaNN's SOAR and
+    * Faiss' IVF spilling): each corpus vector is indexed under its
+    * TOP-2 coarse cells instead of one, so a query probing nProbe
+    * cells sees every vector whose first OR second cell matches —
+    * boundary vectors stop falling through the cracks. Cost contract:
+    * the index doubles (2 entries/vector), the query-time scan grows
+    * by the same factor, recall strictly dominates D6's (same probes,
+    * superset candidates — SimilaritySpec pins the dominance). Same
+    * deterministic centroids, same tie rules (dot DESC, cell id) as
+    * D6, so the oracle extends the shared cell CTE with `rn <= 2`. At
+    * 100 TB: identical plan shape to D6 — cell id stays the partition
+    * column; multi-assignment is an ingest-side fan-out of (id, code)
+    * pairs, never a query-side blowup beyond the 2× scan.
+    */
+  def qAnnIvfMulti(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val nCells = 16
+    val nProbe = 2
+    val dim = 64
+    val e = emb(s, dir)
+    val cents = ivfCentroids(nCells, dim)
+    def topCells(v: Array[Double], n: Int): Array[Int] = {
+      val dots = Array.tabulate(nCells) { ci =>
+        val cv = cents(ci)
+        var d = 0.0; var j = 0
+        while (j < v.length) { d += cv(j) * v(j); j += 1 }
+        d
+      }
+      (0 until nCells).sortBy(ci => (-dots(ci), ci)).take(n).toArray
+    }
+    val qs = collectQueries(e)
+    val (qids, qv, qnorm) = (qs.qids, qs.qv, qs.qnorm)
+    val probing = Array.fill(nCells)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    qv.zipWithIndex.foreach { case (v, qi) =>
+      topCells(v, nProbe).foreach(c => probing(c) += qi)
+    }
+    val probingArr = probing.map(_.toArray) // qi-ascending by construction
+    val bc = s.sparkContext.broadcast((qids, qv, qnorm, cents, probingArr))
+
+    val locals = fanOut(e.select(col("vec_id"), col("v")))
+      .mapPartitions { it =>
+        val (bQids, bQv, bQnorm, bCents, bProbing) = bc.value
+        val nq = bQids.length
+        val heaps = new TopKHeaps(nq, k)
+        it.foreach { row =>
+          val v = row.getSeq[Double](1).toArray
+          val vid = row.getLong(0)
+          // corpus top-2 cells: (dot DESC, cell id) — the D6 tie rule
+          var c1 = -1; var d1 = Double.NegativeInfinity
+          var c2 = -1; var d2 = Double.NegativeInfinity
+          var ci = 0
+          while (ci < bCents.length) {
+            val cv = bCents(ci)
+            var d = 0.0; var j = 0
+            while (j < v.length) { d += cv(j) * v(j); j += 1 }
+            if (d > d1) { d2 = d1; c2 = c1; d1 = d; c1 = ci }
+            else if (d > d2) { d2 = d; c2 = ci }
+            ci += 1
+          }
+          val q1 = bProbing(c1)
+          val q2 = if (c2 >= 0) bProbing(c2) else Array.empty[Int]
+          if (q1.nonEmpty || q2.nonEmpty) {
+            var n2 = 0.0; var j = 0
+            while (j < v.length) { n2 += v(j) * v(j); j += 1 }
+            val nrm = math.sqrt(n2)
+            // merge the two qi-sorted probe lists, deduping queries
+            // that probe BOTH cells (a double insert would duplicate
+            // the vector in that query's heap)
+            var i1 = 0; var i2 = 0
+            while (i1 < q1.length || i2 < q2.length) {
+              val qi =
+                if (i2 >= q2.length || (i1 < q1.length && q1(i1) <= q2(i2))) {
+                  val x = q1(i1); i1 += 1
+                  if (i2 < q2.length && q2(i2) == x) i2 += 1
+                  x
+                } else { val x = q2(i2); i2 += 1; x }
+              val qvv = bQv(qi)
+              var d = 0.0; var jj = 0
+              while (jj < v.length) { d += qvv(jj) * v(jj); jj += 1 }
+              heaps.insert(qi, d / (bQnorm(qi) * nrm), vid)
+            }
+          }
+        }
+        heaps.emit(bQids)
+      }(Encoders.row(localTopKSchema))
+
+    globalTopK(locals, k)
+  }
+
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val k = 10
     val nCells = 16
@@ -1946,6 +2036,27 @@ object Similarity {
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, p) AS rn
       |  FROM cd),
       |cell AS (SELECT vec_id, p FROM cellr WHERE rn = 1)""".stripMargin
+  }
+
+  /** D31 oracle: the shared cell CTE with corpus assignment widened to
+    * rn <= 2 (multi-assignment); probes and rerank identical to D6.
+    */
+  private val annIvfMultiSql: String = {
+    s"""WITH $ivfCellCteSql,
+      |cell2 AS (SELECT vec_id, p FROM cellr WHERE rn <= 2),
+      |probes AS (SELECT vec_id, p FROM cellr
+      |  WHERE rn <= 2 AND vec_id % 50 = 0 AND vec_id < 5000),
+      |cand AS (SELECT DISTINCT pr.vec_id AS q_id, c.vec_id
+      |  FROM probes pr JOIN cell2 c ON pr.p = c.p),
+      |sims AS (SELECT q_id, cand.vec_id,
+      |    list_cosine_similarity(qe.v, ce.v) AS sim
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
+      |  JOIN e ce ON ce.vec_id = cand.vec_id),
+      |r AS (SELECT q_id, vec_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM sims)
+      |SELECT q_id, vec_id, rank, CAST(ROUND(sim,4) AS DECIMAL(18,4))::DOUBLE AS sim
+      |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
 
   private val annIvfSql: String = {
@@ -2875,6 +2986,7 @@ object Similarity {
     "q_ann_lsh" -> annLshSql(probe1 = false),
     "q_ann_multiprobe" -> annLshSql(probe1 = true),
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_ivf_multi" -> annIvfMultiSql,
     "q_ann_ivfpq" -> annIvfPqSql,
     "q_mmr" -> mmrSql,
     "q_knn_graph" ->

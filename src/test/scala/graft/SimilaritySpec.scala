@@ -67,6 +67,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(multi > 0.5, s"multi-probe recall $multi")
   }
 
+  test("D31: IVF multi-assignment recall dominates single-assignment IVF") {
+    val exact = Similarity.qCosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val single = hits(Similarity.qAnnIvf(spark, sfDir))
+    val multi = hits(Similarity.qAnnIvfMulti(spark, sfDir))
+    def recall(got: Map[Long, Set[Long]]): Double = {
+      val rs = exact.map { case (q, ex) =>
+        got.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+      rs.sum / rs.size
+    }
+    val rs = recall(single); val rm = recall(multi)
+    assert(rm >= rs, s"multi-assign recall $rm < single $rs")
+    // and not just on average: the candidate set is a strict superset
+    // per query (same probes, corpus indexed under MORE cells), so no
+    // query may lose an exact hit it had under single assignment
+    exact.keys.foreach { q =>
+      val lost = single.getOrElse(q, Set.empty).intersect(exact(q)) --
+        multi.getOrElse(q, Set.empty)
+      assert(lost.isEmpty, s"query $q lost exact hits $lost under multi-assign")
+    }
+  }
+
   test("E5 byte-offset chunking never splits a code point (incl. astral chars)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
