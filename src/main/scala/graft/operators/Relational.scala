@@ -2303,7 +2303,7 @@ object Relational {
     * with the ratio cross-multiplied into exact integer operands, e6
     * rounded per bucket before the exact integer sum (the C33 rule).
     */
-  private val psiTermSql =
+  private[operators] val psiTermSql =
     "CAST(ROUND((CAST(a AS DOUBLE) / CAST(na AS DOUBLE) - " +
       "CAST(b AS DOUBLE) / CAST(nb AS DOUBLE)) * " +
       "ln((CAST(a AS DOUBLE) * CAST(nb AS DOUBLE)) / " +

@@ -92,6 +92,39 @@ object TextOps {
       .select(col("doc_id"), langPred(T.words(col("text"))).as("pred_lang"))
       .orderBy(col("doc_id"))
 
+  /** C52: corpus quality-score DRIFT between even/odd doc cohorts —
+    * the text-side twin of D25's embedding drift and B88's feature
+    * PSI ("did this crawl snapshot's quality distribution move?" —
+    * the monitor every recurring-ingest pipeline runs before mixing a
+    * new snapshot in): per-doc stopword permille (the C3 quality
+    * axis, EXACT integral — (markers·1000) div words), 25-permille
+    * buckets, and the population stability index between the cohorts
+    * via the shared B88 term text (e6-rounded per bucket before the
+    * exact integer sum; empty-on-either-side buckets excluded and
+    * audited). Even/odd is the calibration split — PSI ≈ 0 is the
+    * null reading the monitor is trusted against (the D25 posture).
+    * At 100 TB: one linear pass, one ≤41-key aggregate, a 1-row
+    * broadcast.
+    */
+  def qQualityDrift(s: SparkSession, dir: String): DataFrame = {
+    val ws = T.words(col("text"))
+    val h = documents(s, dir)
+      .select((col("doc_id") % 2).as("par"),
+        (T.markerCount(ws, stopwords).cast("long") * 1000).as("m1000"),
+        size(ws).cast("long").as("n"))
+      .select(col("par"), expr("m1000 div n").as("spm"))
+      .groupBy(expr("spm div 25").as("bucket"))
+      .agg(sum(when(col("par") === 0, 1L).otherwise(0L)).as("a"),
+           sum(when(col("par") =!= 0, 1L).otherwise(0L)).as("b"))
+    val tot = h.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    h.filter(col("a") > 0 && col("b") > 0)
+      .crossJoin(broadcast(tot))
+      .select(expr(Relational.psiTermSql).as("term"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("na")).as("na"),
+           max(col("nb")).as("nb"),
+           sum(col("term")).cast("long").as("psi_e6"))
+  }
+
   /** C51: tokenizer fertility per language — the BPE-vocab planning
     * table every multilingual tokenizer effort starts from ("how many
     * subword tokens does a word cost in each language, and how many
@@ -2958,6 +2991,23 @@ object TextOps {
     "q_langid" ->
       s"""WITH $langPredCteSql
         |SELECT doc_id, pred_lang FROM pred ORDER BY doc_id""".stripMargin,
+    "q_quality_drift" ->
+      s"""WITH d AS (SELECT doc_id % 2 AS par,
+        |    (LEN(list_filter(string_split(text,' '),
+        |       x -> x IN ($stopSql))) * 1000)
+        |      // LEN(string_split(text,' ')) AS spm
+        |  FROM documents),
+        |h AS (SELECT spm // 25 AS bucket,
+        |    SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN par <> 0 THEN 1 ELSE 0 END) AS b
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+        |    CAST(SUM(b) AS BIGINT) AS nb FROM h),
+        |j AS (SELECT ${graft.operators.Relational.psiTermSql} AS term,
+        |    na, nb FROM h CROSS JOIN t WHERE a > 0 AND b > 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets, MAX(na) AS na,
+        |  MAX(nb) AS nb, CAST(SUM(term) AS BIGINT) AS psi_e6
+        |FROM j""".stripMargin,
     "q_tok_fertility" ->
       s"""WITH $langPredCteSql,
         |t AS (SELECT p.pred_lang,
