@@ -92,6 +92,36 @@ object TextOps {
       .select(col("doc_id"), langPred(T.words(col("text"))).as("pred_lang"))
       .orderBy(col("doc_id"))
 
+  /** C53: language-ID confidence MARGIN census — the calibration
+    * table behind C48's re-detect routing threshold ("when is the C4
+    * argmax trustworthy?"): per doc, the gap between the best and
+    * second-best marker counts; per predicted language, the tie /
+    * low-margin (1–2) / confident (≥3) census plus total and max
+    * margin — exactly the table you read to pick the band where a
+    * heavier detector is worth its cost. Exact integers; one linear
+    * pass (the 5 marker counts fold with the argmax), a ≤|langs|-key
+    * aggregate.
+    */
+  def qLangIdMargin(s: SparkSession, dir: String): DataFrame = {
+    val ws = T.words(col("text"))
+    val scoreCols = langMarkers.map { case (code, m) =>
+      T.markerCount(ws, m).cast("long").as(s"s_$code") }
+    documents(s, dir)
+      .select(Seq(langPred(ws).as("pred_lang")) ++ scoreCols: _*)
+      .withColumn("srt", sort_array(
+        array(langMarkers.map { case (c, _) => col(s"s_$c") }: _*), asc = false))
+      .select(col("pred_lang"),
+        (element_at(col("srt"), 1) - element_at(col("srt"), 2)).as("margin"))
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("margin") === 0, 1L).otherwise(0L)).as("n_tie"),
+        sum(when(col("margin").between(1, 2), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("margin") >= 3, 1L).otherwise(0L)).as("n_confident"),
+        sum(col("margin")).as("sum_margin"),
+        max(col("margin")).as("max_margin"))
+      .orderBy(col("pred_lang"))
+  }
+
   /** C52: corpus quality-score DRIFT between even/odd doc cohorts —
     * the text-side twin of D25's embedding drift and B88's feature
     * PSI ("did this crawl snapshot's quality distribution move?" —
@@ -2991,6 +3021,22 @@ object TextOps {
     "q_langid" ->
       s"""WITH $langPredCteSql
         |SELECT doc_id, pred_lang FROM pred ORDER BY doc_id""".stripMargin,
+    "q_langid_margin" ->
+      s"""WITH $langPredCteSql,
+        |m AS (SELECT sc.doc_id, p.pred_lang,
+        |    list_sort([s_de, s_en, s_es, s_fr, s_zh], 'DESC')[1]
+        |  - list_sort([s_de, s_en, s_es, s_fr, s_zh], 'DESC')[2] AS margin
+        |  FROM sc JOIN pred p USING (doc_id))
+        |SELECT pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN margin = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_tie,
+        |  CAST(SUM(CASE WHEN margin BETWEEN 1 AND 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN margin >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_confident,
+        |  CAST(SUM(margin) AS BIGINT) AS sum_margin,
+        |  CAST(MAX(margin) AS BIGINT) AS max_margin
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_quality_drift" ->
       s"""WITH d AS (SELECT doc_id % 2 AS par,
         |    (LEN(list_filter(string_split(text,' '),
