@@ -3027,6 +3027,183 @@ object Relational {
               col("abs_s").cast("long").as("max_abs_s"))
   }
 
+  /** B142 shared formula text (the B84 convention: ONE double formula
+    * string both engines evaluate over exact integer moments, so the
+    * published doubles are bit-identical cross-engine). Central
+    * moments from raw power sums — the textbook expansions:
+    *   n²·m2 = n·S2 − S1²
+    *   n³·m3 = n²·S3 − 3n·S1·S2 + 2S1³
+    *   n⁴·m4 = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3S1⁴
+    * evaluated in IEEE doubles (same op sequence both engines). */
+  private val jbM2Sql =
+    "(CAST(n AS DOUBLE)*CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))" +
+      " / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE))"
+  private val jbM3Sql =
+    "(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(s3 AS DOUBLE)" +
+      " - 3.0*CAST(n AS DOUBLE)*CAST(s1 AS DOUBLE)*CAST(s2 AS DOUBLE)" +
+      " + 2.0*CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))" +
+      " / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE))"
+  private val jbM4Sql =
+    "(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(s4 AS DOUBLE)" +
+      " - 4.0*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(s1 AS DOUBLE)*CAST(s3 AS DOUBLE)" +
+      " + 6.0*CAST(n AS DOUBLE)*CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)*CAST(s2 AS DOUBLE)" +
+      " - 3.0*CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))" +
+      " / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE))"
+  private val jbSkewSql = "m3 / POWER(m2, 1.5)"
+  private val jbKurtSql = "m4 / (m2 * m2)"
+  private val jbStatSql =
+    "(CAST(n AS DOUBLE) / 6.0) * (skew*skew + 0.25*(kurt - 3.0)*(kurt - 3.0))"
+
+  /** B142: Jarque–Bera normality test per returnflag cohort on
+    * l_quantity — the moment-based normality screen (Jarque & Bera
+    * 1980) completing the hypothesis-test family (B66 KS is
+    * distribution-vs-distribution; this is distribution-vs-GAUSSIAN
+    * from skewness and excess kurtosis alone). ONE map-side-combined
+    * conditional-moment pass collapses the fact to ≤3 rows of five
+    * exact integer power sums (q ≤ 50 ⇒ Σq⁴ < 2⁶³ past 10¹² rows —
+    * the B84 headroom note, an order beyond the 100 TB fact); skew,
+    * kurtosis, and JB = n/6·(skew² + ¼(kurt−3)²) are closed forms
+    * over those moments via shared formula text, so both engines
+    * publish bit-identical doubles. No shuffle beyond the ≤3-key
+    * hash aggregate.
+    */
+  def qJarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("long")
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"),
+           sum(x).as("s1"),
+           sum(x * x).as("s2"),
+           sum(x * x * x).as("s3"),
+           sum(x * x * x * x).as("s4"))
+      .withColumn("m2", expr(jbM2Sql))
+      .withColumn("m3", expr(jbM3Sql))
+      .withColumn("m4", expr(jbM4Sql))
+      .withColumn("skew", expr(jbSkewSql))
+      .withColumn("kurt", expr(jbKurtSql))
+      .select(col("flag"), col("n"), col("s1"), col("s2"), col("s3"),
+              col("s4"), dec6(col("skew")).as("skew"),
+              dec6(col("kurt")).as("kurt"),
+              dec4(expr(jbStatSql)).as("jb_stat"))
+      .orderBy(col("flag"))
+  }
+
+  /** B143 shared formula: McNemar χ² with Edwards' continuity
+    * correction, (|b−c|−1)²/(b+c), guarded NULL when b+c = 0 (no
+    * discordant pairs ⇒ the test is undefined — both engines agree
+    * by construction). */
+  private val mcnemarSql =
+    "CASE WHEN n01 + n10 = 0 THEN NULL ELSE " +
+      "(ABS(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE)) - 1.0)" +
+      " * (ABS(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE)) - 1.0)" +
+      " / (CAST(n01 AS DOUBLE) + CAST(n10 AS DOUBLE)) END"
+
+  /** B143: McNemar's paired test on customer activity 1996 → 1997 —
+    * the PAIRED-proportions test (each customer is their own
+    * control) the independent-samples B84/χ² machinery cannot
+    * replace: per customer two binary flags (any order in 1996 / in
+    * 1997) from ONE custkey max-aggregate over orders, the 2×2
+    * concordant/discordant census (n01 = newly active, n10 =
+    * churned), and the continuity-corrected statistic
+    * (|b−c|−1)²/(b+c) over the discordant diagonal only — the
+    * marginal-homogeneity question "did the active rate CHANGE"
+    * asked correctly under pairing. Panel = customers with ≥1 order
+    * ever (self-contained on the fact). At 100 TB: one custkey
+    * shuffle (map-side combined CASE maxes), then a single-row
+    * census; statistic via shared double formula text.
+    */
+  def qMcnemar(s: SparkSession, dir: String): DataFrame = {
+    val y96 = when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L)
+    val y97 = when(year(col("o_orderdate")) === 1997, 1L).otherwise(0L)
+    orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(y96).as("a"), max(y97).as("b"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(when(col("a") === 0 && col("b") === 0, 1L).otherwise(0L)).as("n00"),
+           sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L)).as("n01"),
+           sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L)).as("n10"),
+           sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)).as("n11"))
+      .select(col("n_customers"), col("n00"), col("n01"), col("n10"),
+              col("n11"), dec6(expr(mcnemarSql)).as("mcnemar_chi2"))
+  }
+
+  /** B144 shared formula: sample std-dev from exact integer moments,
+    * s = sqrt((n·Q − S²)/(n·(n−1))), and G = (dev/1)·(1/s) with dev
+    * the exact integer |n·x − S| div n (floor — both engines). */
+  private val grubbsSSql =
+    "sqrt((CAST(n_days AS DOUBLE)*CAST(q AS DOUBLE)" +
+      " - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))" +
+      " / (CAST(n_days AS DOUBLE)*(CAST(n_days AS DOUBLE) - 1.0)))"
+  private val grubbsGSql =
+    "(CAST(max_abs_ndev AS DOUBLE) / CAST(n_days AS DOUBLE)) / " + grubbsSSql
+
+  /** B144: Grubbs' maximum-deviation outlier test on daily revenue —
+    * the single-outlier significance screen next to B123's 3σ census
+    * and B141's MAD fence ("IS the most extreme day statistically
+    * surprising under normality?"): the fact collapses to the ≤|days|
+    * daily frame (map-side combined), moments n/ΣX/ΣX² are exact
+    * integers (Q in DECIMAL(38,0) — cents² headroom), the peak day is
+    * the argmax of the EXACT integer |n·x − S| (no float compare;
+    * earliest-day tie-break), and G = max|x−x̄|/s via shared double
+    * formula. At 100 TB: one bounded-domain aggregate; the rank work
+    * never touches the fact.
+    */
+  def qGrubbs(s: SparkSession, dir: String): DataFrame = {
+    val daily = graft.core.Materialize.pin(dailyRevenue(s, dir))
+    val mom = daily.agg(
+      count(lit(1)).as("n_days"),
+      sum(col("x")).as("s1"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("q"))
+    val dev = daily.crossJoin(broadcast(mom))
+      .withColumn("abs_ndev",
+        abs(col("n_days") * col("x") - col("s1")).cast("decimal(38,0)"))
+    val pick = Window.orderBy(col("abs_ndev").desc, col("day").asc)
+    dev.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("n_days"),
+              col("s1").cast("long").as("s1"),
+              date_format(col("day"), "yyyy-MM-dd").as("peak_day"),
+              expr("CAST(abs_ndev div n_days AS BIGINT)").as("peak_dev_cents"),
+              col("abs_ndev").as("max_abs_ndev"), col("q"))
+      .select(col("n_days"), col("s1"), col("peak_day"),
+              col("peak_dev_cents"),
+              dec6(expr(grubbsGSql)).as("g_stat"))
+  }
+
+  /** B145 shared formula: pooled two-proportion z — the A/B
+    * conversion test: z = (p1−p2)/sqrt(p̂(1−p̂)(1/n1+1/n2)) with
+    * p̂ the pooled rate, every operand an exact integer count. */
+  private val twoPropZSql =
+    "(CAST(x1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(x2 AS DOUBLE)/CAST(n2 AS DOUBLE))" +
+      " / sqrt( ((CAST(x1 AS DOUBLE)+CAST(x2 AS DOUBLE))/(CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE)))" +
+      " * (1.0 - (CAST(x1 AS DOUBLE)+CAST(x2 AS DOUBLE))/(CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE)))" +
+      " * (1.0/CAST(n1 AS DOUBLE) + 1.0/CAST(n2 AS DOUBLE)) )"
+
+  /** B145: two-proportion z-test on purchase conversion, even- vs
+    * odd-user cohorts — THE A/B-test readout (the experiment-analysis
+    * shape every growth team runs daily), completing the test family
+    * with the binomial-rate comparison: ONE conditional-count pass
+    * over events (cohort = user_id % 2 — a deterministic split
+    * standing in for the assignment column a real experiment
+    * carries), exact integer counts, pooled z via shared formula
+    * text, plus exact integral ppm conversion rates per cohort. At
+    * 100 TB: a single map-side-combined aggregate to one row — no
+    * shuffle at all beyond the 1-row combine.
+    */
+  def qTwoProportion(s: SparkSession, dir: String): DataFrame = {
+    val even = col("user_id") % 2 === 0
+    val isP  = col("event_type") === "purchase"
+    events(s, dir)
+      .agg(sum(when(even, 1L).otherwise(0L)).as("n1"),
+           sum(when(even && isP, 1L).otherwise(0L)).as("x1"),
+           sum(when(!even, 1L).otherwise(0L)).as("n2"),
+           sum(when(!even && isP, 1L).otherwise(0L)).as("x2"))
+      .select(col("n1"), col("x1"), col("n2"), col("x2"),
+        expr("CAST((x1 * 1000000) div n1 AS BIGINT)").as("p1_ppm"),
+        expr("CAST((x2 * 1000000) div n2 AS BIGINT)").as("p2_ppm"),
+        dec6(expr(twoPropZSql)).as("z_stat"))
+  }
+
   /** B141: exact median absolute deviation (MAD) + robust-outlier
     * census on the daily revenue series — the robust dispersion
     * estimator the σ-based anomaly screen (B123) breaks on under
@@ -5057,6 +5234,72 @@ object Relational {
         |  CAST((SELECT COUNT(*) FROM dev, mad WHERE d > 3*mad) AS BIGINT)
         |    AS n_outlier_days
         |FROM med, mad""".stripMargin,
+    "q_jarque_bera" ->
+      s"""WITH m AS (SELECT l_returnflag AS flag,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT))
+        |      AS BIGINT) AS s2,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)
+        |      *CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)
+        |      *CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT))
+        |      AS BIGINT) AS s4
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT *, $jbM2Sql AS m2, $jbM3Sql AS m3, $jbM4Sql AS m4
+        |  FROM m),
+        |k AS (SELECT *, $jbSkewSql AS skew, $jbKurtSql AS kurt FROM c)
+        |SELECT flag, n, s1, s2, s3, s4,
+        |  CAST(ROUND(skew, 6) AS DECIMAL(18,6))::DOUBLE AS skew,
+        |  CAST(ROUND(kurt, 6) AS DECIMAL(18,6))::DOUBLE AS kurt,
+        |  CAST(ROUND($jbStatSql, 4) AS DECIMAL(18,4))::DOUBLE AS jb_stat
+        |FROM k ORDER BY flag""".stripMargin,
+    "q_mcnemar" ->
+      s"""WITH f AS (SELECT o_custkey,
+        |    MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS a,
+        |    MAX(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS b
+        |  FROM orders GROUP BY 1),
+        |cen AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |    CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+        |    CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+        |  FROM f)
+        |SELECT n_customers, n00, n01, n10, n11,
+        |  CAST(ROUND($mcnemarSql, 6) AS DECIMAL(18,6))::DOUBLE
+        |    AS mcnemar_chi2
+        |FROM cen""".stripMargin,
+    "q_grubbs" ->
+      s"""WITH daily AS (SELECT o_orderdate AS day,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(x) AS BIGINT) AS s1, SUM(x*x) AS q FROM daily),
+        |d AS (SELECT day, ABS(n_days*x - s1) AS abs_ndev, n_days, s1, q
+        |  FROM daily, m),
+        |p AS (SELECT *, ROW_NUMBER() OVER (ORDER BY abs_ndev DESC, day ASC)
+        |    AS rn FROM d)
+        |SELECT n_days, s1, strftime(day, '%Y-%m-%d') AS peak_day,
+        |  CAST(abs_ndev // n_days AS BIGINT) AS peak_dev_cents,
+        |  CAST(ROUND((SELECT $grubbsGSql FROM
+        |    (SELECT abs_ndev AS max_abs_ndev, n_days, s1, q FROM p WHERE rn = 1)),
+        |    6) AS DECIMAL(18,6))::DOUBLE AS g_stat
+        |FROM p WHERE rn = 1""".stripMargin,
+    "q_two_proportion" ->
+      s"""WITH m AS (SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x2
+        |  FROM events)
+        |SELECT n1, x1, n2, x2,
+        |  CAST((x1 * 1000000) // n1 AS BIGINT) AS p1_ppm,
+        |  CAST((x2 * 1000000) // n2 AS BIGINT) AS p2_ppm,
+        |  CAST(ROUND($twoPropZSql, 6) AS DECIMAL(18,6))::DOUBLE AS z_stat
+        |FROM m""".stripMargin,
     "q_page_hinkley" ->
       """WITH daily AS (SELECT o_orderdate AS day,
         |    CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)

@@ -415,6 +415,64 @@ object TextOps {
     jaccardVerify(sets, cand, tau = 0.5)
   }
 
+  /** C54: MinHash ESTIMATOR-CALIBRATION census — the index-health
+    * audit behind every C5/C6/C45 verdict ("is an 8-permutation
+    * signature accurate enough to trust the band stage?"): over the
+    * LSH candidate pairs, the signature-agreement estimate
+    * (matching components / 8 — the unbiased MinHash Jaccard
+    * estimator) against the EXACT Jaccard off the same pinned
+    * shingle sets, bucketed by estimate value: pair counts, exact-
+    * Jaccard mean/min/max, and the mean absolute estimator error —
+    * all EXACT integers (per-pair jac_permille = (i·1000) div u, the
+    * C33 round-before-sum rule; est_eighths·125 is the estimate in
+    * permille). Reading the table tells you which agreement levels
+    * are safe to auto-merge and which need the exact verify — the
+    * decision every dedup cascade budget hangs on. At 100 TB: same
+    * cost shape as C6 (band equi-join candidates, one documents
+    * scan), plus a ≤9-key rollup.
+    */
+  def qMinhashErr(s: SparkSession, dir: String): DataFrame = {
+    val sets = graft.core.Materialize.pin(shingled(s, dir))
+    val sig = signaturesFrom(sets)
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+             concat_ws("#", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bkey")))
+    val sigCols = (0 until 8).map(j => col(s"sig$j"))
+    val bands = sig
+      .filter(col("sig0").isNotNull)
+      .select(col("doc_id") +: sigCols :+
+        explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(col("doc_id") +: sigCols :+
+        col("bk.band").as("band") :+ col("bk.bkey").as("bkey"): _*)
+    val payload = struct(col("doc_id").as("id") +:
+      (0 until 8).map(j => col(s"sig$j").as(s"s$j")): _*)
+    val cand = bucketPairs(bands, Seq("band", "bkey"), payload)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        (0 until 8).map(j =>
+          when(col(s"a.s$j") === col(s"b.s$j"), 1L).otherwise(0L))
+          .reduce(_ + _).as("est_eighths"))
+    val sets2 = sets
+      .select(col("doc_id"), array_distinct(col("sh")).as("ss"))
+      .hint("shuffle_hash")
+    cand
+      .join(sets2.select(col("doc_id").as("a_id"), col("ss").as("sa")), "a_id")
+      .join(sets2.select(col("doc_id").as("b_id"), col("ss").as("sb")), "b_id")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("u",
+        size(col("sa")).cast("long") + size(col("sb")) - col("i"))
+      .withColumn("jp", expr("(i * 1000) div u"))
+      .withColumn("err", abs(col("est_eighths") * 125 - col("jp")))
+      .groupBy(col("est_eighths"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(col("jp")).as("sj"), min(col("jp")).as("min_jac_permille"),
+           max(col("jp")).as("max_jac_permille"), sum(col("err")).as("se"))
+      .select(col("est_eighths"), col("n_pairs"),
+        expr("sj div n_pairs").as("avg_jac_permille"),
+        col("min_jac_permille"), col("max_jac_permille"),
+        expr("se div n_pairs").as("mean_abs_err_permille"))
+      .orderBy(col("est_eighths"))
+  }
+
   /** C7: n-gram Jaccard similarity join — inverted index over shingles,
     * blocked on rare shingles (df ≤ 5) to cap join fanout, then exact
     * Jaccard ≥ 0.5.
@@ -3207,6 +3265,42 @@ object TextOps {
         |  FROM bands x JOIN bands y
         |  ON x.band=y.band AND x.bkey=y.bkey AND x.doc_id<y.doc_id)
         |$jacSelSql""".stripMargin,
+    "q_minhash_err" ->
+      s"""WITH $baseSql,
+        |$sigSql,
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, sig0 || '#' || sig1 AS bkey FROM sig UNION ALL
+        |  SELECT doc_id, 1, sig2 || '#' || sig3 FROM sig UNION ALL
+        |  SELECT doc_id, 2, sig4 || '#' || sig5 FROM sig UNION ALL
+        |  SELECT doc_id, 3, sig6 || '#' || sig7 FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM bands x JOIN bands y
+        |  ON x.band=y.band AND x.bkey=y.bkey AND x.doc_id<y.doc_id),
+        |est AS (SELECT c.a_id, c.b_id,
+        |    (CASE WHEN sa.sig0=sb.sig0 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.sig1=sb.sig1 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.sig2=sb.sig2 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.sig3=sb.sig3 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.sig4=sb.sig4 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.sig5=sb.sig5 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.sig6=sb.sig6 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.sig7=sb.sig7 THEN 1 ELSE 0 END) AS est_eighths
+        |  FROM cand c JOIN sig sa ON sa.doc_id=c.a_id
+        |  JOIN sig sb ON sb.doc_id=c.b_id),
+        |jj AS (SELECT e.est_eighths,
+        |    (COALESCE(ip.i,0)*1000)//(sa.n + sb.n - COALESCE(ip.i,0)) AS jp
+        |  FROM est e
+        |  LEFT JOIN ip ON ip.a_id=e.a_id AND ip.b_id=e.b_id
+        |  JOIN sz sa ON sa.doc_id=e.a_id JOIN sz sb ON sb.doc_id=e.b_id),
+        |er AS (SELECT est_eighths, jp, ABS(est_eighths*125 - jp) AS err
+        |  FROM jj)
+        |SELECT CAST(est_eighths AS BIGINT) AS est_eighths,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(jp)//COUNT(*) AS BIGINT) AS avg_jac_permille,
+        |  CAST(MIN(jp) AS BIGINT) AS min_jac_permille,
+        |  CAST(MAX(jp) AS BIGINT) AS max_jac_permille,
+        |  CAST(SUM(err)//COUNT(*) AS BIGINT) AS mean_abs_err_permille
+        |FROM er GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_registry_dedup" ->
       s"""WITH $baseSql,
         |$sigSql,

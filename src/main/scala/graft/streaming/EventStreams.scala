@@ -1327,6 +1327,86 @@ object EventStreams {
         })
   }
 
+  /** F45 input/output: one event with its experiment cohort and
+    * conversion flag; the output is the post-arrival counter state
+    * plus exact integral ppm conversion rates per cohort. */
+  final case class AbIn(event_id: Long, cohort: Int, purchase: Boolean)
+  final case class AbOut(event_id: Long, n1: Long, x1: Long,
+                         n2: Long, x2: Long, p1_ppm: Long, p2_ppm: Long)
+
+  /** F45: streaming A/B conversion monitor (online twin of B145's
+    * two-proportion z-test — the live experiment dashboard): FOUR
+    * O(1) counter cells (n/x per cohort) plus the event-id replay
+    * watermark; every arrival emits the exact post-arrival counts
+    * and the ppm conversion rates (x·10⁶ div n — nonnegative, so /
+    * equals the batch div), from which the z statistic is a closed
+    * form downstream (the spec pins final counters == the oracled
+    * batch counters, so the published z follows bit-identically).
+    * Event-id-ordered arrival per the F13 discipline; a redelivered
+    * id is dropped — its counter update already happened. State
+    * never grows with the stream: five longs total.
+    */
+  def abMonitorStream(in: Dataset[AbIn]): Dataset[AbOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_ => 0L)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (_: Long, batch: Iterator[AbIn],
+         state: GroupState[(Long, Long, Long, Long, Long)]) => {
+          var (n1, x1, n2, x2, last) =
+            state.getOption.getOrElse((0L, 0L, 0L, 0L, Long.MinValue))
+          val fresh = batch.toArray.filter(_.event_id > last).sortBy(_.event_id)
+          val out = fresh.map { e =>
+            if (e.cohort == 0) { n1 += 1; if (e.purchase) x1 += 1 }
+            else { n2 += 1; if (e.purchase) x2 += 1 }
+            last = e.event_id
+            AbOut(e.event_id, n1, x1, n2, x2,
+              if (n1 == 0) 0L else x1 * 1000000L / n1,
+              if (n2 == 0) 0L else x2 * 1000000L / n2)
+          }
+          state.update((n1, x1, n2, x2, last))
+          out.iterator
+        })
+  }
+
+  /** F46 input/output: one observation for a keyed moment
+    * accumulator (group key, per-key arrival sequence, integer
+    * value); the output is the post-arrival exact power-sum state. */
+  final case class MomIn(flag: String, seq: Long, x: Long)
+  final case class MomOut(flag: String, seq: Long, n: Long, s1: Long,
+                          s2: Long, s3: Long, s4: Long)
+
+  /** F46: streaming power-sum accumulator (online twin of B142's
+    * Jarque–Bera moments — the general "any moment statistic,
+    * incrementally" kernel): per group key FIVE O(1) state cells
+    * (n, Σx, Σx², Σx³, Σx⁴ — all exact integers) plus the sequence
+    * replay watermark; skewness/kurtosis/JB are closed forms over
+    * the emitted state via the SAME shared formula text the batch
+    * query uses, so stream and batch publish bit-identical doubles
+    * once the sums agree (the spec pins that). Per-key
+    * sequence-ordered arrival, replay below the watermark dropped.
+    * This is the canonical fit-statistic streaming shape: the state
+    * is the sufficient statistic, never the data.
+    */
+  def momentsStream(in: Dataset[MomIn]): Dataset[MomOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.flag)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (flag: String, batch: Iterator[MomIn],
+         state: GroupState[(Long, Long, Long, Long, Long, Long)]) => {
+          var (n, s1, s2, s3, s4, last) =
+            state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L, Long.MinValue))
+          val fresh = batch.toArray.filter(_.seq > last).sortBy(_.seq)
+          val out = fresh.map { m =>
+            val x2 = m.x * m.x
+            n += 1; s1 += m.x; s2 += x2; s3 += x2 * m.x; s4 += x2 * x2
+            last = m.seq
+            MomOut(flag, m.seq, n, s1, s2, s3, s4)
+          }
+          state.update((n, s1, s2, s3, s4, last))
+          out.iterator
+        })
+  }
+
   /** F44 input/output: one order event (customer, order key, calendar
     * month index, exact cents); the output stamps the customer's
     * cohort month and the order's age-in-months. */

@@ -620,6 +620,87 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F45 streaming A/B monitor equals a sequential fold and the oracled B145 counters") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{AbIn, AbOut}
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "CAST(user_id % 2 AS INT) AS cohort",
+        "event_type = 'purchase' AS purchase")
+      .collect()
+      .map(r => AbIn(r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      .sortBy(_.event_id).toSeq
+    val input = MemoryStream[AbIn]
+    val q = EventStreams.abMonitorStream(input.toDS())
+      .writeStream.format("memory").queryName("ab_out").outputMode("update").start()
+    try {
+      val (b1, b2) = ev.splitAt(ev.length / 3)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b1.takeRight(40)); q.processAllAvailable() // replay
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("ab_out").as[AbOut].collect()
+        .map(o => o.event_id -> o).toMap
+      // sequential reference fold over the ordered arrivals
+      var n1 = 0L; var x1 = 0L; var n2 = 0L; var x2 = 0L
+      val expected = ev.map { e =>
+        if (e.cohort == 0) { n1 += 1; if (e.purchase) x1 += 1 }
+        else { n2 += 1; if (e.purchase) x2 += 1 }
+        e.event_id -> AbOut(e.event_id, n1, x1, n2, x2,
+          if (n1 == 0) 0L else x1 * 1000000L / n1,
+          if (n2 == 0) 0L else x2 * 1000000L / n2)
+      }.toMap
+      assert(got.size == ev.size)
+      assert(got == expected)
+      // final counters == the oracled batch query's counters (cohort 1
+      // in the batch query is EVEN user_id — stream cohort 0)
+      val b = graft.operators.Relational.qTwoProportion(spark, sfDir).collect()(0)
+      val fin = got(ev.last.event_id)
+      assert(b.getAs[Long]("n1") == fin.n1 && b.getAs[Long]("x1") == fin.x1)
+      assert(b.getAs[Long]("n2") == fin.n2 && b.getAs[Long]("x2") == fin.x2)
+      assert(b.getAs[Long]("p1_ppm") == fin.p1_ppm)
+      assert(b.getAs[Long]("p2_ppm") == fin.p2_ppm)
+    } finally q.stop()
+  }
+
+  test("F46 streaming power sums equal the batch B142 moments per flag; replay-safe") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{MomIn, MomOut}
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.lineitem(spark, sfDir)
+      .selectExpr("l_returnflag AS flag",
+        "CAST(l_quantity AS BIGINT) AS x",
+        "row_number() OVER (PARTITION BY l_returnflag " +
+          "ORDER BY l_orderkey, l_linenumber) AS seq")
+      .collect()
+      .map(r => MomIn(r.getString(0), r.getInt(2).toLong, r.getLong(1)))
+      .sortBy(m => (m.flag, m.seq)).toSeq
+    val input = MemoryStream[MomIn]
+    val q = EventStreams.momentsStream(input.toDS())
+      .writeStream.format("memory").queryName("mom_out").outputMode("update").start()
+    try {
+      // adversarial delivery: split mid-key + replay a prefix of b2
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2.take(60)); q.processAllAvailable()
+      input.addData(b2.take(60)); q.processAllAvailable() // replay
+      input.addData(b2.drop(60)); q.processAllAvailable()
+      val got = spark.table("mom_out").as[MomOut].collect()
+      assert(got.length == rows.length, "exactly one emission per arrival")
+      val fin = got.groupBy(_.flag)
+        .map { case (f, os) => f -> os.maxBy(_.seq) }
+      // final per-flag state == the oracled batch moments
+      val batch = graft.operators.Relational.qJarqueBera(spark, sfDir).collect()
+      assert(batch.nonEmpty)
+      batch.foreach { r =>
+        val f = fin(r.getAs[String]("flag"))
+        assert(f.n == r.getAs[Long]("n") && f.s1 == r.getAs[Long]("s1"))
+        assert(f.s2 == r.getAs[Long]("s2") && f.s3 == r.getAs[Long]("s3"))
+        assert(f.s4 == r.getAs[Long]("s4"))
+      }
+      assert(fin.keySet == batch.map(_.getAs[String]("flag")).toSet)
+    } finally q.stop()
+  }
+
   test("F41 streaming error bursts equal a sequential batch fold; replay-safe") {
     import spark.implicits._
     import graft.streaming.EventStreams.{ErrEvent, ErrBurstOut}
