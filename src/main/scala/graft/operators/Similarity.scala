@@ -1155,10 +1155,13 @@ object Similarity {
     globalTopK(locals, k)
   }
 
-  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = annIvf(s, dir, 2)
+
+  /** The D6 IVF kernel with a caller-chosen probe width (D32 sweeps
+    * it; D6 publishes the production nProbe=2 point). */
+  private def annIvf(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
     val k = 10
     val nCells = 16
-    val nProbe = 2
     val dim = 64
     val e = emb(s, dir)
     val cents = ivfCentroids(nCells, dim)
@@ -1216,6 +1219,37 @@ object Similarity {
       }(Encoders.row(localTopKSchema))
 
     globalTopK(locals, k)
+  }
+
+  /** D32: IVF probe-width recall sweep — the nprobe TUNING CURVE every
+    * IVF deployment publishes (the latency/recall dial: more probed
+    * cells = more candidates = higher recall; FAISS's nprobe, Milvus's
+    * probe parameter): the D6 kernel at nProbe ∈ {1, 2, 4} scored
+    * against the PINNED exact top-10 baseline (one exact run shared by
+    * all arms — the D27 budget-sweep posture), recall as exact integral
+    * ppm. Reading the curve picks the cheapest probe width above the
+    * recall floor — the capacity-planning decision. Recall is
+    * non-decreasing in nProbe BY CONSTRUCTION (probe sets are nested);
+    * the oracle pins each arm's exact value, so a candidate-generation
+    * regression in any arm breaks the gate. At 100 TB each arm is the
+    * D6 scan shape (cell-pruned, probe sets bounded); the baseline is
+    * the one expensive exact pass, paid once.
+    */
+  def qIvfProbeSweep(s: SparkSession, dir: String): DataFrame = {
+    val exact = graft.core.Materialize.pin(
+      qCosineTopK(s, dir).select(col("q_id"), col("vec_id")))
+    val total = broadcast(exact.agg(count(lit(1)).as("n_exact")))
+    Seq(1, 2, 4).map { np =>
+      annIvf(s, dir, np).select(col("q_id"), col("vec_id"))
+        .join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(total)
+        .select(lit(np.toLong).as("n_probe"),
+          col("hits").cast("long").as("n_hits"),
+          col("n_exact").cast("long").as("n_exact"),
+          expr("CAST((hits * 1000000) div n_exact AS BIGINT)")
+            .as("recall_ppm"))
+    }.reduce(_ unionAll _).orderBy(col("n_probe"))
   }
 
   /** D8: product-quantization ANN with exact rerank — the memory-bound
@@ -2975,6 +3009,42 @@ object Similarity {
         |$arms
         |$sel
         |ORDER BY n_cand""".stripMargin
+    },
+    "q_ivf_probe_sweep" -> {
+      val arms = Seq(1, 2, 4).map { np =>
+        s"""pr$np AS (SELECT vec_id, p FROM cellr
+          |  WHERE rn <= $np AND vec_id % 50 = 0 AND vec_id < 5000),
+          |cand$np AS (SELECT DISTINCT pr.vec_id AS q_id, c.vec_id
+          |  FROM pr$np pr JOIN cell c ON pr.p = c.p),
+          |sims$np AS (SELECT q_id, cand$np.vec_id,
+          |    list_cosine_similarity(qe.v, ce.v) AS sim
+          |  FROM cand$np JOIN e qe ON qe.vec_id = cand$np.q_id
+          |  JOIN e ce ON ce.vec_id = cand$np.vec_id),
+          |tk$np AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+          |      AS rank FROM sims$np) WHERE rank <= 10),
+          |h$np AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+          |  FROM tk$np JOIN ex USING (q_id, vec_id))""".stripMargin
+      }.mkString(",\n")
+      val sel = Seq(1, 2, 4).map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS n_probe, hits AS n_hits,
+          |  n_exact, CAST((hits * 1000000) // n_exact AS BIGINT)
+          |    AS recall_ppm
+          |FROM h$np CROSS JOIN tot""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $ivfCellCteSql,
+        |exs AS (SELECT p.q_id, e2.vec_id,
+        |    list_cosine_similarity(q.v, e2.v) AS sim
+        |  FROM (SELECT vec_id AS q_id FROM e
+        |    WHERE vec_id % 50 = 0 AND vec_id < 5000) p
+        |  JOIN e q ON q.vec_id = p.q_id CROSS JOIN e e2),
+        |ex AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+        |      AS rank FROM exs) WHERE rank <= 10),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex),
+        |$arms
+        |$sel
+        |ORDER BY n_probe""".stripMargin
     },
     "q_ann_recall" ->
       """SELECT * FROM (VALUES ('hnsw', 1), ('ivf', 1), ('lsh', 1),
