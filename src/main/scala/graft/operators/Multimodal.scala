@@ -333,6 +333,26 @@ object Multimodal {
         |  CAST(SUM((k + 1) * s) AS BIGINT) AS wsum,
         |  CAST((COUNT(*) * 1000000) // (sample_rate // 2) AS BIGINT) AS duration_us
         |FROM t GROUP BY 1, 2, sample_rate ORDER BY 1""".stripMargin,
+    "q_wav_qc" ->
+      """WITH d AS (SELECT doc_id, CAST(48 + doc_id % 96 AS BIGINT) AS n
+        |  FROM documents),
+        |t AS (SELECT doc_id, n, i AS t,
+        |    ((doc_id*37 + i*i*7 + i*11) % 4096) - 2048 AS s
+        |  FROM d, (SELECT unnest(range(144)) AS i) WHERE i < n),
+        |c AS (SELECT doc_id, MAX(n) AS n,
+        |    CAST(SUM(CASE WHEN ABS(s) <= 256 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_silent,
+        |    CAST(SUM(CASE WHEN s = 2047 OR s = -2048 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_rail,
+        |    COALESCE(MIN(t) FILTER (WHERE ABS(s) > 256), MAX(n))
+        |      AS lead_silence
+        |  FROM t GROUP BY 1)
+        |SELECT doc_id AS media_id, n AS n_samples, n_silent, n_rail,
+        |  CAST(lead_silence AS BIGINT) AS lead_silence,
+        |  CAST((n_silent * 1000) // n AS BIGINT) AS silent_permille,
+        |  CAST(CASE WHEN (n_silent * 1000) // n <= 900 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS qc_pass
+        |FROM c ORDER BY 1""".stripMargin,
     "q_media_wav" ->
       """WITH d AS (SELECT doc_id, CAST(48 + doc_id % 96 AS BIGINT) AS n,
         |    CAST(8000 + (doc_id % 5) * 2000 AS BIGINT) AS sample_rate FROM documents),
@@ -633,6 +653,64 @@ object Multimodal {
               col("peak"), col("n_zero_cross"),
               dec4(sqrt(col("sumsq").cast("double") / col("n_samples"))).as("rms"),
               col("duration_us"))
+      .orderBy(col("media_id"))
+  }
+
+  /** E16: audio QC census through the REAL codec — the speech-
+    * pipeline admission gate ("is this clip mostly silence? is it at
+    * the rails of its dynamic range? how much leading silence would
+    * a trim drop?") run where it must run at 100 TB: INSIDE the
+    * decode pass, emitting only (id, 5 longs) per clip. Payloads
+    * decode via `javax.sound.sampled.AudioSystem` (the E9 RIFF
+    * walker — header + byte order must roundtrip for any census
+    * number to be right); silence is |s| ≤ 256 on the fixture's
+    * 12-bit scale, rail values are its ±full-scale codes
+    * (2047/−2048), leading silence is the first-nonsilent index
+    * (= n for an all-silent clip), and the keep flag applies the
+    * standard ≤90%-silence admission rule as an exact integral
+    * permille compare. The oracle recomputes every number from the
+    * synthesis formula alone — decode, sample order, and census
+    * must all agree for the row to hash.
+    */
+  def qWavQc(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("n_silent", LongType, nullable = false),
+      StructField("n_rail", LongType, nullable = false),
+      StructField("lead_silence", LongType, nullable = false)))
+    synthesizeWav(s, dir)
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val in = new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1))
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+          val fmt = ais.getFormat
+          require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16,
+                  s"unexpected wav format for media $id")
+          val raw = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(raw).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = raw.length / 2
+          var nSil = 0L; var nRail = 0L; var lead = -1L
+          var t = 0
+          while (t < n) {
+            val v = bb.getShort().toLong
+            val sil = math.abs(v) <= 256
+            if (sil) nSil += 1 else if (lead < 0) lead = t.toLong
+            if (v == 2047L || v == -2048L) nRail += 1
+            t += 1
+          }
+          Row(id, n.toLong, nSil, nRail, if (lead < 0) n.toLong else lead)
+        }
+      }(Encoders.row(outSchema))
+      .select(col("media_id"), col("n_samples"), col("n_silent"),
+              col("n_rail"), col("lead_silence"),
+              expr("CAST((n_silent * 1000) div n_samples AS BIGINT)")
+                .as("silent_permille"),
+              expr("CAST(CASE WHEN (n_silent * 1000) div n_samples <= 900 " +
+                   "THEN 1 ELSE 0 END AS BIGINT)").as("qc_pass"))
       .orderBy(col("media_id"))
   }
 
