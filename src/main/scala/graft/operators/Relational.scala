@@ -3204,6 +3204,74 @@ object Relational {
         dec6(expr(twoPropZSql)).as("z_stat"))
   }
 
+  /** B146 shared formula: one-sample t on the paired differences,
+    * t = d̄ / sqrt(s²_d/n) with s²_d from exact integer moments:
+    * t = (S/n) / sqrt((n·Q − S²)/(n·(n−1)·n)). */
+  private val pairedTSql =
+    "(CAST(sd AS DOUBLE)/CAST(n AS DOUBLE)) / " +
+      "sqrt((CAST(n AS DOUBLE)*CAST(qd AS DOUBLE)" +
+      " - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE))" +
+      " / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)*CAST(n AS DOUBLE)))"
+
+  /** B146: paired t-test on per-customer spend 1996 → 1997 — the
+    * within-subject mean-change test next to B143's McNemar (McNemar
+    * answers "did the RATE change"; this answers "did the AMOUNT
+    * change among customers active in both years"): per customer the
+    * two conditional year sums in exact cents (one custkey
+    * map-side-combined pass), the pair set = customers with ≥1 order
+    * in BOTH years (the paired design's own denominator), d = Δcents,
+    * exact integer moments n/Σd/Σd², t via shared double formula and
+    * df = n−1. Moment headroom documented: Σd² < 2⁶³ while per-pair
+    * |d| stays under ~10⁷ cents at 10⁵ pairs per shard — cast up at
+    * the B84 rule's threshold if a corpus breaks it. At 100 TB: one
+    * custkey shuffle then a single-row census.
+    */
+  def qPairedTtest(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val y = year(col("o_orderdate"))
+    orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(y === 1996, cents).otherwise(0L)).as("c96"),
+           max(when(y === 1996, 1L).otherwise(0L)).as("a96"),
+           sum(when(y === 1997, cents).otherwise(0L)).as("c97"),
+           max(when(y === 1997, 1L).otherwise(0L)).as("a97"))
+      .filter(col("a96") === 1 && col("a97") === 1)
+      .select((col("c97") - col("c96")).as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+           sum(col("d") * col("d")).as("qd"))
+      .select(col("n"), col("sd"),
+        expr("CAST(sd div n AS BIGINT)").as("mean_d_cents"),
+        dec6(expr(pairedTSql)).as("t_stat"),
+        (col("n") - 1).as("df"))
+  }
+
+  /** B147: fixed-size distributed uniform sample — the bottom-k-by-
+    * hash idiom (the ONLY way to draw an exact-size uniform sample
+    * from 100 TB in one pass: rank by a uniform deterministic hash,
+    * keep the k smallest — Spark plans it as TakeOrderedAndProject,
+    * a per-partition k-heap + driver merge of k·P rows, never a full
+    * sort; B25's Bernoulli filter gives a BINOMIAL size, this gives
+    * EXACTLY k). The hash is the B25 52-bit md5 prefix over the
+    * order key with a dedicated tag, so membership is reproducible
+    * across runs, engines, and cluster sizes — the property a
+    * training-data sampler must have. Publishes the sample itself
+    * (rank, key, cents) — deterministic because (h, key) is a total
+    * order.
+    */
+  def qBottomkSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    orders(s, dir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        TF.hexPrefix52(concat(lit("samp|"), col("o_orderkey"))).as("h"))
+      .orderBy(col("h"), col("o_orderkey"))
+      .limit(k)
+      .select(row_number().over(
+          Window.orderBy(col("h"), col("o_orderkey"))).cast("long").as("rank"),
+        col("o_orderkey"), col("cents"))
+      .orderBy(col("rank"))
+  }
+
   /** B141: exact median absolute deviation (MAD) + robust-outlier
     * census on the daily revenue series — the robust dispersion
     * estimator the σ-based anomaly screen (B123) breaks on under
@@ -5234,6 +5302,33 @@ object Relational {
         |  CAST((SELECT COUNT(*) FROM dev, mad WHERE d > 3*mad) AS BIGINT)
         |    AS n_outlier_days
         |FROM med, mad""".stripMargin,
+    "q_paired_ttest" ->
+      s"""WITH f AS (SELECT o_custkey,
+        |    SUM(CASE WHEN year(o_orderdate) = 1996
+        |      THEN CAST(ROUND(o_totalprice*100,0) AS BIGINT) ELSE 0 END) AS c96,
+        |    MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS a96,
+        |    SUM(CASE WHEN year(o_orderdate) = 1997
+        |      THEN CAST(ROUND(o_totalprice*100,0) AS BIGINT) ELSE 0 END) AS c97,
+        |    MAX(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS a97
+        |  FROM orders GROUP BY 1),
+        |dd AS (SELECT c97 - c96 AS d FROM f WHERE a96 = 1 AND a97 = 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(d*d) AS BIGINT) AS qd
+        |  FROM dd)
+        |SELECT n, sd, CAST(sd // n AS BIGINT) AS mean_d_cents,
+        |  CAST(ROUND($pairedTSql, 6) AS DECIMAL(18,6))::DOUBLE AS t_stat,
+        |  CAST(n - 1 AS BIGINT) AS df
+        |FROM m""".stripMargin,
+    "q_bottomk_sample" ->
+      s"""WITH h AS (SELECT o_orderkey,
+        |    CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents,
+        |    CAST(${TF.hexPrefix52Sql("md5('samp|'||o_orderkey)")} AS BIGINT)
+        |      AS h
+        |  FROM orders),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY h, o_orderkey) AS rank
+        |  FROM h)
+        |SELECT CAST(rank AS BIGINT) AS rank, o_orderkey, cents
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
     "q_jarque_bera" ->
       s"""WITH m AS (SELECT l_returnflag AS flag,
         |    CAST(COUNT(*) AS BIGINT) AS n,

@@ -1407,6 +1407,49 @@ object EventStreams {
         })
   }
 
+  /** F47 input/output: one sampleable record (key, exact cents); the
+    * output is the post-batch sample with a monotone version stamp. */
+  final case class SampIn(key: Long, cents: Long)
+  final case class SampOut(version: Long, rank: Long, key: Long,
+                           cents: Long)
+
+  /** F47: streaming fixed-size uniform sampler (online twin of
+    * B147's bottom-k-by-hash sample): state is the current bottom-k
+    * set ordered by (md5-prefix hash, key) — O(k), never grows with
+    * the stream — and the emitted sample after each batch carries a
+    * monotone version. The DEFINING property (why bottom-k is THE
+    * streaming sampler, vs reservoir sampling whose membership is
+    * RNG-order-dependent): the final sample is a pure FUNCTION OF
+    * THE SET of arrivals — delivery order, batch boundaries, and
+    * at-least-once redelivery all cannot change it (re-inserting a
+    * present key is a no-op by construction), so no watermark is
+    * needed at all. The spec delivers shuffled + replayed batches
+    * and pins final-sample == the oracled batch query row-for-row.
+    */
+  def bottomkSampleStream(in: Dataset[SampIn], k: Int = 100): Dataset[SampOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_ => 0L)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (_: Long, batch: Iterator[SampIn],
+         state: GroupState[(Long, List[(Long, Long, Long)])]) => {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          var (ver, samp) = state.getOption.getOrElse(
+            (0L, List.empty[(Long, Long, Long)]))
+          batch.foreach { e =>
+            ver += 1
+            if (!samp.exists(_._2 == e.key)) {
+              val h = graft.functions.TextKernels.md5Prefix52(md, "samp|" + e.key)
+              samp = ((h, e.key, e.cents) :: samp)
+                .sortBy(t => (t._1, t._2)).take(k)
+            }
+          }
+          state.update((ver, samp))
+          samp.zipWithIndex.iterator.map { case ((_, key, cents), i) =>
+            SampOut(ver, (i + 1).toLong, key, cents)
+          }
+        })
+  }
+
   /** F44 input/output: one order event (customer, order key, calendar
     * month index, exact cents); the output stamps the customer's
     * cohort month and the order's age-in-months. */

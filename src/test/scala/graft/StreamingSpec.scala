@@ -662,6 +662,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F47 streaming bottom-k sampler is order- and replay-invariant; equals B147") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{SampIn, SampOut}
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.orders(spark, sfDir)
+      .selectExpr("o_orderkey", "CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents")
+      .collect().map(r => SampIn(r.getLong(0), r.getLong(1))).toSeq
+    // adversarial delivery: deterministically shuffled, split, replayed
+    val shuffled = rows.sortBy(r => r.key * 2654435761L % 1000003)
+    val input = MemoryStream[SampIn]
+    val q = EventStreams.bottomkSampleStream(input.toDS())
+      .writeStream.format("memory").queryName("samp_out").outputMode("update").start()
+    try {
+      val (b1, b2) = shuffled.splitAt(shuffled.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b1.take(80)); q.processAllAvailable() // replay
+      input.addData(b2); q.processAllAvailable()
+      val all = spark.table("samp_out").as[SampOut].collect()
+      val maxVer = all.map(_.version).max
+      val fin = all.filter(_.version == maxVer).sortBy(_.rank)
+        .map(o => (o.rank, o.key, o.cents)).toSeq
+      val batch = graft.operators.Relational.qBottomkSample(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(batch.length == 100)
+      assert(fin == batch)
+    } finally q.stop()
+  }
+
   test("F46 streaming power sums equal the batch B142 moments per flag; replay-safe") {
     import spark.implicits._
     import graft.streaming.EventStreams.{MomIn, MomOut}
