@@ -3204,6 +3204,53 @@ object Relational {
         dec6(expr(twoPropZSql)).as("z_stat"))
   }
 
+  /** B148 shared formulas (Bartlett, k = 3 groups): per-group sample
+    * variance from exact moments, pooled variance, the ln-ratio
+    * statistic and its correction factor — one double op sequence
+    * both engines evaluate over identical integers. */
+  private def bartV(i: Int): String =
+    s"(CAST(n$i AS DOUBLE)*CAST(q$i AS DOUBLE) - CAST(s$i AS DOUBLE)*CAST(s$i AS DOUBLE))" +
+      s" / (CAST(n$i AS DOUBLE)*(CAST(n$i AS DOUBLE) - 1.0))"
+  private val bartSpSql =
+    "((CAST(n1 AS DOUBLE) - 1.0)*v1 + (CAST(n2 AS DOUBLE) - 1.0)*v2" +
+      " + (CAST(n3 AS DOUBLE) - 1.0)*v3)" +
+      " / (CAST(n1 + n2 + n3 AS DOUBLE) - 3.0)"
+  private val bartChiSql =
+    "((CAST(n1 + n2 + n3 AS DOUBLE) - 3.0)*ln(vp)" +
+      " - ((CAST(n1 AS DOUBLE) - 1.0)*ln(v1) + (CAST(n2 AS DOUBLE) - 1.0)*ln(v2)" +
+      " + (CAST(n3 AS DOUBLE) - 1.0)*ln(v3)))" +
+      " / (1.0 + ((1.0/(CAST(n1 AS DOUBLE) - 1.0) + 1.0/(CAST(n2 AS DOUBLE) - 1.0)" +
+      " + 1.0/(CAST(n3 AS DOUBLE) - 1.0)) - 1.0/(CAST(n1 + n2 + n3 AS DOUBLE) - 3.0)) / 6.0)"
+
+  /** B148: Bartlett's test of variance homogeneity across the three
+    * returnflag cohorts on l_quantity — the PARAMETRIC equal-variance
+    * screen next to B113's robust Brown–Forsythe (Bartlett is the
+    * more powerful test when normality holds — which B142's JB now
+    * checks; together they are the textbook pre-ANOVA battery): ONE
+    * conditional-moment pass collapses the fact to a single row of
+    * nine exact integer moments (the B84 shape — no per-group
+    * shuffle), per-group and pooled variances plus the corrected
+    * ln-ratio χ² via shared double formula text, df = k−1 = 2.
+    */
+  def qBartlett(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("long")
+    def m(f: String, i: Int) = Seq(
+      sum(when(col("l_returnflag") === f, 1L).otherwise(0L)).as(s"n$i"),
+      sum(when(col("l_returnflag") === f, x)).as(s"s$i"),
+      sum(when(col("l_returnflag") === f, x * x)).as(s"q$i"))
+    val ms = m("A", 1) ++ m("N", 2) ++ m("R", 3)
+    lineitem(s, dir)
+      .agg(ms.head, ms.tail: _*)
+      .withColumn("v1", expr(bartV(1)))
+      .withColumn("v2", expr(bartV(2)))
+      .withColumn("v3", expr(bartV(3)))
+      .withColumn("vp", expr(bartSpSql))
+      .select(col("n1"), col("s1"), col("q1"), col("n2"), col("s2"),
+        col("q2"), col("n3"), col("s3"), col("q3"),
+        dec6(expr(bartChiSql)).as("bartlett_chi2"),
+        lit(2L).as("df"))
+  }
+
   /** B146 shared formula: one-sample t on the paired differences,
     * t = d̄ / sqrt(s²_d/n) with s²_d from exact integer moments:
     * t = (S/n) / sqrt((n·Q − S²)/(n·(n−1)·n)). */
@@ -5302,6 +5349,26 @@ object Relational {
         |  CAST((SELECT COUNT(*) FROM dev, mad WHERE d > 3*mad) AS BIGINT)
         |    AS n_outlier_days
         |FROM med, mad""".stripMargin,
+    "q_bartlett" ->
+      s"""WITH m AS (SELECT
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q1,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS s2,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q2,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS s3,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q3
+        |  FROM lineitem),
+        |v AS (SELECT *, ${bartV(1)} AS v1, ${bartV(2)} AS v2,
+        |    ${bartV(3)} AS v3 FROM m),
+        |p AS (SELECT *, $bartSpSql AS vp FROM v)
+        |SELECT n1, s1, q1, n2, s2, q2, n3, s3, q3,
+        |  CAST(ROUND($bartChiSql, 6) AS DECIMAL(18,6))::DOUBLE
+        |    AS bartlett_chi2,
+        |  CAST(2 AS BIGINT) AS df
+        |FROM p""".stripMargin,
     "q_paired_ttest" ->
       s"""WITH f AS (SELECT o_custkey,
         |    SUM(CASE WHEN year(o_orderdate) = 1996

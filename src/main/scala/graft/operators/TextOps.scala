@@ -2212,6 +2212,38 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("gold_lang"), col("pred_lang"))
 
+  /** A55: Cohen's kappa between the C4 language detector and the
+    * gold labels — the chance-corrected agreement coefficient (the
+    * inter-annotator standard; accuracy alone is inflated by the
+    * marginal class mix, which kappa subtracts): from the C26
+    * confusion cells, κ = (N·Σnᵢᵢ − Σrᵢcᵢ)/(N² − Σrᵢcᵢ) — an EXACT
+    * RATIONAL over integer cell counts, published as one integral
+    * ppm division (numerator staged through DECIMAL(38,0) so the
+    * ×10⁶ survives any corpus size). Labels missing from either
+    * marginal contribute rᵢcᵢ = 0 — the inner marginal join is the
+    * identity. At 100 TB: one ≤|langs|²-cell aggregate collapses the
+    * corpus; everything after runs on ≤25 rows.
+    */
+  def qCohenKappa(s: SparkSession, dir: String): DataFrame = {
+    val cells = graft.core.Materialize.pin(
+      documents(s, dir)
+        .select(col("lang").as("g"), langPred(T.words(col("text"))).as("p"))
+        .groupBy(col("g"), col("p")).agg(count(lit(1)).as("n")))
+    val tot = cells.agg(sum(col("n")).as("nn"),
+      sum(when(col("g") === col("p"), col("n")).otherwise(0L)).as("agree"))
+    val pe = cells.groupBy(col("g")).agg(sum(col("n")).as("r"))
+      .join(cells.groupBy(col("p")).agg(sum(col("n")).as("c")),
+        col("g") === col("p"))
+      .agg(sum(col("r") * col("c")).as("rc"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("nn").cast("long").as("n_docs"),
+        col("agree").cast("long").as("n_agree"),
+        col("rc").cast("long").as("sum_rc"),
+        expr("CAST((CAST(nn * agree - rc AS DECIMAL(38,0)) * 1000000) " +
+             "div (CAST(nn AS DECIMAL(38,0)) * nn - rc) AS BIGINT)")
+          .as("kappa_ppm"))
+  }
+
   /** C27: IQR outlier flags on document length (Tukey fences at
     * 1.5·IQR) — the data-quality screen; bounds are a 1-row exact-
     * percentile aggregate crossed back (at corpus scale, swap in the
@@ -3135,6 +3167,21 @@ object TextOps {
         |SELECT d.lang AS gold_lang, p.pred_lang, COUNT(*) AS n
         |FROM documents d JOIN pred p USING (doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_cohen_kappa" ->
+      s"""WITH $langPredCteSql,
+        |cf AS (SELECT d.lang AS g, p.pred_lang AS p,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2),
+        |t AS (SELECT SUM(n) AS nn,
+        |    SUM(CASE WHEN g = p THEN n ELSE 0 END) AS agree FROM cf),
+        |r AS (SELECT g, SUM(n) AS r FROM cf GROUP BY 1),
+        |c AS (SELECT p, SUM(n) AS c FROM cf GROUP BY 1),
+        |pe AS (SELECT SUM(r.r * c.c) AS rc FROM r JOIN c ON r.g = c.p)
+        |SELECT CAST(nn AS BIGINT) AS n_docs, CAST(agree AS BIGINT) AS n_agree,
+        |  CAST(rc AS BIGINT) AS sum_rc,
+        |  CAST(((nn * agree - rc) * 1000000) // (nn * nn - rc) AS BIGINT)
+        |    AS kappa_ppm
+        |FROM t CROSS JOIN pe""".stripMargin,
     "q_source_purity" ->
       s"""WITH $langPredCteSql,
         |d AS (SELECT dd.source, dd.lang AS gold, p.pred_lang AS pred
