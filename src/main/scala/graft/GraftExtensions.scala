@@ -40,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(1).eval().asInstanceOf[Number].intValue(),
         children(2).eval().asInstanceOf[Number].intValue())))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // refuse unbounded cartesian plans at analysis time (G18): the
+    // whole registry runs under this guard — the compatibility proof
+    ext.injectCheckRule(_ => graft.plans.CartesianGuard)
     // custom logical nodes opt OUT of Catalyst's pushdown by default —
     // this rule opts the as-of node back in for left-only predicates
     ext.injectOptimizerRule(_ => graft.plans.AsOfFilterPushdown)

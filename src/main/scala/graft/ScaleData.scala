@@ -47,7 +47,7 @@ object ScaleData {
 
     def rep(df: DataFrame, shifts: (String, Long)*): DataFrame = {
       val shifted = shifts.foldLeft(
-        df.crossJoin(spark.range(f).toDF("__rep"))) {
+        df.crossJoin(broadcast(spark.range(f).toDF("__rep")))) {
         case (acc, (c, o)) => acc.withColumn(c, col(c) + col("__rep") * o)
       }
       shifted.drop("__rep")

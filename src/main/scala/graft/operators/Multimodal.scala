@@ -225,6 +225,12 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_idx"))
 
   val oracles: Map[String, String] = Map(
+    "q_png_integrity" ->
+      """SELECT doc_id AS media_id, 1 AS sig_ok,
+        |  CAST(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_bad_chunks,
+        |  CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END AS crc_ok
+        |FROM documents ORDER BY media_id""".stripMargin,
     "q_media_phash" ->
       """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 16 AS BIGINT) AS w,
         |    CAST(8 + doc_id % 8 AS BIGINT) AS h FROM documents),
@@ -654,6 +660,79 @@ object Multimodal {
               dec4(sqrt(col("sumsq").cast("double") / col("n_samples"))).as("rms"),
               col("duration_us"))
       .orderBy(col("media_id"))
+  }
+
+  /** E17: PNG container-INTEGRITY audit — the ingest-side corruption
+    * gate every 100 TB media crawl needs before decode (a truncated or
+    * bit-rotted blob must be quarantined by the CHEAP chunk walk, not
+    * by a decoder crash deep in a task): walk the real PNG container —
+    * 8-byte signature, then (length, type, data, stored-CRC) chunks —
+    * recompute CRC-32 over type+data per chunk (java.util.zip.CRC32,
+    * the deflate-family polynomial the PNG spec mandates) and compare
+    * against the stored value. Corruption arm is deterministic: for
+    * id % 97 == 0 the first data byte of the SECOND chunk is
+    * bit-flipped (CRC-32 is linear, so ANY single-byte change must
+    * flip the check — detection is guaranteed, not probabilistic, and
+    * length/type fields stay intact so the walk itself still parses).
+    * Publishes per blob: signature flag, bad-chunk count, and the
+    * admission verdict. The oracle predicts all three from the id
+    * arithmetic alone — a false positive OR negative in the walker
+    * breaks the hash. At 100 TB: one narrow decode-free pass over the
+    * payload bytes, emitting (id, 3 ints); payloads never shuffle.
+    */
+  def qPngIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sig_ok", IntegerType, nullable = false),
+      StructField("n_bad_chunks", LongType, nullable = false),
+      StructField("crc_ok", IntegerType, nullable = false)))
+    synthesizePng(s, dir)
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val bytes = row.getAs[Array[Byte]](1).clone()
+          // deterministic corruption: first data byte of chunk #2
+          // (sig 8 + IHDR 25 = offset 33; its data starts at 41)
+          if (id % 97 == 0 && bytes.length > 45)
+            bytes(41) = (bytes(41) ^ 0xFF).toByte
+          val (sigOk, nBad, ok) = pngAudit(bytes)
+          Row(id, sigOk, nBad, ok)
+        }
+      }(Encoders.row(outSchema))
+      .orderBy(col("media_id"))
+  }
+
+  /** The E17 chunk walker: (sig_ok, n_bad_chunks, crc_ok). A structural
+    * failure (truncated chunk, negative length) fails the verdict even
+    * with zero CRC mismatches — a blob the walk cannot finish is
+    * quarantined, not admitted.
+    */
+  private[graft] def pngAudit(bytes: Array[Byte]): (Int, Long, Int) = {
+    val sigOk = bytes.length >= 8 &&
+      (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G'
+    var off = 8
+    var nBad = 0L
+    var structOk = sigOk
+    while (structOk && off < bytes.length) {
+      if (off + 12 > bytes.length) structOk = false
+      else {
+        val len = ((bytes(off) & 0xFF) << 24) | ((bytes(off + 1) & 0xFF) << 16) |
+          ((bytes(off + 2) & 0xFF) << 8) | (bytes(off + 3) & 0xFF)
+        if (len < 0 || off + 12 + len > bytes.length) structOk = false
+        else {
+          val crc = new java.util.zip.CRC32()
+          crc.update(bytes, off + 4, 4 + len)
+          val stored = ((bytes(off + 8 + len) & 0xFFL) << 24) |
+            ((bytes(off + 9 + len) & 0xFFL) << 16) |
+            ((bytes(off + 10 + len) & 0xFFL) << 8) |
+            (bytes(off + 11 + len) & 0xFFL)
+          if (crc.getValue != stored) nBad += 1
+          off += 12 + len
+        }
+      }
+    }
+    (if (sigOk) 1 else 0, nBad, if (sigOk && structOk && nBad == 0L) 1 else 0)
   }
 
   /** E16: audio QC census through the REAL codec — the speech-

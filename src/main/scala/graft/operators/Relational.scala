@@ -3204,6 +3204,47 @@ object Relational {
         dec6(expr(twoPropZSql)).as("z_stat"))
   }
 
+  /** B149: sketch-algebra audience overlap — the |A∩B| ≈ |A|+|B|−|A∪B|
+    * inclusion–exclusion over three HLL sketches (the ad-tech /
+    * product-analytics overlap question at 100 TB, where the exact
+    * answer needs a user-keyed shuffle but the sketches are three
+    * mergeable registers): viewers ∩ purchasers over events, the
+    * EXACT overlap from one user-keyed flag aggregate as the oracle
+    * anchor, the estimate from three `approx_count_distinct` passes
+    * (map-side mergeable — at scale these fold in ONE scan with no
+    * shuffle at all), and the B56 contract-flag posture: the
+    * inclusion–exclusion estimate must land within 5·rsd·(|A|+|B|)
+    * of truth (error compounds across three sketches — the bound is
+    * the sum's, not one sketch's). Publishing the flag, not the
+    * estimate, keeps the gate engine-portable (DuckDB cannot replay
+    * Spark's HLL++ registers).
+    */
+  def qHllOverlap(s: SparkSession, dir: String): DataFrame = {
+    val rsd = 0.01
+    val ev = events(s, dir).filter(col("event_type").isin("view", "purchase"))
+    val exact = ev
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "view", 1L).otherwise(0L)).as("a"),
+           max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
+      .agg(sum(col("a")).as("n_view"), sum(col("b")).as("n_purchase"),
+           count(lit(1)).as("n_union"),
+           sum(col("a") * col("b")).as("n_both"))
+    val approx = ev.agg(
+      approx_count_distinct(when(col("event_type") === "view",
+        col("user_id")), rsd).as("aa"),
+      approx_count_distinct(when(col("event_type") === "purchase",
+        col("user_id")), rsd).as("ab"),
+      approx_count_distinct(col("user_id"), rsd).as("au"))
+    exact.crossJoin(broadcast(approx))
+      .select(col("n_view").cast("long").as("n_view"),
+        col("n_purchase").cast("long").as("n_purchase"),
+        col("n_union").cast("long").as("n_union"),
+        col("n_both").cast("long").as("n_both"),
+        (abs(col("aa") + col("ab") - col("au") - col("n_both")).cast("double")
+          <= lit(5 * rsd) * (col("n_view") + col("n_purchase")).cast("double"))
+          .cast("int").as("inter_in_bounds"))
+  }
+
   /** B148 shared formulas (Bartlett, k = 3 groups): per-group sample
     * variance from exact moments, pooled variance, the ln-ratio
     * statistic and its correction factor — one double op sequence
@@ -5349,6 +5390,18 @@ object Relational {
         |  CAST((SELECT COUNT(*) FROM dev, mad WHERE d > 3*mad) AS BIGINT)
         |    AS n_outlier_days
         |FROM med, mad""".stripMargin,
+    "q_hll_overlap" ->
+      """WITH f AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1)
+        |SELECT CAST(SUM(a) AS BIGINT) AS n_view,
+        |  CAST(SUM(b) AS BIGINT) AS n_purchase,
+        |  CAST(COUNT(*) AS BIGINT) AS n_union,
+        |  CAST(SUM(a*b) AS BIGINT) AS n_both,
+        |  1 AS inter_in_bounds
+        |FROM f""".stripMargin,
     "q_bartlett" ->
       s"""WITH m AS (SELECT
         |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n1,

@@ -733,9 +733,18 @@ object Similarity {
     * the global top-k — the top-k of per-group top-ks is exact.
     * Shuffle volume O(n·B·k), never O(n²) rows.
     */
-  def qKnnGraph(s: SparkSession, dir: String): DataFrame = {
+  def qKnnGraph(s: SparkSession, dir: String): DataFrame =
+    knnGraphTopK(s, dir, 3)
+      .select(col("vec_id"), col("rank"), col("nb_id"),
+              dec4(col("simd")).as("sim"))
+      .orderBy(col("vec_id"), col("rank"))
+
+  /** Shared D12 kernel: the exact top-k cosine graph as
+    * (vec_id, rank, nb_id, simd-double) — D12 formats it, D33 mutual-NN
+    * self-joins it. One frame, one plan shape, two consumers.
+    */
+  private def knnGraphTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
-    val k = 3
     val nBlocks = 16
     val ds = emb(s, dir).select(col("vec_id"), col("v")).as[(Long, Array[Double])]
     val repl = ds.flatMap { case (id, v) =>
@@ -783,8 +792,35 @@ object Similarity {
     locals.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("rank").cast("long").as("rank"),
-              col("nb_id"), dec4(col("sim")).as("sim"))
-      .orderBy(col("vec_id"), col("rank"))
+              col("nb_id"), col("sim").as("simd"))
+  }
+
+  /** D33: RECIPROCAL (mutual) nearest-neighbor pairs — a is in b's
+    * top-k AND b is in a's top-k. The high-precision subset of the kNN
+    * graph: one-directional edges include hub attraction (everything
+    * points at a dense-region centroid doc that points back at none of
+    * them); mutuality filters exactly that, which is why RNN pairs are
+    * the seed set for cluster-merge dedup (SemDeDup keeps one of each
+    * mutual pair first) and for NN-descent convergence checks. Engine:
+    * the D12 kernel's (vec_id → nb_id) frame self-joined on the
+    * REVERSED key pair — an equi-join of two O(n·k) frames, shuffle on
+    * (vec_id, nb_id); payload vectors never move, the graph edges do.
+    * Publishes each mutual pair once (a_id < b_id) with both direction
+    * ranks and the dec4 cosine, plus rank_ab ≤ rank_ba asymmetry
+    * preserved for the census reader. At 100 TB the cost is the D12
+    * graph build itself; this join adds O(n·k) rows.
+    */
+  def qMutualNn(s: SparkSession, dir: String): DataFrame = {
+    val g = knnGraphTopK(s, dir, 3)
+    val a = g.select(col("vec_id").as("a_id"), col("nb_id").as("b_id"),
+                     col("rank").as("rank_ab"), col("simd"))
+    val b = g.select(col("vec_id").as("b_id"), col("nb_id").as("a_id"),
+                     col("rank").as("rank_ba"))
+    a.join(b, Seq("a_id", "b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("rank_ab"), col("rank_ba"),
+              dec4(col("simd")).as("sim"))
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** D4: nearest-centroid classification — per-label mean vectors via a
@@ -3059,6 +3095,20 @@ object Similarity {
     "q_ann_ivf_multi" -> annIvfMultiSql,
     "q_ann_ivfpq" -> annIvfPqSql,
     "q_mmr" -> mmrSql,
+    "q_mutual_nn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sims AS (SELECT a.vec_id, b.vec_id AS nb_id,
+        |    list_cosine_similarity(a.v, b.v) AS sim
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, nb_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nb_id) AS rank
+        |  FROM sims),
+        |g AS (SELECT vec_id, nb_id, sim, rank FROM r WHERE rank <= 3)
+        |SELECT a.vec_id AS a_id, a.nb_id AS b_id,
+        |  CAST(a.rank AS BIGINT) AS rank_ab, CAST(b.rank AS BIGINT) AS rank_ba,
+        |  CAST(ROUND(a.sim,4) AS DECIMAL(18,4))::DOUBLE AS sim
+        |FROM g a JOIN g b ON a.vec_id = b.nb_id AND a.nb_id = b.vec_id
+        |WHERE a.vec_id < a.nb_id ORDER BY a_id, b_id""".stripMargin,
     "q_knn_graph" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |sims AS (SELECT a.vec_id, b.vec_id AS nb_id,

@@ -473,6 +473,37 @@ object TextOps {
       .orderBy(col("est_eighths"))
   }
 
+  /** C55: per-document CHARACTER-ENTROPY census — the gibberish /
+    * degenerate-text gate (low character entropy ⇒ repeated-char runs,
+    * base64 blobs collapse the other way with HIGH entropy vs prose's
+    * ~2.8-3.2 nats; both tails get cut in LLM corpus curation, CCNet/
+    * RefinedWeb-style, complementing the token-level C3/C11 gates which
+    * miss sub-token degeneracy). H = ln(n) − (Σ c·ln c)/n over the
+    * per-doc char histogram. Engine: entirely higher-order functions on
+    * the text column — histogram via transform over the SORTED distinct
+    * chars, Σ c·ln c via a sequential left fold in that sorted order
+    * (`aggregate`), so the float summation ORDER is deterministic and
+    * identical to the oracle's char-ordered list fold; ln operand set
+    * is small integers both sides. ZERO shuffle — a single narrow
+    * projection pass; at 100 TB this is the ideal scan shape (per-doc
+    * cost O(distinct·len), distinct ≤ charset).
+    */
+  def qCharEntropy(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .withColumn("chs", expr("filter(split(text, ''), c -> c <> '')"))
+      .withColumn("n", size(col("chs")).cast("long"))
+      .withColumn("cnts", expr(
+        "transform(array_sort(array_distinct(chs))," +
+          " c -> CAST(size(filter(chs, x -> x = c)) AS DOUBLE))"))
+      .withColumn("hsum", expr(
+        "aggregate(cnts, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * ln(x))"))
+      .select(col("doc_id"), col("n").as("n_chars"),
+        size(col("cnts")).cast("long").as("n_distinct"),
+        dec4(log(col("n").cast("double")) - col("hsum") / col("n").cast("double"))
+          .as("entropy_nats"))
+      .orderBy(col("doc_id"))
+
   /** C7: n-gram Jaccard similarity join — inverted index over shingles,
     * blocked on rare shingles (df ≤ 5) to cap join fanout, then exact
     * Jaccard ≥ 0.5.
@@ -2601,6 +2632,19 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q_bm25" -> bm25OracleSql,
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE LEN(text) > 0),
+        |h AS (SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS cnt
+        |  FROM ch GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    list(cnt * ln(cnt) ORDER BY c) AS terms
+        |  FROM h GROUP BY 1)
+        |SELECT doc_id, n AS n_chars, n_distinct,
+        |  CAST(ROUND(ln(n) - list_aggregate(terms, 'sum') / n, 4)
+        |    AS DECIMAL(18,4))::DOUBLE AS entropy_nats
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q_readability" ->
       """WITH b AS (SELECT doc_id,
         |  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_words,

@@ -35,6 +35,45 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(plan.split("\n").exists(l => l.trim.matches("""\+- \*\(\d+\) Project .*graft_cosine.*""")), plan)
   }
 
+  test("G18 cartesian guard rejects unbounded cross joins and admits bounded ones") {
+    import spark.implicits._
+    // parquet-backed (scan-rooted) frames: the shape the guard exists for
+    val dir = "/root/testdata/sf0.001"
+    val fact = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"))
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    // naked fact x fact cross join -> refused at ANALYSIS time (the
+    // Dataset cannot even be constructed; no task ever runs)
+    val ex = intercept[Exception] {
+      fact.crossJoin(fact.select(col("k").as("k2")))
+    }
+    assert(rootMsg(ex).contains("cartesian guard"))
+    // SQL CROSS JOIN goes through the same guard
+    fact.createOrReplaceTempView("cg_fact")
+    val ex2 = intercept[Exception] {
+      spark.sql("SELECT * FROM cg_fact a CROSS JOIN cg_fact b")
+    }
+    assert(rootMsg(ex2).contains("cartesian guard"))
+    // the engine's own conventions all pass: broadcast hint ...
+    val n = fact.count()
+    assert(fact.crossJoin(broadcast(
+      graft.sources.Tables.region(spark, dir).select(col("r_regionkey"))))
+      .count() == 5 * n)
+    // ... grand-total aggregate (1-row stats frame) ...
+    assert(fact.crossJoin(fact.agg(sum(col("k")).as("tot"))).count() == n)
+    // ... and LIMIT-bounded sides
+    assert(fact.crossJoin(fact.select(col("k").as("k2")).limit(2))
+      .count() == 2 * n)
+    // joins WITH conditions (equi or range) are untouched
+    assert(fact.as("a").join(fact.limit(3).as("b"), $"a.k" === $"b.k")
+      .count() == 3)
+  }
+
   test("graft_mg works per GROUP in SQL (heavy hitters per key)") {
     import spark.implicits._
     // per-group sketches: each group's summary obeys the MG contract

@@ -77,6 +77,26 @@ class MultimodalSpec extends AnyFunSuite {
       assert(rows(b)._1 <= fullBuckets)
   }
 
+  test("E17 pngAudit: clean pass, single-byte flip caught, truncation quarantined") {
+    for (id <- Seq(0L, 5L, 97L, 12345L)) {
+      val clean = Multimodal.encodePng(id)
+      assert(Multimodal.pngAudit(clean) == ((1, 0L, 1)), s"clean png $id")
+      // any single-byte data flip must be caught (CRC-32 linearity)
+      val flipped = clean.clone()
+      flipped(41) = (flipped(41) ^ 0xFF).toByte
+      val (sig, bad, ok) = Multimodal.pngAudit(flipped)
+      assert(sig == 1 && bad == 1L && ok == 0, s"flipped png $id")
+      // truncation mid-chunk: structural failure, verdict 0 even with
+      // no CRC mismatch counted
+      val trunc = clean.take(clean.length - 5)
+      val (sigT, _, okT) = Multimodal.pngAudit(trunc)
+      assert(sigT == 1 && okT == 0, s"truncated png $id")
+      // wrong magic: signature flag 0
+      val badMagic = clean.clone(); badMagic(0) = 0x42
+      assert(Multimodal.pngAudit(badMagic)._1 == 0)
+    }
+  }
+
   test("encodeWav produces a real RIFF/WAVE file that AudioSystem decodes sample-exactly") {
     for (id <- Seq(0L, 7L, 123L)) {
       val bytes = Multimodal.encodeWav(id)
