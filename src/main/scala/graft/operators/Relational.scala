@@ -3204,6 +3204,241 @@ object Relational {
         dec6(expr(twoPropZSql)).as("z_stat"))
   }
 
+  /** B150 shared integral term texts (log-rank, per event day):
+    * E₁ⱼ·e6 = dⱼ·n₁ⱼ·e6 div nⱼ and the hypergeometric variance
+    * Vⱼ·e6 = dⱼ·n₁ⱼ·(nⱼ−n₁ⱼ)·(nⱼ−dⱼ)·e6 div (nⱼ²·(nⱼ−1)), split as
+    * two chained integral divisions so every intermediate stays inside
+    * DECIMAL(38,0)/long headroom at any corpus size (the B114
+    * IntegralDivide-wraps lesson); all operands non-negative so Spark
+    * `div` ≡ DuckDB `//` exactly. */
+  private def logrankE(di: String, big: String): String =
+    s"(CAST(d AS $big) * n1 * 1000000) $di n"
+  private def logrankV(di: String, big: String): String =
+    "CASE WHEN n <= 1 THEN 0 ELSE " +
+      s"(CAST((CAST(d AS $big) * n1 * (n - n1) * 1000000) $di " +
+      s"(CAST(n AS $big) * n) AS $big) * (n - d)) $di (n - 1) END"
+
+  /** B150 χ² — the ONE float step, over the three exact integers. */
+  private val logrankChiSql =
+    "CASE WHEN v_e6 = 0 THEN NULL ELSE " +
+      "((CAST(o1 AS DOUBLE) - CAST(e1_e6 AS DOUBLE)/1000000.0) * " +
+      "(CAST(o1 AS DOUBLE) - CAST(e1_e6 AS DOUBLE)/1000000.0)) / " +
+      "(CAST(v_e6 AS DOUBLE)/1000000.0) END"
+
+  /** B150: log-rank test between the even/odd user cohorts'
+    * time-to-purchase survival curves — the hypothesis-test companion
+    * of B106's Kaplan–Meier (KM draws the curves, log-rank decides
+    * whether they DIFFER; the standard readout of any retention or
+    * conversion-latency experiment, Mantel–Haenszel form): same
+    * duration construction as B106 (signup → first purchase,
+    * right-censored at study end), the fact collapses to the ≤|days|
+    * duration domain, per event day the 2×2 margins (d₁ⱼ, dⱼ, n₁ⱼ, nⱼ)
+    * come from one bounded reverse-cumulative window (the B106
+    * posture), E and V terms are EXACT e6 integers via shared integral
+    * texts ([[logrankE]]/[[logrankV]] — integer sums are
+    * order-independent, so no float-summation-order contract is even
+    * needed), and only the published χ² is float via ONE shared text.
+    * At 100 TB: one user-keyed aggregate then day-domain arithmetic.
+    */
+  def qLogRank(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .join(su, "user_id")
+      .filter(col("ts") >= col("s_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    val endTs = ev.agg(max(col("ts")).as("end_ts"))
+    val dur = su.join(firstP, Seq("user_id"), "left_outer")
+      .crossJoin(broadcast(endTs))
+      .select(
+        when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("g1"),
+        expr("(unix_micros(coalesce(p_ts, end_ts)) - unix_micros(s_ts)) " +
+             "div 86400000000").as("dur"),
+        col("p_ts").isNotNull.cast("long").as("e"))
+    val days = dur.groupBy(col("dur"))
+      .agg(sum(col("g1") * col("e")).as("d1"), sum(col("e")).as("d"),
+           sum(col("g1")).as("t1"), count(lit(1)).as("t"))
+    // ≤|days| duration-domain frame — bounded window, the B106 posture
+    val wr = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days
+      .withColumn("n1", sum(col("t1")).over(wr))
+      .withColumn("n", sum(col("t")).over(wr))
+      .filter(col("d") > 0)
+      .agg(sum(col("d1")).cast("long").as("o1"),
+           sum(expr(logrankE("div", "DECIMAL(38,0)"))).cast("long").as("e1_e6"),
+           sum(expr(logrankV("div", "DECIMAL(38,0)"))).cast("long").as("v_e6"),
+           count(lit(1)).as("n_days"))
+      .select(col("o1"), col("e1_e6"), col("v_e6"), col("n_days"),
+        dec6(expr(logrankChiSql)).as("chi2"))
+  }
+
+  /** B151 shared float texts over the exact cent moments: pooled
+    * CUPED θ, raw/adjusted arm difference, variance-reduction ratio
+    * (= sample ρ²), and the SRM z — one op sequence each. */
+  private val cupedThetaSql =
+    "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))"
+  private val cupedRawSql =
+    "(CAST(sy1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(sy2 AS DOUBLE)/CAST(n2 AS DOUBLE)) / 100.0"
+  private val cupedAdjSql =
+    s"($cupedRawSql) - ($cupedThetaSql) * " +
+      "(CAST(sx1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(sx2 AS DOUBLE)/CAST(n2 AS DOUBLE)) / 100.0"
+  private val cupedVrSql =
+    "((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) * " +
+      "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))) / " +
+      "((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * " +
+      "(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))"
+  private val cupedSrmSql =
+    "(CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE)) / sqrt(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+
+  /** B151: CUPED variance-reduced experiment readout (Deng et al.,
+    * WSDM'13 — THE industry-standard A/B analysis: regress the
+    * experiment-period metric on its own pre-period value and remove
+    * the explained variance, shrinking the CI without touching the
+    * expectation, since assignment is independent of the pre-period):
+    * unit = customer, X = 1996 spend, Y = 1997 spend in EXACT cents
+    * (customers ordering in either year; missing year = 0 — the
+    * standard zero-fill), assignment = custkey parity standing in for
+    * the experiment's bucket column. ONE custkey-keyed aggregate
+    * collapses the fact, then a single-row census holds all nine
+    * exact integer moments (n/Σx/Σy split by arm + pooled Σxx/Σxy/Σyy
+    * — DECIMAL(38,0) cents² headroom); θ̂ = cov/var, the raw and
+    * CUPED-adjusted lifts, the realized variance-reduction ratio ρ²,
+    * and the Kohavi SRM z-guard (a sample-ratio mismatch voids any
+    * readout — the published z is the health check reviewers demand
+    * first) are each ONE shared float text over those integers. At
+    * 100 TB: one custkey shuffle, then a 1-row combine — nothing else.
+    */
+  def qCuped(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val y96 = year(col("o_orderdate")) === 1996
+    val y97 = year(col("o_orderdate")) === 1997
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val per = orders(s, dir).filter(y96 || y97)
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(y96, cents).otherwise(0L)).as("x"),
+           sum(when(y97, cents).otherwise(0L)).as("y"))
+      .select(when(col("o_custkey") % 2 === 0, 1L).otherwise(0L).as("g1"),
+              col("x"), col("y"))
+    per.agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("g1")).cast("long").as("n1"),
+        sum(lit(1L) - col("g1")).cast("long").as("n2"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(when(col("g1") === 1, col("x")).otherwise(0L).cast(dec)).as("sx1"),
+        sum(when(col("g1") === 0, col("x")).otherwise(0L).cast(dec)).as("sx2"),
+        sum(when(col("g1") === 1, col("y")).otherwise(0L).cast(dec)).as("sy1"),
+        sum(when(col("g1") === 0, col("y")).otherwise(0L).cast(dec)).as("sy2"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("y").cast(dec) * col("y")).as("syy"))
+      .select(col("n1"), col("n2"),
+        dec6(expr(cupedSrmSql)).as("srm_z"),
+        dec6(expr(cupedThetaSql)).as("theta"),
+        dec4(expr(cupedRawSql)).as("raw_diff"),
+        dec4(expr(cupedAdjSql)).as("adj_diff"),
+        dec6(expr(cupedVrSql)).as("var_reduction"))
+  }
+
+  /** B152 Q statistic — ONE shared float text over exact integers:
+    * Q = (k−1)·(k·ΣGⱼ² − T²) / (k·T − ΣLᵢ²), k = 3. */
+  private val cochranQSql =
+    "CASE WHEN 3*t - sll = 0 THEN NULL ELSE " +
+      "2.0 * (3.0*CAST(sgg AS DOUBLE) - CAST(t AS DOUBLE)*CAST(t AS DOUBLE)) / " +
+      "(3.0*CAST(t AS DOUBLE) - CAST(sll AS DOUBLE)) END"
+
+  /** B152: Cochran's Q across THREE years of per-customer activity
+    * (did the active-customer rate change across 1996/1997/1998? —
+    * the k-treatment extension of B143's McNemar, same paired design:
+    * each customer is their own control, so the between-customer
+    * variance the independent-samples tests drown in cancels):
+    * subjects = customers ordering in any of the three years, three
+    * binary year flags from ONE custkey max-aggregate (the B143
+    * shape), then a single-row census of exact integers — column
+    * totals Gⱼ, T = ΣLᵢ, ΣLᵢ², ΣGⱼ² — and Q via one shared float
+    * text, df = k−1 = 2; degenerate all-rows-identical case (kT =
+    * ΣL²) NULL-guarded in both engines. At 100 TB: one custkey
+    * shuffle then a 1-row combine.
+    */
+  def qCochranQ(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val flags = orders(s, dir)
+      .filter(year(col("o_orderdate")).isin(1996, 1997, 1998))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L)).as("a"),
+           max(when(year(col("o_orderdate")) === 1997, 1L).otherwise(0L)).as("b"),
+           max(when(year(col("o_orderdate")) === 1998, 1L).otherwise(0L)).as("c"))
+    flags.agg(
+        count(lit(1)).as("n_subjects"),
+        sum(col("a")).cast("long").as("g1"),
+        sum(col("b")).cast("long").as("g2"),
+        sum(col("c")).cast("long").as("g3"),
+        sum(col("a") + col("b") + col("c")).cast(dec).as("t"),
+        sum((col("a") + col("b") + col("c")) * (col("a") + col("b") + col("c")))
+          .cast(dec).as("sll"))
+      .withColumn("sgg", (col("g1") * col("g1") + col("g2") * col("g2") +
+        col("g3") * col("g3")).cast(dec))
+      .select(col("n_subjects"), col("g1"), col("g2"), col("g3"),
+        col("t").cast("long").as("t_total"),
+        dec6(expr(cochranQSql)).as("q_stat"))
+  }
+
+  /** B153 χ²_F — ONE shared float text over the exact doubled rank
+    * sums (k = 3 treatments; R2ⱼ = 2·ΣRⱼ so Rⱼ = R2ⱼ/2):
+    * χ² = 12/(n·k·(k+1))·ΣRⱼ² − 3n(k+1). */
+  private val friedmanChiSql =
+    "(CAST(r1 AS DOUBLE)*CAST(r1 AS DOUBLE) + CAST(r2 AS DOUBLE)*CAST(r2 AS DOUBLE) + " +
+      "CAST(r3 AS DOUBLE)*CAST(r3 AS DOUBLE)) / 4.0 * 12.0 / " +
+      "(CAST(nb AS DOUBLE) * 3.0 * 4.0) - 3.0 * CAST(nb AS DOUBLE) * 4.0"
+
+  /** B153: Friedman test of returnflag mean-quantity across ship-month
+    * BLOCKS (the blocked k-sample nonparametric — B110's Kruskal–Wallis
+    * assumes independent groups, Friedman ranks WITHIN each month so
+    * every month is its own control; the repeated-measures ANOVA
+    * analogue): cell = (month, flag) mean quantity held as an EXACT
+    * RATIONAL (Σq, count — never divided), within-month midranks by
+    * CROSS-MULTIPLIED comparison (sqᵢ·cntⱼ vs sqⱼ·cntᵢ — a 3×3
+    * per-month compare, float-free and tie-exact), doubled ranks so
+    * midranks stay integral, rank sums exact integers, χ²_F via ONE
+    * shared float text, df = k−1 = 2. At 100 TB: the fact collapses to
+    * ≤|months|·3 cells in one aggregate; everything after is
+    * domain-bounded. Months with all three flags present only
+    * (complete blocks — the classical requirement).
+    */
+  def qFriedman(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = lineitem(s, dir)
+      .groupBy(date_trunc("month", col("l_shipdate")).as("m"),
+               col("l_returnflag").as("f"))
+      .agg(sum(col("l_quantity").cast("long")).cast(dec).as("sq"),
+           count(lit(1)).cast(dec).as("cnt"))
+    val full = cells.groupBy(col("m")).agg(count(lit(1)).as("nf"))
+      .filter(col("nf") === 3).select(col("m"))
+    val c = cells.join(broadcast(full), "m")
+    val o = c.select(col("m"), col("f").as("fo"), col("sq").as("sqo"),
+                     col("cnt").as("cnto"))
+    // 3×3 within-month compare: doubled midrank = 2·(#strictly-below)
+    // + (#tied incl. self) + 1, decided by cross-multiplication
+    val r2 = c.join(o, "m")
+      .groupBy(col("m"), col("f"))
+      .agg((sum(when(col("sqo") * col("cnt") < col("sq") * col("cnto"), 2L)
+                .when(col("sqo") * col("cnt") === col("sq") * col("cnto"), 1L)
+                .otherwise(0L)) + lit(1L)).as("rank2"))
+    r2.groupBy()
+      .agg(countDistinct(col("m")).as("nb"),
+           sum(when(col("f") === "A", col("rank2")).otherwise(0L))
+             .cast("long").as("r1"),
+           sum(when(col("f") === "N", col("rank2")).otherwise(0L))
+             .cast("long").as("r2"),
+           sum(when(col("f") === "R", col("rank2")).otherwise(0L))
+             .cast("long").as("r3"))
+      .select(col("nb"), col("r1"), col("r2"), col("r3"),
+        dec6(expr(friedmanChiSql)).as("chi2"))
+  }
+
   /** B149: sketch-algebra audience overlap — the |A∩B| ≈ |A|+|B|−|A∪B|
     * inclusion–exclusion over three HLL sketches (the ad-tech /
     * product-analytics overlap question at 100 TB, where the exact
@@ -5390,6 +5625,102 @@ object Relational {
         |  CAST((SELECT COUNT(*) FROM dev, mad WHERE d > 3*mad) AS BIGINT)
         |    AS n_outlier_days
         |FROM med, mad""".stripMargin,
+    "q_logrank" ->
+      s"""WITH su AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |fp AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts GROUP BY 1),
+        |en AS (SELECT MAX(ts) AS end_ts FROM events),
+        |du AS (SELECT CASE WHEN su.user_id % 2 = 0 THEN 1 ELSE 0 END AS g1,
+        |    (epoch_us(COALESCE(p_ts, end_ts)) - epoch_us(s_ts))
+        |      // 86400000000 AS dur,
+        |    CASE WHEN p_ts IS NULL THEN 0 ELSE 1 END AS e
+        |  FROM su LEFT JOIN fp USING (user_id) CROSS JOIN en),
+        |dy AS (SELECT dur, CAST(SUM(g1*e) AS BIGINT) AS d1,
+        |    CAST(SUM(e) AS BIGINT) AS d, CAST(SUM(g1) AS BIGINT) AS t1,
+        |    CAST(COUNT(*) AS BIGINT) AS t FROM du GROUP BY 1),
+        |ce AS (SELECT dur, d1, d,
+        |    CAST(SUM(t1) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS n1,
+        |    CAST(SUM(t) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS n FROM dy),
+        |f AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+        |    CAST(SUM(${logrankE("//", "HUGEINT")}) AS BIGINT) AS e1_e6,
+        |    CAST(SUM(${logrankV("//", "HUGEINT")}) AS BIGINT) AS v_e6,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM ce WHERE d > 0)
+        |SELECT o1, e1_e6, v_e6, n_days,
+        |  CAST(ROUND($logrankChiSql, 6) AS DECIMAL(18,6))::DOUBLE AS chi2
+        |FROM f""".stripMargin,
+    "q_cuped" ->
+      s"""WITH p AS (SELECT o_custkey,
+        |    CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1996
+        |      THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1997
+        |      THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS y,
+        |    CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS g1
+        |  FROM orders WHERE YEAR(o_orderdate) IN (1996, 1997)
+        |  GROUP BY 1, 4),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(g1) AS BIGINT) AS n1,
+        |    CAST(SUM(1 - g1) AS BIGINT) AS n2,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(CASE WHEN g1 = 1 THEN x ELSE 0 END) AS HUGEINT) AS sx1,
+        |    CAST(SUM(CASE WHEN g1 = 0 THEN x ELSE 0 END) AS HUGEINT) AS sx2,
+        |    CAST(SUM(CASE WHEN g1 = 1 THEN y ELSE 0 END) AS HUGEINT) AS sy1,
+        |    CAST(SUM(CASE WHEN g1 = 0 THEN y ELSE 0 END) AS HUGEINT) AS sy2,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |  FROM p)
+        |SELECT n1, n2,
+        |  CAST(ROUND($cupedSrmSql, 6) AS DECIMAL(18,6))::DOUBLE AS srm_z,
+        |  CAST(ROUND($cupedThetaSql, 6) AS DECIMAL(18,6))::DOUBLE AS theta,
+        |  CAST(ROUND($cupedRawSql, 4) AS DECIMAL(18,4))::DOUBLE AS raw_diff,
+        |  CAST(ROUND($cupedAdjSql, 4) AS DECIMAL(18,4))::DOUBLE AS adj_diff,
+        |  CAST(ROUND($cupedVrSql, 6) AS DECIMAL(18,6))::DOUBLE AS var_reduction
+        |FROM m""".stripMargin,
+    "q_cochran_q" ->
+      s"""WITH fl AS (SELECT o_custkey,
+        |    MAX(CASE WHEN YEAR(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS a,
+        |    MAX(CASE WHEN YEAR(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS b,
+        |    MAX(CASE WHEN YEAR(o_orderdate) = 1998 THEN 1 ELSE 0 END) AS c
+        |  FROM orders WHERE YEAR(o_orderdate) IN (1996, 1997, 1998)
+        |  GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+        |    CAST(SUM(a) AS BIGINT) AS g1, CAST(SUM(b) AS BIGINT) AS g2,
+        |    CAST(SUM(c) AS BIGINT) AS g3,
+        |    CAST(SUM(a + b + c) AS HUGEINT) AS t,
+        |    CAST(SUM((a + b + c) * (a + b + c)) AS HUGEINT) AS sll
+        |  FROM fl)
+        |SELECT n_subjects, g1, g2, g3, CAST(t AS BIGINT) AS t_total,
+        |  CAST(ROUND($cochranQSql, 6) AS DECIMAL(18,6))::DOUBLE AS q_stat
+        |FROM (SELECT *, CAST(g1 AS HUGEINT)*g1 + CAST(g2 AS HUGEINT)*g2 +
+        |  CAST(g3 AS HUGEINT)*g3 AS sgg FROM m)""".stripMargin,
+    "q_friedman" ->
+      s"""WITH ce AS (SELECT DATE_TRUNC('month', l_shipdate) AS m,
+        |    l_returnflag AS f,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sq,
+        |    CAST(COUNT(*) AS HUGEINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |fu AS (SELECT m FROM ce GROUP BY 1 HAVING COUNT(*) = 3),
+        |c AS (SELECT ce.* FROM ce JOIN fu USING (m)),
+        |r AS (SELECT c.m, c.f,
+        |    CAST(SUM(CASE WHEN o.sq * c.cnt < c.sq * o.cnt THEN 2
+        |      WHEN o.sq * c.cnt = c.sq * o.cnt THEN 1 ELSE 0 END) + 1
+        |      AS BIGINT) AS rank2
+        |  FROM c JOIN c o USING (m) GROUP BY 1, 2),
+        |f AS (SELECT CAST(COUNT(DISTINCT m) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN f = 'A' THEN rank2 ELSE 0 END) AS BIGINT) AS r1,
+        |    CAST(SUM(CASE WHEN f = 'N' THEN rank2 ELSE 0 END) AS BIGINT) AS r2,
+        |    CAST(SUM(CASE WHEN f = 'R' THEN rank2 ELSE 0 END) AS BIGINT) AS r3
+        |  FROM r)
+        |SELECT nb, r1, r2, r3,
+        |  CAST(ROUND($friedmanChiSql, 6) AS DECIMAL(18,6))::DOUBLE AS chi2
+        |FROM f""".stripMargin,
     "q_hll_overlap" ->
       """WITH f AS (SELECT user_id,
         |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
