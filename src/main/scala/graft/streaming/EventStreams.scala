@@ -446,7 +446,35 @@ object EventStreams {
 
   final case class KmvArrival(grp: String, value: Long)
   final case class KmvState(ver: Long, hashes: Array[Long], values: Array[Long])
-  final case class KmvOut(grp: String, ver: Long, n_kept: Int, kth: Long, est: Long)
+  /** hs/vs carry the sketch itself (F48): shipping the O(k) min-k set
+    * in the changelog is exactly what a production combiner consumes —
+    * partial sketches union across executors/streams. */
+  final case class KmvOut(grp: String, ver: Long, n_kept: Int, kth: Long,
+                          est: Long, hs: Array[Long], vs: Array[Long])
+
+  /** F48 merge kernel: union two min-k (hash, value) sets and re-take
+    * the k smallest — the KMV MERGE operation. The identity that makes
+    * the sketch mergeable (and therefore 100 TB-viable): min-k(A ∪ B)
+    * = min-k(min-k(A) ∪ min-k(B)), because any element of min-k(A∪B)
+    * is within the k smallest of its own side. So merged partial
+    * sketches equal the sketch of the concatenated stream EXACTLY —
+    * not approximately — which the F48 spec asserts set-for-set.
+    */
+  def kmvMerge(aH: Array[Long], aV: Array[Long], bH: Array[Long],
+               bV: Array[Long], k: Int): (Array[Long], Array[Long]) = {
+    val set = scala.collection.mutable.TreeSet.empty[(Long, Long)]
+    var i = 0
+    while (i < aH.length) { set += ((aH(i), aV(i))); i += 1 }
+    i = 0
+    while (i < bH.length) { set += ((bH(i), bV(i))); i += 1 }
+    val arr = set.toArray.take(k)
+    (arr.map(_._1), arr.map(_._2))
+  }
+
+  /** F48 estimate off a merged sketch — the B77/F24 formula verbatim. */
+  def kmvEstimate(hs: Array[Long], k: Int): Long =
+    if (hs.length < k) hs.length.toLong
+    else (k - 1).toLong * (1L << 52) / hs.last
 
   /** F24: streaming KMV distinct-count sketch (batch twin B77) — the
     * min-k set is the textbook MERGEABLE sketch state: per group keep
@@ -487,7 +515,9 @@ object EventStreams {
           val est =
             if (arr.length < k) arr.length.toLong
             else (k - 1).toLong * (1L << 52) / arr.last._1
-          Iterator.single(KmvOut(grp, ver, arr.length, if (arr.isEmpty) 0L else arr.last._1, est))
+          Iterator.single(KmvOut(grp, ver, arr.length,
+            if (arr.isEmpty) 0L else arr.last._1, est,
+            arr.map(_._1), arr.map(_._2)))
         })
   }
 

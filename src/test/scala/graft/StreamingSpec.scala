@@ -1365,6 +1365,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F48 sharded KMV sketches merge to the exact full-data min-k set; overlap readout in bounds") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{KmvArrival, KmvOut}
+    implicit val sqlCtx = spark.sqlContext
+    val k = 64
+    val arrivals = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_partkey")).collect()
+      .map(r => KmvArrival(r.getString(0), r.getLong(1))).toSeq
+    // two disjoint shards, as if two sites each kept only a partial sketch
+    val (sa, sb) = arrivals.partition(a => (a.value * 2654435761L % 1000003) % 2 == 0)
+    def finalSketches(rows: Seq[KmvArrival], name: String): Map[String, (Array[Long], Array[Long])] = {
+      val input = MemoryStream[KmvArrival]
+      val q = EventStreams.kmvStream(input.toDS(), k)
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      try {
+        val half = rows.length / 2
+        input.addData(rows.take(half)); q.processAllAvailable()
+        // second batch with a replayed prefix: the min-k SET must not move
+        input.addData(rows.drop(half) ++ rows.take(50)); q.processAllAvailable()
+        spark.table(name).as[KmvOut].collect().groupBy(_.grp).map {
+          case (g, os) => val last = os.maxBy(_.ver); g -> ((last.hs, last.vs))
+        }
+      } finally q.stop()
+    }
+    val skA = finalSketches(sa, "kmv_shard_a")
+    val skB = finalSketches(sb, "kmv_shard_b")
+    // sequential reference: the true min-k (hash, value) set over ALL data
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = arrivals.groupBy(_.grp).map { case (g, as) =>
+      val pairs = as.map(_.value).distinct
+        .map(v => (graft.functions.TextKernels.md5Prefix52(md, s"kmv|$v"), v))
+        .sorted.take(k)
+      g -> ((pairs.map(_._1).toArray, pairs.map(_._2).toArray))
+    }
+    val none = (Array.empty[Long], Array.empty[Long])
+    expected.foreach { case (g, (eh, ev)) =>
+      val (ah, av) = skA.getOrElse(g, none)
+      val (bh, bv) = skB.getOrElse(g, none)
+      val (mh, mv) = EventStreams.kmvMerge(ah, av, bh, bv, k)
+      // the mergeability identity, asserted EXACTLY (set-for-set):
+      // min-k(A ∪ B) == min-k(min-k(A) ∪ min-k(B))
+      assert(mh.toSeq == eh.toSeq && mv.toSeq == ev.toSeq,
+        s"group $g: merged shard sketch diverges from full-data min-k set")
+      assert(EventStreams.kmvEstimate(mh, k) ==
+        EventStreams.kmvEstimate(eh, k))
+    }
+    // merged-sketch estimates equal the batch B77 estimates per group
+    val batch = graft.operators.Relational.qKmvDistinct(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val mergedEst = expected.map { case (g, (eh, _)) =>
+      g -> EventStreams.kmvEstimate(eh, k) }
+    assert(mergedEst == batch,
+      s"merged estimates $mergedEst diverge from batch B77 $batch")
+    // B149-style inclusion–exclusion overlap from sketch ALGEBRA alone:
+    // |A ∩ N| ≈ est(A) + est(N) − est(merge(A, N))
+    val (ahA, avA) = expected("A"); val (ahN, avN) = expected("N")
+    val (uh, uv) = EventStreams.kmvMerge(ahA, avA, ahN, avN, k)
+    val overlap = EventStreams.kmvEstimate(ahA, k) +
+      EventStreams.kmvEstimate(ahN, k) - EventStreams.kmvEstimate(uh, k)
+    val setA = arrivals.filter(_.grp == "A").map(_.value).toSet
+    val setN = arrivals.filter(_.grp == "N").map(_.value).toSet
+    val exactBoth = setA.intersect(setN).size.toLong
+    val bound = 5.0 / math.sqrt(k - 2.0) * (setA.size + setN.size)
+    assert(uv.length == uh.length)
+    assert(math.abs(overlap - exactBoth).toDouble <= bound,
+      s"overlap $overlap vs exact $exactBoth exceeds bound $bound")
+  }
+
   test("F25 streaming upsert compaction equals batch B82; winner replays emit nothing") {
     import spark.implicits._
     import graft.streaming.EventStreams.{UpsertEv, UpsertOut}
