@@ -225,6 +225,19 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_idx"))
 
   val oracles: Map[String, String] = Map(
+    "q_video_index" ->
+      """WITH d AS (SELECT doc_id AS id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h,
+        |    4 + doc_id % 6 AS nf, 33333 + (doc_id % 3) * 8334 AS usf FROM documents),
+        |sf AS (SELECT id, w, h, f FROM (SELECT id, w, h, nf, unnest(range(nf)) AS f FROM d)
+        |  WHERE f % 3 = 0),
+        |px AS (SELECT id, f, unnest(range(w * h)) AS i FROM sf),
+        |ck AS (SELECT id, CAST(SUM((i + 1) * ((id * 31 + f * 17 + i * 7) % 251)) AS BIGINT) AS cs
+        |  FROM px GROUP BY 1)
+        |SELECT id AS media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames, CAST(nf * usf AS BIGINT) AS duration_us,
+        |  CAST((nf + 1) // 2 AS BIGINT) AS n_key, CAST((nf + 2) // 3 AS BIGINT) AS n_sampled,
+        |  cs AS sampled_checksum
+        |FROM d JOIN ck USING (id) ORDER BY media_id""".stripMargin,
     "q_png_integrity" ->
       """SELECT doc_id AS media_id, 1 AS sig_ok,
         |  CAST(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS BIGINT)
@@ -659,6 +672,175 @@ object Multimodal {
               col("peak"), col("n_zero_cross"),
               dec4(sqrt(col("sumsq").cast("double") / col("n_samples"))).as("rms"),
               col("duration_us"))
+      .orderBy(col("media_id"))
+  }
+
+  /** E18 synthesis: REAL RIFF/AVI video containers — the standard
+    * layout end-to-end: RIFF("AVI ") → LIST(hdrl){ avih 56-byte main
+    * header (µs/frame, flags AVIF_HASINDEX, total frames, stream
+    * count, width, height) + LIST(strl){ strh 'vids' stream header,
+    * strf 40-byte BITMAPINFOHEADER (8-bit DIB) } } → LIST(movi){ one
+    * '00db' uncompressed-frame chunk per frame } → idx1 (16-byte
+    * entries: fourcc, AVIIF_KEYFRAME flags, chunk offset RELATIVE TO
+    * THE 'movi' FOURCC — the OpenDML convention — and size). Frame f
+    * is w×h 8-bit pixels b(i) = (id·31 + f·17 + i·7) mod 251 with
+    * w = 8 + id%8, h = 6 + id%6, frames = 4 + id%6, µs/frame =
+    * 33333 + (id%3)·8334; every even frame is a keyframe. Distinct
+    * formulas from every other E fixture so gates cannot mask each
+    * other. */
+  private[graft] def encodeAvi(id: Long): Array[Byte] = {
+    val w = (8 + id % 8).toInt; val h = (6 + id % 6).toInt
+    val nf = (4 + id % 6).toInt; val usf = (33333 + (id % 3) * 8334).toInt
+    val frameLen = w * h
+    val chunk = 8 + frameLen + (frameLen & 1)         // fourcc+size+data+pad
+    val strl = 12 + 8 + 56 + 8 + 40                   // LIST strl{strh,strf}
+    val hdrl = 12 + 8 + 56 + strl                     // LIST hdrl{avih,strl}
+    val movi = 12 + nf * chunk                        // LIST movi{00db...}
+    val idx1 = 8 + nf * 16
+    val total = 12 + hdrl + movi + idx1
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    fcc("RIFF"); bb.putInt(total - 8); fcc("AVI ")
+    fcc("LIST"); bb.putInt(hdrl - 8); fcc("hdrl")
+    fcc("avih"); bb.putInt(56)
+    bb.putInt(usf); bb.putInt(0); bb.putInt(0)
+    bb.putInt(0x10)                                   // AVIF_HASINDEX
+    bb.putInt(nf); bb.putInt(0); bb.putInt(1); bb.putInt(frameLen)
+    bb.putInt(w); bb.putInt(h); bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    fcc("LIST"); bb.putInt(strl - 8); fcc("strl")
+    fcc("strh"); bb.putInt(56)
+    fcc("vids"); fcc("DIB ")
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(usf)                                    // dwScale
+    bb.putInt(1000000)                                // dwRate
+    bb.putInt(0); bb.putInt(nf); bb.putInt(frameLen); bb.putInt(-1); bb.putInt(0)
+    bb.putShort(0); bb.putShort(0); bb.putShort(w.toShort); bb.putShort(h.toShort)
+    fcc("strf"); bb.putInt(40)
+    bb.putInt(40); bb.putInt(w); bb.putInt(h); bb.putShort(1); bb.putShort(8)
+    bb.putInt(0); bb.putInt(frameLen); bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    val moviFourccPos = bb.position() + 8             // where 'movi' sits
+    fcc("LIST"); bb.putInt(movi - 8); fcc("movi")
+    val offsets = new Array[Int](nf)
+    var f = 0
+    while (f < nf) {
+      offsets(f) = bb.position() - moviFourccPos      // offset of chunk fourcc
+      fcc("00db"); bb.putInt(frameLen)
+      var i = 0
+      while (i < frameLen) {
+        bb.put(((id * 31 + f.toLong * 17 + i.toLong * 7) % 251).toByte); i += 1
+      }
+      if ((frameLen & 1) == 1) bb.put(0.toByte)
+      f += 1
+    }
+    fcc("idx1"); bb.putInt(nf * 16)
+    f = 0
+    while (f < nf) {
+      fcc("00db")
+      bb.putInt(if (f % 2 == 0) 0x10 else 0)          // AVIIF_KEYFRAME
+      bb.putInt(offsets(f)); bb.putInt(frameLen)
+      f += 1
+    }
+    bb.array()
+  }
+
+  private[graft] def synthesizeAvi(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    fanOut(documents(s, dir).select(col("doc_id")))
+      .mapPartitions { it =>
+        it.map { row => val id = row.getLong(0); Row(id, encodeAvi(id)) }
+      }(Encoders.row(outSchema))
+  }
+
+  /** E18: video frame sampling THROUGH THE CONTAINER INDEX — the
+    * production pattern for video at 100 TB: the consumer never scans
+    * the movi payload stream; it reads the avih main header for frame
+    * geometry, then uses idx1 byte offsets to SEEK directly to every
+    * 3rd frame chunk (stride sampling, the E4/E11 decimation posture
+    * applied to a real container), verifying each addressed chunk's
+    * fourcc and declared size against the header before touching the
+    * pixels — an integrity posture like E17's PNG audit: a truncated
+    * or mis-indexed file fails loudly, never silently samples garbage.
+    * Emits per media the header geometry, keyframe census from idx1
+    * flags (no frame bytes needed), and a position-weighted checksum
+    * Σ(i+1)·b(i) over the SAMPLED frames only — exact integers the
+    * oracle recomputes from the synthesis formulas, so header fields,
+    * index offsets, flags, and frame payload bytes must all roundtrip.
+    * Scale: payloads stream through partitions (no shuffle); at real
+    * scale the seek is a ranged read — bytes for skipped frames are
+    * never fetched, the whole point of shipping the index.
+    */
+  def qVideoIndex(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("duration_us", LongType, nullable = false),
+      StructField("n_key", LongType, nullable = false),
+      StructField("n_sampled", LongType, nullable = false),
+      StructField("sampled_checksum", LongType, nullable = false)))
+    synthesizeAvi(s, dir)
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val bytes = row.getAs[Array[Byte]](1)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def fcc(pos: Int): String = new String(bytes, pos, 4, "US-ASCII")
+          require(fcc(0) == "RIFF" && fcc(8) == "AVI ",
+            s"media $id: not an AVI container")
+          require(bb.getInt(4) == bytes.length - 8,
+            s"media $id: RIFF size mismatch")
+          // generic top-level chunk walk: hdrl geometry, movi pos, idx1
+          var usf = 0L; var nf = 0L; var w = 0L; var h = 0L
+          var moviFourcc = -1; var idx1Pos = -1; var idx1Len = 0
+          var p = 12
+          while (p + 8 <= bytes.length) {
+            val ck = fcc(p); val sz = bb.getInt(p + 4)
+            if (ck == "LIST") {
+              val lt = fcc(p + 8)
+              if (lt == "hdrl") {
+                require(fcc(p + 12) == "avih" && bb.getInt(p + 16) == 56,
+                  s"media $id: missing avih")
+                val a = p + 20
+                usf = bb.getInt(a).toLong
+                nf = bb.getInt(a + 16).toLong
+                require((bb.getInt(a + 12) & 0x10) != 0,
+                  s"media $id: AVIF_HASINDEX not set")
+                w = bb.getInt(a + 32).toLong; h = bb.getInt(a + 36).toLong
+              } else if (lt == "movi") moviFourcc = p + 8
+            } else if (ck == "idx1") { idx1Pos = p + 8; idx1Len = sz }
+            p += 8 + sz + (sz & 1)
+          }
+          require(moviFourcc >= 0 && idx1Pos >= 0 && idx1Len == nf * 16,
+            s"media $id: movi/idx1 not found or index truncated")
+          val frameLen = w * h
+          var nKey = 0L; var nSampled = 0L; var checksum = 0L
+          var f = 0
+          while (f < nf) {
+            val e = idx1Pos + f * 16
+            require(fcc(e) == "00db", s"media $id: idx1 entry $f fourcc")
+            if ((bb.getInt(e + 4) & 0x10) != 0) nKey += 1
+            if (f % 3 == 0) {
+              // the ranged read: seek via the index, never scan movi
+              val cp = moviFourcc + bb.getInt(e + 8)
+              require(fcc(cp) == "00db" && bb.getInt(cp + 4) == bb.getInt(e + 12)
+                && bb.getInt(cp + 4) == frameLen,
+                s"media $id: frame $f index/chunk mismatch")
+              var i = 0
+              while (i < frameLen) {
+                checksum += (i + 1).toLong * (bytes(cp + 8 + i) & 0xff); i += 1
+              }
+              nSampled += 1
+            }
+            f += 1
+          }
+          Row(id, w, h, nf, nf * usf, nKey, nSampled, checksum)
+        }
+      }(Encoders.row(outSchema))
       .orderBy(col("media_id"))
   }
 

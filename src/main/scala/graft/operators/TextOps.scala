@@ -1496,6 +1496,58 @@ object TextOps {
     * top-20 is a bounded TakeOrderedAndProject, never a global sort —
     * the C23 vocabulary shape applied to pairs.
     */
+  /** C56: BPE tokenizer TRAINING — the actual Sennrich et al. (2016)
+    * merge LOOP, where C29 is only one round of its pair statistics:
+    * the fit operates on the WORD-TYPE table (the algorithm's own
+    * scale trick — pair counts are weighted by word frequency, so the
+    * corpus is scanned ONCE for word counts and never again), bounded
+    * to the top-60 (count DESC, word) types (the A46 max_features
+    * posture: corpus vocabulary grows by Heaps' law — C44 measures it
+    * — so an unbounded fit table would break the bounded-artifact
+    * claim at 100 TB; with the bound every merge round is arithmetic
+    * over a ≤60-row frame). Token state is the sentinel encoding
+    * "|t||h||e|" — every token wrapped in its own delimiter pair — so
+    * applying a merge is a plain left-to-right non-overlapping
+    * `replace` of "|a||b|" with "|ab|", which IS the BPE greedy
+    * within-word convention and is bit-identical in Spark and DuckDB
+    * (both engines' literal replace scans left to right). Best pair
+    * per round by the deterministic (support DESC, a, b) total order.
+    * Publishes the learned merge table (round, pair, merged unit,
+    * support) — the artifact a tokenizer ships. 3 driver rounds over
+    * the bounded frame (the A43/GMM iteration posture); at scale the
+    * one corpus pass is a single word-key shuffle with map-side
+    * combine and the loop never touches the fact again.
+    */
+  def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val words = documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,}$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(60)
+    var st = words.select(
+      regexp_replace(col("w"), "(.)", "|$1|").as("st"), col("cnt"))
+    val merges = (1 to 3).map { r =>
+      val pairs = st
+        .select(col("cnt"),
+          split(expr("trim(BOTH '|' FROM st)"), "\\|\\|").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("a"),
+                      element_at(col("t"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+      val best = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
+      st = st.crossJoin(broadcast(best.select(col("a"), col("b"))))
+        .select(expr(
+          "replace(st, '|' || a || '||' || b || '|', '|' || a || b || '|')")
+          .as("st"), col("cnt"))
+      best.select(lit(r).as("round"), col("a").as("t1"), col("b").as("t2"),
+        concat(col("a"), col("b")).as("merged"), col("n").as("support"))
+    }
+    merges.reduce(_ union _).orderBy(col("round"))
+  }
+
   def qBpePairs(s: SparkSession, dir: String): DataFrame = {
     // pair emission is a compiled kernel, not transform/element_at —
     // Catalyst HOFs are interpreted per element (§6 rule), measured
@@ -3064,6 +3116,31 @@ object TextOps {
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "q_bpe_train" ->
+      """WITH w0 AS (
+        |  SELECT w, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z]{2,}$')
+        |  GROUP BY 1 ORDER BY cnt DESC, w LIMIT 60),
+        |s0 AS (SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS st, cnt FROM w0),
+        |t1 AS (SELECT cnt, string_split(trim(st, '|'), '||') AS t FROM s0),
+        |e1 AS (SELECT cnt, t, unnest(range(len(t) - 1)) AS i FROM t1 WHERE len(t) >= 2),
+        |q1 AS (SELECT t[i+1] AS a, t[i+2] AS b, CAST(SUM(cnt) AS BIGINT) AS n FROM e1 GROUP BY 1, 2),
+        |b1 AS (SELECT a, b, n FROM q1 ORDER BY n DESC, a, b LIMIT 1),
+        |s1 AS (SELECT replace(st, '|' || a || '||' || b || '|', '|' || a || b || '|') AS st, cnt FROM s0, b1),
+        |t2 AS (SELECT cnt, string_split(trim(st, '|'), '||') AS t FROM s1),
+        |e2 AS (SELECT cnt, t, unnest(range(len(t) - 1)) AS i FROM t2 WHERE len(t) >= 2),
+        |q2 AS (SELECT t[i+1] AS a, t[i+2] AS b, CAST(SUM(cnt) AS BIGINT) AS n FROM e2 GROUP BY 1, 2),
+        |b2 AS (SELECT a, b, n FROM q2 ORDER BY n DESC, a, b LIMIT 1),
+        |s2 AS (SELECT replace(st, '|' || a || '||' || b || '|', '|' || a || b || '|') AS st, cnt FROM s1, b2),
+        |t3 AS (SELECT cnt, string_split(trim(st, '|'), '||') AS t FROM s2),
+        |e3 AS (SELECT cnt, t, unnest(range(len(t) - 1)) AS i FROM t3 WHERE len(t) >= 2),
+        |q3 AS (SELECT t[i+1] AS a, t[i+2] AS b, CAST(SUM(cnt) AS BIGINT) AS n FROM e3 GROUP BY 1, 2),
+        |b3 AS (SELECT a, b, n FROM q3 ORDER BY n DESC, a, b LIMIT 1)
+        |SELECT 1 AS round, a AS t1, b AS t2, a || b AS merged, n AS support FROM b1
+        |UNION ALL SELECT 2, a, b, a || b, n FROM b2
+        |UNION ALL SELECT 3, a, b, a || b, n FROM b3
+        |ORDER BY round""".stripMargin,
     "q_bpe_pairs" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
         |e AS (SELECT ws, unnest(range(len(ws) - 1)) AS i FROM w),
