@@ -3204,6 +3204,42 @@ object Relational {
         dec6(expr(twoPropZSql)).as("z_stat"))
   }
 
+  /** B154 shared z text — the ONE float step over five exact integers
+    * (n, x, sx, sn, sn2): T = sx − x·sn/n over variance
+    * p̄(1−p̄)(sn2 − sn²/n), the Cochran–Armitage linear-trend form. */
+  private[graft] val caZSql =
+    "CASE WHEN x = 0 OR x = n OR sn2 * n = sn * sn THEN NULL ELSE " +
+      "(CAST(sx AS DOUBLE) - CAST(x AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE))" +
+      " / sqrt( (CAST(x AS DOUBLE)/CAST(n AS DOUBLE))" +
+      " * (1.0 - CAST(x AS DOUBLE)/CAST(n AS DOUBLE))" +
+      " * (CAST(sn2 AS DOUBLE) - CAST(sn AS DOUBLE)*CAST(sn AS DOUBLE)/CAST(n AS DOUBLE)) ) END"
+
+  /** B154: Cochran–Armitage trend test — does order-fulfilment
+    * probability TREND monotonically across the five ordered priority
+    * classes? The dose-response member of the experimentation family:
+    * B145 compares two proportions, B76's χ² detects ANY association;
+    * Cochran–Armitage spends its one degree of freedom on the ordered
+    * alternative (scores s_k = priority rank 1..5), the standard test
+    * wherever arms are ordered (spend tiers, dose levels, severity).
+    * Sufficient statistics are FIVE exact integer sums folded in ONE
+    * zero-shuffle aggregate over the fact (each row contributes its
+    * score, score·success, score² — no per-group frame needed at
+    * all); z is the shared one-float-step text over those integers
+    * ([[caZSql]]), 6dp-rendered. The scan shape is the ideal one at
+    * 100 TB: a single narrow projection pass with a map-side-partial
+    * global aggregate.
+    */
+  def qCochranArmitage(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("k"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("succ"))
+      .agg(count(lit(1)).as("n"), sum(col("succ")).as("x"),
+        sum(col("k") * col("succ")).as("sx"),
+        sum(col("k")).as("sn"),
+        sum(col("k") * col("k")).as("sn2"))
+      .select(col("n"), col("x"), col("sx"), col("sn"), col("sn2"),
+        dec6(expr(caZSql)).as("z_stat"))
+
   /** B150 shared integral term texts (log-rank, per event day):
     * E₁ⱼ·e6 = dⱼ·n₁ⱼ·e6 div nⱼ and the hypergeometric variance
     * Vⱼ·e6 = dⱼ·n₁ⱼ·(nⱼ−n₁ⱼ)·(nⱼ−dⱼ)·e6 div (nⱼ²·(nⱼ−1)), split as
@@ -5832,6 +5868,14 @@ object Relational {
         |    (SELECT abs_ndev AS max_abs_ndev, n_days, s1, q FROM p WHERE rn = 1)),
         |    6) AS DECIMAL(18,6))::DOUBLE AS g_stat
         |FROM p WHERE rn = 1""".stripMargin,
+    "q_cochran_armitage" ->
+      s"""WITH b AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS k,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS succ FROM orders),
+        |a AS (SELECT COUNT(*) AS n, CAST(SUM(succ) AS BIGINT) AS x,
+        |    CAST(SUM(k * succ) AS BIGINT) AS sx, CAST(SUM(k) AS BIGINT) AS sn,
+        |    CAST(SUM(k * k) AS BIGINT) AS sn2 FROM b)
+        |SELECT n, x, sx, sn, sn2,
+        |  CAST(ROUND($caZSql, 6) AS DECIMAL(18,6))::DOUBLE AS z_stat FROM a""".stripMargin,
     "q_two_proportion" ->
       s"""WITH m AS (SELECT
         |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,

@@ -1518,34 +1518,84 @@ object TextOps {
     * one corpus pass is a single word-key shuffle with map-side
     * combine and the loop never touches the fact again.
     */
-  def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
-    val words = documents(s, dir)
+  /** C56/C57 shared kernels: word-type table, sentinel state, token
+    * split, best-pair selection, merge application. */
+  private def bpeWordTypes(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w").rlike("^[a-z]{2,}$"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("w")).limit(60)
-    var st = words.select(
-      regexp_replace(col("w"), "(.)", "|$1|").as("st"), col("cnt"))
+
+  private def bpeState(words: DataFrame): DataFrame =
+    words.select(regexp_replace(col("w"), "(.)", "|$1|").as("st"), col("cnt"))
+
+  private val bpeTokens: Column =
+    split(expr("trim(BOTH '|' FROM st)"), "\\|\\|")
+
+  private def bpeBest(st: DataFrame): DataFrame = st
+    .select(col("cnt"), bpeTokens.as("t"))
+    .filter(size(col("t")) >= 2)
+    .select(col("cnt"), explode(transform(
+      sequence(lit(1), size(col("t")) - 1),
+      i => struct(element_at(col("t"), i).as("a"),
+                  element_at(col("t"), i + 1).as("b")))).as("p"))
+    .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    .agg(sum(col("cnt")).as("n"))
+    .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+
+  private def bpeApply(st: DataFrame, best: DataFrame): DataFrame =
+    st.crossJoin(broadcast(best.select(col("a"), col("b"))))
+      .select(expr(
+        "replace(st, '|' || a || '||' || b || '|', '|' || a || b || '|')")
+        .as("st"), col("cnt"))
+
+  def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    var st = bpeState(
+      bpeWordTypes(s, dir).orderBy(col("cnt").desc, col("w")).limit(60))
     val merges = (1 to 3).map { r =>
-      val pairs = st
-        .select(col("cnt"),
-          split(expr("trim(BOTH '|' FROM st)"), "\\|\\|").as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("cnt"), explode(transform(
-          sequence(lit(1), size(col("t")) - 1),
-          i => struct(element_at(col("t"), i).as("a"),
-                      element_at(col("t"), i + 1).as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("cnt")).as("n"))
-      val best = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
-      st = st.crossJoin(broadcast(best.select(col("a"), col("b"))))
-        .select(expr(
-          "replace(st, '|' || a || '||' || b || '|', '|' || a || b || '|')")
-          .as("st"), col("cnt"))
+      val best = bpeBest(st)
+      st = bpeApply(st, best)
       best.select(lit(r).as("round"), col("a").as("t1"), col("b").as("t2"),
         concat(col("a"), col("b")).as("merged"), col("n").as("support"))
     }
     merges.reduce(_ union _).orderBy(col("round"))
+  }
+
+  /** C57: BPE ENCODING + compression curve — the consumer side of the
+    * C56 artifact (tokenizer-team eval: what does each merge buy?):
+    * the merges are trained on the bounded top-60 type table exactly
+    * as C56, then applied to the ENTIRE word-type table (the corpus
+    * representation, counts-weighted — still one corpus pass + type-
+    * table arithmetic, never a corpus rescan), and the published curve
+    * is corpus token count after 0..3 merges plus exact integral
+    * saved-permille vs the character baseline — the marginal-gain
+    * readout that decides when to stop training merges. Merge rows
+    * broadcast (1 row each); all sums exact integers.
+    */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val types = bpeWordTypes(s, dir)
+    var trainSt = bpeState(types.orderBy(col("cnt").desc, col("w")).limit(60))
+    var allSt = bpeState(types)
+    def census: DataFrame =
+      allSt.agg(sum(col("cnt") * size(bpeTokens)).as("n_tokens"))
+    val round0 = census
+      .select(lit(0).as("round"), lit("").as("merged"), col("n_tokens"))
+    val curve = Seq(round0) ++ (1 to 3).map { r =>
+      val best = bpeBest(trainSt)
+      trainSt = bpeApply(trainSt, best)
+      allSt = bpeApply(allSt, best)
+      census
+        .crossJoin(broadcast(best.select(
+          concat(col("a"), col("b")).as("merged"))))
+        .select(lit(r).as("round"), col("merged"), col("n_tokens"))
+    }
+    val rounds = curve.reduce(_ union _)
+    val base = rounds.filter(col("round") === 0)
+      .select(col("n_tokens").as("n0"))
+    rounds.crossJoin(broadcast(base))
+      .select(col("round"), col("merged"), col("n_tokens"),
+        expr("(n0 - n_tokens) * 1000 div n0").as("saved_permille"))
+      .orderBy(col("round"))
   }
 
   def qBpePairs(s: SparkSession, dir: String): DataFrame = {
@@ -3116,6 +3166,42 @@ object TextOps {
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "q_bpe_encode" ->
+      """WITH wa AS (
+        |  SELECT w, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z]{2,}$') GROUP BY 1),
+        |w0 AS (SELECT w, cnt FROM wa ORDER BY cnt DESC, w LIMIT 60),
+        |s0 AS (SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS st, cnt FROM w0),
+        |t1 AS (SELECT cnt, string_split(trim(st, '|'), '||') AS t FROM s0),
+        |e1 AS (SELECT cnt, t, unnest(range(len(t) - 1)) AS i FROM t1 WHERE len(t) >= 2),
+        |q1 AS (SELECT t[i+1] AS a, t[i+2] AS b, CAST(SUM(cnt) AS BIGINT) AS n FROM e1 GROUP BY 1, 2),
+        |b1 AS (SELECT a, b FROM q1 ORDER BY n DESC, a, b LIMIT 1),
+        |s1 AS (SELECT replace(st, '|' || a || '||' || b || '|', '|' || a || b || '|') AS st, cnt FROM s0, b1),
+        |t2 AS (SELECT cnt, string_split(trim(st, '|'), '||') AS t FROM s1),
+        |e2 AS (SELECT cnt, t, unnest(range(len(t) - 1)) AS i FROM t2 WHERE len(t) >= 2),
+        |q2 AS (SELECT t[i+1] AS a, t[i+2] AS b, CAST(SUM(cnt) AS BIGINT) AS n FROM e2 GROUP BY 1, 2),
+        |b2 AS (SELECT a, b FROM q2 ORDER BY n DESC, a, b LIMIT 1),
+        |s2 AS (SELECT replace(st, '|' || a || '||' || b || '|', '|' || a || b || '|') AS st, cnt FROM s1, b2),
+        |t3 AS (SELECT cnt, string_split(trim(st, '|'), '||') AS t FROM s2),
+        |e3 AS (SELECT cnt, t, unnest(range(len(t) - 1)) AS i FROM t3 WHERE len(t) >= 2),
+        |q3 AS (SELECT t[i+1] AS a, t[i+2] AS b, CAST(SUM(cnt) AS BIGINT) AS n FROM e3 GROUP BY 1, 2),
+        |b3 AS (SELECT a, b FROM q3 ORDER BY n DESC, a, b LIMIT 1),
+        |a0 AS (SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS st, cnt FROM wa),
+        |a1 AS (SELECT replace(st, '|' || a || '||' || b || '|', '|' || a || b || '|') AS st, cnt FROM a0, b1),
+        |a2 AS (SELECT replace(st, '|' || a || '||' || b || '|', '|' || a || b || '|') AS st, cnt FROM a1, b2),
+        |a3 AS (SELECT replace(st, '|' || a || '||' || b || '|', '|' || a || b || '|') AS st, cnt FROM a2, b3),
+        |c0 AS (SELECT CAST(SUM(cnt * len(string_split(trim(st, '|'), '||'))) AS BIGINT) AS n FROM a0),
+        |c1 AS (SELECT CAST(SUM(cnt * len(string_split(trim(st, '|'), '||'))) AS BIGINT) AS n FROM a1),
+        |c2 AS (SELECT CAST(SUM(cnt * len(string_split(trim(st, '|'), '||'))) AS BIGINT) AS n FROM a2),
+        |c3 AS (SELECT CAST(SUM(cnt * len(string_split(trim(st, '|'), '||'))) AS BIGINT) AS n FROM a3),
+        |m AS (SELECT 0 AS round, '' AS merged, n AS n_tokens FROM c0
+        |  UNION ALL SELECT 1, (SELECT a || b FROM b1), n FROM c1
+        |  UNION ALL SELECT 2, (SELECT a || b FROM b2), n FROM c2
+        |  UNION ALL SELECT 3, (SELECT a || b FROM b3), n FROM c3)
+        |SELECT m.round, m.merged, m.n_tokens,
+        |  CAST((c0.n - m.n_tokens) * 1000 // c0.n AS BIGINT) AS saved_permille
+        |FROM m, c0 ORDER BY round""".stripMargin,
     "q_bpe_train" ->
       """WITH w0 AS (
         |  SELECT w, COUNT(*) AS cnt FROM (

@@ -1398,6 +1398,44 @@ object EventStreams {
         })
   }
 
+  /** F49 input/output: one arrival with its ordered-arm score and
+    * success flag; output is the post-arrival sufficient-statistic
+    * state for the Cochran–Armitage trend z. */
+  final case class CaIn(event_id: Long, k: Long, succ: Boolean)
+  final case class CaOut(event_id: Long, n: Long, x: Long,
+                         sx: Long, sn: Long, sn2: Long)
+
+  /** F49: streaming ordered-arm trend monitor (online twin of B154's
+    * Cochran–Armitage test — the live dose-response dashboard for
+    * ordered experiment arms): FIVE O(1) counter cells — n, x,
+    * Σscore, Σscore·success, Σscore² — plus the event-id replay
+    * watermark; every arrival emits the exact post-arrival sums, and
+    * the trend z is the SAME one-float-step closed form the batch
+    * query renders ([[graft.operators.Relational.caZSql]]), so stream
+    * and batch agree bit-identically once the integer state does.
+    * Event-id-ordered arrival (F13 discipline), redelivered ids
+    * dropped. State never grows with the stream: six longs.
+    */
+  def caMonitorStream(in: Dataset[CaIn]): Dataset[CaOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_ => 0L)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (_: Long, batch: Iterator[CaIn],
+         state: GroupState[(Long, Long, Long, Long, Long, Long)]) => {
+          var (n, x, sx, sn, sn2, last) =
+            state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L, Long.MinValue))
+          val fresh = batch.toArray.filter(_.event_id > last).sortBy(_.event_id)
+          val out = fresh.map { e =>
+            n += 1; sn += e.k; sn2 += e.k * e.k
+            if (e.succ) { x += 1; sx += e.k }
+            last = e.event_id
+            CaOut(e.event_id, n, x, sx, sn, sn2)
+          }
+          state.update((n, x, sx, sn, sn2, last))
+          out.iterator
+        })
+  }
+
   /** F46 input/output: one observation for a keyed moment
     * accumulator (group key, per-key arrival sequence, integer
     * value); the output is the post-arrival exact power-sum state. */

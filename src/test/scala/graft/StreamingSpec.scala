@@ -662,6 +662,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F49 streaming trend monitor equals batch B154 sufficient statistics; replay-safe") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{CaIn, CaOut}
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.orders(spark, sfDir)
+      .selectExpr("o_orderkey",
+        "CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS k",
+        "o_orderstatus = 'F' AS succ")
+      .collect().map(r => CaIn(r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_.event_id).toSeq
+    val input = MemoryStream[CaIn]
+    val q = EventStreams.caMonitorStream(input.toDS())
+      .writeStream.format("memory").queryName("ca_out").outputMode("update").start()
+    try {
+      val third = ev.length / 3
+      input.addData(ev.take(third)); q.processAllAvailable()
+      input.addData(ev.slice(third, 2 * third)); q.processAllAvailable()
+      input.addData(ev.take(50)); q.processAllAvailable() // replay: all dropped
+      input.addData(ev.drop(2 * third)); q.processAllAvailable()
+      val rows = spark.table("ca_out").as[CaOut].collect()
+      assert(rows.length == ev.length, "replayed ids must emit nothing")
+      val fin = rows.maxBy(_.event_id)
+      val b = graft.operators.Relational.qCochranArmitage(spark, sfDir).collect()(0)
+      assert(b.getAs[Long]("n") == fin.n && b.getAs[Long]("x") == fin.x)
+      assert(b.getAs[Long]("sx") == fin.sx && b.getAs[Long]("sn") == fin.sn)
+      assert(b.getAs[Long]("sn2") == fin.sn2)
+      // the z the batch renders is a pure function of these integers —
+      // replaying the shared formula over the stream state must match
+      val z = spark.sql(
+        s"SELECT CAST(ROUND(${graft.operators.Relational.caZSql}, 6) AS DOUBLE) AS z FROM " +
+        s"(SELECT ${fin.n}L AS n, ${fin.x}L AS x, ${fin.sx}L AS sx, " +
+        s"${fin.sn}L AS sn, ${fin.sn2}L AS sn2)").collect()(0).getDouble(0)
+      assert(math.abs(z - b.getAs[Double]("z_stat")) < 1e-9)
+    } finally q.stop()
+  }
+
   test("F47 streaming bottom-k sampler is order- and replay-invariant; equals B147") {
     import spark.implicits._
     import graft.streaming.EventStreams.{SampIn, SampOut}
