@@ -383,6 +383,40 @@ object TextOps {
     jaccardVerify(sets, cand, tau = 0.5)
   }
 
+  /** C58: split-LEAKAGE audit — the eval-contamination census every
+    * benchmark pipeline needs BEFORE it trusts a held-out score: a
+    * near-duplicate pair straddling the train/test boundary silently
+    * inflates eval (the model "memorizes" the train twin), and the
+    * classic bug is deduplicating WITHIN splits but never ACROSS them.
+    * Composes two existing contracts with zero new machinery: the C6
+    * MinHash-LSH confirmed pairs (bucketed candidate generation, exact
+    * Jaccard ≥ 0.5 verify) and the C30 deterministic hash split rule —
+    * applied INLINE to the pair's ids as a pure function (split
+    * assignment is derivable metadata, so there is NO join back to the
+    * corpus: the pair frame alone carries everything — the scale-right
+    * shape). Census rows per unordered split pair (n_pairs, distinct
+    * docs involved, is_leak flag); any is_leak=1 row with n_pairs > 0
+    * is the "decontaminate your split" page.
+    */
+  def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    def splitOf(id: Column): Column = {
+      val h = T.hexPrefix52(concat(lit("split|"), id)) % 100
+      when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    }
+    qLshPairs(s, dir)
+      .select(col("a_id"), col("b_id"),
+        least(splitOf(col("a_id")), splitOf(col("b_id"))).as("split_a"),
+        greatest(splitOf(col("a_id")), splitOf(col("b_id"))).as("split_b"))
+      .select(col("split_a"), col("split_b"),
+        explode(array(col("a_id"), col("b_id"))).as("id"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(expr("count(1) div 2").as("n_pairs"),
+           countDistinct(col("id")).as("n_docs"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"), col("n_docs"),
+        (col("split_a") =!= col("split_b")).cast("int").as("is_leak"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** C45: INCREMENTAL dedup against a registry — the "dedup the new
     * crawl against the existing corpus" shape every ingest pipeline
     * runs (the registry is indexed ONCE; arrivals probe it — never a
@@ -3519,6 +3553,36 @@ object TextOps {
         |  FROM bands x JOIN bands y
         |  ON x.band=y.band AND x.bkey=y.bkey AND x.doc_id<y.doc_id)
         |$jacSelSql""".stripMargin,
+    "q_split_leakage" -> {
+      val ua = graft.functions.TextFunctions.hexPrefix52Sql("md5('split|'||a_id)")
+      val ub = graft.functions.TextFunctions.hexPrefix52Sql("md5('split|'||b_id)")
+      s"""WITH $baseSql,
+        |$sigSql,
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, sig0 || '#' || sig1 AS bkey FROM sig UNION ALL
+        |  SELECT doc_id, 1, sig2 || '#' || sig3 FROM sig UNION ALL
+        |  SELECT doc_id, 2, sig4 || '#' || sig5 FROM sig UNION ALL
+        |  SELECT doc_id, 3, sig6 || '#' || sig7 FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM bands x JOIN bands y
+        |  ON x.band=y.band AND x.bkey=y.bkey AND x.doc_id<y.doc_id),
+        |pr AS (SELECT c.a_id, c.b_id
+        |  FROM cand c JOIN ip ON ip.a_id=c.a_id AND ip.b_id=c.b_id
+        |  JOIN sz sa ON sa.doc_id=c.a_id JOIN sz sb ON sb.doc_id=c.b_id
+        |  WHERE i/(sa.n+sb.n-i) >= 0.5),
+        |cl AS (SELECT a_id, b_id,
+        |    CASE WHEN $ua % 100 < 90 THEN 'train'
+        |         WHEN $ua % 100 < 95 THEN 'val' ELSE 'test' END AS ca,
+        |    CASE WHEN $ub % 100 < 90 THEN 'train'
+        |         WHEN $ub % 100 < 95 THEN 'val' ELSE 'test' END AS cb
+        |  FROM pr),
+        |ex AS (SELECT LEAST(ca, cb) AS split_a, GREATEST(ca, cb) AS split_b,
+        |    unnest([a_id, b_id]) AS id FROM cl)
+        |SELECT split_a, split_b, CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+        |  CASE WHEN split_a != split_b THEN 1 ELSE 0 END AS is_leak
+        |FROM ex GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "q_minhash_err" ->
       s"""WITH $baseSql,
         |$sigSql,
