@@ -2392,6 +2392,54 @@ object Relational {
               dec6(expr(mwZSql)).as("z"))
   }
 
+  /** B155 shared delta text — the ONE float step over exact dominance
+    * counts: δ = (gt − lt)/(na·nb). */
+  private val cliffsSql =
+    "(CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE)) / " +
+      "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
+
+  /** B155: Cliff's delta between the B91 cohorts — the EFFECT-SIZE
+    * companion the Mann–Whitney z deliberately doesn't give you (at
+    * 100 TB every test is "significant"; δ = P(A>B) − P(A<B) ∈ [−1,1]
+    * says whether the difference MATTERS — the standard nonparametric
+    * effect size reported next to U): quantity is domain-bounded
+    * (1..50), so the dominance counts Σ_{a>b} c_A(a)·c_B(b) need NO
+    * pair join at all — one cumulative window over the ≤50-row value
+    * frame turns them into Σ_v c_A(v)·cumB(<v) (and the symmetric
+    * less-than term), every count an exact DECIMAL(38,0) integer;
+    * only the published δ is float, via the shared [[cliffsSql]]
+    * text. One fact shuffle of ≤50 keys, windows bounded by the
+    * value domain — the B91 posture exactly.
+    */
+  def qCliffsDelta(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isA = col("l_shipdate") < lit("1998-01-01")
+    val cells = lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+              col("l_shipdate") < lit("1999-01-01"))
+      .groupBy(col("l_quantity").cast("long").as("v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).cast("decimal(38,0)").as("ca"),
+           sum(when(!isA, 1L).otherwise(0L)).cast("decimal(38,0)").as("cb"))
+    val before = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("cumb", coalesce(sum(col("cb")).over(before),
+        lit(0).cast("decimal(38,0)")))
+      .withColumn("nbt", sum(col("cb")).over(whole))
+      .agg(sum(col("ca")).as("nad"), max(col("nbt")).as("nbd"),
+           sum(col("ca") * col("cumb")).as("gtd"),
+           sum(col("ca") * (col("nbt") - col("cumb") - col("cb"))).as("ltd"))
+      .select(col("nad").as("na"), col("nbd").as("nb"),
+              col("gtd").as("gt"), col("ltd").as("lt"))
+      .select(col("na").cast("long").as("n_a"),
+              col("nb").cast("long").as("n_b"),
+              col("gt").cast("long").as("n_gt"),
+              col("lt").cast("long").as("n_lt"),
+              dec6(expr(cliffsSql)).as("delta"))
+  }
+
   /** B92 rho — shared float text over the exact rank-moment doubles. */
   private val spearRhoSql =
     "(nnd*sxy - sx*sy) / sqrt((nnd*sxx - sx*sx) * (nnd*syy - sy*sy))"
@@ -5497,6 +5545,23 @@ object Relational {
         |  LEAST(s1, s2, s3, s4, s5, s6, s7) AS s_low_e6,
         |  GREATEST(s1, s2, s3, s4, s5, s6, s7) AS s_high_e6
         |FROM fin""".stripMargin,
+    "q_cliffs_delta" ->
+      s"""WITH c0 AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+        |    CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  GROUP BY 1),
+        |r AS (SELECT *, COALESCE(SUM(cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+        |    SUM(cb) OVER () AS nbt
+        |  FROM c0),
+        |a AS (SELECT SUM(ca) AS na, MAX(nbt) AS nb,
+        |    SUM(ca * cumb) AS gt, SUM(ca * (nbt - cumb - cb)) AS lt FROM r)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(gt AS BIGINT) AS n_gt, CAST(lt AS BIGINT) AS n_lt,
+        |  CAST(ROUND($cliffsSql, 6) AS DECIMAL(18,6))::DOUBLE AS delta
+        |FROM a""".stripMargin,
     "q_mannwhitney" ->
       s"""WITH c0 AS (SELECT CAST(l_quantity AS BIGINT) AS v,
         |    CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
