@@ -225,6 +225,20 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_idx"))
 
   val oracles: Map[String, String] = Map(
+    "q_media_mp3" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CASE doc_id % 3 WHEN 0 THEN 32 WHEN 1 THEN 48 ELSE 64 END AS kbps,
+        |    CASE doc_id % 2 WHEN 0 THEN 44100 ELSE 32000 END AS sr,
+        |    6 + doc_id % 5 AS nf FROM documents),
+        |b AS (SELECT *, (144 * kbps * 1000) // sr AS base FROM d),
+        |ck AS (SELECT id, CAST(SUM((i + 1) * ((id * 13 + i * 3) % 253)) AS BIGINT) AS cs
+        |  FROM (SELECT id, unnest(range(base - 4)) AS i FROM b) GROUP BY 1)
+        |SELECT b.id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(kbps AS BIGINT) AS bitrate_kbps, CAST(sr AS BIGINT) AS sample_rate,
+        |  CAST(nf * 1152 * 1000000 // sr AS BIGINT) AS duration_us,
+        |  CAST(nf * base + nf // 2 AS BIGINT) AS stream_bytes,
+        |  cs AS probe_checksum
+        |FROM b JOIN ck USING (id) ORDER BY media_id""".stripMargin,
     "q_video_index" ->
       """WITH d AS (SELECT doc_id AS id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h,
         |    4 + doc_id % 6 AS nf, 33333 + (doc_id % 3) * 8334 AS usf FROM documents),
@@ -839,6 +853,131 @@ object Multimodal {
             f += 1
           }
           Row(id, w, h, nf, nf * usf, nKey, nSampled, checksum)
+        }
+      }(Encoders.row(outSchema))
+      .orderBy(col("media_id"))
+  }
+
+  /** E19 synthesis: REAL MPEG-1 Layer III (MP3) streams — an ID3v2
+    * prefix tag (10-byte header, syncsafe size, deterministic junk
+    * content the audio parser must SKIP, id%32+10 bytes) followed by
+    * a CBR frame sequence: each frame a standard 4-byte header (11
+    * sync bits, version MPEG-1, layer III, no-CRC, bitrate index ∈
+    * {1,3,5} → {32,48,64} kbps by id%3, samplerate index ∈ {0,2} →
+    * {44100, 32000} Hz by id%2, padding bit alternating per frame,
+    * mono) + payload of (144·bitrate/samplerate + pad − 4) bytes
+    * b(i) = (id·13 + f·29 + i·3) mod 253; 6 + id%5 frames. Distinct
+    * formulas from every other E fixture.
+    */
+  private[graft] def encodeMp3(id: Long): Array[Byte] = {
+    val kbps = Array(32, 48, 64)((id % 3).toInt)
+    val brIdx = Array(1, 3, 5)((id % 3).toInt)
+    val sr = if (id % 2 == 0) 44100 else 32000
+    val srIdx = if (id % 2 == 0) 0 else 2
+    val nf = (6 + id % 5).toInt
+    val base = 144 * kbps * 1000 / sr
+    val id3c = (id % 32 + 10).toInt
+    val total = 10 + id3c + (0 until nf).map(f => base + (f % 2)).sum
+    val bb = java.nio.ByteBuffer.allocate(total)
+    bb.put("ID3".getBytes("US-ASCII"))
+    bb.put(3.toByte); bb.put(0.toByte)    // v2.3.0
+    bb.put(0.toByte)                       // flags
+    bb.put(0.toByte); bb.put(0.toByte); bb.put(0.toByte)
+    bb.put(id3c.toByte)                    // syncsafe size (< 128)
+    var i = 0
+    while (i < id3c) { bb.put(((id + i) % 251).toByte); i += 1 }
+    var f = 0
+    while (f < nf) {
+      val pad = f % 2
+      bb.put(0xFF.toByte)
+      bb.put(0xFB.toByte)                  // sync|MPEG-1|Layer III|no CRC
+      bb.put(((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte)
+      bb.put(0xC0.toByte)                  // mono
+      val plen = base + pad - 4
+      i = 0
+      while (i < plen) {
+        bb.put(((id * 13 + f.toLong * 29 + i.toLong * 3) % 253).toByte); i += 1
+      }
+      f += 1
+    }
+    bb.array()
+  }
+
+  private[graft] def synthesizeMp3(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    fanOut(documents(s, dir).select(col("doc_id")))
+      .mapPartitions { it =>
+        it.map { row => val id = row.getLong(0); Row(id, encodeMp3(id)) }
+      }(Encoders.row(outSchema))
+  }
+
+  /** E19: MP3 stream census by FRAME-SYNC WALK — the third real audio
+    * byte path (E9 decodes RIFF/WAV through AudioSystem, E16 QCs it;
+    * this parses the compressed-stream framing every crawled podcast/
+    * music blob actually ships in): skip the ID3v2 tag by its syncsafe
+    * size, then walk frame headers only — verify the 11 sync bits +
+    * version/layer bits at every boundary, decode bitrate/samplerate/
+    * padding from the standard V1L3 tables, step by 144·br/sr + pad.
+    * Duration, CBR bitrate (enforced: a VBR frame fails loudly — the
+    * E17 integrity posture), and byte totals come from HEADERS ALONE
+    * (4 bytes per frame touched — the production reason the walk is
+    * cheap at 100 TB); only the FIRST frame's payload is probe-read
+    * for a position-weighted checksum, exactly like a codec probe.
+    * Oracle recomputes everything from the synthesis arithmetic, so
+    * tag skipping, sync placement, table decode, padding stepping and
+    * payload bytes must all roundtrip. Payloads never shuffle.
+    */
+  def qMediaMp3(s: SparkSession, dir: String): DataFrame = {
+    val brTable = Map(1 -> 32, 3 -> 48, 5 -> 64)
+    val srTable = Map(0 -> 44100, 2 -> 32000)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("bitrate_kbps", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("duration_us", LongType, nullable = false),
+      StructField("stream_bytes", LongType, nullable = false),
+      StructField("probe_checksum", LongType, nullable = false)))
+    synthesizeMp3(s, dir)
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val bytes = row.getAs[Array[Byte]](1)
+          var p = 0
+          if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D'
+              && bytes(2) == '3') {
+            val ss = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+              ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+            p = 10 + ss
+          }
+          var nf = 0L; var kbps = -1; var sr = -1
+          var streamBytes = 0L; var checksum = 0L
+          while (p + 4 <= bytes.length) {
+            require((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xe0) == 0xe0,
+              s"media $id: lost frame sync at $p")
+            require(((bytes(p + 1) >> 3) & 3) == 3 && ((bytes(p + 1) >> 1) & 3) == 1,
+              s"media $id: not MPEG-1 Layer III")
+            val b2 = bytes(p + 2) & 0xff
+            val br = brTable(b2 >> 4)
+            val fsr = srTable((b2 >> 2) & 3)
+            val pad = (b2 >> 1) & 1
+            if (kbps < 0) { kbps = br; sr = fsr }
+            else require(kbps == br && sr == fsr,
+              s"media $id: VBR/rate change at frame $nf — CBR contract")
+            val flen = 144 * br * 1000 / fsr + pad
+            if (nf == 0L) {
+              var i = 0
+              while (i < flen - 4) {
+                checksum += (i + 1).toLong * (bytes(p + 4 + i) & 0xff); i += 1
+              }
+            }
+            streamBytes += flen; nf += 1; p += flen
+          }
+          require(p == bytes.length, s"media $id: trailing garbage")
+          Row(id, nf, kbps.toLong, sr.toLong,
+            nf * 1152L * 1000000L / sr, streamBytes, checksum)
         }
       }(Encoders.row(outSchema))
       .orderBy(col("media_id"))
