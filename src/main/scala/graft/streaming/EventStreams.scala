@@ -1398,6 +1398,62 @@ object EventStreams {
         })
   }
 
+  /** F50 input/output: one observation with its cohort and its
+    * domain-bounded value (quantity 1..50); output is the post-batch
+    * dominance census. */
+  final case class CdIn(event_id: Long, cohort: Int, v: Int)
+  final case class CdState(ver: Long, ca: Array[Long], cb: Array[Long],
+                           last: Long)
+  final case class CdOut(ver: Long, n_a: Long, n_b: Long,
+                         n_gt: Long, n_lt: Long)
+
+  /** F50: streaming dominance monitor (online twin of B155's Cliff's
+    * delta — the live effect-size readout next to F45/F49's test
+    * statistics): state is the two 50-cell value histograms (the SAME
+    * domain-bound that makes the batch query join-free makes the
+    * stream state O(|domain|) FOREVER — never O(stream)), and each
+    * batch re-emits the exact dominance counts n_gt = Σ_v cA(v)·cumB(<v)
+    * and the symmetric term via one O(|domain|) cumulative pass, from
+    * which δ is the batch's shared one-float-step closed form.
+    * Event-id replay watermark (F13 discipline); redelivered ids
+    * dropped. Histograms are mergeable by cell-wise sum — the F48
+    * combiner posture applies verbatim.
+    */
+  def dominanceStream(in: Dataset[CdIn], vMax: Int = 50): Dataset[CdOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_ => 0L)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (_: Long, batch: Iterator[CdIn], state: GroupState[CdState]) => {
+          val prev = state.getOption.getOrElse(
+            CdState(0L, new Array[Long](vMax + 1), new Array[Long](vMax + 1),
+              Long.MinValue))
+          val ca = prev.ca.clone(); val cb = prev.cb.clone()
+          var last = prev.last
+          batch.toArray.filter(_.event_id > last).sortBy(_.event_id)
+            .foreach { e =>
+              if (e.cohort == 0) ca(e.v) += 1 else cb(e.v) += 1
+              last = e.event_id
+            }
+          val ver = prev.ver + 1
+          state.update(CdState(ver, ca, cb, last))
+          var na = 0L; var nb = 0L; var gt = 0L; var lt = 0L; var cumB = 0L
+          var v = 0
+          while (v <= vMax) {
+            gt += ca(v) * cumB
+            cumB += cb(v)
+            na += ca(v); nb += cb(v); v += 1
+          }
+          // lt = Σ_v cA(v) · (nb − cumB(≤v)): second pass with totals known
+          var cumBle = 0L; v = 0
+          while (v <= vMax) {
+            cumBle += cb(v)
+            lt += ca(v) * (nb - cumBle)
+            v += 1
+          }
+          Iterator.single(CdOut(ver, na, nb, gt, lt))
+        })
+  }
+
   /** F49 input/output: one arrival with its ordered-arm score and
     * success flag; output is the post-arrival sufficient-statistic
     * state for the Cochran–Armitage trend z. */

@@ -662,6 +662,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F50 streaming dominance monitor equals batch B155 Cliff's delta counts; replay-safe") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{CdIn, CdOut}
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+              col("l_shipdate") < lit("1999-01-01"))
+      .selectExpr("l_orderkey * 10 + l_linenumber AS event_id",
+        "CAST(l_shipdate >= TIMESTAMP '1998-01-01' AS INT) AS cohort",
+        "CAST(l_quantity AS INT) AS v")
+      .collect().map(r => CdIn(r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sortBy(_.event_id).toSeq
+    val input = MemoryStream[CdIn]
+    val q = EventStreams.dominanceStream(input.toDS())
+      .writeStream.format("memory").queryName("cd_out").outputMode("update").start()
+    try {
+      val third = ev.length / 3
+      input.addData(ev.take(third)); q.processAllAvailable()
+      input.addData(ev.slice(third, 2 * third) ++ ev.take(40)) // replay mixed in
+      q.processAllAvailable()
+      input.addData(ev.drop(2 * third)); q.processAllAvailable()
+      val fin = spark.table("cd_out").as[CdOut].collect().maxBy(_.ver)
+      val b = graft.operators.Relational.qCliffsDelta(spark, sfDir).collect()(0)
+      assert(b.getAs[Long]("n_a") == fin.n_a && b.getAs[Long]("n_b") == fin.n_b)
+      assert(b.getAs[Long]("n_gt") == fin.n_gt && b.getAs[Long]("n_lt") == fin.n_lt)
+    } finally q.stop()
+  }
+
   test("F49 streaming trend monitor equals batch B154 sufficient statistics; replay-safe") {
     import spark.implicits._
     import graft.streaming.EventStreams.{CaIn, CaOut}
