@@ -225,6 +225,18 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_idx"))
 
   val oracles: Map[String, String] = Map(
+    "q_media_zip" ->
+      """WITH d AS (SELECT doc_id AS id, 2 + doc_id % 3 AS m,
+        |    20 + doc_id % 40 AS len0 FROM documents),
+        |tb AS (SELECT id, CAST(SUM(20 + (id + j) % 40) AS BIGINT) AS total_bytes
+        |  FROM (SELECT id, unnest(range(m)) AS j FROM d) GROUP BY 1),
+        |pc AS (SELECT id, CAST(SUM((i + 1) * ((id * 7 + i * 5) % 251)) AS BIGINT) AS probe
+        |  FROM (SELECT id, unnest(range(len0)) AS i FROM d) GROUP BY 1)
+        |SELECT d.id AS media_id, CAST(m AS BIGINT) AS n_members,
+        |  tb.total_bytes, pc.probe AS probe_checksum,
+        |  CASE WHEN d.id % 89 = 0 THEN 0 ELSE 1 END AS crc_ok
+        |FROM d JOIN tb ON tb.id = d.id JOIN pc ON pc.id = d.id
+        |ORDER BY media_id""".stripMargin,
     "q_media_mp3" ->
       """WITH d AS (SELECT doc_id AS id,
         |    CASE doc_id % 3 WHEN 0 THEN 32 WHEN 1 THEN 48 ELSE 64 END AS kbps,
@@ -978,6 +990,150 @@ object Multimodal {
           require(p == bytes.length, s"media $id: trailing garbage")
           Row(id, nf, kbps.toLong, sr.toLong,
             nf * 1152L * 1000000L / sr, streamBytes, checksum)
+        }
+      }(Encoders.row(outSchema))
+      .orderBy(col("media_id"))
+  }
+
+  /** E20 synthesis: REAL ZIP archives (STORED entries) — the
+    * blob-of-blobs format crawled corpora actually arrive in: per
+    * member a spec-compliant local file header (PK\3\4, method 0,
+    * real java.util.zip CRC-32, sizes, name), then the central
+    * directory (PK\1\2 entries carrying the local-header offsets)
+    * and the end-of-central-directory record (PK\5\6). 2 + id%3
+    * members; member j's content is 20 + (id+j)%40 bytes of
+    * b(i) = (id·7 + j·11 + i·5) mod 251. Corruption arm (the E17
+    * pattern): id%89 == 0 flips one content byte of the LAST member
+    * AFTER its CRC was stored — the archive stays structurally
+    * valid, only the checksum can catch it.
+    */
+  private[graft] def encodeZip(id: Long): Array[Byte] = {
+    val m = (2 + id % 3).toInt
+    val members = (0 until m).map { j =>
+      val len = (20 + (id + j) % 40).toInt
+      val content = Array.tabulate(len)(i =>
+        ((id * 7 + j.toLong * 11 + i.toLong * 5) % 251).toByte)
+      val crc = new java.util.zip.CRC32()
+      crc.update(content)
+      if (id % 89 == 0 && j == m - 1) {
+        val k = (id % 13).toInt % len
+        content(k) = (content(k) ^ 0x01).toByte   // bit-rot after CRC
+      }
+      (s"doc${id}_$j.txt".getBytes("US-ASCII"), content, crc.getValue)
+    }
+    val localSize = members.map { case (nm, c, _) => 30 + nm.length + c.length }.sum
+    val cdSize = members.map { case (nm, _, _) => 46 + nm.length }.sum
+    val bb = java.nio.ByteBuffer.allocate(localSize + cdSize + 22)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val offsets = new Array[Int](m)
+    members.zipWithIndex.foreach { case ((nm, c, crc), j) =>
+      offsets(j) = bb.position()
+      bb.putInt(0x04034b50)                  // PK\3\4
+      bb.putShort(20); bb.putShort(0); bb.putShort(0)  // ver, flags, STORED
+      bb.putShort(0); bb.putShort(0x21)      // DOS time/date (fixed)
+      bb.putInt(crc.toInt)
+      bb.putInt(c.length); bb.putInt(c.length)
+      bb.putShort(nm.length.toShort); bb.putShort(0)
+      bb.put(nm); bb.put(c)
+    }
+    val cdStart = bb.position()
+    members.zipWithIndex.foreach { case ((nm, c, crc), j) =>
+      bb.putInt(0x02014b50)                  // PK\1\2
+      bb.putShort(20); bb.putShort(20); bb.putShort(0); bb.putShort(0)
+      bb.putShort(0); bb.putShort(0x21)
+      bb.putInt(crc.toInt)
+      bb.putInt(c.length); bb.putInt(c.length)
+      bb.putShort(nm.length.toShort); bb.putShort(0); bb.putShort(0)
+      bb.putShort(0); bb.putShort(0)         // disk, internal attrs
+      bb.putInt(0)                           // external attrs
+      bb.putInt(offsets(j))
+      bb.put(nm)
+    }
+    bb.putInt(0x06054b50)                    // PK\5\6
+    bb.putShort(0); bb.putShort(0)
+    bb.putShort(m.toShort); bb.putShort(m.toShort)
+    bb.putInt(cdSize); bb.putInt(cdStart)
+    bb.putShort(0)
+    bb.array()
+  }
+
+  private[graft] def synthesizeZip(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    fanOut(documents(s, dir).select(col("doc_id")))
+      .mapPartitions { it =>
+        it.map { row => val id = row.getLong(0); Row(id, encodeZip(id)) }
+      }(Encoders.row(outSchema))
+  }
+
+  /** E20: ZIP archive ingest census — the crawl-side "blob of blobs"
+    * walk (WARC/zip bundles land before any per-document pass; the
+    * ingest job must enumerate members, verify integrity, and route
+    * payloads WITHOUT unpacking to disk): the reader follows the real
+    * contract — find the end-of-central-directory record by BACKWARD
+    * scan for PK\5\6 (ZIPs are read from the end; that is why the
+    * format streams badly and ingest probes ranged-read the tail),
+    * walk the central directory, and for each member verify the
+    * local-header signature + name at the recorded offset, probe-read
+    * the STORED content and recompute its java.util.zip CRC-32
+    * against the directory's — the E17 integrity posture: the id%89
+    * bit-rot arm is caught ONLY by the checksum (structure stays
+    * valid), published as crc_ok, never a crash. Member 0's content
+    * also yields a position-weighted probe checksum. Oracle predicts
+    * counts/sizes/probe from id arithmetic and crc_ok from the
+    * corruption arm alone. Payloads never shuffle.
+    */
+  def qMediaZip(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_members", LongType, nullable = false),
+      StructField("total_bytes", LongType, nullable = false),
+      StructField("probe_checksum", LongType, nullable = false),
+      StructField("crc_ok", IntegerType, nullable = false)))
+    synthesizeZip(s, dir)
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val bytes = row.getAs[Array[Byte]](1)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          // backward EOCD scan — the real ZIP reader contract
+          var e = bytes.length - 22
+          while (e >= 0 && bb.getInt(e) != 0x06054b50) e -= 1
+          require(e >= 0, s"media $id: no EOCD record")
+          val m = bb.getShort(e + 10).toInt
+          var cd = bb.getInt(e + 16)
+          var nMembers = 0L; var totalBytes = 0L
+          var probe = 0L; var crcOk = 1
+          var j = 0
+          while (j < m) {
+            require(bb.getInt(cd) == 0x02014b50, s"media $id: bad CD entry $j")
+            val crcStored = bb.getInt(cd + 16).toLong & 0xffffffffL
+            val size = bb.getInt(cd + 24)
+            val nmLen = bb.getShort(cd + 28).toInt
+            val lho = bb.getInt(cd + 42)
+            require(bb.getInt(lho) == 0x04034b50, s"media $id: bad local header $j")
+            require(bb.getShort(lho + 26).toInt == nmLen &&
+              java.util.Arrays.equals(
+                java.util.Arrays.copyOfRange(bytes, lho + 30, lho + 30 + nmLen),
+                java.util.Arrays.copyOfRange(bytes, cd + 46, cd + 46 + nmLen)),
+              s"media $id: member $j name mismatch")
+            val dataOff = lho + 30 + nmLen
+            val crc = new java.util.zip.CRC32()
+            crc.update(bytes, dataOff, size)
+            if (crc.getValue != crcStored) crcOk = 0
+            if (j == 0) {
+              var i = 0
+              while (i < size) {
+                probe += (i + 1).toLong * (bytes(dataOff + i) & 0xff); i += 1
+              }
+            }
+            totalBytes += size; nMembers += 1
+            cd += 46 + nmLen
+            j += 1
+          }
+          Row(id, nMembers, totalBytes, probe, crcOk)
         }
       }(Encoders.row(outSchema))
       .orderBy(col("media_id"))

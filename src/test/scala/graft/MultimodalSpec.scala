@@ -117,4 +117,28 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("E20: synthesized ZIPs open with the stock java.util.zip reader; bit-rot arm trips its CRC") {
+    // clean archive (id=1 -> 3 members): every member streams out whole
+    val zis = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(Multimodal.encodeZip(1L)))
+    var names = Vector.empty[String]
+    var sizes = Vector.empty[Int]
+    var e = zis.getNextEntry
+    while (e != null) {
+      names :+= e.getName
+      sizes :+= zis.readAllBytes().length
+      e = zis.getNextEntry
+    }
+    assert(names == Vector("doc1_0.txt", "doc1_1.txt", "doc1_2.txt"))
+    assert(sizes == Vector(21, 22, 23))
+    // corrupted archive (id=89): the LAST member's flipped byte must be
+    // caught by the reader's own CRC check, not silently returned
+    val bad = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(Multimodal.encodeZip(89L)))
+    intercept[java.util.zip.ZipException] {
+      var e2 = bad.getNextEntry
+      while (e2 != null) { bad.readAllBytes(); e2 = bad.getNextEntry }
+    }
+  }
 }
