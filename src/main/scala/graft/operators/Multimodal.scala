@@ -225,6 +225,18 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_idx"))
 
   val oracles: Map[String, String] = Map(
+    "q_media_warc" ->
+      """WITH d AS (SELECT doc_id AS id, 1 + doc_id % 3 AS nr,
+        |    30 + doc_id % 50 AS len0 FROM documents),
+        |tb AS (SELECT id, CAST(SUM(30 + (id + r) % 50) AS BIGINT) AS payload_bytes
+        |  FROM (SELECT id, unnest(range(nr)) AS r FROM d) GROUP BY 1),
+        |pc AS (SELECT id, CAST(SUM((i + 1) * ((id * 19 + i * 29) % 251)) AS BIGINT) AS probe
+        |  FROM (SELECT id, unnest(range(len0)) AS i FROM d) GROUP BY 1)
+        |SELECT d.id AS media_id, CAST(nr + 1 AS BIGINT) AS n_records,
+        |  CAST(nr AS BIGINT) AS n_responses, tb.payload_bytes,
+        |  pc.probe AS probe_checksum
+        |FROM d JOIN tb ON tb.id = d.id JOIN pc ON pc.id = d.id
+        |ORDER BY media_id""".stripMargin,
     "q_media_zip" ->
       """WITH d AS (SELECT doc_id AS id, 2 + doc_id % 3 AS m,
         |    20 + doc_id % 40 AS len0 FROM documents),
@@ -1134,6 +1146,133 @@ object Multimodal {
             j += 1
           }
           Row(id, nMembers, totalBytes, probe, crcOk)
+        }
+      }(Encoders.row(outSchema))
+      .orderBy(col("media_id"))
+  }
+
+  /** E21 synthesis: REAL WARC/1.0 files — the web-crawl archive format
+    * (Common Crawl's container) in its actual wire shape: a leading
+    * `warcinfo` record then 1 + id%3 `response` records, each record =
+    * CRLF-terminated header block (WARC/1.0 version line; WARC-Type,
+    * WARC-Record-ID, WARC-Target-URI, Content-Length headers — order
+    * deliberately varied per record so the parser cannot cheat on
+    * position) + a blank line + Content-Length payload bytes + the
+    * standard double-CRLF record separator. Response r's payload is
+    * 30 + (id+r)%50 bytes of b(i) = (id·19 + r·23 + i·29) mod 251.
+    */
+  private[graft] def encodeWarc(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def rec(headers: Seq[String], payload: Array[Byte]): Unit = {
+      out.write("WARC/1.0\r\n".getBytes("US-ASCII"))
+      headers.foreach(h => out.write((h + "\r\n").getBytes("US-ASCII")))
+      out.write(s"Content-Length: ${payload.length}\r\n\r\n".getBytes("US-ASCII"))
+      out.write(payload)
+      out.write("\r\n\r\n".getBytes("US-ASCII"))
+    }
+    val info = "software: graft\r\n".getBytes("US-ASCII")
+    rec(Seq("WARC-Type: warcinfo",
+      s"WARC-Record-ID: <urn:uuid:doc-$id-info>"), info)
+    val n = (1 + id % 3).toInt
+    var r = 0
+    while (r < n) {
+      val len = (30 + (id + r) % 50).toInt
+      val payload = Array.tabulate(len)(i =>
+        ((id * 19 + r.toLong * 23 + i.toLong * 29) % 251).toByte)
+      // header order varies by r: the parser must read names, not offsets
+      val hs =
+        if (r % 2 == 0)
+          Seq(s"WARC-Target-URI: http://example.com/$id/$r",
+              "WARC-Type: response",
+              s"WARC-Record-ID: <urn:uuid:doc-$id-$r>")
+        else
+          Seq("WARC-Type: response",
+              s"WARC-Record-ID: <urn:uuid:doc-$id-$r>",
+              s"WARC-Target-URI: http://example.com/$id/$r")
+      rec(hs, payload)
+      r += 1
+    }
+    out.toByteArray
+  }
+
+  private[graft] def synthesizeWarc(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    fanOut(documents(s, dir).select(col("doc_id")))
+      .mapPartitions { it =>
+        it.map { row => val id = row.getLong(0); Row(id, encodeWarc(id)) }
+      }(Encoders.row(outSchema))
+  }
+
+  /** E21: WARC crawl-archive census — the FIRST pass of every
+    * web-scale corpus pipeline (Common Crawl lands as WARC; the
+    * record walk decides what even enters the text pipeline): parse
+    * the version line, read the CRLF header block BY NAME
+    * (case-insensitive, order-free — the synthesis shuffles header
+    * order per record precisely so offset-cheating fails), take
+    * Content-Length, skip exactly that many payload bytes + the
+    * double-CRLF separator, repeat. Census per file: record count,
+    * response count, response payload bytes (warcinfo excluded — the
+    * routing decision), and a position-weighted probe checksum of the
+    * FIRST response payload only (the walk itself never reads
+    * payloads — Content-Length stepping is why WARC ingest is I/O
+    * bound, not parse bound, at 100 TB). Structural violations
+    * (bad version line, missing Content-Length, truncated payload)
+    * fail loudly. Oracle: full id-arithmetic replica.
+    */
+  def qMediaWarc(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_records", LongType, nullable = false),
+      StructField("n_responses", LongType, nullable = false),
+      StructField("payload_bytes", LongType, nullable = false),
+      StructField("probe_checksum", LongType, nullable = false)))
+    synthesizeWarc(s, dir)
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val bytes = row.getAs[Array[Byte]](1)
+          var p = 0
+          def line(): String = {
+            val start = p
+            while (p + 1 < bytes.length &&
+              !(bytes(p) == '\r' && bytes(p + 1) == '\n')) p += 1
+            val s0 = new String(bytes, start, p - start, "US-ASCII")
+            p += 2
+            s0
+          }
+          var nRec = 0L; var nResp = 0L; var payloadBytes = 0L; var probe = 0L
+          while (p < bytes.length) {
+            require(line() == "WARC/1.0", s"media $id: bad WARC version line")
+            var wtype = ""; var clen = -1
+            var h = line()
+            while (h.nonEmpty) {
+              val k = h.substring(0, h.indexOf(':')).toLowerCase
+              val v = h.substring(h.indexOf(':') + 1).trim
+              if (k == "warc-type") wtype = v
+              else if (k == "content-length") clen = v.toInt
+              h = line()
+            }
+            require(clen >= 0 && p + clen + 4 <= bytes.length,
+              s"media $id: missing Content-Length or truncated record")
+            if (wtype == "response") {
+              if (nResp == 0L) {
+                var i = 0
+                while (i < clen) {
+                  probe += (i + 1).toLong * (bytes(p + i) & 0xff); i += 1
+                }
+              }
+              nResp += 1; payloadBytes += clen
+            }
+            p += clen
+            require(bytes(p) == '\r' && bytes(p + 1) == '\n' &&
+              bytes(p + 2) == '\r' && bytes(p + 3) == '\n',
+              s"media $id: record separator missing")
+            p += 4
+            nRec += 1
+          }
+          Row(id, nRec, nResp, payloadBytes, probe)
         }
       }(Encoders.row(outSchema))
       .orderBy(col("media_id"))
