@@ -1877,6 +1877,46 @@ object Similarity {
       max(col("drift")).cast("long").as("max_drift_e6"))
   }
 
+  /** D34: per-dimension ENERGY SPECTRUM — the tuning table behind
+    * every truncation decision in the D family (D22 matryoshka "how
+    * many prefix dims", D8 PQ subspace sizing, D16 SQ range fit):
+    * per dim the exact sign-split integral mean (D25 convention:
+    * components FLOOR-quantize to e6 integers PER ROW, so sums are
+    * exact and layout-independent) and the raw second-moment energy
+    * Σq² — an exact DECIMAL(38,0) integer — plus the cumulative
+    * energy fraction in permille over the dim order, i.e. the curve
+    * you read "the first k dims carry X‰ of corpus energy" off.
+    * One explode + ONE ≤64-key aggregate; the cumulative windows run
+    * over the 64-row domain frame (Aggregate output — the exempt,
+    * bounded window class), never the fact.
+    */
+  def qDimEnergy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val comp = emb(s, dir)
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .select(col("d"),
+        expr("CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))").as("q"))
+    val perDim = comp.groupBy(col("d"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+           sum(col("q")).cast(dec).as("sv"),
+           sum(col("q") * col("q")).cast(dec).as("ss"))
+    val cumW = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perDim
+      .withColumn("cum", sum(col("ss")).over(cumW))
+      .withColumn("tot", sum(col("ss")).over(totW))
+      .select(col("d").cast("long").as("d"),
+        col("n").cast("long").as("n"),
+        expr("CAST(CASE WHEN sv >= 0 THEN abs(sv) div n " +
+             "ELSE -(abs(sv) div n) END AS BIGINT)").as("mean_e6"),
+        col("ss").cast("long").as("energy_e12"),
+        expr("CAST((cum * 1000) div tot AS BIGINT)").as("cum_energy_permille"))
+      .orderBy(col("d"))
+  }
+
   /** D24 code: the 64-dim sign mask packed into ONE long (bit j set ⟺
     * v_j > 0) — shared by probes (driver) and corpus (executors). */
   private def signCode(v: Array[Double]): Long = {
@@ -2937,6 +2977,23 @@ object Similarity {
         |  CAST((COUNT(*) * 1000000) // MAX(tot.n) AS BIGINT) AS share_ppm
         |FROM nn1 CROSS JOIN tot
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dim_energy" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |comp AS (SELECT d, CAST(FLOOR(v[d + 1] * 1000000.0) AS HUGEINT) AS q
+        |  FROM e, (SELECT unnest(range(64)) AS d)),
+        |pd AS (SELECT d, COUNT(*) AS n, SUM(q) AS sv, SUM(q * q) AS ss
+        |  FROM comp GROUP BY 1),
+        |w AS (SELECT d, n, sv, ss,
+        |    SUM(ss) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum,
+        |    SUM(ss) OVER () AS tot
+        |  FROM pd)
+        |SELECT CAST(d AS BIGINT) AS d, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN sv >= 0 THEN abs(sv) // n
+        |    ELSE -(abs(sv) // n) END AS BIGINT) AS mean_e6,
+        |  CAST(ss AS BIGINT) AS energy_e12,
+        |  CAST((cum * 1000) // tot AS BIGINT) AS cum_energy_permille
+        |FROM w ORDER BY d""".stripMargin,
     "q_embed_drift" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |comp AS (SELECT (vec_id % 2 = 0) AS ev, d,
