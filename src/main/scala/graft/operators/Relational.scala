@@ -1366,6 +1366,96 @@ object Relational {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** B156: Markov REMOVAL-EFFECT attribution (Anderl et al. 2016 —
+    * the data-driven attribution model that replaced last-touch in
+    * marketing analytics; B104 gives the positional heuristics, this
+    * gives the causal-flavored one): user journeys become an
+    * absorbing Markov chain (start → channel states → conv at first
+    * purchase / null at journey end), and a channel's credit is how
+    * much the start→conv absorption probability DROPS when journeys
+    * may no longer pass through it. Distributed part: the journey
+    * edge construction (one user-key window pass truncated at first
+    * purchase, start/conv/null edges from per-user aggregates) and
+    * the ppm transition matrix — after which the matrix is
+    * STRUCTURALLY bounded at |event types|² (≤36 cells, a fit
+    * artifact like the D6 centroids), so the 5 arms × 8 Jacobi
+    * rounds run on collected integers. The iteration is FLOAT-FREE:
+    * p(s) ← ppm(s→conv) + Σ_t ppm(s→t)·p(t) div 10⁶ per edge
+    * (round-before-sum), so Scala and the machine-generated DuckDB
+    * CTE chain execute the same integer recursion bit-identically.
+    * Removal arms force p(channel) = 0 by dropping edges INTO the
+    * removed channel — mass that routed through it dies, exactly the
+    * model's counterfactual. Published: per channel the full and
+    * channel-removed conversion e6, the removal effect, and its
+    * permille share. At 100 TB: one user-key shuffle + a ≤36-row
+    * collect; the iteration never touches the fact.
+    */
+  def qAttributionMarkov(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("seq", row_number().over(w))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("seq")).as("fp"))
+    val j = ev.join(fp, Seq("user_id"), "left")
+    val path = j.filter(col("fp").isNull || col("seq") < col("fp"))
+    val steps = path
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .select(col("event_type").as("from_type"),
+        coalesce(col("nxt"),
+          when(col("fp").isNotNull, lit("conv")).otherwise(lit("null")))
+          .as("to_type"))
+    val starts = j.groupBy(col("user_id"))
+      .agg(max(col("fp")).as("fp"),
+           min_by(col("event_type"), col("seq")).as("first_ev"))
+      .select(lit("start").as("from_type"),
+        when(col("fp") === 1, lit("conv")).otherwise(col("first_ev"))
+          .as("to_type"))
+    val cnt = steps.union(starts)
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    val ppm = cnt.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"),
+        expr("CAST((n * 1000000) div n_from AS BIGINT)").as("ppm"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = "start" +: ppm.map(_._1).filter(_ != "start").distinct.sorted
+    def converge(removed: Option[String]): Long = {
+      val p = scala.collection.mutable.Map(states.map(_ -> 0L): _*)
+      for (_ <- 1 to 8) {
+        val nw = states.map { st =>
+          val base = ppm.filter(e => e._1 == st && e._2 == "conv").map(_._3).sum
+          val inner = ppm.iterator
+            .filter(e => e._1 == st && e._2 != "conv" && e._2 != "null"
+              && !removed.contains(e._2))
+            .map(e => e._3 * p.getOrElse(e._2, 0L) / 1000000L).sum
+          st -> (base + inner)
+        }
+        nw.foreach { case (k, v) => p(k) = v }
+      }
+      p("start")
+    }
+    val pFull = converge(None)
+    val channels = states.filter(_ != "start")
+    val rows = channels.map { c =>
+      val pw = converge(Some(c)); (c, pw, pFull - pw)
+    }
+    val totRem = rows.map(_._3).sum
+    val out = rows.map { case (c, pw, rem) =>
+      Row(c, pFull, pw, rem,
+        if (totRem == 0L) null else java.lang.Long.valueOf(rem * 1000L / totRem))
+    }
+    val schema = StructType(Seq(
+      StructField("channel", StringType, nullable = false),
+      StructField("p_full_e6", LongType, nullable = false),
+      StructField("p_wo_e6", LongType, nullable = false),
+      StructField("removal_e6", LongType, nullable = false),
+      StructField("share_permille", LongType, nullable = true)))
+    s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+      .orderBy(col("channel"))
+  }
+
   /** B106: Kaplan–Meier survival estimate of time-to-purchase after
     * signup (right-censored at the study end — the retention/
     * conversion-latency curve every product team reads): per-user
@@ -5933,6 +6023,50 @@ object Relational {
         |    (SELECT abs_ndev AS max_abs_ndev, n_days, s1, q FROM p WHERE rn = 1)),
         |    6) AS DECIMAL(18,6))::DOUBLE AS g_stat
         |FROM p WHERE rn = 1""".stripMargin,
+    "q_attribution_markov" -> {
+      val rounds = (1 to 8).map { r =>
+        val prev = s"p${r - 1}"
+        s"p$r AS MATERIALIZED (SELECT p.rm, p.s,\n" +
+          "    (SELECT COALESCE(SUM(e.ppm), 0) FROM ppm e\n" +
+          "      WHERE e.from_type = p.s AND e.to_type = 'conv')\n" +
+          s"  + COALESCE((SELECT SUM(e.ppm * q.p // 1000000) FROM ppm e\n" +
+          s"      JOIN $prev q ON q.rm = p.rm AND q.s = e.to_type\n" +
+          "      WHERE e.from_type = p.s AND e.to_type NOT IN ('conv', 'null')\n" +
+          "        AND e.to_type <> p.rm), 0) AS p\n" +
+          s"  FROM $prev p)"
+      }.mkString(",\n")
+      "WITH ev AS (SELECT user_id, ts, event_id, event_type,\n" +
+        "  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq FROM events),\n" +
+        "fp AS (SELECT user_id, MIN(seq) AS fp FROM ev WHERE event_type = 'purchase' GROUP BY 1),\n" +
+        "j AS (SELECT ev.*, fp.fp FROM ev LEFT JOIN fp USING (user_id)),\n" +
+        "path AS (SELECT * FROM j WHERE fp IS NULL OR seq < fp),\n" +
+        "steps AS (SELECT event_type AS from_type,\n" +
+        "  COALESCE(LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),\n" +
+        "    CASE WHEN fp IS NOT NULL THEN 'conv' ELSE 'null' END) AS to_type FROM path),\n" +
+        "su AS (SELECT user_id, MAX(fp) AS fp, arg_min(event_type, seq) AS first_ev FROM j GROUP BY 1),\n" +
+        "starts AS (SELECT 'start' AS from_type,\n" +
+        "  CASE WHEN fp = 1 THEN 'conv' ELSE first_ev END AS to_type FROM su),\n" +
+        "cnt AS (SELECT from_type, to_type, COUNT(*) AS n FROM\n" +
+        "  (SELECT from_type, to_type FROM steps\n" +
+        "   UNION ALL SELECT from_type, to_type FROM starts) GROUP BY 1, 2),\n" +
+        "tot AS (SELECT from_type, SUM(n) AS n_from FROM cnt GROUP BY 1),\n" +
+        "ppm AS MATERIALIZED (SELECT c.from_type, c.to_type, CAST((n * 1000000) // n_from AS BIGINT) AS ppm\n" +
+        "  FROM cnt c JOIN tot USING (from_type)),\n" +
+        "arms AS (SELECT 'none' AS rm\n" +
+        "  UNION ALL SELECT DISTINCT from_type FROM ppm WHERE from_type <> 'start'),\n" +
+        "st AS (SELECT DISTINCT from_type AS s FROM ppm),\n" +
+        "p0 AS MATERIALIZED (SELECT rm, s, CAST(0 AS BIGINT) AS p FROM arms, st),\n" +
+        rounds + ",\n" +
+        "res AS (SELECT rm, p FROM p8 WHERE s = 'start'),\n" +
+        "fl AS (SELECT p AS pf FROM res WHERE rm = 'none'),\n" +
+        "ch AS (SELECT rm AS channel, p AS pw FROM res WHERE rm <> 'none'),\n" +
+        "r2 AS (SELECT channel, pf, pw, pf - pw AS removal FROM ch, fl),\n" +
+        "t2 AS (SELECT SUM(removal) AS tr FROM r2)\n" +
+        "SELECT channel, CAST(pf AS BIGINT) AS p_full_e6, CAST(pw AS BIGINT) AS p_wo_e6,\n" +
+        "  CAST(removal AS BIGINT) AS removal_e6,\n" +
+        "  CAST(CASE WHEN tr = 0 THEN NULL ELSE removal * 1000 // tr END AS BIGINT) AS share_permille\n" +
+        "FROM r2, t2 ORDER BY channel"
+    },
     "q_cochran_armitage" ->
       s"""WITH b AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS k,
         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS succ FROM orders),
