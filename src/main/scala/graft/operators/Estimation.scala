@@ -484,6 +484,40 @@ object Estimation {
       .orderBy(col("li_id"))
   }
 
+  /** A57: EXACT Shapley attribution for the linear model — the
+    * model-inspection step after A10's fit (sklearn/XAI intent:
+    * explain each PREDICTION, not just the model): for a linear
+    * model the Shapley value has a closed form, φ_j(x) = β_j·(x_j −
+    * E_train[x_j]) with base value E_train[ŷ] — no sampling, no
+    * approximation, which is why the linear case is the reference
+    * implementation every SHAP library tests against. Publishes, for
+    * the deterministic li_id % 997 sample, the base value, both
+    * feature attributions and the prediction (all 2dp-rendered — the
+    * A9/A10 render contract; additivity base + Σφ = ŷ holds exactly
+    * pre-rounding by construction). Background distribution = the
+    * TRAIN split, the standard choice. Scale shape: fit artifact +
+    * two train means broadcast; the sample scan is one filter pass.
+    */
+  def qShapLinear(s: SparkSession, dir: String): DataFrame = {
+    val train = trainLi(s, dir)
+    val model = LinearRegression()
+      .fit(train, Seq("l_quantity", "l_discount"), Seq("l_extendedprice"))
+    val b0 = model.intercepts(0)
+    val b1 = model.coefficients(0)("l_quantity")
+    val b2 = model.coefficients(0)("l_discount")
+    val means = train.agg(avg(col("l_quantity")).as("m1"),
+                          avg(col("l_discount")).as("m2"))
+    li(s, dir).filter(col("l_orderkey") % 997 === 0)
+      .crossJoin(broadcast(means))
+      .select(col("li_id"),
+        dec2(lit(b0) + lit(b1) * col("m1") + lit(b2) * col("m2")).as("base"),
+        dec2(lit(b1) * (col("l_quantity") - col("m1"))).as("phi_qty"),
+        dec2(lit(b2) * (col("l_discount") - col("m2"))).as("phi_disc"),
+        dec2(lit(b0) + lit(b1) * col("l_quantity")
+          + lit(b2) * col("l_discount")).as("prediction"))
+      .orderBy(col("li_id"))
+  }
+
   /** A11: NoData semantics — NULL + per-feature sentinel masking, skip +
     * fill (`features.py:46`, `ufunc/_base.py:51`). x1 is NULLed on
     * `l_partkey % 37 = 0` rows; x2 carries sentinel -1 on
@@ -3377,6 +3411,27 @@ object Estimation {
           |SELECT $uidSql AS li_id,
           |  CAST(ROUND(b0 + b1*l_quantity,2) AS DECIMAL(18,2))::DOUBLE AS prediction
           |FROM lineitem CROSS JOIN co ORDER BY li_id""".stripMargin,
+      "q_shap_linear" ->
+        s"""WITH $train,
+          |mo AS (SELECT VAR_POP(l_quantity) AS v1, VAR_POP(l_discount) AS v2,
+          |  COVAR_POP(l_quantity, l_discount) AS c12,
+          |  COVAR_POP(l_quantity, l_extendedprice) AS c1y,
+          |  COVAR_POP(l_discount, l_extendedprice) AS c2y,
+          |  AVG(l_quantity) AS m1, AVG(l_discount) AS m2, AVG(l_extendedprice) AS my
+          |  FROM train),
+          |co AS (SELECT m1, m2,
+          |  (v2*c1y - c12*c2y)/(v1*v2 - c12*c12) AS b1,
+          |  (v1*c2y - c12*c1y)/(v1*v2 - c12*c12) AS b2,
+          |  my - (v2*c1y - c12*c2y)/(v1*v2 - c12*c12)*m1
+          |     - (v1*c2y - c12*c1y)/(v1*v2 - c12*c12)*m2 AS b0 FROM mo)
+          |SELECT li_id,
+          |  CAST(ROUND(b0 + b1*m1 + b2*m2, 2) AS DECIMAL(18,2))::DOUBLE AS base,
+          |  CAST(ROUND(b1*(l_quantity - m1), 2) AS DECIMAL(18,2))::DOUBLE AS phi_qty,
+          |  CAST(ROUND(b2*(l_discount - m2), 2) AS DECIMAL(18,2))::DOUBLE AS phi_disc,
+          |  CAST(ROUND(b0 + b1*l_quantity + b2*l_discount, 2) AS DECIMAL(18,2))::DOUBLE AS prediction
+          |FROM (SELECT $uidSql AS li_id, l_quantity, l_discount FROM lineitem
+          |      WHERE l_orderkey % 997 = 0) CROSS JOIN co
+          |ORDER BY li_id""".stripMargin,
       "q_linreg_multi" ->
         s"""WITH $train,
           |mo AS (SELECT VAR_POP(l_quantity) AS v1, VAR_POP(l_discount) AS v2,
