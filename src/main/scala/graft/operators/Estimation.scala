@@ -1154,6 +1154,46 @@ object Estimation {
       FROM catalog_fn_src GROUP BY prio ORDER BY prio""")
   }
 
+  /** G20 (query-backed): SQL UPDATE and MERGE INTO through the V2
+    * row-level-operation surface — the DML matrix G13 left on the
+    * table (CREATE/INSERT/DELETE/SELECT were already driver-gated;
+    * UPDATE/MERGE need `SupportsRowLevelOperations`, which the table
+    * opts into via the 'rowlevel' property so the G13 canDeleteWhere
+    * REFUSAL contract on plain tables is untouched). The statement
+    * pair exercises both group-based rewrites: an UPDATE with a SET
+    * expression over a predicate, then a MERGE with both a MATCHED
+    * UPDATE arm and a NOT MATCHED INSERT arm (the upsert every
+    * warehouse load runs). The oracle replays the same algebra over
+    * the source table (update CASE, left-join bump, anti-join
+    * inserts) — so Spark's rewrite plan, our scan, and our
+    * replace-commit must compose to exactly that relational algebra.
+    */
+  def qCatalogUpdate(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_mem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    val t = "graft_mem.gate.orders_rl"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, st STRING, cents BIGINT) " +
+      "TBLPROPERTIES('rowlevel'='true')")
+    orders(s, dir).filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .createOrReplaceTempView("rl_src")
+    s.sql(s"INSERT INTO $t SELECT k, st, cents FROM rl_src")
+    s.sql(s"UPDATE $t SET cents = cents + 777 WHERE st = 'O'")
+    orders(s, dir).filter(col("o_orderkey") % 17 === 0)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("dc"))
+      .createOrReplaceTempView("rl_delta")
+    s.sql(s"""MERGE INTO $t USING (SELECT k, dc FROM rl_delta) d ON $t.k = d.k
+      WHEN MATCHED THEN UPDATE SET cents = $t.cents + d.dc
+      WHEN NOT MATCHED THEN INSERT (k, st, cents) VALUES (d.k, 'M', d.dc)""")
+    s.sql(s"""SELECT st, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+      FROM $t GROUP BY st ORDER BY st""")
+  }
+
   def qCatalogRoundtrip(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.catalog.graft_mem",
       classOf[graft.sources.v2.MemCatalog].getName)
@@ -2884,6 +2924,24 @@ object Estimation {
           |           AND MIN(cents) < MAX(cents) THEN 1 ELSE 0 END
           |    AS BIGINT) AS fd
           |FROM o GROUP BY prio ORDER BY prio""".stripMargin,
+      "q_catalog_update" ->
+        """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+          |    CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
+          |  FROM orders WHERE o_orderkey % 13 = 0),
+          |upd AS (SELECT k, st,
+          |    cents + CASE WHEN st = 'O' THEN 777 ELSE 0 END AS cents FROM base),
+          |delta AS (SELECT o_orderkey AS k,
+          |    CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS dc
+          |  FROM orders WHERE o_orderkey % 17 = 0),
+          |m1 AS (SELECT u.k, u.st, u.cents + COALESCE(d.dc, 0) AS cents
+          |  FROM upd u LEFT JOIN delta d ON d.k = u.k),
+          |m2 AS (SELECT d.k, 'M' AS st, d.dc AS cents
+          |  FROM delta d LEFT JOIN upd u ON u.k = d.k WHERE u.k IS NULL),
+          |alltb AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+          |SELECT st, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+          |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+          |FROM alltb GROUP BY st ORDER BY st""".stripMargin,
       "q_catalog_roundtrip" ->
         """WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS st,
           |    CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents

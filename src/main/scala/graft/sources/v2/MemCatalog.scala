@@ -56,18 +56,26 @@ class MemCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table =
     MemStore.tables.get(key(ident)) match {
-      case Some(t) => new MemTable(key(ident), t.schema)
-      case None    => throw new NoSuchTableException(ident)
+      case Some(t) if t.rowLevel => new MemTableRowLevel(key(ident), t.schema)
+      case Some(t)               => new MemTable(key(ident), t.schema)
+      case None                  => throw new NoSuchTableException(ident)
     }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
+    // 'rowlevel'='true' opts the table into the G20 group-based
+    // UPDATE/MERGE rewrite path; without it the table keeps the G13
+    // metadata-delete-or-refuse contract (adding row-level support
+    // unconditionally would turn the canDeleteWhere REFUSAL into a
+    // silent rewrite fallback — a contract change, so it is opt-in)
+    val rl = properties.getOrDefault("rowlevel", "false") == "true"
     // atomic claim: a contains-then-put race would let two concurrent
     // CREATEs both succeed (the loser's Stored silently replaced)
-    if (MemStore.tables.putIfAbsent(key(ident), MemStore.Stored(schema)).isDefined)
+    if (MemStore.tables.putIfAbsent(key(ident), MemStore.Stored(schema, rl)).isDefined)
       throw new TableAlreadyExistsException(ident)
-    new MemTable(key(ident), schema)
+    if (rl) new MemTableRowLevel(key(ident), schema)
+    else new MemTable(key(ident), schema)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -83,13 +91,14 @@ class MemCatalog extends TableCatalog {
 object MemStore {
   /** Rows live as external JVM values (Long/Int/Double/String/Boolean/
     * null) so partitions can ship them to executors untouched. */
-  final case class Stored(schema: StructType) {
+  final case class Stored(schema: StructType, rowLevel: Boolean = false) {
     val rows = new scala.collection.mutable.ArrayBuffer[Array[Any]]()
   }
   val tables = TrieMap.empty[String, Stored]
 }
 
-final class MemTable(storeKey: String, tableSchema: StructType)
+class MemTable(protected val storeKey: String,
+               protected val tableSchema: StructType)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = storeKey
   override def schema(): StructType = tableSchema
@@ -193,6 +202,63 @@ final class MemTable(storeKey: String, tableSchema: StructType)
   }
 }
 
+/** G20: the SQL `UPDATE` / `MERGE INTO` surface — the table opts into
+  * `SupportsRowLevelOperations`, and Spark's GROUP-BASED rewrite does
+  * the heavy lifting: the statement becomes a ReplaceData plan that
+  * scans the table through [[RowLevelOperation.newScanBuilder]],
+  * computes every surviving row (updated, merged, or untouched) as a
+  * distributed query, and hands the replacement rowset to
+  * [[RowLevelOperation.newWriteBuilder]] — whose commit REPLACES the
+  * affected groups atomically (this table is unpartitioned and
+  * reports no metadata attributes, so the group is the whole table:
+  * clear-then-append under the store lock, all-or-nothing exactly
+  * like the INSERT path). This is the Iceberg copy-on-write shape:
+  * the engine owns the join/condition semantics (MERGE matched /
+  * not-matched arms, UPDATE SET expressions), the connector owns only
+  * scan + replace — which is why ~100 lines buy the full DML matrix.
+  */
+final class MemTableRowLevel(k: String, s0: StructType)
+    extends MemTable(k, s0) with SupportsRowLevelOperations {
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command()
+        override def newScanBuilder(
+            options: CaseInsensitiveStringMap): ScanBuilder =
+          MemTableRowLevel.this.newScanBuilder(options)
+        override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
+          new WriteBuilder {
+            override def build(): Write = new Write {
+              override def toBatch: BatchWrite = new BatchWrite {
+                override def createBatchWriterFactory(
+                    pwi: PhysicalWriteInfo): DataWriterFactory = {
+                  // the rewrite's row schema is the OPERATION's, not
+                  // necessarily the table's field order — decode by
+                  // the write schema and permute into table positions
+                  val ws = lwi.schema()
+                  MemPermWriterFactory(ws,
+                    ws.fieldNames.map(tableSchema.fieldIndex),
+                    tableSchema.length)
+                }
+                override def commit(messages: Array[WriterCommitMessage]): Unit = {
+                  val st = MemStore.tables(storeKey)
+                  st.synchronized {
+                    st.rows.clear()
+                    messages.foreach {
+                      case MemRowsPartial(rows) => st.rows ++= rows
+                      case _ => ()
+                    }
+                  }
+                }
+                override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+              }
+            }
+          }
+      }
+    }
+}
+
 final case class MemPartition(rows: Array[Array[Any]]) extends InputPartition
 
 final class MemReaderFactory(schema: StructType)
@@ -221,6 +287,49 @@ final class MemReaderFactory(schema: StructType)
 
 final case class MemRowsPartial(rows: Array[Array[Any]])
     extends WriterCommitMessage
+
+/** G20 writer: decodes by the operation's write schema, lands each
+  * field at its TABLE position (perm(j) = table index of write field
+  * j), so replacement rows store in canonical column order. */
+final case class MemPermWriterFactory(writeSchema: StructType,
+                                      perm: Array[Int], width: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = new scala.collection.mutable.ArrayBuffer[Array[Any]]()
+      override def write(record: InternalRow): Unit = {
+        // Spark 4.1's group-based rewrite feeds the writer rows that
+        // still CARRY the leading `__row_operation` marker column
+        // (measured: numFields = write schema + 1, field 0 = the op
+        // literal) — the declared LogicalWriteInfo schema omits it, so
+        // the physical ordinal of write field j is j + off. Rows in
+        // the replacement set are kept regardless of marker value
+        // (delete arms simply don't emit rows).
+        val off = record.numFields - writeSchema.length
+        require(off == 0 || off == 1,
+          s"unexpected row layout: ${record.numFields} fields for ${writeSchema.length}-column write")
+        val out = new Array[Any](width)
+        var j = 0
+        while (j < writeSchema.length) {
+          out(perm(j)) =
+            if (record.isNullAt(j + off)) null
+            else writeSchema(j).dataType match {
+              case LongType    => record.getLong(j + off)
+              case IntegerType => record.getInt(j + off)
+              case DoubleType  => record.getDouble(j + off)
+              case BooleanType => record.getBoolean(j + off)
+              case StringType  => record.getUTF8String(j + off).toString
+              case dt => throw new UnsupportedOperationException(s"type $dt")
+            }
+          j += 1
+        }
+        buf += out
+      }
+      override def commit(): WriterCommitMessage = MemRowsPartial(buf.toArray)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
 
 /** Top-level (serializable) factory: ships ONLY the schema to tasks. */
 final case class MemWriterFactory(schema: StructType) extends DataWriterFactory {

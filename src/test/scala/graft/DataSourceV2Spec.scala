@@ -510,4 +510,37 @@ class DataSourceV2Spec extends AnyFunSuite {
       assert(got.length == 24 && got.sameElements(exp))
     } finally q.stop()
   }
+
+  test("G20: rowlevel tables run SQL UPDATE and MERGE; plain tables keep the DELETE refusal") {
+    spark.conf.set("spark.sql.catalog.graft_mem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    val t = "graft_mem.spec.rl_t"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, st STRING, cents BIGINT) " +
+      "TBLPROPERTIES('rowlevel'='true')")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'O', 100), (2, 'F', 200), (3, 'O', 300)")
+    spark.sql(s"UPDATE $t SET cents = cents + 7 WHERE st = 'O'")
+    assert(spark.sql(s"SELECT SUM(cents) FROM $t").collect()(0).getLong(0) == 614)
+    spark.sql(s"SELECT 2L AS k, 1000L AS dc UNION ALL SELECT 9L, 50L")
+      .createOrReplaceTempView("g20_delta")
+    spark.sql(s"""MERGE INTO $t USING g20_delta d ON $t.k = d.k
+      WHEN MATCHED THEN UPDATE SET cents = $t.cents + d.dc
+      WHEN NOT MATCHED THEN INSERT (k, st, cents) VALUES (d.k, 'M', d.dc)""")
+    val rows = spark.sql(s"SELECT k, st, cents FROM $t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "O", 107L), (2L, "F", 1200L), (3L, "O", 307L), (9L, "M", 50L)))
+    // and a rowlevel table's DELETE with an evaluable predicate still
+    // takes the metadata path (row count, no rewrite needed to check)
+    spark.sql(s"DELETE FROM $t WHERE st = 'M'")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").collect()(0).getLong(0) == 3)
+    // plain table (no property): the unsupported-predicate DELETE must
+    // still REFUSE, not silently fall back to a rewrite
+    val p = "graft_mem.spec.plain_t"
+    spark.sql(s"DROP TABLE IF EXISTS $p")
+    spark.sql(s"CREATE TABLE $p (k BIGINT)")
+    spark.sql(s"INSERT INTO $p VALUES (1), (2), (3), (4)")
+    intercept[Exception] { spark.sql(s"DELETE FROM $p WHERE k % 2 = 0") }
+    assert(spark.sql(s"SELECT COUNT(*) FROM $p").collect()(0).getLong(0) == 4)
+    spark.sql(s"DROP TABLE $t"); spark.sql(s"DROP TABLE $p")
+  }
 }
