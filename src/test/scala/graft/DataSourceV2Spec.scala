@@ -533,6 +533,10 @@ class DataSourceV2Spec extends AnyFunSuite {
     // takes the metadata path (row count, no rewrite needed to check)
     spark.sql(s"DELETE FROM $t WHERE st = 'M'")
     assert(spark.sql(s"SELECT COUNT(*) FROM $t").collect()(0).getLong(0) == 3)
+    // the predicate canDeleteWhere REFUSES on plain tables now takes
+    // the group-based rewrite on a rowlevel table — and works
+    spark.sql(s"DELETE FROM $t WHERE k % 2 = 1")
+    assert(spark.sql(s"SELECT k FROM $t").collect().map(_.getLong(0)).toSeq == Seq(2L))
     // plain table (no property): the unsupported-predicate DELETE must
     // still REFUSE, not silently fall back to a rewrite
     val p = "graft_mem.spec.plain_t"
