@@ -1096,6 +1096,49 @@ object Multimodal {
     * counts/sizes/probe from id arithmetic and crc_ok from the
     * corruption arm alone. Payloads never shuffle.
     */
+  /** E20 kernel, factored for reuse by the F51 streaming blob path:
+    * one archive in, the census tuple out. */
+  private[graft] def zipCensus(id: Long, bytes: Array[Byte]): (Long, Long, Long, Int) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // backward EOCD scan — the real ZIP reader contract
+    var e = bytes.length - 22
+    while (e >= 0 && bb.getInt(e) != 0x06054b50) e -= 1
+    require(e >= 0, s"media $id: no EOCD record")
+    val m = bb.getShort(e + 10).toInt
+    var cd = bb.getInt(e + 16)
+    var nMembers = 0L; var totalBytes = 0L
+    var probe = 0L; var crcOk = 1
+    var j = 0
+    while (j < m) {
+      require(bb.getInt(cd) == 0x02014b50, s"media $id: bad CD entry $j")
+      val crcStored = bb.getInt(cd + 16).toLong & 0xffffffffL
+      val size = bb.getInt(cd + 24)
+      val nmLen = bb.getShort(cd + 28).toInt
+      val lho = bb.getInt(cd + 42)
+      require(bb.getInt(lho) == 0x04034b50, s"media $id: bad local header $j")
+      require(bb.getShort(lho + 26).toInt == nmLen &&
+        java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(bytes, lho + 30, lho + 30 + nmLen),
+          java.util.Arrays.copyOfRange(bytes, cd + 46, cd + 46 + nmLen)),
+        s"media $id: member $j name mismatch")
+      val dataOff = lho + 30 + nmLen
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, dataOff, size)
+      if (crc.getValue != crcStored) crcOk = 0
+      if (j == 0) {
+        var i = 0
+        while (i < size) {
+          probe += (i + 1).toLong * (bytes(dataOff + i) & 0xff); i += 1
+        }
+      }
+      totalBytes += size; nMembers += 1
+      cd += 46 + nmLen
+      j += 1
+    }
+    (nMembers, totalBytes, probe, crcOk)
+  }
+
   def qMediaZip(s: SparkSession, dir: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -1107,45 +1150,8 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { row =>
           val id = row.getLong(0)
-          val bytes = row.getAs[Array[Byte]](1)
-          val bb = java.nio.ByteBuffer.wrap(bytes)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          // backward EOCD scan — the real ZIP reader contract
-          var e = bytes.length - 22
-          while (e >= 0 && bb.getInt(e) != 0x06054b50) e -= 1
-          require(e >= 0, s"media $id: no EOCD record")
-          val m = bb.getShort(e + 10).toInt
-          var cd = bb.getInt(e + 16)
-          var nMembers = 0L; var totalBytes = 0L
-          var probe = 0L; var crcOk = 1
-          var j = 0
-          while (j < m) {
-            require(bb.getInt(cd) == 0x02014b50, s"media $id: bad CD entry $j")
-            val crcStored = bb.getInt(cd + 16).toLong & 0xffffffffL
-            val size = bb.getInt(cd + 24)
-            val nmLen = bb.getShort(cd + 28).toInt
-            val lho = bb.getInt(cd + 42)
-            require(bb.getInt(lho) == 0x04034b50, s"media $id: bad local header $j")
-            require(bb.getShort(lho + 26).toInt == nmLen &&
-              java.util.Arrays.equals(
-                java.util.Arrays.copyOfRange(bytes, lho + 30, lho + 30 + nmLen),
-                java.util.Arrays.copyOfRange(bytes, cd + 46, cd + 46 + nmLen)),
-              s"media $id: member $j name mismatch")
-            val dataOff = lho + 30 + nmLen
-            val crc = new java.util.zip.CRC32()
-            crc.update(bytes, dataOff, size)
-            if (crc.getValue != crcStored) crcOk = 0
-            if (j == 0) {
-              var i = 0
-              while (i < size) {
-                probe += (i + 1).toLong * (bytes(dataOff + i) & 0xff); i += 1
-              }
-            }
-            totalBytes += size; nMembers += 1
-            cd += 46 + nmLen
-            j += 1
-          }
-          Row(id, nMembers, totalBytes, probe, crcOk)
+          val (n, tb, probe, ok) = zipCensus(id, row.getAs[Array[Byte]](1))
+          Row(id, n, tb, probe, ok)
         }
       }(Encoders.row(outSchema))
       .orderBy(col("media_id"))

@@ -662,6 +662,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F51 streaming blob ingest: binaryFile readStream census equals the batch E20 walk") {
+    import spark.implicits._
+    // the production crawl-landing shape: archives arrive as FILES in
+    // a watched directory; the stream is the ingest census (E7's
+    // batch binaryFile path, made continuous)
+    val dir = java.nio.file.Files.createTempDirectory("f51blobs")
+    val ids = (60L to 95L) // spans the id%89 bit-rot arm (89)
+    ids.foreach { id =>
+      java.nio.file.Files.write(dir.resolve(f"blob-$id%03d.zip"),
+        graft.operators.Multimodal.encodeZip(id))
+    }
+    val blobSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val out = spark.readStream.format("binaryFile").schema(blobSchema)
+      .option("pathGlobFilter", "*.zip").load(dir.toString)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val id = path.split("blob-")(1).stripSuffix(".zip").toLong
+        val (n, tb, probe, ok) = graft.operators.Multimodal.zipCensus(id, bytes)
+        (id, n, tb, probe, ok)
+      }.toDF("media_id", "n_members", "total_bytes", "probe_checksum", "crc_ok")
+    val q = out.writeStream.format("memory").queryName("f51_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val got = spark.table("f51_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .sortBy(_._1).toSeq
+    val want = ids.map { id =>
+      val (n, tb, p, ok) = graft.operators.Multimodal.zipCensus(
+        id, graft.operators.Multimodal.encodeZip(id))
+      (id, n, tb, p, ok)
+    }.toSeq
+    assert(got == want)
+    assert(want.find(_._1 == 89L).exists(_._5 == 0), "bit-rot arm must be in the fixture")
+  }
+
   test("F50 streaming dominance monitor equals batch B155 Cliff's delta counts; replay-safe") {
     import spark.implicits._
     import graft.streaming.EventStreams.{CdIn, CdOut}
