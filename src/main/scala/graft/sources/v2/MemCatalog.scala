@@ -78,8 +78,34 @@ class MemCatalog extends TableCatalog {
     else new MemTable(key(ident), schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** G21: schema evolution — ADD COLUMNS only (the append-safe change:
+    * existing rows back-fill NULL, no rewrite; drops/renames/retypes
+    * would orphan or reinterpret stored positions and are refused
+    * loudly). The store swaps to a new Stored carrying the widened
+    * schema and the null-padded rows under the old Stored's lock —
+    * concurrent readers hold their planning-time snapshot (the same
+    * isolation the scan already promises). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val k = key(ident)
+    val st = MemStore.tables.getOrElse(k, throw new NoSuchTableException(ident))
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "nested ADD COLUMN not supported")
+        StructField(a.fieldNames()(0), a.dataType(), nullable = true)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE change not supported: $other")
+    }
+    st.synchronized {
+      val widened = StructType(st.schema.fields ++ adds)
+      val next = MemStore.Stored(widened, st.rowLevel)
+      st.rows.foreach { r => next.rows += (r ++ Array.fill[Any](adds.length)(null)) }
+      MemStore.tables.put(k, next)
+      if (next.rowLevel) new MemTableRowLevel(k, widened)
+      else new MemTable(k, widened)
+    }
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     MemStore.tables.remove(key(ident)).isDefined

@@ -547,4 +547,27 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(spark.sql(s"SELECT COUNT(*) FROM $p").collect()(0).getLong(0) == 4)
     spark.sql(s"DROP TABLE $t"); spark.sql(s"DROP TABLE $p")
   }
+
+  test("G21: ALTER TABLE ADD COLUMNS widens the schema, back-fills NULL, refuses drops") {
+    spark.conf.set("spark.sql.catalog.graft_mem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    val t = "graft_mem.spec.evo_t"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, st STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (cents BIGINT)")
+    // old rows read back null-padded through the widened schema
+    val before = spark.sql(s"SELECT k, st, cents FROM $t ORDER BY k").collect()
+    assert(before.map(r => (r.getLong(0), r.getString(1), r.isNullAt(2))).toSeq ==
+      Seq((1L, "a", true), (2L, "b", true)))
+    // new writes land in the new column
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c', 300)")
+    val after = spark.sql(
+      s"SELECT COUNT(*) AS n, SUM(cents) AS sc FROM $t").collect()(0)
+    assert(after.getLong(0) == 3 && after.getLong(1) == 300)
+    // destructive changes refuse loudly instead of reinterpreting rows
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t DROP COLUMN st") }
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").collect()(0).getLong(0) == 3)
+    spark.sql(s"DROP TABLE $t")
+  }
 }
