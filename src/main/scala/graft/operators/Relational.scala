@@ -3867,35 +3867,44 @@ object Relational {
     * is odd). At 100 TB: identical plan, identical cost.
     */
   def qTheilSen(s: SparkSession, dir: String): DataFrame = {
-    // pin the ≤|days| frame: it feeds both join sides — unpinned, each
-    // consumer re-runs the fact aggregate
-    val daily = graft.core.Materialize.pin(dailyRevenue(s, dir))
-    val a = daily.select(col("day").as("d1"), col("x").as("x1"))
-    val b = daily.select(col("day").as("d2"), col("x").as("x2"))
-    // join on the raw timestamp order (cheap comparison on all |days|²
-    // candidate pairs); datediff only on the surviving half
-    val pairs = a.join(broadcast(b), col("d2") > col("d1"))
-      .select(datediff(col("d2"), col("d1")).cast("decimal(38,0)").as("gap"),
-              (col("x2") - col("x1")).cast("decimal(38,0)").as("dx"))
-      .select((when(col("dx") >= 0, lit(1L)).otherwise(lit(-1L)) *
-        expr("(abs(dx) * 1000000) div gap")).cast("long").as("sl"))
-    // the pair count is ANALYTIC — |D|(|D|−1)/2 from the day count (a
-    // 1-row bounded-domain collect, the trainPqCodebook fit posture) —
-    // so the middle order statistics come from ONE distributed sort +
-    // zipWithIndex (range-partitioned, no single-partition window, no
-    // groupBy: slopes are near-unique so value-counting buys nothing)
-    val nDays = daily.count()
-    val np = nDays * (nDays - 1) / 2
-    val k1 = (np + 1) / 2
-    val k2 = (np + 2) / 2
-    val middles = pairs.orderBy(col("sl")).select(col("sl"))
-      .rdd.zipWithIndex()
-      .filter { case (_, i) => i == k1 - 1 || i == k2 - 1 }
-      .map(_._1.getLong(0)).collect()
+    // the day frame is STRUCTURALLY ≤|days| (a calendar, not the
+    // corpus), so the |days|²/2 slope multiset is a driver-side fit
+    // artifact — the B156 bounded-matrix posture: ONE distributed
+    // fact collapse, then exact integer arithmetic on ≤ ~10⁶ slopes
+    // in driver arrays. This replaced a 4-job pipeline (pin + count +
+    // BNLJ pair join + sort/zipWithIndex) that spent 7.4 s at sf0.1
+    // on scheduling, not work; the epoch-day conversion stays IN SQL
+    // so the gap semantics are datediff's, bit-identically.
+    val daily = dailyRevenue(s, dir)
+      .select(datediff(col("day"), to_date(lit("1970-01-01")))
+        .cast("long").as("d"), col("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = daily.length
+    val slopes = new Array[Long](n * (n - 1) / 2)
+    val e6 = java.math.BigInteger.valueOf(1000000L)
+    var idx = 0; var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val gap = daily(j)._1 - daily(i)._1
+        val dx = daily(j)._2 - daily(i)._2
+        // same integer text as before: sign · (|dx|·10⁶ div gap),
+        // product in big-integer space (the decimal(38,0) headroom)
+        val q = java.math.BigInteger.valueOf(math.abs(dx)).multiply(e6)
+          .divide(java.math.BigInteger.valueOf(gap)).longValueExact()
+        slopes(idx) = if (dx >= 0) q else -q
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(slopes)
+    val np = slopes.length.toLong
+    val k1 = ((np + 1) / 2).toInt
+    val k2 = ((np + 2) / 2).toInt
     s.range(1).select(
       lit(np).as("n_pairs"),
-      lit(middles.min).as("m_lo"),
-      lit(middles.max).as("m_hi"))
+      lit(math.min(slopes(k1 - 1), slopes(k2 - 1))).as("m_lo"),
+      lit(math.max(slopes(k1 - 1), slopes(k2 - 1))).as("m_hi"))
   }
 
   /** A49 thresholds: the Poisson(1) CDF at k = 0..6, scaled to the
