@@ -230,4 +230,60 @@ object KernelProps extends Properties("graft.kernels") {
       val ref = new java.math.BigInteger(1, digest).shiftRight(128 - 52).longValueExact()
       Prop(got == ref && got >= 0L && got < (1L << 52)) :| s"got=$got ref=$ref"
     }
+
+  // ---- KMV merge (F48) ----
+
+  private val kmvSetGen: Gen[List[Long]] =
+    Gen.sized(sz => Gen.listOfN(math.min(sz * 3, 300), Gen.choose(0L, 600L)))
+
+  /** The min-k identity that makes the sketch mergeable:
+    * min-k(A ∪ B) == min-k(min-k(A) ∪ min-k(B)), set-for-set — for
+    * ANY split of the input and any k. This is what lets sharded
+    * streams (executors, sites) combine partial sketches with O(k)
+    * traffic and still equal the single-pass sketch EXACTLY. */
+  property("kmvMerge of shard sketches equals the full-data min-k set") =
+    forAll(kmvSetGen, kmvSetGen, Gen.choose(1, 64)) { (a, b, k) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def minK(vals: Seq[Long]): (Array[Long], Array[Long]) = {
+        val pairs = vals.distinct
+          .map(v => (TextKernels.md5Prefix52(md, s"kmv|$v"), v))
+          .sorted.take(k)
+        (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+      }
+      val (ah, av) = minK(a)
+      val (bh, bv) = minK(b)
+      val (mh, mv) = graft.streaming.EventStreams.kmvMerge(ah, av, bh, bv, k)
+      val (eh, ev) = minK(a ++ b)
+      Prop(mh.toSeq == eh.toSeq && mv.toSeq == ev.toSeq) :|
+        s"merged=${mh.toSeq} expected=${eh.toSeq}"
+    }
+
+  // ---- BPE sentinel-replace merge (C56) ----
+
+  private val tokGen: Gen[List[String]] =
+    Gen.sized(sz => Gen.listOfN(math.min(sz, 12),
+      Gen.oneOf("a", "b", "c", "ab", "bc")))
+
+  /** The C56 encoding claim: on the sentinel form "|t1||t2||...|",
+    * one literal replace of "|x||y|" with "|xy|" applies the merge
+    * with BPE's left-to-right greedy non-overlapping convention —
+    * equal to the reference sequential fold for ANY token sequence
+    * and ANY merge pair (including self-pairs like (a,a), where the
+    * greedy convention is exactly what's at stake). */
+  property("sentinel replace == greedy left-to-right BPE merge") =
+    forAll(tokGen, Gen.oneOf("a", "b", "c", "ab"), Gen.oneOf("a", "b", "c", "bc")) {
+      (toks, x, y) =>
+        val state = toks.map(t => s"|$t|").mkString
+        val replaced = state.replace(s"|$x||$y|", s"|$x$y|")
+        // reference: greedy scan, merge (x, y) left to right, no overlap
+        val outRef = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
+            outRef += (x + y); i += 2
+          } else { outRef += toks(i); i += 1 }
+        }
+        val expected = outRef.map(t => s"|$t|").mkString
+        Prop(replaced == expected) :| s"toks=$toks pair=($x,$y) got=$replaced want=$expected"
+    }
 }
