@@ -3907,6 +3907,72 @@ object Relational {
       lit(math.max(slopes(k1 - 1), slopes(k2 - 1))).as("m_hi"))
   }
 
+  /** B157 constants (the bootCdf52/D19 rule: transcendentals evaluate
+    * ONCE here and embed as integer literals in BOTH engines — no
+    * runtime ln whose last ulp could diverge): per-event log-likelihood
+    * ratio increments for H0: p=0.15 vs H1: p=0.20, e6-quantized, and
+    * the Wald boundaries ln((1−β)/α), ln(β/(1−α)) at α=β=0.05. */
+  private[graft] val sprtC1: Long = Math.round(Math.log(0.20 / 0.15) * 1e6)
+  private[graft] val sprtC0: Long = Math.round(Math.log(0.80 / 0.85) * 1e6)
+  private[graft] val sprtC1e: Long = Math.round(Math.log(0.21 / 0.19) * 1e6)
+  private[graft] val sprtC0e: Long = Math.round(Math.log(0.79 / 0.81) * 1e6)
+  private[graft] val sprtA: Long = Math.round(Math.log(0.95 / 0.05) * 1e6)
+
+  /** B157: Wald's SPRT — the SEQUENTIAL early-stopping readout the
+    * fixed-horizon tests (B145/B152/B154) can't give: "stop the
+    * experiment the day the evidence crosses the boundary", the
+    * foundation of every modern always-valid-inference dashboard.
+    * Daily-batched form: the fact collapses to the ≤|days| conversion
+    * frame (n events, x purchases per day — one bounded aggregate),
+    * the cumulative log-likelihood ratio walk is EXACT integer
+    * arithmetic (x·C1 + (n−x)·C0 per day with the pre-generated e6
+    * literal increments, summed over the day-domain window), and the
+    * decision is the first boundary crossing: min day with
+    * cum ≥ ln((1−β)/α)·10⁶ (accept H1) or ≤ −that (accept H0);
+    * 0 = still running. Publishes the crossing day, the LLR there,
+    * and the end-of-data LLR. At 100 TB: one day-key shuffle; the
+    * walk and windows never touch the fact.
+    */
+  private def sprtArm(s: SparkSession, dir: String, metric: String,
+                      evType: String, c1: Long, c0: Long): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("event_type") === evType, 1L).otherwise(0L)).as("x"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walk = daily
+      .withColumn("cum",
+        sum(col("x") * lit(c1) + (col("n") - col("x")) * lit(c0)).over(w))
+    val agg = walk.agg(
+      count(lit(1)).as("n_days"),
+      min(when(col("cum") >= sprtA, col("day"))).as("d_up"),
+      min(when(col("cum") <= -sprtA, col("day"))).as("d_dn"),
+      max_by(col("cum"), col("day")).as("final_llr_e6"))
+    val dec = agg.select(col("n_days"),
+      when(col("d_up").isNotNull &&
+           (col("d_dn").isNull || col("d_up") <= col("d_dn")), lit(1))
+        .when(col("d_dn").isNotNull, lit(-1))
+        .otherwise(lit(0)).as("decision"),
+      when(col("d_up").isNotNull &&
+           (col("d_dn").isNull || col("d_up") <= col("d_dn")), col("d_up"))
+        .otherwise(col("d_dn")).as("dday"),
+      col("final_llr_e6"))
+    dec.join(walk.select(col("day"), col("cum")),
+        dec("dday") === walk("day"), "left")
+      .select(lit(metric).as("metric"),
+        col("n_days"),
+        col("decision"),
+        date_format(col("dday"), "yyyy-MM-dd").as("decision_day"),
+        col("cum").cast("long").as("llr_at_decision_e6"),
+        col("final_llr_e6").cast("long").as("final_llr_e6"))
+  }
+
+  def qSprt(s: SparkSession, dir: String): DataFrame =
+    sprtArm(s, dir, "purchase_uplift", "purchase", sprtC1, sprtC0)
+      .union(sprtArm(s, dir, "error_drift", "error", sprtC1e, sprtC0e))
+      .orderBy(col("metric"))
+
   /** A49 thresholds: the Poisson(1) CDF at k = 0..6, scaled to the
     * 52-bit md5 domain and generated ONCE here — embedded as literals
     * in BOTH engines (the D19 rule: no runtime transcendentals whose
@@ -6032,6 +6098,51 @@ object Relational {
         |    (SELECT abs_ndev AS max_abs_ndev, n_days, s1, q FROM p WHERE rn = 1)),
         |    6) AS DECIMAL(18,6))::DOUBLE AS g_stat
         |FROM p WHERE rn = 1""".stripMargin,
+    "q_sprt" ->
+      s"""SELECT 'purchase_uplift' AS metric, * FROM (
+        |WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |walk AS (SELECT day, n, x,
+        |    SUM(x * ${sprtC1} + (n - x) * ${sprtC0}) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM daily),
+        |a AS (SELECT COUNT(*) AS n_days,
+        |    MIN(CASE WHEN cum >= $sprtA THEN day END) AS d_up,
+        |    MIN(CASE WHEN cum <= -$sprtA THEN day END) AS d_dn,
+        |    CAST(arg_max(cum, day) AS BIGINT) AS final_llr FROM walk),
+        |d AS (SELECT n_days,
+        |    CASE WHEN d_up IS NOT NULL AND (d_dn IS NULL OR d_up <= d_dn) THEN 1
+        |         WHEN d_dn IS NOT NULL THEN -1 ELSE 0 END AS decision,
+        |    CASE WHEN d_up IS NOT NULL AND (d_dn IS NULL OR d_up <= d_dn) THEN d_up
+        |         ELSE d_dn END AS dday, final_llr FROM a)
+        |SELECT CAST(n_days AS BIGINT) AS n_days, decision,
+        |  strftime(dday, '%Y-%m-%d') AS decision_day,
+        |  CAST(w.cum AS BIGINT) AS llr_at_decision_e6,
+        |  final_llr AS final_llr_e6
+        |FROM d LEFT JOIN walk w ON w.day = d.dday)
+        |UNION ALL
+        |SELECT 'error_drift' AS metric, * FROM (
+        |WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |walk AS (SELECT day, n, x,
+        |    SUM(x * ${sprtC1e} + (n - x) * ${sprtC0e}) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM daily),
+        |a AS (SELECT COUNT(*) AS n_days,
+        |    MIN(CASE WHEN cum >= $sprtA THEN day END) AS d_up,
+        |    MIN(CASE WHEN cum <= -$sprtA THEN day END) AS d_dn,
+        |    CAST(arg_max(cum, day) AS BIGINT) AS final_llr FROM walk),
+        |d AS (SELECT n_days,
+        |    CASE WHEN d_up IS NOT NULL AND (d_dn IS NULL OR d_up <= d_dn) THEN 1
+        |         WHEN d_dn IS NOT NULL THEN -1 ELSE 0 END AS decision,
+        |    CASE WHEN d_up IS NOT NULL AND (d_dn IS NULL OR d_up <= d_dn) THEN d_up
+        |         ELSE d_dn END AS dday, final_llr FROM a)
+        |SELECT CAST(n_days AS BIGINT) AS n_days, decision,
+        |  strftime(dday, '%Y-%m-%d') AS decision_day,
+        |  CAST(w.cum AS BIGINT) AS llr_at_decision_e6,
+        |  final_llr AS final_llr_e6
+        |FROM d LEFT JOIN walk w ON w.day = d.dday)
+        |ORDER BY metric""".stripMargin,
     "q_attribution_markov" -> {
       val rounds = (1 to 8).map { r =>
         val prev = s"p${r - 1}"
