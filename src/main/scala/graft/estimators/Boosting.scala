@@ -49,22 +49,25 @@ final case class GradientBoostStage1(
 }
 
 /** TWO exact gradient-boosting stages — the stage-2 residual fit stays
-  * engine-reproducible by clearing denominators: with lr = 1/2,
+  * engine-reproducible by QUANTIZING stage-1 predictions back to the
+  * target's own integer scale: with lr = 1/2,
   *
-  *   F1 ∈ { (S/n + S_L/n_L)/2, (S/n + S_R/n_R)/2 }      (cents, rational)
-  *   D  = 2·n·n_L·n_R
-  *   t_i = D·(y_i − F1(side(i)))
-  *       = D·y_i − (n_L·n_R·S + n·n_R·S_L)   [left side]
-  *       = D·y_i − (n_L·n_R·S + n·n_L·S_R)   [right side]
+  *   F1 ∈ { (1−lr)·S/n + lr·S_L/n_L, … S_R/n_R }   (target units, double)
+  *   q_side = ⌊scale·F1_side + 1/2⌋                 (nearest integer unit)
+  *   t_i    = y_i − q(side(i))                      (exact small Longs)
   *
-  * — every t_i an exact Long, and Σt = 0 identically (the boosting
-  * residual-sum invariant), which also bounds the HUGEINT gain compare
-  * in the SQL replica. Positive scaling doesn't move the variance-
-  * reduction argmax, so the depth-1 tree on t IS the residual tree,
-  * found by the same exact-BigInt search. The stage-2 leaf value in
-  * dollars is lr·(mean t)/D/100, combined per row as
-  * F2 = F1-CASE + stage2-CASE with one float op sequence both engines
-  * share.
+  * The ≤½-unit quantization is part of the MODEL DEFINITION, computed
+  * with one float op sequence both engines share (the SQL replica does
+  * FLOOR(x·scale + 0.5) on the identical double), so the stage-2 split
+  * search — the same exact-BigInt variance-reduction argmax — sees
+  * bit-identical integer targets cross-engine. Crucially |t_i| is
+  * bounded by the DATA RANGE (max|y − q| ≈ the target's spread in
+  * integer units), independent of n: the earlier cleared-denominator
+  * form (t = D·y − k with D = 2·n·n_L·n_R) is cubic in n and overflows
+  * Long past ~10⁴ train rows — and its squared-gain compare overflows
+  * even a 128-bit oracle past ~10³ — so this is the formulation that
+  * survives any train-set size. The stage-2 leaf value in target units
+  * is lr·(mean t)/scale, combined per row as F2 = F1-CASE + stage2-CASE.
   */
 final case class GradientBoostTwoStage(
     targetScale: Double = 1.0,
@@ -91,32 +94,29 @@ final case class GradientBoostTwoStage(
     }
     val n = nl + nr
     val s = sl + sr
-    // Cleared-denominator residuals are cubic in n (D = 2·n·n_L·n_R) and
-    // multiply cent-scaled targets — past ~10^4 train rows plain Long
-    // arithmetic would silently wrap while the HUGEINT oracle errors, a
-    // divergent failure. Every product/sum below is *Exact so a scale-up
-    // fails LOUDLY (ArithmeticException) instead of fitting a wrong tree;
-    // the final require bounds the stage-2 leaf sums Σt the grow() leaves
-    // accumulate in Long.
-    import java.lang.Math.{addExact, multiplyExact, subtractExact}
-    val dd = multiplyExact(multiplyExact(multiplyExact(2L, n.toLong), nl.toLong), nr.toLong)
-    val kl = addExact(multiplyExact(multiplyExact(nl.toLong, nr.toLong), s),
-      multiplyExact(multiplyExact(n.toLong, nr.toLong), sl))
-    val kr = addExact(multiplyExact(multiplyExact(nl.toLong, nr.toLong), s),
-      multiplyExact(multiplyExact(n.toLong, nl.toLong), sr))
-    val ts = rows.map { i =>
-      subtractExact(multiplyExact(dd, ys(i)), if (xs(i)(f1) <= t1) kl else kr)
+    // Stage-1 leaf constants with the model's EXACT float op sequence
+    // (see GradientBoostTwoStageModel.stage1), then quantized to the
+    // nearest integer target unit. math.floor(x + 0.5) matches the SQL
+    // oracle's FLOOR(x + 0.5) bit-for-bit on the shared double x; the
+    // residuals below are then small exact Longs at ANY n. A final
+    // *Exact guards the (astronomically unlikely) |y| near Long.MaxValue.
+    import java.lang.Math.subtractExact
+    def f1leaf(sum: Long, cnt: Int): Double = {
+      val mean = s.toDouble / n / targetScale
+      val leaf = sum.toDouble / cnt / targetScale
+      (1.0 - lr) * mean + lr * leaf
     }
-    val maxAbsT = ts.foldLeft(0L)((m, t) => math.max(m, math.abs(t)))
-    require(maxAbsT <= Long.MaxValue / math.max(n, 1),
-      s"stage-2 residual sums can exceed Long (n=$n, max|t|=$maxAbsT) — " +
-        "reduce targetScale or train-set size")
+    val qL = math.floor(f1leaf(sl, nl) * targetScale + 0.5).toLong
+    val qR = math.floor(f1leaf(sr, nr) * targetScale + 0.5).toLong
+    val ts = rows.map { i =>
+      subtractExact(ys(i), if (xs(i)(f1) <= t1) qL else qR)
+    }
     val (f2, t2, tl, nl2, tr, nr2) = CartModel.grow(xs, ts, rows, d, 1) match {
       case CartSplit(f, t, CartLeaf(a, b), CartLeaf(c, e)) => (f, t, a, b, c, e)
       case other => throw new IllegalStateException(s"stage-2 needs a full depth-1 tree, got $other")
     }
     GradientBoostTwoStageModel(featureCols, targetCols.head, targetScale, lr,
-      f1, t1, sl, nl, sr, nr, dd, f2, t2, tl, nl2, tr, nr2)
+      f1, t1, sl, nl, sr, nr, f2, t2, tl, nl2, tr, nr2)
   }
 }
 
@@ -127,7 +127,6 @@ final case class GradientBoostTwoStageModel(
     learningRate: Double,
     fidx1: Int, thr1: Double,
     leftSum: Long, leftN: Int, rightSum: Long, rightN: Int,
-    dd: Long,
     fidx2: Int, thr2: Double,
     leftT: Long, leftN2: Int, rightT: Long, rightN2: Int
 ) extends FittedModel with ContractedOutputs {
@@ -139,9 +138,9 @@ final case class GradientBoostTwoStageModel(
     (1.0 - learningRate) * mean + learningRate * leaf
   }
 
-  /** Stage-2 leaf constants: lr·(mean t)/D in target units. */
+  /** Stage-2 leaf constants: lr·(mean t)/scale in target units. */
   private def stage2(t: Long, n: Int): Double =
-    learningRate * (t.toDouble / n / dd.toDouble / targetScale)
+    learningRate * (t.toDouble / n / targetScale)
 
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame = {
     val ff = frame.validated(featureNames)

@@ -635,11 +635,14 @@ object Estimation {
   }
 
   /** A12e: TWO exact boosting stages (Boosting.GradientBoostTwoStage) —
-    * the stage-2 residual fit cleared of denominators (t = D·r exact
-    * Longs, Σt = 0) so the whole two-stage ensemble is value-oracled:
-    * the oracle re-runs BOTH exact-HUGEINT split searches (stage 2 over
-    * the derived residual targets) and combines the four leaf constants
-    * with the shared float op sequence.
+    * stage-1 predictions quantized to integer cents (q = ⌊100·F1 + ½⌋,
+    * a shared float op sequence) so the stage-2 residual targets
+    * t = y − q(side) are small exact Longs BOUNDED BY THE DATA RANGE at
+    * any train-set size (the r10 cleared-denominator form was cubic in
+    * n and hit its Long guard at sf1's n = 12,073). The oracle re-runs
+    * BOTH exact-HUGEINT split searches (stage 2 over the identical
+    * quantized residuals) and combines the four leaf constants with the
+    * shared float op sequence.
     */
   def qGbtStage2(s: SparkSession, dir: String): DataFrame = {
     val model = GradientBoostTwoStage(targetScale = 100.0, orderBy = trainOrder)
@@ -3566,19 +3569,18 @@ object Estimation {
           |  CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS y FROM train),
           |${cartSplitBlock("t0", "root")},
           |gm AS (SELECT CAST(SUM(y) AS DOUBLE)/COUNT(*)/100 AS mean FROM t0),
-          |lc AS (SELECT CAST(SUM(y) AS HUGEINT) AS sl, CAST(COUNT(*) AS HUGEINT) AS nl,
-          |    CAST(SUM(y) AS DOUBLE)/COUNT(*)/100 AS p FROM t0
+          |lc AS (SELECT CAST(SUM(y) AS DOUBLE)/COUNT(*)/100 AS p FROM t0
           |  CROSS JOIN root_best b WHERE ${cartFv("b", "f0", "f1", "f2")} <= b.thr),
-          |rc AS (SELECT CAST(SUM(y) AS HUGEINT) AS sr, CAST(COUNT(*) AS HUGEINT) AS nr,
-          |    CAST(SUM(y) AS DOUBLE)/COUNT(*)/100 AS p FROM t0
+          |rc AS (SELECT CAST(SUM(y) AS DOUBLE)/COUNT(*)/100 AS p FROM t0
           |  CROSS JOIN root_best b WHERE ${cartFv("b", "f0", "f1", "f2")} > b.thr),
-          |dd AS (SELECT 2*(nl+nr)*nl*nr AS d,
-          |    nl*nr*(sl+sr) + (nl+nr)*nr*sl AS kl,
-          |    nl*nr*(sl+sr) + (nl+nr)*nl*sr AS kr FROM lc CROSS JOIN rc),
+          |qc AS (SELECT
+          |    CAST(FLOOR(((1.0-0.5)*gm.mean + 0.5*lc.p)*100 + 0.5) AS BIGINT) AS ql,
+          |    CAST(FLOOR(((1.0-0.5)*gm.mean + 0.5*rc.p)*100 + 0.5) AS BIGINT) AS qr
+          |  FROM gm CROSS JOIN lc CROSS JOIN rc),
           |t1 AS (SELECT t0.tid, t0.f0, t0.f1, t0.f2,
-          |    CAST(dd.d*t0.y - CASE WHEN ${cartFv("b", "t0.f0", "t0.f1", "t0.f2")} <= b.thr
-          |      THEN dd.kl ELSE dd.kr END AS BIGINT) AS y
-          |  FROM t0 CROSS JOIN root_best b CROSS JOIN dd),
+          |    t0.y - CASE WHEN ${cartFv("b", "t0.f0", "t0.f1", "t0.f2")} <= b.thr
+          |      THEN qc.ql ELSE qc.qr END AS y
+          |  FROM t0 CROSS JOIN root_best b CROSS JOIN qc),
           |${cartSplitBlock("t1", "st2")},
           |l2 AS (SELECT CAST(SUM(y) AS DOUBLE)/COUNT(*) AS tm FROM t1
           |  CROSS JOIN st2_best b WHERE ${cartFv("b", "f0", "f1", "f2")} <= b.thr),
@@ -3589,11 +3591,11 @@ object Estimation {
           |   THEN (1.0-0.5)*gm.mean + 0.5*ll.p
           |   ELSE (1.0-0.5)*gm.mean + 0.5*rr.p END)
           |  + (CASE WHEN ${cartFv("sb", "l_quantity", "l_discount", "l_tax")} <= sb.thr
-          |     THEN 0.5*(l2.tm/CAST(dd.d AS DOUBLE)/100)
-          |     ELSE 0.5*(r2.tm/CAST(dd.d AS DOUBLE)/100) END)
+          |     THEN 0.5*(l2.tm/100)
+          |     ELSE 0.5*(r2.tm/100) END)
           |  , 4) AS DECIMAL(18,4))::DOUBLE AS prediction
           |FROM q CROSS JOIN root_best rb CROSS JOIN st2_best sb CROSS JOIN gm
-          |CROSS JOIN lc ll CROSS JOIN rc rr CROSS JOIN dd
+          |CROSS JOIN lc ll CROSS JOIN rc rr
           |CROSS JOIN l2 CROSS JOIN r2
           |ORDER BY li_id""".stripMargin,
       "q_pca" ->

@@ -56,10 +56,36 @@ class BoostingSpec extends AnyFunSuite {
     assert(m2.fidx1 == m1.fidx && m2.thr1 == m1.thr)
     assert((m2.leftSum, m2.leftN, m2.rightSum, m2.rightN) ==
            ((m1.leftSum, m1.leftN, m1.rightSum, m1.rightN)))
-    // residuals of the cleared-denominator form sum to zero exactly
-    val d = m2.dd
-    assert(d == 2L * (m2.leftN + m2.rightN) * m2.leftN * m2.rightN)
-    assert(m2.leftT + m2.rightT == 0L,
-      s"stage-2 residual sum not zero: ${m2.leftT} + ${m2.rightT}")
+    // quantized residuals: Σt differs from 0 only by the ≤½-unit
+    // per-row quantization of the two stage-1 leaf constants
+    val n = m2.leftN + m2.rightN
+    assert(math.abs(m2.leftT + m2.rightT) <= (n + 1) / 2 + 1,
+      s"stage-2 residual sum |${m2.leftT} + ${m2.rightT}| exceeds the quantization bound")
+  }
+
+  test("fit survives train sets past the r10 Long-capacity bound (n > 12,073)") {
+    import spark.implicits._
+    // 30,000 rows with cent-scale targets in the lineitem price range —
+    // the r10 cleared-denominator residuals (D = 2·n·n_L·n_R ≈ 1.3e13,
+    // t = D·y ≈ 1e20) overflowed Long here and the fit REFUSED; the
+    // quantized-residual form keeps |t| ≤ the data range at any n.
+    val big = (0 until 30000).map { i =>
+      val x1 = (i % 50).toDouble
+      val x2 = (i % 11).toDouble
+      val y = 900.0 * x1 + 70.0 * x2 + (i % 97) // dollars; integral cents
+      (i.toLong, x1, x2, y)
+    }.toDF("id", "x1", "x2", "y")
+    val m = GradientBoostTwoStage(targetScale = 100.0, orderBy = Seq("id"))
+      .fit(big, Seq("x1", "x2"), Seq("y"))
+    assert(m.leftN + m.rightN == 30000)
+    // stage 2 still boosts at this size
+    val frame = FeatureFrame(big, Seq("id"), Seq("x1", "x2"))
+    val p2 = m.predict(frame).withColumnRenamed("y", "yhat")
+    val joined = p2.join(big.select(col("id"), col("y")), "id")
+    val s2 = joined.select(sum(pow(col("yhat") - col("y"), 2)).as("s"))
+      .collect()(0).getDouble(0)
+    val meanRow = big.agg(avg(col("y"))).collect()(0).getDouble(0)
+    val sse0 = big.select(sum(pow(col("y") - lit(meanRow), 2))).collect()(0).getDouble(0)
+    assert(s2 < sse0, s"two-stage fit at n=30000 did not beat the mean: $s2 vs $sse0")
   }
 }
