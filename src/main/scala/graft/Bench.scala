@@ -20,8 +20,12 @@ object Bench {
     // driver sets no env, so driver benches always run everything
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    // dev-only subset (comma-separated names) for targeted cross-scale
+    // timing of a query family; driver benches run everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip(name) }
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       try {
         fn(spark, sfDir).count()

@@ -87,6 +87,21 @@ object Similarity {
   private val ProbeEvery = 50
   private val MaxProbes = 100
 
+  /** Exact-contract slice bound: the exact O(slice²) pair queries (D2
+    * near-dup pairs, the D12 kNN graph and its D26/D33 consumers) run
+    * over the first [[ExactSliceMax]] vec_ids — a scan-level predicate
+    * Parquet prunes before anything shuffles. The bound covers the
+    * ENTIRE corpus at gate scales (max vec_id is 499 at sf0.01, 1999
+    * at sf0.1), so the gate exercises the full exact contract; past it
+    * the quadratic cost FREEZES at the bound instead of growing with
+    * the corpus (at 10×/100× data these queries would otherwise be
+    * ~100×/10000× — the one family whose cost is pairs, not rows; the
+    * ANN/LSH families D3–D29 are the corpus-scale path and are gated
+    * against this exact slice by D13). Production opt-in: raise the
+    * bound, or feed a pre-sliced frame.
+    */
+  private val ExactSliceMax = 2048L
+
   /** THE query-side collect: every ANN/exact variant builds its
     * broadcast state here so the norm accumulation order (index
     * ascending — bit-sensitive to the oracles) cannot drift between
@@ -671,11 +686,20 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** D2: exact embedding near-dup PAIRS (cosine ≥ τ) over the
+    * [[ExactSliceMax]] contract slice — block-partitioned triangle
+    * self-join (every pair computed in exactly ONE block-pair group,
+    * task memory = two blocks). The slice bound is what lets an exact
+    * all-pairs CONTRACT exist at 100 TB: cost freezes at the bound
+    * while the corpus-scale near-dup path is LSH/SemDeDup (D3/D9),
+    * which D13-style contracts audit against slices like this one.
+    */
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tau = 0.4
-    val nBlocks = 16 // at 100 TB: ~ corpusBytes / per-task block budget
-    val ds = emb(s, dir).select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+    val nBlocks = 16 // at 100 TB: ~ sliceBytes / per-task block budget
+    val ds = emb(s, dir).filter(col("vec_id") < ExactSliceMax)
+      .select(col("vec_id"), col("v")).as[(Long, Array[Double])]
     val repl = ds.flatMap { case (id, v) =>
       val b = (id % nBlocks).toInt
       (0 until nBlocks).map(o => (math.min(b, o), math.max(b, o), id, v))
@@ -723,15 +747,18 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** D12: k-nearest-neighbor GRAPH over the corpus (top-3 cosine
-    * neighbors per vector) — the construction step behind graph-based
-    * dedup/clustering (SemDeDup-style) and NN-descent ANN. Same
-    * block-partitioned triangle self-join as D2 (every pair computed in
-    * exactly ONE block-pair group, task memory = two blocks), but each
-    * group emits its LOCAL per-vector top-k (both pair directions) and
-    * a vec_id-keyed window reduces the ≤ B·k candidates per vector to
-    * the global top-k — the top-k of per-group top-ks is exact.
-    * Shuffle volume O(n·B·k), never O(n²) rows.
+  /** D12: k-nearest-neighbor GRAPH (top-3 cosine neighbors per vector)
+    * over the [[ExactSliceMax]] contract slice — the construction step
+    * behind graph-based dedup/clustering (SemDeDup-style) and
+    * NN-descent ANN. Same block-partitioned triangle self-join as D2
+    * (every pair computed in exactly ONE block-pair group, task memory
+    * = two blocks), but each group emits its LOCAL per-vector top-k
+    * (both pair directions) and a vec_id-keyed window reduces the
+    * ≤ B·k candidates per vector to the global top-k — the top-k of
+    * per-group top-ks is exact. Shuffle volume O(slice·B·k), never
+    * O(slice²) rows, and the slice bound freezes total pair work
+    * corpus-independently (the 100× posture; D29 HNSW is the
+    * corpus-scale graph path).
     */
   def qKnnGraph(s: SparkSession, dir: String): DataFrame =
     knnGraphTopK(s, dir, 3)
@@ -746,7 +773,8 @@ object Similarity {
   private def knnGraphTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
     val nBlocks = 16
-    val ds = emb(s, dir).select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+    val ds = emb(s, dir).filter(col("vec_id") < ExactSliceMax)
+      .select(col("vec_id"), col("v")).as[(Long, Array[Double])]
     val repl = ds.flatMap { case (id, v) =>
       val b = (id % nBlocks).toInt
       (0 until nBlocks).map(o => (math.min(b, o), math.max(b, o), id, v))
@@ -1777,7 +1805,8 @@ object Similarity {
     * 0.35, D23's 0.3 were picked by looking at exactly this: "how
     * much near-duplication exists at which similarity"): each
     * vector's rank-1 neighbor similarity (the D12 exact kNN graph —
-    * block-partitioned triangle join, O(n·B), no all-pairs) buckets
+    * block-partitioned triangle join over the ExactSliceMax contract
+    * slice, a corpus-independent cost) buckets
     * into 0.05-wide cells on the PUBLISHED dec4 value (both engines
     * FLOOR the identical rounded double — double floor is a true
     * floor on negatives in both), and the histogram publishes exact counts
@@ -2960,7 +2989,8 @@ object Similarity {
         |  CAST(ROUND(sim, 4) AS DECIMAL(18,4))::DOUBLE AS sim
         |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q_nn_dist_hist" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id < 2048),
         |sims AS (SELECT a.vec_id, b.vec_id AS nb_id,
         |    list_cosine_similarity(a.v, b.v) AS sim
         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
@@ -3153,7 +3183,8 @@ object Similarity {
     "q_ann_ivfpq" -> annIvfPqSql,
     "q_mmr" -> mmrSql,
     "q_mutual_nn" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id < 2048),
         |sims AS (SELECT a.vec_id, b.vec_id AS nb_id,
         |    list_cosine_similarity(a.v, b.v) AS sim
         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
@@ -3167,7 +3198,8 @@ object Similarity {
         |FROM g a JOIN g b ON a.vec_id = b.nb_id AND a.nb_id = b.vec_id
         |WHERE a.vec_id < a.nb_id ORDER BY a_id, b_id""".stripMargin,
     "q_knn_graph" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id < 2048),
         |sims AS (SELECT a.vec_id, b.vec_id AS nb_id,
         |    list_cosine_similarity(a.v, b.v) AS sim
         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
@@ -3381,10 +3413,11 @@ object Similarity {
         |  CASE WHEN max_eval_sim >= 0.4 THEN 1 ELSE 0 END AS contaminated
         |FROM m ORDER BY vec_id""".stripMargin,
     "q_embed_neardup" ->
-      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2048)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |    CAST(b.embedding AS DOUBLE[])),4) AS DECIMAL(18,4))::DOUBLE AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |  CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY 1,2""".stripMargin,

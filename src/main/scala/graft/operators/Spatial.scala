@@ -20,15 +20,34 @@ object Spatial {
 
   private val R = 500L // radius in integer units; also the cell size
 
-  /** Deterministic point cloud: (event_id, x, y) on a 100k × 100k
-    * integer grid, positions md5-derived so both engines rebuild the
-    * identical cloud at any scale factor.
+  /** World side for the point cloud: the AREA scales linearly with the
+    * event count (side ∝ √n, anchored so sf0.1's 100k events keep the
+    * original 100k × 100k world) — CONSTANT point density at every
+    * scale factor, so the radius join's true pair count, and with it
+    * the fixture's cost, grows ~linearly with the corpus instead of
+    * quadratically (the r10 sf1 run measured 49.8× on the fixed-size
+    * world — a fixture artifact: 10× the points in the same area is
+    * 100× the true pairs, which no plan can avoid emitting). One
+    * count(*) pass; both engines derive the side from the SAME integer
+    * count with the same double op sequence (IEEE sqrt is correctly
+    * rounded, so the floor is bit-identical).
     */
-  private def points(s: SparkSession, dir: String): DataFrame =
+  private def worldSide(s: SparkSession, dir: String): Long = {
+    val n = events(s, dir).count()
+    math.floor(math.sqrt(n / 100000.0) * 100000.0).toLong
+  }
+
+  /** Deterministic point cloud: (event_id, x, y) on a side × side
+    * integer grid ([[worldSide]]), positions md5-derived so both
+    * engines rebuild the identical cloud at any scale factor.
+    */
+  private def points(s: SparkSession, dir: String): DataFrame = {
+    val side = worldSide(s, dir)
     events(s, dir).select(
       col("event_id"),
-      (TF.hexPrefix52(concat(lit("px|"), col("event_id").cast("string"))) % 100000L).as("x"),
-      (TF.hexPrefix52(concat(lit("py|"), col("event_id").cast("string"))) % 100000L).as("y"))
+      (TF.hexPrefix52(concat(lit("px|"), col("event_id").cast("string"))) % side).as("x"),
+      (TF.hexPrefix52(concat(lit("py|"), col("event_id").cast("string"))) % side).as("y"))
+  }
 
   /** B81: radius self-join (all pairs within distance R) via grid
     * blocking. Build side keyed by its own cell; probe side replicated
@@ -111,10 +130,12 @@ object Spatial {
 
   val oracles: Map[String, String] = Map(
     "q_spatial_nn" ->
-      s"""WITH p AS (SELECT event_id,
-        |    ${TF.hexPrefix52Sql("md5('px|' || event_id)")} % 100000 AS x,
-        |    ${TF.hexPrefix52Sql("md5('py|' || event_id)")} % 100000 AS y
-        |  FROM events),
+      s"""WITH w AS (SELECT CAST(FLOOR(SQRT(COUNT(*) / 100000.0) * 100000.0)
+        |    AS BIGINT) AS side FROM events),
+        |p AS (SELECT event_id,
+        |    ${TF.hexPrefix52Sql("md5('px|' || event_id)")} % w.side AS x,
+        |    ${TF.hexPrefix52Sql("md5('py|' || event_id)")} % w.side AS y
+        |  FROM events CROSS JOIN w),
         |c AS (SELECT *, x // $R AS cx, y // $R AS cy FROM p),
         |probe AS (SELECT event_id AS id_b, x AS xb, y AS yb,
         |    cx + dx.v AS cx, cy + dy.v AS cy
@@ -132,10 +153,12 @@ object Spatial {
         |FROM p LEFT JOIN nn ON p.event_id = nn.id_a
         |ORDER BY p.event_id""".stripMargin,
     "q_spatial_join" ->
-      s"""WITH p AS (SELECT event_id,
-        |    ${TF.hexPrefix52Sql("md5('px|' || event_id)")} % 100000 AS x,
-        |    ${TF.hexPrefix52Sql("md5('py|' || event_id)")} % 100000 AS y
-        |  FROM events),
+      s"""WITH w AS (SELECT CAST(FLOOR(SQRT(COUNT(*) / 100000.0) * 100000.0)
+        |    AS BIGINT) AS side FROM events),
+        |p AS (SELECT event_id,
+        |    ${TF.hexPrefix52Sql("md5('px|' || event_id)")} % w.side AS x,
+        |    ${TF.hexPrefix52Sql("md5('py|' || event_id)")} % w.side AS y
+        |  FROM events CROSS JOIN w),
         |c AS (SELECT *, x // $R AS cx, y // $R AS cy FROM p),
         |probe AS (SELECT event_id AS id_b, x AS xb, y AS yb,
         |    cx + dx.v AS cx, cy + dy.v AS cy
