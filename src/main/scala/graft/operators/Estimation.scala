@@ -1113,6 +1113,102 @@ object Estimation {
       lit(if (r.disjoint) 1 else 0).as("keysets_disjoint"))
   }
 
+  /** G10 (query-backed): the `_stripe` METADATA COLUMN driven through
+    * the driver gate — the `_metadata.file_path`/Iceberg-`_file`
+    * per-row provenance facility on the custom V2 source. The query
+    * first asserts the by-name contract engine-side (`_stripe` in the
+    * default schema would violate the Spark metadata-column contract —
+    * refuse loudly), then selects it BY NAME under a pushed y-range
+    * filter and aggregates cells per producing stripe. The oracle
+    * re-derives the provenance from the PLANNING MATH alone — stripe
+    * start = yMin + ((y − yMin) div (rows/8))·(rows/8) over the pushed
+    * 48-row range — plus the md5 cell formula, blind to the source:
+    * filter-tightened stripe planning, the shared reader's metadata
+    * emission, and column pruning must compose exactly or cells land
+    * in the wrong stripe group and the hash gate fails.
+    */
+  def qStripeMeta(s: SparkSession, dir: String): DataFrame = {
+    val r = s.read.format("graft.sources.v2.RasterSource")
+      .option("w", 120).option("h", 80).load()
+    require(!r.schema.fieldNames.contains("_stripe"),
+      "_stripe must stay hidden from the default schema (metadata-column contract)")
+    r.filter(col("y") >= 16 && col("y") <= 63)
+      .select(col("y"), col("v"), col("_stripe"))
+      .groupBy(col("_stripe"))
+      .agg(count(lit(1)).as("n_cells"), count(col("v")).as("n_valid"),
+           sum(col("v")).as("vsum"),
+           min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .orderBy(col("_stripe"))
+  }
+
+  /** G14 (query-backed): the ordering REPORT (`SupportsReportOrdering`)
+    * promoted to the gate the way G11 was — verified, not trusted, in
+    * both directions. The main arm reads the (y, x)-reported scan under
+    * `sortWithinPartitions(y, x)` and (a) PLAN-LOCKS the elision — the
+    * executed plan must contain zero SortExec, because the report
+    * satisfies the requirement — while (b) a mapPartitions pass
+    * re-checks that rows REALLY arrive (y, x)-ascending per partition
+    * (order_violations must be 0: a source that reports an ordering it
+    * doesn't deliver is wrong results waiting to happen) and folds
+    * n/Σv per partition in the same pass. Two control arms pin the
+    * honest scoping: a global ORDER BY must KEEP its sort (per-
+    * partition order cannot satisfy OrderedDistribution), and an
+    * x-only projection must keep its local sort (x restarts every grid
+    * row — the scan must claim nothing). The oracle recomputes n/Σv
+    * from the md5 formula and pins all three plan flags + the
+    * violation count.
+    */
+  def qOrderedScan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    def sorts(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => sorts(a.executedPlan)
+      case q: QueryStageExec        => sorts(q.plan)
+      case s: SortExec              => 1 + s.children.map(sorts).sum
+      case other                    => other.children.map(sorts).sum
+    }
+    def v2() = s.read.format("graft.sources.v2.RasterSource")
+      .option("w", 120).option("h", 80).load()
+    val partSchema = StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("vsum", LongType, nullable = false),
+      StructField("viol", LongType, nullable = false)))
+    val perPart = v2().filter(col("y") >= 8 && col("y") <= 71)
+      .select(col("x"), col("y"), col("v"))
+      .sortWithinPartitions(col("y"), col("x"))
+      .mapPartitions { it =>
+        var n = 0L; var vs = 0L; var bad = 0L
+        var py = Long.MinValue; var px = Long.MinValue
+        it.foreach { row =>
+          val x = row.getLong(0); val y = row.getLong(1)
+          if (y < py || (y == py && x < px)) bad += 1
+          py = y; px = x
+          n += 1
+          if (!row.isNullAt(2)) vs += row.getLong(2)
+        }
+        Iterator(Row(n, vs, bad))
+      }(org.apache.spark.sql.Encoders.row(partSchema))
+    val verified = perPart.agg(sum(col("n")).as("n"), sum(col("vsum")).as("vs"),
+                               sum(col("viol")).as("viol"))
+    val vRow = verified.collect()(0)
+    val localElided = sorts(verified.queryExecution.executedPlan) == 0
+    val global = v2().filter(col("y") >= 8 && col("y") <= 71).orderBy(col("y"), col("x"))
+    global.collect()
+    val globalKept = sorts(global.queryExecution.executedPlan) >= 1
+    val xOnly = v2().select(col("x"), col("v")).sortWithinPartitions(col("x"))
+    xOnly.collect()
+    val xSortKept = sorts(xOnly.queryExecution.executedPlan) >= 1
+    s.range(1).select(
+      lit(vRow.getLong(0)).as("n_rows"),
+      lit(vRow.getLong(1)).as("vsum"),
+      lit(vRow.getLong(2)).as("order_violations"),
+      lit(if (localElided) 1L else 0L).as("local_sort_elided"),
+      lit(if (globalKept) 1L else 0L).as("global_sort_kept"),
+      lit(if (xSortKept) 1L else 0L).as("x_sort_kept"))
+  }
+
   /** G13 (query-backed): the DataSource V2 TABLE CATALOG
     * ([[graft.sources.v2.MemCatalog]]) driven end-to-end through the
     * gate — CREATE TABLE / INSERT INTO … SELECT (two-phase commit) /
@@ -3008,6 +3104,30 @@ object Estimation {
           |  CAST(COUNT(v) AS BIGINT) AS n_valid, CAST(SUM(v) AS BIGINT) AS vsum,
           |  CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax
           |FROM gv GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_stripe_meta" ->
+        s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
+          |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx
+          |  FROM range(0, 9600) t(i)),
+          |gv AS (SELECT y, CASE WHEN hx % 19 = 0 THEN NULL ELSE hx % 1000 END AS v
+          |  FROM g WHERE y BETWEEN 16 AND 63)
+          |SELECT CAST(16 + ((y - 16) // 6) * 6 AS BIGINT) AS _stripe,
+          |  CAST(COUNT(*) AS BIGINT) AS n_cells, CAST(COUNT(v) AS BIGINT) AS n_valid,
+          |  CAST(SUM(v) AS BIGINT) AS vsum,
+          |  CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+          |FROM gv GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_ordered_scan" ->
+        s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
+          |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx
+          |  FROM range(0, 9600) t(i)),
+          |gv AS (SELECT CASE WHEN hx % 19 = 0 THEN NULL ELSE hx % 1000 END AS v
+          |  FROM g WHERE y BETWEEN 8 AND 71)
+          |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(SUM(v) AS BIGINT) AS vsum,
+          |  CAST(0 AS BIGINT) AS order_violations,
+          |  CAST(1 AS BIGINT) AS local_sort_elided,
+          |  CAST(1 AS BIGINT) AS global_sort_kept,
+          |  CAST(1 AS BIGINT) AS x_sort_kept
+          |FROM gv""".stripMargin,
       "q_resample" ->
         s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
           |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx
