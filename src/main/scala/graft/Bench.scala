@@ -23,32 +23,48 @@ object Bench {
     // dev-only subset (comma-separated names) for targeted cross-scale
     // timing of a query family; driver benches run everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // median-of-N timed runs (default 3): two same-day r10 runs of the
+    // same binary differed ±13% in total — larger than most judged
+    // regressions — so single-run per-query numbers are machine noise
+    // at the sub-1.5× level. The published per-query time is the MEDIAN
+    // of nRuns; the min/max spread rides alongside so a reader can tell
+    // a real regression from variance.
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip(name) }
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       try {
         fn(spark, sfDir).count()
-        // reap the warm-up run's broadcasts/shuffles: with a large heap,
-        // GC (and so Spark's ContextCleaner) may not run for many
-        // queries, and 60+ queries of accumulated executor state slows
-        // allocation-heavy kernels 3x in-bench vs isolated. gc() only
-        // ENQUEUES the weak refs — the cleaner thread drains them
-        // asynchronously, so give it a bounded head start rather than
-        // letting the unbroadcasts land inside the timed window.
-        System.gc()
-        Thread.sleep(100)
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => name -> -1.0 }
+        val times = (0 until nRuns).map { _ =>
+          // reap the previous run's broadcasts/shuffles: with a large
+          // heap, GC (and so Spark's ContextCleaner) may not run for
+          // many queries, and 60+ queries of accumulated executor state
+          // slows allocation-heavy kernels 3x in-bench vs isolated.
+          // gc() only ENQUEUES the weak refs — the cleaner thread
+          // drains them asynchronously, so give it a bounded head start
+          // rather than letting the unbroadcasts land inside the timed
+          // window.
+          System.gc()
+          Thread.sleep(100)
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times
+      } catch { case _: Throwable => name -> Seq(-1.0) }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def med(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
+    val qs = results.map { case (k, ts) => s"\"" + k + "\":" + med(ts) }
       .mkString("{", ",", "}")
+    val spread = results.map { case (k, ts) =>
+      s"\"" + k + s"""\":{"median":${med(ts)},"min":${ts.min},"max":${ts.max}}"""
+    }.mkString("{", ",", "}")
     // failed queries report -1.0 in the per-query map but must not
     // subtract from (and flatter) the total
-    val total = results.collect { case (_, t) if t >= 0 => t }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = results.collect { case (_, ts) if med(ts) >= 0 => med(ts) }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""runs":$nRuns,"spread":$spread,"sf":"$sfDir"}"""
     println(line)
     // the driver keeps only a truncated stdout tail — also write the
     // full per-query JSON to a file so every query time is auditable
