@@ -1312,6 +1312,47 @@ object Estimation {
       FROM $t GROUP BY st ORDER BY st""")
   }
 
+  /** G22 (query-backed): TIME TRAVEL through the V2 catalog — the
+    * snapshot-log facility (`SELECT … VERSION AS OF n`, Iceberg/Delta's
+    * core audit primitive) on [[graft.sources.v2.MemCatalog]]: every
+    * committed mutation (insert commit, deleteWhere, row-level replace,
+    * ALTER) publishes a 1-based snapshot, `loadTable(ident, version)`
+    * resolves it to a read-only pinned table, and unknown versions
+    * refuse loudly. The gate runs INSERT → INSERT → DELETE and reads
+    * the SAME table at versions 1, 2, 3 and current (rows 1–4; current
+    * must equal v3) in one UNION — the oracle replays each version's
+    * relational algebra straight from parquet, so a snapshot taken at
+    * the wrong commit point, a mutated snapshot (copy-on-write
+    * violation), or travel silently falling back to current all break
+    * the hash. `TIMESTAMP AS OF` (wall-clock) is spec-covered, not
+    * hash-gated.
+    */
+  def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_mem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    val t = "graft_mem.gate.orders_tt"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT)")
+    orders(s, dir)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .createOrReplaceTempView("catalog_tt_src")
+    s.sql(s"INSERT INTO $t SELECT k, cents FROM catalog_tt_src WHERE k % 19 = 0")
+    s.sql(s"INSERT INTO $t SELECT k, cents FROM catalog_tt_src WHERE k % 23 = 0")
+    s.sql(s"DELETE FROM $t WHERE cents < 10000000")
+    def statsAt(version: Long, from: String) =
+      s"""SELECT CAST($version AS BIGINT) AS version,
+         |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+         |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+         |FROM $from""".stripMargin
+    s.sql(Seq(
+      statsAt(1L, s"$t VERSION AS OF 1"),
+      statsAt(2L, s"$t VERSION AS OF 2"),
+      statsAt(3L, s"$t VERSION AS OF 3"),
+      statsAt(4L, t) // current state must EQUAL version 3
+    ).mkString("\nUNION ALL\n") + "\nORDER BY version")
+  }
+
   /** A39 derivation chain (the featImpDerivs machine): Fisher LDA with
     * shared pooled covariance, every float step ONE (name, formula)
     * pair applied with `expr` on the Spark side and emitted verbatim
@@ -3051,6 +3092,23 @@ object Estimation {
           |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
           |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
           |FROM surv GROUP BY st ORDER BY st""".stripMargin,
+      "q_time_travel" ->
+        """WITH src AS (SELECT o_orderkey AS k,
+          |    CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents FROM orders),
+          |v1 AS (SELECT k, cents FROM src WHERE k % 19 = 0),
+          |v2 AS (SELECT * FROM v1
+          |  UNION ALL SELECT k, cents FROM src WHERE k % 23 = 0),
+          |v3 AS (SELECT * FROM v2 WHERE NOT (cents < 10000000)),
+          |stats AS (
+          |  SELECT 1 AS version, COUNT(*) AS n, SUM(cents) AS sum_cents,
+          |    MIN(k) AS min_k, MAX(k) AS max_k FROM v1
+          |  UNION ALL SELECT 2, COUNT(*), SUM(cents), MIN(k), MAX(k) FROM v2
+          |  UNION ALL SELECT 3, COUNT(*), SUM(cents), MIN(k), MAX(k) FROM v3
+          |  UNION ALL SELECT 4, COUNT(*), SUM(cents), MIN(k), MAX(k) FROM v3)
+          |SELECT CAST(version AS BIGINT) AS version, CAST(n AS BIGINT) AS n,
+          |  CAST(sum_cents AS BIGINT) AS sum_cents,
+          |  CAST(min_k AS BIGINT) AS min_k, CAST(max_k AS BIGINT) AS max_k
+          |FROM stats ORDER BY version""".stripMargin,
       "q_stats_sink" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
           |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vsum,

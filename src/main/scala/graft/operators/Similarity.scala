@@ -1144,6 +1144,113 @@ object Similarity {
     * column; multi-assignment is an ingest-side fan-out of (id, code)
     * pairs, never a query-side blowup beyond the 2× scan.
     */
+  /** D35: approximate nearest-neighbor JOIN — the corpus-to-corpus
+    * top-k twin of the probe-side ANN queries, i.e. what a 100 TB
+    * dedup-by-embedding actually runs (every vector gets neighbors, no
+    * privileged probe set). Blocking by IVF cells: each vector is
+    * MULTI-ASSIGNED to its top-2 coarse cells (the D31 widening — a
+    * pair straddling a cell boundary still meets in the shared cell),
+    * each cell group computes its members' cell-local exact top-k in
+    * one task (cost Σ|cell·2|², never corpus²; at 100 TB nCells scales
+    * with the corpus so cell size — and so task cost — stays bounded,
+    * the D28 balance audit's job), duplicate pairs from doubly-shared
+    * cells collapse by (q, nb) max (identical sims), and a per-vector
+    * window keeps the global top-3. GATED against the exact
+    * [[ExactSliceMax]] slice graph (D12): every published edge carries
+    * `in_exact`, and the engine REFUSES (loud, not silent) if recall
+    * vs the exact top-3 drops below the documented floor — the D13
+    * posture applied to the join. The gate feeds the slice (= the full
+    * corpus at gate scales, cost-frozen beyond); production feeds the
+    * full corpus with a corpus-scaled quantizer.
+    */
+  def qAnnJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 3
+    val nCells = 16
+    // measured 0.46 @ sf0.01, 0.50 @ sf0.1 (random 16-cell quantizer,
+    // top-2 assignment — the honest untrained-IVF number, same posture
+    // as D13's pq/ivf floors), minus margin
+    val recallFloor = 0.30
+    val cents = ivfCentroids(nCells, 64)
+    val bcC = s.sparkContext.broadcast(cents)
+    val ds = emb(s, dir).filter(col("vec_id") < ExactSliceMax)
+      .select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+    // top-2 cell multi-assignment: (dot DESC, cell id ASC) — the D6/D31 rule
+    val assigned = ds.flatMap { case (id, v) =>
+      val cs = bcC.value
+      var c1 = -1; var d1 = Double.NegativeInfinity
+      var c2 = -1; var d2 = Double.NegativeInfinity
+      var ci = 0
+      while (ci < cs.length) {
+        val cv = cs(ci)
+        var d = 0.0; var j = 0
+        while (j < v.length) { d += cv(j) * v(j); j += 1 }
+        if (d > d1) { d2 = d1; c2 = c1; d1 = d; c1 = ci }
+        else if (d > d2) { d2 = d; c2 = ci }
+        ci += 1
+      }
+      Seq((c1, id, v), (c2, id, v))
+    }
+    val localTop = assigned
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Int, it: Iterator[(Int, Long, Array[Double])]) =>
+        val rows = it.toArray.sortBy(_._2)
+        val m = rows.length
+        val ids = rows.map(_._2)
+        val nrm = rows.map { t =>
+          var s2 = 0.0; var j = 0
+          while (j < t._3.length) { s2 += t._3(j) * t._3(j); j += 1 }
+          math.sqrt(s2)
+        }
+        val cands = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[(Double, Long)])
+        var p = 0
+        while (p < m) {
+          val vp = rows(p)._3
+          var q = p + 1
+          while (q < m) {
+            if (ids(p) != ids(q)) {
+              val vq = rows(q)._3
+              var d = 0.0; var j = 0
+              while (j < vp.length) { d += vq(j) * vp(j); j += 1 }
+              val sim = d / (nrm(p) * nrm(q))
+              cands(p) += ((sim, ids(q)))
+              cands(q) += ((sim, ids(p)))
+            }
+            q += 1
+          }
+          p += 1
+        }
+        (0 until m).iterator.flatMap { i =>
+          cands(i).sortBy { case (sim, nb) => (-sim, nb) }.take(k)
+            .map { case (sim, nb) => (ids(i), nb, sim) }
+        }
+      }
+      .toDF("q_id", "nb_id", "sim")
+    // a pair sharing BOTH assigned cells appears twice with an identical
+    // sim — collapse before ranking or the window would count it as two
+    // candidates
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("nb_id"))
+    val ann = graft.core.Materialize.pin(
+      localTop.groupBy(col("q_id"), col("nb_id")).agg(max(col("sim")).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k))
+    val exact = knnGraphTopK(s, dir, k)
+      .select(col("vec_id").as("x_q"), col("nb_id").as("x_nb"))
+    val flagged = ann
+      .join(exact, col("q_id") === col("x_q") && col("nb_id") === col("x_nb"), "left")
+      .select(col("q_id").as("vec_id"), col("rank").cast("long").as("rank"),
+        col("nb_id"), dec4(col("sim")).as("sim"),
+        when(col("x_nb").isNull, 0L).otherwise(1L).as("in_exact"))
+    // the recall CONTRACT: |ann ∩ exact| / |exact| — refuse loudly below floor
+    val Array(hits, nExact) = Array(
+      flagged.agg(sum(col("in_exact"))).collect()(0).getLong(0),
+      exact.count())
+    require(nExact > 0 && hits.toDouble / nExact >= recallFloor,
+      s"ANN-join recall ${hits.toDouble / nExact} below floor $recallFloor " +
+        s"($hits/$nExact exact edges recovered)")
+    flagged.orderBy(col("vec_id"), col("rank"))
+  }
+
   def qAnnIvfMulti(s: SparkSession, dir: String): DataFrame = {
     val k = 10
     val nCells = 16
@@ -3178,6 +3285,33 @@ object Similarity {
         |  1 AS degree_upper_ok, 1 AS visited_bounded""".stripMargin,
     "q_ann_lsh" -> annLshSql(probe1 = false),
     "q_ann_multiprobe" -> annLshSql(probe1 = true),
+    "q_ann_join" ->
+      s"""WITH $ivfCellCteSql,
+        |cell2 AS (SELECT vec_id, p FROM cellr WHERE rn <= 2 AND vec_id < 2048),
+        |cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS nb_id
+        |  FROM cell2 a JOIN cell2 b ON a.p = b.p AND a.vec_id <> b.vec_id),
+        |sims AS (SELECT q_id, nb_id,
+        |    list_cosine_similarity(qe.v, ce.v) AS sim
+        |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
+        |  JOIN e ce ON ce.vec_id = cand.nb_id),
+        |r AS (SELECT q_id, nb_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nb_id) AS rank
+        |  FROM sims),
+        |ann AS (SELECT q_id, nb_id, sim, rank FROM r WHERE rank <= 3),
+        |es AS (SELECT vec_id, v FROM e WHERE vec_id < 2048),
+        |sx AS (SELECT a.vec_id, b.vec_id AS nb_id,
+        |    list_cosine_similarity(a.v, b.v) AS sim
+        |  FROM es a JOIN es b ON a.vec_id <> b.vec_id),
+        |rx AS (SELECT vec_id, nb_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nb_id) AS rank
+        |  FROM sx),
+        |exact AS (SELECT vec_id, nb_id FROM rx WHERE rank <= 3)
+        |SELECT ann.q_id AS vec_id, CAST(ann.rank AS BIGINT) AS rank, ann.nb_id,
+        |  CAST(ROUND(ann.sim,4) AS DECIMAL(18,4))::DOUBLE AS sim,
+        |  CAST(CASE WHEN x.nb_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_exact
+        |FROM ann LEFT JOIN exact x
+        |  ON ann.q_id = x.vec_id AND ann.nb_id = x.nb_id
+        |ORDER BY vec_id, rank""".stripMargin,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_multi" -> annIvfMultiSql,
     "q_ann_ivfpq" -> annIvfPqSql,

@@ -101,10 +101,49 @@ class MemCatalog extends TableCatalog {
       val widened = StructType(st.schema.fields ++ adds)
       val next = MemStore.Stored(widened, st.rowLevel)
       st.rows.foreach { r => next.rows += (r ++ Array.fill[Any](adds.length)(null)) }
+      // G22: the snapshot LOG survives schema evolution — old versions
+      // keep their old schema (each Snapshot carries its own), and the
+      // post-ALTER state publishes as a fresh snapshot
+      next.snapshots ++= st.snapshots
+      next.synchronized { MemStore.record(next) }
       MemStore.tables.put(k, next)
       if (next.rowLevel) new MemTableRowLevel(k, widened)
       else new MemTable(k, widened)
     }
+  }
+
+  /** G22: `SELECT … FROM t VERSION AS OF n` — Spark routes the version
+    * string here; resolve it against the snapshot log and hand back a
+    * read-only table pinned to that committed state. Unknown versions
+    * refuse loudly (a silent fallback to current would be a wrong-
+    * results class).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val st = MemStore.tables.getOrElse(key(ident),
+      throw new NoSuchTableException(ident))
+    val v =
+      try version.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"version must be a snapshot number, got '$version'") }
+    val snap = st.synchronized { st.snapshots.find(_.version == v) }
+      .getOrElse(throw new IllegalArgumentException(
+        s"table ${key(ident)} has no snapshot $v " +
+          s"(log: 1..${st.synchronized(st.snapshots.size)})"))
+    new MemTableSnapshot(key(ident), snap)
+  }
+
+  /** G22: `TIMESTAMP AS OF` — Spark passes micros; latest snapshot
+    * at-or-before wins (the Iceberg rule). Wall-clock-based, so the
+    * hash gate pins only the VERSION path; this one is spec-covered.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val st = MemStore.tables.getOrElse(key(ident),
+      throw new NoSuchTableException(ident))
+    val snap = st.synchronized { st.snapshots.takeWhile(_.tsMicros <= timestamp).lastOption }
+      .getOrElse(throw new IllegalArgumentException(
+        s"table ${key(ident)} has no snapshot at or before $timestamp"))
+    new MemTableSnapshot(key(ident), snap)
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -115,12 +154,54 @@ class MemCatalog extends TableCatalog {
 }
 
 object MemStore {
+  /** One committed table state for time travel (G22): version numbers
+    * are 1-based per COMMIT (Iceberg's snapshot log shape — CREATE
+    * itself publishes nothing). A production catalog records manifests;
+    * this contract registry copies the rows, which is exactly as
+    * expensive as the registry itself and keeps the semantics honest.
+    */
+  final case class Snapshot(version: Long, schema: StructType,
+                            rows: Array[Array[Any]], tsMicros: Long)
+
   /** Rows live as external JVM values (Long/Int/Double/String/Boolean/
     * null) so partitions can ship them to executors untouched. */
   final case class Stored(schema: StructType, rowLevel: Boolean = false) {
     val rows = new scala.collection.mutable.ArrayBuffer[Array[Any]]()
+    val snapshots = new scala.collection.mutable.ArrayBuffer[Snapshot]()
   }
+
+  /** Record the CURRENT state as the next snapshot — call under the
+    * Stored's lock, after every committed mutation (insert commit,
+    * deleteWhere, row-level replace, ALTER). */
+  def record(st: Stored): Unit =
+    st.snapshots += Snapshot(st.snapshots.size + 1L, st.schema,
+      st.rows.map(_.clone).toArray, System.currentTimeMillis() * 1000L)
+
   val tables = TrieMap.empty[String, Stored]
+}
+
+/** G22: a read-only table pinned to one time-travel snapshot — BATCH_READ
+  * only (writing through `VERSION AS OF` is not a thing; Spark won't
+  * plan it against a capability-less writer either).
+  */
+final class MemTableSnapshot(baseKey: String, snap: MemStore.Snapshot)
+    extends Table with SupportsRead {
+  override def name(): String = s"$baseKey@v${snap.version}"
+  override def schema(): StructType = snap.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = snap.schema
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            Array(MemPartition(snap.rows))
+          override def createReaderFactory(): PartitionReaderFactory =
+            new MemReaderFactory(snap.schema)
+        }
+      }
+    }
 }
 
 class MemTable(protected val storeKey: String,
@@ -163,6 +244,7 @@ class MemTable(protected val storeKey: String,
                 case MemRowsPartial(rows) => st.rows ++= rows
                 case _ => ()
               }
+              MemStore.record(st) // G22 snapshot per committed insert
             }
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -224,6 +306,7 @@ class MemTable(protected val storeKey: String,
       val keep = st.rows.filterNot(r => filters.forall(f => eval(f, r)))
       st.rows.clear()
       st.rows ++= keep
+      MemStore.record(st) // G22 snapshot per committed delete
     }
   }
 }
@@ -275,6 +358,7 @@ final class MemTableRowLevel(k: String, s0: StructType)
                       case MemRowsPartial(rows) => st.rows ++= rows
                       case _ => ()
                     }
+                    MemStore.record(st) // G22 snapshot per replace commit
                   }
                 }
                 override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -570,4 +570,39 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(spark.sql(s"SELECT COUNT(*) FROM $t").collect()(0).getLong(0) == 3)
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("G22: time travel — VERSION AS OF, TIMESTAMP AS OF, immutability, refusal") {
+    spark.conf.set("spark.sql.catalog.graft_mem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    val t = "graft_mem.spec.tt_t"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1), (2), (3)")        // v1
+    spark.sql(s"INSERT INTO $t VALUES (4), (5)")             // v2
+    spark.sql(s"DELETE FROM $t WHERE k <= 2")                // v3
+    def ks(sql: String): Seq[Long] =
+      spark.sql(sql).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks(s"SELECT k FROM $t VERSION AS OF 1") == Seq(1L, 2L, 3L))
+    assert(ks(s"SELECT k FROM $t VERSION AS OF 2") == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(ks(s"SELECT k FROM $t VERSION AS OF 3") == Seq(3L, 4L, 5L))
+    assert(ks(s"SELECT k FROM $t") == Seq(3L, 4L, 5L))
+    // snapshots are COPIES: later DML must not mutate an old version
+    spark.sql(s"DELETE FROM $t WHERE k = 3")                 // v4
+    assert(ks(s"SELECT k FROM $t VERSION AS OF 1") == Seq(1L, 2L, 3L))
+    // TIMESTAMP AS OF: latest snapshot at-or-before wins (resolve via
+    // the recorded commit stamps — wall clock, so spec-level only)
+    import graft.sources.v2.MemStore
+    val st = MemStore.tables(s"$t")
+    val cat = spark.sessionState.catalogManager.catalog("graft_mem")
+      .asInstanceOf[graft.sources.v2.MemCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("spec"), "tt_t")
+    val snap2 = st.synchronized(st.snapshots(1))
+    val tbl = cat.loadTable(ident, snap2.tsMicros)
+    assert(tbl.name().endsWith("@v2"),
+      s"timestamp travel to v2's stamp resolved ${tbl.name()}")
+    // unknown versions refuse loudly — no silent fallback to current
+    intercept[Exception] { spark.sql(s"SELECT k FROM $t VERSION AS OF 99").collect() }
+    spark.sql(s"DROP TABLE $t")
+  }
 }
