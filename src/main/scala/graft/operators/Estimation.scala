@@ -41,8 +41,18 @@ object Estimation {
 
   private def li(s: SparkSession, dir: String): DataFrame = withId(lineitem(s, dir))
 
+  /** The estimator train slice, COUNT-BOUNDED (r11): `% 499` alone is
+    * a corpus FRACTION — the §6 scale-knob audit question answered
+    * wrong — so fit collects and the corpus×train kNN kernels would
+    * grow quadratically with sf (12,073 train rows at sf1, 1.2M at
+    * 100×). The `< 1e6` orderkey cap freezes the slice at its sf0.1
+    * size (1,207 rows) at every larger scale while leaving BOTH gate
+    * scales bit-identical (max l_orderkey: 15k at sf0.01, 150k at
+    * sf0.1 — the cap is inactive there).
+    */
   private def trainLi(s: SparkSession, dir: String): DataFrame =
-    lineitem(s, dir).filter(col("l_orderkey") % 499 === 0)
+    lineitem(s, dir).filter(col("l_orderkey") % 499 === 0 &&
+      col("l_orderkey") < 1000000L)
 
   /** Canonical training order: a unique full-row key. Training ids are
     * 0-based ranks in this order (sklearn training-index semantics).
@@ -53,7 +63,8 @@ object Estimation {
   private val trainSql =
     "SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
       "l_quantity, l_extendedprice, l_discount, l_tax) - 1 AS tid, l_quantity, l_discount, " +
-      "l_tax, l_extendedprice, l_suppkey, l_returnflag FROM lineitem WHERE l_orderkey % 499 = 0"
+      "l_tax, l_extendedprice, l_suppkey, l_returnflag FROM lineitem " +
+      "WHERE l_orderkey % 499 = 0 AND l_orderkey < 1000000"
 
   /** A1: KNeighborsRegressor.predict — 1 feature, 1 target, k=5. */
   def qKnnReg(s: SparkSession, dir: String): DataFrame = {
@@ -3493,7 +3504,7 @@ object Estimation {
           |FROM g CROSS JOIN t ORDER BY class""".stripMargin,
       "q_impute" ->
         s"""WITH tt AS (SELECT CASE WHEN l_partkey % 37 = 0 THEN NULL ELSE l_quantity END AS x1
-          |  FROM lineitem WHERE l_orderkey % 499 = 0),
+          |  FROM lineitem WHERE l_orderkey % 499 = 0 AND l_orderkey < 1000000),
           |m AS (SELECT SUM(CAST(x1 AS BIGINT))::DOUBLE / COUNT(x1) AS fill FROM tt)
           |SELECT $uidSql AS li_id,
           |  CAST(ROUND(COALESCE(
@@ -3809,7 +3820,7 @@ object Estimation {
         s"""WITH t AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
           |  CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS x2,
           |  CAST(ROUND(l_discount*100,0) AS BIGINT) AS x3
-          |  FROM lineitem WHERE l_orderkey % 499 = 0),
+          |  FROM lineitem WHERE l_orderkey % 499 = 0 AND l_orderkey < 1000000),
           |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
           |  CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
           |  CAST(SUM(x3) AS BIGINT) AS s3,

@@ -1163,15 +1163,61 @@ object Similarity {
     * corpus at gate scales, cost-frozen beyond); production feeds the
     * full corpus with a corpus-scaled quantizer.
     */
-  def qAnnJoin(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val k = 3
-    val nCells = 16
+  def qAnnJoin(s: SparkSession, dir: String): DataFrame =
     // measured 0.46 @ sf0.01, 0.50 @ sf0.1 (random 16-cell quantizer,
     // top-2 assignment — the honest untrained-IVF number, same posture
     // as D13's pq/ivf floors), minus margin
-    val recallFloor = 0.30
-    val cents = ivfCentroids(nCells, 64)
+    annJoinCore(s, dir, ivfCentroids(16, 64), recallFloor = 0.30)
+
+  /** D36: the D35 join with a TRAINED coarse quantizer — one Lloyd-style
+    * pass (the D8→D8b move applied to the join): assign the corpus to
+    * the random cells, recompute each non-empty cell's centroid as the
+    * 6dp-quantized per-dimension mean (the q_kmeans cross-engine
+    * accumulation rule) L2-normalized, and run the identical cell join
+    * against the trained cells. Data-shaped cells raise the boundary-
+    * pair hit rate, so the recall floor is HIGHER than D35's — the
+    * measured training dividend, locked by the same contract. Empty
+    * cells keep their random centroid (both engines, same rule). Train
+    * cost at 100 TB: one corpus pass + a (cells×dims) aggregate —
+    * noise next to the join itself.
+    */
+  def qAnnJoinTrained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nCells = 16
+    val dim = 64
+    val rand = ivfCentroids(nCells, dim)
+    val bcR = s.sparkContext.broadcast(rand)
+    val means = emb(s, dir)
+      .select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      .map { case (_, v) => (ivfCell(bcR.value, v), v) }
+      .toDF("cell", "v")
+      .select(col("cell"), posexplode(col("v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(graft.functions.dec6(avg(col("col"))).as("c"))
+      .collect() // ≤ cells×dims rows — the fit artifact
+    val byCell = means.groupBy(_.getInt(0))
+    val trained = Array.tabulate(nCells) { ci =>
+      byCell.get(ci) match {
+        case Some(rows) =>
+          val c = new Array[Double](dim)
+          rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+          var n2 = 0.0; var j = 0
+          while (j < dim) { n2 += c(j) * c(j); j += 1 }
+          val nrm = math.sqrt(n2)
+          c.map(_ / nrm)
+        case None => rand(ci) // empty cell keeps its random centroid
+      }
+    }
+    // measured 0.56 @ sf0.01, 0.54 @ sf0.1 — the training dividend over
+    // D35's 0.46/0.50 — minus margin
+    annJoinCore(s, dir, trained, recallFloor = 0.40)
+  }
+
+  private def annJoinCore(s: SparkSession, dir: String,
+                          cents: Array[Array[Double]],
+                          recallFloor: Double): DataFrame = {
+    import s.implicits._
+    val k = 3
     val bcC = s.sparkContext.broadcast(cents)
     val ds = emb(s, dir).filter(col("vec_id") < ExactSliceMax)
       .select(col("vec_id"), col("v")).as[(Long, Array[Double])]
@@ -3290,6 +3336,48 @@ object Similarity {
         |cell2 AS (SELECT vec_id, p FROM cellr WHERE rn <= 2 AND vec_id < 2048),
         |cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS nb_id
         |  FROM cell2 a JOIN cell2 b ON a.p = b.p AND a.vec_id <> b.vec_id),
+        |sims AS (SELECT q_id, nb_id,
+        |    list_cosine_similarity(qe.v, ce.v) AS sim
+        |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
+        |  JOIN e ce ON ce.vec_id = cand.nb_id),
+        |r AS (SELECT q_id, nb_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nb_id) AS rank
+        |  FROM sims),
+        |ann AS (SELECT q_id, nb_id, sim, rank FROM r WHERE rank <= 3),
+        |es AS (SELECT vec_id, v FROM e WHERE vec_id < 2048),
+        |sx AS (SELECT a.vec_id, b.vec_id AS nb_id,
+        |    list_cosine_similarity(a.v, b.v) AS sim
+        |  FROM es a JOIN es b ON a.vec_id <> b.vec_id),
+        |rx AS (SELECT vec_id, nb_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nb_id) AS rank
+        |  FROM sx),
+        |exact AS (SELECT vec_id, nb_id FROM rx WHERE rank <= 3)
+        |SELECT ann.q_id AS vec_id, CAST(ann.rank AS BIGINT) AS rank, ann.nb_id,
+        |  CAST(ROUND(ann.sim,4) AS DECIMAL(18,4))::DOUBLE AS sim,
+        |  CAST(CASE WHEN x.nb_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_exact
+        |FROM ann LEFT JOIN exact x
+        |  ON ann.q_id = x.vec_id AND ann.nb_id = x.nb_id
+        |ORDER BY vec_id, rank""".stripMargin,
+    "q_ann_join_trained" ->
+      s"""WITH $ivfCellCteSql,
+        |dims AS (SELECT unnest(range(1,65)) AS i),
+        |tm AS (SELECT c.p, d.i,
+        |    CAST(ROUND(AVG(v[d.i]),6) AS DECIMAL(18,6))::DOUBLE AS c
+        |  FROM cell c JOIN e USING (vec_id), dims d GROUP BY 1,2),
+        |tl AS (SELECT p, list(c ORDER BY i) AS cv FROM tm GROUP BY p),
+        |tn AS (SELECT p,
+        |    list_transform(cv, x -> x / sqrt(list_sum(list_transform(cv, y -> y*y)))) AS cv
+        |  FROM tl),
+        |allc AS (SELECT cn.p, COALESCE(tn.cv, cn.cv) AS cv
+        |  FROM cnorm cn LEFT JOIN tn ON cn.p = tn.p),
+        |cd2 AS (SELECT vec_id, p, list_dot_product(cv, v) AS dt
+        |  FROM e CROSS JOIN allc),
+        |cr2 AS (SELECT vec_id, p,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, p) AS rn
+        |  FROM cd2),
+        |c2 AS (SELECT vec_id, p FROM cr2 WHERE rn <= 2 AND vec_id < 2048),
+        |cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS nb_id
+        |  FROM c2 a JOIN c2 b ON a.p = b.p AND a.vec_id <> b.vec_id),
         |sims AS (SELECT q_id, nb_id,
         |    list_cosine_similarity(qe.v, ce.v) AS sim
         |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
