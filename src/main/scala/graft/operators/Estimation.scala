@@ -1220,6 +1220,39 @@ object Estimation {
       lit(if (xSortKept) 1L else 0L).as("x_sort_kept"))
   }
 
+  /** A58 (query-backed): CRS / transform / history PROPAGATION through
+    * a raster op chain, driven through the driver gate — the reference
+    * contract (tests/test_estimator.py:280 test_crs_preserved;
+    * features.py history append) as VALUES: run focal(3×3) →
+    * resample(2×2) on the declared EPSG:5070 grid via the
+    * [[graft.core.RasterFrame]] carrier and publish the resulting
+    * meta — CRS preserved verbatim, the affine pixel terms DOUBLED by
+    * the resample (the carrier tracks geometry, it doesn't photocopy
+    * attrs), the op history in order — plus exact integer facts of the
+    * final raster (cell count, valid count: NULL iff every contributing
+    * source cell was NoData). The oracle recomputes the counts from the
+    * md5 cell formula with a 3×3 neighborhood join and pins the
+    * metadata literals — a carrier that forgot to scale the transform,
+    * dropped the CRS, or reordered history breaks the hash.
+    */
+  def qRasterMeta(s: SparkSession, dir: String): DataFrame = {
+    val meta = graft.core.GridMeta(
+      crs = Some("EPSG:5070"),
+      transform = Array(30.0, 0.0, 1000.0, 0.0, -30.0, 2000.0),
+      fillValue = Some(-9999L))
+    val out = graft.core.RasterFrame.synthetic(s, 120L, 80L, meta)
+      .focalMean3x3()
+      .resample2x()
+    require(out.meta.crs.contains("EPSG:5070"), "CRS lost in the op chain")
+    out.df
+      .agg(count(lit(1)).as("n_cells"), count(col("v")).as("n_valid"))
+      .select(
+        lit(out.meta.crs.get).as("crs"),
+        lit(out.meta.transform.mkString(",")).as("transform"),
+        lit(out.meta.history.mkString(">")).as("history"),
+        col("n_cells"), col("n_valid"))
+  }
+
   /** G13 (query-backed): the DataSource V2 TABLE CATALOG
     * ([[graft.sources.v2.MemCatalog]]) driven end-to-end through the
     * gate — CREATE TABLE / INSERT INTO … SELECT (two-phase commit) /
@@ -3173,6 +3206,26 @@ object Estimation {
           |  CAST(COUNT(v) AS BIGINT) AS n_valid, CAST(SUM(v) AS BIGINT) AS vsum,
           |  CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax
           |FROM gv GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_raster_meta" ->
+        s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
+          |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx
+          |  FROM range(0, 9600) t(i)),
+          |gv AS (SELECT x, y,
+          |    CASE WHEN hx % 19 = 0 THEN NULL ELSE hx % 1000 END AS v FROM g),
+          |f AS (SELECT a.x AS x, a.y AS y, COUNT(b.v) AS vcnt
+          |  FROM g a JOIN gv b
+          |    ON b.x BETWEEN a.x - 1 AND a.x + 1
+          |   AND b.y BETWEEN a.y - 1 AND a.y + 1
+          |  GROUP BY 1, 2),
+          |r AS (SELECT x // 2 AS rx, y // 2 AS ry,
+          |    SUM(CASE WHEN vcnt > 0 THEN 1 ELSE 0 END) AS nv
+          |  FROM f GROUP BY 1, 2)
+          |SELECT 'EPSG:5070' AS crs,
+          |  '60.0,0.0,1000.0,0.0,-60.0,2000.0' AS transform,
+          |  'focal_mean_3x3>resample_2x2_mean' AS history,
+          |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+          |  CAST(SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+          |FROM r""".stripMargin,
       "q_stripe_meta" ->
         s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
           |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx
