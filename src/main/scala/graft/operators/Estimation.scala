@@ -1253,6 +1253,87 @@ object Estimation {
         col("n_cells"), col("n_valid"))
   }
 
+  /** G9 (query-backed): reported KEY-GROUPED PARTITIONING driving a
+    * shuffle-free aggregate through the driver gate — the storage-
+    * partitioned-join facility (Iceberg SPJ) on the read side: with
+    * single-row stripes the scan reports KeyGroupedPartitioning(y),
+    * and under `spark.sql.sources.v2.bucketing.enabled` Spark plans
+    * the y-grouped aggregate with ZERO Exchange — the probe collects
+    * the aggregate under that conf, counts Exchange nodes in the
+    * executed plan, and publishes the VALUES (from the shuffle-free
+    * run) plus the plan flag. The oracle recomputes the per-row stats
+    * from the md5 formula and pins shuffle_free = 1 — a source that
+    * stops reporting, or a planner that stops honoring the report,
+    * fails the hash.
+    */
+  def qBucketedAgg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val df = s.read.format("graft.sources.v2.RasterSource")
+        .option("w", 120).option("h", 6).load()
+        .groupBy(col("y"))
+        .agg(count(lit(1)).as("n_cells"), count(col("v")).as("n_valid"),
+             sum(col("v")).as("vsum"))
+      val rows = df.collect()
+      val exchanges = df.queryExecution.executedPlan.toString
+        .split("\n").count(_.contains("Exchange"))
+      val flag = if (exchanges == 0) 1L else 0L
+      val schema = StructType(Seq(
+        StructField("y", LongType, nullable = false),
+        StructField("n_cells", LongType, nullable = false),
+        StructField("n_valid", LongType, nullable = false),
+        StructField("vsum", LongType, nullable = false),
+        StructField("shuffle_free", LongType, nullable = false)))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(
+        rows.map(r => Row(r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), flag)).toSeq.asJava, schema)
+        .orderBy(col("y"))
+    } finally s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
+  /** G8 (query-backed): STATISTICS REPORTING driving plan choice, in
+    * the driver gate — `SupportsReportStatistics` is what lets a custom
+    * source participate in cost-based decisions the way parquet
+    * row-group stats do: the probe reads the reported row count for the
+    * full grid and for a y-pruned + projected scan (stats must TRACK
+    * pushdown), checks the pruned byte size shrank by >10×, and joins
+    * the 1-grid-row pruned raster to a 2M-row frame asserting Spark
+    * chose a BROADCAST hash join purely because the source reported a
+    * small size — no hint anywhere. Values + flags oracle-pinned; the
+    * row counts are recomputed from the grid arithmetic, not trusted.
+    */
+  def qSourceStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.v2.RasterScan
+    def v2() = s.read.format("graft.sources.v2.RasterSource")
+      .option("w", 120).option("h", 80).load()
+    def scanOf(df: DataFrame): RasterScan =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.get.scan.asInstanceOf[RasterScan]
+    val full = scanOf(v2())
+    val pruned = scanOf(v2().filter(col("y") >= 78).select(col("y")))
+    val fullRows = full.estimateStatistics().numRows().getAsLong
+    val prunedRows = pruned.estimateStatistics().numRows().getAsLong
+    val shrank = pruned.estimateStatistics().sizeInBytes().getAsLong <
+      full.estimateStatistics().sizeInBytes().getAsLong / 10
+    val big = s.range(0, 2000000).select((col("id") % 120).as("x2"))
+    val j = v2().filter(col("y") === 7).join(big, col("x") === col("x2"))
+    val bhj = j.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty
+    val nJoin = j.count()
+    s.range(1).select(
+      lit(fullRows).as("full_rows"),
+      lit(prunedRows).as("pruned_rows"),
+      lit(if (shrank) 1L else 0L).as("size_tracks_pruning"),
+      lit(if (bhj) 1L else 0L).as("stats_drove_broadcast"),
+      lit(nJoin).as("n_join_rows"))
+  }
+
   /** G13 (query-backed): the DataSource V2 TABLE CATALOG
     * ([[graft.sources.v2.MemCatalog]]) driven end-to-end through the
     * gate — CREATE TABLE / INSERT INTO … SELECT (two-phase commit) /
@@ -3206,6 +3287,24 @@ object Estimation {
           |  CAST(COUNT(v) AS BIGINT) AS n_valid, CAST(SUM(v) AS BIGINT) AS vsum,
           |  CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax
           |FROM gv GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_bucketed_agg" ->
+        s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
+          |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx
+          |  FROM range(0, 720) t(i)),
+          |gv AS (SELECT y, CASE WHEN hx % 19 = 0 THEN NULL ELSE hx % 1000 END AS v
+          |  FROM g)
+          |SELECT y, CAST(COUNT(*) AS BIGINT) AS n_cells,
+          |  CAST(COUNT(v) AS BIGINT) AS n_valid,
+          |  CAST(SUM(v) AS BIGINT) AS vsum,
+          |  CAST(1 AS BIGINT) AS shuffle_free
+          |FROM gv GROUP BY y ORDER BY y""".stripMargin,
+      "q_source_stats" ->
+        """SELECT CAST(120*80 AS BIGINT) AS full_rows,
+          |  CAST(120*2 AS BIGINT) AS pruned_rows,
+          |  CAST(1 AS BIGINT) AS size_tracks_pruning,
+          |  CAST(1 AS BIGINT) AS stats_drove_broadcast,
+          |  CAST((SELECT COUNT(*) FROM range(0, 2000000)) AS BIGINT)
+          |    AS n_join_rows""".stripMargin,
       "q_raster_meta" ->
         s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
           |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx
