@@ -1280,8 +1280,12 @@ object Similarity {
       localTop.groupBy(col("q_id"), col("nb_id")).agg(max(col("sim")).as("sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k))
-    val exact = knnGraphTopK(s, dir, k)
-      .select(col("vec_id").as("x_q"), col("nb_id").as("x_nb"))
+    // pinned: the exact graph feeds BOTH the edge-flag join and the
+    // recall denominator count — unpinned it would run its triangle
+    // join twice (once per action)
+    val exact = graft.core.Materialize.pin(
+      knnGraphTopK(s, dir, k)
+        .select(col("vec_id").as("x_q"), col("nb_id").as("x_nb")))
     val flagged = ann
       .join(exact, col("q_id") === col("x_q") && col("nb_id") === col("x_nb"), "left")
       .select(col("q_id").as("vec_id"), col("rank").cast("long").as("rank"),
