@@ -1334,6 +1334,40 @@ object Estimation {
       lit(nJoin).as("n_join_rows"))
   }
 
+  /** G21 (query-backed): `ALTER TABLE ADD COLUMNS` schema evolution
+    * driven through the driver gate — the append-safe change every
+    * long-lived table eventually makes: rows inserted BEFORE the ALTER
+    * read back NULL in the added column (back-fill without rewrite),
+    * rows inserted after carry values, and the final aggregate mixes
+    * both generations through the widened schema. The oracle replays
+    * the two generations' algebra straight from parquet (pre-ALTER
+    * slice with a NULL column, post-ALTER slice with the real one) —
+    * a reader that mis-permutes old stored positions under the new
+    * schema, or a back-fill that defaults to 0 instead of NULL, breaks
+    * the value gate.
+    */
+  def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_mem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    val t = "graft_mem.gate.orders_evo"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT)")
+    orders(s, dir)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        col("o_custkey").cast("long").as("prio"))
+      .createOrReplaceTempView("catalog_evo_src")
+    s.sql(s"INSERT INTO $t SELECT k, cents FROM catalog_evo_src WHERE k % 11 = 0")
+    s.sql(s"ALTER TABLE $t ADD COLUMNS (prio BIGINT)")
+    s.sql(s"INSERT INTO $t SELECT k, cents, prio FROM catalog_evo_src WHERE k % 13 = 0")
+    s.sql(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      CAST(COUNT(*) - COUNT(prio) AS BIGINT) AS n_backfilled_null,
+      CAST(SUM(prio) AS BIGINT) AS sum_prio,
+      CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+      FROM $t""")
+  }
+
   /** G13 (query-backed): the DataSource V2 TABLE CATALOG
     * ([[graft.sources.v2.MemCatalog]]) driven end-to-end through the
     * gate — CREATE TABLE / INSERT INTO … SELECT (two-phase commit) /
@@ -3234,6 +3268,20 @@ object Estimation {
           |  CAST(sum_cents AS BIGINT) AS sum_cents,
           |  CAST(min_k AS BIGINT) AS min_k, CAST(max_k AS BIGINT) AS max_k
           |FROM stats ORDER BY version""".stripMargin,
+      "q_schema_evolution" ->
+        """WITH src AS (SELECT o_orderkey AS k,
+          |    CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents,
+          |    CAST(o_custkey AS BIGINT) AS prio FROM orders),
+          |g1 AS (SELECT k, cents, CAST(NULL AS BIGINT) AS prio
+          |  FROM src WHERE k % 11 = 0),
+          |g2 AS (SELECT k, cents, prio FROM src WHERE k % 13 = 0),
+          |t AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+          |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+          |  CAST(COUNT(*) - COUNT(prio) AS BIGINT) AS n_backfilled_null,
+          |  CAST(SUM(prio) AS BIGINT) AS sum_prio,
+          |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+          |FROM t""".stripMargin,
       "q_stats_sink" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
           |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vsum,
