@@ -3,7 +3,10 @@
 columns by name, sort rows, md5 the stringified cells. Used to reproduce
 the r01 hash_match pattern and validate fixes against it.
 
-Usage: python3 scripts/mimic_driver.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/mimic_driver.py <sfDir> <verifyOutDir> [only]
+
+The optional third arg is a comma-separated query-name subset, matching
+Verify's SPARK_GRAFT_ONLY — without it every oracle entry is checked.
 """
 import datetime
 import glob
@@ -39,9 +42,11 @@ def df_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-def main(sf_dir: str, out_dir: str) -> None:
+def main(sf_dir: str, out_dir: str, only=None) -> None:
     out = Path(out_dir)
     oracles = json.loads((out / "oracle_sql.json").read_text())
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -78,4 +83,5 @@ def main(sf_dir: str, out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2],
+         set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None)

@@ -30,6 +30,7 @@ object Bench {
     // of nRuns; the min/max spread rides alongside so a reader can tell
     // a real regression from variance.
     val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    require(nRuns >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $nRuns")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip(name) }
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -54,7 +55,13 @@ object Bench {
         name -> times
       } catch { case _: Throwable => name -> Seq(-1.0) }
     }
-    def med(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
+    // true median: average the two middle elements for even run counts
+    // (the upper-middle alone would bias even-N runs high)
+    def med(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     val qs = results.map { case (k, ts) => s"\"" + k + "\":" + med(ts) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, ts) =>

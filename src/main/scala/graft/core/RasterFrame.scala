@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
   */
 final case class GridMeta(
     crs: Option[String],
-    transform: Array[Double],
+    // Vector, not Array: case-class equals/hashCode on an Array field
+    // compare by reference identity — two structurally identical metas
+    // would be != and hash differently
+    transform: Vector[Double],
     fillValue: Option[Long] = None,
     attrs: Map[String, String] = Map.empty,
     history: List[String] = Nil
@@ -44,7 +47,7 @@ final case class GridMeta(
     */
   def after(op: String, fill: Option[Long] = None,
             keepAttrs: Boolean = false,
-            newTransform: Array[Double] = transform): GridMeta =
+            newTransform: Vector[Double] = transform): GridMeta =
     GridMeta(crs, newTransform,
       fillValue = fill.orElse(fillValue),
       attrs = if (keepAttrs) attrs else Map.empty,
@@ -54,7 +57,7 @@ final case class GridMeta(
     * share a spatial reference AND an affine transform.
     */
   def alignedWith(other: GridMeta): Boolean =
-    crs == other.crs && transform.sameElements(other.transform)
+    crs == other.crs && transform == other.transform
 }
 
 /** A raster grid as (x, y, v) cells plus [[GridMeta]] — the estimator-
@@ -104,7 +107,7 @@ final case class RasterFrame(df: DataFrame, width: Long, height: Long, meta: Gri
     */
   def resample2x(keepAttrs: Boolean = false): RasterFrame = {
     val t = meta.transform
-    val scaled = Array(t(0) * 2, t(1) * 2, t(2), t(3) * 2, t(4) * 2, t(5))
+    val scaled = Vector(t(0) * 2, t(1) * 2, t(2), t(3) * 2, t(4) * 2, t(5))
     val out = df.groupBy(expr("x div 2").as("x"), expr("y div 2").as("y"))
       .agg((sum(col("v")).cast("double") / count(col("v"))).as("v"))
     RasterFrame(out, (width + 1) / 2, (height + 1) / 2,

@@ -1238,7 +1238,7 @@ object Estimation {
   def qRasterMeta(s: SparkSession, dir: String): DataFrame = {
     val meta = graft.core.GridMeta(
       crs = Some("EPSG:5070"),
-      transform = Array(30.0, 0.0, 1000.0, 0.0, -30.0, 2000.0),
+      transform = Vector(30.0, 0.0, 1000.0, 0.0, -30.0, 2000.0),
       fillValue = Some(-9999L))
     val out = graft.core.RasterFrame.synthetic(s, 120L, 80L, meta)
       .focalMean3x3()
@@ -1269,7 +1269,11 @@ object Estimation {
   def qBucketedAgg(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // restore (not unset) on exit: unconditionally unsetting would
+    // clobber a session-level value the caller had set
+    val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
+    val prior = s.conf.getOption(bucketingKey)
+    s.conf.set(bucketingKey, "true")
     try {
       val df = s.read.format("graft.sources.v2.RasterSource")
         .option("w", 120).option("h", 6).load()
@@ -1291,7 +1295,10 @@ object Estimation {
         rows.map(r => Row(r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3), flag)).toSeq.asJava, schema)
         .orderBy(col("y"))
-    } finally s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    } finally prior match {
+      case Some(v) => s.conf.set(bucketingKey, v)
+      case None    => s.conf.unset(bucketingKey)
+    }
   }
 
   /** G8 (query-backed): STATISTICS REPORTING driving plan choice, in

@@ -82,9 +82,12 @@ class MemCatalog extends TableCatalog {
     * existing rows back-fill NULL, no rewrite; drops/renames/retypes
     * would orphan or reinterpret stored positions and are refused
     * loudly). The store swaps to a new Stored carrying the widened
-    * schema and the null-padded rows under the old Stored's lock —
-    * concurrent readers hold their planning-time snapshot (the same
-    * isolation the scan already promises). */
+    * schema and null-pads the rows IN PLACE under the Stored's lock —
+    * the Stored object is never swapped, so a concurrent insert commit
+    * that already fetched it cannot append to an orphaned copy (the
+    * lost-write race a copy-and-replace design has). Concurrent
+    * readers hold their planning-time snapshot (the same isolation the
+    * scan already promises). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val k = key(ident)
     val st = MemStore.tables.getOrElse(k, throw new NoSuchTableException(ident))
@@ -99,15 +102,19 @@ class MemCatalog extends TableCatalog {
     }
     st.synchronized {
       val widened = StructType(st.schema.fields ++ adds)
-      val next = MemStore.Stored(widened, st.rowLevel)
-      st.rows.foreach { r => next.rows += (r ++ Array.fill[Any](adds.length)(null)) }
+      // pad into FRESH row arrays (in-flight scans captured the old
+      // arrays at planning time and must keep seeing the old width)
+      var i = 0
+      while (i < st.rows.length) {
+        st.rows(i) = st.rows(i) ++ Array.fill[Any](adds.length)(null)
+        i += 1
+      }
+      st.schema = widened
       // G22: the snapshot LOG survives schema evolution — old versions
       // keep their old schema (each Snapshot carries its own), and the
       // post-ALTER state publishes as a fresh snapshot
-      next.snapshots ++= st.snapshots
-      next.synchronized { MemStore.record(next) }
-      MemStore.tables.put(k, next)
-      if (next.rowLevel) new MemTableRowLevel(k, widened)
+      MemStore.record(st)
+      if (st.rowLevel) new MemTableRowLevel(k, widened)
       else new MemTable(k, widened)
     }
   }
@@ -140,7 +147,10 @@ class MemCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val st = MemStore.tables.getOrElse(key(ident),
       throw new NoSuchTableException(ident))
-    val snap = st.synchronized { st.snapshots.takeWhile(_.tsMicros <= timestamp).lastOption }
+    // filter, not takeWhile: snapshot timestamps come from the wall
+    // clock, which an NTP step can move backwards — takeWhile would
+    // stop at the first violation and miss later qualifying snapshots
+    val snap = st.synchronized { st.snapshots.filter(_.tsMicros <= timestamp).lastOption }
       .getOrElse(throw new IllegalArgumentException(
         s"table ${key(ident)} has no snapshot at or before $timestamp"))
     new MemTableSnapshot(key(ident), snap)
@@ -164,10 +174,18 @@ object MemStore {
                             rows: Array[Array[Any]], tsMicros: Long)
 
   /** Rows live as external JVM values (Long/Int/Double/String/Boolean/
-    * null) so partitions can ship them to executors untouched. */
-  final case class Stored(schema: StructType, rowLevel: Boolean = false) {
+    * null) so partitions can ship them to executors untouched. Plain
+    * class (not a case class): the object is the lock AND the identity
+    * — ALTER mutates `schema` in place under `synchronized` rather
+    * than swapping the instance, so writers never commit to an orphan. */
+  final class Stored(@volatile var schema: StructType,
+                     val rowLevel: Boolean = false) {
     val rows = new scala.collection.mutable.ArrayBuffer[Array[Any]]()
     val snapshots = new scala.collection.mutable.ArrayBuffer[Snapshot]()
+  }
+  object Stored {
+    def apply(schema: StructType, rowLevel: Boolean = false): Stored =
+      new Stored(schema, rowLevel)
   }
 
   /** Record the CURRENT state as the next snapshot — call under the
@@ -220,8 +238,10 @@ class MemTable(protected val storeKey: String,
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] = {
             // snapshot at planning time: readers are isolated from
-            // concurrent DML on the registry
-            val snap = MemStore.tables(storeKey).rows.toArray
+            // concurrent DML on the registry (copy under the store
+            // lock — toArray racing a commit's ++= could tear)
+            val st = MemStore.tables(storeKey)
+            val snap = st.synchronized { st.rows.toArray }
             Array(MemPartition(snap))
           }
           override def createReaderFactory(): PartitionReaderFactory =

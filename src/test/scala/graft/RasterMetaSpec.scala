@@ -17,7 +17,7 @@ class RasterMetaSpec extends AnyFunSuite {
 
   private val epsg = GridMeta(
     crs = Some("EPSG:5070"),
-    transform = Array(30.0, 0.0, 1000.0, 0.0, -30.0, 2000.0),
+    transform = Vector(30.0, 0.0, 1000.0, 0.0, -30.0, 2000.0),
     fillValue = Some(-9999L),
     attrs = Map("sensor" -> "fixture"))
 
@@ -60,7 +60,7 @@ class RasterMetaSpec extends AnyFunSuite {
   test("map algebra refuses misaligned grids (different CRS or transform)") {
     val a = grid(epsg)
     val otherCrs = grid(epsg.copy(crs = Some("EPSG:4326")))
-    val otherTransform = grid(epsg.copy(transform = Array(10.0, 0.0, 0.0, 0.0, -10.0, 0.0)))
+    val otherTransform = grid(epsg.copy(transform = Vector(10.0, 0.0, 0.0, 0.0, -10.0, 0.0)))
     intercept[IllegalArgumentException] { a.mapAlgebra(otherCrs, "x")((p, q) => p + q) }
     intercept[IllegalArgumentException] { a.mapAlgebra(otherTransform, "x")((p, q) => p + q) }
   }
