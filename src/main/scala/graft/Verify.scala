@@ -11,11 +11,21 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // dev-only subset filter (comma-separated names); driver sets no env
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // dev-only parallel-write mode for full-registry sweeps at sf1+:
+    // coalesce(1) funnels each query's final stage through ONE task
+    // (a full sf1 dump measured ~2.7h, write-bound), while the local
+    // checkers glob <name>/*.parquet and sort rows — so multi-file
+    // output compares identically at 32× the write parallelism. The
+    // driver sets no env and keeps the single-file layout.
+    val parallelWrite = sys.env.get("SPARK_GRAFT_PARALLEL_WRITE").contains("1")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        (if (parallelWrite) df else df.coalesce(1))
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -60,6 +60,18 @@ final case class GridMeta(
     crs == other.crs && transform == other.transform
 }
 
+object GridMeta {
+  /** The grid-sentinel attr a predict fill value can publish: only an
+    * integral, Long-range fill is representable (NaN — the default
+    * nodata_output — and fractional fills leave no sentinel, matching
+    * a float raster whose _FillValue is unset).
+    */
+  def integralFill(v: Double): Option[Long] =
+    if (!v.isNaN && !v.isInfinite && v == math.floor(v) &&
+        v >= Long.MinValue.toDouble && v < 9.223372036854776e18) Some(v.toLong)
+    else None
+}
+
 /** A raster grid as (x, y, v) cells plus [[GridMeta]] — the estimator-
   * contract wrapper (FeatureFrame's sibling) that gives the raster ops
   * A28–A35 the reference's attribute-propagation semantics: every

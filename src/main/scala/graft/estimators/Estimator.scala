@@ -2,7 +2,7 @@ package graft.estimators
 
 import org.apache.spark.sql.DataFrame
 
-import graft.core.{FeatureFrame, PredictOptions}
+import graft.core.{FeatureFrame, GridMeta, NoData, PredictOptions, RasterFrame}
 
 /** The engine's estimator contract, mirroring the reference's wrap of any
   * sklearn estimator (`FeatureArrayEstimator`, `estimator.py:36`): fit on
@@ -32,6 +32,31 @@ trait FittedModel {
     * NoData config) are filled with `opts.noDataOutput`.
     */
   def predict(frame: FeatureFrame, opts: PredictOptions = PredictOptions()): DataFrame
+
+  /** RasterFrame-in → RasterFrame-out predict — the reference's CRS-
+    * preservation contract on ESTIMATOR outputs (tests/
+    * test_estimator.py:280-296 `test_crs_preserved`: `estimator
+    * .predict(X_image)` keeps `X_image.rio.crs`, parametrized over a
+    * real CRS AND None), not just raster→raster ops. The grid's cells
+    * are the samples (x, y ride through as the ids), its band columns
+    * must carry the fit-time [[featureNames]], the input NoData
+    * sentinel comes from the grid's fill attr (features.py:259
+    * `_get_default_nodata_mapping` infers nodata from `_FillValue`),
+    * and the output meta goes through `after("predict")` with the fill
+    * replaced by `opts.noDataOutput` when that is representable as a
+    * grid sentinel.
+    */
+  def predict(raster: RasterFrame, opts: PredictOptions): RasterFrame = {
+    val nd = raster.meta.fillValue
+      .map(v => NoData.all(v.toDouble)).getOrElse(NoData.none)
+    val ff = FeatureFrame(raster.df, Seq("x", "y"), featureNames, nd)
+    // the output's fill is ALWAYS opts.noDataOutput — REPLACE the fill
+    // attr rather than after()'s carry-through (a NaN fill clears it:
+    // the input's sentinel does not describe the prediction band)
+    RasterFrame(predict(ff, opts), raster.width, raster.height,
+      raster.meta.after("predict")
+        .copy(fillValue = GridMeta.integralFill(opts.noDataOutput)))
+  }
 }
 
 /** A fitted model whose output is itself a feature frame (scalers, PCA) —

@@ -235,6 +235,26 @@ final class KnnRegressorModel private[estimators] (
       }
     scanned.select(ff.idCols.map(col) ++ idCols ++ distCols: _*)
   }
+
+  /** RasterFrame-in → RasterFrame-out kneighbors — the reference's
+    * test_crs_preserved also asserts `dist.rio.crs` and `nn.rio.crs`
+    * on the kneighbors OUTPUT grids (tests/test_estimator.py:289-296):
+    * the neighbor-id and distance bands come back on a raster carrying
+    * the input's CRS/transform with "kneighbors" appended to history.
+    * Input NoData rides the grid's fill attr, exactly as the raster
+    * `predict` overload on [[FittedModel]].
+    */
+  def kneighbors(raster: graft.core.RasterFrame, returnDistance: Boolean,
+                 opts: PredictOptions, nNeighbors: Int): graft.core.RasterFrame = {
+    val nd = raster.meta.fillValue
+      .map(v => graft.core.NoData.all(v.toDouble)).getOrElse(graft.core.NoData.none)
+    val ff = FeatureFrame(raster.df, Seq("x", "y"), featureNames, nd)
+    graft.core.RasterFrame(
+      kneighbors(ff, returnDistance, opts, nNeighbors),
+      raster.width, raster.height,
+      raster.meta.after("kneighbors")
+        .copy(fillValue = graft.core.GridMeta.integralFill(opts.noDataOutput)))
+  }
 }
 
 /** RadiusNeighborsRegressor (sklearn's radius_neighbors family): the

@@ -1234,23 +1234,54 @@ object Estimation {
     * md5 cell formula with a 3×3 neighborhood join and pins the
     * metadata literals — a carrier that forgot to scale the transform,
     * dropped the CRS, or reordered history breaks the hash.
+    *
+    * r12 extension — the ESTIMATOR leg of the reference contract
+    * (test_estimator.py asserts CRS on `predict(X_image)` output, not
+    * just raster→raster ops): fit a k=1 kNN on a 5-point train table
+    * and predict over the SAME georeferenced grid through the
+    * RasterFrame `predict` overload. The output raster's meta is
+    * published (CRS verbatim, history = "predict", fill = the
+    * nodata_output) alongside exact prediction facts: k=1 over train
+    * x ∈ {100,300,…,900} makes each cell's prediction the target of
+    * the nearest train point — midpoints (v=200,400,…) tie-break to
+    * the LOWER training id, i.e. the smaller x — so the oracle
+    * recomputes every prediction with a CASE over the md5 cell values
+    * and pins both the sum and the valid count (NULL cells fill with
+    * −9999).
     */
   def qRasterMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val meta = graft.core.GridMeta(
       crs = Some("EPSG:5070"),
       transform = Vector(30.0, 0.0, 1000.0, 0.0, -30.0, 2000.0),
       fillValue = Some(-9999L))
-    val out = graft.core.RasterFrame.synthetic(s, 120L, 80L, meta)
+    val grid = graft.core.RasterFrame.synthetic(s, 120L, 80L, meta)
+    val out = grid
       .focalMean3x3()
       .resample2x()
     require(out.meta.crs.contains("EPSG:5070"), "CRS lost in the op chain")
+    val train = Seq((100.0, 17.0), (300.0, 42.0), (500.0, 8.0),
+                    (700.0, 99.0), (900.0, 3.0)).toDF("v", "t")
+    val model = graft.estimators.KNeighborsRegressor(k = 1)
+      .fit(train, Seq("v"), Seq("t"))
+    val pred = model.predict(grid,
+      graft.core.PredictOptions(noDataOutput = -9999.0))
+    require(pred.meta.crs.contains("EPSG:5070"), "CRS lost through predict")
+    val predAgg = pred.df.agg(
+      sum(when(col("t") =!= -9999.0, 1L).otherwise(0L)).as("pred_n_valid"),
+      sum(col("t")).cast("long").as("pred_sum"))
     out.df
       .agg(count(lit(1)).as("n_cells"), count(col("v")).as("n_valid"))
+      .crossJoin(predAgg)
       .select(
         lit(out.meta.crs.get).as("crs"),
         lit(out.meta.transform.mkString(",")).as("transform"),
         lit(out.meta.history.mkString(">")).as("history"),
-        col("n_cells"), col("n_valid"))
+        col("n_cells"), col("n_valid"),
+        lit(pred.meta.crs.get).as("pred_crs"),
+        lit(pred.meta.history.mkString(">")).as("pred_history"),
+        lit(pred.meta.fillValue.get).as("pred_fill"),
+        col("pred_n_valid"), col("pred_sum"))
   }
 
   /** G9 (query-backed): reported KEY-GROUPED PARTITIONING driving a
@@ -3373,13 +3404,24 @@ object Estimation {
           |  GROUP BY 1, 2),
           |r AS (SELECT x // 2 AS rx, y // 2 AS ry,
           |    SUM(CASE WHEN vcnt > 0 THEN 1 ELSE 0 END) AS nv
-          |  FROM f GROUP BY 1, 2)
+          |  FROM f GROUP BY 1, 2),
+          |p AS (SELECT CASE WHEN v IS NULL THEN -9999.0
+          |    WHEN v <= 200 THEN 17.0 WHEN v <= 400 THEN 42.0
+          |    WHEN v <= 600 THEN 8.0 WHEN v <= 800 THEN 99.0
+          |    ELSE 3.0 END AS t FROM gv),
+          |pa AS (SELECT CAST(SUM(CASE WHEN t <> -9999.0 THEN 1 ELSE 0 END) AS BIGINT) AS pred_n_valid,
+          |    CAST(SUM(t) AS BIGINT) AS pred_sum FROM p)
           |SELECT 'EPSG:5070' AS crs,
           |  '60.0,0.0,1000.0,0.0,-60.0,2000.0' AS transform,
           |  'focal_mean_3x3>resample_2x2_mean' AS history,
           |  CAST(COUNT(*) AS BIGINT) AS n_cells,
-          |  CAST(SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
-          |FROM r""".stripMargin,
+          |  CAST(SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+          |  'EPSG:5070' AS pred_crs,
+          |  'predict' AS pred_history,
+          |  CAST(-9999 AS BIGINT) AS pred_fill,
+          |  pa.pred_n_valid, pa.pred_sum
+          |FROM r, pa
+          |GROUP BY pa.pred_n_valid, pa.pred_sum""".stripMargin,
       "q_stripe_meta" ->
         s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
           |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx

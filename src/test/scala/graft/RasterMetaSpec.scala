@@ -78,6 +78,62 @@ class RasterMetaSpec extends AnyFunSuite {
     assert(viaWrapper == bare)
   }
 
+  test("predict over a RasterFrame keeps CRS/transform, appends 'predict', refits the fill (EPSG and None)") {
+    // the reference's test_crs_preserved asserts CRS on ESTIMATOR
+    // outputs (tests/test_estimator.py:280-296): y_pred keeps the
+    // input grid's georeference, parametrized over a real CRS AND None
+    import spark.implicits._
+    val train = Seq((100.0, 17.0), (300.0, 42.0), (500.0, 8.0)).toDF("v", "t")
+    val model = graft.estimators.KNeighborsRegressor(k = 1).fit(train, Seq("v"), Seq("t"))
+    for (crs <- Seq(Some("EPSG:5070"), None)) {
+      val g = grid(epsg.copy(crs = crs))
+      val y = model.predict(g, graft.core.PredictOptions(noDataOutput = -1.0))
+      assert(y.meta.crs == crs, s"predict dropped the CRS: ${y.meta.crs}")
+      assert(y.meta.transform == epsg.transform, "predict must not touch the affine transform")
+      assert(y.meta.history == List("predict"))
+      assert(y.meta.fillValue.contains(-1L), "fill attr must come from nodata_output")
+      assert(y.width == g.width && y.height == g.height)
+      // values flow: every cell predicted or filled, none NULL
+      assert(y.df.filter(col("t").isNull).count() == 0L)
+    }
+    // NaN nodata_output (the default) leaves no sentinel attr
+    val yNaN = model.predict(grid(epsg), graft.core.PredictOptions())
+    assert(yNaN.meta.fillValue.isEmpty)
+  }
+
+  test("kneighbors over a RasterFrame keeps CRS on the dist/nn bands (EPSG and None)") {
+    import spark.implicits._
+    val train = Seq((100.0, 17.0), (300.0, 42.0), (500.0, 8.0)).toDF("v", "t")
+    val model = graft.estimators.KNeighborsRegressor(k = 2).fit(train, Seq("v"), Seq("t"))
+    for (crs <- Seq(Some("EPSG:5070"), None)) {
+      val g = grid(epsg.copy(crs = crs))
+      val nn = model.kneighbors(g, true, graft.core.PredictOptions(noDataOutput = -1.0), 0)
+      assert(nn.meta.crs == crs, s"kneighbors dropped the CRS: ${nn.meta.crs}")
+      assert(nn.meta.history == List("kneighbors"))
+      val cols = nn.df.columns.toSet
+      assert(Set("neighbor0", "neighbor1", "distance0", "distance1").subsetOf(cols),
+        s"kneighbors bands missing: $cols")
+      // masked (NULL) cells take the -1 id marker; ids otherwise in range
+      val bad = nn.df.filter(!col("neighbor0").isin(-1L, 0L, 1L, 2L)).count()
+      assert(bad == 0L, s"$bad cells with out-of-range neighbor ids")
+    }
+  }
+
+  test("predict masks the grid's fill-attr sentinel as input NoData") {
+    import spark.implicits._
+    // grid fill attr = -9999: a cell holding the sentinel must be
+    // masked (features.py:259 infers nodata_input from _FillValue)
+    val cells = Seq((0L, 0L, 150L), (1L, 0L, -9999L), (0L, 1L, 450L)).toDF("x", "y", "v")
+    val g = graft.core.RasterFrame(cells, 2L, 2L, epsg)
+    val train = Seq((100.0, 17.0), (300.0, 42.0), (500.0, 8.0)).toDF("v", "t")
+    val model = graft.estimators.KNeighborsRegressor(k = 1).fit(train, Seq("v"), Seq("t"))
+    val y = model.predict(g, graft.core.PredictOptions(noDataOutput = -7.0))
+    val byCell = y.df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(byCell((0L, 0L)) == 17.0)
+    assert(byCell((1L, 0L)) == -7.0, "sentinel cell must take the fill, not a prediction")
+    assert(byCell((0L, 1L)) == 8.0)
+  }
+
   test("V2-source-backed frame carries meta and reads the same cells") {
     val v2 = RasterFrame.fromV2(spark, 24L, 16L, epsg)
     assert(v2.meta.crs.contains("EPSG:5070"))
