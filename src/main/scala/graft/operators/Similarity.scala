@@ -1148,13 +1148,14 @@ object Similarity {
     * top-k twin of the probe-side ANN queries, i.e. what a 100 TB
     * dedup-by-embedding actually runs (every vector gets neighbors, no
     * privileged probe set). Blocking by IVF cells: each vector is
-    * MULTI-ASSIGNED to its top-2 coarse cells (the D31 widening — a
-    * pair straddling a cell boundary still meets in the shared cell),
-    * each cell group computes its members' cell-local exact top-k in
-    * one task (cost Σ|cell·2|², never corpus²; at 100 TB nCells scales
-    * with the corpus so cell size — and so task cost — stays bounded,
-    * the D28 balance audit's job), duplicate pairs from doubly-shared
-    * cells collapse by (q, nb) max (identical sims), and a per-vector
+    * MULTI-ASSIGNED to its top-m coarse cells (the D31 widening — a
+    * pair straddling a cell boundary still meets in the shared cell;
+    * m chosen from the D37 recall-vs-cost sweep), each cell group
+    * computes its members' cell-local exact top-k in one task (cost
+    * Σ|cell·m|², never corpus²; at 100 TB nCells scales with the
+    * corpus so cell size — and so task cost — stays bounded, the D28
+    * balance audit's job), duplicate pairs from multiply-shared cells
+    * collapse by (q, nb) max (identical sims), and a per-vector
     * window keeps the global top-3. GATED against the exact
     * [[ExactSliceMax]] slice graph (D12): every published edge carries
     * `in_exact`, and the engine REFUSES (loud, not silent) if recall
@@ -1164,10 +1165,11 @@ object Similarity {
     * full corpus with a corpus-scaled quantizer.
     */
   def qAnnJoin(s: SparkSession, dir: String): DataFrame =
-    // measured 0.46 @ sf0.01, 0.50 @ sf0.1 (random 16-cell quantizer,
-    // top-2 assignment — the honest untrained-IVF number, same posture
-    // as D13's pq/ivf floors), minus margin
-    annJoinCore(s, dir, ivfCentroids(16, 64), recallFloor = 0.30)
+    // top-5 assignment (the D37 sweep's knee for the RANDOM quantizer:
+    // measured recall 0.981 @ sf0.01 / 0.987 @ sf0.1, vs 0.46/0.50 at
+    // the r11 top-2) — floor 0.90, production-credible with margin
+    annJoinCore(s, dir, ivfCentroids(16, 64), assignWidth = 5,
+      recallFloor = 0.90)
 
   /** D36: the D35 join with a TRAINED coarse quantizer — one Lloyd-style
     * pass (the D8→D8b move applied to the join): assign the corpus to
@@ -1181,7 +1183,20 @@ object Similarity {
     * cost at 100 TB: one corpus pass + a (cells×dims) aggregate —
     * noise next to the join itself.
     */
-  def qAnnJoinTrained(s: SparkSession, dir: String): DataFrame = {
+  def qAnnJoinTrained(s: SparkSession, dir: String): DataFrame =
+    // top-4 assignment (the D37 sweep's knee for the TRAINED quantizer:
+    // measured recall 0.938 @ sf0.01 / 0.943 @ sf0.1 at ~64% of D35's
+    // pair cost — the Lloyd pass buys one assignment width) — floor 0.85
+    annJoinCore(s, dir, trainedJoinCentroids(s, dir), assignWidth = 4,
+      recallFloor = 0.85)
+
+  /** The D36 one-Lloyd-pass coarse quantizer fit (shared with the D37
+    * sweep's trained arms): assign the corpus to the random cells,
+    * recompute each non-empty cell's centroid as the 6dp-quantized
+    * per-dimension mean (the q_kmeans cross-engine accumulation rule)
+    * L2-normalized; empty cells keep their random centroid.
+    */
+  private def trainedJoinCentroids(s: SparkSession, dir: String): Array[Array[Double]] = {
     import s.implicits._
     val nCells = 16
     val dim = 64
@@ -1196,7 +1211,7 @@ object Similarity {
       .agg(graft.functions.dec6(avg(col("col"))).as("c"))
       .collect() // ≤ cells×dims rows — the fit artifact
     val byCell = means.groupBy(_.getInt(0))
-    val trained = Array.tabulate(nCells) { ci =>
+    Array.tabulate(nCells) { ci =>
       byCell.get(ci) match {
         case Some(rows) =>
           val c = new Array[Double](dim)
@@ -1208,34 +1223,101 @@ object Similarity {
         case None => rand(ci) // empty cell keeps its random centroid
       }
     }
-    // measured 0.56 @ sf0.01, 0.54 @ sf0.1 — the training dividend over
-    // D35's 0.46/0.50 — minus margin
-    annJoinCore(s, dir, trained, recallFloor = 0.40)
   }
 
-  private def annJoinCore(s: SparkSession, dir: String,
-                          cents: Array[Array[Double]],
-                          recallFloor: Double): DataFrame = {
-    import s.implicits._
+  /** D37: the ANN-join recall-vs-cost SWEEP — the D32 tuning-curve
+    * idiom applied to the JOIN's blocking knob: the assignment width m
+    * (each vector indexed under its top-m coarse cells) swept over
+    * {2, 3, 4, 5} for BOTH quantizers (random / one-Lloyd-trained),
+    * every arm scored against the one pinned exact top-3 slice graph
+    * (D12). Published per arm: the candidate-pair count (the join's
+    * actual work — cost grows ~m²) and recall as exact integral ppm —
+    * reading the curve picks the cheapest width above the recall
+    * target, the capacity-planning decision D35/D36 bake in (their
+    * floors cite this sweep's knee). Recall is non-decreasing in m BY
+    * CONSTRUCTION (assignment sets are nested); the oracle pins every
+    * value, so a widening that stops paying fails loudly.
+    */
+  def qAnnJoinSweep(s: SparkSession, dir: String): DataFrame = {
     val k = 3
+    val exact = graft.core.Materialize.pin(
+      knnGraphTopK(s, dir, k)
+        .select(col("vec_id").as("x_q"), col("nb_id").as("x_nb")))
+    val total = broadcast(exact.agg(count(lit(1)).as("n_exact")))
+    val quantizers = Seq(
+      ("random", ivfCentroids(16, 64)),
+      ("trained", trainedJoinCentroids(s, dir)))
+    quantizers.flatMap { case (qname, cents) =>
+      Seq(2, 3, 4, 5).map { m =>
+        annJoinEdges(s, dir, cents, m, k)
+          .join(exact,
+            col("q_id") === col("x_q") && col("nb_id") === col("x_nb"),
+            "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(broadcast(annJoinPairCost(s, dir, cents, m)))
+          .crossJoin(total)
+          .select(lit(qname).as("quantizer"), lit(m.toLong).as("assign_width"),
+            col("n_cand_pairs"),
+            col("n_hits").cast("long").as("n_hits"),
+            col("n_exact").cast("long").as("n_exact"),
+            expr("CAST((n_hits * 1000000) div n_exact AS BIGINT)")
+              .as("recall_ppm"))
+      }
+    }.reduce(_ unionAll _).orderBy(col("quantizer"), col("assign_width"))
+  }
+
+  /** The D37 cost axis: candidate pairs the cell-blocked join examines
+    * at assignment width m — Σ over cells of |members|·(|members|−1)/2
+    * (a pair sharing several cells is examined once per shared cell:
+    * that IS the work done). One slice pass per arm, exact integers.
+    */
+  private def annJoinPairCost(s: SparkSession, dir: String,
+                              cents: Array[Array[Double]],
+                              assignWidth: Int): DataFrame = {
+    import s.implicits._
+    val bcC = s.sparkContext.broadcast(cents)
+    emb(s, dir).filter(col("vec_id") < ExactSliceMax)
+      .select(col("v")).as[Array[Double]]
+      .flatMap { v =>
+        val cs = bcC.value
+        val dots = Array.tabulate(cs.length) { ci =>
+          val cv = cs(ci)
+          var d = 0.0; var j = 0
+          while (j < v.length) { d += cv(j) * v(j); j += 1 }
+          d
+        }
+        (0 until cs.length).sortBy(ci => (-dots(ci), ci)).take(assignWidth)
+      }
+      .toDF("cell")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2")).cast("long").as("n_cand_pairs"))
+  }
+
+  /** The D35/D36/D37 edge kernel: top-`assignWidth` cell
+    * multi-assignment ((dot DESC, cell id ASC) — the D6/D31 rule,
+    * widened from the fixed top-2 to the SWEPT width), cell-local
+    * exact top-k, duplicate-pair collapse, per-vector global top-k
+    * window. Returns the ranked edges (q_id, nb_id, sim, rank ≤ k);
+    * the callers add the exact-graph flag + recall refusal (D35/D36)
+    * or score the arms against the pinned exact graph (D37).
+    */
+  private def annJoinEdges(s: SparkSession, dir: String,
+                           cents: Array[Array[Double]],
+                           assignWidth: Int, k: Int): DataFrame = {
+    import s.implicits._
     val bcC = s.sparkContext.broadcast(cents)
     val ds = emb(s, dir).filter(col("vec_id") < ExactSliceMax)
       .select(col("vec_id"), col("v")).as[(Long, Array[Double])]
-    // top-2 cell multi-assignment: (dot DESC, cell id ASC) — the D6/D31 rule
     val assigned = ds.flatMap { case (id, v) =>
       val cs = bcC.value
-      var c1 = -1; var d1 = Double.NegativeInfinity
-      var c2 = -1; var d2 = Double.NegativeInfinity
-      var ci = 0
-      while (ci < cs.length) {
+      val dots = Array.tabulate(cs.length) { ci =>
         val cv = cs(ci)
         var d = 0.0; var j = 0
         while (j < v.length) { d += cv(j) * v(j); j += 1 }
-        if (d > d1) { d2 = d1; c2 = c1; d1 = d; c1 = ci }
-        else if (d > d2) { d2 = d; c2 = ci }
-        ci += 1
+        d
       }
-      Seq((c1, id, v), (c2, id, v))
+      (0 until cs.length).sortBy(ci => (-dots(ci), ci)).take(assignWidth)
+        .map(c => (c, id, v))
     }
     val localTop = assigned
       .groupByKey(_._1)
@@ -1272,14 +1354,22 @@ object Similarity {
         }
       }
       .toDF("q_id", "nb_id", "sim")
-    // a pair sharing BOTH assigned cells appears twice with an identical
-    // sim — collapse before ranking or the window would count it as two
-    // candidates
+    // a pair sharing several assigned cells appears once per shared
+    // cell with an identical sim — collapse before ranking or the
+    // window would count it as multiple candidates
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("nb_id"))
+    localTop.groupBy(col("q_id"), col("nb_id")).agg(max(col("sim")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  private def annJoinCore(s: SparkSession, dir: String,
+                          cents: Array[Array[Double]],
+                          assignWidth: Int,
+                          recallFloor: Double): DataFrame = {
+    val k = 3
     val ann = graft.core.Materialize.pin(
-      localTop.groupBy(col("q_id"), col("nb_id")).agg(max(col("sim")).as("sim"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k))
+      annJoinEdges(s, dir, cents, assignWidth, k))
     // pinned: the exact graph feeds BOTH the edge-flag join and the
     // recall denominator count — unpinned it would run its triangle
     // join twice (once per action)
@@ -3337,7 +3427,7 @@ object Similarity {
     "q_ann_multiprobe" -> annLshSql(probe1 = true),
     "q_ann_join" ->
       s"""WITH $ivfCellCteSql,
-        |cell2 AS (SELECT vec_id, p FROM cellr WHERE rn <= 2 AND vec_id < 2048),
+        |cell2 AS (SELECT vec_id, p FROM cellr WHERE rn <= 5 AND vec_id < 2048),
         |cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS nb_id
         |  FROM cell2 a JOIN cell2 b ON a.p = b.p AND a.vec_id <> b.vec_id),
         |sims AS (SELECT q_id, nb_id,
@@ -3379,7 +3469,7 @@ object Similarity {
         |cr2 AS (SELECT vec_id, p,
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, p) AS rn
         |  FROM cd2),
-        |c2 AS (SELECT vec_id, p FROM cr2 WHERE rn <= 2 AND vec_id < 2048),
+        |c2 AS (SELECT vec_id, p FROM cr2 WHERE rn <= 4 AND vec_id < 2048),
         |cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS nb_id
         |  FROM c2 a JOIN c2 b ON a.p = b.p AND a.vec_id <> b.vec_id),
         |sims AS (SELECT q_id, nb_id,
@@ -3404,6 +3494,64 @@ object Similarity {
         |FROM ann LEFT JOIN exact x
         |  ON ann.q_id = x.vec_id AND ann.nb_id = x.nb_id
         |ORDER BY vec_id, rank""".stripMargin,
+    "q_ann_join_sweep" ->
+      s"""WITH $ivfCellCteSql,
+        |dims AS (SELECT unnest(range(1,65)) AS i),
+        |tm AS (SELECT c.p, d.i,
+        |    CAST(ROUND(AVG(v[d.i]),6) AS DECIMAL(18,6))::DOUBLE AS c
+        |  FROM cell c JOIN e USING (vec_id), dims d GROUP BY 1,2),
+        |tl AS (SELECT p, list(c ORDER BY i) AS cv FROM tm GROUP BY p),
+        |tn AS (SELECT p,
+        |    list_transform(cv, x -> x / sqrt(list_sum(list_transform(cv, y -> y*y)))) AS cv
+        |  FROM tl),
+        |allc AS (SELECT cn.p, COALESCE(tn.cv, cn.cv) AS cv
+        |  FROM cnorm cn LEFT JOIN tn ON cn.p = tn.p),
+        |cd2 AS (SELECT vec_id, p, list_dot_product(cv, v) AS dt
+        |  FROM e CROSS JOIN allc),
+        |cr2 AS (SELECT vec_id, p,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, p) AS rn
+        |  FROM cd2),
+        |ranks AS (
+        |  SELECT 'random' AS quantizer, vec_id, p, rn FROM cellr WHERE vec_id < 2048
+        |  UNION ALL
+        |  SELECT 'trained' AS quantizer, vec_id, p, rn FROM cr2 WHERE vec_id < 2048),
+        |ms AS (SELECT unnest([2,3,4,5]) AS m),
+        |cellm AS (SELECT quantizer, m, vec_id, p
+        |  FROM ranks CROSS JOIN ms WHERE rn <= m),
+        |cost AS (SELECT quantizer, m,
+        |    CAST(SUM(c*(c-1)//2) AS BIGINT) AS n_cand_pairs
+        |  FROM (SELECT quantizer, m, p, COUNT(*) AS c
+        |    FROM cellm GROUP BY 1,2,3) GROUP BY 1,2),
+        |cand AS (SELECT DISTINCT a.quantizer, a.m, a.vec_id AS q_id, b.vec_id AS nb_id
+        |  FROM cellm a JOIN cellm b
+        |    ON a.quantizer = b.quantizer AND a.m = b.m AND a.p = b.p
+        |   AND a.vec_id <> b.vec_id),
+        |sims AS (SELECT quantizer, m, q_id, nb_id,
+        |    list_cosine_similarity(qe.v, ce.v) AS sim
+        |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
+        |  JOIN e ce ON ce.vec_id = cand.nb_id),
+        |r AS (SELECT quantizer, m, q_id, nb_id,
+        |    ROW_NUMBER() OVER (PARTITION BY quantizer, m, q_id
+        |      ORDER BY sim DESC, nb_id) AS rank
+        |  FROM sims),
+        |ann AS (SELECT quantizer, m, q_id, nb_id FROM r WHERE rank <= 3),
+        |es AS (SELECT vec_id, v FROM e WHERE vec_id < 2048),
+        |sx AS (SELECT a.vec_id, b.vec_id AS nb_id,
+        |    list_cosine_similarity(a.v, b.v) AS sim
+        |  FROM es a JOIN es b ON a.vec_id <> b.vec_id),
+        |rx AS (SELECT vec_id, nb_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nb_id) AS rank
+        |  FROM sx),
+        |exact AS (SELECT vec_id, nb_id FROM rx WHERE rank <= 3),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact),
+        |hits AS (SELECT quantizer, m, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM ann JOIN exact x ON ann.q_id = x.vec_id AND ann.nb_id = x.nb_id
+        |  GROUP BY 1,2)
+        |SELECT c.quantizer, CAST(c.m AS BIGINT) AS assign_width, c.n_cand_pairs,
+        |  h.n_hits, t.n_exact,
+        |  CAST((h.n_hits * 1000000) // t.n_exact AS BIGINT) AS recall_ppm
+        |FROM cost c JOIN hits h ON c.quantizer = h.quantizer AND c.m = h.m, tot t
+        |ORDER BY c.quantizer, assign_width""".stripMargin,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_multi" -> annIvfMultiSql,
     "q_ann_ivfpq" -> annIvfPqSql,
