@@ -314,31 +314,60 @@ object Similarity {
     *   pq_trained ≥ 0.20   (D8b: one-Lloyd-trained codebooks + 3%
     *                 rerank budget, measured 0.50 / 0.24)
     *
-    * Cost shape: the exact baseline is pinned once; each variant adds
-    * its own corpus pass plus a broadcast-semi hit count — O(#variants)
-    * scans, no pairwise blowup.
+    * Cost shape per row: one exact baseline pass (pinned — it feeds
+    * the semi join and the denominator) + the family's own corpus
+    * pass + a broadcast-semi hit count. No pairwise blowup.
+    *
+    * One per-family recall-contract row (r12: the seven-family
+    * composite q_ann_recall split so a regression NAMES its family in
+    * both the correctness gate and the bench — the composite was the
+    * slowest, noisiest registry query and hid which family moved).
+    * Where the family's candidate generation is SQL-expressible the
+    * row pins n_hits/n_exact/recall_ppm as exact integers (stronger
+    * than the composite's boolean); the HNSW graph walk is not, so its
+    * row keeps the flag-only posture (its structural invariants are
+    * value-pinned by D29's own gate).
     */
-  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+  private def annRecallRow(s: SparkSession, dir: String, name: String,
+                           floor: Double, ann: DataFrame,
+                           pinValues: Boolean): DataFrame = {
+    // pinned: the exact baseline subtree feeds the semi join AND the
+    // denominator agg — unpinned it would brute-force the corpus twice
     val exact = graft.core.Materialize.pin(
       qCosineTopK(s, dir).select(col("q_id"), col("vec_id")))
-    val total = exact.agg(count(lit(1)).cast("double").as("n_exact"))
-    val methods = Seq(
-      ("hnsw", 0.85, annHnswTopK(s, dir)),
-      ("ivf", 0.25, qAnnIvf(s, dir)),
-      ("lsh", 0.60, qAnnLsh(s, dir)),
-      ("multiprobe", 0.90, qAnnMultiprobe(s, dir)),
-      ("pq", 0.04, qAnnPq(s, dir)),
-      ("pq_trained", 0.20, qAnnPqTrained(s, dir)))
-    methods.map { case (name, floor, ann) =>
-      ann.select(col("q_id"), col("vec_id"))
-        .join(exact, Seq("q_id", "vec_id"), "left_semi")
-        .agg(count(lit(1)).cast("double").as("hits"))
-        .crossJoin(broadcast(total))
-        .select(lit(name).as("method"),
-                (col("hits") / col("n_exact") >= lit(floor))
-                  .cast("int").as("recall_ok"))
-    }.reduce(_ unionAll _).orderBy(col("method"))
+    val total = broadcast(exact.agg(count(lit(1)).as("n_exact")))
+    val joined = ann.select(col("q_id"), col("vec_id"))
+      .join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(total)
+    if (pinValues)
+      joined.select(lit(name).as("method"),
+        col("n_hits").cast("long").as("n_hits"),
+        col("n_exact").cast("long").as("n_exact"),
+        expr("CAST((n_hits * 1000000) div n_exact AS BIGINT)")
+          .as("recall_ppm"),
+        (col("n_hits").cast("double") / col("n_exact") >= lit(floor))
+          .cast("int").as("recall_ok"))
+    else
+      joined.select(lit(name).as("method"),
+        (col("n_hits").cast("double") / col("n_exact") >= lit(floor))
+          .cast("int").as("recall_ok"))
   }
+
+  /** D13 (split): per-family recall contracts — floors are the r11
+    * measured recalls minus margin, unchanged by the split. */
+  def qAnnRecallHnsw(s: SparkSession, dir: String): DataFrame =
+    annRecallRow(s, dir, "hnsw", 0.85, annHnswTopK(s, dir), pinValues = false)
+  def qAnnRecallIvf(s: SparkSession, dir: String): DataFrame =
+    annRecallRow(s, dir, "ivf", 0.25, qAnnIvf(s, dir), pinValues = true)
+  def qAnnRecallLsh(s: SparkSession, dir: String): DataFrame =
+    annRecallRow(s, dir, "lsh", 0.60, qAnnLsh(s, dir), pinValues = true)
+  def qAnnRecallMultiprobe(s: SparkSession, dir: String): DataFrame =
+    annRecallRow(s, dir, "multiprobe", 0.90, qAnnMultiprobe(s, dir), pinValues = true)
+  def qAnnRecallPq(s: SparkSession, dir: String): DataFrame =
+    annRecallRow(s, dir, "pq", 0.04, qAnnPq(s, dir), pinValues = true)
+  def qAnnRecallPqTrained(s: SparkSession, dir: String): DataFrame =
+    annRecallRow(s, dir, "pq_trained", 0.20, qAnnPqTrained(s, dir), pinValues = true)
 
   /** D2: exact embedding near-dup pairs (cosine ≥ 0.4) as a
     * block-partitioned self-join (triangle join): vectors are hashed
@@ -1593,7 +1622,7 @@ object Similarity {
     * dim-scale, broadcast back. The rerank budget rises to nCand=150
     * (3% of the sf0.1 corpus — the knob a deployment tunes). Measured
     * recall@10 vs exact: 0.17 → 0.50 at sf0.01, 0.06 → 0.24 at sf0.1
-    * (untrained/50 → trained/150); `q_ann_recall` locks the floor.
+    * (untrained/50 → trained/150); `q_ann_recall_pq_trained` locks the floor.
     */
   def qAnnPqTrained(s: SparkSession, dir: String): DataFrame =
     annPqWith(s, dir, trainPqCodebook(emb(s, dir)),
@@ -2366,6 +2395,30 @@ object Similarity {
     * vectors sharing any band, and ranks exact cosine over candidates
     * only — the same candidate semantics as the kernel's bucket scan.
     */
+  /** The D13-split oracle: the family's own top-10 replica (famSql —
+    * the SAME string its individual gate query pins) joined against
+    * the exact brute-force top-10, hits/denominator/ppm as exact
+    * integers, the floor verdict as the literal CASE.
+    */
+  private def annRecallRowSql(name: String, floor: Double, famSql: String): String =
+    s"""WITH fam AS (SELECT q_id, vec_id FROM ($famSql)),
+      |q2 AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 5000),
+      |exs AS (SELECT q_id, e.vec_id,
+      |    list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS sim
+      |  FROM q2 CROSS JOIN embeddings e),
+      |ex AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |  FROM exs) WHERE rank <= 10),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex),
+      |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+      |  FROM fam JOIN ex USING (q_id, vec_id))
+      |SELECT '$name' AS method, h.n_hits, t.n_exact,
+      |  CAST((h.n_hits * 1000000) // t.n_exact AS BIGINT) AS recall_ppm,
+      |  CAST(CASE WHEN CAST(h.n_hits AS DOUBLE) / t.n_exact >= $floor
+      |    THEN 1 ELSE 0 END AS INT) AS recall_ok
+      |FROM h, tot t""".stripMargin
+
   private def annLshSql(probe1: Boolean): String = {
     val cond =
       if (probe1) "bit_count(xor(q.bkey, c.bkey)) <= 1" else "q.bkey = c.bkey"
@@ -3416,10 +3469,15 @@ object Similarity {
         |$sel
         |ORDER BY n_probe""".stripMargin
     },
-    "q_ann_recall" ->
-      """SELECT * FROM (VALUES ('hnsw', 1), ('ivf', 1), ('lsh', 1),
-        |  ('multiprobe', 1), ('pq', 1), ('pq_trained', 1))
-        |AS t(method, recall_ok) ORDER BY method""".stripMargin,
+    "q_ann_recall_hnsw" ->
+      "SELECT 'hnsw' AS method, 1 AS recall_ok",
+    "q_ann_recall_ivf" -> annRecallRowSql("ivf", 0.25, annIvfSql),
+    "q_ann_recall_lsh" -> annRecallRowSql("lsh", 0.60, annLshSql(probe1 = false)),
+    "q_ann_recall_multiprobe" ->
+      annRecallRowSql("multiprobe", 0.90, annLshSql(probe1 = true)),
+    "q_ann_recall_pq" -> annRecallRowSql("pq", 0.04, annPqSql),
+    "q_ann_recall_pq_trained" ->
+      annRecallRowSql("pq_trained", 0.20, annPqTrainedSql),
     "q_ann_hnsw" ->
       """SELECT 1 AS recall_ok, 1 AS covers_corpus, 1 AS degree0_ok,
         |  1 AS degree_upper_ok, 1 AS visited_bounded""".stripMargin,
