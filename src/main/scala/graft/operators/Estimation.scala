@@ -1550,6 +1550,56 @@ object Estimation {
     ).mkString("\nUNION ALL\n") + "\nORDER BY version")
   }
 
+  /** G22b (query-backed): SNAPSHOT RETENTION — the other half of time
+    * travel every lake format ships (Iceberg `expire_snapshots`),
+    * through Spark's DSv2 PROCEDURE surface: `CALL graft_mem.system
+    * .expire_snapshots('ns.t', keep_last)`. The gate builds a 4-commit
+    * log (3 inserts + a delete), expires keeping the last 2, and
+    * publishes the procedure's own result row (expired_count /
+    * retained_from / retained_to), a REFUSAL flag proving `VERSION AS
+    * OF 1` now fails with the explicit "expired" error (not a silent
+    * fallback to current — the wrong-results class), and the stats of
+    * a RETAINED version (3) plus current: expiry must not perturb what
+    * it keeps. The oracle replays the insert/delete algebra from
+    * parquet and pins the retention literals.
+    */
+  def qSnapshotRetention(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_mem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    val t = "graft_mem.gate.orders_ret"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT)")
+    orders(s, dir)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .createOrReplaceTempView("catalog_ret_src")
+    s.sql(s"INSERT INTO $t SELECT k, cents FROM catalog_ret_src WHERE k % 17 = 0") // v1
+    s.sql(s"INSERT INTO $t SELECT k, cents FROM catalog_ret_src WHERE k % 19 = 0") // v2
+    s.sql(s"INSERT INTO $t SELECT k, cents FROM catalog_ret_src WHERE k % 23 = 0") // v3
+    s.sql(s"DELETE FROM $t WHERE cents < 10000000")                                // v4
+    val ret = s.sql(
+      s"CALL graft_mem.system.expire_snapshots('gate.orders_ret', 2)").collect()(0)
+    val refused =
+      try {
+        s.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 1").collect()
+        0L
+      } catch {
+        case e: Throwable
+            if Option(e.getMessage).exists(_.contains("expired")) => 1L
+      }
+    def stats(tag: Long, from: String) =
+      s"""SELECT CAST($tag AS BIGINT) AS probe,
+         |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+         |FROM $from""".stripMargin
+    s.sql(stats(3L, s"$t VERSION AS OF 3") + "\nUNION ALL\n" + stats(4L, t))
+      .crossJoin(s.range(1).select(
+        lit(ret.getLong(0)).as("expired_count"),
+        lit(ret.getLong(1)).as("retained_from"),
+        lit(ret.getLong(2)).as("retained_to"),
+        lit(refused).as("refused_expired")))
+      .orderBy(col("probe"))
+  }
+
   /** A39 derivation chain (the featImpDerivs machine): Fisher LDA with
     * shared pooled covariance, every float step ONE (name, formula)
     * pair applied with `expr` on the Spark side and emitted verbatim
@@ -3306,6 +3356,23 @@ object Estimation {
           |  CAST(sum_cents AS BIGINT) AS sum_cents,
           |  CAST(min_k AS BIGINT) AS min_k, CAST(max_k AS BIGINT) AS max_k
           |FROM stats ORDER BY version""".stripMargin,
+      "q_snapshot_retention" ->
+        """WITH src AS (SELECT o_orderkey AS k,
+          |    CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents FROM orders),
+          |v3 AS (SELECT k, cents FROM src WHERE k % 17 = 0
+          |  UNION ALL SELECT k, cents FROM src WHERE k % 19 = 0
+          |  UNION ALL SELECT k, cents FROM src WHERE k % 23 = 0),
+          |v4 AS (SELECT * FROM v3 WHERE NOT (cents < 10000000)),
+          |stats AS (
+          |  SELECT 3 AS probe, COUNT(*) AS n, SUM(cents) AS sum_cents FROM v3
+          |  UNION ALL SELECT 4, COUNT(*), SUM(cents) FROM v4)
+          |SELECT CAST(probe AS BIGINT) AS probe, CAST(n AS BIGINT) AS n,
+          |  CAST(sum_cents AS BIGINT) AS sum_cents,
+          |  CAST(2 AS BIGINT) AS expired_count,
+          |  CAST(3 AS BIGINT) AS retained_from,
+          |  CAST(4 AS BIGINT) AS retained_to,
+          |  CAST(1 AS BIGINT) AS refused_expired
+          |FROM stats ORDER BY probe""".stripMargin,
       "q_schema_evolution" ->
         """WITH src AS (SELECT o_orderkey AS k,
           |    CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents,

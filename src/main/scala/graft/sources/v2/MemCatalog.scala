@@ -7,7 +7,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
@@ -37,7 +39,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * concurrent delete). Atomic types only — the point is the catalog
   * CONTRACT, not a storage engine.
   */
-class MemCatalog extends TableCatalog {
+class MemCatalog extends TableCatalog with ProcedureCatalog {
   private var catName = "graft_mem"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catName = name
@@ -133,10 +135,20 @@ class MemCatalog extends TableCatalog {
       catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(
           s"version must be a snapshot number, got '$version'") }
-    val snap = st.synchronized { st.snapshots.find(_.version == v) }
+    val snap = st.synchronized {
+      // G22b: an expired version refuses with an explicit "expired"
+      // error — distinct from "never existed", never a silent fallback
+      if (v >= 1 && v <= st.expiredBelow)
+        throw new IllegalArgumentException(
+          s"table ${key(ident)} snapshot $v is expired " +
+            s"(retention kept versions > ${st.expiredBelow})")
+      st.snapshots.find(_.version == v)
+    }
       .getOrElse(throw new IllegalArgumentException(
-        s"table ${key(ident)} has no snapshot $v " +
-          s"(log: 1..${st.synchronized(st.snapshots.size)})"))
+        s"table ${key(ident)} has no snapshot $v (log: " +
+          st.synchronized(
+            st.snapshots.headOption.map(_.version).getOrElse(0L) + ".." +
+            st.snapshots.lastOption.map(_.version).getOrElse(0L)) + ")"))
     new MemTableSnapshot(key(ident), snap)
   }
 
@@ -161,6 +173,79 @@ class MemCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE not supported")
+
+  // ---- G22b: stored procedures (the Iceberg `CALL catalog.system.…`
+  // maintenance surface, through Spark's ProcedureCatalog API) ----
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array("system"), "expire_snapshots"))
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (!(ident.namespace().sameElements(Array("system")) &&
+          ident.name() == "expire_snapshots"))
+      throw new IllegalArgumentException(
+        s"unknown procedure: ${(ident.namespace() :+ ident.name()).mkString(".")} " +
+          "(this catalog serves system.expire_snapshots)")
+    new ExpireSnapshotsProcedure(catName)
+  }
+}
+
+/** G22b: snapshot RETENTION — the other half of time travel every lake
+  * format ships (Iceberg `expire_snapshots`): drop all but the last
+  * `keep_last` snapshots of a table's log. Invoked through the DSv2
+  * procedure surface: `CALL graft_mem.system.expire_snapshots('ns.t',
+  * keep_last)`. Guarantees: `keep_last >= 1` (the min-retained rule —
+  * a log can never be emptied), expiry only ever drops the OLDEST
+  * prefix (retained versions stay contiguous up to current), and a
+  * later `VERSION AS OF` on an expired version REFUSES with an
+  * explicit "expired" error — distinct from "never existed" (silent
+  * fallback to current would be a wrong-results class). Returns one
+  * row: (expired_count, retained_from, retained_to).
+  */
+final class ExpireSnapshotsProcedure(catName: String) extends UnboundProcedure {
+  override def name(): String = "expire_snapshots"
+  override def description(): String =
+    "expire all but the last `keep_last` snapshots of `table`"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "expire_snapshots"
+    override def description(): String = ExpireSnapshotsProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name relative to this catalog, e.g. 'ns.t'").build(),
+      ProcedureParameter.in("keep_last", IntegerType)
+        .comment("how many trailing snapshots to retain (>= 1)").build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val tbl = input.getUTF8String(0).toString
+      val keep = input.getInt(1)
+      require(keep >= 1,
+        s"keep_last must be >= 1 (min-retained guarantee), got $keep")
+      val key = s"$catName.$tbl"
+      val st = MemStore.tables.getOrElse(key,
+        throw new IllegalArgumentException(s"no such table: $key"))
+      val (expired, lo, hi) = st.synchronized {
+        val drop = math.max(0, st.snapshots.size - keep)
+        if (drop > 0) {
+          st.expiredBelow = math.max(st.expiredBelow, st.snapshots(drop - 1).version)
+          st.snapshots.remove(0, drop)
+        }
+        (drop.toLong,
+          st.snapshots.headOption.map(_.version).getOrElse(0L),
+          st.snapshots.lastOption.map(_.version).getOrElse(0L))
+      }
+      val schema = StructType(Seq(
+        StructField("expired_count", LongType, nullable = false),
+        StructField("retained_from", LongType, nullable = false),
+        StructField("retained_to", LongType, nullable = false)))
+      val result: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(new GenericInternalRow(Array[Any](expired, lo, hi)))
+        override def readSchema(): StructType = schema
+      }
+      java.util.Collections.singletonList(result).iterator()
+    }
+  }
 }
 
 object MemStore {
@@ -182,6 +267,10 @@ object MemStore {
                      val rowLevel: Boolean = false) {
     val rows = new scala.collection.mutable.ArrayBuffer[Array[Any]]()
     val snapshots = new scala.collection.mutable.ArrayBuffer[Snapshot]()
+    // G22b: highest EXPIRED version — lets time travel refuse an
+    // expired version with an "expired" error, distinct from a version
+    // that never existed
+    var expiredBelow: Long = 0L
   }
   object Stored {
     def apply(schema: StructType, rowLevel: Boolean = false): Stored =
@@ -190,10 +279,19 @@ object MemStore {
 
   /** Record the CURRENT state as the next snapshot — call under the
     * Stored's lock, after every committed mutation (insert commit,
-    * deleteWhere, row-level replace, ALTER). */
-  def record(st: Stored): Unit =
-    st.snapshots += Snapshot(st.snapshots.size + 1L, st.schema,
+    * deleteWhere, row-level replace, ALTER). Versions are MONOTONIC
+    * across expiry: the next version continues from the last retained
+    * (or last expired) version, never from the log's current length —
+    * size-derived numbering would reissue an expired version number
+    * and corrupt time travel.
+    */
+  def record(st: Stored): Unit = {
+    val next = math.max(
+      st.snapshots.lastOption.map(_.version).getOrElse(0L),
+      st.expiredBelow) + 1L
+    st.snapshots += Snapshot(next, st.schema,
       st.rows.map(_.clone).toArray, System.currentTimeMillis() * 1000L)
+  }
 
   val tables = TrieMap.empty[String, Stored]
 }

@@ -605,4 +605,48 @@ class DataSourceV2Spec extends AnyFunSuite {
     intercept[Exception] { spark.sql(s"SELECT k FROM $t VERSION AS OF 99").collect() }
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("G22b: expire_snapshots — retention, expired refusal, min-retained, idempotency") {
+    spark.conf.set("spark.sql.catalog.graft_mem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    val t = "graft_mem.spec.ret_t"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1)")        // v1
+    spark.sql(s"INSERT INTO $t VALUES (2)")        // v2
+    spark.sql(s"INSERT INTO $t VALUES (3)")        // v3
+    spark.sql(s"INSERT INTO $t VALUES (4)")        // v4
+    val r = spark.sql(
+      "CALL graft_mem.system.expire_snapshots('spec.ret_t', 2)").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 3L, 4L)),
+      s"expected (expired=2, from=3, to=4), got $r")
+    // retained versions still read; current unaffected
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 3").collect()(0).getLong(0) == 3L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 4").collect()(0).getLong(0) == 4L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").collect()(0).getLong(0) == 4L)
+    // an EXPIRED version refuses with the explicit "expired" error —
+    // distinct from a version that never existed
+    val eExp = intercept[Exception] {
+      spark.sql(s"SELECT k FROM $t VERSION AS OF 1").collect()
+    }
+    assert(eExp.getMessage.contains("expired"), s"wrong refusal: ${eExp.getMessage}")
+    val eMissing = intercept[Exception] {
+      spark.sql(s"SELECT k FROM $t VERSION AS OF 99").collect()
+    }
+    assert(!eMissing.getMessage.contains("expired"),
+      "never-existed must not report as expired")
+    // idempotency: a second expire with the same keep drops nothing
+    val r2 = spark.sql(
+      "CALL graft_mem.system.expire_snapshots('spec.ret_t', 2)").collect()(0)
+    assert(r2.getLong(0) == 0L && r2.getLong(1) == 3L && r2.getLong(2) == 4L)
+    // min-retained guarantee: keep_last < 1 refuses, log untouched
+    intercept[Exception] {
+      spark.sql("CALL graft_mem.system.expire_snapshots('spec.ret_t', 0)").collect()
+    }
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 4").collect()(0).getLong(0) == 4L)
+    // new commits after expiry keep numbering from the retained log
+    spark.sql(s"INSERT INTO $t VALUES (5)")        // v5
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 5").collect()(0).getLong(0) == 5L)
+    spark.sql(s"DROP TABLE $t")
+  }
 }
