@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.sources.Tables._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{CmsOut, KeyedVal, KmvArrival, KmvOut, MgOut}
+
+/** Streaming sketch components promoted from spec-only coverage to
+  * DRIVER-GATE queries (SURVEY §2 F17 / F21 / F24 — the round-11 brief's
+  * "run the stream to completion, publish final state, DuckDB-oracle the
+  * batch twin" idiom, G6's posture for stateful operators):
+  *
+  * Each query feeds the deterministic fixture through the REAL streaming
+  * operator (flatMapGroupsWithState over a MemoryStream, split into three
+  * micro-batches — a genuine incremental execution with state persisted
+  * across batches, not a batch query in costume), takes the latest
+  * versioned summary per shard/group from the Update-mode changelog
+  * (max-version union — exactly what a production reader of the changelog
+  * topic does), and publishes values a DuckDB oracle can recompute with
+  * no knowledge of the stream: exact per-key counts and theorem-
+  * guaranteed contract flags (F17/F21), or the batch-twin sketch values
+  * the stream must match EXACTLY by the kernel-sharing construction
+  * (F24). Batch-split sensitivity is covered by StreamingSpec (arbitrary
+  * splits + replay); the gate pins one canonical split so the published
+  * frame is bit-stable.
+  *
+  * Scale posture: the MemoryStream driver feed is the SIMULATED ingest —
+  * a production deployment reads Kafka with the same operators; the
+  * arrival sets are count-bounded (the 50k pinned Zipf stream; the KMV
+  * arrivals capped at l_orderkey < 10⁶ — inactive at gate scales, frozen
+  * beyond, the hash-stable bound rule), so the gate cost never grows
+  * with the corpus.
+  */
+object StreamingGates {
+
+  /** The F17/F21 gate fixture: 50k rows of the B57-B62 Zipf formula —
+    * small enough to stream from the driver, same md5 derivation the
+    * oracle rebuilds row-by-row.
+    */
+  private val StreamZipfRows = 50000L
+
+  private def zipfArrivals(s: SparkSession): Seq[KeyedVal] =
+    graft.sources.Synthetic.zipfEventsPinned(s, StreamZipfRows)
+      .collect()
+      .map(r => KeyedVal(r.getLong(1), r.getLong(0), r.getLong(2)))
+      .toSeq
+
+  /** Latest-version rows per shard from an Update-mode changelog. */
+  private def latestPerShard[T](rows: Seq[T])(shard: T => Int,
+                                              ver: T => Long): Seq[T] =
+    rows.groupBy(shard).values.flatMap { sh =>
+      val maxVer = sh.map(ver).max
+      sh.filter(r => ver(r) == maxVer)
+    }.toSeq
+
+  /** F17 (query-backed): STREAMING HEAVY HITTERS — the B62 Misra-Gries
+    * summary maintained incrementally (same MisraGries.add kernel),
+    * key space sharded by hash, three micro-batches over the 50k Zipf
+    * stream, max-version-per-shard union as the global summary. The
+    * published frame is the B62 contract on the top-5 TRUE keys:
+    * found (presence above N/(k+1) is a THEOREM, not luck) and
+    * bounds_ok (true − N/(k+1) ≤ est ≤ true — order- and split-
+    * independent, which is why the gate can pin them). The oracle
+    * recomputes the true counts from the md5 formula and pins the
+    * flags at 1 — a state bug that loses or inflates a counter across
+    * batches breaks the hash.
+    */
+  def qStreamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val k = 64
+    val shards = 4
+    val ev = zipfArrivals(s)
+    val n = ev.size.toLong
+    val input = MemoryStream[KeyedVal]
+    val q = EventStreams.heavyHittersStream(input.toDS(), k, shards)
+      .writeStream.format("memory")
+      .queryName("gate_mg_out").outputMode("update").start()
+    val summary =
+      try {
+        val third = ev.length / 3
+        input.addData(ev.take(third)); q.processAllAvailable()
+        input.addData(ev.slice(third, 2 * third)); q.processAllAvailable()
+        input.addData(ev.drop(2 * third)); q.processAllAvailable()
+        val rows = s.table("gate_mg_out").as[MgOut].collect().toSeq
+        latestPerShard(rows)(_.shard, _.ver).map(o => o.key -> o.est).toMap
+      } finally q.stop()
+    val bound = n / (k + 1)
+    val exact = ev.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    val top5 = exact.toSeq.sortBy { case (u, c) => (-c, u) }.take(5)
+    top5.map { case (u, t) =>
+      val est = summary.getOrElse(u, 0L)
+      (u, t,
+        (if (summary.contains(u)) 1 else 0),
+        (if (est <= t && est >= t - bound) 1 else 0))
+    }.toDF("user_id", "true_cnt", "found", "bounds_ok")
+      .select(col("user_id"), col("true_cnt"),
+        col("found").cast("int").as("found"),
+        col("bounds_ok").cast("int").as("bounds_ok"))
+      .orderBy(col("user_id"))
+  }
+
+  /** F21 (query-backed): STREAMING COUNT-MIN — the B71 grid maintained
+    * incrementally (same CountMin.bucket kernel), sharded by hash,
+    * three micro-batches; the elementwise SUM of the latest per-shard
+    * grids must be BIT-IDENTICAL to the batch `graft_cms` grid over
+    * the same rows (each key touches only its own shard and CMS merge
+    * is elementwise add) — the engine REQUIRES that equality before
+    * publishing, then emits the B71 probe on the summed grid: top-5
+    * true keys with over_ok (CMS's one-sided est ≥ true guarantee)
+    * and bound_ok (est ≤ true + 4N/width — deterministic on the fixed
+    * fixture). Oracle: true counts from the md5 formula, flags pinned.
+    */
+  def qStreamCms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val depth = 4
+    val width = 2048
+    val shards = 4
+    val ev = zipfArrivals(s)
+    val n = ev.size.toLong
+    val input = MemoryStream[KeyedVal]
+    val q = EventStreams.cmsStream(input.toDS(), depth, width, shards)
+      .writeStream.format("memory")
+      .queryName("gate_cms_out").outputMode("update").start()
+    val summed = new Array[Long](depth * width)
+    try {
+      val third = ev.length / 3
+      input.addData(ev.take(third)); q.processAllAvailable()
+      input.addData(ev.slice(third, 2 * third)); q.processAllAvailable()
+      input.addData(ev.drop(2 * third)); q.processAllAvailable()
+      val rows = s.table("gate_cms_out").as[CmsOut].collect().toSeq
+      latestPerShard(rows)(_.shard, _.ver).foreach { o =>
+        var i = 0
+        while (i < summed.length) { summed(i) += o.grid(i); i += 1 }
+      }
+    } finally q.stop()
+    // the kernel-sharing identity, enforced loudly: stream state summed
+    // over shards == the batch sketch, bit for bit
+    val batchGrid = graft.sources.Synthetic.zipfEventsPinned(s, StreamZipfRows)
+      .agg(expr(s"graft_cms(user_id, $depth, $width)")).collect()(0)
+      .getSeq[Long](0).toArray
+    require(java.util.Arrays.equals(summed, batchGrid),
+      "stream-summed CMS grid diverges from the batch graft_cms grid")
+    import graft.functions.expressions.CountMin
+    val exact = ev.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    val top5 = exact.toSeq.sortBy { case (u, c) => (-c, u) }.take(5)
+    val slack = 4L * n / width
+    top5.map { case (u, t) =>
+      val est = (0 until depth)
+        .map(d => summed(d * width + CountMin.bucket(u, d, width))).min
+      (u, t, (if (est >= t) 1 else 0), (if (est <= t + slack) 1 else 0))
+    }.toDF("user_id", "true_cnt", "over_ok", "bound_ok")
+      .select(col("user_id"), col("true_cnt"),
+        col("over_ok").cast("int").as("over_ok"),
+        col("bound_ok").cast("int").as("bound_ok"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The F24 arrival cap: a COUNT bound (not a corpus fraction) that is
+    * inactive at gate scales (max l_orderkey: 60k at sf0.01, 600k at
+    * sf0.1) and freezes the driver-fed arrival set beyond — the same
+    * hash-stable bounding rule as the kNN train slice.
+    */
+  private val KmvArrivalMaxKey = 1000000L
+
+  /** F24 (query-backed): STREAMING KMV DISTINCT — the B77 bottom-k
+    * sketch as flatMapGroupsWithState state, three micro-batches PLUS
+    * a re-delivered slice (the min-k SET must absorb replays — set
+    * semantics, the at-least-once contract), latest version per group.
+    * Because min-k is a pure function of the value SET, the streamed
+    * estimate must equal the batch B77 computation EXACTLY — so the
+    * published frame is the full B77 shape (n_exact, kmv_est, err_bp)
+    * and the oracle recomputes every value from parquet, blind to the
+    * stream. The arrival set is capped at l_orderkey < 10⁶ on BOTH
+    * sides (inactive at gate scales).
+    */
+  def qStreamKmv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val k = 64
+    val arrivals = lineitem(s, dir)
+      .filter(col("l_orderkey") < KmvArrivalMaxKey)
+      .select(col("l_returnflag"), col("l_partkey")).collect()
+      .map(r => KmvArrival(r.getString(0), r.getLong(1))).toSeq
+    val input = MemoryStream[KmvArrival]
+    val q = EventStreams.kmvStream(input.toDS(), k)
+      .writeStream.format("memory")
+      .queryName("gate_kmv_out").outputMode("update").start()
+    val latest =
+      try {
+        val third = arrivals.length / 3
+        input.addData(arrivals.take(third)); q.processAllAvailable()
+        input.addData(arrivals.slice(third, 2 * third)); q.processAllAvailable()
+        // re-deliver the first 100 arrivals with the final batch: the
+        // sketch set must not move
+        input.addData(arrivals.drop(2 * third) ++ arrivals.take(100))
+        q.processAllAvailable()
+        val rows = s.table("gate_kmv_out").as[KmvOut].collect().toSeq
+        rows.groupBy(_.grp).map { case (g, os) => g -> os.maxBy(_.ver).est }
+      } finally q.stop()
+    val exact = lineitem(s, dir)
+      .filter(col("l_orderkey") < KmvArrivalMaxKey)
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.toSeq.sortBy(_._1).map { case (g, nEx) =>
+      val est = latest.getOrElse(g, 0L)
+      (g, nEx, est, math.abs(est - nEx) * 10000L / nEx)
+    }.toDF("l_returnflag", "n_exact", "kmv_est", "err_bp")
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The 50k-row Zipf fixture rebuilt row-by-row from the md5 formulas
+    * (the B57-B62 oracle convention at the stream gate's row count).
+    */
+  private lazy val streamZipfFixtureSql: String = {
+    val hu = TF.hexPrefix52Sql("md5('zu|'||i)")
+    s"""(SELECT CAST(LEAST(4503599627370496 // ($hu + 1), 1000) AS BIGINT) AS user_id
+      |  FROM (SELECT unnest(range($StreamZipfRows)) AS i))""".stripMargin
+  }
+
+  private def zipfTop5FlagsSql(f1: String, f2: String): String =
+    s"""WITH e AS $streamZipfFixtureSql,
+      |t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM e
+      |  GROUP BY 1 ORDER BY true_cnt DESC, user_id LIMIT 5)
+      |SELECT user_id, true_cnt, 1 AS $f1, 1 AS $f2
+      |FROM t ORDER BY user_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_heavy_hitters" -> zipfTop5FlagsSql("found", "bounds_ok"),
+    "q_stream_cms" -> zipfTop5FlagsSql("over_ok", "bound_ok"),
+    // the full B77 value oracle, on the capped arrival set
+    "q_stream_kmv" -> {
+      val h = TF.hexPrefix52Sql("md5('kmv|' || CAST(l_partkey AS VARCHAR))")
+      s"""WITH d AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem
+        |  WHERE l_orderkey < $KmvArrivalMaxKey),
+        |h AS (SELECT l_returnflag, l_partkey, $h AS hv FROM d),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |    ORDER BY hv, l_partkey) AS rn FROM h),
+        |kk AS (SELECT l_returnflag, MAX(hv) AS kth, COUNT(*) AS n_kept
+        |  FROM r WHERE rn <= 64 GROUP BY 1),
+        |ex AS (SELECT l_returnflag, COUNT(*) AS n_exact FROM d GROUP BY 1),
+        |j AS (SELECT ex.l_returnflag, n_exact,
+        |  CASE WHEN n_kept < 64 THEN n_exact
+        |       ELSE CAST(283726776524341248 // kth AS BIGINT) END AS kmv_est
+        |  FROM ex JOIN kk USING (l_returnflag))
+        |SELECT l_returnflag, CAST(n_exact AS BIGINT) AS n_exact, kmv_est,
+        |  CAST(ABS(kmv_est - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
+        |FROM j ORDER BY l_returnflag""".stripMargin
+    }
+  )
+}
