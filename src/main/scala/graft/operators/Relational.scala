@@ -587,14 +587,64 @@ object Relational {
     * shape a hot key GENUINELY breaks (§6): the direct window ships
     * every hot-key row to one reducer for a single-threaded sort+scan,
     * and neither WindowGroupLimit (all rows are output) nor salting
-    * (prefix sums are order-defined) applies. Measured at 8M rows /
-    * 32 cores: window 2.33 s → two-phase 0.27 s (8.5×), bit-equal.
-    * Twin of [[qRunningSkewWindow]] under the same oracle.
+    * (prefix sums are order-defined) applies. HONEST cost accounting
+    * (r11 SkewBench, 8M and 64M rows): charged its full cost the
+    * two-phase form LOSES to the direct window at both decades on
+    * local[32] — it is the structural answer ONLY when one key's rows
+    * exceed a single task, which no single machine can demonstrate.
+    * That structural property is therefore machine-checked by
+    * [[qSkewPlanBounds]] (B59b) instead of benchmarked. Twin of
+    * [[qRunningSkewWindow]] under the same oracle.
     */
   def qRunningSkew(s: SparkSession, dir: String): DataFrame =
     runningDigest(Skew.rangePartitionedRunningSum(
       graft.sources.Synthetic.zipfEventsPinned(s, zipfRows),
       key = "user_id", orderCol = "event_id", valueCol = "v"))
+
+  /** B59b (query-backed): the §6 running-sum trade MACHINE-CHECKED —
+    * local[32] cannot honestly demonstrate a hot key exceeding one
+    * task, so the gate pins the LAYOUT facts the trade rests on
+    * instead of wall-clock: under the direct window's exchange
+    * (hash-partition by user_id) the hot key's rows all land in ONE
+    * task, so the max task input is at least the hot count
+    * (`direct_hot_one_task`); under the two-phase form's range
+    * partitioner on (key, order) the max task input stays within 4×
+    * rows/partitions regardless of skew (`two_phase_bounded` — the
+    * hot key SPLITS across tasks on the order axis), leaving the
+    * worst range task ≥4× smaller than the hot key (`separation_4x`).
+    * Both layouts are probed with a per-partition count over the SAME
+    * exchanges the two B59/B60 plans schedule. The oracle recomputes
+    * n_rows and the exact hot count from the md5 fixture and pins the
+    * three flags — a partitioner change that silently re-concentrates
+    * the hot key fails the hash.
+    */
+  def qSkewPlanBounds(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val nParts = 32
+    val e = graft.sources.Synthetic.zipfEventsPinned(s, zipfRows)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"), col("v").cast("long").as("v"))
+    val sizeSchema = StructType(Seq(StructField("n", LongType, nullable = false)))
+    def maxPartSize(df: DataFrame): Long =
+      df.mapPartitions { it =>
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+        Iterator(org.apache.spark.sql.Row(n))
+      }(org.apache.spark.sql.Encoders.row(sizeSchema))
+        .agg(max(col("n"))).collect()(0).getLong(0)
+    val directMax = maxPartSize(e.repartition(nParts, col("user_id")))
+    val rangeMax = maxPartSize(
+      e.repartitionByRange(nParts, col("user_id"), col("event_id")))
+    val hotCnt = e.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .agg(max(col("cnt"))).collect()(0).getLong(0)
+    s.range(1).select(
+      lit(zipfRows).as("n_rows"),
+      lit(hotCnt).as("hot_cnt"),
+      lit(nParts.toLong).as("n_parts"),
+      lit(if (directMax >= hotCnt) 1L else 0L).as("direct_hot_one_task"),
+      lit(if (rangeMax <= 4L * zipfRows / nParts) 1L else 0L)
+        .as("two_phase_bounded"),
+      lit(if (rangeMax * 4L <= hotCnt) 1L else 0L).as("separation_4x"))
+  }
 
   /** B60: the direct per-key window twin of [[qRunningSkew]] — the
     * hot-reducer baseline, benched round-over-round next to the
@@ -7663,7 +7713,17 @@ object Relational {
         |t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM e
         |  GROUP BY 1 ORDER BY true_cnt DESC, user_id LIMIT 5)
         |SELECT user_id, true_cnt, 1 AS over_ok, 1 AS bound_ok
-        |FROM t ORDER BY user_id""".stripMargin
+        |FROM t ORDER BY user_id""".stripMargin,
+    "q_skew_plan_bounds" ->
+      s"""WITH e AS $zipfFixtureSql,
+        |c AS (SELECT user_id, COUNT(*) AS cnt FROM e GROUP BY 1)
+        |SELECT CAST($zipfRows AS BIGINT) AS n_rows,
+        |  CAST(MAX(cnt) AS BIGINT) AS hot_cnt,
+        |  CAST(32 AS BIGINT) AS n_parts,
+        |  CAST(1 AS BIGINT) AS direct_hot_one_task,
+        |  CAST(1 AS BIGINT) AS two_phase_bounded,
+        |  CAST(1 AS BIGINT) AS separation_4x
+        |FROM c""".stripMargin
   )
 
   /** The B57–B60 Zipf fixture rebuilt row-by-row from the md5
