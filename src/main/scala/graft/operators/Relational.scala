@@ -3784,8 +3784,12 @@ object Relational {
            max(when(y === 1997, 1L).otherwise(0L)).as("a97"))
       .filter(col("a96") === 1 && col("a97") === 1)
       .select((col("c97") - col("c96")).as("d"))
+      // d² fits a Long per row (|d| < 2^31 cents) but Σd² overflows at
+      // sf1 (~10⁵ customers × ~10¹⁷) — accumulate the sum of squares
+      // in DECIMAL(38,0), the DuckDB-HUGEINT twin; the t formula reads
+      // it through one exactly-rounded CAST TO DOUBLE on both engines
       .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
-           sum(col("d") * col("d")).as("qd"))
+           sum((col("d") * col("d")).cast("decimal(38,0)")).as("qd"))
       .select(col("n"), col("sd"),
         expr("CAST(sd div n AS BIGINT)").as("mean_d_cents"),
         dec6(expr(pairedTSql)).as("t_stat"),
@@ -6080,7 +6084,7 @@ object Relational {
         |  FROM orders GROUP BY 1),
         |dd AS (SELECT c97 - c96 AS d FROM f WHERE a96 = 1 AND a97 = 1),
         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(d*d) AS BIGINT) AS qd
+        |    CAST(SUM(d) AS BIGINT) AS sd, SUM(d*d) AS qd
         |  FROM dd)
         |SELECT n, sd, CAST(sd // n AS BIGINT) AS mean_d_cents,
         |  CAST(ROUND($pairedTSql, 6) AS DECIMAL(18,6))::DOUBLE AS t_stat,
