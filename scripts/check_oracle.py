@@ -34,6 +34,13 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
     # at sf0.1 — give DuckDB a temp dir and a bounded budget instead
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     con.execute("SET memory_limit='32GB'")
+    # a runaway pair-join oracle (q_dbscan/q_pagerank class at sf1) can
+    # fill the DISK through the spill dir — cap it so the query errors
+    # loudly instead of wedging the machine at 100% disk; override for a
+    # known-feasible-but-spilly solo rerun via DUCKDB_TEMP_CAP
+    import os as _os
+    con.execute(
+        f"SET max_temp_directory_size='{_os.environ.get('DUCKDB_TEMP_CAP', '30GB')}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
@@ -68,15 +75,24 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
             print(f"FAIL {name}: columns {spark_cols} != {oracle_cols}")
             n_fail += 1
             continue
-        oracle_rows = sorted(
-            (
-                tuple(norm(v) for v in row)
-                for row in con.sql(
-                    f"SELECT {', '.join(oracle_cols)} FROM ({oracles[name]})"
-                ).fetchall()
-            ),
-            key=repr,
-        )
+        try:
+            # execution happens at fetch time, so the spill-cap /
+            # out-of-memory class of failure lands HERE, not at the
+            # con.sql() above — catch it per-query or one heavy oracle
+            # aborts the whole sweep
+            oracle_rows = sorted(
+                (
+                    tuple(norm(v) for v in row)
+                    for row in con.sql(
+                        f"SELECT {', '.join(oracle_cols)} FROM ({oracles[name]})"
+                    ).fetchall()
+                ),
+                key=repr,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle execution error: {e}")
+            n_fail += 1
+            continue
         if len(spark_rows) != len(oracle_rows):
             print(f"FAIL {name}: rowcount {len(spark_rows)} != {len(oracle_rows)}")
             n_fail += 1

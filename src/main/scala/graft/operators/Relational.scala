@@ -6141,7 +6141,8 @@ object Relational {
         |      AS x
         |  FROM orders GROUP BY 1),
         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
-        |    CAST(SUM(x) AS BIGINT) AS s1, SUM(x*x) AS q FROM daily),
+        |    CAST(SUM(x) AS BIGINT) AS s1,
+        |    SUM(CAST(x AS HUGEINT)*x) AS q FROM daily),
         |d AS (SELECT day, ABS(n_days*x - s1) AS abs_ndev, n_days, s1, q
         |  FROM daily, m),
         |p AS (SELECT *, ROW_NUMBER() OVER (ORDER BY abs_ndev DESC, day ASC)
