@@ -1268,58 +1268,160 @@ object Similarity {
     * value, so a widening that stops paying fails loudly.
     */
   def qAnnJoinSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val k = 3
+    val widths = Array(2, 3, 4, 5)
+    val maxW = widths.max
     val exact = graft.core.Materialize.pin(
       knnGraphTopK(s, dir, k)
         .select(col("vec_id").as("x_q"), col("nb_id").as("x_nb")))
     val total = broadcast(exact.agg(count(lit(1)).as("n_exact")))
-    val quantizers = Seq(
+    val quantizers: Array[(String, Array[Array[Double]])] = Array(
       ("random", ivfCentroids(16, 64)),
       ("trained", trainedJoinCentroids(s, dir)))
-    quantizers.flatMap { case (qname, cents) =>
-      Seq(2, 3, 4, 5).map { m =>
-        annJoinEdges(s, dir, cents, m, k)
-          .join(exact,
-            col("q_id") === col("x_q") && col("nb_id") === col("x_nb"),
-            "left_semi")
-          .agg(count(lit(1)).as("n_hits"))
-          .crossJoin(broadcast(annJoinPairCost(s, dir, cents, m)))
-          .crossJoin(total)
-          .select(lit(qname).as("quantizer"), lit(m.toLong).as("assign_width"),
-            col("n_cand_pairs"),
-            col("n_hits").cast("long").as("n_hits"),
-            col("n_exact").cast("long").as("n_exact"),
-            expr("CAST((n_hits * 1000000) div n_exact AS BIGINT)")
-              .as("recall_ppm"))
-      }
-    }.reduce(_ unionAll _).orderBy(col("quantizer"), col("assign_width"))
-  }
+    val bcQ = s.sparkContext.broadcast(quantizers)
 
-  /** The D37 cost axis: candidate pairs the cell-blocked join examines
-    * at assignment width m — Σ over cells of |members|·(|members|−1)/2
-    * (a pair sharing several cells is examined once per shared cell:
-    * that IS the work done). One slice pass per arm, exact integers.
-    */
-  private def annJoinPairCost(s: SparkSession, dir: String,
-                              cents: Array[Array[Double]],
-                              assignWidth: Int): DataFrame = {
-    import s.implicits._
-    val bcC = s.sparkContext.broadcast(cents)
-    emb(s, dir).filter(col("vec_id") < ExactSliceMax)
-      .select(col("v")).as[Array[Double]]
-      .flatMap { v =>
-        val cs = bcC.value
-        val dots = Array.tabulate(cs.length) { ci =>
-          val cv = cs(ci)
-          var d = 0.0; var j = 0
-          while (j < v.length) { d += cv(j) * v(j); j += 1 }
-          d
+    // Assignment sets are NESTED in m (top-2 ⊂ top-3 ⊂ … ⊂ top-maxW), so
+    // ONE slice scan emitting the top-maxW cells WITH their assignment
+    // rank serves every swept arm for both quantizers — the r11 shape
+    // (8 arms × [edge pass + cost pass] = 16 slice scans) collapses to
+    // two scans and one cell-local pair kernel.
+    def assigned = emb(s, dir).filter(col("vec_id") < ExactSliceMax)
+      .select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        bcQ.value.iterator.flatMap { case (qn, cs) =>
+          val dots = Array.tabulate(cs.length) { ci =>
+            val cv = cs(ci); var d = 0.0; var j = 0
+            while (j < v.length) { d += cv(j) * v(j); j += 1 }
+            d
+          }
+          (0 until cs.length).sortBy(ci => (-dots(ci), ci)).take(maxW)
+            .zipWithIndex.map { case (c, r) => (qn, c, r + 1, id, v) }
         }
-        (0 until cs.length).sortBy(ci => (-dots(ci), ci)).take(assignWidth)
       }
-      .toDF("cell")
-      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+
+    // Cell-local pair sims computed ONCE on the width-maxW population;
+    // arm m filters both endpoints to rank ≤ m and takes the same
+    // per-member (sim DESC, nb) top-k. Lossless vs the global window,
+    // exactly as in annJoinEdges: a cell-locally pruned pair has ≥ k
+    // better candidates for that member in every shared cell, and those
+    // candidates are global candidates too.
+    val edges = assigned
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (String, Int),
+                        it: Iterator[(String, Int, Int, Long, Array[Double])]) =>
+        val qn = key._1
+        val rows = it.toArray.sortBy(_._4)
+        val n = rows.length
+        val ids = rows.map(_._4)
+        val ranks = rows.map(_._3)
+        val vs = rows.map(_._5)
+        val nrm = vs.map { v =>
+          var s2 = 0.0; var j = 0
+          while (j < v.length) { s2 += v(j) * v(j); j += 1 }
+          math.sqrt(s2)
+        }
+        // per member × per arm, a bounded primitive top-k ordered by
+        // (sim DESC, nb ASC) — O(n·arms·k) state instead of O(n²) boxed
+        // candidate tuples, which made the kernel GC-bound
+        val nArms = widths.length
+        val hSim = Array.ofDim[Double](n, nArms * k)
+        val hNb = Array.ofDim[Long](n, nArms * k)
+        val hCnt = Array.ofDim[Int](n, nArms)
+        def offer(i: Int, arm: Int, sim: Double, nb: Long): Unit = {
+          val sims = hSim(i); val nbs = hNb(i)
+          val base = arm * k
+          var c = hCnt(i)(arm)
+          // find insertion point among the kept (sim DESC, nb ASC) run
+          var pos = 0
+          while (pos < c && (sims(base + pos) > sim ||
+            (sims(base + pos) == sim && nbs(base + pos) < nb))) pos += 1
+          if (pos < k) {
+            val last = math.min(c, k - 1)
+            var j = last
+            while (j > pos) {
+              sims(base + j) = sims(base + j - 1)
+              nbs(base + j) = nbs(base + j - 1)
+              j -= 1
+            }
+            sims(base + pos) = sim
+            nbs(base + pos) = nb
+            if (c < k) hCnt(i)(arm) = c + 1
+          }
+        }
+        var p = 0
+        while (p < n) {
+          val vp = vs(p)
+          var q = p + 1
+          while (q < n) {
+            if (ids(p) != ids(q)) {
+              val vq = vs(q)
+              var d = 0.0; var j = 0
+              while (j < vp.length) { d += vq(j) * vp(j); j += 1 }
+              val sim = d / (nrm(p) * nrm(q))
+              // candidate q is visible to member p at widths ≥ rank(q)
+              var arm = math.max(ranks(q), widths(0)) - widths(0)
+              while (arm < nArms) { offer(p, arm, sim, ids(q)); arm += 1 }
+              arm = math.max(ranks(p), widths(0)) - widths(0)
+              while (arm < nArms) { offer(q, arm, sim, ids(p)); arm += 1 }
+            }
+            q += 1
+          }
+          p += 1
+        }
+        (0 until n).iterator.flatMap { i =>
+          widths.iterator.zipWithIndex.filter(ranks(i) <= _._1)
+            .flatMap { case (m, arm) =>
+              val base = arm * k
+              (0 until hCnt(i)(arm)).iterator.map { j =>
+                (qn, m, ids(i), hNb(i)(base + j), hSim(i)(base + j))
+              }
+            }
+        }
+      }
+      .toDF("quantizer", "assign_width", "q_id", "nb_id", "sim")
+
+    // per-arm duplicate-pair collapse + global top-k (the annJoinEdges
+    // tail, widened with the (quantizer, assign_width) arm key)
+    val w = Window
+      .partitionBy(col("quantizer"), col("assign_width"), col("q_id"))
+      .orderBy(col("sim").desc, col("nb_id"))
+    val ann = edges
+      .groupBy(col("quantizer"), col("assign_width"), col("q_id"), col("nb_id"))
+      .agg(max(col("sim")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+
+    val hits = ann
+      .join(exact, col("q_id") === col("x_q") && col("nb_id") === col("x_nb"),
+        "left_semi")
+      .groupBy(col("quantizer"), col("assign_width"))
+      .agg(count(lit(1)).as("n_hits"))
+
+    // The D37 cost axis from the SAME nested assignment: candidate pairs
+    // the cell-blocked join examines at width m — Σ over cells of
+    // n_m(n_m−1)/2 where n_m counts members with rank ≤ m (a pair
+    // sharing several cells is examined once per shared cell: that IS
+    // the work done). Exact integers, one scan for all arms.
+    val cost = assigned.map(t => (t._1, t._2, t._3))
+      .toDF("quantizer", "cell", "rnk")
+      .join(broadcast(widths.toSeq.toDF("assign_width")),
+        col("rnk") <= col("assign_width"))
+      .groupBy(col("quantizer"), col("assign_width"), col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("quantizer"), col("assign_width"))
       .agg(sum(expr("n * (n - 1) div 2")).cast("long").as("n_cand_pairs"))
+
+    cost.join(hits, Seq("quantizer", "assign_width"))
+      .crossJoin(total)
+      .select(col("quantizer"),
+        col("assign_width").cast("long").as("assign_width"),
+        col("n_cand_pairs"),
+        col("n_hits").cast("long").as("n_hits"),
+        col("n_exact").cast("long").as("n_exact"),
+        expr("CAST((n_hits * 1000000) div n_exact AS BIGINT)")
+          .as("recall_ppm"))
+      .orderBy(col("quantizer"), col("assign_width"))
   }
 
   /** The D35/D36/D37 edge kernel: top-`assignWidth` cell
