@@ -3223,23 +3223,23 @@ object Relational {
     *   n³·m3 = n²·S3 − 3n·S1·S2 + 2S1³
     *   n⁴·m4 = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3S1⁴
     * evaluated in IEEE doubles (same op sequence both engines). */
-  private val jbM2Sql =
+  private[graft] val jbM2Sql =
     "(CAST(n AS DOUBLE)*CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))" +
       " / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE))"
-  private val jbM3Sql =
+  private[graft] val jbM3Sql =
     "(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(s3 AS DOUBLE)" +
       " - 3.0*CAST(n AS DOUBLE)*CAST(s1 AS DOUBLE)*CAST(s2 AS DOUBLE)" +
       " + 2.0*CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))" +
       " / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE))"
-  private val jbM4Sql =
+  private[graft] val jbM4Sql =
     "(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(s4 AS DOUBLE)" +
       " - 4.0*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(s1 AS DOUBLE)*CAST(s3 AS DOUBLE)" +
       " + 6.0*CAST(n AS DOUBLE)*CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)*CAST(s2 AS DOUBLE)" +
       " - 3.0*CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))" +
       " / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE))"
-  private val jbSkewSql = "m3 / POWER(m2, 1.5)"
-  private val jbKurtSql = "m4 / (m2 * m2)"
-  private val jbStatSql =
+  private[graft] val jbSkewSql = "m3 / POWER(m2, 1.5)"
+  private[graft] val jbKurtSql = "m4 / (m2 * m2)"
+  private[graft] val jbStatSql =
     "(CAST(n AS DOUBLE) / 6.0) * (skew*skew + 0.25*(kurt - 3.0)*(kurt - 3.0))"
 
   /** B142: Jarque–Bera normality test per returnflag cohort on

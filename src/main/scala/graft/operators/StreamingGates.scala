@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF}
 import graft.sources.Tables._
 import graft.streaming.EventStreams
-import graft.streaming.EventStreams.{CmsOut, KeyedVal, KmvArrival, KmvOut, MgOut}
+import graft.streaming.EventStreams.{CmsOut, KeyedVal, KmvArrival, KmvOut,
+  MgOut, MomIn, MomOut, RunningOut, SampIn, SampOut}
 
 /** Streaming sketch components promoted from spec-only coverage to
   * DRIVER-GATE queries (SURVEY §2 F17 / F21 / F24 — the round-11 brief's
@@ -161,23 +162,24 @@ object StreamingGates {
       .orderBy(col("user_id"))
   }
 
-  /** The F24 arrival cap: a COUNT bound (not a corpus fraction) — the
-    * ingest simulation is a MemoryStream, so its cost must not grow
-    * with the corpus. Sized to the F17/F21 fixture class (~30k
-    * arrivals, vs their 50k): the at-least-once replay contract, the
-    * per-group min-k state, and the exact batch-twin equality are all
-    * exercised identically at any feed size, while the gate stays in
-    * the same cost band as the other stream gates. Orderkey DENSITY is
-    * what the cap meters (~4 lineitems per orderkey, keys 1..n_orders):
-    * key < 8000 admits ~32k arrival rows at BOTH sf0.01 (keys 1..15k)
-    * and sf0.1 (keys 1..150k), and replica-0 keys only beyond (frozen —
-    * ScaleData shifts replica keys by ≥10⁶). Measured: the 1M cap
-    * streamed 600k sf0.1 rows at 13s/run; 100k keys = 400k rows at
-    * 6.0s; the contract — streamed set == batch B77 on the capped
-    * arrivals, same constant on BOTH engine and oracle sides — is
-    * feed-size-independent.
+  /** The fact-fed arrival cap (F24/F46/F47 gates): a COUNT bound (not
+    * a corpus fraction) — the ingest simulation is a MemoryStream, so
+    * its cost must not grow with the corpus. Sized to the F17/F21
+    * fixture class (~32k lineitem arrivals / ~8k orders, vs their
+    * 50k): the at-least-once replay contract, the per-group state
+    * machines, and the exact batch-twin equalities are all exercised
+    * identically at any feed size, while the gates stay in the same
+    * cost band as the other stream gates. Orderkey DENSITY is what
+    * the cap meters (~4 lineitems per orderkey, keys 1..n_orders):
+    * key < 8000 admits ~32k lineitem rows at BOTH sf0.01 (keys
+    * 1..15k) and sf0.1 (keys 1..150k), and replica-0 keys only beyond
+    * (frozen — ScaleData shifts replica keys by ≥10⁶). Measured: the
+    * 1M cap streamed 600k sf0.1 rows at 13s/run; 100k keys = 400k
+    * rows at 6.0s; the contracts — streamed state == the batch twin
+    * on the capped arrivals, same constant on BOTH engine and oracle
+    * sides — are feed-size-independent.
     */
-  private val KmvArrivalMaxKey = 8000L
+  private val StreamFactMaxKey = 8000L
 
   /** F24 (query-backed): STREAMING KMV DISTINCT — the B77 bottom-k
     * sketch as flatMapGroupsWithState state, three micro-batches PLUS
@@ -195,7 +197,7 @@ object StreamingGates {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val k = 64
     val arrivals = lineitem(s, dir)
-      .filter(col("l_orderkey") < KmvArrivalMaxKey)
+      .filter(col("l_orderkey") < StreamFactMaxKey)
       .select(col("l_returnflag"), col("l_partkey")).collect()
       .map(r => KmvArrival(r.getString(0), r.getLong(1))).toSeq
     val input = MemoryStream[KmvArrival]
@@ -215,7 +217,7 @@ object StreamingGates {
         rows.groupBy(_.grp).map { case (g, os) => g -> os.maxBy(_.ver).est }
       } finally q.stop()
     val exact = lineitem(s, dir)
-      .filter(col("l_orderkey") < KmvArrivalMaxKey)
+      .filter(col("l_orderkey") < StreamFactMaxKey)
       .select(col("l_returnflag"), col("l_partkey")).distinct()
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_exact"))
@@ -225,6 +227,148 @@ object StreamingGates {
       (g, nEx, est, math.abs(est - nEx) * 10000L / nEx)
     }.toDF("l_returnflag", "n_exact", "kmv_est", "err_bp")
       .orderBy(col("l_returnflag"))
+  }
+
+  /** F15 (query-backed): STREAMING RUNNING SUMS — the B59/B60 per-key
+    * prefix-sum window incrementalized (same runningSumStream kernel
+    * the spec drives): the 50k Zipf stream in event-id order, three
+    * micro-batches PLUS a re-delivered slice (the high-water-mark
+    * contract: a replayed offset must NOT double-count), one changelog
+    * row per applied event. The published frame is the final state on
+    * the top-5 keys by total: event count and exact running total —
+    * both recomputed by the oracle from the md5 formulas alone
+    * (a double-counted replay or a lost batch breaks the hash).
+    */
+  def qStreamRunningSums(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // the monotone-source contract: arrivals in event_id order
+    val ev = zipfArrivals(s).sortBy(_.event_id)
+    val input = MemoryStream[KeyedVal]
+    val q = EventStreams.runningSumStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_run_out").outputMode("update").start()
+    val rows =
+      try {
+        val third = ev.length / 3
+        input.addData(ev.take(third)); q.processAllAvailable()
+        input.addData(ev.slice(third, 2 * third)); q.processAllAvailable()
+        // re-deliver the first 100 events with the final batch: at or
+        // below each key's high-water mark, they must be dropped
+        input.addData(ev.drop(2 * third) ++ ev.take(100))
+        q.processAllAvailable()
+        s.table("gate_run_out").as[RunningOut].collect().toSeq
+      } finally q.stop()
+    val byUser = rows.groupBy(_.user_id)
+    val finals = byUser.map { case (u, rs) =>
+      (u, rs.size.toLong, rs.maxBy(_.event_id).running)
+    }.toSeq
+    finals.sortBy { case (u, _, tot) => (-tot, u) }.take(5)
+      .toDF("user_id", "n_events", "total_v")
+      .orderBy(col("user_id"))
+  }
+
+  /** F47 (query-backed): STREAMING BOTTOM-K UNIFORM SAMPLE — the B147
+    * fixed-size sampler as stream state (same bottomkSampleStream
+    * kernel, same "samp|" md5-prefix hash): the capped orders feed in
+    * a DELIBERATELY shuffled order (by cents, not key — the defining
+    * property is that the final sample is a pure function of the
+    * arrival SET), three micro-batches plus a re-delivered slice
+    * (re-inserting a present key is a set no-op). Publishes the final
+    * version's full sample (rank, key, cents) — row-for-row equal to
+    * the batch B147 query on the same capped set, which is exactly
+    * what the oracle recomputes.
+    */
+  def qStreamBottomk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val arrivals = orders(s, dir)
+      .filter(col("o_orderkey") < StreamFactMaxKey)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect()
+      .map(r => SampIn(r.getLong(0), r.getLong(1)))
+      .sortBy(e => (e.cents, e.key)) // fixed NON-key order: order-free proof
+      .toSeq
+    val input = MemoryStream[SampIn]
+    val q = EventStreams.bottomkSampleStream(input.toDS(), k = 100)
+      .writeStream.format("memory")
+      .queryName("gate_samp_out").outputMode("update").start()
+    val latest =
+      try {
+        val third = arrivals.length / 3
+        input.addData(arrivals.take(third)); q.processAllAvailable()
+        input.addData(arrivals.slice(third, 2 * third)); q.processAllAvailable()
+        input.addData(arrivals.drop(2 * third) ++ arrivals.take(100))
+        q.processAllAvailable()
+        val rows = s.table("gate_samp_out").as[SampOut].collect().toSeq
+        val maxVer = rows.map(_.version).max
+        rows.filter(_.version == maxVer)
+      } finally q.stop()
+    latest.sortBy(_.rank)
+      .map(o => (o.rank, o.key, o.cents))
+      .toDF("rank", "o_orderkey", "cents")
+      .orderBy(col("rank"))
+  }
+
+  /** F46 (query-backed): STREAMING POWER-SUM MOMENTS — the B142
+    * Jarque–Bera sufficient statistics maintained incrementally (same
+    * momentsStream kernel): capped lineitem arrivals in per-key
+    * sequence order (seq = orderkey·10 + linenumber), three
+    * micro-batches plus a re-delivered slice (below the sequence
+    * watermark ⇒ dropped), O(1) exact-integer state per returnflag.
+    * The final state IS the batch twin's moment row, so the published
+    * frame is the full B142 shape — n/Σx/Σx²/Σx³/Σx⁴ exact, skew/
+    * kurtosis/JB through the SAME shared formula text — and the
+    * oracle recomputes every value from parquet, blind to the stream.
+    */
+  def qStreamMoments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // seq must be UNIQUE per key ((l_orderkey, l_linenumber) is not —
+    // the fixture has duplicate line numbers, and a duplicate straddling
+    // a batch boundary would be watermark-dropped): deterministic total
+    // sort, then a dense driver-side sequence; remaining sort ties are
+    // fully identical arrivals, so the assignment is value-deterministic
+    val arrivals = lineitem(s, dir)
+      .filter(col("l_orderkey") < StreamFactMaxKey)
+      .select(col("l_returnflag"), col("l_orderkey"),
+        col("l_linenumber").cast("long"),
+        col("l_quantity").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(identity)
+      .zipWithIndex
+      .map { case ((flag, _, _, x), i) => MomIn(flag, i.toLong, x) }
+      .toSeq
+    val input = MemoryStream[MomIn]
+    val q = EventStreams.momentsStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_mom_out").outputMode("update").start()
+    val finals =
+      try {
+        val third = arrivals.length / 3
+        input.addData(arrivals.take(third)); q.processAllAvailable()
+        input.addData(arrivals.slice(third, 2 * third)); q.processAllAvailable()
+        input.addData(arrivals.drop(2 * third) ++ arrivals.take(100))
+        q.processAllAvailable()
+        val rows = s.table("gate_mom_out").as[MomOut].collect().toSeq
+        rows.groupBy(_.flag).values.map(_.maxBy(_.seq)).toSeq
+      } finally q.stop()
+    import graft.operators.{Relational => R}
+    finals.sortBy(_.flag)
+      .map(o => (o.flag, o.n, o.s1, o.s2, o.s3, o.s4))
+      .toDF("flag", "n", "s1", "s2", "s3", "s4")
+      .withColumn("m2", expr(R.jbM2Sql))
+      .withColumn("m3", expr(R.jbM3Sql))
+      .withColumn("m4", expr(R.jbM4Sql))
+      .withColumn("skew", expr(R.jbSkewSql))
+      .withColumn("kurt", expr(R.jbKurtSql))
+      .select(col("flag"), col("n"), col("s1"), col("s2"), col("s3"),
+        col("s4"), graft.functions.dec6(col("skew")).as("skew"),
+        graft.functions.dec6(col("kurt")).as("kurt"),
+        graft.functions.dec4(expr(R.jbStatSql)).as("jb_stat"))
+      .orderBy(col("flag"))
   }
 
   /** The 50k-row Zipf fixture rebuilt row-by-row from the md5 formulas
@@ -246,11 +390,60 @@ object StreamingGates {
   val oracles: Map[String, String] = Map(
     "q_stream_heavy_hitters" -> zipfTop5FlagsSql("found", "bounds_ok"),
     "q_stream_cms" -> zipfTop5FlagsSql("over_ok", "bound_ok"),
+    // the F15 value oracle: per-key totals from the md5 formulas
+    "q_stream_running_sums" -> {
+      val hu = TF.hexPrefix52Sql("md5('zu|'||i)")
+      val hv = TF.hexPrefix52Sql("md5('zv|'||i)")
+      s"""WITH e AS (SELECT
+        |    CAST(LEAST(4503599627370496 // ($hu + 1), 1000) AS BIGINT)
+        |      AS user_id,
+        |    CAST($hv % 100000 AS BIGINT) AS v
+        |  FROM (SELECT unnest(range($StreamZipfRows)) AS i)),
+        |t AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(v) AS BIGINT) AS total_v
+        |  FROM e GROUP BY 1 ORDER BY total_v DESC, user_id LIMIT 5)
+        |SELECT user_id, n_events, total_v FROM t ORDER BY user_id""".stripMargin
+    },
+    // the F47 value oracle: the full B147 replica on the capped orders
+    "q_stream_bottomk" -> {
+      val h = TF.hexPrefix52Sql("md5('samp|'||o_orderkey)")
+      s"""WITH h AS (SELECT o_orderkey,
+        |    CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents,
+        |    CAST($h AS BIGINT) AS h
+        |  FROM orders WHERE o_orderkey < $StreamFactMaxKey),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY h, o_orderkey) AS rank
+        |  FROM h)
+        |SELECT CAST(rank AS BIGINT) AS rank, o_orderkey, cents
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
+    },
+    // the F46 value oracle: the full B142 replica on the capped rows
+    "q_stream_moments" -> {
+      import graft.operators.{Relational => R}
+      s"""WITH m AS (SELECT l_returnflag AS flag,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT))
+        |      AS BIGINT) AS s2,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)
+        |      *CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)
+        |      *CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT))
+        |      AS BIGINT) AS s4
+        |  FROM lineitem WHERE l_orderkey < $StreamFactMaxKey GROUP BY 1),
+        |c AS (SELECT *, ${R.jbM2Sql} AS m2, ${R.jbM3Sql} AS m3,
+        |    ${R.jbM4Sql} AS m4 FROM m),
+        |k AS (SELECT *, ${R.jbSkewSql} AS skew, ${R.jbKurtSql} AS kurt FROM c)
+        |SELECT flag, n, s1, s2, s3, s4,
+        |  CAST(ROUND(skew, 6) AS DECIMAL(18,6))::DOUBLE AS skew,
+        |  CAST(ROUND(kurt, 6) AS DECIMAL(18,6))::DOUBLE AS kurt,
+        |  CAST(ROUND(${R.jbStatSql}, 4) AS DECIMAL(18,4))::DOUBLE AS jb_stat
+        |FROM k ORDER BY flag""".stripMargin
+    },
     // the full B77 value oracle, on the capped arrival set
     "q_stream_kmv" -> {
       val h = TF.hexPrefix52Sql("md5('kmv|' || CAST(l_partkey AS VARCHAR))")
       s"""WITH d AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem
-        |  WHERE l_orderkey < $KmvArrivalMaxKey),
+        |  WHERE l_orderkey < $StreamFactMaxKey),
         |h AS (SELECT l_returnflag, l_partkey, $h AS hv FROM d),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
         |    ORDER BY hv, l_partkey) AS rn FROM h),
