@@ -371,6 +371,53 @@ object StreamingGates {
       .orderBy(col("flag"))
   }
 
+  /** The F52 document cap: a COUNT bound on doc_id — the full corpus at
+    * sf0.01 (500 docs), 2000 docs at sf0.1, frozen beyond (replica-0
+    * ids only — ScaleData shifts replica doc_ids by ≥10⁵).
+    */
+  private val LshDocMaxId = 2000L
+
+  /** F52 (query-backed): STREAMING MinHash-LSH NEAR-DUP DETECTION —
+    * the LSH dedup pillar run as a live detector (same banding kernel
+    * as C5/C6 via TextKernels.lshBandKeys): capped documents stream in
+    * three micro-batches PLUS a re-delivered slice (bucket membership
+    * is a SET — a replayed doc emits nothing, and the cumulative pair
+    * set is a pure function of the arrival set), each (band, bkey)
+    * bucket accumulating its member ids as keyed state and emitting
+    * candidate pairs the moment a new member lands. The stream's
+    * distinct candidate set then passes the SAME exact-Jaccard ≥ 0.5
+    * verifier as the batch C6 query, so the published frame must equal
+    * the batch LSH pipeline row-for-row — which is exactly what the
+    * oracle recomputes from parquet, blind to the stream.
+    */
+  def qStreamLshPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docsArr = documents(s, dir)
+      .filter(col("doc_id") < LshDocMaxId)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => EventStreams.LshDoc(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id)
+      .toSeq
+    val input = MemoryStream[EventStreams.LshDoc]
+    val q = EventStreams.lshPairsStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_lsh_out").outputMode("update").start()
+    val cand =
+      try {
+        val third = docsArr.length / 3
+        input.addData(docsArr.take(third)); q.processAllAvailable()
+        input.addData(docsArr.slice(third, 2 * third)); q.processAllAvailable()
+        input.addData(docsArr.drop(2 * third) ++ docsArr.take(100))
+        q.processAllAvailable()
+        s.table("gate_lsh_out").as[EventStreams.LshCand].collect()
+          .map(c => (c.a_id, c.b_id)).distinct.toSeq
+      } finally q.stop()
+    TextOps.lshStreamConfirm(s, dir,
+      cand.toDF("a_id", "b_id"), LshDocMaxId)
+  }
+
   /** The 50k-row Zipf fixture rebuilt row-by-row from the md5 formulas
     * (the B57-B62 oracle convention at the stream gate's row count).
     */
@@ -390,6 +437,8 @@ object StreamingGates {
   val oracles: Map[String, String] = Map(
     "q_stream_heavy_hitters" -> zipfTop5FlagsSql("found", "bounds_ok"),
     "q_stream_cms" -> zipfTop5FlagsSql("over_ok", "bound_ok"),
+    // the F52 value oracle: the full C6 LSH pipeline on the capped docs
+    "q_stream_lsh_pairs" -> TextOps.lshPairsCappedOracleSql(LshDocMaxId),
     // the F15 value oracle: per-key totals from the md5 formulas
     "q_stream_running_sums" -> {
       val hu = TF.hexPrefix52Sql("md5('zu|'||i)")

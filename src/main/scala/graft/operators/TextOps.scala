@@ -383,6 +383,41 @@ object TextOps {
     jaccardVerify(sets, cand, tau = 0.5)
   }
 
+  /** F52 confirm step (shared with the streaming LSH gate): exact
+    * Jaccard ≥ 0.5 verification of a caller-supplied candidate frame
+    * (a_id, b_id) against the capped document shingle sets — the same
+    * [[jaccardVerify]] tail as C6, so stream-discovered candidates and
+    * batch candidates publish through one verifier.
+    */
+  private[graft] def lshStreamConfirm(s: SparkSession, dir: String,
+      cand: DataFrame, maxDocId: Long): DataFrame = {
+    val sets = graft.core.Materialize.pin(
+      shingled(s, dir).filter(col("doc_id") < maxDocId))
+    jaccardVerify(sets, cand, tau = 0.5)
+  }
+
+  /** The C6 oracle restricted to doc_id < maxDocId (the F52 gate's
+    * count-bounded arrival set): same base/signature/band/candidate/
+    * verify CTEs, with the cap applied at the documents scan.
+    */
+  private[operators] def lshPairsCappedOracleSql(maxDocId: Long): String = {
+    // baseSql's one documents scan gains the cap predicate
+    val cappedBase = baseSql.replace(
+      "FROM documents)",
+      s"FROM documents WHERE doc_id < $maxDocId)")
+    s"""WITH $cappedBase,
+      |$sigSql,
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, sig0 || '#' || sig1 AS bkey FROM sig UNION ALL
+      |  SELECT doc_id, 1, sig2 || '#' || sig3 FROM sig UNION ALL
+      |  SELECT doc_id, 2, sig4 || '#' || sig5 FROM sig UNION ALL
+      |  SELECT doc_id, 3, sig6 || '#' || sig7 FROM sig),
+      |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      |  FROM bands x JOIN bands y
+      |  ON x.band=y.band AND x.bkey=y.bkey AND x.doc_id<y.doc_id)
+      |$jacSelSql""".stripMargin
+  }
+
   /** C58: split-LEAKAGE audit — the eval-contamination census every
     * benchmark pipeline needs BEFORE it trusts a held-out score: a
     * near-duplicate pair straddling the train/test boundary silently

@@ -1764,6 +1764,60 @@ object EventStreams {
     }.sum / 9
   }
 
+  /** F52 input/output: a document arrival; an emitted LSH candidate
+    * pair (a_id < b_id) in the band where the two docs first met. */
+  final case class LshDoc(doc_id: Long, text: String)
+  final case class LshCand(band: Int, a_id: Long, b_id: Long)
+
+  /** F52: streaming MinHash-LSH near-duplicate candidate detection —
+    * the LSH pillar of the dedup family made CONTINUOUS (next to F14's
+    * embedding SemDeDup and F19's exact canonical dedup): each arriving
+    * document computes its 4×2 band keys STATELESSLY via the SHARED
+    * C5/C6 kernel ([[graft.functions.TextKernels.lshBandKeys]] — same
+    * shingles, same md5 permutations, same "#" band key, so stream and
+    * batch candidates cannot diverge by construction), and each
+    * (band, bkey) bucket holds its member doc-id set as keyed state —
+    * a new member emits one candidate pair per existing member THE
+    * MOMENT IT LANDS (the online crawl-dedup shape: pairs surface
+    * while the crawl is live, not in tomorrow's batch). Set semantics
+    * make it replay-safe with no watermark: a re-delivered doc is
+    * already a member and emits nothing, and the cumulative pair SET
+    * is a pure function of the arrival set — delivery order only
+    * permutes which side was "already present". At 100 TB the state
+    * is the LSH index itself (O(docs·bands) entries sharded by bucket
+    * key — the same size as the batch index); degenerate hot buckets
+    * are bounded by the C6 maxBucketSize posture (cap + quarantine)
+    * rather than unbounded pair fan-out.
+    */
+  def lshPairsStream(in: Dataset[LshDoc]): Dataset[LshCand] = {
+    import in.sparkSession.implicits._
+    val banded = in.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { d =>
+        graft.functions.TextKernels.lshBandKeys(md, d.text)
+          .map { case (b, k) => (b, k, d.doc_id) }
+      }
+    }
+    banded.groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (key: (Int, String), batch: Iterator[(Int, String, Long)],
+         state: GroupState[Seq[Long]]) => {
+          var members = state.getOption.getOrElse(Seq.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[LshCand]
+          batch.toArray.map(_._3).distinct.sorted.foreach { id =>
+            if (!members.contains(id)) {
+              members.foreach { m =>
+                out += (if (m < id) LshCand(key._1, m, id)
+                        else LshCand(key._1, id, m))
+              }
+              members = members :+ id
+            }
+          }
+          state.update(members)
+          out.iterator
+        })
+  }
+
   /** The B88 PSI statistic as a pure kernel over two bucket histograms
     * (the F26 meet): per-bucket (p_a−p_b)·ln(p_a/p_b) terms e6-rounded
     * BEFORE the exact integer sum (the C33 rule); buckets empty on

@@ -1807,4 +1807,51 @@ class StreamingSpec extends AnyFunSuite {
 
   private def unix_micros_of(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+  test("F52 streaming LSH pairs equal batch qLshPairs under adversarial order and replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => EventStreams.LshDoc(r.getLong(0), r.getString(1)))
+      .toSeq
+
+    def streamCands(feed: Seq[Seq[EventStreams.LshDoc]], name: String): Set[(Long, Long)] = {
+      val input = MemoryStream[EventStreams.LshDoc]
+      val q = EventStreams.lshPairsStream(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        feed.foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.table(name).as[EventStreams.LshCand].collect()
+          .map(c => (c.a_id, c.b_id)).toSet
+      } finally q.stop()
+    }
+
+    // adversarial: reverse-id order, uneven splits, a replayed slice
+    val rev = docs.sortBy(-_.doc_id)
+    val a = streamCands(Seq(rev.take(7), rev.slice(7, 11),
+      rev.drop(11) ++ rev.take(5)), "lsh_rev")
+    // canonical id order, different split
+    val fwd = docs.sortBy(_.doc_id)
+    val b = streamCands(Seq(fwd.take(fwd.length / 2),
+      fwd.drop(fwd.length / 2)), "lsh_fwd")
+    // order independence: the candidate SET is a function of the arrival set
+    assert(a == b)
+    assert(a.nonEmpty)
+
+    // confirmed pairs through the shared verifier equal the batch C6 query
+    val confirmed = graft.operators.TextOps.lshStreamConfirm(
+        spark, sfDir, a.toSeq.toDF("a_id", "b_id"), Long.MaxValue)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 10000)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val batch = graft.operators.TextOps.qLshPairs(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 10000)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(batch.nonEmpty)
+    assert(confirmed == batch)
+  }
 }
