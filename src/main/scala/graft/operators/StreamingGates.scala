@@ -371,6 +371,69 @@ object StreamingGates {
       .orderBy(col("flag"))
   }
 
+  /** F48 (query-backed): STREAMING KMV MERGE — the distributed face of
+    * F24 (the reason the sketch earns its place at 100 TB): the capped
+    * arrival set splits into TWO DISJOINT shard streams (partkey
+    * parity — sites, executors, Kafka partitions), each runs its own
+    * independent kmvStream (one with a re-delivered slice), and the
+    * latest per-shard sketches merge via kmvMerge with O(k) traffic.
+    * The min-k identity — min-k(A∪B) = min-k(min-k(A) ∪ min-k(B)) —
+    * makes the merged sketch equal the FULL-data sketch EXACTLY, so
+    * the published estimates must match the same B77 DuckDB replica
+    * F24 uses, while the per-shard kept counts pin that both shards
+    * really ran (the oracle re-derives them from the parity split).
+    */
+  def qStreamKmvMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val k = 64
+    val arrivals = lineitem(s, dir)
+      .filter(col("l_orderkey") < StreamFactMaxKey)
+      .select(col("l_returnflag"), col("l_partkey")).collect()
+      .map(r => KmvArrival(r.getString(0), r.getLong(1))).toSeq
+    val (sh0, sh1) = arrivals.partition(_.value % 2 == 0)
+
+    def runShard(name: String, evs: Seq[KmvArrival],
+                 replay: Boolean): Map[String, KmvOut] = {
+      val input = MemoryStream[KmvArrival]
+      val q = EventStreams.kmvStream(input.toDS(), k)
+        .writeStream.format("memory")
+        .queryName(name).outputMode("update").start()
+      try {
+        val third = evs.length / 3
+        input.addData(evs.take(third)); q.processAllAvailable()
+        input.addData(evs.slice(third, 2 * third)); q.processAllAvailable()
+        input.addData(evs.drop(2 * third) ++
+          (if (replay) evs.take(100) else Nil))
+        q.processAllAvailable()
+        s.table(name).as[KmvOut].collect().toSeq
+          .groupBy(_.grp).map { case (g, os) => g -> os.maxBy(_.ver) }
+      } finally q.stop()
+    }
+    val a = runShard("gate_kmvm_a", sh0, replay = true)
+    val b = runShard("gate_kmvm_b", sh1, replay = false)
+
+    val exact = lineitem(s, dir)
+      .filter(col("l_orderkey") < StreamFactMaxKey)
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.toSeq.sortBy(_._1).map { case (g, nEx) =>
+      val sa = a.get(g)
+      val sb = b.get(g)
+      val (mh, _) = EventStreams.kmvMerge(
+        sa.map(_.hs).getOrElse(Array.empty), sa.map(_.vs).getOrElse(Array.empty),
+        sb.map(_.hs).getOrElse(Array.empty), sb.map(_.vs).getOrElse(Array.empty), k)
+      val est = EventStreams.kmvEstimate(mh, k)
+      (g, nEx, est, math.abs(est - nEx) * 10000L / nEx,
+        sa.map(_.n_kept.toLong).getOrElse(0L),
+        sb.map(_.n_kept.toLong).getOrElse(0L))
+    }.toDF("l_returnflag", "n_exact", "kmv_est", "err_bp",
+      "n_kept_even", "n_kept_odd")
+      .orderBy(col("l_returnflag"))
+  }
+
   /** The F52 document cap: a COUNT bound on doc_id — the full corpus at
     * sf0.01 (500 docs), 2000 docs at sf0.1, frozen beyond (replica-0
     * ids only — ScaleData shifts replica doc_ids by ≥10⁵).
@@ -437,6 +500,34 @@ object StreamingGates {
   val oracles: Map[String, String] = Map(
     "q_stream_heavy_hitters" -> zipfTop5FlagsSql("found", "bounds_ok"),
     "q_stream_cms" -> zipfTop5FlagsSql("over_ok", "bound_ok"),
+    // the F48 value oracle: the B77 replica (merged == full-data sketch
+    // by the min-k identity) + per-parity-shard kept counts
+    "q_stream_kmv_merge" -> {
+      val h = TF.hexPrefix52Sql("md5('kmv|' || CAST(l_partkey AS VARCHAR))")
+      s"""WITH d AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem
+        |  WHERE l_orderkey < $StreamFactMaxKey),
+        |h AS (SELECT l_returnflag, l_partkey, $h AS hv FROM d),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |    ORDER BY hv, l_partkey) AS rn FROM h),
+        |kk AS (SELECT l_returnflag, MAX(hv) AS kth, COUNT(*) AS n_kept
+        |  FROM r WHERE rn <= 64 GROUP BY 1),
+        |ex AS (SELECT l_returnflag, COUNT(*) AS n_exact FROM d GROUP BY 1),
+        |sh AS (SELECT l_returnflag,
+        |    CAST(LEAST(SUM(CASE WHEN l_partkey % 2 = 0 THEN 1 ELSE 0 END),
+        |      64) AS BIGINT) AS n_kept_even,
+        |    CAST(LEAST(SUM(CASE WHEN l_partkey % 2 = 1 THEN 1 ELSE 0 END),
+        |      64) AS BIGINT) AS n_kept_odd
+        |  FROM d GROUP BY 1),
+        |j AS (SELECT ex.l_returnflag, n_exact,
+        |  CASE WHEN n_kept < 64 THEN n_exact
+        |       ELSE CAST(283726776524341248 // kth AS BIGINT) END AS kmv_est
+        |  FROM ex JOIN kk USING (l_returnflag))
+        |SELECT j.l_returnflag, CAST(n_exact AS BIGINT) AS n_exact, kmv_est,
+        |  CAST(ABS(kmv_est - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp,
+        |  sh.n_kept_even, sh.n_kept_odd
+        |FROM j JOIN sh ON j.l_returnflag = sh.l_returnflag
+        |ORDER BY 1""".stripMargin
+    },
     // the F52 value oracle: the full C6 LSH pipeline on the capped docs
     "q_stream_lsh_pairs" -> TextOps.lshPairsCappedOracleSql(LshDocMaxId),
     // the F15 value oracle: per-key totals from the md5 formulas
