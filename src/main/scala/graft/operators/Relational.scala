@@ -3182,7 +3182,7 @@ object Relational {
   /** The shared B94/B95 daily revenue series: fact → day domain in ONE
     * map-side-combined aggregate (the B61/B85 collapse), exact cents.
     */
-  private def dailyRevenue(s: SparkSession, dir: String): DataFrame =
+  private[operators] def dailyRevenue(s: SparkSession, dir: String): DataFrame =
     orders(s, dir)
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("x"))

@@ -434,6 +434,70 @@ object StreamingGates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** F43 (query-backed): STREAMING PAGE–HINKLEY drift detection — the
+    * B140 sequential changepoint monitor actually run SEQUENTIALLY
+    * (four O(1) state cells: count, cumulative sum, m_t, min m_j):
+    * the ≤|days| daily-revenue aggregate streams in day order (the
+    * documented production shape — a windowed upstream agg, never the
+    * raw fact, so the arrival count is corpus-INDEPENDENT), three
+    * micro-batches plus a re-delivered slice (below the day watermark
+    * ⇒ dropped), λ = 10·global-mean supplied as the batch-calibrated
+    * fit artifact. The emitted per-day series must reproduce the
+    * batch recursion exactly, so the published frame is the B140
+    * HEADLINE row itself — and the oracle is the B140 oracle,
+    * verbatim.
+    */
+  def qStreamPageHinkley(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val daily = Relational.dailyRevenue(s, dir).collect()
+      .map { r =>
+        // o_orderdate has shipped in several physical temporal types
+        val day = r.get(0) match {
+          case t: java.sql.Timestamp =>
+            t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+          case l: java.time.LocalDateTime => l.toLocalDate
+          case i: java.time.Instant =>
+            i.atZone(java.time.ZoneOffset.UTC).toLocalDate
+          case d: java.sql.Date => d.toLocalDate
+          case d: java.time.LocalDate => d
+        }
+        (day.toEpochDay, r.getLong(1))
+      }
+      .sortBy(_._1)
+    val n = daily.length.toLong
+    val gmean = daily.map(_._2).sum / n // λ calibration, the B140 rule
+    val lambda = 10L * gmean
+    val arrivals = daily.map { case (d, x) => EventStreams.PhIn(d, x) }.toSeq
+    val input = MemoryStream[EventStreams.PhIn]
+    val q = EventStreams.pageHinkleyStream(input.toDS(), lambda)
+      .writeStream.format("memory")
+      .queryName("gate_ph_out").outputMode("update").start()
+    val series =
+      try {
+        val third = arrivals.length / 3
+        input.addData(arrivals.take(third)); q.processAllAvailable()
+        input.addData(arrivals.slice(third, 2 * third)); q.processAllAvailable()
+        input.addData(arrivals.drop(2 * third) ++ arrivals.take(50))
+        q.processAllAvailable()
+        s.table("gate_ph_out").as[EventStreams.PhOut].collect().toSeq
+      } finally q.stop()
+    require(series.length == daily.length,
+      s"stream emitted ${series.length} rows for ${daily.length} days " +
+        "(a replayed day double-counted or a day was lost)")
+    def dayStr(ed: Long): String =
+      java.time.LocalDate.ofEpochDay(ed).toString
+    val maxPh = series.map(_.ph).max
+    val alarms = series.filter(_.alarm)
+    Seq((n, gmean, maxPh,
+      dayStr(series.filter(_.ph == maxPh).map(_.day_ed).min),
+      alarms.length.toLong,
+      alarms.map(_.day_ed).minOption.map(dayStr),
+      series.map(_.mt).min))
+      .toDF("n_days", "gmean_cents", "max_ph", "peak_day",
+        "n_alarm_days", "first_alarm_day", "min_m")
+  }
+
   /** The F52 document cap: a COUNT bound on doc_id — the full corpus at
     * sf0.01 (500 docs), 2000 docs at sf0.1, frozen beyond (replica-0
     * ids only — ScaleData shifts replica doc_ids by ≥10⁵).
@@ -500,6 +564,9 @@ object StreamingGates {
   val oracles: Map[String, String] = Map(
     "q_stream_heavy_hitters" -> zipfTop5FlagsSql("found", "bounds_ok"),
     "q_stream_cms" -> zipfTop5FlagsSql("over_ok", "bound_ok"),
+    // the F43 value oracle: the stream publishes the batch B140 headline
+    // row exactly, so its oracle IS the B140 oracle, verbatim
+    "q_stream_page_hinkley" -> Relational.oracles("q_page_hinkley"),
     // the F48 value oracle: the B77 replica (merged == full-data sketch
     // by the min-k identity) + per-parity-shard kept counts
     "q_stream_kmv_merge" -> {
