@@ -3361,7 +3361,7 @@ object Relational {
   /** B145 shared formula: pooled two-proportion z — the A/B
     * conversion test: z = (p1−p2)/sqrt(p̂(1−p̂)(1/n1+1/n2)) with
     * p̂ the pooled rate, every operand an exact integer count. */
-  private val twoPropZSql =
+  private[graft] val twoPropZSql =
     "(CAST(x1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(x2 AS DOUBLE)/CAST(n2 AS DOUBLE))" +
       " / sqrt( ((CAST(x1 AS DOUBLE)+CAST(x2 AS DOUBLE))/(CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE)))" +
       " * (1.0 - (CAST(x1 AS DOUBLE)+CAST(x2 AS DOUBLE))/(CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE)))" +

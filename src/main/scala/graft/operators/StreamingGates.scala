@@ -498,6 +498,57 @@ object StreamingGates {
         "n_alarm_days", "first_alarm_day", "min_m")
   }
 
+  /** The F45 arrival cap: a COUNT bound on event_id — ~30k arrivals at
+    * every gate scale (event ids are dense from 0), replica-0 ids only
+    * beyond (frozen).
+    */
+  private val AbEventMaxId = 30000L
+
+  /** F45 (query-backed): STREAMING A/B CONVERSION MONITOR — the B145
+    * two-proportion z-test run as the live experiment dashboard it is
+    * in production: four O(1) counter cells (n/x per cohort) advance
+    * per arrival (cohort = user parity, the B145 assignment), three
+    * micro-batches plus a re-delivered slice (below the event-id
+    * watermark ⇒ dropped — a double-counted conversion is exactly the
+    * bug this contract catches). The final counters ARE the batch
+    * census on the capped arrivals, so the published frame is the
+    * full B145 shape — counts, exact integral ppm rates, pooled z via
+    * the SAME shared formula text — recomputed by the oracle from
+    * parquet, blind to the stream.
+    */
+  def qStreamTwoProportion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val arrivals = events(s, dir)
+      .filter(col("event_id") < AbEventMaxId)
+      .select(col("event_id"), (col("user_id") % 2).cast("int"),
+        (col("event_type") === "purchase"))
+      .collect()
+      .map(r => EventStreams.AbIn(r.getLong(0),
+        if (r.getInt(1) == 0) 0 else 1, r.getBoolean(2)))
+      .sortBy(_.event_id)
+      .toSeq
+    val input = MemoryStream[EventStreams.AbIn]
+    val q = EventStreams.abMonitorStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_ab_out").outputMode("update").start()
+    val fin =
+      try {
+        val third = arrivals.length / 3
+        input.addData(arrivals.take(third)); q.processAllAvailable()
+        input.addData(arrivals.slice(third, 2 * third)); q.processAllAvailable()
+        input.addData(arrivals.drop(2 * third) ++ arrivals.take(100))
+        q.processAllAvailable()
+        s.table("gate_ab_out").as[EventStreams.AbOut].collect()
+          .maxBy(_.event_id)
+      } finally q.stop()
+    Seq((fin.n1, fin.x1, fin.n2, fin.x2, fin.p1_ppm, fin.p2_ppm))
+      .toDF("n1", "x1", "n2", "x2", "p1_ppm", "p2_ppm")
+      .select(col("n1"), col("x1"), col("n2"), col("x2"),
+        col("p1_ppm"), col("p2_ppm"),
+        graft.functions.dec6(expr(Relational.twoPropZSql)).as("z_stat"))
+  }
+
   /** The F52 document cap: a COUNT bound on doc_id — the full corpus at
     * sf0.01 (500 docs), 2000 docs at sf0.1, frozen beyond (replica-0
     * ids only — ScaleData shifts replica doc_ids by ≥10⁵).
@@ -564,6 +615,22 @@ object StreamingGates {
   val oracles: Map[String, String] = Map(
     "q_stream_heavy_hitters" -> zipfTop5FlagsSql("found", "bounds_ok"),
     "q_stream_cms" -> zipfTop5FlagsSql("over_ok", "bound_ok"),
+    // the F45 value oracle: the full B145 replica on the capped arrivals
+    "q_stream_two_proportion" ->
+      s"""WITH m AS (SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x2
+        |  FROM events WHERE event_id < $AbEventMaxId)
+        |SELECT n1, x1, n2, x2,
+        |  CAST((x1 * 1000000) // n1 AS BIGINT) AS p1_ppm,
+        |  CAST((x2 * 1000000) // n2 AS BIGINT) AS p2_ppm,
+        |  CAST(ROUND(${Relational.twoPropZSql}, 6) AS DECIMAL(18,6))::DOUBLE
+        |    AS z_stat
+        |FROM m""".stripMargin,
     // the F43 value oracle: the stream publishes the batch B140 headline
     // row exactly, so its oracle IS the B140 oracle, verbatim
     "q_stream_page_hinkley" -> Relational.oracles("q_page_hinkley"),
