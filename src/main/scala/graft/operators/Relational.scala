@@ -2534,7 +2534,7 @@ object Relational {
 
   /** B155 shared delta text — the ONE float step over exact dominance
     * counts: δ = (gt − lt)/(na·nb). */
-  private val cliffsSql =
+  private[graft] val cliffsSql =
     "(CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE)) / " +
       "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
 

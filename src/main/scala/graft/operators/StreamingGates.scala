@@ -549,6 +549,97 @@ object StreamingGates {
         graft.functions.dec6(expr(Relational.twoPropZSql)).as("z_stat"))
   }
 
+  /** F49 (query-backed): STREAMING ORDERED-ARM TREND MONITOR — B154's
+    * Cochran–Armitage dose-response test live: five O(1) counter
+    * cells (n, x, Σscore, Σscore·succ, Σscore²) advance per capped
+    * order arrival (arm = priority rank, success = fulfilled), three
+    * micro-batches plus a re-delivered slice (event-id watermark ⇒
+    * dropped). The final state IS the batch sufficient-statistic row
+    * on the capped arrivals; the trend z is the SAME one-float-step
+    * shared text, so the oracle recomputes every value from parquet.
+    */
+  def qStreamCochranArmitage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val arrivals = orders(s, dir)
+      .filter(col("o_orderkey") < StreamFactMaxKey)
+      .select(col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1).cast("long"),
+        (col("o_orderstatus") === "F"))
+      .collect()
+      .map(r => EventStreams.CaIn(r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_.event_id)
+      .toSeq
+    val input = MemoryStream[EventStreams.CaIn]
+    val q = EventStreams.caMonitorStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_ca_out").outputMode("update").start()
+    val fin =
+      try {
+        val third = arrivals.length / 3
+        input.addData(arrivals.take(third)); q.processAllAvailable()
+        input.addData(arrivals.slice(third, 2 * third)); q.processAllAvailable()
+        input.addData(arrivals.drop(2 * third) ++ arrivals.take(100))
+        q.processAllAvailable()
+        s.table("gate_ca_out").as[EventStreams.CaOut].collect()
+          .maxBy(_.event_id)
+      } finally q.stop()
+    Seq((fin.n, fin.x, fin.sx, fin.sn, fin.sn2))
+      .toDF("n", "x", "sx", "sn", "sn2")
+      .select(col("n"), col("x"), col("sx"), col("sn"), col("sn2"),
+        graft.functions.dec6(expr(Relational.caZSql)).as("z_stat"))
+  }
+
+  /** F50 (query-backed): STREAMING DOMINANCE MONITOR — B155's Cliff's
+    * delta effect size live: state is the two ≤51-cell quantity
+    * histograms (the domain bound that makes the batch query
+    * join-free makes the stream state O(|domain|) FOREVER), each
+    * batch re-emitting the exact dominance census via the O(|domain|)
+    * cumulative pass; capped lineitem arrivals in the B155 shipdate
+    * window, cohorts by shipdate year, dense driver-side event ids
+    * (the F46 uniqueness lesson), a re-delivered slice dropped at the
+    * watermark. Latest census + the shared δ text == the B155 replica
+    * on the capped rows, which the oracle recomputes blind.
+    */
+  def qStreamCliffsDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val arrivals = lineitem(s, dir)
+      .filter(col("l_orderkey") < StreamFactMaxKey &&
+        col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1999-01-01"))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+        when(col("l_shipdate") < lit("1998-01-01"), 0).otherwise(1),
+        col("l_quantity").cast("int"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .sortBy(identity)
+      .zipWithIndex
+      .map { case ((_, _, cohort, v), i) =>
+        EventStreams.CdIn(i.toLong, cohort, v)
+      }
+      .toSeq
+    val input = MemoryStream[EventStreams.CdIn]
+    val q = EventStreams.dominanceStream(input.toDS(), vMax = 50)
+      .writeStream.format("memory")
+      .queryName("gate_cd_out").outputMode("update").start()
+    val fin =
+      try {
+        val third = arrivals.length / 3
+        input.addData(arrivals.take(third)); q.processAllAvailable()
+        input.addData(arrivals.slice(third, 2 * third)); q.processAllAvailable()
+        input.addData(arrivals.drop(2 * third) ++ arrivals.take(100))
+        q.processAllAvailable()
+        s.table("gate_cd_out").as[EventStreams.CdOut].collect()
+          .maxBy(_.ver)
+      } finally q.stop()
+    Seq((fin.n_a, fin.n_b, fin.n_gt, fin.n_lt))
+      .toDF("na", "nb", "gt", "lt")
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("gt").as("n_gt"), col("lt").as("n_lt"),
+        graft.functions.dec6(expr(Relational.cliffsSql)).as("delta"))
+  }
+
   /** The F52 document cap: a COUNT bound on doc_id — the full corpus at
     * sf0.01 (500 docs), 2000 docs at sf0.1, frozen beyond (replica-0
     * ids only — ScaleData shifts replica doc_ids by ≥10⁵).
@@ -615,6 +706,40 @@ object StreamingGates {
   val oracles: Map[String, String] = Map(
     "q_stream_heavy_hitters" -> zipfTop5FlagsSql("found", "bounds_ok"),
     "q_stream_cms" -> zipfTop5FlagsSql("over_ok", "bound_ok"),
+    // the F49 value oracle: the full B154 replica on the capped orders
+    "q_stream_cochran_armitage" ->
+      s"""WITH b AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS k,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS succ
+        |  FROM orders WHERE o_orderkey < $StreamFactMaxKey),
+        |a AS (SELECT COUNT(*) AS n, CAST(SUM(succ) AS BIGINT) AS x,
+        |    CAST(SUM(k * succ) AS BIGINT) AS sx, CAST(SUM(k) AS BIGINT) AS sn,
+        |    CAST(SUM(k * k) AS BIGINT) AS sn2 FROM b)
+        |SELECT n, x, sx, sn, sn2,
+        |  CAST(ROUND(${Relational.caZSql}, 6) AS DECIMAL(18,6))::DOUBLE
+        |    AS z_stat FROM a""".stripMargin,
+    // the F50 value oracle: the full B155 replica on the capped rows
+    "q_stream_cliffs_delta" ->
+      s"""WITH c0 AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+        |      THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+        |    CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+        |      THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+        |  FROM lineitem
+        |  WHERE l_orderkey < $StreamFactMaxKey
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  GROUP BY 1),
+        |r AS (SELECT *, COALESCE(SUM(cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+        |    SUM(cb) OVER () AS nbt
+        |  FROM c0),
+        |a AS (SELECT SUM(ca) AS na, MAX(nbt) AS nb,
+        |    SUM(ca * cumb) AS gt, SUM(ca * (nbt - cumb - cb)) AS lt FROM r)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(gt AS BIGINT) AS n_gt, CAST(lt AS BIGINT) AS n_lt,
+        |  CAST(ROUND(${Relational.cliffsSql}, 6) AS DECIMAL(18,6))::DOUBLE
+        |    AS delta
+        |FROM a""".stripMargin,
     // the F45 value oracle: the full B145 replica on the capped arrivals
     "q_stream_two_proportion" ->
       s"""WITH m AS (SELECT
