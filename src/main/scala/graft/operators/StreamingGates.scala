@@ -373,10 +373,13 @@ object StreamingGates {
 
   /** F48 (query-backed): STREAMING KMV MERGE — the distributed face of
     * F24 (the reason the sketch earns its place at 100 TB): the capped
-    * arrival set splits into TWO DISJOINT shard streams (partkey
-    * parity — sites, executors, Kafka partitions), each runs its own
-    * independent kmvStream (one with a re-delivered slice), and the
-    * latest per-shard sketches merge via kmvMerge with O(k) traffic.
+    * arrival set splits into TWO DISJOINT shards (partkey parity —
+    * sites, executors, Kafka partitions), each building its own
+    * partial sketch from its shard's arrivals only (shard-prefixed
+    * group keys in one job — production's sharded-state layout; the
+    * F48 spec additionally proves the two-physical-streams form), and
+    * the latest per-shard sketches merge via kmvMerge with O(k)
+    * traffic.
     * The min-k identity — min-k(A∪B) = min-k(min-k(A) ∪ min-k(B)) —
     * makes the merged sketch equal the FULL-data sketch EXACTLY, so
     * the published estimates must match the same B77 DuckDB replica
@@ -393,25 +396,37 @@ object StreamingGates {
       .map(r => KmvArrival(r.getString(0), r.getLong(1))).toSeq
     val (sh0, sh1) = arrivals.partition(_.value % 2 == 0)
 
-    def runShard(name: String, evs: Seq[KmvArrival],
-                 replay: Boolean): Map[String, KmvOut] = {
-      val input = MemoryStream[KmvArrival]
-      val q = EventStreams.kmvStream(input.toDS(), k)
-        .writeStream.format("memory")
-        .queryName(name).outputMode("update").start()
+    // ONE streaming job with SHARD-PREFIXED group keys — production's
+    // actual layout (one job, state sharded across executors by key;
+    // each (shard, group) sketch is built from ITS shard's arrivals
+    // only, so the partial sketches are exactly as independent as two
+    // physical jobs would make them — the F48 spec additionally proves
+    // the two-physical-streams form). Shard 0 re-delivers a slice: the
+    // min-k SET absorbs the replay; shard 1 proves the replay-free path.
+    def tag(shard: Int, evs: Seq[KmvArrival]): Seq[KmvArrival] =
+      evs.map(e => KmvArrival(s"$shard|${e.grp}", e.value))
+    val t0 = tag(0, sh0)
+    val t1 = tag(1, sh1)
+    val input = MemoryStream[KmvArrival]
+    val q = EventStreams.kmvStream(input.toDS(), k)
+      .writeStream.format("memory")
+      .queryName("gate_kmvm_out").outputMode("update").start()
+    val latest =
       try {
-        val third = evs.length / 3
-        input.addData(evs.take(third)); q.processAllAvailable()
-        input.addData(evs.slice(third, 2 * third)); q.processAllAvailable()
-        input.addData(evs.drop(2 * third) ++
-          (if (replay) evs.take(100) else Nil))
+        val (tA, tB) = (t0.length / 3, t1.length / 3)
+        input.addData(t0.take(tA) ++ t1.take(tB))
         q.processAllAvailable()
-        s.table(name).as[KmvOut].collect().toSeq
+        input.addData(t0.slice(tA, 2 * tA) ++ t1.slice(tB, 2 * tB))
+        q.processAllAvailable()
+        input.addData(t0.drop(2 * tA) ++ t1.drop(2 * tB) ++ t0.take(100))
+        q.processAllAvailable()
+        s.table("gate_kmvm_out").as[KmvOut].collect().toSeq
           .groupBy(_.grp).map { case (g, os) => g -> os.maxBy(_.ver) }
       } finally q.stop()
-    }
-    val a = runShard("gate_kmvm_a", sh0, replay = true)
-    val b = runShard("gate_kmvm_b", sh1, replay = false)
+    val a = latest.collect { case (g, o) if g.startsWith("0|") =>
+      g.drop(2) -> o }
+    val b = latest.collect { case (g, o) if g.startsWith("1|") =>
+      g.drop(2) -> o }
 
     val exact = lineitem(s, dir)
       .filter(col("l_orderkey") < StreamFactMaxKey)
