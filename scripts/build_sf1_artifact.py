@@ -6,8 +6,17 @@ results (sweep_sf1.py), the sampled kNN-family checker output
 Usage: build_sf1_artifact.py <sweepResultsJson> <knnLog> <outJson>
 """
 import json
+import re
 import sys
 from pathlib import Path
+
+# Only genuine DuckDB resource exhaustion counts as a capacity skip;
+# anything else carrying an err (missing spark output, parquet read
+# errors, SQL errors) is an engine/read FAILURE and must surface as one.
+CAPACITY_RE = re.compile(
+    r"out of memory|memory limit|OutOfMemory|temp_directory|"
+    r"temp directory|max_temp_directory_size|could not allocate|"
+    r"failed to allocate", re.IGNORECASE)
 
 sweep = json.loads(Path(sys.argv[1]).read_text())
 knn_log = Path(sys.argv[2]).read_text() if Path(sys.argv[2]).exists() else ""
@@ -39,7 +48,10 @@ artifact = {
     "knn_sampled_oracle_fail": knn_fail,
     "oracle_capacity_skips": {
         n: r.get("err", "")[:200] for n, r in fails.items()
-        if "err" in r},
+        if "err" in r and CAPACITY_RE.search(r["err"])},
+    "engine_or_read_failures": {
+        n: r.get("err", "")[:200] for n, r in fails.items()
+        if "err" in r and not CAPACITY_RE.search(r["err"])},
     "value_fails": {
         n: r for n, r in fails.items() if "err" not in r},
     "documented_infeasible": skips,
@@ -47,4 +59,5 @@ artifact = {
 out.write_text(json.dumps(artifact, indent=1, sort_keys=False))
 print(f"green(full)={len(green)} green(knn)={len(knn_green)} "
       f"capacity_skips={len(artifact['oracle_capacity_skips'])} "
+      f"engine_or_read_failures={len(artifact['engine_or_read_failures'])} "
       f"value_fails={len(artifact['value_fails'])} -> {out}")

@@ -33,7 +33,9 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # bounded train slice AND emits per-probe rows keyed by li_id - the
 # family the full replica cannot cover at sf1. q_calibration shares the
 # cross join but aggregates li_id away into 10 corpus-wide bins, so a
-# row sample cannot verify it; it stays documented-infeasible at sf1.
+# row sample cannot verify it; since r13 its PROBE side carries the
+# same < 1e6 orderkey cap as the train slice, so the FULL replica is
+# feasible at any sf and it runs in the main sweep, not here.
 KNN_FAMILY = [
     "q_kneighbors", "q_knn_cls", "q_knn_cls_weighted",
     "q_knn_missing", "q_knn_nodata", "q_knn_proba", "q_knn_reg",

@@ -13,6 +13,7 @@ check_knn_sf1.py) — they are recorded as skipped, not failed.
 """
 import glob
 import importlib.util
+import itertools
 import json
 import sys
 from multiprocessing import Pool
@@ -73,9 +74,13 @@ def _check(item):
                        for r in sdf.itertuples(index=False, name=None))
         orows = sorted(tuple(md._cell(v) for v in r)
                        for r in odf.itertuples(index=False, name=None))
-        for a, b in zip(srows, orows):
+        # zip_longest, not zip: a pure row-count mismatch (one side a
+        # strict sorted prefix of the other) must still diagnose
+        for a, b in itertools.zip_longest(srows, orows):
             if a != b:
-                res["first_diff"] = {"spark": a[:12], "oracle": b[:12]}
+                res["first_diff"] = {
+                    "spark": a[:12] if a is not None else "<missing row>",
+                    "oracle": b[:12] if b is not None else "<missing row>"}
                 break
     return name, res
 
@@ -97,7 +102,11 @@ def main():
                   flush=True)
     Path(RESULTS).write_text(json.dumps(results, indent=1, sort_keys=True))
     n_green = sum(1 for r in results.values() if r.get("hash_match"))
-    print(f"GREEN {n_green}/{len(results)} -> {RESULTS}")
+    # green rate over CHECKED queries only — documented skips are not
+    # in the denominator (they were never compared)
+    n_checked = sum(1 for r in results.values() if "skipped" not in r)
+    print(f"GREEN {n_green}/{n_checked} checked "
+          f"({len(results) - n_checked} documented skips) -> {RESULTS}")
 
 
 if __name__ == "__main__":

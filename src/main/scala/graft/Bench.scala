@@ -31,6 +31,29 @@ object Bench {
     // a real regression from variance.
     val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
     require(nRuns >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $nRuns")
+    // Reap the previous run's leftovers DETERMINISTICALLY, not just via
+    // GC: the r13 decile audit showed per-query medians at 1.0x parity
+    // with r11 in the first alphabet deciles decaying to 1.5x+ by the
+    // q_s* tail — in-bench accumulated state, not machine load. Three
+    // leak classes build up across 380+ queries: (a) locally-
+    // checkpointed pins (Materialize.pin) whose blocks wait on the
+    // async ContextCleaner, (b) memory-sink temp tables the streaming
+    // gates register (each holds its changelog rows), (c) cached
+    // relations. gc() alone only ENQUEUES weak refs; unpersist/drop
+    // frees eagerly.
+    def reap(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.startsWith("gate_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      // gc() only ENQUEUES the weak refs — the cleaner thread drains
+      // them asynchronously, so give it a bounded head start rather
+      // than letting the unbroadcasts land inside the timed window.
+      System.gc()
+      Thread.sleep(100)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip(name) }
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -38,16 +61,7 @@ object Bench {
       try {
         fn(spark, sfDir).count()
         val times = (0 until nRuns).map { _ =>
-          // reap the previous run's broadcasts/shuffles: with a large
-          // heap, GC (and so Spark's ContextCleaner) may not run for
-          // many queries, and 60+ queries of accumulated executor state
-          // slows allocation-heavy kernels 3x in-bench vs isolated.
-          // gc() only ENQUEUES the weak refs — the cleaner thread
-          // drains them asynchronously, so give it a bounded head start
-          // rather than letting the unbroadcasts land inside the timed
-          // window.
-          System.gc()
-          Thread.sleep(100)
+          reap()
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9

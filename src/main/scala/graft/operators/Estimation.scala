@@ -347,12 +347,18 @@ object Estimation {
     * predicted P(class='R') bucketed into its six exact levels (k=5
     * neighbors → p ∈ {0, .2, .4, .6, .8, 1}) against the observed rate
     * of 'R'. Bins are exact neighbor counts, so the bucketing is
-    * engine-stable; one id-keyed join + one 6-key aggregate.
+    * engine-stable; one id-keyed join + one 6-key aggregate. The PROBE
+    * side carries the same `< 1e6` orderkey cap as [[trainLi]]
+    * (inactive at both gate scales, frozen beyond): calibration
+    * aggregates the row key away into corpus-wide bins, so the sampled
+    * kNN oracle cannot verify it — the cap keeps the FULL DuckDB
+    * replica feasible at 10×+ instead (probe×train work frozen at its
+    * sf0.1 size).
     */
   def qCalibration(s: SparkSession, dir: String): DataFrame = {
     val model = KNeighborsClassifier(k = 5, orderBy = trainOrder)
       .fit(trainLi(s, dir), Seq("l_extendedprice", "l_quantity"), Seq("l_returnflag"))
-    val src = li(s, dir)
+    val src = li(s, dir).filter(col("l_orderkey") < 1000000L)
     // the gold label rides through predictProba as an ID column — a
     // join of the proba output back to the fact scan would shuffle the
     // fact table twice on a 32-char md5 key (measured 2.9 s at sf0.1,
@@ -1488,6 +1494,47 @@ object Estimation {
       CAST(SUM(cents) AS BIGINT) AS sum_cents,
       CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
       FROM $t GROUP BY st ORDER BY st""")
+  }
+
+  /** G23 (query-backed): MERGE WITH SCHEMA EVOLUTION — G20's row-level
+    * MERGE and G14's ALTER-ADD-COLUMNS composed into ONE statement (the
+    * Delta `mergeSchema` / Spark 4 `MERGE WITH SCHEMA EVOLUTION INTO`
+    * behavior): the delta carries a column the target does not have
+    * yet, the single MERGE statement first evolves the target schema
+    * through the catalog's alterTable and then runs both arms (MATCHED
+    * bump + new-column assignment, NOT MATCHED full insert). Rows the
+    * merge never touched must read back NULL in the evolved column
+    * (the backfill census), merged rows carry the delta's values. The
+    * oracle replays the same algebra from parquet (left-join bump +
+    * anti-join inserts, prio NULL outside the delta) — an evolution
+    * that drops data, double-applies an arm, or backfills wrongly
+    * breaks the hash.
+    */
+  def qMergeEvolution(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_mem",
+      classOf[graft.sources.v2.MemCatalog].getName)
+    val t = "graft_mem.gate.orders_me"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES('rowlevel'='true')")
+    orders(s, dir)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        col("o_custkey").cast("long").as("prio"))
+      .createOrReplaceTempView("me_src")
+    s.sql(s"INSERT INTO $t SELECT k, cents FROM me_src WHERE k % 11 = 0")
+    // ONE statement: evolve (add prio) + merge (bump matched, insert new)
+    s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $t
+      USING (SELECT k, cents AS dc, prio FROM me_src WHERE k % 13 = 0) d
+      ON $t.k = d.k
+      WHEN MATCHED THEN UPDATE SET cents = $t.cents + d.dc, prio = d.prio
+      WHEN NOT MATCHED THEN INSERT (k, cents, prio) VALUES (d.k, d.dc, d.prio)""")
+    s.sql(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      CAST(COUNT(*) - COUNT(prio) AS BIGINT) AS n_backfilled_null,
+      CAST(SUM(prio) AS BIGINT) AS sum_prio,
+      CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+      FROM $t""")
   }
 
   def qCatalogRoundtrip(s: SparkSession, dir: String): DataFrame = {
@@ -3387,6 +3434,23 @@ object Estimation {
           |  CAST(SUM(prio) AS BIGINT) AS sum_prio,
           |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
           |FROM t""".stripMargin,
+      "q_merge_evolution" ->
+        """WITH src AS (SELECT o_orderkey AS k,
+          |    CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents,
+          |    CAST(o_custkey AS BIGINT) AS prio FROM orders),
+          |b AS (SELECT k, cents FROM src WHERE k % 11 = 0),
+          |d AS (SELECT k, cents AS dc, prio FROM src WHERE k % 13 = 0),
+          |m AS (SELECT b.k, b.cents + COALESCE(d.dc, 0) AS cents, d.prio
+          |    FROM b LEFT JOIN d USING (k)
+          |  UNION ALL
+          |  SELECT d.k, d.dc, d.prio FROM d
+          |  WHERE d.k NOT IN (SELECT k FROM b))
+          |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+          |  CAST(COUNT(*) - COUNT(prio) AS BIGINT) AS n_backfilled_null,
+          |  CAST(SUM(prio) AS BIGINT) AS sum_prio,
+          |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+          |FROM m""".stripMargin,
       "q_stats_sink" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
           |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vsum,
@@ -3782,7 +3846,10 @@ object Estimation {
           |  CAST(ROUND((l_discount-m3)/s3,4) AS DECIMAL(18,4))::DOUBLE AS scaled_l_discount
           |FROM lineitem CROSS JOIN sg ORDER BY li_id""".stripMargin,
       "q_calibration" ->
-        s"""WITH $train, $q,
+        s"""WITH $train,
+          |q AS (SELECT $uidSql AS li_id, l_quantity, l_discount, l_tax,
+          |  l_extendedprice, l_partkey, l_suppkey FROM lineitem
+          |  WHERE l_orderkey < 1000000),
           |d AS (SELECT li_id, train.l_returnflag AS tcls,
           |  ROW_NUMBER() OVER (PARTITION BY li_id ORDER BY
           |    (q.l_extendedprice-train.l_extendedprice)*(q.l_extendedprice-train.l_extendedprice)
@@ -3790,7 +3857,8 @@ object Estimation {
           |  FROM q CROSS JOIN train),
           |g AS (SELECT li_id, SUM(CASE WHEN tcls='R' THEN 1 ELSE 0 END) AS bin
           |  FROM d WHERE rn <= 5 GROUP BY li_id),
-          |q2 AS (SELECT $uidSql AS li_id, l_returnflag FROM lineitem)
+          |q2 AS (SELECT $uidSql AS li_id, l_returnflag FROM lineitem
+          |  WHERE l_orderkey < 1000000)
           |SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
           |  CAST(SUM(CAST(q2.l_returnflag = 'R' AS BIGINT)) AS BIGINT) AS n_true,
           |  CAST(ROUND(SUM(CAST(q2.l_returnflag = 'R' AS BIGINT))::DOUBLE / COUNT(*), 4)

@@ -102,6 +102,24 @@ object Similarity {
     */
   private val ExactSliceMax = 2048L
 
+  /** The D37 sweep's own slice: the sweep re-runs BOTH quantizers over
+    * 4 widths against a fresh exact graph every time, so its gate
+    * budget is paid 8 arms deep — half the contract slice keeps the
+    * capacity-planning curve (same knees, same monotonicity) at a
+    * quarter of the exact-graph and pair-kernel cost. D35/D36 keep the
+    * full [[ExactSliceMax]] contract.
+    */
+  private val SweepSliceMax = 1024L
+
+  /** The D38 DBSCAN gate's contract slice: a vec_id cap INACTIVE at
+    * gate scales (sf0.1 vec_ids stop at 1,999; ScaleData replica ids
+    * start at 10,000) and FROZEN beyond — the hash-stable bound rule
+    * (StreamFactMaxKey's posture) applied to the one oracle whose
+    * within-cell pairwise-similarity replica grows quadratically in
+    * replica-inflated cell sizes at 10×.
+    */
+  private val DbscanSliceMaxVec = 10000L
+
   /** THE query-side collect: every ANN/exact variant builds its
     * broadcast state here so the norm accumulation order (index
     * ascending — bit-sensitive to the oracles) cannot drift between
@@ -799,10 +817,11 @@ object Similarity {
     * (vec_id, rank, nb_id, simd-double) — D12 formats it, D33 mutual-NN
     * self-joins it. One frame, one plan shape, two consumers.
     */
-  private def knnGraphTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private def knnGraphTopK(s: SparkSession, dir: String, k: Int,
+                           slice: Long = ExactSliceMax): DataFrame = {
     import s.implicits._
     val nBlocks = 16
-    val ds = emb(s, dir).filter(col("vec_id") < ExactSliceMax)
+    val ds = emb(s, dir).filter(col("vec_id") < slice)
       .select(col("vec_id"), col("v")).as[(Long, Array[Double])]
     val repl = ds.flatMap { case (id, v) =>
       val b = (id % nBlocks).toInt
@@ -1273,7 +1292,7 @@ object Similarity {
     val widths = Array(2, 3, 4, 5)
     val maxW = widths.max
     val exact = graft.core.Materialize.pin(
-      knnGraphTopK(s, dir, k)
+      knnGraphTopK(s, dir, k, SweepSliceMax)
         .select(col("vec_id").as("x_q"), col("nb_id").as("x_nb")))
     val total = broadcast(exact.agg(count(lit(1)).as("n_exact")))
     val quantizers: Array[(String, Array[Array[Double]])] = Array(
@@ -1286,7 +1305,7 @@ object Similarity {
     // rank serves every swept arm for both quantizers — the r11 shape
     // (8 arms × [edge pass + cost pass] = 16 slice scans) collapses to
     // two scans and one cell-local pair kernel.
-    def assigned = emb(s, dir).filter(col("vec_id") < ExactSliceMax)
+    def assigned = emb(s, dir).filter(col("vec_id") < SweepSliceMax)
       .select(col("vec_id"), col("v")).as[(Long, Array[Double])]
       .flatMap { case (id, v) =>
         bcQ.value.iterator.flatMap { case (qn, cs) =>
@@ -1412,7 +1431,11 @@ object Similarity {
       .groupBy(col("quantizer"), col("assign_width"))
       .agg(sum(expr("n * (n - 1) div 2")).cast("long").as("n_cand_pairs"))
 
-    cost.join(hits, Seq("quantizer", "assign_width"))
+    // LEFT join + coalesce: an arm with ZERO recall has no hits row —
+    // it must publish n_hits=0 (the "widening that stops paying fails
+    // loudly" contract), not vanish as a missing-row hash mismatch
+    cost.join(hits, Seq("quantizer", "assign_width"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .crossJoin(total)
       .select(col("quantizer"),
         col("assign_width").cast("long").as("assign_width"),
@@ -3097,14 +3120,18 @@ object Similarity {
     * cluster among their core neighbors, the rest is noise (−1).
     * Scale posture: identical to D9 — assignment is shuffle-free, the
     * only exchange is the cell co-partition, and per-task memory is
-    * one ~32-vector cell at any corpus size.
+    * one ~32-vector cell at any corpus size. Input is the
+    * [[DbscanSliceMaxVec]] contract slice (inactive at gate scales,
+    * frozen at 10×+) so the within-cell pairwise oracle replica stays
+    * verifiable at any sf.
     */
   def qDbscan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nCells = 16; val dim = 64; val tau = 0.3; val minPts = 3
     val cents = semCentroids(nCells, dim)
     val bc = s.sparkContext.broadcast(cents)
-    val ds = emb(s, dir).select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+    val ds = emb(s, dir).filter(col("vec_id") < DbscanSliceMaxVec)
+      .select(col("vec_id"), col("v")).as[(Long, Array[Double])]
     val byCell = ds.map { case (id, v) =>
       val cs = bc.value
       var best = 0; var bestD = Double.NegativeInfinity
@@ -3211,6 +3238,13 @@ object Similarity {
       |cell AS (SELECT vec_id, p FROM cellr WHERE rn = 1)""".stripMargin
   }
 
+  /** The D9 oracle restricted to vec_id < maxVecId — the F14 stream
+    * gate's count-bounded arrival set (same cap on engine and oracle).
+    */
+  private[operators] def semDedupCappedOracleSql(maxVecId: Long): String =
+    semDedupSql.replace("FROM embeddings)",
+      s"FROM embeddings WHERE vec_id < $maxVecId)")
+
   private val semDedupSql: String =
     s"""WITH $semCellsCteSql,
       |prs AS (SELECT cb.vec_id AS vec_id, cb.p AS cell, ca.vec_id AS dup_of,
@@ -3308,7 +3342,8 @@ object Similarity {
     "q_kmeans" -> kmeansSql,
     "q_semdedup" -> semDedupSql,
     "q_dbscan" ->
-      s"""WITH RECURSIVE $semCellsCteSql,
+      s"""WITH RECURSIVE ${semCellsCteSql.replace("FROM embeddings)",
+             s"FROM embeddings WHERE vec_id < $DbscanSliceMaxVec)")},
         |prs AS (SELECT ca.vec_id AS a, cb.vec_id AS b
         |  FROM cell ca JOIN cell cb ON ca.p = cb.p AND ca.vec_id < cb.vec_id
         |  JOIN e ea ON ea.vec_id = ca.vec_id
@@ -3672,9 +3707,9 @@ object Similarity {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, p) AS rn
         |  FROM cd2),
         |ranks AS (
-        |  SELECT 'random' AS quantizer, vec_id, p, rn FROM cellr WHERE vec_id < 2048
+        |  SELECT 'random' AS quantizer, vec_id, p, rn FROM cellr WHERE vec_id < 1024
         |  UNION ALL
-        |  SELECT 'trained' AS quantizer, vec_id, p, rn FROM cr2 WHERE vec_id < 2048),
+        |  SELECT 'trained' AS quantizer, vec_id, p, rn FROM cr2 WHERE vec_id < 1024),
         |ms AS (SELECT unnest([2,3,4,5]) AS m),
         |cellm AS (SELECT quantizer, m, vec_id, p
         |  FROM ranks CROSS JOIN ms WHERE rn <= m),
@@ -3695,7 +3730,7 @@ object Similarity {
         |      ORDER BY sim DESC, nb_id) AS rank
         |  FROM sims),
         |ann AS (SELECT quantizer, m, q_id, nb_id FROM r WHERE rank <= 3),
-        |es AS (SELECT vec_id, v FROM e WHERE vec_id < 2048),
+        |es AS (SELECT vec_id, v FROM e WHERE vec_id < 1024),
         |sx AS (SELECT a.vec_id, b.vec_id AS nb_id,
         |    list_cosine_similarity(a.v, b.v) AS sim
         |  FROM es a JOIN es b ON a.vec_id <> b.vec_id),
@@ -3708,9 +3743,9 @@ object Similarity {
         |  FROM ann JOIN exact x ON ann.q_id = x.vec_id AND ann.nb_id = x.nb_id
         |  GROUP BY 1,2)
         |SELECT c.quantizer, CAST(c.m AS BIGINT) AS assign_width, c.n_cand_pairs,
-        |  h.n_hits, t.n_exact,
-        |  CAST((h.n_hits * 1000000) // t.n_exact AS BIGINT) AS recall_ppm
-        |FROM cost c JOIN hits h ON c.quantizer = h.quantizer AND c.m = h.m, tot t
+        |  COALESCE(h.n_hits, 0) AS n_hits, t.n_exact,
+        |  CAST((COALESCE(h.n_hits, 0) * 1000000) // t.n_exact AS BIGINT) AS recall_ppm
+        |FROM cost c LEFT JOIN hits h ON c.quantizer = h.quantizer AND c.m = h.m, tot t
         |ORDER BY c.quantizer, assign_width""".stripMargin,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_multi" -> annIvfMultiSql,

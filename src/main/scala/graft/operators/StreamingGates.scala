@@ -196,10 +196,19 @@ object StreamingGates {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val k = 64
+    // 8-way SHARD-PREFIXED group keys (the F48 one-job layout, which
+    // took the merge gate 6.3s → 4.2s): the stateful operator
+    // parallelizes over 8·|groups| state keys instead of the 3 bare
+    // returnflag groups, and the min-k identity —
+    // min-k(∪ᵢ Aᵢ) = min-k(∪ᵢ min-k(Aᵢ)) — makes the shard-merged
+    // sketch EQUAL the unsharded one, so the published frame and the
+    // oracle are unchanged.
+    val nShards = 8
     val arrivals = lineitem(s, dir)
       .filter(col("l_orderkey") < StreamFactMaxKey)
       .select(col("l_returnflag"), col("l_partkey")).collect()
-      .map(r => KmvArrival(r.getString(0), r.getLong(1))).toSeq
+      .map(r => KmvArrival(s"${r.getLong(1) % nShards}|${r.getString(0)}",
+        r.getLong(1))).toSeq
     val input = MemoryStream[KmvArrival]
     val q = EventStreams.kmvStream(input.toDS(), k)
       .writeStream.format("memory")
@@ -214,7 +223,17 @@ object StreamingGates {
         input.addData(arrivals.drop(2 * third) ++ arrivals.take(100))
         q.processAllAvailable()
         val rows = s.table("gate_kmv_out").as[KmvOut].collect().toSeq
-        rows.groupBy(_.grp).map { case (g, os) => g -> os.maxBy(_.ver).est }
+        rows.groupBy(_.grp).map { case (g, os) => g -> os.maxBy(_.ver) }
+          .toSeq
+          .groupBy { case (g, _) => g.substring(g.indexOf('|') + 1) }
+          .map { case (grp, shards) =>
+            val (mh, _) = shards.map(_._2)
+              .foldLeft((Array.empty[Long], Array.empty[Long])) {
+                case ((hs, vs), o) =>
+                  EventStreams.kmvMerge(hs, vs, o.hs, o.vs, k)
+              }
+            grp -> EventStreams.kmvEstimate(mh, k)
+          }
       } finally q.stop()
     val exact = lineitem(s, dir)
       .filter(col("l_orderkey") < StreamFactMaxKey)
@@ -702,6 +721,170 @@ object StreamingGates {
       cand.toDF("a_id", "b_id"), LshDocMaxId)
   }
 
+  /** F14 (query-backed): STREAMING SemDeDup — the embedding pillar of
+    * the live-dedup triple (next to F19's exact canonical dedup and
+    * F52's LSH) run as a driver gate: arrivals key by coarse cell
+    * (same semCentroids quantizer + argmax rule as batch D9), per-cell
+    * state holds the cell's vectors, and the Update-mode changelog
+    * re-emits a vector's dup_of whenever a late lower-id arrival
+    * re-assigns it. Fed ODD ids then EVEN (the adversarial order: every
+    * even arrival is a late lower-id vector) plus a re-delivered slice;
+    * latest-per-vec_id must equal batch D9 on the same arrivals — the
+    * shared cellDupScan kernel makes the cosines bit-identical — so the
+    * oracle is the D9 DuckDB replica itself, capped to the arrival set
+    * (vec_id < 10,000: every gate-scale vector, frozen at 10×+ where
+    * ScaleData replicas start at 10,000).
+    */
+  def qStreamSemDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val tau = 0.35
+    val cents = Similarity.semCentroids(16)
+    val vecs = embeddings(s, dir)
+      .filter(col("vec_id") < SemStreamMaxVec)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect()
+      .map(r => EventStreams.VecArrival(r.getLong(0),
+        r.getSeq[Double](1).toArray))
+      .sortBy(_.vec_id)
+    val input = MemoryStream[EventStreams.VecArrival]
+    val q = EventStreams.semDedupStream(input.toDS(), cents, tau)
+      .writeStream.format("memory")
+      .queryName("gate_sem_out").outputMode("update").start()
+    val marks =
+      try {
+        val (odd, even) = vecs.partition(_.vec_id % 2 == 1)
+        input.addData(odd.toSeq); q.processAllAvailable()
+        input.addData(even.toSeq ++ odd.take(50)) // replay slice: ignored
+        q.processAllAvailable()
+        s.table("gate_sem_out").as[EventStreams.DupMark].collect()
+          .zipWithIndex
+          .groupBy(_._1.vec_id)
+          .map { case (_, ms) => ms.maxBy(_._2)._1 } // changelog: last wins
+          .toSeq
+      } finally q.stop()
+    marks.map(m => (m.vec_id, m.cell, m.dup_of, m.cosine))
+      .toDF("vec_id", "cell", "dup_of", "sim")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        graft.functions.dec4(col("sim")).as("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** F18 (query-backed): STREAMING END-TO-END CURATION — the C31
+    * composite (dedup keeper ∧ Gopher quality ∧ eval decontamination ∧
+    * deterministic split) attached to the ingest stream: the eval-gram
+    * set is the batch-side fit artifact (built from the capped corpus'
+    * %97 eval slice, exactly as C31 does), keeper state is F3's
+    * first-seen content hash (O(1) per hash; id-ordered arrivals make
+    * first-seen == the batch MIN keeper), everything else scores
+    * statelessly in Append mode. Two ordered micro-batches; the
+    * verdict set must equal the batch C31 pipeline on the same capped
+    * docs, so the oracle is the C31 DuckDB replica with the cap
+    * applied at both documents scans.
+    */
+  def qStreamCurate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docsAll = documents(s, dir)
+      .filter(col("doc_id") < LshDocMaxId)
+      .select(col("doc_id"), col("text"))
+    val evalGrams = TextOps.shingleGramsOn(
+        docsAll.filter(col("doc_id") % 97 === 0), n = 4)
+      .select(col("g")).distinct().collect().map(_.getString(0)).toSeq
+    val corpus = docsAll.collect()
+      .map(r => EventStreams.LshDoc(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id) // monotone-source contract: first-seen == MIN keeper
+    val input = MemoryStream[EventStreams.LshDoc]
+    val q = EventStreams.curationStream(input.toDF(), evalGrams)
+      .writeStream.format("memory")
+      .queryName("gate_cur_out").outputMode("append").start()
+    val out =
+      try {
+        val half = corpus.length / 2
+        input.addData(corpus.take(half).toSeq); q.processAllAvailable()
+        input.addData(corpus.drop(half).toSeq); q.processAllAvailable()
+        s.table("gate_cur_out").as[EventStreams.CurOut].collect().toSeq
+      } finally q.stop()
+    out.map(o => (o.doc_id, o.is_keeper, o.keep_quality, o.contaminated,
+        o.split, o.selected))
+      .toDF("doc_id", "is_keeper", "keep_quality", "contaminated",
+        "split", "selected")
+      .orderBy(col("doc_id"))
+  }
+
+  /** F22 (query-backed): sessionization via the BUILT-IN
+    * `session_window` aggregate — the production state-store path
+    * (merging session state, watermark finalization, Append-mode
+    * exactly-once emission), vs F2's explicit flatMapGroupsWithState
+    * machine: three event-time-ordered micro-batches split sessions
+    * mid-stream, then two sentinel batches advance the watermark so
+    * every real session FLUSHES out of the state store (Append emits
+    * on finalization only — a session still in state would be a
+    * missing row). The oracle is the strict-< gaps-and-islands replica
+    * in exact micros (new session when gap ≥ 30 min; end = last event
+    * + gap), value sums dec2 per the B11 convention. Arrivals capped
+    * at event_id < 50,000 (count-bounded feed, the stream-gate rule).
+    */
+  def qStreamSession(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = events(s, dir)
+      .filter(col("event_id") < SessionEvMaxId)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => EventStreams.Ev(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(e => (e.ts, e.event_id))
+      .toSeq
+    val sentinelUid = 999999999L
+    val sentinelTs = evs.map(_.ts).max + 7L * 24 * 3600 * 1000000L
+    val input = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.sessionWindowStream(
+        input.toDF().withColumn("ts", timestamp_micros(col("ts"))))
+      .writeStream.format("memory")
+      .queryName("gate_sw_out").outputMode("append").start()
+    val rows =
+      try {
+        val third = evs.length / 3
+        input.addData(evs.take(third)); q.processAllAvailable()
+        input.addData(evs.slice(third, 2 * third)); q.processAllAvailable()
+        input.addData(evs.drop(2 * third)); q.processAllAvailable()
+        // two sentinel batches: the first advances max event time, the
+        // second runs with the advanced watermark and flushes every
+        // real session out of the state store
+        input.addData(Seq(EventStreams.Ev(sentinelUid, sentinelTs, 1L, 0.0)))
+        q.processAllAvailable()
+        input.addData(Seq(EventStreams.Ev(sentinelUid, sentinelTs + 1000000L,
+          2L, 0.0)))
+        q.processAllAvailable()
+        s.table("gate_sw_out")
+          .filter(col("user_id") =!= sentinelUid)
+          .select(col("user_id"),
+            unix_micros(col("session_start")).as("session_start"),
+            unix_micros(col("session_end")).as("session_end"),
+            col("n_events"), col("sum_value"))
+          .collect().toSeq
+      } finally q.stop()
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .toDF("user_id", "session_start", "session_end", "n_events", "sv")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), graft.functions.dec2(col("sv")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** F14's count-bounded arrival cap: every gate-scale vector passes
+    * (max vec_id 1,999 at sf0.1), frozen at 10×+ (ScaleData replica
+    * vec_ids start at 10,000).
+    */
+  private val SemStreamMaxVec = 10000L
+
+  /** F22's count-bounded arrival cap (~50k arrivals at sf0.1, the
+    * Zipf-gate feed class; inactive at sf0.01's 10k events).
+    */
+  private val SessionEvMaxId = 50000L
+
   /** The 50k-row Zipf fixture rebuilt row-by-row from the md5 formulas
     * (the B57-B62 oracle convention at the stream gate's row count).
     */
@@ -804,6 +987,31 @@ object StreamingGates {
     },
     // the F52 value oracle: the full C6 LSH pipeline on the capped docs
     "q_stream_lsh_pairs" -> TextOps.lshPairsCappedOracleSql(LshDocMaxId),
+    // the F14 value oracle: the D9 replica on the capped arrivals
+    "q_stream_semdedup" -> Similarity.semDedupCappedOracleSql(SemStreamMaxVec),
+    // the F18 value oracle: the C31 replica on the capped arrivals
+    "q_stream_curate" -> TextOps.corpusPipelineCappedOracleSql(LshDocMaxId),
+    // the F22 value oracle: strict-< gaps-and-islands in exact micros
+    // (session_window semantics: merge when gap < 30 min, end = last
+    // event + gap); RANGE-frame running sum so tied timestamps land in
+    // one session deterministically; sum_value dec2 per B11
+    "q_stream_session" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, value FROM events
+        |  WHERE event_id < $SessionEvMaxId),
+        |g AS (SELECT user_id, tsu, value,
+        |    CASE WHEN LAG(tsu) OVER w IS NULL
+        |           OR tsu - LAG(tsu) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+        |s AS (SELECT user_id, tsu, value,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu) AS BIGINT)
+        |      AS sess FROM g)
+        |SELECT user_id, MIN(tsu) AS session_start,
+        |  MAX(tsu) + 1800000000 AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(ROUND(SUM(value),2) AS DECIMAL(18,2))::DOUBLE AS sum_value
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
     // the F15 value oracle: per-key totals from the md5 formulas
     "q_stream_running_sums" -> {
       val hu = TF.hexPrefix52Sql("md5('zu|'||i)")

@@ -26,6 +26,16 @@ import graft.sources.Tables._
   */
 object TextOps {
 
+  /** The graph-gate contract slice (C16 clusters / C24 PageRank): a
+    * doc_id cap INACTIVE at gate scales (sf0.1 ids stop at 4,999;
+    * ScaleData replica ids start at 10,000) so gate output is the full
+    * corpus there, and FROZEN beyond — the hash-stable bound rule the
+    * streaming gates' StreamFactMaxKey established, applied to the two
+    * oracles whose recursive/iterative SQL replicas grow superlinearly
+    * in replica-clique edges at 10×.
+    */
+  private val ScaleSliceMaxDoc = 10000L
+
   private val stopwords = Seq("the", "a", "of", "to", "in")
   private val stopSql   = stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -362,10 +372,16 @@ object TextOps {
     * which near-dup pairs collide, and the oracle replicates the same
     * pipeline, including any LSH misses.
     */
-  def qLshPairs(s: SparkSession, dir: String): DataFrame = {
+  def qLshPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairsFrom(shingled(s, dir))
+
+  /** The C6 pipeline over any shingle frame — C6 feeds the full corpus,
+    * C7's cluster gate feeds the [[ScaleSliceMaxDoc]]-capped slice.
+    */
+  private def lshPairsFrom(sh: DataFrame): DataFrame = {
     // ONE documents scan: the pinned shingle sets feed both the MinHash
     // signatures (candidate side) and the exact-Jaccard verify
-    val sets = graft.core.Materialize.pin(shingled(s, dir))
+    val sets = graft.core.Materialize.pin(sh)
     val sig = signaturesFrom(sets)
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"),
@@ -400,6 +416,18 @@ object TextOps {
     * count-bounded arrival set): same base/signature/band/candidate/
     * verify CTEs, with the cap applied at the documents scan.
     */
+  /** The C31 oracle restricted to doc_id < maxDocId — the F18 stream
+    * gate's count-bounded arrival set: BOTH documents scans (training
+    * corpus b and eval-gram side ev) gain the cap, exactly as the gate
+    * feeds only capped docs and builds its eval-gram set from them.
+    */
+  private[operators] def corpusPipelineCappedOracleSql(maxDocId: Long): String =
+    oracles("q_corpus_pipeline")
+      .replace("FROM documents WHERE doc_id % 97 <> 0)",
+        s"FROM documents WHERE doc_id < $maxDocId AND doc_id % 97 <> 0)")
+      .replace("FROM documents WHERE doc_id % 97 = 0 AND",
+        s"FROM documents WHERE doc_id < $maxDocId AND doc_id % 97 = 0 AND")
+
   private[operators] def lshPairsCappedOracleSql(maxDocId: Long): String = {
     // baseSql's one documents scan gains the cap predicate
     val cappedBase = baseSql.replace(
@@ -723,10 +751,18 @@ object TextOps {
     * components (Graphs.connectedComponents), cluster id = the smallest
     * doc_id in the component (the canonical keeper). This is the step
     * that turns pairwise near-dup evidence into a deduplication
-    * decision.
+    * decision. Input is the [[ScaleSliceMaxDoc]] contract slice —
+    * inactive at gate scales (every sf0.01/sf0.1 doc passes), frozen
+    * at 10×+, so the transitive-closure ORACLE (recursive SQL over the
+    * pair graph, whose replica-clique edges grow superlinearly under
+    * ScaleData's verbatim text copies) stays verifiable at any sf; the
+    * corpus-scale closure itself is Graphs.connectedComponents, whose
+    * log-rounds contract D-family audits separately.
     */
   def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = qLshPairs(s, dir).select(col("a_id").as("a"), col("b_id").as("b"))
+    val pairs = lshPairsFrom(
+        shingled(s, dir).filter(col("doc_id") < ScaleSliceMaxDoc))
+      .select(col("a_id").as("a"), col("b_id").as("b"))
     Graphs.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
       .orderBy(col("doc_id"))
@@ -1192,11 +1228,18 @@ object TextOps {
     * the shingle index) — candidate volume O(docs × fps), never
     * O(docs²).
     */
-  def qFpOverlap(s: SparkSession, dir: String): DataFrame = {
+  def qFpOverlap(s: SparkSession, dir: String): DataFrame =
+    fpOverlapFrom(documents(s, dir))
+
+  /** The C22 pipeline over any (doc_id, text) frame — C22 feeds the
+    * full corpus, C24's PageRank gate feeds the [[ScaleSliceMaxDoc]]
+    * contract slice.
+    */
+  private def fpOverlapFrom(docs: DataFrame): DataFrame = {
     val fpSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("fp", LongType, nullable = false)))
-    val fps = fanOut(documents(s, dir).select(col("doc_id"), col("text")))
+    val fps = fanOut(docs.select(col("doc_id"), col("text")))
       .mapPartitions { it =>
         it.flatMap { row =>
           TextKernels.winnow(row.getString(1), k = 8, w = 4)
@@ -1695,10 +1738,14 @@ object TextOps {
     * signal dedup keeper-selection can use instead of lowest-id. Fixed-
     * point integer arithmetic end to end (Graphs.pagerankFixedPoint):
     * bit-exact cross-engine, no float aggregation order dependence.
+    * Input is the [[ScaleSliceMaxDoc]] contract slice (inactive at
+    * gate scales, frozen at 10×+) so the oracle's 3-iteration SQL
+    * replica stays verifiable as the replica cliques multiply edges.
     */
   def qPagerank(s: SparkSession, dir: String): DataFrame =
     Graphs.pagerankFixedPoint(
-        qFpOverlap(s, dir).select(col("a_id").as("a"), col("b_id").as("b")))
+        fpOverlapFrom(documents(s, dir).filter(col("doc_id") < ScaleSliceMaxDoc))
+          .select(col("a_id").as("a"), col("b_id").as("b")))
       .select(col("id").as("doc_id"), col("r").as("rank_e9"))
       .orderBy(col("doc_id"))
 
@@ -3370,7 +3417,13 @@ object TextOps {
           |  GROUP BY 1),
           |r$k AS (SELECT id, CAST(150000000 + (17 * sm) // 20 AS BIGINT) AS r FROM c$k)""".stripMargin
       }.mkString(",\n")
-      s"""WITH $fpPairCteSql,
+      // the C24 contract slice: cap the one documents scan feeding the
+      // winnow CTE (the scalar MAX(length) subquery stays uncapped — a
+      // wider range bound only generates unused i values)
+      val cappedFpPairs = fpPairCteSql.replace(
+        "AS ng FROM documents)",
+        s"AS ng FROM documents WHERE doc_id < $ScaleSliceMaxDoc)")
+      s"""WITH $cappedFpPairs,
         |ed AS (SELECT a_id AS s, b_id AS d FROM pr
         |  UNION ALL SELECT b_id AS s, a_id AS d FROM pr),
         |dg AS (SELECT s, COUNT(*) AS deg FROM ed GROUP BY 1),
@@ -3682,7 +3735,8 @@ object TextOps {
         |JOIN sz sa ON sa.doc_id=c.a_id JOIN sz sb ON sb.doc_id=c.b_id
         |WHERE i/(sa.n+sb.n-i) >= 0.5 ORDER BY 1,2""".stripMargin,
     "q_dedup_clusters" ->
-      s"""WITH $baseSql,
+      s"""WITH ${baseSql.replace("FROM documents)",
+             s"FROM documents WHERE doc_id < $ScaleSliceMaxDoc)")},
         |$sigSql,
         |bands AS (
         |  SELECT doc_id, 0 AS band, sig0 || '#' || sig1 AS bkey FROM sig UNION ALL

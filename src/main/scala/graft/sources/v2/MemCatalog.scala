@@ -446,6 +446,17 @@ class MemTable(protected val storeKey: String,
   */
 final class MemTableRowLevel(k: String, s0: StructType)
     extends MemTable(k, s0) with SupportsRowLevelOperations {
+  /** G23: row-level tables also advertise AUTOMATIC_SCHEMA_EVOLUTION —
+    * the capability `MERGE WITH SCHEMA EVOLUTION` gates on
+    * (DataSourceV2Relation.autoSchemaEvolution): the analyzer computes
+    * the AddColumn changes from the merge assignments and applies them
+    * through the SAME alterTable path G21 contracts (append-safe adds
+    * only; anything else still refuses loudly there).
+    */
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {

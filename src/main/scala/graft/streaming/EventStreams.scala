@@ -1786,10 +1786,17 @@ object EventStreams {
     * permutes which side was "already present". At 100 TB the state
     * is the LSH index itself (O(docs·bands) entries sharded by bucket
     * key — the same size as the batch index); degenerate hot buckets
-    * are bounded by the C6 maxBucketSize posture (cap + quarantine)
-    * rather than unbounded pair fan-out.
+    * are bounded by `maxBucketSize` (the C6 cap-and-quarantine posture,
+    * IMPLEMENTED here: a bucket at the cap admits no new members and
+    * fans out no further pairs — O(cap) state and O(cap) pairs per
+    * bucket, whatever the stream does). The capped pair set depends on
+    * admission order (a stream cannot retract already-emitted pairs
+    * the way the batch cap drops a whole over-cap bucket), so the
+    * GATE runs uncapped — there the cumulative pair set is a pure
+    * function of the arrival set; production feeds pass the cap.
     */
-  def lshPairsStream(in: Dataset[LshDoc]): Dataset[LshCand] = {
+  def lshPairsStream(in: Dataset[LshDoc],
+                     maxBucketSize: Option[Int] = None): Dataset[LshCand] = {
     import in.sparkSession.implicits._
     val banded = in.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -1805,7 +1812,8 @@ object EventStreams {
           var members = state.getOption.getOrElse(Seq.empty[Long])
           val out = scala.collection.mutable.ArrayBuffer.empty[LshCand]
           batch.toArray.map(_._3).distinct.sorted.foreach { id =>
-            if (!members.contains(id)) {
+            val atCap = maxBucketSize.exists(members.size >= _)
+            if (!atCap && !members.contains(id)) {
               members.foreach { m =>
                 out += (if (m < id) LshCand(key._1, m, id)
                         else LshCand(key._1, id, m))

@@ -1808,6 +1808,30 @@ class StreamingSpec extends AnyFunSuite {
   private def unix_micros_of(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000) % 1000
 
+  test("F52 maxBucketSize cap quarantines hot buckets with bounded pair fan-out") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 12 identical texts: every doc lands in the SAME bucket in all 4
+    // bands — the degenerate hot bucket the cap exists for
+    val clones = (0L until 12L).map(i =>
+      EventStreams.LshDoc(i, "alpha beta gamma delta epsilon zeta eta theta"))
+    val cap = 3
+    val input = MemoryStream[EventStreams.LshDoc]
+    val q = EventStreams.lshPairsStream(input.toDS(), maxBucketSize = Some(cap))
+      .writeStream.format("memory").queryName("lsh_cap_out")
+      .outputMode("update").start()
+    try {
+      input.addData(clones.take(6)); q.processAllAvailable()
+      input.addData(clones.drop(6)); q.processAllAvailable()
+      val cands = spark.table("lsh_cap_out").as[EventStreams.LshCand].collect()
+      // each band's bucket admitted only the first `cap` members: pair
+      // volume per band is C(cap, 2), docs beyond the cap emit nothing
+      assert(cands.groupBy(_.band).forall(_._2.length == cap * (cap - 1) / 2))
+      assert(cands.map(c => (c.a_id, c.b_id)).toSet ==
+        Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    } finally q.stop()
+  }
+
   test("F52 streaming LSH pairs equal batch qLshPairs under adversarial order and replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
