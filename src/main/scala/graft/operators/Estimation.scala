@@ -980,6 +980,43 @@ object Estimation {
            max(col("v")).as("vmax"))
       .orderBy(col("y"))
 
+  /** G15 (query-backed): the MODERN V2 predicate path
+    * (`SupportsPushDownV2Filters`) machine-checked through the driver
+    * gate — the q_skew_plan_bounds literal-flags pattern: the gate
+    * probes the planned BatchScan of the filtered frame (the scan
+    * description publishes the planned stripe range) and asserts
+    * (a) BOTH y comparisons clamped the range to [40,59] via
+    * `pushPredicates` (the trait's presence routes Spark away from the
+    * V1 pushFilters path entirely) and (b) an x predicate the source
+    * cannot translate leaves the range WHOLE — accepting it would be
+    * wrong-results, not just wasted work. It then publishes the
+    * clamped band's per-y statistics, which the oracle recomputes from
+    * the md5 cell formula with the flags pinned at 1: the probe is
+    * honest (the actual executed plan's scan), the values prove the
+    * residual-check contract (pruning skips work, never changes
+    * results).
+    */
+  def qV2Pushdown(s: SparkSession, dir: String): DataFrame = {
+    def v2() = s.read.format("graft.sources.v2.RasterSource")
+      .option("w", 120).option("h", 80).load()
+    def scanDesc(df: DataFrame): String =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.description()
+      }.getOrElse("")
+    val filtered = v2().filter(col("y") >= 40 && col("y") < 60)
+    val clamped = scanDesc(filtered).contains("yRange=[40,59]")
+    val xWhole = scanDesc(v2().filter(col("x") < 10))
+      .contains("yRange=[0,79]")
+    filtered.groupBy(col("y"))
+      .agg(count(lit(1)).as("n_cells"), count(col("v")).as("n_valid"),
+           sum(col("v")).as("vsum"))
+      .select(col("y"), col("n_cells"), col("n_valid"), col("vsum"),
+        lit(if (clamped) 1L else 0L).as("v2_clamped"),
+        lit(if (xWhole) 1L else 0L).as("untranslatable_whole"))
+      .orderBy(col("y"))
+  }
+
   /** G3 (query-backed): TopN pushdown through the DataSource V2 source
     * (`SupportsPushDownTopN`): ORDER BY y DESC, x DESC LIMIT 300 plans
     * ONLY the last ceil(300/120)=3 grid rows — the scan never
@@ -3493,6 +3530,17 @@ object Estimation {
           |SELECT CAST(band AS BIGINT) AS band, CAST(COUNT(*) AS BIGINT) AS n_cells,
           |  CAST(COUNT(v) AS BIGINT) AS n_valid, CAST(SUM(v) AS BIGINT) AS vsum,
           |  CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax
+          |FROM gv GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_v2_pushdown" ->
+        s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
+          |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx
+          |  FROM range(0, 9600) t(i)),
+          |gv AS (SELECT y, CASE WHEN hx % 19 = 0 THEN NULL ELSE hx % 1000 END AS v
+          |  FROM g WHERE y BETWEEN 40 AND 59)
+          |SELECT y, CAST(COUNT(*) AS BIGINT) AS n_cells,
+          |  CAST(COUNT(v) AS BIGINT) AS n_valid, CAST(SUM(v) AS BIGINT) AS vsum,
+          |  CAST(1 AS BIGINT) AS v2_clamped,
+          |  CAST(1 AS BIGINT) AS untranslatable_whole
           |FROM gv GROUP BY 1 ORDER BY 1""".stripMargin,
       "q_raster_source" ->
         s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,

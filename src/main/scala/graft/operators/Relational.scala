@@ -203,6 +203,114 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Shared B9c/G16/G17 as-of frame: the custom-exec as-of join with
+    * the deduped orders side and both payload columns.
+    */
+  private def asOfExecJoined(s: SparkSession, dir: String): DataFrame = {
+    val dedupW = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val ord = orders(s, dir)
+      .withColumn("rn", row_number().over(dedupW))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+              col("o_orderkey"), col("o_totalprice"))
+    Windowed.asOfJoinExec(
+      left = events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+      right = ord,
+      key = "user_id", leftTs = "ts", rightTs = "o_orderdate",
+      payload = Seq("o_orderkey", "o_totalprice"))
+  }
+
+  /** G16 (query-backed): the custom FILTER-PUSHDOWN optimizer rule
+    * machine-checked through the driver gate — the q_skew_plan_bounds
+    * literal-flags pattern applied to `AsOfFilterPushdown`: the gate
+    * probes the OPTIMIZED plan of the user-shaped query (no Filter may
+    * remain parked above the custom as-of node — stock
+    * PushPredicateThroughNonJoin stops at unknown nodes, so without
+    * the injected rule the flag flips) and the EXECUTED plan (the
+    * left-only comparison must reach the events parquet scan as a
+    * pushed data filter), then publishes the filtered join's value
+    * census. The oracle recomputes the census via DuckDB's ASOF JOIN
+    * with the WHERE applied after — push-then-join == join-then-filter
+    * — and pins the two plan flags at 1.
+    */
+  def qAsOfFilterRule(s: SparkSession, dir: String): DataFrame = {
+    val lf = asOfExecJoined(s, dir).filter(col("user_id") < 300)
+    val noFilterAboveNode = lf.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.child.isInstanceOf[graft.plans.AsOfJoinPlan] => f
+    }.isEmpty
+    val phys = lf.queryExecution.executedPlan.toString
+    val atScan = phys.contains("LessThan(user_id,300)")
+    lf.agg(count(lit(1)).as("n_rows"),
+           count(col("o_orderkey")).as("n_matched"),
+           sum(col("o_orderkey")).as("sum_key"))
+      .select(col("n_rows"), col("n_matched"), col("sum_key"),
+        lit(if (noFilterAboveNode) 1L else 0L).as("pushed_below_node"),
+        lit(if (atScan) 1L else 0L).as("pushed_to_scan"))
+  }
+
+  /** G17 (query-backed): the custom COLUMN-PRUNING optimizer rule
+    * machine-checked through the driver gate (`AsOfColumnPruning` —
+    * stock ColumnPruning stops at the custom node, so a narrow
+    * projection of the wide as-of result would still scan every
+    * column): the gate probes the optimized plan's as-of NODE (its
+    * payload list must have shrunk to the one referenced column) and
+    * the executed plan (the dropped o_totalprice must appear NOWHERE —
+    * scan, exchange, or merge), then publishes the narrow projection's
+    * value census, which the oracle recomputes via the same ASOF JOIN.
+    */
+  def qAsOfPruneRule(s: SparkSession, dir: String): DataFrame = {
+    val narrow = asOfExecJoined(s, dir)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"))
+    val nodes = narrow.queryExecution.optimizedPlan.collect {
+      case a: graft.plans.AsOfJoinPlan => a
+    }
+    val nodePruned =
+      nodes.nonEmpty && nodes.forall(_.payload.map(_.name) == Seq("o_orderkey"))
+    val physAbsent =
+      !narrow.queryExecution.executedPlan.toString.contains("o_totalprice")
+    narrow.agg(count(lit(1)).as("n_rows"),
+           count(col("o_orderkey")).as("n_matched"),
+           sum(col("o_orderkey")).as("sum_key"))
+      .select(col("n_rows"), col("n_matched"), col("sum_key"),
+        lit(if (nodePruned) 1L else 0L).as("node_payload_pruned"),
+        lit(if (physAbsent) 1L else 0L).as("column_absent_physical"))
+  }
+
+  /** G18 (query-backed): the session-wide CARTESIAN ANALYSIS GUARD
+    * machine-checked through the driver gate: a naked fact×fact cross
+    * join must REFUSE at Dataset construction (the guard's
+    * injectCheckRule fires at analysis — no task ever runs; the flag
+    * records the refusal with the guard's own message, not a generic
+    * error), while the engine's bounded conventions pass — the gate
+    * then RUNS a broadcast-hinted cross of a keyed orders slice
+    * against the 5-row region dim and publishes its exact census
+    * (n_rows = slice×5 plus a region-weighted checksum), which the
+    * oracle recomputes from parquet and pins alongside the flags.
+    */
+  def qCartesianGuard(s: SparkSession, dir: String): DataFrame = {
+    val fact = orders(s, dir).select(col("o_orderkey").as("k"))
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    val refused =
+      try { fact.crossJoin(fact.select(col("k").as("k2"))); 0L }
+      catch { case e: Exception =>
+        if (rootMsg(e).contains("cartesian guard")) 1L else 0L }
+    val slice = orders(s, dir).filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    slice.crossJoin(broadcast(region(s, dir).select(col("r_regionkey"))))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("cents") * (col("r_regionkey") + 1)).as("checksum"))
+      .select(col("n_rows"), col("checksum"),
+        lit(refused).as("naked_refused"))
+  }
+
   /** B10: sessionization (Windowed.sessionized, 30 min inactivity gap). */
   def qSessionize(s: SparkSession, dir: String): DataFrame = {
     Windowed.sessionized(events(s, dir), key = "user_id", ts = "ts",
@@ -7499,6 +7607,48 @@ object Relational {
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |WHERE e.user_id % 10 = 3
         |ORDER BY e.event_id""".stripMargin,
+    "q_asof_filter_rule" ->
+      """WITH o AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderkey,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |        ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1),
+        |j AS (SELECT e.event_id, o.o_orderkey
+        |  FROM events e ASOF LEFT JOIN o
+        |    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |  WHERE e.user_id < 300)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(o_orderkey) AS BIGINT) AS n_matched,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(1 AS BIGINT) AS pushed_below_node,
+        |  CAST(1 AS BIGINT) AS pushed_to_scan
+        |FROM j""".stripMargin,
+    "q_asof_prune_rule" ->
+      """WITH o AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderkey,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |        ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1),
+        |j AS (SELECT e.event_id, o.o_orderkey
+        |  FROM events e ASOF LEFT JOIN o
+        |    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(o_orderkey) AS BIGINT) AS n_matched,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(1 AS BIGINT) AS node_payload_pruned,
+        |  CAST(1 AS BIGINT) AS column_absent_physical
+        |FROM j""".stripMargin,
+    "q_cartesian_guard" ->
+      """WITH s AS (SELECT o_orderkey AS k,
+        |    CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |x AS (SELECT cents, r_regionkey FROM s CROSS JOIN region)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(cents*(r_regionkey+1)) AS BIGINT) AS checksum,
+        |  CAST(1 AS BIGINT) AS naked_refused
+        |FROM x""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, value,
