@@ -43,6 +43,11 @@ object Bench {
     // frees eagerly.
     def reap(): Unit = {
       spark.sharedState.cacheManager.clearCache()
+      // the pinned Zipf fixture cache must be dropped BEFORE the RDD
+      // unpersist below: a localCheckpoint'd frame whose blocks are
+      // freed is unrecoverable (lineage truncated), so the cache would
+      // hand queries a dead frame — clearing makes them re-pin
+      graft.sources.Synthetic.clearZipfPins()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.listTables().collect()

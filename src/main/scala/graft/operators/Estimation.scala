@@ -348,17 +348,20 @@ object Estimation {
     * neighbors → p ∈ {0, .2, .4, .6, .8, 1}) against the observed rate
     * of 'R'. Bins are exact neighbor counts, so the bucketing is
     * engine-stable; one id-keyed join + one 6-key aggregate. The PROBE
-    * side carries the same `< 1e6` orderkey cap as [[trainLi]]
-    * (inactive at both gate scales, frozen beyond): calibration
-    * aggregates the row key away into corpus-wide bins, so the sampled
-    * kNN oracle cannot verify it — the cap keeps the FULL DuckDB
-    * replica feasible at 10×+ instead (probe×train work frozen at its
-    * sf0.1 size).
+    * side is COUNT-BOUNDED at `l_orderkey < 8000` (the StreamFactMaxKey
+    * posture: ~32k probe rows at every sf ≥ 0.01, hash-stable across
+    * scales): calibration aggregates the row key away into corpus-wide
+    * bins, so the sampled kNN oracle cannot verify it — and the
+    * UNBOUNDED probe×train replica exhausts DuckDB's spill budget at
+    * 10× (measured: 7.2e8 pairs > the 28 GiB temp cap). The bound
+    * freezes the replica at ~3.9e7 pairs, verifiable at ANY sf; a
+    * calibration curve needs a representative probe slice, not the
+    * corpus, so the statistic itself is unchanged in kind.
     */
   def qCalibration(s: SparkSession, dir: String): DataFrame = {
     val model = KNeighborsClassifier(k = 5, orderBy = trainOrder)
       .fit(trainLi(s, dir), Seq("l_extendedprice", "l_quantity"), Seq("l_returnflag"))
-    val src = li(s, dir).filter(col("l_orderkey") < 1000000L)
+    val src = li(s, dir).filter(col("l_orderkey") < 8000L)
     // the gold label rides through predictProba as an ID column — a
     // join of the proba output back to the fact scan would shuffle the
     // fact table twice on a 32-char md5 key (measured 2.9 s at sf0.1,
@@ -608,7 +611,12 @@ object Estimation {
     */
   def qGbtReg(s: SparkSession, dir: String): DataFrame = {
     val train = trainLi(s, dir)
-    val model = GBTRegression(maxIter = 20, maxDepth = 4, seed = 42)
+    // 10 boosting rounds: the gate's contract is the invariant pair
+    // (hull containment + feature-group constancy), which holds for ANY
+    // trained ensemble — 10 rounds exercise the identical MLlib
+    // machinery at half the per-call training cost (the model is
+    // re-fit on every gate run; the oracle pins flags, not predictions)
+    val model = GBTRegression(maxIter = 10, maxDepth = 4, seed = 42)
       .fit(train, Seq("l_quantity", "l_discount", "l_tax"), Seq("l_extendedprice"))
     val mm = train
       .agg(min(col("l_extendedprice")).cast("double"), max(col("l_extendedprice")).cast("double"))
@@ -3897,7 +3905,7 @@ object Estimation {
         s"""WITH $train,
           |q AS (SELECT $uidSql AS li_id, l_quantity, l_discount, l_tax,
           |  l_extendedprice, l_partkey, l_suppkey FROM lineitem
-          |  WHERE l_orderkey < 1000000),
+          |  WHERE l_orderkey < 8000),
           |d AS (SELECT li_id, train.l_returnflag AS tcls,
           |  ROW_NUMBER() OVER (PARTITION BY li_id ORDER BY
           |    (q.l_extendedprice-train.l_extendedprice)*(q.l_extendedprice-train.l_extendedprice)
@@ -3906,7 +3914,7 @@ object Estimation {
           |g AS (SELECT li_id, SUM(CASE WHEN tcls='R' THEN 1 ELSE 0 END) AS bin
           |  FROM d WHERE rn <= 5 GROUP BY li_id),
           |q2 AS (SELECT $uidSql AS li_id, l_returnflag FROM lineitem
-          |  WHERE l_orderkey < 1000000)
+          |  WHERE l_orderkey < 8000)
           |SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
           |  CAST(SUM(CAST(q2.l_returnflag = 'R' AS BIGINT)) AS BIGINT) AS n_true,
           |  CAST(ROUND(SUM(CAST(q2.l_returnflag = 'R' AS BIGINT))::DOUBLE / COUNT(*), 4)

@@ -111,6 +111,14 @@ object Synthetic {
   private val zipfPins = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, Long, Int, Int), DataFrame]
 
+  /** Drop the session-lifetime pinned Zipf fixtures (bench hygiene:
+    * Bench.reap unpersists ALL persistent RDDs between timed runs, and
+    * a localCheckpoint'd frame cannot be recomputed after unpersist —
+    * clearing the cache makes the next caller re-pin from the
+    * deterministic generator instead of reading a dead RDD).
+    */
+  def clearZipfPins(): Unit = zipfPins.clear()
+
   /** Generate `nRows` samples of the named features. `maskPercentile`
     * in (0,1) NaNs that fraction of rows (by the mask band's empirical
     * percentile); 0 disables masking.
