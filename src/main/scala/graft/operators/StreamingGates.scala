@@ -891,6 +891,120 @@ object StreamingGates {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** F8 arrival shape: the C20 PII-injected document (doc_id, t). */
+  final case class PiiArrival(doc_id: Long, t: String)
+
+  /** F23 arrival shape: one raster cell (v = None at NoData cells). */
+  final case class CellArrival(x: Long, y: Long, v: Option[Long])
+
+  /** F8 (query-backed): STREAMING PII CURATION — the C20 detection +
+    * redaction expressions attached UNCHANGED to the document stream
+    * (the ideal stateless streaming shape: curation expressions are
+    * pure per-row codegen, so the stream is append mode with no state
+    * store at all). Capped arrivals, two micro-batches; the Append
+    * verdicts must equal the batch C20 pipeline on the same capped
+    * docs, so the oracle is the C20 DuckDB replica (regex census +
+    * redacted-text md5) with the cap at its one documents scan — a
+    * regex drift, a redaction-order bug, or a row lost between batches
+    * breaks the hash.
+    */
+  def qStreamPii(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docsArr = TextOps.piiInput(
+        documents(s, dir).filter(col("doc_id") < LshDocMaxId))
+      .collect()
+      .map(r => PiiArrival(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id)
+    val input = MemoryStream[PiiArrival]
+    val q = TextOps.piiOn(input.toDF())
+      .writeStream.format("memory")
+      .queryName("gate_pii_out").outputMode("append").start()
+    val rows =
+      try {
+        val half = docsArr.length / 2
+        input.addData(docsArr.take(half).toSeq); q.processAllAvailable()
+        input.addData(docsArr.drop(half).toSeq); q.processAllAvailable()
+        s.table("gate_pii_out").collect().toSeq
+      } finally q.stop()
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .toDF("doc_id", "n_email", "n_phone", "n_ip", "redacted_md5")
+      .orderBy(col("doc_id"))
+  }
+
+  /** F12 (query-backed): STREAMING GOPHER QUALITY GATE — the C15
+    * per-rule flag expressions (gopherOn) attached unchanged to the
+    * document stream (stateless append mode, like F8). Capped
+    * arrivals, two micro-batches; Append flags equal the batch C15
+    * verdicts, oracle = the C15 replica with the cap at its documents
+    * scan.
+    */
+  def qStreamGopher(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docsArr = documents(s, dir)
+      .filter(col("doc_id") < LshDocMaxId)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => EventStreams.LshDoc(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id)
+    val input = MemoryStream[EventStreams.LshDoc]
+    val q = TextOps.gopherOn(input.toDF())
+      .writeStream.format("memory")
+      .queryName("gate_gopher_out").outputMode("append").start()
+    val rows =
+      try {
+        val half = docsArr.length / 2
+        input.addData(docsArr.take(half).toSeq); q.processAllAvailable()
+        input.addData(docsArr.drop(half).toSeq); q.processAllAvailable()
+        s.table("gate_gopher_out").collect().toSeq
+      } finally q.stop()
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6)))
+      .toDF("doc_id", "n_words", "f_wordcount", "f_wordlen", "f_alpha",
+        "f_stop", "keep")
+      .orderBy(col("doc_id"))
+  }
+
+  /** F23 (query-backed): STREAMING ZONAL STATISTICS — the raster
+    * pillar's streaming entry (batch twin A29): every zonal statistic
+    * is associative, so `Estimation.zonalStats` attaches UNCHANGED as
+    * one built-in Update-mode aggregate; the fixture grid's cells
+    * arrive in two interleaved-stripe batches (every zone is updated
+    * across the batch boundary), and the latest changelog row per zone
+    * is the final census — which must equal the batch A29 gate
+    * exactly, so the oracle is the A29 md5-formula replica verbatim
+    * (the grid is corpus-independent; no cap needed).
+    */
+  def qStreamZonal(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cells = graft.sources.Synthetic.rasterGrid(s, 120L, 80L)
+      .collect()
+      .map(r => CellArrival(r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val input = MemoryStream[CellArrival]
+    val q = Estimation.zonalStats(input.toDF())
+      .writeStream.format("memory")
+      .queryName("gate_zonal_out").outputMode("update").start()
+    val latest =
+      try {
+        val (h1, h2) = cells.partition(_.x % 2 == 0) // interleaved stripes
+        input.addData(h1.toSeq); q.processAllAvailable()
+        input.addData(h2.toSeq); q.processAllAvailable()
+        s.table("gate_zonal_out").collect().toSeq.zipWithIndex
+          .groupBy(_._1.getLong(0))
+          .map { case (_, rs) => rs.maxBy(_._2)._1 } // changelog: last wins
+          .toSeq
+      } finally q.stop()
+    latest.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toDF("zone", "n_cells", "n_valid", "vsum", "vmin", "vmax",
+        "zonal_mean")
+      .orderBy(col("zone"))
+  }
+
   /** F14's count-bounded arrival cap: every gate-scale vector passes
     * (max vec_id 1,999 at sf0.1), frozen at 10×+ (ScaleData replica
     * vec_ids start at 10,000).
@@ -1010,6 +1124,12 @@ object StreamingGates {
     "q_stream_lsh_pairs" -> TextOps.lshPairsCappedOracleSql(LshDocMaxId),
     // the F14 value oracle: the D9 replica on the capped arrivals
     "q_stream_semdedup" -> Similarity.semDedupCappedOracleSql(SemStreamMaxVec),
+    // the F8/F12 value oracles: the C20/C15 replicas on the capped docs
+    "q_stream_pii" -> TextOps.cappedDocsOracleSql("q_pii", LshDocMaxId),
+    "q_stream_gopher" -> TextOps.cappedDocsOracleSql("q_gopher", LshDocMaxId),
+    // the F23 value oracle: the A29 md5-formula replica verbatim (the
+    // fixture grid is corpus-independent)
+    "q_stream_zonal" -> Estimation.oracles("q_zonal"),
     // the F18 value oracle: the C31 replica on the capped arrivals
     "q_stream_curate" -> TextOps.corpusPipelineCappedOracleSql(LshDocMaxId),
     // the F22 value oracle: strict-< gaps-and-islands in exact micros

@@ -428,6 +428,18 @@ object TextOps {
       .replace("FROM documents WHERE doc_id % 97 = 0 AND",
         s"FROM documents WHERE doc_id < $maxDocId AND doc_id % 97 = 0 AND")
 
+  /** A single-documents-scan oracle restricted to doc_id < maxDocId —
+    * the stateless stream gates (F8/F12) reuse their batch twins'
+    * replicas with the count-bounded arrival cap applied at the scan.
+    */
+  private[operators] def cappedDocsOracleSql(name: String, maxDocId: Long): String = {
+    val sql = oracles(name)
+    require(sql.sliding("FROM documents)".length).count(_ == "FROM documents)") == 1,
+      s"$name oracle must have exactly one bare documents scan")
+    sql.replace("FROM documents)",
+      s"FROM documents WHERE doc_id < $maxDocId)")
+  }
+
   private[operators] def lshPairsCappedOracleSql(maxDocId: Long): String = {
     // baseSql's one documents scan gains the cap predicate
     val cappedBase = baseSql.replace(
