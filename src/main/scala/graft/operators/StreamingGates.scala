@@ -1005,6 +1005,82 @@ object StreamingGates {
       .orderBy(col("zone"))
   }
 
+  /** F13 (query-backed): STREAMING CHUNKER — the C28 context-window
+    * packer (32-word windows, stride 24) attached UNCHANGED to the
+    * capped document stream: pure stateless codegen (split + sequence
+    * + slice + posexplode), Append mode, no state store. Two
+    * micro-batches; the emitted (chunk_idx, n_tokens, chunk md5) rows
+    * must equal the batch C28 replica with the cap at the scan — a
+    * boundary-off-by-one in the window math or a row lost between
+    * batches breaks the hash.
+    */
+  def qStreamChunks(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docsArr = documents(s, dir)
+      .filter(col("doc_id") < LshDocMaxId)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => EventStreams.LshDoc(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id)
+    val input = MemoryStream[EventStreams.LshDoc]
+    val q = TextOps.chunksOn(input.toDF())
+      .writeStream.format("memory")
+      .queryName("gate_chunks_out").outputMode("append").start()
+    val rows =
+      try {
+        val half = docsArr.length / 2
+        input.addData(docsArr.take(half).toSeq); q.processAllAvailable()
+        input.addData(docsArr.drop(half).toSeq); q.processAllAvailable()
+        s.table("gate_chunks_out").collect().toSeq
+      } finally q.stop()
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toDF("doc_id", "chunk_idx", "n_tokens", "chunk_md5")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** F9 (query-backed): STREAMING VOCABULARY COUNTS — the C23
+    * primitive as Spark's BUILT-IN stateful streaming aggregate
+    * (`groupBy(term).count()` in Update mode — count state sharded by
+    * term hash, no custom state code at all: the simplest possible
+    * stateful-streaming shape, gated so the built-in path has a
+    * driver-verified row next to the flatMapGroupsWithState machines).
+    * Two micro-batches over the capped docs; the reader keeps the
+    * LATEST changelog row per term and publishes the top-30 by
+    * (tf DESC, term) — which must equal the batch term counts on the
+    * same capped corpus (oracle recomputed from the documents scan; a
+    * count state lost or double-applied across the batch boundary
+    * breaks the hash).
+    */
+  def qStreamVocab(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docsArr = documents(s, dir)
+      .filter(col("doc_id") < LshDocMaxId)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => EventStreams.LshDoc(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id)
+    val input = MemoryStream[EventStreams.LshDoc]
+    val q = EventStreams.vocabStream(input.toDF())
+      .writeStream.format("memory")
+      .queryName("gate_vocab_out").outputMode("update").start()
+    val latest =
+      try {
+        val half = docsArr.length / 2
+        input.addData(docsArr.take(half).toSeq); q.processAllAvailable()
+        input.addData(docsArr.drop(half).toSeq); q.processAllAvailable()
+        s.table("gate_vocab_out").collect().toSeq.zipWithIndex
+          .groupBy(_._1.getString(0))
+          .map { case (_, rs) => rs.maxBy(_._2)._1 } // changelog: last wins
+          .toSeq
+      } finally q.stop()
+    latest.map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, n) => (-n, t) }
+      .take(30)
+      .toDF("term", "tf")
+  }
+
   /** F14's count-bounded arrival cap: every gate-scale vector passes
     * (max vec_id 1,999 at sf0.1), frozen at 10×+ (ScaleData replica
     * vec_ids start at 10,000).
@@ -1124,9 +1200,20 @@ object StreamingGates {
     "q_stream_lsh_pairs" -> TextOps.lshPairsCappedOracleSql(LshDocMaxId),
     // the F14 value oracle: the D9 replica on the capped arrivals
     "q_stream_semdedup" -> Similarity.semDedupCappedOracleSql(SemStreamMaxVec),
-    // the F8/F12 value oracles: the C20/C15 replicas on the capped docs
+    // the F8/F12/F13 value oracles: the C20/C15/C28 replicas on the
+    // capped docs
     "q_stream_pii" -> TextOps.cappedDocsOracleSql("q_pii", LshDocMaxId),
     "q_stream_gopher" -> TextOps.cappedDocsOracleSql("q_gopher", LshDocMaxId),
+    "q_stream_chunks" -> TextOps.cappedDocsOracleSql("q_chunks", LshDocMaxId),
+    // the F9 value oracle: term counts over the capped docs, top-30 by
+    // (tf DESC, term) — the stream side is tf (exact streaming df needs
+    // per-(term, doc) dedup state; tf is what the built-in aggregate
+    // maintains)
+    "q_stream_vocab" ->
+      s"""WITH w AS (SELECT unnest(string_split(text,' ')) AS term
+        |  FROM documents WHERE doc_id < $LshDocMaxId)
+        |SELECT term, COUNT(*) AS tf FROM w WHERE LENGTH(term) > 0
+        |GROUP BY 1 ORDER BY tf DESC, term LIMIT 30""".stripMargin,
     // the F23 value oracle: the A29 md5-formula replica verbatim (the
     // fixture grid is corpus-independent)
     "q_stream_zonal" -> Estimation.oracles("q_zonal"),
