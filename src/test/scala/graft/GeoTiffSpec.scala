@@ -18,7 +18,7 @@ class GeoTiffSpec extends AnyFunSuite {
     java.nio.file.Files.createTempDirectory("geotiff_spec")
 
   test("uint8 roundtrip: encoded bytes decode to the formula pixels and tags") {
-    val i = GeoTiff.decode(GeoTiff.encode(0L)) // band 0: uint8
+    val i = GeoTiff.decodeStats(GeoTiff.encode(0L)) // band 0: uint8
     assert(i.width == 16 && i.height == 12)
     assert(i.bits == 8 && i.sampleFmt == 1 && i.dtype == "uint8")
     assert(i.epsg == 32601)
@@ -32,7 +32,7 @@ class GeoTiffSpec extends AnyFunSuite {
 
   test("float32 roundtrip: IEEE-float strip decodes exactly (quarter values)") {
     val b = 7L // odd: float32, w=16+7%9=23, h=12+7%7=12
-    val i = GeoTiff.decode(GeoTiff.encode(b))
+    val i = GeoTiff.decodeStats(GeoTiff.encode(b))
     assert(i.width == 23 && i.height == 12)
     assert(i.bits == 32 && i.sampleFmt == 3 && i.dtype == "float32")
     assert(i.epsg == 32601 + 7)
@@ -40,6 +40,47 @@ class GeoTiffSpec extends AnyFunSuite {
       yield ((11 * x + 13 * y + b) % 997).toDouble / 4.0
     assert(i.nPx == 23 * 12 && i.vsum == vs.sum)
     assert(i.vmin == vs.min && i.vmax == vs.max)
+  }
+
+  /** The real-world layout matrix: every (variant, dtype) cell of the
+    * shapes fixture must decode — through the REAL JDK codec — to the
+    * same formula pixels the canonical layout carries. A compression,
+    * predictor, tiling, multi-strip, byte-order, or signed-sample bug
+    * fails the exact cell that exercises it.
+    */
+  test("shaped roundtrips: multi-strip Deflate, LZW, LZW+predictor, tiled, MM") {
+    for (b <- 0L until 36L) {
+      val lay = GeoTiff.shapeLayout(b)
+      val dt = GeoTiff.shapeDtype(b)
+      val i = GeoTiff.decodeStats(GeoTiff.encodeShaped(b))
+      val w = GeoTiff.widthOf(b); val h = GeoTiff.heightOf(b)
+      assert(i.width == w && i.height == h, s"band $b shape")
+      assert(i.dtype == dt, s"band $b dtype: got ${i.dtype}")
+      assert(i.meta.compression == lay.compression, s"band $b compression")
+      assert(i.meta.predictor == lay.predictor, s"band $b predictor")
+      assert(i.meta.tiled == lay.tile.isDefined, s"band $b tiled")
+      assert(i.meta.bigEndian == lay.bigEndian, s"band $b byte order")
+      assert(i.epsg == GeoTiff.epsgOf(b))
+      val vs = for (y <- 0 until h; x <- 0 until w) yield dt match {
+        case "uint8"   => ((3L * x + 5L * y + 7L * b) % 256).toDouble
+        case "float32" => ((11L * x + 13L * y + b) % 997).toDouble / 4.0
+        case _         => ((17L * x + 23L * y + 29L * b) % 1201).toDouble - 600.0
+      }
+      assert(i.nPx == w.toLong * h, s"band $b n_px")
+      assert(i.vsum == vs.sum, s"band $b vsum: got ${i.vsum} want ${vs.sum}")
+      assert(i.vmin == vs.min && i.vmax == vs.max, s"band $b min/max")
+    }
+  }
+
+  test("decodeMeta is header-only: meta from a file whose pixels cannot decode") {
+    val hdr = GeoTiff.encodeHeaderOnly(6L)
+    val m = GeoTiff.decodeMeta(hdr)
+    assert(m.width == GeoTiff.widthOf(6) && m.height == GeoTiff.heightOf(6))
+    assert(m.epsg == GeoTiff.epsgOf(6) && m.dtype == "uint8")
+    assert(m.tieX == GeoTiff.tieXOf(6) && m.tieY == GeoTiff.tieYOf(6))
+    // the same payload CANNOT pixel-decode (strip offset past EOF) —
+    // so any path that returns meta provably never read a pixel
+    intercept[Exception] { GeoTiff.decodeStats(hdr) }
   }
 
   test("loadRaster returns a RasterFrame with file-derived GridMeta") {
@@ -60,15 +101,15 @@ class GeoTiffSpec extends AnyFunSuite {
   }
 
   test("loadStack: aligned multi-file stack with NumPy dtype promotion") {
-    // two aligned bands sharing grid + georeference but MIXED dtype:
-    // hand-build them by reusing the canonical encoder's band 0 grid
-    // (16x12, EPSG:32601) — band ids 0 (uint8) and a float twin can't
-    // come from the gate formulas (those vary epsg per band), so write
-    // band 0 twice won't promote; instead assert promotion on dtypes
-    // directly and alignment on the real fixture
     assert(GeoTiff.promote(Seq("uint8", "uint8")) == "uint8")
     assert(GeoTiff.promote(Seq("uint8", "float32")) == "float32")
     assert(GeoTiff.promote(Seq("float32", "float32")) == "float32")
+    // the int16 lattice the reference's own ecoplot rasters need
+    assert(GeoTiff.promote(Seq("uint8", "int16")) == "int16")
+    assert(GeoTiff.promote(Seq("int16", "uint16")) == "int32")
+    assert(GeoTiff.promote(Seq("int32", "float32")) == "float64")
+    assert(GeoTiff.promote(Seq("int16", "float32")) == "float32")
+    assert(GeoTiff.promote(Seq("uint8", "int16", "float32")) == "float32")
     val d = tmpDir()
     java.nio.file.Files.write(d.resolve("b0.tif"), GeoTiff.encode(0L))
     java.nio.file.Files.write(d.resolve("b1.tif"), GeoTiff.encode(0L))
@@ -83,10 +124,33 @@ class GeoTiffSpec extends AnyFunSuite {
     val d = tmpDir()
     java.nio.file.Files.write(d.resolve("b0.tif"), GeoTiff.encode(0L))
     java.nio.file.Files.write(d.resolve("b1.tif"), GeoTiff.encode(1L))
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       GeoTiff.loadStack(spark, d.toString)
     }
     assert(e.getMessage.contains("misaligned"))
+  }
+
+  test("loadStack meta path never touches pixel data (driver or executor)") {
+    // a directory of header-only files: valid IFDs, strip offsets past
+    // EOF — pixel decode ANYWHERE throws, so a successful loadStack
+    // return proves meta/alignment/promotion came from headers alone
+    val d = tmpDir()
+    java.nio.file.Files.write(d.resolve("h0.tif"), GeoTiff.encodeHeaderOnly(0L))
+    java.nio.file.Files.write(d.resolve("h1.tif"), GeoTiff.encodeHeaderOnly(0L))
+    val (cells, meta, dtype) = GeoTiff.loadStack(spark, d.toString)
+    assert(meta.crs.contains("EPSG:32601"))
+    assert(dtype == "uint8")
+    // the lazily-planned cells DO fail when pixels are finally forced —
+    // the failure lives exactly (and only) on the pixel path
+    intercept[Exception] { cells.count() }
+  }
+
+  test("loadStack CRS consensus: user-defined (32767) defers to declared codes") {
+    assert(GeoTiff.decodeMeta(GeoTiff.encode(0L)).crs.contains("EPSG:32601"))
+    // promote-only check of the 32767 rule (fixture encoder never emits
+    // it; the ecoplot parity spec exercises the real mixed-file case)
+    val m = GeoTiff.decodeMeta(GeoTiff.encode(0L)).copy(epsg = 32767)
+    assert(m.crs.isEmpty)
   }
 
   test("gate query matches the oracle formulas at sf0.001") {
@@ -101,5 +165,23 @@ class GeoTiffSpec extends AnyFunSuite {
       yield ((11 * x + 13 * y + 9) % 997).toDouble / 4.0
     assert(r9.getAs[Long]("n_px") == w * h)
     assert(r9.getAs[Double]("vsum") == vs.sum)
+  }
+
+  test("shapes gate matches the oracle formulas at sf0.001") {
+    val df = GeoTiff.qRasterTiffShapes(spark, "/root/testdata/sf0.001").collect()
+    assert(df.length == 36)
+    assert(df.forall(_.getAs[String]("promoted_dtype") == "float32"))
+    // band 11: variant (11/3)%6 = 3 (LZW), dt 11%3 = 2 (int16)
+    val r11 = df.find(_.getLong(0) == 11L).get
+    assert(r11.getAs[String]("dtype") == "int16")
+    assert(r11.getAs[Long]("compression") == 5)
+    assert(r11.getAs[Long]("predictor") == 1)
+    // band 9: variant 3, dt 0 → LZW + predictor 2 on uint8
+    val r9 = df.find(_.getLong(0) == 9L).get
+    assert(r9.getAs[Long]("predictor") == 2)
+    // band 12..14: variant 4 → tiled
+    assert(df.find(_.getLong(0) == 13L).get.getAs[Long]("tiled") == 1)
+    // band 15..17: variant 5 → big-endian
+    assert(df.find(_.getLong(0) == 16L).get.getAs[String]("byte_order") == "MM")
   }
 }
