@@ -49,10 +49,10 @@ object StreamingGates {
     * partition-count-independent (keyed state semantics); the conf is
     * restored afterwards (the qBucketedAgg discipline).
     */
-  private def withStreamPartitions(s: SparkSession)(f: => DataFrame): DataFrame = {
+  private def withStreamPartitions(s: SparkSession, n: Int = 8)(f: => DataFrame): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, "8")
+    s.conf.set(key, n.toString)
     try f finally s.conf.set(key, prev)
   }
 
@@ -1081,6 +1081,195 @@ object StreamingGates {
       .toDF("term", "tf")
   }
 
+  /** F3/F4 arrival shape: one event row with its type and value. */
+  final case class FullEv(event_id: Long, user_id: Long, ts: Long,
+                          event_type: String, value: Double)
+
+  /** Capped, event-time-ordered event arrivals for the streaming join
+    * gates (count bound, the stream-gate rule; `cap` defaults to F22's
+    * SessionEvMaxId).
+    */
+  private def orderedEventArrivals(s: SparkSession, dir: String,
+                                   cap: Long = SessionEvMaxId): Seq[FullEv] =
+    events(s, dir)
+      .filter(col("event_id") < cap)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => FullEv(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e.ts, e.event_id))
+      .toSeq
+
+  /** Split an event-time-ordered feed at a STRICT timestamp boundary at
+    * or after the midpoint — batches then respect the per-key
+    * event-time-order contract even when timestamps tie.
+    */
+  private def splitAtTsBoundary[T](evs: Seq[T])(ts: T => Long): (Seq[T], Seq[T]) = {
+    val mid = evs.length / 2
+    val cut = (mid until evs.length - 1)
+      .find(i => ts(evs(i)) < ts(evs(i + 1)))
+      .map(_ + 1).getOrElse(evs.length)
+    evs.splitAt(cut)
+  }
+
+  /** F3 (query-backed): WATERMARK-BOUNDED STREAMING EXACT DEDUP — the
+    * production at-least-once front door (batch twin C1's keyed dedup):
+    * `dropDuplicates` over (event_id, ts) under an event-time watermark,
+    * so state holds only ids inside the horizon. The capped feed is
+    * delivered in two ordered micro-batches and then a THIRD batch
+    * re-delivers a slice of each (the at-least-once contract) — every
+    * re-delivery must be suppressed by dedup state, so the Append
+    * output is exactly one row per event and the published per-type
+    * census (count, distinct users, exact value cents) equals the plain
+    * batch census a DuckDB scan computes with no duplicates fed at all.
+    */
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = orderedEventArrivals(s, dir)
+    val input = MemoryStream[FullEv]
+    val q = EventStreams.dedupStream(
+        input.toDF().withColumn("ts", timestamp_micros(col("ts"))),
+        Seq("event_id"), watermark = "30 days")
+      .writeStream.format("memory")
+      .queryName("gate_dedup_out").outputMode("append").start()
+    val rows =
+      try {
+        val (h1, h2) = splitAtTsBoundary(evs)(_.ts)
+        input.addData(h1); q.processAllAvailable()
+        // second batch arrives WITH duplicates of the first (cross-batch
+        // re-delivery: must hit batch-1's state store entries)
+        input.addData(h2 ++ h1.take(500)); q.processAllAvailable()
+        // third batch: re-deliver slices of both batches
+        input.addData(h1.slice(100, 200) ++ h2.take(300))
+        q.processAllAvailable()
+        s.table("gate_dedup_out").collect().toSeq
+      } finally q.stop()
+    rows.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id"),
+        math.round(r.getAs[Double]("value") * 100)))
+      .groupBy(_._1).toSeq
+      .map { case (t, rs) =>
+        (t, rs.size.toLong, rs.map(_._2).distinct.size.toLong,
+          rs.map(_._3).sum)
+      }
+      .toDF("event_type", "n_events", "n_users", "value_cents")
+      .orderBy(col("event_type"))
+  }
+
+  /** F4's arrival cap: half of F22's — the stream-stream join's cost is
+    * two keyed state stores per side per micro-batch plus the
+    * watermark-eviction no-data batches, all exercised identically at
+    * any feed size; 12k events keeps the gate in the stream-gate cost
+    * band while incidents still span the batch boundary by the
+    * thousands.
+    */
+  private val IntervalEvMaxId = 12000L
+
+  /** F4 (query-backed): STREAM-STREAM INTERVAL JOIN — dual watermarks,
+    * event-time bounds on both ends (state evicts at i_ts + 1h), the
+    * production incident-window shape (batch twin B12). The capped feed
+    * arrives in two ordered micro-batches; incidents opened in batch 1
+    * must join events arriving in batch 2 out of the state store. The
+    * published frame is B12's exactly — per incident: joined-event
+    * count and dec2 value sum — and the oracle is the B12 replica with
+    * the cap at both scans.
+    */
+  // 2 shuffle partitions, not the stream-gate default 8: the join pays
+  // FOUR state-store commits per partition per micro-batch (two keyed
+  // stores per side), so partition count is the dominant fixed cost at
+  // this feed size (measured quiet: 8 → 6.8s, 4 → 4.7s, 2 → 4.1s).
+  def qStreamIntervalJoin(s: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(s, 2) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = orderedEventArrivals(s, dir, cap = IntervalEvMaxId)
+    // INNER stream-stream joins emit at match time — the no-data
+    // watermark batches only evict state early (the next data batch
+    // evicts identically), so the gate skips them: 4 micro-batches → 2.
+    // Scoped + restored, like the partition override.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = s.conf.get(ndKey)
+    s.conf.set(ndKey, "false")
+    try {
+    val input = MemoryStream[FullEv]
+    val q = EventStreams.incidentJoinStream(
+        input.toDF().withColumn("ts", timestamp_micros(col("ts"))))
+      .writeStream.format("memory")
+      .queryName("gate_ij_out").outputMode("append").start()
+    val joined =
+      try {
+        val (h1, h2) = splitAtTsBoundary(evs)(_.ts)
+        input.addData(h1); q.processAllAvailable()
+        input.addData(h2); q.processAllAvailable()
+        s.table("gate_ij_out").collect().toSeq
+      } finally q.stop()
+    joined.map(r => (r.getAs[Long]("incident_id"), r.getAs[Double]("value")))
+      .groupBy(_._1).toSeq
+      .map { case (inc, rs) => (inc, rs.size.toLong, rs.map(_._2).sum) }
+      .toDF("incident_id", "n_events", "sv")
+      .select(col("incident_id"), col("n_events"),
+        graft.functions.dec2(col("sv")).as("sum_value"))
+      .orderBy(col("incident_id"))
+    } finally s.conf.set(ndKey, ndPrev)
+  }
+
+  /** F5 (query-backed): STREAMING AS-OF JOIN — each event enriched with
+    * the most recent order (orderdate ≤ event ts, ties to the highest
+    * orderkey) of the same user, via O(1)-per-user
+    * flatMapGroupsWithState (batch twin B9, whose custom-exec siblings
+    * are B9b/B9c). Orders (tag 0) and events (tag 1) merge into one
+    * event-time-ordered keyed stream, split into two micro-batches at a
+    * strict ts boundary — enrichments in batch 2 must come from order
+    * state persisted in batch 1. A third batch re-delivers a slice of
+    * ORDER rows (idempotent for the monotone max-state; probes are
+    * never replayed, so the Update changelog has exactly one row per
+    * event). The published frame is B9's; the oracle is the DuckDB
+    * ASOF LEFT JOIN replica with the caps applied at both scans.
+    */
+  def qStreamAsOf(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ords = orders(s, dir)
+      .filter(col("o_orderkey") < StreamFactMaxKey)
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ts"),
+        col("o_orderkey"), col("o_totalprice"))
+      .collect()
+      .map(r => EventStreams.AsOfIn(r.getLong(0), r.getLong(1), 0, -1L,
+        r.getLong(2), r.getDouble(3)))
+    val probes = events(s, dir)
+      .filter(col("event_id") < SessionEvMaxId)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts"), col("event_id"))
+      .collect()
+      .map(r => EventStreams.AsOfIn(r.getLong(0), r.getLong(1), 1,
+        r.getLong(2), -1L, 0.0))
+    val all = (ords ++ probes)
+      .sortBy(r => (r.ts, r.tag, r.event_id, r.o_orderkey)).toSeq
+    val input = MemoryStream[EventStreams.AsOfIn]
+    val q = EventStreams.asOfStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_asof_out").outputMode("update").start()
+    val rows =
+      try {
+        val (h1, h2) = splitAtTsBoundary(all)(_.ts)
+        input.addData(h1); q.processAllAvailable()
+        input.addData(h2); q.processAllAvailable()
+        // replay a slice of ORDER rows only: monotone state ignores
+        // stale re-deliveries, so the changelog stays one-row-per-event
+        input.addData(h1.filter(_.tag == 0).take(200))
+        q.processAllAvailable()
+        s.table("gate_asof_out").collect().toSeq
+      } finally q.stop()
+    rows.map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None: Option[Long] else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None: Option[Double] else Some(r.getDouble(3))))
+      .toDF("event_id", "user_id", "o_orderkey", "tp")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        graft.functions.dec2(col("tp")).as("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
   /** F14's count-bounded arrival cap: every gate-scale vector passes
     * (max vec_id 1,999 at sf0.1), frozen at 10×+ (ScaleData replica
     * vec_ids start at 10,000).
@@ -1113,6 +1302,43 @@ object StreamingGates {
       |FROM t ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the F3 value oracle: the deduped stream census equals the plain
+    // batch census — DuckDB never sees the re-delivered rows, so any
+    // duplicate surviving dedup state inflates a count/sum and breaks
+    // the hash
+    "q_stream_dedup" ->
+      s"""SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM events WHERE event_id < $SessionEvMaxId
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the F4 value oracle: the B12 replica with the cap at both scans
+    "q_stream_interval_join" ->
+      s"""SELECT i.event_id AS incident_id, COUNT(*) AS n_events,
+        |  CAST(ROUND(SUM(e.value),2) AS DECIMAL(18,2))::DOUBLE AS sum_value
+        |FROM events i JOIN events e
+        |  ON i.event_type = 'error'
+        | AND e.user_id = i.user_id
+        | AND e.ts >= i.ts
+        | AND e.ts < i.ts + INTERVAL 1 HOUR
+        |WHERE i.event_id < $IntervalEvMaxId AND e.event_id < $IntervalEvMaxId
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the F5 value oracle: the B9 ASOF LEFT JOIN replica with the caps
+    // at both scans
+    "q_stream_asof" ->
+      s"""WITH o AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |        ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders WHERE o_orderkey < $StreamFactMaxKey) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, o.o_orderkey,
+        |  CAST(ROUND(o.o_totalprice,2) AS DECIMAL(18,2))::DOUBLE AS o_totalprice
+        |FROM (SELECT * FROM events WHERE event_id < $SessionEvMaxId) e
+        |  ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
     "q_stream_heavy_hitters" -> zipfTop5FlagsSql("found", "bounds_ok"),
     "q_stream_cms" -> zipfTop5FlagsSql("over_ok", "bound_ok"),
     // the F49 value oracle: the full B154 replica on the capped orders
