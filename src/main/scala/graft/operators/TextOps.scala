@@ -421,12 +421,22 @@ object TextOps {
     * corpus b and eval-gram side ev) gain the cap, exactly as the gate
     * feeds only capped docs and builds its eval-gram set from them.
     */
-  private[operators] def corpusPipelineCappedOracleSql(maxDocId: Long): String =
-    oracles("q_corpus_pipeline")
-      .replace("FROM documents WHERE doc_id % 97 <> 0)",
-        s"FROM documents WHERE doc_id < $maxDocId AND doc_id % 97 <> 0)")
-      .replace("FROM documents WHERE doc_id % 97 = 0 AND",
-        s"FROM documents WHERE doc_id < $maxDocId AND doc_id % 97 = 0 AND")
+  private[operators] def corpusPipelineCappedOracleSql(maxDocId: Long): String = {
+    // require-exactly-one on each replace target: if the C31 oracle is
+    // ever reworded, the cap must fail loudly here rather than silently
+    // disappear and diverge the stream oracle only at 10x+ scale
+    def replaceOnce(sql: String, from: String, to: String): String = {
+      require(sql.sliding(from.length).count(_ == from) == 1,
+        s"q_corpus_pipeline oracle must contain exactly one '$from'")
+      sql.replace(from, to)
+    }
+    replaceOnce(
+      replaceOnce(oracles("q_corpus_pipeline"),
+        "FROM documents WHERE doc_id % 97 <> 0)",
+        s"FROM documents WHERE doc_id < $maxDocId AND doc_id % 97 <> 0)"),
+      "FROM documents WHERE doc_id % 97 = 0 AND",
+      s"FROM documents WHERE doc_id < $maxDocId AND doc_id % 97 = 0 AND")
+  }
 
   /** A single-documents-scan oracle restricted to doc_id < maxDocId —
     * the stateless stream gates (F8/F12) reuse their batch twins'
