@@ -28,6 +28,35 @@ import graft.streaming.EventStreams.{KmvArrival, KmvOut}
 class RocksDbRestartSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  /** Run `f` under the RocksDB state-store provider with a fresh
+    * checkpoint dir, restoring the previous provider after.
+    */
+  private def withRocksDb[T](f: String => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("rocksdb_ckpt").toString
+    try f(ckpt)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Only RocksDBStateStoreProvider checkpoints state as zip archives/
+    * changelogs (the HDFS-backed default writes .delta files) — so this
+    * proves the provider actually ran.
+    */
+  private def assertRocksArtifacts(ckpt: String): Unit = {
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+    val n =
+      try walk.filter(p => p.toString.endsWith(".zip") ||
+                           p.toString.endsWith(".changelog")).count()
+      finally walk.close()
+    assert(n > 0, "no RocksDB snapshot/changelog artifacts under the checkpoint")
+  }
+
   test("F24 kmvStream restarts from a RocksDB checkpoint with exact state") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -117,6 +146,162 @@ class RocksDbRestartSpec extends AnyFunSuite {
         case None => spark.conf.unset(
           "spark.sql.streaming.stateStore.providerClass")
       }
+    }
+  }
+
+  /** Deterministic session fixture: 12 users, 250 events each, in
+    * GLOBAL event-time order. Every 4th per-user step gaps 45 minutes
+    * (> the 30-minute session gap → a session break); the rest gap 10
+    * minutes — so each user carries ~63 multi-event sessions and many
+    * sessions straddle the kill point.
+    */
+  private def sessionFixture(): Vector[EventStreams.Ev] = {
+    val base = 1700000000000000L
+    val evs = Vector.newBuilder[EventStreams.Ev]
+    val ts = Array.fill(12)(0L)
+    var i = 0
+    while (i < 3000) {
+      val u = i % 12
+      val k = i / 12
+      val step = if (k == 0) 0L
+        else if (k % 4 == 0) 45L * 60 * 1000000 else 10L * 60 * 1000000
+      ts(u) = (if (k == 0) base + u * 1000000L else ts(u) + step)
+      evs += EventStreams.Ev(u.toLong, ts(u), i.toLong, (i % 97).toDouble / 4.0)
+      i += 1
+    }
+    evs.result().sortBy(e => (e.ts, e.event_id))
+  }
+
+  /** F22 under RocksDB with a mid-stream restart: session-window state
+    * is the largest, most merge-heavy shape the provider holds (ranged
+    * session intervals that MERGE on update, then finalize via the
+    * watermark for Append mode) — the r13 brief's "most likely to
+    * expose a provider bug the KMV sketch can't". The kill lands
+    * between committed batches while thousands of sessions are open in
+    * state; the restarted query must merge batch-2 events into
+    * RocksDB-restored sessions and finalize EXACTLY the sessions an
+    * uninterrupted run finalizes.
+    */
+  test("F22 session_window restarts from a RocksDB checkpoint with exact sessions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = sessionFixture()
+    val sentinelUid = 999999999L
+    val sentA = EventStreams.Ev(sentinelUid,
+      evs.map(_.ts).max + 7L * 24 * 3600 * 1000000, 900001L, 0.0)
+    val sentB = sentA.copy(ts = sentA.ts + 1000000L, event_id = 900002L)
+    type Key = (Long, Long, Long, Long, Long)
+    def rowsOf(ds: org.apache.spark.sql.DataFrame): Seq[Key] =
+      ds.filter(col("user_id") =!= sentinelUid)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("ss"),
+          unix_micros(col("session_end")).as("se"),
+          col("n_events"), col("sum_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          math.round(r.getDouble(4) * 100)))
+        .toSeq
+    def run(ckpt: Option[String]): Seq[Key] = {
+      val epochs = scala.collection.concurrent.TrieMap.empty[Long, Seq[Key]]
+      val input = MemoryStream[EventStreams.Ev]
+      def start() = {
+        val w = EventStreams.sessionWindowStream(
+            input.toDF().withColumn("ts", timestamp_micros(col("ts"))))
+          .writeStream.outputMode("append")
+          .foreachBatch { (ds: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                           id: Long) =>
+            epochs.put(id, rowsOf(ds.toDF())): Unit
+          }
+        ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
+      }
+      val half = evs.length / 2
+      val q1 = start()
+      input.addData(evs.take(half)); q1.processAllAvailable()
+      ckpt match {
+        case Some(c) =>
+          q1.stop() // kill with thousands of sessions open in state
+          assertRocksArtifacts(c)
+          val q2 = start()
+          try {
+            input.addData(evs.drop(half)); q2.processAllAvailable()
+            input.addData(Seq(sentA)); q2.processAllAvailable()
+            input.addData(Seq(sentB)); q2.processAllAvailable()
+          } finally q2.stop()
+        case None =>
+          try {
+            input.addData(evs.drop(half)); q1.processAllAvailable()
+            input.addData(Seq(sentA)); q1.processAllAvailable()
+            input.addData(Seq(sentB)); q1.processAllAvailable()
+          } finally q1.stop()
+      }
+      epochs.toSeq.sortBy(_._1).flatMap(_._2)
+    }
+    withRocksDb { ckpt =>
+      val restarted = run(Some(ckpt))
+      val uninterrupted = run(None)
+      assert(uninterrupted.nonEmpty)
+      assert(restarted.sorted == uninterrupted.sorted,
+        s"session sets diverged: restarted=${restarted.size} " +
+          s"uninterrupted=${uninterrupted.size}")
+    }
+  }
+
+  /** F2's flatMapGroupsWithState sessionizer under RocksDB with a
+    * mid-stream restart: custom per-user OpenSession state must
+    * rehydrate from the checkpoint so batch-2 events EXTEND the same
+    * open sessions (same session_seq counters) instead of restarting
+    * them — the latest-changelog view must equal an uninterrupted run
+    * exactly.
+    */
+  test("F2 sessionize restarts from a RocksDB checkpoint with exact state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = sessionFixture()
+    type Key = (Long, Long)
+    type Val = (Long, Long, Long, Long)
+    def run(ckpt: Option[String]): Map[Key, Val] = {
+      val epochs = scala.collection.concurrent.TrieMap
+        .empty[Long, Seq[(Key, Val)]]
+      val input = MemoryStream[EventStreams.Ev]
+      def start() = {
+        val w = EventStreams.sessionize(input.toDS())
+          .writeStream.outputMode("update")
+          .foreachBatch {
+            (ds: org.apache.spark.sql.Dataset[EventStreams.SessionOut],
+             id: Long) =>
+              epochs.put(id, ds.collect().toSeq.map(o =>
+                ((o.user_id, o.session_seq),
+                 (o.n_events, o.session_start, o.duration_us,
+                  math.round(o.sum_value * 100))))): Unit
+          }
+        ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
+      }
+      val half = evs.length / 2
+      val q1 = start()
+      input.addData(evs.take(half)); q1.processAllAvailable()
+      ckpt match {
+        case Some(c) =>
+          q1.stop()
+          assertRocksArtifacts(c)
+          val q2 = start()
+          try { input.addData(evs.drop(half)); q2.processAllAvailable() }
+          finally q2.stop()
+        case None =>
+          try { input.addData(evs.drop(half)); q1.processAllAvailable() }
+          finally q1.stop()
+      }
+      // changelog semantics: last row per (user, session_seq) wins
+      epochs.toSeq.sortBy(_._1).flatMap(_._2)
+        .foldLeft(Map.empty[Key, Val]) { case (m, (k, v)) => m + (k -> v) }
+    }
+    withRocksDb { ckpt =>
+      val restarted = run(Some(ckpt))
+      val uninterrupted = run(None)
+      assert(uninterrupted.nonEmpty)
+      assert(restarted == uninterrupted,
+        s"sessionizer state diverged: restarted=${restarted.size} " +
+          s"uninterrupted=${uninterrupted.size}")
     }
   }
 }
