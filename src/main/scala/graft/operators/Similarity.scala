@@ -1462,6 +1462,16 @@ object Similarity {
     val bcC = s.sparkContext.broadcast(cents)
     val ds = emb(s, dir).filter(col("vec_id") < ExactSliceMax)
       .select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+    // each cell's member triangle is block-partitioned (the D2/D12
+    // decomposition applied INSIDE the cell): every unordered member
+    // pair is computed in exactly one (cell, block-pair) group, so 16
+    // one-task-per-cell groups become 16·C(nB+1,2) balanced tasks that
+    // actually fill the cluster, and each member keeps a primitive
+    // bounded top-k (same (sim DESC, nb ASC) rule the sort had) instead
+    // of buffering every candidate. Per-group partial top-k unions
+    // cover the cell-local top-k, and the existing (q, nb) max-collapse
+    // + global window make the published edges IDENTICAL.
+    val nB = 4
     val assigned = ds.flatMap { case (id, v) =>
       val cs = bcC.value
       val dots = Array.tabulate(cs.length) { ci =>
@@ -1470,42 +1480,48 @@ object Similarity {
         while (j < v.length) { d += cv(j) * v(j); j += 1 }
         d
       }
+      val home = (id % nB).toInt
       (0 until cs.length).sortBy(ci => (-dots(ci), ci)).take(assignWidth)
-        .map(c => (c, id, v))
+        .flatMap(c => (0 until nB).map(o =>
+          ((c, math.min(home, o), math.max(home, o)), id, v)))
     }
     val localTop = assigned
       .groupByKey(_._1)
-      .flatMapGroups { (_: Int, it: Iterator[(Int, Long, Array[Double])]) =>
+      .flatMapGroups { (key: (Int, Int, Int),
+                        it: Iterator[((Int, Int, Int), Long, Array[Double])]) =>
+        val (_, bi, bj) = key
         val rows = it.toArray.sortBy(_._2)
         val m = rows.length
         val ids = rows.map(_._2)
+        val home = rows.map(t => (t._2 % nB).toInt)
         val nrm = rows.map { t =>
           var s2 = 0.0; var j = 0
           while (j < t._3.length) { s2 += t._3(j) * t._3(j); j += 1 }
           math.sqrt(s2)
         }
-        val cands = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[(Double, Long)])
+        val heaps = new TopKHeaps(m, k)
         var p = 0
         while (p < m) {
           val vp = rows(p)._3
           var q = p + 1
           while (q < m) {
-            if (ids(p) != ids(q)) {
+            // diagonal groups (bi == bj) pair everything; cross-block
+            // groups pair only across homes (same-home pairs belong to
+            // the home's diagonal group); ids(p) < ids(q) pairs each
+            // unordered pair once and never self-pairs
+            if ((bi == bj || home(p) != home(q)) && ids(p) < ids(q)) {
               val vq = rows(q)._3
               var d = 0.0; var j = 0
               while (j < vp.length) { d += vq(j) * vp(j); j += 1 }
               val sim = d / (nrm(p) * nrm(q))
-              cands(p) += ((sim, ids(q)))
-              cands(q) += ((sim, ids(p)))
+              heaps.insert(p, sim, ids(q))
+              heaps.insert(q, sim, ids(p))
             }
             q += 1
           }
           p += 1
         }
-        (0 until m).iterator.flatMap { i =>
-          cands(i).sortBy { case (sim, nb) => (-sim, nb) }.take(k)
-            .map { case (sim, nb) => (ids(i), nb, sim) }
-        }
+        heaps.emit(ids).map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       }
       .toDF("q_id", "nb_id", "sim")
     // a pair sharing several assigned cells appears once per shared
