@@ -793,35 +793,36 @@ object GeoTiff {
     StructField("vmin", DoubleType, nullable = false),
     StructField("vmax", DoubleType, nullable = false)))
 
-  /** Distributed per-file decode of a fixture dir: one stats row per
-    * file, decoded inside mapPartitions (payload bytes never cross a
-    * shuffle — the only exchange is the small stats frame).
+  /** The shared decode kernel: (path, content) rows → one stats row
+    * per file, used identically by the batch scan and the streaming
+    * ingest (payload bytes never cross a shuffle — the only exchange
+    * is the small stats frame).
     */
+  private def statsRows(it: Iterator[Row]): Iterator[Row] =
+    it.map { row =>
+      val name = row.getString(0).split('/').last
+      val band = name.stripPrefix("band_").stripSuffix(".tif").toLong
+      val i = decodeStats(row.getAs[Array[Byte]](1))
+      Row(band, i.width, i.height, i.bits, i.sampleFmt, i.dtype,
+        i.epsg.toLong, i.scaleX, i.scaleY, i.tieX, i.tieY,
+        i.meta.compression, i.meta.predictor,
+        if (i.meta.tiled) 1L else 0L,
+        if (i.meta.bigEndian) "MM" else "II",
+        i.nPx, i.vsum, i.vmin, i.vmax)
+    }
+
   private def perFileStats(s: SparkSession, fx: java.nio.file.Path): DataFrame =
     s.read.format("binaryFile")
       .load(fx.toString + "/*.tif")
       .select(col("path"), col("content"))
-      .mapPartitions { it =>
-        it.map { row =>
-          val name = row.getString(0).split('/').last
-          val band = name.stripPrefix("band_").stripSuffix(".tif").toLong
-          val i = decodeStats(row.getAs[Array[Byte]](1))
-          Row(band, i.width, i.height, i.bits, i.sampleFmt, i.dtype,
-            i.epsg.toLong, i.scaleX, i.scaleY, i.tieX, i.tieY,
-            i.meta.compression, i.meta.predictor,
-            if (i.meta.tiled) 1L else 0L,
-            if (i.meta.bigEndian) "MM" else "II",
-            i.nPx, i.vsum, i.vmin, i.vmax)
-        }
-      }(org.apache.spark.sql.Encoders.row(statsSchema))
+      .mapPartitions(statsRows)(org.apache.spark.sql.Encoders.row(statsSchema))
 
-  private def gateFrame(s: SparkSession, dir: String, fx: java.nio.file.Path,
-                        nFiles: Int): DataFrame = {
+  private def gateTail(s: SparkSession, dir: String, perFile: DataFrame,
+                       nFiles: Int): DataFrame = {
     // ids come off the documents table so the gate's row set is the
     // oracle's row set by construction
     val ids = Tables.documents(s, dir)
       .filter(col("doc_id") < nFiles).select(col("doc_id"))
-    val perFile = perFileStats(s, fx)
     // promotion is COMPUTED from the dtypes read off disk (1-row
     // broadcast), not asserted
     val rank = when(col("dtype") === "float32", 3)
@@ -848,9 +849,44 @@ object GeoTiff {
     * GeoKey, or promotion bug hash-mismatches.
     */
   def qRasterTiff(s: SparkSession, dir: String): DataFrame =
-    gateFrame(s, dir, fixtureDir("base:" + dir, GateFiles, shaped = false),
+    gateTail(s, dir,
+      perFileStats(s, fixtureDir("base:" + dir, GateFiles, shaped = false)),
       GateFiles)
       .drop("compression", "predictor", "tiled", "byte_order")
+
+  /** F51×E17 (query-backed): STREAMING RASTER-FILE INGEST — the
+    * production crawl-landing shape for a raster lake: .tif files land
+    * in a watched directory, `binaryFile` readStream discovers them in
+    * micro-batches (maxFilesPerTrigger=16 under AvailableNow → three
+    * genuine incremental batches over the 48-file fixture, offsets
+    * checkpointed between them), and the SAME decode kernel as the
+    * batch E17 gate runs per file inside the stream (stateless Append —
+    * decode is pure per-file). The published frame is the batch gate's
+    * exactly, so the oracle is the q_raster_tiff formula oracle
+    * verbatim — a file lost between micro-batches, a double-discovered
+    * file, or any stream-side decode divergence breaks the hash.
+    */
+  def qStreamRasterTiff(s: SparkSession, dir: String): DataFrame = {
+    val fx = fixtureDir("base:" + dir, GateFiles, shaped = false)
+    val blobSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val stream = s.readStream.format("binaryFile").schema(blobSchema)
+      .option("pathGlobFilter", "*.tif")
+      .option("maxFilesPerTrigger", "16")
+      .load(fx.toString)
+      .select(col("path"), col("content"))
+      .mapPartitions(statsRows)(org.apache.spark.sql.Encoders.row(statsSchema))
+    val q = stream.writeStream.format("memory")
+      .queryName("gate_rtiff_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    gateTail(s, dir, s.table("gate_rtiff_out"), GateFiles)
+      .drop("compression", "predictor", "tiled", "byte_order")
+  }
 
   /** E17b gate: the REAL-WORLD layout matrix. 36 files cycling through
     * six rasterio/GDAL-shaped variants (multi-strip Deflate, LZW,
@@ -864,10 +900,17 @@ object GeoTiff {
     * hash-mismatches here even though the canonical gate stays green.
     */
   def qRasterTiffShapes(s: SparkSession, dir: String): DataFrame =
-    gateFrame(s, dir, fixtureDir("shapes:" + dir, ShapeFiles, shaped = true),
+    gateTail(s, dir,
+      perFileStats(s, fixtureDir("shapes:" + dir, ShapeFiles, shaped = true)),
       ShapeFiles)
 
-  val oracles: Map[String, String] = Map(
+  /** The streaming ingest publishes the batch gate's frame exactly, so
+    * its oracle IS the q_raster_tiff formula oracle, verbatim.
+    */
+  private def streamOracle(m: Map[String, String]): Map[String, String] =
+    m + ("q_stream_raster_tiff" -> m("q_raster_tiff"))
+
+  val oracles: Map[String, String] = streamOracle(Map(
     "q_raster_tiff" ->
       """WITH f AS (SELECT doc_id AS band_id, 16 + doc_id % 9 AS w,
         |    12 + doc_id % 7 AS h FROM documents WHERE doc_id < 48),
@@ -924,5 +967,5 @@ object GeoTiff {
         |  CASE WHEN variant = 5 THEN 'MM' ELSE 'II' END AS byte_order,
         |  n_px, vsum, vmin, vmax
         |FROM st ORDER BY band_id""".stripMargin
-  )
+  ))
 }
