@@ -1270,6 +1270,161 @@ object StreamingGates {
       .orderBy(col("event_id"))
   }
 
+  /** F7 (query-backed): STREAMING PER-KEY TOP-N — bounded O(N)-per-key
+    * state via flatMapGroupsWithState (batch twin B5's topNPerKey
+    * posture: never a global sort), Update-mode changelog re-emitted
+    * only when a user's top set changes. Two micro-batches plus a
+    * replayed slice (the merge is set-distinct on (value, event_id) —
+    * re-deliveries are idempotent); the latest changelog row per
+    * (user, rank) must equal the batch per-user top-3 by
+    * (value DESC, event_id), recomputed by the oracle from the capped
+    * events scan.
+    */
+  def qStreamTopN(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = orderedEventArrivals(s, dir)
+      .map(e => EventStreams.Ev(e.user_id, e.ts, e.event_id, e.value))
+    val input = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.topNStream(input.toDS(), n = 3)
+      .writeStream.format("memory")
+      .queryName("gate_topn_out").outputMode("update").start()
+    val latest =
+      try {
+        val (h1, h2) = splitAtTsBoundary(evs)(_.ts)
+        input.addData(h1); q.processAllAvailable()
+        input.addData(h2 ++ h1.take(300)) // replay: set-distinct merge
+        q.processAllAvailable()
+        s.table("gate_topn_out").as[EventStreams.TopNOut].collect()
+          .zipWithIndex
+          .groupBy(o => (o._1.user_id, o._1.rn))
+          .map { case (_, os) => os.maxBy(_._2)._1 } // changelog: last wins
+          .toSeq
+      } finally q.stop()
+    latest.map(o => (o.user_id, o.rn.toLong, o.event_id, o.value))
+      .toDF("user_id", "rn", "event_id", "v")
+      .select(col("user_id"), col("rn"), col("event_id"),
+        graft.functions.dec2(col("v")).as("value"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** F10 (query-backed): STREAMING CONVERSION FUNNEL — each user's
+    * first view/click/purchase timestamps as O(1) state, Update-mode
+    * depth changelog (batch twin B50, same ordering rule: click counts
+    * only after a view, purchase only after a qualifying click). Two
+    * micro-batches plus a replayed slice (first-occurrence min-fold is
+    * idempotent); the latest depth per user, bucketed, must equal the
+    * batch B50 funnel census — the oracle is the B50 replica with the
+    * cap at its events scan.
+    */
+  def qStreamFunnel(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = orderedEventArrivals(s, dir)
+      .map(e => EventStreams.FEv(e.user_id, e.ts, e.event_type))
+    val input = MemoryStream[EventStreams.FEv]
+    val q = EventStreams.funnelStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_funnel_out").outputMode("update").start()
+    val latest =
+      try {
+        val (h1, h2) = splitAtTsBoundary(evs)(_.ts)
+        input.addData(h1); q.processAllAvailable()
+        input.addData(h2 ++ h1.take(400)) // replay: min-fold idempotent
+        q.processAllAvailable()
+        s.table("gate_funnel_out").as[EventStreams.FunnelOut].collect()
+          .zipWithIndex
+          .groupBy(_._1.user_id)
+          .map { case (_, os) => os.maxBy(_._2)._1 } // changelog: last wins
+          .toSeq
+      } finally q.stop()
+    val n = latest.size.toLong
+    Seq((n,
+        latest.count(_.stage >= 1).toLong,
+        latest.count(_.stage >= 2).toLong,
+        latest.count(_.stage >= 3).toLong))
+      .toDF("n_users", "n_view", "n_view_click", "n_full_funnel")
+  }
+
+  /** F11 (query-backed): STREAMING BLOOM DECONTAMINATION — the C18
+    * eval-set bitmask is built ONCE batch-side from the capped corpus'
+    * %97 eval slice, then the C18 membership expressions attach
+    * UNCHANGED to the training-document stream: completely stateless,
+    * Append mode, no state store (the cheapest possible streaming
+    * screen — the filter rides in the task binary). Two micro-batches;
+    * the per-doc (maybe-hit, true-hit) census over the flagged rows
+    * must equal the batch C18 gate on the same capped docs (Bloom has
+    * no false negatives, so every true eval gram is in the flagged
+    * set), oracle = the C18 replica with the cap at its documents scan.
+    */
+  def qStreamBloom(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docsAll = documents(s, dir)
+      .filter(col("doc_id") < LshDocMaxId)
+      .select(col("doc_id"), col("text"))
+    val evGrams = TextOps.shingleGramsOn(
+        docsAll.filter(col("doc_id") % 97 === 0), n = 4)
+      .select(col("g")).distinct()
+    val bitmask = TextOps.bloomBitmaskOf(evGrams)
+    val evSet = evGrams.collect().map(_.getString(0)).toSet
+    val docsArr = docsAll.filter(col("doc_id") % 97 =!= 0).collect()
+      .map(r => EventStreams.LshDoc(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id)
+    val input = MemoryStream[EventStreams.LshDoc]
+    val q = EventStreams.bloomDecontamStream(input.toDF(), bitmask)
+      .writeStream.format("memory")
+      .queryName("gate_bloom_out").outputMode("append").start()
+    val flagged =
+      try {
+        val half = docsArr.length / 2
+        input.addData(docsArr.take(half).toSeq); q.processAllAvailable()
+        input.addData(docsArr.drop(half).toSeq); q.processAllAvailable()
+        s.table("gate_bloom_out").collect().toSeq
+      } finally q.stop()
+    flagged.map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).toSeq
+      .map { case (d, gs) =>
+        (d, gs.size.toLong, gs.count(g => evSet(g._2)).toLong)
+      }
+      .toDF("doc_id", "n_maybe", "n_true")
+      .orderBy(col("doc_id"))
+  }
+
+  /** F19 (query-backed): STREAMING CANONICALIZING DEDUP — the C36
+    * normalization expression attached unchanged + first-seen-per-
+    * canonical-hash state (dropDuplicates). Two id-ordered micro-
+    * batches plus a replayed slice (state suppresses re-deliveries);
+    * under id-ordered arrivals the kept set equals C36's min-id
+    * keepers exactly, so the oracle is the min-id-per-canonical-form
+    * group with the cap at the documents scan.
+    */
+  def qStreamCanonDedup(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docsArr = documents(s, dir)
+      .filter(col("doc_id") < LshDocMaxId)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => EventStreams.LshDoc(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id) // monotone-source contract: first-seen == MIN keeper
+    val input = MemoryStream[EventStreams.LshDoc]
+    val q = EventStreams.canonDedupStream(input.toDF())
+      .writeStream.format("memory")
+      .queryName("gate_canon_out").outputMode("append").start()
+    val keepers =
+      try {
+        val half = docsArr.length / 2
+        input.addData(docsArr.take(half).toSeq); q.processAllAvailable()
+        input.addData(docsArr.drop(half).toSeq ++ docsArr.take(200)) // replay
+        q.processAllAvailable()
+        s.table("gate_canon_out").collect().toSeq
+      } finally q.stop()
+    keepers.map(r => (r.getLong(0), r.getString(1)))
+      .toDF("keeper_id", "canon_md5")
+      .orderBy(col("keeper_id"))
+  }
+
   /** F14's count-bounded arrival cap: every gate-scale vector passes
     * (max vec_id 1,999 at sf0.1), frozen at 10×+ (ScaleData replica
     * vec_ids start at 10,000).
@@ -1301,7 +1456,42 @@ object StreamingGates {
       |SELECT user_id, true_cnt, 1 AS $f1, 1 AS $f2
       |FROM t ORDER BY user_id""".stripMargin
 
+  /** Cap-injection with the require-exactly-one discipline: a reworded
+    * batch oracle must fail loudly here, not silently lose the cap.
+    */
+  private def replaceOnce(sql: String, from: String, to: String): String = {
+    require(sql.sliding(from.length).count(_ == from) == 1,
+      s"oracle must contain exactly one '$from'")
+    sql.replace(from, to)
+  }
+
   val oracles: Map[String, String] = Map(
+    // the F7 value oracle: per-user top-3 by (value DESC, event_id)
+    // over the capped events — a top set lost, duplicated by the
+    // replay, or mis-merged across batches breaks the hash
+    "q_stream_topn" ->
+      s"""WITH r AS (SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events WHERE event_id < $SessionEvMaxId)
+        |SELECT user_id, rn, event_id,
+        |  CAST(ROUND(value,2) AS DECIMAL(18,2))::DOUBLE AS value
+        |FROM r WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    // the F10 value oracle: the B50 replica with the cap at its scan
+    "q_stream_funnel" -> replaceOnce(Relational.oracles("q_funnel"),
+      "FROM events GROUP BY 1)",
+      s"FROM events WHERE event_id < $SessionEvMaxId GROUP BY 1)"),
+    // the F11 value oracle: the C18 replica with the cap at its scan
+    "q_stream_bloom" -> TextOps.cappedDocsOracleSql("q_bloom", LshDocMaxId),
+    // the F19 value oracle: min-id keeper per canonical form over the
+    // capped docs (the C36 keeper rule the id-ordered stream realizes
+    // as first-seen)
+    "q_stream_canon_dedup" ->
+      s"""SELECT MIN(doc_id) AS keeper_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS canon_md5
+        |FROM documents WHERE doc_id < $LshDocMaxId
+        |GROUP BY 2 ORDER BY keeper_id""".stripMargin,
     // the F3 value oracle: the deduped stream census equals the plain
     // batch census — DuckDB never sees the re-delivered rows, so any
     // duplicate surviving dedup state inflates a count/sum and breaks
