@@ -1465,6 +1465,177 @@ object StreamingGates {
     sql.replace(from, to)
   }
 
+  /** F28 gate parameters: the online CUSUM baseline μ₀ and slack k on
+    * the Zipf fixture's uniform-ish v ∈ [0, 100000) — centered near the
+    * mean so both one-sided accumulators stay active, wide enough slack
+    * that the clamps at 0 actually fire (the nonlinearity under test).
+    */
+  private val CusumMu0 = 50000L
+  private val CusumSlack = 5000L
+
+  /** F28 (query-backed): STREAMING PER-KEY CUSUM — Page's one-sided
+    * level-shift monitor maintained incrementally (same cusumStep
+    * kernel as the spec's fold, O(1) exact-integer state per key),
+    * three micro-batches over the 50k Zipf stream plus a replayed
+    * slice (the event-id watermark drops re-deliveries). Publishes the
+    * per-key FINAL state (s⁺/s⁻ and their running maxima) — and the
+    * oracle recomputes it with NO recursion via the reflection closed
+    * form: with Sₜ the running sum of (x − μ₀ − k), the clamped
+    * recursion s⁺ ← max(0, s⁺ + a) telescopes to
+    * s⁺ₜ = Sₜ − min(0, min_{j≤t} Sⱼ), so two chained window passes
+    * (running sum, then running min) reproduce every intermediate
+    * value and the maxima exactly. A counter lost across batches, a
+    * replay advancing state, or a clamp mis-ordered breaks the hash.
+    */
+  def qStreamCusum(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // the monotone-source contract: arrivals in event_id order
+    val ev = zipfArrivals(s).sortBy(_.event_id)
+    val input = MemoryStream[KeyedVal]
+    val q = EventStreams.cusumStream(input.toDS(), CusumMu0, CusumSlack)
+      .writeStream.format("memory")
+      .queryName("gate_cusum_out").outputMode("update").start()
+    val rows =
+      try {
+        val third = ev.length / 3
+        input.addData(ev.take(third)); q.processAllAvailable()
+        // replay below the high-water mark must not advance any state
+        input.addData(ev.slice(third, 2 * third) ++ ev.take(100))
+        q.processAllAvailable()
+        input.addData(ev.drop(2 * third)); q.processAllAvailable()
+        s.table("gate_cusum_out").as[EventStreams.CusumOut].collect().toSeq
+      } finally q.stop()
+    rows.groupBy(_.user_id).toSeq.map { case (u, rs) =>
+      val fin = rs.maxBy(_.event_id)
+      (u, rs.size.toLong, fin.s_pos, fin.s_neg, fin.max_pos, fin.max_neg)
+    }.toDF("user_id", "n_events", "s_pos", "s_neg", "max_pos", "max_neg")
+      .orderBy(col("user_id"))
+  }
+
+  /** The F29/F34 gate feed: the B96/B111 daily-revenue series (the
+    * ≤|days| calendar domain — bounded at any scale factor, which is
+    * why the whole series can drive a MemoryStream), day-ordered with
+    * the day index as the event id.
+    */
+  private def dailySeriesArrivals(s: SparkSession, dir: String): Seq[KeyedVal] =
+    Relational.dailyRevenue(s, dir).orderBy(col("day"))
+      .select(col("x").cast("long"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => KeyedVal(0L, i.toLong, r.getLong(0)) }
+      .toSeq
+
+  /** F29 (query-backed): STREAMING HOLT SMOOTHER — the B96 double-
+    * exponential recursion maintained incrementally over the daily-
+    * revenue series (SAME holtStep kernel and l₁=x₁ / b₁=x₂−x₁ init,
+    * so stream and batch CANNOT diverge), three micro-batches plus a
+    * replayed slice (event-id watermark). Publishes the B96 frame
+    * from the final changelog row; the oracle is the batch q_holt
+    * recursive-CTE oracle VERBATIM — two implementations (stateful
+    * stream vs bounded-partition fold), one DuckDB-checked contract.
+    */
+  def qStreamHolt(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = dailySeriesArrivals(s, dir)
+    val input = MemoryStream[KeyedVal]
+    val q = EventStreams.holtStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_holt_out").outputMode("update").start()
+    val fin =
+      try {
+        val third = ev.length / 3
+        input.addData(ev.take(third)); q.processAllAvailable()
+        // replay below the high-water mark must not advance the recursion
+        input.addData(ev.slice(third, 2 * third) ++ ev.take(50))
+        q.processAllAvailable()
+        input.addData(ev.drop(2 * third)); q.processAllAvailable()
+        s.table("gate_holt_out").as[EventStreams.HoltOut].collect()
+          .maxBy(_.event_id)
+      } finally q.stop()
+    Seq((fin.n, fin.level_e6, fin.trend_e6, fin.level_e6 + fin.trend_e6,
+        fin.level_e6 + 7L * fin.trend_e6, fin.level_e6 + 30L * fin.trend_e6))
+      .toDF("n_days", "level_e6", "trend_e6", "f1_e6", "f7_e6", "f30_e6")
+  }
+
+  /** F34 (query-backed): STREAMING HOLT–WINTERS — the B111 additive
+    * seasonal recursion maintained incrementally over the same daily
+    * series (SAME hwInit/hwStep float-free integral kernels: ≤14-slot
+    * init buffer, then 9 longs of state), three micro-batches plus a
+    * replayed slice. Publishes (n_days, level, trend, next-step
+    * forecast) from the final changelog row; the oracle is the batch
+    * q_holt_winters recursive CTE with its final projection reduced to
+    * the state the stream's changelog carries (the seasonal envelope
+    * needs the full queue, which HwOut deliberately omits — O(1)
+    * emission width).
+    */
+  def qStreamHoltWinters(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = dailySeriesArrivals(s, dir)
+    val input = MemoryStream[KeyedVal]
+    val q = EventStreams.holtWintersStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_hw_out").outputMode("update").start()
+    val fin =
+      try {
+        val third = ev.length / 3
+        input.addData(ev.take(third)); q.processAllAvailable()
+        input.addData(ev.slice(third, 2 * third) ++ ev.take(50))
+        q.processAllAvailable()
+        input.addData(ev.drop(2 * third)); q.processAllAvailable()
+        s.table("gate_hw_out").as[EventStreams.HwOut].collect()
+          .maxBy(_.event_id)
+      } finally q.stop()
+    Seq((fin.n, fin.level_e6, fin.trend_e6, fin.f1_e6))
+      .toDF("n_days", "level_e6", "trend_e6", "f1_e6")
+  }
+
+  /** F27 (query-backed): STREAMING FIRST-DIGIT AUDIT — the B89 Benford
+    * census as ONE built-in Update-mode count aggregate (O(9) state,
+    * never grows) over the capped order stream, two micro-batches,
+    * latest count per digit from the changelog (last wins). The
+    * published frame is B89's on the capped scan plus the Nigrini MAD
+    * from the shared benfordMadE6 kernel; the oracle recomputes the
+    * histogram, the exact integral-ppm shares, and the MAD (over all
+    * nine digits, absent ones as zero — the kernel's convention) from
+    * the capped orders scan.
+    */
+  def qStreamBenford(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val vals = orders(s, dir)
+      .filter(col("o_orderkey") < StreamFactMaxKey)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(_._1)
+    val input = MemoryStream[(Long, Double)]
+    val q = EventStreams.benfordDigitStream(input.toDF().toDF("id", "value"))
+      .writeStream.format("memory")
+      .queryName("gate_benford_out").outputMode("update").start()
+    val hist =
+      try {
+        val half = vals.length / 2
+        input.addData(vals.take(half).toSeq); q.processAllAvailable()
+        input.addData(vals.drop(half).toSeq); q.processAllAvailable()
+        s.table("gate_benford_out").collect()
+          .zipWithIndex
+          .groupBy(_._1.getLong(0))
+          .map { case (d, rs) => d -> rs.maxBy(_._2)._1.getLong(1) } // last wins
+      } finally q.stop()
+    val mad = EventStreams.benfordMadE6(hist)
+    val n = hist.values.sum
+    hist.toSeq.sortBy(_._1).toDF("digit", "n_d")
+      .select(col("digit"), col("n_d"),
+        expr(s"(n_d * 1000000) div $n").as("p_obs_ppm"),
+        expr("CAST(ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000, 0) AS BIGINT)")
+          .as("p_ben_e6"),
+        lit(mad).as("mad_e6"))
+      .orderBy(col("digit"))
+  }
+
   val oracles: Map[String, String] = Map(
     // the F7 value oracle: per-user top-3 by (value DESC, event_id)
     // over the capped events — a top set lost, duplicated by the
@@ -1723,6 +1894,61 @@ object StreamingGates {
         |SELECT l_returnflag, CAST(n_exact AS BIGINT) AS n_exact, kmv_est,
         |  CAST(ABS(kmv_est - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
         |FROM j ORDER BY l_returnflag""".stripMargin
-    }
+    },
+    // the F28 value oracle: the clamped CUSUM recursion via its
+    // reflection closed form — s⁺ₜ = Sₜ − min(0, min_{j≤t} Sⱼ), so a
+    // running sum then a running min per key reproduce every
+    // intermediate state and the maxima with NO recursion
+    "q_stream_cusum" -> {
+      val hu = TF.hexPrefix52Sql("md5('zu|'||i)")
+      val hv = TF.hexPrefix52Sql("md5('zv|'||i)")
+      s"""WITH e AS (SELECT
+        |    CAST(LEAST(4503599627370496 // ($hu + 1), 1000) AS BIGINT) AS user_id,
+        |    CAST(i AS BIGINT) AS event_id,
+        |    CAST($hv % 100000 AS BIGINT) AS v
+        |  FROM (SELECT unnest(range($StreamZipfRows)) AS i)),
+        |r1 AS (SELECT user_id, event_id,
+        |    SUM(v - ${CusumMu0 + CusumSlack}) OVER w AS cp,
+        |    SUM(${CusumMu0 - CusumSlack} - v) OVER w AS cn
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |r2 AS (SELECT user_id, event_id,
+        |    cp - LEAST(0, MIN(cp) OVER w) AS spos,
+        |    cn - LEAST(0, MIN(cn) OVER w) AS sneg
+        |  FROM r1 WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(arg_max(spos, event_id) AS BIGINT) AS s_pos,
+        |  CAST(arg_max(sneg, event_id) AS BIGINT) AS s_neg,
+        |  CAST(MAX(spos) AS BIGINT) AS max_pos,
+        |  CAST(MAX(sneg) AS BIGINT) AS max_neg
+        |FROM r2 GROUP BY 1 ORDER BY user_id""".stripMargin
+    },
+    // the F29 value oracle: the batch B96 recursive-CTE oracle
+    // VERBATIM — same series, same init, same quantized step; the
+    // stream's final changelog row must land on the identical state
+    "q_stream_holt" -> Relational.oracles("q_holt"),
+    // the F34 value oracle: the batch B111 recursive CTE with the
+    // final projection reduced to the state HwOut carries
+    "q_stream_holt_winters" -> replaceOnce(Relational.oracles("q_holt_winters"),
+      ", lq + 7*bq + s7 AS f7_e6,\n  LEAST(s1, s2, s3, s4, s5, s6, s7) AS s_low_e6,\n  GREATEST(s1, s2, s3, s4, s5, s6, s7) AS s_high_e6",
+      ""),
+    // the F27 value oracle: the B89 replica on the capped scan plus
+    // the Nigrini MAD over all nine digits (absent digits as zero —
+    // the benfordMadE6 kernel's convention)
+    "q_stream_benford" ->
+      s"""WITH c AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey < $StreamFactMaxKey),
+        |h AS (SELECT CAST(SUBSTRING(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n_d FROM c WHERE cents > 0 GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM h),
+        |f AS (SELECT d.digit, COALESCE(h.n_d, 0) AS n_d FROM
+        |    (SELECT unnest(range(1, 10)) AS digit) d LEFT JOIN h USING (digit)),
+        |p AS (SELECT digit, n_d,
+        |    CAST((n_d * 1000000) // n AS BIGINT) AS p_obs_ppm,
+        |    CAST(ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000, 0) AS BIGINT) AS p_ben_e6
+        |  FROM f CROSS JOIN t),
+        |m AS (SELECT CAST(SUM(ABS(p_obs_ppm - p_ben_e6)) // 9 AS BIGINT) AS mad_e6 FROM p)
+        |SELECT CAST(digit AS BIGINT) AS digit, CAST(n_d AS BIGINT) AS n_d,
+        |  p_obs_ppm, p_ben_e6, mad_e6
+        |FROM p CROSS JOIN m WHERE n_d > 0 ORDER BY digit""".stripMargin
   )
 }
