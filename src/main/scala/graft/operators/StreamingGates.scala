@@ -1636,6 +1636,168 @@ object StreamingGates {
       .orderBy(col("digit"))
   }
 
+  /** The F30/F31/F35/F36 journey feed: the capped events scan as typed
+    * arrivals in event-id order (ts-monotone per user on this fixture,
+    * so the kernels' event-id watermark and the batch twins'
+    * (ts, event_id) windows agree — the F30 StreamingSpec pins it).
+    */
+  private def attrArrivals(s: SparkSession, dir: String): Seq[EventStreams.AttrEvent] =
+    events(s, dir)
+      .filter(col("event_id") < SessionEvMaxId)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us", "event_type")
+      .collect()
+      .map(r => EventStreams.AttrEvent(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+      .sortBy(_.event_id)
+      .toSeq
+
+  /** F30 (query-backed): STREAMING TOUCH ATTRIBUTION — each purchase
+    * credited the moment it lands from O(1) per-user state (last-touch
+    * with the 7-day lookback + first-touch), instead of the batch B104
+    * full-history window. Two micro-batches plus a replayed slice (the
+    * event-id watermark must not re-credit a purchase). The per-model
+    * aggregate over the credited purchases is published in B104's
+    * frame; the oracle is the B104 replica with the cap at its events
+    * scan — a double-credit, lost state, or lookback-boundary error
+    * breaks counts or the exact gap sums.
+    */
+  def qStreamAttribution(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = attrArrivals(s, dir)
+    val input = MemoryStream[EventStreams.AttrEvent]
+    val q = EventStreams.attributionStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_attr_out").outputMode("update").start()
+    val got =
+      try {
+        val half = ev.length / 2
+        input.addData(ev.take(half)); q.processAllAvailable()
+        input.addData(ev.drop(half) ++ ev.take(300)) // replay: watermark drops
+        q.processAllAvailable()
+        s.table("gate_attr_out").as[EventStreams.AttrOut].collect().toSeq
+      } finally q.stop()
+    val lastAgg = got.groupBy(_.last_type).toSeq.map { case (t, xs) =>
+      ("last", t, xs.size.toLong, xs.filter(_.gap_us >= 0).map(_.gap_us).sum)
+    }
+    val firstAgg = got.groupBy(_.first_type).toSeq.map { case (t, xs) =>
+      ("first", t, xs.size.toLong, 0L)
+    }
+    (lastAgg ++ firstAgg)
+      .toDF("model", "touch_type", "n_purchases", "sum_gap_us")
+      .orderBy(col("model"), col("touch_type"))
+  }
+
+  /** F31 (query-backed): STREAMING JOURNEY TRANSITIONS — the B105 lag
+    * window incrementalized to O(1) per-user state (previous type +
+    * event-id watermark); each arrival emits its (prev → current)
+    * pair immediately. Two micro-batches plus a replayed slice (a
+    * re-delivered event must not emit a duplicate pair). The pair
+    * census with per-from totals and exact integral-ppm row shares is
+    * B105's frame; the oracle is the B105 replica with the cap at its
+    * events scan.
+    */
+  def qStreamTransitions(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = attrArrivals(s, dir)
+    val input = MemoryStream[EventStreams.AttrEvent]
+    val q = EventStreams.transitionStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_trans_out").outputMode("update").start()
+    val got =
+      try {
+        val half = ev.length / 2
+        input.addData(ev.take(half)); q.processAllAvailable()
+        input.addData(ev.drop(half) ++ ev.take(300)) // replay: no dup pairs
+        q.processAllAvailable()
+        s.table("gate_trans_out").as[EventStreams.TransOut].collect().toSeq
+      } finally q.stop()
+    val counts = got.groupBy(t => (t.from_type, t.to_type)).toSeq
+      .map { case ((f, t), xs) => (f, t, xs.size.toLong) }
+    val fromTot = counts.groupBy(_._1).map { case (f, xs) => f -> xs.map(_._3).sum }
+    counts.map { case (f, t, n) =>
+      (f, t, n, fromTot(f), n * 1000000L / fromTot(f))
+    }.toDF("from_type", "to_type", "n", "n_from", "p_ppm")
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** F35 (query-backed): STREAMING WITHIN-SESSION PATHS — each arrival
+    * completing a consecutive event-type trigram inside the open
+    * 30-min-gap session emits it immediately from O(1) state (two
+    * strings + two longs; gap reset clears the pair so trigrams never
+    * span sessions — exactly the batch B112 per-(user, session)
+    * window). Two micro-batches plus a replayed slice. The trigram
+    * census (top-20 by count with exact ppm shares) is B112's frame;
+    * the oracle is the B112 replica with the cap at its events scan.
+    */
+  def qStreamEventPaths(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = attrArrivals(s, dir)
+    val input = MemoryStream[EventStreams.AttrEvent]
+    val q = EventStreams.eventPathsStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_paths_out").outputMode("update").start()
+    val got =
+      try {
+        val half = ev.length / 2
+        input.addData(ev.take(half)); q.processAllAvailable()
+        input.addData(ev.drop(half) ++ ev.take(300)) // replay: no dup trigrams
+        q.processAllAvailable()
+        s.table("gate_paths_out").as[EventStreams.PathOut].collect().toSeq
+      } finally q.stop()
+    val counts = got.groupBy(p => (p.t1, p.t2, p.t3)).toSeq
+      .map { case ((t1, t2, t3), xs) => (t1, t2, t3, xs.size.toLong) }
+    val nt = counts.map(_._4).sum
+    counts.sortBy { case (t1, t2, t3, n) => (-n, t1, t2, t3) }.take(20)
+      .map { case (t1, t2, t3, n) => (t1, t2, t3, n, n * 1000000L / nt) }
+      .toDF("t1", "t2", "t3", "n", "share_ppm")
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+  }
+
+  /** F36 (query-backed): STREAMING SESSION ENTRY/EXIT — the F2
+    * sessionizer pattern carrying entry/exit types: closed sessions
+    * final on first emission, the open session re-emitting (same
+    * session_seq) as arrivals extend it; a reader keeps the last row
+    * per (user, session_seq) — exactly what the gate does to the
+    * changelog before the B115 bounce rollup. Two micro-batches plus
+    * a replayed slice. The (entry, exit) cell census with bounce ppm
+    * of entry is B115's frame; the oracle is the B115 replica with
+    * the cap at its events scan.
+    */
+  def qStreamSessionPaths(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = attrArrivals(s, dir)
+    val input = MemoryStream[EventStreams.AttrEvent]
+    val q = EventStreams.sessionPathsStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_spaths_out").outputMode("update").start()
+    val latest =
+      try {
+        val half = ev.length / 2
+        input.addData(ev.take(half)); q.processAllAvailable()
+        input.addData(ev.drop(half) ++ ev.take(300)) // replay: state suppresses
+        q.processAllAvailable()
+        s.table("gate_spaths_out").as[EventStreams.SessPathOut].collect()
+          .zipWithIndex
+          .groupBy(o => (o._1.user_id, o._1.session_seq))
+          .map { case (_, os) => os.maxBy(_._2)._1 } // changelog: last wins
+          .toSeq
+      } finally q.stop()
+    val cells = latest.groupBy(p => (p.entry_type, p.exit_type)).toSeq
+      .map { case ((en, ex), xs) =>
+        (en, ex, xs.size.toLong, xs.count(_.n_events == 1L).toLong)
+      }
+    val byEntry = cells.groupBy(_._1).map { case (en, xs) => en -> xs.map(_._3).sum }
+    cells.map { case (en, ex, ns, nb) =>
+      (en, ex, ns, nb, nb * 1000000L / byEntry(en))
+    }.toDF("entry_type", "exit_type", "n_sessions", "n_bounces",
+        "bounce_ppm_of_entry")
+      .orderBy(col("entry_type"), col("exit_type"))
+  }
+
   val oracles: Map[String, String] = Map(
     // the F7 value oracle: per-user top-3 by (value DESC, event_id)
     // over the capped events — a top set lost, duplicated by the
@@ -1934,6 +2096,22 @@ object StreamingGates {
     // the F27 value oracle: the B89 replica on the capped scan plus
     // the Nigrini MAD over all nine digits (absent digits as zero —
     // the benfordMadE6 kernel's convention)
+    // the F30 value oracle: the B104 replica with the cap at its scan
+    "q_stream_attribution" -> replaceOnce(Relational.oracles("q_attribution"),
+      "FROM events),",
+      s"FROM events WHERE event_id < $SessionEvMaxId),"),
+    // the F31 value oracle: the B105 replica with the cap at its scan
+    "q_stream_transitions" -> replaceOnce(Relational.oracles("q_transitions"),
+      "FROM events),",
+      s"FROM events WHERE event_id < $SessionEvMaxId),"),
+    // the F35 value oracle: the B112 replica with the cap at its scan
+    "q_stream_event_paths" -> replaceOnce(Relational.oracles("q_event_paths"),
+      "FROM events WINDOW",
+      s"FROM events WHERE event_id < $SessionEvMaxId WINDOW"),
+    // the F36 value oracle: the B115 replica with the cap at its scan
+    "q_stream_session_paths" -> replaceOnce(Relational.oracles("q_session_paths"),
+      "FROM events WINDOW",
+      s"FROM events WHERE event_id < $SessionEvMaxId WINDOW"),
     "q_stream_benford" ->
       s"""WITH c AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
         |  FROM orders WHERE o_orderkey < $StreamFactMaxKey),
