@@ -1756,6 +1756,206 @@ object StreamingGates {
       .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
   }
 
+  /** The F33/F37 ledger feed: the capped lineitem scan as per-part
+    * arrivals with a PACKED event id encoding the batch twins'
+    * (shipdate, orderkey, linenumber) processing order — ed·2¹⁸ +
+    * ok·2⁴ + ln (ok < 8000 < 2¹⁴, ln ≤ 7 < 2⁴), so the kernels'
+    * event-id watermark realizes exactly the B108/B117 fold order.
+    * Returns (partkey, packed_id, epoch_day, payload).
+    */
+  private def ledgerArrivals(s: SparkSession, dir: String,
+                             payload: org.apache.spark.sql.Column): Seq[(Long, Long, Long, Long)] =
+    lineitem(s, dir)
+      .filter(col("l_orderkey") < StreamFactMaxKey)
+      .select(col("l_partkey"),
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01")).cast("long")
+          .as("ed"),
+        col("l_orderkey"), col("l_linenumber").cast("long"), payload.as("pay"))
+      .collect()
+      .map { r =>
+        val packed = (r.getLong(1) << 18) | (r.getLong(2) << 4) | r.getLong(3)
+        (r.getLong(0), packed, r.getLong(1), r.getLong(4))
+      }
+      .sortBy(_._2)
+      .toSeq
+
+  /** F33 (query-backed): STREAMING CLAMPED BALANCE — the B108
+    * inventory replay bal ← max(0, bal + Δ) incrementalized to O(1)
+    * exact-integer state per part (the non-linear recursion no
+    * streaming window expresses). Two micro-batches plus a replayed
+    * slice (packed-event-id watermark). The per-part final state
+    * (balance, running max, clamp count) is B108's frame; the oracle
+    * is the B108 recursive-CTE replica with the cap at its scan — a
+    * clamp mis-ordered across the batch boundary breaks every
+    * downstream value.
+    */
+  def qStreamClampedBalance(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = ledgerArrivals(s, dir,
+        col("l_quantity").cast("long") *
+          when(col("l_returnflag") === "R", -1L).otherwise(1L))
+      .map { case (pk, id, _, delta) => KeyedVal(pk, id, delta) }
+    val input = MemoryStream[KeyedVal]
+    val q = EventStreams.clampedBalanceStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_bal_out").outputMode("update").start()
+    val latest =
+      try {
+        val half = ev.length / 2
+        input.addData(ev.take(half)); q.processAllAvailable()
+        input.addData(ev.drop(half) ++ ev.take(200)) // replay: watermark drops
+        q.processAllAvailable()
+        s.table("gate_bal_out").as[EventStreams.BalOut].collect()
+          .groupBy(_.user_id)
+          .map { case (_, rs) => rs.maxBy(_.event_id) }
+          .toSeq
+      } finally q.stop()
+    latest.map(o => (o.user_id, o.n, o.bal, o.mx, o.clamps))
+      .toDF("partkey", "n_events", "final_bal", "max_bal", "n_clamps")
+      .orderBy(col("partkey"))
+  }
+
+  /** F37 (query-backed): STREAMING CROSTON SMOOTHER — the B117
+    * intermittent-demand recursion incrementalized per part (SAME
+    * crostonStep integral kernel; gap = whole days since the previous
+    * demand, floored at 1 — the epoch-day ts makes the stream's
+    * floorDiv reproduce the batch's date_diff exactly). Two
+    * micro-batches plus a replayed slice. The per-part final state
+    * (n, size, interval, integral forecast) is B117's frame; the
+    * oracle is the B117 recursive-CTE replica with the cap at its
+    * scan.
+    */
+  def qStreamCroston(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = ledgerArrivals(s, dir, col("l_quantity").cast("long"))
+      .map { case (pk, id, ed, z) =>
+        EventStreams.CrostonEvent(pk, id, ed * 86400000000L, z)
+      }
+    val input = MemoryStream[EventStreams.CrostonEvent]
+    val q = EventStreams.crostonStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_croston_out").outputMode("update").start()
+    val latest =
+      try {
+        val half = ev.length / 2
+        input.addData(ev.take(half)); q.processAllAvailable()
+        input.addData(ev.drop(half) ++ ev.take(200)) // replay: watermark drops
+        q.processAllAvailable()
+        s.table("gate_croston_out").as[EventStreams.CrostonOut].collect()
+          .groupBy(_.user_id)
+          .map { case (_, rs) => rs.maxBy(_.event_id) }
+          .toSeq
+      } finally q.stop()
+    latest.map(o => (o.user_id, o.n, o.z_e6, o.p_e6, o.forecast_e6))
+      .toDF("partkey", "n_demands", "z_e6", "p_e6", "forecast_e6")
+      .orderBy(col("partkey"))
+  }
+
+  /** F39's wider fact cap: same-day same-customer order pairs are rare
+    * (the audit's point), so the burst census needs a bigger slice
+    * than the 8k default to stay non-degenerate at sf0.01; fixed
+    * constant — inactive above sf0.1, frozen beyond (the hash-stable
+    * bound rule).
+    */
+  private val BurstOrderMaxKey = 60000L
+
+  /** F39 (query-backed): STREAMING SAME-DAY BURST DETECTOR — each
+    * order folds into its customer's CURRENT-day aggregate (a later
+    * day replaces the state, no timers), every arrival making today's
+    * count ≥ 2 emits the running burst immediately; replay-safe via
+    * the LEXICOGRAPHIC (day, order-key) watermark (orderkeys are not
+    * day-monotone). Two (day, key)-ordered micro-batches plus a
+    * replayed slice. The changelog compacted to the latest row per
+    * (customer, day) is the B125 census minus first_orderkey (the
+    * state holds it; the O(1) emission deliberately omits it); the
+    * oracle recomputes the top-20 burst frame from the capped orders
+    * scan.
+    */
+  def qStreamSameDayBursts(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = orders(s, dir)
+      .filter(col("o_orderkey") < BurstOrderMaxKey)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01")).cast("long"),
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect()
+      .map(r => EventStreams.OrderEvent(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+      .sortBy(e => (e.day_ed, e.order_key)) // the lexicographic watermark order
+      .toSeq
+    val input = MemoryStream[EventStreams.OrderEvent]
+    val q = EventStreams.sameDayBurstStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_burst_out").outputMode("update").start()
+    val latest =
+      try {
+        val half = ev.length / 2
+        input.addData(ev.take(half)); q.processAllAvailable()
+        input.addData(ev.drop(half) ++ ev.take(200)) // replay: watermark drops
+        q.processAllAvailable()
+        s.table("gate_burst_out").as[EventStreams.BurstOut].collect()
+          .groupBy(o => (o.ck, o.day_ed))
+          .map { case (_, rs) => rs.maxBy(_.n_today) }
+          .toSeq
+      } finally q.stop()
+    latest.sortBy(o => (-o.n_today, o.ck, o.day_ed)).take(20)
+      .map(o => (o.ck, o.day_ed, o.n_today, o.total_cents, o.order_key,
+        o.spread_cents))
+      .toDF("ck", "day_ed", "n_orders", "total_cents", "last_orderkey",
+        "spread_cents")
+      .orderBy(col("n_orders").desc, col("ck"), col("day_ed"))
+  }
+
+  /** F41 (query-backed): STREAMING ERROR-BURST DETECTOR — error
+    * arrivals sessionize per user with the 1-hour gap in O(1) state,
+    * the burst's running size/span emitted the moment the SECOND
+    * error lands (gap rollover replaces state — no timers). Two
+    * micro-batches plus a replayed slice. The changelog compacted to
+    * the latest row per (user, burst) rolls up to the global burst
+    * census — counts, affected users, worst burst, and the EXACT
+    * summed spans (B134's day-bucketed frame needs the burst START,
+    * which the O(1) emission deliberately omits); the oracle is the
+    * B134 sessionization replica on the capped error scan with the
+    * same global rollup.
+    */
+  def qStreamErrorBursts(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = events(s, dir)
+      .filter(col("event_id") < SessionEvMaxId && col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .collect()
+      .map(r => EventStreams.ErrEvent(r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_.event_id)
+      .toSeq
+    val input = MemoryStream[EventStreams.ErrEvent]
+    val q = EventStreams.errorBurstStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_errburst_out").outputMode("update").start()
+    val latest =
+      try {
+        val half = ev.length / 2
+        input.addData(ev.take(half)); q.processAllAvailable()
+        input.addData(ev.drop(half) ++ ev.take(100)) // replay: watermark drops
+        q.processAllAvailable()
+        s.table("gate_errburst_out").as[EventStreams.ErrBurstOut].collect()
+          .groupBy(o => (o.user_id, o.burst_seq))
+          .map { case (_, rs) => rs.maxBy(_.n_errors) }
+          .toSeq
+      } finally q.stop()
+    val nb = latest.size.toLong
+    val nu = latest.map(_.user_id).distinct.size.toLong
+    Seq((nb, nu,
+        latest.map(_.n_errors).sum,
+        if (latest.isEmpty) 0L else latest.map(_.n_errors).max,
+        latest.map(_.span_us).sum))
+      .toDF("n_bursts", "n_users", "n_errors_in_bursts", "worst_burst",
+        "sum_span_us")
+  }
+
   /** F36 (query-backed): STREAMING SESSION ENTRY/EXIT — the F2
     * sessionizer pattern carrying entry/exit types: closed sessions
     * final on first emission, the open session re-emitting (same
@@ -2096,6 +2296,57 @@ object StreamingGates {
     // the F27 value oracle: the B89 replica on the capped scan plus
     // the Nigrini MAD over all nine digits (absent digits as zero —
     // the benfordMadE6 kernel's convention)
+    // the F33 value oracle: the B108 recursive-CTE replica with the
+    // cap at its scan
+    "q_stream_clamped_balance" -> replaceOnce(Relational.oracles("q_clamped_balance"),
+      "FROM lineitem),",
+      s"FROM lineitem WHERE l_orderkey < $StreamFactMaxKey),"),
+    // the F37 value oracle: the B117 recursive-CTE replica with the
+    // cap at its scan
+    "q_stream_croston" -> replaceOnce(Relational.oracles("q_croston"),
+      "FROM lineitem),",
+      s"FROM lineitem WHERE l_orderkey < $StreamFactMaxKey),"),
+    // the F39 value oracle: the B125 burst census (minus
+    // first_orderkey, which the O(1) changelog omits) on the capped
+    // orders scan, epoch-day grain
+    "q_stream_same_day_bursts" ->
+      s"""WITH o AS (SELECT o_custkey AS ck,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_ed,
+        |    o_orderkey AS ok, CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey < $BurstOrderMaxKey),
+        |g AS (SELECT ck, CAST(day_ed AS BIGINT) AS day_ed,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |    CAST(MAX(ok) AS BIGINT) AS last_orderkey,
+        |    CAST(MAX(cents) - MIN(cents) AS BIGINT) AS spread_cents
+        |  FROM o GROUP BY 1, 2)
+        |SELECT ck, day_ed, n_orders, total_cents, last_orderkey, spread_cents
+        |FROM g WHERE n_orders >= 2
+        |ORDER BY n_orders DESC, ck, day_ed LIMIT 20""".stripMargin,
+    // the F41 value oracle: the B134 sessionization replica on the
+    // capped error scan, rolled up globally with the exact summed
+    // spans (the changelog carries span, not the burst start)
+    "q_stream_error_bursts" ->
+      s"""WITH e AS (SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'error' AND event_id < $SessionEvMaxId),
+        |g AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 3600000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g),
+        |b AS (SELECT user_id, session_seq, CAST(COUNT(*) AS BIGINT) AS n,
+        |    MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us
+        |  FROM s GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_bursts,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_errors_in_bursts,
+        |  CAST(COALESCE(MAX(n), 0) AS BIGINT) AS worst_burst,
+        |  CAST(COALESCE(SUM(span_us), 0) AS BIGINT) AS sum_span_us
+        |FROM b""".stripMargin,
     // the F30 value oracle: the B104 replica with the cap at its scan
     "q_stream_attribution" -> replaceOnce(Relational.oracles("q_attribution"),
       "FROM events),",
