@@ -1956,6 +1956,176 @@ object StreamingGates {
         "sum_span_us")
   }
 
+  /** F40 (query-backed): STREAMING SOURCE-PURITY MONITOR — classified
+    * documents (the shared C4 predictor, applied batch-side exactly as
+    * a production classifier stage upstream of the monitor) fold into
+    * a bounded per-source language-count map (O(|langs|) state, never
+    * O(stream)); each batch re-emits the majority language under the
+    * C48 (count DESC, lang) rank and exact integral-ppm purity. Two
+    * micro-batches plus a replayed slice. The final changelog row per
+    * source is the C48 frame minus the gold-agreement column (the
+    * stream sees predictions, not gold labels); the oracle is the C48
+    * replica with the cap at its scan and that column dropped.
+    */
+  def qStreamSourcePurity(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = TextOps.qLangId(s, dir)
+      .filter(col("doc_id") < LshDocMaxId)
+      .join(documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      .selectExpr("source", "doc_id", "pred_lang")
+      .collect()
+      .map(r => EventStreams.DocLangEvent(r.getString(0), r.getLong(1),
+        r.getString(2)))
+      .sortBy(_.doc_id)
+      .toSeq
+    val input = MemoryStream[EventStreams.DocLangEvent]
+    val q = EventStreams.sourcePurityStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_purity_out").outputMode("update").start()
+    val latest =
+      try {
+        val half = ev.length / 2
+        input.addData(ev.take(half)); q.processAllAvailable()
+        input.addData(ev.drop(half) ++ ev.take(100)) // replay: watermark drops
+        q.processAllAvailable()
+        s.table("gate_purity_out").as[EventStreams.PurityOut].collect()
+          .zipWithIndex
+          .groupBy(_._1.source)
+          .map { case (_, os) => os.maxBy(_._2)._1 } // changelog: last wins
+          .toSeq
+      } finally q.stop()
+    latest.map(o => (o.source, o.n_docs, o.major_lang, o.n_major, o.purity_ppm))
+      .toDF("source", "n_docs", "major_lang", "n_major", "purity_ppm")
+      .orderBy(col("source"))
+  }
+
+  /** F32 (query-backed): STREAMING DOMAIN CLASSIFICATION — the A46
+    * multinomial-NB weights fit ONCE batch-side on the capped corpus
+    * (nbFitFrom, the F16 fit-artifact posture) and broadcast as a
+    * static model; arriving documents score STATELESSLY in their
+    * micro-batch (exact e6-integer class scores, argmax) — no state
+    * store at all. Two micro-batches, Append mode. The per-doc
+    * predictions aggregate to the A46 confusion frame; the oracle is
+    * the A46 replica with the cap at BOTH its document scans — two
+    * independent implementations (broadcast kernel vs DataFrame), one
+    * DuckDB-checked contract.
+    */
+  def qStreamDomainCls(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val capped = documents(s, dir)
+      .filter(col("doc_id") < LshDocMaxId)
+      .select(col("doc_id"), col("text"), col("source"))
+    val model = TextOps.nbFitFrom(capped)
+    val docsArr = capped.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val srcOf = docsArr.map(d => d._1 -> d._3).toMap
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.nbClassifyStream(input.toDS().toDF("doc_id", "text"), model)
+      .writeStream.format("memory")
+      .queryName("gate_nb_out").outputMode("append").start()
+    val preds =
+      try {
+        val half = docsArr.length / 2
+        input.addData(docsArr.take(half).map(d => (d._1, d._2)).toSeq)
+        q.processAllAvailable()
+        input.addData(docsArr.drop(half).map(d => (d._1, d._2)).toSeq)
+        q.processAllAvailable()
+        s.table("gate_nb_out").collect()
+          .map(r => (srcOf(r.getLong(0)), r.getString(1)))
+      } finally q.stop()
+    preds.groupBy(identity).toSeq
+      .map { case ((a, p), xs) => (a, p, xs.size.toLong) }
+      .toDF("actual", "predicted", "n")
+      .orderBy(col("actual"), col("predicted"))
+  }
+
+  /** F20 (query-backed): STREAMING SEGMENT-DEDUP STATS — the C37
+    * corpus line-dedup decision table maintained by Spark's BUILT-IN
+    * stateful streaming aggregate (count + struct-MIN keeper instance
+    * per distinct 10-word segment — O(1) state per segment, the same
+    * segmentsOn/segmentStatsOn kernels as batch). Two micro-batches.
+    * The final changelog row per segment (count, keeper doc/idx) is
+    * exactly the table the C37 keeper rule reads; the oracle rebuilds
+    * it from the capped documents scan with the packed-min spelling
+    * (equal to the struct MIN at any in-cap id).
+    */
+  def qStreamSegmentStats(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docsArr = documents(s, dir)
+      .filter(col("doc_id") < LshDocMaxId)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.segmentStatsStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory")
+      .queryName("gate_seg_out").outputMode("update").start()
+    val latest =
+      try {
+        val half = docsArr.length / 2
+        input.addData(docsArr.take(half).toSeq); q.processAllAvailable()
+        input.addData(docsArr.drop(half).toSeq); q.processAllAvailable()
+        s.table("gate_seg_out").collect()
+          .zipWithIndex
+          .groupBy(_._1.getString(0))
+          .map { case (_, os) =>
+            val r = os.maxBy(_._2)._1 // changelog: last wins
+            val k = r.getStruct(2)
+            (r.getString(0), r.getLong(1), k.getLong(0), k.getLong(1))
+          }
+          .toSeq
+      } finally q.stop()
+    latest.toDF("seg", "n_occ", "keeper_doc", "keeper_idx")
+      .select(md5(col("seg")).as("seg_md5"), col("n_occ"),
+        col("keeper_doc"), col("keeper_idx"))
+      .orderBy(col("seg_md5"))
+  }
+
+  /** F42 (query-backed): STREAMING SEQUENCE PACKER — each arriving
+    * document takes its token interval [start, start+w) and 512-token
+    * chunk span from ONE O(1) state cell (cumulative tokens + doc-id
+    * watermark; a redelivered doc is dropped, its interval already
+    * emitted). Two doc-id-ordered micro-batches plus a replayed
+    * slice. The per-doc intervals aggregate to the C50 one-row census
+    * (docs, tokens, sequences, spanning docs, max span, last fill);
+    * the oracle is the C50 replica with the cap at its scan.
+    */
+  def qStreamSeqPack(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val B = 512L
+    val docsArr = documents(s, dir)
+      .filter(col("doc_id") < LshDocMaxId)
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) + 1 AS LONG) AS w")
+      .collect()
+      .map(r => EventStreams.PackIn(r.getLong(0), r.getLong(1)))
+      .sortBy(_.doc_id)
+      .toSeq
+    val input = MemoryStream[EventStreams.PackIn]
+    val q = EventStreams.seqPackStream(input.toDS(), B)
+      .writeStream.format("memory")
+      .queryName("gate_pack_out").outputMode("update").start()
+    val packs =
+      try {
+        val half = docsArr.length / 2
+        input.addData(docsArr.take(half)); q.processAllAvailable()
+        input.addData(docsArr.drop(half) ++ docsArr.take(50)) // replay: dropped
+        q.processAllAvailable()
+        s.table("gate_pack_out").as[EventStreams.PackOut].collect().toSeq
+      } finally q.stop()
+    val total = packs.map(p => p.endx - p.start).sum
+    Seq((packs.size.toLong, total, (total + B - 1) / B,
+        packs.count(_.span > 1).toLong, packs.map(_.span).max,
+        if (total % B == 0) 1000000L else (total % B) * 1000000L / B))
+      .toDF("n_docs", "total_tokens", "n_seqs", "n_spanning", "max_span",
+        "last_fill_ppm")
+  }
+
   /** F36 (query-backed): STREAMING SESSION ENTRY/EXIT — the F2
     * sessionizer pattern carrying entry/exit types: closed sessions
     * final on first emission, the open session re-emitting (same
@@ -2296,6 +2466,42 @@ object StreamingGates {
     // the F27 value oracle: the B89 replica on the capped scan plus
     // the Nigrini MAD over all nine digits (absent digits as zero —
     // the benfordMadE6 kernel's convention)
+    // the F40 value oracle: the C48 replica with the cap at its scan
+    // and the gold-agreement column dropped (the stream sees
+    // predictions, not gold labels)
+    "q_stream_source_purity" -> replaceOnce(
+      replaceOnce(TextOps.oracles("q_source_purity"),
+        "FROM documents dd JOIN pred p USING (doc_id))",
+        s"FROM documents dd JOIN pred p USING (doc_id) WHERE dd.doc_id < $LshDocMaxId)"),
+      ",\n  CAST((n_agree * 1000000) // n_docs AS BIGINT) AS gold_agree_ppm\nFROM",
+      "\nFROM"),
+    // the F32 value oracle: the A46 replica with the cap at BOTH its
+    // document scans (vocabulary fit and label join)
+    "q_stream_domain_cls" -> replaceOnce(
+      replaceOnce(TextOps.oracles("q_multinomial_nb"),
+        "AS word\n        FROM documents)",
+        s"AS word\n        FROM documents WHERE doc_id < $LshDocMaxId)"),
+      "docs AS (SELECT doc_id, source FROM documents),",
+      s"docs AS (SELECT doc_id, source FROM documents WHERE doc_id < $LshDocMaxId),"),
+    // the F20 value oracle: per-segment (count, keeper) stats from the
+    // capped documents scan — the C37 segmentation replica with the
+    // packed-min keeper spelling (== the struct MIN at any in-cap id)
+    "q_stream_segment_stats" ->
+      s"""WITH b AS (SELECT doc_id, string_split(text,' ') AS w
+        |  FROM documents WHERE doc_id < $LshDocMaxId),
+        |seg AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+        |    array_to_string(w[(i*10+1):(i*10+10)],' ') AS seg
+        |  FROM b, UNNEST(range(0, (LEN(w)+9)//10)) AS u(i)),
+        |st AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |    MIN(doc_id*1000000 + seg_idx) AS kinst FROM seg GROUP BY 1)
+        |SELECT md5(seg) AS seg_md5, n_occ,
+        |  CAST(kinst // 1000000 AS BIGINT) AS keeper_doc,
+        |  CAST(kinst % 1000000 AS BIGINT) AS keeper_idx
+        |FROM st ORDER BY seg_md5""".stripMargin,
+    // the F42 value oracle: the C50 replica with the cap at its scan
+    "q_stream_seq_pack" -> replaceOnce(TextOps.oracles("q_seq_pack"),
+      "FROM documents),",
+      s"FROM documents WHERE doc_id < $LshDocMaxId),"),
     // the F33 value oracle: the B108 recursive-CTE replica with the
     // cap at its scan
     "q_stream_clamped_balance" -> replaceOnce(Relational.oracles("q_clamped_balance"),
