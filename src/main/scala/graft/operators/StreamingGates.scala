@@ -2126,6 +2126,207 @@ object StreamingGates {
         "last_fill_ppm")
   }
 
+  /** F25 (query-backed): STREAMING CHANGELOG COMPACTION — latest-
+    * state-per-key as O(1) state (high-water (event-time, event_id)
+    * version + payload + delivery count), the B82 upsert/compact twin.
+    * The capped events arrive in a DELIBERATELY shuffled order (by
+    * value, not version — the defining property is that the compacted
+    * snapshot is a pure function of the arrival SET), two
+    * micro-batches plus a re-delivered slice of current WINNERS (the
+    * only replay the first-delivery n_versions contract permits; the
+    * kernel drops exact winner replays outright). The latest changelog
+    * row per key IS the compacted snapshot — B82's frame, oracle = the
+    * B82 replica with the cap at its scan.
+    */
+  def qStreamUpsertCompact(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = events(s, dir)
+      .filter(col("event_id") < SessionEvMaxId)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => EventStreams.UpsertEv(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e.value, e.event_id)) // fixed NON-version order: set proof
+      .toSeq
+    val winners = ev.groupBy(_.user_id).values
+      .map(_.maxBy(e => (e.ts_us, e.event_id))).toSeq
+      .sortBy(_.user_id).take(200)
+    val input = MemoryStream[EventStreams.UpsertEv]
+    val q = EventStreams.upsertCompactStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_upsert_out").outputMode("update").start()
+    val latest =
+      try {
+        val half = ev.length / 2
+        input.addData(ev.take(half)); q.processAllAvailable()
+        input.addData(ev.drop(half) ++ winners) // winner replays: dropped
+        q.processAllAvailable()
+        s.table("gate_upsert_out").as[EventStreams.UpsertOut].collect()
+          .zipWithIndex
+          .groupBy(_._1.user_id)
+          .map { case (_, os) => os.maxBy(_._2)._1 } // changelog: last wins
+          .toSeq
+      } finally q.stop()
+    latest.map(o => (o.user_id, o.last_event_id, o.last_type, o.last_value,
+        o.n_versions))
+      .toDF("user_id", "last_event_id", "last_type", "lv", "n_versions")
+      .select(col("user_id"), col("last_event_id"), col("last_type"),
+        graft.functions.dec2(col("lv")).as("last_value"), col("n_versions"))
+      .orderBy(col("user_id"))
+  }
+
+  /** F26 (query-backed): STREAMING DRIFT MONITOR — the B88 PSI shape
+    * on an unbounded stream: the current cohort's clamped value-bucket
+    * histogram as ONE built-in Update-mode count aggregate (O(10)
+    * state, never grows), re-scored per micro-batch against a STATIC
+    * baseline histogram via the shared psiE6 kernel (per-term rounded
+    * integers, so the sum is order-free). Two micro-batches over the
+    * odd-id cohort; baseline = the even-id cohort batch-side. The
+    * published frame is the per-bucket census plus the PSI; the oracle
+    * recomputes both histograms and the identical float formula text
+    * from the capped events scan.
+    */
+  def qStreamPsi(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val capped = events(s, dir)
+      .filter(col("event_id") < SessionEvMaxId)
+      .select(col("event_id"), col("value"))
+    val baseHist = EventStreams.driftBucketStream(
+        capped.filter(col("event_id") % 2 === 0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cur = capped.filter(col("event_id") % 2 === 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(_._1)
+    val input = MemoryStream[(Long, Double)]
+    val q = EventStreams.driftBucketStream(
+        input.toDF().toDF("event_id", "value"))
+      .writeStream.format("memory")
+      .queryName("gate_psi_out").outputMode("update").start()
+    val curHist =
+      try {
+        val half = cur.length / 2
+        input.addData(cur.take(half).toSeq); q.processAllAvailable()
+        input.addData(cur.drop(half).toSeq); q.processAllAvailable()
+        s.table("gate_psi_out").collect()
+          .zipWithIndex
+          .groupBy(_._1.getLong(0))
+          .map { case (b, rs) => b -> rs.maxBy(_._2)._1.getLong(1) } // last wins
+      } finally q.stop()
+    val psi = EventStreams.psiE6(baseHist, curHist)
+    (baseHist.keySet ++ curHist.keySet).toSeq.sorted
+      .map(b => (b, baseHist.getOrElse(b, 0L), curHist.getOrElse(b, 0L), psi))
+      .toDF("bucket", "n_base", "n_cur", "psi_e6")
+      .orderBy(col("bucket"))
+  }
+
+  /** F38 (query-backed): STREAMING EMBEDDING DRIFT, keyed BY DIMENSION
+    * — each arriving e6-quantized component folds into its dimension's
+    * exact cohort sums (4 longs per dim, 64 keys sharded across
+    * executors: keying by dimension, not a global key, is what keeps
+    * the monitor parallel). Two micro-batches plus a replayed slice
+    * (vec-id watermark). The final changelog row per dimension is the
+    * per-dim cohort census with toward-zero integral means and drift —
+    * the frame the D25 rollup reads; the oracle recomputes it from the
+    * capped embeddings scan with the abs-div CASE spelling.
+    */
+  def qStreamEmbedDrift(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = embeddings(s, dir)
+      .filter(col("vec_id") < SemStreamMaxVec)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect()
+      .flatMap { r =>
+        val vid = r.getLong(0)
+        r.getSeq[Double](1).zipWithIndex.map { case (x, d) =>
+          EventStreams.DimEvent(d.toLong, vid, vid % 2 == 0,
+            math.floor(x * 1000000.0).toLong)
+        }
+      }
+      .sortBy(_.vec_id)
+      .toSeq
+    val input = MemoryStream[EventStreams.DimEvent]
+    val q = EventStreams.embedDriftStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_dim_out").outputMode("update").start()
+    val latest =
+      try {
+        val half = ev.length / 2
+        input.addData(ev.take(half)); q.processAllAvailable()
+        input.addData(ev.drop(half) ++ ev.take(1000)) // replay: watermark drops
+        q.processAllAvailable()
+        s.table("gate_dim_out").as[EventStreams.DimDriftOut].collect()
+          .zipWithIndex
+          .groupBy(_._1.d)
+          .map { case (_, os) => os.maxBy(_._2)._1 } // changelog: last wins
+          .toSeq
+      } finally q.stop()
+    latest.map(o => (o.d, o.n0, o.n1, o.m0_e6, o.m1_e6, o.drift_e6))
+      .toDF("d", "n0", "n1", "m0_e6", "m1_e6", "drift_e6")
+      .orderBy(col("d"))
+  }
+
+  /** F44 (query-backed): STREAMING COHORT ASSIGNMENT — each order is
+    * stamped at arrival with its customer's cohort month (frozen at
+    * first arrival, O(1) state: two longs per customer) and age; the
+    * B139 LTV matrix is then a downstream aggregate of the stamped
+    * stream. Two (month, order-key)-ordered micro-batches plus a
+    * replayed slice (the lexicographic watermark drops it). The
+    * stamps aggregate to the FULL B139 frame — cohort sizes from
+    * distinct stamped customers, cumulative revenue by age, exact
+    * integral per-customer LTV; the oracle is the B139 replica with
+    * the cap at its scan.
+    */
+  def qStreamCohortLtv(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = orders(s, dir)
+      .filter(col("o_orderkey") < StreamFactMaxKey)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (year(col("o_orderdate")).cast("long") * 12L +
+          month(col("o_orderdate")).cast("long") - 1L).as("m"),
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect()
+      .map(r => EventStreams.CohortIn(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+      .sortBy(e => (e.m, e.order_key)) // the lexicographic watermark order
+      .toSeq
+    val input = MemoryStream[EventStreams.CohortIn]
+    val q = EventStreams.cohortLtvStream(input.toDS())
+      .writeStream.format("memory")
+      .queryName("gate_cohort_out").outputMode("update").start()
+    val stamps =
+      try {
+        val half = ev.length / 2
+        input.addData(ev.take(half)); q.processAllAvailable()
+        input.addData(ev.drop(half) ++ ev.take(200)) // replay: watermark drops
+        q.processAllAvailable()
+        s.table("gate_cohort_out").as[EventStreams.CohortOut].collect().toSeq
+      } finally q.stop()
+    val sizes = stamps.groupBy(_.cohort_m)
+      .map { case (m, xs) => m -> xs.map(_.ck).distinct.size.toLong }
+    val cells = stamps.groupBy(o => (o.cohort_m, o.age_months)).toSeq
+      .map { case ((m, age), xs) =>
+        (m, age, xs.size.toLong, xs.map(_.cents).sum)
+      }
+      .sortBy { case (m, age, _, _) => (m, age) }
+    val cums = cells.groupBy(_._1).values.flatMap { byCohort =>
+      var cum = 0L
+      byCohort.sortBy(_._2).map { case (m, age, n, rev) =>
+        cum += rev
+        val nc = sizes(m)
+        ((m / 12L) * 100L + (m % 12L) + 1L, age, nc, n, rev, cum, cum / nc)
+      }
+    }.toSeq
+    cums.toDF("cohort_ym", "age_months", "n_customers", "n_orders",
+        "rev_cents", "cum_rev_cents", "ltv_per_cust_cents")
+      .orderBy(col("cohort_ym"), col("age_months"))
+  }
+
   /** F36 (query-backed): STREAMING SESSION ENTRY/EXIT — the F2
     * sessionizer pattern carrying entry/exit types: closed sessions
     * final on first emission, the open session re-emitting (same
@@ -2466,6 +2667,67 @@ object StreamingGates {
     // the F27 value oracle: the B89 replica on the capped scan plus
     // the Nigrini MAD over all nine digits (absent digits as zero —
     // the benfordMadE6 kernel's convention)
+    // the F25 value oracle: the B82 replica with the cap at its scan
+    "q_stream_upsert_compact" -> replaceOnce(Relational.oracles("q_upsert_compact"),
+      "FROM events)",
+      s"FROM events WHERE event_id < $SessionEvMaxId)"),
+    // the F26 value oracle: both clamped-bucket histograms and the
+    // psiE6 float formula text (per-term rounded integers — the sum is
+    // order-free) recomputed from the capped events scan
+    "q_stream_psi" ->
+      s"""WITH e AS (SELECT event_id, value FROM events
+        |  WHERE event_id < $SessionEvMaxId),
+        |hb AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR(value / 20.0) AS BIGINT)))
+        |      AS bucket, CAST(COUNT(*) AS BIGINT) AS n_base
+        |  FROM e WHERE event_id % 2 = 0 GROUP BY 1),
+        |hc AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR(value / 20.0) AS BIGINT)))
+        |      AS bucket, CAST(COUNT(*) AS BIGINT) AS n_cur
+        |  FROM e WHERE event_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT bucket, COALESCE(n_base, 0) AS n_base,
+        |    COALESCE(n_cur, 0) AS n_cur
+        |  FROM hb FULL OUTER JOIN hc USING (bucket)),
+        |t AS (SELECT CAST(SUM(n_base) AS DOUBLE) AS na,
+        |    CAST(SUM(n_cur) AS DOUBLE) AS nb FROM j),
+        |tm AS (SELECT bucket, n_base, n_cur,
+        |    CASE WHEN n_base = 0 OR n_cur = 0 THEN 0
+        |      ELSE CAST(ROUND((CAST(n_base AS DOUBLE) / na
+        |        - CAST(n_cur AS DOUBLE) / nb)
+        |        * ln((CAST(n_base AS DOUBLE) * nb)
+        |          / (CAST(n_cur AS DOUBLE) * na)) * 1000000.0) AS BIGINT)
+        |      END AS term
+        |  FROM j CROSS JOIN t),
+        |p AS (SELECT CAST(SUM(term) AS BIGINT) AS psi_e6 FROM tm)
+        |SELECT bucket, n_base, n_cur, psi_e6
+        |FROM tm CROSS JOIN p ORDER BY bucket""".stripMargin,
+    // the F38 value oracle: the D25 per-dimension census (the frame
+    // its rollup reads) from the capped embeddings scan, abs-div CASE
+    // for the toward-zero integral means
+    "q_stream_embed_drift" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < $SemStreamMaxVec),
+        |comp AS (SELECT (vec_id % 2 = 0) AS ev, d,
+        |    CAST(FLOOR(v[d + 1] * 1000000.0) AS HUGEINT) AS q
+        |  FROM e, (SELECT unnest(range(64)) AS d)),
+        |pd AS (SELECT d,
+        |    SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS n0,
+        |    SUM(CASE WHEN ev THEN q ELSE 0 END) AS s0,
+        |    SUM(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN NOT ev THEN q ELSE 0 END) AS s1
+        |  FROM comp GROUP BY 1),
+        |m AS (SELECT d, n0, n1,
+        |    CASE WHEN s0 >= 0 THEN abs(s0) // n0
+        |      ELSE -(abs(s0) // n0) END AS m0,
+        |    CASE WHEN s1 >= 0 THEN abs(s1) // n1
+        |      ELSE -(abs(s1) // n1) END AS m1
+        |  FROM pd)
+        |SELECT CAST(d AS BIGINT) AS d, CAST(n0 AS BIGINT) AS n0,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(m0 AS BIGINT) AS m0_e6,
+        |  CAST(m1 AS BIGINT) AS m1_e6, CAST(abs(m1 - m0) AS BIGINT) AS drift_e6
+        |FROM m ORDER BY d""".stripMargin,
+    // the F44 value oracle: the B139 replica with the cap at its scan
+    "q_stream_cohort_ltv" -> replaceOnce(Relational.oracles("q_cohort_ltv"),
+      "FROM orders),",
+      s"FROM orders WHERE o_orderkey < $StreamFactMaxKey),"),
     // the F40 value oracle: the C48 replica with the cap at its scan
     // and the gold-agreement column dropped (the stream sees
     // predictions, not gold labels)
