@@ -2598,7 +2598,11 @@ object Similarity {
     * q_cluster_sample: centroid rebuild (`cnorm`), per-vector cell
     * ranks (`cellr`), final cell assignment (`cell`).
     */
-  private val ivfCellCteSql: String = {
+  /** [[ivfCellCteSql]] with the vector set parameterized — the F6
+    * streaming-upsert gate scores a REMAPPED corpus (latest accepted
+    * version per vec_id) through the identical quantizer chain.
+    */
+  private[operators] def ivfCellCteSqlFor(eSql: String): String = {
     val u = (t: String) =>
       graft.functions.TextFunctions.hexPrefix52Sql(s"md5('ivf|'||p||'|'||j||'|$t')")
     s"""pz AS (
@@ -2610,13 +2614,16 @@ object Similarity {
       |cnorm AS (SELECT p,
       |    list_transform(cv, x -> x / sqrt(list_sum(list_transform(cv, y -> y*y)))) AS cv
       |  FROM cents),
-      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |e AS ($eSql),
       |cd AS (SELECT vec_id, p, list_dot_product(cv, v) AS dt FROM e CROSS JOIN cnorm),
       |cellr AS (SELECT vec_id, p,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, p) AS rn
       |  FROM cd),
       |cell AS (SELECT vec_id, p FROM cellr WHERE rn = 1)""".stripMargin
   }
+
+  private val ivfCellCteSql: String = ivfCellCteSqlFor(
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
 
   /** D31 oracle: the shared cell CTE with corpus assignment widened to
     * rn <= 2 (multi-assignment); probes and rerank identical to D6.

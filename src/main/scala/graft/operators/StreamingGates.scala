@@ -2327,6 +2327,101 @@ object StreamingGates {
       .orderBy(col("cohort_ym"), col("age_months"))
   }
 
+  /** F6 (query-backed): STREAMING IVF INDEX UPSERTS — incoming vectors
+    * assign to their coarse cell with the IDENTICAL deterministic
+    * quantizer as batch D6 (ivfCentroids/ivfCell), O(1) state per
+    * vec_id (version + cell, never the vector), stale versions
+    * dropped. The gate runs a three-wave upsert: initial inserts
+    * (ts=100), then for every 7th vec a REAL upsert with its REVERSED
+    * vector (ts=200 — a deterministic transform both engines can
+    * score), a stale replay of every 5th original (ts=50 — must be
+    * dropped), and equal-version re-deliveries (dropped). The final
+    * index (latest cell per vec) rolls up to a per-cell census with
+    * id checksums; the oracle scores the same latest-version corpus
+    * (reversed where upserted) through the shared quantizer CTE.
+    */
+  def qStreamIvfUpserts(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cents = Similarity.ivfCentroids()
+    val vecs = embeddings(s, dir)
+      .filter(col("vec_id") < SemStreamMaxVec)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val input = MemoryStream[EventStreams.VecUpsert]
+    val q = EventStreams.ivfUpsertStream(input.toDS(), cents)
+      .writeStream.format("memory")
+      .queryName("gate_ivf_out").outputMode("update").start()
+    val index =
+      try {
+        input.addData(vecs.map { case (id, v) =>
+          EventStreams.VecUpsert(id, v, ts = 100L) }.toSeq)
+        q.processAllAvailable()
+        input.addData(
+          vecs.filter(_._1 % 7 == 0).map { case (id, v) =>
+            EventStreams.VecUpsert(id, v.reverse, ts = 200L) }.toSeq ++
+          vecs.filter(_._1 % 5 == 0).map { case (id, v) =>
+            EventStreams.VecUpsert(id, v, ts = 50L) } ++      // stale: dropped
+          vecs.take(100).map { case (id, v) =>
+            EventStreams.VecUpsert(id, v, ts = 100L) })       // equal: dropped
+        q.processAllAvailable()
+        s.table("gate_ivf_out").as[EventStreams.CellAssign].collect()
+          .groupBy(_.vec_id)
+          .map { case (id, as) => id -> as.maxBy(_.ts).cell }
+          .toSeq
+      } finally q.stop()
+    index.groupBy(_._2).toSeq
+      .map { case (cell, xs) =>
+        val ids = xs.map(_._1)
+        (cell.toLong, ids.size.toLong, ids.sum, ids.map(i => i * i).sum)
+      }
+      .toDF("cell", "n_vecs", "id_sum", "id_sq_sum")
+      .orderBy(col("cell"))
+  }
+
+  /** F16 (query-backed): STREAMING LM QUALITY SCORING — lmFit's count
+    * frames are static fit artifacts (fit once on the capped corpus);
+    * the stream scores via two stream-static joins + ONE Update-mode
+    * per-doc aggregate, each bigram term rounded to 6dp DECIMAL before
+    * the sum so the score is exact decimal arithmetic at any partial-
+    * aggregate schedule. Two micro-batches; latest changelog row per
+    * doc is the C33 frame; the oracle is the C33 replica with the cap
+    * at its scan.
+    */
+  def qStreamLmScore(s: SparkSession, dir: String): DataFrame = withStreamPartitions(s) {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val capped = documents(s, dir)
+      .filter(col("doc_id") < LshDocMaxId)
+      .select(col("doc_id"), col("text"))
+    val (uni, c2) = TextOps.lmFit(capped)
+    val docsArr = capped.collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val q = TextOps.lmScoreOn(input.toDS().toDF("doc_id", "text"), uni, c2)
+      .writeStream.format("memory")
+      .queryName("gate_lm_out").outputMode("update").start()
+    val latest =
+      try {
+        val half = docsArr.length / 2
+        input.addData(docsArr.take(half).toSeq); q.processAllAvailable()
+        input.addData(docsArr.drop(half).toSeq); q.processAllAvailable()
+        s.table("gate_lm_out").collect()
+          .zipWithIndex
+          .groupBy(_._1.getLong(0))
+          .map { case (_, os) =>
+            val r = os.maxBy(_._2)._1 // changelog: last wins
+            (r.getLong(0), r.getLong(1), r.getDouble(2))
+          }
+          .toSeq
+      } finally q.stop()
+    latest.toDF("doc_id", "n_bigrams", "avg_logprob")
+      .orderBy(col("doc_id"))
+  }
+
   /** F36 (query-backed): STREAMING SESSION ENTRY/EXIT — the F2
     * sessionizer pattern carrying entry/exit types: closed sessions
     * final on first emission, the open session re-emitting (same
@@ -2667,6 +2762,26 @@ object StreamingGates {
     // the F27 value oracle: the B89 replica on the capped scan plus
     // the Nigrini MAD over all nine digits (absent digits as zero —
     // the benfordMadE6 kernel's convention)
+    // the F6 value oracle: the latest-version corpus (reversed where
+    // upserted, originals elsewhere) scored through the SHARED D6
+    // quantizer CTE, rolled up per cell with id checksums
+    "q_stream_ivf_upserts" -> {
+      val eSql = s"""SELECT vec_id,
+        |    CASE WHEN vec_id % 7 = 0 THEN list_reverse(v0) ELSE v0 END AS v
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+        |    FROM embeddings WHERE vec_id < $SemStreamMaxVec)""".stripMargin
+      s"""WITH ${Similarity.ivfCellCteSqlFor(eSql)},
+        |cc AS (SELECT p AS cell, vec_id FROM cell)
+        |SELECT CAST(cell AS BIGINT) AS cell,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(vec_id * vec_id) AS BIGINT) AS id_sq_sum
+        |FROM cc GROUP BY 1 ORDER BY cell""".stripMargin
+    },
+    // the F16 value oracle: the C33 replica with the cap at its scan
+    "q_stream_lm_score" -> replaceOnce(TextOps.oracles("q_lm_score"),
+      "FROM documents),",
+      s"FROM documents WHERE doc_id < $LshDocMaxId),"),
     // the F25 value oracle: the B82 replica with the cap at its scan
     "q_stream_upsert_compact" -> replaceOnce(Relational.oracles("q_upsert_compact"),
       "FROM events)",
