@@ -304,4 +304,74 @@ class RocksDbRestartSpec extends AnyFunSuite {
           s"uninterrupted=${uninterrupted.size}")
     }
   }
+
+  /** F28's CUSUM monitor under RocksDB with a mid-stream restart: the
+    * state carries RUNNING MAXIMA (max_pos/max_neg) that are NOT
+    * recomputable from the live accumulators — a provider or
+    * serialization bug that rehydrated only (s⁺, s⁻) would produce a
+    * self-consistent-looking stream whose maxima silently reset at
+    * the restart. Batch 2 also re-delivers a below-watermark slice:
+    * the REHYDRATED event-id watermark must drop it (a lost watermark
+    * would double-fold and inflate every accumulator).
+    */
+  test("F28 cusumStream restarts from a RocksDB checkpoint with exact running maxima") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mu0 = 6L; val slack = 1L
+    val evs = graft.sources.Synthetic.zipfEvents(spark, 5000L)
+      .collect()
+      .map(r => EventStreams.KeyedVal(r.getLong(1), r.getLong(0), r.getLong(2)))
+      .toSeq.sortBy(_.event_id)
+    type Fin = (Long, Long, Long, Long, Long)
+    def run(ckpt: Option[String]): Map[Long, Fin] = {
+      val epochs = scala.collection.concurrent.TrieMap
+        .empty[Long, Seq[EventStreams.CusumOut]]
+      val input = MemoryStream[EventStreams.KeyedVal]
+      def start() = {
+        val w = EventStreams.cusumStream(input.toDS(), mu0, slack)
+          .writeStream.outputMode("update")
+          .foreachBatch {
+            (ds: Dataset[EventStreams.CusumOut], id: Long) =>
+              epochs.put(id, ds.collect().toSeq): Unit
+          }
+        ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
+      }
+      val half = evs.length / 2
+      val q1 = start()
+      input.addData(evs.take(half)); q1.processAllAvailable()
+      ckpt match {
+        case Some(c) =>
+          q1.stop()
+          assertRocksArtifacts(c)
+          val q2 = start()
+          try {
+            input.addData(evs.drop(half) ++ evs.take(200))
+            q2.processAllAvailable()
+          } finally q2.stop()
+        case None =>
+          try {
+            input.addData(evs.drop(half) ++ evs.take(200))
+            q1.processAllAvailable()
+          } finally q1.stop()
+      }
+      // latest emission per user (event ids are unique and ascending
+      // per key, so the max-event row is the final state)
+      epochs.toSeq.sortBy(_._1).flatMap(_._2)
+        .foldLeft(Map.empty[Long, Fin]) { case (m, o) =>
+          m.get(o.user_id) match {
+            case Some((e, _, _, _, _)) if e > o.event_id => m
+            case _ => m + (o.user_id ->
+              ((o.event_id, o.s_pos, o.s_neg, o.max_pos, o.max_neg)))
+          }
+        }
+    }
+    withRocksDb { ckpt =>
+      val restarted = run(Some(ckpt))
+      val uninterrupted = run(None)
+      assert(uninterrupted.nonEmpty)
+      assert(restarted == uninterrupted,
+        s"CUSUM state diverged after the RocksDB restart: " +
+          s"restarted=${restarted.size} uninterrupted=${uninterrupted.size}")
+    }
+  }
 }
