@@ -374,4 +374,72 @@ class RocksDbRestartSpec extends AnyFunSuite {
           s"restarted=${restarted.size} uninterrupted=${uninterrupted.size}")
     }
   }
+
+  /** F34's Holt–Winters smoother under RocksDB with a restart that
+    * lands MID-INIT for most keys: the state is COLLECTION-valued (the
+    * ≤14-slot init buffer, then the 7-slot seasonal queue) — a
+    * different rehydration shape from the scalar-state specs above.
+    * With a 5000-event Zipf feed split in half, the tail keys are
+    * still buffering at the kill point, so the restart must restore
+    * partial Seq buffers exactly (a truncated or reordered buffer
+    * shifts the classical two-week init and every value after it),
+    * while hot keys restore the running (level, trend, queue) state.
+    */
+  test("F34 holtWintersStream restarts from a RocksDB checkpoint mid-init with exact Seq state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = graft.sources.Synthetic.zipfEvents(spark, 5000L)
+      .collect()
+      .map(r => EventStreams.KeyedVal(r.getLong(1), r.getLong(0), r.getLong(2)))
+      .toSeq.sortBy(_.event_id)
+    type Fin = (Long, Long, Long, Long, Long)
+    def run(ckpt: Option[String]): Map[Long, Fin] = {
+      val epochs = scala.collection.concurrent.TrieMap
+        .empty[Long, Seq[EventStreams.HwOut]]
+      val input = MemoryStream[EventStreams.KeyedVal]
+      def start() = {
+        val w = EventStreams.holtWintersStream(input.toDS())
+          .writeStream.outputMode("update")
+          .foreachBatch {
+            (ds: Dataset[EventStreams.HwOut], id: Long) =>
+              epochs.put(id, ds.collect().toSeq): Unit
+          }
+        ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
+      }
+      val half = evs.length / 2
+      val q1 = start()
+      input.addData(evs.take(half)); q1.processAllAvailable()
+      ckpt match {
+        case Some(c) =>
+          q1.stop()
+          assertRocksArtifacts(c)
+          val q2 = start()
+          try {
+            input.addData(evs.drop(half) ++ evs.take(200))
+            q2.processAllAvailable()
+          } finally q2.stop()
+        case None =>
+          try {
+            input.addData(evs.drop(half) ++ evs.take(200))
+            q1.processAllAvailable()
+          } finally q1.stop()
+      }
+      epochs.toSeq.sortBy(_._1).flatMap(_._2)
+        .foldLeft(Map.empty[Long, Fin]) { case (m, o) =>
+          m.get(o.user_id) match {
+            case Some((e, _, _, _, _)) if e > o.event_id => m
+            case _ => m + (o.user_id ->
+              ((o.event_id, o.n, o.level_e6, o.trend_e6, o.f1_e6)))
+          }
+        }
+    }
+    withRocksDb { ckpt =>
+      val restarted = run(Some(ckpt))
+      val uninterrupted = run(None)
+      assert(uninterrupted.nonEmpty)
+      assert(restarted == uninterrupted,
+        s"Holt-Winters Seq state diverged after the RocksDB restart: " +
+          s"restarted=${restarted.size} uninterrupted=${uninterrupted.size}")
+    }
+  }
 }
