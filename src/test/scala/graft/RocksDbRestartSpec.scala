@@ -442,4 +442,75 @@ class RocksDbRestartSpec extends AnyFunSuite {
           s"restarted=${restarted.size} uninterrupted=${uninterrupted.size}")
     }
   }
+
+  /** F40's source-purity monitor under RocksDB with a mid-stream
+    * restart: the state is MAP-valued (the bounded per-source
+    * language-count map) — the third distinct rehydration shape after
+    * scalars (F24/F22/F2/F28) and Seqs (F34). A lost or partially
+    * restored map entry shifts the (count DESC, lang) majority rank or
+    * the exact integral-ppm purity for every later batch. The replay
+    * slice rides with batch 2: the rehydrated doc-id watermark must
+    * drop it (a double-counted doc inflates exactly one map cell).
+    */
+  test("F40 sourcePurityStream restarts from a RocksDB checkpoint with exact Map state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // deterministic synthetic classification feed: 37 sources x 5
+    // languages, skewed per source so majorities are non-trivial
+    val evs = (0L until 5000L).map { id =>
+      val src = "s" + (id % 37)
+      val lang = "l" + (((id * 2654435761L) >>> 7) % (1L + id % 5))
+      EventStreams.DocLangEvent(src, id, lang)
+    }
+    type Fin = (Long, String, Long, Long)
+    def run(ckpt: Option[String]): Map[String, Fin] = {
+      val epochs = scala.collection.concurrent.TrieMap
+        .empty[Long, Seq[EventStreams.PurityOut]]
+      val input = MemoryStream[EventStreams.DocLangEvent]
+      def start() = {
+        val w = EventStreams.sourcePurityStream(input.toDS())
+          .writeStream.outputMode("update")
+          .foreachBatch {
+            (ds: Dataset[EventStreams.PurityOut], id: Long) =>
+              epochs.put(id, ds.collect().toSeq): Unit
+          }
+        ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
+      }
+      val half = evs.length / 2
+      val q1 = start()
+      input.addData(evs.take(half)); q1.processAllAvailable()
+      ckpt match {
+        case Some(c) =>
+          q1.stop()
+          assertRocksArtifacts(c)
+          val q2 = start()
+          try {
+            input.addData(evs.drop(half) ++ evs.take(200))
+            q2.processAllAvailable()
+          } finally q2.stop()
+        case None =>
+          try {
+            input.addData(evs.drop(half) ++ evs.take(200))
+            q1.processAllAvailable()
+          } finally q1.stop()
+      }
+      // latest emission per source wins (n_docs is strictly monotone)
+      epochs.toSeq.sortBy(_._1).flatMap(_._2)
+        .foldLeft(Map.empty[String, Fin]) { case (m, o) =>
+          m.get(o.source) match {
+            case Some((n, _, _, _)) if n > o.n_docs => m
+            case _ => m + (o.source ->
+              ((o.n_docs, o.major_lang, o.n_major, o.purity_ppm)))
+          }
+        }
+    }
+    withRocksDb { ckpt =>
+      val restarted = run(Some(ckpt))
+      val uninterrupted = run(None)
+      assert(uninterrupted.size == 37)
+      assert(restarted == uninterrupted,
+        s"purity Map state diverged after the RocksDB restart: " +
+          s"restarted=${restarted.size} uninterrupted=${uninterrupted.size}")
+    }
+  }
 }
