@@ -968,6 +968,60 @@ object Estimation {
               col("vmax"),
               dec4(col("vsum").cast("double") / col("n_valid")).as("mean_v"))
 
+  /** A59: THE canonical reference workload end-to-end at raster scale —
+    * the README/tutorial pipeline the reference exists for
+    * (estimator.py:119 fit-small / predict-big over
+    * datasets/_base.py:108-110): fit a kNN model on the 240 packaged
+    * ecoplot plots (through the A19 loader surface), `kneighbors` every
+    * pixel of the large-raster variant (2048×4096 = 8,388,608 pixels),
+    * impute the three tree-cover targets as the mean of the 5 neighbor
+    * plots' covers, and reduce to 64 zonal band summaries so the output
+    * is an oracle-checkable 64-row aggregate.
+    *
+    * Spark-first / 100 TB shape: the 240-plot model is a broadcast
+    * KnnState scanned by the codegen'd [[KnnScanExpr]] — one pass over
+    * the pixel frame, NO shuffle on the big side, per-pixel cost
+    * m·d = 1,440 mult-adds; the engine path is strictly per-pixel (it
+    * never peeks at the mosaic's profile structure — only the ORACLE
+    * exploits it, see [[graft.sources.Datasets.EcoplotMosaicCells]]).
+    * NoData pixels (~1/37) flow the A15 mask contract: neighbor id −1,
+    * excluded from the zonal means but counted in n_px. Exactness:
+    * neighbor IDS are integers; covers quantize ×10 to integers at fit
+    * time, so zone sums are exact and the published mean is a single
+    * identically-formed quotient per engine.
+    */
+  def qImputeMap(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Datasets
+    val (x, y, _) = Datasets.loadEcoplotSample(s)
+    val feats = Datasets.EcoplotFeatures
+    val model = KNeighborsRegressor(k = 5, orderBy = Seq("plot_id"))
+      .fit(x.join(y, Seq("plot_id")), feats, Nil)
+    // bounded fit artifact: 240 plot covers, deci-units (×10 exact)
+    val covs = y.orderBy("plot_id").collect()
+    def deciCol(i: Int): Array[Long] = covs.map(r => math.round(r.getDouble(i) * 10))
+    val Seq(t1, t2, t3) = Seq(1, 2, 3).map(deciCol)
+    val nn = model.kneighbors(
+      FeatureFrame(Datasets.ecoplotMosaic(s), Seq("sample_id"), feats),
+      returnDistance = false)
+    val valid = col("neighbor0") =!= -1L
+    def predSum(t: Array[Long]): Column =
+      when(valid,
+        (0 until 5).map(i => element_at(lit(t), col(s"neighbor$i").cast("int") + 1))
+          .reduce(_ + _))
+    nn.withColumn("zone", expr("sample_id div 131072"))
+      .withColumn("s1", predSum(t1)).withColumn("s2", predSum(t2))
+      .withColumn("s3", predSum(t3))
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_px"), count(col("s1")).as("n_valid"),
+           sum(col("s1")).as("ss1"), sum(col("s2")).as("ss2"),
+           sum(col("s3")).as("ss3"))
+      .select(col("zone"), col("n_px"), col("n_valid"),
+        dec4(col("ss1").cast("double") / (col("n_valid").cast("double") * 50.0)).as("mean_psme"),
+        dec4(col("ss2").cast("double") / (col("n_valid").cast("double") * 50.0)).as("mean_pila"),
+        dec4(col("ss3").cast("double") / (col("n_valid").cast("double") * 50.0)).as("mean_abco"))
+      .orderBy(col("zone"))
+  }
+
   /** G1 (query-backed since r9): per-row raster statistics read THROUGH
     * the custom DataSource V2 [[graft.sources.v2.RasterSource]] — the
     * gate-level proof that the engine-extension source path works
@@ -2998,6 +3052,25 @@ object Estimation {
       .orderBy(col("lam_x2"))
   }
 
+  /** The 240 packaged ecoplot plots as a DuckDB VALUES list for the
+    * q_impute_map oracle — every numeric literal is passed through a
+    * TEXT→DOUBLE cast so DuckDB parses the same decimal text the Scala
+    * loader parses (both correctly-rounded ⇒ identical doubles; a bare
+    * `1867.4` literal would land as DECIMAL(5,1) and take a different
+    * arithmetic path).
+    */
+  private lazy val ecoplotPlotsValuesSql: String = {
+    val in = getClass.getResourceAsStream("/graft/datasets/ecoplot_sample.csv")
+    require(in != null, "packaged dataset graft/datasets/ecoplot_sample.csv missing from classpath")
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    lines.tail.map { ln =>
+      val p = ln.split(",")
+      (p.head +: p.tail.map(v => s"'$v'::DOUBLE")).mkString("(", ",", ")")
+    }.mkString(",\n")
+  }
+
   val oracles: Map[String, String] = {
     val train = s"train AS ($trainSql)"
     val q     = s"q AS (SELECT $uidSql AS li_id, l_quantity, " +
@@ -3146,6 +3219,55 @@ object Estimation {
           |  CAST(COUNT(v) AS BIGINT) AS vcnt,
           |  CAST(ROUND(CAST(SUM(v) AS DOUBLE)/COUNT(v), 4) AS DECIMAL(18,4))::DOUBLE AS focal_mean
           |FROM sh GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+      // q_impute_map: the oracle rebuilds the kNN once per mosaic cell
+      // PROFILE (65,536 × 240 pairs) and joins profiles back to the
+      // 8.4M pixels — the fixture's documented tractability trapdoor;
+      // the engine path under test is strictly per-pixel. The fast
+      // '0x'-cast hex parse is bit-equal to hexPrefix52Sql (verified)
+      // and 14× cheaper at 8.4M rows.
+      "q_impute_map" ->
+        s"""WITH plots(plot_id, elev, precip, temp, nbr, ndvi, slope, c1, c2, c3) AS (VALUES
+          |$ecoplotPlotsValuesSql),
+          |pt AS (SELECT plot_id, elev, precip, temp, nbr, ndvi, slope,
+          |    CAST(ROUND(c1*10,0) AS BIGINT) AS t1, CAST(ROUND(c2*10,0) AS BIGINT) AS t2,
+          |    CAST(ROUND(c3*10,0) AS BIGINT) AS t3 FROM plots),
+          |cf AS (SELECT c AS cell, ('0x' || substr(md5('impc|'||c),1,13))::BIGINT AS g
+          |  FROM range(0, 65536) t(c)),
+          |cfeat AS (SELECT cell,
+          |    CAST(g % 256 AS DOUBLE) * 8.0 AS elev,
+          |    1000.0 + CAST((g // 256) % 256 AS DOUBLE) * 6.0 AS precip,
+          |    CAST((g // 65536) % 256 AS DOUBLE) / 16.0 AS temp,
+          |    (CAST((g // 16777216) % 256 AS DOUBLE) - 128.0) / 128.0 AS nbr,
+          |    CAST((g // 4294967296) % 256 AS DOUBLE) / 256.0 AS ndvi,
+          |    CAST((g // 1099511627776) % 256 AS DOUBLE) / 8.0 AS slope
+          |  FROM cf),
+          |d AS (SELECT cell, t1, t2, t3, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
+          |    (cfeat.elev-pt.elev)*(cfeat.elev-pt.elev)
+          |    + (cfeat.precip-pt.precip)*(cfeat.precip-pt.precip)
+          |    + (cfeat.temp-pt.temp)*(cfeat.temp-pt.temp)
+          |    + (cfeat.nbr-pt.nbr)*(cfeat.nbr-pt.nbr)
+          |    + (cfeat.ndvi-pt.ndvi)*(cfeat.ndvi-pt.ndvi)
+          |    + (cfeat.slope-pt.slope)*(cfeat.slope-pt.slope), plot_id) AS rn
+          |  FROM cfeat CROSS JOIN pt),
+          |nb AS (SELECT cell, SUM(t1) AS s1, SUM(t2) AS s2, SUM(t3) AS s3
+          |  FROM d WHERE rn <= 5 GROUP BY cell),
+          |px AS (SELECT i // 131072 AS zone, h % 65536 AS cell,
+          |    CASE WHEN (h // 65536) % 37 = 0 THEN 1 ELSE 0 END AS m
+          |  FROM (SELECT i, ('0x' || substr(md5('imp|'||i),1,13))::BIGINT AS h
+          |    FROM range(0, 8388608) t(i))),
+          |pz AS (SELECT zone, cell, m, COUNT(*) AS c FROM px GROUP BY 1,2,3),
+          |ag AS (SELECT zone, SUM(c) AS n_px,
+          |    SUM(CASE WHEN m=0 THEN c ELSE 0 END) AS n_valid,
+          |    SUM(CASE WHEN m=0 THEN c*s1 ELSE 0 END) AS ss1,
+          |    SUM(CASE WHEN m=0 THEN c*s2 ELSE 0 END) AS ss2,
+          |    SUM(CASE WHEN m=0 THEN c*s3 ELSE 0 END) AS ss3
+          |  FROM pz JOIN nb USING (cell) GROUP BY zone)
+          |SELECT CAST(zone AS BIGINT) AS zone, CAST(n_px AS BIGINT) AS n_px,
+          |  CAST(n_valid AS BIGINT) AS n_valid,
+          |  CAST(ROUND(CAST(ss1 AS DOUBLE)/(CAST(n_valid AS DOUBLE)*50.0),4) AS DECIMAL(18,4))::DOUBLE AS mean_psme,
+          |  CAST(ROUND(CAST(ss2 AS DOUBLE)/(CAST(n_valid AS DOUBLE)*50.0),4) AS DECIMAL(18,4))::DOUBLE AS mean_pila,
+          |  CAST(ROUND(CAST(ss3 AS DOUBLE)/(CAST(n_valid AS DOUBLE)*50.0),4) AS DECIMAL(18,4))::DOUBLE AS mean_abco
+          |FROM ag ORDER BY zone""".stripMargin,
       "q_zonal" ->
         s"""WITH g AS (SELECT i % 120 AS x, i // 120 AS y,
           |    ${TF.hexPrefix52Sql("md5('ras|'||(i % 120)||','||(i // 120))")} AS hx,

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -87,6 +87,51 @@ object Datasets {
     val y = plots.select((col("plot_id") +: EcoplotTargets.map(col)): _*)
     val pixels = Synthetic.featureArray(spark, px, EcoplotFeatures, seed = seed)
     (x, y, FeatureFrame(pixels, Seq("sample_id"), EcoplotFeatures))
+  }
+
+  /** Distinct feature profiles in [[ecoplotMosaic]] — the fixture's
+    * oracle-tractability knob: the DuckDB replica computes the kNN once
+    * per PROFILE (65,536 × 240 pairs) instead of once per pixel
+    * (8.4M × 240 — a 2×10⁹-pair window no oracle should run), then
+    * joins profiles back to pixels. The ENGINE path never exploits
+    * this: the gate scans per-pixel, which is the honest 100 TB shape.
+    */
+  val EcoplotMosaicCells = 65536
+
+  /** The canonical-workload pixel frame at the reference's
+    * `large_rasters=True` scale (datasets/_base.py:110 — 2048×4096 =
+    * 8,388,608 pixels), generated so a SQL oracle can rebuild every
+    * row: pixel i draws one 52-bit md5 (`imp|i`) whose low 16 bits pick
+    * one of [[EcoplotMosaicCells]] cell profiles and whose next bits
+    * drive a ~1/37 NoData mask (elev → NaN, masking the row under the
+    * A15 any-feature rule); each profile's six features unpack one
+    * byte each from a second md5 (`impc|cell`), scaled onto the
+    * packaged ecoplot ranges with EXACT dyadic factors (×8, ×6, /16,
+    * /128, /256, /8) so every feature value is exactly representable
+    * and cross-engine distance ties are mathematically well-defined.
+    * Pure codegen over `spark.range` — nothing materializes on the
+    * driver, the generator scales to any pixel count.
+    */
+  def ecoplotMosaic(spark: SparkSession, nPixels: Long = EcoplotLargeRasterPixels): DataFrame = {
+    import graft.functions.TextFunctions.hexPrefix52
+    def byte(i: Int): Column = {
+      val div = math.pow(256.0, i).toLong
+      expr(s"__g div $div") % 256
+    }
+    spark.range(nPixels).toDF("sample_id")
+      .withColumn("__h", hexPrefix52(concat(lit("imp|"), col("sample_id").cast("string"))))
+      .withColumn("cell", col("__h") % EcoplotMosaicCells)
+      .withColumn("__masked", expr("__h div 65536") % 37 === 0)
+      .withColumn("__g", hexPrefix52(concat(lit("impc|"), col("cell").cast("string"))))
+      .select(
+        col("sample_id"), col("cell"),
+        when(col("__masked"), lit(Double.NaN))
+          .otherwise(byte(0).cast("double") * 8.0).as("elev"),
+        (lit(1000.0) + byte(1).cast("double") * 6.0).as("precip"),
+        (byte(2).cast("double") / 16.0).as("temp"),
+        ((byte(3).cast("double") - 128.0) / 128.0).as("nbr"),
+        (byte(4).cast("double") / 256.0).as("ndvi"),
+        (byte(5).cast("double") / 8.0).as("slope"))
   }
 
   def sampleImputationData(
