@@ -87,20 +87,35 @@ object Bench {
         .split(" ").head.toDouble
       catch { case _: Throwable => -1.0 }
     val refBefore = refLoop(); val loadBefore = loadavg1()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sched = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip(name) }
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // PASS-MAJOR timing (r14 What's-wrong #1): running a query's nRuns
+    // back-to-back means one JIT/GC/scheduler burst poisons its median
+    // AND its min together — the r14 artifact carried ~10 contiguous
+    // queries at 2-6.7× their idle medians that all re-measured at
+    // parity solo. Running the FULL schedule nRuns times instead puts
+    // ~5 minutes between a query's runs, so a burst hits DIFFERENT
+    // queries each pass and the cross-pass median sheds it. The warm
+    // pass (plan optimization + Janino codegen) is unchanged in cost:
+    // one extra full pass, same 1 + nRuns executions per query.
+    val failed = scala.collection.mutable.Set.empty[String]
+    for ((name, fn) <- sched) {
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => failed += name }
+    }
+    val passTimes = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 0 until nRuns; (name, fn) <- sched if !failed(name)) {
+      reap()
+      val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
-        val times = (0 until nRuns).map { _ =>
-          reap()
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> times
-      } catch { case _: Throwable => name -> Seq(-1.0) }
+        passTimes(name) = passTimes(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => failed += name }
+    }
+    val results = sched.map { case (name, _) =>
+      name -> (if (failed(name)) Seq(-1.0) else passTimes(name): Seq[Double])
     }
     // true median: average the two middle elements for even run counts
     // (the upper-middle alone would bias even-N runs high)
