@@ -2838,11 +2838,11 @@ object Relational {
       .select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
     val t = broadcast(h.agg(sum(col("n_d")).as("n")))
-    h.crossJoin(t)
+    val exp = s.createDataFrame(benford1Table).toDF("digit", "p_ben_e6")
+    h.crossJoin(t).join(broadcast(exp), "digit")
       .select(col("digit"), col("n_d"),
         expr("(n_d * 1000000) div n").as("p_obs_ppm"),
-        expr("CAST(ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000, 0) AS BIGINT)")
-          .as("p_ben_e6"))
+        col("p_ben_e6"))
       .orderBy(col("digit"))
   }
 
@@ -3138,6 +3138,20 @@ object Relational {
       val p = (1 to 9).map(k => math.log10(1.0 + 1.0 / (10 * k + d))).sum
       (d.toLong, Math.round(p * 1e6))
     }
+
+  /** B89/F27 expectation table: FIRST-digit Benford probabilities
+    * log10(1+1/d) pinned as e6 integer literals once at query build and
+    * embedded in BOTH engines (r14 advisory: the nine values sit far
+    * from .5 rounding boundaries, but that guarantee was implicit while
+    * each engine evaluated its own log10 — pinning makes the compared
+    * frame carry no engine-evaluated float at all). Shared by the batch
+    * gate, its streaming twin, and the MAD kernel.
+    */
+  private[graft] lazy val benford1Table: Seq[(Long, Long)] =
+    (1 to 9).map(d => (d.toLong, Math.round(math.log10(1.0 + 1.0 / d) * 1e6)))
+
+  private[graft] lazy val benford1ValuesSql: String =
+    benford1Table.map { case (d, p) => s"($d::BIGINT, $p::BIGINT)" }.mkString(", ")
 
   /** B131: Benford SECOND-digit audit — the standard forensic
     * follow-up to B89 (first digits can conform while fabricated
@@ -5512,15 +5526,15 @@ object Relational {
         |  CAST(ROUND($welchDfSql, 2) AS DECIMAL(18,2))::DOUBLE AS df
         |FROM u""".stripMargin,
     "q_benford" ->
-      """WITH c AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      s"""WITH c AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
         |  FROM orders),
         |h AS (SELECT CAST(SUBSTRING(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
         |    COUNT(*) AS n_d FROM c GROUP BY 1),
-        |t AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM h)
+        |t AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM h),
+        |ex(digit, p_ben_e6) AS (SELECT * FROM (VALUES $benford1ValuesSql))
         |SELECT digit, CAST(n_d AS BIGINT) AS n_d,
-        |  CAST((n_d * 1000000) // n AS BIGINT) AS p_obs_ppm,
-        |  CAST(ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000, 0) AS BIGINT) AS p_ben_e6
-        |FROM h CROSS JOIN t ORDER BY digit""".stripMargin,
+        |  CAST((n_d * 1000000) // n AS BIGINT) AS p_obs_ppm, p_ben_e6
+        |FROM h CROSS JOIN t JOIN ex USING (digit) ORDER BY digit""".stripMargin,
     "q_seasonality" ->
       """WITH h AS (SELECT
         |    (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 4) % 7 AS dow,

@@ -1621,17 +1621,18 @@ object StreamingGates {
         input.addData(vals.take(half).toSeq); q.processAllAvailable()
         input.addData(vals.drop(half).toSeq); q.processAllAvailable()
         s.table("gate_benford_out").collect()
-          .zipWithIndex
-          .groupBy(_._1.getLong(0))
-          .map { case (d, rs) => d -> rs.maxBy(_._2)._1.getLong(1) } // last wins
+          .groupBy(_.getLong(0))
+          .map { case (d, rs) => d -> rs.map(_.getLong(1)).max } // counts only grow
       } finally q.stop()
     val mad = EventStreams.benfordMadE6(hist)
     val n = hist.values.sum
-    hist.toSeq.sortBy(_._1).toDF("digit", "n_d")
+    val refs = Relational.benford1Table.toMap
+    hist.toSeq.sortBy(_._1)
+      .map { case (d, nd) => (d, nd, refs(d)) }
+      .toDF("digit", "n_d", "p_ben_e6")
       .select(col("digit"), col("n_d"),
         expr(s"(n_d * 1000000) div $n").as("p_obs_ppm"),
-        expr("CAST(ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000, 0) AS BIGINT)")
-          .as("p_ben_e6"),
+        col("p_ben_e6"),
         lit(mad).as("mad_e6"))
       .orderBy(col("digit"))
   }
@@ -1990,9 +1991,8 @@ object StreamingGates {
         input.addData(ev.drop(half) ++ ev.take(100)) // replay: watermark drops
         q.processAllAvailable()
         s.table("gate_purity_out").as[EventStreams.PurityOut].collect()
-          .zipWithIndex
-          .groupBy(_._1.source)
-          .map { case (_, os) => os.maxBy(_._2)._1 } // changelog: last wins
+          .groupBy(_.source)
+          .map { case (_, os) => os.maxBy(_.n_docs) } // n_docs only grows
           .toSeq
       } finally q.stop()
     latest.map(o => (o.source, o.n_docs, o.major_lang, o.n_major, o.purity_ppm))
@@ -2071,10 +2071,9 @@ object StreamingGates {
         input.addData(docsArr.take(half).toSeq); q.processAllAvailable()
         input.addData(docsArr.drop(half).toSeq); q.processAllAvailable()
         s.table("gate_seg_out").collect()
-          .zipWithIndex
-          .groupBy(_._1.getString(0))
+          .groupBy(_.getString(0))
           .map { case (_, os) =>
-            val r = os.maxBy(_._2)._1 // changelog: last wins
+            val r = os.maxBy(_.getLong(1)) // n_occ only grows
             val k = r.getStruct(2)
             (r.getString(0), r.getLong(1), k.getLong(0), k.getLong(1))
           }
@@ -2212,9 +2211,8 @@ object StreamingGates {
         input.addData(cur.take(half).toSeq); q.processAllAvailable()
         input.addData(cur.drop(half).toSeq); q.processAllAvailable()
         s.table("gate_psi_out").collect()
-          .zipWithIndex
-          .groupBy(_._1.getLong(0))
-          .map { case (b, rs) => b -> rs.maxBy(_._2)._1.getLong(1) } // last wins
+          .groupBy(_.getLong(0))
+          .map { case (b, rs) => b -> rs.map(_.getLong(1)).max } // counts only grow
       } finally q.stop()
     val psi = EventStreams.psiE6(baseHist, curHist)
     (baseHist.keySet ++ curHist.keySet).toSeq.sorted
@@ -2410,10 +2408,9 @@ object StreamingGates {
         input.addData(docsArr.take(half).toSeq); q.processAllAvailable()
         input.addData(docsArr.drop(half).toSeq); q.processAllAvailable()
         s.table("gate_lm_out").collect()
-          .zipWithIndex
-          .groupBy(_._1.getLong(0))
+          .groupBy(_.getLong(0))
           .map { case (_, os) =>
-            val r = os.maxBy(_._2)._1 // changelog: last wins
+            val r = os.maxBy(_.getLong(1)) // n_bigrams only grows
             (r.getLong(0), r.getLong(1), r.getDouble(2))
           }
           .toSeq
@@ -2447,9 +2444,8 @@ object StreamingGates {
         input.addData(ev.drop(half) ++ ev.take(300)) // replay: state suppresses
         q.processAllAvailable()
         s.table("gate_spaths_out").as[EventStreams.SessPathOut].collect()
-          .zipWithIndex
-          .groupBy(o => (o._1.user_id, o._1.session_seq))
-          .map { case (_, os) => os.maxBy(_._2)._1 } // changelog: last wins
+          .groupBy(o => (o.user_id, o.session_seq))
+          .map { case (_, os) => os.maxBy(_.n_events) } // n_events only grows
           .toSeq
       } finally q.stop()
     val cells = latest.groupBy(p => (p.entry_type, p.exit_type)).toSeq
@@ -2954,10 +2950,10 @@ object StreamingGates {
         |t AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM h),
         |f AS (SELECT d.digit, COALESCE(h.n_d, 0) AS n_d FROM
         |    (SELECT unnest(range(1, 10)) AS digit) d LEFT JOIN h USING (digit)),
+        |ex(digit, p_ben_e6) AS (SELECT * FROM (VALUES ${Relational.benford1ValuesSql})),
         |p AS (SELECT digit, n_d,
-        |    CAST((n_d * 1000000) // n AS BIGINT) AS p_obs_ppm,
-        |    CAST(ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000, 0) AS BIGINT) AS p_ben_e6
-        |  FROM f CROSS JOIN t),
+        |    CAST((n_d * 1000000) // n AS BIGINT) AS p_obs_ppm, p_ben_e6
+        |  FROM f CROSS JOIN t JOIN ex USING (digit)),
         |m AS (SELECT CAST(SUM(ABS(p_obs_ppm - p_ben_e6)) // 9 AS BIGINT) AS mad_e6 FROM p)
         |SELECT CAST(digit AS BIGINT) AS digit, CAST(n_d AS BIGINT) AS n_d,
         |  p_obs_ppm, p_ben_e6, mad_e6

@@ -1755,12 +1755,12 @@ object EventStreams {
     * touches data, so it is identical cross-engine by construction.
     */
   def benfordMadE6(hist: Map[Long, Long]): Long = {
+    val refs = graft.operators.Relational.benford1Table.toMap
     val n = (1L to 9L).map(hist.getOrElse(_, 0L)).sum
     if (n == 0L) 0L
     else (1L to 9L).map { d =>
       val obs = hist.getOrElse(d, 0L) * 1000000L / n
-      val ref = math.round(math.log10(1.0 + 1.0 / d.toDouble) * 1000000.0)
-      math.abs(obs - ref)
+      math.abs(obs - refs(d))
     }.sum / 9
   }
 
