@@ -513,4 +513,150 @@ class RocksDbRestartSpec extends AnyFunSuite {
           s"restarted=${restarted.size} uninterrupted=${uninterrupted.size}")
     }
   }
+
+  /** Deterministic F3/F4 fixture: 4,000 events across 8 users in global
+    * event-time order (one event per 30s), an "error" every 40th event
+    * opening a 1-hour incident window, values exact quarter-integers.
+    * Incidents opened shortly before the kill point (i≈2000) must join
+    * / suppress events arriving after the restart.
+    */
+  private def fullEvFixture(): Vector[graft.operators.StreamingGates.FullEv] = {
+    val base = 1700000000000000L
+    Vector.tabulate(4000) { i =>
+      val tpe = if (i % 40 == 0) "error"
+        else Seq("view", "click", "purchase")(i % 3)
+      graft.operators.StreamingGates.FullEv(
+        i.toLong, (i % 8).toLong, base + i * 30L * 1000000,
+        tpe, (i % 97).toDouble / 4.0)
+    }
+  }
+
+  /** F4 under RocksDB with a mid-stream restart: stream-stream
+    * symmetric-hash-join state (TWO keyed stores per side) checkpoints
+    * through a different state-store format than the aggregate /
+    * flatMapGroups shapes above — the r14 brief's remaining gap. The
+    * kill lands while hundreds of 1-hour incident windows are open in
+    * the join state; events arriving after the restart must join
+    * incidents REHYDRATED from RocksDB, and the final joined multiset
+    * must equal an uninterrupted run exactly (a lost incident drops
+    * matches; a replayed batch double-emits them).
+    */
+  test("F4 interval-join state restarts from a RocksDB checkpoint exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = fullEvFixture()
+    type Pair = (Long, Long) // (incident_id, event_id)
+    def run(ckpt: Option[String]): Seq[Pair] = {
+      val epochs = scala.collection.concurrent.TrieMap.empty[Long, Seq[Pair]]
+      val input = MemoryStream[graft.operators.StreamingGates.FullEv]
+      def start() = {
+        val w = EventStreams.incidentJoinStream(
+            input.toDF().withColumn("ts", timestamp_micros(col("ts"))))
+          .writeStream.outputMode("append")
+          .foreachBatch { (ds: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                           id: Long) =>
+            epochs.put(id, ds.collect().toSeq.map(r =>
+              (r.getAs[Long]("incident_id"), r.getAs[Long]("event_id")))): Unit
+          }
+        ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
+      }
+      val half = evs.length / 2
+      val q1 = start()
+      input.addData(evs.take(half)); q1.processAllAvailable()
+      ckpt match {
+        case Some(c) =>
+          q1.stop() // kill with open incident windows in join state
+          assertRocksArtifacts(c)
+          val q2 = start()
+          try {
+            input.addData(evs.drop(half)); q2.processAllAvailable()
+            // re-delivered slice: watermark-late in both runs
+            input.addData(evs.take(300)); q2.processAllAvailable()
+          } finally q2.stop()
+        case None =>
+          try {
+            input.addData(evs.drop(half)); q1.processAllAvailable()
+            input.addData(evs.take(300)); q1.processAllAvailable()
+          } finally q1.stop()
+      }
+      epochs.toSeq.sortBy(_._1).flatMap(_._2)
+    }
+    withRocksDb { ckpt =>
+      val restarted = run(Some(ckpt))
+      val uninterrupted = run(None)
+      assert(uninterrupted.nonEmpty)
+      // incidents straddle the kill: some batch-1 incidents must have
+      // joined batch-2 events (the restore actually carried state)
+      val crossKill = uninterrupted.filter { case (inc, ev) =>
+        inc < 2000 && ev >= 2000 }
+      assert(crossKill.nonEmpty, "fixture has no cross-kill joins")
+      assert(restarted.sorted == uninterrupted.sorted,
+        s"joined multiset diverged after the RocksDB restart: " +
+          s"restarted=${restarted.size} uninterrupted=${uninterrupted.size}")
+    }
+  }
+
+  /** F3 under RocksDB with a mid-stream restart: `dropDuplicates`
+    * watermark state is the last state shape without restart coverage.
+    * Batch 2 re-delivers 500 batch-1 rows — each must be suppressed by
+    * dedup keys REHYDRATED from the RocksDB checkpoint (state lost in
+    * the restart would emit them twice); a third batch replays slices
+    * of both. The appended output must contain every event exactly
+    * once and equal an uninterrupted run.
+    */
+  test("F3 dropDuplicates state restarts from a RocksDB checkpoint exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = fullEvFixture()
+    def run(ckpt: Option[String]): Seq[Long] = {
+      val epochs = scala.collection.concurrent.TrieMap.empty[Long, Seq[Long]]
+      val input = MemoryStream[graft.operators.StreamingGates.FullEv]
+      def start() = {
+        val w = EventStreams.dedupStream(
+            input.toDF().withColumn("ts", timestamp_micros(col("ts"))),
+            Seq("event_id"), watermark = "30 days")
+          .writeStream.outputMode("append")
+          .foreachBatch { (ds: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                           id: Long) =>
+            epochs.put(id, ds.collect().toSeq.map(_.getAs[Long]("event_id"))): Unit
+          }
+        ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
+      }
+      val half = evs.length / 2
+      val q1 = start()
+      input.addData(evs.take(half)); q1.processAllAvailable()
+      ckpt match {
+        case Some(c) =>
+          q1.stop() // kill with the dedup key set only in the checkpoint
+          assertRocksArtifacts(c)
+          val q2 = start()
+          try {
+            // cross-restart re-delivery: must hit RESTORED state
+            input.addData(evs.drop(half) ++ evs.take(500))
+            q2.processAllAvailable()
+            input.addData(evs.slice(100, 200) ++ evs.drop(half).take(300))
+            q2.processAllAvailable()
+          } finally q2.stop()
+        case None =>
+          try {
+            input.addData(evs.drop(half) ++ evs.take(500))
+            q1.processAllAvailable()
+            input.addData(evs.slice(100, 200) ++ evs.drop(half).take(300))
+            q1.processAllAvailable()
+          } finally q1.stop()
+      }
+      epochs.toSeq.sortBy(_._1).flatMap(_._2)
+    }
+    withRocksDb { ckpt =>
+      val restarted = run(Some(ckpt))
+      val uninterrupted = run(None)
+      assert(uninterrupted.sorted == evs.map(_.event_id).sorted,
+        "uninterrupted run must emit every event exactly once")
+      assert(restarted.sorted == uninterrupted.sorted,
+        s"dedup output diverged after the RocksDB restart: " +
+          s"restarted=${restarted.size} uninterrupted=${uninterrupted.size}")
+    }
+  }
 }
