@@ -48,7 +48,7 @@ object GeoTiff {
   private val GateFiles = 48
 
   /** Number of files in the layout-shapes gate (doc_id < 36). */
-  private val ShapeFiles = 36
+  private val ShapeFiles = 48
 
   // ---- deterministic fixture formulas (shared with the oracle) ----
 
@@ -82,6 +82,7 @@ object GeoTiff {
   private final val TShort = 3
   private final val TLong = 4
   private final val TDouble = 12
+  private final val TLong8 = 16
 
   /** TIFF-variant LZW encoder (Compression=5): 9→12-bit codes packed
     * MSB-first, ClearCode 256 / EOI 257, "early change" code-width
@@ -147,35 +148,27 @@ object GeoTiff {
   }
 
   /** One file's layout recipe. `rowsPerStrip == h` + `tile == None`
-    * is the canonical single-strip form.
+    * is the canonical single-strip form. `bigTiff` selects the BigTIFF
+    * container (magic 43, 8-byte offsets — what rasterio/GDAL write
+    * transparently past classic TIFF's 4 GiB offset cap).
     */
   private[graft] final case class Layout(
       bigEndian: Boolean, compression: Int, predictor: Int,
-      tile: Option[(Int, Int)], rowsPerStrip: Int)
+      tile: Option[(Int, Int)], rowsPerStrip: Int,
+      bigTiff: Boolean = false)
 
-  /** Build one complete GeoTIFF byte image: header, pixel segments
-    * (strips or tiles, each even-aligned per TIFF 6.0 word alignment),
-    * IFD with ascending tags, then out-of-line payloads. Works in both
-    * byte orders; every byte position is deterministic.
+  /** Compressed pixel segments (strips or tiles) for one band — the
+    * container-independent half of the writer, shared by the classic
+    * and BigTIFF builders. Predictor applied per row.
     */
-  private[graft] def buildTiff(
-      w: Int, h: Int, dtype: String, px: (Int, Int) => Double,
-      epsg: Int, tieX: Double, tieY: Double, layout: Layout): Array[Byte] = {
-    val bps = dtype match {
-      case "uint8" => 1; case "int16" => 2; case "float32" => 4
-      case other   => throw new IllegalArgumentException(s"unsupported fixture dtype $other")
-    }
-    val sampleFmt = dtype match {
-      case "uint8" => 1; case "int16" => 2; case "float32" => 3
-    }
+  private def pixelSegments(w: Int, h: Int, dtype: String, bps: Int,
+                            px: (Int, Int) => Double, layout: Layout): Vector[Array[Byte]] = {
     val order =
       if (layout.bigEndian) java.nio.ByteOrder.BIG_ENDIAN
       else java.nio.ByteOrder.LITTLE_ENDIAN
     require(layout.predictor == 1 ||
       (layout.predictor == 2 && dtype == "uint8" && layout.compression != 1),
       "predictor=2 fixture is uint8 + compressed only (the JDK decoder's contract)")
-
-    // ---- raw segment bytes (predictor applied per row) ----
     def rowBytes(y: Int, x0: Int, cols: Int): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(cols * bps).order(order)
       var prev = 0
@@ -213,13 +206,35 @@ object GeoTiff {
           seg.toByteArray
         }.toVector
     }
-    val segs = rawSegs.map { raw =>
+    rawSegs.map { raw =>
       layout.compression match {
         case 1 => raw
         case 5 => lzwEncode(raw)
         case 8 => deflate(raw)
       }
     }
+  }
+
+  /** Build one complete GeoTIFF byte image: header, pixel segments
+    * (strips or tiles, each even-aligned per TIFF 6.0 word alignment),
+    * IFD with ascending tags, then out-of-line payloads. Works in both
+    * byte orders; every byte position is deterministic.
+    */
+  private[graft] def buildTiff(
+      w: Int, h: Int, dtype: String, px: (Int, Int) => Double,
+      epsg: Int, tieX: Double, tieY: Double, layout: Layout): Array[Byte] = {
+    val bps = dtype match {
+      case "uint8" => 1; case "int16" => 2; case "float32" => 4
+      case other   => throw new IllegalArgumentException(s"unsupported fixture dtype $other")
+    }
+    val sampleFmt = dtype match {
+      case "uint8" => 1; case "int16" => 2; case "float32" => 3
+    }
+    require(!layout.bigTiff, "classic builder called with a BigTIFF layout")
+    val order =
+      if (layout.bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN
+    val segs = pixelSegments(w, h, dtype, bps, px, layout)
 
     // ---- offsets: header | segments (even-aligned) | IFD | payloads ----
     val segOffsets = new Array[Int](segs.length)
@@ -310,6 +325,121 @@ object GeoTiff {
     bb.array()
   }
 
+  /** Build one complete BigTIFF byte image (magic 43, 8-byte offsets,
+    * 20-byte IFD entries — the container GDAL/rasterio write
+    * transparently past classic TIFF's 4 GiB cap): header, pixel
+    * segments (even-aligned), IFD with ascending tags, out-of-line
+    * payloads. Offsets/counts ride LONG8 fields (inline when a single
+    * segment fits the 8-byte value slot), scalar enums stay SHORT/LONG
+    * — the mixed-type layout real writers produce. Both byte orders.
+    */
+  private[graft] def buildBigTiff(
+      w: Int, h: Int, dtype: String, px: (Int, Int) => Double,
+      epsg: Int, tieX: Double, tieY: Double, layout: Layout): Array[Byte] = {
+    val bps = dtype match {
+      case "uint8" => 1; case "int16" => 2; case "float32" => 4
+      case other   => throw new IllegalArgumentException(s"unsupported fixture dtype $other")
+    }
+    val sampleFmt = dtype match {
+      case "uint8" => 1; case "int16" => 2; case "float32" => 3
+    }
+    val order =
+      if (layout.bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN
+    val segs = pixelSegments(w, h, dtype, bps, px, layout)
+
+    // ---- offsets: 16-byte header | segments (even-aligned) | IFD |
+    // payloads ----
+    val segOffsets = new Array[Long](segs.length)
+    var off = 16L
+    segs.indices.foreach { i =>
+      segOffsets(i) = off
+      off += segs(i).length + (segs(i).length & 1)
+    }
+    val n = segs.length
+    val geoTags = Seq(33550, 33922, 34735)
+    val layoutTags = layout.tile match {
+      case Some(_) => Seq(322, 323, 324, 325)
+      case None    => Seq(273, 278, 279)
+    }
+    val predTag = if (layout.predictor == 2) Seq(317) else Nil
+    val tags = (Seq(256, 257, 258, 259, 262, 277, 339) ++
+      layoutTags ++ predTag ++ geoTags).sorted
+    val ifdOff = off
+    var payloadOff = ifdOff + 8 + tags.length * 20 + 8
+    def reserve(bytes: Int): Long = { val o = payloadOff; payloadOff += bytes; o }
+    val segArrOff = if (n > 1) reserve(8 * n) else -1L
+    val cntArrOff = if (n > 1) reserve(8 * n) else -1L
+    val scaleOff = reserve(3 * 8)
+    val tieOff = reserve(6 * 8)
+    val geoKeyOff = reserve(12 * 2)
+    val total = payloadOff.toInt
+
+    val bb = java.nio.ByteBuffer.allocate(total).order(order)
+    bb.put((if (layout.bigEndian) 'M' else 'I').toByte)
+    bb.put((if (layout.bigEndian) 'M' else 'I').toByte)
+    bb.putShort(43).putShort(8).putShort(0).putLong(ifdOff)
+    segs.indices.foreach { i =>
+      bb.position(segOffsets(i).toInt); bb.put(segs(i))
+    }
+    bb.position(ifdOff.toInt)
+    // entry = tag(2) type(2) count(8) value-or-offset(8); inline values
+    // left-justified in the 8-byte field (both byte orders)
+    def entry(tag: Int, tpe: Int, count: Long, v: Long): Unit = {
+      bb.putShort(tag.toShort).putShort(tpe.toShort).putLong(count)
+      tpe match {
+        case TShort if count == 1 =>
+          bb.putShort(v.toShort).putShort(0).putInt(0)
+        case TLong if count == 1 =>
+          bb.putInt(v.toInt).putInt(0)
+        case _ => bb.putLong(v) // LONG8 inline single, or offset
+      }
+    }
+    bb.putLong(tags.length.toLong)
+    tags.foreach {
+      case 256 => entry(256, TLong, 1, w)
+      case 257 => entry(257, TLong, 1, h)
+      case 258 => entry(258, TShort, 1, bps * 8)
+      case 259 => entry(259, TShort, 1, layout.compression)
+      case 262 => entry(262, TShort, 1, 1) // BlackIsZero
+      case 273 =>
+        if (n == 1) entry(273, TLong8, 1, segOffsets(0))
+        else entry(273, TLong8, n, segArrOff)
+      case 277 => entry(277, TShort, 1, 1)
+      case 278 => entry(278, TLong, 1, layout.rowsPerStrip)
+      case 279 =>
+        if (n == 1) entry(279, TLong8, 1, segs(0).length)
+        else entry(279, TLong8, n, cntArrOff)
+      case 317 => entry(317, TShort, 1, 2)
+      case 322 => entry(322, TLong, 1, layout.tile.get._1)
+      case 323 => entry(323, TLong, 1, layout.tile.get._2)
+      case 324 =>
+        if (n == 1) entry(324, TLong8, 1, segOffsets(0))
+        else entry(324, TLong8, n, segArrOff)
+      case 325 =>
+        if (n == 1) entry(325, TLong8, 1, segs(0).length)
+        else entry(325, TLong8, n, cntArrOff)
+      case 339 => entry(339, TShort, 1, sampleFmt)
+      case 33550 => entry(33550, TDouble, 3, scaleOff)
+      case 33922 => entry(33922, TDouble, 6, tieOff)
+      case 34735 => entry(34735, TShort, 12, geoKeyOff)
+    }
+    bb.putLong(0L) // next IFD: none
+    if (n > 1) {
+      bb.position(segArrOff.toInt); segOffsets.foreach(bb.putLong)
+      bb.position(cntArrOff.toInt); segs.foreach(s => bb.putLong(s.length.toLong))
+    }
+    bb.position(scaleOff.toInt)
+    bb.putDouble(PixelScale).putDouble(PixelScale).putDouble(0.0)
+    bb.position(tieOff.toInt)
+    bb.putDouble(0.0).putDouble(0.0).putDouble(0.0)
+      .putDouble(tieX).putDouble(tieY).putDouble(0.0)
+    bb.position(geoKeyOff.toInt)
+    Seq(1, 1, 0, 2, 1024, 0, 1, 1, 3072, 0, 1, epsg)
+      .foreach(v => bb.putShort((v & 0xFFFF).toShort))
+    bb.array()
+  }
+
   /** Canonical little-endian single-strip fixture for band `b`
     * (uint8 for even bands, float32 for odd — the promotion fixture).
     */
@@ -330,34 +460,43 @@ object GeoTiff {
     case 0 => "uint8"; case 1 => "float32"; case _ => "int16"
   }
 
-  /** Shapes-gate layout: 6 variants cycling every 3 bands, covering
+  /** Shapes-gate layout: 8 variants cycling every 3 bands, covering
     * the layouts rasterio/GDAL actually write (the reference's own
     * ecoplot rasters are tiled LZW int16 — variant territory the
-    * canonical gate never enters).
+    * canonical gate never enters). Variants 6-7 are BigTIFF (magic 43):
+    * plain little-endian, and the hard-mode combination — big-endian
+    * tiled LZW with the predictor on uint8 bands — so the 8-byte tag
+    * walk and manual decode path can't pass by accident.
     */
   private[graft] def shapeLayout(b: Long): Layout = {
     val dt = shapeDtype(b)
-    ((b / 3) % 6).toInt match {
+    ((b / 3) % 8).toInt match {
       case 0 => Layout(bigEndian = false, 1, 1, None, heightOf(b))
       case 1 => Layout(bigEndian = false, 8, 1, None, 5) // multi-strip Deflate
       case 2 => Layout(bigEndian = false, 5, 1, None, heightOf(b)) // LZW
       case 3 => Layout(bigEndian = false, 5, if (dt == "uint8") 2 else 1,
         None, heightOf(b)) // LZW + horizontal predictor
       case 4 => Layout(bigEndian = false, 1, 1, Some((16, 16)), heightOf(b))
-      case _ => Layout(bigEndian = true, 1, 1, None, heightOf(b)) // MM
+      case 5 => Layout(bigEndian = true, 1, 1, None, heightOf(b)) // MM
+      case 6 => Layout(bigEndian = false, 1, 1, None, heightOf(b),
+        bigTiff = true)
+      case _ => Layout(bigEndian = true, 5, if (dt == "uint8") 2 else 1,
+        Some((16, 16)), heightOf(b), bigTiff = true) // BigTIFF hard mode
     }
   }
 
   /** Encode band `b` in its shapes-gate layout variant. */
   private[graft] def encodeShaped(b: Long): Array[Byte] = {
     val dt = shapeDtype(b)
-    buildTiff(widthOf(b), heightOf(b), dt,
+    val lay = shapeLayout(b)
+    val build = if (lay.bigTiff) buildBigTiff _ else buildTiff _
+    build(widthOf(b), heightOf(b), dt,
       (x, y) => dt match {
         case "uint8"   => pxU8(b, x, y).toDouble
         case "float32" => pxF32(b, x, y).toDouble
         case _         => pxI16(b, x, y).toDouble
       },
-      epsgOf(b), tieXOf(b), tieYOf(b), shapeLayout(b))
+      epsgOf(b), tieXOf(b), tieYOf(b), lay)
   }
 
   /** A structurally valid header whose strip offset points past EOF —
@@ -422,7 +561,7 @@ object GeoTiff {
       width: Long, height: Long, bits: Long, sampleFmt: Long,
       epsg: Int, scaleX: Double, scaleY: Double, tieX: Double, tieY: Double,
       compression: Long, predictor: Long, tiled: Boolean, bigEndian: Boolean,
-      nodata: Option[String]) {
+      nodata: Option[String], bigTiff: Boolean = false) {
     def dtype: String = (bits, sampleFmt) match {
       case (8, 1)  => "uint8"
       case (16, 1) => "uint16"
@@ -561,12 +700,308 @@ object GeoTiff {
       nodata = nodata)
   }
 
+  // ---- BigTIFF (magic 43): manual 8-byte tag walk + decode ----
+  // The JDK TIFF plugin only sniffs magic 42, so BigTIFF — what a real
+  // 100 TB raster lake ships, since classic TIFF's 32-bit offsets cap
+  // files at 4 GiB and GDAL/rasterio switch containers transparently —
+  // needs its own reader. Format: 16-byte header (order, 43,
+  // offsetSize=8, 0, first-IFD offset as 8 bytes), IFDs with an 8-byte
+  // entry count and 20-byte entries (tag 2, type 2, count 8,
+  // value-or-offset 8).
+
+  private[graft] def isBigTiff(p: Array[Byte]): Boolean =
+    p.length >= 16 && (p(0) == 'I' || p(0) == 'M') && p(0) == p(1) && {
+      val order =
+        if (p(0) == 'M') java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN
+      java.nio.ByteBuffer.wrap(p, 2, 2).order(order).getShort == 43
+    }
+
+  /** One BigTIFF IFD field: raw value bytes (already dereferenced when
+    * out-of-line) plus typed accessors honoring the file's byte order.
+    */
+  private final case class BigField(
+      tpe: Int, count: Long, data: Array[Byte], order: java.nio.ByteOrder) {
+    private def bb = java.nio.ByteBuffer.wrap(data).order(order)
+    private def elemSize: Int = tpe match {
+      case 1 | TAscii => 1
+      case TShort     => 2
+      case TLong      => 4
+      case TDouble | TLong8 | 17 => 8
+      case t => throw new IllegalArgumentException(s"unsupported BigTIFF field type $t")
+    }
+    def longAt(i: Int): Long = tpe match {
+      case 1 | TAscii => data(i).toLong & 0xFF
+      case TShort     => bb.getShort(i * 2).toLong & 0xFFFF
+      case TLong      => bb.getInt(i * 4).toLong & 0xFFFFFFFFL
+      case TLong8 | 17 => bb.getLong(i * 8)
+      case t => throw new IllegalArgumentException(s"not an integer BigTIFF type $t")
+    }
+    def longs: IndexedSeq[Long] = (0 until count.toInt).map(longAt)
+    def doubleAt(i: Int): Double = { require(tpe == TDouble); bb.getDouble(i * 8) }
+    def ascii: String = new String(data, java.nio.charset.StandardCharsets.US_ASCII)
+    require(data.length >= count * elemSize, "truncated BigTIFF field payload")
+  }
+
+  /** Primary-IFD tag walk of a BigTIFF payload — header-only, no pixel
+    * bytes touched. Refuses malformed headers loudly (offset size ≠ 8,
+    * out-of-range IFD) instead of garbage-parsing.
+    */
+  private def bigFields(p: Array[Byte]): Map[Int, BigField] = {
+    require(isBigTiff(p), "not a BigTIFF payload (magic 43 expected)")
+    val order =
+      if (p(0) == 'M') java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN
+    val bb = java.nio.ByteBuffer.wrap(p).order(order)
+    require(bb.getShort(4) == 8 && bb.getShort(6) == 0,
+      s"malformed BigTIFF header: offset size ${bb.getShort(4)}, pad ${bb.getShort(6)}")
+    val ifdOff = bb.getLong(8)
+    require(ifdOff >= 16 && ifdOff + 8 <= p.length,
+      s"BigTIFF IFD offset $ifdOff out of range (${p.length} bytes)")
+    val n = bb.getLong(ifdOff.toInt)
+    require(n > 0 && n <= 4096, s"implausible BigTIFF entry count $n")
+    (0 until n.toInt).map { i =>
+      val base = ifdOff.toInt + 8 + i * 20
+      require(base + 20 <= p.length, "truncated BigTIFF IFD")
+      val tag = bb.getShort(base).toInt & 0xFFFF
+      val tpe = bb.getShort(base + 2).toInt & 0xFFFF
+      val count = bb.getLong(base + 4)
+      val elemSize = tpe match {
+        case 1 | TAscii => 1; case TShort => 2; case TLong => 4
+        case TDouble | TLong8 | 17 => 8
+        case t => throw new IllegalArgumentException(s"unsupported BigTIFF field type $t (tag $tag)")
+      }
+      val total = count * elemSize
+      val data =
+        if (total <= 8) java.util.Arrays.copyOfRange(p, base + 12, base + 12 + total.toInt)
+        else {
+          val off = bb.getLong(base + 12)
+          require(off >= 0 && off + total <= p.length,
+            s"BigTIFF tag $tag payload out of range")
+          java.util.Arrays.copyOfRange(p, off.toInt, (off + total).toInt)
+        }
+      tag -> BigField(tpe, count, data, order)
+    }.toMap
+  }
+
+  /** Header-only BigTIFF meta — the magic-43 twin of the JDK-plugin tag
+    * walk, same GeoKey/nodata semantics.
+    */
+  private[graft] def bigTiffMeta(p: Array[Byte]): TiffMeta = {
+    val f = bigFields(p)
+    def lng(tag: Int): Long = {
+      val fd = f.getOrElse(tag,
+        throw new IllegalArgumentException(s"missing TIFF tag $tag"))
+      fd.longAt(0)
+    }
+    def lngOr(tag: Int, dflt: Long): Long = f.get(tag).map(_.longAt(0)).getOrElse(dflt)
+    val scaleF = f.getOrElse(33550, throw new IllegalArgumentException(
+      "not a GeoTIFF: missing ModelPixelScale"))
+    val tieF = f.getOrElse(33922, throw new IllegalArgumentException(
+      "not a GeoTIFF: missing ModelTiepoint"))
+    val geoF = f.getOrElse(34735, throw new IllegalArgumentException(
+      "not a GeoTIFF: missing GeoKeyDirectory"))
+    val nKeys = geoF.longAt(3).toInt
+    var epsg = -1
+    var k = 0
+    while (k < nKeys) {
+      val off = 4 + 4 * k
+      if (geoF.longAt(off) == 3072 && geoF.longAt(off + 1) == 0)
+        epsg = geoF.longAt(off + 3).toInt
+      k += 1
+    }
+    require(epsg > 0, "GeoKeyDirectory has no ProjectedCSTypeGeoKey")
+    val nodata = f.get(42113).map(_.ascii.replace("\u0000", "").trim).filter(_.nonEmpty)
+    TiffMeta(lng(256), lng(257), lng(258), lngOr(339, 1),
+      epsg, scaleF.doubleAt(0), scaleF.doubleAt(1),
+      tieF.doubleAt(3), tieF.doubleAt(4),
+      lngOr(259, 1), lngOr(317, 1),
+      tiled = f.contains(322), bigEndian = p(0) == 'M',
+      nodata = nodata, bigTiff = true)
+  }
+
+  /** TIFF-variant LZW decoder (the inverse of [[lzwEncode]]): 9→12-bit
+    * MSB-first codes, ClearCode 256 / EOI 257, "early change" width
+    * bumps one code ahead of the encoder's adds (the decoder widens
+    * after adding entry 2^w − 2 — libtiff/JDK behavior). Needed on the
+    * BigTIFF path only; classic files decode through the JDK plugin.
+    */
+  private[graft] def lzwDecode(data: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(expected, 16))
+    var bitPos = 0
+    val nBits = data.length * 8
+    def read(width: Int): Int = {
+      if (bitPos + width > nBits) return 257 // ran off the end: treat as EOI
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val b = data(( bitPos + i) >> 3) & 0xFF
+        v = (v << 1) | ((b >> (7 - ((bitPos + i) & 7))) & 1)
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    val Clear = 256; val Eoi = 257
+    var table = new Array[Array[Byte]](4096)
+    var next = 258; var width = 9
+    def reset(): Unit = {
+      table = new Array[Array[Byte]](4096)
+      var i = 0
+      while (i < 256) { table(i) = Array(i.toByte); i += 1 }
+      next = 258; width = 9
+    }
+    reset()
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done) {
+      val code = read(width)
+      if (code == Eoi) done = true
+      else if (code == Clear) { reset(); prev = null }
+      else {
+        val entry =
+          if (code < next && table(code) != null) table(code)
+          else {
+            require(prev != null && code == next, s"corrupt LZW stream: code $code next $next")
+            prev :+ prev(0)
+          }
+        out.write(entry)
+        if (prev != null && next < 4096) {
+          table(next) = prev :+ entry(0)
+          next += 1
+          if (next == (1 << width) - 1 && width < 12) width += 1
+        }
+        prev = entry
+      }
+    }
+    out.toByteArray
+  }
+
+  private def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(math.max(expected, 16))
+    val buf = new Array[Byte](4096)
+    try {
+      while (!inf.finished() && !inf.needsInput())
+        out.write(buf, 0, inf.inflate(buf))
+    } finally inf.end()
+    out.toByteArray
+  }
+
+  /** Full manual BigTIFF decode: meta plus the row-major pixel array —
+    * strips or tiles (tile padding clipped), none/LZW/Deflate,
+    * horizontal predictor, both byte orders, the three fixture sample
+    * formats. Mirrors what the JDK codec does for classic files.
+    */
+  private[graft] def bigTiffPixels(p: Array[Byte]): (TiffMeta, Array[Double]) = {
+    val f = bigFields(p)
+    val meta = bigTiffMeta(p)
+    val w = meta.width.toInt; val h = meta.height.toInt
+    val bps = (meta.bits / 8).toInt
+    val order =
+      if (meta.bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN
+    def sample(seg: Array[Byte], idx: Int): Double = {
+      val off = idx * bps
+      meta.dtype match {
+        case "uint8"   => (seg(off) & 0xFF).toDouble
+        case "int16"   =>
+          java.nio.ByteBuffer.wrap(seg, off, 2).order(order).getShort.toDouble
+        case "float32" =>
+          java.nio.ByteBuffer.wrap(seg, off, 4).order(order).getFloat.toDouble
+        case d => throw new IllegalArgumentException(s"unsupported BigTIFF dtype $d")
+      }
+    }
+    def decompress(raw: Array[Byte], expected: Int): Array[Byte] =
+      meta.compression match {
+        case 1 => raw
+        case 5 => lzwDecode(raw, expected)
+        case 8 => inflate(raw, expected)
+        case c => throw new IllegalArgumentException(s"unsupported BigTIFF compression $c")
+      }
+    def undoPredictor(seg: Array[Byte], cols: Int): Unit =
+      if (meta.predictor == 2) {
+        require(meta.dtype == "uint8", "predictor=2 decode is uint8-only here")
+        var r = 0
+        while ((r + 1) * cols <= seg.length) {
+          var c = 1
+          while (c < cols) {
+            seg(r * cols + c) =
+              ((seg(r * cols + c) + seg(r * cols + c - 1)) & 0xFF).toByte
+            c += 1
+          }
+          r += 1
+        }
+      }
+    val vals = new Array[Double](w * h)
+    if (meta.tiled) {
+      val tw = f(322).longAt(0).toInt; val th = f(323).longAt(0).toInt
+      val offs = f(324).longs; val cnts = f(325).longs
+      val ntx = (w + tw - 1) / tw
+      offs.indices.foreach { s =>
+        val raw = java.util.Arrays.copyOfRange(
+          p, offs(s).toInt, (offs(s) + cnts(s)).toInt)
+        val seg = decompress(raw, tw * th * bps)
+        undoPredictor(seg, tw)
+        val tx = s % ntx; val ty = s / ntx
+        var r = 0
+        while (r < th) {
+          var c = 0
+          while (c < tw) {
+            val x = tx * tw + c; val y = ty * th + r
+            if (x < w && y < h) vals(y * w + x) = sample(seg, r * tw + c)
+            c += 1
+          }
+          r += 1
+        }
+      }
+    } else {
+      val rps = f.get(278).map(_.longAt(0).toInt).getOrElse(h)
+      val offs = f(273).longs; val cnts = f(279).longs
+      offs.indices.foreach { s =>
+        val raw = java.util.Arrays.copyOfRange(
+          p, offs(s).toInt, (offs(s) + cnts(s)).toInt)
+        val seg = decompress(raw, w * rps * bps)
+        undoPredictor(seg, w)
+        val y0 = s * rps
+        var r = 0
+        while (r < rps && y0 + r < h) {
+          var x = 0
+          while (x < w) {
+            vals((y0 + r) * w + x) = sample(seg, r * w + x)
+            x += 1
+          }
+          r += 1
+        }
+      }
+    }
+    (meta, vals)
+  }
+
+  private def bigTiffStats(p: Array[Byte]): TiffInfo = {
+    val (meta, vals) = bigTiffPixels(p)
+    var sum = 0.0
+    var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < vals.length) {
+      val v = vals(i)
+      sum += v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    TiffInfo(meta, vals.length.toLong, sum, mn, mx)
+  }
+
   /** Header-ONLY decode: IFD tag walk through the JDK TIFF plugin's
-    * metadata path. Never calls `ImageReader.read`, never touches a
-    * pixel — safe at any scale on any node, including the driver.
+    * metadata path (classic, magic 42) or the manual 8-byte walk
+    * (BigTIFF, magic 43). Never touches a pixel — safe at any scale on
+    * any node, including the driver.
     */
   private[graft] def decodeMeta(payload: Array[Byte]): TiffMeta =
-    withReader(payload)(metaOf(_, payload.nonEmpty && payload(0) == 'M',
+    if (isBigTiff(payload)) bigTiffMeta(payload)
+    else withReader(payload)(metaOf(_, payload.nonEmpty && payload(0) == 'M',
       gdalNodata(payload)))
 
   /** Full decode: header facts plus ONE pixel pass through the REAL
@@ -575,7 +1010,8 @@ object GeoTiff {
     * callers pay exactly one decode per file.
     */
   private[graft] def decodeStats(payload: Array[Byte]): TiffInfo =
-    withReader(payload) { reader =>
+    if (isBigTiff(payload)) bigTiffStats(payload)
+    else withReader(payload) { reader =>
       val meta = metaOf(reader, payload.nonEmpty && payload(0) == 'M',
         gdalNodata(payload))
       // read(0), not readRaster: the JDK TIFF plugin decodes to a
@@ -649,6 +1085,28 @@ object GeoTiff {
       r.getDouble(9), 0, 1, tiled = false, bigEndian = false,
       nodata = Option(r.getString(10)))
 
+  /** Decode every cell of one payload into a row-major value array
+    * through the right codec — JDK plugin for classic files, the
+    * manual reader for BigTIFF — so the load APIs accept both
+    * containers transparently (rasterio parity).
+    */
+  private def decodeCells(payload: Array[Byte]): (Int, Int, Array[Double]) =
+    if (isBigTiff(payload)) {
+      val (meta, vals) = bigTiffPixels(payload)
+      (meta.width.toInt, meta.height.toInt, vals)
+    } else withReader(payload) { reader =>
+      val raster = reader.read(0).getRaster
+      val w = raster.getWidth; val h = raster.getHeight
+      val vals = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { vals(y * w + x) = raster.getSampleDouble(x, y, 0); x += 1 }
+        y += 1
+      }
+      (w, h, vals)
+    }
+
   /** Header-only metas for every .tif under `path`, decoded IN
     * EXECUTORS over the `binaryFile` scan and returned as one small
     * (file name, header facts) row per file — the ONLY thing the
@@ -692,15 +1150,11 @@ object GeoTiff {
       .select(col("content"))
       .mapPartitions { it =>
         it.flatMap { row =>
-          val payload = row.getAs[Array[Byte]](0)
-          withReader(payload) { reader =>
-            val raster = reader.read(0).getRaster
-            val w = raster.getWidth; val h = raster.getHeight
-            for {
-              y <- 0 until h
-              x <- 0 until w
-            } yield Row(x.toLong, y.toLong, raster.getSampleDouble(x, y, 0))
-          }
+          val (w, h, vals) = decodeCells(row.getAs[Array[Byte]](0))
+          for {
+            y <- 0 until h
+            x <- 0 until w
+          } yield Row(x.toLong, y.toLong, vals(y * w + x))
         }
       }(org.apache.spark.sql.Encoders.row(cellSchema))
     RasterFrame(df, info.width, info.height,
@@ -745,12 +1199,9 @@ object GeoTiff {
         it.flatMap { row =>
           val name = row.getString(0).split('/').last
           val band = byName(name).toLong
-          withReader(row.getAs[Array[Byte]](1)) { reader =>
-            val raster = reader.read(0).getRaster
-            val w = raster.getWidth; val h = raster.getHeight
-            for (y <- 0 until h; x <- 0 until w)
-              yield Row(band, x.toLong, y.toLong, raster.getSampleDouble(x, y, 0))
-          }
+          val (w, h, vals) = decodeCells(row.getAs[Array[Byte]](1))
+          for (y <- 0 until h; x <- 0 until w)
+            yield Row(band, x.toLong, y.toLong, vals(y * w + x))
         }
       }(org.apache.spark.sql.Encoders.row(cellSchema))
     (cells, GridMeta(declared.headOption, head.transform), dtype)
@@ -788,6 +1239,7 @@ object GeoTiff {
     StructField("predictor", LongType, nullable = false),
     StructField("tiled", LongType, nullable = false),
     StructField("byte_order", StringType, nullable = false),
+    StructField("bigtiff", LongType, nullable = false),
     StructField("n_px", LongType, nullable = false),
     StructField("vsum", DoubleType, nullable = false),
     StructField("vmin", DoubleType, nullable = false),
@@ -808,6 +1260,7 @@ object GeoTiff {
         i.meta.compression, i.meta.predictor,
         if (i.meta.tiled) 1L else 0L,
         if (i.meta.bigEndian) "MM" else "II",
+        if (i.meta.bigTiff) 1L else 0L,
         i.nPx, i.vsum, i.vmin, i.vmax)
     }
 
@@ -852,7 +1305,7 @@ object GeoTiff {
     gateTail(s, dir,
       perFileStats(s, fixtureDir("base:" + dir, GateFiles, shaped = false)),
       GateFiles)
-      .drop("compression", "predictor", "tiled", "byte_order")
+      .drop("compression", "predictor", "tiled", "byte_order", "bigtiff")
 
   /** F51×E17 (query-backed): STREAMING RASTER-FILE INGEST — the
     * production crawl-landing shape for a raster lake: .tif files land
@@ -885,19 +1338,23 @@ object GeoTiff {
       .start()
     try q.awaitTermination() finally q.stop()
     gateTail(s, dir, s.table("gate_rtiff_out"), GateFiles)
-      .drop("compression", "predictor", "tiled", "byte_order")
+      .drop("compression", "predictor", "tiled", "byte_order", "bigtiff")
   }
 
-  /** E17b gate: the REAL-WORLD layout matrix. 36 files cycling through
-    * six rasterio/GDAL-shaped variants (multi-strip Deflate, LZW,
-    * LZW+predictor, 16×16 tiled, big-endian MM) × three sample formats
-    * (uint8 / float32 / int16 — the reference's own packaged rasters
-    * are tiled LZW int16). The engine publishes layout fields READ
-    * FROM THE FILES (compression/predictor tags, tile presence, byte
-    * order) alongside exact pixel stats; the oracle recomputes all of
-    * it from the fixture formulas. A compression, predictor, tiling,
-    * byte-order, or signed-sample bug in the decode path
-    * hash-mismatches here even though the canonical gate stays green.
+  /** E17b gate: the REAL-WORLD layout matrix. 48 files cycling through
+    * eight rasterio/GDAL-shaped variants (multi-strip Deflate, LZW,
+    * LZW+predictor, 16×16 tiled, big-endian MM, BigTIFF plain, and
+    * BigTIFF big-endian tiled LZW+predictor — the magic-43 container a
+    * real 100 TB raster lake ships, since classic offsets cap at
+    * 4 GiB) × three sample formats (uint8 / float32 / int16 — the
+    * reference's own packaged rasters are tiled LZW int16). The engine
+    * publishes layout fields READ FROM THE FILES (compression/
+    * predictor tags, tile presence, byte order, the BigTIFF magic)
+    * alongside exact pixel stats; the oracle recomputes all of it from
+    * the fixture formulas. A compression, predictor, tiling,
+    * byte-order, signed-sample, or 8-byte-offset bug in either decode
+    * path hash-mismatches here even though the canonical gate stays
+    * green.
     */
   def qRasterTiffShapes(s: SparkSession, dir: String): DataFrame =
     gateTail(s, dir,
@@ -937,8 +1394,8 @@ object GeoTiff {
         |FROM st ORDER BY band_id""".stripMargin,
     "q_raster_tiff_shapes" ->
       """WITH f AS (SELECT doc_id AS band_id, 16 + doc_id % 9 AS w,
-        |    12 + doc_id % 7 AS h, (doc_id // 3) % 6 AS variant,
-        |    doc_id % 3 AS dt FROM documents WHERE doc_id < 36),
+        |    12 + doc_id % 7 AS h, (doc_id // 3) % 8 AS variant,
+        |    doc_id % 3 AS dt FROM documents WHERE doc_id < 48),
         |px AS (SELECT band_id, w, h, variant, dt,
         |    CASE dt
         |      WHEN 0 THEN CAST((3*x + 5*y + 7*band_id) % 256 AS DOUBLE)
@@ -960,11 +1417,12 @@ object GeoTiff {
         |  CAST(500000 + 960*band_id AS DOUBLE) AS tie_x,
         |  CAST(4200000 - 480*band_id AS DOUBLE) AS tie_y,
         |  CAST(CASE variant WHEN 1 THEN 8 WHEN 2 THEN 5 WHEN 3 THEN 5
-        |    ELSE 1 END AS BIGINT) AS compression,
-        |  CAST(CASE WHEN variant = 3 AND dt = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |    WHEN 7 THEN 5 ELSE 1 END AS BIGINT) AS compression,
+        |  CAST(CASE WHEN variant IN (3, 7) AND dt = 0 THEN 2 ELSE 1 END AS BIGINT)
         |    AS predictor,
-        |  CAST(CASE WHEN variant = 4 THEN 1 ELSE 0 END AS BIGINT) AS tiled,
-        |  CASE WHEN variant = 5 THEN 'MM' ELSE 'II' END AS byte_order,
+        |  CAST(CASE WHEN variant IN (4, 7) THEN 1 ELSE 0 END AS BIGINT) AS tiled,
+        |  CASE WHEN variant IN (5, 7) THEN 'MM' ELSE 'II' END AS byte_order,
+        |  CAST(CASE WHEN variant IN (6, 7) THEN 1 ELSE 0 END AS BIGINT) AS bigtiff,
         |  n_px, vsum, vmin, vmax
         |FROM st ORDER BY band_id""".stripMargin
   ))

@@ -169,9 +169,9 @@ class GeoTiffSpec extends AnyFunSuite {
 
   test("shapes gate matches the oracle formulas at sf0.001") {
     val df = GeoTiff.qRasterTiffShapes(spark, "/root/testdata/sf0.001").collect()
-    assert(df.length == 36)
+    assert(df.length == 48)
     assert(df.forall(_.getAs[String]("promoted_dtype") == "float32"))
-    // band 11: variant (11/3)%6 = 3 (LZW), dt 11%3 = 2 (int16)
+    // band 11: variant (11/3)%8 = 3 (LZW), dt 11%3 = 2 (int16)
     val r11 = df.find(_.getLong(0) == 11L).get
     assert(r11.getAs[String]("dtype") == "int16")
     assert(r11.getAs[Long]("compression") == 5)
@@ -183,5 +183,46 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(df.find(_.getLong(0) == 13L).get.getAs[Long]("tiled") == 1)
     // band 15..17: variant 5 → big-endian
     assert(df.find(_.getLong(0) == 16L).get.getAs[String]("byte_order") == "MM")
+    // band 18..20: variant 6 → BigTIFF plain (classic rows read 0)
+    val r19 = df.find(_.getLong(0) == 19L).get
+    assert(r19.getAs[Long]("bigtiff") == 1)
+    assert(r19.getAs[Long]("compression") == 1)
+    assert(df.find(_.getLong(0) == 16L).get.getAs[Long]("bigtiff") == 0)
+    // band 21..23: variant 7 → BigTIFF hard mode: MM + tiled + LZW,
+    // predictor 2 on the uint8 band
+    val r21 = df.find(_.getLong(0) == 21L).get // dt 0 (uint8)
+    assert(r21.getAs[Long]("bigtiff") == 1)
+    assert(r21.getAs[String]("byte_order") == "MM")
+    assert(r21.getAs[Long]("tiled") == 1)
+    assert(r21.getAs[Long]("compression") == 5)
+    assert(r21.getAs[Long]("predictor") == 2)
+    val r23 = df.find(_.getLong(0) == 23L).get // dt 2 (int16)
+    assert(r23.getAs[String]("dtype") == "int16")
+    assert(r23.getAs[Long]("predictor") == 1)
+  }
+
+  test("loadStack reads a mixed classic + BigTIFF stack transparently") {
+    // rasterio parity: the load APIs must not care which container a
+    // band arrived in — write an aligned pair (one classic, one
+    // BigTIFF, same grid) and stack them
+    val dir = java.nio.file.Files.createTempDirectory("graft_bigtiff_mix")
+    val w = 20; val h = 14
+    val classic = GeoTiff.buildTiff(w, h, "uint8",
+      (x, y) => ((3 * x + 5 * y) % 256).toDouble, 32610, 500000.0, 4200000.0,
+      GeoTiff.Layout(bigEndian = false, 1, 1, None, h))
+    val big = GeoTiff.buildBigTiff(w, h, "int16",
+      (x, y) => ((17 * x + 23 * y) % 1201 - 600).toDouble, 32610, 500000.0, 4200000.0,
+      GeoTiff.Layout(bigEndian = true, 5, 1, Some((16, 16)), h, bigTiff = true))
+    java.nio.file.Files.write(dir.resolve("band_a.tif"), classic)
+    java.nio.file.Files.write(dir.resolve("band_b.tif"), big)
+    val (cells, meta, dtype) = GeoTiff.loadStack(spark, dir.toString)
+    assert(dtype == "int16") // uint8 + int16 promote to int16
+    assert(meta.crs.contains("EPSG:32610"))
+    val rows = cells.collect()
+    assert(rows.length == 2 * w * h)
+    // spot-check exact values from both codec paths
+    val byKey = rows.map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    assert(byKey((0L, 7L, 3L)) == ((3 * 7 + 5 * 3) % 256).toDouble)
+    assert(byKey((1L, 19L, 13L)) == ((17 * 19 + 23 * 13) % 1201 - 600).toDouble)
   }
 }
