@@ -231,11 +231,24 @@ object GeoTiff {
       case "uint8" => 1; case "int16" => 2; case "float32" => 3
     }
     require(!layout.bigTiff, "classic builder called with a BigTIFF layout")
+    val segs = pixelSegments(w, h, dtype, bps, px, layout)
+    classicContainer(w, h, bps, sampleFmt, segs, layout, epsg,
+      PixelScale, PixelScale, tieX, tieY, nodata = None)
+  }
+
+  /** Assemble a classic-TIFF container around pre-encoded segments —
+    * the shared back half of [[buildTiff]] and the WRITE path (where
+    * strips arrive already compressed from executors). `nodata` emits
+    * the GDAL_NODATA ASCII tag (42113) rasterio/GDAL read back as the
+    * band fill value.
+    */
+  private[graft] def classicContainer(
+      w: Int, h: Int, bps: Int, sampleFmt: Int, segs: Vector[Array[Byte]],
+      layout: Layout, epsg: Int, scaleX: Double, scaleY: Double,
+      tieX: Double, tieY: Double, nodata: Option[String]): Array[Byte] = {
     val order =
       if (layout.bigEndian) java.nio.ByteOrder.BIG_ENDIAN
       else java.nio.ByteOrder.LITTLE_ENDIAN
-    val segs = pixelSegments(w, h, dtype, bps, px, layout)
-
     // ---- offsets: header | segments (even-aligned) | IFD | payloads ----
     val segOffsets = new Array[Int](segs.length)
     var off = 8
@@ -244,7 +257,12 @@ object GeoTiff {
       off += segs(i).length + (segs(i).length & 1) // pad to word boundary
     }
     val n = segs.length
-    val geoTags = Seq(33550, 33922, 34735)
+    // null-terminated, even-padded GDAL_NODATA payload
+    val ndBytes = nodata.map { s =>
+      val raw = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII) :+ 0.toByte
+      if (raw.length % 2 == 0) raw else raw :+ 0.toByte
+    }
+    val geoTags = Seq(33550, 33922, 34735) ++ (if (ndBytes.isDefined) Seq(42113) else Nil)
     val layoutTags = layout.tile match {
       case Some(_) => Seq(322, 323, 324, 325)
       case None    => Seq(273, 278, 279)
@@ -261,6 +279,7 @@ object GeoTiff {
     val scaleOff = reserve(3 * 8)
     val tieOff = reserve(6 * 8)
     val geoKeyOff = reserve(12 * 2)
+    val ndOff = ndBytes.map(b => reserve(b.length)).getOrElse(-1)
     val total = payloadOff
 
     val bb = java.nio.ByteBuffer.allocate(total).order(order)
@@ -306,6 +325,7 @@ object GeoTiff {
       case 33550 => entry(33550, TDouble, 3, scaleOff)
       case 33922 => entry(33922, TDouble, 6, tieOff)
       case 34735 => entry(34735, TShort, 12, geoKeyOff)
+      case 42113 => entry(42113, TAscii, ndBytes.get.length, ndOff)
     }
     bb.putInt(0) // next IFD: none
     if (n > 1) {
@@ -313,7 +333,7 @@ object GeoTiff {
       bb.position(cntArrOff); segs.foreach(s => bb.putInt(s.length))
     }
     bb.position(scaleOff)
-    bb.putDouble(PixelScale).putDouble(PixelScale).putDouble(0.0)
+    bb.putDouble(scaleX).putDouble(scaleY).putDouble(0.0)
     bb.position(tieOff)
     bb.putDouble(0.0).putDouble(0.0).putDouble(0.0)
       .putDouble(tieX).putDouble(tieY).putDouble(0.0)
@@ -322,6 +342,7 @@ object GeoTiff {
     // GTModelTypeGeoKey=1 (projected) and ProjectedCSTypeGeoKey=EPSG
     Seq(1, 1, 0, 2, 1024, 0, 1, 1, 3072, 0, 1, epsg)
       .foreach(v => bb.putShort((v & 0xFFFF).toShort))
+    ndBytes.foreach { b => bb.position(ndOff); bb.put(b) }
     bb.array()
   }
 
@@ -549,6 +570,162 @@ object GeoTiff {
       b += 1
     }
   }
+
+  // ---- the WRITE path (reference `prediction.rio.to_raster`) ----
+
+  private def epsgOfMeta(m: graft.core.GridMeta): Int =
+    m.crs.collect { case c if c.startsWith("EPSG:") => c.drop(5).toInt }
+      .getOrElse(32767) // GeoTIFF "user-defined" sentinel
+
+  /** Encode the cells of one horizontal band as a Deflate float32
+    * strip: missing cells take `fill` (the grid's NoData), present
+    * cells their value. Runs in executors.
+    */
+  private def bandStrip(w: Int, rows: Int, y0: Int, fill: Double,
+                        it: Iterator[(Long, Long, Double)]): Array[Byte] = {
+    val vals = Array.fill(rows * w)(fill)
+    it.foreach { case (x, y, v) => vals((y - y0).toInt * w + x.toInt) = v }
+    val bb = java.nio.ByteBuffer.allocate(rows * w * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(v => bb.putFloat(v.toFloat))
+    deflate(bb.array())
+  }
+
+  /** WRITE one [[graft.core.RasterFrame]] to a single GeoTIFF file —
+    * the reference workflow's terminal step
+    * (`prediction.rio.to_raster(...)`, rioxarray export): float32
+    * samples, Deflate strips, CRS/affine from the GridMeta, the fill
+    * value emitted as GDAL_NODATA (what rasterio reads back as the
+    * band nodata). The O(pixels) encode+compress runs in EXECUTORS,
+    * one row-band strip per group; the driver receives only the
+    * COMPRESSED strips and assembles the container — right for single
+    * files up to the compressed-size memory budget. Past that, a
+    * single .tif is the wrong artifact at any engine: use
+    * [[writeRasterSharded]].
+    */
+  def writeRaster(rf: graft.core.RasterFrame, path: String,
+                  rowsPerStrip: Int = 64): Unit = {
+    val w = rf.width.toInt; val h = rf.height.toInt
+    val rps = math.max(1, math.min(rowsPerStrip, h))
+    val nStrips = (h + rps - 1) / rps
+    val fill = rf.meta.fillValue.map(_.toDouble).getOrElse(0.0)
+    val t = rf.meta.transform
+    val spark = rf.df.sparkSession
+    import spark.implicits._
+    val strips = rf.df
+      .select(col("x").cast("long"), col("y").cast("long"), col("v").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey { case (_, y, _) => (y / rps).toInt }
+      .mapGroups { (sid, it) =>
+        val y0 = sid * rps
+        (sid, bandStrip(w, math.min(rps, h - y0), y0, fill, it))
+      }
+      .collect()
+    require(strips.length == nStrips,
+      s"raster has empty row bands: got ${strips.length} strips of $nStrips")
+    val segs = strips.sortBy(_._1).map(_._2).toVector
+    val bytes = classicContainer(w, h, 4, 3, segs,
+      Layout(bigEndian = false, 8, 1, None, rps), epsgOfMeta(rf.meta),
+      t(0), -t(4), t(2), t(5),
+      nodata = rf.meta.fillValue.map(_.toString))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+  }
+
+  /** Sharded raster write — the 100 TB path: the grid splits into
+    * horizontal bands of `bandRows` rows and each band is written BY
+    * THE EXECUTOR holding it as a complete standalone GeoTIFF (its
+    * tiepoint shifted to the band origin), plus a small driver-side
+    * `_manifest.txt`. No pixel byte ever reaches the driver; shard
+    * count scales with the grid — the VRT/COG-mosaic layout raster
+    * lakes use. `dir` must be storage every executor can reach (shared
+    * FS / object store; local-mode temp dirs qualify).
+    */
+  def writeRasterSharded(rf: graft.core.RasterFrame, dir: String,
+                         bandRows: Int = 1024): Unit = {
+    val w = rf.width.toInt; val h = rf.height.toInt
+    val rows = math.max(1, math.min(bandRows, h))
+    val nShards = (h + rows - 1) / rows
+    val fill = rf.meta.fillValue.map(_.toDouble).getOrElse(0.0)
+    val epsg = epsgOfMeta(rf.meta)
+    val t = rf.meta.transform
+    val nd = rf.meta.fillValue.map(_.toString)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val spark = rf.df.sparkSession
+    import spark.implicits._
+    val written = rf.df
+      .select(col("x").cast("long"), col("y").cast("long"), col("v").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey { case (_, y, _) => (y / rows).toInt }
+      .mapGroups { (sid, it) =>
+        val y0 = sid * rows
+        val hs = math.min(rows, h - y0)
+        val seg = bandStrip(w, hs, y0, fill, it)
+        // shard tiepoint = global origin shifted to the band row:
+        // y_geo = e·row + f, so the shard's f' = f + e·y0
+        val bytes = classicContainer(w, hs, 4, 3, Vector(seg),
+          Layout(bigEndian = false, 8, 1, None, hs), epsg,
+          t(0), -t(4), t(2), t(5) + t(4) * y0, nodata = nd)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"shard_$sid%05d.tif"), bytes)
+        sid
+      }
+      .collect()
+    require(written.length == nShards,
+      s"raster has empty shard bands: wrote ${written.length} of $nShards")
+    val manifest =
+      s"width=$w\nheight=$h\nband_rows=$rows\nn_shards=$nShards\n" +
+        s"crs=${rf.meta.crs.getOrElse("")}\n" +
+        s"transform=${t.mkString(",")}\nfill=${nd.getOrElse("")}\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_manifest.txt"),
+      manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Read a [[writeRasterSharded]] directory back as one
+    * [[graft.core.RasterFrame]]. The shards are self-describing (every
+    * header carries the band's own tiepoint), so geometry is derived
+    * from the executor-side header walk — name order gives the band
+    * order, heights cumsum gives each band's row offset — and the
+    * manifest is validation, not truth. Pixel decode stays in
+    * executors, exactly like [[loadStack]].
+    */
+  def loadRasterSharded(spark: SparkSession, dir: String): graft.core.RasterFrame = {
+    val metas = headerMetas(spark, Seq(dir), glob = Some("shard_*.tif"))
+    require(metas.nonEmpty, s"no shard_*.tif under $dir")
+    val head = metas.head._2
+    metas.foreach { case (name, m) =>
+      require(m.width == head.width && m.scaleX == head.scaleX &&
+        m.scaleY == head.scaleY && m.tieX == head.tieX,
+        s"shard $name disagrees on width/scale/x-origin")
+    }
+    val offsets = metas.map(_._2.height).scanLeft(0L)(_ + _)
+    val yOff = metas.map(_._1).zip(offsets).toMap
+    val h = offsets.last
+    val cellSchema = StructType(Seq(
+      StructField("x", LongType, nullable = false),
+      StructField("y", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = false)))
+    val cells = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "shard_*.tif")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .mapPartitions { it =>
+        it.flatMap { row =>
+          val name = row.getString(0).split('/').last
+          val off = yOff(name)
+          val (w, hs, vals) = decodeCells(row.getAs[Array[Byte]](1))
+          for (y <- 0 until hs; x <- 0 until w)
+            yield Row(x.toLong, off + y, vals(y * w + x))
+        }
+      }(org.apache.spark.sql.Encoders.row(cellSchema))
+    graft.core.RasterFrame(cells, head.width, h,
+      graft.core.GridMeta(head.crs, head.transform,
+        fillValue = fillOf(head)))
+  }
+
+  /** Parse a GDAL_NODATA string into the GridMeta integral fill. */
+  private def fillOf(m: TiffMeta): Option[Long] =
+    m.nodata.flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .flatMap(graft.core.GridMeta.integralFill)
 
   // ---- decode: JDK ImageIO TIFF plugin + TIFFDirectory tag walk ----
 
@@ -1158,7 +1335,7 @@ object GeoTiff {
         }
       }(org.apache.spark.sql.Encoders.row(cellSchema))
     RasterFrame(df, info.width, info.height,
-      GridMeta(info.crs, info.transform))
+      GridMeta(info.crs, info.transform, fillValue = fillOf(info)))
   }
 
   /** Load a DIRECTORY of aligned GeoTIFFs as one stacked band frame —
@@ -1361,6 +1538,60 @@ object GeoTiff {
       perFileStats(s, fixtureDir("shapes:" + dir, ShapeFiles, shaped = true)),
       ShapeFiles)
 
+  /** E22 gate: the WRITE path roundtrip — the reference workflow ends
+    * in `prediction.rio.to_raster(...)`, so the engine must write
+    * rasters, not only read them. Builds a 96×64 prediction-shaped
+    * grid from pure formulas (quarter-exact float32 values, ~1/23 of
+    * cells missing → they land as the GDAL_NODATA fill −9999), writes
+    * it through BOTH paths — [[writeRaster]] (single file, executor-
+    * compressed strips, driver-assembled container) and
+    * [[writeRasterSharded]] (4 standalone shard files + manifest, no
+    * pixel byte on the driver) — reads both back through the real
+    * decode paths, and publishes per-row-band exact stats PLUS the
+    * read-back GridMeta fields (CRS, affine terms, fill) for each
+    * path. The oracle recomputes everything from the formulas without
+    * touching a file: a strip-assembly, shard-tiepoint, fill-encoding,
+    * or meta-roundtrip bug hash-mismatches on its `kind` rows.
+    */
+  def qRasterRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.hexPrefix52
+    val w = 96L; val h = 64L
+    val cells = s.range(w * h)
+      .select((col("id") % w).as("x"), expr(s"id div $w").as("y"))
+      .withColumn("v", ((col("x") * 11 + col("y") * 13) % 997).cast("double") / 4.0)
+      .filter(hexPrefix52(concat(lit("rr|"), col("x").cast("string"),
+        lit(","), col("y").cast("string"))) % 23 =!= 0)
+    val rf = RasterFrame(cells, w, h,
+      GridMeta(Some("EPSG:32614"),
+        Vector(30.0, 0.0, 500000.0, 0.0, -30.0, 4200000.0),
+        fillValue = Some(-9999L)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rt")
+    val singlePath = tmp.resolve("pred.tif").toString
+    writeRaster(rf, singlePath, rowsPerStrip = 16)
+    val single = loadRaster(s, singlePath)
+    val shardDir = tmp.resolve("sharded").toString
+    writeRasterSharded(rf, shardDir, bandRows = 16)
+    val sharded = loadRasterSharded(s, shardDir)
+    def stats(kind: String, r: RasterFrame): DataFrame =
+      r.df
+        .withColumn("zone", expr("y div 8"))
+        .withColumn("isf", (col("v") === -9999.0).cast("long"))
+        .withColumn("vq", when(col("v") =!= -9999.0, (col("v") * 4).cast("long")))
+        .groupBy(col("zone"))
+        .agg(count(lit(1)).as("n_px"), sum(col("isf")).as("n_fill"),
+             sum(col("vq")).as("vq_sum"), min(col("vq")).as("vq_min"),
+             max(col("vq")).as("vq_max"))
+        .select(lit(kind).as("kind"), col("zone"), col("n_px"), col("n_fill"),
+          col("vq_sum"), col("vq_min"), col("vq_max"),
+          lit(r.meta.crs.getOrElse("")).as("crs"),
+          lit(r.meta.transform(0)).as("scale_x"),
+          lit(r.meta.transform(2)).as("tie_x"),
+          lit(r.meta.transform(5)).as("tie_y"),
+          lit(r.meta.fillValue.getOrElse(0L)).as("fill"))
+    stats("sharded", sharded).unionAll(stats("single", single))
+      .orderBy(col("kind"), col("zone"))
+  }
+
   /** The streaming ingest publishes the batch gate's frame exactly, so
     * its oracle IS the q_raster_tiff formula oracle, verbatim.
     */
@@ -1368,6 +1599,23 @@ object GeoTiff {
     m + ("q_stream_raster_tiff" -> m("q_raster_tiff"))
 
   val oracles: Map[String, String] = streamOracle(Map(
+    "q_raster_roundtrip" -> {
+      val hx = graft.functions.TextFunctions.hexPrefix52Sql("md5('rr|'||x||','||y)")
+      s"""WITH g AS (SELECT i % 96 AS x, i // 96 AS y FROM range(0, 6144) t(i)),
+        |c AS (SELECT x, y, (11*x + 13*y) % 997 AS q,
+        |    CASE WHEN $hx % 23 = 0 THEN 1 ELSE 0 END AS isf FROM g),
+        |z AS (SELECT y // 8 AS zone, CAST(COUNT(*) AS BIGINT) AS n_px,
+        |    CAST(SUM(isf) AS BIGINT) AS n_fill,
+        |    CAST(SUM(CASE WHEN isf = 0 THEN q END) AS BIGINT) AS vq_sum,
+        |    CAST(MIN(CASE WHEN isf = 0 THEN q END) AS BIGINT) AS vq_min,
+        |    CAST(MAX(CASE WHEN isf = 0 THEN q END) AS BIGINT) AS vq_max
+        |  FROM c GROUP BY 1),
+        |k AS (SELECT unnest(['sharded', 'single']) AS kind)
+        |SELECT kind, zone, n_px, n_fill, vq_sum, vq_min, vq_max,
+        |  'EPSG:32614' AS crs, 30.0 AS scale_x, 500000.0 AS tie_x,
+        |  4200000.0 AS tie_y, CAST(-9999 AS BIGINT) AS fill
+        |FROM z CROSS JOIN k ORDER BY kind, zone""".stripMargin
+    },
     "q_raster_tiff" ->
       """WITH f AS (SELECT doc_id AS band_id, 16 + doc_id % 9 AS w,
         |    12 + doc_id % 7 AS h FROM documents WHERE doc_id < 48),
