@@ -70,9 +70,13 @@ case class CountMin(
     val v = child.eval(input)
     if (v != null) {
       val x = v.asInstanceOf[Long]
+      // hoist the row hash: bucket(x, d) = f(hashLong(x, 42), d), and
+      // the inner hash is d-independent — one call per row, not depth
+      val inner = XXH64.hashLong(x, 42L)
       var d = 0
       while (d < depth) {
-        b(d * width + CountMin.bucket(x, d, width)) += 1L
+        val h = XXH64.hashLong(d.toLong, inner)
+        b(d * width + (((h % width) + width) % width).toInt) += 1L
         d += 1
       }
     }
