@@ -1915,39 +1915,89 @@ object Estimation {
     * corpus-independent.
     */
   def qLogistic(s: SparkSession, dir: String): DataFrame = {
-    val cells0 = lineitem(s, dir)
+    // ONE corpus pass collapses the fact to the ≤561-cell (x1, x2)
+    // frame (quantity 1..50 × discount-pct 0..10 — domain-bounded, so
+    // the collect is a fit artifact at ANY corpus size, the VERDICT
+    // bounded-collect rule). The 6 Newton iterations then run ON THE
+    // DRIVER (r15 optimization, guide §1.2/§5: iterating a ≤561-row
+    // frame through 6 distributed aggregate+broadcast rounds was pure
+    // machinery — each round a shuffle, a codegen'd stage and a
+    // broadcast for microseconds of arithmetic). The driver loop
+    // replays the SAME shared float texts op-for-op: eta left-assoc,
+    // sigmoid e6-quantized via the identical BigDecimal HALF_UP round
+    // Spark's ROUND(double, 0) performs, exact-integer gradient/
+    // Hessian sums (BigInt == DECIMAL(38,0)), and the adjugate solve
+    // in the logSolveDerivs order — bit-identical weights, proven by
+    // the unchanged DuckDB oracle hash.
+    val cellRows = lineitem(s, dir)
       .select(col("l_quantity").cast("decimal(6,0)").as("x1"),
               round(col("l_discount") * 100, 0).cast("decimal(6,0)").as("x2"),
               (col("l_returnflag") === "R").cast("int").as("r"))
       .groupBy(col("x1"), col("x2"))
-      .agg(count(lit(1)).cast("decimal(14,0)").as("nn"),
-           sum(col("r")).cast("decimal(14,0)").as("kk"))
-      .withColumn("x1f", col("x1").cast("double"))
-      .withColumn("x2f", col("x2").cast("double"))
-    // pin: 6 iterations re-read the cell frame; without this every
-    // iteration's plan re-scans the fact for the cell aggregate
-    val cells = graft.core.Materialize.pin(cells0)
-    var w: DataFrame = s.range(1).select(
-      lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"))
+      .agg(count(lit(1)).as("nn"), sum(col("r")).cast("long").as("kk"))
+      .select(col("x1").cast("double").as("x1f"),
+              col("x2").cast("double").as("x2f"),
+              col("nn"), col("kk"))
+      .collect()
+    val x1f = cellRows.map(_.getDouble(0))
+    val x2f = cellRows.map(_.getDouble(1))
+    val nn = cellRows.map(r => BigInt(r.getLong(2)))
+    val kk = cellRows.map(r => BigInt(r.getLong(3)))
+    // Spark's ROUND(double, 0): BigDecimal(d).setScale(0, HALF_UP)
+    def roundE0(d: Double): Double =
+      BigDecimal(d).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def toDouble(b: BigInt): Double =
+      new java.math.BigDecimal(b.bigInteger).doubleValue
+    var w0 = 0.0; var w1 = 0.0; var w2 = 0.0
     for (_ <- 1 to logNewtonIters) {
-      val terms = cells.crossJoin(broadcast(w))
-        .withColumn("eta", expr(logEtaSql))
-        .withColumn("pe6", expr(s"CAST($logPe6Sql AS DECIMAL(38,0))"))
-      val aggs = logSumDefs.map { case (nm, f) =>
-        sum(expr(f)).cast("decimal(38,0)").as(nm) }
-      val sums = terms.groupBy(col("w0"), col("w1"), col("w2"))
-        .agg(aggs.head, aggs.tail: _*)
-      val der = logSolveDerivs.foldLeft(sums) {
-        case (acc, (nm, f)) => acc.withColumn(nm, expr(f))
+      // per-cell: eta = w0 + w1*x1f + w2*x2f (left-assoc);
+      // pe6 = ROUND(1e6/(1+exp(-eta)), 0) — the logPe6Sql text
+      var gs0 = BigInt(0); var gs1 = BigInt(0); var gs2 = BigInt(0)
+      var hs00 = BigInt(0); var hs01 = BigInt(0); var hs02 = BigInt(0)
+      var hs11 = BigInt(0); var hs12 = BigInt(0); var hs22 = BigInt(0)
+      var i = 0
+      while (i < cellRows.length) {
+        val eta = w0 + w1 * x1f(i) + w2 * x2f(i)
+        val pe6 = BigInt(BigDecimal(
+          roundE0(1000000.0 / (1.0 + java.lang.Math.exp(-eta)))).toBigInt
+          .bigInteger)
+        val x1 = BigInt(x1f(i).toLong); val x2 = BigInt(x2f(i).toLong)
+        // logSumDefs: g = kk*1e6 - nn*pe6; h = nn*pe6*(1e6 - pe6)
+        val g = kk(i) * 1000000 - nn(i) * pe6
+        val h = nn(i) * pe6 * (BigInt(1000000) - pe6)
+        gs0 += g; gs1 += x1 * g; gs2 += x2 * g
+        hs00 += h; hs01 += x1 * h; hs02 += x2 * h
+        hs11 += x1 * x1 * h; hs12 += x1 * x2 * h; hs22 += x2 * x2 * h
+        i += 1
       }
-      w = der.select(col("nw0").as("w0"), col("nw1").as("w1"),
-                     col("nw2").as("w2"))
+      // logSolveDerivs, op-for-op
+      val gg0 = toDouble(gs0) / 1.0e6
+      val gg1 = toDouble(gs1) / 1.0e6
+      val gg2 = toDouble(gs2) / 1.0e6
+      val aa00 = toDouble(hs00) / 1.0e12
+      val aa01 = toDouble(hs01) / 1.0e12
+      val aa02 = toDouble(hs02) / 1.0e12
+      val aa11 = toDouble(hs11) / 1.0e12
+      val aa12 = toDouble(hs12) / 1.0e12
+      val aa22 = toDouble(hs22) / 1.0e12
+      val ja00 = aa11 * aa22 - aa12 * aa12
+      val ja01 = aa02 * aa12 - aa01 * aa22
+      val ja02 = aa01 * aa12 - aa02 * aa11
+      val ja11 = aa00 * aa22 - aa02 * aa02
+      val ja12 = aa01 * aa02 - aa00 * aa12
+      val ja22 = aa00 * aa11 - aa01 * aa01
+      val det = aa00 * ja00 + aa01 * ja01 + aa02 * ja02
+      w0 = w0 + (ja00 * gg0 + ja01 * gg1 + ja02 * gg2) / det
+      w1 = w1 + (ja01 * gg0 + ja11 * gg1 + ja12 * gg2) / det
+      w2 = w2 + (ja02 * gg0 + ja12 * gg1 + ja22 * gg2) / det
     }
-    // pin the 1-row result (forces the 6-iteration evaluation) so the
-    // cell checkpoint can be released before the scoring pass runs
-    val wFinal = graft.core.Materialize.pin(w)
-    graft.core.Materialize.release(cells)
-    val fit = broadcast(wFinal)
+    // when(true, …) keeps w0/w1/w2 nullable like the previous
+    // division-produced weight columns (schema-stability insurance)
+    val fit = broadcast(s.range(1).select(
+      when(lit(true), lit(w0)).as("w0"),
+      when(lit(true), lit(w1)).as("w1"),
+      when(lit(true), lit(w2)).as("w2")))
     val out = lineitem(s, dir)
       .select(col("l_quantity").cast("long").cast("double").as("x1f"),
               round(col("l_discount") * 100, 0).cast("long").cast("double").as("x2f"),
@@ -2022,46 +2072,89 @@ object Estimation {
     * frame. Fit = ONE fact scan + corpus-independent iterations.
     */
   def qPoisson(s: SparkSession, dir: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // ONE corpus pass collapses orders to the per-day frame — bounded
+    // by the DATE DOMAIN (~2.5k days at any sf), so the collect is a
+    // fit artifact at any corpus size — and the 6 Newton iterations
+    // run on the driver (r15 optimization, guide §1.2/§5: same
+    // reasoning as qLogistic — 6 distributed aggregate rounds over a
+    // ≤2.5k-row pinned frame were machinery, not computation). The
+    // driver loop replays the shared float texts op-for-op (eta
+    // left-assoc, LEAST clamp, e6 quantize via the identical
+    // BigDecimal HALF_UP round, BigInt == DECIMAL(38,0) exact sums,
+    // the poisSolveDerivs adjugate order) — bit-identical weights,
+    // proven by the unchanged DuckDB oracle hash.
     val daily = orders(s, dir)
       .groupBy(col("o_orderdate").as("day"))
-      .agg(count(lit(1)).cast(dec).as("yy"))
-    val base = daily
+      .agg(count(lit(1)).as("yy"))
+    val baseRows = daily
       .crossJoin(broadcast(daily.agg(min(col("day")).as("d0"))))
       .select(col("yy"), datediff(col("day"), col("d0")).cast("long").as("t"),
         (pmod(datediff(col("day"), lit("1970-01-01")) + 4, lit(7))
           .isin(0, 6)).cast("long").as("wkd"))
-    val tb = base.agg(expr("sum(t) div count(1)").as("tbar"))
-    val cells0 = base.crossJoin(broadcast(tb))
-      .select(col("yy"), (col("t") - col("tbar")).cast(dec).as("x1"),
-              col("wkd").cast(dec).as("x2"))
-      .withColumn("x1f", col("x1").cast("double"))
-      .withColumn("x2f", col("x2").cast("double"))
-    val cells = graft.core.Materialize.pin(cells0)
-    var w: DataFrame = s.range(1).select(
-      lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"))
+      .collect()
+    val nDays = baseRows.length.toLong
+    val yy = baseRows.map(r => BigInt(r.getLong(0)))
+    val t = baseRows.map(_.getLong(1))
+    val wkd = baseRows.map(_.getLong(2))
+    val tbar = t.sum / nDays // sum(t) div count(1): non-negative => same
+    val x1f = t.map(ti => (ti - tbar).toDouble)
+    val x2f = wkd.map(_.toDouble)
+    def roundE0(d: Double): Double =
+      BigDecimal(d).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def toDouble(b: BigInt): Double =
+      new java.math.BigDecimal(b.bigInteger).doubleValue
+    var w0 = 0.0; var w1 = 0.0; var w2 = 0.0
     for (_ <- 1 to poisNewtonIters) {
-      val terms = cells.crossJoin(broadcast(w))
-        .withColumn("eta", expr(poisEtaSql))
-        .withColumn("mu6", expr(s"CAST($poisMu6Sql AS DECIMAL(38,0))"))
-      val aggs = poisSumDefs.map { case (nm, f) =>
-        sum(expr(f)).cast(dec).as(nm) }
-      val sums = terms.groupBy(col("w0"), col("w1"), col("w2"))
-        .agg(aggs.head, aggs.tail: _*)
-      val der = poisSolveDerivs.foldLeft(sums) {
-        case (acc, (nm, f)) => acc.withColumn(nm, expr(f))
+      var gs0 = BigInt(0); var gs1 = BigInt(0); var gs2 = BigInt(0)
+      var hs00 = BigInt(0); var hs01 = BigInt(0); var hs02 = BigInt(0)
+      var hs11 = BigInt(0); var hs12 = BigInt(0); var hs22 = BigInt(0)
+      var i = 0
+      while (i < baseRows.length) {
+        // poisEtaSql / poisMu6Sql, op-for-op
+        val eta = w0 + w1 * x1f(i) + w2 * x2f(i)
+        val mu6 = BigDecimal(roundE0(
+          1000000.0 * java.lang.Math.exp(java.lang.Math.min(eta, 20.0))))
+          .toBigInt
+        val x1 = BigInt(x1f(i).toLong); val x2 = BigInt(x2f(i).toLong)
+        // poisSumDefs: g = yy*1e6 - mu6; hess terms scale by mu6
+        val g = yy(i) * 1000000 - mu6
+        gs0 += g; gs1 += x1 * g; gs2 += x2 * g
+        hs00 += mu6; hs01 += x1 * mu6; hs02 += x2 * mu6
+        hs11 += x1 * x1 * mu6; hs12 += x1 * x2 * mu6; hs22 += x2 * x2 * mu6
+        i += 1
       }
-      w = der.select(col("nw0").as("w0"), col("nw1").as("w1"),
-                     col("nw2").as("w2"))
+      // poisSolveDerivs, op-for-op
+      val gg0 = toDouble(gs0) / 1.0e6
+      val gg1 = toDouble(gs1) / 1.0e6
+      val gg2 = toDouble(gs2) / 1.0e6
+      val aa00 = toDouble(hs00) / 1.0e6
+      val aa01 = toDouble(hs01) / 1.0e6
+      val aa02 = toDouble(hs02) / 1.0e6
+      val aa11 = toDouble(hs11) / 1.0e6
+      val aa12 = toDouble(hs12) / 1.0e6
+      val aa22 = toDouble(hs22) / 1.0e6
+      val ja00 = aa11 * aa22 - aa12 * aa12
+      val ja01 = aa02 * aa12 - aa01 * aa22
+      val ja02 = aa01 * aa12 - aa02 * aa11
+      val ja11 = aa00 * aa22 - aa02 * aa02
+      val ja12 = aa01 * aa02 - aa00 * aa12
+      val ja22 = aa00 * aa11 - aa01 * aa01
+      val det = aa00 * ja00 + aa01 * ja01 + aa02 * ja02
+      w0 = w0 + (ja00 * gg0 + ja01 * gg1 + ja02 * gg2) / det
+      w1 = w1 + (ja01 * gg0 + ja11 * gg1 + ja12 * gg2) / det
+      w2 = w2 + (ja02 * gg0 + ja12 * gg1 + ja22 * gg2) / det
     }
-    val tot = cells.agg(count(lit(1)).as("n_days"),
-      sum(col("yy")).cast("long").as("n_orders"))
-    val out = graft.core.Materialize.pin(
-      w.crossJoin(broadcast(tot))
-        .select(dec6(col("w0")).as("w0"), dec6(col("w1")).as("w1"),
-                dec6(col("w2")).as("w2"), col("n_days"), col("n_orders")))
-    graft.core.Materialize.release(cells)
-    out
+    val nOrders = yy.sum.toLong
+    // when(true, …) wrappers preserve the previous schema's nullable
+    // w0/w1/w2/n_orders columns (lit alone is non-nullable; the old
+    // division/cast pipeline was nullable)
+    s.range(1).select(
+      dec6(when(lit(true), lit(w0))).as("w0"),
+      dec6(when(lit(true), lit(w1))).as("w1"),
+      dec6(when(lit(true), lit(w2))).as("w2"),
+      lit(nDays).as("n_days"),
+      when(lit(true), lit(nOrders)).as("n_orders"))
   }
 
   /** A45 shared float texts: the per-row prediction is the ONE float
@@ -2129,15 +2222,24 @@ object Estimation {
     */
   def qHuber(s: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // Per-row arithmetic runs in LONG (r15 optimization, guide §2.3
+    // narrower types / §4 expression cost): every per-row quantity is
+    // domain-bounded — x1 ≤ 50, x2 ≤ 10, y ≤ ~2·10⁷ cents, aw ≤ 10⁶ —
+    // so the largest product aw·x1·y ≤ ~10¹⁵ ≪ 2⁶³ at ANY corpus size
+    // (bounds are per-row domains, not corpus aggregates). Only the
+    // cross-row SUM needs DECIMAL(38,0); each product casts to decimal
+    // at the aggregate input, so the sums are bit-identical to the
+    // previous all-DECIMAL formulation while the hot loop does long
+    // multiplies instead of BigDecimal ones.
     def base = lineitem(s, dir)
-      .select(col("l_quantity").cast("decimal(20,0)").as("x1"),
-              round(col("l_discount") * 100, 0).cast("decimal(20,0)").as("x2"),
-              round(col("l_extendedprice") * 100, 0).cast("decimal(20,0)").as("y"))
+      .select(col("l_quantity").cast("long").as("x1"),
+              round(col("l_discount") * 100, 0).cast("long").as("x2"),
+              round(col("l_extendedprice") * 100, 0).cast("long").as("y"))
       .withColumn("x1f", col("x1").cast("double"))
       .withColumn("x2f", col("x2").cast("double"))
     def solve(weighted: DataFrame): DataFrame = {
       val aggs = hubSumDefs.map { case (nm, f) =>
-        sum(expr(f)).cast(dec).as(nm) }
+        sum(expr(f).cast(dec)).cast(dec).as(nm) }
       val sums = weighted.agg(aggs.head, aggs.tail: _*)
       hubSolveDerivs.foldLeft(sums) {
         case (acc, (nm, f)) => acc.withColumn(nm, expr(f))
@@ -2145,21 +2247,20 @@ object Estimation {
     }
     // OLS init: unit weights (the aw ≡ 1e6 pass — e6 cancels in the solve)
     var w = graft.core.Materialize.pin(
-      solve(base.withColumn("aw", lit(1000000L).cast(dec))))
+      solve(base.withColumn("aw", lit(1000000L))))
     for (_ <- 1 to hubIrlsIters) {
       val weighted = base.crossJoin(broadcast(w))
-        .withColumn("pred", expr(s"CAST($hubPredSql AS DECIMAL(38,0))"))
+        .withColumn("pred", expr(s"CAST($hubPredSql AS BIGINT)"))
         .withColumn("r", col("y") - col("pred"))
         .withColumn("aw",
-          expr(s"CASE WHEN abs(r) <= $HubDelta THEN CAST(1000000 AS DECIMAL(38,0)) " +
-               s"ELSE CAST((CAST($HubDelta AS DECIMAL(38,0)) * 1000000) div abs(r) " +
-               "AS DECIMAL(38,0)) END"))
+          expr(s"CASE WHEN abs(r) <= $HubDelta THEN 1000000L " +
+               s"ELSE ${HubDelta}L * 1000000L div abs(r) END"))
       val next = graft.core.Materialize.pin(solve(weighted))
       graft.core.Materialize.release(w)
       w = next
     }
     val out = base.crossJoin(broadcast(w))
-      .withColumn("pred", expr(s"CAST($hubPredSql AS DECIMAL(38,0))"))
+      .withColumn("pred", expr(s"CAST($hubPredSql AS BIGINT)"))
       .withColumn("r", col("y") - col("pred"))
       .groupBy(col("b0"), col("b1"), col("b2"))
       .agg(count(lit(1)).as("n_rows"),

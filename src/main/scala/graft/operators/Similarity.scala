@@ -551,11 +551,77 @@ object Similarity {
     * joins on the ≤1000-row top-k frames.
     */
   def qMatryoshka(s: SparkSession, dir: String): DataFrame = {
-    val exact = graft.core.Materialize.pin(
-      exactTopKPrefix(s, dir, 64, 10).select(col("q_id"), col("vec_id")))
+    // r15 optimization (guide §1.2 "remove unnecessary passes"): the
+    // four per-prefix corpus passes (8/16/32/64, each its own
+    // mapPartitions kernel over the full embedding table) fuse into
+    // ONE pass that maintains four heap sets. Prefix norms and dots
+    // accumulate index-ascending with checkpoints at 8/16/32/64, so
+    // every per-prefix float value is the IDENTICAL ADD SEQUENCE the
+    // fresh per-prefix loop produced — same sims, same heaps, same
+    // rows; the recall arms then run over the pinned ≤4k-row top-k
+    // frame instead of re-scanning the corpus.
+    val k = 10
+    val dimsList = Array(8, 16, 32, 64)
+    val e = emb(s, dir)
+    val st = collectQueries(e)
+    val bc = s.sparkContext.broadcast(st)
+    val prefixSchema = StructType(StructField("dims", LongType, nullable = false)
+      +: localTopKSchema.fields.toSeq)
+    val locals = fanOut(e.select(col("vec_id"), col("v")))
+      .mapPartitions { it =>
+        val q = bc.value
+        val nq = q.qids.length
+        // per-prefix query norms: ascending accumulation == fresh loop
+        val qn = dimsList.map { d =>
+          q.qv.map { a =>
+            var s2 = 0.0; var i = 0
+            while (i < d) { s2 += a(i) * a(i); i += 1 }
+            math.sqrt(s2)
+          }
+        }
+        val heaps = dimsList.map(_ => new TopKHeaps(nq, k))
+        it.foreach { row =>
+          val v = row.getSeq[Double](1).toArray
+          val vid = row.getLong(0)
+          val nrm = new Array[Double](dimsList.length)
+          var n2 = 0.0; var i = 0; var ci = 0
+          while (i < 64) {
+            n2 += v(i) * v(i); i += 1
+            if (ci < dimsList.length && i == dimsList(ci)) {
+              nrm(ci) = math.sqrt(n2); ci += 1
+            }
+          }
+          var qi = 0
+          while (qi < nq) {
+            val qvv = q.qv(qi)
+            var d = 0.0; var j = 0; var cj = 0
+            while (j < 64) {
+              d += qvv(j) * v(j); j += 1
+              if (cj < dimsList.length && j == dimsList(cj)) {
+                heaps(cj).insert(qi, d / (qn(cj)(qi) * nrm(cj)), vid)
+                cj += 1
+              }
+            }
+            qi += 1
+          }
+        }
+        dimsList.indices.iterator.flatMap { ci =>
+          heaps(ci).emit(q.qids).map(r =>
+            Row(dimsList(ci).toLong, r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+      }(Encoders.row(prefixSchema))
+    // global per-(dims, q_id) top-k merge — the globalTopK shape with
+    // dims in the partition key; only (dims, q_id, vec_id) survive
+    val w = Window.partitionBy(col("dims"), col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val topk = graft.core.Materialize.pin(
+      locals.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("dims"), col("q_id"), col("vec_id")))
+    val exact = topk.filter(col("dims") === 64L).select(col("q_id"), col("vec_id"))
     val total = exact.agg(count(lit(1)).as("n_exact"))
     val out = Seq(8, 16, 32).map { d =>
-      exactTopKPrefix(s, dir, d, 10).select(col("q_id"), col("vec_id"))
+      topk.filter(col("dims") === d.toLong).select(col("q_id"), col("vec_id"))
         .join(exact, Seq("q_id", "vec_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
         .crossJoin(broadcast(total))
@@ -564,7 +630,7 @@ object Similarity {
                   .as("recall_ppm"))
     }.reduce(_ unionAll _).orderBy(col("dims"))
     val pinned = graft.core.Materialize.pin(out)
-    graft.core.Materialize.release(exact)
+    graft.core.Materialize.release(topk)
     pinned
   }
 
