@@ -1062,7 +1062,11 @@ object Similarity {
       .select(col("cluster"), posexplode(col("v")))
       .groupBy(col("cluster"), col("pos"))
       .agg(graft.functions.dec6(avg(col("col"))).as("c"))
-    val a2 = assign(widen(cent1))
+    // pin: a2 feeds BOTH the round-2 centroid aggregate and the final
+    // cluster-size count — unpinned, the second KNN assignment pass ran
+    // twice (r15 optimization, guide §2.4: one materialization, two
+    // cheap readers of the (vec_id, cluster) projection)
+    val a2 = graft.core.Materialize.pin(assign(widen(cent1)))
     val cent2 = e.join(a2, "vec_id")
       .select(col("cluster"), posexplode(col("v")))
       .groupBy(col("cluster"), col("pos"))
@@ -1072,9 +1076,12 @@ object Similarity {
       .pivot("pos", Seq(0, 1))
       .agg(first(col("c")))
       .select(col("cluster"), dec4(col("0")).as("c0"), dec4(col("1")).as("c1"))
-    a2.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
-      .join(c01, "cluster")
-      .orderBy(col("cluster"))
+    val out = graft.core.Materialize.pin(
+      a2.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .join(c01, "cluster")
+        .orderBy(col("cluster")))
+    graft.core.Materialize.release(a2)
+    out
   }
 
   /** D6: IVF-style partitioned ANN — the production path when the
@@ -1783,20 +1790,117 @@ object Similarity {
     * the one expensive exact pass, paid once.
     */
   def qIvfProbeSweep(s: SparkSession, dir: String): DataFrame = {
-    val exact = graft.core.Materialize.pin(
-      qCosineTopK(s, dir).select(col("q_id"), col("vec_id")))
+    // r15 optimization (guide §1.2 "remove unnecessary passes"): the
+    // exact baseline + three annIvf arms were FOUR full corpus passes;
+    // probe sets are nested and the exact arm computes every
+    // query·vector dot anyway, so one pass maintains all four heap
+    // sets — the exact arm's dot products are computed once and the
+    // probe arms reuse them (identical float values: same index-
+    // ascending dot/norm sequences as the per-arm kernels, same
+    // (sim DESC, vec_id) heap comparator).
+    val k = 10
+    val nCells = 16
+    val dim = 64
+    val probeWidths = Array(1, 2, 4)
+    val e = emb(s, dir)
+    val cents = ivfCentroids(nCells, dim)
+    def topCells(v: Array[Double], n: Int): Array[Int] = {
+      val dots = Array.tabulate(nCells) { ci =>
+        val cv = cents(ci)
+        var d = 0.0; var j = 0
+        while (j < v.length) { d += cv(j) * v(j); j += 1 }
+        d
+      }
+      (0 until nCells).sortBy(ci => (-dots(ci), ci)).take(n).toArray
+    }
+    val qs = collectQueries(e)
+    val nq = qs.qids.length
+    // per cell: qi-ascending (query, armMask) lists — bit a set when
+    // arm a's probe set (width probeWidths(a)) contains the cell
+    val maskByCell = Array.fill(nCells)(new Array[Int](nq))
+    for ((v, qi) <- qs.qv.zipWithIndex; ai <- probeWidths.indices;
+         c <- topCells(v, probeWidths(ai)))
+      maskByCell(c)(qi) |= (1 << ai)
+    val cellLists: Array[(Array[Int], Array[Int])] = maskByCell.map { m =>
+      val qis = (0 until nq).filter(m(_) != 0).toArray
+      (qis, qis.map(m))
+    }
+    val bc = s.sparkContext.broadcast(
+      (qs.qids, qs.qv, qs.qnorm, cents, cellLists))
+    val ExactArm = probeWidths.length
+    val armSchema = StructType(StructField("arm", LongType, nullable = false)
+      +: localTopKSchema.fields.toSeq)
+    val locals = fanOut(e.select(col("vec_id"), col("v")))
+      .mapPartitions { it =>
+        val (bQids, bQv, bQnorm, bCents, bCellLists) = bc.value
+        val heaps = Array.fill(probeWidths.length + 1)(new TopKHeaps(bQids.length, k))
+        val dBuf = new Array[Double](bQids.length)
+        it.foreach { row =>
+          val v = row.getSeq[Double](1).toArray
+          val vid = row.getLong(0)
+          // corpus cell = argmax centroid dot (tie -> lowest cell id)
+          var best = 0; var bestD = Double.NegativeInfinity
+          var ci = 0
+          while (ci < bCents.length) {
+            val cv = bCents(ci)
+            var d = 0.0; var j = 0
+            while (j < v.length) { d += cv(j) * v(j); j += 1 }
+            if (d > bestD) { bestD = d; best = ci }
+            ci += 1
+          }
+          var n2 = 0.0; var j = 0
+          while (j < v.length) { n2 += v(j) * v(j); j += 1 }
+          val nrm = math.sqrt(n2)
+          // exact arm: every query, dots cached for the probe arms
+          var qi = 0
+          while (qi < bQids.length) {
+            val qvv = bQv(qi)
+            var d = 0.0; var jj = 0
+            while (jj < v.length) { d += qvv(jj) * v(jj); jj += 1 }
+            dBuf(qi) = d / (bQnorm(qi) * nrm)
+            heaps(ExactArm).insert(qi, dBuf(qi), vid)
+            qi += 1
+          }
+          val (qis, masks) = bCellLists(best)
+          var p = 0
+          while (p < qis.length) {
+            val q = qis(p); val m = masks(p)
+            var ai = 0
+            while (ai < probeWidths.length) {
+              if ((m & (1 << ai)) != 0) heaps(ai).insert(q, dBuf(q), vid)
+              ai += 1
+            }
+            p += 1
+          }
+        }
+        heaps.indices.iterator.flatMap { ai =>
+          heaps(ai).emit(bQids).map(r =>
+            Row(ai.toLong, r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+      }(Encoders.row(armSchema))
+    val w = Window.partitionBy(col("arm"), col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val topk = graft.core.Materialize.pin(
+      locals.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("arm"), col("q_id"), col("vec_id")))
+    val exact = topk.filter(col("arm") === ExactArm.toLong)
+      .select(col("q_id"), col("vec_id"))
     val total = broadcast(exact.agg(count(lit(1)).as("n_exact")))
-    Seq(1, 2, 4).map { np =>
-      annIvf(s, dir, np).select(col("q_id"), col("vec_id"))
+    val out = probeWidths.indices.map { ai =>
+      topk.filter(col("arm") === ai.toLong).select(col("q_id"), col("vec_id"))
         .join(exact, Seq("q_id", "vec_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
         .crossJoin(total)
-        .select(lit(np.toLong).as("n_probe"),
+        .select(lit(probeWidths(ai).toLong).as("n_probe"),
           col("hits").cast("long").as("n_hits"),
           col("n_exact").cast("long").as("n_exact"),
           expr("CAST((hits * 1000000) div n_exact AS BIGINT)")
             .as("recall_ppm"))
     }.reduce(_ unionAll _).orderBy(col("n_probe"))
+    val pinned = graft.core.Materialize.pin(out)
+    graft.core.Materialize.release(topk)
+    pinned
   }
 
   /** D8: product-quantization ANN with exact rerank — the memory-bound
@@ -2510,11 +2614,88 @@ object Similarity {
     * stop paying for rerank you don't need.
     */
   def qBinaryBudget(s: SparkSession, dir: String): DataFrame = {
-    val exact = graft.core.Materialize.pin(
-      qCosineTopK(s, dir).select(col("q_id"), col("vec_id")))
+    // r15 optimization (guide §1.2): exact baseline + three annBinary
+    // arms were 4 corpus passes + 3 rerank joins. The budget arms are
+    // NESTED (global hamming top-10 ⊂ top-25 ⊂ top-50 under the same
+    // deterministic (sim DESC, vec_id) order), so ONE corpus pass
+    // computes the exact cosine heaps AND the hamming top-50
+    // candidates; one shared rerank scores the 50-set, and each arm's
+    // top-10 is the rank-≤nc slice reranked — identical sets and
+    // floats to the per-arm pipelines.
+    val k = 10
+    val budgets = Seq(10, 25, 50)
+    val ncMax = budgets.max
+    val e = emb(s, dir)
+    val qs = collectQueries(e)
+    val pCodes = qs.qv.map(signCode)
+    val bc = s.sparkContext.broadcast((qs.qids, pCodes, qs.qv, qs.qnorm))
+    val armSchema = StructType(StructField("arm", LongType, nullable = false)
+      +: localTopKSchema.fields.toSeq)
+    val locals = fanOut(e.select(col("vec_id"), col("v")))
+      .mapPartitions { it =>
+        val (bQids, bPc, bQv, bQnorm) = bc.value
+        val nq = bQids.length
+        val hamHeaps = new TopKHeaps(nq, ncMax)
+        val exHeaps = new TopKHeaps(nq, k)
+        it.foreach { row =>
+          val vid = row.getLong(0)
+          val v = row.getSeq[Double](1).toArray
+          val cv = signCode(v)
+          var n2 = 0.0; var j = 0
+          while (j < v.length) { n2 += v(j) * v(j); j += 1 }
+          val nrm = math.sqrt(n2)
+          var qi = 0
+          while (qi < nq) {
+            hamHeaps.insert(qi, -java.lang.Long.bitCount(bPc(qi) ^ cv).toDouble, vid)
+            val qvv = bQv(qi)
+            var d = 0.0; var jj = 0
+            while (jj < v.length) { d += qvv(jj) * v(jj); jj += 1 }
+            exHeaps.insert(qi, d / (bQnorm(qi) * nrm), vid)
+            qi += 1
+          }
+        }
+        hamHeaps.emit(bQids).map(r =>
+          Row(0L, r.getLong(0), r.getLong(1), r.getDouble(2))) ++
+          exHeaps.emit(bQids).map(r =>
+            Row(1L, r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }(Encoders.row(armSchema))
+    val wA = Window.partitionBy(col("arm"), col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val ranked = graft.core.Materialize.pin(
+      locals.withColumn("rn", row_number().over(wA))
+        .filter((col("arm") === 0L && col("rn") <= ncMax) ||
+                (col("arm") === 1L && col("rn") <= k))
+        .select(col("arm"), col("q_id"), col("vec_id"),
+          col("rn").cast("long").as("rn")))
+    val exact = ranked.filter(col("arm") === 1L).select(col("q_id"), col("vec_id"))
+    val cands = ranked.filter(col("arm") === 0L)
+      .select(col("q_id"), col("vec_id"), col("rn"))
+    // one shared exact-cosine rerank of the hamming top-50 candidates
+    val bcQ = s.sparkContext.broadcast((qs.qids, qs.qv, qs.qnorm))
+    val rerankSchema = StructType(localTopKSchema.fields.toSeq
+      :+ StructField("rn", LongType, nullable = false))
+    val rerank = graft.core.Materialize.pin(
+      e.select(col("vec_id"), col("v"))
+        .join(broadcast(cands), "vec_id")
+        .select(col("q_id"), col("vec_id"), col("v"), col("rn"))
+        .mapPartitions { it =>
+          val (bQids, bQv, bQnorm) = bcQ.value
+          val qIdx = bQids.zipWithIndex.toMap
+          it.map { row =>
+            val qi = qIdx(row.getLong(0))
+            val v = row.getSeq[Double](2).toArray
+            val qvv = bQv(qi)
+            var d = 0.0; var n2 = 0.0; var j = 0
+            while (j < v.length) { d += qvv(j) * v(j); n2 += v(j) * v(j); j += 1 }
+            Row(row.getLong(0), row.getLong(1), d / (bQnorm(qi) * math.sqrt(n2)),
+              row.getLong(3))
+          }
+        }(Encoders.row(rerankSchema)))
     val total = broadcast(exact.agg(count(lit(1)).as("n_exact")))
-    Seq(10, 25, 50).map { nc =>
-      annBinary(s, dir, nc).select(col("q_id"), col("vec_id"))
+    val out = budgets.map { nc =>
+      globalTopK(rerank.filter(col("rn") <= nc.toLong)
+          .select(col("q_id"), col("vec_id"), col("sim")), k)
+        .select(col("q_id"), col("vec_id"))
         .join(exact, Seq("q_id", "vec_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
         .crossJoin(total)
@@ -2524,6 +2705,10 @@ object Similarity {
           expr("CAST((hits * 1000000) div n_exact AS BIGINT)")
             .as("recall_ppm"))
     }.reduce(_ unionAll _).orderBy(col("n_cand"))
+    val pinned = graft.core.Materialize.pin(out)
+    graft.core.Materialize.release(rerank)
+    graft.core.Materialize.release(ranked)
+    pinned
   }
 
   private def annLsh(s: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {

@@ -1954,12 +1954,15 @@ object TextOps {
       .select(col("doc_id"), col("source"),
         (col("prior_e6") + col("toks") * col("dflt_e6") +
          coalesce(col("seen_e6"), lit(0L))).as("score_e6"))
-    val wpick = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score_e6").desc, col("source"))
+    // argmax per doc as a partial-aggregable min_by over the exact
+    // integer (−score, source) struct order — identical pick and
+    // tie-break to the previous row_number window (score DESC, source
+    // ASC), but map-side combinable instead of a full sort window
+    // (r15 optimization, guide §2.3 "aggregate before you shuffle")
     val pred = scores
-      .withColumn("rn", row_number().over(wpick))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("source").as("predicted"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(col("source"),
+        struct((-col("score_e6")).as("ns"), col("source"))).as("predicted"))
     // pin the ≤|classes|² confusion frame so the token checkpoint can
     // be released before the caller evaluates the returned frame
     val out = graft.core.Materialize.pin(
