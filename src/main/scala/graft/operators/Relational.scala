@@ -2425,16 +2425,25 @@ object Relational {
       .filter(a =!= b)
       .select(least(a, b).as("lo"), greatest(a, b).as("hi"))
       .distinct()
-    val e = e0.filter(
+    // pins (r15 optimization, guide §2.4): the sampled edge list feeds
+    // the degree union twice + the orientation join, and the triangle
+    // frame feeds both the per-node count and the global total —
+    // unpinned, the lineitem distinct + degree joins ran twice end to
+    // end (once per action on tri)
+    val e = graft.core.Materialize.pin(e0.filter(
       TF.hexPrefix52(concat(lit("tri|"), col("lo").cast("string"),
-                            lit("|"), col("hi").cast("string"))) % 20 === 0)
-    val tri = Graphs.orientedTriangles(e)
+                            lit("|"), col("hi").cast("string"))) % 20 === 0))
+    val tri = graft.core.Materialize.pin(Graphs.orientedTriangles(e))
     val cnt = tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
     val total = broadcast(tri.agg(count(lit(1)).as("total_tri")))
-    cnt.crossJoin(total)
-      .orderBy(col("n_tri").desc, col("node"))
-      .limit(10)
+    val out = graft.core.Materialize.pin(
+      cnt.crossJoin(total)
+        .orderBy(col("n_tri").desc, col("node"))
+        .limit(10))
+    graft.core.Materialize.release(tri)
+    graft.core.Materialize.release(e)
+    out
   }
 
   /** B82: changelog compaction to latest snapshot (the Delta/Hudi
@@ -2941,11 +2950,20 @@ object Relational {
     * shuffle, one pair self-join on the order key, broadcast margins.
     */
   def qAssocRules(s: SparkSession, dir: String): DataFrame = {
-    val ob = lineitem(s, dir).select(col("l_orderkey").as("ok"), col("l_partkey"))
-      .join(part(s, dir).select(col("p_partkey"), col("p_brand")),
-            col("l_partkey") === col("p_partkey"))
-      .select(col("ok"), col("p_brand").as("brand"))
-      .distinct()
+    // r15 optimization (guide §2.4): the distinct (order, brand) frame
+    // feeds FOUR consumers (order total, brand margins, both pair-join
+    // sides) — unpinned, the lineitem∘part meet + distinct ran four
+    // times. Pinned once, and keyed by ok BEFORE the distinct so the
+    // pair self-join (and the order-count reaggregate) reuse the same
+    // exchange: HashPartitioning(ok) satisfies the (ok, brand) dedup's
+    // clustering AND the join's, so the plan drops two Exchanges.
+    val ob = graft.core.Materialize.pin(
+      lineitem(s, dir).select(col("l_orderkey").as("ok"), col("l_partkey"))
+        .join(part(s, dir).select(col("p_partkey"), col("p_brand")),
+              col("l_partkey") === col("p_partkey"))
+        .select(col("ok"), col("p_brand").as("brand"))
+        .repartition(col("ok"))
+        .distinct())
     val tot = ob.select(col("ok")).distinct()
       .agg(count(lit(1)).cast("decimal(38,0)").as("n_orders"))
     val perBrand = ob.groupBy(col("brand"))
@@ -2961,7 +2979,7 @@ object Relational {
       .select(col("brand_a").as("antecedent"), col("brand_b").as("consequent"),
         col("n_ab"))
       .unionAll(pairs.select(col("brand_b"), col("brand_a"), col("n_ab")))
-    directed
+    val out = graft.core.Materialize.pin(directed
       .join(broadcast(perBrand.select(col("brand").as("antecedent"),
         col("n_brand").as("n_ant"))), "antecedent")
       .crossJoin(broadcast(tot))
@@ -2973,7 +2991,9 @@ object Relational {
           .as("confidence_ppm"))
       .orderBy(col("confidence_ppm").desc, col("antecedent"),
         col("consequent"))
-      .limit(20)
+      .limit(20))
+    graft.core.Materialize.release(ob)
+    out
   }
 
   /** B136: activity heatmap — event volume per (day-of-week, hour)
@@ -4409,11 +4429,15 @@ object Relational {
     * pair join) and a ≤625-row stats frame.
     */
   def qBasketLift(s: SparkSession, dir: String): DataFrame = {
-    val ob = lineitem(s, dir).select(col("l_orderkey").as("ok"), col("l_partkey"))
-      .join(part(s, dir).select(col("p_partkey"), col("p_brand")),
-            col("l_partkey") === col("p_partkey"))
-      .select(col("ok"), col("p_brand").as("brand"))
-      .distinct()
+    // pinned + ok-keyed before the distinct — same rationale and plan
+    // shape as qAssocRules (r15 optimization, guide §2.4)
+    val ob = graft.core.Materialize.pin(
+      lineitem(s, dir).select(col("l_orderkey").as("ok"), col("l_partkey"))
+        .join(part(s, dir).select(col("p_partkey"), col("p_brand")),
+              col("l_partkey") === col("p_partkey"))
+        .select(col("ok"), col("p_brand").as("brand"))
+        .repartition(col("ok"))
+        .distinct())
     val tot = ob.select(col("ok")).distinct()
       .agg(count(lit(1)).cast("decimal(38,0)").as("n_orders"))
     val perBrand = ob.groupBy(col("brand"))
@@ -4424,7 +4448,7 @@ object Relational {
       .filter(col("brand_a") < col("brand_b"))
       .groupBy(col("brand_a"), col("brand_b"))
       .agg(count(lit(1)).cast("decimal(38,0)").as("n_ab"))
-    pairs
+    val ranked = pairs
       .join(broadcast(perBrand.select(col("brand").as("brand_a"),
         col("n_brand").as("n_a"))), "brand_a")
       .join(broadcast(perBrand.select(col("brand").as("brand_b"),
@@ -4439,6 +4463,9 @@ object Relational {
           .as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("brand_a"), col("brand_b"))
       .limit(20)
+    val out = graft.core.Materialize.pin(ranked)
+    graft.core.Materialize.release(ob)
+    out
   }
 
   /** Exact half-away-from-zero rounding of a/10 — DECIMAL ROUND
