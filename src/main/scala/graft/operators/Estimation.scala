@@ -1112,20 +1112,32 @@ object Estimation {
     * mismatch here.
     */
   def qRasterStream(s: SparkSession, dir: String): DataFrame = {
-    val name = "raster_stream_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = s.readStream.format("graft.sources.v2.RasterSource")
-      .option("w", 120).option("h", 80).option("rowsPerBatch", 16).load()
-      .groupBy(expr("y div 16").as("band"))
-      .agg(count(lit(1)).as("n_cells"), count(col("v")).as("n_valid"),
-           sum(col("v")).as("vsum"), min(col("v")).as("vmin"),
-           max(col("v")).as("vmax"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name).orderBy(col("band"))
+    // r15 optimization: the streaming aggregate ran at the session's 32
+    // shuffle partitions — 32 state-store open/commit cycles per
+    // micro-batch for a 5-band state. Run the gate under the SAME
+    // 8-partition stateful scope every StreamingGates gate uses (the
+    // withStreamPartitions rationale: state machinery proportional to
+    // the state; results are partition-count-independent). Conf is
+    // restored afterwards.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try {
+      val name = "raster_stream_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.format("graft.sources.v2.RasterSource")
+        .option("w", 120).option("h", 80).option("rowsPerBatch", 16).load()
+        .groupBy(expr("y div 16").as("band"))
+        .agg(count(lit(1)).as("n_cells"), count(col("v")).as("n_valid"),
+             sum(col("v")).as("vsum"), min(col("v")).as("vmin"),
+             max(col("v")).as("vmax"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("band"))
+    } finally s.conf.set(key, prev)
   }
 
   /** G7 (query-backed): dimension-join DYNAMIC pruning through the

@@ -1286,6 +1286,11 @@ object Relational {
     * name join; no correlated per-row subqueries survive into the plan.
     */
   def q21Waiting(s: SparkSession, dir: String): DataFrame = {
+    // r15: probed a pin+repartition("l_orderkey") rewrite here — it
+    // measured NEUTRAL-to-negative (2.10s → 2.3-3.0s solo): AQE stage
+    // reuse already dedupes the identical orderkey exchanges at
+    // runtime, so the pin only added a materialization barrier. Kept
+    // as-is deliberately.
     val li = lineitem(s, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
     val ostats = li.groupBy(col("l_orderkey"))
@@ -2892,12 +2897,19 @@ object Relational {
           THEN 'within_50pct'
         ELSE 'over_50pct' END""").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_orders"))
-    val tot = broadcast(cls.agg(sum(col("n_orders")).as("n_total")))
-    cls.crossJoin(tot)
-      .select(col("bucket"), col("n_orders"),
-        expr("CAST((n_orders * 1000000) div n_total AS BIGINT)")
-          .as("share_ppm"))
-      .orderBy(col("bucket"))
+    // pinned (r15, guide §2.4): the ≤5-row bucket census feeds both the
+    // total and the share projection — unpinned, the lineitem reconcile
+    // join ran twice (once per branch)
+    val clsP = graft.core.Materialize.pin(cls)
+    val tot = broadcast(clsP.agg(sum(col("n_orders")).as("n_total")))
+    val out = graft.core.Materialize.pin(
+      clsP.crossJoin(tot)
+        .select(col("bucket"), col("n_orders"),
+          expr("CAST((n_orders * 1000000) div n_total AS BIGINT)")
+            .as("share_ppm"))
+        .orderBy(col("bucket")))
+    graft.core.Materialize.release(clsP)
+    out
   }
 
   /** B139: cohort LTV matrix — the subscription/e-commerce analytics

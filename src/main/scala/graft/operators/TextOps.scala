@@ -2037,13 +2037,17 @@ object TextOps {
       .filter(length(col("word")) > 0)
       .withColumn("stop", col("word").isInCollection(stopwords).cast("long"))
       .withColumn("grp", sum(col("stop")).over(w))
-    val pw = toks.filter(col("stop") === 0)
-      .select(col("doc_id"), col("grp"), col("i"), col("word"))
-    val ph = pw.groupBy(col("doc_id"), col("grp"))
+    // pins (r15, guide §2.4): the windowed phrase-word frame feeds
+    // THREE consumers (phrase build, word stats, occurrence scores) and
+    // the phrase frame two — unpinned, the posexplode + per-doc window
+    // shuffle ran three times end to end
+    val pw = graft.core.Materialize.pin(toks.filter(col("stop") === 0)
+      .select(col("doc_id"), col("grp"), col("i"), col("word")))
+    val ph = graft.core.Materialize.pin(pw.groupBy(col("doc_id"), col("grp"))
       .agg(array_join(transform(array_sort(
              collect_list(struct(col("i"), col("word")))), _.getField("word")),
              " ").as("phrase"),
-           count(lit(1)).as("plen"))
+           count(lit(1)).as("plen")))
     val wstat = pw.join(ph.select(col("doc_id"), col("grp"), col("plen")),
         Seq("doc_id", "grp"))
       .groupBy(col("word"))
@@ -2052,13 +2056,17 @@ object TextOps {
     val occScore = pw.join(broadcast(wstat), "word")
       .groupBy(col("doc_id"), col("grp"))
       .agg(sum(col("wsc")).as("sc"))
-    ph.join(occScore, Seq("doc_id", "grp"))
-      .groupBy(col("phrase"))
-      .agg(max(col("plen")).cast("long").as("n_words"),
-           count(lit(1)).as("n_occ"),
-           max(col("sc")).cast("long").as("score_ppm"))
-      .orderBy(col("score_ppm").desc, col("phrase"))
-      .limit(20)
+    val out = graft.core.Materialize.pin(
+      ph.join(occScore, Seq("doc_id", "grp"))
+        .groupBy(col("phrase"))
+        .agg(max(col("plen")).cast("long").as("n_words"),
+             count(lit(1)).as("n_occ"),
+             max(col("sc")).cast("long").as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("phrase"))
+        .limit(20))
+    graft.core.Materialize.release(ph)
+    graft.core.Materialize.release(pw)
+    out
   }
 
   /** C42 shared float texts: ln(rank)/ln(tf) e6-quantized RIGHT AFTER
