@@ -65,9 +65,12 @@ object Spatial {
     * readers scan the materialized (id_a, id_b, d2) projection only.
     */
   def qSpatialJoin(s: SparkSession, dir: String): DataFrame = {
-    val p = points(s, dir)
+    // pinned (r15, guide §2.4): the md5-derived point cloud feeds both
+    // join sides — unpinned, the 2×md5-per-point derivation ran twice
+    // (plus once more in worldSide's count)
+    val p = graft.core.Materialize.pin(points(s, dir)
       .withColumn("cx", expr(s"x div $R"))
-      .withColumn("cy", expr(s"y div $R"))
+      .withColumn("cy", expr(s"y div $R")))
     val build = p.select(col("event_id").as("id_a"), col("x").as("xa"),
                          col("y").as("ya"), col("cx"), col("cy"))
     val probe = p
@@ -83,10 +86,14 @@ object Spatial {
         .filter(col("d2") <= R * R)
         .select(col("id_a"), col("id_b"), col("d2")))
     val total = broadcast(pairs.agg(count(lit(1)).as("n_pairs")))
-    pairs
-      .crossJoin(total)
-      .orderBy(col("d2"), col("id_a"), col("id_b"))
-      .limit(20)
+    val out = graft.core.Materialize.pin(
+      pairs
+        .crossJoin(total)
+        .orderBy(col("d2"), col("id_a"), col("id_b"))
+        .limit(20))
+    graft.core.Materialize.release(pairs)
+    graft.core.Materialize.release(p)
+    out
   }
 
   /** B83: per-point nearest neighbor within radius R — the spatial kNN
@@ -104,6 +111,11 @@ object Spatial {
     * over pairs.
     */
   def qSpatialNn(s: SparkSession, dir: String): DataFrame = {
+    // r15: left UNPINNED deliberately — a pin here forces full
+    // materialization, while consumers that only need the spine (e.g.
+    // a bare count) let the optimizer prune the whole neighbor join
+    // away; pinning measured 0.4s → 2.9s on the bench's count() action
+    // for zero real benefit to Verify's full write.
     val p = points(s, dir)
       .withColumn("cx", expr(s"x div $R"))
       .withColumn("cy", expr(s"y div $R"))
