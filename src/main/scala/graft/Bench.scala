@@ -82,11 +82,45 @@ object Bench {
       once(10_000_000) // JIT warmup
       (0 until 3).map(_ => once(100_000_000)).min
     }
+    // r15 addition: an ALL-CORES reference loop next to the single-core
+    // one. The r15 mid-round comparison caught a ~10% whole-schedule
+    // level shift between two runs whose single-core ref loops were
+    // both "quiet" — multi-core host contention (neighbor VMs / steal
+    // spread across cores) is invisible to one pinned thread. This
+    // stamp runs the same xorshift on EVERY core simultaneously and
+    // reports the SLOWEST thread's seconds: on an idle host it tracks
+    // the single-core number; under cross-core contention it inflates
+    // roughly with the contended fraction. Additive field only — the
+    // published `quiet` flag keeps its r14 single-core definition so
+    // round-over-round artifact comparisons stay like-for-like.
+    def refLoopMt(): Double = {
+      val n = Runtime.getRuntime.availableProcessors()
+      def worker(iters: Int): Double = {
+        val t0 = System.nanoTime()
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0
+        while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        if (x == 42L) System.err.println("")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      try {
+        // JIT warmup on one thread, then one synchronized all-core burst
+        worker(10_000_000)
+        val tasks = (0 until n).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Double] {
+            override def call(): Double = worker(100_000_000)
+          })
+        }
+        tasks.map(_.get()).max
+      } finally pool.shutdown()
+    }
     def loadavg1(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split(" ").head.toDouble
       catch { case _: Throwable => -1.0 }
-    val refBefore = refLoop(); val loadBefore = loadavg1()
+    val refBefore = refLoop(); val refMtBefore = refLoopMt()
+    val loadBefore = loadavg1()
     val sched = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip(name) }
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -132,10 +166,12 @@ object Bench {
     // failed queries report -1.0 in the per-query map but must not
     // subtract from (and flatter) the total
     val total = results.collect { case (_, ts) if med(ts) >= 0 => med(ts) }.sum
-    val refAfter = refLoop(); val loadAfter = loadavg1()
+    val refAfter = refLoop(); val refMtAfter = refLoopMt()
+    val loadAfter = loadavg1()
     val quiet = refBefore <= RefQuietSec && refAfter <= RefQuietSec
     val load = s"""{"ref_loop_sec_before":$refBefore,""" +
       s""""ref_loop_sec_after":$refAfter,"ref_quiet_threshold":$RefQuietSec,""" +
+      s""""ref_mt_sec_before":$refMtBefore,"ref_mt_sec_after":$refMtAfter,""" +
       s""""loadavg1_before":$loadBefore,"loadavg1_after":$loadAfter,""" +
       s""""quiet":$quiet}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -2516,39 +2516,70 @@ object Estimation {
     * the tiny frame; ONE corpus pass total.
     */
   def qGmm(s: SparkSession, dir: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val cells0 = lineitem(s, dir)
+    // ONE corpus pass collapses the fact to the ≤50-cell quantity
+    // histogram (domain-bounded at any corpus size — a bounded fit
+    // artifact), and the 5 EM iterations run on the driver (r15
+    // optimization, guide §1.2/§5 — the qLogistic rationale: 5
+    // distributed aggregate+broadcast rounds over ≤50 rows were pure
+    // machinery). The driver loop replays the shared float texts
+    // op-for-op: E-step densities in the gmmD1/D2 order,
+    // responsibility e6-quantized via the identical BigDecimal HALF_UP
+    // round, M-step sums as exact BigInt (== DECIMAL(38,0)), solve
+    // chain in the gmmSolveDerivs order — bit-identical parameters,
+    // proven by the unchanged DuckDB oracle hash.
+    val cellRows = lineitem(s, dir)
       .select(col("l_quantity").cast("decimal(6,0)").as("x"))
-      .groupBy(col("x")).agg(count(lit(1)).cast("decimal(14,0)").as("c"))
-      .withColumn("xf", col("x").cast("double"))
-    val cells = graft.core.Materialize.pin(cells0)
-    var params: DataFrame = s.range(1).select(
-      lit(15.0).as("mu1"), lit(100.0).as("va1"), lit(0.5).as("pi1"),
-      lit(35.0).as("mu2"), lit(100.0).as("va2"), lit(0.5).as("pi2"))
+      .groupBy(col("x")).agg(count(lit(1)).as("c"))
+      .select(col("x").cast("long").as("x"), col("c"))
+      .collect()
+    val xs = cellRows.map(_.getLong(0))
+    val cs = cellRows.map(_.getLong(1))
+    def roundE0(d: Double): Double =
+      BigDecimal(d).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def toDouble(b: BigInt): Double =
+      new java.math.BigDecimal(b.bigInteger).doubleValue
+    var mu1 = 15.0; var va1 = 100.0; var pi1 = 0.5
+    var mu2 = 35.0; var va2 = 100.0; var pi2 = 0.5
     for (_ <- 1 to gmmIters) {
-      val est = cells.crossJoin(broadcast(params))
-        .withColumn("d1", expr(gmmD1Sql))
-        .withColumn("d2", expr(gmmD2Sql))
-        .withColumn("r6", expr(s"CAST($gmmR6Sql AS DECIMAL(38,0))"))
-      val sums = est.agg(
-        sum(col("c")).cast(dec).as("tn"),
-        sum(col("c") * col("x")).cast(dec).as("tx"),
-        sum(col("c") * col("x") * col("x")).cast(dec).as("tq"),
-        sum(col("c") * col("r6")).cast(dec).as("gw1"),
-        sum(col("c") * col("r6") * col("x")).cast(dec).as("gx1"),
-        sum(col("c") * col("r6") * col("x") * col("x")).cast(dec).as("gq1"))
-      val der = (gmmCompDefs ++ gmmSolveDerivs).foldLeft(sums) {
-        case (acc, (nm, f)) => acc.withColumn(nm, expr(f))
+      var tn = BigInt(0); var tx = BigInt(0); var tq = BigInt(0)
+      var gw1 = BigInt(0); var gx1 = BigInt(0); var gq1 = BigInt(0)
+      var i = 0
+      while (i < xs.length) {
+        val xf = xs(i).toDouble
+        // gmmD1Sql / gmmD2Sql / gmmR6Sql, op-for-op
+        val d1 = pi1 * java.lang.Math.exp(
+          0.0 - ((xf - mu1) * (xf - mu1)) / (2.0 * va1)) / java.lang.Math.sqrt(va1)
+        val d2 = pi2 * java.lang.Math.exp(
+          0.0 - ((xf - mu2) * (xf - mu2)) / (2.0 * va2)) / java.lang.Math.sqrt(va2)
+        val r6 = BigDecimal(roundE0(1000000.0 * d1 / (d1 + d2))).toBigInt
+        val x = BigInt(xs(i)); val c = BigInt(cs(i))
+        tn += c; tx += c * x; tq += c * x * x
+        gw1 += c * r6; gx1 += c * r6 * x; gq1 += c * r6 * x * x
+        i += 1
       }
-      params = der.select(col("mu1n").as("mu1"), col("va1n").as("va1"),
-        col("pi1n").as("pi1"), col("mu2n").as("mu2"),
-        col("va2n").as("va2"), col("pi2n").as("pi2"))
+      // gmmCompDefs + gmmSolveDerivs, op-for-op
+      val tn6 = tn * 1000000
+      val gw2 = tn * 1000000 - gw1
+      val gx2 = tx * 1000000 - gx1
+      val gq2 = tq * 1000000 - gq1
+      val mu1n = toDouble(gx1) / toDouble(gw1)
+      val va1n = toDouble(gq1) / toDouble(gw1) - mu1n * mu1n
+      val mu2n = toDouble(gx2) / toDouble(gw2)
+      val va2n = toDouble(gq2) / toDouble(gw2) - mu2n * mu2n
+      val pi1n = toDouble(gw1) / toDouble(tn6)
+      val pi2n = toDouble(gw2) / toDouble(tn6)
+      mu1 = mu1n; va1 = va1n; pi1 = pi1n
+      mu2 = mu2n; va2 = va2n; pi2 = pi2n
     }
-    val fin = graft.core.Materialize.pin(params)
-    graft.core.Materialize.release(cells)
-    fin.select(dec6(col("mu1")).as("mu1"), dec6(col("va1")).as("var1"),
-               dec6(col("pi1")).as("pi1"), dec6(col("mu2")).as("mu2"),
-               dec6(col("va2")).as("var2"), dec6(col("pi2")).as("pi2"))
+    // when(true, …) preserves the previously-nullable published columns
+    s.range(1).select(
+      dec6(when(lit(true), lit(mu1))).as("mu1"),
+      dec6(when(lit(true), lit(va1))).as("var1"),
+      dec6(when(lit(true), lit(pi1))).as("pi1"),
+      dec6(when(lit(true), lit(mu2))).as("mu2"),
+      dec6(when(lit(true), lit(va2))).as("var2"),
+      dec6(when(lit(true), lit(pi2))).as("pi2"))
   }
 
   /** The A41 derivation chain: per-class means, UNBIASED (n_c − 1)
