@@ -1862,16 +1862,16 @@ object Estimation {
     * boundary — every downstream gradient/Hessian term is then EXACT
     * integer arithmetic and order-independent by construction.
     */
-  private val logEtaSql   = "w0 + w1*x1f + w2*x2f"
-  private val logPe6Sql   = "ROUND(1000000.0/(1.0 + exp(-eta)), 0)"
-  private val logScoreSql = "w0 + w1*x1f + w2*x2f > 0.0"
+  private[graft] val logEtaSql   = "w0 + w1*x1f + w2*x2f"
+  private[graft] val logPe6Sql   = "ROUND(1000000.0/(1.0 + exp(-eta)), 0)"
+  private[graft] val logScoreSql = "w0 + w1*x1f + w2*x2f > 0.0"
 
   /** A40 exact integer per-cell terms (engine-agnostic text: DECIMAL
     * arithmetic on the Spark side, HUGEINT in the oracle — exactness,
     * not op-sequence, is the cross-engine contract for these).
     * grad = x·(k − n·p)·1e6, hess = x·x'·n·p(1−p)·1e12.
     */
-  private val logSumDefs: Seq[(String, String)] = {
+  private[graft] val logSumDefs: Seq[(String, String)] = {
     val g = "(kk*1000000 - nn*pe6)"
     val h = "(nn*pe6*(1000000 - pe6))"
     Seq("gs0" -> g, "gs1" -> s"x1*$g", "gs2" -> s"x2*$g",
@@ -1884,7 +1884,7 @@ object Estimation {
     * rule one dimension up) → updated weights. Shared verbatim with
     * the oracle's per-iteration CTE chain.
     */
-  private val logSolveDerivs: Seq[(String, String)] = Seq(
+  private[graft] val logSolveDerivs: Seq[(String, String)] = Seq(
     "gg0"  -> "CAST(gs0 AS DOUBLE)/1.0e6",
     "gg1"  -> "CAST(gs1 AS DOUBLE)/1.0e6",
     "gg2"  -> "CAST(gs2 AS DOUBLE)/1.0e6",
@@ -1906,7 +1906,7 @@ object Estimation {
     "dl2"  -> "(ja02*gg0 + ja12*gg1 + ja22*gg2)/det",
     "nw0"  -> "w0 + dl0", "nw1" -> "w1 + dl1", "nw2" -> "w2 + dl2")
 
-  private val logNewtonIters = 6
+  private[graft] val logNewtonIters = 6
 
   /** A40: logistic regression (sklearn LogisticRegression,
     * penalty=None / Newton solver) predicting returned-vs-kept from
@@ -2032,12 +2032,12 @@ object Estimation {
     * A40 rule) with a shared eta clamp so an early-Newton overshoot
     * cannot overflow either engine; every gradient/Hessian term is
     * then exact integer arithmetic. */
-  private val poisEtaSql = "w0 + w1*x1f + w2*x2f"
-  private val poisMu6Sql = "ROUND(1000000.0 * exp(LEAST(eta, 20.0)), 0)"
+  private[graft] val poisEtaSql = "w0 + w1*x1f + w2*x2f"
+  private[graft] val poisMu6Sql = "ROUND(1000000.0 * exp(LEAST(eta, 20.0)), 0)"
 
   /** A47 exact integer per-cell terms (exactness-contracted, dialect
     * free — the A40 rule): grad = x·(y − μ)·1e6, hess = x·x'·μ·1e6. */
-  private val poisSumDefs: Seq[(String, String)] = {
+  private[graft] val poisSumDefs: Seq[(String, String)] = {
     val g = "(yy*1000000 - mu6)"
     Seq("gs0" -> g, "gs1" -> s"x1*$g", "gs2" -> s"x2*$g",
         "hs00" -> "mu6", "hs01" -> "x1*mu6", "hs02" -> "x2*mu6",
@@ -2046,7 +2046,7 @@ object Estimation {
 
   /** A47 Newton-step chain — the A40 adjugate solve with the Poisson
     * 1e6 scaling (grad and hess share the single e6 factor). */
-  private val poisSolveDerivs: Seq[(String, String)] = Seq(
+  private[graft] val poisSolveDerivs: Seq[(String, String)] = Seq(
     "gg0"  -> "CAST(gs0 AS DOUBLE)/1.0e6",
     "gg1"  -> "CAST(gs1 AS DOUBLE)/1.0e6",
     "gg2"  -> "CAST(gs2 AS DOUBLE)/1.0e6",
@@ -2068,7 +2068,7 @@ object Estimation {
     "dl2"  -> "(ja02*gg0 + ja12*gg1 + ja22*gg2)/det",
     "nw0"  -> "w0 + dl0", "nw1" -> "w1 + dl1", "nw2" -> "w2 + dl2")
 
-  private val poisNewtonIters = 6
+  private[graft] val poisNewtonIters = 6
 
   /** A47: Poisson regression (statsmodels GLM(Poisson)/sklearn
     * PoissonRegressor intent, log link, Newton/IRLS) of the DAILY
@@ -2175,8 +2175,8 @@ object Estimation {
     * (exact integral division at e6) and every weighted moment are
     * then exact integer arithmetic, order-independent by construction.
     */
-  private val hubPredSql = "ROUND(b0 + b1*x1f + b2*x2f, 0)"
-  private val HubDelta = 3000000L // cents; ≈ the 75th pct of |OLS resid|
+  private[graft] val hubPredSql = "ROUND(b0 + b1*x1f + b2*x2f, 0)"
+  private[graft] val HubDelta = 3000000L // cents; ≈ the 75th pct of |OLS resid|
 
   /** A45 weighted-normal-equation solve: exact DECIMAL weighted moments
     * → float symmetric-3×3 adjugate solve (the A40 chain with the
@@ -2184,7 +2184,7 @@ object Estimation {
     * the oracle's per-iteration CTE chain; the common e6 weight scale
     * cancels in the solve.
     */
-  private val hubSolveDerivs: Seq[(String, String)] = Seq(
+  private[graft] val hubSolveDerivs: Seq[(String, String)] = Seq(
     "aa00" -> "CAST(sw AS DOUBLE)",
     "aa01" -> "CAST(sw1 AS DOUBLE)",
     "aa02" -> "CAST(sw2 AS DOUBLE)",
@@ -2210,12 +2210,12 @@ object Estimation {
     * steps are exactness-contracted, not op-sequence-contracted (the
     * A40 rule), so each engine writes them in its own dialect.
     */
-  private val hubSumDefs: Seq[(String, String)] = Seq(
+  private[graft] val hubSumDefs: Seq[(String, String)] = Seq(
     "sw"   -> "aw",         "sw1"  -> "aw*x1",   "sw2"  -> "aw*x2",
     "swy"  -> "aw*y",       "sw11" -> "aw*x1*x1", "sw12" -> "aw*x1*x2",
     "sw22" -> "aw*x2*x2",   "sw1y" -> "aw*x1*y", "sw2y" -> "aw*x2*y")
 
-  private val hubIrlsIters = 2 // after the OLS init solve
+  private[graft] val hubIrlsIters = 2 // after the OLS init solve
 
   /** A45: Huber-robust regression (sklearn HuberRegressor intent —
     * the M-estimator via IRLS with the classic Huber ψ, fixed
@@ -2480,20 +2480,20 @@ object Estimation {
     * to an e6 integer IMMEDIATELY after the exp pair (the A40 rule) —
     * every M-step sum is then exact integer arithmetic.
     */
-  private val gmmD1Sql =
+  private[graft] val gmmD1Sql =
     "pi1 * exp(0.0 - ((xf - mu1)*(xf - mu1))/(2.0*va1)) / sqrt(va1)"
-  private val gmmD2Sql =
+  private[graft] val gmmD2Sql =
     "pi2 * exp(0.0 - ((xf - mu2)*(xf - mu2))/(2.0*va2)) / sqrt(va2)"
-  private val gmmR6Sql = "ROUND(1000000.0 * d1 / (d1 + d2), 0)"
+  private[graft] val gmmR6Sql = "ROUND(1000000.0 * d1 / (d1 + d2), 0)"
 
   /** A43 M-step: exact integer complements, then the closed-form
     * float updates — ONE shared text per step. */
-  private val gmmCompDefs: Seq[(String, String)] = Seq(
+  private[graft] val gmmCompDefs: Seq[(String, String)] = Seq(
     "tn6" -> "tn * 1000000",
     "gw2" -> "tn * 1000000 - gw1",
     "gx2" -> "tx * 1000000 - gx1",
     "gq2" -> "tq * 1000000 - gq1")
-  private val gmmSolveDerivs: Seq[(String, String)] = Seq(
+  private[graft] val gmmSolveDerivs: Seq[(String, String)] = Seq(
     "mu1n" -> "CAST(gx1 AS DOUBLE)/CAST(gw1 AS DOUBLE)",
     "va1n" -> "CAST(gq1 AS DOUBLE)/CAST(gw1 AS DOUBLE) - mu1n*mu1n",
     "mu2n" -> "CAST(gx2 AS DOUBLE)/CAST(gw2 AS DOUBLE)",
@@ -2501,7 +2501,7 @@ object Estimation {
     "pi1n" -> "CAST(gw1 AS DOUBLE)/CAST(tn6 AS DOUBLE)",
     "pi2n" -> "CAST(gw2 AS DOUBLE)/CAST(tn6 AS DOUBLE)")
 
-  private val gmmIters = 5
+  private[graft] val gmmIters = 5
 
   /** A43: two-component 1-D Gaussian mixture via EM (sklearn
     * GaussianMixture(n_components=2) intent) over the quantity
