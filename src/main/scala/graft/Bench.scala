@@ -5,11 +5,26 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = GraftSession.local(cpus)
+    // r16 rebaseline (r15 verdict item 1, guide §1.4): the timed action
+    // is a NOOP-SINK full evaluation — `count()` let Catalyst prune
+    // columns and whole subtrees (q_spatial_nn's neighbor join was
+    // provably pruned: 0.41s under count() vs ~3s real cost), so part
+    // of the engine's cost was invisible to the bench. The noop sink
+    // eagerly computes EVERY column of EVERY row and discards it. The
+    // legacy action stays available (SPARK_GRAFT_BENCH_ACTION=count)
+    // for like-for-like comparison against pre-r16 artifacts; the r16
+    // round log records one same-code run under each action.
+    val actionName = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "noop")
+    require(actionName == "noop" || actionName == "count",
+      s"SPARK_GRAFT_BENCH_ACTION must be noop|count, got $actionName")
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      if (actionName == "count") { df.count(); () }
+      else df.write.format("noop").mode("overwrite").save()
     // Warm up the JVM/shuffle/codegen paths so the first timed query is
     // not charged session initialization.
     spark.range(1 << 20).groupBy((org.apache.spark.sql.functions.col("id") % 7).as("k"))
       .count().count()
-    SparkEntry.entry(spark).count()
+    run(SparkEntry.entry(spark))
     // Each query runs twice: the first execution pays one-time plan
     // optimization + whole-stage-codegen (Janino) compilation, which on
     // the multi-join plans costs multiples of the actual execution; the
@@ -135,7 +150,7 @@ object Bench {
     // one extra full pass, same 1 + nRuns executions per query.
     val failed = scala.collection.mutable.Set.empty[String]
     for ((name, fn) <- sched) {
-      try fn(spark, sfDir).count()
+      try run(fn(spark, sfDir))
       catch { case _: Throwable => failed += name }
     }
     val passTimes = scala.collection.mutable.Map.empty[String, Vector[Double]]
@@ -144,7 +159,7 @@ object Bench {
       reap()
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        run(fn(spark, sfDir))
         passTimes(name) = passTimes(name) :+ (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => failed += name }
     }
@@ -175,7 +190,8 @@ object Bench {
       s""""loadavg1_before":$loadBefore,"loadavg1_after":$loadAfter,""" +
       s""""quiet":$quiet}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""runs":$nRuns,"spread":$spread,"load":$load,"sf":"$sfDir"}"""
+      s""""runs":$nRuns,"spread":$spread,"load":$load,"action":"$actionName",""" +
+      s""""sf":"$sfDir"}"""
     println(line)
     // the driver keeps only a truncated stdout TAIL of this process —
     // the full line above gets cut mid-object (r13's BENCH artifact had
@@ -183,12 +199,29 @@ object Bench {
     // audit trail, and print a compact self-contained summary LAST so
     // whatever tail the driver keeps ends in one parseable JSON line
     // carrying the total + the load stamp.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // r16 (r15 verdict item 2): the default file name is stamped with
+    // cpus + sf so the driver's low-core scaling rerun can no longer
+    // clobber the 32-core per-query artifact (which left PERF_r15's
+    // per_query/scaling tables empty), and the per-query map is ALSO
+    // printed in bounded self-contained chunks right before the summary
+    // line — whatever stdout tail the driver keeps, the chunks nearest
+    // the end parse, so per-query data is recoverable without the file.
+    val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"bench_out.c$cpus.$sfBase.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val chunkSize = 64
+    val chunks = results.grouped(chunkSize).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val body = chunk.map { case (k, ts) => s"\"" + k + "\":" + med(ts) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"queries_chunk","part":${i + 1},""" +
+        s""""of":${chunks.size},"cpus":$cpus,"sf":"$sfDir","queries":$body}""")
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""n_queries":${results.size},"runs":$nRuns,"load":$load,""" +
-      s""""queries_file":"$out","sf":"$sfDir"}""")
+      s""""action":"$actionName","queries_file":"$out","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,13 +15,23 @@ object PlanDump {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     for (name <- names) {
       val fn = SparkEntry.queries(name)
-      val df = fn(spark, dir)
+      // r16 (r15 verdict "what's wrong" #1): Materialize.pin truncates
+      // lineage, so the final frame of a pinned query explains as a
+      // `Scan ExistingRDD` stub. Capture the plan of every frame the
+      // query pins (the real operator trees) alongside the final plan.
+      val pinned = scala.collection.mutable.ArrayBuffer.empty[String]
+      graft.core.Materialize.planSink = Some(p => pinned += p)
+      val df = try fn(spark, dir)
+               finally graft.core.Materialize.planSink = None
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+      val full = (pinned.zipWithIndex.map { case (p, i) =>
+        s"== Pinned subplan ${i + 1}/${pinned.size} (input to Materialize.pin) ==\n$p"
+      } :+ s"== Final returned frame ==\n$txt").mkString("\n")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"),
-        txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      println(s"[plandump] wrote $name ($suffix)")
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[plandump] wrote $name ($suffix, ${pinned.size} pinned subplans)")
     }
     spark.stop()
   }

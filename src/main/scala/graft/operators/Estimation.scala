@@ -1111,18 +1111,14 @@ object Estimation {
     * offset range, or a double-planned stripe shows up as a value
     * mismatch here.
     */
-  def qRasterStream(s: SparkSession, dir: String): DataFrame = {
+  def qRasterStream(s: SparkSession, dir: String): DataFrame =
     // r15 optimization: the streaming aggregate ran at the session's 32
     // shuffle partitions — 32 state-store open/commit cycles per
     // micro-batch for a 5-band state. Run the gate under the SAME
-    // 8-partition stateful scope every StreamingGates gate uses (the
-    // withStreamPartitions rationale: state machinery proportional to
-    // the state; results are partition-count-independent). Conf is
-    // restored afterwards.
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "8")
-    try {
+    // 8-partition stateful scope every StreamingGates gate uses
+    // (r16: via the shared graft.core.StreamScope, ADVICE r15 —
+    // the set/restore logic was an inlined duplicate here).
+    graft.core.StreamScope.withStreamPartitions(s) {
       val name = "raster_stream_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val q = s.readStream.format("graft.sources.v2.RasterSource")
@@ -1137,8 +1133,7 @@ object Estimation {
         .start()
       q.awaitTermination()
       s.table(name).orderBy(col("band"))
-    } finally s.conf.set(key, prev)
-  }
+    }
 
   /** G7 (query-backed): dimension-join DYNAMIC pruning through the
     * custom source ([[graft.sources.v2.RasterScan]]'s
@@ -1951,6 +1946,12 @@ object Estimation {
               col("x2").cast("double").as("x2f"),
               col("nn"), col("kk"))
       .collect()
+    // loud guard on the domain bound the collect relies on (r15 verdict
+    // item 9): quantity 1..50 × discount-pct 0..10 = ≤561 cells at any
+    // corpus size; a future edit that un-bounds the cell frame must
+    // fail here, not silently grow the driver collect
+    require(cellRows.length <= 561,
+      s"qLogistic cell frame exceeded its domain bound: ${cellRows.length} > 561")
     val x1f = cellRows.map(_.getDouble(0))
     val x2f = cellRows.map(_.getDouble(1))
     val nn = cellRows.map(r => BigInt(r.getLong(2)))
@@ -2104,6 +2105,12 @@ object Estimation {
         (pmod(datediff(col("day"), lit("1970-01-01")) + 4, lit(7))
           .isin(0, 6)).cast("long").as("wkd"))
       .collect()
+    // loud guard on the domain bound (r15 verdict item 9): one row per
+    // DISTINCT ORDER DATE — the TPC-H date domain is ~2.4k days at any
+    // sf; 16384 leaves headroom for wider synthetic date ranges while
+    // still failing loudly if the frame ever becomes corpus-sized
+    require(baseRows.length <= 16384,
+      s"qPoisson per-day frame exceeded its domain bound: ${baseRows.length} > 16384")
     val nDays = baseRows.length.toLong
     val yy = baseRows.map(r => BigInt(r.getLong(0)))
     val t = baseRows.map(_.getLong(1))
@@ -2257,6 +2264,18 @@ object Estimation {
         case (acc, (nm, f)) => acc.withColumn(nm, expr(f))
       }.select(col("nb0").as("b0"), col("nb1").as("b1"), col("nb2").as("b2"))
     }
+    // ADVICE r15 (overflow posture of the r15 LONG rewrite): the
+    // CAST(double AS BIGINT) in hubPredSql SATURATES at ±2^63 where the
+    // old DECIMAL(38,0) cast was exact to 1e38. Under the documented
+    // per-row domain bounds (x1 ≤ 50, x2 ≤ 10, y ≤ ~2e7 cents) any
+    // coefficient magnitude below ~1.5e17 keeps |pred| ≪ 2^63; the OLS
+    // init on this data yields |b| < 1e7 (price cents over unit
+    // regressors), 10 orders of magnitude of headroom, and IRLS weights
+    // only shrink residual influence. A degenerate near-zero-determinant
+    // init — impossible for the full-rank (1, x1, x2) design over the
+    // 561-cell domain — is the only path to saturation; this comment
+    // records that the overflow BEHAVIOR (saturate vs exact) changed
+    // deliberately with the r15 LONG pipeline.
     // OLS init: unit weights (the aw ≡ 1e6 pass — e6 cancels in the solve)
     var w = graft.core.Materialize.pin(
       solve(base.withColumn("aw", lit(1000000L))))
@@ -2532,6 +2551,10 @@ object Estimation {
       .groupBy(col("x")).agg(count(lit(1)).as("c"))
       .select(col("x").cast("long").as("x"), col("c"))
       .collect()
+    // loud guard on the domain bound (r15 verdict item 9): l_quantity
+    // is 1..50, so the histogram is ≤50 cells at any corpus size
+    require(cellRows.length <= 50,
+      s"qGmm quantity histogram exceeded its domain bound: ${cellRows.length} > 50")
     val xs = cellRows.map(_.getLong(0))
     val cs = cellRows.map(_.getLong(1))
     def roundE0(d: Double): Double =
@@ -2552,6 +2575,15 @@ object Estimation {
           0.0 - ((xf - mu1) * (xf - mu1)) / (2.0 * va1)) / java.lang.Math.sqrt(va1)
         val d2 = pi2 * java.lang.Math.exp(
           0.0 - ((xf - mu2) * (xf - mu2)) / (2.0 * va2)) / java.lang.Math.sqrt(va2)
+        // ADVICE r15: the driver replay diverges from Spark ROUND
+        // semantics on non-finite inputs — Spark's CAST-to-DECIMAL
+        // nulls a NaN responsibility (null-skipped in sums) while
+        // BigDecimal(NaN) throws. Both densities underflowing to 0 is
+        // impossible for quantity in [1,50] under these inits; make
+        // that assumption loud and deliberate instead of relying on
+        // NumberFormatException
+        require(d1 + d2 > 0.0,
+          s"qGmm responsibilities degenerate at x=$xf: d1=$d1 d2=$d2")
         val r6 = BigDecimal(roundE0(1000000.0 * d1 / (d1 + d2))).toBigInt
         val x = BigInt(xs(i)); val c = BigInt(cs(i))
         tn += c; tx += c * x; tq += c * x * x
