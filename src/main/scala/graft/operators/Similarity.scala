@@ -1020,11 +1020,12 @@ object Similarity {
   /** D7: k-means clustering (2 unrolled Lloyd iterations, k=8) — the
     * sklearn KMeans shape made engine-deterministic: init centroids are
     * the embeddings of 8 fixed vec_ids, assignment is nearest-centroid
-    * (ties to the lowest cluster id) through the same broadcast k=1
-    * scan as D4, means are one posexplode aggregate per iteration.
-    * Each iteration = one assignment pass over the corpus (no shuffle)
-    * + one (cluster × dim)-sized aggregate — the textbook distributed
-    * Lloyd step. Output: per-cluster size and the first two centroid
+    * (ties to the lowest cluster id) with the D4 kernel's exact
+    * distance arithmetic, fused with the mean accumulation. Each
+    * iteration = ONE pass over the corpus emitting per-partition
+    * (cluster, count, sum) partials + a (cluster × dim)-sized final
+    * aggregate — the textbook distributed Lloyd step with map-side
+    * combine. Output: per-cluster size and the first two centroid
     * coordinates at 4dp (rounding absorbs partial-aggregation ulp).
     */
   def qKmeans(s: SparkSession, dir: String): DataFrame = {
@@ -1033,55 +1034,96 @@ object Similarity {
     val e = emb(s, dir)
     val initIds = (0 until kC).map(_ * 60L)
 
-    def widen(cent: DataFrame): DataFrame = cent
-      .groupBy(col("cluster"))
-      .pivot("pos", (0 until dim).map(i => i: Any))
-      .agg(first(col("c")))
-      .toDF("cluster" +: (0 until dim).map(i => s"f$i"): _*)
-
-    def assign(centWide: DataFrame): DataFrame = {
-      val model = KNeighborsClassifier(k = 1, orderBy = Seq("cluster"))
-        .fit(centWide, (0 until dim).map(i => s"f$i"), Seq("cluster"))
-      val input = e.select(
-        col("vec_id") +: (0 until dim).map(i => element_at(col("v"), i + 1).as(s"f$i")): _*)
-      model.predict(FeatureFrame(input, Seq("vec_id"), (0 until dim).map(i => s"f$i")))
-        .select(col("vec_id"), col("prediction").cast("long").as("cluster"))
+    // r16 optimization (guide §1.2 — the q_matryoshka fusion pattern):
+    // each Lloyd round used to cost one broadcast-kNN assignment scan
+    // PLUS a corpus-side vec_id join + posexplode(v) aggregate to turn
+    // the assignment back into centroids (round 2 additionally re-read
+    // the pinned assignment for the size count) — per round, the 64-dim
+    // vectors crossed a shuffle just so each could meet its own cluster
+    // id again. One fused mapPartitions kernel now does assignment AND
+    // per-cluster partial (count, sum) accumulation in the same pass:
+    // only partitions×kC partial rows ever shuffle. The assignment
+    // arithmetic replays KnnKernel.topK with k=1 exactly (per-feature
+    // left-to-right diff² accumulation, strict-< replacement = ties to
+    // the lowest cluster id; the nan_euclidean factor is d/d = 1.0, a
+    // bit-identity). Centroid means keep the declared quantization
+    // gates (dec6 into round 2, dec4 on output) which absorb partial-
+    // aggregation order exactly as they did for the old avg() — the old
+    // pipeline stays as the byte-for-byte reference in
+    // R16OptimizationParitySpec.
+    //
+    // cents: (clusterId, centroid), sorted by clusterId ascending
+    // (= training-row id order in the old fit). nDims: leading
+    // dimensions to accumulate (round 1 feeds all 64 into the next
+    // round's centroids; round 2 only publishes c0/c1).
+    def roundPartials(cents: Array[(Long, Array[Double])], nDims: Int): DataFrame = {
+      val bc = s.sparkContext.broadcast(cents)
+      val schema = StructType(Seq(
+        StructField("cluster", LongType, nullable = false),
+        StructField("pcnt", LongType, nullable = false),
+        StructField("psum", ArrayType(DoubleType, containsNull = false),
+          nullable = false)))
+      fanOut(e.select(col("v"))).mapPartitions { it =>
+        val cs = bc.value
+        val nc = cs.length
+        val cnt = new Array[Long](nc)
+        val sums = Array.fill(nc)(new Array[Double](nDims))
+        it.foreach { row =>
+          val v = row.getSeq[Double](0).toArray
+          var best = 0; var bestD = Double.PositiveInfinity
+          var ci = 0
+          while (ci < nc) {
+            val cv = cs(ci)._2
+            var d2 = 0.0; var j = 0
+            while (j < dim) { val diff = v(j) - cv(j); d2 += diff * diff; j += 1 }
+            if (d2 < bestD) { bestD = d2; best = ci }
+            ci += 1
+          }
+          cnt(best) += 1
+          val sb = sums(best)
+          var j = 0
+          while (j < nDims) { sb(j) += v(j); j += 1 }
+        }
+        (0 until nc).iterator.filter(cnt(_) > 0).map(ci =>
+          Row(cs(ci)._1, cnt(ci), sums(ci).toSeq))
+      }(Encoders.row(schema))
     }
 
-    val init = e.filter(col("vec_id").isInCollection(initIds))
-      .select(col("vec_id").as("seed"), posexplode(col("v")))
-      .select(((col("seed") / 60L).cast("long")).as("cluster"), col("pos"), col("col").as("c"))
-    val a1 = assign(widen(init))
+    // init centroids: the embeddings of 8 fixed vec_ids (a ≤kC-row
+    // bounded fit artifact — the old widen()+fit path collected the
+    // same rows through a pivot)
+    val init: Array[(Long, Array[Double])] =
+      e.filter(col("vec_id").isInCollection(initIds))
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0) / 60L, r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
     // iteration-1 centroids are QUANTIZED to 6dp before feeding the
-    // round-2 assignment: raw avg() differs in ulps between Spark's
-    // partial-aggregation order (itself run-to-run nondeterministic)
-    // and DuckDB's sequential AVG, and an unquantized centroid would
-    // let a near-boundary point flip clusters between engines — the
-    // same cross-engine accumulation rule every other oracle follows
-    val cent1 = e.join(a1, "vec_id")
-      .select(col("cluster"), posexplode(col("v")))
+    // round-2 assignment: raw means differ in ulps between accumulation
+    // orders (Spark's partial aggregation is itself run-to-run
+    // nondeterministic), and an unquantized centroid would let a
+    // near-boundary point flip clusters between engines — the same
+    // cross-engine accumulation rule every other oracle follows
+    val cent1 = roundPartials(init, dim)
+      .select(col("cluster"), col("pcnt"), posexplode(col("psum")))
       .groupBy(col("cluster"), col("pos"))
-      .agg(graft.functions.dec6(avg(col("col"))).as("c"))
-    // pin: a2 feeds BOTH the round-2 centroid aggregate and the final
-    // cluster-size count — unpinned, the second KNN assignment pass ran
-    // twice (r15 optimization, guide §2.4: one materialization, two
-    // cheap readers of the (vec_id, cluster) projection)
-    val a2 = graft.core.Materialize.pin(assign(widen(cent1)))
-    val cent2 = e.join(a2, "vec_id")
-      .select(col("cluster"), posexplode(col("v")))
-      .groupBy(col("cluster"), col("pos"))
-      .agg(avg(col("col")).as("c"))
-    val c01 = cent2.filter(col("pos") < 2)
+      .agg(graft.functions.dec6(sum(col("col")) / sum(col("pcnt"))).as("c"))
+      .collect()
+    val cents2: Array[(Long, Array[Double])] = cent1
+      .groupBy(_.getLong(0)).toArray.sortBy(_._1)
+      .map { case (cl, rows) =>
+        val v = new Array[Double](dim)
+        rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+        (cl, v)
+      }
+    roundPartials(cents2, 2)
       .groupBy(col("cluster"))
-      .pivot("pos", Seq(0, 1))
-      .agg(first(col("c")))
-      .select(col("cluster"), dec4(col("0")).as("c0"), dec4(col("1")).as("c1"))
-    val out = graft.core.Materialize.pin(
-      a2.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
-        .join(c01, "cluster")
-        .orderBy(col("cluster")))
-    graft.core.Materialize.release(a2)
-    out
+      .agg(sum(col("pcnt")).as("n"),
+        sum(element_at(col("psum"), 1)).as("s0"),
+        sum(element_at(col("psum"), 2)).as("s1"))
+      .select(col("cluster"), col("n"),
+        dec4(col("s0") / col("n")).as("c0"),
+        dec4(col("s1") / col("n")).as("c1"))
+      .orderBy(col("cluster"))
   }
 
   /** D6: IVF-style partitioned ANN — the production path when the

@@ -38,23 +38,12 @@ import graft.streaming.EventStreams.{CmsOut, KeyedVal, KmvArrival, KmvOut,
   */
 object StreamingGates {
 
-  /** Every stream gate runs its micro-batches under a SMALL stateful
-    * shuffle-partition count: the arrival sets are count-bounded
-    * (≤50k rows) but each micro-batch pays state-store open/commit/
-    * maintenance PER PARTITION — at the session's 32 that overhead is
-    * 4× the useful work (q_stream_session measured 17.3s at 32 vs the
-    * gate budget; the state itself is a few thousand keys). 8
-    * partitions keep the operators genuinely parallel while the state
-    * machinery stays proportional to the state. Results are
-    * partition-count-independent (keyed state semantics); the conf is
-    * restored afterwards (the qBucketedAgg discipline).
+  /** Stateful partition scope — hoisted to [[graft.core.StreamScope]]
+    * (r16, ADVICE r15: qRasterStream had duplicated the set/restore
+    * logic); rationale documented there.
     */
-  private def withStreamPartitions(s: SparkSession, n: Int = 8)(f: => DataFrame): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try f finally s.conf.set(key, prev)
-  }
+  private def withStreamPartitions(s: SparkSession, n: Int = 8)(f: => DataFrame): DataFrame =
+    graft.core.StreamScope.withStreamPartitions(s, n)(f)
 
   /** The F17/F21 gate fixture: 50k rows of the B57-B62 Zipf formula —
     * small enough to stream from the driver, same md5 derivation the
@@ -2394,7 +2383,14 @@ object StreamingGates {
     val capped = documents(s, dir)
       .filter(col("doc_id") < LshDocMaxId)
       .select(col("doc_id"), col("text"))
-    val (uni, c2) = TextOps.lmFit(capped)
+    // r16: PIN the static fit frames — a stream-static join re-executes
+    // its static side every micro-batch, so the capped-corpus unigram
+    // explode and the interpreted HOF bigram explode each ran once per
+    // batch; the pinned counts compute once and the batches read blocks
+    // (same frames, same changelog).
+    val (uni0, c20) = TextOps.lmFit(capped)
+    val uni = graft.core.Materialize.pin(uni0)
+    val c2 = graft.core.Materialize.pin(c20)
     val docsArr = capped.collect()
       .map(r => (r.getLong(0), r.getString(1)))
       .sortBy(_._1)
@@ -2414,7 +2410,11 @@ object StreamingGates {
             (r.getLong(0), r.getLong(1), r.getDouble(2))
           }
           .toSeq
-      } finally q.stop()
+      } finally {
+        q.stop()
+        graft.core.Materialize.release(uni)
+        graft.core.Materialize.release(c2)
+      }
     latest.toDF("doc_id", "n_bigrams", "avg_logprob")
       .orderBy(col("doc_id"))
   }

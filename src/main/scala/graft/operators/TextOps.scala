@@ -1538,8 +1538,50 @@ object TextOps {
 
   def qLmScore(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir).select(col("doc_id"), col("text"))
-    val (uni, c2) = lmFit(docs)
-    lmScoreOn(docs, uni, c2).orderBy(col("doc_id"))
+    // r16 optimization (guide §1.2 + the C29 kernel rule): the batch
+    // query ran the corpus bigram explode TWICE (once for the c2 fit
+    // counts in lmFit, once for the scoring pairs in lmScoreOn), each
+    // through the interpreted-per-element transform/element_at HOF path
+    // that qBpePairs already measured at ~4× a compiled kernel for the
+    // same shape. ONE mapPartitions pass now emits the bigram rows
+    // (identical strings: split(" ", -1) with empty tokens kept, w1 +
+    // " " + w2 — the concat_ws text), combined to per-(doc, w1, bg)
+    // counts; the c2 fit counts aggregate off that frame (Σ per-doc
+    // counts = the same total integers) and the scoring join reads it
+    // directly — both consumers sit in ONE action over the SAME
+    // canonical exchange, so the kernel+combine runs once and the
+    // second consumer is a ReusedExchange (a pin barrier measured
+    // net-negative here: localCheckpoint write ≈ the saved pass). The
+    // stream twin (F16) keeps the stateless HOF path unchanged.
+    // R16OptimizationParitySpec holds the old pipeline as reference.
+    val bgSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("w1", StringType, nullable = false),
+      StructField("bg", StringType, nullable = false)))
+    val px =
+      fanOut(docs).mapPartitions { it =>
+        it.flatMap { row =>
+          val id = row.getLong(0)
+          val w = row.getString(1).split(" ", -1)
+          (0 until w.length - 1).iterator
+            .map(i => Row(id, w(i), w(i) + " " + w(i + 1)))
+        }
+      }(Encoders.row(bgSchema))
+      .groupBy(col("doc_id"), col("w1"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+    val uni = docs.select(explode(T.words(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val c2 = px.groupBy(col("bg")).agg(sum(col("cnt")).as("c2"))
+    px
+      .join(c2, "bg").join(uni, col("w1") === col("t"))
+      .select(col("doc_id"), col("cnt"),
+        round(log(col("c2").cast("double") / col("c1")), 6)
+          .cast("decimal(18,6)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"), sum(col("lp") * col("cnt")).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        dec4(col("sum_lp").cast("double") / col("n_bigrams")).as("avg_logprob"))
+      .orderBy(col("doc_id"))
   }
 
   /** C34: token-budget domain mixing — the pre-training sampler that
@@ -1652,47 +1694,76 @@ object TextOps {
     * one corpus pass is a single word-key shuffle with map-side
     * combine and the loop never touches the fact again.
     */
-  /** C56/C57 shared kernels: word-type table, sentinel state, token
-    * split, best-pair selection, merge application. */
+  /** C56/C57 shared kernels: word-type table + the driver merge loop
+    * (the pre-r16 distributed sentinel-state frames — bpeState /
+    * bpeBest / bpeApply — live on as the byte-for-byte reference in
+    * R16OptimizationParitySpec). */
   private def bpeWordTypes(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w").rlike("^[a-z]{2,}$"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
 
-  private def bpeState(words: DataFrame): DataFrame =
-    words.select(regexp_replace(col("w"), "(.)", "|$1|").as("st"), col("cnt"))
-
-  private val bpeTokens: Column =
-    split(expr("trim(BOTH '|' FROM st)"), "\\|\\|")
-
-  private def bpeBest(st: DataFrame): DataFrame = st
-    .select(col("cnt"), bpeTokens.as("t"))
-    .filter(size(col("t")) >= 2)
-    .select(col("cnt"), explode(transform(
-      sequence(lit(1), size(col("t")) - 1),
-      i => struct(element_at(col("t"), i).as("a"),
-                  element_at(col("t"), i + 1).as("b")))).as("p"))
-    .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-    .agg(sum(col("cnt")).as("n"))
-    .orderBy(col("n").desc, col("a"), col("b")).limit(1)
-
-  private def bpeApply(st: DataFrame, best: DataFrame): DataFrame =
-    st.crossJoin(broadcast(best.select(col("a"), col("b"))))
-      .select(expr(
-        "replace(st, '|' || a || '||' || b || '|', '|' || a || b || '|')")
-        .as("st"), col("cnt"))
+  /** r16: the C56 merge loop run on the DRIVER over the collected
+    * top-60 word-type table (guide §1.2/§5 — the q_logistic driver-
+    * solve posture, and the easiest case of it: every operation is
+    * exact integer/ASCII-string arithmetic, no float replay risk). The
+    * old loop re-derived the corpus-scale word-type aggregate once per
+    * broadcast build and once per published round — ~8 corpus passes
+    * for ≤60-row string edits. Replays the Spark ops op-for-op:
+    * sentinel state regexp_replace("(.)", "|$1|"); pair counts over
+    * split(trim '|', "\\|\\|") with limit −1 (Spark's split keeps
+    * empty tokens); best pair by the (support DESC, a, b) total order
+    * (ASCII, so UTF8 binary == String.compareTo); merge application =
+    * non-overlapping left-to-right String.replace — exactly Spark's
+    * StringReplace. Returns (a, b, support) per merge round.
+    */
+  private[operators] def bpeDriverMerges(
+      top: Array[(String, Long)], rounds: Int): Seq[(String, String, Long)] = {
+    var st = top.map { case (w, cnt) =>
+      (w.replaceAll("(.)", "|$1|"), cnt)
+    }
+    (1 to rounds).map { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      st.foreach { case (t, cnt) =>
+        val toks = t.replaceAll("^\\|+|\\|+$", "").split("\\|\\|", -1)
+        if (toks.length >= 2) {
+          var i = 0
+          while (i < toks.length - 1) {
+            val k = (toks(i), toks(i + 1))
+            counts(k) = counts.getOrElse(k, 0L) + cnt
+            i += 1
+          }
+        }
+      }
+      val ((a, b), n) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      st = st.map { case (t, c) =>
+        (t.replace("|" + a + "||" + b + "|", "|" + a + b + "|"), c)
+      }
+      (a, b, n)
+    }
+  }
 
   def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
-    var st = bpeState(
-      bpeWordTypes(s, dir).orderBy(col("cnt").desc, col("w")).limit(60))
-    val merges = (1 to 3).map { r =>
-      val best = bpeBest(st)
-      st = bpeApply(st, best)
-      best.select(lit(r).as("round"), col("a").as("t1"), col("b").as("t2"),
-        concat(col("a"), col("b")).as("merged"), col("n").as("support"))
-    }
-    merges.reduce(_ union _).orderBy(col("round"))
+    // r16 (see [[bpeDriverMerges]]): ONE corpus word-type aggregate +
+    // TakeOrdered collect, 3 driver merge rounds, literal publish —
+    // the old loop paid ~4 corpus aggregates for the same ≤60-row
+    // arithmetic. Byte-identical output (R16OptimizationParitySpec).
+    val top = bpeWordTypes(s, dir)
+      .orderBy(col("cnt").desc, col("w")).limit(60)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val merges = bpeDriverMerges(top, 3)
+    val schema = StructType(Seq(
+      StructField("round", IntegerType, nullable = false),
+      StructField("t1", StringType, nullable = true),
+      StructField("t2", StringType, nullable = true),
+      StructField("merged", StringType, nullable = true),
+      StructField("support", LongType, nullable = true)))
+    s.createDataFrame(
+      java.util.Arrays.asList(merges.zipWithIndex.map { case ((a, b, n), i) =>
+        Row(i + 1, a, b, a + b, n)
+      }: _*), schema)
+      .orderBy(col("round"))
   }
 
   /** C57: BPE ENCODING + compression curve — the consumer side of the
@@ -1707,26 +1778,41 @@ object TextOps {
     * broadcast (1 row each); all sums exact integers.
     */
   def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val types = bpeWordTypes(s, dir)
-    var trainSt = bpeState(types.orderBy(col("cnt").desc, col("w")).limit(60))
-    var allSt = bpeState(types)
-    def census: DataFrame =
-      allSt.agg(sum(col("cnt") * size(bpeTokens)).as("n_tokens"))
-    val round0 = census
-      .select(lit(0).as("round"), lit("").as("merged"), col("n_tokens"))
-    val curve = Seq(round0) ++ (1 to 3).map { r =>
-      val best = bpeBest(trainSt)
-      trainSt = bpeApply(trainSt, best)
-      allSt = bpeApply(allSt, best)
-      census
-        .crossJoin(broadcast(best.select(
-          concat(col("a"), col("b")).as("merged"))))
-        .select(lit(r).as("round"), col("merged"), col("n_tokens"))
+    // r16 (see [[bpeDriverMerges]]): the old curve paid the corpus
+    // word-type aggregate once per broadcast-merge build AND once per
+    // census branch of the union (plus a full union recompute for the
+    // n0 base row) — ~9 corpus passes. Now: ONE pinned word-type
+    // aggregate; the 3 merges train on the collected top-60 driver-
+    // side; all four census token counts ride ONE aggregate over the
+    // pinned types (the merge application stays the same Spark
+    // `replace` expression text, with literal patterns instead of
+    // crossJoined columns — identical strings, identical counts); the
+    // curve is a 4-element explode of that one row. Byte-identical
+    // output (R16OptimizationParitySpec).
+    val types = graft.core.Materialize.pin(bpeWordTypes(s, dir))
+    val top = types.orderBy(col("cnt").desc, col("w")).limit(60)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val merges = bpeDriverMerges(top, 3)
+    // sentinel state after 0..3 merges — the same replace text bpeApply
+    // chained, with the learned pair literals
+    val stCols = merges.scanLeft(regexp_replace(col("w"), "(.)", "|$1|")) {
+      case (st, (a, b, _)) =>
+        replace(st, lit("|" + a + "||" + b + "|"), lit("|" + a + b + "|"))
     }
-    val rounds = curve.reduce(_ union _)
-    val base = rounds.filter(col("round") === 0)
-      .select(col("n_tokens").as("n0"))
-    rounds.crossJoin(broadcast(base))
+    def nToks(st: Column): Column =
+      sum(col("cnt") * size(split(trim(st, "|"), "\\|\\|")))
+    val aggRow = types.agg(
+      nToks(stCols(0)).as("n0"), (1 to 3).map(r =>
+        nToks(stCols(r)).as(s"n$r")): _*)
+    val entries = array((0 to 3).map { r =>
+      struct(lit(r).as("round"),
+        lit(if (r == 0) "" else merges(r - 1)._1 + merges(r - 1)._2)
+          .as("merged"),
+        col(s"n$r").as("n_tokens"))
+    }: _*)
+    aggRow.select(explode(entries).as("e"), col("n0"))
+      .select(col("e.round").as("round"), col("e.merged").as("merged"),
+        col("e.n_tokens").as("n_tokens"), col("n0"))
       .select(col("round"), col("merged"), col("n_tokens"),
         expr("(n0 - n_tokens) * 1000 div n0").as("saved_permille"))
       .orderBy(col("round"))
@@ -1907,9 +1993,11 @@ object TextOps {
     * vocabulary is BOUNDED to the top-[[nbMaxFeatures]] words
     * (CountVectorizer max_features — OOV words drop from the doc
     * representation, so the weight frame is ≤ K·|classes| at any
-    * corpus size). Argmax
-    * with class-name tie-break over the docs×20 frame; publishes the
-    * sparse confusion matrix. At 100 TB: token-scale shuffles + a
+    * corpus size). Scoring pivots the weight frame to a per-word
+    * class-delta vector so ALL classes score inside one groupBy(doc_id)
+    * aggregate — argmax with class-name tie-break happens in a single
+    * projection, never materializing a docs×classes frame; publishes
+    * the sparse confusion matrix. At 100 TB: token-scale shuffles + a
     * broadcast weight frame — the C33 fit-artifact posture.
     */
   def qMultinomialNb(s: SparkSession, dir: String): DataFrame = {
@@ -1920,49 +2008,124 @@ object TextOps {
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("cnt"))
     val rawPinned = graft.core.Materialize.pin(raw)
+    // r16 optimization (guide §1.2/§5 — the q_logistic/q_gmm
+    // driver-solve discipline, plus §2 aggregate-before-shuffle one
+    // level deeper than the r15 min_by rewrite). Two structural
+    // changes, both proven byte-identical by R16OptimizationParitySpec
+    // (the pre-r16 pipeline is the test reference) and the unchanged
+    // oracle hashes:
+    //
+    // 1. THE FIT IS A DRIVER SOLVE OVER BOUNDED ARTIFACTS. The old fit
+    //    re-derived vocabulary/nwc/classBase from the token frame once
+    //    per ACTION (classBase collect + every broadcast build + the
+    //    final action — AQE exchange reuse never crosses actions):
+    //    ~8 distributed jobs of machinery for ≤(K·|classes|)-row
+    //    arithmetic. Now ONE token-scale aggregate — the pinned
+    //    (word, source) class-count frame `cw` — feeds a TakeOrdered
+    //    vocabulary collect and one ≤K·|classes|-row nwc collect, and
+    //    the e6-quantized weights replay the shared float texts
+    //    op-for-op on the driver ([[nbLnSql]]/[[nbDfltSql]]/
+    //    [[nbPriorSql]]: same scala BigDecimal HALF_UP round Spark's
+    //    ROUND(double, 0) performs, same Math.log Spark's `ln` calls).
+    //    Every collect is domain-bounded at any corpus size: classes ≤
+    //    the source domain, vocabulary ≤ nbMaxFeatures by construction
+    //    — the C33 fit-artifact posture (the old code already
+    //    BROADCAST the same-cardinality weight frame).
+    // 2. SCORING IS ONE BROADCAST JOIN + ONE AGGREGATE. The old scoring
+    //    EXPLODED docs×classes (toks⋈weights fanned each (doc, word)
+    //    row to every class that saw the word, shuffled on
+    //    (doc_id, source), re-joined a docTot×classBase cross frame,
+    //    and shuffled AGAIN for the min_by argmax). The per-word
+    //    class-delta VECTOR (a literal ≤K-row frame) now rides the one
+    //    broadcast join, and every class scores inside the same
+    //    groupBy(doc_id) aggregate that counts tokens. Integer addition
+    //    commutes, so per-class sums, scores, and the argmax pick
+    //    (first maximal index in source-ASC order = the old min_by
+    //    struct(-score, source) tie-break) are identical.
+    val cw = graft.core.Materialize.pin(
+      rawPinned.join(broadcast(docs), "doc_id")
+        .groupBy(col("word"), col("source"))
+        .agg(sum(col("cnt")).as("cwn")))
+    // priors census: one row per class — ndc (docs per class), nd total
+    val docsAgg = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("ndc")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // loud guard on the domain bound the collects + the per-class
+    // column fan-out rely on: the class set is the documents' source
+    // domain — a fit artifact ≤ a few dozen at any corpus size (the
+    // old code already broadcast classBase under the same assumption)
+    require(docsAgg.length <= 64,
+      s"qMultinomialNb class domain exceeded its bound: ${docsAgg.length} > 64")
+    val nd = docsAgg.map(_._2).sum
     // model vocabulary: top-K words by the (count DESC, word) total
-    // order — distributed TakeOrdered, ≤ K rows, broadcast back
-    val vocabWords = rawPinned.groupBy(col("word"))
-      .agg(sum(col("cnt")).as("wn"))
+    // order — distributed TakeOrdered over the class-count frame (same
+    // totals as summing the token frame), ≤ K rows by construction
+    val vocabArr = cw.groupBy(col("word"))
+      .agg(sum(col("cwn")).as("wn"))
       .orderBy(col("wn").desc, col("word")).limit(nbMaxFeatures)
-      .select(col("word"))
-    val toksPinned = rawPinned.join(broadcast(vocabWords), "word")
-    val docTot = toksPinned.groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("toks"))
-    val labeled = toksPinned.join(broadcast(docs), "doc_id")
-    val nwc = labeled.groupBy(col("source"), col("word"))
-      .agg(sum(col("cnt")).as("nwc"))
-    val perClass = nwc.groupBy(col("source")).agg(sum(col("nwc")).as("nc"))
-    val vocab = vocabWords.agg(count(lit(1)).as("vv"))
-    val priors = docs.groupBy(col("source")).agg(count(lit(1)).as("ndc"))
-      .crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
-    val classBase = perClass.crossJoin(broadcast(vocab))
-      .join(broadcast(priors), "source")
-      .select(col("source"), col("nc"), col("vv"),
-        expr(s"CAST($nbDfltSql AS BIGINT)").as("dflt_e6"),
-        expr(s"CAST($nbPriorSql AS BIGINT)").as("prior_e6"))
-    val weights = nwc.join(broadcast(classBase), "source")
-      .select(col("source"), col("word"),
-        (expr(s"CAST($nbLnSql AS BIGINT)") - col("dflt_e6")).as("delta_e6"))
-    val seenPart = toksPinned.join(broadcast(weights), "word")
-      .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("cnt") * col("delta_e6")).as("seen_e6"))
-    val scores = docTot
-      .crossJoin(broadcast(classBase.select(col("source"), col("dflt_e6"),
-        col("prior_e6"))))
-      .join(seenPart, Seq("doc_id", "source"), "left_outer")
-      .select(col("doc_id"), col("source"),
-        (col("prior_e6") + col("toks") * col("dflt_e6") +
-         coalesce(col("seen_e6"), lit(0L))).as("score_e6"))
-    // argmax per doc as a partial-aggregable min_by over the exact
-    // integer (−score, source) struct order — identical pick and
-    // tie-break to the previous row_number window (score DESC, source
-    // ASC), but map-side combinable instead of a full sort window
-    // (r15 optimization, guide §2.3 "aggregate before you shuffle")
-    val pred = scores
+      .select(col("word")).collect().map(_.getString(0))
+    val vv = vocabArr.length.toLong
+    // seen (word, class) counts restricted to the vocabulary —
+    // ≤ K·|classes| rows, the exact frame the old code broadcast
+    val vocabDf = s.createDataFrame(
+      java.util.Arrays.asList(vocabArr.map(w => Row(w)): _*),
+      StructType(Seq(StructField("word", StringType, nullable = false))))
+    val nwcRows = cw.join(broadcast(vocabDf), "word")
+      .select(col("word"), col("source"), col("cwn")).collect()
+    // driver-side fit: replay the shared float texts op-for-op
+    def roundE0(d: Double): Double =
+      BigDecimal(d).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    // classes = sources with ≥1 seen vocab word (the old classBase was
+    // the perClass ⋈ priors INNER join), in ascending source order
+    val classNames = nwcRows.map(_.getString(1)).distinct.sorted
+    val clsIdx = classNames.zipWithIndex.toMap
+    val ndcOf = docsAgg.toMap
+    val nc = new Array[Long](classNames.length)
+    nwcRows.foreach(r => nc(clsIdx(r.getString(1))) += r.getLong(2))
+    // nbDfltSql: ROUND(ln(1 / (nc + vv)) * 1e6, 0) per class
+    val dfltE6 = classNames.indices.map(i =>
+      roundE0(math.log(1.0 / (nc(i).toDouble + vv.toDouble)) * 1000000.0)
+        .toLong).toArray
+    // nbPriorSql: ROUND(ln(ndc / nd) * 1e6, 0) per class
+    val priorE6 = classNames.map(c =>
+      roundE0(math.log(ndcOf(c).toDouble / nd.toDouble) * 1000000.0).toLong)
+    // nbLnSql − dflt: the sparse per-(word, class) delta vector; unseen
+    // pairs stay 0 (the old coalesce(sum(when(...)), 0) null path)
+    val deltas = new java.util.HashMap[String, Array[Long]]()
+    nwcRows.foreach { r =>
+      val ci = clsIdx(r.getString(1))
+      val arr = deltas.computeIfAbsent(r.getString(0),
+        _ => new Array[Long](classNames.length))
+      arr(ci) = roundE0(math.log(
+        (r.getLong(2).toDouble + 1.0) / (nc(ci).toDouble + vv.toDouble))
+        * 1000000.0).toLong - dfltE6(ci)
+    }
+    // per-word class-delta vector as a literal frame: word ++ d0..dN —
+    // its word set IS the vocabulary, so the scoring join needs no
+    // separate vocabulary filter
+    val wordVecSchema = StructType(
+      StructField("word", StringType, nullable = false) +:
+        classNames.indices.map(i =>
+          StructField(s"d$i", LongType, nullable = false)))
+    val wordVecDf = s.createDataFrame(
+      java.util.Arrays.asList(vocabArr.map { w =>
+        Row.fromSeq(w +: deltas.get(w).toSeq)
+      }: _*), wordVecSchema)
+    val perDoc = rawPinned.join(broadcast(wordVecDf), "word")
       .groupBy(col("doc_id"))
-      .agg(min_by(col("source"),
-        struct((-col("score_e6")).as("ns"), col("source"))).as("predicted"))
+      .agg(sum(col("cnt")).as("toks"),
+        classNames.indices.map(i =>
+          sum(col("cnt") * col(s"d$i")).as(s"s$i")): _*)
+    val scoreArr = array(classNames.indices.map(i =>
+      lit(priorE6(i)) + col("toks") * lit(dfltE6(i)) + col(s"s$i")): _*)
+    val pred = perDoc
+      .select(col("doc_id"), scoreArr.as("sc"))
+      .select(col("doc_id"),
+        element_at(
+          array(classNames.map(lit(_)): _*),
+          array_position(col("sc"), array_max(col("sc"))).cast("int"))
+          .as("predicted"))
     // pin the ≤|classes|² confusion frame so the token checkpoint can
     // be released before the caller evaluates the returned frame
     val out = graft.core.Materialize.pin(
@@ -1970,6 +2133,7 @@ object TextOps {
         .groupBy(col("source").as("actual"), col("predicted"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("actual"), col("predicted")))
+    graft.core.Materialize.release(cw)
     graft.core.Materialize.release(rawPinned)
     out
   }
