@@ -1823,23 +1823,29 @@ object Estimation {
     */
   private def condMoments2(s: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val x1  = col("l_quantity").cast("decimal(20,0)")
-    val x2  = round(col("l_discount") * 100, 0).cast("decimal(20,0)")
+    // r16 (the q_huber r15 rule, guide §2.3 narrower types): per-row
+    // moment products in LONG — x1 ≤ 50, x2 ≤ 10 are PER-ROW domain
+    // bounds, so every product ≤ 2500 ≪ 2^63 at ANY corpus size (ANSI
+    // mode makes a violation loud); only the sums need DECIMAL
+    // headroom, so the cast moves to the aggregate INPUT — sums stay
+    // bit-identical, per-row BigDecimal multiplies leave the hot path
+    val x1  = col("l_quantity").cast("long")
+    val x2  = round(col("l_discount") * 100, 0).cast("long")
     val isP = col("l_returnflag") === "R"
     val m = lineitem(s, dir).select(x1.as("x1"), x2.as("x2"), isP.as("p"))
       .agg(
         sum(when(col("p"), 1L).otherwise(0L)).cast(dec).as("nph"),
-        sum(when(col("p"), col("x1"))).cast(dec).as("s1ph"),
-        sum(when(col("p"), col("x2"))).cast(dec).as("s2ph"),
-        sum(when(col("p"), col("x1") * col("x1"))).cast(dec).as("q11ph"),
-        sum(when(col("p"), col("x1") * col("x2"))).cast(dec).as("q12ph"),
-        sum(when(col("p"), col("x2") * col("x2"))).cast(dec).as("q22ph"),
+        sum(when(col("p"), col("x1")).cast(dec)).as("s1ph"),
+        sum(when(col("p"), col("x2")).cast(dec)).as("s2ph"),
+        sum(when(col("p"), col("x1") * col("x1")).cast(dec)).as("q11ph"),
+        sum(when(col("p"), col("x1") * col("x2")).cast(dec)).as("q12ph"),
+        sum(when(col("p"), col("x2") * col("x2")).cast(dec)).as("q22ph"),
         sum(when(!col("p"), 1L).otherwise(0L)).cast(dec).as("nnh"),
-        sum(when(!col("p"), col("x1"))).cast(dec).as("s1nh"),
-        sum(when(!col("p"), col("x2"))).cast(dec).as("s2nh"),
-        sum(when(!col("p"), col("x1") * col("x1"))).cast(dec).as("q11nh"),
-        sum(when(!col("p"), col("x1") * col("x2"))).cast(dec).as("q12nh"),
-        sum(when(!col("p"), col("x2") * col("x2"))).cast(dec).as("q22nh"))
+        sum(when(!col("p"), col("x1")).cast(dec)).as("s1nh"),
+        sum(when(!col("p"), col("x2")).cast(dec)).as("s2nh"),
+        sum(when(!col("p"), col("x1") * col("x1")).cast(dec)).as("q11nh"),
+        sum(when(!col("p"), col("x1") * col("x2")).cast(dec)).as("q12nh"),
+        sum(when(!col("p"), col("x2") * col("x2")).cast(dec)).as("q22nh"))
     m.select(
       col("nph").cast("double").as("np"), col("s1ph").cast("double").as("s1p"),
       col("s2ph").cast("double").as("s2p"), col("q11ph").cast("double").as("q11p"),
@@ -2971,24 +2977,30 @@ object Estimation {
     */
   def qSelectKbest(s: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // r16 (the q_huber r15 rule, guide §2.3): per-row moment products
+    // in LONG — x1 ≤ 50, x2 ≤ 10, x3 ≤ 8, y ≤ ~2e7 cents are PER-ROW
+    // domain bounds (max product y·y ≈ 4e14 ≪ 2^63 at ANY corpus size;
+    // ANSI mode makes a violation loud); only the sums carry DECIMAL
+    // headroom, cast at the aggregate input — bit-identical sums, no
+    // per-row BigDecimal multiplies
     val base = lineitem(s, dir).select(
-      col("l_quantity").cast("decimal(20,0)").as("x1"),
-      round(col("l_discount") * 100, 0).cast("decimal(20,0)").as("x2"),
-      round(col("l_tax") * 100, 0).cast("decimal(20,0)").as("x3"),
-      round(col("l_extendedprice") * 100, 0).cast("decimal(20,0)").as("y"))
+      col("l_quantity").cast("long").as("x1"),
+      round(col("l_discount") * 100, 0).cast("long").as("x2"),
+      round(col("l_tax") * 100, 0).cast("long").as("x3"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("y"))
     val m = base.agg(
       count(lit(1)).cast(dec).as("n"),
-      sum(col("y")).cast(dec).as("syd"),
-      sum(col("y") * col("y")).cast(dec).as("syyd"),
-      sum(col("x1")).cast(dec).as("s1d"),
-      sum(col("x1") * col("x1")).cast(dec).as("s11d"),
-      sum(col("x1") * col("y")).cast(dec).as("s1yd"),
-      sum(col("x2")).cast(dec).as("s2d"),
-      sum(col("x2") * col("x2")).cast(dec).as("s22d"),
-      sum(col("x2") * col("y")).cast(dec).as("s2yd"),
-      sum(col("x3")).cast(dec).as("s3d"),
-      sum(col("x3") * col("x3")).cast(dec).as("s33d"),
-      sum(col("x3") * col("y")).cast(dec).as("s3yd"))
+      sum(col("y").cast(dec)).as("syd"),
+      sum((col("y") * col("y")).cast(dec)).as("syyd"),
+      sum(col("x1").cast(dec)).as("s1d"),
+      sum((col("x1") * col("x1")).cast(dec)).as("s11d"),
+      sum((col("x1") * col("y")).cast(dec)).as("s1yd"),
+      sum(col("x2").cast(dec)).as("s2d"),
+      sum((col("x2") * col("x2")).cast(dec)).as("s22d"),
+      sum((col("x2") * col("y")).cast(dec)).as("s2yd"),
+      sum(col("x3").cast(dec)).as("s3d"),
+      sum((col("x3") * col("x3")).cast(dec)).as("s33d"),
+      sum((col("x3") * col("y")).cast(dec)).as("s3yd"))
     val d0 = m.select(
       col("n").cast("double").as("nd"), col("syd").cast("double").as("sy"),
       col("syyd").cast("double").as("syy"),
